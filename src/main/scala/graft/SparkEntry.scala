@@ -11,13 +11,31 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_weekend" -> ((s, dir) => Queries.q01TopProducts(s, dir, weekend = true)),
-    "q01_weekday" -> ((s, dir) => Queries.q01TopProducts(s, dir, weekend = false))
+    "q01_weekday" -> ((s, dir) => Queries.q01TopProducts(s, dir, weekend = false)),
+    "q02_quarterly_growth" -> Queries.q02QuarterlyGrowth _,
+    "q03_supplier_contribution" -> Queries.q03SupplierContribution _,
+    "q04_seasonal" -> Queries.q04Seasonal _,
+    "q05_volatility" -> Queries.q05Volatility _,
+    "q06_affinity" -> Queries.q06Affinity _,
+    "q07_rollup" -> Queries.q07Rollup _,
+    "q08_halfyear" -> Queries.q08HalfYear _,
+    "q09_spikes" -> Queries.q09Spikes _,
+    "q10_store_quarterly" -> Queries.q10StoreQuarterly _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q01_weekend" -> OracleSql.q01(weekend = true),
-    "q01_weekday" -> OracleSql.q01(weekend = false)
+    "q01_weekday" -> OracleSql.q01(weekend = false),
+    "q02_quarterly_growth" -> OracleSql.q02,
+    "q03_supplier_contribution" -> OracleSql.q03,
+    "q04_seasonal" -> OracleSql.q04,
+    "q05_volatility" -> OracleSql.q05,
+    "q06_affinity" -> OracleSql.q06,
+    "q07_rollup" -> OracleSql.q07,
+    "q08_halfyear" -> OracleSql.q08,
+    "q09_spikes" -> OracleSql.q09,
+    "q10_store_quarterly" -> OracleSql.q10
   )
 }

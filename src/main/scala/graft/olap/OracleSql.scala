@@ -19,4 +19,138 @@ object OracleSql {
        |GROUP BY t.month, p.product_name
        |ORDER BY total_revenue DESC, month ASC, product_name ASC
        |LIMIT 5""".stripMargin)
+
+  val q02: String = star(
+    s"""SELECT store_id, store_name, quarter, total_revenue,
+       |       previous_quarter_revenue,
+       |       CAST(total_revenue - previous_quarter_revenue AS DOUBLE)
+       |         / CAST(previous_quarter_revenue AS DOUBLE) * 100.0
+       |         AS revenue_growth_rate
+       |FROM (
+       |  SELECT st.store_id, st.store_name, t.quarter,
+       |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue,
+       |         LAG(CAST(SUM(f.total_revenue) AS DECIMAL(18,2))) OVER (
+       |           PARTITION BY st.store_id ORDER BY t.quarter
+       |         ) AS previous_quarter_revenue
+       |  FROM sales_fact f
+       |  JOIN dim_time t ON f.time_id = t.time_id
+       |  JOIN dim_store st ON f.store_id = st.store_id
+       |  WHERE t.year = ${Queries.Year}
+       |  GROUP BY st.store_id, st.store_name, t.quarter
+       |)
+       |ORDER BY store_id, quarter""".stripMargin)
+
+  val q03: String = star(
+    """SELECT st.store_name, sp.supplier_name, p.product_name,
+      |       CAST(SUM(p.price) AS DECIMAL(18,2)) AS total_sales
+      |FROM sales_fact f
+      |JOIN dim_store st ON st.store_id = f.store_id
+      |JOIN dim_product p ON f.product_id = p.product_id
+      |JOIN dim_supplier sp ON sp.supplier_id = f.supplier_id
+      |GROUP BY st.store_name, sp.supplier_name, p.product_name
+      |ORDER BY st.store_name ASC, sp.supplier_name ASC, p.product_name DESC""".stripMargin)
+
+  private val seasonSql =
+    """CASE WHEN t.month IN (3,4,5) THEN 'Spring'
+      |     WHEN t.month IN (6,7,8) THEN 'Summer'
+      |     WHEN t.month IN (9,10,11) THEN 'Fall'
+      |     ELSE 'Winter' END""".stripMargin
+
+  val q04: String = star(
+    s"""SELECT p.product_name, $seasonSql AS season,
+       |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_sales
+       |FROM sales_fact f
+       |JOIN dim_time t ON f.time_id = t.time_id
+       |JOIN dim_product p ON f.product_id = p.product_id
+       |GROUP BY p.product_name, season
+       |ORDER BY p.product_name ASC, season ASC""".stripMargin)
+
+  val q05: String = star(
+    """SELECT store_name, supplier_name, year, month, total_revenue,
+      |       COALESCE(CAST(total_revenue - prev_rev AS DOUBLE)
+      |                / CAST(prev_rev AS DOUBLE) * 100.0, 0.0)
+      |         AS revenue_volatility
+      |FROM (
+      |  SELECT st.store_name, sp.supplier_name, t.year, t.month,
+      |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue,
+      |         LAG(CAST(SUM(f.total_revenue) AS DECIMAL(18,2))) OVER (
+      |           PARTITION BY st.store_name, sp.supplier_name
+      |           ORDER BY t.year, t.month
+      |         ) AS prev_rev
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON f.time_id = t.time_id
+      |  JOIN dim_store st ON f.store_id = st.store_id
+      |  JOIN dim_supplier sp ON f.supplier_id = sp.supplier_id
+      |  GROUP BY st.store_name, sp.supplier_name, t.year, t.month
+      |)
+      |ORDER BY store_name, supplier_name, year, month""".stripMargin)
+
+  val q06: String = star(
+    """SELECT p1.product_name AS product_1, p2.product_name AS product_2,
+      |       COUNT(*) AS frequency
+      |FROM sales_fact a
+      |JOIN sales_fact b
+      |  ON a.order_id = b.order_id AND a.product_id < b.product_id
+      |JOIN dim_product p1 ON a.product_id = p1.product_id
+      |JOIN dim_product p2 ON b.product_id = p2.product_id
+      |GROUP BY p1.product_name, p2.product_name
+      |ORDER BY frequency DESC, product_1 ASC, product_2 ASC
+      |LIMIT 5""".stripMargin)
+
+  val q07: String = star(
+    """SELECT t.year, f.store_id, f.supplier_id, f.product_id,
+      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |GROUP BY ROLLUP (t.year, f.store_id, f.supplier_id, f.product_id)
+      |ORDER BY t.year ASC NULLS FIRST, f.store_id ASC NULLS FIRST,
+      |         f.supplier_id ASC NULLS FIRST, f.product_id ASC NULLS FIRST""".stripMargin)
+
+  val q08: String = star(
+    """SELECT p.product_name, t.year,
+      |       CAST(SUM(CASE WHEN t.month <= 6 THEN f.total_revenue ELSE 0 END) AS DECIMAL(18,2)) AS h1_revenue,
+      |       CAST(SUM(CASE WHEN t.month <= 6 THEN f.quantity_ordered ELSE 0 END) AS BIGINT) AS h1_quantity,
+      |       CAST(SUM(CASE WHEN t.month > 6 THEN f.total_revenue ELSE 0 END) AS DECIMAL(18,2)) AS h2_revenue,
+      |       CAST(SUM(CASE WHEN t.month > 6 THEN f.quantity_ordered ELSE 0 END) AS BIGINT) AS h2_quantity,
+      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS yearly_revenue,
+      |       CAST(SUM(f.quantity_ordered) AS BIGINT) AS yearly_quantity
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |JOIN dim_product p ON f.product_id = p.product_id
+      |GROUP BY p.product_name, t.year
+      |ORDER BY p.product_name ASC, t.year ASC""".stripMargin)
+
+  val q09: String = star(
+    """SELECT product_name, order_date, daily_sales,
+      |       CAST(run_sum AS DOUBLE) / run_cnt AS daily_avg_sales,
+      |       CASE WHEN daily_sales * run_cnt > run_sum * 2
+      |            THEN 'High Revenue Spike (Outlier)' ELSE 'Normal'
+      |       END AS sales_status
+      |FROM (
+      |  SELECT p.product_id, p.product_name, t.order_date,
+      |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS daily_sales,
+      |         SUM(CAST(SUM(f.total_revenue) AS DECIMAL(18,2))) OVER (
+      |           PARTITION BY p.product_id ORDER BY t.order_date
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |         ) AS run_sum,
+      |         COUNT(*) OVER (
+      |           PARTITION BY p.product_id ORDER BY t.order_date
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |         ) AS run_cnt
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON f.time_id = t.time_id
+      |  JOIN dim_product p ON f.product_id = p.product_id
+      |  GROUP BY p.product_id, p.product_name, t.order_date
+      |)
+      |ORDER BY product_name, order_date, daily_sales, sales_status""".stripMargin)
+
+  val q10: String = star(
+    """SELECT f.store_id, st.store_name, t.quarter AS quarter, t.year AS year,
+      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_quarterly_revenue,
+      |       CAST(SUM(f.quantity_ordered) AS BIGINT) AS total_quarterly_quantity
+      |FROM sales_fact f
+      |JOIN dim_store st ON f.store_id = st.store_id
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |GROUP BY f.store_id, st.store_name, quarter, year
+      |ORDER BY st.store_name ASC, year ASC, quarter ASC""".stripMargin)
 }

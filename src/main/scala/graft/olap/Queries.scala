@@ -24,7 +24,9 @@ object Queries {
 
   /** Q1 (weekend variant): top-5 revenue (month, product) groups on
     * weekends of the pinned year — global top-5, not per-month
-    * (reference Q-h). `/root/reference/SQL/OLAP Queries - Metro.sql:5-14`. */
+    * (reference Q-h). `/root/reference/SQL/OLAP Queries - Metro.sql:5-14`.
+    * Plan shape: fact scan → broadcast star joins → partial+final hash agg
+    * → `TakeOrderedAndProject` (no global sort at scale). */
   def q01TopProducts(spark: SparkSession, dir: String, weekend: Boolean): DataFrame = {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir)
@@ -37,5 +39,207 @@ object Queries {
       .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
       .orderBy(desc("total_revenue"), asc("month"), asc("product_name"))
       .limit(5)
+  }
+
+  /** Q2: store×quarter revenue with previous-quarter revenue and growth
+    * rate. The reference's LEAD-mapping self-join
+    * (`.../OLAP Queries - Metro.sql:31-72`) is replaced by the idiomatic
+    * (and single-shuffle) `lag()` window per SURVEY.md J7 — the reference's
+    * own join actually fetches the *next* quarter (quirk); we implement the
+    * stated intent. Growth is IEEE double derived from exact decimals. */
+  def q02QuarterlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir)
+    val store = Star.dimStore(spark, dir)
+    val byQuarter = fact
+      .join(broadcast(time), Seq("time_id"))
+      .where(col("year") === lit(Year))
+      .join(broadcast(store), Seq("store_id"))
+      .groupBy(col("store_id"), col("store_name"), col("quarter"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+    val w = Window.partitionBy("store_id").orderBy("quarter")
+    byQuarter
+      .withColumn("previous_quarter_revenue", lag("total_revenue", 1).over(w))
+      .withColumn(
+        "revenue_growth_rate",
+        (col("total_revenue") - col("previous_quarter_revenue")).cast("double") /
+          col("previous_quarter_revenue").cast("double") * lit(100.0))
+      .orderBy("store_id", "quarter")
+  }
+
+  /** Q3: supplier sales contribution per store and product —
+    * `SUM(price)` is the reference's price-weighted occurrence count
+    * (quirk Q-i), kept as-is. `.../OLAP Queries - Metro.sql:78-95`. */
+  def q03SupplierContribution(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val store = Star.dimStore(spark, dir)
+    val supplier = Star.dimSupplier(spark, dir)
+    val product = Star.dimProduct(spark, dir)
+      .select(col("product_id"), col("product_name"), col("price"))
+    fact
+      .join(broadcast(store), Seq("store_id"))
+      .join(broadcast(supplier), Seq("supplier_id"))
+      .join(broadcast(product), Seq("product_id"))
+      .groupBy(col("store_name"), col("supplier_name"), col("product_name"))
+      .agg(sum("price").cast(aggRevenueType).as("total_sales"))
+      .orderBy(asc("store_name"), asc("supplier_name"), desc("product_name"))
+  }
+
+  /** Season bucket shared by the projection and the group key (reference
+    * A6, `.../OLAP Queries - Metro.sql:103-122`). */
+  private def seasonCol(monthCol: org.apache.spark.sql.Column) =
+    when(monthCol.isin(3, 4, 5), "Spring")
+      .when(monthCol.isin(6, 7, 8), "Summer")
+      .when(monthCol.isin(9, 10, 11), "Fall")
+      .otherwise("Winter")
+
+  /** Q4: product sales drilled down by season. */
+  def q04Seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir)
+    val product = Star.dimProduct(spark, dir)
+    fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(product), Seq("product_id"))
+      .groupBy(col("product_name"), seasonCol(col("month")).as("season"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_sales"))
+      .orderBy(asc("product_name"), asc("season"))
+  }
+
+  /** Q5: store×supplier month-over-month revenue volatility. The
+    * reference's CTE joins the *same* (year, month) to itself so its
+    * volatility is always 0 (quirk Q-f); per SURVEY.md G9 we implement the
+    * stated intent: `lag()` over (store, supplier) ordered by (year,
+    * month), unmatched → 0 via coalesce. */
+  def q05Volatility(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir)
+    val store = Star.dimStore(spark, dir)
+    val supplier = Star.dimSupplier(spark, dir)
+    val monthly = fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(store), Seq("store_id"))
+      .join(broadcast(supplier), Seq("supplier_id"))
+      .groupBy(col("store_name"), col("supplier_name"), col("year"), col("month"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+    val w = Window.partitionBy("store_name", "supplier_name").orderBy("year", "month")
+    monthly
+      .withColumn("prev_rev", lag("total_revenue", 1).over(w))
+      .withColumn(
+        "revenue_volatility",
+        coalesce(
+          (col("total_revenue") - col("prev_rev")).cast("double") /
+            col("prev_rev").cast("double") * lit(100.0),
+          lit(0.0)))
+      .drop("prev_rev")
+      .orderBy("store_name", "supplier_name", "year", "month")
+  }
+
+  /** Q6: product-affinity pairs — self theta-join on the order key with
+    * `product_id <` to emit each unordered pair once
+    * (`.../OLAP Queries - Metro.sql:182-203`). Meaningful at line-item
+    * fact grain (SURVEY.md Q-j). The self-join shuffles both sides on
+    * order_id (co-partitioned); the `<` is a post-join filter on the
+    * equi-join, exactly what Catalyst plans. */
+  def q06Affinity(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir).select("order_id", "product_id")
+    val product = Star.dimProduct(spark, dir).select("product_id", "product_name")
+    val a = fact.as("a")
+    val b = fact.as("b")
+    a.join(b, col("a.order_id") === col("b.order_id") &&
+        col("a.product_id") < col("b.product_id"))
+      .join(broadcast(product).as("p1"), col("a.product_id") === col("p1.product_id"))
+      .join(broadcast(product).as("p2"), col("b.product_id") === col("p2.product_id"))
+      .groupBy(col("p1.product_name").as("product_1"), col("p2.product_name").as("product_2"))
+      .agg(count(lit(1)).as("frequency"))
+      .orderBy(desc("frequency"), asc("product_1"), asc("product_2"))
+      .limit(5)
+  }
+
+  /** Q7: yearly revenue ROLLUP over store → supplier → product
+    * (`.../OLAP Queries - Metro.sql:211-228`); Catalyst `Expand` +
+    * single hash aggregate. Subtotal NULLs sort first (G3). */
+  def q07Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year")
+    fact
+      .join(broadcast(time), Seq("time_id"))
+      .rollup(col("year"), col("store_id"), col("supplier_id"), col("product_id"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+      .orderBy(asc_nulls_first("year"), asc_nulls_first("store_id"),
+        asc_nulls_first("supplier_id"), asc_nulls_first("product_id"))
+  }
+
+  /** Q8: H1/H2 conditional aggregation per product and year (reference
+    * A4); `year` added to the projection per G4 (the reference leans on
+    * MySQL's disabled ONLY_FULL_GROUP_BY). */
+  def q08HalfYear(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir)
+    val product = Star.dimProduct(spark, dir)
+    val h1 = col("month") <= 6
+    fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(product), Seq("product_id"))
+      .groupBy(col("product_name"), col("year"))
+      .agg(
+        sum(when(h1, col("total_revenue")).otherwise(lit(0))).cast(aggRevenueType).as("h1_revenue"),
+        sum(when(h1, col("quantity_ordered")).otherwise(lit(0))).as("h1_quantity"),
+        sum(when(!h1, col("total_revenue")).otherwise(lit(0))).cast(aggRevenueType).as("h2_revenue"),
+        sum(when(!h1, col("quantity_ordered")).otherwise(lit(0))).as("h2_quantity"),
+        sum(col("total_revenue")).cast(aggRevenueType).as("yearly_revenue"),
+        sum(col("quantity_ordered")).as("yearly_quantity"))
+      .orderBy(asc("product_name"), asc("year"))
+  }
+
+  /** Q9: daily revenue per product with a running average and spike flag
+    * (reference W2/W3). The running average is derived from an exact
+    * decimal running sum and count (identical in both engines); the spike
+    * comparison `daily > 2 × avg` is evaluated in exact decimal arithmetic
+    * as `daily × count > 2 × sum` so the flag never depends on float
+    * rounding. */
+  def q09Spikes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "order_date")
+    val product = Star.dimProduct(spark, dir).select("product_id", "product_name")
+    val daily = fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(product), Seq("product_id"))
+      .groupBy(col("product_id"), col("product_name"), col("order_date"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("daily_sales"))
+    val w = Window.partitionBy("product_id").orderBy("order_date")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("run_sum", sum("daily_sales").over(w))
+      .withColumn("run_cnt", count(lit(1)).over(w))
+      .withColumn("daily_avg_sales", col("run_sum").cast("double") / col("run_cnt"))
+      .withColumn(
+        "sales_status",
+        when(col("daily_sales") * col("run_cnt") > col("run_sum") * 2,
+          "High Revenue Spike (Outlier)").otherwise("Normal"))
+      .select("product_name", "order_date", "daily_sales", "daily_avg_sales", "sales_status")
+      .orderBy("product_name", "order_date", "daily_sales", "sales_status")
+  }
+
+  /** Q10: the STORE_QUARTERLY_SALES view (reference S8,
+    * `.../OLAP Queries - Metro.sql:276-288`) — registered as a temp view
+    * (Spark's lazy-view analog of CREATE VIEW) and read back. */
+  def q10StoreQuarterly(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir)
+    val store = Star.dimStore(spark, dir)
+    fact
+      .join(broadcast(store), Seq("store_id"))
+      .join(broadcast(time), Seq("time_id"))
+      .groupBy(col("store_id"), col("store_name"), col("quarter"), col("year"))
+      .agg(
+        sum("total_revenue").cast(aggRevenueType).as("total_quarterly_revenue"),
+        sum("quantity_ordered").as("total_quarterly_quantity"))
+      .createOrReplaceTempView("store_quarterly_sales")
+    spark.table("store_quarterly_sales")
+      .orderBy(asc("store_name"), asc("year"), asc("quarter"))
   }
 }
