@@ -20,7 +20,14 @@ object SparkEntry {
     "q07_rollup" -> Queries.q07Rollup _,
     "q08_halfyear" -> Queries.q08HalfYear _,
     "q09_spikes" -> Queries.q09Spikes _,
-    "q10_store_quarterly" -> Queries.q10StoreQuarterly _
+    "q10_store_quarterly" -> Queries.q10StoreQuarterly _,
+    "etl_time_dim" -> graft.etl.EtlQueries.timeDim _,
+    "etl_dim_product" -> graft.etl.EtlQueries.dimProduct _,
+    "etl_sales_fact" -> graft.etl.EtlQueries.salesFact _,
+    "etl_upsert_antijoin" -> graft.etl.EtlQueries.upsertAntiJoin _,
+    "etl_fact_dedup_order" -> graft.etl.EtlQueries.factDedupPerOrder _,
+    "etl_dedup_events" -> graft.etl.EtlQueries.dedupEvents _,
+    "etl_events_hourly" -> graft.etl.EtlQueries.eventsHourly _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +43,13 @@ object SparkEntry {
     "q07_rollup" -> OracleSql.q07,
     "q08_halfyear" -> OracleSql.q08,
     "q09_spikes" -> OracleSql.q09,
-    "q10_store_quarterly" -> OracleSql.q10
+    "q10_store_quarterly" -> OracleSql.q10,
+    "etl_time_dim" -> graft.etl.EtlOracleSql.timeDim,
+    "etl_dim_product" -> graft.etl.EtlOracleSql.dimProduct,
+    "etl_sales_fact" -> graft.etl.EtlOracleSql.salesFact,
+    "etl_upsert_antijoin" -> graft.etl.EtlOracleSql.upsertAntiJoin,
+    "etl_fact_dedup_order" -> graft.etl.EtlOracleSql.factDedupPerOrder,
+    "etl_dedup_events" -> graft.etl.EtlOracleSql.dedupEvents,
+    "etl_events_hourly" -> graft.etl.EtlOracleSql.eventsHourly
   )
 }

@@ -1,0 +1,69 @@
+package graft.etl
+
+/** DuckDB oracle twins for [[EtlQueries]]. */
+object EtlOracleSql {
+
+  private def star(body: String): String = Star.oracleCte + body
+
+  val timeDim: String = star(
+    """SELECT * FROM dim_time ORDER BY time_id""")
+
+  val dimProduct: String = star(
+    """SELECT * FROM dim_product ORDER BY product_id""")
+
+  val salesFact: String = star(
+    """SELECT * FROM sales_fact
+      |ORDER BY order_id, product_id, supplier_id, quantity_ordered, total_revenue""".stripMargin)
+
+  val upsertAntiJoin: String =
+    """WITH incoming AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name,
+      |         c_mktsegment AS gender,
+      |         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY c_name)
+      |           AS rn
+      |  FROM customer
+      |),
+      |deduped AS (
+      |  SELECT customer_id, customer_name, gender FROM incoming WHERE rn = 1
+      |)
+      |SELECT d.customer_id, d.customer_name, d.gender
+      |FROM deduped d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer e
+      |  WHERE e.c_custkey < 750 AND e.c_custkey = d.customer_id
+      |)
+      |ORDER BY customer_id""".stripMargin
+
+  val factDedupPerOrder: String =
+    """WITH ranked AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity)
+      |           AS rn
+      |  FROM lineitem
+      |)
+      |SELECT l_orderkey AS order_id, l_partkey AS product_id,
+      |       CAST(l_quantity AS INT) AS quantity_ordered
+      |FROM ranked WHERE rn = 1
+      |ORDER BY order_id""".stripMargin
+
+  val dedupEvents: String =
+    """WITH ranked AS (
+      |  SELECT event_id, ts, user_id, event_type,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |         ) AS rn
+      |  FROM events
+      |)
+      |SELECT event_id, ts, user_id, event_type
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val eventsHourly: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |         AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY window_start, event_type""".stripMargin
+}

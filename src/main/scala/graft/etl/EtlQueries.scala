@@ -1,0 +1,82 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ETL-layer operators (SURVEY.md §2.1–§2.6) expressed as
+  * oracle-checkable batch queries over the testdata. Each has a DuckDB
+  * twin in [[EtlOracleSql]].
+  */
+object EtlQueries {
+
+  /** P1/P2 — the TimeDimension build: distinct order dates with derived
+    * attributes. */
+  def timeDim(spark: SparkSession, dir: String): DataFrame =
+    Star.dimTime(spark, dir).orderBy("time_id")
+
+  /** F3 + S6 — the Products dimension build with denormalized Store/
+    * Supplier FKs. */
+  def dimProduct(spark: SparkSession, dir: String): DataFrame =
+    Star.dimProduct(spark, dir).orderBy("product_id")
+
+  /** J1/J2/P5 — the full fact build: stream⋈master equi-joins plus the
+    * revenue measure, at line-item grain. The reference computes measures
+    * in a per-batch full-fact rescan (`/root/reference/src/Meshjoin.java:
+    * 705-747`, O(n²) cumulative); here they are columns of the join output
+    * — incremental by construction. */
+  def salesFact(spark: SparkSession, dir: String): DataFrame =
+    Star.salesFact(spark, dir)
+      .orderBy("order_id", "product_id", "supplier_id", "quantity_ordered", "total_revenue")
+
+  /** D1–D5 — insert-if-not-exists as one anti-join: customers whose key
+    * is not yet in the warehouse subset (customer_id < 750 plays the
+    * already-loaded warehouse). */
+  def upsertAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customers = Star.dimCustomer(spark, dir)
+    val existing = customers.where(col("customer_id") < 750)
+    Upserts
+      .insertIfAbsent(existing, customers, Seq("customer_id"), Seq("customer_name"))
+      .orderBy("customer_id")
+  }
+
+  /** Q-a/D7 — the reference's one-fact-row-per-order grain: first line
+    * item per order wins (`/root/reference/src/Meshjoin.java:373,419`). */
+  def factDedupPerOrder(spark: SparkSession, dir: String): DataFrame = {
+    val li = Star.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    Upserts.firstWins(li, Seq("l_orderkey"), Seq("l_linenumber", "l_partkey", "l_quantity"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_partkey").as("product_id"),
+        col("l_quantity").cast("int").as("quantity_ordered"))
+      .orderBy("order_id")
+  }
+
+  /** F2 — exact stream dedup, first event wins per (user, event type):
+    * the reference's seen-before filter
+    * (`/root/reference/src/GenerateStream.java:38-43`) generalized to a
+    * keyed first-wins over the events stream table. */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame =
+    Upserts
+      .firstWins(
+        Star.events(spark, dir).select("event_id", "ts", "user_id", "event_type"),
+        Seq("user_id", "event_type"),
+        Seq("ts", "event_id"))
+      .orderBy("user_id", "event_type")
+
+  /** F1/A3 analog — tumbling-window aggregation over the events stream
+    * (the batch twin of the Structured Streaming hourly rollup in
+    * `graft.streaming.StreamETL`; stream/batch parity is the Spark
+    * guarantee the reference's hand-rolled batching lacks). `value` is
+    * cast to decimal so the sum is exact and order-independent. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Star.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(graft.model.Schemas.priceType))
+          .cast(graft.model.Schemas.aggRevenueType).as("total_value"))
+      .orderBy("window_start", "event_type")
+}

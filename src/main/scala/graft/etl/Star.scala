@@ -30,6 +30,17 @@ object Star {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events stream table is written with nanosecond parquet
+    * timestamps, which Spark's vectorized reader rejects; read them as
+    * longs (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
+    * microsecond timestamps (the data is µs-granular, so this is
+    * lossless). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Customers(Customer_ID, Customer_Name, Gender) — c_mktsegment stands in
     * for the reference's Gender attribute (categorical, low-cardinality). */
   def dimCustomer(spark: SparkSession, dir: String): DataFrame =
