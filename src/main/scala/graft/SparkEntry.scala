@@ -27,7 +27,19 @@ object SparkEntry {
     "etl_upsert_antijoin" -> graft.etl.EtlQueries.upsertAntiJoin _,
     "etl_fact_dedup_order" -> graft.etl.EtlQueries.factDedupPerOrder _,
     "etl_dedup_events" -> graft.etl.EtlQueries.dedupEvents _,
-    "etl_events_hourly" -> graft.etl.EtlQueries.eventsHourly _
+    "etl_events_hourly" -> graft.etl.EtlQueries.eventsHourly _,
+    "ext_text_stats" -> graft.ext.ExtQueries.textStats _,
+    "ext_text_langid" -> graft.ext.ExtQueries.langId _,
+    "ext_text_fingerprint" -> graft.ext.ExtQueries.fingerprint _,
+    "ext_dedup_exact" -> graft.ext.ExtQueries.dedupExact _,
+    "ext_dedup_jaccard" -> graft.ext.ExtQueries.dedupJaccard _,
+    "ext_dedup_minhash_lsh" -> graft.ext.ExtQueries.dedupMinhashLsh _,
+    "ext_dedup_simhash" -> graft.ext.ExtQueries.dedupSimhash _,
+    "ext_dedup_embedding" -> graft.ext.ExtQueries.dedupEmbedding _,
+    "ext_sim_topk" -> graft.ext.ExtQueries.simTopK _,
+    "ext_sim_lsh_topk" -> graft.ext.ExtQueries.simLshTopK _,
+    "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
+    "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,6 +62,19 @@ object SparkEntry {
     "etl_upsert_antijoin" -> graft.etl.EtlOracleSql.upsertAntiJoin,
     "etl_fact_dedup_order" -> graft.etl.EtlOracleSql.factDedupPerOrder,
     "etl_dedup_events" -> graft.etl.EtlOracleSql.dedupEvents,
-    "etl_events_hourly" -> graft.etl.EtlOracleSql.eventsHourly
+    "etl_events_hourly" -> graft.etl.EtlOracleSql.eventsHourly,
+    "ext_text_stats" -> graft.ext.ExtOracleSql.textStats,
+    "ext_text_langid" -> graft.ext.ExtOracleSql.langId,
+    "ext_text_fingerprint" -> graft.ext.ExtOracleSql.fingerprint,
+    "ext_dedup_exact" -> graft.ext.ExtOracleSql.dedupExact,
+    "ext_dedup_jaccard" -> graft.ext.ExtOracleSql.dedupJaccard,
+    "ext_dedup_minhash_lsh" -> graft.ext.ExtOracleSql.dedupMinhashLsh,
+    "ext_dedup_simhash" -> graft.ext.ExtOracleSql.dedupSimhash,
+    "ext_dedup_embedding" -> graft.ext.ExtOracleSql.dedupEmbedding,
+    "ext_sim_topk" -> graft.ext.ExtOracleSql.simTopK,
+    "ext_sim_lsh_topk" -> graft.ext.ExtOracleSql.simLshTopK,
+    "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta
+    // ext_media_decode: byte-level decode is not SQL-expressible →
+    // driver records the weaker rows-only check (by design).
   )
 }

@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for the training-data pipeline tier
+  * (SURVEY.md §7.5): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Generalizes the reference's exact
+  * seen-before dedup (`/root/reference/src/GenerateStream.java:38-43`,
+  * O(n²) list scan) to content-based near-duplicate detection at scale.
+  *
+  * Scale architecture:
+  *  - Exact dedup = hash-groupBy (one shuffle on the content hash).
+  *  - Jaccard = inverted-index self-join on shingles (shuffle on shingle,
+  *    AQE handles skew; a document-frequency cap bounds hot-shingle
+  *    blowup — stop-shingles contribute nothing to high-Jaccard pairs).
+  *  - MinHash+LSH: signatures in ONE aggregation pass (12 min-aggregates,
+  *    map-side partial agg), then band-bucket equi-join ⇒ candidate pairs
+  *    are O(near-dups), not O(n²); verification joins shingle sets of
+  *    candidates only.
+  *  - SimHash: 32 sum-aggregates (no bit-explosion), block-pigeonhole
+  *    candidate join (hamming ≤ 3 ⇒ one of four 8-bit blocks equal).
+  *  - Embedding near-dup: bit-identical left-fold cosine (see
+  *    [[SimilarityOps]]); candidate pruning via sign-LSH buckets is the
+  *    100 TB path, brute pairing is the small-side verifier.
+  */
+object DedupOps {
+
+  /** MinHash universal-hash coefficients: minhash_i = min over shingles of
+    * (a_i·H(sh) + b_i) mod p, p prime > 2^32. a_i < 2^21 keeps a_i·H < 2^53
+    * (exact in BIGINT in both engines). 12 hashes = 4 bands × 3 rows:
+    * P[candidate] = 1 − (1 − j³)⁴ ≈ 1 for j ≥ 0.8, ≈ .03 for j = 0.2. */
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1299709L, 12345L), (1999993L, 67891L), (1689287L, 11111L), (1948891L, 22222L),
+    (1121231L, 33333L), (1982347L, 44444L), (1574051L, 55555L), (1300021L, 66666L),
+    (1223543L, 77777L), (1997011L, 88888L), (1600033L, 99999L), (1777771L, 13579L))
+  val minhashP = 4294967311L
+  val bands = 4
+  val rowsPerBand = 3
+
+  /** Exact dedup by content hash of the whitespace-normalized text: keeper
+    * = min doc_id per group (the reference's first-wins rule F3,
+    * `/root/reference/src/Meshjoin.java:108-117`, re-keyed by content). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .withColumn("text_hash",
+        expr("md5(regexp_replace(trim(lower(text)), '\\\\s+', ' '))"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "text_hash", "n_copies")
+      .orderBy("doc_id")
+
+  /** All-pairs word-3-gram Jaccard ≥ threshold via inverted-index join.
+    * The df cap drops shingles appearing in > maxDf docs — a no-op on the
+    * testdata, a necessary guard at 100 TB (a shingle in k docs produces
+    * k² candidate rows; capped shingles cannot push a true near-dup pair
+    * below threshold unless the pair was mostly stop-shingles anyway). */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      maxDf: Long = 10000L): DataFrame = {
+    val sh = TextOps.shingleSet(spark, dir)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("sh")
+    val shr = sh.join(rare, "sh")
+    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = shr.as("x").join(shr.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        expr("round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3)"))
+      .where(expr(s"CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $threshold"))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: one hash-aggregate pass producing all 12 minhash
+    * columns m0..m11 (partial aggregation map-side; the only shuffle is
+    * the groupBy(doc_id)). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * h + $b) % $minhashP")).as(s"m$i")
+    }
+    TextOps.shingleHashes(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band table: (doc_id, band, key) with key = the band's rowsPerBand
+    * minhashes concatenated. Documents sharing any (band, key) are
+    * candidate near-duplicates. */
+  def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(m${b * rowsPerBand + r} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"struct(CAST($b AS INT) AS band, $key AS key)"
+    }.mkString("array(", ", ", ")")
+    sig.select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash+LSH near-dup detection: band-bucket join → distinct candidate
+    * pairs → exact-Jaccard verification restricted to candidates (the
+    * shingle join touches only candidate documents — this is what makes
+    * the operator sub-quadratic at scale). */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val bandsDf = lshBands(spark, dir)
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = TextOps.shingleSet(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .withColumn("jaccard", expr("round(CAST(shared AS DOUBLE) / (za.n + zb.n - shared), 3)"))
+      .where(expr(s"CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= $threshold"))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash over shingle hashes: bit b of the signature is the
+    * sign of Σ_shingles (2·bit_b(H) − 1). Computed as 32 sum-aggregates in
+    * ONE pass — no 32× row explosion; the only shuffle is groupBy(doc_id). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 32).map { b =>
+      sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
+    }
+    val assemble = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    TextOps.shingleHashes(spark, dir)
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("sh32"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ 3, found via the block
+    * pigeonhole: split the 32-bit signature into four 8-bit blocks —
+    * hamming ≤ 3 guarantees at least one block is identical, so an
+    * equi-join on (block index, block value) yields all such pairs
+    * without an O(n²) comparison. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(spark, dir)
+    val blocks = sig.select(col("doc_id"), col("sh32"),
+        explode(expr("sequence(0, 3)")).as("blk"))
+      .withColumn("bval", expr("(sh32 >> (8 * blk)) & 255"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.sh32 ^ y.sh32)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) over the
+    * embeddings table — the exact all-pairs verifier. Cosine is the
+    * bit-identical left-fold (see [[SimilarityOps.cosExpr]]). At 100 TB
+    * the pair generation is pruned first (sign-LSH buckets as in
+    * [[SimilarityOps.lshTopK]], or IVF cells); the threshold check here
+    * stays the exact verifier either way. */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val e = SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir))
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        expr(SimilarityOps.cosExpr("x.embedding", "y.embedding", "x.norm", "y.norm")))
+      .where(col("cos") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        expr("round(cos, 6)").as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,279 @@
+package graft.ext
+
+/** DuckDB-oracle twins for [[ExtQueries]]. Cross-engine contracts:
+  *
+  *  - Hash: H(s) = int(md5(s)[0:8], 16). Spark computes it with
+  *    `conv(substring(md5(s),1,8),16,10)`; DuckDB (no hex→int builtin)
+  *    folds the 8 hex digits with a lambda. Identical 32-bit values.
+  *  - Ratios/cosines: explicit CAST(... AS DOUBLE) divisions and strict
+  *    left-fold dot products ⇒ bit-identical doubles in both engines
+  *    (Spark literals like `1.0` parse as DECIMAL, so no bare decimal
+  *    literals appear in arithmetic on either side).
+  *  - The oracle formulations favor readability (self-joins, explodes)
+  *    over the Spark side's single-pass aggregates — semantics, not
+  *    plans, are what must match.
+  */
+object ExtOracleSql {
+
+  /** DuckDB fold: hex prefix of md5(`e`) → BIGINT. Lambda vars are
+    * suffixed to stay hygienic under nesting. */
+  private def h32(e: String, sfx: String = ""): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(substr(md5($e), 1, 8), ''),
+       |    hx$sfx -> CAST(CASE WHEN hx$sfx BETWEEN '0' AND '9'
+       |                   THEN ascii(hx$sfx) - 48 ELSE ascii(hx$sfx) - 87 END AS BIGINT))),
+       |  (ac$sfx, dg$sfx) -> ac$sfx * 16 + dg$sfx)""".stripMargin
+
+  /** Strict left-fold dot product over two DOUBLE-cast float lists. */
+  private def dot(a: String, b: String, sfx: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    zp$sfx -> CAST(zp$sfx[1] AS DOUBLE) * CAST(zp$sfx[2] AS DOUBLE))),
+       |  (aa$sfx, vv$sfx) -> aa$sfx + vv$sfx)""".stripMargin
+
+  /** Tokenized words with positions + distinct word-3-gram shingles +
+    * shingle hashes — the shared base of the text/dedup oracles. */
+  private val shingleBase: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w, i
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+       |),
+       |shingles AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM words a
+       |  JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+       |),
+       |sh_hash AS (
+       |  SELECT doc_id, sh, ${h32("sh")} AS h FROM shingles
+       |)""".stripMargin
+
+  private val stopEn = "'the','a','of','and','to','in','is','it'"
+  private val stopDe = "'der','die','und','das','nicht','ist','ein','mit'"
+  private val stopFr = "'le','la','les','et','est','un','une','dans'"
+  private val stopEs = "'el','los','las','es','y','si','una','como'"
+
+  val textStats: String =
+    s"""SELECT doc_id, n_tokens, n_bpe_tokens, n_alpha, n_punct, stop_ratio,
+       |  mean_token_len,
+       |  round(0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio
+       |    + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+       |    - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars), 4) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    len(ws) AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       |    length(lower(text)) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS n_alpha,
+       |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |    CAST(len(list_filter(ws, w -> w IN ($stopEn))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(ws) AS mean_token_len
+       |  FROM (SELECT doc_id, text, n_chars,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  val langId: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'unknown'
+       |       WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+       |       WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+       |       WHEN v_es >= v_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+       |    len(list_filter(ws, w -> w IN ($stopEn))) AS v_en,
+       |    len(list_filter(ws, w -> w IN ($stopDe))) AS v_de,
+       |    len(list_filter(ws, w -> w IN ($stopFr))) AS v_fr,
+       |    len(list_filter(ws, w -> w IN ($stopEs))) AS v_es
+       |  FROM (SELECT doc_id, lang, text,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  val fingerprint: String =
+    s"""SELECT doc_id,
+       |  len(list_distinct(grams)) AS n_grams,
+       |  list_min(hs) AS fp_min,
+       |  list_min(list_transform(hs, hr -> (1299709 * hr + 12345) % 4294967311)) AS fp_rot
+       |FROM (
+       |  SELECT doc_id, grams, list_transform(grams, g -> ${h32("g", "g")}) AS hs
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+       |        i -> substr(t, i, 8)) AS grams
+       |    FROM (SELECT doc_id, lower(text) AS t FROM documents)
+       |  )
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  val dedupExact: String =
+    """SELECT doc_id, text_hash, n_copies
+      |FROM (
+      |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+      |         min(doc_id) AS doc_id, count(*) AS n_copies
+      |  FROM documents GROUP BY 1
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared tail: df-capped shingles, set sizes, pairwise shared counts. */
+  private val jaccardTail: String =
+    """shfil AS (
+      |  SELECT s.doc_id, s.sh FROM shingles s
+      |  JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 10000) r
+      |    USING (sh)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shfil GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+      |  FROM shfil x JOIN shfil y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  val dedupJaccard: String =
+    s"""$shingleBase,
+       |$jaccardTail
+       |SELECT doc_a, doc_b,
+       |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val coeffValues: String = DedupOps.minhashCoeffs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  val dedupMinhashLsh: String =
+    s"""$shingleBase,
+       |coeffs(i, a, b) AS (VALUES $coeffValues),
+       |mh AS (
+       |  SELECT s.doc_id, c.i, min((c.a * s.h + c.b) % ${DedupOps.minhashP}) AS m
+       |  FROM sh_hash s CROSS JOIN coeffs c GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${DedupOps.rowsPerBand} AS band,
+       |    concat_ws('_',
+       |      CAST(max(CASE WHEN i % 3 = 0 THEN m END) AS VARCHAR),
+       |      CAST(max(CASE WHEN i % 3 = 1 THEN m END) AS VARCHAR),
+       |      CAST(max(CASE WHEN i % 3 = 2 THEN m END) AS VARCHAR)) AS key
+       |  FROM mh GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN shingles sa ON c.doc_a = sa.doc_id
+       |  JOIN shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(shared AS DOUBLE) / (za.n + zb.n - shared), 3) AS jaccard
+       |FROM shared
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupSimhash: String =
+    s"""$shingleBase,
+       |bits AS (
+       |  SELECT doc_id, bit, sum(2 * ((h >> bit) & 1) - 1) AS s
+       |  FROM sh_hash, generate_series(0, 31) t(bit) GROUP BY 1, 2
+       |),
+       |sim AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh32
+       |  FROM bits GROUP BY 1
+       |),
+       |blocks AS (
+       |  SELECT doc_id, sh32, blk, (sh32 >> (8 * blk)) & 255 AS bval
+       |  FROM sim, generate_series(0, 3) t(blk)
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.sh32, y.sh32)) AS hamming
+       |FROM blocks x JOIN blocks y
+       |  ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh32, y.sh32)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val normCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding", "n")}) AS norm
+       |  FROM embeddings
+       |)""".stripMargin
+
+  val dedupEmbedding: String =
+    s"""$normCte,
+       |scored AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    ${dot("x.embedding", "y.embedding", "d")} / (x.norm * y.norm) AS cos
+       |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.5
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val simTopK: String =
+    s"""$normCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "d")} / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val bucketSql: String = (0 until 8)
+    .map(d => s"CASE WHEN embedding[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END")
+    .mkString(" + ")
+
+  val simLshTopK: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding", "n")}) AS norm,
+       |    $bucketSql AS bucket
+       |  FROM embeddings
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "d")} / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, bucket, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, bucket, rank, neighbor_id, round(cos, 6) AS score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  val mediaMeta: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+       |    AS media_type,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  64 + h % 1856 AS width,
+       |  64 + (h >> 8) % 1016 AS height,
+       |  (h >> 4) % 600000 AS duration_ms
+       |FROM (SELECT doc_id, text, ${h32("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,22 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract registry for the extension tier (SURVEY.md §7.5):
+  * text analysis, dedup family, similarity search, multimodal plumbing.
+  * Each entry has a DuckDB twin in [[ExtOracleSql]] (except the
+  * byte-level decode, which is rows-only by design). */
+object ExtQueries {
+  def textStats(s: SparkSession, d: String): DataFrame = TextOps.textStats(s, d)
+  def langId(s: SparkSession, d: String): DataFrame = TextOps.langId(s, d)
+  def fingerprint(s: SparkSession, d: String): DataFrame = TextOps.fingerprint(s, d)
+  def dedupExact(s: SparkSession, d: String): DataFrame = DedupOps.exact(s, d)
+  def dedupJaccard(s: SparkSession, d: String): DataFrame = DedupOps.jaccardPairs(s, d)
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = DedupOps.minhashLsh(s, d)
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = DedupOps.simhashPairs(s, d)
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = DedupOps.embeddingNearDup(s, d)
+  def simTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.bruteForceTopK(s, d)
+  def simLshTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.lshTopK(s, d)
+  def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
+  def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.5): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, plus a batched
+  * decode/feature-extract stage. The container has no image/audio codecs,
+  * so the decode kernel is a clearly-marked deterministic STUB — but the
+  * Spark-side plumbing (schema, binary column, partition-preserving
+  * `mapPartitions` batch shape, feature schema) is real and tested.
+  *
+  * At 100 TB the payloads live in parquet binary columns (or object-store
+  * pointers); decode is a `mapPartitions` over batches so codec init cost
+  * amortizes per-partition, exactly as a Pandas-UDF/`mapInPandas` stage
+  * would in PySpark. Metadata prunes early: filters on width/duration
+  * push down to the scan without touching payload bytes.
+  */
+object MediaOps {
+
+  case class MediaRecord(
+      doc_id: Long, media_type: String, payload: Array[Byte],
+      width: Long, height: Long, duration_ms: Long)
+
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Int,
+      checksum: Long, feature: Array[Float])
+
+  /** Derives the media table from `documents`: the UTF-8 text bytes stand
+    * in for an encoded frame/sample payload; metadata is derived from the
+    * cross-engine hash of the doc id so it is oracle-checkable. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .withColumn("media_type", expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"))
+      .withColumn("payload", expr("encode(text, 'UTF-8')"))
+      .withColumn("h", TextOps.h32(col("doc_id").cast("string")))
+      .withColumn("width", expr("64 + h % 1856"))
+      .withColumn("height", expr("64 + (h >> 8) % 1016"))
+      .withColumn("duration_ms", expr("(h >> 4) % 600000"))
+      .select("doc_id", "media_type", "payload", "width", "height", "duration_ms")
+
+  /** Metadata/plumbing view — fully oracle-checkable (no payload decode):
+    * byte length of the binary column + typed metadata. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        expr("octet_length(payload)").as("n_bytes"),
+        col("width"), col("height"), col("duration_ms"))
+      .orderBy("doc_id")
+
+  /** Batched decode / feature-extraction over the binary payloads via
+    * `mapPartitions`: one iterator per partition (codec state would be
+    * initialized here once per partition, not per row).
+    *
+    * STUB: a real deployment would decode the payload with an image/audio
+    * library here. This container has none, so the "decode" is a
+    * deterministic byte-level kernel: checksum = Σ bytes mod 997 and a
+    * 4-dim "feature" from byte statistics. The iteration over payload
+    * bytes is real — the stage exercises exactly the data path a codec
+    * would. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.payload
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        val checksum = sum % 997
+        val feature = Array(
+          bytes.length.toFloat,
+          checksum.toFloat,
+          if (bytes.isEmpty) 0f else (bytes(0) & 0xff).toFloat,
+          if (bytes.isEmpty) 0f else (bytes(bytes.length - 1) & 0xff).toFloat)
+        MediaFeatures(r.doc_id, r.media_type, bytes.length, checksum, feature)
+      }
+    }
+  }
+
+  /** Driver-contract wrapper: decode features as an ordered DataFrame
+    * (array feature dropped: the scalar columns are the checkable
+    * surface; rows-only check — byte-level checksum is not expressible
+    * in the SQL oracle). */
+  def decodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir)
+      .select("doc_id", "media_type", "n_bytes", "checksum")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (`ArrayType(FloatType)`, dim 64) — SURVEY.md §7.5 extension tier.
+  *
+  * Numeric determinism contract: the dot product is a strict LEFT FOLD in
+  * array order (`aggregate(zip_with(...))`), each element cast
+  * float→double (exact) before multiplying. The DuckDB oracle folds the
+  * same way (`list_reduce(list_prepend(0.0, list_transform(list_zip(...`),
+  * so cosine scores are bit-identical across engines — rank order and
+  * rounded outputs cannot diverge. (A groupBy-sum over exploded positions
+  * would sum in partition order and be nondeterministic at the last ulp.)
+  *
+  * Scale posture: brute-force top-k is the correctness baseline (and the
+  * right plan when the query set is small: broadcast queries, one pass
+  * over the corpus, TakeOrdered per query). The sign-LSH bucketed variant
+  * is the 100 TB path: candidates drop ~2^bits-fold and the join is a
+  * shuffle on a 1-byte key; recall is tunable via multi-probe (flip one
+  * bit) — not needed at test scale.
+  */
+object SimilarityOps {
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Strict left-fold dot product of two array<float> columns, in doubles. */
+  def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Cosine from precomputed norms (norms are per-vector, computed once). */
+  def cosExpr(a: String, b: String, na: String, nb: String): String =
+    s"${dotExpr(a, b)} / ($na * $nb)"
+
+  def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  /** Sign-LSH bucket: 8 axis-aligned hyperplanes (sign of the first 8
+    * components) → bucket ∈ [0, 256). Deterministic, engine-portable, and
+    * a genuine random-hyperplane LSH for isotropic embeddings. */
+  val bucketExpr: String = (0 until 8)
+    .map(d => s"CASE WHEN element_at(embedding, ${d + 1}) > 0 THEN ${1 << d} ELSE 0 END")
+    .mkString(" + ")
+
+  def withNormAndBucket(e: DataFrame): DataFrame =
+    withNorm(e).withColumn("bucket", expr(bucketExpr))
+
+  /** Brute-force cosine top-k: every query vector (vec_id < nQueries)
+    * against the full corpus. Queries are broadcast (small side by
+    * construction); the corpus is scanned once; per-query top-k is a
+    * window over the per-query partitions. Ties broken by neighbor id —
+    * fully deterministic because scores are bit-identical. */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 8): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosExpr("qv", "embedding", "qn", "norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        expr("round(cos, 6)").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign-LSH bucketed ANN: self-join within buckets (every vector is a
+    * query), top-k among same-bucket candidates. The bucket equi-join is
+    * the scale path — shuffle keyed on a 256-ary bucket instead of an
+    * O(n²) cross product. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withNormAndBucket(embeddings(spark, dir))
+    val scored = e.as("q").join(e.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", expr(cosExpr("q.embedding", "c.embedding", "q.norm", "c.norm")))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q.vec_id").as("query_id"), col("q.bucket").as("bucket"),
+        col("rank"), col("c.vec_id").as("neighbor_id"),
+        expr("round(cos, 6)").as("score"))
+      .orderBy("query_id", "rank")
+  }
+}
