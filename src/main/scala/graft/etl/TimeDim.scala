@@ -44,6 +44,9 @@ object TimeDim {
   /** Parse the reference's `yyyy-MM-dd H:mm:ss` transaction timestamps
     * (single-`H` accepts 1- and 2-digit hours, SURVEY.md G7); unparseable
     * rows yield NULL, which the caller drops (reference Q-b: invalid
-    * Order_Date ⇒ record dropped, `/root/reference/src/Meshjoin.java:280-284`). */
-  def parseOrderDate(c: Column): Column = to_timestamp(c, "yyyy-M-d H:mm:ss")
+    * Order_Date ⇒ record dropped, `/root/reference/src/Meshjoin.java:280-284`).
+    * `try_to_timestamp`, not `to_timestamp`: Spark 4 runs ANSI mode by
+    * default, where a failed parse is a runtime error — the reference's
+    * semantic is drop, not fail. */
+  def parseOrderDate(c: Column): Column = try_to_timestamp(c, lit("yyyy-M-d H:mm:ss"))
 }

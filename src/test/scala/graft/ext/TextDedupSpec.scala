@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Text-analysis and dedup-family behavior on hand-crafted documents
+  * (near-dup pair, exact-dup pair, CJK doc, distinct doc). */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1/2: near-duplicates (one word changed); doc 3: exact dup of 1
+  // (modulo whitespace); doc 4: unrelated; doc 5: CJK.
+  private lazy val dir = tempDataDir(
+    "documents" -> Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "web", 61L),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away", "en", "web", 61L),
+      (3L, "the quick  brown fox jumps over the lazy dog and runs far away", "en", "web", 62L),
+      (4L, "completely different content about spark query engines, nothing shared here at all", "en", "web", 83L),
+      (5L, "这是 一个 中文 文档 测试", "zh", "web", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("exact dedup groups whitespace-normalized duplicates, min doc_id wins") {
+    val out = DedupOps.exact(spark, dir).collect()
+    assert(out.length == 4) // 1 and 3 collapse
+    val kept = out.map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L))
+    assert(out.find(_.getLong(0) == 1L).get.getLong(2) == 2L) // n_copies
+  }
+
+  test("jaccard pairs find the near-dup and not the unrelated doc") {
+    val pairs = DedupOps.jaccardPairs(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 3L))) // identical shingle sets
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-LSH candidates are a subset of exact jaccard and catch true dups") {
+    val exact = DedupOps.jaccardPairs(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step ⇒ no false positives
+    // j = 1.0 pairs band-match with probability 1 — always recovered.
+    assert(lsh.contains((1L, 3L)))
+  }
+
+  test("simhash: identical shingle sets get identical signatures (hamming 0)") {
+    val pairs = DedupOps.simhashPairs(spark, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))
+    val h13 = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(h13.nonEmpty && h13.get._3 == 0)
+  }
+
+  test("language-ID: CJK routes to zh, English stopwords to en") {
+    val out = TextOps.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(5L) == "zh")
+    assert(out(1L) == "en")
+  }
+
+  test("token counts and quality signals") {
+    val r = TextOps.textStats(spark, dir).where($"doc_id" === 1L).head()
+    assert(r.getInt(1) == 13) // n_tokens
+    assert(r.getInt(4) == 0)  // no punctuation
+    assert(r.getDouble(5) > 0.2) // 'the' ×2 + 'and' of 13 tokens
+  }
+
+  test("fingerprint is deterministic and text-sensitive") {
+    val fp = TextOps.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // Unrelated content → disjoint gram sets → different min-hashes.
+    // (A one-word edit may legitimately keep the same min — that
+    // robustness is the point of min-hash fingerprints.)
+    assert(fp(1L) != fp(4L))
+    val again = TextOps.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(fp == again)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.olap
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.etl.Star
+
+/** Algebraic invariants of the OLAP layer on the sf0.001 smoke data —
+  * properties that must hold regardless of data (SURVEY.md §5 test plan
+  * item 3), complementing the value-exact DuckDB differential harness. */
+class OlapPropertySpec extends SparkSpec {
+
+  test("rollup grand total equals the ungrouped sum") {
+    val rollup = Queries.q07Rollup(spark, sfSmoke)
+    val grand = rollup
+      .where(col("year").isNull && col("store_id").isNull &&
+        col("supplier_id").isNull && col("product_id").isNull)
+      .select("total_revenue").collect()
+    val direct = Star.salesFact(spark, sfSmoke)
+      .agg(sum("total_revenue").cast(graft.model.Schemas.aggRevenueType))
+      .collect()
+    assert(grand.length == 1)
+    assert(grand.head.getDecimal(0).compareTo(direct.head.getDecimal(0)) == 0)
+  }
+
+  test("affinity returns top pairs with positive frequencies") {
+    val rows = Queries.q06Affinity(spark, sfSmoke).collect()
+    assert(rows.nonEmpty && rows.length <= 5) // line-item grain makes Q6 meaningful (Q-j)
+    val freqs = rows.map(_.getLong(2))
+    assert(freqs.forall(_ > 0))
+    assert(freqs.sameElements(freqs.sortBy(-(_: Long)))) // descending
+  }
+
+  test("top-5 queries return at most 5 rows, sorted descending") {
+    Seq(true, false).foreach { weekend =>
+      val rows = Queries.q01TopProducts(spark, sfSmoke, weekend).collect()
+      assert(rows.length <= 5 && rows.nonEmpty)
+      val sums = rows.map(_.getDecimal(2).doubleValue())
+      assert(sums.sameElements(sums.sortBy(-(_: Double))))
+    }
+  }
+
+  test("fact build: revenue equals round(extendedprice × (1 − discount), 2) per row") {
+    val bad = Star.salesFact(spark, sfSmoke)
+      .where(col("total_revenue").isNull || col("total_revenue") < 0)
+    assert(bad.count() == 0)
+  }
+
+  test("seasonal buckets partition all fact rows") {
+    val seasonal = Queries.q04Seasonal(spark, sfSmoke)
+      .agg(sum("total_sales")).collect().head.getDecimal(0)
+    val total = Star.salesFact(spark, sfSmoke)
+      .agg(sum("total_revenue")).collect().head.getDecimal(0)
+    assert(seasonal.compareTo(total) == 0)
+  }
+}
