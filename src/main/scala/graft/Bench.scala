@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state warmup: exercise scan→join→agg codegen paths once so
+    // the first timed query doesn't absorb JVM/JIT + codegen-compile
+    // warmup (~5 s regardless of data size).
+    try {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(10000)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

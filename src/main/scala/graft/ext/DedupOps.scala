@@ -157,8 +157,10 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.sh32 ^ y.sh32)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming > threshold pairs (the vast
+      // majority) never enter the dedup shuffle.
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -45,13 +45,13 @@ object TextOps {
       "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))) " +
       "ELSE array() END"
 
-  /** (doc_id, sh) — distinct word 3-gram shingles per document. The
-    * `distinct` is the one shuffle of the dedup family, keyed (doc_id, sh);
-    * at 100 TB it is the standard inverted-index build. */
+  /** (doc_id, sh) — distinct word 3-gram shingles per document.
+    * Distinctness is PER DOCUMENT, so `array_distinct` before the explode
+    * delivers it with zero shuffle — a `.distinct()` after the explode
+    * would shuffle the full (doc, shingle) inverted index for nothing. */
   def shingleSet(spark: SparkSession, dir: String): DataFrame =
     withWords(docs(spark, dir))
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-      .distinct()
+      .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
 
   /** (doc_id, sh, h) with the cross-engine shingle hash. */
   def shingleHashes(spark: SparkSession, dir: String): DataFrame =
