@@ -21,6 +21,7 @@ object SparkEntry {
     "q08_halfyear" -> Queries.q08HalfYear _,
     "q09_spikes" -> Queries.q09Spikes _,
     "q10_store_quarterly" -> Queries.q10StoreQuarterly _,
+    "q11_latest_month" -> Queries.q11LatestMonth _,
     "etl_time_dim" -> graft.etl.EtlQueries.timeDim _,
     "etl_dim_product" -> graft.etl.EtlQueries.dimProduct _,
     "etl_sales_fact" -> graft.etl.EtlQueries.salesFact _,
@@ -56,6 +57,7 @@ object SparkEntry {
     "q08_halfyear" -> OracleSql.q08,
     "q09_spikes" -> OracleSql.q09,
     "q10_store_quarterly" -> OracleSql.q10,
+    "q11_latest_month" -> OracleSql.q11,
     "etl_time_dim" -> graft.etl.EtlOracleSql.timeDim,
     "etl_dim_product" -> graft.etl.EtlOracleSql.dimProduct,
     "etl_sales_fact" -> graft.etl.EtlOracleSql.salesFact,

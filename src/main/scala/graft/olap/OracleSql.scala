@@ -153,4 +153,16 @@ object OracleSql {
       |JOIN dim_time t ON f.time_id = t.time_id
       |GROUP BY f.store_id, st.store_name, quarter, year
       |ORDER BY st.store_name ASC, year ASC, quarter ASC""".stripMargin)
+
+  val q11: String = star(
+    """SELECT st.store_id, st.store_name,
+      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |JOIN dim_store st ON f.store_id = st.store_id
+      |WHERE t.year = (SELECT MAX(year) FROM dim_time)
+      |  AND t.month = (SELECT MAX(month) FROM dim_time
+      |                 WHERE year = (SELECT MAX(year) FROM dim_time))
+      |GROUP BY st.store_id, st.store_name
+      |ORDER BY st.store_id""".stripMargin)
 }

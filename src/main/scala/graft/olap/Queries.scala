@@ -224,6 +224,30 @@ object Queries {
       .orderBy("product_name", "order_date", "daily_sales", "sales_status")
   }
 
+  /** A7 — scalar-subquery aggregates (reference
+    * `/root/reference/SQL/OLAP Queries - Metro.sql:140-141`:
+    * `WHERE Year = (SELECT MAX(Year)...) AND Month = (SELECT MAX(Month)...)`):
+    * revenue per store in the latest month of the latest year. Expressed
+    * as SQL text so Catalyst's subquery planning (scalar-subquery →
+    * broadcast-ready single-row plans) is the exercised path, exactly the
+    * built-in machinery SURVEY.md §4.2 maps A7 to. */
+  def q11LatestMonth(spark: SparkSession, dir: String): DataFrame = {
+    Star.salesFact(spark, dir).createOrReplaceTempView("sales_fact_v")
+    Star.dimTime(spark, dir).createOrReplaceTempView("dim_time_v")
+    Star.dimStore(spark, dir).createOrReplaceTempView("dim_store_v")
+    spark.sql(
+      s"""SELECT st.store_id, st.store_name,
+         |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+         |FROM sales_fact_v f
+         |JOIN dim_time_v t ON f.time_id = t.time_id
+         |JOIN dim_store_v st ON f.store_id = st.store_id
+         |WHERE t.year = (SELECT MAX(year) FROM dim_time_v)
+         |  AND t.month = (SELECT MAX(month) FROM dim_time_v
+         |                 WHERE year = (SELECT MAX(year) FROM dim_time_v))
+         |GROUP BY st.store_id, st.store_name
+         |ORDER BY st.store_id""".stripMargin)
+  }
+
   /** Q10: the STORE_QUARTERLY_SALES view (reference S8,
     * `.../OLAP Queries - Metro.sql:276-288`) — registered as a temp view
     * (Spark's lazy-view analog of CREATE VIEW) and read back. */

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** The reference's CSV scan layer (SURVEY.md §2.1 S1–S4) as declarative
+  * Spark sources. The reference hand-rolls line splitting
+  * (`/root/reference/src/Meshjoin.java:99,183,224,273` — `line.split(",")`
+  * breaks on quoted commas) and patches it post-hoc with a sanitizer
+  * (`:555-573`); Spark's CSV parser handles RFC-4180 quoting/escaping
+  * natively, so S3+S4 collapse into reader options. The residual sanitizer
+  * semantics (trim, CR/LF stripping inside quoted names) are explicit
+  * column expressions.
+  *
+  * Scale: the batch readers are splittable parquet-style scans only if the
+  * files are uncompressed/bzip2; at 100 TB the ingest tier would land CSV
+  * → parquet once and everything downstream reads parquet (as the rest of
+  * this engine does). The streaming reader is the production entry: file
+  * discovery per micro-batch, `maxFilesPerTrigger` as the batching knob —
+  * the engine-managed replacement for the reference's 50-record buffers +
+  * bounded queue (`GenerateStream.java:8`, `Main.java:11`).
+  */
+object CsvSources {
+
+  private def reader(spark: SparkSession) =
+    spark.read
+      .option("header", true)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", true)
+      .option("ignoreTrailingWhiteSpace", true)
+
+  /** S1 (batch twin): the transactions CSV with the reference's positional
+    * layout (`GenerateStream.java:23-35`, SURVEY.md §1.4). */
+  def transactions(spark: SparkSession, path: String): DataFrame =
+    reader(spark).schema(Schemas.txSchema).csv(path)
+
+  /** S2/S4: products master CSV — quoted store names with embedded commas
+    * and `""` escapes parse natively; the reference's residual sanitizer
+    * (strip CR/LF, trim) is applied to the name columns. */
+  def products(spark: SparkSession, path: String): DataFrame = {
+    val raw = reader(spark).csv(path)
+    raw.select(
+      trim(col("Product_ID")).as("product_id"),
+      sanitized(col("Product_Name")).as("product_name"),
+      col("Price").cast(Schemas.priceType).as("price"),
+      trim(col("Supplier_ID")).as("supplier_id"),
+      sanitized(col("Supplier_Name")).as("supplier_name"),
+      trim(col("Store_ID")).as("store_id"),
+      sanitized(col("Store_Name")).as("store_name"))
+  }
+
+  /** S2: customers master CSV (`Meshjoin.java:230-232`). */
+  def customers(spark: SparkSession, path: String): DataFrame =
+    reader(spark).csv(path).select(
+      trim(col("Customer_ID")).as("customer_id"),
+      sanitized(col("Customer_Name")).as("customer_name"),
+      trim(col("Gender")).as("gender"))
+
+  /** S4 residue: the reference's sanitizer beyond what the CSV parser
+    * already does — collapse CR/LF to spaces, trim
+    * (`Meshjoin.java:555-573`). */
+  def sanitized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(c, "[\\r\\n]+", " "))
+
+  /** S1 (streaming): the production transaction source. One file-source
+    * streaming frame; micro-batch sizing via `maxFilesPerTrigger`
+    * replaces the reference's hand-rolled 50-record buffering (F1). */
+  def transactionStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("header", true)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(Schemas.txSchema)
+      .csv(dir)
+}
