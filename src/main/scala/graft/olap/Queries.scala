@@ -144,7 +144,9 @@ object Queries {
     * order_id (co-partitioned); the `<` is a post-join filter on the
     * equi-join, exactly what Catalyst plans. */
   def q06Affinity(spark: SparkSession, dir: String): DataFrame = {
-    val fact = Star.salesFact(spark, dir).select("order_id", "product_id")
+    // Cache the 2-column fact projection: the self-join would otherwise
+    // run the full lineitem⋈orders⋈supplier build once per side.
+    val fact = Star.salesFact(spark, dir).select("order_id", "product_id").persist()
     val product = Star.dimProduct(spark, dir).select("product_id", "product_name")
     val a = fact.as("a")
     val b = fact.as("b")
