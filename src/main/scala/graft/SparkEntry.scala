@@ -39,6 +39,7 @@ object SparkEntry {
     "ext_dedup_embedding" -> graft.ext.ExtQueries.dedupEmbedding _,
     "ext_sim_topk" -> graft.ext.ExtQueries.simTopK _,
     "ext_sim_lsh_topk" -> graft.ext.ExtQueries.simLshTopK _,
+    "ext_sim_ivf_topk" -> graft.ext.ExtQueries.simIvfTopK _,
     "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
     "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _
   )
@@ -75,6 +76,7 @@ object SparkEntry {
     "ext_dedup_embedding" -> graft.ext.ExtOracleSql.dedupEmbedding,
     "ext_sim_topk" -> graft.ext.ExtOracleSql.simTopK,
     "ext_sim_lsh_topk" -> graft.ext.ExtOracleSql.simLshTopK,
+    "ext_sim_ivf_topk" -> graft.ext.ExtOracleSql.simIvfTopK,
     "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta
     // ext_media_decode: byte-level decode is not SQL-expressible →
     // driver records the weaker rows-only check (by design).

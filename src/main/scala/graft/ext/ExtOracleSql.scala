@@ -266,6 +266,38 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  val simIvfTopK: String =
+    s"""$normCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, norm AS cn
+       |  FROM e WHERE vec_id < 8
+       |),
+       |cellranked AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dot("e.embedding", "c.cv", "cc")} / (e.norm * c.cn) DESC,
+       |      c.cent_id ASC) AS crank
+       |  FROM e CROSS JOIN cents c
+       |),
+       |cells AS (
+       |  SELECT vec_id, embedding, norm, cent_id AS cell
+       |  FROM cellranked WHERE crank = 1
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "d")} / (q.norm * c.norm) AS cos
+       |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, cell, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cell, rank, neighbor_id, round(cos, 6) AS score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val mediaMeta: String =
     s"""SELECT doc_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

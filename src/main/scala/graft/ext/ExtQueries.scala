@@ -17,6 +17,7 @@ object ExtQueries {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = DedupOps.embeddingNearDup(s, d)
   def simTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.bruteForceTopK(s, d)
   def simLshTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.lshTopK(s, d)
+  def simIvfTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.ivfTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
 }

@@ -75,6 +75,41 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: vectors are partitioned into cells by
+    * nearest centroid; search runs only within the query's cell. The
+    * "training" step is a deterministic stub — the `nCentroids` lowest
+    * vec_ids serve as centroids (a k-means iteration would slot in here
+    * unchanged; determinism is what makes the operator oracle-checkable).
+    * Cell assignment is one broadcast join against the centroid set +
+    * argmax; the search join is an equi-join on cell id — both scale
+    * linearly, never O(n²). */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nCentroids: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings(spark, dir))
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("norm").as("cn"))
+    // nearest centroid per vector: rank centroids by cosine, ties → lower id
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = e.join(broadcast(cents))
+      .withColumn("ccos", expr(cosExpr("embedding", "cv", "norm", "cn")))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+      .persist() // the IVF index artifact: computed once, joined twice
+    val wRank = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id").asc)
+    cells.as("q").join(cells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", expr(cosExpr("q.embedding", "c.embedding", "q.norm", "c.norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("q.vec_id").as("query_id"), col("q.cell").as("cell"),
+        col("rank"), col("c.vec_id").as("neighbor_id"),
+        expr("round(cos, 6)").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucketed ANN: self-join within buckets (every vector is a
     * query), top-k among same-bucket candidates. The bucket equi-join is
     * the scale path — shuffle keyed on a 256-ary bucket instead of an

@@ -40,6 +40,17 @@ object StreamETL {
         .where(col("order_ts").isNotNull),
       "order_ts")
 
+  /** F2/G8 — in-stream exact dedup with BOUNDED state: the reference's
+    * seen-records list grows without limit (`GenerateStream.java:38-43`);
+    * `dropDuplicatesWithinWatermark` keeps only keys younger than the
+    * watermark horizon. Re-deliveries beyond the horizon are still caught
+    * by the sink-side anti-join ([[factAppendBatch]]) — belt and braces:
+    * bounded state in-stream, exactness at the sink. */
+  def withStreamDedup(cleaned: DataFrame, horizon: String = "1 day"): DataFrame =
+    cleaned
+      .withWatermark("order_ts", horizon)
+      .dropDuplicatesWithinWatermark("order_id")
+
   /** The MESHJOIN: stream-static inner equi-join against master data.
     * Master sides are broadcast — each executor holds the dimension
     * in memory exactly like the reference's memory-resident buffers
@@ -96,7 +107,7 @@ object StreamETL {
       checkpointDir: String): DataFrame = {
     import scala.collection.mutable
     val batches = mutable.ArrayBuffer.empty[DataFrame]
-    val query = withMeasures(meshJoin(cleanTransactions(txStream), products, customers))
+    val query = withMeasures(meshJoin(withStreamDedup(cleanTransactions(txStream)), products, customers))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
