@@ -41,7 +41,8 @@ object SparkEntry {
     "ext_sim_lsh_topk" -> graft.ext.ExtQueries.simLshTopK _,
     "ext_sim_ivf_topk" -> graft.ext.ExtQueries.simIvfTopK _,
     "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
-    "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _
+    "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _,
+    "ext_media_frames" -> graft.ext.ExtQueries.mediaFrames _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,7 +78,8 @@ object SparkEntry {
     "ext_sim_topk" -> graft.ext.ExtOracleSql.simTopK,
     "ext_sim_lsh_topk" -> graft.ext.ExtOracleSql.simLshTopK,
     "ext_sim_ivf_topk" -> graft.ext.ExtOracleSql.simIvfTopK,
-    "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta
+    "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta,
+    "ext_media_frames" -> graft.ext.ExtOracleSql.mediaFrames
     // ext_media_decode: byte-level decode is not SQL-expressible →
     // driver records the weaker rows-only check (by design).
   )

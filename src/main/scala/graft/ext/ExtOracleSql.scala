@@ -298,6 +298,17 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Frame counts are pure metadata arithmetic, so the sampling stage's
+    * row-multiplicity is oracle-checkable even though frame bytes are
+    * stubbed: n = max(1, duration_ms / 60000), last offset = (n-1)·60000. */
+  val mediaFrames: String =
+    s"""SELECT doc_id,
+       |  greatest(1, dur // 60000) AS n_frames,
+       |  (greatest(1, dur // 60000) - 1) * 60000 AS last_offset_ms
+       |FROM (SELECT doc_id, (${h32("CAST(doc_id AS VARCHAR)")} >> 4) % 600000 AS dur
+       |      FROM documents WHERE doc_id % 3 = 2)
+       |ORDER BY doc_id""".stripMargin
+
   val mediaMeta: String =
     s"""SELECT doc_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

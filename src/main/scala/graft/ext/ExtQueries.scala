@@ -20,4 +20,5 @@ object ExtQueries {
   def simIvfTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.ivfTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
+  def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)
 }

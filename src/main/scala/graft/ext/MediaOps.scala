@@ -86,4 +86,59 @@ object MediaOps {
     decodeFeatures(spark, dir)
       .select("doc_id", "media_type", "n_bytes", "checksum")
       .orderBy("doc_id")
+
+  /** Resize stage (STUB kernel, real plumbing): recomputes the payload
+    * for a target resolution. A real deployment calls the image codec
+    * per batch here; the stub scales the byte budget proportionally
+    * (truncation) and rewrites the metadata, preserving the
+    * partition-preserving `mapPartitions` batch shape. */
+  def resize(spark: SparkSession, dir: String, targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val scale = (targetW.toLong * targetH).toDouble /
+          math.max(1L, r.width * r.height).toDouble
+        val newLen = math.max(1, math.min(r.payload.length,
+          math.ceil(r.payload.length * scale).toInt))
+        r.copy(
+          payload = java.util.Arrays.copyOf(r.payload, newLen),
+          width = targetW, height = targetH)
+      }
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long, frame: Array[Byte])
+
+  /** Frame-sampling stage for video rows (STUB kernel, real plumbing):
+    * emits one row per sampled frame every `everyMs` milliseconds. A real
+    * deployment would seek+decode; the stub slices the payload
+    * deterministically per frame index. The 1→N `flatMap` inside
+    * `mapPartitions` is exactly the batch shape a decoder needs — codec
+    * opened once per partition, rows streamed out. */
+  def sampleFrames(spark: SparkSession, dir: String, everyMs: Long = 60000L): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      it.filter(_.media_type == "video").flatMap { r =>
+        val n = math.max(1L, r.duration_ms / math.max(1L, everyMs)).toInt
+        (0 until n).iterator.map { i =>
+          val off = i.toLong * everyMs
+          val sliceStart = if (r.payload.isEmpty) 0 else (i * 7) % r.payload.length
+          val sliceLen = math.min(16, r.payload.length - sliceStart)
+          Frame(r.doc_id, i, off,
+            java.util.Arrays.copyOfRange(r.payload, sliceStart, sliceStart + sliceLen))
+        }
+      }
+    }
+  }
+
+  /** Frame-sample summary as a driver-contract query (oracle-checkable:
+    * the frame COUNT per video is pure metadata arithmetic —
+    * `max(1, duration_ms / 60000)` — even though frame bytes are not). */
+  def frameSummary(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_frames"),
+        max("offset_ms").as("last_offset_ms"))
+      .orderBy("doc_id")
 }
