@@ -30,6 +30,23 @@ object Star {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Warehouse materialization: dimensions and the fact table are built
+    * ONCE per (session, source dir) and cached — the in-memory analog of
+    * the star schema being real stored tables rather than views over the
+    * raw inputs. Without this every OLAP query re-runs the dimension
+    * derivations (e.g. the lineitem pre-pass behind Products' FK pinning)
+    * from the raw TPC-H files, which no warehouse would do. At cluster
+    * scale the same role is played by writing the star tables to parquet
+    * once; the per-query plans are identical either way. */
+  private val materialized =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def warehouse(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    materialized.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$name",
+      _ => build.persist())
+
   /** The events stream table is written with nanosecond parquet
     * timestamps, which Spark's vectorized reader rejects; read them as
     * longs (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
@@ -44,21 +61,27 @@ object Star {
   /** Customers(Customer_ID, Customer_Name, Gender) — c_mktsegment stands in
     * for the reference's Gender attribute (categorical, low-cardinality). */
   def dimCustomer(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "customer").select(
-      col("c_custkey").as("customer_id"),
-      col("c_name").as("customer_name"),
-      col("c_mktsegment").as("gender"))
+    warehouse(spark, dir, "dim_customer") {
+      table(spark, dir, "customer").select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("gender"))
+    }
 
   def dimSupplier(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "supplier").select(
-      col("s_suppkey").as("supplier_id"),
-      col("s_name").as("supplier_name"))
+    warehouse(spark, dir, "dim_supplier") {
+      table(spark, dir, "supplier").select(
+        col("s_suppkey").as("supplier_id"),
+        col("s_name").as("supplier_name"))
+    }
 
   /** Store dimension — nation plays the store hierarchy (FIXTURES.md §3). */
   def dimStore(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "nation").select(
-      col("n_nationkey").as("store_id"),
-      col("n_name").as("store_name"))
+    warehouse(spark, dir, "dim_store") {
+      table(spark, dir, "nation").select(
+        col("n_nationkey").as("store_id"),
+        col("n_name").as("store_name"))
+    }
 
   /** Products(Product_ID, Product_Name, Price, Store_ID, Supplier_ID).
     * The reference's Products dimension is denormalized — each product
@@ -68,7 +91,8 @@ object Star {
     * supplier key observed in lineitem, and that supplier's nation as the
     * store. The min-aggregation is a cheap pre-pass over lineitem's two FK
     * columns only (column pruning reaches the scan). */
-  def dimProduct(spark: SparkSession, dir: String): DataFrame = {
+  def dimProduct(spark: SparkSession, dir: String): DataFrame =
+    warehouse(spark, dir, "dim_product") {
     val part = table(spark, dir, "part")
     val supplier = table(spark, dir, "supplier")
     val partSupp = table(spark, dir, "lineitem")
@@ -89,12 +113,13 @@ object Star {
     * attributes (`/root/reference/src/Meshjoin.java:306-313`). The date
     * itself is the key (the reference's Time_ID/Order_Date composite
     * collapses to the date at this grain). */
-  def dimTime(spark: SparkSession, dir: String): DataFrame = {
-    val dates = table(spark, dir, "orders")
-      .select(col("o_orderdate").as("time_id"), col("o_orderdate").as("order_date"))
-      .distinct()
-    TimeDim.withTimeAttrs(dates, "order_date")
-  }
+  def dimTime(spark: SparkSession, dir: String): DataFrame =
+    warehouse(spark, dir, "dim_time") {
+      val dates = table(spark, dir, "orders")
+        .select(col("o_orderdate").as("time_id"), col("o_orderdate").as("order_date"))
+        .distinct()
+      TimeDim.withTimeAttrs(dates, "order_date")
+    }
 
   /** Sales_Fact at line-item grain (one row per lineitem — SURVEY.md Q-j:
     * the per-order grain of the reference makes its own affinity query
@@ -104,7 +129,8 @@ object Star {
     * total_revenue = round(qty × price, 2) re-expressed as exact decimal
     * `round(extendedprice × (1 − discount), 2)`; total_units_sold =
     * quantity_ordered (reference Q-d). */
-  def salesFact(spark: SparkSession, dir: String): DataFrame = {
+  def salesFact(spark: SparkSession, dir: String): DataFrame =
+    warehouse(spark, dir, "sales_fact") {
     val l = table(spark, dir, "lineitem")
     val o = table(spark, dir, "orders")
     val s = table(spark, dir, "supplier")
