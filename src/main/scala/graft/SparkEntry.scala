@@ -29,6 +29,7 @@ object SparkEntry {
     "etl_fact_dedup_order" -> graft.etl.EtlQueries.factDedupPerOrder _,
     "etl_dedup_events" -> graft.etl.EtlQueries.dedupEvents _,
     "etl_events_hourly" -> graft.etl.EtlQueries.eventsHourly _,
+    "etl_event_sessions" -> graft.etl.EtlQueries.eventSessions _,
     "ext_text_stats" -> graft.ext.ExtQueries.textStats _,
     "ext_text_langid" -> graft.ext.ExtQueries.langId _,
     "ext_text_fingerprint" -> graft.ext.ExtQueries.fingerprint _,
@@ -67,6 +68,7 @@ object SparkEntry {
     "etl_fact_dedup_order" -> graft.etl.EtlOracleSql.factDedupPerOrder,
     "etl_dedup_events" -> graft.etl.EtlOracleSql.dedupEvents,
     "etl_events_hourly" -> graft.etl.EtlOracleSql.eventsHourly,
+    "etl_event_sessions" -> graft.etl.EtlOracleSql.eventSessions,
     "ext_text_stats" -> graft.ext.ExtOracleSql.textStats,
     "ext_text_langid" -> graft.ext.ExtOracleSql.langId,
     "ext_text_fingerprint" -> graft.ext.ExtOracleSql.fingerprint,

@@ -66,4 +66,32 @@ object EtlOracleSql {
       |FROM events
       |GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY window_start, event_type""".stripMargin
+
+  /** Gaps-and-islands twin of Spark's session_window (30-min gap):
+    * session breaks where ts − lag(ts) > gap; session_end = last event +
+    * gap. Events sharing one timestamp fall in one session either way. */
+  val eventSessions: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL 30 MINUTE
+      |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (
+      |           PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |         ) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM numbered
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
 }

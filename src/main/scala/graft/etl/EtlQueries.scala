@@ -79,4 +79,22 @@ object EtlQueries {
         sum(col("value").cast(graft.model.Schemas.priceType))
           .cast(graft.model.Schemas.aggRevenueType).as("total_value"))
       .orderBy("window_start", "event_type")
+
+  /** Session windows per user over the events stream: Spark's native
+    * `session_window` (30-minute inactivity gap; works identically under
+    * Structured Streaming with a watermark). The DuckDB twin is the
+    * classic gaps-and-islands formulation — lag + gap flag + running sum —
+    * which pins the exact session semantics: a session's end is
+    * last-event + gap, sessions close when two consecutive events are
+    * > gap apart. */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame =
+    Star.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
 }

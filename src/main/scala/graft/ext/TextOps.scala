@@ -45,17 +45,34 @@ object TextOps {
       "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))) " +
       "ELSE array() END"
 
+  /** Index materialization for the dedup family: the shingle inverted
+    * index is shared by the Jaccard, MinHash and SimHash operators, so it
+    * is built once per (session, dir) and persisted — same pattern as
+    * `Star.warehouse` (a deployment would write it to storage once). */
+  private val indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def index(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    indexes.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$name",
+      _ => build.persist())
+
   /** (doc_id, sh) — distinct word 3-gram shingles per document.
     * Distinctness is PER DOCUMENT, so `array_distinct` before the explode
     * delivers it with zero shuffle — a `.distinct()` after the explode
     * would shuffle the full (doc, shingle) inverted index for nothing. */
   def shingleSet(spark: SparkSession, dir: String): DataFrame =
-    withWords(docs(spark, dir))
-      .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
+    index(spark, dir, "shingles") {
+      withWords(docs(spark, dir))
+        .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
+    }
 
   /** (doc_id, sh, h) with the cross-engine shingle hash. */
   def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    shingleSet(spark, dir).withColumn("h", h32(col("sh")))
+    index(spark, dir, "shingle_hashes") {
+      shingleSet(spark, dir).withColumn("h", h32(col("sh")))
+    }
 
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopDe = "'der','die','und','das','nicht','ist','ein','mit'"
