@@ -38,14 +38,9 @@ object Star {
     * from the raw TPC-H files, which no warehouse would do. At cluster
     * scale the same role is played by writing the star tables to parquet
     * once; the per-query plans are identical either way. */
-  private val materialized =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def warehouse(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    materialized.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$name",
-      _ => build.persist())
+    graft.util.SessionCache.getOrBuild(spark, s"$dir|$name")(build)
 
   /** The events stream table is written with nanosecond parquet
     * timestamps, which Spark's vectorized reader rejects; read them as

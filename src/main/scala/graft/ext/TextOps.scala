@@ -49,14 +49,9 @@ object TextOps {
     * index is shared by the Jaccard, MinHash and SimHash operators, so it
     * is built once per (session, dir) and persisted — same pattern as
     * `Star.warehouse` (a deployment would write it to storage once). */
-  private val indexes =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def index(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    indexes.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$name",
-      _ => build.persist())
+    graft.util.SessionCache.getOrBuild(spark, s"text|$dir|$name")(build)
 
   /** (doc_id, sh) — distinct word 3-gram shingles per document.
     * Distinctness is PER DOCUMENT, so `array_distinct` before the explode
