@@ -40,7 +40,7 @@ object Star {
     * once; the per-query plans are identical either way. */
   private def warehouse(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    graft.util.SessionCache.getOrBuild(spark, s"$dir|$name")(build)
+    graft.util.SessionCache.getOrBuild(spark, s"star|$dir|$name")(build)
 
   /** The events stream table is written with nanosecond parquet
     * timestamps, which Spark's vectorized reader rejects; read them as

@@ -63,11 +63,15 @@ object TextOps {
         .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
     }
 
-  /** (doc_id, sh, h) with the cross-engine shingle hash. */
-  def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, sh, h) with the cross-engine shingle hash. The dependency
+    * is materialized BEFORE entering this key's build — computeIfAbsent
+    * must not re-enter the same per-session map (SessionCache contract). */
+  def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    val base = shingleSet(spark, dir)
     index(spark, dir, "shingle_hashes") {
-      shingleSet(spark, dir).withColumn("h", h32(col("sh")))
+      base.withColumn("h", h32(col("sh")))
     }
+  }
 
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopDe = "'der','die','und','das','nicht','ist','ein','mit'"

@@ -5,25 +5,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Per-SparkSession materialization cache for derived tables (star-schema
   * tables, dedup indexes): build once per (session, key), persist, reuse.
   *
-  * Keyed on the session OBJECT via a WeakHashMap — not a hash of it —
-  * so (a) a stopped session's entries become unreachable and are GC'd
-  * together with the session instead of leaking cached plans, and (b) an
-  * identity-hash collision from a recycled address can never resurface a
-  * DataFrame bound to a dead session. */
+  * Lifecycle: entries are held strongly while their session lives (a
+  * cached DataFrame references its session, so weak-keying could never
+  * collect them anyway); entries whose session has been stopped are
+  * purged lazily on the next `getOrBuild` from any session. A driver
+  * that stops a session and never calls in again keeps at most that one
+  * dead session's entries until the next access or JVM exit.
+  *
+  * Contract for builders: the `build` thunk MUST NOT call back into
+  * `getOrBuild` for the same session (ConcurrentHashMap.computeIfAbsent
+  * forbids re-entry); compose cached pieces by materializing the
+  * dependency BEFORE entering the dependent key's build (see
+  * `TextOps.shingleHashes`).
+  */
 object SessionCache {
 
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def purgeStopped(): Unit = {
+    val it = bySession.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
+  }
 
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val m = bySession.synchronized {
-      var inner = bySession.get(spark)
-      if (inner == null) {
-        inner = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        bySession.put(spark, inner)
-      }
-      inner
-    }
-    m.computeIfAbsent(key, _ => build.persist())
+    purgeStopped()
+    bySession
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(key, _ => build.persist())
   }
 }
