@@ -61,9 +61,11 @@ object DedupOps {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("sh")
     // The filtered inverted index feeds three consumers (sizes + both
-    // self-join sides); cache it so the shingle build runs once — the
-    // in-memory stand-in for materializing the index table at scale.
-    val shr = sh.join(rare, "sh").persist()
+    // self-join sides); session-cache it (keyed by the df cap) so the
+    // filter runs once and repeated calls don't stack persisted copies.
+    val shr = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|shfil|$maxDf") {
+      sh.join(rare, "sh")
+    }
     val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = shr.as("x").join(shr.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -110,16 +112,19 @@ object DedupOps {
     * the operator sub-quadratic at scale). */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // Both the band table and the shingle set are self-joined below —
-    // cache them so signatures and shingles are computed once, not once
+    // session-cache the bands so signatures are computed once, not once
     // per join side (the signature table is the LSH index artifact a
-    // production deployment would materialize to storage).
-    val bandsDf = lshBands(spark, dir).persist()
+    // production deployment would materialize to storage; the shingle
+    // set is already session-cached by TextOps).
+    val bandsDf = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
+      lshBands(spark, dir)
+    }
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = TextOps.shingleSet(spark, dir).persist()
+    val sh = TextOps.shingleSet(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -155,9 +160,11 @@ object DedupOps {
     * equi-join on (block index, block value) yields all such pairs
     * without an O(n²) comparison. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // Cache the signature table: the block self-join otherwise recomputes
-    // the full shingle→md5→32-aggregate pipeline on both sides.
-    val sig = simhashSignatures(spark, dir).persist()
+    // Session-cache the signature table: the block self-join otherwise
+    // recomputes the full shingle→md5→32-aggregate pipeline on both sides.
+    val sig = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|simhash_sig") {
+      simhashSignatures(spark, dir)
+    }
     val blocks = sig.select(col("doc_id"), col("sh32"),
         explode(expr("sequence(0, 3)")).as("blk"))
       .withColumn("bval", expr("(sh32 >> (8 * blk)) & 255"))

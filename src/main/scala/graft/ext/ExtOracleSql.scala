@@ -50,10 +50,11 @@ object ExtOracleSql {
        |  SELECT doc_id, sh, ${h32("sh")} AS h FROM shingles
        |)""".stripMargin
 
-  private val stopEn = "'the','a','of','and','to','in','is','it'"
-  private val stopDe = "'der','die','und','das','nicht','ist','ein','mit'"
-  private val stopFr = "'le','la','les','et','est','un','une','dans'"
-  private val stopEs = "'el','los','las','es','y','si','una','como'"
+  // Shared with the engine side — a list edit updates both or neither.
+  private val stopEn = TextOps.stopEn
+  private val stopDe = TextOps.stopDe
+  private val stopFr = TextOps.stopFr
+  private val stopEs = TextOps.stopEs
 
   val textStats: String =
     s"""SELECT doc_id, n_tokens, n_bpe_tokens, n_alpha, n_punct, stop_ratio,
@@ -147,6 +148,12 @@ object ExtOracleSql {
   private val coeffValues: String = DedupOps.minhashCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
+  /** Band-key slots generated from rowsPerBand (NOT hardcoded `i % 3`):
+    * retuning the LSH shape updates engine and oracle together. */
+  private val bandKeySlots: String = (0 until DedupOps.rowsPerBand)
+    .map(r => s"CAST(max(CASE WHEN i % ${DedupOps.rowsPerBand} = $r THEN m END) AS VARCHAR)")
+    .mkString(",\n      ")
+
   val dedupMinhashLsh: String =
     s"""$shingleBase,
        |coeffs(i, a, b) AS (VALUES $coeffValues),
@@ -157,9 +164,7 @@ object ExtOracleSql {
        |bands AS (
        |  SELECT doc_id, i // ${DedupOps.rowsPerBand} AS band,
        |    concat_ws('_',
-       |      CAST(max(CASE WHEN i % 3 = 0 THEN m END) AS VARCHAR),
-       |      CAST(max(CASE WHEN i % 3 = 1 THEN m END) AS VARCHAR),
-       |      CAST(max(CASE WHEN i % 3 = 2 THEN m END) AS VARCHAR)) AS key
+       |      $bandKeySlots) AS key
        |  FROM mh GROUP BY 1, 2
        |),
        |cand AS (

@@ -98,8 +98,12 @@ object MediaOps {
       it.map { r =>
         val scale = (targetW.toLong * targetH).toDouble /
           math.max(1L, r.width * r.height).toDouble
-        val newLen = math.max(1, math.min(r.payload.length,
-          math.ceil(r.payload.length * scale).toInt))
+        // empty payloads stay empty — fabricating a byte would corrupt
+        // downstream byte accounting (checksum/octet_length vs mediaMeta)
+        val newLen =
+          if (r.payload.isEmpty) 0
+          else math.max(1, math.min(r.payload.length,
+            math.ceil(r.payload.length * scale).toInt))
         r.copy(
           payload = java.util.Arrays.copyOf(r.payload, newLen),
           width = targetW, height = targetH)

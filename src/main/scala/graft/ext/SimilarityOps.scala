@@ -96,10 +96,11 @@ object SimilarityOps {
       .withColumn("crank", row_number().over(wCell))
       .where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
-      .persist() // the IVF index artifact: computed once, joined twice
+    val cellsCached = graft.util.SessionCache.getOrBuild(
+      spark, s"sim|$dir|ivf_cells|$nCentroids")(cells) // the IVF index artifact
     val wRank = Window.partitionBy(col("q.vec_id"))
       .orderBy(col("cos").desc, col("c.vec_id").asc)
-    cells.as("q").join(cells.as("c"),
+    cellsCached.as("q").join(cellsCached.as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cos", expr(cosExpr("q.embedding", "c.embedding", "q.norm", "c.norm")))
       .withColumn("rank", row_number().over(wRank))

@@ -73,10 +73,12 @@ object TextOps {
     }
   }
 
-  private val stopEn = "'the','a','of','and','to','in','is','it'"
-  private val stopDe = "'der','die','und','das','nicht','ist','ein','mit'"
-  private val stopFr = "'le','la','les','et','est','un','une','dans'"
-  private val stopEs = "'el','los','las','es','y','si','una','como'"
+  /** Stopword vote lists — public and referenced by [[ExtOracleSql]] so
+    * the engine and its oracle can never drift apart on a list edit. */
+  val stopEn = "'the','a','of','and','to','in','is','it'"
+  val stopDe = "'der','die','und','das','nicht','ist','ein','mit'"
+  val stopFr = "'le','la','les','et','est','un','une','dans'"
+  val stopEs = "'el','los','las','es','y','si','una','como'"
 
   /** Token counts + quality signals + a composite quality score, one row
     * per document. Pure per-row expressions (fuse into the scan). */

@@ -142,7 +142,7 @@ object OracleSql {
       |  JOIN dim_product p ON f.product_id = p.product_id
       |  GROUP BY p.product_id, p.product_name, t.order_date
       |)
-      |ORDER BY product_name, order_date, daily_sales, sales_status""".stripMargin)
+      |ORDER BY product_name, order_date, daily_sales, daily_avg_sales, sales_status""".stripMargin)
 
   val q10: String = star(
     """SELECT f.store_id, st.store_name, t.quarter AS quarter, t.year AS year,

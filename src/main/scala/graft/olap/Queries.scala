@@ -144,9 +144,9 @@ object Queries {
     * order_id (co-partitioned); the `<` is a post-join filter on the
     * equi-join, exactly what Catalyst plans. */
   def q06Affinity(spark: SparkSession, dir: String): DataFrame = {
-    // Cache the 2-column fact projection: the self-join would otherwise
-    // run the full lineitem⋈orders⋈supplier build once per side.
-    val fact = Star.salesFact(spark, dir).select("order_id", "product_id").persist()
+    // No extra persist: Star.salesFact is session-cached, so both sides
+    // of the self-join scan the same in-memory fact table.
+    val fact = Star.salesFact(spark, dir).select("order_id", "product_id")
     val product = Star.dimProduct(spark, dir).select("product_id", "product_name")
     val a = fact.as("a")
     val b = fact.as("b")
@@ -223,7 +223,10 @@ object Queries {
         when(col("daily_sales") * col("run_cnt") > col("run_sum") * 2,
           "High Revenue Spike (Outlier)").otherwise("Normal"))
       .select("product_name", "order_date", "daily_sales", "daily_avg_sales", "sales_status")
-      .orderBy("product_name", "order_date", "daily_sales", "sales_status")
+      // daily_avg_sales in the sort: product_name is not unique (distinct
+      // product_ids can share a name), so without it the order is not
+      // total and the differential compare could flake on name ties.
+      .orderBy("product_name", "order_date", "daily_sales", "daily_avg_sales", "sales_status")
   }
 
   /** A7 — scalar-subquery aggregates (reference

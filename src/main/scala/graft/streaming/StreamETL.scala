@@ -43,13 +43,16 @@ object StreamETL {
   /** F2/G8 — in-stream exact dedup with BOUNDED state: the reference's
     * seen-records list grows without limit (`GenerateStream.java:38-43`);
     * `dropDuplicatesWithinWatermark` keeps only keys younger than the
-    * watermark horizon. Re-deliveries beyond the horizon are still caught
-    * by the sink-side anti-join ([[factAppendBatch]]) — belt and braces:
-    * bounded state in-stream, exactness at the sink. */
+    * watermark horizon. Dedup is on ALL columns — the reference drops
+    * identical LINES, not same-order records — which keeps it
+    * deterministic (identical rows are interchangeable) and leaves the
+    * one-row-per-order rule to the sink's deterministic firstWins
+    * (Q-a/D7). Re-deliveries beyond the horizon are still caught by the
+    * sink-side anti-join ([[factAppendBatch]]) — belt and braces. */
   def withStreamDedup(cleaned: DataFrame, horizon: String = "1 day"): DataFrame =
     cleaned
       .withWatermark("order_ts", horizon)
-      .dropDuplicatesWithinWatermark("order_id")
+      .dropDuplicatesWithinWatermark()
 
   /** The MESHJOIN: stream-static inner equi-join against master data.
     * Master sides are broadcast — each executor holds the dimension
@@ -75,13 +78,18 @@ object StreamETL {
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(
-        window(col("ts"), "1 hour").getField("start").as("window_start"),
-        col("event_type"))
+      // group by the full window struct, NOT window.start: extracting the
+      // field before the groupBy strips the event-time/watermark metadata
+      // from the grouping key, which silently disables state eviction and
+      // makes append mode illegal. Project start AFTER the aggregate.
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(Schemas.priceType))
           .cast(Schemas.aggRevenueType).as("total_value"))
+      .select(
+        col("window").getField("start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
 
   /** The foreachBatch body: idempotent warehouse maintenance per
     * micro-batch. `existing` is the current fact table (may be empty);
@@ -107,6 +115,13 @@ object StreamETL {
       checkpointDir: String): DataFrame = {
     import scala.collection.mutable
     val batches = mutable.ArrayBuffer.empty[DataFrame]
+    // The enriched schema, derivable statically: the same transforms over
+    // an empty batch frame. Returned when the stream yields no batches so
+    // callers always get a correctly-typed (possibly empty) fact table.
+    val emptyTyped = withMeasures(meshJoin(
+      cleanTransactions(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), txStream.schema)),
+      products, customers))
     val query = withMeasures(meshJoin(withStreamDedup(cleanTransactions(txStream)), products, customers))
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -122,6 +137,6 @@ object StreamETL {
       .start()
     query.processAllAvailable()
     query.stop()
-    if (batches.isEmpty) spark.emptyDataFrame else batches.reduce(_ unionByName _)
+    if (batches.isEmpty) emptyTyped else batches.reduce(_ unionByName _)
   }
 }

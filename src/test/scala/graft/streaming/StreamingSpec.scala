@@ -45,6 +45,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 4) // (10h view)(11h buy)(11h view)(12h buy)
   }
 
+  test("windowed aggregation supports append mode and evicts finalized windows") {
+    // Regression: grouping by window(ts).start instead of the window
+    // struct strips watermark metadata — append mode then throws
+    // STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION and state never evicts.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamETL.hourlyAgg(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start() // throws at start() if watermark is lost
+    stream.addData(Ev(ts("2024-01-01 10:05:00"), "view", 1.0))
+    q.processAllAvailable()
+    // advance event time far past the 2h watermark → 10:00 window finalizes
+    stream.addData(Ev(ts("2024-01-02 09:00:00"), "view", 2.0))
+    q.processAllAvailable()
+    stream.addData(Ev(ts("2024-01-02 09:30:00"), "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("hourly_append").collect()
+    assert(emitted.exists(_.getTimestamp(0) == ts("2024-01-01 10:00:00")))
+  }
+
   test("full ETL: MESHJOIN + measures + idempotent fact upsert under replay") {
     implicit val sqlCtx = spark.sqlContext
     val products = Seq((100L, "widget", BigDecimal("2.50")), (200L, "gadget", BigDecimal("4.00")))
