@@ -21,16 +21,29 @@ object Bench {
       graft.etl.Star.salesFact(spark, sfDir).count()
       graft.etl.Star.dimProduct(spark, sfDir).count()
       graft.etl.Star.dimTime(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // visible, not silent: a failed setup shifts warehouse build cost
+      // into the first timed queries.
+      System.err.println(s"[bench] setup failed: ${e.getMessage}")
+    }
     val setupSec = (System.nanoTime() - setup0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink, not count(): count() lets the optimizer eliminate the
+      // final sort and prune computed columns, under-reporting query
+      // cost; the noop write materializes every output row and column.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      // -1 marks a failed query (the convention Verify/skill docs expect)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over successful queries only; -1 markers stay visible per-query
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,6 +29,8 @@ object Skew {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int = 8): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedEquiJoin uses a temp column named __salt; input already has one")
     val salted = left.withColumn("__salt",
       (rand(seed = 42) * factor).cast("int"))
     val replicated = right.withColumn("__salt",

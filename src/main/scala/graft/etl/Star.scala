@@ -46,7 +46,10 @@ object Star {
     * timestamps, which Spark's vectorized reader rejects; read them as
     * longs (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
     * microsecond timestamps (the data is µs-granular, so this is
-    * lossless). */
+    * lossless). DELIBERATELY session-global: the flag is not settable
+    * per-read, and every nanos-timestamp parquet this engine touches
+    * wants the same treatment — restoring it between reads would make
+    * unrelated scans ordering-dependent on when their plans execute. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")

@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def docs(spark: SparkSession, dir: String): DataFrame =
+  def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix32.register(spark)
     spark.read.parquet(s"$dir/documents.parquet")
+  }
 
-  /** The cross-engine 32-bit hash: first 8 hex digits of md5 as a long. */
-  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
-  /** Same contract as a SQL-expression string, for use inside HOF lambdas. */
-  def h32Sql(e: String): String = s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+  /** The cross-engine 32-bit hash: first 8 hex digits of md5 as a long,
+    * computed bytes-direct by the codegen'd
+    * [[graft.functions.Md5Prefix32]] (identical values to the
+    * `conv(substring(md5(s),1,8),16,10)` composition it replaced, without
+    * the per-call hex-string round trip). */
+  def h32(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Md5Prefix32(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Whitespace tokens of the lower-cased document, as an array column. */
   val wordsExpr = "split(trim(lower(text)), '\\\\s+')"
@@ -59,7 +65,15 @@ object TextOps {
     * would shuffle the full (doc, shingle) inverted index for nothing. */
   def shingleSet(spark: SparkSession, dir: String): DataFrame =
     index(spark, dir, "shingles") {
-      withWords(docs(spark, dir))
+      // repartition BEFORE the per-row blowup: the documents table often
+      // arrives as one input split (one small parquet file ⇒ one task),
+      // which would serialize the entire shingle/hash build on a single
+      // core while the rest idle. The partition count must be EXPLICIT:
+      // with an unspecified count AQE sees a 1.5 MB shuffle and coalesces
+      // straight back to one partition — the blowup happens after the
+      // exchange, where AQE cannot see it (measured 4.5 s vs 0.7 s).
+      withWords(docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
         .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
     }
 
@@ -127,19 +141,33 @@ object TextOps {
 
   /** Document fingerprint via rolling character 8-grams: min cross-engine
     * hash (primary fingerprint), a second independent min-hash
-    * (rotation-permuted), and the distinct-gram cardinality. The whole
-    * computation is `transform` + `array_min` over one row — no explode,
-    * so at 100 TB it remains a map-only stage fused into the scan. */
+    * (rotation-permuted), and the distinct-gram cardinality.
+    *
+    * Shape: explode grams → one hash-aggregate per doc. An earlier
+    * all-HOF formulation (`array_min(transform(grams, g -> md5...))`)
+    * avoided the explode but ran the lambdas INTERPRETED — per-element
+    * closure dispatch outside whole-stage codegen made it the slowest
+    * query in the bench (6.7 s at sf0.1). Exploded, the md5/conv pipeline
+    * is codegen'd and the min/count aggregates combine map-side; the
+    * shuffle moves only (doc_id, partial aggregates). ~5× faster, same
+    * values. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // one-file input ⇒ one task otherwise; explicit count or AQE
+      // re-coalesces the tiny pre-blowup shuffle (see shingleSet)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", expr("lower(text)"))
-      .withColumn("grams",
-        expr("transform(sequence(1, greatest(length(t) - 7, 1)), i -> substring(t, i, 8))"))
-      .withColumn("hs", expr(s"transform(grams, g -> ${h32Sql("g")})"))
-      .withColumn("fp_min", expr("array_min(hs)"))
-      .withColumn("fp_rot",
-        expr("array_min(transform(hs, h -> (1299709 * h + 12345) % 4294967311))"))
-      .withColumn("n_grams", expr("size(array_distinct(grams))"))
-      .select("doc_id", "n_grams", "fp_min", "fp_rot")
+      // positions first, substring after: explode(sequence) + a scalar
+      // substring are all codegen'd; a transform(..., i -> substring(...))
+      // lambda would run interpreted per gram (measured 5-6 s at sf0.1).
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, greatest(length(t) - 7, 1))")).as("i"))
+      .select(col("doc_id"), expr("substring(t, i, 8)").as("g"))
+      .withColumn("h", h32(col("g")))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("g")).cast("int").as("n_grams"),
+        min(col("h")).as("fp_min"),
+        min(expr("(1299709 * h + 12345) % 4294967311")).as("fp_rot"))
       .orderBy("doc_id")
 }

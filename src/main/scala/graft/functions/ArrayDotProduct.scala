@@ -41,6 +41,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
+  // A null ELEMENT anywhere poisons the result to NULL — matching the HOF
+  // twin, where zip_with's multiply yields null and aggregate's `acc + null`
+  // propagates it. Reading the slot as 0.0 instead would silently diverge
+  // from the oracle for nullable-element arrays.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -48,6 +54,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -63,6 +70,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;

@@ -23,13 +23,17 @@ import graft.model.Schemas
   */
 object CsvSources {
 
+  /** One option set for batch AND streaming readers — the two paths must
+    * parse identical bytes identically or stream/batch parity breaks. */
+  private val csvOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "quote" -> "\"",
+    "escape" -> "\"",
+    "ignoreLeadingWhiteSpace" -> "true",
+    "ignoreTrailingWhiteSpace" -> "true")
+
   private def reader(spark: SparkSession) =
-    spark.read
-      .option("header", true)
-      .option("quote", "\"")
-      .option("escape", "\"")
-      .option("ignoreLeadingWhiteSpace", true)
-      .option("ignoreTrailingWhiteSpace", true)
+    spark.read.options(csvOptions)
 
   /** S1 (batch twin): the transactions CSV with the reference's positional
     * layout (`GenerateStream.java:23-35`, SURVEY.md §1.4). */
@@ -69,9 +73,7 @@ object CsvSources {
     * replaces the reference's hand-rolled 50-record buffering (F1). */
   def transactionStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .option("header", true)
-      .option("quote", "\"")
-      .option("escape", "\"")
+      .options(csvOptions)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .schema(Schemas.txSchema)
       .csv(dir)

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * standard pattern for Spark extension libraries that construct typed
+  * `Column`s around custom Catalyst expressions (Spark 4 removed the
+  * public `new Column(expr)` constructor). Kept to the two minimal
+  * conversions graft needs; no other internals are touched. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -59,6 +59,11 @@ class CsvSourcesSpec extends SparkSpec {
       "SELECT array_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
         "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head().getDouble(0)
     assert(r == 11.0)
+    // null ELEMENT poisons to NULL — parity with the aggregate/zip_with twin
+    val nul = spark.sql(
+      "SELECT array_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head()
+    assert(nul.isNullAt(0))
   }
 
   private class GraftExtensionsCheck {
