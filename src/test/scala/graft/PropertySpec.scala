@@ -59,6 +59,20 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("md5_prefix32 equals the conv(substring(md5)) composition for any string") {
+    graft.functions.Md5Prefix32.register(spark)
+    val strs = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.asciiPrintableStr.map(_.take(30)),
+      Gen.const("中文 混合 text")))
+    check(Prop.forAll(strs) { ss =>
+      val df = ss.toDF("s").selectExpr(
+        "md5_prefix32(s) AS fast",
+        "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) AS ref")
+      df.where(col("fast") =!= col("ref")).count() == 0
+    })
+  }
+
   test("rollup grand total equals ungrouped total on random fact slices") {
     // localCheckpoint (not cache): materializes AND truncates lineage, so
     // the per-iteration rollup/filter plans don't trip Spark's
