@@ -75,7 +75,7 @@ object DedupOps {
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        expr("round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3)"))
+        expr("CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)"))
       .where(expr(s"CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $threshold"))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -133,7 +133,7 @@ object DedupOps {
     shared
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .withColumn("jaccard", expr("round(CAST(shared AS DOUBLE) / (za.n + zb.n - shared), 3)"))
+      .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (za.n + zb.n - shared)"))
       .where(expr(s"CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= $threshold"))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -193,7 +193,7 @@ object DedupOps {
         expr(SimilarityOps.cosExpr("x.embedding", "y.embedding", "x.norm", "y.norm")))
       .where(col("cos") >= threshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        expr("round(cos, 6)").as("cosine"))
+        col("cos").as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -2,13 +2,17 @@ package graft.ext
 
 /** DuckDB-oracle twins for [[ExtQueries]]. Cross-engine contracts:
   *
-  *  - Hash: H(s) = int(md5(s)[0:8], 16). Spark computes it with
-  *    `conv(substring(md5(s),1,8),16,10)`; DuckDB (no hex→int builtin)
-  *    folds the 8 hex digits with a lambda. Identical 32-bit values.
+  *  - Hash: H(s) = int(md5(s)[0:8], 16). Spark computes it with the
+  *    codegen [[graft.functions.Md5Prefix32]] (digest-bytes direct);
+  *    DuckDB (no hex→int builtin) folds the 8 hex digits with a lambda.
+  *    Identical 32-bit values, pinned by a PropertySpec equivalence test.
   *  - Ratios/cosines: explicit CAST(... AS DOUBLE) divisions and strict
   *    left-fold dot products ⇒ bit-identical doubles in both engines
   *    (Spark literals like `1.0` parse as DECIMAL, so no bare decimal
-  *    literals appear in arithmetic on either side).
+  *    literals appear in arithmetic on either side). Double outputs are
+  *    NEVER rounded: Spark rounds doubles via exact BigDecimal, DuckDB
+  *    via floating multiply, and they disagree at .xxx5 boundaries —
+  *    raw bit-identical doubles compare equal; rounded ones may not.
   *  - The oracle formulations favor readability (self-joins, explodes)
   *    over the Spark side's single-pass aggregates — semantics, not
   *    plans, are what must match.
@@ -59,9 +63,9 @@ object ExtOracleSql {
   val textStats: String =
     s"""SELECT doc_id, n_tokens, n_bpe_tokens, n_alpha, n_punct, stop_ratio,
        |  mean_token_len,
-       |  round(0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio
+       |  0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio
        |    + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
-       |    - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars), 4) AS quality_score
+       |    - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars) AS quality_score
        |FROM (
        |  SELECT doc_id, n_chars,
        |    len(ws) AS n_tokens,
@@ -138,7 +142,7 @@ object ExtOracleSql {
     s"""$shingleBase,
        |$jaccardTail
        |SELECT doc_a, doc_b,
-       |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 3) AS jaccard
+       |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
        |FROM pairs
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
@@ -181,7 +185,7 @@ object ExtOracleSql {
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
-       |  round(CAST(shared AS DOUBLE) / (za.n + zb.n - shared), 3) AS jaccard
+       |  CAST(shared AS DOUBLE) / (za.n + zb.n - shared) AS jaccard
        |FROM shared
        |JOIN sizes za ON doc_a = za.doc_id
        |JOIN sizes zb ON doc_b = zb.doc_id
@@ -224,7 +228,7 @@ object ExtOracleSql {
        |    ${dot("x.embedding", "y.embedding", "d")} / (x.norm * y.norm) AS cos
        |  FROM e x JOIN e y ON x.vec_id < y.vec_id
        |)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |SELECT vec_a, vec_b, cos AS cosine
        |FROM scored WHERE cos >= 0.5
        |ORDER BY vec_a, vec_b""".stripMargin
 
@@ -241,7 +245,7 @@ object ExtOracleSql {
        |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored
        |)
-       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS score
+       |SELECT query_id, rank, neighbor_id, cos AS score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
@@ -267,7 +271,7 @@ object ExtOracleSql {
        |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored
        |)
-       |SELECT query_id, bucket, rank, neighbor_id, round(cos, 6) AS score
+       |SELECT query_id, bucket, rank, neighbor_id, cos AS score
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
@@ -299,7 +303,7 @@ object ExtOracleSql {
        |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM scored
        |)
-       |SELECT query_id, cell, rank, neighbor_id, round(cos, 6) AS score
+       |SELECT query_id, cell, rank, neighbor_id, cos AS score
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 

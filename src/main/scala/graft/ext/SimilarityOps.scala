@@ -71,7 +71,7 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        expr("round(cos, 6)").as("score"))
+        col("cos").as("score"))
       .orderBy("query_id", "rank")
   }
 
@@ -107,7 +107,7 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("q.vec_id").as("query_id"), col("q.cell").as("cell"),
         col("rank"), col("c.vec_id").as("neighbor_id"),
-        expr("round(cos, 6)").as("score"))
+        col("cos").as("score"))
       .orderBy("query_id", "rank")
   }
 
@@ -126,7 +126,7 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("q.vec_id").as("query_id"), col("q.bucket").as("bucket"),
         col("rank"), col("c.vec_id").as("neighbor_id"),
-        expr("round(cos, 6)").as("score"))
+        col("cos").as("score"))
       .orderBy("query_id", "rank")
   }
 }

@@ -109,10 +109,14 @@ object TextOps {
         expr(s"CAST(size(filter(ws, w -> w IN ($stopEn))) AS DOUBLE) / size(ws)"))
       .withColumn("mean_token_len",
         expr("CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE) / size(ws)"))
+      // NO round() on the composite: Spark rounds doubles via exact
+      // BigDecimal, DuckDB via floating multiply — they disagree at
+      // .xxxx5 boundaries (found at sf0.1). The unrounded double is
+      // bit-identical in both engines, which is strictly stronger.
       .withColumn("quality_score",
-        expr("round(0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio " +
+        expr("0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio " +
           "+ 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) " +
-          "- 0.2 * (CAST(n_punct AS DOUBLE) / n_chars), 4)"))
+          "- 0.2 * (CAST(n_punct AS DOUBLE) / n_chars)"))
       .select("doc_id", "n_tokens", "n_bpe_tokens", "n_alpha", "n_punct",
         "stop_ratio", "mean_token_len", "quality_score")
       .orderBy("doc_id")
