@@ -38,6 +38,7 @@ object SparkEntry {
     "ext_dedup_minhash_lsh" -> graft.ext.ExtQueries.dedupMinhashLsh _,
     "ext_dedup_simhash" -> graft.ext.ExtQueries.dedupSimhash _,
     "ext_dedup_embedding" -> graft.ext.ExtQueries.dedupEmbedding _,
+    "ext_dedup_clusters" -> graft.ext.ExtQueries.dedupClusters _,
     "ext_sim_topk" -> graft.ext.ExtQueries.simTopK _,
     "ext_sim_lsh_topk" -> graft.ext.ExtQueries.simLshTopK _,
     "ext_sim_ivf_topk" -> graft.ext.ExtQueries.simIvfTopK _,
@@ -77,6 +78,7 @@ object SparkEntry {
     "ext_dedup_minhash_lsh" -> graft.ext.ExtOracleSql.dedupMinhashLsh,
     "ext_dedup_simhash" -> graft.ext.ExtOracleSql.dedupSimhash,
     "ext_dedup_embedding" -> graft.ext.ExtOracleSql.dedupEmbedding,
+    "ext_dedup_clusters" -> graft.ext.ExtOracleSql.dedupClusters,
     "ext_sim_topk" -> graft.ext.ExtOracleSql.simTopK,
     "ext_sim_lsh_topk" -> graft.ext.ExtOracleSql.simLshTopK,
     "ext_sim_ivf_topk" -> graft.ext.ExtOracleSql.simIvfTopK,

@@ -180,6 +180,46 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the MinHash-LSH near-dup pairs — the
+    * final stage of the dedup pipeline (pairs alone don't dedup: A≈B and
+    * B≈C must collapse into ONE cluster to pick one keeper). Min-label
+    * propagation to a fixed point: each node takes the minimum cluster
+    * id among itself and its neighbors, iterated until stable — O(graph
+    * diameter) rounds, and near-dup components are tiny (pairs, triples),
+    * so convergence is 2-3 rounds. Each round is one join + one
+    * aggregate, checkpointed to truncate lineage; at 100 TB the same loop
+    * runs with the large-star/small-star optimization, same semantics.
+    * Keeper = the canonical minimum doc_id per cluster (first-wins, the
+    * reference's F3 rule applied content-wise). Oracle: WITH RECURSIVE
+    * transitive closure reaching the same fixed point. */
+  def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(spark, dir, threshold).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(eager = true)
+    var labels = TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("did")).agg(min("cluster").as("nbr"))
+      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("did"), "left")
+        .select(labels("doc_id"),
+          least(labels("cluster"), coalesce(col("nbr"), labels("cluster"))).as("cluster"))
+        .localCheckpoint(eager = true)
+      val oldSum = labels.agg(sum("cluster")).head().getLong(0)
+      val newSum = updated.agg(sum("cluster")).head().getLong(0)
+      labels = updated
+      converged = newSum == oldSum
+      iter += 1
+    }
+    labels
+      .withColumn("is_keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) over the
     * embeddings table — the exact all-pairs verifier. Cosine is the
     * bit-identical left-fold (see [[SimilarityOps.cosExpr]]). At 100 TB

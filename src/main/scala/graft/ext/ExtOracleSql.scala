@@ -158,7 +158,9 @@ object ExtOracleSql {
     .map(r => s"CAST(max(CASE WHEN i % ${DedupOps.rowsPerBand} = $r THEN m END) AS VARCHAR)")
     .mkString(",\n      ")
 
-  val dedupMinhashLsh: String =
+  /** The MinHash-LSH verified-pairs CTE chain (shared by the pair query
+    * and the clustering oracle). Yields `lshpairs(doc_a, doc_b, jaccard)`. */
+  private val minhashPairsCtes: String =
     s"""$shingleBase,
        |coeffs(i, a, b) AS (VALUES $coeffValues),
        |mh AS (
@@ -183,14 +185,42 @@ object ExtOracleSql {
        |  JOIN shingles sa ON c.doc_a = sa.doc_id
        |  JOIN shingles sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
        |  GROUP BY 1, 2
-       |)
-       |SELECT doc_a, doc_b,
-       |  CAST(shared AS DOUBLE) / (za.n + zb.n - shared) AS jaccard
-       |FROM shared
-       |JOIN sizes za ON doc_a = za.doc_id
-       |JOIN sizes zb ON doc_b = zb.doc_id
-       |WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.5
+       |),
+       |lshpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(shared AS DOUBLE) / (za.n + zb.n - shared) AS jaccard
+       |  FROM shared
+       |  JOIN sizes za ON doc_a = za.doc_id
+       |  JOIN sizes zb ON doc_b = zb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= 0.5
+       |)""".stripMargin
+
+  val dedupMinhashLsh: String =
+    s"""$minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM lshpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the LSH near-dup pairs: cluster id = min
+    * doc_id reachable through pair edges (WITH RECURSIVE transitive
+    * closure — the fixed point the Spark side reaches by min-label
+    * propagation). Keeper = the canonical minimum doc per cluster. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE
+       |${minhashPairsCtes.stripPrefix("WITH ")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM lshpairs
+       |),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+       |)
+       |SELECT doc_id, min(lbl) AS cluster,
+       |  CAST(doc_id = min(lbl) AS BOOLEAN) AS is_keeper
+       |FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   val dedupSimhash: String =
     s"""$shingleBase,

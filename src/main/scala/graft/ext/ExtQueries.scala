@@ -15,6 +15,7 @@ object ExtQueries {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = DedupOps.minhashLsh(s, d)
   def dedupSimhash(s: SparkSession, d: String): DataFrame = DedupOps.simhashPairs(s, d)
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = DedupOps.embeddingNearDup(s, d)
+  def dedupClusters(s: SparkSession, d: String): DataFrame = DedupOps.clusters(s, d)
   def simTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.bruteForceTopK(s, d)
   def simLshTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.lshTopK(s, d)
   def simIvfTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.ivfTopK(s, d)

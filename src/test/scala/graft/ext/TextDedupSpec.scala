@@ -51,6 +51,17 @@ class TextDedupSpec extends SparkSpec {
     assert(h13.nonEmpty && h13.get._3 == 0)
   }
 
+  test("clustering is transitive: A≈B and B≈C collapse into one cluster") {
+    // docs 1,2,3 are pairwise near-dups (1-3 identical, 2 one word off):
+    // whatever pairs LSH emits, the component must unify under min id 1.
+    val out = DedupOps.clusters(spark, dir, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(3L)._1 == 1L && !out(3L)._2) // clustered under 1, not a keeper
+    assert(out(4L) == (4L, true)) // singleton keeps itself
+    assert(out(5L) == (5L, true))
+  }
+
   test("language-ID: CJK routes to zh, English stopwords to en") {
     val out = TextOps.langId(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
