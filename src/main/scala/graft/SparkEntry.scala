@@ -33,6 +33,7 @@ object SparkEntry {
     "ext_text_stats" -> graft.ext.ExtQueries.textStats _,
     "ext_text_langid" -> graft.ext.ExtQueries.langId _,
     "ext_text_fingerprint" -> graft.ext.ExtQueries.fingerprint _,
+    "ext_text_tfidf" -> graft.ext.ExtQueries.tfidf _,
     "ext_dedup_exact" -> graft.ext.ExtQueries.dedupExact _,
     "ext_dedup_jaccard" -> graft.ext.ExtQueries.dedupJaccard _,
     "ext_dedup_minhash_lsh" -> graft.ext.ExtQueries.dedupMinhashLsh _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "ext_text_stats" -> graft.ext.ExtOracleSql.textStats,
     "ext_text_langid" -> graft.ext.ExtOracleSql.langId,
     "ext_text_fingerprint" -> graft.ext.ExtOracleSql.fingerprint,
+    "ext_text_tfidf" -> graft.ext.ExtOracleSql.tfidfTopTerms,
     "ext_dedup_exact" -> graft.ext.ExtOracleSql.dedupExact,
     "ext_dedup_jaccard" -> graft.ext.ExtOracleSql.dedupJaccard,
     "ext_dedup_minhash_lsh" -> graft.ext.ExtOracleSql.dedupMinhashLsh,

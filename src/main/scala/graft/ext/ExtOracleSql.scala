@@ -99,6 +99,34 @@ object ExtOracleSql {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  val tfidfTopTerms: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w)
+       |),
+       |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM words GROUP BY 1, 2),
+       |df AS (
+       |  SELECT term, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, w AS term FROM words) GROUP BY 1
+       |),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    CAST(t.tf AS DOUBLE)
+       |      * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df) AS score
+       |  FROM tf t JOIN df d USING (term)
+       |),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   val fingerprint: String =
     s"""SELECT doc_id,
        |  len(list_distinct(grams)) AS n_grams,

@@ -10,6 +10,7 @@ object ExtQueries {
   def textStats(s: SparkSession, d: String): DataFrame = TextOps.textStats(s, d)
   def langId(s: SparkSession, d: String): DataFrame = TextOps.langId(s, d)
   def fingerprint(s: SparkSession, d: String): DataFrame = TextOps.fingerprint(s, d)
+  def tfidf(s: SparkSession, d: String): DataFrame = TextOps.tfidfTopTerms(s, d)
   def dedupExact(s: SparkSession, d: String): DataFrame = DedupOps.exact(s, d)
   def dedupJaccard(s: SparkSession, d: String): DataFrame = DedupOps.jaccardPairs(s, d)
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = DedupOps.minhashLsh(s, d)

@@ -143,6 +143,30 @@ object TextOps {
       .select("doc_id", "lang", "pred_lang")
       .orderBy("doc_id")
 
+  /** Top-k characteristic terms per document by TF-IDF weighting, in the
+    * RATIO form `tf × (N / df)` rather than `tf × ln(N/df)`: the ranking
+    * is identical (ln is monotonic) and the score avoids transcendental
+    * functions, whose libm implementations differ across engines at the
+    * ulp level and would break the bit-identical-doubles contract. df is
+    * a small vocabulary-sized table → broadcast to the tf join. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val n = d.count()
+    val words = withWords(d.repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score", expr(s"CAST(tf AS DOUBLE) * (CAST($n AS DOUBLE) / df)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprint via rolling character 8-grams: min cross-engine
     * hash (primary fingerprint), a second independent min-hash
     * (rotation-permuted), and the distinct-gram cardinality.
