@@ -200,6 +200,10 @@ object DedupOps {
     var labels = TextOps.docs(spark, dir)
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(eager = true)
+    // label sums strictly decrease until the fixed point — carry the
+    // previous round's sum forward so convergence costs ONE aggregate
+    // per round, not two.
+    var prevSum = labels.agg(sum("cluster")).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -209,10 +213,10 @@ object DedupOps {
         .select(labels("doc_id"),
           least(labels("cluster"), coalesce(col("nbr"), labels("cluster"))).as("cluster"))
         .localCheckpoint(eager = true)
-      val oldSum = labels.agg(sum("cluster")).head().getLong(0)
       val newSum = updated.agg(sum("cluster")).head().getLong(0)
       labels = updated
-      converged = newSum == oldSum
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     labels
