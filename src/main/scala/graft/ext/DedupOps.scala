@@ -202,23 +202,33 @@ object DedupOps {
       .localCheckpoint(eager = true)
     // label sums strictly decrease until the fixed point — carry the
     // previous round's sum forward so convergence costs ONE aggregate
-    // per round, not two.
-    var prevSum = labels.agg(sum("cluster")).head().getLong(0)
+    // per round, not two. coalesce: sum over zero rows is NULL (empty
+    // documents input must yield an empty result, not an NPE).
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 50 // plain propagation moves the min one hop per round
+    while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("did")).agg(min("cluster").as("nbr"))
       val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("did"), "left")
         .select(labels("doc_id"),
           least(labels("cluster"), coalesce(col("nbr"), labels("cluster"))).as("cluster"))
         .localCheckpoint(eager = true)
-      val newSum = updated.agg(sum("cluster")).head().getLong(0)
+      val newSum = labelSum(updated)
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
     }
+    // A component with graph diameter > maxIter would exit split into
+    // several clusters — fail loudly rather than return wrong keepers.
+    require(converged,
+      s"clusters() did not converge in $maxIter rounds — a near-dup chain " +
+        "longer than the iteration cap exists; raise maxIter or switch to " +
+        "pointer-doubling (large-star/small-star)")
     labels
       .withColumn("is_keeper", col("doc_id") === col("cluster"))
       .orderBy("doc_id")
