@@ -34,6 +34,7 @@ object SparkEntry {
     "ext_text_langid" -> graft.ext.ExtQueries.langId _,
     "ext_text_fingerprint" -> graft.ext.ExtQueries.fingerprint _,
     "ext_text_tfidf" -> graft.ext.ExtQueries.tfidf _,
+    "ext_text_length_stats" -> graft.ext.ExtQueries.lengthStats _,
     "ext_dedup_exact" -> graft.ext.ExtQueries.dedupExact _,
     "ext_dedup_jaccard" -> graft.ext.ExtQueries.dedupJaccard _,
     "ext_dedup_minhash_lsh" -> graft.ext.ExtQueries.dedupMinhashLsh _,
@@ -75,6 +76,7 @@ object SparkEntry {
     "ext_text_langid" -> graft.ext.ExtOracleSql.langId,
     "ext_text_fingerprint" -> graft.ext.ExtOracleSql.fingerprint,
     "ext_text_tfidf" -> graft.ext.ExtOracleSql.tfidfTopTerms,
+    "ext_text_length_stats" -> graft.ext.ExtOracleSql.lengthStats,
     "ext_dedup_exact" -> graft.ext.ExtOracleSql.dedupExact,
     "ext_dedup_jaccard" -> graft.ext.ExtOracleSql.dedupJaccard,
     "ext_dedup_minhash_lsh" -> graft.ext.ExtOracleSql.dedupMinhashLsh,

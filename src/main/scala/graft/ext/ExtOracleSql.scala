@@ -99,6 +99,17 @@ object ExtOracleSql {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  val lengthStats: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.5) AS median,
+      |  quantile_cont(n_chars, 0.75) AS p75,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val tfidfTopTerms: String =
     s"""WITH words AS (
        |  SELECT doc_id, w

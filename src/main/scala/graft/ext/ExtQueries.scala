@@ -11,6 +11,7 @@ object ExtQueries {
   def langId(s: SparkSession, d: String): DataFrame = TextOps.langId(s, d)
   def fingerprint(s: SparkSession, d: String): DataFrame = TextOps.fingerprint(s, d)
   def tfidf(s: SparkSession, d: String): DataFrame = TextOps.tfidfTopTerms(s, d)
+  def lengthStats(s: SparkSession, d: String): DataFrame = TextOps.lengthStats(s, d)
   def dedupExact(s: SparkSession, d: String): DataFrame = DedupOps.exact(s, d)
   def dedupJaccard(s: SparkSession, d: String): DataFrame = DedupOps.jaccardPairs(s, d)
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = DedupOps.minhashLsh(s, d)

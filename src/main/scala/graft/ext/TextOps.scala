@@ -143,6 +143,29 @@ object TextOps {
       .select("doc_id", "lang", "pred_lang")
       .orderBy("doc_id")
 
+  /** Corpus length-distribution statistics per (lang, source): counts,
+    * range, exact quartiles, and mean. `percentile` (Spark) and
+    * `quantile_cont` (DuckDB) share linear-interpolation semantics, so
+    * even interpolated quartiles match to the bit (verified: 300.5 ==
+    * 300.5); approximate sketches (`percentile_approx`, t-digest) would
+    * NOT be cross-engine comparable and are deliberately avoided. The
+    * exact percentile needs the group's values collected per group —
+    * fine for the bounded (lang, source) cardinality here; an
+    * unbounded-cardinality profile would switch to approx sketches and a
+    * rows-only check. */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("median"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        expr("CAST(sum(n_chars) AS DOUBLE) / count(1)").as("mean_chars"))
+      .orderBy("lang", "source")
+
   /** Top-k characteristic terms per document by TF-IDF weighting, in the
     * RATIO form `tf × (N / df)` rather than `tf × ln(N/df)`: the ranking
     * is identical (ln is monotonic) and the score avoids transcendental
