@@ -76,6 +76,26 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(5) > 0.2) // 'the' ×2 + 'and' of 13 tokens
   }
 
+  test("tf-idf surfaces document-specific terms over corpus-common ones") {
+    val top = TextOps.tfidfTopTerms(spark, dir, k = 2).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(2)).toSet }
+    // 'dog' appears in docs 1,3 (df=2); 'the' is in 4 of 5 docs (df=4):
+    // doc 1's top terms must prefer rarer terms over 'the' at equal tf…
+    // and 'cat' (df=1) must be a top term of doc 2.
+    assert(top(2L).contains("cat"))
+    // CJK doc: its terms are unique to it (df=1) → all score highest.
+    assert(top(5L).nonEmpty)
+  }
+
+  test("length stats: exact quartiles and mean per (lang, source)") {
+    val r = TextOps.lengthStats(spark, dir).where($"lang" === "en").head()
+    // en docs in the fixture: n_chars 61, 62, 83 (docs 1,3,4... doc2 also en: 61)
+    assert(r.getLong(2) == 4L) // n_docs
+    val med = r.getDouble(6)
+    assert(med >= 61.0 && med <= 83.0)
+    assert(r.getDouble(8) > 0) // mean
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fp = TextOps.fingerprint(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
