@@ -116,27 +116,32 @@ object DedupOps {
     // per join side (the signature table is the LSH index artifact a
     // production deployment would materialize to storage; the shingle
     // set is already session-cached by TextOps).
+    // dependencies materialized FIRST (SessionCache forbids re-entrant
+    // computeIfAbsent), then the verified pair set is itself cached:
+    // clusters() consumes the same pairs, so verification runs once.
     val bandsDf = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
       lshBands(spark, dir)
     }
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val sh = TextOps.shingleSet(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (za.n + zb.n - shared)"))
-      .where(expr(s"CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= $threshold"))
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_pairs|$threshold") {
+      val cand = bandsDf.as("x").join(bandsDf.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (za.n + zb.n - shared)"))
+        .where(expr(s"CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= $threshold"))
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** 32-bit SimHash over shingle hashes: bit b of the signature is the
