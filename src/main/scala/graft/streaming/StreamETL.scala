@@ -102,6 +102,45 @@ object StreamETL {
       keys = Seq("order_id"),
       orderCols = Seq("product_id", "customer_id"))
 
+  /** Production deployment shape: the same pipeline under
+    * `Trigger.AvailableNow` — process everything currently available as
+    * micro-batches, then stop; re-invocations resume from the checkpoint
+    * (the standard batch-catchup pattern for scheduled ingest). The fact
+    * table lands in parquet partitioned by year/month — date-partitioned
+    * sinks are what makes downstream OLAP scans prunable at 100 TB. The
+    * dimension upserts stay in foreachBatch so fact append and dim
+    * maintenance commit per micro-batch together. */
+  def runAvailableNow(
+      spark: SparkSession,
+      txStream: DataFrame,
+      products: DataFrame,
+      customers: DataFrame,
+      factDir: String,
+      checkpointDir: String): Unit = {
+    val query = withMeasures(meshJoin(withStreamDedup(cleanTransactions(txStream)), products, customers))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try batch.sparkSession.read.parquet(factDir).select("order_id")
+          catch { case _: Throwable => // first batch: no fact table yet
+            batch.sparkSession.emptyDataFrame.withColumn("order_id", lit(null).cast("string"))
+          }
+        Upserts.insertIfAbsent(existing, batch,
+            keys = Seq("order_id"), orderCols = Seq("product_id", "customer_id"))
+          .withColumn("sale_year", year(col("order_ts")))
+          .withColumn("sale_month", month(col("order_ts")))
+          .write.mode("append")
+          .partitionBy("sale_year", "sale_month")
+          .parquet(factDir)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Wires the full pipeline on a streaming transactions frame and runs
     * it to completion against in-memory sinks (used by tests and local
     * runs; a production deployment points the same transforms at a file/

@@ -42,4 +42,32 @@ class FileStreamSpec extends SparkSpec {
     assert(rows(0).getDecimal(2) == new java.math.BigDecimal("10.00")) // 4 × 2.50
     assert(rows(2).getInt(1) == 5) // whitespace-padded quantity parsed (shared CSV options)
   }
+
+  test("AvailableNow runner: checkpointed catch-up with durable partitioned sink") {
+    val srcDir = Files.createTempDirectory("txan").toString
+    val factDir = Files.createTempDirectory("factan").toString + "/fact"
+    val ckpt = Files.createTempDirectory("ckptan").toString
+    val header = "order_id,order_date_raw,product_id,quantity_ordered,customer_id,time_id"
+    val products = Seq(("100", "widget", BigDecimal("2.50")))
+      .toDF("product_id", "product_name", "price")
+    val customers = Seq(("7", "alice")).toDF("customer_id", "customer_name")
+
+    Files.writeString(Paths.get(s"$srcDir/a.csv"), Seq(
+      header, "1,2024-03-05 9:05:00,100,4,7,t1", "").mkString("\n"))
+    StreamETL.runAvailableNow(spark,
+      CsvSources.transactionStream(spark, srcDir), products, customers, factDir, ckpt)
+    assert(spark.read.parquet(factDir).count() == 1)
+
+    // second invocation: new file + a re-delivery of order 1
+    Files.writeString(Paths.get(s"$srcDir/b.csv"), Seq(
+      header, "1,2024-03-05 9:05:00,100,4,7,t1", "2,2024-04-01 10:00:00,100,2,7,t2", "").mkString("\n"))
+    StreamETL.runAvailableNow(spark,
+      CsvSources.transactionStream(spark, srcDir), products, customers, factDir, ckpt)
+
+    val fact = spark.read.parquet(factDir)
+    val ids = fact.select("order_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("1", "2")) // re-delivered order 1 not duplicated
+    // date-partitioned layout (partition pruning surface at scale)
+    assert(fact.select("sale_year", "sale_month").distinct().count() == 2)
+  }
 }
