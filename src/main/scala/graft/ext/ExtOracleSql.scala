@@ -387,6 +387,37 @@ object ExtOracleSql {
        |      FROM documents WHERE doc_id % 3 = 2)
        |ORDER BY doc_id""".stripMargin
 
+  private val probeList: String =
+    (Seq("e2.bucket") ++ (0 until 8).map(j => s"xor(e2.bucket, ${1 << j})"))
+      .mkString("[", ", ", "]")
+
+  val simLshMultiProbe: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding", "n")}) AS norm,
+       |    $bucketSql AS bucket
+       |  FROM embeddings
+       |),
+       |probes AS (
+       |  SELECT e2.vec_id AS query_id, e2.embedding AS qv, e2.norm AS qn,
+       |         e2.bucket AS qbucket, unnest($probeList) AS probe
+       |  FROM e e2
+       |),
+       |scored AS (
+       |  SELECT p.query_id, p.qbucket, c.vec_id AS neighbor_id,
+       |    ${dot("p.qv", "c.embedding", "d")} / (p.qn * c.norm) AS cos
+       |  FROM probes p JOIN e c ON p.probe = c.bucket AND c.vec_id <> p.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, qbucket, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, qbucket AS bucket, rank, neighbor_id, cos AS score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val mediaMeta: String =
     s"""SELECT doc_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

@@ -111,6 +111,30 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe sign-LSH ANN: each query additionally probes the 8
+    * buckets at Hamming distance 1 from its own (flip one sign bit) —
+    * the standard recall lever for bucketed LSH. A vector whose nearest
+    * neighbor differs in exactly one of the 8 projected signs is missed
+    * by single-bucket search but found here; candidates grow ~9× while
+    * remaining ~n/28 of the O(n²) cross product. Probes are distinct, so
+    * each candidate matches exactly once — no dedup needed. */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withNormAndBucket(embeddings(spark, dir))
+    val probesExpr = (Seq("bucket") ++ (0 until 8).map(j => s"bucket ^ ${1 << j}"))
+      .mkString("array(", ", ", ")")
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("norm").as("qn"), col("bucket").as("qbucket"),
+      explode(expr(probesExpr)).as("probe"))
+    val scored = q.join(e, col("probe") === col("bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosExpr("qv", "embedding", "qn", "norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("qbucket").as("bucket"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucketed ANN: self-join within buckets (every vector is a
     * query), top-k among same-bucket candidates. The bucket equi-join is
     * the scale path — shuffle keyed on a 256-ary bucket instead of an
