@@ -107,34 +107,58 @@ object StreamETL {
     * micro-batches, then stop; re-invocations resume from the checkpoint
     * (the standard batch-catchup pattern for scheduled ingest). The fact
     * table lands in parquet partitioned by year/month — date-partitioned
-    * sinks are what makes downstream OLAP scans prunable at 100 TB. The
-    * dimension upserts stay in foreachBatch so fact append and dim
-    * maintenance commit per micro-batch together. */
+    * sinks are what makes downstream OLAP scans prunable at 100 TB.
+    * Dimension tables are maintained by the batch seeding path (entry
+    * point 2, `MasterData`-style anti-join upserts), not here — this
+    * runner owns the fact stream only.
+    *
+    * The known-order-id set is read ONCE per invocation and extended
+    * driver-side per batch — re-reading the whole fact table inside every
+    * micro-batch would cost O(batches × fact-size) I/O during catch-up.
+    *
+    * `dedupHorizon` bounds in-stream dedup state (G8) and therefore also
+    * defines the late-data cutoff: records older than (max seen order_ts
+    * − horizon) are DROPPED by the watermark. For backfill-heavy
+    * schedules pass a horizon wider than the largest expected delivery
+    * gap. */
   def runAvailableNow(
       spark: SparkSession,
       txStream: DataFrame,
       products: DataFrame,
       customers: DataFrame,
       factDir: String,
-      checkpointDir: String): Unit = {
-    val query = withMeasures(meshJoin(withStreamDedup(cleanTransactions(txStream)), products, customers))
+      checkpointDir: String,
+      dedupHorizon: String = "1 day"): Unit = {
+    // path-missing is the only condition that legitimately means "no fact
+    // table yet"; any other failure (transient FS error, corrupt footer)
+    // must abort rather than silently disable the re-delivery anti-join.
+    var knownKeys: DataFrame =
+      try spark.read.parquet(factDir).select("order_id").localCheckpoint(eager = true)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null && e.getCondition.contains("PATH_NOT_FOUND") =>
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("order_id", org.apache.spark.sql.types.StringType))))
+      }
+    val query = withMeasures(meshJoin(
+        withStreamDedup(cleanTransactions(txStream), dedupHorizon), products, customers))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val existing =
-          try batch.sparkSession.read.parquet(factDir).select("order_id")
-          catch { case _: Throwable => // first batch: no fact table yet
-            batch.sparkSession.emptyDataFrame.withColumn("order_id", lit(null).cast("string"))
-          }
-        Upserts.insertIfAbsent(existing, batch,
-            keys = Seq("order_id"), orderCols = Seq("product_id", "customer_id"))
+        val toAppend = factAppendBatch(knownKeys, batch).localCheckpoint(eager = true)
+        toAppend
           .withColumn("sale_year", year(col("order_ts")))
           .withColumn("sale_month", month(col("order_ts")))
           .write.mode("append")
           .partitionBy("sale_year", "sale_month")
           .parquet(factDir)
+        knownKeys = knownKeys
+          .unionByName(toAppend.select("order_id"))
+          .localCheckpoint(eager = true)
         ()
       }
       .start()
