@@ -33,6 +33,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("multi-probe candidates dominate single-bucket results per query") {
+    // multi-probe searches a strict superset of buckets, so its rank-1
+    // score per query must be >= the single-bucket rank-1 score.
+    def rank1(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.where($"rank" === 1).collect()
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("score")).toMap
+    val single = rank1(SimilarityOps.lshTopK(spark, dir, k = 1))
+    val multi = rank1(SimilarityOps.lshMultiProbeTopK(spark, dir, k = 1))
+    single.foreach { case (q, s) => assert(multi(q) >= s) }
+    // multi-probe reaches neighbors single-bucket misses: v2 (bucket 2)
+    // is 1 sign-bit from v0/v1/v3 (bucket 1) and has no same-bucket peer.
+    assert(!single.contains(2L) && multi.contains(2L))
+  }
+
+  test("IVF and LSH scores never exceed the brute-force optimum") {
+    val brute = SimilarityOps.bruteForceTopK(spark, dir, k = 1, nQueries = 5)
+      .where($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("score")).toMap
+    Seq(SimilarityOps.lshMultiProbeTopK(spark, dir, k = 1),
+        SimilarityOps.ivfTopK(spark, dir, k = 1)).foreach { ann =>
+      ann.where($"rank" === 1).collect().foreach { r =>
+        assert(r.getAs[Double]("score") <= brute(r.getAs[Long]("query_id")))
+      }
+    }
+  }
+
   test("sign-LSH buckets separate opposite-sign vectors and keep aligned ones") {
     val out = SimilarityOps.lshTopK(spark, dir, k = 2).collect()
       .map(r => (r.getLong(0), r.getLong(3)))
