@@ -8,11 +8,15 @@ object EtlOracleSql {
   val timeDim: String = star(
     """SELECT * FROM dim_time ORDER BY time_id""")
 
+  // `* REPLACE` (DuckDB star-expression) mirrors Schemas.outputDoubles:
+  // exact decimal internally, DOUBLE at the comparison surface.
   val dimProduct: String = star(
-    """SELECT * FROM dim_product ORDER BY product_id""")
+    """SELECT * REPLACE (CAST(price AS DOUBLE) AS price)
+      |FROM dim_product ORDER BY product_id""".stripMargin)
 
   val salesFact: String = star(
-    """SELECT * FROM sales_fact
+    """SELECT * REPLACE (CAST(total_revenue AS DOUBLE) AS total_revenue)
+      |FROM sales_fact
       |ORDER BY order_id, product_id, supplier_id, quantity_ordered, total_revenue""".stripMargin)
 
   val upsertAntiJoin: String =
@@ -61,7 +65,7 @@ object EtlOracleSql {
   val eventsHourly: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
       |         AS total_value
       |FROM events
       |GROUP BY date_trunc('hour', ts), event_type

@@ -15,9 +15,10 @@ object EtlQueries {
     Star.dimTime(spark, dir).orderBy("time_id")
 
   /** F3 + S6 — the Products dimension build with denormalized Store/
-    * Supplier FKs. */
+    * Supplier FKs. `price` is exact decimal internally; the output dump
+    * casts it to double (comparison-surface contract, [[graft.model.Schemas.outputDoubles]]). */
   def dimProduct(spark: SparkSession, dir: String): DataFrame =
-    Star.dimProduct(spark, dir).orderBy("product_id")
+    graft.model.Schemas.outputDoubles(Star.dimProduct(spark, dir)).orderBy("product_id")
 
   /** J1/J2/P5 — the full fact build: stream⋈master equi-joins plus the
     * revenue measure, at line-item grain. The reference computes measures
@@ -25,7 +26,7 @@ object EtlQueries {
     * 705-747`, O(n²) cumulative); here they are columns of the join output
     * — incremental by construction. */
   def salesFact(spark: SparkSession, dir: String): DataFrame =
-    Star.salesFact(spark, dir)
+    graft.model.Schemas.outputDoubles(Star.salesFact(spark, dir))
       .orderBy("order_id", "product_id", "supplier_id", "quantity_ordered", "total_revenue")
 
   /** D1–D5 — insert-if-not-exists as one anti-join: customers whose key
@@ -70,14 +71,14 @@ object EtlQueries {
     * guarantee the reference's hand-rolled batching lacks). `value` is
     * cast to decimal so the sum is exact and order-independent. */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
-    Star.events(spark, dir)
+    graft.model.Schemas.outputDoubles(Star.events(spark, dir)
       .groupBy(
         window(col("ts"), "1 hour").getField("start").as("window_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(graft.model.Schemas.priceType))
-          .cast(graft.model.Schemas.aggRevenueType).as("total_value"))
+          .cast(graft.model.Schemas.aggRevenueType).as("total_value")))
       .orderBy("window_start", "event_type")
 
   /** Session windows per user over the events stream: Spark's native

@@ -31,6 +31,25 @@ object Schemas {
   val revenueType: DecimalType = DecimalType(14, 2)
   val aggRevenueType: DecimalType = DecimalType(18, 2)
 
+  /** Comparison-surface contract: all arithmetic stays in exact decimal
+    * (associative, order-independent), but every DECIMAL column is cast to
+    * IEEE double in a query's FINAL projection — before the final ORDER BY,
+    * so both engines sort the same surface. Rationale: decimal canonical
+    * text differs across engines (`Decimal('1335751.80')` vs `1335751.8`),
+    * while a double derived from the same exact decimal is bit-identical
+    * in Spark and DuckDB. Each oracle twin applies the matching
+    * `CAST(... AS DOUBLE)` in its outer projection. */
+  def outputDoubles(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+  }
+
   // Star-schema case classes (Dataset[T] views where type safety helps).
   case class DimCustomer(customer_id: Long, customer_name: String, gender: String)
   case class DimSupplier(supplier_id: Long, supplier_name: String)

@@ -4,14 +4,19 @@ import graft.etl.Star
 
 /** DuckDB oracle SQL twins for [[Queries]] — ANSI SQL over the same raw
   * parquet tables, prefixed with the shared star-schema CTE
-  * ([[Star.oracleCte]]) so both engines compute over the identical model. */
+  * ([[Star.oracleCte]]) so both engines compute over the identical model.
+  *
+  * Comparison-surface contract (mirrors [[graft.model.Schemas.outputDoubles]]):
+  * aggregates are exact decimal internally; every DECIMAL output column is
+  * wrapped in `CAST(... AS DOUBLE)` in the outer projection, so both
+  * engines emit (and sort) bit-identical IEEE doubles. */
 object OracleSql {
 
   private def star(body: String): String = Star.oracleCte + body
 
   def q01(weekend: Boolean): String = star(
     s"""SELECT t.month AS month, p.product_name AS product_name,
-       |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+       |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
        |FROM sales_fact f
        |JOIN dim_time t ON f.time_id = t.time_id
        |JOIN dim_product p ON f.product_id = p.product_id
@@ -21,8 +26,9 @@ object OracleSql {
        |LIMIT 5""".stripMargin)
 
   val q02: String = star(
-    s"""SELECT store_id, store_name, quarter, total_revenue,
-       |       previous_quarter_revenue,
+    s"""SELECT store_id, store_name, quarter,
+       |       CAST(total_revenue AS DOUBLE) AS total_revenue,
+       |       CAST(previous_quarter_revenue AS DOUBLE) AS previous_quarter_revenue,
        |       CAST(total_revenue - previous_quarter_revenue AS DOUBLE)
        |         / CAST(previous_quarter_revenue AS DOUBLE) * 100.0
        |         AS revenue_growth_rate
@@ -42,7 +48,7 @@ object OracleSql {
 
   val q03: String = star(
     """SELECT st.store_name, sp.supplier_name, p.product_name,
-      |       CAST(SUM(p.price) AS DECIMAL(18,2)) AS total_sales
+      |       CAST(CAST(SUM(p.price) AS DECIMAL(18,2)) AS DOUBLE) AS total_sales
       |FROM sales_fact f
       |JOIN dim_store st ON st.store_id = f.store_id
       |JOIN dim_product p ON f.product_id = p.product_id
@@ -58,7 +64,7 @@ object OracleSql {
 
   val q04: String = star(
     s"""SELECT p.product_name, $seasonSql AS season,
-       |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_sales
+       |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_sales
        |FROM sales_fact f
        |JOIN dim_time t ON f.time_id = t.time_id
        |JOIN dim_product p ON f.product_id = p.product_id
@@ -66,7 +72,8 @@ object OracleSql {
        |ORDER BY p.product_name ASC, season ASC""".stripMargin)
 
   val q05: String = star(
-    """SELECT store_name, supplier_name, year, month, total_revenue,
+    """SELECT store_name, supplier_name, year, month,
+      |       CAST(total_revenue AS DOUBLE) AS total_revenue,
       |       COALESCE(CAST(total_revenue - prev_rev AS DOUBLE)
       |                / CAST(prev_rev AS DOUBLE) * 100.0, 0.0)
       |         AS revenue_volatility
@@ -99,7 +106,7 @@ object OracleSql {
 
   val q07: String = star(
     """SELECT t.year, f.store_id, f.supplier_id, f.product_id,
-      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
       |FROM sales_fact f
       |JOIN dim_time t ON f.time_id = t.time_id
       |GROUP BY ROLLUP (t.year, f.store_id, f.supplier_id, f.product_id)
@@ -108,11 +115,11 @@ object OracleSql {
 
   val q08: String = star(
     """SELECT p.product_name, t.year,
-      |       CAST(SUM(CASE WHEN t.month <= 6 THEN f.total_revenue ELSE 0 END) AS DECIMAL(18,2)) AS h1_revenue,
+      |       CAST(CAST(SUM(CASE WHEN t.month <= 6 THEN f.total_revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS h1_revenue,
       |       CAST(SUM(CASE WHEN t.month <= 6 THEN f.quantity_ordered ELSE 0 END) AS BIGINT) AS h1_quantity,
-      |       CAST(SUM(CASE WHEN t.month > 6 THEN f.total_revenue ELSE 0 END) AS DECIMAL(18,2)) AS h2_revenue,
+      |       CAST(CAST(SUM(CASE WHEN t.month > 6 THEN f.total_revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS h2_revenue,
       |       CAST(SUM(CASE WHEN t.month > 6 THEN f.quantity_ordered ELSE 0 END) AS BIGINT) AS h2_quantity,
-      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS yearly_revenue,
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS yearly_revenue,
       |       CAST(SUM(f.quantity_ordered) AS BIGINT) AS yearly_quantity
       |FROM sales_fact f
       |JOIN dim_time t ON f.time_id = t.time_id
@@ -121,7 +128,8 @@ object OracleSql {
       |ORDER BY p.product_name ASC, t.year ASC""".stripMargin)
 
   val q09: String = star(
-    """SELECT product_name, order_date, daily_sales,
+    """SELECT product_name, order_date,
+      |       CAST(daily_sales AS DOUBLE) AS daily_sales,
       |       CAST(run_sum AS DOUBLE) / run_cnt AS daily_avg_sales,
       |       CASE WHEN daily_sales * run_cnt > run_sum * 2
       |            THEN 'High Revenue Spike (Outlier)' ELSE 'Normal'
@@ -146,7 +154,7 @@ object OracleSql {
 
   val q10: String = star(
     """SELECT f.store_id, st.store_name, t.quarter AS quarter, t.year AS year,
-      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_quarterly_revenue,
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_quarterly_revenue,
       |       CAST(SUM(f.quantity_ordered) AS BIGINT) AS total_quarterly_quantity
       |FROM sales_fact f
       |JOIN dim_store st ON f.store_id = st.store_id
@@ -156,7 +164,7 @@ object OracleSql {
 
   val q11: String = star(
     """SELECT st.store_id, st.store_name,
-      |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
       |FROM sales_fact f
       |JOIN dim_time t ON f.time_id = t.time_id
       |JOIN dim_store st ON f.store_id = st.store_id

@@ -13,6 +13,10 @@ import graft.model.Schemas._
   * Determinism rules (shared with the oracle):
   *  - aggregates in exact decimal; ratio outputs as IEEE double derived
   *    from identical exact decimals; no rounding of doubles;
+  *  - every DECIMAL output column is cast to DOUBLE in the final
+  *    projection, before the final ORDER BY ([[graft.model.Schemas.outputDoubles]]):
+  *    decimal text canonicalization differs across engines, doubles are
+  *    bit-identical — the comparison (and sort) surface is doubles;
   *  - every query ends in a total deterministic ORDER BY (ties broken).
   *
   * The reference filters on year=2019; the testdata spans 1995–2001, so
@@ -31,12 +35,13 @@ object Queries {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir)
     val product = Star.dimProduct(spark, dir)
-    fact
+    val grouped = fact
       .join(broadcast(time), Seq("time_id"))
       .join(broadcast(product), Seq("product_id"))
       .where(col("is_weekend") === lit(weekend) && col("year") === lit(Year))
       .groupBy(col("month"), col("product_name"))
       .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+    outputDoubles(grouped)
       .orderBy(desc("total_revenue"), asc("month"), asc("product_name"))
       .limit(5)
   }
@@ -59,12 +64,12 @@ object Queries {
       .groupBy(col("store_id"), col("store_name"), col("quarter"))
       .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
     val w = Window.partitionBy("store_id").orderBy("quarter")
-    byQuarter
+    outputDoubles(byQuarter
       .withColumn("previous_quarter_revenue", lag("total_revenue", 1).over(w))
       .withColumn(
         "revenue_growth_rate",
         (col("total_revenue") - col("previous_quarter_revenue")).cast("double") /
-          col("previous_quarter_revenue").cast("double") * lit(100.0))
+          col("previous_quarter_revenue").cast("double") * lit(100.0)))
       .orderBy("store_id", "quarter")
   }
 
@@ -77,12 +82,12 @@ object Queries {
     val supplier = Star.dimSupplier(spark, dir)
     val product = Star.dimProduct(spark, dir)
       .select(col("product_id"), col("product_name"), col("price"))
-    fact
+    outputDoubles(fact
       .join(broadcast(store), Seq("store_id"))
       .join(broadcast(supplier), Seq("supplier_id"))
       .join(broadcast(product), Seq("product_id"))
       .groupBy(col("store_name"), col("supplier_name"), col("product_name"))
-      .agg(sum("price").cast(aggRevenueType).as("total_sales"))
+      .agg(sum("price").cast(aggRevenueType).as("total_sales")))
       .orderBy(asc("store_name"), asc("supplier_name"), desc("product_name"))
   }
 
@@ -99,11 +104,11 @@ object Queries {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir)
     val product = Star.dimProduct(spark, dir)
-    fact
+    outputDoubles(fact
       .join(broadcast(time), Seq("time_id"))
       .join(broadcast(product), Seq("product_id"))
       .groupBy(col("product_name"), seasonCol(col("month")).as("season"))
-      .agg(sum("total_revenue").cast(aggRevenueType).as("total_sales"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_sales")))
       .orderBy(asc("product_name"), asc("season"))
   }
 
@@ -125,7 +130,7 @@ object Queries {
       .groupBy(col("store_name"), col("supplier_name"), col("year"), col("month"))
       .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
     val w = Window.partitionBy("store_name", "supplier_name").orderBy("year", "month")
-    monthly
+    outputDoubles(monthly
       .withColumn("prev_rev", lag("total_revenue", 1).over(w))
       .withColumn(
         "revenue_volatility",
@@ -133,7 +138,7 @@ object Queries {
           (col("total_revenue") - col("prev_rev")).cast("double") /
             col("prev_rev").cast("double") * lit(100.0),
           lit(0.0)))
-      .drop("prev_rev")
+      .drop("prev_rev"))
       .orderBy("store_name", "supplier_name", "year", "month")
   }
 
@@ -166,10 +171,10 @@ object Queries {
   def q07Rollup(spark: SparkSession, dir: String): DataFrame = {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir).select("time_id", "year")
-    fact
+    outputDoubles(fact
       .join(broadcast(time), Seq("time_id"))
       .rollup(col("year"), col("store_id"), col("supplier_id"), col("product_id"))
-      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue")))
       .orderBy(asc_nulls_first("year"), asc_nulls_first("store_id"),
         asc_nulls_first("supplier_id"), asc_nulls_first("product_id"))
   }
@@ -182,7 +187,7 @@ object Queries {
     val time = Star.dimTime(spark, dir)
     val product = Star.dimProduct(spark, dir)
     val h1 = col("month") <= 6
-    fact
+    outputDoubles(fact
       .join(broadcast(time), Seq("time_id"))
       .join(broadcast(product), Seq("product_id"))
       .groupBy(col("product_name"), col("year"))
@@ -192,7 +197,7 @@ object Queries {
         sum(when(!h1, col("total_revenue")).otherwise(lit(0))).cast(aggRevenueType).as("h2_revenue"),
         sum(when(!h1, col("quantity_ordered")).otherwise(lit(0))).as("h2_quantity"),
         sum(col("total_revenue")).cast(aggRevenueType).as("yearly_revenue"),
-        sum(col("quantity_ordered")).as("yearly_quantity"))
+        sum(col("quantity_ordered")).as("yearly_quantity")))
       .orderBy(asc("product_name"), asc("year"))
   }
 
@@ -214,7 +219,7 @@ object Queries {
       .agg(sum("total_revenue").cast(aggRevenueType).as("daily_sales"))
     val w = Window.partitionBy("product_id").orderBy("order_date")
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
+    outputDoubles(daily
       .withColumn("run_sum", sum("daily_sales").over(w))
       .withColumn("run_cnt", count(lit(1)).over(w))
       .withColumn("daily_avg_sales", col("run_sum").cast("double") / col("run_cnt"))
@@ -222,7 +227,7 @@ object Queries {
         "sales_status",
         when(col("daily_sales") * col("run_cnt") > col("run_sum") * 2,
           "High Revenue Spike (Outlier)").otherwise("Normal"))
-      .select("product_name", "order_date", "daily_sales", "daily_avg_sales", "sales_status")
+      .select("product_name", "order_date", "daily_sales", "daily_avg_sales", "sales_status"))
       // daily_avg_sales in the sort: product_name is not unique (distinct
       // product_ids can share a name), so without it the order is not
       // total and the differential compare could flake on name ties.
@@ -242,7 +247,7 @@ object Queries {
     Star.dimStore(spark, dir).createOrReplaceTempView("dim_store_v")
     spark.sql(
       s"""SELECT st.store_id, st.store_name,
-         |       CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+         |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
          |FROM sales_fact_v f
          |JOIN dim_time_v t ON f.time_id = t.time_id
          |JOIN dim_store_v st ON f.store_id = st.store_id
@@ -260,13 +265,13 @@ object Queries {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir)
     val store = Star.dimStore(spark, dir)
-    fact
+    outputDoubles(fact
       .join(broadcast(store), Seq("store_id"))
       .join(broadcast(time), Seq("time_id"))
       .groupBy(col("store_id"), col("store_name"), col("quarter"), col("year"))
       .agg(
         sum("total_revenue").cast(aggRevenueType).as("total_quarterly_revenue"),
-        sum("quantity_ordered").as("total_quarterly_quantity"))
+        sum("quantity_ordered").as("total_quarterly_quantity")))
       .createOrReplaceTempView("store_quarterly_sales")
     spark.table("store_quarterly_sales")
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))

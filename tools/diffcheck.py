@@ -5,9 +5,10 @@ against the oracle SQL run in DuckDB on the same raw tables.
 
 Usage: python3 tools/diffcheck.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math
+import sys, json, glob, math, decimal
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -16,6 +17,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
+    # Replicate the driver's asymmetry: a parquet DECIMAL read via pyarrow
+    # stays a Python Decimal whose str() keeps trailing zeros
+    # (Decimal('1335751.80')), while DuckDB's .df() renders DECIMAL/DOUBLE
+    # as float64 (repr '1335751.8'). Do NOT normalize Decimal to float here
+    # — a decimal column surviving to a query's output must FAIL locally,
+    # exactly as it fails the driver's hash gate (round-1 lesson).
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -45,8 +54,10 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df()
+            # pandas/pyarrow (NOT duckdb read_parquet) for the Spark side:
+            # pyarrow preserves DECIMAL as Python Decimal, like the driver.
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
