@@ -239,20 +239,33 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) over the
-    * embeddings table — the exact all-pairs verifier. Cosine is the
-    * bit-identical left-fold (see [[SimilarityOps.cosExpr]]). At 100 TB
-    * the pair generation is pruned first (sign-LSH buckets as in
-    * [[SimilarityOps.lshTopK]], or IVF cells); the threshold check here
-    * stays the exact verifier either way. */
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), pruned by
+    * sign-LSH buckets: a pair is a candidate iff its two 8-bit buckets
+    * ([[SimilarityOps.bucketExpr]]) differ in at most one bit (the
+    * multi-probe flip-one-bit rule), then the exact bit-identical
+    * left-fold cosine ([[SimilarityOps.cosExpr]]) verifies candidates.
+    *
+    * Scale: one explode (9 probes/vector) + an equi-join on the bucket —
+    * never the O(n²) cross product the previous all-pairs version paid
+    * (plan-confirmed: no BroadcastNestedLoopJoin). Probes are distinct,
+    * so each hamming ≤ 1 pair matches exactly once — no dedup shuffle.
+    *
+    * Recall semantics (documented, mirrored by the oracle): a pair whose
+    * buckets differ in ≥ 2 of the 8 projected signs is not reported. For
+    * true near-duplicates (cosine → 1) the sign agreement probability per
+    * hyperplane is 1 − θ/π → 1, so recall → 1; at threshold 0.5 this is an
+    * ANN operator, not an exact one — use [[SimilarityOps.bruteForceTopK]]
+    * as the exact small-scale verifier. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val e = SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos",
-        expr(SimilarityOps.cosExpr("x.embedding", "y.embedding", "x.norm", "y.norm")))
+    val e = SimilarityOps.withNormAndBucket(SimilarityOps.embeddings(spark, dir))
+    val probesExpr = (Seq("bucket") ++ (0 until 8).map(j => s"bucket ^ ${1 << j}"))
+      .mkString("array(", ", ", ")")
+    val probes = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm").as("na"), explode(expr(probesExpr)).as("probe"))
+    probes.join(e, col("probe") === col("bucket") && col("vec_a") < col("vec_id"))
+      .withColumn("cos", expr(SimilarityOps.cosExpr("ea", "embedding", "na", "norm")))
       .where(col("cos") >= threshold)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("cos").as("cosine"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"), col("cos").as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -290,12 +290,24 @@ object ExtOracleSql {
        |  FROM embeddings
        |)""".stripMargin
 
+  // Mirrors DedupOps.embeddingNearDup's candidate rule: pair is a
+  // candidate iff the 8-bit sign-LSH buckets differ in ≤ 1 bit (the
+  // flip-one-bit multi-probe), exact cosine verifies. The oracle states
+  // the rule declaratively (hamming on the pair) — same set as the
+  // engine's probe-explode equi-join, since probes(a) ∋ bucket(b) ⇔
+  // hamming(bucket(a), bucket(b)) ≤ 1.
   val dedupEmbedding: String =
-    s"""$normCte,
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding", "n")}) AS norm,
+       |    $bucketSql AS bucket
+       |  FROM embeddings
+       |),
        |scored AS (
        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |    ${dot("x.embedding", "y.embedding", "d")} / (x.norm * y.norm) AS cos
-       |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  FROM e x JOIN e y
+       |    ON x.vec_id < y.vec_id AND bit_count(xor(x.bucket, y.bucket)) <= 1
        |)
        |SELECT vec_a, vec_b, cos AS cosine
        |FROM scored WHERE cos >= 0.5
@@ -318,7 +330,9 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  private val bucketSql: String = (0 until 8)
+  // def, not val: referenced by dedupEmbedding above its textual position
+  // (a forward val reference would interpolate null during object init).
+  private def bucketSql: String = (0 until 8)
     .map(d => s"CASE WHEN embedding[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END")
     .mkString(" + ")
 
@@ -344,11 +358,15 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // Mirrors SimilarityOps.ivfTopK geometry: nCent = max(8, ceil(sqrt(n)))
+  // deterministic lowest-id centroids, cell = crank 1, queries probe
+  // crank <= 2 (nProbe = 2).
   val simIvfTopK: String =
     s"""$normCte,
        |cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, norm AS cn
-       |  FROM e WHERE vec_id < 8
+       |  FROM e WHERE vec_id <
+       |    (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)
        |),
        |cellranked AS (
        |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
@@ -361,10 +379,16 @@ object ExtOracleSql {
        |  SELECT vec_id, embedding, norm, cent_id AS cell
        |  FROM cellranked WHERE crank = 1
        |),
+       |probes AS (
+       |  SELECT vec_id AS pvid, cent_id AS pcell
+       |  FROM cellranked WHERE crank <= 2
+       |),
        |scored AS (
        |  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
        |    ${dot("q.embedding", "c.embedding", "d")} / (q.norm * c.norm) AS cos
-       |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  FROM cells q
+       |  JOIN probes p ON p.pvid = q.vec_id
+       |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> q.vec_id
        |),
        |ranked AS (
        |  SELECT query_id, cell, neighbor_id, cos,

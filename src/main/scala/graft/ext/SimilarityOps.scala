@@ -76,32 +76,54 @@ object SimilarityOps {
   }
 
   /** IVF (inverted-file) ANN: vectors are partitioned into cells by
-    * nearest centroid; search runs only within the query's cell. The
-    * "training" step is a deterministic stub — the `nCentroids` lowest
-    * vec_ids serve as centroids (a k-means iteration would slot in here
-    * unchanged; determinism is what makes the operator oracle-checkable).
+    * nearest centroid; each query searches its `nProbe` nearest centroids'
+    * cells. The "training" step is a deterministic stub — the `nCent`
+    * lowest vec_ids serve as centroids (a k-means iteration would slot in
+    * here unchanged; determinism is what makes the operator
+    * oracle-checkable).
+    *
+    * Geometry: centroid count defaults to max(8, ⌈√n⌉) so cells average
+    * √n vectors — in-cell pair work is O(n·√n·nProbe), sub-quadratic, and
+    * parallelism grows with the corpus instead of being pinned at 8. The
+    * corpus count is one driver-side scalar (same class as TF-IDF's N).
     * Cell assignment is one broadcast join against the centroid set +
-    * argmax; the search join is an equi-join on cell id — both scale
-    * linearly, never O(n²). */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nCentroids: Int = 8): DataFrame = {
+    * argmax; the search join is an equi-join on cell id. nProbe > 1 is
+    * the standard IVF recall lever: a neighbor just across the query's
+    * cell boundary is found in the second-nearest cell. Each corpus
+    * vector lives in exactly one cell and probed cells are distinct, so
+    * each (query, neighbor) pair appears at most once — no dedup needed. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
+      nCentroids: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings(spark, dir))
-    val cents = e.where(col("vec_id") < nCentroids)
+    val nCent =
+      if (nCentroids > 0) nCentroids
+      else math.max(8L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
+    val cents = e.where(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("norm").as("cn"))
-    // nearest centroid per vector: rank centroids by cosine, ties → lower id
+    // rank centroids by cosine per vector, ties → lower id; keep the top
+    // nProbe rows: crank=1 is the vector's cell assignment, crank<=nProbe
+    // are the cells it probes as a query.
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = e.join(broadcast(cents))
+    val ranked = e.join(broadcast(cents))
       .withColumn("ccos", expr(cosExpr("embedding", "cv", "norm", "cn")))
       .withColumn("crank", row_number().over(wCell))
-      .where(col("crank") === 1)
+      .where(col("crank") <= math.max(nProbe, 1))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cent_id"), col("crank"))
+    val rankedCached = graft.util.SessionCache.getOrBuild(
+      spark, s"sim|$dir|ivf_ranked|$nCent|$nProbe")(ranked) // the IVF index artifact
+    val cells = rankedCached.where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
-    val cellsCached = graft.util.SessionCache.getOrBuild(
-      spark, s"sim|$dir|ivf_cells|$nCentroids")(cells) // the IVF index artifact
+    val probes = rankedCached
+      .select(col("vec_id").as("pvid"), col("cent_id").as("pcell"))
     val wRank = Window.partitionBy(col("q.vec_id"))
       .orderBy(col("cos").desc, col("c.vec_id").asc)
-    cellsCached.as("q").join(cellsCached.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+    cells.as("q")
+      .join(probes, col("q.vec_id") === col("pvid"))
+      .join(cells.as("c"),
+        col("pcell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cos", expr(cosExpr("q.embedding", "c.embedding", "q.norm", "c.norm")))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
