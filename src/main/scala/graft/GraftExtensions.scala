@@ -3,15 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, Md5Prefix32}
 
 /** Production `SparkSessionExtensions` hook: registers the engine's
   * custom expressions so a deployment enables them cluster-wide with
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * (the per-session `ArrayDotProduct.register(spark)` path remains for
-  * programmatic use — both routes bind the same expression). */
+  * (the per-session `ArrayDotProduct.register(spark)` /
+  * `Md5Prefix32.register(spark)` paths remain for programmatic use —
+  * both routes bind the same expressions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -20,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "array_dot expects exactly 2 arguments")
         ArrayDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "md5_prefix32 expects exactly 1 argument")
+        Md5Prefix32(args.head)
       }))
   }
 }
