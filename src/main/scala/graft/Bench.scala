@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin UTC like Explain and the test base: time-derived grouping
+      // (hourly windows, time-dim attributes) must not depend on the
+      // host's default zone or the measured per-query work shifts.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -165,6 +165,11 @@ object DedupOps {
     * equi-join on (block index, block value) yields all such pairs
     * without an O(n²) comparison. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // The 4-block pigeonhole is complete only for hamming ≤ 3 (4 blocks
+    // guarantee a shared block for up to 3 differing bits). A larger
+    // maxHamming would silently return an INCOMPLETE pair set.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs' 4-block pigeonhole join is complete only for maxHamming <= 3, got $maxHamming")
     // Session-cache the signature table: the block self-join otherwise
     // recomputes the full shingle→md5→32-aggregate pipeline on both sides.
     val sig = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|simhash_sig") {

@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Numeric contract (must match the DuckDB oracle and the HOF it
   * replaces): strict LEFT FOLD in index order — `acc += (double)a[i] *
-  * (double)b[i]` — so results are bit-identical to both. Inputs are
-  * same-length by construction (embedding columns); extra elements of a
-  * longer input are ignored (min-length loop), nulls propagate via the
-  * default null-intolerant BinaryExpression behavior.
+  * (double)b[i]` — so results are bit-identical to both. Unequal-length
+  * inputs yield NULL — exactly what the HOF twin produces (`zip_with`
+  * pads the shorter array with null, the multiply yields null, and
+  * `aggregate`'s `acc + null` poisons the fold) and what the oracle's
+  * `list_zip` fold computes; a min-length partial sum would silently
+  * diverge from both. Null ELEMENTS propagate to NULL the same way;
+  * null ARRAYS via the default null-intolerant BinaryExpression
+  * behavior.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,7 +54,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -67,11 +72,15 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -96,11 +96,21 @@ object StreamETL {
     * returns the rows to append — new Order_IDs only (reference Q-a/D7:
     * one fact row per order, first wins). Re-delivered records are
     * dropped by the anti-join ⇒ at-most-once inserts without relying on
-    * the dedup state horizon (G8). */
+    * the dedup state horizon (G8).
+    *
+    * The ordering includes the value columns (quantity, timestamp), not
+    * just the dimension keys: two records for the same order_id that
+    * agree on product/customer but differ in quantity (a corrected
+    * re-delivery past the dedup horizon) must still pick the SAME
+    * surviving row on every run — a key-only sort would leave the
+    * tie-break to partition order. */
+  private val factOrderCols =
+    Seq("product_id", "customer_id", "quantity_ordered", "order_ts")
+
   def factAppendBatch(existing: DataFrame, batch: DataFrame): DataFrame =
     Upserts.insertIfAbsent(existing, batch,
       keys = Seq("order_id"),
-      orderCols = Seq("product_id", "customer_id"))
+      orderCols = factOrderCols)
 
   /** Production deployment shape: the same pipeline under
     * `Trigger.AvailableNow` — process everything currently available as
@@ -192,7 +202,7 @@ object StreamETL {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val toAppend =
           if (batches.isEmpty)
-            Upserts.firstWins(batch, Seq("order_id"), Seq("product_id", "customer_id"))
+            Upserts.firstWins(batch, Seq("order_id"), factOrderCols)
           else factAppendBatch(batches.reduce(_ unionByName _), batch)
         batches += toAppend.localCheckpoint(eager = true)
         ()

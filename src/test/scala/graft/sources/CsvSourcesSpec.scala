@@ -64,6 +64,12 @@ class CsvSourcesSpec extends SparkSpec {
       "SELECT array_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
         "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head()
     assert(nul.isNullAt(0))
+    // unequal lengths → NULL, not a partial min-length sum — same parity
+    // (zip_with pads the shorter side with null and the fold poisons)
+    val uneq = spark.sql(
+      "SELECT array_dot(array(CAST(1 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head()
+    assert(uneq.isNullAt(0))
   }
 
   private class GraftExtensionsCheck {
