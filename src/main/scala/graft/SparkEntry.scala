@@ -13,9 +13,11 @@ object SparkEntry {
     "q01_weekend" -> ((s, dir) => Queries.q01TopProducts(s, dir, weekend = true)),
     "q01_weekday" -> ((s, dir) => Queries.q01TopProducts(s, dir, weekend = false)),
     "q02_quarterly_growth" -> Queries.q02QuarterlyGrowth _,
+    "q02_literal" -> Queries.q02LiteralGrowth _,
     "q03_supplier_contribution" -> Queries.q03SupplierContribution _,
     "q04_seasonal" -> Queries.q04Seasonal _,
     "q05_volatility" -> Queries.q05Volatility _,
+    "q05_literal" -> Queries.q05LiteralVolatility _,
     "q06_affinity" -> Queries.q06Affinity _,
     "q07_rollup" -> Queries.q07Rollup _,
     "q08_halfyear" -> Queries.q08HalfYear _,
@@ -56,9 +58,11 @@ object SparkEntry {
     "q01_weekend" -> OracleSql.q01(weekend = true),
     "q01_weekday" -> OracleSql.q01(weekend = false),
     "q02_quarterly_growth" -> OracleSql.q02,
+    "q02_literal" -> OracleSql.q02Literal,
     "q03_supplier_contribution" -> OracleSql.q03,
     "q04_seasonal" -> OracleSql.q04,
     "q05_volatility" -> OracleSql.q05,
+    "q05_literal" -> OracleSql.q05Literal,
     "q06_affinity" -> OracleSql.q06,
     "q07_rollup" -> OracleSql.q07,
     "q08_halfyear" -> OracleSql.q08,

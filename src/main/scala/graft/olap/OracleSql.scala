@@ -46,6 +46,44 @@ object OracleSql {
        |)
        |ORDER BY store_id, quarter""".stripMargin)
 
+  /** Literal twin of the reference Q2 (see [[Queries.q02LiteralGrowth]]):
+    * LEAD-mapping self-join with its (q, q) self-pairs and inverted
+    * "previous" quarter; ROUND(x, 2) as exact half-away integer-cents
+    * rounding, identical to the Spark expression. DuckDB `//` and Spark
+    * `div` both truncate; operands are kept positive so trunc == floor. */
+  val q02Literal: String = star(
+    s""", revenue_data AS (
+       |  SELECT st.store_id, st.store_name, t.quarter,
+       |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS total_revenue
+       |  FROM sales_fact f
+       |  JOIN dim_time t ON f.time_id = t.time_id
+       |  JOIN dim_store st ON f.store_id = st.store_id
+       |  WHERE t.year = ${Queries.Year}
+       |  GROUP BY st.store_id, st.store_name, t.quarter
+       |),
+       |quarter_mapping AS (
+       |  SELECT DISTINCT quarter,
+       |         LEAD(quarter) OVER (ORDER BY quarter) AS next_quarter
+       |  FROM dim_time WHERE year = ${Queries.Year}
+       |)
+       |SELECT store_id, store_name, quarter, total_revenue, previous_quarter_revenue,
+       |       CASE WHEN p_c = 0 THEN NULL
+       |            ELSE CAST((CASE WHEN (n >= 0) = (p_c >= 0) THEN 1 ELSE -1 END)
+       |                      * ((2 * abs(n) + abs(p_c)) // (2 * abs(p_c))) AS DOUBLE) / 100
+       |       END AS revenue_growth_rate
+       |FROM (
+       |  SELECT rd.store_id, rd.store_name, rd.quarter,
+       |         CAST(rd.total_revenue AS DOUBLE) AS total_revenue,
+       |         CAST(prev.total_revenue AS DOUBLE) AS previous_quarter_revenue,
+       |         CAST((rd.total_revenue - prev.total_revenue) * 100 AS BIGINT) * 10000 AS n,
+       |         CAST(prev.total_revenue * 100 AS BIGINT) AS p_c
+       |  FROM revenue_data rd
+       |  JOIN quarter_mapping qm ON rd.quarter = qm.quarter
+       |  JOIN revenue_data prev
+       |    ON rd.store_id = prev.store_id AND prev.quarter = qm.next_quarter
+       |)
+       |ORDER BY store_id, quarter, previous_quarter_revenue""".stripMargin)
+
   val q03: String = star(
     """SELECT st.store_name, sp.supplier_name, p.product_name,
       |       CAST(CAST(SUM(p.price) AS DECIMAL(18,2)) AS DOUBLE) AS total_sales
@@ -91,6 +129,37 @@ object OracleSql {
       |  GROUP BY st.store_name, sp.supplier_name, t.year, t.month
       |)
       |ORDER BY store_name, supplier_name, year, month""".stripMargin)
+
+  /** Literal twin of the reference Q5 (see [[Queries.q05LiteralVolatility]]):
+    * same-(year,month) self-join + COALESCE→0 — volatility ≡ 0 by
+    * construction. */
+  val q05Literal: String = star(
+    """, previous_month_revenue AS (
+      |  SELECT f.store_id, f.supplier_id, t.year, t.month,
+      |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS prev_month_revenue
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON f.time_id = t.time_id
+      |  WHERE t.year < (SELECT MAX(year) FROM dim_time)
+      |     OR (t.year = (SELECT MAX(year) FROM dim_time)
+      |         AND t.month < (SELECT MAX(month) FROM dim_time))
+      |  GROUP BY f.store_id, f.supplier_id, t.year, t.month
+      |)
+      |SELECT st.store_name, sup.supplier_name, t.year AS year, t.month AS month,
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
+      |       COALESCE(
+      |         CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2))
+      |              - MAX(pmr.prev_month_revenue) AS DOUBLE)
+      |           / CAST(MAX(pmr.prev_month_revenue) AS DOUBLE) * 100.0,
+      |         0.0) AS revenue_volatility
+      |FROM sales_fact f
+      |JOIN dim_store st ON f.store_id = st.store_id
+      |JOIN dim_supplier sup ON f.supplier_id = sup.supplier_id
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |LEFT JOIN previous_month_revenue pmr
+      |  ON f.store_id = pmr.store_id AND f.supplier_id = pmr.supplier_id
+      | AND t.year = pmr.year AND t.month = pmr.month
+      |GROUP BY st.store_name, sup.supplier_name, t.year, t.month
+      |ORDER BY st.store_name, sup.supplier_name, t.year, t.month""".stripMargin)
 
   val q06: String = star(
     """SELECT p1.product_name AS product_1, p2.product_name AS product_2,

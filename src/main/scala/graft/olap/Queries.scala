@@ -73,6 +73,72 @@ object Queries {
       .orderBy("store_id", "quarter")
   }
 
+  /** Q2 LITERAL twin — the reference's query verbatim
+    * (`.../OLAP Queries - Metro.sql:31-72`), bugs included, alongside the
+    * stated-intent [[q02QuarterlyGrowth]]:
+    *
+    *  - QuarterMapping computes `LEAD(Quarter) OVER (ORDER BY Quarter)`
+    *    over the (duplicate-quarter) TimeDimension rows and DISTINCTs the
+    *    result, so it contains BOTH (q, q) and (q, q+1) pairs — every
+    *    store×quarter therefore emits a self-paired row with growth 0.00
+    *    and (for q1–q3) a second row whose "previous_quarter_revenue" is
+    *    actually the NEXT quarter's revenue (the reference's inverted
+    *    LEAD-mapping quirk). Q4 has no next quarter → inner join drops
+    *    that pairing.
+    *  - `ROUND(x, 2)` is reproduced EXACTLY across engines as half-away-
+    *    from-zero rounding of the exact rational (diff·10⁴ / prev) in
+    *    64-bit integer cents — never rounding a double (see the
+    *    determinism rules above). Headroom: cents × 2·10⁴ must fit int64,
+    *    i.e. per-store quarterly revenue below ~$4.6·10¹³ — loud ANSI
+    *    overflow beyond, not silent corruption.
+    *
+    * The reference's `ORDER BY Store_ID, Quarter` is not total here (two
+    * rows per store×quarter); previous_quarter_revenue is appended as the
+    * documented tie-break (O2). */
+  def q02LiteralGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir)
+    val store = Star.dimStore(spark, dir)
+    val revenueData = fact
+      .join(broadcast(time), Seq("time_id"))
+      .where(col("year") === lit(Year))
+      .join(broadcast(store), Seq("store_id"))
+      .groupBy(col("store_id"), col("store_name"), col("quarter"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+    // LEAD over the per-date rows BEFORE the distinct — that ordering is
+    // what manufactures the (q, q) self-pairs. ~365 rows, one partition.
+    val quarterMapping = time
+      .where(col("year") === lit(Year))
+      .select(col("quarter"),
+        lead("quarter", 1).over(Window.orderBy("quarter")).as("next_quarter"))
+      .distinct()
+    val prev = revenueData.select(
+      col("store_id").as("prev_store_id"),
+      col("quarter").as("prev_quarter"),
+      col("total_revenue").as("previous_quarter_revenue"))
+    revenueData
+      .join(broadcast(quarterMapping), Seq("quarter"))
+      .join(broadcast(prev),
+        col("store_id") === col("prev_store_id") &&
+          col("prev_quarter") === col("next_quarter"))
+      // integer-cents fixed point: n = diff·10⁶ (cents × 10⁴), p_c = prev
+      // in cents; ROUND(d/p·100, 2) = half-away-round(n/p_c) / 100.
+      .withColumn("n",
+        ((col("total_revenue") - col("previous_quarter_revenue")) * lit(100))
+          .cast("long") * lit(10000L))
+      .withColumn("p_c", (col("previous_quarter_revenue") * lit(100)).cast("long"))
+      .selectExpr(
+        "store_id", "store_name", "quarter",
+        "CAST(total_revenue AS DOUBLE) AS total_revenue",
+        "CAST(previous_quarter_revenue AS DOUBLE) AS previous_quarter_revenue",
+        """CASE WHEN p_c = 0 THEN NULL
+           |     ELSE CAST((CASE WHEN (n >= 0) = (p_c >= 0) THEN 1 ELSE -1 END)
+           |               * ((2 * abs(n) + abs(p_c)) div (2 * abs(p_c))) AS DOUBLE) / 100
+           |END AS revenue_growth_rate""".stripMargin)
+      .orderBy("store_id", "quarter", "previous_quarter_revenue")
+  }
+
   /** Q3: supplier sales contribution per store and product —
     * `SUM(price)` is the reference's price-weighted occurrence count
     * (quirk Q-i), kept as-is. `.../OLAP Queries - Metro.sql:78-95`. */
@@ -140,6 +206,63 @@ object Queries {
           lit(0.0)))
       .drop("prev_rev"))
       .orderBy("store_name", "supplier_name", "year", "month")
+  }
+
+  /** Q5 LITERAL twin — the reference's volatility query verbatim
+    * (`.../OLAP Queries - Metro.sql:124-175`), bug included, alongside the
+    * stated-intent [[q05Volatility]]: the Previous_Month_Revenue CTE is
+    * LEFT-JOINed on the SAME (year, month) as the current group — not the
+    * previous month — so `(SUM − prev) / prev` is identically 0 wherever
+    * the CTE has a row, and `IFNULL(..., 0)` zeroes the rest (the months
+    * at/after the CTE's `(MAX(Year), global MAX(Month))` cutoff). Net:
+    * revenue_volatility ≡ 0.0 on every row, which is exactly what the
+    * reference computes.
+    *
+    * Two determinizations, no semantic change: supplier_name is joined via
+    * the fact's supplier key (in the reference schema `sf.Supplier_ID =
+    * p.Supplier_ID` by MESHJOIN construction, so routing through Products
+    * is the identity there — our TPC-H product dim pins a DIFFERENT
+    * representative supplier, which would break that invariant); and the
+    * reference's bare non-grouped `pmr.Prev_Month_Revenue` (legal only
+    * under MySQL's disabled ONLY_FULL_GROUP_BY, G4) becomes
+    * `MAX(pmr.Prev_Month_Revenue)` — constant within each group, since the
+    * group key determines the CTE key.
+    *
+    * Expressed as SQL text like [[q11LatestMonth]]: the CTE's year/month
+    * cutoff exercises Catalyst's non-correlated scalar-subquery planning
+    * (A7) inside a disjunctive WHERE. */
+  def q05LiteralVolatility(spark: SparkSession, dir: String): DataFrame = {
+    Star.salesFact(spark, dir).createOrReplaceTempView("sales_fact_v")
+    Star.dimTime(spark, dir).createOrReplaceTempView("dim_time_v")
+    Star.dimStore(spark, dir).createOrReplaceTempView("dim_store_v")
+    Star.dimSupplier(spark, dir).createOrReplaceTempView("dim_supplier_v")
+    spark.sql(
+      """WITH previous_month_revenue AS (
+        |  SELECT f.store_id, f.supplier_id, t.year, t.month,
+        |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS prev_month_revenue
+        |  FROM sales_fact_v f
+        |  JOIN dim_time_v t ON f.time_id = t.time_id
+        |  WHERE t.year < (SELECT MAX(year) FROM dim_time_v)
+        |     OR (t.year = (SELECT MAX(year) FROM dim_time_v)
+        |         AND t.month < (SELECT MAX(month) FROM dim_time_v))
+        |  GROUP BY f.store_id, f.supplier_id, t.year, t.month
+        |)
+        |SELECT st.store_name, sup.supplier_name, t.year AS year, t.month AS month,
+        |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
+        |       COALESCE(
+        |         CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2))
+        |              - MAX(pmr.prev_month_revenue) AS DOUBLE)
+        |           / CAST(MAX(pmr.prev_month_revenue) AS DOUBLE) * 100.0,
+        |         0.0) AS revenue_volatility
+        |FROM sales_fact_v f
+        |JOIN dim_store_v st ON f.store_id = st.store_id
+        |JOIN dim_supplier_v sup ON f.supplier_id = sup.supplier_id
+        |JOIN dim_time_v t ON f.time_id = t.time_id
+        |LEFT JOIN previous_month_revenue pmr
+        |  ON f.store_id = pmr.store_id AND f.supplier_id = pmr.supplier_id
+        | AND t.year = pmr.year AND t.month = pmr.month
+        |GROUP BY st.store_name, sup.supplier_name, t.year, t.month
+        |ORDER BY st.store_name, sup.supplier_name, t.year, t.month""".stripMargin)
   }
 
   /** Q6: product-affinity pairs — self theta-join on the order key with

@@ -47,6 +47,29 @@ class OlapPropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("q02_literal pins the reference's LEAD-mapping quirks") {
+    val rows = Queries.q02LiteralGrowth(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    // every (store, quarter) has a self-paired row: prev == total, growth 0
+    val byKey = rows.groupBy(r => (r.getInt(0), r.getInt(2)))
+    byKey.foreach { case (_, grp) =>
+      val self = grp.filter(r => r.getDouble(3) == r.getDouble(4))
+      assert(self.nonEmpty && self.forall(_.getDouble(5) == 0.0))
+    }
+    // the non-self pairing carries the NEXT quarter's revenue (the bug):
+    // quarter q's partner revenue equals quarter q+1's own total_revenue
+    val totals = rows.map(r => (r.getInt(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    rows.filter(r => r.getDouble(3) != r.getDouble(4)).foreach { r =>
+      assert(totals.get((r.getInt(0), r.getInt(2) + 1)).contains(r.getDouble(4)))
+    }
+  }
+
+  test("q05_literal volatility is identically zero (the reference's same-month self-join)") {
+    val rows = Queries.q05LiteralVolatility(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(5) == 0.0))
+  }
+
   test("seasonal buckets partition all fact rows") {
     // total_sales is a double at the output surface; decimal(18,2) →
     // double → decimal(18,2) round-trips exactly below ~4.5e13, so cast
