@@ -50,33 +50,80 @@ object DedupOps {
       .select("doc_id", "text_hash", "n_copies")
       .orderBy("doc_id")
 
-  /** All-pairs word-3-gram Jaccard ≥ threshold via inverted-index join.
-    * The df cap drops shingles appearing in > maxDf docs — a no-op on the
-    * testdata, a necessary guard at 100 TB (a shingle in k docs produces
-    * k² candidate rows; capped shingles cannot push a true near-dup pair
-    * below threshold unless the pair was mostly stop-shingles anyway). */
+  /** One row per document: df-capped shingle-set size `n` and the shingle
+    * array `ord`, globally ordered by (document frequency asc, shingle
+    * value) — rarest first, a total order. The df cap drops shingles
+    * appearing in > maxDf docs — a no-op on the testdata, a necessary
+    * guard at 100 TB (a shingle in k docs produces k² candidate rows;
+    * capped shingles cannot push a true near-dup pair below threshold
+    * unless the pair was mostly stop-shingles anyway).
+    *
+    * This single session-cached table serves BOTH PPJoin stages:
+    * `slice(ord, 1, prefixLen)` is the prefix index (no per-row window
+    * sort — the ordering happens inside one hash-aggregate) and
+    * `array_intersect(ord_a, ord_b)` is the exact verifier (a per-row set
+    * op on two hash-joined arrays — replaces a candidates×shingles
+    * expansion join that shuffled ~|cand|·|doc| rows). The whole build is
+    * ONE df aggregate + ONE join + ONE doc aggregate over the inverted
+    * index (df filter and ordering fused — no separate capped-index
+    * materialization). Row width is bounded by document length, so the
+    * array form is safe at 100 TB (documents are bounded; corpora are
+    * not). */
+  private def jaccardDocTable(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
+    val sh = TextOps.shingleSet(spark, dir)
+    graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|jacdoc|$maxDf") {
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf)
+      sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n"),
+          expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)").as("ord"))
+    }
+  }
+
+  /** Candidate pairs for [[jaccardPairs]] under PREFIX + LENGTH filtering
+    * (the PPJoin family's pruning, Xiao et al., WWW'08 — public
+    * algorithm). A pair with J(A,B) ≥ τ must share a shingle among the
+    * first |A| − ⌈τ·|A|⌉ + 1 shingles of A AND the first |B| − ⌈τ·|B|⌉ + 1
+    * of B under any single global order: the rank-minimal common element
+    * cannot sit outside either prefix, else all ≥ ⌈τ·|size|⌉ common
+    * elements would fit in a suffix of ⌈τ·|size|⌉ − 1 slots. So the
+    * inverted-index self-join only indexes prefixes — at τ = 0.6 that is
+    * ~40 % of the index rows and (rarest-first) far less of the
+    * per-shingle candidate blowup — plus the length filter min ≥ τ·max
+    * (J ≥ τ bounds the size ratio). The ε slack under the ceil/multiply
+    * keeps float rounding strictly on the conservative (longer-prefix,
+    * looser-length) side, so pruning can never drop a true pair. */
+  def jaccardCandidates(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      maxDf: Long = 10000L): DataFrame = {
+    val docs = jaccardDocTable(spark, dir, maxDf)
+    val prefLen = (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val prefix = docs.select(col("doc_id"), col("n"),
+      explode(slice(col("ord"), lit(1), prefLen)).as("sh"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")).cast("double") >=
+            greatest(col("x.n"), col("y.n")) * lit(threshold) - lit(1e-9))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** All-pairs word-3-gram Jaccard ≥ threshold: prefix-filtered candidate
+    * generation ([[jaccardCandidates]]) + exact intersection counting
+    * restricted to candidates — the same candidates-then-verify shape as
+    * [[minhashLsh]], but with a deterministic (recall-lossless) filter.
+    * Verification is per-pair `array_intersect` against the cached per-doc
+    * arrays, not a shingle-expansion join. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.6,
       maxDf: Long = 10000L): DataFrame = {
-    val sh = TextOps.shingleSet(spark, dir)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("sh")
-    // The filtered inverted index feeds three consumers (sizes + both
-    // self-join sides); session-cache it (keyed by the df cap) so the
-    // filter runs once and repeated calls don't stack persisted copies.
-    val shr = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|shfil|$maxDf") {
-      sh.join(rare, "sh")
-    }
-    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = shr.as("x").join(shr.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        expr("CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)"))
-      .where(expr(s"CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= $threshold"))
+    val docs = jaccardDocTable(spark, dir, maxDf)
+    jaccardCandidates(spark, dir, threshold, maxDf)
+      .join(docs.select(col("doc_id"), col("n").as("na"), col("ord").as("oa")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(docs.select(col("doc_id"), col("n").as("nb"), col("ord").as("ob")), col("doc_b") === col("doc_id"))
+      .withColumn("shared", size(array_intersect(col("oa"), col("ob"))))
+      .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
+      .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -106,39 +153,50 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** One row per document with the UNCAPPED shingle array — the exact-set
+    * verifier for [[minhashLsh]] (whose Jaccard semantics are over the
+    * full shingle set, no df cap). Sorted for a deterministic layout. */
+  private def docShingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleSet(spark, dir)
+    graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|sharr") {
+      sh.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n"), array_sort(collect_list("sh")).as("arr"))
+    }
+  }
+
   /** MinHash+LSH near-dup detection: band-bucket join → distinct candidate
-    * pairs → exact-Jaccard verification restricted to candidates (the
-    * shingle join touches only candidate documents — this is what makes
-    * the operator sub-quadratic at scale). */
+    * pairs → exact-Jaccard verification restricted to candidates — a
+    * per-pair `array_intersect` against the cached per-doc shingle arrays
+    * (two hash joins on doc_id + a set op per candidate row; never a
+    * candidates×shingles expansion join). Candidates are O(near-dups),
+    * which is what makes the operator sub-quadratic at scale. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // Both the band table and the shingle set are self-joined below —
+    // Both the band table and the doc-array table are joined below —
     // session-cache the bands so signatures are computed once, not once
     // per join side (the signature table is the LSH index artifact a
-    // production deployment would materialize to storage; the shingle
-    // set is already session-cached by TextOps).
+    // production deployment would materialize to storage).
     // dependencies materialized FIRST (SessionCache forbids re-entrant
     // computeIfAbsent), then the verified pair set is itself cached:
     // clusters() consumes the same pairs, so verification runs once.
     val bandsDf = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
       lshBands(spark, dir)
     }
-    val sh = TextOps.shingleSet(spark, dir)
+    val docs = docShingleArrays(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_pairs|$threshold") {
       val cand = bandsDf.as("x").join(bandsDf.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shared = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-        .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (za.n + zb.n - shared)"))
-        .where(expr(s"CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= $threshold"))
+      cand
+        .join(docs.select(col("doc_id"), col("n").as("na"), col("arr").as("oa")),
+          col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .join(docs.select(col("doc_id"), col("n").as("nb"), col("arr").as("ob")),
+          col("doc_b") === col("doc_id"))
+        .withColumn("shared", size(array_intersect(col("oa"), col("ob"))))
+        .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
+        .where(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     }
@@ -192,54 +250,21 @@ object DedupOps {
 
   /** Connected components over the MinHash-LSH near-dup pairs — the
     * final stage of the dedup pipeline (pairs alone don't dedup: A≈B and
-    * B≈C must collapse into ONE cluster to pick one keeper). Min-label
-    * propagation to a fixed point: each node takes the minimum cluster
-    * id among itself and its neighbors, iterated until stable — O(graph
-    * diameter) rounds, and near-dup components are tiny (pairs, triples),
-    * so convergence is 2-3 rounds. Each round is one join + one
-    * aggregate, checkpointed to truncate lineage; at 100 TB the same loop
-    * runs with the large-star/small-star optimization, same semantics.
+    * B≈C must collapse into ONE cluster to pick one keeper). Components
+    * come from [[GraphOps.connectedComponents]] (alternating
+    * large-star/small-star pointer doubling — O(log d) rounds in the
+    * component diameter, so diameter-heavy near-dup chains converge
+    * where one-hop min-label propagation would hit its round cap);
+    * singleton documents are restored by a left join against the corpus.
     * Keeper = the canonical minimum doc_id per cluster (first-wins, the
     * reference's F3 rule applied content-wise). Oracle: WITH RECURSIVE
     * transitive closure reaching the same fixed point. */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val pairs = minhashLsh(spark, dir, threshold).select("doc_a", "doc_b")
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(eager = true)
-    var labels = TextOps.docs(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint(eager = true)
-    // label sums strictly decrease until the fixed point — carry the
-    // previous round's sum forward so convergence costs ONE aggregate
-    // per round, not two. coalesce: sum over zero rows is NULL (empty
-    // documents input must yield an empty result, not an NPE).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("cluster"), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    val maxIter = 50 // plain propagation moves the min one hop per round
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("did")).agg(min("cluster").as("nbr"))
-      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("did"), "left")
-        .select(labels("doc_id"),
-          least(labels("cluster"), coalesce(col("nbr"), labels("cluster"))).as("cluster"))
-        .localCheckpoint(eager = true)
-      val newSum = labelSum(updated)
-      labels = updated
-      converged = newSum == prevSum
-      prevSum = newSum
-      iter += 1
-    }
-    // A component with graph diameter > maxIter would exit split into
-    // several clusters — fail loudly rather than return wrong keepers.
-    require(converged,
-      s"clusters() did not converge in $maxIter rounds — a near-dup chain " +
-        "longer than the iteration cap exists; raise maxIter or switch to " +
-        "pointer-doubling (large-star/small-star)")
-    labels
+    val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+    TextOps.docs(spark, dir).select("doc_id")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
       .withColumn("is_keeper", col("doc_id") === col("cluster"))
       .orderBy("doc_id")
   }

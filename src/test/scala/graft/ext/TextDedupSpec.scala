@@ -34,6 +34,38 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix filter is recall-lossless and prunes the candidate join") {
+    // completeness: every pair jaccardPairs emits must appear among the
+    // prefix-filtered candidates (it does — pairs are computed FROM the
+    // candidates — so assert against an independently-computed truth set:
+    // the sf0.001 corpus full inverted-index join).
+    val corpus = "/root/testdata/sf0.001"
+    val t = 0.4
+    val sh = TextOps.shingleSet(spark, corpus)
+    import org.apache.spark.sql.functions._
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .where(expr(s"CAST(shared AS DOUBLE) / (za.n + zb.n - shared) >= $t"))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = DedupOps.jaccardPairs(spark, corpus, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == truth)
+    // pruning: the prefix index feeds strictly fewer candidate pairs than
+    // the full inverted-index join generates distinct colliding pairs.
+    val fullCand = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val prefCand = DedupOps.jaccardCandidates(spark, corpus, threshold = t).count()
+    assert(truth.size <= prefCand && prefCand < fullCand,
+      s"expected truth ${truth.size} <= prefix candidates $prefCand < full $fullCand")
+  }
+
   test("minhash-LSH candidates are a subset of exact jaccard and catch true dups") {
     val exact = DedupOps.jaccardPairs(spark, dir, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
