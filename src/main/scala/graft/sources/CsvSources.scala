@@ -42,13 +42,17 @@ object CsvSources {
 
   /** S2/S4: products master CSV — quoted store names with embedded commas
     * and `""` escapes parse natively; the reference's residual sanitizer
-    * (strip CR/LF, trim) is applied to the name columns. */
+    * (strip CR/LF, trim) is applied to the name columns. The price parse
+    * is `try_cast`: the reference SKIPS records with unparseable prices
+    * (`Meshjoin.java:194-199`), so a malformed value must surface as NULL
+    * for the caller to filter (per-record P3 semantics), not abort the
+    * whole scan as an ANSI cast would. */
   def products(spark: SparkSession, path: String): DataFrame = {
     val raw = reader(spark).csv(path)
     raw.select(
       trim(col("Product_ID")).as("product_id"),
       sanitized(col("Product_Name")).as("product_name"),
-      col("Price").cast(Schemas.priceType).as("price"),
+      expr(s"try_cast(Price AS ${Schemas.priceType.sql})").as("price"),
       trim(col("Supplier_ID")).as("supplier_id"),
       sanitized(col("Supplier_Name")).as("supplier_name"),
       trim(col("Store_ID")).as("store_id"),
