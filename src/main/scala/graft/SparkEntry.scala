@@ -25,6 +25,7 @@ object SparkEntry {
     "q10_store_quarterly" -> Queries.q10StoreQuarterly _,
     "q11_latest_month" -> Queries.q11LatestMonth _,
     "etl_time_dim" -> graft.etl.EtlQueries.timeDim _,
+    "etl_time_dim_literal" -> graft.etl.EtlQueries.timeDimLiteral _,
     "etl_dim_product" -> graft.etl.EtlQueries.dimProduct _,
     "etl_sales_fact" -> graft.etl.EtlQueries.salesFact _,
     "etl_upsert_antijoin" -> graft.etl.EtlQueries.upsertAntiJoin _,
@@ -70,6 +71,7 @@ object SparkEntry {
     "q10_store_quarterly" -> OracleSql.q10,
     "q11_latest_month" -> OracleSql.q11,
     "etl_time_dim" -> graft.etl.EtlOracleSql.timeDim,
+    "etl_time_dim_literal" -> graft.etl.EtlOracleSql.timeDimLiteral,
     "etl_dim_product" -> graft.etl.EtlOracleSql.dimProduct,
     "etl_sales_fact" -> graft.etl.EtlOracleSql.salesFact,
     "etl_upsert_antijoin" -> graft.etl.EtlOracleSql.upsertAntiJoin,

@@ -8,6 +8,24 @@ object EtlOracleSql {
   val timeDim: String = star(
     """SELECT * FROM dim_time ORDER BY time_id""")
 
+  // Same week-of-calendar-year arithmetic as TimeDim.weekLiteralCol,
+  // spelled with isodow (1=Mon..7=Sun, so isodow-1 = Spark's weekday).
+  val timeDimLiteral: String =
+    """WITH dates AS (SELECT DISTINCT o_orderdate AS time_id FROM orders),
+      |parts AS (
+      |  SELECT time_id,
+      |         date_trunc('year', time_id) AS jan1,
+      |         isodow(date_trunc('year', time_id)) - 1 AS wd
+      |  FROM dates
+      |)
+      |SELECT time_id,
+      |       CAST(weekofyear(time_id) AS INT) AS week_iso,
+      |       CAST(floor((date_diff('day', jan1, time_id) -
+      |                   (CASE WHEN wd <= 3 THEN -wd ELSE 7 - wd END))
+      |                  / 7.0) + 1 AS INT) AS week_literal
+      |FROM parts
+      |ORDER BY time_id""".stripMargin
+
   // `* REPLACE` (DuckDB star-expression) mirrors Schemas.outputDoubles:
   // exact decimal internally, DOUBLE at the comparison surface.
   val dimProduct: String = star(

@@ -14,6 +14,20 @@ object EtlQueries {
   def timeDim(spark: SparkSession, dir: String): DataFrame =
     Star.dimTime(spark, dir).orderBy("time_id")
 
+  /** P2 literal twin — the reference's week-of-calendar-year semantics
+    * verbatim ([[TimeDim.weekLiteralCol]]) next to the engine's ISO week,
+    * one row per distinct order date. Pins the one documented time
+    * divergence (SURVEY.md G1) as a bug-compatible capability: dates
+    * before the year's first ≥4-day week get week 0 here (e.g. Jan 1 on
+    * a Friday), where ISO weekofyear says 52/53. */
+  def timeDimLiteral(spark: SparkSession, dir: String): DataFrame =
+    Star.table(spark, dir, "orders")
+      .select(col("o_orderdate").as("time_id"))
+      .distinct()
+      .withColumn("week_iso", TimeDim.weekCol(col("time_id")))
+      .withColumn("week_literal", TimeDim.weekLiteralCol(col("time_id")))
+      .orderBy("time_id")
+
   /** F3 + S6 — the Products dimension build with denormalized Store/
     * Supplier FKs. `price` is exact decimal internally; the output dump
     * casts it to double (comparison-surface contract, [[graft.model.Schemas.outputDoubles]]). */

@@ -41,6 +41,24 @@ object TimeDim {
       .withColumn("is_weekend", isWeekendCol(c))
   }
 
+  /** The reference's week VERBATIM (bug-compatible twin of [[weekCol]]):
+    * Java `WeekFields.ISO.weekOfYear()` (`Meshjoin.java:309`) counts
+    * weeks within the CALENDAR year — week 1 is the first Monday-started
+    * week with ≥ 4 days in the year, days before it are week 0, and a
+    * year's final days run up to week 53 instead of rolling into next
+    * year's week 1. Derivation: with weekday(Jan 1) ∈ 0(Mon)..6(Sun),
+    * week 1 starts `weekday` days BEFORE Jan 1 when Jan 1 falls Mon–Thu,
+    * else `7 − weekday` days after; the week index is then a floor
+    * division of the day offset. Pure builtins ⇒ codegen, engine-portable
+    * (the DuckDB twin spells the same arithmetic with isodow). */
+  def weekLiteralCol(c: Column): Column = {
+    val d = to_date(c)
+    val jan1 = trunc(d, "year")
+    val wd = weekday(jan1)
+    val week1Start = when(wd <= 3, -wd).otherwise(lit(7) - wd)
+    (floor((datediff(d, jan1) - week1Start).cast("double") / 7.0d) + 1).cast("int")
+  }
+
   /** Parse the reference's `yyyy-MM-dd H:mm:ss` transaction timestamps
     * (single-`H` accepts 1- and 2-digit hours, SURVEY.md G7); unparseable
     * rows yield NULL, which the caller drops (reference Q-b: invalid

@@ -45,6 +45,32 @@ class TimeDimSpec extends SparkSpec {
     assert(attrs("2024-12-30 00:00:00").getInt(3) == 1)
   }
 
+  test("literal week matches Java WeekFields.ISO.weekOfYear over 1200 consecutive days") {
+    // the exact API the reference calls (Meshjoin.java:309), evaluated
+    // driver-side as the truth set; the range covers years whose Jan 1
+    // falls Fri (2021), Sat (2022), Sun (2023) and Mon (2024) — week-0
+    // and week-53 regimes both included.
+    import java.time.LocalDate
+    import java.time.temporal.WeekFields
+    val start = LocalDate.of(2020, 12, 25)
+    val dates = (0 until 1200).map(start.plusDays(_))
+    val expected = dates.map(d => d.toString -> d.get(WeekFields.ISO.weekOfYear())).toMap
+    val got = dates.map(_.toString).toDF("raw")
+      .withColumn("d", to_date(col("raw")))
+      .withColumn("w", TimeDim.weekLiteralCol(col("d")))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(got == expected)
+  }
+
+  test("literal week 0 where ISO week says 53 (the pinned G1 divergence)") {
+    val df = Seq("2021-01-01").toDF("raw").withColumn("d", to_date(col("raw")))
+      .select(
+        TimeDim.weekLiteralCol(col("d")).as("lit"),
+        TimeDim.weekCol(col("d")).as("iso"))
+      .head()
+    assert(df.getInt(0) == 0 && df.getInt(1) == 53)
+  }
+
   test("quarter arithmetic (m-1)/3+1 across all months") {
     val byMonth = (1 to 12).map(m => attrs(f"2024-$m%02d-15 00:00:00").getInt(4))
     assert(byMonth == Seq(1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4))
