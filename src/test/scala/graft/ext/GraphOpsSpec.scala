@@ -32,6 +32,27 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("random graphs match a driver-side union-find on every trial") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(rnd.nextInt(60))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // truth: union-find, always hanging the larger root under the
+      // smaller, so each final root IS its component's minimum member.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val incident = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).toSet
+      val expected = incident.groupBy(find).values
+        .flatMap { ms => val mn = ms.min.toLong; ms.map(_.toLong -> mn) }.toMap
+      assert(cc(edges) == expected, s"trial $trial (n=$n, m=${edges.size})")
+    }
+  }
+
   test("self-loops and duplicate/null edges are ignored; empty graph yields empty output") {
     val withJunk = Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L))
     assert(cc(withJunk) == Map(2L -> 2L, 3L -> 2L))
