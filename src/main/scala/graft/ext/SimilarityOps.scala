@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor similarity search over the `embeddings`
   * table (`ArrayType(FloatType)`, dim 64) — SURVEY.md §7.5 extension tier.
@@ -55,10 +54,33 @@ object SimilarityOps {
   def withNormAndBucket(e: DataFrame): DataFrame =
     withNorm(e).withColumn("bucket", expr(bucketExpr))
 
+  /** Per-group top-k over a scored candidate frame via the bounded
+    * [[graft.functions.TopK]] aggregate: the shuffle carries O(groups×k)
+    * partial buffers instead of every candidate row (the row_number
+    * window this replaced sorted the FULL candidate join output — at
+    * 100 TB that shuffle is the query). Ordering is (score desc,
+    * neighbor id asc) — `-id` inside the descending struct ordering —
+    * identical rows to the window formulation, deterministic because
+    * scores are bit-identical doubles. `carry` are group-constant
+    * columns (bucket/cell) kept through the aggregate. */
+  private def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
+      score: Column, id: Column, k: Int): DataFrame = {
+    val tk = graft.functions.TopK.topKBy(
+      struct(score.as("s"), (-id).as("t"), id.as("i")), k)
+    scored.groupBy(group.as("query_id") +: carry.map { case (n, c) => c.as(n) }: _*)
+      .agg(tk.as("tk"))
+      .select(col("query_id") +: carry.map { case (n, _) => col(n) } :+
+        posexplode(sort_array(col("tk"), asc = false)): _*)
+      .select(col("query_id") +: carry.map { case (n, _) => col(n) } :+
+        (col("pos") + 1).cast("int").as("rank") :+
+        col("col.i").as("neighbor_id") :+ col("col.s").as("score"): _*)
+  }
+
   /** Brute-force cosine top-k: every query vector (vec_id < nQueries)
     * against the full corpus. Queries are broadcast (small side by
-    * construction); the corpus is scanned once; per-query top-k is a
-    * window over the per-query partitions. Ties broken by neighbor id —
+    * construction); the corpus is scanned once; per-query top-k is the
+    * bounded aggregate (partial top-k combines map-side inside the scan
+    * stage — no candidate shuffle). Ties broken by neighbor id —
     * fully deterministic because scores are bit-identical. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 8): DataFrame = {
@@ -67,11 +89,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(cosExpr("qv", "embedding", "qn", "norm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cos").as("score"))
+    topKPerGroup(scored, col("query_id"), Seq.empty, col("cos"), col("vec_id"), k)
       .orderBy("query_id", "rank")
   }
 
@@ -94,42 +112,41 @@ object SimilarityOps {
     * each (query, neighbor) pair appears at most once — no dedup needed. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
       nCentroids: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings(spark, dir))
     val nCent =
       if (nCentroids > 0) nCentroids
       else math.max(8L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
     val cents = e.where(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("norm").as("cn"))
-    // rank centroids by cosine per vector, ties → lower id; keep the top
-    // nProbe rows: crank=1 is the vector's cell assignment, crank<=nProbe
-    // are the cells it probes as a query.
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val ranked = e.join(broadcast(cents))
-      .withColumn("ccos", expr(cosExpr("embedding", "cv", "norm", "cn")))
-      .withColumn("crank", row_number().over(wCell))
-      .where(col("crank") <= math.max(nProbe, 1))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("cent_id"), col("crank"))
+    // Rank centroids per vector (ties → lower id) and keep the top
+    // nProbe as ONE bounded aggregate: the n×√n assignment-scoring join
+    // (a nested loop against the BROADCAST centroid set — bounded side,
+    // sub-quadratic total, the standard IVF assignment shape) reduces
+    // map-side to n rows of ≤ nProbe centroid ids; a row_number window
+    // here would shuffle all n×√n scored rows instead. crank=1 is the
+    // vector's cell assignment, crank ≤ nProbe the cells it probes.
+    val nP = math.max(nProbe, 1)
+    val ranked = topKPerGroup(
+      e.join(broadcast(cents))
+        .withColumn("ccos", expr(cosExpr("embedding", "cv", "norm", "cn"))),
+      col("vec_id"), Seq.empty, col("ccos"), col("cent_id"), nP)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("cent_id"),
+        col("rank").as("crank"))
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"), col("crank"))
     val rankedCached = graft.util.SessionCache.getOrBuild(
       spark, s"sim|$dir|ivf_ranked|$nCent|$nProbe")(ranked) // the IVF index artifact
     val cells = rankedCached.where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
     val probes = rankedCached
       .select(col("vec_id").as("pvid"), col("cent_id").as("pcell"))
-    val wRank = Window.partitionBy(col("q.vec_id"))
-      .orderBy(col("cos").desc, col("c.vec_id").asc)
-    cells.as("q")
+    val scored = cells.as("q")
       .join(probes, col("q.vec_id") === col("pvid"))
       .join(cells.as("c"),
         col("pcell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cos", expr(cosExpr("q.embedding", "c.embedding", "q.norm", "c.norm")))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= k)
-      .select(col("q.vec_id").as("query_id"), col("q.cell").as("cell"),
-        col("rank"), col("c.vec_id").as("neighbor_id"),
-        col("cos").as("score"))
+    topKPerGroup(scored, col("q.vec_id"), Seq("cell" -> col("q.cell")),
+      col("cos"), col("c.vec_id"), k)
       .orderBy("query_id", "rank")
   }
 
@@ -149,11 +166,8 @@ object SimilarityOps {
       explode(expr(probesExpr)).as("probe"))
     val scored = q.join(e, col("probe") === col("bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(cosExpr("qv", "embedding", "qn", "norm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("qbucket").as("bucket"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("cos").as("score"))
+    topKPerGroup(scored, col("query_id"), Seq("bucket" -> col("qbucket")),
+      col("cos"), col("vec_id"), k)
       .orderBy("query_id", "rank")
   }
 
@@ -166,13 +180,8 @@ object SimilarityOps {
     val scored = e.as("q").join(e.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cos", expr(cosExpr("q.embedding", "c.embedding", "q.norm", "c.norm")))
-    val w = Window.partitionBy(col("q.vec_id"))
-      .orderBy(col("cos").desc, col("c.vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q.vec_id").as("query_id"), col("q.bucket").as("bucket"),
-        col("rank"), col("c.vec_id").as("neighbor_id"),
-        col("cos").as("score"))
+    topKPerGroup(scored, col("q.vec_id"), Seq("bucket" -> col("q.bucket")),
+      col("cos"), col("c.vec_id"), k)
       .orderBy("query_id", "rank")
   }
 }

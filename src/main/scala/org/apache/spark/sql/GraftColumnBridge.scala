@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Bounded per-group top-k collect ([[CollectTopK]] is `private[sql]`;
+    * constructed here for [[graft.functions.TopK]]): keeps the `k`
+    * largest `ord` values per group in a bounded priority queue with
+    * map-side partial merge. */
+  def collectTopK(ord: Column, k: Int): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftTopKBridge.collectTopK(expression(ord), k)
+      .toAggregateExpression())
 }

@@ -12,14 +12,37 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfSmoke).queryExecution.executedPlan.toString
 
   test("dedup and ANN plans never degenerate to all-pairs joins") {
+    // ext_sim_ivf_topk is exempt from the BNLJ ban ONLY: its centroid
+    // assignment is a nested loop against the BROADCAST centroid set
+    // (bounded at ~√n rows → n×√n work, sub-quadratic by construction —
+    // the standard IVF assignment shape). The CartesianProduct ban still
+    // applies to it. Asserted on a cold cache: SessionCache persistence
+    // must not be what hides a bad join (pre-fix, suite ordering decided
+    // whether this test saw the real plan or an InMemoryTableScan).
+    graft.util.SessionCache.invalidate(spark)
     val bucketed = Seq(
       "ext_dedup_jaccard", "ext_dedup_minhash_lsh", "ext_dedup_simhash",
       "ext_dedup_embedding", "ext_sim_lsh_topk", "ext_sim_lsh_multiprobe",
       "ext_sim_ivf_topk")
     for (q <- bucketed) {
       val p = planOf(q)
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"$q plan contains an all-pairs join")
+      assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian product")
+      if (q != "ext_sim_ivf_topk")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan contains an all-pairs join")
+    }
+  }
+
+  test("ANN top-k is a bounded aggregate, not a window sort over candidates") {
+    // row_number windows shuffle and sort EVERY candidate row; the
+    // bounded collect_top_k aggregate ships O(groups×k) partial buffers.
+    // Regressing to a window re-couples shuffle size to candidate count.
+    graft.util.SessionCache.invalidate(spark)
+    for (q <- Seq("ext_sim_topk", "ext_sim_lsh_topk", "ext_sim_lsh_multiprobe",
+        "ext_sim_ivf_topk")) {
+      val p = planOf(q)
+      assert(p.contains("collect_top_k"), s"$q plan lost the bounded top-k aggregate")
+      assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+        s"$q plan sorts candidates through a window operator")
     }
   }
 
