@@ -48,6 +48,7 @@ object SparkEntry {
     "ext_sim_lsh_topk" -> graft.ext.ExtQueries.simLshTopK _,
     "ext_sim_ivf_topk" -> graft.ext.ExtQueries.simIvfTopK _,
     "ext_sim_lsh_multiprobe" -> graft.ext.ExtQueries.simLshMultiProbe _,
+    "ext_asof_events_orders" -> graft.ext.ExtQueries.asofEventsOrders _,
     "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
     "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _,
     "ext_media_frames" -> graft.ext.ExtQueries.mediaFrames _
@@ -94,6 +95,7 @@ object SparkEntry {
     "ext_sim_lsh_topk" -> graft.ext.ExtOracleSql.simLshTopK,
     "ext_sim_ivf_topk" -> graft.ext.ExtOracleSql.simIvfTopK,
     "ext_sim_lsh_multiprobe" -> graft.ext.ExtOracleSql.simLshMultiProbe,
+    "ext_asof_events_orders" -> graft.ext.ExtOracleSql.asofEventsOrders,
     "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta,
     "ext_media_frames" -> graft.ext.ExtOracleSql.mediaFrames
     // ext_media_decode: byte-level decode is not SQL-expressible →

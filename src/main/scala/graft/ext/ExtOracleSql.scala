@@ -442,6 +442,26 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** As-of oracle: DuckDB's NATIVE ASOF JOIN over the same tie-collapsed
+    * order table the Spark side builds — a genuinely independent
+    * implementation of the semantics (dedicated operator vs. the
+    * engine's union+ordered-window plan). `max_by(o_totalprice,
+    * o_orderkey)` mirrors Spark's max(struct(o_orderkey, o_totalprice))
+    * keeper: o_orderkey is unique, so both pick the same row. */
+  val asofEventsOrders: String =
+    s"""WITH ord AS (
+       |  SELECT o_custkey, o_orderdate AS last_order_date,
+       |         max(o_orderkey) AS last_order_key,
+       |         max_by(o_totalprice, o_orderkey) AS last_order_price
+       |  FROM orders GROUP BY 1, 2
+       |)
+       |SELECT e.event_id, e.ts, e.user_id, e.event_type,
+       |       o.last_order_date, o.last_order_key, o.last_order_price
+       |FROM events e
+       |ASOF LEFT JOIN ord o
+       |  ON e.user_id = o.o_custkey AND e.ts >= o.last_order_date
+       |ORDER BY e.event_id""".stripMargin
+
   val mediaMeta: String =
     s"""SELECT doc_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

@@ -22,6 +22,8 @@ object ExtQueries {
   def simLshTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.lshTopK(s, d)
   def simIvfTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.ivfTopK(s, d)
   def simLshMultiProbe(s: SparkSession, d: String): DataFrame = SimilarityOps.lshMultiProbeTopK(s, d)
+  def asofEventsOrders(s: SparkSession, d: String): DataFrame =
+    TemporalOps.eventsWithLatestOrder(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)
