@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, Md5Prefix32}
+import graft.functions.{ArrayDotProduct, KmvSketchAgg, Md5Prefix32}
 
 /** Production `SparkSessionExtensions` hook: registers the engine's
   * custom expressions so a deployment enables them cluster-wide with
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "md5_prefix32 expects exactly 1 argument")
         Md5Prefix32(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      KmvSketchAgg.builder))
   }
 }

@@ -49,6 +49,9 @@ object SparkEntry {
     "ext_sim_ivf_topk" -> graft.ext.ExtQueries.simIvfTopK _,
     "ext_sim_lsh_multiprobe" -> graft.ext.ExtQueries.simLshMultiProbe _,
     "ext_asof_events_orders" -> graft.ext.ExtQueries.asofEventsOrders _,
+    "ext_split_assign" -> graft.ext.ExtQueries.splitAssign _,
+    "ext_sample_stratified" -> graft.ext.ExtQueries.sampleStratified _,
+    "ext_sketch_vocab" -> graft.ext.ExtQueries.vocabSketch _,
     "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
     "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _,
     "ext_media_frames" -> graft.ext.ExtQueries.mediaFrames _
@@ -96,6 +99,9 @@ object SparkEntry {
     "ext_sim_ivf_topk" -> graft.ext.ExtOracleSql.simIvfTopK,
     "ext_sim_lsh_multiprobe" -> graft.ext.ExtOracleSql.simLshMultiProbe,
     "ext_asof_events_orders" -> graft.ext.ExtOracleSql.asofEventsOrders,
+    "ext_split_assign" -> graft.ext.ExtOracleSql.splitAssign,
+    "ext_sample_stratified" -> graft.ext.ExtOracleSql.stratifiedSample,
+    "ext_sketch_vocab" -> graft.ext.ExtOracleSql.vocabSketch,
     "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta,
     "ext_media_frames" -> graft.ext.ExtOracleSql.mediaFrames
     // ext_media_decode: byte-level decode is not SQL-expressible →

@@ -442,6 +442,71 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** KMV twin: the k-th smallest DISTINCT token hash per language via
+    * one window — the exact set the engine's bounded TreeSet aggregate
+    * retains, so sketch estimate and relative error match bit-for-bit.
+    * k = 64 mirrors [[TextOps.vocabSketch]]'s default. */
+  val vocabSketch: String =
+    s"""WITH words AS (
+       |  SELECT lang, w
+       |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w)
+       |),
+       |exact AS (
+       |  SELECT lang, count(DISTINCT w) AS n_vocab_exact FROM words GROUP BY 1
+       |),
+       |hashed AS (
+       |  SELECT DISTINCT lang, ${h32("w")} AS h FROM words
+       |),
+       |ranked AS (
+       |  SELECT lang, h,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |  FROM hashed
+       |),
+       |est AS (
+       |  SELECT lang,
+       |         CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+       |              ELSE CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+       |                   / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+       |         END AS n_vocab_kmv
+       |  FROM ranked WHERE rn <= 64 GROUP BY 1
+       |)
+       |SELECT e.lang, e.n_vocab_exact, s.n_vocab_kmv,
+       |       (s.n_vocab_kmv - CAST(e.n_vocab_exact AS DOUBLE))
+       |         / CAST(e.n_vocab_exact AS DOUBLE) AS rel_err
+       |FROM exact e JOIN est s USING (lang)
+       |ORDER BY e.lang""".stripMargin
+
+  /** Split/sample oracles share the engine's salted-hash contract: the
+    * hash input is 'salt:' || id, so assignments are independent of the
+    * unsalted id hashes used elsewhere. */
+  val splitAssign: String =
+    s"""SELECT doc_id, CAST(h % 100 AS INT) AS bucket,
+       |       CASE WHEN h % 100 < 80 THEN 'train'
+       |            WHEN h % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ${h32("'split:' || CAST(doc_id AS VARCHAR)")} AS h
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val stratifiedSample: String =
+    s"""WITH hashed AS (
+       |  SELECT lang, source, doc_id,
+       |         ${h32("'sample:' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT lang, source, doc_id, h,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY lang, source ORDER BY h, doc_id
+       |         ) AS sample_rank
+       |  FROM hashed
+       |)
+       |SELECT lang, source, CAST(sample_rank AS INT) AS sample_rank, doc_id, h
+       |FROM ranked WHERE sample_rank <= 5
+       |ORDER BY lang, source, sample_rank""".stripMargin
+
   /** As-of oracle: DuckDB's NATIVE ASOF JOIN over the same tie-collapsed
     * order table the Spark side builds — a genuinely independent
     * implementation of the semantics (dedicated operator vs. the

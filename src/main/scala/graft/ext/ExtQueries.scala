@@ -24,6 +24,9 @@ object ExtQueries {
   def simLshMultiProbe(s: SparkSession, d: String): DataFrame = SimilarityOps.lshMultiProbeTopK(s, d)
   def asofEventsOrders(s: SparkSession, d: String): DataFrame =
     TemporalOps.eventsWithLatestOrder(s, d)
+  def splitAssign(s: SparkSession, d: String): DataFrame = SampleOps.datasetSplit(s, d)
+  def vocabSketch(s: SparkSession, d: String): DataFrame = TextOps.vocabSketch(s, d)
+  def sampleStratified(s: SparkSession, d: String): DataFrame = SampleOps.stratifiedSample(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

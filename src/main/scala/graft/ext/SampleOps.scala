@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for the
+  * training-data pipeline tier. A 100 TB corpus cannot use
+  * `rand()`-based sampling for train/val/test assignment: resampling on
+  * every run (and every retry of every task) makes experiments
+  * unreproducible and leaks val/test rows into training across
+  * pipeline versions. The standard fix is HASH-based assignment — a
+  * pure function of a stable id — which this module implements on the
+  * engine's cross-engine hash contract (`H(s) = int(md5(s)[0:8], 16)`,
+  * [[TextOps.h32]]), so every sample is differentially testable in
+  * DuckDB, row-for-row.
+  *
+  * Scale posture: split assignment is per-row expression work (fuses
+  * into the scan — no shuffle, no state). Stratified sampling is ONE
+  * bounded top-k aggregate per stratum (O(strata × n) shuffled bytes),
+  * never a per-stratum window sort of the full corpus.
+  */
+object SampleOps {
+
+  /** Salted split hash: independent of every other use of the id hash
+    * (the dedup fingerprints, media dims) because the salt changes the
+    * md5 input. bucket ∈ [0, 100). */
+  private val bucketExpr = "pmod(h32_split, 100)"
+
+  /** Reproducible 80/10/10 train/val/test assignment by salted id hash.
+    * A document's split NEVER changes as the corpus grows — assignment
+    * depends only on its own id — which is the property rand()-sampling
+    * and modulo-on-row-number both lack. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .withColumn("h32_split",
+        TextOps.h32(concat(lit("split:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr(bucketExpr).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample: the `n` lowest-salted-hash
+    * documents per (lang, source) stratum — a uniform-without-
+    * replacement sample under the md5 hash, reproducible across runs
+    * and engines. Implemented as a bounded top-k aggregate
+    * ([[graft.functions.TopK]], keeping the k LARGEST of (-h, -id) =
+    * the k smallest (h, id)): per-stratum state is O(n) and combines
+    * map-side, so the shuffle is O(strata × n) rows no matter how large
+    * each stratum is. The row_number-window formulation (what the
+    * DuckDB oracle uses) would sort every corpus row per stratum. */
+  def stratifiedSample(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val hashed = TextOps.docs(spark, dir)
+      .withColumn("h",
+        TextOps.h32(concat(lit("sample:"), col("doc_id").cast("string"))))
+    val tk = graft.functions.TopK.topKBy(
+      struct((-col("h")).as("nh"), (-col("doc_id")).as("nd")), n)
+    hashed.groupBy("lang", "source")
+      .agg(tk.as("tk"))
+      .select(col("lang"), col("source"),
+        posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("lang"), col("source"),
+        (col("pos") + 1).cast("int").as("sample_rank"),
+        (-col("col.nd")).as("doc_id"), (-col("col.nh")).as("h"))
+      .orderBy("lang", "source", "sample_rank")
+  }
+}

@@ -190,6 +190,36 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Per-language vocabulary size, exact AND KMV-estimated
+    * ([[graft.functions.KmvSketchAgg]], k = 64 smallest distinct token
+    * hashes): the synopsis path a 100 TB profile job takes — O(k) state
+    * per group versus shuffling every distinct token — checked here
+    * against the exact count it approximates, in the same output row.
+    * Exact and sketch are computed as SEPARATE aggregations joined on
+    * lang (a handful of groups): fusing countDistinct with an object
+    * aggregate forces a single-purpose sort-aggregate plan for no win.
+    * The estimate and its relative error are doubles derived from
+    * integer-exact inputs — bit-identical in the DuckDB twin, which
+    * computes the k-th smallest distinct hash with a window. */
+  def vocabSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val words = withWords(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("lang"), explode(col("ws")).as("w"))
+    val exact = words.groupBy("lang")
+      .agg(countDistinct("w").as("n_vocab_exact"))
+    val sketch = words.withColumn("h", h32(col("w")))
+      .groupBy("lang")
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(col("h"), k).as("kmv"))
+      .select(col("lang"),
+        expr(graft.functions.KmvSketchAgg.estimateExpr("kmv", k)).as("n_vocab_kmv"))
+    exact.join(sketch, "lang")
+      .withColumn("rel_err",
+        (col("n_vocab_kmv") - col("n_vocab_exact").cast("double")) /
+          col("n_vocab_exact").cast("double"))
+      .select("lang", "n_vocab_exact", "n_vocab_kmv", "rel_err")
+      .orderBy("lang")
+  }
+
   /** Document fingerprint via rolling character 8-grams: min cross-engine
     * hash (primary fingerprint), a second independent min-hash
     * (rotation-permuted), and the distinct-gram cardinality.

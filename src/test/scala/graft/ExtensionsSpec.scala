@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * text/dedup oracle contract for cluster-wide deployments. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("spark.sql.extensions=graft.GraftExtensions resolves array_dot and md5_prefix32") {
+  test("spark.sql.extensions=graft.GraftExtensions resolves all custom functions") {
     // getOrCreate returns any active session unchanged (extensions would
     // be silently ignored) — clear first so a NEW session is built with
     // the extensions hook applied.
@@ -31,6 +31,11 @@ class ExtensionsSpec extends AnyFunSuite {
       // H('abc'): md5('abc') = 900150983cd24fb0... → prefix32 = 0x90015098
       val h = s.sql("SELECT md5_prefix32('abc') AS h").head().getLong(0)
       assert(h == java.lang.Long.parseLong("90015098", 16))
+      // kmv_sketch via SQL: 2 smallest distinct of {5, 3, 3, 9} = [3, 5]
+      val kmv = s.sql(
+        "SELECT kmv_sketch(v, 2) AS s FROM VALUES (CAST(5 AS BIGINT)), (3), (3), (9) AS t(v)")
+        .head().getSeq[Long](0)
+      assert(kmv == Seq(3L, 5L))
     } finally {
       s.stop()
       SparkSession.clearActiveSession()

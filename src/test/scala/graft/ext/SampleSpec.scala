@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the sampling operators' engine-level properties; exact
+  * row-level values are pinned by the DuckDB oracle twins. */
+class SampleSpec extends SparkSpec {
+
+  test("dataset split covers every document exactly once with sane fractions") {
+    val split = SampleOps.datasetSplit(spark, sfSmoke).cache()
+    try {
+      val total = split.count()
+      assert(total == TextOps.docs(spark, sfSmoke).count())
+      val byShare = split.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1) / total.toDouble).toMap
+      // hash uniformity sanity: 500 docs, binomial 4σ ≈ ±7 pp on train
+      assert(math.abs(byShare("train") - 0.8) < 0.08, s"train share ${byShare("train")}")
+      assert(byShare.values.sum == 1.0)
+    } finally split.unpersist()
+  }
+
+  test("stratified sample takes the n lowest-hash docs per stratum") {
+    val n = 3
+    val sample = SampleOps.stratifiedSample(spark, sfSmoke, n).cache()
+    try {
+      // never more than n per stratum, ranks contiguous from 1
+      val bad = sample.groupBy("lang", "source")
+        .agg(count(lit(1)).as("c"), min("sample_rank").as("lo"), max("sample_rank").as("hi"))
+        .where(col("c") > n || col("lo") =!= 1 || col("hi") =!= col("c"))
+        .count()
+      assert(bad == 0)
+      // rank order IS hash order within each stratum
+      val misordered = sample.as("a").join(sample.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.sample_rank") < col("b.sample_rank") && col("a.h") > col("b.h"))
+        .count()
+      assert(misordered == 0)
+    } finally sample.unpersist()
+  }
+}
