@@ -478,6 +478,23 @@ object ExtOracleSql {
        |FROM exact e JOIN est s USING (lang)
        |ORDER BY e.lang""".stripMargin
 
+  /** Pipeline twin: nests the component oracles verbatim as subqueries
+    * (DuckDB supports WITH — including RECURSIVE — inside a derived
+    * table), so the composition is checked against the SAME component
+    * definitions the per-operator rows already pin. Thresholds mirror
+    * [[PipelineOps]]. */
+  def cleanCorpus: String =
+    s"""SELECT s.doc_id, l.lang, l.pred_lang, sp.split, s.n_tokens, s.quality_score
+       |FROM ($textStats) s
+       |JOIN ($langId) l USING (doc_id)
+       |JOIN ($splitAssign) sp USING (doc_id)
+       |WHERE s.n_tokens >= ${PipelineOps.MinTokens}
+       |  AND s.quality_score >= ${PipelineOps.MinQuality}
+       |  AND l.pred_lang <> 'unknown'
+       |  AND s.doc_id IN (SELECT doc_id FROM ($dedupExact))
+       |  AND s.doc_id IN (SELECT doc_id FROM ($dedupClusters) WHERE is_keeper)
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Split/sample oracles share the engine's salted-hash contract: the
     * hash input is 'salt:' || id, so assignments are independent of the
     * unsalted id hashes used elsewhere. */
