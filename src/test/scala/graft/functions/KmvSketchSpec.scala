@@ -48,6 +48,31 @@ class KmvSketchSpec extends SparkSpec {
     assert(sketch == Seq(5L, 9L))
   }
 
+  test("sketch works inside a streaming aggregation with batch parity") {
+    // the aggregate's serialize/merge path is what streaming state
+    // exercises across micro-batches — a sketch over two batches must
+    // equal the batch sketch over the union (mergeability, live)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      df.select((col("value") % 7).as("g"), (col("value") % 100).as("h"))
+        .groupBy("g").agg(KmvSketchAgg.kmvSketch(col("h"), 4).as("kmv"))
+    val q = agg(stream.toDF())
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    stream.addData(0L until 500L)
+    q.processAllAvailable()
+    stream.addData(500L until 1000L) // second micro-batch → merge path
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_stream").orderBy("g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val batch = agg(spark.range(0, 1000).toDF("value")).orderBy("g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    assert(streamed == batch)
+  }
+
   test("estimate lands within the KMV error envelope on real hashes") {
     // md5 hashes of 5000 distinct strings, k = 64: standard error is
     // ~1/√(k−2) ≈ 12.7 %; assert a generous 4σ so the test pins sanity,
