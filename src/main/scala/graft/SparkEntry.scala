@@ -24,6 +24,7 @@ object SparkEntry {
     "q09_spikes" -> Queries.q09Spikes _,
     "q10_store_quarterly" -> Queries.q10StoreQuarterly _,
     "q11_latest_month" -> Queries.q11LatestMonth _,
+    "q12_top_per_store" -> ((s, dir) => Queries.q12TopPerStore(s, dir)),
     "etl_time_dim" -> graft.etl.EtlQueries.timeDim _,
     "etl_time_dim_literal" -> graft.etl.EtlQueries.timeDimLiteral _,
     "etl_dim_product" -> graft.etl.EtlQueries.dimProduct _,
@@ -75,6 +76,7 @@ object SparkEntry {
     "q09_spikes" -> OracleSql.q09,
     "q10_store_quarterly" -> OracleSql.q10,
     "q11_latest_month" -> OracleSql.q11,
+    "q12_top_per_store" -> OracleSql.q12,
     "etl_time_dim" -> graft.etl.EtlOracleSql.timeDim,
     "etl_time_dim_literal" -> graft.etl.EtlOracleSql.timeDimLiteral,
     "etl_dim_product" -> graft.etl.EtlOracleSql.dimProduct,

@@ -231,6 +231,29 @@ object OracleSql {
       |GROUP BY f.store_id, st.store_name, quarter, year
       |ORDER BY st.store_name ASC, year ASC, quarter ASC""".stripMargin)
 
+  /** Ties rank by product_name DESC — mirroring the engine's bounded
+    * top-k aggregate, whose descending struct order cannot invert a
+    * string tie-break (see Queries.q12TopPerStore). */
+  val q12: String = star(
+    """SELECT store_name, CAST(rank AS INT) AS rank, product_name, revenue
+      |FROM (
+      |  SELECT store_name, product_name, revenue,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY store_name
+      |           ORDER BY revenue DESC, product_name DESC
+      |         ) AS rank
+      |  FROM (
+      |    SELECT st.store_name, p.product_name,
+      |           CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      |    FROM sales_fact f
+      |    JOIN dim_store st ON f.store_id = st.store_id
+      |    JOIN dim_product p ON f.product_id = p.product_id
+      |    GROUP BY st.store_name, p.product_name
+      |  )
+      |)
+      |WHERE rank <= 3
+      |ORDER BY store_name, rank""".stripMargin)
+
   val q11: String = star(
     """SELECT st.store_id, st.store_name,
       |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue

@@ -381,6 +381,38 @@ object Queries {
          |ORDER BY st.store_id""".stripMargin)
   }
 
+  /** Q12 (extension of the reference's top-k family): top-3 products
+    * PER STORE by revenue — the grouped variant of Q1's global top-5
+    * (reference O1 generalized). Implemented with the bounded top-k
+    * aggregate ([[graft.functions.TopK]]): per-store state is 3 rows
+    * and combines map-side, so the shuffle carries O(stores × 3)
+    * buffers — a row_number window would shuffle and sort every
+    * (store, product) aggregate row. Revenue ties rank by product name
+    * DESCENDING: the bounded aggregate keeps the k largest
+    * (revenue, name) structs and strings cannot be order-inverted the
+    * way numeric tie-breaks are (`-id`), so the tie direction follows
+    * the struct order — deterministic, and mirrored verbatim by the
+    * oracle's `ORDER BY revenue DESC, product_name DESC` window. */
+  def q12TopPerStore(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val store = Star.dimStore(spark, dir)
+    val product = Star.dimProduct(spark, dir)
+    val byProduct = fact
+      .join(broadcast(store), Seq("store_id"))
+      .join(broadcast(product), Seq("product_id"))
+      .groupBy(col("store_name"), col("product_name"))
+      .agg(sum("total_revenue").cast(aggRevenueType).cast("double").as("revenue"))
+    val tk = graft.functions.TopK.topKBy(
+      struct(col("revenue").as("r"), col("product_name").as("p")), k)
+    byProduct.groupBy("store_name")
+      .agg(tk.as("tk"))
+      .select(col("store_name"),
+        posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("store_name"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.p").as("product_name"), col("col.r").as("revenue"))
+      .orderBy("store_name", "rank")
+  }
+
   /** Q10: the STORE_QUARTERLY_SALES view (reference S8,
     * `.../OLAP Queries - Metro.sql:276-288`) — registered as a temp view
     * (Spark's lazy-view analog of CREATE VIEW) and read back. */
