@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: split assignment is per-row expression work (fuses
   * into the scan — no shuffle, no state). Stratified sampling is ONE
-  * bounded top-k aggregate per stratum (O(strata × n) shuffled bytes),
-  * never a per-stratum window sort of the full corpus.
+  * bounded top-k aggregate per stratum — O(n) heap state, no
+  * per-stratum sort of the corpus (the window form sorts every corpus
+  * row within each map partition; see [[graft.functions.TopK]]).
   */
 object SampleOps {
 
@@ -48,9 +49,9 @@ object SampleOps {
     * and engines. Implemented as a bounded top-k aggregate
     * ([[graft.functions.TopK]], keeping the k LARGEST of (-h, -id) =
     * the k smallest (h, id)): per-stratum state is O(n) and combines
-    * map-side, so the shuffle is O(strata × n) rows no matter how large
-    * each stratum is. The row_number-window formulation (what the
-    * DuckDB oracle uses) would sort every corpus row per stratum. */
+    * map-side with no candidate sort (the row_number-window
+    * formulation — what the DuckDB oracle uses — fully sorts the
+    * corpus rows within each partition before ranking). */
   def stratifiedSample(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val hashed = TextOps.docs(spark, dir)
       .withColumn("h",

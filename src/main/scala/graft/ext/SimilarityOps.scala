@@ -55,14 +55,14 @@ object SimilarityOps {
     withNorm(e).withColumn("bucket", expr(bucketExpr))
 
   /** Per-group top-k over a scored candidate frame via the bounded
-    * [[graft.functions.TopK]] aggregate: the shuffle carries O(groups×k)
-    * partial buffers instead of every candidate row (the row_number
-    * window this replaced sorted the FULL candidate join output — at
-    * 100 TB that shuffle is the query). Ordering is (score desc,
-    * neighbor id asc) — `-id` inside the descending struct ordering —
-    * identical rows to the window formulation, deterministic because
-    * scores are bit-identical doubles. `carry` are group-constant
-    * columns (bucket/cell) kept through the aggregate. */
+    * [[graft.functions.TopK]] aggregate: an O(k) heap per group instead
+    * of the row_number window's twin full sorts of the candidate join
+    * output (see TopK's scaladoc for the exact plan comparison).
+    * Ordering is (score desc, neighbor id asc) — `-id` inside the
+    * descending struct ordering — identical rows to the window
+    * formulation, deterministic because scores are bit-identical
+    * doubles. `carry` are group-constant columns (bucket/cell) kept
+    * through the aggregate. */
   private def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
       score: Column, id: Column, k: Int): DataFrame = {
     val tk = graft.functions.TopK.topKBy(

@@ -5,17 +5,19 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 /** Bounded per-group top-k as an AGGREGATE, not a window.
   *
   * `row_number().over(Window.partitionBy(g).orderBy(o))` followed by
-  * `rank <= k` is the idiomatic small-data top-k, but its physical plan
-  * shuffles and sorts EVERY candidate row (the window operator cannot
-  * discard rows map-side). For ANN search the candidate set is the
-  * bucket/cell join output — orders of magnitude larger than the k kept
-  * rows — so at 100 TB the window shuffle IS the query cost.
+  * `rank <= k` is the idiomatic top-k. Spark 4 does bound its shuffle
+  * (`InferWindowGroupLimit` inserts a Partial WindowGroupLimit below
+  * the exchange), but the plan still SORTS the entire candidate set in
+  * every map partition, and sorts again after the shuffle, before the
+  * Window operator finally ranks — for ANN search the candidate set is
+  * the bucket/cell join output, orders of magnitude larger than the k
+  * kept rows, so those O(n log n) sorts are the query cost at scale.
   *
-  * [[CollectTopK]] (Spark's bounded-priority-queue collect aggregate,
-  * public since 3.4, planned through ObjectHashAggregate) keeps at most
-  * k elements per group in each partial buffer, so the shuffle carries
-  * O(groups × k) rows regardless of candidate count — the same
-  * partial-aggregation shape as a SUM. Determinism: elements are
+  * The aggregate form keeps at most k elements per group in an O(k)
+  * priority-queue buffer ([[CollectTopK]], planned through
+  * ObjectHashAggregate): no candidate sort anywhere, partial buffers
+  * combine map-side, and the shuffle carries O(groups × k) rows — the
+  * same partial-aggregation shape as a SUM. Determinism: elements are
   * compared by the full ordering struct (score, then tie-break), so the
   * kept set and its order are exactly those of the window formulation.
   *

@@ -385,9 +385,9 @@ object Queries {
     * PER STORE by revenue — the grouped variant of Q1's global top-5
     * (reference O1 generalized). Implemented with the bounded top-k
     * aggregate ([[graft.functions.TopK]]): per-store state is 3 rows
-    * and combines map-side, so the shuffle carries O(stores × 3)
-    * buffers — a row_number window would shuffle and sort every
-    * (store, product) aggregate row. Revenue ties rank by product name
+    * and combines map-side with no sort of the (store, product)
+    * aggregate rows (a row_number window would sort them per partition
+    * before ranking). Revenue ties rank by product name
     * DESCENDING: the bounded aggregate keeps the k largest
     * (revenue, name) structs and strings cannot be order-inverted the
     * way numeric tie-breaks are (`-id`), so the tie direction follows

@@ -33,9 +33,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ANN top-k is a bounded aggregate, not a window sort over candidates") {
-    // row_number windows shuffle and sort EVERY candidate row; the
-    // bounded collect_top_k aggregate ships O(groups×k) partial buffers.
-    // Regressing to a window re-couples shuffle size to candidate count.
+    // the row_number window plan fully sorts the candidate set in every
+    // map partition (WindowGroupLimit bounds the shuffle, not the
+    // sorts); the bounded collect_top_k aggregate keeps an O(k) heap
+    // per group with no candidate sort anywhere.
     graft.util.SessionCache.invalidate(spark)
     for (q <- Seq("ext_sim_topk", "ext_sim_lsh_topk", "ext_sim_lsh_multiprobe",
         "ext_sim_ivf_topk")) {
