@@ -54,6 +54,7 @@ object SparkEntry {
     "ext_sample_stratified" -> graft.ext.ExtQueries.sampleStratified _,
     "ext_sketch_vocab" -> graft.ext.ExtQueries.vocabSketch _,
     "ext_pipeline_clean" -> graft.ext.ExtQueries.pipelineClean _,
+    "ext_quality_deciles" -> graft.ext.ExtQueries.qualityDeciles _,
     "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
     "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _,
     "ext_media_frames" -> graft.ext.ExtQueries.mediaFrames _
@@ -106,6 +107,7 @@ object SparkEntry {
     "ext_sample_stratified" -> graft.ext.ExtOracleSql.stratifiedSample,
     "ext_sketch_vocab" -> graft.ext.ExtOracleSql.vocabSketch,
     "ext_pipeline_clean" -> graft.ext.ExtOracleSql.cleanCorpus,
+    "ext_quality_deciles" -> graft.ext.ExtOracleSql.qualityDeciles,
     "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta,
     "ext_media_frames" -> graft.ext.ExtOracleSql.mediaFrames
     // ext_media_decode: byte-level decode is not SQL-expressible →

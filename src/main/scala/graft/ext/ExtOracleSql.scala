@@ -442,6 +442,24 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Decile twin: DuckDB `quantile_cont` shares Spark `percentile`'s
+    * linear-interpolation semantics (bit-identical, proven by
+    * lengthStats); the bucket fold mirrors the engine's cutoff
+    * semantics (`1 + #{cutoffs < score}`). */
+  def qualityDeciles: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, quality_score FROM ($textStats)
+       |),
+       |cuts AS (
+       |  SELECT quantile_cont(quality_score,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+       |  FROM scored
+       |)
+       |SELECT s.doc_id, s.quality_score,
+       |       1 + len(list_filter(c.cs, x -> s.quality_score > x)) AS decile
+       |FROM scored s CROSS JOIN cuts c
+       |ORDER BY s.doc_id""".stripMargin
+
   /** KMV twin: the k-th smallest DISTINCT token hash per language via
     * one window — the exact set the engine's bounded TreeSet aggregate
     * retains, so sketch estimate and relative error match bit-for-bit.

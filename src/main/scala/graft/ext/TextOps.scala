@@ -190,6 +190,28 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Decile assignment by quality score — the bucketing step of a
+    * quality-curriculum pipeline ("train on the top third first").
+    * NOT a global NTILE window (single-partition sort of the corpus):
+    * the cutoffs are ONE percentile aggregate, broadcast back, and the
+    * bucket is a per-row fold over 9 doubles — scan-fused, no sort.
+    * Decile semantics are cutoff-based (`1 + #{cutoffs < score}`), so
+    * tied scores land in the same decile (NTILE would split them
+    * arbitrarily). Like [[lengthStats]], the exact `percentile` is the
+    * bounded-cardinality choice shared bit-for-bit with DuckDB's
+    * `quantile_cont`; an unbounded-scale profile would switch to
+    * `approx_percentile` and a rows-only check. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = textStats(spark, dir).select("doc_id", "quality_score")
+    val cuts = scored.agg(expr(
+      "percentile(quality_score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        expr("1 + aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN quality_score > c THEN 1 ELSE 0 END)"))
+      .select("doc_id", "quality_score", "decile")
+      .orderBy("doc_id")
+  }
+
   /** Per-language vocabulary size, exact AND KMV-estimated
     * ([[graft.functions.KmvSketchAgg]], k = 64 smallest distinct token
     * hashes): the synopsis path a 100 TB profile job takes — O(k) state
