@@ -109,8 +109,9 @@ object SparkEntry {
     "ext_pipeline_clean" -> graft.ext.ExtOracleSql.cleanCorpus,
     "ext_quality_deciles" -> graft.ext.ExtOracleSql.qualityDeciles,
     "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta,
+    // decode included since round 3: the stub checksum is pure byte
+    // arithmetic, which the oracle reproduces from UTF-8 codepoints.
+    "ext_media_decode" -> graft.ext.ExtOracleSql.mediaDecode,
     "ext_media_frames" -> graft.ext.ExtOracleSql.mediaFrames
-    // ext_media_decode: byte-level decode is not SQL-expressible →
-    // driver records the weaker rows-only check (by design).
   )
 }

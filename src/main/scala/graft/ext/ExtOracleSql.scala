@@ -562,6 +562,33 @@ object ExtOracleSql {
        |  ON e.user_id = o.o_custkey AND e.ts >= o.last_order_date
        |ORDER BY e.event_id""".stripMargin
 
+  /** Decode twin: the stub kernel's checksum is Σ payload-bytes mod 997
+    * over the UTF-8 text bytes, which SQL can reproduce exactly by
+    * expanding each codepoint's UTF-8 byte SUM (1–4 bytes by range —
+    * the per-character arithmetic below). This flips the decode stage
+    * from a rows-only check to a full differential one: the Spark side
+    * iterates real bytes in `mapPartitions`, the oracle derives the
+    * same values from codepoints — independent routes, same numbers. */
+  val mediaDecode: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+       |    AS media_type,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(text, ''), ch -> CAST(
+       |      CASE WHEN unicode(ch) < 128 THEN unicode(ch)
+       |           WHEN unicode(ch) < 2048
+       |             THEN 192 + unicode(ch)//64 + 128 + unicode(ch)%64
+       |           WHEN unicode(ch) < 65536
+       |             THEN 224 + unicode(ch)//4096 + 128 + (unicode(ch)//64)%64
+       |                  + 128 + unicode(ch)%64
+       |           ELSE 240 + unicode(ch)//262144 + 128 + (unicode(ch)//4096)%64
+       |                + 128 + (unicode(ch)//64)%64 + 128 + unicode(ch)%64
+       |      END AS BIGINT))),
+       |    (a, b) -> a + b)) % 997 AS checksum
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   val mediaMeta: String =
     s"""SELECT doc_id,
        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END

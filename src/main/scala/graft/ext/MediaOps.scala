@@ -80,8 +80,10 @@ object MediaOps {
 
   /** Driver-contract wrapper: decode features as an ordered DataFrame
     * (array feature dropped: the scalar columns are the checkable
-    * surface; rows-only check — byte-level checksum is not expressible
-    * in the SQL oracle). */
+    * surface). Fully oracle-checked since round 3: the checksum is
+    * Σ bytes mod 997 over UTF-8 text bytes, which the DuckDB twin
+    * reproduces exactly from codepoint arithmetic
+    * ([[ExtOracleSql.mediaDecode]]). */
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir)
       .select("doc_id", "media_type", "n_bytes", "checksum")
