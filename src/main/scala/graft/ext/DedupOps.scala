@@ -144,15 +144,19 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: one hash-aggregate pass producing all 12 minhash
-    * columns m0..m11 (partial aggregation map-side; the only shuffle is
-    * the groupBy(doc_id)). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash signatures from an arbitrary (doc_id, h) shingle-hash frame
+    * (batch index build or a streaming micro-batch): one hash-aggregate
+    * pass producing all 12 minhash columns m0..m11 (partial aggregation
+    * map-side; the only shuffle is the groupBy(doc_id)). */
+  def minhashSignaturesOf(shingleHashes: DataFrame): DataFrame = {
     val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $minhashP")).as(s"m$i")
     }
-    TextOps.shingleHashes(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    shingleHashes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(TextOps.shingleHashes(spark, dir))
 
   /** LSH band table: (doc_id, band, key) with key = the band's rowsPerBand
     * minhashes concatenated. Documents sharing any (band, key) are
@@ -160,28 +164,37 @@ object DedupOps {
     * artifact a production deployment materializes to storage (the
     * candidate self-join otherwise recomputes the full
     * shingle→md5→signature pipeline on both sides). */
+  /** Band table from an arbitrary signature frame. */
+  def lshBandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(m${b * rowsPerBand + r} AS STRING)")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"struct(CAST($b AS INT) AS band, $key AS key)"
+    }.mkString("array(", ", ", ")")
+    sig.select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   def lshBands(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
-      val bandStructs = (0 until bands).map { b =>
-        val key = (0 until rowsPerBand)
-          .map(r => s"CAST(m${b * rowsPerBand + r} AS STRING)")
-          .mkString("concat_ws('_', ", ", ", ")")
-        s"struct(CAST($b AS INT) AS band, $key AS key)"
-      }.mkString("array(", ", ", ")")
-      sig.select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      lshBandsOf(sig)
     }
   }
 
   /** One row per document with the UNCAPPED shingle array — the exact-set
     * verifier for [[minhashLsh]] (whose Jaccard semantics are over the
     * full shingle set, no df cap). Sorted for a deterministic layout. */
+  /** Per-doc sorted shingle arrays from an arbitrary shingle frame. */
+  def docShingleArraysOf(shingles: DataFrame): DataFrame =
+    shingles.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n"), array_sort(collect_list("sh")).as("arr"))
+
   private def docShingleArrays(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextOps.shingleSet(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|sharr") {
-      sh.groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n"), array_sort(collect_list("sh")).as("arr"))
+      docShingleArraysOf(sh)
     }
   }
 

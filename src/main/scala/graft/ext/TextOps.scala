@@ -59,10 +59,15 @@ object TextOps {
       build: => DataFrame): DataFrame =
     graft.util.SessionCache.getOrBuild(spark, s"text|$dir|$name")(build)
 
-  /** (doc_id, sh) — distinct word 3-gram shingles per document.
+  /** (doc_id, sh) — distinct word 3-gram shingles per document, from an
+    * arbitrary documents frame (batch table or a streaming micro-batch).
     * Distinctness is PER DOCUMENT, so `array_distinct` before the explode
     * delivers it with zero shuffle — a `.distinct()` after the explode
     * would shuffle the full (doc, shingle) inverted index for nothing. */
+  def shingleSetOf(documents: DataFrame): DataFrame =
+    withWords(documents)
+      .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
+
   def shingleSet(spark: SparkSession, dir: String): DataFrame =
     index(spark, dir, "shingles") {
       // repartition BEFORE the per-row blowup: the documents table often
@@ -72,10 +77,14 @@ object TextOps {
       // with an unspecified count AQE sees a 1.5 MB shuffle and coalesces
       // straight back to one partition — the blowup happens after the
       // exchange, where AQE cannot see it (measured 4.5 s vs 0.7 s).
-      withWords(docs(spark, dir)
+      shingleSetOf(docs(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-        .select(col("doc_id"), explode(expr(s"array_distinct($shinglesExpr)")).as("sh"))
     }
+
+  /** (doc_id, sh, h) with the cross-engine shingle hash, from an
+    * arbitrary shingle frame. */
+  def shingleHashesOf(shingles: DataFrame): DataFrame =
+    shingles.withColumn("h", h32(col("sh")))
 
   /** (doc_id, sh, h) with the cross-engine shingle hash. The dependency
     * is materialized BEFORE entering this key's build — computeIfAbsent
@@ -83,7 +92,7 @@ object TextOps {
   def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
     val base = shingleSet(spark, dir)
     index(spark, dir, "shingle_hashes") {
-      base.withColumn("h", h32(col("sh")))
+      shingleHashesOf(base)
     }
   }
 

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+/** Incremental stream-dedup semantics: duplicates of the BOOTSTRAP
+  * corpus are dropped, duplicates of EARLIER MICRO-BATCHES' novel docs
+  * are dropped (live index), in-batch id repeats collapse, and novel
+  * docs grow corpus + index. Duplicate cases use exact text copies
+  * (Jaccard 1 ⇒ every band matches — deterministic detection; a 0.8-
+  * Jaccard near-dup has P[band hit] ≈ 0.96, fine in production, not in
+  * a test assertion). */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) =
+    Doc(id, text, "en", "web", text.length.toLong)
+
+  test("stream near-dups are filtered against bootstrap corpus and live index") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseText = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val corpusDir = tempDataDir(
+      "documents" -> Seq(doc(1, baseText)).toDF())
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-store").toString
+    val store = StreamDedup.CorpusStore(
+      s"$storeRoot/docs", s"$storeRoot/bands", s"$storeRoot/arrays")
+    StreamDedup.bootstrap(spark, corpusDir, store)
+
+    val novelText = "completely different words compose this sentence about spark engines and testing pipelines in production clusters"
+    val lateDupOfNovel = doc(30, novelText) // dup of batch-1 novel doc
+    val stream = MemoryStream[Doc]
+    val q = StreamDedup.run(spark, stream.toDF(), store,
+      java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+    try {
+      // batch 1: corpus dup (same text, new id), a novel doc, and an
+      // in-batch id repeat of the novel doc
+      stream.addData(doc(10, baseText), doc(20, novelText), doc(20, novelText))
+      q.processAllAvailable()
+      // batch 2: dup of batch-1's novel doc + one more novel doc
+      stream.addData(lateDupOfNovel,
+        doc(40, "yet another entirely unrelated document discussing databases and distributed storage systems with many unique terms"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = spark.read.parquet(store.docsDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(1L, 20L, 40L),
+      s"expected bootstrap + the two novel docs, got $stored")
+    // index grew with the novel docs (so doc 30 was checked against 20)
+    val indexed = spark.read.parquet(store.bandsDir)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 20L, 40L))
+  }
+
+  test("novelDocs is idempotent: refiltering an admitted batch drops everything") {
+    val baseText = "one two three four five six seven eight nine ten eleven twelve"
+    val corpusDir = tempDataDir("documents" -> Seq(doc(1, baseText)).toDF())
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-store2").toString
+    val store = StreamDedup.CorpusStore(
+      s"$storeRoot/docs", s"$storeRoot/bands", s"$storeRoot/arrays")
+    StreamDedup.bootstrap(spark, corpusDir, store)
+    val batch = Seq(doc(5, "fresh content with plenty of distinct words to form several shingles easily")).toDF()
+    val first = StreamDedup.novelDocs(spark, batch, store)
+    assert(first.count() == 1)
+    // admit it (what the sink does), then re-deliver the same batch
+    first.write.mode("append").parquet(store.docsDir)
+    val sh = graft.ext.TextOps.shingleSetOf(first)
+    graft.ext.DedupOps.lshBandsOf(
+        graft.ext.DedupOps.minhashSignaturesOf(graft.ext.TextOps.shingleHashesOf(sh)))
+      .write.mode("append").parquet(store.bandsDir)
+    graft.ext.DedupOps.docShingleArraysOf(sh)
+      .write.mode("append").parquet(store.arraysDir)
+    assert(StreamDedup.novelDocs(spark, batch, store).count() == 0)
+  }
+}
