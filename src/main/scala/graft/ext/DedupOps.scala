@@ -158,13 +158,10 @@ object DedupOps {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOf(TextOps.shingleHashes(spark, dir))
 
-  /** LSH band table: (doc_id, band, key) with key = the band's rowsPerBand
-    * minhashes concatenated. Documents sharing any (band, key) are
-    * candidate near-duplicates. Session-cached — this is the LSH index
-    * artifact a production deployment materializes to storage (the
-    * candidate self-join otherwise recomputes the full
-    * shingle→md5→signature pipeline on both sides). */
-  /** Band table from an arbitrary signature frame. */
+  /** LSH band table from an arbitrary signature frame: (doc_id, band,
+    * key) with key = the band's rowsPerBand minhashes concatenated.
+    * Documents sharing any (band, key) are candidate near-duplicates.
+    * NOT cached — callers that reuse it go through [[lshBands]]. */
   def lshBandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val key = (0 until rowsPerBand)
@@ -176,6 +173,10 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Session-cached [[lshBandsOf]] for a (session, dir) — the LSH index
+    * artifact a production deployment materializes to storage (the
+    * candidate self-join otherwise recomputes the full
+    * shingle→md5→signature pipeline on both sides). */
   def lshBands(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|lsh_bands") {
@@ -183,14 +184,16 @@ object DedupOps {
     }
   }
 
-  /** One row per document with the UNCAPPED shingle array — the exact-set
-    * verifier for [[minhashLsh]] (whose Jaccard semantics are over the
-    * full shingle set, no df cap). Sorted for a deterministic layout. */
-  /** Per-doc sorted shingle arrays from an arbitrary shingle frame. */
+  /** Per-doc sorted shingle arrays from an arbitrary shingle frame
+    * (sorted for a deterministic layout). NOT cached — see
+    * [[docShingleArrays]]. */
   def docShingleArraysOf(shingles: DataFrame): DataFrame =
     shingles.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n"), array_sort(collect_list("sh")).as("arr"))
 
+  /** Session-cached one-row-per-document UNCAPPED shingle array — the
+    * exact-set verifier for [[minhashLsh]] (whose Jaccard semantics are
+    * over the full shingle set, no df cap). */
   private def docShingleArrays(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextOps.shingleSet(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|sharr") {

@@ -576,7 +576,8 @@ object ExtOracleSql {
        |  octet_length(encode(text)) AS n_bytes,
        |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split(text, ''), ch -> CAST(
-       |      CASE WHEN unicode(ch) < 128 THEN unicode(ch)
+       |      CASE WHEN ch = '' THEN 0 -- string_split('','') yields ['']; unicode('') is -1
+       |           WHEN unicode(ch) < 128 THEN unicode(ch)
        |           WHEN unicode(ch) < 2048
        |             THEN 192 + unicode(ch)//64 + 128 + unicode(ch)%64
        |           WHEN unicode(ch) < 65536

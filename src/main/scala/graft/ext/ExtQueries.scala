@@ -3,9 +3,10 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract registry for the extension tier (SURVEY.md §7.5):
-  * text analysis, dedup family, similarity search, multimodal plumbing.
-  * Each entry has a DuckDB twin in [[ExtOracleSql]] (except the
-  * byte-level decode, which is rows-only by design). */
+  * text analysis, dedup family, similarity search, sampling, temporal
+  * joins, multimodal plumbing. Every entry has a DuckDB twin in
+  * [[ExtOracleSql]] — including the byte-level decode, whose checksum
+  * the oracle reproduces from UTF-8 codepoint arithmetic. */
 object ExtQueries {
   def textStats(s: SparkSession, d: String): DataFrame = TextOps.textStats(s, d)
   def langId(s: SparkSession, d: String): DataFrame = TextOps.langId(s, d)

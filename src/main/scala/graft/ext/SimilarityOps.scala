@@ -65,15 +65,17 @@ object SimilarityOps {
     * through the aggregate. */
   private def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
       score: Column, id: Column, k: Int): DataFrame = {
+    // the ordering struct carries only (score, -id): the id is
+    // recovered by re-negating the tie-break, not shuffled twice
     val tk = graft.functions.TopK.topKBy(
-      struct(score.as("s"), (-id).as("t"), id.as("i")), k)
+      struct(score.as("s"), (-id).as("t")), k)
     scored.groupBy(group.as("query_id") +: carry.map { case (n, c) => c.as(n) }: _*)
       .agg(tk.as("tk"))
       .select(col("query_id") +: carry.map { case (n, _) => col(n) } :+
         posexplode(sort_array(col("tk"), asc = false)): _*)
       .select(col("query_id") +: carry.map { case (n, _) => col(n) } :+
         (col("pos") + 1).cast("int").as("rank") :+
-        col("col.i").as("neighbor_id") :+ col("col.s").as("score"): _*)
+        (-col("col.t")).as("neighbor_id") :+ col("col.s").as("score"): _*)
   }
 
   /** Brute-force cosine top-k: every query vector (vec_id < nQueries)
@@ -112,7 +114,6 @@ object SimilarityOps {
     * each (query, neighbor) pair appears at most once — no dedup needed.
     *
     * The index artifact ([[ivfIndex]]): per vector, its cell
-    * assignment (crank = 1) and the cells it probes as a query
     * assignment (crank = 1) and the cells it probes as a query
     * (crank ≤ nProbe) — built once, session-cached (a deployment stores
     * it). Centroid ranking (ties → lower id) keeps the top nProbe as ONE

@@ -29,38 +29,64 @@ import graft.ext.{DedupOps, TextOps}
   *     caught too (the index is live, not frozen at bootstrap).
   *
   * Recall semantics are the batch operator's: a near-dup pair missed by
-  * all 4 bands is admitted (LSH false negative, probability (1−j³)⁴).
-  * Exactly-once: re-delivered batches re-verify against the index and
-  * their docs come back as duplicates of themselves — idempotent by the
-  * same anti-join argument as [[WarehouseSink.streamUpsert]], provided
-  * batch appends land before the checkpoint commit (foreachBatch's
-  * at-least-once contract).
+  * all 4 bands is admitted (LSH false negative, probability (1−j³)⁴);
+  * EXACT duplicates are always caught regardless — a content-hash
+  * anti-join against the corpus covers them, including documents too
+  * short to shingle (< 3 words), which the LSH path cannot see.
+  *
+  * Delivery semantics (foreachBatch is at-least-once): a fully
+  * re-delivered batch is dropped by the doc_id anti-join against the
+  * corpus. A crash BETWEEN the docs append and the index appends leaves
+  * index-missing corpus docs; [[run]] repairs that at the start of
+  * every batch (re-deriving index rows for corpus docs absent from the
+  * band store), so the index converges to complete and the corpus
+  * never loses or duplicates a document.
   */
 object StreamDedup {
 
-  /** Storage layout for the growing corpus + its LSH index. */
+  /** Storage layout for the growing corpus + its LSH index. The docs
+    * table carries `text_hash` (md5 of whitespace-normalized text, the
+    * batch [[DedupOps.exact]] key) so the exact-dup check is a
+    * column-pruned anti-join, not a corpus text scan. */
   final case class CorpusStore(docsDir: String, bandsDir: String, arraysDir: String)
+
+  private def withTextHash(docs: DataFrame): DataFrame =
+    docs.withColumn("text_hash",
+      expr("md5(regexp_replace(trim(lower(text)), '\\\\s+', ' '))"))
 
   /** One-time bootstrap: seed the store from an existing deduplicated
     * corpus table (its docs, band index, and verification arrays). */
   def bootstrap(spark: SparkSession, sourceDir: String, store: CorpusStore): Unit = {
-    TextOps.docs(spark, sourceDir).write.mode("overwrite").parquet(store.docsDir)
+    withTextHash(TextOps.docs(spark, sourceDir))
+      .write.mode("overwrite").parquet(store.docsDir)
     DedupOps.lshBands(spark, sourceDir).write.mode("overwrite").parquet(store.bandsDir)
     DedupOps.docShingleArraysOf(TextOps.shingleSet(spark, sourceDir))
       .write.mode("overwrite").parquet(store.arraysDir)
   }
 
   /** Filters one batch of documents against the store; returns the
-    * NOVEL rows (batch-deduped, not near-dup of any stored doc).
-    * Factored out of the streaming sink so the logic is testable (and
-    * usable) as a batch operator too. */
+    * NOVEL rows, text_hash included (batch-deduped by id AND content,
+    * not an exact or near dup of any stored doc). Factored out of the
+    * streaming sink so the logic is testable (and usable) as a batch
+    * operator too. */
   def novelDocs(spark: SparkSession, batch: DataFrame, store: CorpusStore,
       threshold: Double = 0.5): DataFrame = {
-    // 1. in-batch exact first-wins by id (stream may repeat doc ids)
-    val deduped = batch.withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("text")))
+    import org.apache.spark.sql.expressions.Window
+    val corpusDocs = spark.read.parquet(store.docsDir)
+    // 1. in-batch dedup: first-wins by id (stream may repeat doc ids),
+    //    then first-wins by CONTENT (same text under two fresh ids in
+    //    one batch must collapse — the index can't catch intra-batch
+    //    pairs); finally drop ids/content already in the corpus (the
+    //    id check also makes full re-delivery a no-op).
+    val byId = batch.withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("text")))
       .where(col("rn") === 1).drop("rn")
+    val deduped = withTextHash(byId)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("text_hash").orderBy("doc_id")))
+      .where(col("rn") === 1).drop("rn")
+      .join(corpusDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(corpusDocs.select("text_hash"), Seq("text_hash"), "left_anti")
     val shingles = TextOps.shingleSetOf(deduped)
     val batchBands = DedupOps.lshBandsOf(
       DedupOps.minhashSignaturesOf(TextOps.shingleHashesOf(shingles)))
@@ -69,13 +95,23 @@ object StreamDedup {
       .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
     val corpusArrays = spark.read.parquet(store.arraysDir)
       .select(col("doc_id").as("corpus_id"), col("n").as("nc"), col("arr").as("ac"))
-    // 3. candidates: batch docs sharing any band bucket with the corpus
-    val cand = batchBands.join(indexBands, Seq("band", "key"))
-      .select("doc_id", "corpus_id").distinct()
-    // 4. exact verification restricted to candidates
+    // 3. candidates: batch docs sharing any band bucket with the corpus,
+    //    PLUS intra-batch band collisions (earlier id wins)
+    val corpusCand = batchBands.join(indexBands, Seq("band", "key"))
+      .select("doc_id", "corpus_id")
+    val intraCand = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("corpus_id"))
+    val cand = corpusCand.unionByName(intraCand).distinct()
+    // 4. exact-Jaccard verification restricted to candidates; the
+    //    "corpus" side of an intra-batch pair is the batch's own arrays
+    val verifyArrays = corpusArrays.unionByName(
+      batchArrays.select(col("doc_id").as("corpus_id"), col("n").as("nc"),
+        col("arr").as("ac")))
     val dupIds = cand
       .join(batchArrays, "doc_id")
-      .join(corpusArrays, "corpus_id")
+      .join(verifyArrays, "corpus_id")
       .withColumn("shared", size(array_intersect(col("arr"), col("ac"))))
       .where(expr(s"CAST(shared AS DOUBLE) / (n + nc - shared) >= $threshold"))
       .select("doc_id").distinct()
@@ -83,24 +119,47 @@ object StreamDedup {
     deduped.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Appends a doc set's band + array index rows (only for docs that
+    * CAN shingle — short docs have no LSH presence; their exact-dup
+    * protection is the text_hash column on the docs table). */
+  private def appendIndexRows(docs: DataFrame, store: CorpusStore): Unit = {
+    val shingles = TextOps.shingleSetOf(docs).localCheckpoint(eager = true)
+    DedupOps.lshBandsOf(
+        DedupOps.minhashSignaturesOf(TextOps.shingleHashesOf(shingles)))
+      .write.mode("append").parquet(store.bandsDir)
+    DedupOps.docShingleArraysOf(shingles)
+      .write.mode("append").parquet(store.arraysDir)
+  }
+
+  /** Self-healing for the non-atomic docs-then-index append: corpus
+    * docs with ≥ 3 words but no band rows (a crash landed the docs
+    * write and lost the index writes) get their index rows re-derived.
+    * Normally the anti-join is empty and this is one cheap id-only
+    * pass; after a crash it converges the index in the next batch. */
+  def repairIndex(spark: SparkSession, store: CorpusStore): Unit = {
+    val missing = spark.read.parquet(store.docsDir)
+      .where(expr(s"size(split(trim(lower(text)), '\\\\s+')) >= 3"))
+      .join(spark.read.parquet(store.bandsDir).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    if (!missing.isEmpty) appendIndexRows(missing, store)
+  }
+
   /** The streaming query: micro-batches of documents filtered against
-    * the store; novel docs + their index rows appended. */
+    * the store; novel docs + their index rows appended (docs first —
+    * see the delivery-semantics note above and [[repairIndex]]). */
   def run(spark: SparkSession, stream: DataFrame, store: CorpusStore,
       checkpointDir: String, threshold: Double = 0.5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        repairIndex(spark, store)
         val novel = novelDocs(spark, batch, store, threshold)
           .localCheckpoint(eager = true) // plan reused for three writes
         if (!novel.isEmpty) {
-          val shingles = TextOps.shingleSetOf(novel)
           novel.write.mode("append").parquet(store.docsDir)
-          DedupOps.lshBandsOf(
-              DedupOps.minhashSignaturesOf(TextOps.shingleHashesOf(shingles)))
-            .write.mode("append").parquet(store.bandsDir)
-          DedupOps.docShingleArraysOf(shingles)
-            .write.mode("append").parquet(store.arraysDir)
+          appendIndexRows(novel, store)
         }
         ()
       }

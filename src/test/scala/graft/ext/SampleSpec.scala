@@ -12,11 +12,13 @@ class SampleSpec extends SparkSpec {
     try {
       val total = split.count()
       assert(total == TextOps.docs(spark, sfSmoke).count())
-      val byShare = split.groupBy("split").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1) / total.toDouble).toMap
+      val byCount = split.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // hash uniformity sanity: 500 docs, binomial 4σ ≈ ±7 pp on train
-      assert(math.abs(byShare("train") - 0.8) < 0.08, s"train share ${byShare("train")}")
-      assert(byShare.values.sum == 1.0)
+      val trainShare = byCount("train") / total.toDouble
+      assert(math.abs(trainShare - 0.8) < 0.08, s"train share $trainShare")
+      // partition: the three splits' counts sum exactly (long arithmetic)
+      assert(byCount.values.sum == total)
     } finally split.unpersist()
   }
 

@@ -34,9 +34,12 @@ class StreamDedupSpec extends SparkSpec {
     val q = StreamDedup.run(spark, stream.toDF(), store,
       java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
     try {
-      // batch 1: corpus dup (same text, new id), a novel doc, and an
-      // in-batch id repeat of the novel doc
-      stream.addData(doc(10, baseText), doc(20, novelText), doc(20, novelText))
+      // batch 1: corpus dup (same text, new id), a novel doc, an
+      // in-batch id repeat of the novel doc, and an in-batch CONTENT
+      // repeat under a fresh id (nothing in any index can catch that
+      // pair — the in-batch first-wins must)
+      stream.addData(doc(10, baseText), doc(20, novelText), doc(20, novelText),
+        doc(21, novelText))
       q.processAllAvailable()
       // batch 2: dup of batch-1's novel doc + one more novel doc
       stream.addData(lateDupOfNovel,
@@ -73,5 +76,42 @@ class StreamDedupSpec extends SparkSpec {
     graft.ext.DedupOps.docShingleArraysOf(sh)
       .write.mode("append").parquet(store.arraysDir)
     assert(StreamDedup.novelDocs(spark, batch, store).count() == 0)
+  }
+
+  test("short docs are exact-dup-protected by content hash despite having no shingles") {
+    import spark.implicits._
+    val corpusDir = tempDataDir("documents" -> Seq(doc(1, "hello world")).toDF())
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-store3").toString
+    val store = StreamDedup.CorpusStore(
+      s"$storeRoot/docs", s"$storeRoot/bands", s"$storeRoot/arrays")
+    StreamDedup.bootstrap(spark, corpusDir, store)
+    // a 2-word doc has zero 3-gram shingles ⇒ no LSH presence; the
+    // text_hash anti-join must still drop its exact copy
+    val out = StreamDedup.novelDocs(spark, Seq(doc(9, "hello world")).toDF(), store)
+    assert(out.count() == 0)
+  }
+
+  test("repairIndex re-derives index rows for corpus docs that lost them") {
+    import spark.implicits._
+    val corpusDir = tempDataDir("documents" ->
+      Seq(doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF())
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-store4").toString
+    val store = StreamDedup.CorpusStore(
+      s"$storeRoot/docs", s"$storeRoot/bands", s"$storeRoot/arrays")
+    StreamDedup.bootstrap(spark, corpusDir, store)
+    // simulate the crash window: docs append landed, index appends lost
+    val orphanText = "lost index rows for this document must be rebuilt by the repair pass"
+    Seq(doc(2, orphanText)).toDF()
+      .withColumn("text_hash",
+        org.apache.spark.sql.functions.expr(
+          "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' '))"))
+      .write.mode("append").parquet(store.docsDir)
+    StreamDedup.repairIndex(spark, store)
+    val indexed = spark.read.parquet(store.bandsDir)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L))
+    // and the repaired index now catches a same-content newcomer by LSH
+    assert(StreamDedup.novelDocs(spark,
+      Seq(doc(3, orphanText + " x")).toDF(), store).count() == 0)
   }
 }
