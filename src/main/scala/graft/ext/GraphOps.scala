@@ -67,11 +67,18 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var converged = false
     var round = 0
+    // edge count carried across rounds: each iteration's |next| is the
+    // following iteration's |edges| — recounting it would add one full
+    // job per round to an iterative loop whose cost IS fixed per-round
+    // overhead (both frames are small checkpointed star edge sets).
+    var edgeCount = edges.count()
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val nextCount = next.count()
       // multiset equality: equal cardinality + empty difference ⇒ equal.
-      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     require(converged,
