@@ -18,27 +18,30 @@ import org.apache.spark.sql.functions._
   * filter ordering independence) against a DuckDB twin that nests the
   * same component subqueries.
   *
-  * Scale shape: the gates are two semi-joins (exact keepers, cluster
-  * keepers — both shuffle on doc_id) over per-row expression filters;
-  * Catalyst pushes the cheap quality/language predicates below the
-  * joins, so the expensive dedup machinery only sees surviving rows'
-  * ids. Nothing here adds driver-side work to the component operators. */
+  * Scale shape: the three per-row stages (quality signals, language
+  * votes, split assignment) are COLUMN DEFINITIONS over one shared
+  * tokenized scan — fused into a single pass, not three scans joined
+  * on doc_id (the column logic lives once, in
+  * [[TextOps.withTextSignals]]/[[TextOps.withPredLang]]/
+  * [[SampleOps.withSplit]], so the composition cannot drift from the
+  * standalone operators the oracle pins). The dedup gates are two
+  * semi-joins (exact keepers, cluster keepers — both shuffle on
+  * doc_id); Catalyst pushes the cheap per-row predicates below them,
+  * so the dedup machinery only sees surviving rows' ids. */
 object PipelineOps {
 
   val MinTokens = 20
   val MinQuality = 0.33
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val stats = TextOps.textStats(spark, dir)
-      .select("doc_id", "n_tokens", "quality_score")
-    val lid = TextOps.langId(spark, dir) // (doc_id, lang, pred_lang)
+    val base = SampleOps.withSplit(
+      TextOps.withPredLang(
+        TextOps.withTextSignals(
+          TextOps.withWords(TextOps.docs(spark, dir)))))
     val exactKeepers = DedupOps.exact(spark, dir).select("doc_id")
     val clusterKeepers = DedupOps.clusters(spark, dir)
       .where(col("is_keeper")).select("doc_id")
-    val split = SampleOps.datasetSplit(spark, dir).select("doc_id", "split")
-    stats
-      .join(lid, "doc_id")
-      .join(split, "doc_id")
+    base
       .where(col("n_tokens") >= MinTokens &&
         col("quality_score") >= MinQuality &&
         col("pred_lang") =!= "unknown")

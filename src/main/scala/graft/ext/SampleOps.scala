@@ -27,12 +27,10 @@ object SampleOps {
     * md5 input. bucket ∈ [0, 100). */
   private val bucketExpr = "pmod(h32_split, 100)"
 
-  /** Reproducible 80/10/10 train/val/test assignment by salted id hash.
-    * A document's split NEVER changes as the corpus grows — assignment
-    * depends only on its own id — which is the property rand()-sampling
-    * and modulo-on-row-number both lack. */
-  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
-    TextOps.docs(spark, dir)
+  /** Adds `bucket` and `split` columns to any frame with a `doc_id` —
+    * shared by [[datasetSplit]] and the composed pipeline. */
+  def withSplit(df: DataFrame): DataFrame =
+    df
       .withColumn("h32_split",
         TextOps.h32(concat(lit("split:"), col("doc_id").cast("string"))))
       .withColumn("bucket", expr(bucketExpr).cast("int"))
@@ -40,6 +38,13 @@ object SampleOps {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
+
+  /** Reproducible 80/10/10 train/val/test assignment by salted id hash.
+    * A document's split NEVER changes as the corpus grows — assignment
+    * depends only on its own id — which is the property rand()-sampling
+    * and modulo-on-row-number both lack. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    withSplit(TextOps.docs(spark, dir))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 

@@ -103,10 +103,12 @@ object TextOps {
   val stopFr = "'le','la','les','et','est','un','une','dans'"
   val stopEs = "'el','los','las','es','y','si','una','como'"
 
-  /** Token counts + quality signals + a composite quality score, one row
-    * per document. Pure per-row expressions (fuse into the scan). */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
-    withWords(docs(spark, dir))
+  /** Adds the token-count / quality-signal columns to a frame that
+    * already has `ws` — pure per-row expressions (fuse into the scan),
+    * shared by [[textStats]] and the composed pipeline so the
+    * definitions cannot drift. */
+  def withTextSignals(df: DataFrame): DataFrame =
+    df
       .withColumn("n_tokens", expr("size(ws)"))
       .withColumn("n_bpe_tokens",
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0))"))
@@ -126,6 +128,11 @@ object TextOps {
         expr("0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio " +
           "+ 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) " +
           "- 0.2 * (CAST(n_punct AS DOUBLE) / n_chars)"))
+
+  /** Token counts + quality signals + a composite quality score, one row
+    * per document. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    withTextSignals(withWords(docs(spark, dir)))
       .select("doc_id", "n_tokens", "n_bpe_tokens", "n_alpha", "n_punct",
         "stop_ratio", "mean_token_len", "quality_score")
       .orderBy("doc_id")
@@ -134,8 +141,10 @@ object TextOps {
     * votes per language with a fixed deterministic tie-break (de > en >
     * es > fr on equal votes, 'unknown' when no list matches). Votes are
     * `size(filter(ws, ...))` HOFs — per-row, no explode, no shuffle. */
-  def langId(spark: SparkSession, dir: String): DataFrame =
-    withWords(docs(spark, dir))
+  /** Adds `pred_lang` to a frame that already has `ws` — shared by
+    * [[langId]] and the composed pipeline. */
+  def withPredLang(df: DataFrame): DataFrame =
+    df
       .withColumn("cjk",
         expr("length(text) - length(regexp_replace(text, '[一-鿿]', ''))"))
       .withColumn("v_en", expr(s"size(filter(ws, w -> w IN ($stopEn)))"))
@@ -149,6 +158,9 @@ object TextOps {
           |     WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
           |     WHEN v_es >= v_fr THEN 'es'
           |     ELSE 'fr' END""".stripMargin))
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withPredLang(withWords(docs(spark, dir)))
       .select("doc_id", "lang", "pred_lang")
       .orderBy("doc_id")
 
