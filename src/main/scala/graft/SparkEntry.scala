@@ -55,6 +55,7 @@ object SparkEntry {
     "ext_sketch_vocab" -> graft.ext.ExtQueries.vocabSketch _,
     "ext_pipeline_clean" -> graft.ext.ExtQueries.pipelineClean _,
     "ext_quality_deciles" -> graft.ext.ExtQueries.qualityDeciles _,
+    "ext_text_novelty" -> graft.ext.ExtQueries.novelty _,
     "ext_media_meta" -> graft.ext.ExtQueries.mediaMeta _,
     "ext_media_decode" -> graft.ext.ExtQueries.mediaDecode _,
     "ext_media_frames" -> graft.ext.ExtQueries.mediaFrames _
@@ -108,6 +109,7 @@ object SparkEntry {
     "ext_sketch_vocab" -> graft.ext.ExtOracleSql.vocabSketch,
     "ext_pipeline_clean" -> graft.ext.ExtOracleSql.cleanCorpus,
     "ext_quality_deciles" -> graft.ext.ExtOracleSql.qualityDeciles,
+    "ext_text_novelty" -> graft.ext.ExtOracleSql.noveltyScores,
     "ext_media_meta" -> graft.ext.ExtOracleSql.mediaMeta,
     // decode included since round 3: the stub checksum is pure byte
     // arithmetic, which the oracle reproduces from UTF-8 codepoints.

@@ -442,6 +442,25 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Novelty twin over the same distinct-shingle CTE; short docs
+    * (no shingles) carry NULL novelty on both sides. */
+  val noveltyScores: String =
+    s"""$shingleBase,
+       |dfreq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY 1),
+       |scored AS (
+       |  SELECT s.doc_id,
+       |         CAST(count(*) AS INT) AS n_shingles,
+       |         CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS INT) AS n_unique
+       |  FROM shingles s JOIN dfreq f USING (sh)
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(sc.n_shingles, 0) AS n_shingles,
+       |       COALESCE(sc.n_unique, 0) AS n_unique,
+       |       CAST(sc.n_unique AS DOUBLE) / CAST(sc.n_shingles AS DOUBLE) AS novelty
+       |FROM documents d LEFT JOIN scored sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Decile twin: DuckDB `quantile_cont` shares Spark `percentile`'s
     * linear-interpolation semantics (bit-identical, proven by
     * lengthStats); the bucket fold mirrors the engine's cutoff

@@ -29,6 +29,7 @@ object ExtQueries {
   def vocabSketch(s: SparkSession, d: String): DataFrame = TextOps.vocabSketch(s, d)
   def pipelineClean(s: SparkSession, d: String): DataFrame = PipelineOps.cleanCorpus(s, d)
   def qualityDeciles(s: SparkSession, d: String): DataFrame = TextOps.qualityDeciles(s, d)
+  def novelty(s: SparkSession, d: String): DataFrame = TextOps.noveltyScores(s, d)
   def sampleStratified(s: SparkSession, d: String): DataFrame = SampleOps.stratifiedSample(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)

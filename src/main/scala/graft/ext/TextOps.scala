@@ -211,6 +211,33 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Per-document novelty score: the fraction of the document's word
+    * 3-gram shingles that appear in NO other document — the standard
+    * contamination/overlap signal of training-data hygiene (an eval-set
+    * document whose shingles all occur elsewhere in the corpus scores
+    * 0; genuinely novel text scores → 1). Computed off the SHARED
+    * session-cached shingle index: one df aggregate + one join + one
+    * per-doc aggregate — no new scan of the corpus text. Documents too
+    * short to shingle (< 3 words) have no overlap evidence and are
+    * reported with novelty NULL rather than a fabricated score. */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val scored = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("df") === 1, 1).otherwise(0)).cast("int").as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+    docs(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0)).as("n_unique"),
+        col("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Decile assignment by quality score — the bucketing step of a
     * quality-curriculum pipeline ("train on the top third first").
     * NOT a global NTILE window (single-partition sort of the corpus):
