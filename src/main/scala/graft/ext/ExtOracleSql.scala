@@ -442,6 +442,27 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Heavy-hitters twin: count ties rank by term DESC, mirroring the
+    * engine's descending struct order (same convention as q12). */
+  val topTermsPerLang: String =
+    s"""WITH words AS (
+       |  SELECT lang, w AS term
+       |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w)
+       |),
+       |counts AS (SELECT lang, term, count(*) AS cnt FROM words GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, term, cnt,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY lang ORDER BY cnt DESC, term DESC
+       |         ) AS rank
+       |  FROM counts
+       |)
+       |SELECT lang, CAST(rank AS INT) AS rank, term, cnt
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY lang, rank""".stripMargin
+
   /** Novelty twin over the same distinct-shingle CTE; short docs
     * (no shingles) carry NULL novelty on both sides. */
   val noveltyScores: String =

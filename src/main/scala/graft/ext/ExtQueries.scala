@@ -30,6 +30,7 @@ object ExtQueries {
   def pipelineClean(s: SparkSession, d: String): DataFrame = PipelineOps.cleanCorpus(s, d)
   def qualityDeciles(s: SparkSession, d: String): DataFrame = TextOps.qualityDeciles(s, d)
   def novelty(s: SparkSession, d: String): DataFrame = TextOps.noveltyScores(s, d)
+  def topTerms(s: SparkSession, d: String): DataFrame = TextOps.topTermsPerLang(s, d)
   def sampleStratified(s: SparkSession, d: String): DataFrame = SampleOps.stratifiedSample(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)

@@ -290,6 +290,28 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Corpus-level heavy hitters: the k most frequent tokens per
+    * language — the profiling complement of per-document [[tfidfTopTerms]]
+    * (corpus frequency table vs per-doc distinctiveness). Shape: one
+    * (lang, term) count aggregate, then the bounded top-k aggregate per
+    * lang — O(langs × k) final state, no window sort of the frequency
+    * table. Count ties rank by term DESCENDING (the struct order the
+    * bounded aggregate keeps — same convention as q12, mirrored by the
+    * oracle's ORDER BY cnt DESC, term DESC). */
+  def topTermsPerLang(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = withWords(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("lang"), explode(col("ws")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val tk = graft.functions.TopK.topKBy(
+      struct(col("cnt").as("c"), col("term").as("t")), k)
+    counts.groupBy("lang").agg(tk.as("tk"))
+      .select(col("lang"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.t").as("term"), col("col.c").as("cnt"))
+      .orderBy("lang", "rank")
+  }
+
   /** Document fingerprint via rolling character 8-grams: min cross-engine
     * hash (primary fingerprint), a second independent min-hash
     * (rotation-permuted), and the distinct-gram cardinality.
