@@ -640,4 +640,87 @@ object ExtOracleSql {
        |  (h >> 4) % 600000 AS duration_ms
        |FROM (SELECT doc_id, text, ${h32("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  /** Repetition twin: positional self-joins build the same word 2-/3-
+    * grams the engine derives per-row; a doc shorter than n words emits
+    * no row for that n in either engine. */
+  val repetitionStats: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w, i
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+       |),
+       |g2 AS (SELECT a.doc_id, 2 AS gram_n, a.w || ' ' || b.w AS g
+       |       FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |g3 AS (SELECT a.doc_id, 3 AS gram_n, a.w || ' ' || b.w || ' ' || c.w AS g
+       |       FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |                    JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |cnt AS (SELECT doc_id, gram_n, g, count(*) AS c
+       |        FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) GROUP BY 1, 2, 3)
+       |SELECT doc_id, gram_n,
+       |  CAST(sum(c) AS BIGINT) AS n_grams,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(max(c) AS BIGINT) AS top_cnt,
+       |  CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_frac,
+       |  CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
+       |FROM cnt GROUP BY doc_id, gram_n
+       |ORDER BY doc_id, gram_n""".stripMargin
+
+  /** Histogram-quantile twin — pure integer math (bin edges, ceil via
+    * `(p·N + 99) // 100`), so the sketch's bounded-error semantics are
+    * identical across engines. binWidth/pcts mirror
+    * [[TextOps.lengthHistQuantiles]]'s defaults. */
+  val lengthHistQuantiles: String =
+    s"""WITH hist AS (
+       |  SELECT n_chars // 64 AS bin, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs FROM hist),
+       |cum AS (SELECT a.bin, CAST(sum(b.cnt) AS BIGINT) AS cum
+       |        FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin),
+       |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+       |SELECT pct, n_docs, min(bin) AS bin, (min(bin) + 1) * 64 AS upper_chars
+       |FROM p, tot, cum
+       |WHERE cum >= (pct * n_docs + 99) // 100
+       |GROUP BY pct, n_docs
+       |ORDER BY pct""".stripMargin
+
+  /** Bloom-semi-join twin: the oracle is the PLAIN semi-join — the bloom
+    * prefilter must be invisible in the result (false positives removed
+    * by the exact join), so any divergence here is a real defect. */
+  val bloomSemiJoin: String =
+    s"""SELECT l_returnflag,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS revenue_cents
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'
+       |    AND year(CAST(o_orderdate AS DATE)) = 1997)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** Trailing-window twin: the oracle is the NAIVE inequality join the
+    * engine's bucketed plan must be row-identical to. Self-exclusion
+    * sits in the ON clause (a WHERE would drop probe rows whose only
+    * match is themselves). */
+  val rangeJoinTrailing: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |  FROM orders
+       |)
+       |SELECT a.o_orderkey,
+       |  CAST(count(b.o_orderkey) AS BIGINT) AS n_prior_30d,
+       |  CAST(coalesce(sum(b.price_cents), 0) AS BIGINT) AS spend_prior_30d_cents,
+       |  max(b.day) AS last_prior_day
+       |FROM o a LEFT JOIN o b
+       |  ON a.o_custkey = b.o_custkey AND b.o_orderkey != a.o_orderkey
+       | AND b.day > a.day - 30 AND b.day <= a.day
+       |GROUP BY a.o_orderkey
+       |ORDER BY a.o_orderkey""".stripMargin
 }

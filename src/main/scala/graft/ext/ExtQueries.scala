@@ -32,6 +32,10 @@ object ExtQueries {
   def novelty(s: SparkSession, d: String): DataFrame = TextOps.noveltyScores(s, d)
   def topTerms(s: SparkSession, d: String): DataFrame = TextOps.topTermsPerLang(s, d)
   def sampleStratified(s: SparkSession, d: String): DataFrame = SampleOps.stratifiedSample(s, d)
+  def repetition(s: SparkSession, d: String): DataFrame = TextOps.repetitionStats(s, d)
+  def lengthHist(s: SparkSession, d: String): DataFrame = TextOps.lengthHistQuantiles(s, d)
+  def bloomSemiJoin(s: SparkSession, d: String): DataFrame = BloomOps.urgentOrderRevenue(s, d)
+  def rangeJoinTrailing(s: SparkSession, d: String): DataFrame = TemporalOps.ordersTrailing30d(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

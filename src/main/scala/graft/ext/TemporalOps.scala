@@ -88,4 +88,70 @@ object TemporalOps {
       payload = Seq("last_order_date", "last_order_key", "last_order_price"))
       .orderBy("event_id")
   }
+
+  /** Bucketed trailing-window range join — the other temporal join the
+    * as-of family needs: aggregate every right row with the same key and
+    * `ts ∈ (left.ts − W, left.ts]`, not just the latest one.
+    *
+    * Scale shape — bucket equi-join, NOT an inequality join: a raw
+    * `l.key = r.key AND r.ts BETWEEN l.ts − W AND l.ts` theta-join has no
+    * equi-component beyond the key, so per-key it is |l|·|r| pairs before
+    * the range prunes (quadratic in per-key history — same failure class
+    * as the all-pairs near-dup join the dedup tier avoids). Bucketing
+    * time into width-W cells restores a full equi-join key: a right row
+    * in bucket b can only satisfy a left row in bucket b or b + 1, so the
+    * right side is replicated into exactly those two cells (bounded 2×
+    * blowup) and the join is `(key, bucket)` equality followed by the
+    * exact range refine. One shuffle on a composite key AQE/skew handling
+    * understands, candidate volume ≤ 2·|r| per probe cell regardless of W
+    * skew inside the window.
+    */
+  def trailingWindowJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftDay: String, rightDay: String,
+      windowDays: Int): DataFrame = {
+    val probe = left.withColumn("twj_bucket", expr(s"$leftDay DIV $windowDays"))
+    val build = right
+      .withColumn("twj_bucket",
+        explode(array(expr(s"$rightDay DIV $windowDays"),
+          expr(s"$rightDay DIV $windowDays + 1"))))
+    probe.join(build,
+      probe(leftKey) === build(rightKey) &&
+        probe("twj_bucket") === build("twj_bucket") &&
+        build(rightDay) > probe(leftDay) - windowDays &&
+        build(rightDay) <= probe(leftDay),
+      "left")
+  }
+
+  /** Each order with the same customer's order count / spend / most
+    * recent order day over the trailing 30 days (self range join — the
+    * repeat-purchase feature of a customer pipeline). Day arithmetic is
+    * integer epoch days on both engines; spend crosses the comparison
+    * surface as BIGINT cents via `floor(price · 100)` (order-independent
+    * sum; see [[BloomOps]]). An order is not its own prior. */
+  def ordersTrailing30d(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val prior = o.select(col("o_custkey").as("p_custkey"),
+      col("o_orderkey").as("p_orderkey"), col("price_cents").as("p_cents"),
+      col("day").as("p_day"))
+    // Self-exclusion happens INSIDE the aggregate (count/sum/max over
+    // `p != self` only), not as a post-join filter: a where-clause would
+    // drop a probe row whose only trailing match is itself, losing its
+    // n=0 output row. Every order self-matches, so the left join never
+    // emits null build rows here — the conditionals do the exclusion.
+    trailingWindowJoin(o, prior, "o_custkey", "p_custkey", "day", "p_day", 30)
+      .groupBy("o_orderkey")
+      .agg(
+        count(when(col("p_orderkey") =!= col("o_orderkey"), lit(1)))
+          .as("n_prior_30d"),
+        coalesce(sum(when(col("p_orderkey") =!= col("o_orderkey"), col("p_cents"))),
+          lit(0L)).as("spend_prior_30d_cents"),
+        max(when(col("p_orderkey") =!= col("o_orderkey"), col("p_day")))
+          .as("last_prior_day"))
+      .orderBy("o_orderkey")
+  }
 }

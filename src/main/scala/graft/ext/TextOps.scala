@@ -238,6 +238,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Word n-gram array expression over `ws` (the 3-gram case is
+    * [[shinglesExpr]]'s shape): per-row `transform(sequence(...))`,
+    * scan-fused, no shuffle. */
+  def gramExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    s"CASE WHEN size(ws) >= $n THEN " +
+      s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', $parts)) " +
+      "ELSE array() END"
+  }
+
+  /** Per-document repetition signals — the Gopher-style repetition
+    * filters of LLM corpus cleaning (fraction of duplicate word n-grams,
+    * and the share of the document covered by its single most frequent
+    * n-gram), for n = 2 and 3. A doc shorter than n words emits no row
+    * for that n (no grams ⇒ no repetition evidence), identically in both
+    * engines.
+    *
+    * Shape: explode grams → count per (doc, n, gram) → per-doc aggregate.
+    * Two keyed shuffles whose volume is the token count — the same
+    * explode+codegen discipline as [[fingerprints]]; a per-row HOF
+    * formulation (sort array + run-length) would run interpreted per
+    * GRAM, the exact hot-path trap the module rules forbid. The
+    * most-frequent-gram statistic needs the per-gram counts anyway, so
+    * the explode is not avoidable work. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = withWords(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+    val grams = Seq(2, 3)
+      .map(n => base.select(col("doc_id"), lit(n).as("gram_n"),
+        explode(expr(gramExpr(n))).as("g")))
+      .reduce(_ unionByName _)
+    grams
+      .groupBy("doc_id", "gram_n", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "gram_n")
+      .agg(
+        sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .withColumn("dup_frac",
+        expr("CAST(n_grams - n_distinct AS DOUBLE) / n_grams"))
+      .withColumn("top_frac", expr("CAST(top_cnt AS DOUBLE) / n_grams"))
+      .orderBy("doc_id", "gram_n")
+  }
+
+  /** Approximate length quantiles from a FIXED-BIN histogram — the
+    * bounded-state sketch path that replaces [[lengthStats]]'s exact
+    * `percentile` when group cardinality is unbounded: one map-side-
+    * combinable count aggregate over the corpus collapses to ≤
+    * max(n_chars)/binWidth rows (bounded state, mergeable across
+    * executors — the same property a KLL/t-digest sketch buys, with
+    * integer-exact cross-engine arithmetic instead of implementation-
+    * defined compaction). The reported quantile is the UPPER EDGE of the
+    * first bin whose cumulative count reaches ⌈p·N⌉ — error bounded by
+    * binWidth, semantics identical in both engines (pure integer math;
+    * an interpolated estimate would put doubles on the surface for no
+    * added guarantee). Everything after the histogram aggregate is
+    * dozens of rows (cumulation via tiny self-join — no single-partition
+    * window over the corpus anywhere). */
+  def lengthHistQuantiles(spark: SparkSession, dir: String,
+      binWidth: Long = 64, pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    import spark.implicits._
+    val hist = docs(spark, dir)
+      .groupBy(expr(s"n_chars DIV $binWidth").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum("cnt").as("n_docs"))
+    val cum = hist.as("a").join(hist.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin")).agg(sum(col("b.cnt")).as("cum"))
+    pcts.toDF("pct")
+      .crossJoin(broadcast(total))
+      .join(broadcast(cum),
+        col("cum") >= expr("(pct * n_docs + 99) DIV 100"))
+      .groupBy("pct", "n_docs")
+      .agg(min("bin").as("bin"))
+      .withColumn("upper_chars", (col("bin") + lit(1L)) * lit(binWidth))
+      .select("pct", "n_docs", "bin", "upper_chars")
+      .orderBy("pct")
+  }
+
   /** Decile assignment by quality score — the bucketing step of a
     * quality-curriculum pipeline ("train on the top third first").
     * NOT a global NTILE window (single-partition sort of the corpus):

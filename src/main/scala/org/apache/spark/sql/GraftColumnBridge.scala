@@ -19,4 +19,16 @@ object GraftColumnBridge {
     column(org.apache.spark.sql.catalyst.expressions.aggregate
       .GraftTopKBridge.collectTopK(expression(ord), k)
       .toAggregateExpression())
+
+  /** Bloom-filter build aggregate over a LongType column (see
+    * [[catalyst.expressions.aggregate.GraftBloomBridge]]). */
+  def bloomAgg(hashed: Column, estimatedItems: Long, numBits: Long): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftBloomBridge.bloomAgg(expression(hashed), estimatedItems, numBits)
+      .toAggregateExpression())
+
+  /** Codegen'd bloom membership probe; `bloom` must be constant. */
+  def bloomMightContain(bloom: Column, hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftBloomBridge.mightContain(expression(bloom), expression(hashed)))
 }
