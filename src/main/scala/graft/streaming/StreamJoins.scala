@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins — the two-moving-sides generalization of the
+  * reference's MESHJOIN (stream ⋈ static master,
+  * `/root/reference/src/Meshjoin.java:345-420`). The reference never
+  * joins two streams; a near-real-time warehouse that correlates events
+  * (view→purchase attribution, order→shipment latency) needs it, and it
+  * is where unbounded state kills naive designs: every row of each side
+  * must wait for possible future matches on the other.
+  *
+  * Scale shape: an event-time INTERVAL join with BOTH sides watermarked.
+  * The join condition bounds each side's event time relative to the
+  * other (`purchase − W ≤ view ≤ purchase`), so the engine can compute,
+  * per side, the oldest row still joinable and evict everything older —
+  * state is O(rate × (watermark + interval)) per key range, not O(stream
+  * so far). Without the interval bounds Spark would keep both sides'
+  * state forever (and warns so); the bounds are the operator's contract,
+  * not an optimization.
+  */
+object StreamJoins {
+
+  /** Purchases attributed to the same user's views within the trailing
+    * `window` — inner interval join, append-mode compatible.
+    *
+    * @param views     streaming frame with (event_id, ts, user_id)
+    * @param purchases streaming frame with (event_id, ts, user_id, value)
+    * @param window    attribution lookback, e.g. "10 minutes"
+    * @param watermark max accepted lateness on both sides; joined with
+    *        the interval width it bounds the per-side state horizon. */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      expr(s"""v_user = user_id
+              |AND view_ts >= purchase_ts - INTERVAL $window
+              |AND view_ts <= purchase_ts""".stripMargin))
+      .select("purchase_id", "purchase_ts", "user_id", "value",
+        "view_id", "view_ts")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** Partition-pruning pins for the date-partitioned layout: the day
+  * filter must reach `PartitionFilters` (pruned at file-listing time,
+  * before any parquet is opened) and the pruned read must touch a
+  * strict subset of the files. */
+class LayoutSpec extends SparkSpec {
+
+  test("day filter prunes partitions at the file listing, not per row") {
+    val out = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/events"
+    Layout.writeEventsPartitioned(spark, sfSmoke, out)
+
+    val all = spark.read.parquet(out)
+    val day = Layout.eventsForDay(spark, out, "2024-01-05")
+
+    // the filter is a partition filter on the scan — not a data filter
+    val plan = day.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"day filter did not reach PartitionFilters:\n$plan")
+
+    // pruning is real: strictly fewer files READ than the full table
+    // (inputFiles lists the relation pre-pruning, so count the files the
+    // executed scan actually touches instead)
+    import org.apache.spark.sql.functions.input_file_name
+    val readFiles = day.select(input_file_name()).distinct().count()
+    val allFiles = all.select(input_file_name()).distinct().count()
+    assert(readFiles > 0)
+    assert(readFiles < allFiles,
+      s"pruned read touched $readFiles of $allFiles files")
+
+    // and the slice is the right rows (testdata spans Jan 2024)
+    val expected = Star.events(spark, sfSmoke)
+      .where("CAST(ts AS DATE) = DATE'2024-01-05'").count()
+    assert(day.count() === expected)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+case class JoinEv(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** Stream-stream interval join semantics: in-window views attach, the
+  * window boundary is inclusive on the purchase side and bounded on the
+  * lookback side, users don't cross, and pre-window views never match.
+  * (State EVICTION is the engine's watermark contract — what this suite
+  * pins is that the join carries the interval bounds that make eviction
+  * possible at all: an unbounded condition would be rejected/warned in
+  * append mode.) */
+class StreamJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("purchases attribute to same-user views inside the trailing window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[JoinEv]
+    val purchases = MemoryStream[JoinEv]
+    val out = StreamJoins.viewPurchaseAttribution(views.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("vp_attr")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        JoinEv(100L, ts("2024-01-01 10:00:00"), 1L, 0.0), // in window → match
+        JoinEv(101L, ts("2024-01-01 09:54:00"), 1L, 0.0), // 11 min before → out
+        JoinEv(102L, ts("2024-01-01 10:05:00"), 1L, 0.0), // exactly at purchase → in
+        JoinEv(103L, ts("2024-01-01 10:00:00"), 2L, 0.0), // other user → out
+        JoinEv(104L, ts("2024-01-01 10:06:00"), 1L, 0.0)) // after purchase → out
+      purchases.addData(JoinEv(500L, ts("2024-01-01 10:05:00"), 1L, 9.5))
+      q.processAllAvailable()
+      val got = spark.table("vp_attr")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((500L, 100L), (500L, 102L)))
+    } finally q.stop()
+  }
+
+  test("matches keep flowing across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[JoinEv]
+    val purchases = MemoryStream[JoinEv]
+    val out = StreamJoins.viewPurchaseAttribution(views.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("vp_attr2")
+      .outputMode("append").start()
+    try {
+      // view arrives in batch 1, its purchase only in batch 2: the view
+      // must be held in state and still match
+      views.addData(JoinEv(200L, ts("2024-01-01 12:00:00"), 7L, 0.0))
+      q.processAllAvailable()
+      purchases.addData(JoinEv(600L, ts("2024-01-01 12:04:00"), 7L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("vp_attr2")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((600L, 200L)))
+    } finally q.stop()
+  }
+}
