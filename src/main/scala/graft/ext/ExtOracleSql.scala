@@ -723,4 +723,74 @@ object ExtOracleSql {
        | AND b.day > a.day - 30 AND b.day <= a.day
        |GROUP BY a.o_orderkey
        |ORDER BY a.o_orderkey""".stripMargin
+
+  /** Packing twin: the NAIVE global prefix sum — one unpartitioned
+    * window over the whole corpus — which the engine's two-pass
+    * bucketed scan must reproduce value-for-value. `//` is DuckDB floor
+    * division; the Spark side uses `div` (both exact integer ops on
+    * non-negative BIGINTs). Budget mirrors [[PackOps.DefaultBudget]]. */
+  val packSequences: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ${h32("'pack:' || CAST(doc_id AS STRING)")} AS h
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS global_start
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, global_start,
+       |  global_start // ${PackOps.DefaultBudget} AS pack_first,
+       |  (global_start + n_tokens - 1) // ${PackOps.DefaultBudget} AS pack_last,
+       |  (global_start + n_tokens - 1) // ${PackOps.DefaultBudget}
+       |    - global_start // ${PackOps.DefaultBudget} + 1 AS packs_spanned
+       |FROM c
+       |ORDER BY global_start""".stripMargin
+
+  /** Redaction twin: the regex constants embed VERBATIM (DuckDB string
+    * literals do not process backslashes; the Spark side avoids expr()
+    * for the same reason) and the injected-span expression is the
+    * SHARED [[ScrubOps.InjectExpr]] string. RE2 needs the 'g' flag to
+    * replace all matches — Spark's regexp_replace always does. */
+  val redactPii: String = {
+    import ScrubOps.{EmailPattern, UrlPattern, Ipv4Pattern, InjectExpr}
+    s"""WITH aug AS (
+       |  SELECT doc_id, ${InjectExpr} AS text FROM documents
+       |),
+       |s1 AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INT) AS n_url,
+       |    regexp_replace(text, '$UrlPattern', '[URL]', 'g') AS t1
+       |  FROM aug
+       |),
+       |s2 AS (
+       |  SELECT doc_id, n_url,
+       |    CAST(len(regexp_extract_all(t1, '$EmailPattern')) AS INT) AS n_email,
+       |    regexp_replace(t1, '$EmailPattern', '[EMAIL]', 'g') AS t2
+       |  FROM s1
+       |)
+       |SELECT doc_id, n_email, n_url,
+       |  CAST(len(regexp_extract_all(t2, '$Ipv4Pattern')) AS INT) AS n_ip,
+       |  regexp_replace(t2, '$Ipv4Pattern', '[IP]', 'g') AS redacted
+       |FROM s2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mixture-sampling twin: the per-source ppm CASE is the SHARED
+    * [[SampleOps.RatePpmExpr]] string — a rate edit updates both
+    * engines or neither. */
+  val sampleMixture: String =
+    s"""SELECT doc_id, source, ${SampleOps.RatePpmExpr} AS rate_ppm
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ${h32("'mix:' || CAST(doc_id AS STRING)")} AS h
+       |  FROM documents
+       |)
+       |WHERE h % 1000000 < ${SampleOps.RatePpmExpr}
+       |ORDER BY doc_id""".stripMargin
 }

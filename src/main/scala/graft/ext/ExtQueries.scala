@@ -36,6 +36,9 @@ object ExtQueries {
   def lengthHist(s: SparkSession, d: String): DataFrame = TextOps.lengthHistQuantiles(s, d)
   def bloomSemiJoin(s: SparkSession, d: String): DataFrame = BloomOps.urgentOrderRevenue(s, d)
   def rangeJoinTrailing(s: SparkSession, d: String): DataFrame = TemporalOps.ordersTrailing30d(s, d)
+  def packSequences(s: SparkSession, d: String): DataFrame = PackOps.packSequences(s, d)
+  def redactPii(s: SparkSession, d: String): DataFrame = ScrubOps.redactDocs(s, d)
+  def sampleMixture(s: SparkSession, d: String): DataFrame = SampleOps.mixtureSample(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

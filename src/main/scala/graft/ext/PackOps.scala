@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training — the concat-and-chunk layout:
+  * documents are concatenated in a deterministic shuffled order and the
+  * token stream is cut every `budget` tokens; a document may span a
+  * chunk boundary. Each document's placement is fully determined by its
+  * starting offset in the concatenated stream, i.e. by the PREFIX SUM
+  * of token counts over the global order — which is the interesting
+  * part at scale.
+  *
+  * A naive prefix sum is `sum(n) OVER (ORDER BY key)` — a window with
+  * no partitioning, which moves the entire corpus to ONE task (Spark
+  * even warns "No Partition Defined for Window operation"). At 100 TB
+  * that plan does not exist. This operator computes the identical
+  * values with the classic two-pass distributed scan:
+  *
+  *   1. bucket rows by the HIGH bits of the order key — buckets are
+  *      contiguous RANGES of the global order, so per-bucket local
+  *      prefix sums (a partitioned window, fully parallel) are correct
+  *      within each bucket;
+  *   2. aggregate one total per bucket (B rows, B = parallelism),
+  *      prefix-sum THOSE on a single task — trivially small — and
+  *      broadcast the per-bucket offsets back;
+  *   3. global offset = bucket offset + local prefix sum.
+  *
+  * The output is independent of the bucket count (pinned by PackSpec
+  * with two different B values): bucketing affects only WHERE the
+  * partial sums are computed, never their values — the order key is
+  * uniform md5 bits, so buckets are balanced by construction and the
+  * only serial step touches B rows, not the corpus.
+  *
+  * The shuffled order doubles as the training-order randomization:
+  * position follows the salted id hash (`pack:` salt, independent of
+  * the split/sample salts — [[SampleOps]]), so the epoch order is
+  * reproducible across runs and engines without a `rand()` anywhere.
+  *
+  * The reference has no notion of this operator (its grain is one fact
+  * row per order, `/root/reference/src/Meshjoin.java:283-320`); it
+  * belongs to the training-data tier of SURVEY.md §6.
+  */
+object PackOps {
+
+  /** Tokens per packed sequence — GPT-2-ish context length. */
+  val DefaultBudget = 2048
+
+  /** (doc_id, n_tokens, h) — the packing order key `h` is the salted
+    * cross-engine hash; `n_tokens` is the whitespace token count
+    * (identical definition to [[TextOps.withTextSignals]], so pack
+    * budgets and quality stats count the same tokens). */
+  def withPackKey(documents: DataFrame): DataFrame =
+    TextOps.withWords(documents)
+      .select(col("doc_id"), expr("size(ws)").cast("long").as("n_tokens"),
+        TextOps.h32(concat(lit("pack:"), col("doc_id").cast("string"))).as("h"))
+
+  /** Every document's placement in the packed token stream:
+    * `global_start` (offset of its first token), the chunk ids its
+    * tokens land in (`pack_first`..`pack_last`) and how many chunks it
+    * spans. Total order by `global_start` (strictly increasing — every
+    * document has ≥ 1 whitespace token, so offsets never tie).
+    *
+    * @param buckets number of order-range buckets for the distributed
+    *   prefix sum; affects parallelism only, never values. */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = DefaultBudget, buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+    // h is uniform in [0, 2^32); floor(h * B / 2^32) is monotone in h,
+    // so bucket ranges tile the global (h, doc_id) order. h*B stays well
+    // inside Long for any sane B.
+    val keyed = withPackKey(TextOps.docs(spark, dir))
+      .withColumn("bucket", ((col("h") * b) / lit(1L << 32)).cast("int"))
+
+    val localWin = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = keyed.withColumn("local_before",
+      coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
+
+    // One row per bucket: the serial prefix sum over B values. The
+    // unpartitioned window here is deliberate — it sees B rows, not the
+    // corpus — and the result broadcasts back to the big side.
+    val offsetWin = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(offsetWin), lit(0L)))
+      .select("bucket", "bucket_offset")
+
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("global_start", col("bucket_offset") + col("local_before"))
+      .withColumn("pack_first", expr(s"global_start div $budget"))
+      .withColumn("pack_last", expr(s"(global_start + n_tokens - 1) div $budget"))
+      .withColumn("packs_spanned", col("pack_last") - col("pack_first") + lit(1L))
+      .select("doc_id", "n_tokens", "global_start",
+        "pack_first", "pack_last", "packs_spanned")
+      .orderBy("global_start")
+  }
+}

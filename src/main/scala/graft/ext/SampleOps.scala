@@ -48,6 +48,32 @@ object SampleOps {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Per-source sampling rate in parts-per-million, as a CASE shared
+    * verbatim with the oracle SQL (identical syntax in both engines).
+    * Integer ppm — never a float rate — so the keep decision is an
+    * exact integer compare with no cross-engine rounding surface. */
+  val RatePpmExpr: String =
+    "CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 750000 " +
+      "WHEN 'src2' THEN 500000 WHEN 'src3' THEN 500000 " +
+      "ELSE 250000 END"
+
+  /** Mixture-weighted down-sampling: each source contributes at its own
+    * configured rate (the standard lever for re-weighting a training
+    * mix — cap the over-represented crawl, keep all of the curated
+    * source). Keep iff `salted_hash % 1e6 < rate_ppm`: a pure per-row
+    * function of (doc_id, source), so the kept set is reproducible
+    * across runs, engines and corpus growth, and the filter fuses into
+    * the scan — no shuffle, no state, unlike quota-by-rank schemes
+    * which need a per-source top-k pass. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .withColumn("rate_ppm", expr(RatePpmExpr))
+      .withColumn("h32_mix",
+        TextOps.h32(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .where(col("h32_mix") % 1000000 < col("rate_ppm"))
+      .select("doc_id", "source", "rate_ppm")
+      .orderBy("doc_id")
+
   /** Deterministic stratified sample: the `n` lowest-salted-hash
     * documents per (lang, source) stratum — a uniform-without-
     * replacement sample under the md5 hash, reproducible across runs

@@ -22,6 +22,24 @@ class SampleSpec extends SparkSpec {
     } finally split.unpersist()
   }
 
+  test("mixture sample keeps all of a ppm=1e6 source and rates are wired per source") {
+    val docs = TextOps.docs(spark, sfSmoke)
+    val kept = SampleOps.mixtureSample(spark, sfSmoke).cache()
+    try {
+      // rate 1_000_000 keeps EVERY row (h % 1e6 < 1e6 always)
+      val src0All = docs.where("source = 'src0'").count()
+      assert(kept.where("source = 'src0'").count() === src0All)
+      // every kept row carries its source's configured rate
+      assert(kept.where(s"rate_ppm != (${SampleOps.RatePpmExpr})").count() === 0)
+      // down-weighted sources genuinely lose rows
+      val src9All = docs.where("source = 'src9'").count()
+      assert(kept.where("source = 'src9'").count() < src9All)
+      // determinism: a second evaluation is row-identical
+      assert(kept.collect().toSeq ===
+        SampleOps.mixtureSample(spark, sfSmoke).collect().toSeq)
+    } finally kept.unpersist()
+  }
+
   test("stratified sample takes the n lowest-hash docs per stratum") {
     val n = 3
     val sample = SampleOps.stratifiedSample(spark, sfSmoke, n).cache()
