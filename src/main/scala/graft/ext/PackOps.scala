@@ -68,23 +68,52 @@ object PackOps {
       budget: Int = DefaultBudget, buckets: Int = 0): DataFrame = {
     val b = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
     // h is uniform in [0, 2^32); floor(h * B / 2^32) is monotone in h,
-    // so bucket ranges tile the global (h, doc_id) order. h*B stays well
-    // inside Long for any sane B.
+    // so bucket ranges tile the global (h, doc_id) order. The double
+    // division is exact: h*B < 2^47 fits a double mantissa and /2^32
+    // only shifts the exponent, so the cast truncates the true quotient.
     val keyed = withPackKey(TextOps.docs(spark, dir))
       .withColumn("bucket", ((col("h") * b) / lit(1L << 32)).cast("int"))
 
+    // ONE shuffle feeds both passes (plan-pinned by PackSpec: the corpus
+    // parquet is scanned ONCE). The shuffle carries only the skinny
+    // (doc_id, n_tokens, h, bucket) projection — never the text — and
+    // the explicit count matters twice over: an unspecified-count
+    // repartition of a small shuffle gets coalesced back to one
+    // partition by AQE, and the count must equal the bucket fan-out so
+    // one task owns one bucket.
+    //
+    // The isNotNull is never false (h is a hash of a non-null concat) —
+    // it exists so BOTH consumers of the exchange carry the same
+    // null-filter the join would otherwise push down only its own
+    // branch, which would de-duplicate the subtrees and break exchange
+    // reuse.
+    val shuffled = keyed.where(col("bucket").isNotNull)
+      .repartition(b, col("bucket"))
+
     val localWin = Window.partitionBy("bucket").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = keyed.withColumn("local_before",
+    val local = shuffled.withColumn("local_before",
       coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
 
-    // One row per bucket: the serial prefix sum over B values. The
-    // unpartitioned window here is deliberate — it sees B rows, not the
-    // corpus — and the result broadcasts back to the big side.
+    // Per-bucket totals come off the WINDOW OUTPUT, not a separate
+    // aggregate over the input: the running sum through a bucket's last
+    // row IS the bucket total (offsets are monotone within the bucket),
+    // so `max(local_before + n_tokens)` reads it back without new
+    // computation — and, decisively, it keeps this branch's plan
+    // identical to the join side's below the exchange, so Catalyst's
+    // exchange reuse collapses the two into one scan+shuffle. (A
+    // groupBy on the pre-window frame computes the same numbers, but
+    // column pruning then projects this branch down to (bucket,
+    // n_tokens), the exchange subtrees stop matching, and the corpus
+    // gets scanned and tokenized twice — measured, not hypothetical.)
+    //
+    // The unpartitioned window after it is deliberate: it sees B rows,
+    // not the corpus, and the result broadcasts back to the big side.
     val offsetWin = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("bucket")
-      .agg(sum(col("n_tokens")).as("bucket_total"))
+    val offsets = local
+      .groupBy("bucket")
+      .agg(max(col("local_before") + col("n_tokens")).as("bucket_total"))
       .withColumn("bucket_offset",
         coalesce(sum(col("bucket_total")).over(offsetWin), lit(0L)))
       .select("bucket", "bucket_offset")

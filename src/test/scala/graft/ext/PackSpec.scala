@@ -41,4 +41,17 @@ class PackSpec extends SparkSpec {
       PackOps.packSequences(spark, sfSmoke, buckets = buckets).collect().toSeq
     assert(rows(3) === rows(7))
   }
+
+  test("one scan: the totals branch reuses the window's exchange") {
+    val df = PackOps.packSequences(spark, sfSmoke)
+    df.collect() // AQE finalizes the plan on execution
+    // AQE's toString appends the pre-execution plan under "Initial Plan"
+    // — audit only the final one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans === 1, s"expected a single documents scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"totals branch does not reuse the shared bucket exchange:\n$plan")
+  }
 }
