@@ -95,6 +95,36 @@ object EtlOracleSql {
     * recomputed. */
   val incrementalHourly: String = eventsHourly
 
+  /** SCD2 twin: set logic spelled out — changed = null-safe attr diff
+    * against the open version; history = closed-out old rows ∪ untouched
+    * opens ∪ new versions. */
+  val scd2Customer: String =
+    """WITH cur AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name FROM customer
+      |),
+      |upd AS (
+      |  SELECT customer_id,
+      |    CASE WHEN customer_id % 10 = 0 THEN customer_name || ' (moved)'
+      |         ELSE customer_name END AS customer_name
+      |  FROM cur WHERE customer_id % 5 = 0
+      |),
+      |chg AS (
+      |  SELECT u.customer_id, u.customer_name
+      |  FROM upd u JOIN cur c ON u.customer_id = c.customer_id
+      |  WHERE u.customer_name IS DISTINCT FROM c.customer_name
+      |)
+      |SELECT c.customer_id, c.customer_name,
+      |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |  CASE WHEN ch.customer_id IS NOT NULL
+      |       THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+      |  ch.customer_id IS NULL AS is_current
+      |FROM cur c LEFT JOIN chg ch ON c.customer_id = ch.customer_id
+      |UNION ALL
+      |SELECT customer_id, customer_name, TIMESTAMP '2024-06-01 00:00:00',
+      |  CAST(NULL AS TIMESTAMP), TRUE
+      |FROM chg
+      |ORDER BY customer_id, valid_from""".stripMargin
+
   /** Z-interleave twin: the bit arithmetic is GENERATED by the same
     * loop as the engine column ([[ZOrder.zOrderSql]]) — plain
     * `>> << & |` integer ops in both dialects. */

@@ -95,6 +95,30 @@ object EtlQueries {
           .cast(graft.model.Schemas.aggRevenueType).as("total_value")))
       .orderBy("window_start", "event_type")
 
+  /** SCD Type 2 over the customer dimension: seed every customer's first
+    * version at 2024-01-01, then apply an update batch as of 2024-06-01 —
+    * every fifth customer re-arrives, but only every tenth actually
+    * changed (name suffix); the other half are no-op re-deliveries that
+    * must NOT version. Changed keys end with two rows (closed old +
+    * open new), everything else with one open row. */
+  def scd2Customer(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Star.dimCustomer(spark, dir).select("customer_id", "customer_name")
+    // TIMESTAMP, not DATE: the testdata's time columns are timestamps
+    // and the comparison surface renders the two differently
+    val current = cust
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val updates = cust.where(col("customer_id") % 5 === 0)
+      .withColumn("customer_name",
+        when(col("customer_id") % 10 === 0,
+          concat(col("customer_name"), lit(" (moved)")))
+          .otherwise(col("customer_name")))
+    Upserts.scdType2(current, updates, Seq("customer_id"), Seq("customer_name"),
+        lit("2024-06-01 00:00:00").cast("timestamp"))
+      .orderBy("customer_id", "valid_from")
+  }
+
   /** Incremental view maintenance of the hourly rollup: the warehouse
     * holds the aggregate over everything before `cutoff`; a new delta
     * (the last week of events) arrives; the maintained view is the MERGE

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 /** Pins the insert-if-not-exists / first-wins semantics (SURVEY.md §2.4,
   * reference D1–D7) including the idempotence property the reference gets
@@ -31,6 +32,53 @@ class UpsertsSpec extends SparkSpec {
     val out = Upserts.firstWins(df, Seq("k"), Seq("ord"))
       .orderBy("k").as[(Long, Int, String)].collect().toSeq
     assert(out == Seq((1L, 1, "early"), (2L, 5, "only")))
+  }
+
+  test("scdType2: change versions, no-op skips, new key opens, closed history untouched") {
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val current = Seq(
+      // key 1: already has a closed v1 and an open v2
+      (1L, "a-v1", d("2023-01-01"), d("2024-01-01"), false),
+      (1L, "a-v2", d("2024-01-01"), null.asInstanceOf[Date], true),
+      // key 2: open, will receive a no-op update
+      (2L, "b", d("2024-01-01"), null.asInstanceOf[Date], true),
+      // key 3: open, not in the update batch at all
+      (3L, "c", d("2024-01-01"), null.asInstanceOf[Date], true)
+    ).toDF("id", "name", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "a-v3"), // real change → version
+      (2L, "b"),    // no-op → nothing
+      (4L, "d")     // brand-new key → first version opens at effective
+    ).toDF("id", "name")
+
+    val out = Upserts.scdType2(current, updates, Seq("id"), Seq("name"),
+        lit("2024-06-01").cast("date"))
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSeq
+
+    assert(out === Seq(
+      (1L, "a-v1", d("2023-01-01"), Some(d("2024-01-01")), false),
+      (1L, "a-v2", d("2024-01-01"), Some(d("2024-06-01")), false),
+      (1L, "a-v3", d("2024-06-01"), None, true),
+      (2L, "b", d("2024-01-01"), None, true),
+      (3L, "c", d("2024-01-01"), None, true),
+      (4L, "d", d("2024-06-01"), None, true)))
+  }
+
+  test("scdType2 null-safe change detection: null→value and value→null both version") {
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val current = Seq(
+      (1L, Option.empty[String], d("2024-01-01"), Option.empty[Date], true),
+      (2L, Some("x"), d("2024-01-01"), Option.empty[Date], true)
+    ).toDF("id", "name", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, Some("now-set")), (2L, Option.empty[String]))
+      .toDF("id", "name")
+    val out = Upserts.scdType2(current, updates, Seq("id"), Seq("name"),
+        lit("2024-06-01").cast("date"))
+    assert(out.where("is_current").count() === 2)
+    assert(out.count() === 4) // both keys versioned
   }
 
   test("warehouse state is replay-order independent (idempotence property)") {
