@@ -152,7 +152,12 @@ object EtlQueries {
         sum(col("value").cast(graft.model.Schemas.priceType))
           .cast(graft.model.Schemas.aggRevenueType).as("total_value"))
     val events = Star.events(spark, dir)
-    val stored = partial(events.where(col("ts") < lit(cutoff).cast("timestamp")))
+    // null-ts rows must land in exactly one slice or the maintained ≡
+    // recomputed contract silently breaks (both comparisons are
+    // null→false, which would drop such rows from BOTH partials while
+    // the full recompute keeps their null-window group)
+    val stored = partial(events.where(
+      col("ts") < lit(cutoff).cast("timestamp") || col("ts").isNull))
     val delta = partial(events.where(col("ts") >= lit(cutoff).cast("timestamp")))
     graft.model.Schemas.outputDoubles(
       stored.unionByName(delta)

@@ -72,10 +72,18 @@ object Upserts {
     val open = current.where(col("is_current"))
     val closed = current.where(!col("is_current"))
 
+    // One row per key per load: a CDC feed can re-deliver a key several
+    // times in one batch, and versioning each copy would open multiple
+    // simultaneous is_current rows AND fan the closed-out old row into
+    // duplicates through the superseded join. Deterministic first-wins
+    // on the attribute values; a caller with an intra-batch sequence
+    // column should pre-reduce on it instead.
+    val oneUpdatePerKey = firstWins(updates, keys, attrs)
+
     // null-safe "any attribute differs"; a missing open row (left join
     // miss on a brand-new key) differs by definition
     val oldAttrs = attrs.map(a => col(a).as(s"__old_$a"))
-    val withOld = updates.join(
+    val withOld = oneUpdatePerKey.join(
       open.select((keys.map(col) ++ oldAttrs :+ lit(true).as("__seen")): _*),
       keys, "left")
     val changed = withOld.where(
@@ -90,7 +98,7 @@ object Upserts {
       .withColumn("valid_to", when(lit(false), effective))
       .withColumn("is_current", lit(true))
 
-    val supersededKeys = changed.select(keys.map(col): _*)
+    val supersededKeys = changed.select(keys.map(col): _*).distinct()
       .withColumn("__superseded", lit(true))
     val openOut = open.join(supersededKeys, keys, "left")
       .withColumn("valid_to",

@@ -76,11 +76,14 @@ object PackOps {
 
     // ONE shuffle feeds both passes (plan-pinned by PackSpec: the corpus
     // parquet is scanned ONCE). The shuffle carries only the skinny
-    // (doc_id, n_tokens, h, bucket) projection — never the text — and
-    // the explicit count matters twice over: an unspecified-count
+    // (doc_id, n_tokens, h, bucket) projection — never the text. RANGE
+    // partitioning, not hash: murmur3(bucket) % b scatters b distinct
+    // bucket ids into b partitions with balls-in-bins collisions (~1/e
+    // of tasks idle, others owning 2-4 buckets), while ranges of the
+    // already-ordered bucket id give the intended one-task-one-bucket
+    // layout. The count stays explicit — an unspecified-count
     // repartition of a small shuffle gets coalesced back to one
-    // partition by AQE, and the count must equal the bucket fan-out so
-    // one task owns one bucket.
+    // partition by AQE.
     //
     // The isNotNull is never false (h is a hash of a non-null concat) —
     // it exists so BOTH consumers of the exchange carry the same
@@ -88,7 +91,7 @@ object PackOps {
     // branch, which would de-duplicate the subtrees and break exchange
     // reuse.
     val shuffled = keyed.where(col("bucket").isNotNull)
-      .repartition(b, col("bucket"))
+      .repartitionByRange(b, col("bucket"))
 
     val localWin = Window.partitionBy("bucket").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

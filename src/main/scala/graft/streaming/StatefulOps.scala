@@ -67,19 +67,35 @@ object StatefulOps {
             else Iterator.single(
               AbandonedCart(user, s.nEvents, s.total, new Timestamp(s.lastTsMs)))
           } else {
+            // Gap detection must look INSIDE the batch, not only at the
+            // timeout between batches: a replay/backfill can deliver two
+            // event-time-separated sessions in one micro-batch, and
+            // folding them into one state would silently swallow the
+            // earlier session's alert — output would depend on batch
+            // boundaries, which is exactly what event-time semantics
+            // forbid. Sorting by ts and splitting on gap makes the
+            // emitted alerts a function of the DATA alone.
+            val alerts = Seq.newBuilder[AbandonedCart]
+            def close(s: CartState): Unit =
+              if (!s.hasPurchase && s.nEvents > 0)
+                alerts += AbandonedCart(user, s.nEvents, s.total, new Timestamp(s.lastTsMs))
             val prev = state.getOption.getOrElse(CartState(0L, 0.0, false, 0L))
-            val s = batch.foldLeft(prev) { (acc, e) =>
+            val s = batch.toSeq.sortBy(_.ts.getTime).foldLeft(prev) { (acc, e) =>
+              val fresh =
+                if (acc.nEvents > 0 && e.ts.getTime - acc.lastTsMs > gapMs) {
+                  close(acc); CartState(0L, 0.0, false, 0L)
+                } else acc
               CartState(
-                acc.nEvents + 1,
-                acc.total + e.value,
-                acc.hasPurchase || e.event_type == "purchase",
-                math.max(acc.lastTsMs, e.ts.getTime))
+                fresh.nEvents + 1,
+                fresh.total + e.value,
+                fresh.hasPurchase || e.event_type == "purchase",
+                math.max(fresh.lastTsMs, e.ts.getTime))
             }
             state.update(s)
             // the timeout fires when the WATERMARK passes this timestamp,
             // so replays with the same data produce the same alerts
             state.setTimeoutTimestamp(s.lastTsMs + gapMs)
-            Iterator.empty
+            alerts.result().iterator
           }
       }
   }

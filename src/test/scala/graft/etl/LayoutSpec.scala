@@ -15,9 +15,12 @@ class LayoutSpec extends SparkSpec {
     val all = spark.read.parquet(out)
     val day = Layout.eventsForDay(spark, out, "2024-01-05")
 
-    // the filter is a partition filter on the scan — not a data filter
+    // the filter is a partition filter on the scan — not a data filter.
+    // Every scan of a partitioned relation PRINTS "PartitionFilters:
+    // [...]" (possibly empty), so the pin must be that the list itself
+    // CONTAINS the day predicate.
     val plan = day.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).isDefined,
       s"day filter did not reach PartitionFilters:\n$plan")
 
     // pruning is real: strictly fewer files READ than the full table

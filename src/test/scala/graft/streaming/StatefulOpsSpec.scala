@@ -40,6 +40,30 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("backfill determinism: two sessions arriving in ONE batch still split on the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CartEvent]
+    val out = StatefulOps.abandonedCarts(in.toDS(), gapMinutes = 30, watermark = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("carts3")
+      .outputMode("append").start()
+    try {
+      // a replay delivers the whole history at once: the 09:00 browse
+      // session and the 12:00 purchase session are separated by event
+      // time only — the alert for session 1 must not depend on them
+      // having arrived in different micro-batches
+      in.addData(
+        CartEvent(3L, ts("2024-01-01 09:00:00"), "view", 4.0),
+        CartEvent(3L, ts("2024-01-01 09:05:00"), "cart_add", 6.0),
+        CartEvent(3L, ts("2024-01-01 12:00:00"), "view", 1.0),
+        CartEvent(3L, ts("2024-01-01 12:10:00"), "purchase", 30.0))
+      q.processAllAvailable()
+      val got = spark.table("carts3")
+        .select("user_id", "n_events", "total_value", "last_ts")
+        .as[(Long, Long, Double, Timestamp)].collect().toSet
+      assert(got === Set((3L, 2L, 10.0, ts("2024-01-01 09:05:00"))))
+    } finally q.stop()
+  }
+
   test("a returning user starts a fresh session after an alert") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CartEvent]
@@ -52,17 +76,19 @@ class StatefulOpsSpec extends SparkSpec {
       // user 9 only advances the watermark. The watermark a batch sees
       // is the one computed at the END of the previous batch, hence the
       // extra nudge batches.
+      // user 9 only advances the watermark; "purchase" events so their
+      // own gap-split sessions never alert
       in.addData(CartEvent(5L, ts("2024-01-01 09:00:00"), "view", 1.0))
       q.processAllAvailable()
-      in.addData(CartEvent(9L, ts("2024-01-01 10:30:00"), "view", 0.0))
+      in.addData(CartEvent(9L, ts("2024-01-01 10:30:00"), "purchase", 0.0))
       q.processAllAvailable()
-      in.addData(CartEvent(9L, ts("2024-01-01 10:31:00"), "view", 0.0))
+      in.addData(CartEvent(9L, ts("2024-01-01 10:31:00"), "purchase", 0.0))
       q.processAllAvailable() // watermark 10:30 ≥ 09:30 → session 1 alerts
       in.addData(CartEvent(5L, ts("2024-01-01 11:00:00"), "view", 2.0))
       q.processAllAvailable() // fresh state for user 5
-      in.addData(CartEvent(9L, ts("2024-01-01 13:00:00"), "view", 0.0))
+      in.addData(CartEvent(9L, ts("2024-01-01 13:00:00"), "purchase", 0.0))
       q.processAllAvailable()
-      in.addData(CartEvent(9L, ts("2024-01-01 13:01:00"), "view", 0.0))
+      in.addData(CartEvent(9L, ts("2024-01-01 13:01:00"), "purchase", 0.0))
       q.processAllAvailable() // watermark 13:00 ≥ 11:30 → session 2 alerts
 
       val alerts = spark.table("carts2")
