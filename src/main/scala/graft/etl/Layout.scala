@@ -36,4 +36,30 @@ object Layout {
     * day's directory is listed and read. */
   def eventsForDay(spark: SparkSession, out: String, day: String): DataFrame =
     spark.read.parquet(out).where(col("event_date") === lit(day).cast("date"))
+
+  /** Small-file compaction — the maintenance half of any layout story.
+    * Streaming sinks and fine-grained partitioning both shed files far
+    * below the ~128 MB the scanner wants; at 100 TB a million 1 MB
+    * files turn every query's file listing and task scheduling into
+    * the bottleneck (and row-group stats stop paying because each file
+    * holds one tiny group). Compaction rewrites a directory into
+    * `ceil(bytes / targetBytes)` files: size is measured from the
+    * FileSystem listing (what the scanner itself sees), not estimated
+    * from row counts, and the rewrite is one shuffle-free-read →
+    * repartition → write pass. Returns the output file count.
+    *
+    * Round-robin repartition (not coalesce): coalesce(n) would glue
+    * existing splits together without rebalancing — skewed input files
+    * stay skewed; the shuffle buys evenly-sized output files, which is
+    * the point of the exercise. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

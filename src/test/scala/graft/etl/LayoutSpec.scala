@@ -38,4 +38,25 @@ class LayoutSpec extends SparkSpec {
       .where("CAST(ts AS DATE) = DATE'2024-01-05'").count()
     assert(day.count() === expected)
   }
+
+  test("compaction rewrites a many-small-files dir into the size-targeted count") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Star.events(spark, sfSmoke).repartition(20)
+      .write.mode("overwrite").parquet(s"$base/shredded")
+    val inFiles = new java.io.File(s"$base/shredded")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(inFiles === 20)
+
+    // generous target → everything fits one file
+    val n = Layout.compact(spark, s"$base/shredded", s"$base/compacted")
+    assert(n === 1)
+    val outFiles = new java.io.File(s"$base/compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(outFiles === 1)
+
+    // lossless: same multiset of rows
+    val a = spark.read.parquet(s"$base/shredded")
+    val b = spark.read.parquet(s"$base/compacted")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
 }
