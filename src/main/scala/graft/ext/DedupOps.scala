@@ -329,4 +329,44 @@ object DedupOps {
       .select(col("vec_a"), col("vec_id").as("vec_b"), col("cos").as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Train/test DECONTAMINATION screening — the leakage check every
+    * training-data pipeline runs before a model sees the corpus: for
+    * each TRAIN document, the fraction of its distinct shingles that
+    * appear anywhere in the TEST split (containment, the asymmetric
+    * cousin of Jaccard — a short test item quoted inside a long train
+    * doc scores high here but near zero on Jaccard, which is why
+    * symmetric near-dup passes miss exactly the leaks that inflate
+    * evals). Splits come from [[SampleOps.withSplit]] — the same salted
+    * hash that assigned them — so the screen and the split can never
+    * disagree about membership.
+    *
+    * Scale shape: one equi-join of the train shingle index against the
+    * DISTINCT test-shingle set on the shingle key. Here the test split
+    * is 10 % of the corpus so the join shuffles; a real eval set is
+    * tiny and broadcasts under AQE's threshold without code changes.
+    * Short train docs (< 3 words, no shingles) carry NULL containment
+    * rather than a fabricated 0 — same convention as novelty. */
+  def decontaminationScores(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleSet(spark, dir)
+    val split = SampleOps.withSplit(TextOps.docs(spark, dir))
+      .select("doc_id", "split")
+    val trainSh = sh.join(split.where(col("split") === "train"), "doc_id")
+    val testSh = sh.join(split.where(col("split") === "test"), "doc_id")
+      .select("sh").distinct().withColumn("__hit", lit(1))
+    val scored = trainSh.join(testSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1).otherwise(0)).cast("int").as("n_matched"))
+      .withColumn("containment",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+    split.where(col("split") === "train").select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0)).as("n_matched"),
+        col("containment"))
+      .orderBy("doc_id")
+  }
 }

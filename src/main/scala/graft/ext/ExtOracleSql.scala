@@ -781,6 +781,44 @@ object ExtOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Decontamination twin: same split CTE as [[splitAssign]], same
+    * distinct-shingle CTE as the dedup family; containment = matched /
+    * total over the train side only. */
+  val decontaminate: String =
+    s"""$shingleBase,
+       |split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h % 100 < 80 THEN 'train'
+       |         WHEN h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ${h32("'split:' || CAST(doc_id AS VARCHAR)")} AS h
+       |        FROM documents)
+       |),
+       |train_sh AS (
+       |  SELECT s.doc_id, s.sh FROM shingles s
+       |  JOIN split p ON s.doc_id = p.doc_id AND p.split = 'train'
+       |),
+       |test_sh AS (
+       |  SELECT DISTINCT s.sh FROM shingles s
+       |  JOIN split p ON s.doc_id = p.doc_id AND p.split = 'test'
+       |),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         CAST(count(*) AS INT) AS n_shingles,
+       |         CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+       |           AS n_matched
+       |  FROM train_sh t LEFT JOIN test_sh e ON t.sh = e.sh
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_shingles, 0) AS n_shingles,
+       |  COALESCE(s.n_matched, 0) AS n_matched,
+       |  CAST(s.n_matched AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS containment
+       |FROM (SELECT doc_id FROM split WHERE split = 'train') d
+       |LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Mixture-sampling twin: the per-source ppm CASE is the SHARED
     * [[SampleOps.RatePpmExpr]] string — a rate edit updates both
     * engines or neither. */

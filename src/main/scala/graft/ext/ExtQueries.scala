@@ -37,6 +37,8 @@ object ExtQueries {
   def bloomSemiJoin(s: SparkSession, d: String): DataFrame = BloomOps.urgentOrderRevenue(s, d)
   def rangeJoinTrailing(s: SparkSession, d: String): DataFrame = TemporalOps.ordersTrailing30d(s, d)
   def packSequences(s: SparkSession, d: String): DataFrame = PackOps.packSequences(s, d)
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    DedupOps.decontaminationScores(s, d)
   def redactPii(s: SparkSession, d: String): DataFrame = ScrubOps.redactDocs(s, d)
   def sampleMixture(s: SparkSession, d: String): DataFrame = SampleOps.mixtureSample(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
