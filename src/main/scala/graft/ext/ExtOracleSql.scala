@@ -831,4 +831,166 @@ object ExtOracleSql {
        |)
        |WHERE h % 1000000 < ${SampleOps.RatePpmExpr}
        |ORDER BY doc_id""".stripMargin
+
+  /** Chunking twin. DuckDB `list_slice(l, b, e)` is INCLUSIVE of `e`
+    * (vs Spark `slice(arr, start, length)`), hence `e = i·S + W`; both
+    * clamp at the array end, so the tail chunk shortens identically. */
+  val chunkWindows: String = {
+    val w = ChunkOps.Window
+    val s = ChunkOps.Stride
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |), idx AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, CASE WHEN len(ws) <= $w THEN 1
+       |                        ELSE 1 + (len(ws) - $w + ${s - 1}) // $s END)) AS i
+       |  FROM base
+       |), chunks AS (
+       |  SELECT doc_id, i, list_slice(ws, 1 + i * $s, i * $s + $w) AS toks
+       |  FROM idx
+       |)
+       |SELECT doc_id, CAST(i + 1 AS INT) AS chunk_id,
+       |  CAST(i * $s + 1 AS INT) AS start_tok,
+       |  CAST(len(toks) AS INT) AS n_tok,
+       |  ${h32("array_to_string(toks, ' ')", "ck")} AS chunk_hash
+       |FROM chunks
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Quota twin: the readable row_number window over the same
+    * quality_score formula [[textStats]] pins (verbatim copy — the
+    * Spark side computes it once in `TextOps.withTextSignals`). */
+  val sourceQuota: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) + 0.3 * stop_ratio
+       |      + 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+       |      - 0.2 * (CAST(n_punct AS DOUBLE) / n_chars) AS quality_score
+       |  FROM (
+       |    SELECT doc_id, source, n_chars,
+       |      len(ws) AS n_tokens,
+       |      length(lower(text)) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS n_alpha,
+       |      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |      CAST(len(list_filter(ws, wq -> wq IN ($stopEn))) AS DOUBLE) / len(ws) AS stop_ratio
+       |    FROM (SELECT doc_id, source, text, n_chars,
+       |            string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents)
+       |  )
+       |), ranked AS (
+       |  SELECT source, doc_id, quality_score,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY quality_score DESC, doc_id
+       |    ) AS quota_rank
+       |  FROM scored
+       |)
+       |SELECT source, CAST(quota_rank AS INT) AS quota_rank, doc_id, quality_score
+       |FROM ranked WHERE quota_rank <= 30
+       |ORDER BY source, quota_rank""".stripMargin
+
+  /** CMS twin: identical salted-hash bucketing and integer counters;
+    * the estimate is the same MIN over the 4 sketch rows. */
+  val cmsHeavyHitters: String = {
+    val d = SketchOps.Depth
+    val wd = SketchOps.Width
+    s"""WITH words AS (
+       |  SELECT w
+       |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w)
+       |), hrows AS (
+       |  SELECT unnest(range(0, $d)) AS r
+       |), exact AS (
+       |  SELECT w AS term, count(*) AS exact_cnt FROM words GROUP BY 1
+       |), top AS (
+       |  SELECT term, exact_cnt FROM exact ORDER BY exact_cnt DESC, term LIMIT 20
+       |), sketch AS (
+       |  SELECT r, ${h32("'cms' || CAST(r AS VARCHAR) || ':' || w", "cs")} % $wd AS bucket,
+       |    count(*) AS cnt
+       |  FROM words CROSS JOIN hrows
+       |  GROUP BY 1, 2
+       |), probes AS (
+       |  SELECT term, exact_cnt, r,
+       |    ${h32("'cms' || CAST(r AS VARCHAR) || ':' || term", "cp")} % $wd AS bucket
+       |  FROM top CROSS JOIN hrows
+       |)
+       |SELECT term, exact_cnt, min(cnt) AS est_cnt,
+       |  min(cnt) - exact_cnt AS overcount
+       |FROM probes JOIN sketch USING (r, bucket)
+       |GROUP BY term, exact_cnt
+       |ORDER BY exact_cnt DESC, term""".stripMargin
+  }
+
+  /** Shared quantization CTE: scale = max|x|/127 (left-fold amax),
+    * q_i = ⌊x_i/scale + 0.5⌋ — floor(x+0.5), never round(), whose
+    * half-even/half-up double behavior differs between engines. */
+  private val quantCte: String =
+    s"""quant AS (
+       |  SELECT vec_id, embedding, scale,
+       |    list_transform(embedding, xq -> CASE WHEN scale = CAST(0 AS DOUBLE) THEN 0
+       |      ELSE CAST(floor(CAST(xq AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) AS INT) END) AS q
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(embedding, xa -> abs(CAST(xa AS DOUBLE)))),
+       |        (aa, va) -> greatest(aa, va)) / ${VectorOps.QMax} AS scale
+       |    FROM embeddings
+       |  )
+       |)""".stripMargin
+
+  val quantizeSummary: String =
+    s"""WITH $quantCte
+       |SELECT vec_id, scale,
+       |  list_reduce(list_prepend(2147483647, q), (a1, v1) -> least(a1, v1)) AS q_min,
+       |  list_reduce(list_prepend(-2147483648, q), (a2, v2) -> greatest(a2, v2)) AS q_max,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(q, x3 -> CAST(x3 AS BIGINT))), (a3, v3) -> a3 + v3) AS q_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(q, x4 -> CAST(abs(x4) AS BIGINT))), (a4, v4) -> a4 + v4) AS q_l1,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip(q, embedding),
+       |      z5 -> abs(CAST(z5[1] AS DOUBLE) * scale - CAST(z5[2] AS DOUBLE)))),
+       |    (a5, v5) -> greatest(a5, v5)) AS max_abs_err
+       |FROM quant
+       |ORDER BY vec_id""".stripMargin
+
+  /** One unrolled Lloyd iteration for the k-means twin: distances to
+    * the previous centroids, argmin assignment (ties → lowest
+    * cent_id), integer per-coordinate sums. */
+  private def lloydIter(prev: String, n: Int): String =
+    s"""d$n AS (
+       |  SELECT qt.vec_id, qt.q, c.cent_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(qt.q, c.cv),
+       |        zd$n -> (CAST(zd$n[1] AS DOUBLE) - zd$n[2]) * (CAST(zd$n[1] AS DOUBLE) - zd$n[2]))),
+       |      (ad$n, vd$n) -> ad$n + vd$n) AS d2
+       |  FROM quant qt CROSS JOIN $prev c
+       |), a$n AS (
+       |  SELECT vec_id, q, cent_id FROM d$n
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+       |), m$n AS (
+       |  SELECT cent_id, u.pos, sum(u.qv) AS s, count(*) AS n_members
+       |  FROM a$n,
+       |       LATERAL (SELECT unnest(q) AS qv, generate_subscripts(q, 1) AS pos) u
+       |  GROUP BY 1, 2
+       |), c$n AS (
+       |  SELECT cent_id, list(CAST(s AS DOUBLE) / n_members ORDER BY pos) AS cv
+       |  FROM m$n GROUP BY cent_id
+       |)""".stripMargin
+
+  /** k-means twin: 2 unrolled Lloyd iterations from the `vec_id < 8`
+    * seed, all cross-row arithmetic integer-exact (see
+    * [[graft.ext.VectorOps]] scaladoc for why quantize-first is what
+    * makes a cross-engine-reproducible k-means possible at all). */
+  val kmeansRefine: String =
+    s"""WITH $quantCte,
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(q, xc -> CAST(xc AS DOUBLE)) AS cv
+       |  FROM quant WHERE vec_id < 8
+       |),
+       |${lloydIter("c0", 1)},
+       |${lloydIter("c1", 2)}
+       |SELECT cent_id, CAST(pos AS INT) AS pos,
+       |  CAST(s AS DOUBLE) / n_members AS c_val, n_members
+       |FROM m2
+       |ORDER BY cent_id, pos""".stripMargin
 }

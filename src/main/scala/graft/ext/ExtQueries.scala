@@ -41,6 +41,11 @@ object ExtQueries {
     DedupOps.decontaminationScores(s, d)
   def redactPii(s: SparkSession, d: String): DataFrame = ScrubOps.redactDocs(s, d)
   def sampleMixture(s: SparkSession, d: String): DataFrame = SampleOps.mixtureSample(s, d)
+  def chunkWindows(s: SparkSession, d: String): DataFrame = ChunkOps.chunkWindows(s, d)
+  def sourceQuota(s: SparkSession, d: String): DataFrame = SampleOps.sourceQuota(s, d)
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = SketchOps.cmsHeavyHitters(s, d)
+  def embedQuantize(s: SparkSession, d: String): DataFrame = VectorOps.quantizeSummary(s, d)
+  def kmeansRefine(s: SparkSession, d: String): DataFrame = VectorOps.kmeansRefine(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

@@ -74,6 +74,33 @@ object SampleOps {
       .select("doc_id", "source", "rate_ppm")
       .orderBy("doc_id")
 
+  /** Per-source quota capping: keep at most `quota` documents per
+    * source, best-first by (quality_score desc, doc_id asc) — the
+    * "cap the over-represented crawl by QUALITY, not by chance"
+    * counterpart to [[mixtureSample]]'s rate-based thinning (quota
+    * schemes guarantee an exact per-source ceiling; rate schemes only
+    * an expected one). Implemented as ONE bounded top-k aggregate per
+    * source ([[graft.functions.TopK]]): O(quota) heap state per group,
+    * partial-combined map-side — no per-source sort of the corpus, no
+    * global NTILE. Ranking on quality_score is safe cross-engine
+    * because the score is a bit-identical double (see
+    * [[TextOps.withTextSignals]]); ties break on doc_id inside the
+    * ordering struct, so the kept set is total-order deterministic. */
+  def sourceQuota(spark: SparkSession, dir: String, quota: Int = 30): DataFrame = {
+    val scored = TextOps.withTextSignals(TextOps.withWords(TextOps.docs(spark, dir)))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val tk = graft.functions.TopK.topKBy(
+      struct(col("quality_score").as("qs"), (-col("doc_id")).as("nd")), quota)
+    scored.groupBy("source")
+      .agg(tk.as("tk"))
+      .select(col("source"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("source"),
+        (col("pos") + 1).cast("int").as("quota_rank"),
+        (-col("col.nd")).as("doc_id"),
+        col("col.qs").as("quality_score"))
+      .orderBy("source", "quota_rank")
+  }
+
   /** Deterministic stratified sample: the `n` lowest-salted-hash
     * documents per (lang, source) stratum — a uniform-without-
     * replacement sample under the md5 hash, reproducible across runs

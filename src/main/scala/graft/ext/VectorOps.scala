@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-column operators beyond similarity search: int8 quantization
+  * (the storage/memory lever for ANN indexes — 4× smaller than float32,
+  * which at 100 TB is the difference between an in-memory index and a
+  * disk-bound one) and a real k-means (Lloyd) refinement for IVF
+  * centroid training ([[SimilarityOps.ivfIndex]]'s documented
+  * "a k-means iteration would slot in here" slot).
+  *
+  * Determinism architecture — what makes these oracle-checkable:
+  * cross-row float summation is order-dependent at the ulp, so a
+  * float k-means can NEVER be bit-reproduced by a second engine.
+  * Quantizing first moves the cross-row arithmetic into INTEGERS
+  * (exact, order-independent sums); the only float ops left are
+  * per-row folds (fixed order ⇒ bit-identical) and one division per
+  * centroid coordinate (exact-input double division ⇒ bit-identical).
+  * Rounding uses `floor(x + 0.5)` — NOT `round()`, whose half-even/
+  * half-up behavior differs between engines on doubles. */
+object VectorOps {
+
+  /** Quantization levels: symmetric int8, q ∈ [−127, 127]. */
+  val QMax = 127
+
+  /** Left-fold max |x| over a float array, in doubles. */
+  private val amaxExpr =
+    "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+
+  /** Adds `scale` (double) and `q` (array<int>) columns: symmetric
+    * per-vector ("per-tensor") int8 quantization, q_i = ⌊x_i/scale +
+    * 0.5⌋ with scale = max|x|/127. The all-zero vector quantizes to
+    * zeros with scale 0 (guarded division). Per-row expression work
+    * only — fuses into the scan. */
+  def withQuantized(e: DataFrame): DataFrame =
+    e.withColumn("scale", expr(s"$amaxExpr / $QMax"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CASE WHEN scale = CAST(0 AS DOUBLE) THEN 0 " +
+          "ELSE CAST(floor(CAST(x AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) AS INT) END)"))
+
+  /** Per-vector quantization summary: the scale, integer summaries of
+    * the quantized code (min/max/sum/L1 — exact, order-independent),
+    * and the max absolute reconstruction error |q_i·scale − x_i| (a
+    * per-row left fold; bounded by scale/2 by construction, pinned by
+    * spec). The full `q` array stays internal — at scale it is the
+    * stored artifact, but scalars are the comparison surface. */
+  def quantizeSummary(spark: SparkSession, dir: String): DataFrame =
+    withQuantized(SimilarityOps.embeddings(spark, dir))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        expr("aggregate(q, 2147483647, (acc, v) -> least(acc, v))").as("q_min"),
+        expr("aggregate(q, -2147483648, (acc, v) -> greatest(acc, v))").as("q_max"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + abs(v))").as("q_l1"),
+        expr("aggregate(zip_with(q, embedding, (v, x) -> " +
+          "abs(CAST(v AS DOUBLE) * scale - CAST(x AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> greatest(acc, e))").as("max_abs_err"))
+      .orderBy("vec_id")
+
+  /** Squared L2 distance between an int-array column and a double-array
+    * centroid column: strict left fold, bit-identical cross-engine. */
+  private def dist2(q: String, cv: String): Column = expr(
+    s"aggregate(zip_with($q, $cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** `iters` Lloyd iterations over the quantized vectors, from the
+    * deterministic seed [[SimilarityOps.ivfIndex]] uses (the `k`
+    * lowest vec_ids). Output: the refined centroids exploded to
+    * (cent_id, pos, c_val, n_members), ordered — the artifact an IVF
+    * deployment stores.
+    *
+    * Per iteration: ONE broadcast join (n×k distance rows never
+    * shuffle — `min(struct(dist, cent_id))` argmin combines map-side,
+    * ties to the lowest cent_id) and ONE bounded aggregate (explode to
+    * (cent, pos) → integer sums over ≤ k·dim groups). Centroid
+    * coordinates are sum/count — exact inputs, one division — so
+    * iteration 2's distances are bit-identical cross-engine too.
+    * A centroid that captures no vectors drops out (standard Lloyd
+    * degeneracy; deterministic, and the oracle twin reproduces it). */
+  def kmeansRefine(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val q = withQuantized(SimilarityOps.embeddings(spark, dir))
+      .select(col("vec_id"), col("q"))
+    var cents = q.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(q, x -> CAST(x AS DOUBLE))").as("cv"))
+    for (_ <- 1 to iters) {
+      // q rides inside the argmin struct (d2 ties break on cent_id,
+      // which is unique per group, so the array is never compared):
+      // the assignment needs no join back to q — no second shuffle.
+      val assigned = q.join(broadcast(cents))
+        .withColumn("d2", dist2("q", "cv"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cent_id"), col("q"))).as("m"))
+        .select(col("vec_id"), col("m.cent_id").as("cent_id"), col("m.q").as("q"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("q")))
+        .groupBy("cent_id", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n_members"))
+        .groupBy("cent_id")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE) / n_members AS v))), x -> x.v)")
+            .as("cv"),
+          min("n_members").as("n_members"))
+    }
+    cents
+      .select(col("cent_id"), col("n_members"), posexplode(col("cv")))
+      .select(col("cent_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("c_val"), col("n_members"))
+      .orderBy("cent_id", "pos")
+  }
+}

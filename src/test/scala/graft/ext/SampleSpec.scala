@@ -58,4 +58,34 @@ class SampleSpec extends SparkSpec {
       assert(misordered == 0)
     } finally sample.unpersist()
   }
+
+  test("source quota keeps at most N per source, best quality first") {
+    val quota = 7
+    val kept = SampleOps.sourceQuota(spark, sfSmoke, quota).cache()
+    try {
+      // hard per-source ceiling with contiguous ranks
+      val bad = kept.groupBy("source")
+        .agg(count(lit(1)).as("c"), min("quota_rank").as("lo"), max("quota_rank").as("hi"))
+        .where(col("c") > quota || col("lo") =!= 1 || col("hi") =!= col("c"))
+        .count()
+      assert(bad == 0)
+      // rank order IS quality order (desc) within each source
+      val misordered = kept.as("a").join(kept.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.quota_rank") < col("b.quota_rank") &&
+            col("a.quality_score") < col("b.quality_score"))
+        .count()
+      assert(misordered == 0)
+      // nothing OUTSIDE the kept set beats the worst kept doc per source
+      val worstKept = kept.groupBy("source").agg(
+        min(struct(col("quality_score"), (-col("doc_id")).as("nd"))).as("w"))
+      val all = TextOps.withTextSignals(TextOps.withWords(TextOps.docs(spark, sfSmoke)))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      val beaten = all.join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(worstKept, "source")
+        .where(struct(col("quality_score"), (-col("doc_id")).as("nd")) > col("w"))
+        .count()
+      assert(beaten == 0)
+    } finally kept.unpersist()
+  }
 }

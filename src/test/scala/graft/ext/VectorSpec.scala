@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quantization and k-means invariants; exact values are pinned by the
+  * DuckDB oracle twins (`ext_embed_quantize`, `ext_kmeans_refine`). */
+class VectorSpec extends SparkSpec {
+
+  test("int8 quantization stays in range and reconstructs within scale/2") {
+    val qs = VectorOps.quantizeSummary(spark, sfSmoke).cache()
+    try {
+      assert(qs.count() == SimilarityOps.embeddings(spark, sfSmoke).count())
+      assert(qs.where(col("q_max") > VectorOps.QMax ||
+        col("q_min") < -VectorOps.QMax).count() == 0)
+      // symmetric rounding: |q_i*scale - x_i| <= scale/2 (+ float slack)
+      assert(qs.where(col("max_abs_err") >
+        col("scale") / 2 + lit(1e-12)).count() == 0)
+      // a vector achieving max|x| quantizes that slot to exactly +/-127
+      assert(qs.where(col("q_max") === VectorOps.QMax ||
+        col("q_min") === -VectorOps.QMax).count() == qs.count())
+    } finally qs.unpersist()
+  }
+
+  test("Lloyd refinement conserves members and emits full centroid vectors") {
+    val cents = VectorOps.kmeansRefine(spark, sfSmoke).cache()
+    try {
+      val n = SimilarityOps.embeddings(spark, sfSmoke).count()
+      // per coordinate slice, membership sums to the corpus size
+      val perPos = cents.groupBy("pos").agg(sum("n_members").as("m"))
+        .select("m").distinct().collect().map(_.getLong(0)).toSet
+      assert(perPos == Set(n))
+      // every surviving centroid is a full dim-64 vector
+      val dims = cents.groupBy("cent_id").agg(count(lit(1)).as("d"),
+        min("pos").as("lo"), max("pos").as("hi"))
+      assert(dims.where(col("d") =!= 64 || col("lo") =!= 1 || col("hi") =!= 64).count() == 0)
+      // centroid coordinates are means of int8 codes: inside [-127, 127]
+      assert(cents.where(abs(col("c_val")) > VectorOps.QMax).count() == 0)
+      // determinism: recomputation is row-identical (argmin ties broken)
+      assert(cents.collect().toSeq ===
+        VectorOps.kmeansRefine(spark, sfSmoke).collect().toSeq)
+    } finally cents.unpersist()
+  }
+
+  test("refined centroids reduce within-cluster distance vs the seed assignment") {
+    // the Lloyd property that makes the refinement worth running:
+    // total within-cluster squared distance does not increase
+    import org.apache.spark.sql.DataFrame
+    def totalD2(cents: DataFrame): Double = {
+      val q = VectorOps.withQuantized(SimilarityOps.embeddings(spark, sfSmoke))
+        .select(col("vec_id"), col("q"))
+      q.join(broadcast(cents))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(q, cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .groupBy("vec_id").agg(min("d2").as("best"))
+        .agg(sum("best")).collect()(0).getDouble(0)
+    }
+    val seed = VectorOps.withQuantized(SimilarityOps.embeddings(spark, sfSmoke))
+      .where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(q, x -> CAST(x AS DOUBLE))").as("cv"))
+    val refined = VectorOps.kmeansRefine(spark, sfSmoke)
+      .groupBy("cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c_val))), s -> s.c_val)").as("cv"))
+    assert(totalD2(refined) <= totalD2(seed))
+  }
+}
