@@ -34,6 +34,10 @@ object ChunkOps {
       window: Int = Window, stride: Int = Stride): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
+    // No pre-repartition: one md5 per chunk is light enough that the
+    // full-text exchange costs more than it parallelizes at test SFs
+    // (measured; contrast TextOps.shingleSet where the blowup is 6×
+    // the exchange). Multi-split inputs at scale parallelize at the scan.
     TextOps.withWords(TextOps.docs(spark, dir))
       .withColumn("n", expr("size(ws)"))
       .select(col("doc_id"), posexplode(expr(

