@@ -993,4 +993,58 @@ object ExtOracleSql {
        |  CAST(s AS DOUBLE) / n_members AS c_val, n_members
        |FROM m2
        |ORDER BY cent_id, pos""".stripMargin
+
+  /** IVF-over-trained-centroids twin: the same 2 Lloyd iterations, then
+    * cell assignment in the trained metric (L2 over int8 codes, ties →
+    * lower cent_id), nProbe = 2 probing, and exact-cosine re-ranking
+    * over the original floats — mirroring [[simIvfTopK]]'s search with
+    * [[kmeansRefine]]'s quantizer. */
+  val simIvfKmeans: String =
+    s"""WITH $quantCte,
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(q, xc -> CAST(xc AS DOUBLE)) AS cv
+       |  FROM quant WHERE vec_id < 8
+       |),
+       |${lloydIter("c0", 1)},
+       |${lloydIter("c1", 2)},
+       |en AS (
+       |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding", "kn")}) AS norm
+       |  FROM embeddings
+       |),
+       |d3 AS (
+       |  SELECT qt.vec_id, c.cent_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(qt.q, c.cv),
+       |        zk -> (CAST(zk[1] AS DOUBLE) - zk[2]) * (CAST(zk[1] AS DOUBLE) - zk[2]))),
+       |      (ak, vk) -> ak + vk) AS d2
+       |  FROM quant qt CROSS JOIN c2 c
+       |),
+       |cr AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crank
+       |  FROM d3
+       |),
+       |cells AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, cr.cent_id AS cell
+       |  FROM en e JOIN cr ON cr.vec_id = e.vec_id AND cr.crank = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS pvid, cent_id AS pcell FROM cr WHERE crank <= 2
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "ks")} / (q.norm * c.norm) AS cos
+       |  FROM cells q
+       |  JOIN probes p ON p.pvid = q.vec_id
+       |  JOIN cells c ON c.cell = p.pcell AND c.vec_id <> q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, cell, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cell, CAST(rank AS INT) AS rank, neighbor_id, cos AS score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 }

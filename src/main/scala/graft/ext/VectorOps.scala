@@ -79,36 +79,89 @@ object VectorOps {
     * iteration 2's distances are bit-identical cross-engine too.
     * A centroid that captures no vectors drops out (standard Lloyd
     * degeneracy; deterministic, and the oracle twin reproduces it). */
-  def kmeansRefine(spark: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val q = withQuantized(SimilarityOps.embeddings(spark, dir))
-      .select(col("vec_id"), col("q"))
-    var cents = q.where(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"),
-        expr("transform(q, x -> CAST(x AS DOUBLE))").as("cv"))
-    for (_ <- 1 to iters) {
-      // q rides inside the argmin struct (d2 ties break on cent_id,
-      // which is unique per group, so the array is never compared):
-      // the assignment needs no join back to q — no second shuffle.
-      val assigned = q.join(broadcast(cents))
-        .withColumn("d2", dist2("q", "cv"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cent_id"), col("q"))).as("m"))
-        .select(col("vec_id"), col("m.cent_id").as("cent_id"), col("m.q").as("q"))
-      cents = assigned
-        .select(col("cent_id"), posexplode(col("q")))
-        .groupBy("cent_id", "pos")
-        .agg(sum("col").as("s"), count(lit(1)).as("n_members"))
-        .groupBy("cent_id")
-        .agg(
-          expr("transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE) / n_members AS v))), x -> x.v)")
-            .as("cv"),
-          min("n_members").as("n_members"))
+  /** The trained centroid table (cent_id, cv: array<double>,
+    * n_members) after `iters` Lloyd iterations — the INDEX ARTIFACT a
+    * deployment stores next to its IVF cells, session-cached like the
+    * other index builds. */
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark, s"vec|$dir|kmeans|$k|$iters") {
+      val q = withQuantized(SimilarityOps.embeddings(spark, dir))
+        .select(col("vec_id"), col("q"))
+      var cents = q.where(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"),
+          expr("transform(q, x -> CAST(x AS DOUBLE))").as("cv"),
+          lit(0L).as("n_members"))
+      for (_ <- 1 to iters) {
+        // q rides inside the argmin struct (d2 ties break on cent_id,
+        // which is unique per group, so the array is never compared):
+        // the assignment needs no join back to q — no second shuffle.
+        val assigned = q.join(broadcast(cents))
+          .withColumn("d2", dist2("q", "cv"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cent_id"), col("q"))).as("m"))
+          .select(col("vec_id"), col("m.cent_id").as("cent_id"), col("m.q").as("q"))
+        cents = assigned
+          .select(col("cent_id"), posexplode(col("q")))
+          .groupBy("cent_id", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n_members"))
+          .groupBy("cent_id")
+          .agg(
+            expr("transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE) / n_members AS v))), x -> x.v)")
+              .as("cv"),
+            min("n_members").as("n_members"))
+      }
+      cents
     }
-    cents
+
+  def kmeansRefine(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame =
+    kmeansCentroids(spark, dir, k, iters)
       .select(col("cent_id"), col("n_members"), posexplode(col("cv")))
       .select(col("cent_id"), (col("pos") + 1).cast("int").as("pos"),
         col("col").as("c_val"), col("n_members"))
       .orderBy("cent_id", "pos")
+
+  /** IVF ANN search over CELLS FROM THE TRAINED QUANTIZER — the
+    * integration [[SimilarityOps.ivfTopK]]'s scaladoc reserves a slot
+    * for ("a k-means iteration would slot in here unchanged"). The
+    * coarse quantizer works in the same metric it was trained in
+    * (L2 over int8 codes); the candidate scoring re-ranks with the
+    * EXACT cosine over the original float embeddings — the standard
+    * coarse-then-exact IVF split. Same plan shape as `ivfTopK`:
+    * broadcast centroid assignment (bounded side), equi-join on cell,
+    * bounded top-k aggregate. */
+  def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = 2, kCent: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(spark, dir, kCent, iters).select("cent_id", "cv")
+    val e = withQuantized(SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir)))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("q"))
+    val ranked = e.join(broadcast(cents))
+      .withColumn("d2", dist2("q", "cv"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopK.topKBy(
+        struct((-col("d2")).as("nd"), (-col("cent_id")).as("nc")), nProbe).as("tk"))
+      .select(col("vec_id"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("vec_id"), (col("pos") + 1).as("crank"),
+        (-col("col.nc")).as("cent_id"))
+      .join(e, "vec_id")
+    val cells = ranked.where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+    val probes = ranked.select(col("vec_id").as("pvid"), col("cent_id").as("pcell"))
+    val scored = cells.as("qy")
+      .join(probes, col("qy.vec_id") === col("pvid"))
+      .join(cells.as("cd"),
+        col("pcell") === col("cd.cell") && col("qy.vec_id") =!= col("cd.vec_id"))
+      .withColumn("cos",
+        expr(SimilarityOps.cosExpr("qy.embedding", "cd.embedding", "qy.norm", "cd.norm")))
+    val tk = graft.functions.TopK.topKBy(
+      struct(col("cos").as("s"), (-col("cd.vec_id")).as("t")), k)
+    scored.groupBy(col("qy.vec_id").as("query_id"), col("qy.cell").as("cell"))
+      .agg(tk.as("tk"))
+      .select(col("query_id"), col("cell"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("query_id"), col("cell"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.t")).as("neighbor_id"), col("col.s").as("score"))
+      .orderBy("query_id", "rank")
   }
 }

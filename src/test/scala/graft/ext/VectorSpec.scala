@@ -42,6 +42,30 @@ class VectorSpec extends SparkSpec {
     } finally cents.unpersist()
   }
 
+  test("IVF over trained centroids returns well-formed per-query top-k with real recall") {
+    val ann = VectorOps.ivfKmeansTopK(spark, sfSmoke).cache()
+    try {
+      // contiguous ranks from 1, no self-matches, scores non-increasing
+      val shape = ann.groupBy("query_id").agg(
+        min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("c"))
+      assert(shape.where(col("lo") =!= 1 || col("hi") =!= col("c")).count() == 0)
+      assert(ann.where(col("query_id") === col("neighbor_id")).count() == 0)
+      val misordered = ann.as("a").join(ann.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rank") < col("b.rank") && col("a.score") < col("b.score"))
+        .count()
+      assert(misordered == 0)
+      // recall sanity vs the exact baseline: the trained coarse
+      // quantizer must find a decent share of true rank-1 neighbors
+      val truth = SimilarityOps.bruteForceTopK(spark, sfSmoke, k = 1, nQueries = 8)
+        .select(col("query_id"), col("neighbor_id").as("true_nn"))
+      val hits = truth.join(ann, Seq("query_id"))
+        .where(col("neighbor_id") === col("true_nn"))
+        .select("query_id").distinct().count()
+      assert(hits >= 4, s"recall@3 of true NN for the 8 probe queries: $hits/8")
+    } finally ann.unpersist()
+  }
+
   test("refined centroids reduce within-cluster distance vs the seed assignment") {
     // the Lloyd property that makes the refinement worth running:
     // total within-cluster squared distance does not increase
