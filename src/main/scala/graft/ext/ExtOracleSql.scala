@@ -994,6 +994,37 @@ object ExtOracleSql {
        |FROM m2
        |ORDER BY cent_id, pos""".stripMargin
 
+  /** Quantized-scoring ANN twin: same sign-LSH buckets, integer code
+    * dot product, and the identical `(qdot·sa·sb)/(na·nb)` operation
+    * order. */
+  val simQuantizedTopK: String =
+    s"""WITH $quantCte,
+       |eq AS (
+       |  SELECT vec_id, embedding, scale, q,
+       |    sqrt(${dot("embedding", "embedding", "qn")}) AS norm,
+       |    $bucketSql AS bucket
+       |  FROM quant
+       |),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(a.q, b.q),
+       |        zq -> CAST(zq[1] AS BIGINT) * zq[2])),
+       |      (aq, vq) -> aq + vq) AS DOUBLE)
+       |      * (a.scale * b.scale) / (a.norm * b.norm) AS qscore,
+       |    ${dot("a.embedding", "b.embedding", "qd")} / (a.norm * b.norm) AS cos
+       |  FROM eq a JOIN eq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, bucket, neighbor_id, qscore, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY qscore DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, bucket, CAST(rank AS INT) AS rank, neighbor_id, qscore, cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   /** IVF-over-trained-centroids twin: the same 2 Lloyd iterations, then
     * cell assignment in the trained metric (L2 over int8 codes, ties →
     * lower cent_id), nProbe = 2 probing, and exact-cosine re-ranking

@@ -47,6 +47,7 @@ object ExtQueries {
   def embedQuantize(s: SparkSession, d: String): DataFrame = VectorOps.quantizeSummary(s, d)
   def kmeansRefine(s: SparkSession, d: String): DataFrame = VectorOps.kmeansRefine(s, d)
   def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = VectorOps.ivfKmeansTopK(s, d)
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = VectorOps.quantizedLshTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

@@ -42,13 +42,28 @@ object SketchOps {
     TextOps.withWords(TextOps.docs(spark, dir))
       .select(explode(col("ws")).as("w"))
 
-  /** The (row, bucket) → count sketch table over the corpus token
-    * stream: one row per occupied counter (≤ Depth×Width rows). */
-  def cmsSketch(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir)
+  /** The (row, bucket) → count sketch table over an arbitrary token
+    * frame (one `w` column — the full corpus, or one micro-batch):
+    * one row per occupied counter (≤ Depth×Width rows). */
+  def cmsSketchOf(words: DataFrame): DataFrame =
+    words
       .select(col("w"), explode(expr(s"sequence(0, ${Depth - 1})")).as("r"))
       .groupBy(col("r"), bucketCol(col("r"), col("w")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Counter-wise sum of two sketch tables — the merge that makes CMS
+    * a streaming/cross-day synopsis: sketch(A ∪ B) = sketch(A) ⊕
+    * sketch(B), exactly (counters are sums). A `foreachBatch` sink
+    * folds each micro-batch's sketch into the stored one with this;
+    * parity with the one-shot batch sketch is pinned by spec. */
+  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("r", "bucket")
+      .agg(sum("cnt").as("cnt"))
+
+  /** The corpus sketch. */
+  def cmsSketch(spark: SparkSession, dir: String): DataFrame =
+    cmsSketchOf(tokens(spark, dir))
 
   /** The top-`k` exact heavy hitters with their CMS estimates side by
     * side: (term, exact_cnt, est_cnt, overcount). exact_cnt ≤ est_cnt

@@ -122,6 +122,47 @@ object VectorOps {
         col("col").as("c_val"), col("n_members"))
       .orderBy("cent_id", "pos")
 
+  /** ANN top-k scored on the INT8 CODES — the memory-bound search
+    * path: per pair the engine reads two 64-byte codes plus two
+    * scalars instead of two 256-byte float vectors (the 4× footprint
+    * cut is what keeps a 100 TB index RAM-resident). Candidates come
+    * from the same sign-LSH buckets as [[SimilarityOps.lshTopK]];
+    * ranking uses the quantized cosine `(qa·qb)·sa·sb / (na·nb)` —
+    * integer dot (exact, one bigint fold), then three exact-input
+    * double ops, so the ranking is bit-reproducible cross-engine. The
+    * exact float cosine rides along per returned pair, making the
+    * quantization error directly visible in the output (|qscore −
+    * cos| is bounded by the per-coordinate rounding error; spec-
+    * pinned). */
+  def quantizedLshTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withQuantized(
+      SimilarityOps.withNormAndBucket(SimilarityOps.embeddings(spark, dir)))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"),
+        col("scale"), col("q"))
+    val scored = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(a.q, b.q, (x, y) -> CAST(x AS BIGINT) * y), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("qscore",
+        expr("CAST(qdot AS DOUBLE) * (a.scale * b.scale) / (a.norm * b.norm)"))
+      .withColumn("cos",
+        expr(SimilarityOps.cosExpr("a.embedding", "b.embedding", "a.norm", "b.norm")))
+    // cos rides in the ordering struct's tail: -id is unique, so the
+    // exact score is carried, never compared
+    val tk = graft.functions.TopK.topKBy(
+      struct(col("qscore").as("s"), (-col("b.vec_id")).as("t"), col("cos").as("c")), k)
+    scored.groupBy(col("a.vec_id").as("query_id"), col("a.bucket").as("bucket"))
+      .agg(tk.as("tk"))
+      .select(col("query_id"), col("bucket"),
+        posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("query_id"), col("bucket"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.t")).as("neighbor_id"),
+        col("col.s").as("qscore"), col("col.c").as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF ANN search over CELLS FROM THE TRAINED QUANTIZER — the
     * integration [[SimilarityOps.ivfTopK]]'s scaladoc reserves a slot
     * for ("a k-means iteration would slot in here unchanged"). The

@@ -20,6 +20,20 @@ class SketchCmsSpec extends SparkSpec {
     } finally hh.unpersist()
   }
 
+  test("micro-batch sketches merge to exactly the one-shot corpus sketch") {
+    import spark.implicits._
+    val docs = TextOps.withWords(TextOps.docs(spark, sfSmoke))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+    // three disjoint "micro-batches" by doc_id stripe
+    val parts = (0 until 3).map(i =>
+      SketchOps.cmsSketchOf(docs.where(pmod(col("doc_id"), lit(3)) === i).select("w")))
+    val merged = parts.reduce(SketchOps.mergeSketches)
+    val oneShot = SketchOps.cmsSketch(spark, sfSmoke)
+    // counter-exact equality both ways (anti-join in each direction)
+    assert(merged.join(oneShot, Seq("r", "bucket", "cnt"), "left_anti").count() == 0)
+    assert(oneShot.join(merged, Seq("r", "bucket", "cnt"), "left_anti").count() == 0)
+  }
+
   test("sketch state is bounded by depth x width regardless of corpus") {
     val sk = SketchOps.cmsSketch(spark, sfSmoke).cache()
     try {

@@ -66,6 +66,24 @@ class VectorSpec extends SparkSpec {
     } finally ann.unpersist()
   }
 
+  test("quantized-scoring ANN tracks the exact cosine within the int8 error budget") {
+    val ann = VectorOps.quantizedLshTopK(spark, sfSmoke).cache()
+    try {
+      // ranks contiguous, ordered by the quantized score
+      val shape = ann.groupBy("query_id").agg(
+        min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("c"))
+      assert(shape.where(col("lo") =!= 1 || col("hi") =!= col("c")).count() == 0)
+      val misordered = ann.as("a").join(ann.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.rank") < col("b.rank") && col("a.qscore") < col("b.qscore"))
+        .count()
+      assert(misordered == 0)
+      // int8 scoring stays close to the float cosine it approximates
+      // (measured max ~3.5e-3 on the testdata; budget 10x)
+      assert(ann.where(abs(col("qscore") - col("cos")) > 0.01).count() == 0)
+    } finally ann.unpersist()
+  }
+
   test("refined centroids reduce within-cluster distance vs the seed assignment") {
     // the Lloyd property that makes the refinement worth running:
     // total within-cluster squared distance does not increase
