@@ -53,4 +53,65 @@ object ChunkOps {
         TextOps.h32(concat_ws(" ", col("col"))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Paragraph size (tokens) for the boilerplate strip: non-overlapping
+    * windows stand in for paragraphs — the corpus has no newlines, so
+    * fixed token windows are the deterministic paragraph surrogate. */
+  val Para = 16
+
+  /** Sub-document (paragraph-grain) exact dedup — the boilerplate strip
+    * of LLM corpus cleaning (headers, footers, nav bars repeat VERBATIM
+    * across pages; document-level dedup never fires on them because the
+    * surrounding text differs). A paragraph whose text occurs in ≥
+    * `minDf` DISTINCT documents is boilerplate and is removed from
+    * EVERY document (the standard strip — no canonical copy survives,
+    * unlike document dedup's first-wins); each document is then
+    * reconstructed from its surviving paragraphs in order.
+    *
+    * Paragraph identity is the cross-engine hash of the paragraph text
+    * ([[TextOps.h32]]) — hash-grain semantics, same contract as the
+    * whole dedup family.
+    *
+    * Scale shape: per-row window explode (no shuffle) → one df
+    * aggregate keyed on the paragraph hash → equi-join back on that
+    * hash → one per-document aggregate. Shuffles carry (doc_id, hash,
+    * n_tok) plus the paragraph text for reconstruction — the same
+    * volume class as the shingle index; the per-doc `collect_list` is
+    * bounded by document length, like every per-doc array here.
+    *
+    * Output per document: paragraph counts before/after, surviving
+    * token count, and the h32 fingerprint of the reconstructed text
+    * (the compact cross-engine witness that the rebuilt string —
+    * order included — is identical; a doc stripped to nothing yields
+    * the empty-string hash). */
+  def boilerplateStrip(spark: SparkSession, dir: String,
+      para: Int = Para, minDf: Int = 2): DataFrame = {
+    require(para > 0 && minDf >= 2, s"need para > 0, minDf >= 2, got $para/$minDf")
+    val paras = TextOps.withWords(TextOps.docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .withColumn("n", expr("size(ws)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CASE WHEN n <= $para THEN 0
+           |            ELSE (n - 1) DIV $para END),
+           |  i -> slice(ws, 1 + i * $para, $para))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("para_id"),
+        size(col("col")).as("n_tok"), concat_ws(" ", col("col")).as("pt"))
+      .withColumn("ph", TextOps.h32(col("pt")))
+    val dfreq = paras.groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    paras.join(dfreq, "ph")
+      .withColumn("kept", col("df") < minDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        // collect_list drops the CASE's null (non-kept) rows; sort by
+        // para_id restores document order after the unordered aggregate
+        sort_array(collect_list(when(col("kept"),
+          struct(col("para_id"), col("pt"))))).as("kp"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_tokens"),
+        TextOps.h32(concat_ws(" ", expr("transform(kp, x -> x.pt)"))).as("kept_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -858,6 +858,44 @@ object ExtOracleSql {
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Boilerplate-strip twin: identical non-overlapping windows, df over
+    * the same paragraph hash, FILTERed aggregates for the rebuild (the
+    * engine's collect_list-of-CASE drops nulls; DuckDB's FILTER clause
+    * is the same selection). */
+  val boilerplateStrip: String = {
+    val p = ChunkOps.Para
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |), idx AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, 1 + CASE WHEN len(ws) <= $p THEN 0
+       |                        ELSE (len(ws) - 1) // $p END)) AS i
+       |  FROM base
+       |), paras AS (
+       |  SELECT doc_id, CAST(i + 1 AS INT) AS para_id,
+       |    len(list_slice(ws, 1 + i * $p, (i + 1) * $p)) AS n_tok,
+       |    array_to_string(list_slice(ws, 1 + i * $p, (i + 1) * $p), ' ') AS pt
+       |  FROM idx
+       |), phs AS (
+       |  SELECT paras.*, ${h32("pt", "bp")} AS phash FROM paras
+       |), dfreq AS (
+       |  SELECT phash, count(DISTINCT doc_id) AS df FROM phs GROUP BY 1
+       |), j AS (
+       |  SELECT p.doc_id, p.para_id, p.n_tok, p.pt, d.df < 2 AS kept
+       |  FROM phs p JOIN dfreq d USING (phash)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INT) AS n_paras,
+       |  CAST(count(*) FILTER (WHERE kept) AS INT) AS n_kept,
+       |  CAST(coalesce(sum(n_tok) FILTER (WHERE kept), 0) AS BIGINT) AS kept_tokens,
+       |  ${h32("coalesce(array_to_string(list(pt ORDER BY para_id) " +
+             "FILTER (WHERE kept), ' '), '')", "bk")} AS kept_hash
+       |FROM j
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Quota twin: the readable row_number window over the same
     * quality_score formula [[textStats]] pins (verbatim copy — the
     * Spark side computes it once in `TextOps.withTextSignals`). */

@@ -42,6 +42,7 @@ object ExtQueries {
   def redactPii(s: SparkSession, d: String): DataFrame = ScrubOps.redactDocs(s, d)
   def sampleMixture(s: SparkSession, d: String): DataFrame = SampleOps.mixtureSample(s, d)
   def chunkWindows(s: SparkSession, d: String): DataFrame = ChunkOps.chunkWindows(s, d)
+  def boilerplate(s: SparkSession, d: String): DataFrame = ChunkOps.boilerplateStrip(s, d)
   def sourceQuota(s: SparkSession, d: String): DataFrame = SampleOps.sourceQuota(s, d)
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = SketchOps.cmsHeavyHitters(s, d)
   def embedQuantize(s: SparkSession, d: String): DataFrame = VectorOps.quantizeSummary(s, d)

@@ -40,4 +40,38 @@ class ChunkSpec extends SparkSpec {
     // overlap of consecutive chunks is W - S for full-width pairs
     assert(w - s == 8)
   }
+
+  test("boilerplate strip removes cross-doc paragraphs everywhere, keeps unique text") {
+    import spark.implicits._
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    val bodyA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val bodyB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val dir = tempDataDir("documents" -> Seq(
+      (0L, s"$header $bodyA"), // paras: header | a1..a16 | a17..a20
+      (1L, s"$header $bodyB"), // paras: header | b1..b16
+      (2L, header) //            pure boilerplate -> stripped to nothing
+    ).toDF("doc_id", "text"))
+    val out = ChunkOps.boilerplateStrip(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getInt(1) == 3 && out(0L).getInt(2) == 2 &&
+      out(0L).getLong(3) == 20L)
+    assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 1 &&
+      out(1L).getLong(3) == 16L)
+    assert(out(2L).getInt(1) == 1 && out(2L).getInt(2) == 0 &&
+      out(2L).getLong(3) == 0L)
+    // the rebuilt text is the in-order concat of surviving paragraphs
+    def h(s: String): Long = Seq(s).toDF("t")
+      .select(TextOps.h32(col("t"))).head().getLong(0)
+    assert(out(0L).getLong(4) == h(bodyA))
+    assert(out(1L).getLong(4) == h(bodyB))
+    assert(out(2L).getLong(4) == h(""))
+  }
+
+  test("boilerplate strip on the corpus: counts conserved, strip is idempotent-safe") {
+    val out = ChunkOps.boilerplateStrip(spark, sfSmoke)
+    val docs = TextOps.docs(spark, sfSmoke)
+    assert(out.count() == docs.count()) // every doc reported, even fully stripped
+    assert(out.where(col("n_kept") > col("n_paras") ||
+      col("kept_tokens") < lit(0)).count() == 0)
+  }
 }
