@@ -500,6 +500,23 @@ object ExtOracleSql {
        |FROM scored s CROSS JOIN cuts c
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Curriculum twin: the readable single-window formulation — the
+    * position IS `row_number() OVER (ORDER BY phase, h, doc_id)`; the
+    * engine computes identical values via the bucketed prefix sum. */
+  def curriculumOrder: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, decile FROM ($qualityDeciles)
+       |), phs AS (
+       |  SELECT doc_id, decile,
+       |    CASE WHEN decile >= 9 THEN 1 WHEN decile >= 5 THEN 2 ELSE 3 END AS phase,
+       |    ${h32("'curr:' || CAST(doc_id AS VARCHAR)", "cu")} AS h
+       |  FROM scored
+       |)
+       |SELECT doc_id, CAST(phase AS INT) AS phase, CAST(decile AS INT) AS decile,
+       |  CAST(row_number() OVER (ORDER BY phase, h, doc_id) AS BIGINT) AS global_pos
+       |FROM phs
+       |ORDER BY global_pos""".stripMargin
+
   /** KMV twin: the k-th smallest DISTINCT token hash per language via
     * one window — the exact set the engine's bounded TreeSet aggregate
     * retains, so sketch estimate and relative error match bit-for-bit.

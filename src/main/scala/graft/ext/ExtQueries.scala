@@ -44,6 +44,8 @@ object ExtQueries {
   def chunkWindows(s: SparkSession, d: String): DataFrame = ChunkOps.chunkWindows(s, d)
   def boilerplate(s: SparkSession, d: String): DataFrame = ChunkOps.boilerplateStrip(s, d)
   def sourceQuota(s: SparkSession, d: String): DataFrame = SampleOps.sourceQuota(s, d)
+  def curriculumOrder(s: SparkSession, d: String): DataFrame =
+    CurriculumOps.curriculumOrder(s, d)
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = SketchOps.cmsHeavyHitters(s, d)
   def embedQuantize(s: SparkSession, d: String): DataFrame = VectorOps.quantizeSummary(s, d)
   def kmeansRefine(s: SparkSession, d: String): DataFrame = VectorOps.kmeansRefine(s, d)

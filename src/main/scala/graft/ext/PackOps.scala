@@ -74,60 +74,80 @@ object PackOps {
     val keyed = withPackKey(TextOps.docs(spark, dir))
       .withColumn("bucket", ((col("h") * b) / lit(1L << 32)).cast("int"))
 
-    // ONE shuffle feeds both passes (plan-pinned by PackSpec: the corpus
-    // parquet is scanned ONCE). The shuffle carries only the skinny
-    // (doc_id, n_tokens, h, bucket) projection — never the text. RANGE
-    // partitioning, not hash: murmur3(bucket) % b scatters b distinct
-    // bucket ids into b partitions with balls-in-bins collisions (~1/e
-    // of tasks idle, others owning 2-4 buckets), while ranges of the
-    // already-ordered bucket id give the intended one-task-one-bucket
-    // layout. The count stays explicit — an unspecified-count
-    // repartition of a small shuffle gets coalesced back to one
-    // partition by AQE.
-    //
-    // The isNotNull is never false (h is a hash of a non-null concat) —
-    // it exists so BOTH consumers of the exchange carry the same
-    // null-filter the join would otherwise push down only its own
-    // branch, which would de-duplicate the subtrees and break exchange
-    // reuse.
-    val shuffled = keyed.where(col("bucket").isNotNull)
-      .repartitionByRange(b, col("bucket"))
-
-    val localWin = Window.partitionBy("bucket").orderBy("h", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = shuffled.withColumn("local_before",
-      coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
-
-    // Per-bucket totals come off the WINDOW OUTPUT, not a separate
-    // aggregate over the input: the running sum through a bucket's last
-    // row IS the bucket total (offsets are monotone within the bucket),
-    // so `max(local_before + n_tokens)` reads it back without new
-    // computation — and, decisively, it keeps this branch's plan
-    // identical to the join side's below the exchange, so Catalyst's
-    // exchange reuse collapses the two into one scan+shuffle. (A
-    // groupBy on the pre-window frame computes the same numbers, but
-    // column pruning then projects this branch down to (bucket,
-    // n_tokens), the exchange subtrees stop matching, and the corpus
-    // gets scanned and tokenized twice — measured, not hypothetical.)
-    //
-    // The unpartitioned window after it is deliberate: it sees B rows,
-    // not the corpus, and the result broadcasts back to the big side.
-    val offsetWin = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
-      .groupBy("bucket")
-      .agg(max(col("local_before") + col("n_tokens")).as("bucket_total"))
-      .withColumn("bucket_offset",
-        coalesce(sum(col("bucket_total")).over(offsetWin), lit(0L)))
-      .select("bucket", "bucket_offset")
-
-    local.join(broadcast(offsets), "bucket")
-      .withColumn("global_start", col("bucket_offset") + col("local_before"))
+    prefixSumOverBuckets(keyed, b, "n_tokens", Seq("h", "doc_id"))
+      .withColumn("global_start", col("global_before"))
       .withColumn("pack_first", expr(s"global_start div $budget"))
       .withColumn("pack_last", expr(s"(global_start + n_tokens - 1) div $budget"))
       .withColumn("packs_spanned", col("pack_last") - col("pack_first") + lit(1L))
       .select("doc_id", "n_tokens", "global_start",
         "pack_first", "pack_last", "packs_spanned")
       .orderBy("global_start")
+  }
+
+  /** The classic two-pass distributed prefix sum over a pre-bucketed
+    * frame: adds `local_before` (running sum of `valueCol` within the
+    * bucket, exclusive) and `global_before` (bucket offset + local) —
+    * the exact values of `sum(valueCol) OVER (ORDER BY bucket,
+    * orderCols)` exclusive, without the single-partition window that
+    * formulation plans. Shared by [[packSequences]] (token offsets) and
+    * [[CurriculumOps]] (ordinal positions).
+    *
+    * `keyed` must carry a non-null `bucket` column whose ranges TILE
+    * the intended global order (bucket boundaries are order
+    * boundaries); `orderCols` must totally order rows within a bucket.
+    *
+    * ONE shuffle feeds both passes (plan-pinned by PackSpec: the corpus
+    * parquet is scanned ONCE). The shuffle carries only the skinny
+    * keyed projection — never the text. RANGE partitioning, not hash:
+    * murmur3(bucket) % b scatters b distinct bucket ids into b
+    * partitions with balls-in-bins collisions (~1/e of tasks idle,
+    * others owning 2-4 buckets), while ranges of the already-ordered
+    * bucket id give the intended one-task-one-bucket layout. The count
+    * stays explicit — an unspecified-count repartition of a small
+    * shuffle gets coalesced back to one partition by AQE.
+    *
+    * The isNotNull is never false (buckets derive from non-null
+    * hashes) — it exists so BOTH consumers of the exchange carry the
+    * same null-filter the join would otherwise push down only into its
+    * own branch, which would de-duplicate the subtrees and break
+    * exchange reuse.
+    *
+    * Per-bucket totals come off the WINDOW OUTPUT, not a separate
+    * aggregate over the input: the running sum through a bucket's last
+    * row IS the bucket total (offsets are monotone within the bucket),
+    * so `max(local_before + value)` reads it back without new
+    * computation — and, decisively, it keeps this branch's plan
+    * identical to the join side's below the exchange, so Catalyst's
+    * exchange reuse collapses the two into one scan+shuffle. (A
+    * groupBy on the pre-window frame computes the same numbers, but
+    * column pruning then projects this branch down to (bucket, value),
+    * the exchange subtrees stop matching, and the corpus gets scanned
+    * and tokenized twice — measured, not hypothetical.)
+    *
+    * The unpartitioned window over the bucket totals is deliberate: it
+    * sees B rows, not the corpus, and the result broadcasts back to
+    * the big side. */
+  def prefixSumOverBuckets(keyed: DataFrame, b: Int, valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val shuffled = keyed.where(col("bucket").isNotNull)
+      .repartitionByRange(b, col("bucket"))
+
+    val localWin = Window.partitionBy("bucket")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = shuffled.withColumn("local_before",
+      coalesce(sum(col(valueCol)).over(localWin), lit(0L)))
+
+    val offsetWin = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy("bucket")
+      .agg(max(col("local_before") + col(valueCol)).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(offsetWin), lit(0L)))
+      .select("bucket", "bucket_offset")
+
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("global_before", col("bucket_offset") + col("local_before"))
   }
 }

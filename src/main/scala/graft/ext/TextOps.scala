@@ -327,7 +327,10 @@ object TextOps {
     * bounded-cardinality choice shared bit-for-bit with DuckDB's
     * `quantile_cont`; an unbounded-scale profile would switch to
     * `approx_percentile` and a rows-only check. */
-  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered decile core — the reusable building block ([[qualityDeciles]]
+    * adds the output ORDER BY; [[CurriculumOps]] re-shuffles anyway and
+    * must not pay a corpus-wide range sort for nothing). */
+  def qualityDecileOf(spark: SparkSession, dir: String): DataFrame = {
     val scored = textStats(spark, dir).select("doc_id", "quality_score")
     val cuts = scored.agg(expr(
       "percentile(quality_score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
@@ -335,8 +338,10 @@ object TextOps {
       .withColumn("decile",
         expr("1 + aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN quality_score > c THEN 1 ELSE 0 END)"))
       .select("doc_id", "quality_score", "decile")
-      .orderBy("doc_id")
   }
+
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame =
+    qualityDecileOf(spark, dir).orderBy("doc_id")
 
   /** Per-language vocabulary size, exact AND KMV-estimated
     * ([[graft.functions.KmvSketchAgg]], k = 64 smallest distinct token
