@@ -1080,13 +1080,13 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-over-trained-centroids twin: the same 2 Lloyd iterations, then
-    * cell assignment in the trained metric (L2 over int8 codes, ties →
-    * lower cent_id), nProbe = 2 probing, and exact-cosine re-ranking
-    * over the original floats — mirroring [[simIvfTopK]]'s search with
-    * [[kmeansRefine]]'s quantizer. */
-  val simIvfKmeans: String =
-    s"""WITH $quantCte,
+  /** Trained-cell CTE chain shared by [[simIvfKmeans]] and
+    * [[semanticDedup]]: 2 unrolled Lloyd iterations from the
+    * `vec_id < 8` seed, then cell assignment in the trained metric
+    * (L2 over int8 codes, ties → lower cent_id) — ends at `cells`
+    * (vec_id, embedding, norm, cell). */
+  private val trainedCellsCte: String =
+    s"""$quantCte,
        |c0 AS (
        |  SELECT vec_id AS cent_id, list_transform(q, xc -> CAST(xc AS DOUBLE)) AS cv
        |  FROM quant WHERE vec_id < 8
@@ -1113,7 +1113,14 @@ object ExtOracleSql {
        |cells AS (
        |  SELECT e.vec_id, e.embedding, e.norm, cr.cent_id AS cell
        |  FROM en e JOIN cr ON cr.vec_id = e.vec_id AND cr.crank = 1
-       |),
+       |)""".stripMargin
+
+  /** IVF-over-trained-centroids twin: [[trainedCellsCte]]'s assignment,
+    * nProbe = 2 probing, and exact-cosine re-ranking over the original
+    * floats — mirroring [[simIvfTopK]]'s search with [[kmeansRefine]]'s
+    * quantizer. */
+  val simIvfKmeans: String =
+    s"""WITH $trainedCellsCte,
        |probes AS (
        |  SELECT vec_id AS pvid, cent_id AS pcell FROM cr WHERE crank <= 2
        |),
@@ -1133,4 +1140,26 @@ object ExtOracleSql {
        |SELECT query_id, cell, CAST(rank AS INT) AS rank, neighbor_id, cos AS score
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  /** SemDeDup twin: within-cell pairs over [[trainedCellsCte]]'s
+    * assignment, dominated = any lower-id same-cell vector at cosine ≥
+    * tau; max_cos stays NULL when no dominating pair exists. */
+  val semanticDedup: String =
+    s"""WITH $trainedCellsCte,
+       |dominated AS (
+       |  SELECT a.vec_id,
+       |    CAST(count(*) AS INT) AS n_sem_dups,
+       |    max(${dot("a.embedding", "b.embedding", "sd")} / (a.norm * b.norm)) AS max_cos
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE ${dot("a.embedding", "b.embedding", "sw")} / (a.norm * b.norm)
+       |        >= ${VectorOps.SemTau}
+       |  GROUP BY a.vec_id
+       |)
+       |SELECT c.vec_id, c.cell,
+       |  coalesce(d.n_sem_dups, 0) AS n_sem_dups,
+       |  d.max_cos AS max_cos,
+       |  d.vec_id IS NULL AS keep
+       |FROM cells c LEFT JOIN dominated d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
 }

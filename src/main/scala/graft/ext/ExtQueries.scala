@@ -51,6 +51,7 @@ object ExtQueries {
   def kmeansRefine(s: SparkSession, d: String): DataFrame = VectorOps.kmeansRefine(s, d)
   def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = VectorOps.ivfKmeansTopK(s, d)
   def quantizedTopK(s: SparkSession, d: String): DataFrame = VectorOps.quantizedLshTopK(s, d)
+  def semanticDedup(s: SparkSession, d: String): DataFrame = VectorOps.semanticDedup(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

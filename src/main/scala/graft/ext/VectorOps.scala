@@ -172,20 +172,33 @@ object VectorOps {
     * coarse-then-exact IVF split. Same plan shape as `ivfTopK`:
     * broadcast centroid assignment (bounded side), equi-join on cell,
     * bounded top-k aggregate. */
+  /** Per-vector centroid ranking in the trained metric (L2 over int8
+    * codes, ties → lowest cent_id): (vec_id, embedding, norm, crank,
+    * cent_id) for crank ≤ nProbe. crank = 1 is the cell assignment;
+    * higher ranks are the probe list. Session-cached — the assignment
+    * is the IVF index artifact a deployment stores, shared by
+    * [[ivfKmeansTopK]] and [[semanticDedup]]. */
+  def kmeansAssign(spark: SparkSession, dir: String, nProbe: Int = 2,
+      kCent: Int = 8, iters: Int = 2): DataFrame =
+    graft.util.SessionCache.getOrBuild(
+        spark, s"vec|$dir|kmeans_assign|$kCent|$iters|$nProbe") {
+      val cents = kmeansCentroids(spark, dir, kCent, iters).select("cent_id", "cv")
+      val e = withQuantized(SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir)))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("q"))
+      e.join(broadcast(cents))
+        .withColumn("d2", dist2("q", "cv"))
+        .groupBy("vec_id")
+        .agg(graft.functions.TopK.topKBy(
+          struct((-col("d2")).as("nd"), (-col("cent_id")).as("nc")), nProbe).as("tk"))
+        .select(col("vec_id"), posexplode(sort_array(col("tk"), asc = false)))
+        .select(col("vec_id"), (col("pos") + 1).as("crank"),
+          (-col("col.nc")).as("cent_id"))
+        .join(e.select("vec_id", "embedding", "norm"), "vec_id")
+    }
+
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 3,
       nProbe: Int = 2, kCent: Int = 8, iters: Int = 2): DataFrame = {
-    val cents = kmeansCentroids(spark, dir, kCent, iters).select("cent_id", "cv")
-    val e = withQuantized(SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir)))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("q"))
-    val ranked = e.join(broadcast(cents))
-      .withColumn("d2", dist2("q", "cv"))
-      .groupBy("vec_id")
-      .agg(graft.functions.TopK.topKBy(
-        struct((-col("d2")).as("nd"), (-col("cent_id")).as("nc")), nProbe).as("tk"))
-      .select(col("vec_id"), posexplode(sort_array(col("tk"), asc = false)))
-      .select(col("vec_id"), (col("pos") + 1).as("crank"),
-        (-col("col.nc")).as("cent_id"))
-      .join(e, "vec_id")
+    val ranked = kmeansAssign(spark, dir, nProbe, kCent, iters)
     val cells = ranked.where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
     val probes = ranked.select(col("vec_id").as("pvid"), col("cent_id").as("pcell"))
@@ -204,5 +217,52 @@ object VectorOps {
         (col("pos") + 1).cast("int").as("rank"),
         (-col("col.t")).as("neighbor_id"), col("col.s").as("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Cosine threshold for [[semanticDedup]] — calibrated to the corpus
+    * (cross-pair cosines concentrate near 0; ≥ 0.45 marks genuine
+    * directional near-duplicates). */
+  val SemTau = 0.45
+
+  /** Semantic deduplication — cluster-bounded embedding near-dup
+    * pruning (the SemDeDup recipe): candidate pairs are generated ONLY
+    * within a trained k-means cell, scored with the exact cosine, and
+    * the higher vec_id of every pair at cosine ≥ `tau` is marked
+    * dominated (lowest id survives as the canonical copy — same
+    * first-wins convention as the whole dedup family).
+    *
+    * Relation to the rest of the family: [[graft.ext.DedupOps.embeddingNearDup]]
+    * buckets by sign-LSH (data-independent planes — recall comes from
+    * multi-probe); this operator bounds candidates by LEARNED cluster
+    * structure instead — per-cell pair work is O(Σ|cell|²), and cells
+    * track the data distribution, which is what makes the bound tight
+    * on clustered real-world embeddings. A same-cluster near-dup is
+    * found even when it differs in a projected sign; the price is that
+    * a pair straddling a cell boundary is missed (the documented
+    * recall trade of cluster-bounded dedup — raise kCent/iters, not
+    * tau, to tighten cells).
+    *
+    * Output: one row per vector — its cell, how many LOWER-id same-cell
+    * vectors dominate it at ≥ tau, the strongest such cosine (NULL when
+    * none — no fabricated score), and the keep verdict. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = SemTau,
+      kCent: Int = 8, iters: Int = 2): DataFrame = {
+    val cells = kmeansAssign(spark, dir, nProbe = 1, kCent = kCent, iters = iters)
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+    val dominated = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .withColumn("cos",
+        expr(SimilarityOps.cosExpr("a.embedding", "b.embedding", "a.norm", "b.norm")))
+      .where(col("cos") >= tau)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).cast("int").as("n_sem_dups"), max(col("cos")).as("max_cos"))
+    cells.select("vec_id", "cell")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_sem_dups"), lit(0)).as("n_sem_dups"),
+        col("max_cos"),
+        col("n_sem_dups").isNull.as("keep"))
+      .orderBy("vec_id")
   }
 }

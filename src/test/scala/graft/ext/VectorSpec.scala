@@ -84,6 +84,49 @@ class VectorSpec extends SparkSpec {
     } finally ann.unpersist()
   }
 
+  test("semantic dedup keeps the canonical copy and only drops true near-dups") {
+    val out = VectorOps.semanticDedup(spark, sfSmoke).cache()
+    try {
+      val n = SimilarityOps.embeddings(spark, sfSmoke).count()
+      assert(out.count() == n) // one verdict per vector
+      // keep <=> no dominating pair; max_cos present exactly when dominated
+      assert(out.where(col("keep") && col("n_sem_dups") =!= 0).count() == 0)
+      assert(out.where(!col("keep") && (col("max_cos").isNull ||
+        col("max_cos") < VectorOps.SemTau)).count() == 0)
+      // every cell retains its lowest surviving id: the minimum vec_id
+      // of a cell can never be dominated (no lower id exists)
+      val minPerCell = out.groupBy("cell").agg(min("vec_id").as("lo"))
+      assert(out.join(minPerCell, out("vec_id") === minPerCell("lo"))
+        .where(!col("keep")).count() == 0)
+      // drops are a subset of GLOBAL threshold pairs: any dominated
+      // vector really has a lower-id near-dup at >= tau (cluster
+      // bounding may miss pairs, never invent them)
+      val e = SimilarityOps.withNorm(SimilarityOps.embeddings(spark, sfSmoke))
+      val global = e.as("a").join(e.as("b"), col("b.vec_id") < col("a.vec_id"))
+        .withColumn("cos", expr(
+          SimilarityOps.cosExpr("a.embedding", "b.embedding", "a.norm", "b.norm")))
+        .where(col("cos") >= VectorOps.SemTau)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+      val phantom = out.where(!col("keep"))
+        .join(global, Seq("vec_id"), "left_anti").count()
+      assert(phantom == 0)
+    } finally out.unpersist()
+  }
+
+  test("semantic dedup drops a planted exact duplicate vector") {
+    import spark.implicits._
+    // an exact copy ties every centroid distance, so both land in the
+    // same cell deterministically — the planted dup MUST be dropped
+    val e = SimilarityOps.embeddings(spark, sfSmoke)
+    val dupOf = e.orderBy("vec_id").limit(1)
+      .select(lit(100000L).as("vec_id"), col("embedding"), lit(99).as("label"))
+    val dir = tempDataDir("embeddings" -> e.unionByName(dupOf))
+    val out = VectorOps.semanticDedup(spark, dir)
+    val planted = out.where(col("vec_id") === 100000L).collect()
+    assert(planted.length == 1 && !planted(0).getAs[Boolean]("keep"))
+    assert(planted(0).getAs[Double]("max_cos") > 0.999999)
+  }
+
   test("refined centroids reduce within-cluster distance vs the seed assignment") {
     // the Lloyd property that makes the refinement worth running:
     // total within-cluster squared distance does not increase
