@@ -626,26 +626,54 @@ object ExtOracleSql {
     * from a rows-only check to a full differential one: the Spark side
     * iterates real bytes in `mapPartitions`, the oracle derives the
     * same values from codepoints — independent routes, same numbers. */
+  /** Decoded byte statistics per media row — the UTF-8 codepoint
+    * reconstruction of the decode kernel's byte iteration; shared by
+    * [[mediaDecode]] and [[mediaPhash]]. */
+  private val mediaFeatsCte: String =
+    s"""feats AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+       |      AS media_type,
+       |    octet_length(encode(text)) AS n_bytes,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''), ch -> CAST(
+       |        CASE WHEN ch = '' THEN 0 -- string_split('','') yields ['']; unicode('') is -1
+       |             WHEN unicode(ch) < 128 THEN unicode(ch)
+       |             WHEN unicode(ch) < 2048
+       |               THEN 192 + unicode(ch)//64 + 128 + unicode(ch)%64
+       |             WHEN unicode(ch) < 65536
+       |               THEN 224 + unicode(ch)//4096 + 128 + (unicode(ch)//64)%64
+       |                    + 128 + unicode(ch)%64
+       |             ELSE 240 + unicode(ch)//262144 + 128 + (unicode(ch)//4096)%64
+       |                  + 128 + (unicode(ch)//64)%64 + 128 + unicode(ch)%64
+       |        END AS BIGINT))),
+       |      (a, b) -> a + b)) % 997 AS checksum
+       |  FROM documents
+       |)""".stripMargin
+
   val mediaDecode: String =
-    s"""SELECT doc_id,
-       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
-       |    AS media_type,
-       |  octet_length(encode(text)) AS n_bytes,
-       |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split(text, ''), ch -> CAST(
-       |      CASE WHEN ch = '' THEN 0 -- string_split('','') yields ['']; unicode('') is -1
-       |           WHEN unicode(ch) < 128 THEN unicode(ch)
-       |           WHEN unicode(ch) < 2048
-       |             THEN 192 + unicode(ch)//64 + 128 + unicode(ch)%64
-       |           WHEN unicode(ch) < 65536
-       |             THEN 224 + unicode(ch)//4096 + 128 + (unicode(ch)//64)%64
-       |                  + 128 + unicode(ch)%64
-       |           ELSE 240 + unicode(ch)//262144 + 128 + (unicode(ch)//4096)%64
-       |                + 128 + (unicode(ch)//64)%64 + 128 + unicode(ch)%64
-       |      END AS BIGINT))),
-       |    (a, b) -> a + b)) % 997 AS checksum
-       |FROM documents
+    s"""WITH $mediaFeatsCte
+       |SELECT doc_id, media_type, n_bytes, checksum
+       |FROM feats
        |ORDER BY doc_id""".stripMargin
+
+  /** pHash near-dup twin: the same 16-bit signature from the decoded
+    * byte statistics, verified all-pairs (the oracle need not be
+    * efficient — the ENGINE does the pigeonhole block join). */
+  val mediaPhash: String =
+    s"""WITH $mediaFeatsCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${h32("CAST(checksum AS VARCHAR) || ':' || CAST(n_bytes AS VARCHAR)", "mp")}
+       |      % 65536 AS phash
+       |  FROM feats
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.phash AS phash_a, b.phash AS phash_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val mediaMeta: String =
     s"""SELECT doc_id,

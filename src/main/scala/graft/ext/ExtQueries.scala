@@ -55,4 +55,5 @@ object ExtQueries {
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)
+  def mediaPhash(s: SparkSession, d: String): DataFrame = MediaOps.phashPairs(s, d)
 }

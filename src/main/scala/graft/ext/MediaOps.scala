@@ -147,4 +147,53 @@ object MediaOps {
         count(lit(1)).cast("long").as("n_frames"),
         max("offset_ms").as("last_offset_ms"))
       .orderBy("doc_id")
+
+  /** Perceptual-hash signatures over the decoded payloads (16 bits).
+    *
+    * STUB kernel, real plumbing — same contract as the rest of the
+    * module: a real deployment computes a DCT/average-hash from the
+    * decoded PIXELS inside [[decodeFeatures]]'s `mapPartitions` stage
+    * (where the pixel buffer is in scope); this container has no
+    * codecs, so the stub derives the 16 signature bits from the
+    * kernel's decoded BYTE statistics (checksum, byte length) via the
+    * cross-engine hash — which is exactly what keeps the downstream
+    * near-dup join oracle-checkable. */
+  def phashSignatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir).toDF()
+      .withColumn("phash",
+        TextOps.h32(concat(col("checksum"), lit(":"), col("n_bytes"))) % 65536)
+      .select("doc_id", "media_type", "phash")
+
+  /** Near-duplicate media detection by perceptual-hash Hamming
+    * distance — the media twin of [[graft.ext.DedupOps.simhashPairs]]:
+    * re-encodes, resizes and minor edits move few signature bits, so
+    * near-identical assets sit within a small Hamming radius.
+    *
+    * Same banded pigeonhole join as SimHash: the 16-bit signature
+    * splits into 2 contiguous 8-bit blocks; at Hamming ≤ 1 at most one
+    * block differs, so every qualifying pair shares ≥ 1 block
+    * VERBATIM. Candidates come from an equi-join on (block id, block
+    * value) — never an all-pairs scan — then the exact popcount
+    * verifies. DISTINCT collapses pairs that match on both blocks.
+    * At 100 TB the block join shuffles on a 2×256-ary key; radius > 1
+    * needs maxHamming+1 blocks (the require documents the guarantee,
+    * like SimHash's). */
+  def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"phashPairs' 2-block pigeonhole join is complete only for maxHamming <= 1, got $maxHamming")
+    val sig = phashSignatures(spark, dir)
+    val blocks = sig.select(col("doc_id"), col("phash"),
+      posexplode(expr("array(phash % 256, phash DIV 256)")))
+      .select(col("doc_id"), col("phash"),
+        col("pos").as("blk"), col("col").as("blk_val"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("phash_a"), col("b.phash").as("phash_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(phash_a ^ phash_b) AS INT)"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: binary payload round-trip, typed metadata, and
   * the mapPartitions decode stage's byte-level kernel. */
@@ -39,5 +40,32 @@ class MediaSpec extends SparkSpec {
     // UTF-8 of 中文: e4 b8 ad e6 96 87 → (228+184+173+230+150+135) % 997 = 103
     assert(feats(1L).checksum == 1100L % 997)
     assert(feats(1L).feature(0) == 6f)
+  }
+
+  test("identical payloads collide on phash and pair at hamming 0") {
+    import spark.implicits._
+    val dup = tempDataDir("documents" -> Seq(
+      (0L, "abc", "en", "web", 3L),
+      (3L, "abc", "en", "web", 3L), // same bytes, same doc_id % 3 class
+      (7L, "completely different payload text", "en", "web", 33L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = MediaOps.phashPairs(spark, dup).collect()
+    val zero = pairs.filter(r => r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(zero.length == 1 && zero(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("pigeonhole block join finds exactly the brute-force hamming<=1 pairs") {
+    val sig = MediaOps.phashSignatures(spark, sfSmoke)
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.phash ^ b.phash)") <= 1)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = MediaOps.phashPairs(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "no hamming<=1 pairs in the corpus — stub too sparse")
+    // signatures stay in the 16-bit range
+    assert(sig.where(col("phash") < 0 || col("phash") >= 65536).count() == 0)
   }
 }
