@@ -265,4 +265,21 @@ object OracleSql {
       |                 WHERE year = (SELECT MAX(year) FROM dim_time))
       |GROUP BY st.store_id, st.store_name
       |ORDER BY st.store_id""".stripMargin)
+
+  /** Q13 CUBE twin. gid from the null pattern rather than GROUPING():
+    * the dimensions are never NULL in data, so a NULL is exactly a
+    * subtotal marker — the fold equals Spark's grouping_id() bit vector
+    * (year = MSB, the cube column order). */
+  val q13: String = star(
+    """SELECT t.year, t.quarter, f.store_id,
+      |       CAST(4 * (CASE WHEN t.year IS NULL THEN 1 ELSE 0 END)
+      |          + 2 * (CASE WHEN t.quarter IS NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN f.store_id IS NULL THEN 1 ELSE 0 END) AS INT) AS gid,
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
+      |       CAST(SUM(f.quantity_ordered) AS BIGINT) AS total_quantity
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |GROUP BY CUBE (t.year, t.quarter, f.store_id)
+      |ORDER BY t.year ASC NULLS FIRST, t.quarter ASC NULLS FIRST,
+      |         f.store_id ASC NULLS FIRST""".stripMargin)
 }

@@ -431,4 +431,26 @@ object Queries {
     spark.table("store_quarterly_sales")
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))
   }
+
+  /** Q13 (extension): CUBE over (year, quarter, store) — the full 2³
+    * grouping-sets lattice generalizing the reference's ROLLUP (Q7
+    * walks only the 4 prefix groupings). `grouping_id()` disambiguates
+    * a data NULL from a subtotal NULL; with non-null dimensions it
+    * equals the null-pattern fold the oracle computes, and the spec
+    * pins the two encodings against each other. Same physical shape as
+    * the rollup: one `Expand` (8×) feeding a two-phase hash aggregate —
+    * no extra scans for the extra groupings. */
+  def q13CubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year", "quarter")
+    outputDoubles(fact
+      .join(broadcast(time), Seq("time_id"))
+      .cube(col("year"), col("quarter"), col("store_id"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        sum("total_revenue").cast(aggRevenueType).as("total_revenue"),
+        sum("quantity_ordered").cast("bigint").as("total_quantity")))
+      .orderBy(asc_nulls_first("year"), asc_nulls_first("quarter"),
+        asc_nulls_first("store_id"))
+  }
 }

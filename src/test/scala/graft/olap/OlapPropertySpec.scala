@@ -24,6 +24,31 @@ class OlapPropertySpec extends SparkSpec {
     assert(grand.head.getDouble(0) == direct.head.getDecimal(0).doubleValue())
   }
 
+  test("cube covers the full grouping lattice and gid encodes the null pattern") {
+    val cube = Queries.q13CubeRevenue(spark, sfSmoke).cache()
+    try {
+      // exactly one grand-total row, gid = 7
+      val grand = cube.where(col("gid") === 7).collect()
+      assert(grand.length == 1)
+      assert(grand.head.getAs[Any]("year") == null &&
+        grand.head.getAs[Any]("store_id") == null)
+      // grouping_id bits == null pattern (year MSB), on every row
+      assert(cube.where(col("gid") =!=
+        (when(col("year").isNull, 4).otherwise(0) +
+          when(col("quarter").isNull, 2).otherwise(0) +
+          when(col("store_id").isNull, 1).otherwise(0))).count() == 0)
+      // all 8 lattice members are populated
+      assert(cube.select("gid").distinct().count() == 8)
+      // every marginal reaggregates to the same grand total
+      val g = grand.head.getAs[Double]("total_revenue")
+      Seq(4, 2, 1).foreach { bit =>
+        val marginal = cube.where(col("gid") === (7 ^ bit))
+          .agg(sum(col("total_revenue"))).collect().head.getDouble(0)
+        assert(math.abs(marginal - g) < 1e-6 * math.abs(g))
+      }
+    } finally cube.unpersist()
+  }
+
   test("affinity returns top pairs with positive frequencies") {
     val rows = Queries.q06Affinity(spark, sfSmoke).collect()
     assert(rows.nonEmpty && rows.length <= 5) // line-item grain makes Q6 meaningful (Q-j)
