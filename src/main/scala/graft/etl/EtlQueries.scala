@@ -186,4 +186,9 @@ object EtlQueries {
         col("session_window.end").as("session_end"),
         col("n_events"))
       .orderBy("user_id", "session_start")
+
+  /** Right-to-erasure audit ([[Retention.forgetCustomers]]): per
+    * customer-keyed table, rows before/deleted/after the scrub. */
+  def forgetCustomer(spark: SparkSession, dir: String): DataFrame =
+    Retention.forgetCustomers(spark, dir)
 }

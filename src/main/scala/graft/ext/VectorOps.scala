@@ -247,7 +247,10 @@ object VectorOps {
     * none — no fabricated score), and the keep verdict. */
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = SemTau,
       kCent: Int = 8, iters: Int = 2): DataFrame = {
-    val cells = kmeansAssign(spark, dir, nProbe = 1, kCent = kCent, iters = iters)
+    // nProbe = 2 only to SHARE the stored assignment artifact with
+    // ivfKmeansTopK (crank = 1 rows are identical for any nProbe ≥ 1;
+    // dedup itself never probes)
+    val cells = kmeansAssign(spark, dir, nProbe = 2, kCent = kCent, iters = iters)
       .where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
     val dominated = cells.as("a").join(cells.as("b"),
