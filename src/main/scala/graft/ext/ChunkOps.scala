@@ -84,19 +84,31 @@ object ChunkOps {
     * (the compact cross-engine witness that the rebuilt string —
     * order included — is identical; a doc stripped to nothing yields
     * the empty-string hash). */
+  /** The paragraph table (doc_id, para_id, n_tok, pt, ph) — an index
+    * artifact of the sub-document dedup family, session-cached like the
+    * shingle index: [[boilerplateStrip]] consumes it on BOTH sides of
+    * its df join, which would otherwise scan and re-tokenize the corpus
+    * twice (the subtrees differ below the exchanges, so Catalyst's
+    * exchange reuse cannot collapse them). */
+  def paragraphTable(spark: SparkSession, dir: String,
+      para: Int = Para): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark, s"text|$dir|paras|$para") {
+      TextOps.withWords(TextOps.docs(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+        .withColumn("n", expr("size(ws)"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, CASE WHEN n <= $para THEN 0
+             |            ELSE (n - 1) DIV $para END),
+             |  i -> slice(ws, 1 + i * $para, $para))""".stripMargin)))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("para_id"),
+          size(col("col")).as("n_tok"), concat_ws(" ", col("col")).as("pt"))
+        .withColumn("ph", TextOps.h32(col("pt")))
+    }
+
   def boilerplateStrip(spark: SparkSession, dir: String,
       para: Int = Para, minDf: Int = 2): DataFrame = {
     require(para > 0 && minDf >= 2, s"need para > 0, minDf >= 2, got $para/$minDf")
-    val paras = TextOps.withWords(TextOps.docs(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-      .withColumn("n", expr("size(ws)"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CASE WHEN n <= $para THEN 0
-           |            ELSE (n - 1) DIV $para END),
-           |  i -> slice(ws, 1 + i * $para, $para))""".stripMargin)))
-      .select(col("doc_id"), (col("pos") + 1).cast("int").as("para_id"),
-        size(col("col")).as("n_tok"), concat_ws(" ", col("col")).as("pt"))
-      .withColumn("ph", TextOps.h32(col("pt")))
+    val paras = paragraphTable(spark, dir, para)
     val dfreq = paras.groupBy("ph")
       .agg(countDistinct(col("doc_id")).as("df"))
     paras.join(dfreq, "ph")

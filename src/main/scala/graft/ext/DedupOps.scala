@@ -52,6 +52,7 @@ object DedupOps {
     docShingleArrays(spark, dir).count()
     lshBands(spark, dir).count()
     simhashSignatures(spark, dir).count()
+    ChunkOps.paragraphTable(spark, dir).count()
   }
 
   /** Exact dedup by content hash of the whitespace-normalized text: keeper
