@@ -482,6 +482,26 @@ object ExtOracleSql {
        |FROM documents d LEFT JOIN scored sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Commonness twin: instance-level df join over the same whitespace
+    * tokens; the two divisions are spelled in the engine's operation
+    * order (sum cast to double, divided by the bigint count). */
+  val tokenCommonness: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents
+       |),
+       |dfreq AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+       |)
+       |SELECT w.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_inst,
+       |       CAST(sum(f.df) AS DOUBLE) / count(*) AS mean_token_df,
+       |       CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |         AS oov_frac
+       |FROM words w JOIN dfreq f USING (term)
+       |GROUP BY w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   /** Decile twin: DuckDB `quantile_cont` shares Spark `percentile`'s
     * linear-interpolation semantics (bit-identical, proven by
     * lengthStats); the bucket fold mirrors the engine's cutoff

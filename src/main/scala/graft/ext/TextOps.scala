@@ -211,6 +211,38 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Token-level corpus-commonness profile — the language-model-likeness
+    * surrogate of quality filtering: a document of frequent, widely
+    * shared tokens scores a high mean document frequency (reads like the
+    * corpus), one full of rare tokens scores low with a high
+    * out-of-vocabulary fraction (gibberish, code, foreign matter).
+    * The real filter is LM perplexity; its log-probabilities are libm
+    * transcendentals that can never be bit-reproduced cross-engine, so
+    * the surrogate stays in integer-exact df counts and two divisions
+    * (the same no-log trade as TF-IDF's ratio form). Complements
+    * [[noveltyScores]]: token grain (what words) vs shingle grain (what
+    * phrasing).
+    *
+    * Shape: one explode, one distinct-df aggregate, one broadcast join
+    * (df is vocabulary-sized, like TF-IDF's), one per-doc aggregate. */
+  def tokenCommonness(spark: SparkSession, dir: String): DataFrame = {
+    val words = withWords(docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val dfreq = words.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    words.join(broadcast(dfreq), "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_inst"),
+        sum("df").as("sum_df"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_inst"),
+        (col("sum_df").cast("double") / col("n_inst")).as("mean_token_df"),
+        (col("n_oov").cast("double") / col("n_inst")).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document novelty score: the fraction of the document's word
     * 3-gram shingles that appear in NO other document — the standard
     * contamination/overlap signal of training-data hygiene (an eval-set

@@ -47,6 +47,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-4 additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // pHash near-dup: pigeonhole block equi-join, never all-pairs
+    val phash = planOf("ext_media_phash")
+    assert(!phash.contains("CartesianProduct") &&
+      !phash.contains("BroadcastNestedLoopJoin"),
+      "ext_media_phash degenerated to an all-pairs join")
+    // semantic dedup: the only nested loop allowed is the broadcast
+    // centroid assignment (bounded side); the pair join must be an
+    // equi-join on the cell
+    val sem = planOf("ext_dedup_semantic")
+    assert(!sem.contains("CartesianProduct"))
+    assert(sem.contains("SortMergeJoin") || sem.contains("ShuffledHashJoin") ||
+      sem.contains("BroadcastHashJoin"),
+      "ext_dedup_semantic lost its equi-join on the cell")
+    // cube: one Expand feeding a hash aggregate — not one scan per grouping
+    val cube = planOf("q13_cube")
+    assert("Expand".r.findAllIn(cube).size >= 1)
+    assert("Scan parquet".r.findAllIn(cube).size <= 4, // fact lineage + dim_time
+      s"q13_cube scans inputs per-grouping:\n$cube")
+    // erasure audit: broadcast flag join, no shuffle of the fact side
+    val forget = planOf("etl_forget_customer")
+    assert(forget.contains("BroadcastHashJoin"),
+      "etl_forget_customer lost the broadcast request-list join")
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)

@@ -128,6 +128,21 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(8) > 0) // mean
   }
 
+  test("token commonness: shared-vocabulary docs score higher than unique-vocabulary docs") {
+    val c = TextOps.tokenCommonness(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // docs 1/3 are exact duplicates: identical profiles
+    assert(c(1L) == c(3L))
+    // the CJK doc shares no tokens with anything → every token df 1
+    assert(c(5L)._1 == 1.0 && c(5L)._2 == 1.0)
+    // near-dup docs (1,2) read more like the corpus than the CJK outlier
+    assert(c(1L)._1 > c(5L)._1)
+    // oov_frac is a fraction; mean df is bounded by the corpus size
+    c.values.foreach { case (m, o) =>
+      assert(m >= 1.0 && m <= 5.0 && o >= 0.0 && o <= 1.0)
+    }
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fp = TextOps.fingerprint(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
