@@ -43,7 +43,10 @@ object Retention {
       .join(broadcast(keys.withColumn("f", lit(1))), Seq("customer_id"), "left")
       .agg(
         count(lit(1)).as("rows_before"),
-        sum(coalesce(col("f"), lit(0))).cast("bigint").as("rows_deleted"))
+        // coalesce OUTSIDE the sum too: an empty table aggregates to
+        // one row with sum = NULL, which must audit as 0 deletions
+        coalesce(sum(coalesce(col("f"), lit(0))), lit(0L))
+          .cast("bigint").as("rows_deleted"))
       .select(lit(name).as("table_name"), col("rows_before"), col("rows_deleted"),
         (col("rows_before") - col("rows_deleted")).as("rows_after"))
 

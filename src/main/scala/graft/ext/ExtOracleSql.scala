@@ -482,6 +482,24 @@ object ExtOracleSql {
        |FROM documents d LEFT JOIN scored sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Profile twin: CUBE over the corpus table; gid from the null
+    * pattern (lang/source are non-null in data — same convention as the
+    * OLAP q13 twin; lang is the MSB, Spark's cube column order). */
+  val corpusProfile: String =
+    s"""SELECT lang, source,
+       |  CAST(2 * (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+       |     + (CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS INT) AS gid,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+       |    AS total_tokens,
+       |  min(n_chars) AS min_chars,
+       |  max(n_chars) AS max_chars,
+       |  CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
+       |    / count(*) AS mean_tokens
+       |FROM documents
+       |GROUP BY CUBE (lang, source)
+       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   /** Commonness twin: instance-level df join over the same whitespace
     * tokens; the two divisions are spelled in the engine's operation
     * order (sum cast to double, divided by the bigint count). */

@@ -31,6 +31,7 @@ object ExtQueries {
   def qualityDeciles(s: SparkSession, d: String): DataFrame = TextOps.qualityDeciles(s, d)
   def novelty(s: SparkSession, d: String): DataFrame = TextOps.noveltyScores(s, d)
   def commonness(s: SparkSession, d: String): DataFrame = TextOps.tokenCommonness(s, d)
+  def corpusProfile(s: SparkSession, d: String): DataFrame = TextOps.corpusProfile(s, d)
   def topTerms(s: SparkSession, d: String): DataFrame = TextOps.topTermsPerLang(s, d)
   def sampleStratified(s: SparkSession, d: String): DataFrame = SampleOps.stratifiedSample(s, d)
   def repetition(s: SparkSession, d: String): DataFrame = TextOps.repetitionStats(s, d)

@@ -211,6 +211,30 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus profile with margins — the curation dashboard: document,
+    * token and length statistics per (lang, source) AND every rollup of
+    * the two (per language, per source, grand total) in ONE pass via
+    * CUBE — four grouping passes for the price of one Expand (the same
+    * lattice machinery as the OLAP Q13, applied to the corpus table).
+    *
+    * Measures are integer-exact (counts, token/char sums, min/max);
+    * the mean is the one double, derived from exact integers — a
+    * cross-row SUM of doubles (e.g. mean quality) would be
+    * summation-order-dependent and can never match a second engine
+    * bit-for-bit, so it is deliberately absent. */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    withWords(docs(spark, dir))
+      .withColumn("n_tokens", expr("size(ws)").cast("long"))
+      .cube(col("lang"), col("source"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("mean_tokens"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+
   /** Token-level corpus-commonness profile — the language-model-likeness
     * surrogate of quality filtering: a document of frequent, widely
     * shared tokens scores a high mean document frequency (reads like the

@@ -143,6 +143,21 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus profile: margins reaggregate consistently across the cube") {
+    val prof = TextOps.corpusProfile(spark, dir).collect()
+    val grand = prof.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_docs") == 5L)
+    // per-lang margin sums to the grand total
+    val perLang = prof.filter(_.getAs[Int]("gid") == 1)
+    assert(perLang.map(_.getAs[Long]("n_docs")).sum == 5L)
+    assert(perLang.map(_.getAs[Long]("total_tokens")).sum ==
+      grand.head.getAs[Long]("total_tokens"))
+    // finest grain: en/web holds 4 docs, zh/web 1
+    val fine = prof.filter(_.getAs[Int]("gid") == 0)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(fine(("en", "web")) == 4L && fine(("zh", "web")) == 1L)
+  }
+
   test("fingerprint is deterministic and text-sensitive") {
     val fp = TextOps.fingerprint(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
