@@ -37,6 +37,31 @@ object Layout {
   def eventsForDay(spark: SparkSession, out: String, day: String): DataFrame =
     spark.read.parquet(out).where(col("event_date") === lit(day).cast("date"))
 
+  /** Day dimension for the partitioned events: one row per calendar day
+    * with the attributes a time-sliced query actually filters on. Tiny
+    * (365 rows/year even at 100 TB of facts) — always broadcastable. */
+  def dayDim(spark: SparkSession, dir: String): DataFrame =
+    Star.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .withColumn("is_weekend", dayofweek(col("event_date")).isin(1, 7))
+
+  /** Dimension-driven slice over the partitioned fact — the dynamic
+    * partition pruning case. [[eventsForDay]]'s literal day is pruned
+    * STATICALLY at planning time; here the filter is on a dimension
+    * attribute (`is_weekend`), so the matching partition values are only
+    * known at runtime. Spark's dynamic partition pruning closes that
+    * gap: the broadcast of the filtered dim side is reused as a runtime
+    * IN-subquery on the fact scan's partition column
+    * (`PartitionFilters: [... dynamicpruningexpression(...)]`), so the
+    * fact side still lists and reads ONLY the matching day directories.
+    * At 100 TB this is the difference between scanning 2/7ths and 7/7ths
+    * of the fact table for every dimension-filtered query — static
+    * layout (partitionBy) and runtime pruning (DPP) have to work
+    * together, and LayoutSpec pins both halves. */
+  def eventsForDimSlice(spark: SparkSession, out: String, dimDays: DataFrame): DataFrame =
+    spark.read.parquet(out)
+      .join(broadcast(dimDays.where(col("is_weekend"))), Seq("event_date"))
+
   /** Small-file compaction — the maintenance half of any layout story.
     * Streaming sinks and fine-grained partitioning both shed files far
     * below the ~128 MB the scanner wants; at 100 TB a million 1 MB

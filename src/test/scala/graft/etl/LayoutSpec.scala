@@ -39,6 +39,42 @@ class LayoutSpec extends SparkSpec {
     assert(day.count() === expected)
   }
 
+  test("dimension filter prunes fact partitions at runtime (dynamic partition pruning)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/events"
+    Layout.writeEventsPartitioned(spark, sfSmoke, out)
+
+    val dim = Layout.dayDim(spark, sfSmoke)
+    val sliced = Layout.eventsForDimSlice(spark, out, dim)
+
+    // the partition values are only known at runtime (they come from the
+    // filtered dim side), so the scan must carry a dynamicpruning
+    // subquery in its PartitionFilters — not a static literal, and not
+    // nothing (which would mean a full scan + post-join discard).
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression on the fact scan:\n$plan")
+
+    // pruning is real at execution: strictly fewer files read than the
+    // full table (Jan 2024 has 8 weekend days of ~31). input_file_name()
+    // must sit directly over the fact scan (it cannot span a two-source
+    // join), so instrument a twin of the same join shape.
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val readFiles = spark.read.parquet(out)
+      .withColumn("src_file", input_file_name())
+      .join(broadcast(dim.where(col("is_weekend"))), Seq("event_date"))
+      .select("src_file").distinct().count()
+    val allFiles = spark.read.parquet(out)
+      .select(input_file_name()).distinct().count()
+    assert(readFiles > 0)
+    assert(readFiles < allFiles,
+      s"DPP read $readFiles of $allFiles files — no runtime pruning")
+
+    // and the join is semantically just the weekend slice
+    val expected = Star.events(spark, sfSmoke)
+      .where("dayofweek(CAST(ts AS DATE)) IN (1, 7)").count()
+    assert(sliced.count() === expected)
+  }
+
   test("compaction rewrites a many-small-files dir into the size-targeted count") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     Star.events(spark, sfSmoke).repartition(20)
