@@ -266,6 +266,21 @@ object OracleSql {
       |GROUP BY st.store_id, st.store_name
       |ORDER BY st.store_id""".stripMargin)
 
+  /** Q14 pivot twin: the crosstab as four conditional aggregates — the
+    * relational reading of PIVOT, shared by both engines. A quarter with
+    * no rows aggregates to NULL on both sides (not 0). */
+  val q14: String = star(
+    """SELECT st.store_id, st.store_name,
+      |       CAST(CAST(SUM(CASE WHEN t.quarter = 1 THEN f.total_revenue END) AS DECIMAL(18,2)) AS DOUBLE) AS q1_revenue,
+      |       CAST(CAST(SUM(CASE WHEN t.quarter = 2 THEN f.total_revenue END) AS DECIMAL(18,2)) AS DOUBLE) AS q2_revenue,
+      |       CAST(CAST(SUM(CASE WHEN t.quarter = 3 THEN f.total_revenue END) AS DECIMAL(18,2)) AS DOUBLE) AS q3_revenue,
+      |       CAST(CAST(SUM(CASE WHEN t.quarter = 4 THEN f.total_revenue END) AS DECIMAL(18,2)) AS DOUBLE) AS q4_revenue
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |JOIN dim_store st ON f.store_id = st.store_id
+      |GROUP BY st.store_id, st.store_name
+      |ORDER BY st.store_id""".stripMargin)
+
   /** Q13 CUBE twin. gid from the null pattern rather than GROUPING():
     * the dimensions are never NULL in data, so a NULL is exactly a
     * subtotal marker — the fold equals Spark's grouping_id() bit vector

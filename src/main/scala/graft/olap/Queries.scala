@@ -432,6 +432,34 @@ object Queries {
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))
   }
 
+  /** Q14 (extension): the crosstab report — store rows × quarter
+    * columns of revenue, the matrix view a consumer of the reference
+    * builds client-side from Q10's long-format output. Spark's
+    * relational pivot keeps it one group-aggregate (one shuffle on
+    * store); the quarter axis becomes four per-column conditional
+    * aggregates. The pivot VALUES are declared explicitly: with an
+    * unspecified list Spark runs an eager distinct-collect job over the
+    * pivot column at PLAN time — a hidden driver-side action a 100 TB
+    * plan must not carry (and quarters are a closed domain anyway).
+    * A cell with no recorded revenue stays NULL, matching the
+    * conditional-aggregation NULL of the SQL twin (a 0 would be
+    * indistinguishable from a real zero-revenue quarter). */
+  def q14PivotQuarters(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "quarter")
+    val store = Star.dimStore(spark, dir)
+    outputDoubles(fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(store), Seq("store_id"))
+      .groupBy(col("store_id"), col("store_name"))
+      .pivot("quarter", Seq(1, 2, 3, 4))
+      .agg(sum("total_revenue").cast(aggRevenueType))
+      .withColumnsRenamed(Map(
+        "1" -> "q1_revenue", "2" -> "q2_revenue",
+        "3" -> "q3_revenue", "4" -> "q4_revenue")))
+      .orderBy("store_id")
+  }
+
   /** Q13 (extension): CUBE over (year, quarter, store) — the full 2³
     * grouping-sets lattice generalizing the reference's ROLLUP (Q7
     * walks only the 4 prefix groupings). `grouping_id()` disambiguates

@@ -49,6 +49,43 @@ class OlapPropertySpec extends SparkSpec {
     } finally cube.unpersist()
   }
 
+  test("pivot cells reaggregate to the store totals; long and wide agree") {
+    val wide = Queries.q14PivotQuarters(spark, sfSmoke).cache()
+    try {
+      // row sum of the four quarter cells == the store's total revenue
+      // (double of the exact decimal — same comparison surface contract)
+      val rowSums = wide.select(col("store_id"),
+        (coalesce(col("q1_revenue"), lit(0.0)) +
+          coalesce(col("q2_revenue"), lit(0.0)) +
+          coalesce(col("q3_revenue"), lit(0.0)) +
+          coalesce(col("q4_revenue"), lit(0.0))).as("row_total"))
+      val direct = Star.salesFact(spark, sfSmoke)
+        .groupBy("store_id")
+        .agg(sum("total_revenue").cast(graft.model.Schemas.aggRevenueType)
+          .cast("double").as("direct_total"))
+      val joined = rowSums.join(direct, "store_id")
+      assert(joined.where(
+        abs(col("row_total") - col("direct_total")) > lit(1e-6) * abs(col("direct_total"))
+      ).count() == 0)
+
+      // wide rows == stores with any sales (pivot drops nothing)
+      val stores = Star.salesFact(spark, sfSmoke)
+        .select("store_id").distinct().count()
+      assert(wide.count() == stores)
+
+      // every cell of a quarter column agrees with the long-format Q10
+      // slice for that quarter (summed over years)
+      val q10 = Queries.q10StoreQuarterly(spark, sfSmoke)
+        .where(col("quarter") === 2)
+        .groupBy("store_id")
+        .agg(sum("total_quarterly_revenue").as("long_rev"))
+      val cellCheck = wide.select("store_id", "q2_revenue").join(q10, "store_id")
+      assert(cellCheck.where(
+        abs(col("q2_revenue") - col("long_rev")) > lit(1e-6) * abs(col("long_rev"))
+      ).count() == 0)
+    } finally wide.unpersist()
+  }
+
   test("affinity returns top pairs with positive frequencies") {
     val rows = Queries.q06Affinity(spark, sfSmoke).collect()
     assert(rows.nonEmpty && rows.length <= 5) // line-item grain makes Q6 meaningful (Q-j)
