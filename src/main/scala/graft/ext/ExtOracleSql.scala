@@ -1228,4 +1228,61 @@ object ExtOracleSql {
        |  d.vec_id IS NULL AS keep
        |FROM cells c LEFT JOIN dominated d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
+
+  /** Shared sign-projection literal: coordinate j is a strict fold of
+    * zip(embedding, R_j) with R_j from [[VectorOps.rpRow]] — the SAME
+    * generator whose literals the engine bakes into array_dot, so the
+    * two engines multiply by the same matrix by construction. */
+  private def rpProjList: String =
+    (0 until VectorOps.RpDim).map { j =>
+      val lits = VectorOps.rpRow(j).mkString(", ")
+      dot("embedding", s"[$lits]", s"rp$j")
+    }.mkString("[", ",\n  ", "]")
+
+  val embedProject: String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, $rpProjList AS proj FROM embeddings
+       |)
+       |SELECT vec_id, CAST(pos - 1 AS INT) AS pos, p_val
+       |FROM pe, LATERAL (SELECT unnest(proj) AS p_val,
+       |                         generate_subscripts(proj, 1) AS pos)
+       |ORDER BY vec_id, pos""".stripMargin
+
+  /** Projected two-stage ANN twin: top-96 candidates by projected
+    * cosine, top-3 by exact cosine — the identical two-stage
+    * computation (both scores are bit-identical doubles, so the stage-1
+    * cut cannot diverge between engines). */
+  val simProjected: String =
+    s"""WITH pe AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding", "pn")}) AS norm,
+       |    $rpProjList AS proj
+       |  FROM embeddings
+       |),
+       |pn AS (
+       |  SELECT vec_id, embedding, norm, proj,
+       |    sqrt(${dot("proj", "proj", "pp")}) AS pnorm
+       |  FROM pe
+       |),
+       |q AS (SELECT * FROM pn WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("q.proj", "c.proj", "pc")} / (q.pnorm * c.pnorm) AS pcos,
+       |    ${dot("q.embedding", "c.embedding", "ec")} / (q.norm * c.norm) AS cos
+       |  FROM pn c JOIN q ON c.vec_id <> q.vec_id
+       |),
+       |topm AS (
+       |  SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY pcos DESC, neighbor_id ASC) AS r
+       |    FROM cand) WHERE r <= 96
+       |)
+       |SELECT query_id, rank, neighbor_id, cos AS score FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM topm)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -54,6 +54,8 @@ object ExtQueries {
   def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = VectorOps.ivfKmeansTopK(s, d)
   def quantizedTopK(s: SparkSession, d: String): DataFrame = VectorOps.quantizedLshTopK(s, d)
   def semanticDedup(s: SparkSession, d: String): DataFrame = VectorOps.semanticDedup(s, d)
+  def embedProject(s: SparkSession, d: String): DataFrame = VectorOps.projectedCoords(s, d)
+  def projectedTopK(s: SparkSession, d: String): DataFrame = VectorOps.projectedTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
   def mediaFrames(s: SparkSession, d: String): DataFrame = MediaOps.frameSummary(s, d)

@@ -63,7 +63,7 @@ object SimilarityOps {
     * formulation, deterministic because scores are bit-identical
     * doubles. `carry` are group-constant columns (bucket/cell) kept
     * through the aggregate. */
-  private def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
+  private[ext] def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
       score: Column, id: Column, k: Int): DataFrame = {
     // the ordering struct carries only (score, -id): the id is
     // recovered by re-negating the tie-break, not shuffled twice

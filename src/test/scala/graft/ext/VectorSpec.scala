@@ -150,4 +150,50 @@ class VectorSpec extends SparkSpec {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c_val))), s -> s.c_val)").as("cv"))
     assert(totalD2(refined) <= totalD2(seed))
   }
+
+  test("sign projection: exact alternating sums, full coverage, fixed matrix") {
+    val pc = VectorOps.projectedCoords(spark, sfSmoke).cache()
+    try {
+      val n = SimilarityOps.embeddings(spark, sfSmoke).count()
+      // every vector gets all RpDim coordinates
+      assert(pc.count() == n * VectorOps.RpDim)
+      assert(pc.groupBy("vec_id").count()
+        .where(col("count") =!= VectorOps.RpDim).count() == 0)
+      // coordinate 0 of one vector equals the manual alternating sum
+      val row0 = SimilarityOps.embeddings(spark, sfSmoke)
+        .where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val expect = row0.zipWithIndex.foldLeft(0.0) { case (acc, (x, i)) =>
+        acc + x.toDouble * VectorOps.rpSign(0, i)
+      }
+      val got = pc.where(col("vec_id") === 0 && col("pos") === 0)
+        .collect().head.getDouble(2)
+      assert(got == expect, s"proj(0)[0]: got $got expected $expect")
+      // the matrix is genuinely mixed-sign (a degenerate all-+1 matrix
+      // would make every coordinate the same sum)
+      val signs = (0 until VectorOps.RpDim).flatMap(VectorOps.rpRow(_)).toSet
+      assert(signs == Set(1, -1))
+    } finally pc.unpersist()
+  }
+
+  test("projected two-stage ANN: exact scores, bounded recall loss vs brute force") {
+    val proj = VectorOps.projectedTopK(spark, sfSmoke, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("score")).cache()
+    val brute = SimilarityOps.bruteForceTopK(spark, sfSmoke, k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("true_score")).cache()
+    try {
+      // surviving pairs carry the EXACT cosine (stage 2 re-ranks with
+      // full precision — bit-identical to the brute-force score)
+      val joined = proj.join(brute, Seq("query_id", "neighbor_id"))
+      assert(joined.where(col("score") =!= col("true_score")).count() == 0)
+      // recall on the smoke corpus at the default m (isotropic random
+      // embeddings — the adversarial case; measured 0.875, pinned with
+      // margin)
+      val recall = joined.count().toDouble / brute.count()
+      assert(recall >= 0.8, s"recall collapsed: $recall")
+      // every query answers with exactly k rows
+      assert(proj.groupBy("query_id").count().where(col("count") =!= 3).count() == 0)
+    } finally { proj.unpersist(); brute.unpersist() }
+  }
 }
