@@ -125,6 +125,35 @@ object EtlOracleSql {
       |FROM chg
       |ORDER BY customer_id, valid_from""".stripMargin
 
+  /** Point-in-time twin: the same history fixture at the 1996/1998
+    * dates, left-joined with the half-open interval predicate — each
+    * order binds at most one version; pre-history orders keep NULLs. */
+  val scd2PointInTime: String =
+    """WITH cur AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name FROM customer
+      |),
+      |chg AS (
+      |  SELECT customer_id, customer_name || ' (moved)' AS customer_name
+      |  FROM cur WHERE customer_id % 10 = 0
+      |),
+      |hist AS (
+      |  SELECT c.customer_id, c.customer_name,
+      |    TIMESTAMP '1996-01-01 00:00:00' AS valid_from,
+      |    CASE WHEN ch.customer_id IS NOT NULL
+      |         THEN TIMESTAMP '1998-06-01 00:00:00' END AS valid_to
+      |  FROM cur c LEFT JOIN chg ch ON c.customer_id = ch.customer_id
+      |  UNION ALL
+      |  SELECT customer_id, customer_name, TIMESTAMP '1998-06-01 00:00:00',
+      |    CAST(NULL AS TIMESTAMP)
+      |  FROM chg
+      |)
+      |SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+      |       o.o_orderdate AS order_ts, h.customer_name, h.valid_from
+      |FROM orders o LEFT JOIN hist h ON h.customer_id = o.o_custkey
+      |  AND h.valid_from <= o.o_orderdate
+      |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+      |ORDER BY order_id""".stripMargin
+
   /** Z-interleave twin: the bit arithmetic is GENERATED by the same
     * loop as the engine column ([[ZOrder.zOrderSql]]) — plain
     * `>> << & |` integer ops in both dialects. */

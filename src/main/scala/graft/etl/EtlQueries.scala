@@ -101,12 +101,21 @@ object EtlQueries {
     * changed (name suffix); the other half are no-op re-deliveries that
     * must NOT version. Changed keys end with two rows (closed old +
     * open new), everything else with one open row. */
-  def scd2Customer(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Customer(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir, "2024-01-01 00:00:00", "2024-06-01 00:00:00")
+      .orderBy("customer_id", "valid_from")
+
+  /** The SCD2 customer-history fixture shared by [[scd2Customer]] and
+    * the point-in-time join: seed every customer's first version at
+    * `seedTs`, apply the update batch (every fifth customer
+    * re-arrives, every tenth actually changed) as of `effTs`. */
+  private def scd2History(spark: SparkSession, dir: String,
+      seedTs: String, effTs: String): DataFrame = {
     val cust = Star.dimCustomer(spark, dir).select("customer_id", "customer_name")
     // TIMESTAMP, not DATE: the testdata's time columns are timestamps
     // and the comparison surface renders the two differently
     val current = cust
-      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_from", lit(seedTs).cast("timestamp"))
       .withColumn("valid_to", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))
     val updates = cust.where(col("customer_id") % 5 === 0)
@@ -115,8 +124,42 @@ object EtlQueries {
           concat(col("customer_name"), lit(" (moved)")))
           .otherwise(col("customer_name")))
     Upserts.scdType2(current, updates, Seq("customer_id"), Seq("customer_name"),
-        lit("2024-06-01 00:00:00").cast("timestamp"))
-      .orderBy("customer_id", "valid_from")
+      lit(effTs).cast("timestamp"))
+  }
+
+  /** Point-in-time (time-travel-correct) enrichment: each order joins
+    * the customer VERSION that was valid at its order date — the read
+    * side of SCD Type 2, and the join the reference's overwrite-in-place
+    * dimension can never answer (it only knows the latest value). The
+    * history dates (1996 seed, mid-1998 change) sit inside the orders'
+    * 1995–2001 span so all three cases occur in data: pre-history
+    * orders surface with NULL attributes (a fact preceding all known
+    * history is a data-quality signal to keep visible, not drop),
+    * pre-change orders bind the closed version, post-change orders the
+    * open one.
+    *
+    * Correctness hinges on versions being half-open [valid_from,
+    * valid_to): per key they partition the timeline, so each fact row
+    * matches AT MOST one version and the join cannot fan out.
+    *
+    * Scale shape: the history is dimension-sized — broadcast; the join
+    * stays an equi-join on customer_id with the interval predicate as
+    * a join-time filter over that key's ≤ 2 versions. The 100 TB fact
+    * side never shuffles and is scanned once. */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(spark, dir, "1996-01-01 00:00:00", "1998-06-01 00:00:00")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("cust_id"),
+        col("o_orderdate").as("order_ts"))
+    orders.join(broadcast(hist),
+        col("cust_id") === col("customer_id") &&
+          col("valid_from") <= col("order_ts") &&
+          (col("valid_to").isNull || col("order_ts") < col("valid_to")),
+        "left")
+      .select(col("order_id"), col("cust_id").as("customer_id"),
+        col("order_ts"), col("customer_name"), col("valid_from"))
+      .orderBy("order_id")
   }
 
   /** Incremental view maintenance of the hourly rollup: the warehouse

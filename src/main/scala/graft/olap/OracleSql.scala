@@ -266,6 +266,29 @@ object OracleSql {
       |GROUP BY st.store_id, st.store_name
       |ORDER BY st.store_id""".stripMargin)
 
+  /** Q15 rank-family twin: the same two window specs — value-determined
+    * ranks over revenue alone, ntile over the total (revenue, store_id)
+    * order. percent_rank/cume_dist stay uncast (double in both). */
+  val q15: String = star(
+    """SELECT year, store_id, store_name,
+      |       CAST(rev AS DOUBLE) AS total_revenue,
+      |       CAST(rank() OVER w AS INT) AS rnk,
+      |       CAST(dense_rank() OVER w AS INT) AS dense_rnk,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       CAST(ntile(4) OVER wt AS INT) AS quartile
+      |FROM (
+      |  SELECT t.year, f.store_id, st.store_name,
+      |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS rev
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON f.time_id = t.time_id
+      |  JOIN dim_store st ON f.store_id = st.store_id
+      |  GROUP BY t.year, f.store_id, st.store_name
+      |)
+      |WINDOW w AS (PARTITION BY year ORDER BY rev DESC),
+      |       wt AS (PARTITION BY year ORDER BY rev DESC, store_id ASC)
+      |ORDER BY year, rnk, store_id""".stripMargin)
+
   /** Q14 pivot twin: the crosstab as four conditional aggregates — the
     * relational reading of PIVOT, shared by both engines. A quarter with
     * no rows aggregates to NULL on both sides (not 0). */

@@ -432,6 +432,41 @@ object Queries {
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))
   }
 
+  /** Q15 (extension): the full ranking-function family — store league
+    * tables per year. Generalizes the reference's O1 top-k (which only
+    * ever needs a LIMIT) to the analytic ranks a report layer asks for:
+    * rank / dense_rank / percent_rank / cume_dist / ntile(4).
+    *
+    * Determinism: rank, dense_rank, percent_rank and cume_dist depend
+    * only on the ORDERING VALUES (exact-decimal revenue), not on row
+    * order, so they order by revenue alone; ntile DOES depend on row
+    * order within ties, so its window adds the store_id tie-break to
+    * stay total. percent_rank/cume_dist are integer-over-integer double
+    * divisions — bit-identical cross-engine. The windows partition by
+    * year (bounded groups, no global sort; the year count grows with
+    * the calendar, not the data). */
+  def q15RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year")
+    val store = Star.dimStore(spark, dir)
+    val yearly = fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(store), Seq("store_id"))
+      .groupBy(col("year"), col("store_id"), col("store_name"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+    val byRev = Window.partitionBy("year").orderBy(col("total_revenue").desc)
+    val total = Window.partitionBy("year")
+      .orderBy(col("total_revenue").desc, col("store_id").asc)
+    outputDoubles(yearly
+      .withColumn("rnk", rank().over(byRev))
+      .withColumn("dense_rnk", dense_rank().over(byRev))
+      .withColumn("pct_rank", percent_rank().over(byRev))
+      .withColumn("cume", cume_dist().over(byRev))
+      .withColumn("quartile", ntile(4).over(total)))
+      .orderBy("year", "rnk", "store_id")
+  }
+
   /** Q14 (extension): the crosstab report — store rows × quarter
     * columns of revenue, the matrix view a consumer of the reference
     * builds client-side from Q10's long-format output. Spark's

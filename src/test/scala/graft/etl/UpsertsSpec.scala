@@ -90,4 +90,38 @@ class UpsertsSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet
     assert(finalKeys(perm1) == finalKeys(perm2))
   }
+
+  test("point-in-time join binds each order to at most one version, boundary-exact") {
+    import org.apache.spark.sql.functions.col
+    val pit = EtlQueries.scd2PointInTime(spark, sfSmoke).cache()
+    try {
+      // one output row per order — the interval join cannot fan out
+      val nOrders = spark.read.parquet(s"$sfSmoke/orders.parquet").count()
+      assert(pit.count() == nOrders)
+      assert(pit.groupBy("order_id").count().where(col("count") > 1).count() == 0)
+
+      // pre-history orders (before the 1996 seed) carry NULL attributes
+      val pre = pit.where(col("order_ts") < lit("1996-01-01").cast("timestamp"))
+      assert(pre.count() > 0)
+      assert(pre.where(col("customer_name").isNotNull).count() == 0)
+
+      // a changed customer's orders bind the version matching their era:
+      // before the 1998-06-01 change → plain name; on/after → ' (moved)'
+      val changed = pit.where(col("customer_id") % 10 === 0 &&
+        col("order_ts") >= lit("1996-01-01").cast("timestamp"))
+      assert(changed.count() > 0)
+      assert(changed.where(
+        col("order_ts") < lit("1998-06-01").cast("timestamp") &&
+          col("customer_name").endsWith(" (moved)")).count() == 0)
+      assert(changed.where(
+        col("order_ts") >= lit("1998-06-01").cast("timestamp") &&
+          !col("customer_name").endsWith(" (moved)")).count() == 0)
+
+      // an unchanged customer's orders all bind the single seed version
+      val unchanged = pit.where(col("customer_id") % 10 =!= 0 &&
+        col("order_ts") >= lit("1996-01-01").cast("timestamp"))
+      assert(unchanged.where(col("valid_from") =!=
+        lit("1996-01-01").cast("timestamp")).count() == 0)
+    } finally pit.unpersist()
+  }
 }

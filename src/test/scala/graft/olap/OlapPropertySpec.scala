@@ -86,6 +86,27 @@ class OlapPropertySpec extends SparkSpec {
     } finally wide.unpersist()
   }
 
+  test("rank family: consistent ranks, [0,1] fractions, balanced quartiles") {
+    val r = Queries.q15RankFamily(spark, sfSmoke).cache()
+    try {
+      // per year: rank 1 exists; dense_rank <= rank everywhere
+      assert(r.groupBy("year").agg(min("rnk").as("m"))
+        .where(col("m") =!= 1).count() == 0)
+      assert(r.where(col("dense_rnk") > col("rnk")).count() == 0)
+      // fractions live in [0,1]; the top row's percent_rank is 0,
+      // the last cume_dist is 1
+      assert(r.where(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+        col("cume") <= 0 || col("cume") > 1).count() == 0)
+      assert(r.where(col("rnk") === 1 && col("pct_rank") =!= 0.0).count() == 0)
+      assert(r.groupBy("year").agg(max("cume").as("c"))
+        .where(col("c") =!= 1.0).count() == 0)
+      // ntile balance: quartile sizes differ by at most 1 within a year
+      val q = r.groupBy("year", "quartile").count()
+        .groupBy("year").agg((max("count") - min("count")).as("spread"))
+      assert(q.where(col("spread") > 1).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("affinity returns top pairs with positive frequencies") {
     val rows = Queries.q06Affinity(spark, sfSmoke).collect()
     assert(rows.nonEmpty && rows.length <= 5) // line-item grain makes Q6 meaningful (Q-j)
