@@ -117,6 +117,31 @@ object WarehouseSink {
     n
   }
 
+  /** Load-audit metrics riding the write pass itself: `Dataset.observe`
+    * attaches named aggregates to the PLAN, so they are computed by the
+    * same tasks that write the rows — no second scan. At 100 TB that is
+    * the difference between "every load is audited" and "the audit query
+    * is too expensive to run": row count, exact revenue total and
+    * null-key count come back through the observation for free, to be
+    * asserted or logged by the load driver. (On streams the same
+    * `observe` surfaces per-batch via `StreamingQueryProgress
+    * .observedMetrics` — one mechanism, both modes.) Returns the
+    * observed metrics keyed by name. */
+  def observedLoad(
+      df: DataFrame,
+      action: DataFrame => Unit,
+      keyCol: String,
+      revenueCol: String): Map[String, Any] = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation("load_audit")
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col(revenueCol)).as("total_revenue"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"))
+    action(observed)
+    obs.get
+  }
+
   /** Streaming variant: the same upsert per micro-batch via foreachBatch.
     * Engine retries replay a batch wholesale; the anti-join drops rows
     * whose keys already landed, so the sink observes effective

@@ -1229,6 +1229,47 @@ object ExtOracleSql {
        |FROM cells c LEFT JOIN dominated d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  /** Typed-gaps twin: the WINDOW formulation of [[TypedOps.userGaps]]
+    * (lag over per-user time order). Gaps are consecutive differences
+    * of the sorted timestamp multiset — invariant to tie order — so
+    * the arbitrary ORDER BY ts tie-break cannot diverge from the
+    * engine's explicit sort. Lower median = the (c+1)÷2-th smallest
+    * gap. All integer milliseconds; span re-cast from DuckDB's
+    * HUGEINT sum. */
+  val userGaps: String =
+    """WITH et AS (
+      |  SELECT user_id, epoch_ms(ts) AS tms FROM events
+      |),
+      |g AS (
+      |  SELECT user_id,
+      |         tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) AS gap
+      |  FROM et
+      |),
+      |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+      |stats AS (
+      |  SELECT user_id,
+      |         count(*) AS n_gaps,
+      |         min(gap) AS min_gap_ms,
+      |         max(gap) AS max_gap_ms,
+      |         CAST(sum(gap) AS BIGINT) AS span_ms
+      |  FROM gg GROUP BY user_id
+      |),
+      |med AS (
+      |  SELECT user_id, gap AS median_gap_ms FROM (
+      |    SELECT user_id, gap,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+      |           count(*) OVER (PARTITION BY user_id) AS c
+      |    FROM gg)
+      |  WHERE rn = (c + 1) // 2
+      |),
+      |ne AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT s.user_id, ne.n_events, s.n_gaps, s.min_gap_ms, s.max_gap_ms,
+      |       m.median_gap_ms, s.span_ms
+      |FROM stats s
+      |JOIN med m ON s.user_id = m.user_id
+      |JOIN ne ON ne.user_id = s.user_id
+      |ORDER BY s.user_id""".stripMargin
+
   /** Shared sign-projection literal: coordinate j is a strict fold of
     * zip(embedding, R_j) with R_j from [[VectorOps.rpRow]] — the SAME
     * generator whose literals the engine bakes into array_dot, so the

@@ -55,6 +55,7 @@ object ExtQueries {
   def quantizedTopK(s: SparkSession, d: String): DataFrame = VectorOps.quantizedLshTopK(s, d)
   def semanticDedup(s: SparkSession, d: String): DataFrame = VectorOps.semanticDedup(s, d)
   def embedProject(s: SparkSession, d: String): DataFrame = VectorOps.projectedCoords(s, d)
+  def userGaps(s: SparkSession, d: String): DataFrame = TypedOps.userGaps(s, d)
   def projectedTopK(s: SparkSession, d: String): DataFrame = VectorOps.projectedTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)

@@ -71,4 +71,21 @@ class WarehouseSinkSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     assert(rows.toSeq == Seq("S1", "S2", "S3"))
   }
+
+  test("observed load audits the write pass without a second scan") {
+    import org.apache.spark.sql.functions._
+    val fact = Star.salesFact(spark, sfSmoke)
+    val metrics = WarehouseSink.observedLoad(
+      fact,
+      df => df.write.format("noop").mode("overwrite").save(),
+      keyCol = "customer_id",
+      revenueCol = "total_revenue")
+    // the riding metrics equal an independent audit aggregation
+    val direct = fact.agg(
+      count(lit(1)).as("n"),
+      sum("total_revenue").as("rev")).collect().head
+    assert(metrics("n_rows") == direct.getAs[Long]("n"))
+    assert(metrics("total_revenue") == direct.getAs[java.math.BigDecimal]("rev"))
+    assert(metrics("null_keys") == 0L)
+  }
 }
