@@ -154,6 +154,49 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** Funnel twin: the same cascaded conditional-min CTEs — each stage's
+    * first qualifying event strictly after the previous stage. */
+  val funnelSteps: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id
+      |),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id
+      |)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+      |    AS funnel_stage
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Cohort twin: integer week arithmetic from the same epoch. */
+  val cohortRetention: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INT) AS week
+      |  FROM events
+      |),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, week FROM e)
+      |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Z-interleave twin: the bit arithmetic is GENERATED by the same
     * loop as the engine column ([[ZOrder.zOrderSql]]) — plain
     * `>> << & |` integer ops in both dialects. */

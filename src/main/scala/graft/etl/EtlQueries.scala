@@ -234,4 +234,60 @@ object EtlQueries {
     * customer-keyed table, rows before/deleted/after the scrub. */
   def forgetCustomer(spark: SparkSession, dir: String): DataFrame =
     Retention.forgetCustomers(spark, dir)
+
+  /** Ordered conversion funnel view → click → purchase, per user: each
+    * stage's timestamp is the FIRST qualifying event strictly AFTER the
+    * previous stage (a purchase before the first view does not convert
+    * — order matters, which is what distinguishes a funnel from three
+    * independent filters). `funnel_stage` counts stages reached.
+    *
+    * Shape: three cascaded min-aggregates, all keyed on user_id — the
+    * same partitioning end to end, so the three "stages" are one
+    * shuffle's worth of data movement plus broadcast-sized joins of
+    * per-user scalars back onto the next stage's filter. No window, no
+    * per-user event materialization — at 100 TB the event table is
+    * scanned once per stage with the stage predicate pushed down. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Star.events(spark, dir).select("user_id", "ts", "event_type")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("funnel_stage",
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("int"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention matrix: users grouped by first-seen week, counted
+    * distinct in each subsequent week — the warehouse query behind
+    * every retention curve. Weeks are integer offsets from the corpus
+    * epoch (2024-01-01), so every value in the output is an exact
+    * integer.
+    *
+    * Shape: one min-aggregate for first-seen, one distinct on
+    * (user, week), one count per (cohort, offset) cell — all shuffles
+    * on user_id until the final tiny cell aggregate. The output is
+    * weeks² cells regardless of corpus size. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("2024-01-01").cast("date")
+    val e = Star.events(spark, dir)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), epoch) / 7).cast("int").as("week"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

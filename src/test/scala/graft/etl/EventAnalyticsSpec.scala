@@ -1,0 +1,57 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ordering/conservation invariants of the funnel and cohort queries;
+  * exact values are pinned by the DuckDB twins (`etl_funnel_steps`,
+  * `etl_cohort_retention`). */
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("funnel stages are strictly ordered in time and monotone in reach") {
+    val f = EtlQueries.funnelSteps(spark, sfSmoke).cache()
+    try {
+      assert(f.count() > 0)
+      // stage timestamps strictly increase where present
+      assert(f.where(col("t_click").isNotNull &&
+        col("t_click") <= col("t_view")).count() == 0)
+      assert(f.where(col("t_purchase").isNotNull &&
+        col("t_purchase") <= col("t_click")).count() == 0)
+      // a later stage implies the earlier one (no purchase without click)
+      assert(f.where(col("t_purchase").isNotNull &&
+        col("t_click").isNull).count() == 0)
+      // funnel_stage counts the non-null stage timestamps
+      assert(f.where(col("funnel_stage") =!=
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))).count() == 0)
+      // the funnel never exceeds the unordered event-presence bound:
+      // fewer or equal converters than users having all three types
+      val unordered = Star.events(spark, sfSmoke)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id").agg(countDistinct("event_type").as("k"))
+        .where(col("k") === 3).count()
+      assert(f.where(col("funnel_stage") === 3).count() <= unordered)
+    } finally f.unpersist()
+  }
+
+  test("cohort retention: offset-0 cell equals the cohort size, offsets non-negative") {
+    val r = EtlQueries.cohortRetention(spark, sfSmoke).cache()
+    try {
+      assert(r.where(col("week_offset") < 0).count() == 0)
+      // every user is active in their first-seen week, so the offset-0
+      // cell is exactly the cohort's size
+      val epoch = lit("2024-01-01").cast("date")
+      val cohortSizes = Star.events(spark, sfSmoke)
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), epoch) / 7).cast("int").as("week"))
+        .groupBy("user_id").agg(min("week").as("cohort_week"))
+        .groupBy("cohort_week").agg(countDistinct("user_id").as("size"))
+      val zero = r.where(col("week_offset") === 0)
+      assert(zero.join(cohortSizes, "cohort_week")
+        .where(col("n_users") =!= col("size")).count() == 0)
+      // later cells never exceed the cohort size
+      assert(r.join(cohortSizes, "cohort_week")
+        .where(col("n_users") > col("size")).count() == 0)
+    } finally r.unpersist()
+  }
+}
