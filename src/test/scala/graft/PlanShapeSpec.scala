@@ -73,6 +73,37 @@ class PlanShapeSpec extends SparkSpec {
       "etl_forget_customer lost the broadcast request-list join")
   }
 
+  test("round-5 additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // pivot: ONE aggregate pass over the joined fact (explicit values ⇒
+    // no eager distinct-collect job at plan time), dims broadcast
+    val pivot = planOf("q14_pivot")
+    assert(pivot.contains("BroadcastHashJoin"),
+      "q14_pivot lost its broadcast dimension joins")
+    assert("Scan parquet".r.findAllIn(pivot).size <= 5, // fact lineage + 2 dims
+      s"q14_pivot re-scans inputs per pivot column:\n$pivot")
+    // point-in-time join: the fact side must reach the version join
+    // WITHOUT a shuffle — broadcast history, single Exchange for the
+    // final presentation sort only
+    val pit = planOf("etl_scd2_pit")
+    assert(pit.contains("BroadcastHashJoin"),
+      "etl_scd2_pit lost the broadcast history join")
+    assert(!pit.contains("SortMergeJoin"),
+      s"etl_scd2_pit shuffles the fact side into a sort-merge join:\n$pit")
+    // projected ANN: stage-1 candidates come from the broadcast query
+    // side (corpus × 8 queries — linear), stage 2 re-ranks via
+    // broadcast of the tiny candidate set; no cartesian anywhere
+    val proj = planOf("ext_sim_projected")
+    assert(!proj.contains("CartesianProduct"))
+    assert(proj.contains("collect_top_k"),
+      "ext_sim_projected lost the bounded top-k aggregate")
+    // typed gaps: exactly one shuffle (the groupByKey exchange) before
+    // the flatMapGroups — no window, no second aggregation pass
+    val gaps = planOf("ext_user_gaps")
+    assert(gaps.contains("FlatMapGroupsInR") || gaps.contains("MapGroups"),
+      s"ext_user_gaps lost the typed flatMapGroups operator:\n$gaps")
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)
