@@ -266,6 +266,30 @@ object OracleSql {
       |GROUP BY st.store_id, st.store_name
       |ORDER BY st.store_id""".stripMargin)
 
+  /** Q16 twin: the identical NOT EXISTS (DuckDB decorrelates the same
+    * way — a left anti against the weekend product set). */
+  val q16: String = star(
+    s"""SELECT p.product_id, p.product_name
+       |FROM dim_product p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM sales_fact f
+       |  JOIN dim_time t ON f.time_id = t.time_id
+       |  WHERE f.product_id = p.product_id
+       |    AND t.is_weekend AND t.year = ${Queries.Year}
+       |)
+       |ORDER BY p.product_id""".stripMargin)
+
+  /** Q17 twin: SQL INTERSECT (distinct semantics on both sides). */
+  val q17: String = star(
+    s"""SELECT f.product_id
+       |FROM sales_fact f JOIN dim_time t ON f.time_id = t.time_id
+       |WHERE t.year = ${Queries.Year} AND t.month <= 6
+       |INTERSECT
+       |SELECT f.product_id
+       |FROM sales_fact f JOIN dim_time t ON f.time_id = t.time_id
+       |WHERE t.year = ${Queries.Year} AND t.month > 6
+       |ORDER BY product_id""".stripMargin)
+
   /** Q15 rank-family twin: the same two window specs — value-determined
     * ranks over revenue alone, ntile over the total (revenue, store_id)
     * order. percent_rank/cume_dist stay uncast (double in both). */

@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Star
 import graft.model.Schemas._
@@ -430,6 +430,50 @@ object Queries {
       .createOrReplaceTempView("store_quarterly_sales")
     spark.table("store_quarterly_sales")
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))
+  }
+
+  /** Q16 (extension): correlated NOT EXISTS — products with no weekend
+    * sale in the reference year (over the whole history every product
+    * eventually sells on some weekend, which would make the predicate
+    * vacuous; the year slice keeps it discriminating). Extends the
+    * reference's subquery surface (A7 is scalar subqueries only) to
+    * existential ones, expressed as SQL text so Catalyst's subquery
+    * decorrelation is the exercised path: the NOT EXISTS rewrites to a
+    * LEFT ANTI join of the dimension against the filtered weekend
+    * slice of the fact — the 100 TB side is one filtered scan, and the
+    * anti join broadcasts the distinct weekend-seller set. */
+  def q16NeverOnWeekend(spark: SparkSession, dir: String): DataFrame = {
+    Star.salesFact(spark, dir).createOrReplaceTempView("sales_fact_v")
+    Star.dimTime(spark, dir).createOrReplaceTempView("dim_time_v")
+    Star.dimProduct(spark, dir).createOrReplaceTempView("dim_product_v")
+    spark.sql(
+      s"""SELECT p.product_id, p.product_name
+         |FROM dim_product_v p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM sales_fact_v f
+         |  JOIN dim_time_v t ON f.time_id = t.time_id
+         |  WHERE f.product_id = p.product_id
+         |    AND t.is_weekend AND t.year = $Year
+         |)
+         |ORDER BY p.product_id""".stripMargin)
+  }
+
+  /** Q17 (extension): set operation — products sold in BOTH halves of
+    * the reference year (INTERSECT of the two distinct product sets;
+    * over the whole history every product appears in both halves and
+    * the intersection is vacuous), the O3 family beyond plain
+    * DISTINCT. `intersect` carries SQL INTERSECT semantics (distinct,
+    * null-safe); physically it is an aggregate + semi-join over the
+    * two filtered fact slices — two pruned scans, one shuffle each, no
+    * dimension table needed at all. */
+  def q17BothHalves(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year", "month")
+    def half(p: Column => Column) = fact
+      .join(broadcast(time), Seq("time_id"))
+      .where(col("year") === Year && p(col("month")))
+      .select("product_id")
+    half(_ <= 6).intersect(half(_ > 6)).orderBy("product_id")
   }
 
   /** Q15 (extension): the full ranking-function family — store league

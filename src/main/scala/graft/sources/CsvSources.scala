@@ -75,6 +75,36 @@ object CsvSources {
   /** S1 (streaming): the production transaction source. One file-source
     * streaming frame; micro-batch sizing via `maxFilesPerTrigger`
     * replaces the reference's hand-rolled 50-record buffering (F1). */
+  /** S4 extended — quarantine ingest, the production posture for dirty
+    * feeds: PERMISSIVE parsing keeps every input line. Rows that parse
+    * land in `good`; rows that don't (structural damage — extra tokens,
+    * broken quoting — or an unparseable typed field) land in
+    * `quarantine` with the RAW line preserved for replay after a fix.
+    * The reference's skip-on-parse-failure
+    * (`/root/reference/src/Meshjoin.java:194-199`) loses those lines
+    * forever; a warehouse ingesting third-party feeds cannot.
+    *
+    * The parsed batch is cached before the split: Spark refuses to
+    * filter a lazy CSV scan on the internal corrupt-record column
+    * alone (the parser would run twice and could disagree with
+    * itself). Ingest slices are micro-batch-sized, so the cache is
+    * bounded; the caller unpersists either frame when done. */
+  def transactionsWithQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = Schemas.txSchema
+      .add(org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.options(csvOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    val good = parsed.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = parsed.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, quarantine)
+  }
+
   def transactionStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .options(csvOptions)

@@ -47,6 +47,29 @@ class CsvSourcesSpec extends SparkSpec {
     assert(out == "Store With Breaks")
   }
 
+  test("quarantine ingest splits parseable rows from damaged lines, raw text kept") {
+    val path = writeCsv("tx.csv", Seq(
+      "Order_ID,Order_Date,Product_ID,Quantity_Ordered,Customer_ID,Time_ID",
+      "O1,2024-01-05,P1,3,C1,T1",
+      "O2,2024-01-05,P2,notanumber,C2,T2", // unparseable typed field
+      "O3,2024-01-06,P3,2,C3,T3",
+      "O4,2024-01-06,P4,1,C4,T4,EXTRA,TOKENS", // structural damage
+      "").mkString("\n"))
+    val (good, quarantine) = CsvSources.transactionsWithQuarantine(spark, path)
+    try {
+      val g = good.orderBy("order_id").collect()
+      assert(g.map(_.getAs[String]("order_id")).toSeq == Seq("O1", "O3"))
+      assert(g.head.getAs[Int]("quantity_ordered") == 3)
+      // quarantined rows carry their raw lines for replay
+      val q = quarantine.collect().map(_.getAs[String]("raw_line")).sorted
+      assert(q.length == 2)
+      assert(q.exists(_.contains("notanumber")))
+      assert(q.exists(_.contains("EXTRA,TOKENS")))
+      // nothing lost: every input line is in exactly one output
+      assert(good.count() + quarantine.count() == 4)
+    } finally good.unpersist()
+  }
+
   test("array_dot: extensions hook injects cleanly; registered function resolves in SQL") {
     // spark.sql.extensions is a STATIC conf, read only when the
     // SparkContext is created — a shared test context can't exercise the
