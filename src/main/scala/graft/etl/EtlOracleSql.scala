@@ -154,6 +154,28 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** CDC twin: the same three-epoch feed, collapsed with a window
+    * (last writer per key by seq), deletes filtered after the rank. */
+  val cdcApply: String =
+    """WITH cur AS (
+      |  SELECT c_custkey AS customer_id, c_name AS customer_name FROM customer
+      |),
+      |feed AS (
+      |  SELECT customer_id, customer_name, 'I' AS op, 1 AS seq FROM cur
+      |  UNION ALL
+      |  SELECT customer_id, customer_name || ' v2', 'U', 2
+      |  FROM cur WHERE customer_id % 3 = 0
+      |  UNION ALL
+      |  SELECT customer_id, customer_name, 'D', 3
+      |  FROM cur WHERE customer_id % 7 = 0
+      |)
+      |SELECT customer_id, customer_name FROM (
+      |  SELECT customer_id, customer_name, op,
+      |         row_number() OVER (PARTITION BY customer_id ORDER BY seq DESC) AS rn
+      |  FROM feed)
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY customer_id""".stripMargin
+
   /** Funnel twin: the same cascaded conditional-min CTEs — each stage's
     * first qualifying event strictly after the previous stage. */
   val funnelSteps: String =

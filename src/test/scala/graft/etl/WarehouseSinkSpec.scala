@@ -72,6 +72,27 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(rows.toSeq == Seq("S1", "S2", "S3"))
   }
 
+  test("observed metrics surface per micro-batch on a stream (same mechanism)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val observed = in.toDF().toDF("k", "v")
+      .observe("load_audit",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"))
+    val q = observed.writeStream.format("memory")
+      .queryName("observed_stream").outputMode("append").start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("load_audit")
+      assert(m != null, "no observed metrics on the batch progress")
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Long]("null_keys") == 0L)
+    } finally q.stop()
+  }
+
   test("observed load audits the write pass without a second scan") {
     import org.apache.spark.sql.functions._
     val fact = Star.salesFact(spark, sfSmoke)
