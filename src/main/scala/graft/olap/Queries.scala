@@ -440,8 +440,10 @@ object Queries {
     * existential ones, expressed as SQL text so Catalyst's subquery
     * decorrelation is the exercised path: the NOT EXISTS rewrites to a
     * LEFT ANTI join of the dimension against the filtered weekend
-    * slice of the fact — the 100 TB side is one filtered scan, and the
-    * anti join broadcasts the distinct weekend-seller set. */
+    * slice of the fact — the 100 TB side is one filtered scan, and
+    * both anti-join operands are dimension-sized after it (the planner
+    * picks SMJ or broadcast by stats; either is a dimension-scale
+    * exchange, never a fact shuffle). */
   def q16NeverOnWeekend(spark: SparkSession, dir: String): DataFrame = {
     Star.salesFact(spark, dir).createOrReplaceTempView("sales_fact_v")
     Star.dimTime(spark, dir).createOrReplaceTempView("dim_time_v")
