@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) vocabulary induction — the tokenizer-training
+  * half of the text stack ([[TextOps]] counts tokens with a FIXED
+  * BPE-ish regex; this operator LEARNS the merges). Word-level BPE in
+  * the Sennrich formulation: start from character symbols, repeatedly
+  * merge the most frequent adjacent symbol pair (frequency-weighted over
+  * the word vocabulary), greedy left-to-right within a word.
+  *
+  * Encoding trick that makes the merge exact AND cross-engine: a word's
+  * symbol sequence is stored as a single string joined by the unit
+  * separator U+001F (which never occurs inside a symbol). Merging pair
+  * (a, b) is then literal-string `replace(enc, a⟂b, ab)` — and both
+  * engines' `replace` scan left-to-right non-overlapping, which IS the
+  * BPE tie rule ("aaa" + (a,a) → "aa","a"). The DuckDB twin unrolls the
+  * same rounds with the same representation, so the learned merge table
+  * is bit-for-bit comparable.
+  *
+  * Scale shape: the corpus is touched ONCE (word-frequency aggregate —
+  * one shuffle); every round after that works on the VOCABULARY (one
+  * row per distinct word — bounded by language, not corpus size: a
+  * 100 TB crawl still has a ~10⁷-word vocabulary). Per round: one
+  * pair-count aggregate over the vocab and one driver-side argmax
+  * scalar (the same class as TF-IDF's corpus count; the merge decision
+  * is inherently global). Symbol ties break by (count desc, left asc,
+  * right asc) — deterministic in both engines over ASCII-ordered
+  * symbols. */
+object BpeOps {
+
+  private val Sep = "\u001f"
+
+  /** Default merge rounds — mirrored by the unrolled oracle
+    * ([[ExtOracleSql.bpeMerges]]); a change here without regenerating
+    * the oracle breaks the differential, by design. */
+  val Rounds = 3
+
+  /** (word, freq, enc) vocabulary: corpus word frequencies with the
+    * sep-encoded character-symbol representation. */
+  private[ext] def vocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withWords(TextOps.docs(spark, dir))
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("enc", concat_ws(Sep, split(col("w"), "")))
+
+  /** Frequency-weighted adjacent-pair counts over a (freq, enc) vocab. */
+  private def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("freq"), split(col("enc"), Sep).as("syms"))
+      .select(col("freq"), explode(expr(
+        // the CASE guards 1-symbol words: sequence(1, 0) would run
+        // BACKWARDS (step −1) and index element 0
+        "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), i -> " +
+          "named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1))) " +
+          "ELSE array() END")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+
+  /** `rounds` BPE merges over an explicit (w, freq) vocabulary —
+    * the unit-testable core. Returns the merge table
+    * (round, left_sym, right_sym, pair_count): the stored artifact a
+    * tokenizer deployment ships. */
+  def mergesFrom(spark: SparkSession, vocabFreq: DataFrame, rounds: Int): DataFrame = {
+    import spark.implicits._
+    var v = vocabFreq.withColumn("enc", concat_ws(Sep, split(col("w"), "")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      // driver-side argmax: the merge decision is a global scalar
+      val best = pairCounts(v)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((round, l, r, cnt))
+        v = v.withColumn("enc",
+          org.apache.spark.sql.functions.replace(
+            col("enc"), lit(l + Sep + r), lit(l + r)))
+      }
+    }
+    merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The corpus-trained merge table (driver query `ext_bpe_merges`). */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = Rounds): DataFrame =
+    mergesFrom(spark,
+      vocab(spark, dir).select("w", "freq"), rounds)
+}

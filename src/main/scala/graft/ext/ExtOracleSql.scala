@@ -1229,6 +1229,47 @@ object ExtOracleSql {
        |FROM cells c LEFT JOIN dominated d ON d.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  /** BPE twin: [[BpeOps.Rounds]] merge rounds UNROLLED as CTE chains
+    * (the same pattern as the Lloyd-iteration oracle) over the same
+    * sep-encoded vocabulary — chr(31) is the engine's U+001F. DuckDB's
+    * `replace` is left-to-right non-overlapping like Spark's, so the
+    * greedy merge semantics align exactly. */
+  val bpeMerges: String = {
+    val sep = "chr(31)"
+    def round(i: Int, prev: String): String =
+      s"""p$i AS (
+         |  SELECT syms[ii$i] AS l, syms[ii$i + 1] AS r,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(enc, $sep) AS syms FROM $prev),
+         |       LATERAL (SELECT unnest(range(1, len(syms))) AS ii$i)
+         |  GROUP BY l, r
+         |),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS (
+         |  SELECT freq,
+         |         replace(enc, (SELECT l || $sep || r FROM b$i),
+         |                      (SELECT l || r FROM b$i)) AS enc
+         |  FROM $prev
+         |)""".stripMargin
+    val rounds = (1 to BpeOps.Rounds)
+      .map(i => round(i, if (i == 1) "v0" else s"v${i - 1}")).mkString(",\n")
+    val unions = (1 to BpeOps.Rounds)
+      .map(i => s"SELECT $i AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents
+       |),
+       |v0 AS (
+       |  SELECT count(*) AS freq,
+       |         array_to_string(string_split(w, ''), $sep) AS enc
+       |  FROM words GROUP BY w
+       |),
+       |$rounds
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
+
   /** Typed-gaps twin: the WINDOW formulation of [[TypedOps.userGaps]]
     * (lag over per-user time order). Gaps are consecutive differences
     * of the sorted timestamp multiset — invariant to tie order — so

@@ -56,6 +56,7 @@ object ExtQueries {
   def semanticDedup(s: SparkSession, d: String): DataFrame = VectorOps.semanticDedup(s, d)
   def embedProject(s: SparkSession, d: String): DataFrame = VectorOps.projectedCoords(s, d)
   def userGaps(s: SparkSession, d: String): DataFrame = TypedOps.userGaps(s, d)
+  def bpeMerges(s: SparkSession, d: String): DataFrame = BpeOps.bpeMerges(s, d)
   def projectedTopK(s: SparkSession, d: String): DataFrame = VectorOps.projectedTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)
