@@ -87,4 +87,34 @@ object BpeOps {
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = Rounds): DataFrame =
     mergesFrom(spark,
       vocab(spark, dir).select("w", "freq"), rounds)
+
+  /** ENCODE with the trained merges — the artifact used, not just
+    * produced: per-document token count under the learned BPE
+    * vocabulary versus the character count it started from. The merge
+    * table is driver-collected (k rows — the same broadcast-sized
+    * artifact a tokenizer ships) and applied as k successive literal
+    * replaces per word — per-row expression work fused into one scan,
+    * no join against the vocabulary needed at encode time.
+    *
+    * Output (doc_id, n_words, n_chars, n_bpe_tokens): n_bpe_tokens
+    * shrinks toward n_words as rounds grow — the compression curve a
+    * tokenizer team actually reads off this table. */
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
+    val merges = bpeMerges(spark, dir, rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val encWord = merges.foldLeft(
+      concat_ws(Sep, split(col("w"), ""))) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(c, lit(l + Sep + r), lit(l + r))
+    }
+    TextOps.withWords(TextOps.docs(spark, dir))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("enc", encWord)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(size(split(col("enc"), Sep)).cast("long")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
 }

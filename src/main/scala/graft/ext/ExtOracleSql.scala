@@ -1234,41 +1234,65 @@ object ExtOracleSql {
     * sep-encoded vocabulary — chr(31) is the engine's U+001F. DuckDB's
     * `replace` is left-to-right non-overlapping like Spark's, so the
     * greedy merge semantics align exactly. */
-  val bpeMerges: String = {
-    val sep = "chr(31)"
+  private val bpeSep = "chr(31)"
+
+  /** Shared BPE CTE chain: doc-grain words, the sep-encoded vocabulary
+    * v0, and [[BpeOps.Rounds]] unrolled (pair-count, argmax, merge)
+    * round triples p_i/b_i/v_i. Words keep doc_id (the encode twin
+    * aggregates per doc); v_i carries `w` so the final representation
+    * joins back to occurrences. */
+  private val bpeChain: String = {
     def round(i: Int, prev: String): String =
       s"""p$i AS (
          |  SELECT syms[ii$i] AS l, syms[ii$i + 1] AS r,
          |         CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, string_split(enc, $sep) AS syms FROM $prev),
+         |  FROM (SELECT freq, string_split(enc, $bpeSep) AS syms FROM $prev),
          |       LATERAL (SELECT unnest(range(1, len(syms))) AS ii$i)
          |  GROUP BY l, r
          |),
          |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |v$i AS (
-         |  SELECT freq,
-         |         replace(enc, (SELECT l || $sep || r FROM b$i),
+         |  SELECT w, freq,
+         |         replace(enc, (SELECT l || $bpeSep || r FROM b$i),
          |                      (SELECT l || r FROM b$i)) AS enc
          |  FROM $prev
          |)""".stripMargin
     val rounds = (1 to BpeOps.Rounds)
       .map(i => round(i, if (i == 1) "v0" else s"v${i - 1}")).mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w)
+       |),
+       |v0 AS (
+       |  SELECT w, count(*) AS freq,
+       |         array_to_string(string_split(w, ''), $bpeSep) AS enc
+       |  FROM words GROUP BY w
+       |),
+       |$rounds""".stripMargin
+  }
+
+  val bpeMerges: String = {
     val unions = (1 to BpeOps.Rounds)
       .map(i => s"SELECT $i AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b$i")
       .mkString("\nUNION ALL ")
-    s"""WITH words AS (
-       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       |  FROM documents
-       |),
-       |v0 AS (
-       |  SELECT count(*) AS freq,
-       |         array_to_string(string_split(w, ''), $sep) AS enc
-       |  FROM words GROUP BY w
-       |),
-       |$rounds
+    s"""$bpeChain
        |$unions
        |ORDER BY round""".stripMargin
   }
+
+  /** Encode twin: occurrences joined to the round-[[BpeOps.Rounds]]
+    * representation, aggregated per document. */
+  val bpeEncode: String =
+    s"""$bpeChain
+       |SELECT d.doc_id,
+       |       count(*) AS n_words,
+       |       CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(len(string_split(v.enc, $bpeSep))) AS BIGINT) AS n_bpe_tokens
+       |FROM words d JOIN v${BpeOps.Rounds} v ON d.w = v.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Typed-gaps twin: the WINDOW formulation of [[TypedOps.userGaps]]
     * (lag over per-user time order). Gaps are consecutive differences

@@ -57,6 +57,7 @@ object ExtQueries {
   def embedProject(s: SparkSession, d: String): DataFrame = VectorOps.projectedCoords(s, d)
   def userGaps(s: SparkSession, d: String): DataFrame = TypedOps.userGaps(s, d)
   def bpeMerges(s: SparkSession, d: String): DataFrame = BpeOps.bpeMerges(s, d)
+  def bpeEncode(s: SparkSession, d: String): DataFrame = BpeOps.bpeEncode(s, d)
   def projectedTopK(s: SparkSession, d: String): DataFrame = VectorOps.projectedTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)

@@ -52,4 +52,19 @@ class BpeSpec extends SparkSpec {
       assert(counts == counts.sorted.reverse)
     } finally m.unpersist()
   }
+
+  test("encoding with the trained merges compresses: n_words <= n_bpe_tokens <= n_chars") {
+    val e = BpeOps.bpeEncode(spark, sfSmoke).cache()
+    try {
+      assert(e.count() == TextOps.docs(spark, sfSmoke)
+        .where(length(trim(col("text"))) > 0).count())
+      // each word is >= 1 symbol and <= its character count
+      assert(e.where(col("n_bpe_tokens") < col("n_words") ||
+        col("n_bpe_tokens") > col("n_chars")).count() == 0)
+      // the merges actually fire somewhere: global symbol count strictly
+      // below the character count
+      val sums = e.agg(sum("n_bpe_tokens"), sum("n_chars")).collect().head
+      assert(sums.getLong(0) < sums.getLong(1))
+    } finally e.unpersist()
+  }
 }
