@@ -915,6 +915,40 @@ object ExtOracleSql {
        |WHERE h % 1000000 < ${SampleOps.RatePpmExpr}
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-sampling twin: the identical rate derivation — the
+    * normalizer Σ√n is the same LEFT FOLD over the source-sorted
+    * (source, n) list (a plain SUM would add doubles in scan order),
+    * and the rate expression repeats the engine's operation order
+    * token for token, so the floored ppm cannot differ. */
+  val sampleTemperature: String =
+    s"""WITH sizes AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS corpus_n,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list(struct_pack(source := source, n := n))),
+       |        sw -> sqrt(CAST(sw.n AS DOUBLE)))),
+       |      (aw, vw) -> aw + vw) AS sumw
+       |  FROM sizes
+       |),
+       |rates AS (
+       |  SELECT s.source,
+       |    CAST(floor(least(CAST(1 AS DOUBLE),
+       |      CAST(0.5 AS DOUBLE) * CAST(t.corpus_n AS DOUBLE) * sqrt(CAST(s.n AS DOUBLE))
+       |      / t.sumw / CAST(s.n AS DOUBLE)) * 1000000) AS BIGINT) AS rate_ppm
+       |  FROM sizes s, tot t
+       |)
+       |SELECT d.doc_id, d.source, r.rate_ppm
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ${h32("'temp:' || CAST(doc_id AS STRING)")} AS h
+       |  FROM documents
+       |) d
+       |JOIN rates r ON d.source = r.source
+       |WHERE d.h % 1000000 < r.rate_ppm
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Chunking twin. DuckDB `list_slice(l, b, e)` is INCLUSIVE of `e`
     * (vs Spark `slice(arr, start, length)`), hence `e = i·S + W`; both
     * clamp at the array end, so the tail chunk shortens identically. */

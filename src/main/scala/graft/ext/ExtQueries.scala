@@ -58,6 +58,7 @@ object ExtQueries {
   def userGaps(s: SparkSession, d: String): DataFrame = TypedOps.userGaps(s, d)
   def bpeMerges(s: SparkSession, d: String): DataFrame = BpeOps.bpeMerges(s, d)
   def bpeEncode(s: SparkSession, d: String): DataFrame = BpeOps.bpeEncode(s, d)
+  def temperatureSample(s: SparkSession, d: String): DataFrame = SampleOps.temperatureSample(s, d)
   def projectedTopK(s: SparkSession, d: String): DataFrame = VectorOps.projectedTopK(s, d)
   def mediaMeta(s: SparkSession, d: String): DataFrame = MediaOps.mediaMeta(s, d)
   def mediaDecode(s: SparkSession, d: String): DataFrame = MediaOps.decodeQuery(s, d)

