@@ -154,6 +154,28 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** FK-audit twin: one LEFT JOIN per relation against the distinct
+    * parent key set, orphans counted from the join miss. */
+  val fkAudit: String = {
+    def rel(name: String, child: String, fk: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS relation,
+         |       count(*) AS child_rows,
+         |       CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS orphan_rows
+         |FROM $child c
+         |LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $parent) p
+         |  ON c.$fk = p.__pk""".stripMargin
+    star(Seq(
+      rel("embeddings_documents", "embeddings", "vec_id", "documents", "doc_id"),
+      rel("fact_customer", "sales_fact", "customer_id", "dim_customer", "customer_id"),
+      rel("fact_product", "sales_fact", "product_id", "dim_product", "product_id"),
+      rel("fact_store", "sales_fact", "store_id", "dim_store", "store_id"),
+      rel("fact_supplier", "sales_fact", "supplier_id", "dim_supplier", "supplier_id"),
+      rel("fact_time", "sales_fact", "time_id", "dim_time", "time_id")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY relation"))
+  }
+
   /** CDC twin: the same three-epoch feed, collapsed with a window
     * (last writer per key by seq), deletes filtered after the rank. */
   val cdcApply: String =

@@ -235,6 +235,53 @@ object EtlQueries {
   def forgetCustomer(spark: SparkSession, dir: String): DataFrame =
     Retention.forgetCustomers(spark, dir)
 
+  /** One FK relation's integrity row: total child rows and orphans
+    * (children whose FK value has no parent). LEFT join against the
+    * DISTINCT parent key (no fan-out possible), broadcast (parent key
+    * sets are dimension-sized); counting rides the join — one pass
+    * over the child, no second scan. */
+  private def fkRelation(rel: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(fk))
+      .join(broadcast(parent.select(col(pk).as("__pk")).distinct()),
+        col(fk) === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("child_rows"),
+        sum(when(col("__pk").isNull, 1).otherwise(0)).as("orphan_rows"))
+      .select(lit(rel).as("relation"), col("child_rows"), col("orphan_rows"))
+
+  /** Referential-integrity audit across the star (the CHECK behind the
+    * reference's FK DDL, `/root/reference/SQL/Star_Schema_Metro.sql` —
+    * MySQL enforces those constraints per-insert; a parquet warehouse
+    * has no enforcement, so integrity must be AUDITED). One row per FK
+    * relation with child and orphan counts; a healthy warehouse reads
+    * all zeros (which the oracle pins on this corpus), and the spec
+    * plants a violation to prove the detector detects. At 100 TB each
+    * relation costs one fact scan with a broadcast key-set join —
+    * audits are schedulable per-partition after each load. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    fkRelation("embeddings_documents", embs, "vec_id", docs, "doc_id")
+      .unionByName(fkRelation("fact_customer", fact, "customer_id",
+        Star.dimCustomer(spark, dir), "customer_id"))
+      .unionByName(fkRelation("fact_product", fact, "product_id",
+        Star.dimProduct(spark, dir), "product_id"))
+      .unionByName(fkRelation("fact_store", fact, "store_id",
+        Star.dimStore(spark, dir), "store_id"))
+      .unionByName(fkRelation("fact_supplier", fact, "supplier_id",
+        Star.dimSupplier(spark, dir), "supplier_id"))
+      .unionByName(fkRelation("fact_time", fact, "time_id",
+        Star.dimTime(spark, dir), "time_id"))
+      .orderBy("relation")
+  }
+
+  /** Planted-violation twin of [[fkRelation]] for the spec. */
+  private[etl] def fkRelationCheck(rel: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    fkRelation(rel, child, fk, parent, pk)
+
   /** Ordered conversion funnel view → click → purchase, per user: each
     * stage's timestamp is the FIRST qualifying event strictly AFTER the
     * previous stage (a purchase before the first view does not convert

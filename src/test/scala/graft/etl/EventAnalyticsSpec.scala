@@ -34,6 +34,23 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally f.unpersist()
   }
 
+  test("fk audit: clean corpus reads zero orphans; a planted violation is counted") {
+    import spark.implicits._
+    val audit = EtlQueries.fkAudit(spark, sfSmoke).cache()
+    try {
+      assert(audit.count() == 6)
+      assert(audit.where(col("orphan_rows") =!= 0).count() == 0)
+      assert(audit.where(col("child_rows") <= 0).count() == 0)
+    } finally audit.unpersist()
+    // the detector detects: one child row pointing nowhere
+    val child = Seq((1L, 10L), (2L, 99L)).toDF("id", "fk")
+    val parent = Seq((10L, "x")).toDF("pk", "v")
+    val row = EtlQueries.fkRelationCheck("planted", child, "fk", parent, "pk")
+      .collect().head
+    assert(row.getAs[Long]("child_rows") == 2L)
+    assert(row.getAs[Long]("orphan_rows") == 1L)
+  }
+
   test("cohort retention: offset-0 cell equals the cohort size, offsets non-negative") {
     val r = EtlQueries.cohortRetention(spark, sfSmoke).cache()
     try {
