@@ -154,6 +154,34 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** Transition twin: the same (ts, event_id)-ordered lag per user. */
+  val eventTransitions: String =
+    """SELECT prev_type, event_type, count(*) AS n_transitions
+      |FROM (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
+  /** Rolling-active twin: the same explode-to-covered-days shape. */
+  val rollingActive: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day),
+      |cov AS (
+      |  SELECT a.user_id, a.day + CAST(o AS INT) AS day
+      |  FROM act a, LATERAL (SELECT unnest(range(0, 7)) AS o)
+      |),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau_7 FROM cov GROUP BY day)
+      |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau_7
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY day""".stripMargin
+
   /** FK-audit twin: one LEFT JOIN per relation against the distinct
     * parent key set, orphans counted from the join miss. */
   val fkAudit: String = {

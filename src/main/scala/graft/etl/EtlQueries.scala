@@ -235,6 +235,48 @@ object EtlQueries {
   def forgetCustomer(spark: SparkSession, dir: String): DataFrame =
     Retention.forgetCustomers(spark, dir)
 
+  /** Event-type transition matrix (first-order Markov counts): per
+    * user, consecutive event pairs in (ts, event_id) order — the
+    * event_id tie-break makes the per-user sequence TOTAL, so the
+    * counts are exact even under equal timestamps (a ts-only order
+    * would leave same-instant transitions to partition luck). Shape:
+    * one shuffle on user_id for the lag window, then a types² (tiny,
+    * fixed) aggregate — the classic "what do users do next"
+    * behavioral report. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Star.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Daily and trailing-7-day active users — the retention-dashboard
+    * staple. The sliding distinct is computed by the EXPLODE trick:
+    * each distinct (user, day) activity contributes to the 7 calendar
+    * days it covers, then one exact countDistinct per day — a 7×
+    * bounded blowup of the (already deduplicated) activity table
+    * instead of a 7-way self-join or a window carrying unbounded
+    * distinct state. Only days with same-day activity are reported
+    * (dau ≥ 1 ⇒ wau_7 ≥ dau). */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val act = Star.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val cov = act.select(col("user_id"),
+      explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+    val wau = cov.groupBy("day").agg(countDistinct("user_id").as("wau_7"))
+    dau.join(wau, Seq("day"))
+      // TIMESTAMP, not DATE, at the output surface (comparison-surface
+      // convention — see scd2Customer)
+      .withColumn("day", col("day").cast("timestamp"))
+      .orderBy("day")
+  }
+
   /** One FK relation's integrity row: total child rows and orphans
     * (children whose FK value has no parent). LEFT join against the
     * DISTINCT parent key (no fan-out possible), broadcast (parent key

@@ -34,6 +34,33 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally f.unpersist()
   }
 
+  test("transition counts conserve: total transitions = events - users") {
+    val t = EtlQueries.eventTransitions(spark, sfSmoke)
+    val total = t.agg(sum("n_transitions")).collect().head.getLong(0)
+    val events = Star.events(spark, sfSmoke).count()
+    val users = Star.events(spark, sfSmoke).select("user_id").distinct().count()
+    // each user's n events contribute exactly n-1 transitions
+    assert(total == events - users)
+    assert(t.where(col("n_transitions") <= 0).count() == 0)
+  }
+
+  test("rolling actives: wau_7 >= dau, and equals the brute-force trailing window") {
+    val r = EtlQueries.rollingActive(spark, sfSmoke).cache()
+    try {
+      assert(r.count() > 0)
+      assert(r.where(col("wau_7") < col("dau")).count() == 0)
+      // brute force one day: distinct users in [d-6, d]
+      val probe = r.orderBy(col("day").desc).select("day", "wau_7").collect().head
+      val d = new java.sql.Date(probe.getTimestamp(0).getTime)
+      val brute = Star.events(spark, sfSmoke)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .where(col("day") <= lit(d) && col("day") >= date_sub(lit(d), 6))
+        .select("user_id").distinct().count()
+      assert(probe.getLong(1) == brute,
+        s"wau_7($d): explode says ${probe.getLong(1)}, brute force says $brute")
+    } finally r.unpersist()
+  }
+
   test("fk audit: clean corpus reads zero orphans; a planted violation is counted") {
     import spark.implicits._
     val audit = EtlQueries.fkAudit(spark, sfSmoke).cache()
