@@ -266,6 +266,27 @@ object OracleSql {
       |GROUP BY st.store_id, st.store_name
       |ORDER BY st.store_id""".stripMargin)
 
+  /** Q18 twin: the same exact-decimal window sum, doubles only at the
+    * division. */
+  val q18: String = star(
+    """SELECT year, store_id, store_name,
+      |       CAST(rev AS DOUBLE) AS total_revenue,
+      |       CAST(year_total AS DOUBLE) AS year_total,
+      |       CAST(rev AS DOUBLE) / CAST(year_total AS DOUBLE) AS revenue_share
+      |FROM (
+      |  SELECT year, store_id, store_name, rev,
+      |         CAST(SUM(rev) OVER (PARTITION BY year) AS DECIMAL(18,2)) AS year_total
+      |  FROM (
+      |    SELECT t.year, f.store_id, st.store_name,
+      |           CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS rev
+      |    FROM sales_fact f
+      |    JOIN dim_time t ON f.time_id = t.time_id
+      |    JOIN dim_store st ON f.store_id = st.store_id
+      |    GROUP BY t.year, f.store_id, st.store_name
+      |  )
+      |)
+      |ORDER BY year, store_id""".stripMargin)
+
   /** Q16 twin: the identical NOT EXISTS (DuckDB decorrelates the same
     * way — a left anti against the weekend product set). */
   val q16: String = star(

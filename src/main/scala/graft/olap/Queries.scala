@@ -432,6 +432,33 @@ object Queries {
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))
   }
 
+  /** Q18 (extension): ratio-to-report — each store's share of its
+    * year's revenue, the percent-of-parent column every OLAP report
+    * carries next to the absolute number. Numeric discipline: the
+    * window SUM runs over the EXACT DECIMAL (order-independent, so the
+    * partition-order of the window cannot move a bit); only the final
+    * division happens in doubles, on two exactly-cast operands — the
+    * same contract as every ratio in this engine. A double window sum
+    * would be partition-order-dependent in the last ulp and the oracle
+    * could never pin it. */
+  def q18ShareOfYear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year")
+    val store = Star.dimStore(spark, dir)
+    val yearly = fact
+      .join(broadcast(time), Seq("time_id"))
+      .join(broadcast(store), Seq("store_id"))
+      .groupBy(col("year"), col("store_id"), col("store_name"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue"))
+    val w = Window.partitionBy("year")
+    outputDoubles(yearly
+      .withColumn("year_total", sum("total_revenue").over(w).cast(aggRevenueType))
+      .withColumn("revenue_share",
+        col("total_revenue").cast("double") / col("year_total").cast("double")))
+      .orderBy("year", "store_id")
+  }
+
   /** Q16 (extension): correlated NOT EXISTS — products with no weekend
     * sale in the reference year (over the whole history every product
     * eventually sells on some weekend, which would make the predicate

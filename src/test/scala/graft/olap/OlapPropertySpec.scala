@@ -107,6 +107,26 @@ class OlapPropertySpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("share-of-year sums to 1 per year and matches revenue ratios") {
+    val r = Queries.q18ShareOfYear(spark, sfSmoke).cache()
+    try {
+      // shares within a year sum to 1 (up to double accumulation)
+      val sums = r.groupBy("year").agg(sum("revenue_share").as("s"))
+      assert(sums.where(abs(col("s") - 1.0) > 1e-9).count() == 0)
+      // every share is the ratio of its own two output columns, exactly
+      assert(r.where(col("revenue_share") =!=
+        col("total_revenue") / col("year_total")).count() == 0)
+      // the year total matches an independent aggregation
+      val direct = Star.salesFact(spark, sfSmoke)
+        .join(Star.dimTime(spark, sfSmoke).select("time_id", "year"), Seq("time_id"))
+        .groupBy("year")
+        .agg(sum("total_revenue").cast(graft.model.Schemas.aggRevenueType)
+          .cast("double").as("direct_total"))
+      assert(r.select("year", "year_total").distinct().join(direct, "year")
+        .where(col("year_total") =!= col("direct_total")).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("affinity returns top pairs with positive frequencies") {
     val rows = Queries.q06Affinity(spark, sfSmoke).collect()
     assert(rows.nonEmpty && rows.length <= 5) // line-item grain makes Q6 meaningful (Q-j)
