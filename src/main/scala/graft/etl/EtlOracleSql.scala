@@ -154,6 +154,16 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** k-anonymity twin: identical QI projection and threshold. */
+  val kAnonymity: String =
+    """SELECT c_mktsegment AS segment,
+      |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |       count(*) AS group_size,
+      |       count(*) >= 20 AS is_anonymous
+      |FROM customer
+      |GROUP BY segment, bal_band
+      |ORDER BY segment, bal_band""".stripMargin
+
   /** Transition twin: the same (ts, event_id)-ordered lag per user. */
   val eventTransitions: String =
     """SELECT prev_type, event_type, count(*) AS n_transitions

@@ -59,4 +59,44 @@ object Retention {
       .unionByName(audit("sales_fact", Star.salesFact(spark, dir), keys))
       .orderBy("table_name")
   }
+
+  /** Customer quasi-identifier projection for the anonymity audit:
+    * market segment × account-balance band (floor(bal/1000) —
+    * identical double division + floor in both engines). The QI set is
+    * a MODELING choice: fine enough that joint re-identification is
+    * plausible, coarse enough that groups can reach k at all — adding
+    * nation here fragments every group below any useful k on this
+    * corpus, which is itself the classic k-anonymity lesson. */
+  private def quasiIdentifiers(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+
+  /** k-anonymity audit — the release-side privacy check next to the
+    * erasure path: a published slice is k-anonymous when every
+    * quasi-identifier combination (attributes that jointly re-identify:
+    * here segment × balance band) covers at least k people.
+    * One aggregate over the QI projection, one flag column; groups
+    * below k are exactly the rows a release must suppress or
+    * generalize. The reference publishes raw dimension rows with no
+    * such check. Scale: output is the QI-combination count (bounded by
+    * the attribute domain product, not the table). */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    quasiIdentifiers(spark, dir)
+      .groupBy("segment", "bal_band")
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("is_anonymous", col("group_size") >= k)
+      .orderBy("segment", "bal_band")
+
+  /** The enforcing half: the released view keeps only rows whose QI
+    * group reaches k — a semi-join of the table against its own
+    * passing groups (the audit flags; this suppresses). */
+  def kAnonymousRelease(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val passing = kAnonymity(spark, dir, k)
+      .where(col("is_anonymous"))
+      .select("segment", "bal_band")
+    quasiIdentifiers(spark, dir)
+      .join(passing, Seq("segment", "bal_band"), "left_semi")
+  }
 }

@@ -29,4 +29,27 @@ class RetentionSpec extends SparkSpec {
     // the fact table genuinely loses rows (the request list has sales)
     assert(audit("sales_fact").getLong(2) > 0)
   }
+
+  test("k-anonymity: release suppresses exactly the below-k groups") {
+    import org.apache.spark.sql.functions._
+    val k = 5
+    val audit = Retention.kAnonymity(spark, sfSmoke, k).cache()
+    val release = Retention.kAnonymousRelease(spark, sfSmoke, k).cache()
+    try {
+      // flag is exactly the threshold
+      assert(audit.where(col("is_anonymous") =!= (col("group_size") >= k)).count() == 0)
+      // every group in the released view reaches k
+      val tooSmall = release.groupBy("segment", "bal_band")
+        .count().where(col("count") < k).count()
+      assert(tooSmall == 0)
+      // released rows = total - suppressed (conservation)
+      val suppressed = audit.where(!col("is_anonymous"))
+        .agg(coalesce(sum("group_size"), lit(0L))).collect().head.getLong(0)
+      val total = spark.read.parquet(s"$sfSmoke/customer.parquet").count()
+      assert(release.count() == total - suppressed)
+      // the audit is discriminating on this corpus: both outcomes occur
+      assert(audit.where(col("is_anonymous")).count() > 0)
+      assert(suppressed > 0)
+    } finally { audit.unpersist(); release.unpersist() }
+  }
 }
