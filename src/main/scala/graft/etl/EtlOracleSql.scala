@@ -154,6 +154,45 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** Snapshot-diff twin: the same grain aggregation, FULL OUTER JOIN
+    * and change-class CASE. */
+  val snapshotDiff: String = star(
+    """, before_g AS (
+      |  SELECT order_id, product_id, supplier_id,
+      |         CAST(SUM(quantity_ordered) AS BIGINT) AS q,
+      |         CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS rev
+      |  FROM sales_fact
+      |  WHERE time_id < TIMESTAMP '1998-06-01 00:00:00'
+      |  GROUP BY order_id, product_id, supplier_id
+      |),
+      |after_g AS (
+      |  SELECT order_id, product_id, supplier_id,
+      |         CAST(SUM(CASE WHEN customer_id % 13 = 0
+      |                       THEN quantity_ordered + 1
+      |                       ELSE quantity_ordered END) AS BIGINT) AS q,
+      |         CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS rev
+      |  FROM sales_fact
+      |  WHERE customer_id % 41 <> 0
+      |  GROUP BY order_id, product_id, supplier_id
+      |),
+      |d AS (
+      |  SELECT CASE WHEN b.order_id IS NULL THEN 'added'
+      |              WHEN a.order_id IS NULL THEN 'removed'
+      |              WHEN b.q IS DISTINCT FROM a.q
+      |                OR b.rev IS DISTINCT FROM a.rev THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |         coalesce(a.rev, CAST(0 AS DECIMAL(18,2)))
+      |           - coalesce(b.rev, CAST(0 AS DECIMAL(18,2))) AS delta
+      |  FROM before_g b
+      |  FULL OUTER JOIN after_g a
+      |    ON b.order_id = a.order_id AND b.product_id = a.product_id
+      |   AND b.supplier_id = a.supplier_id
+      |)
+      |SELECT change_type, count(*) AS n_rows,
+      |       CAST(CAST(SUM(delta) AS DECIMAL(18,2)) AS DOUBLE) AS revenue_delta
+      |FROM d GROUP BY change_type
+      |ORDER BY change_type""".stripMargin)
+
   /** k-anonymity twin: identical QI projection and threshold. */
   val kAnonymity: String =
     """SELECT c_mktsegment AS segment,
