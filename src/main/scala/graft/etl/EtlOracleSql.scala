@@ -154,6 +154,27 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** Winsorization twin: same integer-cents clamp below the same
+    * floored exact percentile. */
+  val winsorizedRevenue: String = star(
+    """, cents AS (
+      |  SELECT store_id, CAST(total_revenue * 100 AS BIGINT) AS rev_cents
+      |  FROM sales_fact
+      |),
+      |cap AS (
+      |  SELECT CAST(floor(quantile_cont(rev_cents, 0.99)) AS BIGINT) AS cap_cents
+      |  FROM cents
+      |)
+      |SELECT store_id,
+      |       count(*) AS n_rows,
+      |       CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+      |       CAST(sum(least(rev_cents, cap_cents)) AS BIGINT) AS winsorized_cents,
+      |       CAST(sum(CASE WHEN rev_cents > cap_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_capped
+      |FROM cents, cap
+      |GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** Snapshot-diff twin: the same grain aggregation, FULL OUTER JOIN
     * and change-class CASE. */
   val snapshotDiff: String = star(

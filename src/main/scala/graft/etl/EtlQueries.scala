@@ -235,6 +235,34 @@ object EtlQueries {
   def forgetCustomer(spark: SparkSession, dir: String): DataFrame =
     Retention.forgetCustomers(spark, dir)
 
+  /** Winsorized revenue rollup — outlier capping before aggregation,
+    * the robust-stats counterpart of the FK audit (bad VALUES instead
+    * of bad KEYS: a fat-fingered price shouldn't own the store
+    * ranking). Revenue works in integer CENTS throughout: the p99
+    * cutoff is the exact interpolated percentile of integers
+    * (bit-identical cross-engine, the lengthStats contract), FLOORED
+    * to an integer cap — so the clamp and every downstream sum stay
+    * order-independent integer arithmetic; summing clamped doubles
+    * would be partition-order-dependent at the ulp. One percentile
+    * pass (broadcast scalar), one clamped aggregate. */
+  def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Star.salesFact(spark, dir)
+      .select(col("store_id"),
+        (col("total_revenue") * 100).cast("long").as("rev_cents"))
+    val cap = cents.agg(
+      floor(expr("percentile(rev_cents, CAST(0.99 AS DOUBLE))"))
+        .cast("long").as("cap_cents"))
+    graft.model.Schemas.outputDoubles(cents.crossJoin(broadcast(cap))
+      .groupBy("store_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("rev_cents").as("revenue_cents"),
+        sum(least(col("rev_cents"), col("cap_cents"))).as("winsorized_cents"),
+        sum(when(col("rev_cents") > col("cap_cents"), 1).otherwise(0))
+          .cast("long").as("n_capped")))
+      .orderBy("store_id")
+  }
+
   /** Event-type transition matrix (first-order Markov counts): per
     * user, consecutive event pairs in (ts, event_id) order — the
     * event_id tie-break makes the per-user sequence TOTAL, so the

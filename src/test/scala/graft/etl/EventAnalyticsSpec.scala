@@ -78,6 +78,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(row.getAs[Long]("orphan_rows") == 1L)
   }
 
+  test("winsorized sums never exceed raw, equality exactly when nothing was capped") {
+    val w = EtlQueries.winsorizedRevenue(spark, sfSmoke).cache()
+    try {
+      assert(w.where(col("winsorized_cents") > col("revenue_cents")).count() == 0)
+      assert(w.where(col("n_capped") === 0 &&
+        col("winsorized_cents") =!= col("revenue_cents")).count() == 0)
+      assert(w.where(col("n_capped") > 0 &&
+        col("winsorized_cents") === col("revenue_cents")).count() == 0)
+      // the p99 cap touches ~1% of rows corpus-wide (generous bound)
+      val t = w.agg(sum("n_capped").as("c"), sum("n_rows").as("n")).collect().head
+      val frac = t.getLong(0).toDouble / t.getLong(1)
+      assert(frac > 0 && frac <= 0.02, s"cap fraction $frac out of band")
+    } finally w.unpersist()
+  }
+
   test("cohort retention: offset-0 cell equals the cohort size, offsets non-negative") {
     val r = EtlQueries.cohortRetention(spark, sfSmoke).cache()
     try {
