@@ -154,6 +154,20 @@ object EtlOracleSql {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |ORDER BY order_id""".stripMargin
 
+  /** Profile twin: per-column metric rows (UNION ALL — readability
+    * over the engine's single wide aggregate; semantics match). */
+  val factProfile: String = {
+    val cols = Seq("customer_id", "order_id", "product_id",
+      "quantity_ordered", "store_id", "supplier_id", "total_revenue")
+    star(cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct
+         |FROM sales_fact""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+  }
+
   /** Winsorization twin: same integer-cents clamp below the same
     * floored exact percentile. */
   val winsorizedRevenue: String = star(

@@ -235,6 +235,31 @@ object EtlQueries {
   def forgetCustomer(spark: SparkSession, dir: String): DataFrame =
     Retention.forgetCustomers(spark, dir)
 
+  /** Column-level data profile of the fact table — the ANALYZE-style
+    * summary a catalog shows and a load pipeline diffs against
+    * yesterday's: per column, row/null/distinct counts. ONE wide
+    * aggregate computes every column's metrics in a single scan (a
+    * per-column loop would rescan the fact once per column); the
+    * stack-to-long-format happens on the 1-row aggregate result.
+    * Counts only — min/max surface per-type rendering differences
+    * cross-engine and belong to typed queries. */
+  def factProfile(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val cols = Seq("order_id", "product_id", "customer_id", "supplier_id",
+      "store_id", "quantity_ordered", "total_revenue")
+    val wide = fact.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))): _*)
+    val stacked = cols.map(c =>
+      s"'$c', nn_$c, nd_$c").mkString(", ")
+    wide.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column_name")
+  }
+
   /** Winsorized revenue rollup — outlier capping before aggregation,
     * the robust-stats counterpart of the FK audit (bad VALUES instead
     * of bad KEYS: a fat-fingered price shouldn't own the store

@@ -370,4 +370,16 @@ object DedupOps {
         col("containment"))
       .orderBy("doc_id")
   }
+
+  /** Cluster-size distribution — the one-page summary of a dedup run
+    * ("how much duplication, in what shapes"): how many near-dup
+    * clusters exist at each size. Size 1 = unique documents; the tail
+    * is where template spam lives. Two tiny aggregates over the
+    * already-computed cluster assignment (cluster count ≤ doc count,
+    * size histogram ≤ max cluster size rows). */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
 }

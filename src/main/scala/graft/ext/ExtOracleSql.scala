@@ -261,6 +261,31 @@ object ExtOracleSql {
        |FROM reach GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram twin: the same recursive components,
+    * aggregated twice. */
+  val dedupClusterSizes: String =
+    s"""WITH RECURSIVE
+       |${minhashPairsCtes.stripPrefix("WITH ")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM lshpairs
+       |),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+       |),
+       |assign AS (
+       |  SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id
+       |),
+       |csizes AS (
+       |  SELECT cluster, count(*) AS cluster_size FROM assign GROUP BY cluster
+       |)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM csizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   val dedupSimhash: String =
     s"""$shingleBase,
        |bits AS (

@@ -78,6 +78,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(row.getAs[Long]("orphan_rows") == 1L)
   }
 
+  test("fact profile: one scan's metrics obey the counting identities") {
+    val p = EtlQueries.factProfile(spark, sfSmoke).cache()
+    try {
+      assert(p.count() == 7)
+      // distinct values never exceed the non-null rows
+      assert(p.where(col("n_distinct") > col("n_rows") - col("n_nulls")).count() == 0)
+      // star keys are never null in a well-formed fact
+      assert(p.where(col("column_name").isin(
+        "order_id", "product_id", "customer_id") && col("n_nulls") > 0).count() == 0)
+      // n_rows constant across rows and equal to the fact count
+      val n = Star.salesFact(spark, sfSmoke).count()
+      assert(p.where(col("n_rows") =!= n).count() == 0)
+    } finally p.unpersist()
+  }
+
   test("winsorized sums never exceed raw, equality exactly when nothing was capped") {
     val w = EtlQueries.winsorizedRevenue(spark, sfSmoke).cache()
     try {

@@ -169,4 +169,18 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(fp == again)
   }
+
+  test("cluster-size histogram conserves documents and matches the assignment") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val hist = DedupOps.clusterSizeHistogram(spark, sfSmoke)
+    val docs = TextOps.docs(spark, sfSmoke).count()
+    // sum of size × count over the histogram = every document once
+    val covered = hist.agg(sum(col("cluster_size") * col("n_clusters")))
+      .collect().head.getLong(0)
+    assert(covered == docs)
+    // cluster count in the histogram equals distinct clusters assigned
+    val nClusters = hist.agg(sum("n_clusters")).collect().head.getLong(0)
+    assert(nClusters ==
+      DedupOps.clusters(spark, sfSmoke).select("cluster").distinct().count())
+  }
 }
