@@ -266,6 +266,18 @@ object OracleSql {
       |GROUP BY st.store_id, st.store_name
       |ORDER BY st.store_id""".stripMargin)
 
+  /** Q19 twin: the same single wide aggregate. */
+  val q19: String = star(
+    """SELECT count(DISTINCT order_id) AS n_orders,
+      |       count(*) AS n_line_items,
+      |       CAST(CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
+      |       CAST(SUM(quantity_ordered) AS BIGINT) AS total_units,
+      |       count(DISTINCT store_id) AS n_active_stores,
+      |       count(DISTINCT product_id) AS n_products_sold,
+      |       CAST(CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS DOUBLE)
+      |         / CAST(count(DISTINCT order_id) AS DOUBLE) AS avg_order_revenue
+      |FROM sales_fact""".stripMargin)
+
   /** Q18 twin: the same exact-decimal window sum, doubles only at the
     * division. */
   val q18: String = star(

@@ -432,6 +432,27 @@ object Queries {
       .orderBy(asc("store_name"), asc("year"), asc("quarter"))
   }
 
+  /** Q19 (extension): the one-pass executive summary — every headline
+    * number of the dashboard's top row (orders, line items, revenue,
+    * units, per-order average, active stores/products) from a SINGLE
+    * scan of the fact: heterogeneous metrics as one wide aggregate,
+    * never one query per tile (at 100 TB, six dashboard tiles issuing
+    * six fact scans is the difference between one cheap report and
+    * six expensive ones). Ratios divide exactly-cast operands, the
+    * standard doubles contract. */
+  def q19Summary(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    outputDoubles(fact.agg(
+      countDistinct("order_id").as("n_orders"),
+      count(lit(1)).as("n_line_items"),
+      sum("total_revenue").cast(aggRevenueType).as("total_revenue"),
+      sum("quantity_ordered").cast("bigint").as("total_units"),
+      countDistinct("store_id").as("n_active_stores"),
+      countDistinct("product_id").as("n_products_sold")))
+      .withColumn("avg_order_revenue",
+        col("total_revenue") / col("n_orders").cast("double"))
+  }
+
   /** Q18 (extension): ratio-to-report — each store's share of its
     * year's revenue, the percent-of-parent column every OLAP report
     * carries next to the absolute number. Numeric discipline: the
