@@ -377,4 +377,55 @@ object OracleSql {
       |GROUP BY CUBE (t.year, t.quarter, f.store_id)
       |ORDER BY t.year ASC NULLS FIRST, t.quarter ASC NULLS FIRST,
       |         f.store_id ASC NULLS FIRST""".stripMargin)
+
+  /** Q20 twin: the same three explicit grouping sets; `gid` folds the
+    * subtotal-NULL pattern exactly as Spark's `grouping_id()` encodes
+    * it over (year, store_id, supplier_id) — valid because both key
+    * columns are non-null in the data, so NULL ⟺ subtotal. */
+  val q20: String = star(
+    """SELECT t.year, f.store_id, f.supplier_id,
+      |       CAST(2 * (CASE WHEN f.store_id IS NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN f.supplier_id IS NULL THEN 1 ELSE 0 END) AS INT) AS gid,
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
+      |       CAST(SUM(f.quantity_ordered) AS BIGINT) AS total_quantity
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |GROUP BY GROUPING SETS ((t.year, f.store_id), (t.year, f.supplier_id), (t.year))
+      |ORDER BY t.year, gid, f.store_id ASC NULLS FIRST,
+      |         f.supplier_id ASC NULLS FIRST""".stripMargin)
+
+  /** Q21 twin: SQL EXCEPT (distinct semantics on both sides). */
+  val q21: String = star(
+    s"""SELECT f.customer_id
+       |FROM sales_fact f JOIN dim_time t ON f.time_id = t.time_id
+       |WHERE t.year = ${Queries.Year} AND t.month <= 6
+       |EXCEPT
+       |SELECT f.customer_id
+       |FROM sales_fact f JOIN dim_time t ON f.time_id = t.time_id
+       |WHERE t.year = ${Queries.Year} AND t.month > 6
+       |ORDER BY customer_id""".stripMargin)
+
+  /** Q22 twin: identical explicit frames via a WINDOW clause; the
+    * moving average is exact-decimal frame-sum cast to double over the
+    * frame count, never avg() (see [[Queries.q22FrameBounds]]). */
+  val q22: String = star(
+    """SELECT store_id, year, month,
+      |       CAST(monthly_revenue AS DOUBLE) AS monthly_revenue,
+      |       CAST(first_value(monthly_revenue) OVER wfull AS DOUBLE) AS first_month_revenue,
+      |       CAST(last_value(monthly_revenue) OVER wfull AS DOUBLE) AS last_month_revenue,
+      |       CAST(nth_value(monthly_revenue, 2) OVER wfull AS DOUBLE) AS second_month_revenue,
+      |       CAST(SUM(monthly_revenue) OVER wtrail AS DOUBLE)
+      |         / CAST(COUNT(*) OVER wtrail AS DOUBLE) AS trailing3_avg
+      |FROM (
+      |  SELECT f.store_id, t.year, t.month,
+      |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS monthly_revenue
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON f.time_id = t.time_id
+      |  GROUP BY f.store_id, t.year, t.month
+      |)
+      |WINDOW wfull AS (PARTITION BY store_id, year ORDER BY month
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |       wtrail AS (PARTITION BY store_id, year ORDER BY month
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY store_id, year, month""".stripMargin)
 }

@@ -610,4 +610,81 @@ object Queries {
       .orderBy(asc_nulls_first("year"), asc_nulls_first("quarter"),
         asc_nulls_first("store_id"))
   }
+
+  /** Q20 (extension): explicit GROUPING SETS — the general member of
+    * the grouping-lattice family (Q7 walks ROLLUP's prefixes, Q13 the
+    * full CUBE). A report wanting two independent yearly breakdowns
+    * (by store AND by supplier) plus the year total names exactly
+    * those three sets; a CUBE over the 3 columns would compute 8
+    * groupings and throw 5 away. Physically identical machinery: one
+    * `Expand` (3×, not 8×) feeding a two-phase hash aggregate — one
+    * fact scan for all three groupings. */
+  def q20GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year")
+    outputDoubles(fact
+      .join(broadcast(time), Seq("time_id"))
+      .groupingSets(
+        Seq(Seq(col("year"), col("store_id")),
+          Seq(col("year"), col("supplier_id")),
+          Seq(col("year"))),
+        col("year"), col("store_id"), col("supplier_id"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        sum("total_revenue").cast(aggRevenueType).as("total_revenue"),
+        sum("quantity_ordered").cast("bigint").as("total_quantity")))
+      .orderBy(col("year"), col("gid"), asc_nulls_first("store_id"),
+        asc_nulls_first("supplier_id"))
+  }
+
+  /** Q21 (extension): set difference — customers who bought in H1 of
+    * the reference year but not in H2 (the lapsed-customer list a
+    * retention campaign starts from); EXCEPT completes the set-op
+    * family next to Q17's INTERSECT. `except` carries SQL EXCEPT
+    * semantics (distinct, null-safe); physically an aggregate +
+    * anti-join over two pruned fact slices — no dimension table, no
+    * cartesian anywhere. */
+  def q21LapsedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year", "month")
+    def half(p: Column => Column) = fact
+      .join(broadcast(time), Seq("time_id"))
+      .where(col("year") === Year && p(col("month")))
+      .select("customer_id")
+    half(_ <= 6).except(half(_ > 6)).orderBy("customer_id")
+  }
+
+  /** Q22 (extension): explicit window FRAMES — the remaining window
+    * dimension after Q15's ranking family (which needs no frames) and
+    * Q9's default-frame running sums. Per store×year monthly revenue
+    * annotated with first/last/2nd month of the year (full-partition
+    * frame: `first_value`/`last_value`/`nth_value`) and a trailing
+    * 3-month moving average (bounded `2 PRECEDING..CURRENT ROW`
+    * frame). The moving average divides an EXACT decimal frame-sum
+    * (cast to double) by the frame row count — never an avg() over
+    * doubles, whose accumulation order engines don't agree on.
+    * Partitions are store×year (≤12 rows each, no global sort);
+    * month is unique within a partition so every frame is total. */
+  def q22FrameBounds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+    val time = Star.dimTime(spark, dir).select("time_id", "year", "month")
+    val monthly = fact
+      .join(broadcast(time), Seq("time_id"))
+      .groupBy(col("store_id"), col("year"), col("month"))
+      .agg(sum("total_revenue").cast(aggRevenueType).as("monthly_revenue"))
+    val byMonth = Window.partitionBy("store_id", "year").orderBy("month")
+    val full = byMonth.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val trail = byMonth.rowsBetween(-2, Window.currentRow)
+    outputDoubles(monthly
+      .withColumn("first_month_revenue", first("monthly_revenue").over(full))
+      .withColumn("last_month_revenue", last("monthly_revenue").over(full))
+      .withColumn("second_month_revenue",
+        nth_value(col("monthly_revenue"), 2).over(full))
+      .withColumn("trailing3_avg",
+        sum("monthly_revenue").over(trail).cast("double") /
+          count(lit(1)).over(trail).cast("double")))
+      .orderBy("store_id", "year", "month")
+  }
 }

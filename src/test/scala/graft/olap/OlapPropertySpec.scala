@@ -49,6 +49,72 @@ class OlapPropertySpec extends SparkSpec {
     } finally cube.unpersist()
   }
 
+  test("grouping sets emit exactly the three declared groupings, each totaling the grand sum") {
+    val gs = Queries.q20GroupingSets(spark, sfSmoke).cache()
+    try {
+      // only the three declared gids exist (1 = by-store, 2 = by-supplier,
+      // 3 = year total) — no CUBE over-computation leaked through
+      assert(gs.select("gid").distinct().collect().map(_.getInt(0)).sorted
+        .sameElements(Array(1, 2, 3)))
+      // gid encodes the null pattern on every row
+      assert(gs.where(col("gid") =!=
+        (when(col("store_id").isNull, 2).otherwise(0) +
+          when(col("supplier_id").isNull, 1).otherwise(0))).count() == 0)
+      // each per-year breakdown reaggregates to that year's total row
+      Seq(1, 2).foreach { gid =>
+        val marginal = gs.where(col("gid") === gid)
+          .groupBy("year").agg(sum("total_revenue").as("rev"))
+        val totals = gs.where(col("gid") === 3).select(col("year"), col("total_revenue"))
+        val joined = marginal.join(totals, "year")
+          .where(abs(col("rev") - col("total_revenue")) >
+            lit(1e-6) * abs(col("total_revenue")))
+        assert(joined.count() == 0, s"gid=$gid marginals drift from year totals")
+      }
+    } finally gs.unpersist()
+  }
+
+  test("lapsed customers bought in H1 and never in H2") {
+    val lapsed = Queries.q21LapsedCustomers(spark, sfSmoke)
+    val fact = Star.salesFact(spark, sfSmoke)
+    val time = Star.dimTime(spark, sfSmoke).select("time_id", "year", "month")
+    def half(p: org.apache.spark.sql.Column) = fact
+      .join(time, Seq("time_id"))
+      .where(col("year") === Queries.Year && p)
+      .select("customer_id").distinct()
+    assert(lapsed.join(half(col("month") > 6), Seq("customer_id"), "left_semi")
+      .count() == 0, "a lapsed customer appears in H2")
+    assert(lapsed.join(half(col("month") <= 6), Seq("customer_id"), "left_anti")
+      .count() == 0, "a lapsed customer never bought in H1")
+    assert(lapsed.count() == lapsed.distinct().count(), "EXCEPT must emit distinct rows")
+  }
+
+  test("frame bounds: first/last/nth land on the right months; trailing avg brackets") {
+    val fb = Queries.q22FrameBounds(spark, sfSmoke).cache()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("store_id", "year")
+      val annotated = fb
+        .withColumn("min_m", min("month").over(w))
+        .withColumn("max_m", max("month").over(w))
+        .withColumn("n_m", count(lit(1)).over(w))
+      // first/last_value equal the revenue at the partition's min/max month
+      assert(annotated.where(col("month") === col("min_m") &&
+        col("first_month_revenue") =!= col("monthly_revenue")).count() == 0)
+      assert(annotated.where(col("month") === col("max_m") &&
+        col("last_month_revenue") =!= col("monthly_revenue")).count() == 0)
+      // nth_value(2) is null exactly on single-month partitions
+      assert(annotated.where(col("second_month_revenue").isNull =!=
+        (col("n_m") === 1)).count() == 0)
+      // the trailing average lies within the partition's revenue range
+      val bad = annotated
+        .withColumn("lo", min("monthly_revenue").over(w))
+        .withColumn("hi", max("monthly_revenue").over(w))
+        .where(col("trailing3_avg") < col("lo") - lit(1e-9) ||
+          col("trailing3_avg") > col("hi") + lit(1e-9))
+      assert(bad.count() == 0, "trailing3_avg outside the partition's range")
+    } finally fb.unpersist()
+  }
+
   test("pivot cells reaggregate to the store totals; long and wide agree") {
     val wide = Queries.q14PivotQuarters(spark, sfSmoke).cache()
     try {
