@@ -371,6 +371,59 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the daily-ingest shape: a NEW batch of
+    * documents is screened against the EXISTING corpus through the
+    * stored LSH band index, without ever re-pairing the corpus against
+    * itself. Per increment document the operator emits the ingest
+    * decision: `is_new` (no corpus near-dup at the threshold), else the
+    * best-matching corpus document (`dup_of`, highest verified Jaccard,
+    * ties to the lowest doc_id) — what a dedup-at-ingest gate acts on.
+    *
+    * The increment is simulated as `doc_id % 10 == 0` (10 % of the
+    * corpus); in production the increment's bands are computed fresh
+    * from the new batch ([[lshBandsOf]] over [[minhashSignaturesOf]])
+    * and the corpus side is the band table read back from storage —
+    * both sides here filter the same session-cached index, which is the
+    * identical dataflow from the probe join onward.
+    *
+    * Scale shape: the probe is an equi-join of increment bands against
+    * corpus bands on (band, key) — candidate volume is O(near-dups of
+    * the increment), NEVER corpus × corpus; verification is the same
+    * per-candidate `array_intersect` as [[minhashLsh]]; the best-match
+    * window partitions by increment doc (bounded groups). A daily
+    * increment is small relative to the corpus, so its band side
+    * broadcasts under AQE without code changes. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isIncrement = col("doc_id") % 10 === 0
+    val bandsAll = lshBands(spark, dir)
+    val docs = docShingleArrays(spark, dir)
+    val cand = bandsAll.where(isIncrement).as("x")
+      .join(bandsAll.where(!isIncrement).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("n").as("na"), col("arr").as("oa")),
+        Seq("doc_id"))
+      .join(docs.select(col("doc_id").as("dup_of"), col("n").as("nb"),
+        col("arr").as("ob")), Seq("dup_of"))
+      .withColumn("shared", size(array_intersect(col("oa"), col("ob"))))
+      .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (na + nb - shared)"))
+      .where(col("jaccard") >= threshold)
+    val best = verified
+      .withColumn("__rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("jaccard").desc, col("dup_of").asc)))
+      .where(col("__rn") === 1)
+      .select("doc_id", "dup_of", "jaccard")
+    TextOps.docs(spark, dir).where(isIncrement).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_new"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-size distribution — the one-page summary of a dedup run
     * ("how much duplication, in what shapes"): how many near-dup
     * clusters exist at each size. Size 1 = unique documents; the tail

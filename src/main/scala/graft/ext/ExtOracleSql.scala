@@ -239,6 +239,30 @@ object ExtOracleSql {
        |SELECT doc_a, doc_b, jaccard FROM lshpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental-dedup twin: the cross-set (increment ↔ corpus) slice
+    * of the verified LSH pairs, reduced to the best corpus match per
+    * increment doc, left-joined onto the full increment so brand-new
+    * documents surface with is_new = true. */
+  val dedupIncremental: String =
+    s"""$minhashPairsCtes,
+       |cross_pairs AS (
+       |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+       |         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+       |         jaccard
+       |  FROM lshpairs
+       |  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+       |),
+       |best AS (
+       |  SELECT doc_id, dup_of, jaccard,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY jaccard DESC, dup_of ASC) AS rn
+       |  FROM cross_pairs
+       |)
+       |SELECT d.doc_id, b.dup_of IS NULL AS is_new, b.dup_of, b.jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Connected components over the LSH near-dup pairs: cluster id = min
     * doc_id reachable through pair edges (WITH RECURSIVE transitive
     * closure — the fixed point the Spark side reaches by min-label

@@ -76,6 +76,36 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 3L)))
   }
 
+  test("incremental dedup agrees with the full LSH pass on cross-set pairs") {
+    import org.apache.spark.sql.functions.col
+    val inc = DedupOps.incrementalDedup(spark, sfSmoke, threshold = 0.5).cache()
+    try {
+      // universe: exactly the simulated increment, one decision per doc
+      val incIds = TextOps.docs(spark, sfSmoke)
+        .where(col("doc_id") % 10 === 0).count()
+      assert(inc.count() == incIds)
+      assert(inc.select("doc_id").distinct().count() == incIds)
+      // a matched row's (doc, dup_of, jaccard) must be a verified pair of
+      // the full symmetric pass, with the corpus doc outside the increment
+      val full = DedupOps.minhashLsh(spark, sfSmoke, threshold = 0.5)
+        .collect().map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      inc.where(!col("is_new")).collect().foreach { r =>
+        val (d, dup, j) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        assert(dup % 10 != 0, s"dup_of $dup is itself an increment doc")
+        assert(full.get(Set(d, dup)).contains(j),
+          s"($d, $dup, $j) is not a verified pair of the full pass")
+      }
+      // an is_new doc has NO cross-set pair in the full pass at all
+      val newIds = inc.where(col("is_new")).collect().map(_.getLong(0)).toSet
+      full.keys.foreach { pair =>
+        val crossInc = pair.filter(_ % 10 == 0)
+        if (crossInc.size == 1) // one increment, one corpus side
+          assert(!newIds.contains(crossInc.head),
+            s"doc ${crossInc.head} marked new but pairs in the full pass")
+      }
+    } finally inc.unpersist()
+  }
+
   test("simhash: identical shingle sets get identical signatures (hamming 0)") {
     val pairs = DedupOps.simhashPairs(spark, dir, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))
