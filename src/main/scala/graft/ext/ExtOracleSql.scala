@@ -1198,6 +1198,104 @@ object ExtOracleSql {
        |FROM m2
        |ORDER BY cent_id, pos""".stripMargin
 
+  /** One unrolled Lloyd iteration for the PQ codebooks — [[lloydIter]]
+    * with the subspace as an extra key: distances and argmin per
+    * (vec_id, sub), member sums per (sub, cent_id, pos). */
+  private def pqLloydIter(prev: String, n: Int): String =
+    s"""pqd$n AS (
+       |  SELECT sv.vec_id, sv.sub, sv.sq, c.cent_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(sv.sq, c.cv),
+       |        zp$n -> (CAST(zp$n[1] AS DOUBLE) - zp$n[2]) * (CAST(zp$n[1] AS DOUBLE) - zp$n[2]))),
+       |      (ap$n, vp$n) -> ap$n + vp$n) AS d2
+       |  FROM pqsubs sv JOIN $prev c ON sv.sub = c.sub
+       |), pqa$n AS (
+       |  SELECT vec_id, sub, sq, cent_id FROM pqd$n
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cent_id) = 1
+       |), pqm$n AS (
+       |  SELECT sub, cent_id, u.pos, sum(u.qv) AS s, count(*) AS n_members
+       |  FROM pqa$n,
+       |       LATERAL (SELECT unnest(sq) AS qv, generate_subscripts(sq, 1) AS pos) u
+       |  GROUP BY 1, 2, 3
+       |), pqc$n AS (
+       |  SELECT sub, cent_id, list(CAST(s AS DOUBLE) / n_members ORDER BY pos) AS cv
+       |  FROM pqm$n GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** PQ ANN twin: per-subspace codebooks (2 unrolled Lloyd iterations
+    * over the integer subvectors), 4-code encoding, then ADC scoring
+    * via the same per-query 64-slot lookup list and strict left fold
+    * in subspace order as [[graft.ext.VectorOps.pqTopK]] — a SUM over
+    * joined per-subspace rows would add doubles in engine order and
+    * could diverge at the ulp. Slots of Lloyd-dropped centroids fill
+    * with 0.0 (unreferenced by construction). */
+  val simPqTopK: String = {
+    val m = VectorOps.PqM; val d = VectorOps.PqSubDim; val k = VectorOps.PqK
+    s"""WITH $quantCte,
+       |pqsubs AS (
+       |  SELECT vec_id, s.sub, q[$d * s.sub + 1 : $d * (s.sub + 1)] AS sq
+       |  FROM quant, (SELECT unnest(range($m)) AS sub) s
+       |),
+       |pqc0 AS (
+       |  SELECT sub, vec_id AS cent_id, list_transform(sq, xc -> CAST(xc AS DOUBLE)) AS cv
+       |  FROM pqsubs WHERE vec_id < $k
+       |),
+       |${pqLloydIter("pqc0", 1)},
+       |${pqLloydIter("pqc1", 2)},
+       |pqd3 AS (
+       |  SELECT sv.vec_id, sv.sub, c.cent_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(sv.sq, c.cv),
+       |        zp3 -> (CAST(zp3[1] AS DOUBLE) - zp3[2]) * (CAST(zp3[1] AS DOUBLE) - zp3[2]))),
+       |      (ap3, vp3) -> ap3 + vp3) AS d2
+       |  FROM pqsubs sv JOIN pqc2 c ON sv.sub = c.sub
+       |),
+       |codes AS (
+       |  SELECT vec_id, list(cent_id ORDER BY sub) AS codes
+       |  FROM (SELECT vec_id, sub, cent_id FROM pqd3
+       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |          ORDER BY d2, cent_id) = 1)
+       |  GROUP BY vec_id
+       |),
+       |grid AS (
+       |  SELECT s.sub, c.cent_id
+       |  FROM (SELECT unnest(range($m)) AS sub) s,
+       |       (SELECT unnest(range($k)) AS cent_id) c
+       |),
+       |qlut AS (
+       |  SELECT query_id, list(ld2 ORDER BY sub * $k + cent_id) AS lut
+       |  FROM (
+       |    SELECT qv.vec_id AS query_id, g.sub, g.cent_id,
+       |      CASE WHEN cb.cent_id IS NULL THEN CAST(0 AS DOUBLE) ELSE
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(list_zip(qv.q[$d * g.sub + 1 : $d * (g.sub + 1)], cb.cv),
+       |            zl -> (CAST(zl[1] AS DOUBLE) - zl[2]) * (CAST(zl[1] AS DOUBLE) - zl[2]))),
+       |          (al, vl) -> al + vl) END AS ld2
+       |    FROM (SELECT vec_id, q FROM quant WHERE vec_id < 8) qv
+       |    CROSS JOIN grid g
+       |    LEFT JOIN pqc2 cb ON cb.sub = g.sub AND cb.cent_id = g.cent_id
+       |  )
+       |  GROUP BY query_id
+       |),
+       |adc AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range($m),
+       |        sa -> q.lut[sa * $k + c.codes[sa + 1] + 1])),
+       |      (aa2, va2) -> aa2 + va2) AS approx_d2
+       |  FROM codes c JOIN qlut q ON c.vec_id <> q.query_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
+       |FROM (
+       |  SELECT query_id, neighbor_id, approx_d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+       |  FROM adc
+       |)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Quantized-scoring ANN twin: same sign-LSH buckets, integer code
     * dot product, and the identical `(qdot·sa·sb)/(na·nb)` operation
     * order. */

@@ -371,4 +371,116 @@ object VectorOps {
       exact, col("query_id"), Seq.empty, col("cos"), col("vec_id"), k)
       .orderBy("query_id", "rank")
   }
+
+  // ---- Product quantization (PQ) ----------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into [[PqM]] subspaces of
+    * [[PqSubDim]] dims, each encoded against a [[PqK]]-entry codebook —
+    * a vector becomes 4 code bytes (vs 64 int8s or 256 float bytes),
+    * the representation that keeps a 100 TB-corpus index RAM-resident
+    * where even int8 codes spill. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+  val PqIters = 2
+
+  /** (vec_id, sub, sq): the quantized vector split into its PqM int
+    * subvectors — per-row expression work (explode of a 4-slot array),
+    * no shuffle. */
+  private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
+    withQuantized(SimilarityOps.embeddings(spark, dir))
+      .select(col("vec_id"), expr(
+        s"explode(transform(sequence(0, ${PqM - 1}), s -> " +
+          s"struct(s AS sub, slice(q, s * $PqSubDim + 1, $PqSubDim) AS sq)))").as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.sq").as("sq"))
+
+  /** Per-subspace codebooks (sub, cent_id, cv, n_members), all PqM
+    * subspaces trained in ONE Lloyd loop with `sub` as a key column —
+    * the same quantize-first determinism as [[kmeansCentroids]] (integer
+    * member sums, one exact division per coordinate; see the object
+    * scaladoc). Seed: the PqK lowest vec_ids' subvectors. Each
+    * iteration is one broadcast join (the codebook is ≤ PqM·PqK rows)
+    * and one bounded aggregate — the n×PqK distance rows never
+    * shuffle. Session-cached: this is the stored index artifact. */
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark, s"vec|$dir|pq_codebooks") {
+      val subv = pqSubvectors(spark, dir)
+      var cents = subv.where(col("vec_id") < PqK)
+        .select(col("sub"), col("vec_id").as("cent_id"),
+          expr("transform(sq, x -> CAST(x AS DOUBLE))").as("cv"),
+          lit(0L).as("n_members"))
+      for (_ <- 1 to PqIters) {
+        val assigned = subv.join(broadcast(cents), "sub")
+          .withColumn("d2", dist2("sq", "cv"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("d2"), col("cent_id"), col("sq"))).as("m"))
+          .select(col("sub"), col("m.cent_id").as("cent_id"), col("m.sq").as("sq"))
+        cents = assigned
+          .select(col("sub"), col("cent_id"), posexplode(col("sq")))
+          .groupBy("sub", "cent_id", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n_members"))
+          .groupBy("sub", "cent_id")
+          .agg(
+            expr("transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE) / n_members AS v))), x -> x.v)")
+              .as("cv"),
+            min("n_members").as("n_members"))
+      }
+      cents
+    }
+
+  /** (vec_id, codes): each vector encoded as its PqM nearest-centroid
+    * ids, ordered by subspace — the 4-byte stored representation.
+    * Assignment ties break to the lowest cent_id, same as training. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark, s"vec|$dir|pq_codes") {
+      pqSubvectors(spark, dir)
+        .join(broadcast(pqCodebooks(spark, dir)), "sub")
+        .withColumn("d2", dist2("sq", "cv"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(sub, m.cent_id AS c))), x -> x.c)")
+          .as("codes"))
+    }
+
+  /** PQ ANN top-k by asymmetric distance (ADC): per query, ONE
+    * 64-slot lookup table (its distance to every codebook centroid,
+    * indexed sub·PqK + cent_id) is precomputed and broadcast; scoring a
+    * corpus vector then reads its 4 codes and folds 4 table lookups —
+    * no vector arithmetic in the corpus scan at all. The fold is a
+    * strict left fold in subspace order (doubles are added in a fixed
+    * order ⇒ bit-identical cross-engine; a SUM over joined per-subspace
+    * rows would add in partition order). Lookup slots for centroids
+    * dropped by Lloyd degeneracy are filled with 0.0 — no code can
+    * reference them, so the value never participates. Ranking is the
+    * bounded [[graft.functions.TopK]] aggregate on negated distance
+    * (smaller = closer), ties to the lower neighbor id. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 8): DataFrame = {
+    val cb = pqCodebooks(spark, dir).select("sub", "cent_id", "cv")
+    val queries = withQuantized(SimilarityOps.embeddings(spark, dir))
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q"))
+    val grid = spark.range(PqM).selectExpr("CAST(id AS INT) AS sub")
+      .crossJoin(spark.range(PqK).selectExpr("CAST(id AS INT) AS cent_id"))
+    val lut = queries.crossJoin(broadcast(grid))
+      .join(broadcast(cb), Seq("sub", "cent_id"), "left")
+      .withColumn("qsq", expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)"))
+      .withColumn("ld2", when(col("cv").isNull, lit(0.0))
+        .otherwise(dist2("qsq", "cv")))
+      .groupBy("query_id")
+      .agg(expr(s"transform(array_sort(collect_list(struct(sub * $PqK + cent_id AS idx, ld2 AS v))), x -> x.v)")
+        .as("lut"))
+    val scored = pqCodes(spark, dir)
+      .join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .withColumn("approx_d2", expr(
+        s"aggregate(transform(sequence(0, ${PqM - 1}), s -> " +
+          s"element_at(lut, CAST(s * $PqK + element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT))), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+    SimilarityOps.topKPerGroup(scored, col("query_id"), Seq.empty,
+      -col("approx_d2"), col("vec_id"), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).as("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
 }

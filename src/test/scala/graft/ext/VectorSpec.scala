@@ -84,6 +84,44 @@ class VectorSpec extends SparkSpec {
     } finally ann.unpersist()
   }
 
+  test("PQ: valid 4-byte codes, ADC distances rebuild from the codebook exactly") {
+    val cb = VectorOps.pqCodebooks(spark, sfSmoke)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1).toInt),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+      .toMap
+    // every vector carries exactly PqM codes, each naming a live centroid
+    val codes = VectorOps.pqCodes(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt)).toMap
+    assert(codes.nonEmpty)
+    codes.values.foreach { cs =>
+      assert(cs.length == VectorOps.PqM)
+      cs.zipWithIndex.foreach { case (c, sub) =>
+        assert(cb.contains((sub, c)), s"code ($sub, $c) names no trained centroid")
+      }
+    }
+    // ADC output: ranks 1..k, and the distance reassembles bit-exactly from
+    // the stored artifacts (quantized query subvectors vs coded centroids)
+    val quant = VectorOps.withQuantized(SimilarityOps.embeddings(spark, sfSmoke))
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val top = VectorOps.pqTopK(spark, sfSmoke).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (qid, rank, nid, d2) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(rank >= 1 && rank <= 3 && nid != qid && d2 >= 0.0)
+      val rebuilt = (0 until VectorOps.PqM).foldLeft(0.0) { (acc, sub) =>
+        val cv = cb((sub, codes(nid)(sub)))
+        val qs = quant(qid).slice(sub * VectorOps.PqSubDim, (sub + 1) * VectorOps.PqSubDim)
+        acc + qs.zip(cv).foldLeft(0.0) { case (a, (x, y)) =>
+          a + (x.toDouble - y) * (x.toDouble - y)
+        }
+      }
+      assert(rebuilt == d2, s"ADC distance for ($qid, $nid) drifted: $rebuilt vs $d2")
+    }
+  }
+
   test("semantic dedup keeps the canonical copy and only drops true near-dups") {
     val out = VectorOps.semanticDedup(spark, sfSmoke).cache()
     try {
