@@ -1093,6 +1093,57 @@ object ExtOracleSql {
 
   /** CMS twin: identical salted-hash bucketing and integer counters;
     * the estimate is the same MIN over the 4 sketch rows. */
+  /** HLL twin: identical integer path — shared ρ CASE chain, bucket
+    * max, Σ 2^(27−ρ) shift-sum — and the one shared α·m² double
+    * literal (CAST to DOUBLE: a bare decimal literal would put DuckDB
+    * in decimal arithmetic). */
+  val sketchHll: String = {
+    val wDiv = 1L << SketchOps.HllWBits
+    val twoPow27 = 1L << (SketchOps.HllWBits + 1)
+    val est = s"""CAST(${SketchOps.HllAlphaM2} AS DOUBLE) * CAST($twoPow27 AS DOUBLE)
+       |      / CAST(s.t_present + (${SketchOps.HllM} - s.n_buckets) * $twoPow27 AS DOUBLE)""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT event_type, ${h32("CAST(user_id AS VARCHAR)", "hl")} AS h
+       |  FROM events
+       |),
+       |rho AS (
+       |  SELECT event_type, CAST(h // $wDiv AS INT) AS bucket,
+       |    ${SketchOps.hllRhoCase(s"(h % $wDiv)")} AS rho
+       |  FROM hashed
+       |),
+       |per_bucket AS (
+       |  SELECT event_type, bucket, max(rho) AS mrho
+       |  FROM rho GROUP BY 1, 2
+       |),
+       |sketch AS (
+       |  SELECT event_type,
+       |    sum(CAST(1 AS BIGINT) << (${SketchOps.HllWBits + 1} - mrho)) AS t_present,
+       |    count(*) AS n_buckets
+       |  FROM per_bucket GROUP BY 1
+       |),
+       |exact AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_type, n_exact, hll_estimate, n_empty_buckets,
+       |  abs(hll_estimate - CAST(n_exact AS DOUBLE))
+       |    / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM (
+       |  SELECT event_type, n_exact, n_empty_buckets,
+       |    CASE WHEN e_raw <= CAST(${SketchOps.HllSmallRange} AS DOUBLE)
+       |           AND n_empty_buckets > 0
+       |         THEN ${SketchOps.hllLinearCountCase("n_empty_buckets")}
+       |         ELSE e_raw END AS hll_estimate
+       |  FROM (
+       |    SELECT s.event_type, e.n_exact,
+       |      $est AS e_raw,
+       |      CAST(${SketchOps.HllM} - s.n_buckets AS INT) AS n_empty_buckets
+       |    FROM sketch s JOIN exact e ON s.event_type = e.event_type
+       |  )
+       |)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val cmsHeavyHitters: String = {
     val d = SketchOps.Depth
     val wd = SketchOps.Width

@@ -50,6 +50,7 @@ object ExtQueries {
   def curriculumOrder(s: SparkSession, d: String): DataFrame =
     CurriculumOps.curriculumOrder(s, d)
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = SketchOps.cmsHeavyHitters(s, d)
+  def hllDistinct(s: SparkSession, d: String): DataFrame = SketchOps.hllDistinctUsers(s, d)
   def embedQuantize(s: SparkSession, d: String): DataFrame = VectorOps.quantizeSummary(s, d)
   def kmeansRefine(s: SparkSession, d: String): DataFrame = VectorOps.kmeansRefine(s, d)
   def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = VectorOps.ivfKmeansTopK(s, d)

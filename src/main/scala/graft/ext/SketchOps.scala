@@ -27,6 +27,111 @@ object SketchOps {
   val Depth = 4
   val Width = 1024
 
+  // ---- HyperLogLog distinct sketch --------------------------------------
+
+  /** HLL geometry: p = 6 ⇒ m = 64 buckets over the 32-bit [[TextOps.h32]]
+    * hash — top 6 bits pick the bucket, the low [[HllWBits]] = 26 bits
+    * feed the leading-zero rank ρ ∈ [1, 27]. */
+  val HllP = 6
+  val HllM = 64
+  val HllWBits = 26
+
+  /** α_64 · m² for the raw HLL estimate, computed ONCE here and pasted
+    * into both engines' SQL as the same double literal (the shared-
+    * literal-generator convention) — two engines multiplying 0.709 by
+    * 4096 independently is one more operation than needs trusting. */
+  val HllAlphaM2: Double = 0.709 * HllM * HllM
+
+  /** Small-range cutoff: below 2.5·m the raw estimator is biased high
+    * and HLL switches to linear counting. */
+  val HllSmallRange: Double = 2.5 * HllM
+
+  /** Linear-counting correction m·ln(m/V) as a CASE chain over the 63
+    * possible non-zero empty-bucket counts, every value computed ONCE
+    * here and pasted into both engines as the same double literal —
+    * ln() is the one float op engines don't evaluate bit-identically,
+    * so neither engine ever calls it. */
+  def hllLinearCountCase(v: String): String = {
+    val branches = (1 until HllM).map { n =>
+      s"WHEN $n THEN CAST(${HllM * math.log(HllM.toDouble / n)} AS DOUBLE)"
+    }.mkString(" ")
+    s"(CASE $v $branches END)"
+  }
+
+  /** ρ(w) = leading zeros of the 26-bit remainder + 1, as a branch-only
+    * integer CASE chain (w ≥ 2^25 ⇒ ρ=1 … w=0 ⇒ 27) — generated once
+    * and shared by both engines verbatim: no log2/floor float path,
+    * whose rounding the engines would have to agree on. */
+  def hllRhoCase(w: String): String = {
+    val branches = (0 until HllWBits).map { lz =>
+      s"WHEN $w >= ${1L << (HllWBits - 1 - lz)} THEN ${lz + 1}"
+    }.mkString(" ")
+    s"(CASE $branches ELSE ${HllWBits + 1} END)"
+  }
+
+  /** HyperLogLog distinct users per event_type, next to the exact count
+    * (Flajolet et al. '07 — raw estimator; the small-range correction
+    * needs ln(), which engines don't evaluate bit-identically, so the
+    * raw estimate IS the contract and the empty-bucket count rides
+    * along for the consumer to apply corrections). The sketch state is
+    * 64 small integers per group REGARDLESS of cardinality, and the
+    * per-bucket max-ρ is mergeable map-side / across micro-batches /
+    * across days — at 100 TB this replaces the countDistinct shuffle
+    * of every (group, user) pair with ≤ m rows per group. (The exact
+    * count here is the oracle-visible yardstick, kept deliberately so
+    * the estimate's error is in the output, not in a claim.)
+    *
+    * Determinism: bucket and ρ are integer arithmetic on the md5
+    * contract; per-bucket MAX and the Σ 2^(27−ρ_b) indicator are
+    * integer aggregates (order-independent); the one float op is the
+    * final α·m²·2^27 / T division — exact-input, bit-identical. */
+  /** The (event_type, bucket) → max-ρ sketch state from an arbitrary
+    * events frame — ≤ [[HllM]] rows per group. This IS the mergeable
+    * synopsis: sketch(A ∪ B) = bucket-wise MAX of sketch(A) and
+    * sketch(B), exactly (a `foreachBatch` sink folds micro-batch
+    * sketches into the stored one with a groupBy-max; parity with the
+    * one-shot sketch is spec-pinned). */
+  def hllPerBucket(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        TextOps.h32(col("user_id").cast("string")).as("h"))
+      // integer DIV, not `/` (which is double division on longs)
+      .withColumn("bucket", expr(s"CAST(h DIV ${1L << HllWBits} AS INT)"))
+      .withColumn("w", col("h") % lit(1L << HllWBits))
+      .withColumn("rho", expr(hllRhoCase("w")))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("mrho"))
+
+  def hllDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val twoPow27 = 1L << (HllWBits + 1)
+    val perBucket = hllPerBucket(graft.etl.Star.events(spark, dir))
+    val sketch = perBucket.groupBy("event_type")
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllWBits + 1} - mrho)")).as("t_present"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("n_empty_buckets", (lit(HllM) - col("n_buckets")).cast("int"))
+      .withColumn("e_raw",
+        lit(HllAlphaM2) * lit(twoPow27).cast("double") /
+          (col("t_present") + col("n_empty_buckets") * lit(twoPow27)).cast("double"))
+      // Flajolet small-range switch: comparisons on bit-identical doubles
+      // and a literal lookup — still zero engine-evaluated transcendentals
+      .withColumn("hll_estimate",
+        when(col("e_raw") <= lit(HllSmallRange) && col("n_empty_buckets") > 0,
+          expr(hllLinearCountCase("n_empty_buckets")))
+          .otherwise(col("e_raw")))
+    val exact = graft.etl.Star.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    sketch.join(exact, Seq("event_type"))
+      .withColumn("rel_err",
+        abs(col("hll_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .select("event_type", "n_exact", "hll_estimate", "n_empty_buckets", "rel_err")
+      .orderBy("event_type")
+  }
+
+  // ---- Count-min sketch --------------------------------------------------
+
   private def bucketCol(r: org.apache.spark.sql.Column,
       term: org.apache.spark.sql.Column) =
     TextOps.h32(concat(lit("cms"), r.cast("string"), lit(":"), term)) % Width

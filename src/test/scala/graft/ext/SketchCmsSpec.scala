@@ -34,6 +34,29 @@ class SketchCmsSpec extends SparkSpec {
     assert(oneShot.join(merged, Seq("r", "bucket", "cnt"), "left_anti").count() == 0)
   }
 
+  test("HLL estimate lands inside the m=64 error budget; halves merge to the one-shot sketch") {
+    val res = SketchOps.hllDistinctUsers(spark, sfSmoke).cache()
+    try {
+      assert(res.count() > 0)
+      // 3σ of the raw-estimator standard error 1.04/√m ≈ 0.13 → 0.39
+      assert(res.where(col("rel_err") > 0.39).count() == 0,
+        "HLL raw estimate outside three standard errors")
+      assert(res.where(col("n_empty_buckets") < 0 ||
+        col("n_empty_buckets") > SketchOps.HllM).count() == 0)
+      // sketch state is bounded: ≤ m occupied buckets per group
+      val events = graft.etl.Star.events(spark, sfSmoke)
+      val full = SketchOps.hllPerBucket(events)
+      assert(full.groupBy("event_type").count()
+        .where(col("count") > SketchOps.HllM).count() == 0)
+      // mergeability: bucket-wise MAX of two disjoint halves == one-shot
+      val merged = SketchOps.hllPerBucket(events.where(col("event_id") % 2 === 0))
+        .unionByName(SketchOps.hllPerBucket(events.where(col("event_id") % 2 =!= 0)))
+        .groupBy("event_type", "bucket").agg(max("mrho").as("mrho"))
+      assert(merged.join(full, Seq("event_type", "bucket", "mrho"), "left_anti").count() == 0)
+      assert(full.join(merged, Seq("event_type", "bucket", "mrho"), "left_anti").count() == 0)
+    } finally res.unpersist()
+  }
+
   test("sketch state is bounded by depth x width regardless of corpus") {
     val sk = SketchOps.cmsSketch(spark, sfSmoke).cache()
     try {
