@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ArrayDotProduct, Md5Prefix32}
+
+/** The library's `spark.sql.extensions` entry point — the deployment
+  * path for the custom tier: a cluster configured with
+  *
+  * {{{ spark.sql.extensions=graft.plans.GraftExtensions }}}
+  *
+  * gets the codegen'd SQL functions (`array_dot`, `md5_prefix32`)
+  * PERMANENTLY in the function registry (the per-session
+  * `register(spark)` calls remain for ad-hoc sessions) plus the
+  * [[DotProductRewrite]] optimizer rule, so portable HOF dot products
+  * are upgraded to the native expression engine-wide. Everything else
+  * in this library is deliberately plain DataFrame code — built-in
+  * operators express the semantics, so Catalyst needs no other help
+  * (SURVEY.md §7.3: prefer composition, then expressions, then rules;
+  * whole custom physical operators were never needed). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
+}
+
+object GraftExtensions {
+
+  private def build2(name: String, f: (Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$name expects exactly 2 arguments")
+    f(args.head, args(1))
+  }
+
+  private def build1(name: String, f: Expression => Expression)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$name expects exactly 1 argument")
+    f(args.head)
+  }
+
+  /** The injected function descriptors — the same builders the
+    * per-session `register` helpers use. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      build2("array_dot", ArrayDotProduct.apply) _),
+    (FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      build1("md5_prefix32", Md5Prefix32.apply) _))
+}
