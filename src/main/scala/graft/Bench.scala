@@ -37,6 +37,10 @@ object Bench {
       // stored next to the IVF cells in a deployment, shared by the
       // k-means search and the semantic dedup
       graft.ext.VectorOps.kmeansAssign(spark, sfDir).count()
+      // PQ index artifacts: per-subspace codebooks + 4-byte codes (the
+      // stored representation; the ADC query then times lut build +
+      // scan + top-k only)
+      graft.ext.VectorOps.pqCodes(spark, sfDir).count()
     } catch { case e: Throwable =>
       // visible, not silent: a failed setup shifts warehouse build cost
       // into the first timed queries.
