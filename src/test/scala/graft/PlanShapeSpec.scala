@@ -104,6 +104,33 @@ class PlanShapeSpec extends SparkSpec {
       s"ext_user_gaps lost the typed flatMapGroups operator:\n$gaps")
   }
 
+  test("third-leg additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // grouping sets: ONE Expand over one fact scan — the 3-set lattice
+    // must not become per-grouping scans (or CUBE's 8× fan-out)
+    val gs = planOf("q20_grouping_sets")
+    assert("Expand".r.findAllIn(gs).size == 1, s"q20 lost its single Expand:\n$gs")
+    assert("Scan parquet".r.findAllIn(gs).size <= 4, // fact lineage + dim_time
+      s"q20_grouping_sets scans inputs per-grouping:\n$gs")
+    // incremental dedup: the probe is an equi-join on (band, key) —
+    // never corpus×corpus, never a cartesian
+    val inc = planOf("ext_dedup_incremental")
+    assert(!inc.contains("CartesianProduct") &&
+      !inc.contains("BroadcastNestedLoopJoin"),
+      s"ext_dedup_incremental degenerated to an all-pairs join:\n$inc")
+    // PQ search: bounded top-k aggregate, no window sort; the only
+    // nested loop is corpus codes × the broadcast 8-query lut table
+    // (linear in the corpus — the documented brute-force query shape)
+    val pq = planOf("ext_sim_pq")
+    assert(pq.contains("collect_top_k"), "ext_sim_pq lost the bounded top-k aggregate")
+    assert(!pq.contains("CartesianProduct"))
+    // HLL: two aggregates over the events scan; the final join joins
+    // ≤ |event_type| rows — must be broadcast, not a shuffled join
+    val hll = planOf("ext_sketch_hll")
+    assert(hll.contains("BroadcastHashJoin"),
+      s"ext_sketch_hll shuffles its tiny per-type join:\n$hll")
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)

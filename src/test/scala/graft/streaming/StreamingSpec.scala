@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class HEv(user_id: Long, event_type: String)
 case class Tx(order_id: Long, order_date_raw: String, product_id: Long,
     quantity_ordered: Int, customer_id: Long, time_id: String)
 
@@ -43,6 +44,30 @@ class StreamingSpec extends SparkSpec {
       .orderBy("window_start", "event_type").collect().toSeq
     assert(streamed == batch)
     assert(streamed.size == 4) // (10h view)(11h buy)(11h view)(12h buy)
+  }
+
+  test("HLL sketch folded per micro-batch equals the one-shot batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // distinct users skewed across two event types, delivered in 3 batches
+    val evs = (1L to 300L).map(u => HEv(u, if (u % 3 == 0) "view" else "click"))
+    val stream = MemoryStream[HEv]
+    // the stored synopsis a foreachBatch sink maintains: bucket-wise MAX
+    // (collected per batch — the micro-batch frame is only valid inside
+    // the callback)
+    val acc = scala.collection.mutable.Map[(String, Int), Int]()
+    val q = stream.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[HEv], _: Long) =>
+        graft.ext.SketchOps.hllPerBucket(batch.toDF()).collect().foreach { r =>
+          val k = (r.getString(0), r.getInt(1))
+          acc(k) = math.max(acc.getOrElse(k, 0), r.getInt(2))
+        }
+      }.start()
+    evs.grouped(100).foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    val oneShot = graft.ext.SketchOps.hllPerBucket(evs.toDF())
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(acc.toMap == oneShot,
+      "streamed bucket-max sketch diverged from the one-shot sketch")
   }
 
   test("windowed aggregation supports append mode and evicts finalized windows") {
