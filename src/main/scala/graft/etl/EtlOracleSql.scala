@@ -168,6 +168,42 @@ object EtlOracleSql {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
   }
 
+  /** MAD-outlier twin: same integer-cents monthly sums, the same two
+    * interpolated percentiles, and the shared Iglewicz–Hoaglin
+    * literals in the identical operation order. */
+  val madOutliers: String = star(
+    s""", monthly AS (
+       |  SELECT f.store_id, t.year, t.month,
+       |         CAST(sum(CAST(f.total_revenue * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+       |  FROM sales_fact f
+       |  JOIN dim_time t ON f.time_id = t.time_id
+       |  GROUP BY f.store_id, t.year, t.month
+       |),
+       |med AS (
+       |  SELECT store_id, quantile_cont(rev_cents, 0.5) AS med_cents
+       |  FROM monthly GROUP BY store_id
+       |),
+       |dev AS (
+       |  SELECT m.store_id, m.year, m.month, m.rev_cents, d.med_cents,
+       |         abs(CAST(m.rev_cents AS DOUBLE) - d.med_cents) AS abs_dev
+       |  FROM monthly m JOIN med d ON m.store_id = d.store_id
+       |),
+       |mad AS (
+       |  SELECT store_id, quantile_cont(abs_dev, 0.5) AS mad
+       |  FROM dev GROUP BY store_id
+       |)
+       |SELECT store_id, year, month, rev_cents, med_cents, mad, robust_z,
+       |       COALESCE(robust_z > CAST(${EtlQueries.MadThreshold} AS DOUBLE), false)
+       |         AS is_outlier
+       |FROM (
+       |  SELECT v.store_id, v.year, v.month, v.rev_cents, v.med_cents, a.mad,
+       |         CASE WHEN a.mad = CAST(0 AS DOUBLE) THEN NULL
+       |              ELSE CAST(${EtlQueries.MadConsistency} AS DOUBLE)
+       |                * v.abs_dev / a.mad END AS robust_z
+       |  FROM dev v JOIN mad a ON v.store_id = a.store_id
+       |)
+       |ORDER BY store_id, year, month""".stripMargin)
+
   /** Winsorization twin: same integer-cents clamp below the same
     * floored exact percentile. */
   val winsorizedRevenue: String = star(

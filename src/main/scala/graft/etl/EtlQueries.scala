@@ -288,6 +288,52 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Iglewicz–Hoaglin modified-z consistency constant (0.6745 ≈ Φ⁻¹(¾))
+    * and their recommended outlier threshold — shared literals: both
+    * engines' SQL gets these exact double spellings, neither computes
+    * them. */
+  val MadConsistency = 0.6745
+  val MadThreshold = 3.5
+
+  /** Robust outlier detection over per-store monthly revenue — the
+    * median/MAD complement of [[winsorizedRevenue]]'s percentile capping
+    * and the window-average spike flag (Q9): a single anomalous month
+    * cannot drag the center the way it drags a mean or a p99.
+    *
+    * Determinism: monthly revenue is an exact integer-cents sum; both
+    * median passes are interpolated percentiles whose inputs are exact
+    * (longs, then k-or-k+0.5 doubles), and Spark `percentile` and DuckDB
+    * `quantile_cont` share the lower + frac·(upper−lower) interpolation
+    * (already relied on by the decile operators). The modified z is one
+    * shared-literal multiply and one exact-input division; MAD = 0
+    * (constant store) yields NULL z / false flag deterministically.
+    *
+    * Scale shape: two bounded group-aggregates (store × month, then
+    * store) + two broadcast joins of store-sized tables back to the
+    * monthly frame — the fact table is scanned once into the monthly
+    * aggregate and never shuffled again. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val time = Star.dimTime(spark, dir).select("time_id", "year", "month")
+    val monthly = Star.salesFact(spark, dir)
+      .join(broadcast(time), Seq("time_id"))
+      .groupBy("store_id", "year", "month")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("rev_cents"))
+    val med = monthly.groupBy("store_id")
+      .agg(expr("percentile(rev_cents, CAST(0.5 AS DOUBLE))").as("med_cents"))
+    val dev = monthly.join(broadcast(med), "store_id")
+      .withColumn("abs_dev", abs(col("rev_cents").cast("double") - col("med_cents")))
+    val mad = dev.groupBy("store_id")
+      .agg(expr("percentile(abs_dev, CAST(0.5 AS DOUBLE))").as("mad"))
+    dev.join(broadcast(mad), "store_id")
+      .withColumn("robust_z",
+        when(col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(MadConsistency) * col("abs_dev") / col("mad")))
+      .withColumn("is_outlier", coalesce(col("robust_z") > MadThreshold, lit(false)))
+      .select("store_id", "year", "month", "rev_cents", "med_cents", "mad",
+        "robust_z", "is_outlier")
+      .orderBy("store_id", "year", "month")
+  }
+
   /** Event-type transition matrix (first-order Markov counts): per
     * user, consecutive event pairs in (ts, event_id) order — the
     * event_id tie-break makes the per-user sequence TOTAL, so the

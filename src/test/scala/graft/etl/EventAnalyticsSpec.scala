@@ -108,6 +108,31 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally w.unpersist()
   }
 
+  test("MAD outliers: median halves each store, z is scale-free, flags match the threshold") {
+    val m = EtlQueries.madOutliers(spark, sfSmoke).cache()
+    try {
+      // the median property: within each store, at most half the months
+      // lie strictly on either side of med_cents
+      val sides = m.groupBy("store_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("rev_cents") > col("med_cents"), 1).otherwise(0)).as("above"),
+        sum(when(col("rev_cents") < col("med_cents"), 1).otherwise(0)).as("below"))
+      assert(sides.where(col("above") * 2 > col("n") ||
+        col("below") * 2 > col("n")).count() == 0)
+      // flag is exactly the documented threshold rule
+      assert(m.where(col("is_outlier") =!=
+        coalesce(col("robust_z") > EtlQueries.MadThreshold, lit(false))).count() == 0)
+      // z reconstructs from its parts wherever MAD > 0
+      assert(m.where(col("mad") > 0 && col("robust_z") =!=
+        lit(EtlQueries.MadConsistency) *
+          abs(col("rev_cents").cast("double") - col("med_cents")) / col("mad"))
+        .count() == 0)
+      // outliers are rare by construction of the 3.5 threshold
+      val frac = m.where(col("is_outlier")).count().toDouble / m.count()
+      assert(frac < 0.1, s"outlier fraction $frac implausibly high")
+    } finally m.unpersist()
+  }
+
   test("cohort retention: offset-0 cell equals the cohort size, offsets non-negative") {
     val r = EtlQueries.cohortRetention(spark, sfSmoke).cache()
     try {
