@@ -394,6 +394,36 @@ object OracleSql {
       |ORDER BY t.year, gid, f.store_id ASC NULLS FIRST,
       |         f.supplier_id ASC NULLS FIRST""".stripMargin)
 
+  /** Q23 twin: the plain global window over the per-product aggregate
+    * (ROWS, not the RANGE default — RANGE would group revenue ties);
+    * integer-cents sums, one exact-input double division, shared
+    * threshold literals. */
+  val q23: String = star(
+    s""", per_product AS (
+       |  SELECT product_id,
+       |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM sales_fact GROUP BY product_id
+       |),
+       |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per_product),
+       |run AS (
+       |  SELECT product_id, cents,
+       |         CAST(sum(cents) OVER (ORDER BY cents DESC, product_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS running_cents
+       |  FROM per_product
+       |)
+       |SELECT product_id, cents, running_cents, cum_share,
+       |       CASE WHEN cum_share <= CAST(${Queries.AbcA} AS DOUBLE) THEN 'A'
+       |            WHEN cum_share <= CAST(${Queries.AbcB} AS DOUBLE) THEN 'B'
+       |            ELSE 'C' END AS abc_class
+       |FROM (
+       |  SELECT product_id, cents, running_cents,
+       |         CAST(running_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+       |           AS cum_share
+       |  FROM run, tot
+       |)
+       |ORDER BY cents DESC, product_id""".stripMargin)
+
   /** Q21 twin: SQL EXCEPT (distinct semantics on both sides). */
   val q21: String = star(
     s"""SELECT f.customer_id

@@ -611,6 +611,56 @@ object Queries {
         asc_nulls_first("store_id"))
   }
 
+  /** ABC-class share thresholds (cumulative revenue ≤ 80 % → A,
+    * ≤ 95 % → B, else C) — shared literals with the oracle. */
+  val AbcA = 0.80
+  val AbcB = 0.95
+
+  /** Q23 (extension): ABC / Pareto analysis — products ranked by yearly
+    * revenue with their cumulative share and A/B/C class, the classic
+    * "which 20 % of the catalog is 80 % of revenue" report.
+    *
+    * The cumulative sum's natural spelling is a GLOBAL window (ORDER BY
+    * revenue DESC ROWS UNBOUNDED PRECEDING) — a single-partition sort
+    * of the catalog-sized aggregate, the plan [[graft.ext.PackOps]]
+    * refuses. Instead the running total reuses the shared distributed
+    * prefix sum: revenue-quantile range buckets (monotone in the
+    * (−cents, product_id) total order), per-bucket parallel windows, a
+    * B-row serial offset pass. Bucket count affects parallelism only,
+    * never values (spec-pinned, same contract as packing/curriculum).
+    * All sums are exact integer cents; the one double division (share =
+    * running/total) and the threshold compares are exact-input. The
+    * DuckDB twin uses the plain window — semantics, not plans, must
+    * match. */
+  def q23AbcPareto(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets
+      else math.max(4, spark.sparkContext.defaultParallelism / 4)
+    val perProduct = Star.salesFact(spark, dir)
+      .groupBy("product_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val total = perProduct.agg(sum("cents").as("total_cents"))
+    val qs = (1 until b).map(i => i.toDouble / b).mkString(",")
+    val cuts = perProduct.agg(expr(s"percentile(cents, array($qs))").as("cuts"))
+    val keyed = perProduct.crossJoin(broadcast(cuts))
+      // bucket 0 = richest quantile slice: (b−1) − #cutoffs below cents
+      // is monotone non-decreasing in (−cents) — the prefix-sum order
+      .withColumn("bucket", lit(b - 1) - expr(
+        "aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN cents > c THEN 1 ELSE 0 END)"))
+      .withColumn("neg_cents", -col("cents"))
+    graft.ext.PackOps.prefixSumOverBuckets(keyed, b, "cents",
+        Seq("neg_cents", "product_id"))
+      .crossJoin(broadcast(total))
+      .withColumn("running_cents", col("global_before") + col("cents"))
+      .withColumn("cum_share",
+        col("running_cents").cast("double") / col("total_cents").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= lit(AbcA), "A")
+          .when(col("cum_share") <= lit(AbcB), "B")
+          .otherwise("C"))
+      .select("product_id", "cents", "running_cents", "cum_share", "abc_class")
+      .orderBy(desc("cents"), asc("product_id"))
+  }
+
   /** Q20 (extension): explicit GROUPING SETS — the general member of
     * the grouping-lattice family (Q7 walks ROLLUP's prefixes, Q13 the
     * full CUBE). A report wanting two independent yearly breakdowns

@@ -115,6 +115,30 @@ class OlapPropertySpec extends SparkSpec {
     } finally fb.unpersist()
   }
 
+  test("ABC pareto: running sum is the window's, bucket count never changes values") {
+    val abc = Queries.q23AbcPareto(spark, sfSmoke).cache()
+    try {
+      val rows = abc.collect()
+      assert(rows.nonEmpty)
+      // running total reproduces the brute-force prefix over the output order
+      var acc = 0L
+      rows.foreach { r =>
+        acc += r.getLong(1)
+        assert(r.getLong(2) == acc, s"running_cents drifts at product ${r.getLong(0)}")
+      }
+      // final share is exactly 1.0 (total/total); classes obey the thresholds
+      assert(rows.last.getDouble(3) == 1.0)
+      rows.foreach { r =>
+        val cls = if (r.getDouble(3) <= Queries.AbcA) "A"
+          else if (r.getDouble(3) <= Queries.AbcB) "B" else "C"
+        assert(r.getString(4) == cls)
+      }
+      // bucket count is parallelism only — values identical for any b
+      val alt = Queries.q23AbcPareto(spark, sfSmoke, buckets = 13).collect()
+      assert(rows.toSeq == alt.toSeq, "bucket count changed ABC values")
+    } finally abc.unpersist()
+  }
+
   test("pivot cells reaggregate to the store totals; long and wide agree") {
     val wide = Queries.q14PivotQuarters(spark, sfSmoke).cache()
     try {
