@@ -168,6 +168,32 @@ object EtlOracleSql {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
   }
 
+  /** Spine twin: generated stores × 12 grid left-joined to the present
+    * months, zero-filled in the same DECIMAL(18,2). */
+  val monthSpine: String = star(
+    s""", monthly AS (
+       |  SELECT f.store_id, t.month,
+       |         CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS rev,
+       |         count(*) AS n_rows
+       |  FROM sales_fact f
+       |  JOIN dim_time t ON f.time_id = t.time_id
+       |  WHERE t.year = ${graft.olap.Queries.Year}
+       |  GROUP BY f.store_id, t.month
+       |),
+       |spine AS (
+       |  SELECT s.store_id, m.month
+       |  FROM (SELECT store_id FROM dim_store) s,
+       |       (SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS month) m
+       |)
+       |SELECT sp.store_id, sp.month,
+       |       CAST(COALESCE(mo.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS monthly_revenue,
+       |       CAST(COALESCE(mo.n_rows, 0) AS BIGINT) AS n_rows,
+       |       mo.rev IS NOT NULL AS has_sales
+       |FROM spine sp
+       |LEFT JOIN monthly mo ON sp.store_id = mo.store_id AND sp.month = mo.month
+       |ORDER BY sp.store_id, sp.month""".stripMargin)
+
   /** MAD-outlier twin: same integer-cents monthly sums, the same two
     * interpolated percentiles, and the shared Iglewicz–Hoaglin
     * literals in the identical operation order. */

@@ -288,6 +288,37 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Calendar-spine gap filling — every (store, month) cell of the
+    * reference year, zero-filled where no sales happened. Aggregates
+    * over the fact table only emit PRESENT groups; a report (or a
+    * forecasting feature frame) needs the absent cells too, and a
+    * zero-filled spine is how a warehouse distinguishes "no sales"
+    * from "no data". The spine is generated (dimension × sequence),
+    * never scanned: stores × 12 rows, broadcast to the left join; the
+    * fact side is one pruned scan into a bounded aggregate. `has_sales`
+    * keeps the imputation visible — a silent 0 would be
+    * indistinguishable from a real zero-revenue month. */
+  def monthSpine(spark: SparkSession, dir: String): DataFrame = {
+    val time = Star.dimTime(spark, dir).select("time_id", "year", "month")
+    val monthly = Star.salesFact(spark, dir)
+      .join(broadcast(time), Seq("time_id"))
+      .where(col("year") === graft.olap.Queries.Year)
+      .groupBy("store_id", "month")
+      .agg(sum("total_revenue").cast(graft.model.Schemas.aggRevenueType)
+        .as("rev"), count(lit(1)).as("n_rows"))
+    val spine = Star.dimStore(spark, dir).select("store_id")
+      .crossJoin(spark.range(1, 13).select(col("id").cast("int").as("month")))
+    graft.model.Schemas.outputDoubles(spine
+      .join(monthly, Seq("store_id", "month"), "left")
+      .select(
+        col("store_id"), col("month"),
+        coalesce(col("rev"),
+          lit(0).cast(graft.model.Schemas.aggRevenueType)).as("monthly_revenue"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("rev").isNotNull.as("has_sales")))
+      .orderBy("store_id", "month")
+  }
+
   /** Iglewicz–Hoaglin modified-z consistency constant (0.6745 ≈ Φ⁻¹(¾))
     * and their recommended outlier threshold — shared literals: both
     * engines' SQL gets these exact double spellings, neither computes

@@ -108,6 +108,26 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally w.unpersist()
   }
 
+  test("month spine: exactly stores x 12 cells, imputed zeros flagged, totals conserved") {
+    val sp = EtlQueries.monthSpine(spark, sfSmoke).cache()
+    try {
+      val nStores = Star.dimStore(spark, sfSmoke).count()
+      assert(sp.count() == nStores * 12, "spine is not the full grid")
+      // imputation visible: has_sales = false exactly on zero-filled cells
+      assert(sp.where(!col("has_sales") &&
+        (col("monthly_revenue") =!= 0.0 || col("n_rows") =!= 0L)).count() == 0)
+      assert(sp.where(col("has_sales") && col("n_rows") === 0L).count() == 0)
+      // spine total equals the plain year aggregate (zeros add nothing)
+      val spineTotal = sp.agg(sum("monthly_revenue")).collect().head.getDouble(0)
+      val direct = Star.salesFact(spark, sfSmoke)
+        .join(Star.dimTime(spark, sfSmoke).select("time_id", "year"), Seq("time_id"))
+        .where(col("year") === graft.olap.Queries.Year)
+        .agg(sum("total_revenue").cast(graft.model.Schemas.aggRevenueType))
+        .collect().head.getDecimal(0).doubleValue()
+      assert(math.abs(spineTotal - direct) < 1e-6)
+    } finally sp.unpersist()
+  }
+
   test("MAD outliers: median halves each store, z is scale-free, flags match the threshold") {
     val m = EtlQueries.madOutliers(spark, sfSmoke).cache()
     try {
