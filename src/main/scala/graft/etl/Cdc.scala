@@ -38,6 +38,37 @@ object Cdc {
       .drop("__rn", "op", seqCol)
   }
 
+  /** CDC emit — the inverse of [[apply]]: derive the change feed that
+    * transforms snapshot `before` into snapshot `after` (I for keys only
+    * in `after`, D for keys only in `before`, U where any attribute
+    * differs null-safely; unchanged keys emit nothing). Deletes carry
+    * null attributes — a tombstone needs only its key. Closure with
+    * [[apply]] is the contract (spec-pinned): applying `before`-as-
+    * inserts at seq 0 plus `emit(before, after)` at seq 1 reproduces
+    * `after` exactly. Same scale shape as [[Reconcile.snapshotDiff]],
+    * which it builds on: ONE full outer join on the key. */
+  def emit(before: DataFrame, after: DataFrame, keys: Seq[String],
+      attrs: Seq[String]): DataFrame = {
+    val diff = Reconcile.snapshotDiff(before, after, keys, attrs)
+    diff.where(col("change_type") =!= "unchanged")
+      .select(keys.map(col) ++ Seq(
+        when(col("change_type") === "added", "I")
+          .when(col("change_type") === "removed", "D")
+          .otherwise("U").as("op")) ++
+        attrs.map(c => when(col("change_type") === "removed", lit(null))
+          .otherwise(col(s"__a_$c")).as(c)): _*)
+  }
+
+  /** Oracle-checked fixture: the change feed between [[Reconcile]]'s
+    * restatement snapshots — exercises all three ops from real data
+    * (late orders → I, erased customers → D, restated quantities → U). */
+  def cdcEmitFact(spark: SparkSession, dir: String): DataFrame = {
+    val (before, after, keys, attrs) = Reconcile.restatementSnapshots(spark, dir)
+    graft.model.Schemas.outputDoubles(
+      emit(before, after, keys, attrs))
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Oracle-checked fixture: a deterministic three-epoch feed over the
     * customer dimension — every customer INSERTed at seq 1, every third
     * UPDATEd at seq 2, every seventh DELETEd at seq 3 — collapsed to

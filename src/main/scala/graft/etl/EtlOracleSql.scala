@@ -290,6 +290,46 @@ object EtlOracleSql {
       |FROM d GROUP BY change_type
       |ORDER BY change_type""".stripMargin)
 
+  /** CDC-emit twin: the same restatement snapshots, op from side
+    * presence (group sums are never null, so a null q marks an absent
+    * row), after-side attributes with tombstone NULLs for deletes. */
+  val cdcEmit: String = star(
+    """, before_g AS (
+      |  SELECT order_id, product_id, supplier_id,
+      |         CAST(SUM(quantity_ordered) AS BIGINT) AS q,
+      |         CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS rev
+      |  FROM sales_fact
+      |  WHERE time_id < TIMESTAMP '1998-06-01 00:00:00'
+      |  GROUP BY order_id, product_id, supplier_id
+      |),
+      |after_g AS (
+      |  SELECT order_id, product_id, supplier_id,
+      |         CAST(SUM(CASE WHEN customer_id % 13 = 0
+      |                       THEN quantity_ordered + 1
+      |                       ELSE quantity_ordered END) AS BIGINT) AS q,
+      |         CAST(SUM(total_revenue) AS DECIMAL(18,2)) AS rev
+      |  FROM sales_fact
+      |  WHERE customer_id % 41 <> 0
+      |  GROUP BY order_id, product_id, supplier_id
+      |),
+      |d AS (
+      |  SELECT order_id, product_id, supplier_id,
+      |         CASE WHEN b.q IS NULL THEN 'I'
+      |              WHEN a.q IS NULL THEN 'D'
+      |              WHEN b.q IS DISTINCT FROM a.q
+      |                OR b.rev IS DISTINCT FROM a.rev THEN 'U'
+      |              ELSE NULL END AS op,
+      |         a.q AS aq, a.rev AS arev
+      |  FROM before_g b
+      |  FULL OUTER JOIN after_g a USING (order_id, product_id, supplier_id)
+      |)
+      |SELECT order_id, product_id, supplier_id, op,
+      |       CASE WHEN op = 'D' THEN NULL ELSE aq END AS quantity_ordered,
+      |       CAST(CASE WHEN op = 'D' THEN NULL ELSE arev END AS DOUBLE)
+      |         AS total_revenue
+      |FROM d WHERE op IS NOT NULL
+      |ORDER BY order_id, product_id, supplier_id""".stripMargin)
+
   /** k-anonymity twin: identical QI projection and threshold. */
   val kAnonymity: String =
     """SELECT c_mktsegment AS segment,

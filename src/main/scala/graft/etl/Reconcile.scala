@@ -48,7 +48,11 @@ object Reconcile {
     * Summary per class: key count and the exact-decimal revenue delta
     * (after − before, absent side 0) — doubles only at the output
     * surface. */
-  def factSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  /** The restatement-fixture snapshot pair at the declared grain —
+    * shared by the diff summary and the CDC-emit feed ([[Cdc.emit]]):
+    * (before, after, keys, attrs). */
+  private[etl] def restatementSnapshots(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[String], Seq[String]) = {
     val keys = Seq("order_id", "product_id", "supplier_id")
     val agg2 = graft.model.Schemas.aggRevenueType
     val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
@@ -64,8 +68,13 @@ object Reconcile {
       .withColumn("quantity_ordered",
         when(col("customer_id") % 13 === 0, col("quantity_ordered") + 1)
           .otherwise(col("quantity_ordered"))))
-    val diff = snapshotDiff(before, after, keys,
-      Seq("quantity_ordered", "total_revenue"))
+    (before, after, keys, Seq("quantity_ordered", "total_revenue"))
+  }
+
+  def factSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val agg2 = graft.model.Schemas.aggRevenueType
+    val (before, after, keys, attrs) = restatementSnapshots(spark, dir)
+    val diff = snapshotDiff(before, after, keys, attrs)
     graft.model.Schemas.outputDoubles(diff
       .groupBy("change_type")
       .agg(

@@ -35,6 +35,26 @@ class CdcSpec extends SparkSpec {
     assert(once == shuffled)
   }
 
+  test("emit/apply closure: before-as-inserts + emitted feed rebuilds after exactly") {
+    import org.apache.spark.sql.functions._
+    val (before, after, keys, attrs) = Reconcile.restatementSnapshots(spark, sfSmoke)
+    val base = before.withColumn("op", lit("I")).withColumn("seq", lit(0L))
+    val changes = Cdc.emit(before, after, keys, attrs).withColumn("seq", lit(1L))
+    val rebuilt = Cdc.apply(base.unionByName(changes), keys, "seq")
+    val a = after.select((keys ++ attrs).map(col): _*)
+    assert(rebuilt.exceptAll(a).count() == 0 && a.exceptAll(rebuilt).count() == 0,
+      "emit(before, after) applied over before does not reproduce after")
+    // the feed is minimal: unchanged keys emit nothing
+    val unchanged = before.join(after, keys)
+      .count() // sanity: fixture has overlap at all
+    assert(unchanged > 0)
+    val feedKeys = changes.select(keys.map(col): _*)
+    val unchangedKeys = Reconcile.snapshotDiff(before, after, keys, attrs)
+      .where(col("change_type") === "unchanged").select(keys.map(col): _*)
+    assert(feedKeys.join(unchangedKeys, keys, "left_semi").count() == 0,
+      "feed contains no-op rows for unchanged keys")
+  }
+
   test("fixture: updated names carry v2, deleted keys absent, %21 delete wins over update") {
     val state = Cdc.cdcApplyCustomers(spark, sfSmoke).cache()
     try {
