@@ -379,6 +379,34 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative twin: the same brute-force pool, the shared τ
+    * literal, and the identical re-rank ordering. */
+  val simHardNegatives: String =
+    s"""$normCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "hn")} / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |),
+       |pool AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |  QUALIFY rank <= 10
+       |),
+       |hard AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS hard_rank
+       |  FROM pool
+       |  WHERE cos < CAST(${VectorOps.SemTau} AS DOUBLE)
+       |)
+       |SELECT query_id, CAST(hard_rank AS INT) AS hard_rank, neighbor_id,
+       |       cos AS score
+       |FROM hard WHERE hard_rank <= 3
+       |ORDER BY query_id, hard_rank""".stripMargin
+
   // def, not val: referenced by dedupEmbedding above its textual position
   // (a forward val reference would interpolate null during object init).
   private def bucketSql: String = (0 until 8)

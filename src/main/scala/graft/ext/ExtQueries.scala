@@ -55,6 +55,7 @@ object ExtQueries {
   def kmeansRefine(s: SparkSession, d: String): DataFrame = VectorOps.kmeansRefine(s, d)
   def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = VectorOps.ivfKmeansTopK(s, d)
   def pqTopK(s: SparkSession, d: String): DataFrame = VectorOps.pqTopK(s, d)
+  def hardNegatives(s: SparkSession, d: String): DataFrame = VectorOps.hardNegatives(s, d)
   def quantizedTopK(s: SparkSession, d: String): DataFrame = VectorOps.quantizedLshTopK(s, d)
   def semanticDedup(s: SparkSession, d: String): DataFrame = VectorOps.semanticDedup(s, d)
   def embedProject(s: SparkSession, d: String): DataFrame = VectorOps.projectedCoords(s, d)

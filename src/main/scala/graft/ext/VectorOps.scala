@@ -372,6 +372,30 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training companion of the
+    * ANN family: per query, the most-similar vectors that are NOT
+    * near-duplicates (cosine below the [[SemTau]] dup threshold). Easy
+    * negatives (random picks) teach an embedding model nothing;
+    * near-dups would poison the label — the band between them is where
+    * the training signal lives. One pass over the existing brute-force
+    * candidate machinery (pool of `pool` neighbors, bounded top-k
+    * aggregate), then a threshold filter and a re-rank over ≤ pool rows
+    * per query — the window sees query-sized groups, never the corpus.
+    * A query whose pool is saturated with near-dups yields fewer than k
+    * negatives rather than relaxing the threshold. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 3,
+      pool: Int = 10, nQueries: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    SimilarityOps.bruteForceTopK(spark, dir, k = pool, nQueries = nQueries)
+      .where(col("score") < lit(SemTau))
+      .withColumn("hard_rank", row_number().over(w).cast("int"))
+      .where(col("hard_rank") <= k)
+      .select("query_id", "hard_rank", "neighbor_id", "score")
+      .orderBy("query_id", "hard_rank")
+  }
+
   // ---- Product quantization (PQ) ----------------------------------------
 
   /** PQ geometry: 64-dim vectors split into [[PqM]] subspaces of

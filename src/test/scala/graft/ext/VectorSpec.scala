@@ -84,6 +84,31 @@ class VectorSpec extends SparkSpec {
     } finally ann.unpersist()
   }
 
+  test("hard negatives sit below the dup threshold yet above the pool floor") {
+    val hn = VectorOps.hardNegatives(spark, sfSmoke).cache()
+    try {
+      val rows = hn.collect()
+      assert(rows.nonEmpty)
+      // every negative is sub-threshold (not a near-dup) and self-free
+      rows.foreach { r =>
+        assert(r.getDouble(3) < VectorOps.SemTau)
+        assert(r.getLong(2) != r.getLong(0))
+        assert(r.getInt(1) >= 1 && r.getInt(1) <= 3)
+      }
+      // "hard": each negative must come from the query's top-10 pool —
+      // its score is >= the pool's 10th-best score
+      val pool = SimilarityOps.bruteForceTopK(spark, sfSmoke, k = 10)
+        .collect().groupBy(_.getLong(0))
+      rows.groupBy(_.getLong(0)).foreach { case (q, negs) =>
+        val poolScores = pool(q).map(r => r.getLong(2) -> r.getDouble(3)).toMap
+        negs.foreach { n =>
+          assert(poolScores.contains(n.getLong(2)),
+            s"negative ${n.getLong(2)} for query $q is not in the candidate pool")
+        }
+      }
+    } finally hn.unpersist()
+  }
+
   test("PQ: valid 4-byte codes, ADC distances rebuild from the codebook exactly") {
     val cb = VectorOps.pqCodebooks(spark, sfSmoke)
       .collect()
