@@ -168,6 +168,21 @@ object EtlOracleSql {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
   }
 
+  /** Entity-match twin: identical blocking prefix and integer
+    * Levenshtein threshold. */
+  val entityMatch: String = star(
+    """SELECT customer_a, customer_b, dist
+      |FROM (
+      |  SELECT a.customer_id AS customer_a, b.customer_id AS customer_b,
+      |         CAST(levenshtein(a.customer_name, b.customer_name) AS INT) AS dist
+      |  FROM dim_customer a
+      |  JOIN dim_customer b
+      |    ON substr(a.customer_name, 1, 16) = substr(b.customer_name, 1, 16)
+      |   AND a.customer_id < b.customer_id
+      |)
+      |WHERE dist <= 1
+      |ORDER BY customer_a, customer_b""".stripMargin)
+
   /** Spine twin: generated stores × 12 grid left-joined to the present
     * months, zero-filled in the same DECIMAL(18,2). */
   val monthSpine: String = star(

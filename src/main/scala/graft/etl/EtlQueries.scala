@@ -288,6 +288,32 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Entity resolution — blocked fuzzy matching over the customer
+    * master: candidate pairs come from an EQUI-join on a blocking key
+    * (here the 16-char name prefix — in production a phonetic or
+    * normalized-prefix key), then exact Levenshtein verification within
+    * the block. The blocking key is what makes the operator viable at
+    * scale: candidates are Σ block² for bounded blocks, never an
+    * all-pairs n² — the same candidates-then-verify architecture as the
+    * text dedup family, applied to master data. Distances are integers
+    * (`levenshtein` agrees exactly across engines — no float anywhere),
+    * `id_a < id_b` gives each pair once, and the threshold keeps only
+    * plausible duplicates a steward would review. */
+  def entityMatch(spark: SparkSession, dir: String, maxDist: Int = 1): DataFrame = {
+    val blocked = Star.dimCustomer(spark, dir)
+      .select(col("customer_id"), col("customer_name"),
+        expr("substring(customer_name, 1, 16)").as("blk"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.customer_id") < col("b.customer_id"))
+      .withColumn("dist",
+        levenshtein(col("a.customer_name"), col("b.customer_name")))
+      .where(col("dist") <= maxDist)
+      .select(col("a.customer_id").as("customer_a"),
+        col("b.customer_id").as("customer_b"), col("dist").cast("int").as("dist"))
+      .orderBy("customer_a", "customer_b")
+  }
+
   /** Calendar-spine gap filling — every (store, month) cell of the
     * reference year, zero-filled where no sales happened. Aggregates
     * over the fact table only emit PRESENT groups; a report (or a
