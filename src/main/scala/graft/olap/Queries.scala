@@ -290,14 +290,26 @@ object Queries {
 
   /** Q7: yearly revenue ROLLUP over store → supplier → product
     * (`.../OLAP Queries - Metro.sql:211-228`); Catalyst `Expand` +
-    * single hash aggregate. Subtotal NULLs sort first (G3). */
+    * hash aggregate. Subtotal NULLs sort first (G3).
+    *
+    * Pre-aggregated before the rollup: `Expand` multiplies its input
+    * 5× BEFORE the first aggregate, so rolling up the raw fact would
+    * materialize and hash 5×|fact| rows map-side. Collapsing to the
+    * finest grouping first (one ordinary shuffle, |catalog|-sized
+    * output) and rolling up the partials gives an identical result —
+    * SUM is decomposable — while the Expand fan-out applies to the
+    * fine aggregate, not the fact table. At 100 TB that is the
+    * difference between expanding ~59k rows and expanding the corpus. */
   def q07Rollup(spark: SparkSession, dir: String): DataFrame = {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir).select("time_id", "year")
-    outputDoubles(fact
+    val fine = fact
       .join(broadcast(time), Seq("time_id"))
+      .groupBy(col("year"), col("store_id"), col("supplier_id"), col("product_id"))
+      .agg(sum("total_revenue").as("fine_revenue"))
+    outputDoubles(fine
       .rollup(col("year"), col("store_id"), col("supplier_id"), col("product_id"))
-      .agg(sum("total_revenue").cast(aggRevenueType).as("total_revenue")))
+      .agg(sum("fine_revenue").cast(aggRevenueType).as("total_revenue")))
       .orderBy(asc_nulls_first("year"), asc_nulls_first("store_id"),
         asc_nulls_first("supplier_id"), asc_nulls_first("product_id"))
   }
@@ -600,13 +612,21 @@ object Queries {
   def q13CubeRevenue(spark: SparkSession, dir: String): DataFrame = {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir).select("time_id", "year", "quarter")
-    outputDoubles(fact
+    // Pre-aggregate to the finest (year, quarter, store) grouping before
+    // the CUBE: Expand's 8× fan-out then applies to the fine aggregate,
+    // not the fact table (same rewrite as q07Rollup — SUMs compose, and
+    // grouping_id depends only on which columns each set nulls out).
+    val fine = fact
       .join(broadcast(time), Seq("time_id"))
+      .groupBy(col("year"), col("quarter"), col("store_id"))
+      .agg(sum("total_revenue").as("fine_revenue"),
+        sum("quantity_ordered").as("fine_quantity"))
+    outputDoubles(fine
       .cube(col("year"), col("quarter"), col("store_id"))
       .agg(
         grouping_id().cast("int").as("gid"),
-        sum("total_revenue").cast(aggRevenueType).as("total_revenue"),
-        sum("quantity_ordered").cast("bigint").as("total_quantity")))
+        sum("fine_revenue").cast(aggRevenueType).as("total_revenue"),
+        sum("fine_quantity").cast("bigint").as("total_quantity")))
       .orderBy(asc_nulls_first("year"), asc_nulls_first("quarter"),
         asc_nulls_first("store_id"))
   }
@@ -672,8 +692,14 @@ object Queries {
   def q20GroupingSets(spark: SparkSession, dir: String): DataFrame = {
     val fact = Star.salesFact(spark, dir)
     val time = Star.dimTime(spark, dir).select("time_id", "year")
-    outputDoubles(fact
+    // Pre-aggregate to (year, store, supplier) — the union of all three
+    // sets' columns — before the GROUPING SETS Expand (see q07Rollup).
+    val fine = fact
       .join(broadcast(time), Seq("time_id"))
+      .groupBy(col("year"), col("store_id"), col("supplier_id"))
+      .agg(sum("total_revenue").as("fine_revenue"),
+        sum("quantity_ordered").as("fine_quantity"))
+    outputDoubles(fine
       .groupingSets(
         Seq(Seq(col("year"), col("store_id")),
           Seq(col("year"), col("supplier_id")),
@@ -681,8 +707,8 @@ object Queries {
         col("year"), col("store_id"), col("supplier_id"))
       .agg(
         grouping_id().cast("int").as("gid"),
-        sum("total_revenue").cast(aggRevenueType).as("total_revenue"),
-        sum("quantity_ordered").cast("bigint").as("total_quantity")))
+        sum("fine_revenue").cast(aggRevenueType).as("total_revenue"),
+        sum("fine_quantity").cast("bigint").as("total_quantity")))
       .orderBy(col("year"), col("gid"), asc_nulls_first("store_id"),
         asc_nulls_first("supplier_id"))
   }
