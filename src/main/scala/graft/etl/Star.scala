@@ -146,6 +146,17 @@ object Star {
         l("l_quantity").cast("int").as("quantity_ordered"),
         l("l_quantity").cast("int").as("total_units_sold"),
         round(ext * (lit(1) - disc), 2).cast(revenueType).as("total_revenue"))
+      // Hash-partition the materialized fact on order_id with an EXPLICIT
+      // count: a small-SF lineitem file yields only a few input splits,
+      // and with all-broadcast joins that split count would become the
+      // cached table's partitioning — every downstream query's first
+      // stage then runs on 3 cores of 32. Partitioning (not just
+      // parallelizing) on order_id also hands consumers that join or
+      // group by order grain (Q6's basket self-join, D7 fact dedup) a
+      // co-located start. The cluster-scale analog is writing the fact
+      // bucketed by order_id — a one-time layout cost in the warehouse
+      // build, not per-query work.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("order_id"))
   }
 
   /** DuckDB-oracle twin of the star build: a CTE prefix prepended to every
