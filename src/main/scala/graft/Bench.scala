@@ -41,6 +41,9 @@ object Bench {
       // stored representation; the ADC query then times lut build +
       // scan + top-k only)
       graft.ext.VectorOps.pqCodes(spark, sfDir).count()
+      // co-purchase edge list (stored, src-bucketed in a deployment) —
+      // the PageRank query then times the power iterations only
+      graft.ext.GraphOps.coPurchaseEdges(spark, sfDir).count()
     } catch { case e: Throwable =>
       // visible, not silent: a failed setup shifts warehouse build cost
       // into the first timed queries.

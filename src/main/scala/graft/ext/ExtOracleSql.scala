@@ -846,6 +846,47 @@ object ExtOracleSql {
        |GROUP BY pct, n_docs
        |ORDER BY pct""".stripMargin
 
+  /** PageRank twin: the identical fixed-point integer power iteration,
+    * unrolled as a CTE chain (one CTE per iteration — the oracle favors
+    * readability; the Spark side loops). Every arithmetic step is bigint
+    * `//` truncation, matching Spark's `div` exactly, so ranks are
+    * bit-identical with NO float anywhere. Edges come from the same
+    * star-schema fact the engine uses. */
+  val graphPageRank: String = {
+    val scale = graft.ext.GraphOps.PageRankScale
+    val iters = 3
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |         (SELECT bt FROM pr_base) + (85 * sum(d.c)) // 100 AS r
+         |  FROM edges e
+         |  JOIN (SELECT g.src, r${i - 1}.r // g.deg AS c
+         |        FROM r${i - 1} JOIN deg g ON r${i - 1}.id = g.src) d
+         |    ON e.src = d.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    graft.etl.Star.oracleCte +
+      s""",
+         |edges AS (
+         |  SELECT DISTINCT a.product_id AS src, b.product_id AS dst
+         |  FROM sales_fact a
+         |  JOIN sales_fact b
+         |    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+         |),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |pr_base AS (
+         |  SELECT $scale // count(*) AS b,
+         |         (15 * ($scale // count(*))) // 100 AS bt
+         |  FROM (SELECT DISTINCT src FROM edges)
+         |),
+         |r0 AS (SELECT src AS id, (SELECT b FROM pr_base) AS r FROM deg),
+         |$iterCtes
+         |SELECT id AS product_id, CAST(r AS BIGINT) AS rank_fp
+         |FROM r$iters
+         |ORDER BY rank_fp DESC, product_id""".stripMargin
+  }
+
   /** Bloom-semi-join twin: the oracle is the PLAIN semi-join — the bloom
     * prefilter must be invisible in the result (false positives removed
     * by the exact join), so any divergence here is a real defect. */

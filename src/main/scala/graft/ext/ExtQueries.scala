@@ -19,6 +19,7 @@ object ExtQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame = DedupOps.simhashPairs(s, d)
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = DedupOps.embeddingNearDup(s, d)
   def dedupClusters(s: SparkSession, d: String): DataFrame = DedupOps.clusters(s, d)
+  def graphPageRank(s: SparkSession, d: String): DataFrame = GraphOps.pageRank(s, d)
   def dedupIncremental(s: SparkSession, d: String): DataFrame = DedupOps.incrementalDedup(s, d)
   def simTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.bruteForceTopK(s, d)
   def simLshTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.lshTopK(s, d)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components via alternating large-star /
@@ -88,5 +88,82 @@ object GraphOps {
     edges.select(col("src").as("node"), col("dst").as("component"))
       .unionByName(
         edges.select(col("dst").as("node"), col("dst").as("component")).distinct())
+  }
+
+  /** Fixed-point scale for [[pageRankOf]]: ranks are bigints in units of
+    * 10⁻¹² of the total probability mass. Shared literal with the oracle. */
+  val PageRankScale = 1000000000000L
+
+  /** PageRank by power iteration over an edge frame — entirely in
+    * FIXED-POINT INTEGER arithmetic (bigint ranks in units of
+    * `PageRankScale`⁻¹, damping 0.85 as the integer expression
+    * `(85 * x) div 100`). Floats are deliberately absent: float
+    * summation order varies with partitioning, so a double-valued
+    * PageRank is not reproducible run-to-run on a cluster, let alone
+    * across engines — integer sums are associative-exact, making the
+    * result bit-identical for ANY partitioning and for the DuckDB twin.
+    * Floor losses (≤ 1 unit per edge per iteration) are deterministic
+    * and identical in both engines (`div` and `//` both truncate).
+    *
+    * `edges` must be directed-symmetric if the graph is undirected
+    * (both (u,v) and (v,u) present — [[coPurchaseEdges]] builds this
+    * shape). Every node then has deg ≥ 1, so there are no dangling
+    * nodes and the mass term needs no redistribution correction.
+    *
+    * Scale shape per iteration: one node-sized equi-join (ranks ⋈ deg on
+    * the node id — both sides hash-partitioned on it from their own
+    * aggregates), one edge-sized equi-join on src against the
+    * src-partitioned edge set, and one partial-aggregable groupBy(dst).
+    * Nothing is edge² and nothing collects; `iters` is a fixed small
+    * constant (the classic 3–10), so the lineage stays bounded. */
+  def pageRankOf(edges: DataFrame, nodeCount: Long, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val base = PageRankScale / nodeCount
+    val baseTerm = 15L * base / 100L
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("id"), lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, col("id") === col("src"))
+        .select(col("src"), expr("r div deg").as("c"))
+      ranks = edges.join(contrib, "src")
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("id"),
+          (lit(baseTerm) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  /** Directed-symmetric co-purchase edges over the sales fact: products
+    * sharing an order, both directions, deduplicated. Session-cached and
+    * hash-partitioned on src with an EXPLICIT count (the iterating join
+    * in [[pageRankOf]] then only ever shuffles the node-sized side; at
+    * cluster scale this is the stored, bucketed edge list a graph
+    * pipeline materializes once). The per-order pair fan-out is bounded
+    * by order size (TPC-H ≤ 7 lines), so the self-join is |fact|·k, not
+    * |fact|². */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark, s"graph|$dir|copurchase_edges") {
+      val fact = graft.etl.Star.salesFact(spark, dir)
+        .select("order_id", "product_id")
+      fact.as("a").join(fact.as("b"),
+          col("a.order_id") === col("b.order_id") &&
+            col("a.product_id") =!= col("b.product_id"))
+        .select(col("a.product_id").as("src"), col("b.product_id").as("dst"))
+        .distinct()
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+    }
+
+  /** Driver-contract entry: PageRank of the product co-purchase graph —
+    * "centrality in the basket graph", the classic what-anchors-the-
+    * catalog analysis. The node count is one scalar `count()` on the
+    * degree table (same acceptable driver-side scalar as TF-IDF's corpus
+    * N). Output ranks are fixed-point bigints (see [[pageRankOf]]). */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val n = edges.select("src").distinct().count()
+    pageRankOf(edges, n, iters)
+      .select(col("id").as("product_id"), col("r").as("rank_fp"))
+      .orderBy(desc("rank_fp"), asc("product_id"))
   }
 }
