@@ -154,6 +154,37 @@ object ExtOracleSql {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing twin: identical pack-into-bigint encoding (hash·2²⁰ +
+    * reversed position) so the rightmost-min-tie-break is one window
+    * MIN in both engines; w = 4 hardcoded to match the Spark default. */
+  val winnowing: String =
+    s"""WITH g0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, t,
+       |         unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+       |  FROM g0
+       |),
+       |hashed AS (
+       |  SELECT doc_id, i, ${h32("substr(t, i, 8)", "wn")} AS h FROM grams
+       |),
+       |keys AS (
+       |  SELECT doc_id, i, h * 1048576 + (1048575 - i) AS k,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM hashed
+       |),
+       |wm AS (
+       |  SELECT doc_id, i, n,
+       |         min(k) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+       |  FROM keys
+       |)
+       |SELECT DISTINCT doc_id,
+       |  CAST(1048575 - (mk % 1048576) AS INT) AS pos,
+       |  mk // 1048576 AS fp
+       |FROM wm
+       |WHERE i <= n - 4 + 1
+       |ORDER BY doc_id, pos""".stripMargin
+
   val dedupExact: String =
     """SELECT doc_id, text_hash, n_copies
       |FROM (

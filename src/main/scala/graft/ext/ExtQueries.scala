@@ -11,6 +11,7 @@ object ExtQueries {
   def textStats(s: SparkSession, d: String): DataFrame = TextOps.textStats(s, d)
   def langId(s: SparkSession, d: String): DataFrame = TextOps.langId(s, d)
   def fingerprint(s: SparkSession, d: String): DataFrame = TextOps.fingerprint(s, d)
+  def winnowing(s: SparkSession, d: String): DataFrame = TextOps.winnowing(s, d)
   def tfidf(s: SparkSession, d: String): DataFrame = TextOps.tfidfTopTerms(s, d)
   def lengthStats(s: SparkSession, d: String): DataFrame = TextOps.lengthStats(s, d)
   def dedupExact(s: SparkSession, d: String): DataFrame = DedupOps.exact(s, d)

@@ -451,6 +451,53 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — public algorithm): over the sequence of character
+    * 8-gram hashes, every window of `w` consecutive hashes selects its
+    * minimum (rightmost position on ties — the paper's robust variant);
+    * the union of selections is the document's fingerprint set. The
+    * guarantee: two documents sharing any substring of length
+    * ≥ k + w − 1 (= 11 here) share at least one selected fingerprint —
+    * positional, unlike [[fingerprint]]'s whole-document min-hash.
+    *
+    * The per-window argmin-with-rightmost-tie-break is ONE integer
+    * window-min: each position packs into `h·2²⁰ + (2²⁰−1−i)` so that
+    * lexicographic (hash asc, position desc) order becomes plain bigint
+    * order; decode after the min. All arithmetic is bigint (`div`/`%` on
+    * positives — identical in DuckDB), so selections are exact across
+    * engines. Positions must fit 20 bits (docs ≤ 1M chars; the driver
+    * corpus is ≪ that).
+    *
+    * Scale shape: the only shuffle is the per-doc window sort, keyed and
+    * parallel by doc_id; window state is `w` rows. The explode is the
+    * same per-row blowup as [[fingerprint]] (explicit-count repartition
+    * BEFORE it — see shingleSet). */
+  def winnowing(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && w <= 64, s"window width must be in [2, 64], got $w")
+    val enc = 1048576L // 2^20 position slots per hash value
+    val grams = docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", expr("lower(text)"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, greatest(length(t) - 7, 1))")).as("i"))
+      .select(col("doc_id"), col("i"), h32(expr("substring(t, i, 8)")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    val perDoc = Window.partitionBy("doc_id")
+    grams
+      .withColumn("k", expr(s"h * $enc + (${enc - 1} - i)"))
+      .withColumn("mk", min(col("k")).over(win))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      // only full windows select (the last w-1 frames are truncated)
+      .where(col("i") <= col("n") - w + 1)
+      .select(col("doc_id"),
+        expr(s"${enc - 1} - (mk % $enc)").cast("int").as("pos"),
+        expr(s"mk div $enc").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
   /** Document fingerprint via rolling character 8-grams: min cross-engine
     * hash (primary fingerprint), a second independent min-hash
     * (rotation-permuted), and the distinct-gram cardinality.
