@@ -410,6 +410,54 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** MMR twin: the identical two-stage shape — top-64 retrieval pool,
+    * then the k = 8 greedy rounds UNROLLED as one CTE per selection
+    * (sel1..sel8), each re-ranking the remaining pool by
+    * (rel − greatest(cos to prior picks)) / 2 with the same exact-double
+    * arithmetic and vec_id tie-break. */
+  val simMmr: String = {
+    val k = 8
+    val selCtes = (1 to k).map { i =>
+      val pens = (1 until i).map { j =>
+        s"${dot("embedding", s"(SELECT embedding FROM sel$j)", s"m$i$j")} / " +
+          s"(norm * (SELECT norm FROM sel$j))"
+      }
+      val pen = pens.size match {
+        case 0 => "CAST(0 AS DOUBLE)"
+        case 1 => pens.head
+        case _ => s"greatest(${pens.mkString(", ")})"
+      }
+      val excl =
+        if (i == 1) ""
+        else "WHERE vec_id NOT IN (" +
+          (1 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ") + ")"
+      // MATERIALIZED: sel_i references all prior sel_j — inlined CTEs
+      // would re-expand the whole chain exponentially (and re-open the
+      // parquet once per expansion).
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT vec_id, embedding, norm, rel,
+         |         (rel - ($pen)) / 2 AS marginal
+         |  FROM cand $excl
+         |  ORDER BY marginal DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to k)
+      .map(i => s"SELECT CAST($i AS INT) AS rank, vec_id, rel, marginal FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"""$normCte,
+       |q AS (SELECT vec_id, embedding, norm FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT c.vec_id, c.embedding, c.norm,
+       |    ${dot("c.embedding", "(SELECT embedding FROM q)", "mq")} /
+       |      (c.norm * (SELECT norm FROM q)) AS rel
+       |  FROM e c WHERE c.vec_id <> 0
+       |  ORDER BY rel DESC, c.vec_id LIMIT 64
+       |),
+       |$selCtes
+       |$unioned
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Hard-negative twin: the same brute-force pool, the shared τ
     * literal, and the identical re-rank ordering. */
   val simHardNegatives: String =

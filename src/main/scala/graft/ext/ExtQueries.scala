@@ -21,6 +21,7 @@ object ExtQueries {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = DedupOps.embeddingNearDup(s, d)
   def dedupClusters(s: SparkSession, d: String): DataFrame = DedupOps.clusters(s, d)
   def graphPageRank(s: SparkSession, d: String): DataFrame = GraphOps.pageRank(s, d)
+  def simMmr(s: SparkSession, d: String): DataFrame = VectorOps.mmrSelect(s, d)
   def dedupIncremental(s: SparkSession, d: String): DataFrame = DedupOps.incrementalDedup(s, d)
   def simTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.bruteForceTopK(s, d)
   def simLshTopK(s: SparkSession, d: String): DataFrame = SimilarityOps.lshTopK(s, d)

@@ -396,6 +396,76 @@ object VectorOps {
       .orderBy("query_id", "hard_rank")
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98 — public algorithm): greedily pick `k` items that are
+    * RELEVANT to a probe vector yet DIVERSE among themselves —
+    * marginal(d) = (rel(d) − max over selected s of cos(d, s)) / 2,
+    * i.e. the classic λ = 0.5 trade-off, spelled as one exact-double
+    * subtract-and-halve (no bare 0.5 literal — both engines divide by
+    * the integer 2). The curation use: picking k exemplar documents per
+    * topic that aren't k copies of the same popular document.
+    *
+    * Two-stage retrieve-then-rerank, the production MMR shape:
+    *  1. one distributed corpus pass takes the top-`pool` candidates by
+    *     relevance (bounded TakeOrdered — never a corpus sort);
+    *  2. k greedy rounds over the persisted pool-sized frame. Each round
+    *     is a bounded distributed argmax (`head()` of a total order) —
+    *     the only driver-side state is the ≤ k selected vectors, which
+    *     re-enter each round's plan as float-array literals (string
+    *     round-trip: shortest-repr float/double literals reparse to the
+    *     identical bits in both engines).
+    *
+    * Greedy selection is inherently sequential — k bounded jobs is the
+    * honest distributed shape, not a fold the planner could fuse. All
+    * cosine arithmetic is the strict-left-fold contract, so selections
+    * (and tie-breaks on vec_id) are bit-reproducible cross-engine. */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 8,
+      pool: Int = 64, queryId: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && k <= pool, s"need 1 <= k <= pool, got k=$k pool=$pool")
+    val e = SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir))
+    val qRow = e.where(col("vec_id") === queryId)
+      .select(col("embedding"), col("norm")).head()
+    val qv = qRow.getSeq[Float](0)
+    val qn = qRow.getDouble(1)
+    def fArr(v: Seq[Float]): String =
+      s"array(${v.map(f => s"CAST('$f' AS FLOAT)").mkString(",")})"
+    val rel =
+      s"${SimilarityOps.dotExpr("embedding", fArr(qv))} / (norm * CAST('$qn' AS DOUBLE))"
+    val cands = e.where(col("vec_id") =!= queryId)
+      .withColumn("rel", expr(rel))
+      .orderBy(desc("rel"), asc("vec_id"))
+      .limit(pool)
+      .select("vec_id", "embedding", "norm", "rel")
+      .persist()
+    try {
+      var sel = Vector.empty[(Int, Long, Seq[Float], Double, Double, Double)]
+      for (i <- 1 to k) {
+        val pens = sel.map { case (_, _, sv, sn, _, _) =>
+          s"(${SimilarityOps.dotExpr("embedding", fArr(sv))} / (norm * CAST('$sn' AS DOUBLE)))"
+        }
+        val pen = pens.size match {
+          case 0 => "CAST(0 AS DOUBLE)"
+          case 1 => pens.head
+          case _ => s"greatest(${pens.mkString(",")})"
+        }
+        val remaining =
+          if (sel.isEmpty) cands
+          else cands.where(!col("vec_id").isin(sel.map(_._2): _*))
+        val r = remaining
+          .withColumn("marginal", expr(s"(rel - $pen) / 2"))
+          .orderBy(desc("marginal"), asc("vec_id"))
+          .select("vec_id", "embedding", "norm", "rel", "marginal")
+          .head()
+        sel :+= ((i, r.getLong(0), r.getSeq[Float](1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      }
+      sel.map(s => (s._1, s._2, s._5, s._6))
+        .toDF("rank", "vec_id", "rel", "marginal")
+        .orderBy("rank")
+    } finally cands.unpersist()
+  }
+
   // ---- Product quantization (PQ) ----------------------------------------
 
   /** PQ geometry: 64-dim vectors split into [[PqM]] subspaces of
