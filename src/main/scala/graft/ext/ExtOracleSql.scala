@@ -154,6 +154,37 @@ object ExtOracleSql {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  /** Co-occurrence-lift twin: same df band (integer arithmetic on the
+    * corpus count), same single exact-double division. */
+  val cooccurLift: String =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |present AS (
+      |  SELECT DISTINCT doc_id, w AS term
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(ws) AS w)
+      |),
+      |dfs AS (
+      |  SELECT term, count(*) AS df FROM present GROUP BY term
+      |  HAVING count(*) BETWEEN greatest(3, (SELECT n_docs FROM n) // 500)
+      |                      AND (4 * (SELECT n_docs FROM n)) // 5
+      |),
+      |banded AS (SELECT p.doc_id, p.term, d.df FROM present p JOIN dfs d USING (term)),
+      |pairs AS (
+      |  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+      |         count(*) AS n_both
+      |  FROM banded a JOIN banded b
+      |    ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING count(*) >= 3
+      |)
+      |SELECT term_a, term_b, n_both,
+      |  CAST(n_both * (SELECT n_docs FROM n) AS DOUBLE)
+      |    / CAST(df_a * df_b AS DOUBLE) AS lift
+      |FROM pairs
+      |ORDER BY lift DESC, term_a, term_b
+      |LIMIT 50""".stripMargin
+
   /** Winnowing twin: identical pack-into-bigint encoding (hash·2²⁰ +
     * reversed position) so the rightmost-min-tie-break is one window
     * MIN in both engines; w = 4 hardcoded to match the Spark default. */

@@ -451,6 +451,50 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Term co-occurrence lift — association mining over document-level
+    * term presence: lift(a,b) = P(a,b) / (P(a)·P(b)) =
+    * (n_both · N) / (df_a · df_b), the PMI exponent WITHOUT the log —
+    * monotone in PMI, so ranking is identical, and it needs no
+    * transcendental: both factors are exact bigint products cast to
+    * double (≪ 2⁵³) and divided ONCE, bit-identical across engines.
+    *
+    * Scale levers (the difference between this and an n² vocabulary
+    * blowup): terms outside a df band are dropped BEFORE pairing —
+    * ubiquitous terms (df > N/5) pair with everything and carry no
+    * signal; rare terms (df < max(3, N/500)) produce noise lifts. The
+    * band is derived from the corpus size by integer arithmetic on both
+    * engines (cap 4N/5: only always-present boilerplate terms are
+    * dropped — lift's normalization already discounts mere popularity,
+    * and the per-doc fan-out is bounded by terms-per-doc, not df).
+    * Within a doc the pair fan-out is then (band terms/doc)², bounded;
+    * the pair aggregate combines map-side. Output is a bounded
+    * TakeOrdered top-k, never a vocab²-sort. */
+  def cooccurLift(spark: SparkSession, dir: String, minPairs: Int = 3,
+      k: Int = 50): DataFrame = {
+    val nDocs = docs(spark, dir).count()
+    val minDf = math.max(3L, nDocs / 500)
+    val maxDf = 4L * nDocs / 5
+    val present = withWords(
+      docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .distinct()
+    val dfs = present.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df").between(minDf, maxDf))
+    val banded = present.join(dfs, "term")
+    banded.as("a").join(banded.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minPairs)
+      .withColumn("lift",
+        expr(s"CAST(n_both * $nDocs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)"))
+      .select("term_a", "term_b", "n_both", "lift")
+      .orderBy(desc("lift"), asc("term_a"), asc("term_b"))
+      .limit(k)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — public algorithm): over the sequence of character
