@@ -168,6 +168,36 @@ object EtlOracleSql {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
   }
 
+  /** Streak twin: the same day − row_number island key; best streak per
+    * product via the (len DESC, start ASC) rank the Spark struct-max
+    * encodes. */
+  val salesStreaks: String = star(
+    """, pd AS (
+      |  SELECT DISTINCT product_id,
+      |         CAST(time_id AS DATE) - DATE '1970-01-01' AS day
+      |  FROM sales_fact
+      |),
+      |rn AS (
+      |  SELECT product_id, day,
+      |         row_number() OVER (PARTITION BY product_id ORDER BY day) AS rn
+      |  FROM pd
+      |),
+      |isl AS (
+      |  SELECT product_id, count(*) AS len, min(day) AS start
+      |  FROM rn GROUP BY product_id, day - rn
+      |),
+      |best AS (
+      |  SELECT product_id, len, start,
+      |         row_number() OVER (PARTITION BY product_id
+      |                            ORDER BY len DESC, start ASC) AS r
+      |  FROM isl
+      |)
+      |SELECT product_id, CAST(len AS INT) AS streak_days,
+      |       CAST(DATE '1970-01-01' + CAST(start AS INT) AS TIMESTAMP) AS streak_start
+      |FROM best WHERE r = 1
+      |ORDER BY streak_days DESC, product_id
+      |LIMIT 100""".stripMargin)
+
   /** Entity-match twin: identical blocking prefix and integer
     * Levenshtein threshold. */
   val entityMatch: String = star(

@@ -288,6 +288,39 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Gaps-and-islands — each product's longest run of CONSECUTIVE
+    * calendar days with at least one sale (the classic streak/contiguity
+    * analysis: `day − row_number` is constant exactly within a
+    * consecutive run, so one per-product window + one aggregate finds
+    * every island without a self-join). The window partitions by
+    * product — thousands of small independent sorts, never a global
+    * one; the best-streak pick per product is a plain `max` over a
+    * (length, −start) struct, not a second window. All arithmetic is
+    * integer day numbers; `streak_start` is cast to timestamp only at
+    * the output surface (comparison-surface convention, see
+    * scd2Customer). */
+  def salesStreaks(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pd = Star.salesFact(spark, dir)
+      .select(col("product_id"),
+        expr("datediff(time_id, DATE'1970-01-01')").as("day"))
+      .distinct()
+    val w = Window.partitionBy("product_id").orderBy("day")
+    val islands = pd
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("product_id", "grp")
+      .agg(count(lit(1)).cast("int").as("len"), min("day").as("start"))
+    islands
+      .groupBy("product_id")
+      .agg(max(struct(col("len").as("l"), (-col("start")).as("ns"))).as("best"))
+      .select(col("product_id"),
+        col("best.l").as("streak_days"),
+        expr("CAST(date_add(DATE'1970-01-01', -best.ns) AS TIMESTAMP)")
+          .as("streak_start"))
+      .orderBy(desc("streak_days"), asc("product_id"))
+      .limit(k)
+  }
+
   /** Entity resolution — blocked fuzzy matching over the customer
     * master: candidate pairs come from an EQUI-join on a blocking key
     * (here the 16-char name prefix — in production a phonetic or
