@@ -198,6 +198,43 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** Peak-concurrency twin: identical +1/−1 delta sweep and
+    * (open DESC, day ASC) peak pick. */
+  val peakOpenOrders: String = star(
+    """, iv AS (
+      |  SELECT s.s_nationkey AS store_id,
+      |         least(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01',
+      |               CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') AS sd,
+      |         greatest(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01',
+      |                  CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') AS ed
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |),
+      |deltas AS (
+      |  SELECT store_id, day, sum(delta) AS delta FROM (
+      |    SELECT store_id, sd AS day, 1 AS delta FROM iv
+      |    UNION ALL
+      |    SELECT store_id, ed + 1 AS day, -1 AS delta FROM iv
+      |  ) GROUP BY 1, 2
+      |),
+      |run AS (
+      |  SELECT store_id, day,
+      |         sum(delta) OVER (PARTITION BY store_id ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      |  FROM deltas
+      |),
+      |best AS (
+      |  SELECT store_id, open, day,
+      |         row_number() OVER (PARTITION BY store_id
+      |                            ORDER BY open DESC, day ASC) AS r
+      |  FROM run
+      |)
+      |SELECT store_id, CAST(open AS INT) AS peak_open,
+      |       CAST(DATE '1970-01-01' + CAST(day AS INT) AS TIMESTAMP) AS peak_day
+      |FROM best WHERE r = 1
+      |ORDER BY store_id""".stripMargin)
+
   /** Entity-match twin: identical blocking prefix and integer
     * Levenshtein threshold. */
   val entityMatch: String = star(

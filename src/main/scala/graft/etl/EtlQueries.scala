@@ -321,6 +321,49 @@ object EtlQueries {
       .limit(k)
   }
 
+  /** Peak concurrency sweep — the maximum number of simultaneously
+    * open fulfillments per store (interval = order date → line ship
+    * date), and the first day that peak is reached. The interval-overlap
+    * problem is solved WITHOUT an interval self-join: each interval
+    * contributes a +1 at its start and a −1 after its end; after
+    * pre-aggregating deltas per (store, day) — map-side combinable, one
+    * |days|-sized table per store — a per-store running sum IS the
+    * concurrency curve, and its struct-max is the peak. O(n) instead of
+    * the O(overlaps) pair join, and the window sorts are per-store,
+    * bounded by the calendar, never corpus-sized. */
+  def peakOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Star.table(spark, dir, "lineitem")
+    val o = Star.table(spark, dir, "orders")
+    val s = Star.table(spark, dir, "supplier")
+    val iv = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      // the testdata's ship date is not ordered against the order date;
+      // normalize each window to its chronological span so every
+      // interval is well-formed (an inverted interval would SUBTRACT
+      // from the sweep wherever ed < d < sd)
+      .select(s("s_nationkey").as("store_id"),
+        expr("least(datediff(o_orderdate, DATE'1970-01-01'), " +
+          "datediff(l_shipdate, DATE'1970-01-01'))").as("sd"),
+        expr("greatest(datediff(o_orderdate, DATE'1970-01-01'), " +
+          "datediff(l_shipdate, DATE'1970-01-01'))").as("ed"))
+    val deltas = iv.select(col("store_id"), col("sd").as("day"), lit(1).as("delta"))
+      .unionByName(iv.select(col("store_id"),
+        (col("ed") + 1).as("day"), lit(-1).as("delta")))
+      .groupBy("store_id", "day").agg(sum("delta").as("delta"))
+    val run = Window.partitionBy("store_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open", sum("delta").over(run))
+      .groupBy("store_id")
+      .agg(max(struct(col("open").as("o"), (-col("day")).as("nd"))).as("best"))
+      .select(col("store_id"),
+        col("best.o").cast("int").as("peak_open"),
+        expr("CAST(date_add(DATE'1970-01-01', CAST(-best.nd AS INT)) AS TIMESTAMP)")
+          .as("peak_day"))
+      .orderBy("store_id")
+  }
+
   /** Entity resolution — blocked fuzzy matching over the customer
     * master: candidate pairs come from an EQUI-join on a blocking key
     * (here the 16-char name prefix — in production a phonetic or
