@@ -458,4 +458,23 @@ object OracleSql {
       |       wtrail AS (PARTITION BY store_id, year ORDER BY month
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY store_id, year, month""".stripMargin)
+
+  /** Q24 twin: Codd's division as the classic double NOT EXISTS — no
+    * region without a purchase by this customer. Same divisor (the
+    * full region table) as the count-matching plan; a customer with no
+    * purchases fails the inner NOT EXISTS for every region, matching
+    * the engine side's absence from the fact aggregate. */
+  val q24: String = star(
+    """SELECT c.customer_id, c.customer_name,
+      |       (SELECT CAST(count(*) AS INT) FROM region) AS regions_covered
+      |FROM dim_customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM region r
+      |  WHERE NOT EXISTS (
+      |    SELECT 1
+      |    FROM sales_fact f
+      |    JOIN nation n ON f.store_id = n.n_nationkey
+      |    WHERE f.customer_id = c.customer_id
+      |      AND n.n_regionkey = r.r_regionkey))
+      |ORDER BY customer_id""".stripMargin)
 }

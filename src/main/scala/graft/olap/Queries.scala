@@ -763,4 +763,36 @@ object Queries {
           count(lit(1)).over(trail).cast("double")))
       .orderBy("store_id", "year", "month")
   }
+
+  /** Q24 (extension): RELATIONAL DIVISION — customers whose purchases
+    * cover EVERY sales region (Codd's ÷, the "suppliers who supply all
+    * parts" shape; the universal-quantifier query the reference's SQL
+    * surface never reaches). Count-matching plan: one fact scan →
+    * broadcast nation join → per-customer `countDistinct(region)` (one
+    * shuffle, partial-aggregable) → filter against the divisor
+    * cardinality, computed as a 1-row aggregate and broadcast-crossed
+    * into the plan — never `collect()`ed to the driver, so the same
+    * plan runs unmodified on a cluster. The divisor is the REGION
+    * table (all regions must be covered, not just regions that sold) —
+    * identical to the oracle's double-NOT-EXISTS spelling, which pins
+    * the two classic division spellings against each other. */
+  def q24Division(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir)
+    val storeRegion = Star.table(spark, dir, "nation")
+      .select(col("n_nationkey").as("store_id"),
+        col("n_regionkey").as("region_id"))
+    val divisorSize = Star.table(spark, dir, "region")
+      .agg(count(lit(1)).cast("int").as("n_regions"))
+    val cust = Star.dimCustomer(spark, dir)
+      .select("customer_id", "customer_name")
+    fact.select("customer_id", "store_id")
+      .join(broadcast(storeRegion), Seq("store_id"))
+      .groupBy("customer_id")
+      .agg(countDistinct("region_id").cast("int").as("regions_covered"))
+      .crossJoin(broadcast(divisorSize))
+      .where(col("regions_covered") === col("n_regions"))
+      .join(broadcast(cust), Seq("customer_id"))
+      .select("customer_id", "customer_name", "regions_covered")
+      .orderBy("customer_id")
+  }
 }

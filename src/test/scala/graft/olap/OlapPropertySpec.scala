@@ -139,6 +139,35 @@ class OlapPropertySpec extends SparkSpec {
     } finally abc.unpersist()
   }
 
+  test("relational division: exactly the customers covering every region") {
+    val div = Queries.q24Division(spark, sfSmoke).cache()
+    try {
+      // independent spelling: a qualifying customer is one with NO
+      // (customer × region) cell missing from their covered pairs —
+      // set-difference algebra instead of the query's count matching
+      val nation = Star.table(spark, sfSmoke, "nation")
+        .select(col("n_nationkey").as("store_id"),
+          col("n_regionkey").as("region_id"))
+      val regions = Star.table(spark, sfSmoke, "region")
+        .select(col("r_regionkey").as("region_id"))
+      val covered = Star.salesFact(spark, sfSmoke)
+        .select("customer_id", "store_id")
+        .join(nation, Seq("store_id"))
+        .select("customer_id", "region_id").distinct()
+      val buyers = covered.select("customer_id").distinct()
+      val missing = buyers.crossJoin(regions)
+        .except(covered).select("customer_id").distinct()
+      val expected = buyers.except(missing)
+      assert(div.select("customer_id").except(expected).count() == 0,
+        "division returned a customer with an uncovered region")
+      assert(expected.except(div.select("customer_id")).count() == 0,
+        "division missed a fully-covering customer")
+      // regions_covered is the divisor cardinality on every row
+      val nRegions = regions.count().toInt
+      assert(div.where(col("regions_covered") =!= nRegions).count() == 0)
+    } finally div.unpersist()
+  }
+
   test("pivot cells reaggregate to the store totals; long and wide agree") {
     val wide = Queries.q14PivotQuarters(spark, sfSmoke).cache()
     try {
