@@ -997,6 +997,43 @@ object ExtOracleSql {
          |ORDER BY rank_fp DESC, product_id""".stripMargin
   }
 
+  /** Triangle-count twin: the same degree-ordered orientation — wedges
+    * enumerated at each edge's lower-(degree, id) endpoint (row-value
+    * comparison mirrors the Spark struct compare), closed against the
+    * canonical edge set, then each triangle credited to all three
+    * corners. Same supported-edge graph (≥ 2 shared orders). */
+  val graphTriangles: String = graft.etl.Star.oracleCte +
+    """,
+      |tedges AS (
+      |  SELECT a.product_id AS u, b.product_id AS v
+      |  FROM sales_fact a JOIN sales_fact b
+      |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+      |  GROUP BY 1, 2 HAVING count(DISTINCT a.order_id) >= 2
+      |),
+      |tdeg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM tedges UNION ALL SELECT v FROM tedges)
+      |  GROUP BY node
+      |),
+      |oriented AS (
+      |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+      |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      |  FROM tedges e
+      |  JOIN tdeg du ON e.u = du.node
+      |  JOIN tdeg dv ON e.v = dv.node
+      |),
+      |tri AS (
+      |  SELECT x.s AS a, x.t AS u, y.t AS v
+      |  FROM oriented x JOIN oriented y ON x.s = y.s AND x.t < y.t
+      |  JOIN tedges e ON e.u = x.t AND e.v = y.t
+      |)
+      |SELECT node AS product_id, CAST(count(*) AS BIGINT) AS triangles
+      |FROM (SELECT a AS node FROM tri
+      |      UNION ALL SELECT u FROM tri
+      |      UNION ALL SELECT v FROM tri)
+      |GROUP BY node
+      |ORDER BY triangles DESC, product_id ASC""".stripMargin
+
   /** Bloom-semi-join twin: the oracle is the PLAIN semi-join — the bloom
     * prefilter must be invisible in the result (false positives removed
     * by the exact join), so any divergence here is a real defect. */
