@@ -198,6 +198,44 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** Attribution twin: the trailing-window pairing as the PLAIN
+    * inequality join — the engine's bucket equi-join must be invisible
+    * in the result. Identical integer-cents split (`//` matches Spark's
+    * `div` on these non-negative values). */
+  val touchAttribution: String =
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS conv_cents
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |touch AS (
+      |  SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+      |         event_type AS touch_type
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |),
+      |pairs AS (
+      |  SELECT c.conv_id, c.conv_cents, t.touch_id, t.touch_type, t.touch_ts
+      |  FROM conv c JOIN touch t
+      |    ON c.user_id = t.user_id
+      |   AND t.touch_ts <= c.conv_ts
+      |   AND t.touch_ts > c.conv_ts - INTERVAL 7 DAY
+      |),
+      |rk AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY conv_id
+      |                            ORDER BY touch_ts DESC, touch_id DESC) AS r,
+      |         count(*) OVER (PARTITION BY conv_id) AS n
+      |  FROM pairs
+      |)
+      |SELECT conv_id, touch_id, touch_type, CAST(n AS INT) AS n_touches,
+      |       CAST(conv_cents // n +
+      |            CASE WHEN r = 1 THEN conv_cents % n ELSE 0 END
+      |         AS BIGINT) AS attributed_cents,
+      |       r = n AS is_first_touch,
+      |       r = 1 AS is_last_touch
+      |FROM rk
+      |ORDER BY conv_id, touch_id""".stripMargin
+
   /** Peak-concurrency twin: identical +1/−1 delta sweep and
     * (open DESC, day ASC) peak pick. */
   val peakOpenOrders: String = star(

@@ -364,6 +364,59 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Multi-touch revenue attribution — every `purchase` event's value
+    * split across the same user's `click`/`view` touches in the trailing
+    * 7 days (linear attribution, the marketing-pipeline staple), with
+    * first-/last-touch flags so the single-touch models read off the
+    * same table. The split is EXACT INTEGER CENTS: each touch gets
+    * `cents div n`, the remainder goes to the LATEST touch — credit
+    * conserves to the cent per conversion by construction, with no
+    * float division anywhere (a double split neither conserves nor
+    * reproduces across engines).
+    *
+    * Scale shape: the trailing-window pairing is a BUCKET EQUI-JOIN
+    * (touches keyed by (user, ⌊epoch/7d⌋), conversions probe their own
+    * and the previous bucket), never a per-user inequality theta-join —
+    * same architecture as rangeJoinTrailing; pair fan-out is bounded by
+    * one user's 14-day touch activity. Ranking windows partition by
+    * conversion (bounded by the same activity), never globally. The
+    * oracle spells the pairing as the plain inequality join — the
+    * bucketing must be invisible in the result. */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketSec = 7L * 86400L
+    val ev = Star.events(spark, dir)
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"),
+        (col("value").cast(graft.model.Schemas.priceType) * 100)
+          .cast("bigint").as("conv_cents"))
+    val touch = ev.where(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+      .withColumn("bucket", expr(s"CAST(touch_ts AS LONG) div $bucketSec"))
+    val probes = conv
+      .withColumn("cb", expr(s"CAST(conv_ts AS LONG) div $bucketSec"))
+      .withColumn("bucket", explode(array(col("cb") - 1, col("cb"))))
+    val pairs = probes.join(touch, Seq("user_id", "bucket"))
+      .where(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr("INTERVAL 7 DAYS"))
+    val recency = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    val byConv = Window.partitionBy("conv_id")
+    pairs
+      .withColumn("r", row_number().over(recency))
+      .withColumn("n_touches", count(lit(1)).over(byConv).cast("int"))
+      .select(col("conv_id"), col("touch_id"), col("touch_type"),
+        col("n_touches"),
+        (expr("conv_cents div n_touches") +
+          when(col("r") === 1, col("conv_cents") % col("n_touches"))
+            .otherwise(lit(0L))).as("attributed_cents"),
+        (col("r") === col("n_touches")).as("is_first_touch"),
+        (col("r") === 1).as("is_last_touch"))
+      .orderBy("conv_id", "touch_id")
+  }
+
   /** Entity resolution — blocked fuzzy matching over the customer
     * master: candidate pairs come from an EQUI-join on a blocking key
     * (here the 16-char name prefix — in production a phonetic or
