@@ -198,6 +198,43 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** Cumulative-reach twin: the same first-occurrence reduction (the
+    * oracle could spell COUNT(DISTINCT) over a growing frame, but
+    * DuckDB's distinct-window and a running sum of firsts are the same
+    * number — the reduction is the semantics, so both engines state
+    * it). */
+  val cumulativeReach: String = star(
+    """, f AS (
+      |  SELECT store_id, customer_id,
+      |         CAST(year(time_id) AS INT) AS year,
+      |         CAST(month(time_id) AS INT) AS month,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS ym
+      |  FROM sales_fact
+      |),
+      |active AS (
+      |  SELECT store_id, year, month, ym, count(*) AS active_customers
+      |  FROM (SELECT DISTINCT store_id, customer_id, year, month, ym FROM f)
+      |  GROUP BY 1, 2, 3, 4
+      |),
+      |firsts AS (
+      |  SELECT store_id, customer_id, min(ym) AS ym
+      |  FROM f GROUP BY 1, 2
+      |),
+      |news AS (
+      |  SELECT store_id, ym, count(*) AS new_customers
+      |  FROM firsts GROUP BY 1, 2
+      |)
+      |SELECT a.store_id, a.year, a.month, a.active_customers,
+      |       COALESCE(n.new_customers, 0) AS new_customers,
+      |       CAST(SUM(COALESCE(n.new_customers, 0)) OVER (
+      |         PARTITION BY a.store_id ORDER BY a.ym
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cumulative_customers
+      |FROM active a
+      |LEFT JOIN news n ON a.store_id = n.store_id AND a.ym = n.ym
+      |ORDER BY a.store_id, a.year, a.month""".stripMargin)
+
   /** Attribution twin: the trailing-window pairing as the PLAIN
     * inequality join — the engine's bucket equi-join must be invisible
     * in the result. Identical integer-cents split (`//` matches Spark's

@@ -364,6 +364,42 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Cumulative distinct reach — per store and month: customers active
+    * that month, first-ever customers, and the running count of ALL
+    * customers ever reached. The naive spelling (`COUNT(DISTINCT)` over
+    * a growing window) carries unbounded per-row distinct state and has
+    * no partial aggregation; instead the distinct is REDUCED FIRST:
+    * each (store, customer)'s first month is one partial-aggregable
+    * `min`, monthly news are a count over that (customer-sized, not
+    * fact-sized) table, and the cumulative reach is a running sum of
+    * news over the store's month series — windows see ≤ the calendar,
+    * never the fact. Months with zero sales for a store are absent
+    * (gap filling is [[monthSpine]]'s job). */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = Star.salesFact(spark, dir)
+      .select(col("store_id"), col("customer_id"),
+        expr("CAST(year(time_id) AS INT)").as("year"),
+        expr("CAST(month(time_id) AS INT)").as("month"))
+      .withColumn("ym", col("year") * 12 + col("month"))
+    val active = fact.select("store_id", "customer_id", "year", "month", "ym")
+      .distinct()
+      .groupBy("store_id", "year", "month", "ym")
+      .agg(count(lit(1)).as("active_customers"))
+    val news = fact.groupBy("store_id", "customer_id")
+      .agg(min("ym").as("ym"))
+      .groupBy("store_id", "ym")
+      .agg(count(lit(1)).as("new_customers"))
+    val run = Window.partitionBy("store_id").orderBy("ym")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("store_id", "ym"), "left")
+      .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
+      .withColumn("cumulative_customers", sum("new_customers").over(run))
+      .select("store_id", "year", "month", "active_customers",
+        "new_customers", "cumulative_customers")
+      .orderBy("store_id", "year", "month")
+  }
+
   /** Multi-touch revenue attribution — every `purchase` event's value
     * split across the same user's `click`/`view` touches in the trailing
     * 7 days (linear attribution, the marketing-pipeline staple), with
