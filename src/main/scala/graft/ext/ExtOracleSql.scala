@@ -808,6 +808,26 @@ object ExtOracleSql {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Rendezvous-sharding twin: the argmax as a rank over the unnested
+    * (doc × shard) candidates — ORDER BY w DESC, shard DESC mirrors the
+    * engine's max-struct tie-break. */
+  val shardRendezvous: String =
+    s"""WITH cand AS (
+       |  SELECT d.doc_id, s.shard,
+       |         ${h32("'shard:' || CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)")} AS w
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(8)) AS shard) s
+       |),
+       |ranked AS (
+       |  SELECT doc_id, shard, w,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY w DESC, shard DESC) AS r
+       |  FROM cand
+       |)
+       |SELECT doc_id, CAST(shard AS INT) AS shard, w AS weight
+       |FROM ranked WHERE r = 1
+       |ORDER BY doc_id""".stripMargin
+
   val stratifiedSample: String =
     s"""WITH hashed AS (
        |  SELECT lang, source, doc_id,

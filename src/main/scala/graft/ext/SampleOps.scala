@@ -166,4 +166,39 @@ object SampleOps {
       .select("doc_id", "source", "rate_ppm")
       .orderBy("doc_id")
   }
+
+  /** Rendezvous (highest-random-weight) sharding over an explicit shard
+    * id set: each doc goes to the shard with the maximum salted hash
+    * H("shard:" + doc_id + ":" + shard) — Thaler & Ravishankar's HRW,
+    * the consistent-placement scheme behind cache rings and shard maps.
+    * The property that matters operationally: REMOVING a shard remaps
+    * ONLY that shard's documents (each survivor's per-shard weights are
+    * unchanged, so its argmax moves only if the removed shard held it);
+    * a mod-N assignment remaps (N−1)/N of the corpus on the same event.
+    * Plan shape: the argmax is `greatest` over |shards| (weight, shard)
+    * structs — ONE codegen'd per-row projection fused into the scan; no
+    * explode, no shuffle, no state. Hash ties break to the higher shard
+    * id (struct compare), mirrored in the oracle's ORDER BY. */
+  def rendezvousOf(docs: DataFrame, shardIds: Seq[Int]): DataFrame = {
+    require(shardIds.nonEmpty && shardIds.distinct == shardIds,
+      s"shard ids must be non-empty and unique, got $shardIds")
+    val candidates = shardIds.map { s =>
+      struct(
+        TextOps.h32(concat(lit("shard:"), col("doc_id").cast("string"),
+          lit(":"), lit(s.toString))).as("w"),
+        lit(s).as("shard"))
+    }
+    val best =
+      if (candidates.size == 1) candidates.head else greatest(candidates: _*)
+    docs.withColumn("best", best)
+      .select(col("doc_id"), col("best.shard").as("shard"),
+        col("best.w").as("weight"))
+  }
+
+  /** Driver-contract entry: rendezvous placement of the document corpus
+    * onto 8 shards. */
+  def rendezvousShard(spark: SparkSession, dir: String,
+      shards: Int = 8): DataFrame =
+    rendezvousOf(TextOps.docs(spark, dir).select("doc_id"), 0 until shards)
+      .orderBy("doc_id")
 }

@@ -114,4 +114,28 @@ class SampleSpec extends SparkSpec {
       assert(frac.where(col("f") <= 0).count() == 0)
     } finally kept.unpersist()
   }
+
+  test("rendezvous sharding: removing a shard remaps ONLY that shard's documents") {
+    val docs = TextOps.docs(spark, sfSmoke).select("doc_id")
+    val full = SampleOps.rendezvousOf(docs, 0 until 8)
+      .select(col("doc_id"), col("shard").as("s8")).cache()
+    try {
+      // every shard owns something (500 docs over 8 shards)
+      assert(full.select("s8").distinct().count() == 8)
+      // drop shard 3: survivors' argmax over the remaining weights is
+      // unchanged unless shard 3 held it — the HRW minimal-disruption
+      // guarantee a mod-N scheme does not have
+      val without = SampleOps.rendezvousOf(docs, Seq(0, 1, 2, 4, 5, 6, 7))
+        .select(col("doc_id"), col("shard").as("s7"))
+      val j = full.join(without, Seq("doc_id")).cache()
+      try {
+        assert(j.where(col("s8") =!= 3 && col("s7") =!= col("s8")).count() == 0,
+          "a document not on the removed shard moved")
+        assert(j.where(col("s8") === 3 && col("s7") === 3).count() == 0,
+          "a document still assigned to the removed shard")
+        assert(j.where(col("s8") === 3).count() > 0,
+          "shard 3 owned nothing — the stability check is vacuous")
+      } finally j.unpersist()
+    } finally full.unpersist()
+  }
 }
