@@ -459,6 +459,25 @@ object OracleSql {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY store_id, year, month""".stripMargin)
 
+  /** Q25 twin: `quantile_cont` == Spark `percentile` — linear
+    * interpolation over exact integer cents (the madOutliers
+    * determinism contract). */
+  val q25: String = star(
+    """, sub AS (
+      |  SELECT store_id, order_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT)
+      |           AS order_cents
+      |  FROM sales_fact GROUP BY store_id, order_id
+      |)
+      |SELECT store_id, count(*) AS n_orders,
+      |       min(order_cents) AS min_cents,
+      |       quantile_cont(order_cents, 0.5) AS p50,
+      |       quantile_cont(order_cents, 0.9) AS p90,
+      |       quantile_cont(order_cents, 0.99) AS p99,
+      |       max(order_cents) AS max_cents
+      |FROM sub GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** Q24 twin: Codd's division as the classic double NOT EXISTS — no
     * region without a purchase by this customer. Same divisor (the
     * full region table) as the count-matching plan; a customer with no

@@ -764,6 +764,32 @@ object Queries {
       .orderBy("store_id", "year", "month")
   }
 
+  /** Q25 (extension): grouped EXACT percentile family — per store, the
+    * order-value distribution (median / p90 / p99 over each order's
+    * store subtotal) plus count and range. Values are integer cents, so
+    * the linear interpolation both engines apply (`percentile` here,
+    * `quantile_cont` in DuckDB) runs on exact integers and the IEEE
+    * result is bit-identical — the [[graft.etl.EtlQueries.madOutliers]]
+    * determinism contract. Exact percentiles hold per-group value
+    * buffers (no partial aggregation); groups here are store-bounded —
+    * for unbounded groups at corpus scale the engine's switch is
+    * `approx_percentile`, the documented trade
+    * ([[graft.ext.TextOps.lengthHistQuantiles]] makes the same call). */
+  def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val sub = Star.salesFact(spark, dir)
+      .groupBy("store_id", "order_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("order_cents"))
+    sub.groupBy("store_id")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min("order_cents").as("min_cents"),
+        expr("percentile(order_cents, CAST(0.5 AS DOUBLE))").as("p50"),
+        expr("percentile(order_cents, CAST(0.9 AS DOUBLE))").as("p90"),
+        expr("percentile(order_cents, CAST(0.99 AS DOUBLE))").as("p99"),
+        max("order_cents").as("max_cents"))
+      .orderBy("store_id")
+  }
+
   /** Q24 (extension): RELATIONAL DIVISION — customers whose purchases
     * cover EVERY sales region (Codd's ÷, the "suppliers who supply all
     * parts" shape; the universal-quantifier query the reference's SQL

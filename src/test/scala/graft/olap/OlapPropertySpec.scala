@@ -168,6 +168,34 @@ class OlapPropertySpec extends SparkSpec {
     } finally div.unpersist()
   }
 
+  test("grouped percentiles: monotone, bounded by min/max, brute-force interpolation agrees") {
+    val q = Queries.q25Percentiles(spark, sfSmoke).cache()
+    try {
+      assert(q.where(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+      assert(q.where(col("p50") < col("min_cents") ||
+        col("p99") > col("max_cents")).count() == 0)
+      // brute force one store: the standard (n−1)·p linear interpolation
+      // over the sorted exact cents, computed in plain Scala
+      val sid = q.select("store_id").orderBy("store_id").first().get(0)
+      val cents = Star.salesFact(spark, sfSmoke)
+        .where(col("store_id") === sid)
+        .groupBy("order_id")
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("c"))
+        .select("c").collect().map(_.getLong(0)).sorted
+      def interp(p: Double): Double = {
+        val pos = (cents.length - 1) * p
+        val lo = pos.toInt
+        val f = pos - lo
+        if (lo + 1 >= cents.length) cents.last.toDouble
+        else cents(lo) + f * (cents(lo + 1) - cents(lo))
+      }
+      val row = q.where(col("store_id") === sid).first()
+      assert(row.getDouble(row.fieldIndex("p50")) == interp(0.5))
+      assert(row.getDouble(row.fieldIndex("p90")) == interp(0.9))
+      assert(row.getLong(row.fieldIndex("n_orders")) == cents.length)
+    } finally q.unpersist()
+  }
+
   test("pivot cells reaggregate to the store totals; long and wide agree") {
     val wide = Queries.q14PivotQuarters(spark, sfSmoke).cache()
     try {
