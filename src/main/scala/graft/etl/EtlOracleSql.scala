@@ -198,6 +198,41 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** JSON-extraction twin: `json_extract_string` == Spark
+    * `get_json_object` for scalar paths; both engines cast the string
+    * to INT and count parse failures as NULLs. */
+  val eventProps: String =
+    """SELECT event_type,
+      |       count(*) AS n_events,
+      |       count(k) AS n_parsed,
+      |       min(k) AS min_k,
+      |       max(k) AS max_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Hopping-window twin: the epoch-aligned 15-minute grid stated
+    * explicitly — each event joined to its 4 covering window starts
+    * (floor-to-grid minus 0..3 slides). */
+  val eventsSliding: String =
+    """WITH ex AS (
+      |  SELECT make_timestamp(
+      |           (((epoch_us(ts) // 1000000) // 900) * 900 - i * 900)
+      |             * 1000000) AS window_start,
+      |         event_type, value
+      |  FROM events
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+      |)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |         AS DOUBLE) AS total_value
+      |FROM ex
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** Cumulative-reach twin: the same first-occurrence reduction (the
     * oracle could spell COUNT(DISTINCT) over a growing frame, but
     * DuckDB's distinct-window and a running sum of firsts are the same

@@ -364,6 +364,47 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Semi-structured extraction — the events table's `props` column is
+    * a JSON string (the schema-on-read payload every event pipeline
+    * carries); extract the numeric `k` attribute per row and profile it
+    * per event type. `get_json_object` is codegen'd per-row path
+    * evaluation fused into the scan — no UDF, no parse-to-struct
+    * materialization of attributes the query never reads; malformed or
+    * missing payloads surface as NULLs and are COUNTED (`n_parsed`),
+    * never silently dropped — schema drift becomes a visible metric. */
+  def eventProps(spark: SparkSession, dir: String): DataFrame =
+    Star.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum("k").cast("bigint").as("sum_k"))
+      .orderBy("event_type")
+
+  /** Hopping-window aggregation — 1-hour windows sliding every 15
+    * minutes (the smoothed dashboard series; [[eventsHourly]] is the
+    * tumbling special case). Spark's `window(ts, 1h, 15m)` assigns each
+    * event to its 4 covering windows — a bounded duration/slide
+    * fan-out, partial-aggregable, identical batch and streaming
+    * (`readStream` takes the same plan with a watermark). The oracle
+    * reproduces the epoch-aligned window grid with an explicit 0..3
+    * unnest — the window-assignment arithmetic is stated, not
+    * trusted. */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.model.Schemas.outputDoubles(Star.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(graft.model.Schemas.priceType))
+          .cast(graft.model.Schemas.aggRevenueType).as("total_value")))
+      .orderBy("window_start", "event_type")
+
   /** Cumulative distinct reach — per store and month: customers active
     * that month, first-ever customers, and the running count of ALL
     * customers ever reached. The naive spelling (`COUNT(DISTINCT)` over
