@@ -459,6 +459,19 @@ object OracleSql {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY store_id, year, month""".stripMargin)
 
+  /** Q26 twin: deliberately the DIRECT long aggregate, not a melt of
+    * the wide table — the differential then proves unpivot ∘ pivot is
+    * the identity on populated cells. */
+  val q26: String = star(
+    """SELECT st.store_id, st.store_name, t.quarter,
+      |       CAST(CAST(SUM(f.total_revenue) AS DECIMAL(18,2)) AS DOUBLE)
+      |         AS revenue
+      |FROM sales_fact f
+      |JOIN dim_time t ON f.time_id = t.time_id
+      |JOIN dim_store st ON f.store_id = st.store_id
+      |GROUP BY st.store_id, st.store_name, t.quarter
+      |ORDER BY st.store_id, t.quarter""".stripMargin)
+
   /** Q25 twin: `quantile_cont` == Spark `percentile` — linear
     * interpolation over exact integer cents (the madOutliers
     * determinism contract). */

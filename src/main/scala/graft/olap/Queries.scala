@@ -790,6 +790,21 @@ object Queries {
       .orderBy("store_id")
   }
 
+  /** Q26 (extension): UNPIVOT — [[q14PivotQuarters]]'s wide quarter
+    * columns melted back to (store, quarter, revenue) rows via `stack`
+    * (one codegen projection, a 4× bounded fan-out — the exact inverse
+    * of pivot's CASE-aggregate). Empty cells (a store with no sales in
+    * a quarter) unpivot to NULL and are dropped, so the oracle can be
+    * the DIRECT long aggregate: the differential then pins
+    * `unpivot ∘ pivot == identity` across engines, not merely the
+    * melt arithmetic. */
+  def q26Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q14PivotQuarters(spark, dir)
+      .selectExpr("store_id", "store_name",
+        "stack(4, 1, q1_revenue, 2, q2_revenue, 3, q3_revenue, 4, q4_revenue) AS (quarter, revenue)")
+      .where(col("revenue").isNotNull)
+      .orderBy("store_id", "quarter")
+
   /** Q24 (extension): RELATIONAL DIVISION — customers whose purchases
     * cover EVERY sales region (Codd's ÷, the "suppliers who supply all
     * parts" shape; the universal-quantifier query the reference's SQL

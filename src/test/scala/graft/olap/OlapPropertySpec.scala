@@ -168,6 +168,22 @@ class OlapPropertySpec extends SparkSpec {
     } finally div.unpersist()
   }
 
+  test("unpivot of the pivot equals the direct long aggregate") {
+    val melted = Queries.q26Unpivot(spark, sfSmoke)
+    val time = Star.dimTime(spark, sfSmoke).select("time_id", "quarter")
+    val direct = Star.salesFact(spark, sfSmoke)
+      .join(time, Seq("time_id"))
+      .groupBy("store_id", "quarter")
+      .agg(sum("total_revenue").cast(graft.model.Schemas.aggRevenueType)
+        .cast("double").as("revenue"))
+    val strict = melted.select("store_id", "quarter", "revenue")
+      .except(direct.select("store_id", "quarter", "revenue"))
+    val strict2 = direct.select("store_id", "quarter", "revenue")
+      .except(melted.select("store_id", "quarter", "revenue"))
+    assert(strict.count() == 0 && strict2.count() == 0,
+      "unpivot ∘ pivot is not the identity on populated cells")
+  }
+
   test("grouped percentiles: monotone, bounded by min/max, brute-force interpolation agrees") {
     val q = Queries.q25Percentiles(spark, sfSmoke).cache()
     try {
