@@ -198,6 +198,53 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** Assortment-overlap twin: same co-membership join and
+    * inclusion-exclusion union. */
+  val storeOverlap: String = star(
+    """, sp AS (SELECT DISTINCT store_id, product_id FROM sales_fact),
+      |sizes AS (SELECT store_id, count(*) AS n FROM sp GROUP BY store_id),
+      |inter AS (
+      |  SELECT a.store_id AS store_a, b.store_id AS store_b,
+      |         count(*) AS n_common
+      |  FROM sp a JOIN sp b
+      |    ON a.product_id = b.product_id AND a.store_id < b.store_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.store_a, i.store_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+      |       CAST(i.n_common AS DOUBLE)
+      |         / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON i.store_a = sa.store_id
+      |JOIN sizes sb ON i.store_b = sb.store_id
+      |ORDER BY i.store_a, i.store_b""".stripMargin)
+
+  /** Backtest twin: the same strict year−1 join (never a
+    * present-years lag) and integer-cents error sums. */
+  val forecastBacktest: String = star(
+    """, monthly AS (
+      |  SELECT store_id, CAST(year(time_id) AS INT) AS year,
+      |         CAST(month(time_id) AS INT) AS month,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM sales_fact GROUP BY 1, 2, 3
+      |),
+      |scored AS (
+      |  SELECT a.store_id, a.cents AS actual, f.cents AS forecast
+      |  FROM monthly a JOIN monthly f
+      |    ON a.store_id = f.store_id AND a.month = f.month
+      |   AND a.year = f.year + 1
+      |)
+      |SELECT store_id, count(*) AS n_months,
+      |       CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err_cents,
+      |       CAST(sum(actual) AS BIGINT) AS actual_cents,
+      |       CAST(sum(abs(actual - forecast)) AS DOUBLE)
+      |         / CAST(sum(actual) AS DOUBLE) AS wape,
+      |       CAST(sum(actual - forecast) AS DOUBLE)
+      |         / CAST(sum(actual) AS DOUBLE) AS bias
+      |FROM scored
+      |GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** JSON-extraction twin: `json_extract_string` == Spark
     * `get_json_object` for scalar paths; both engines cast the string
     * to INT and count parse failures as NULLs. */

@@ -364,6 +364,76 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Assortment overlap — product-set Jaccard similarity between every
+    * store pair (the "how interchangeable are these two stores"
+    * catalog analytics). Co-membership spelling: one self-join of the
+    * DISTINCT (store, product) table on product — fan-out per product
+    * is the number of stores carrying it (≤ |stores|, never
+    * catalog-sized), so the join is |pairs|·stores, not stores²·catalog
+    * — then |A∩B| is a count and |A∪B| = |A|+|B|−|A∩B| by
+    * inclusion-exclusion, avoiding any union materialization. One
+    * double division of exact longs at the surface. Store pairs with
+    * zero common products are absent (Jaccard 0 — the join can't see
+    * them, and emitting the full pair grid is [[monthSpine]]-style gap
+    * filling if a consumer needs it). */
+  def storeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Star.salesFact(spark, dir)
+      .select("store_id", "product_id").distinct()
+    val sizes = sp.groupBy("store_id")
+      .agg(count(lit(1)).as("n"))
+    val inter = sp.as("a").join(sp.as("b"),
+        col("a.product_id") === col("b.product_id") &&
+          col("a.store_id") < col("b.store_id"))
+      .groupBy(col("a.store_id").as("store_a"),
+        col("b.store_id").as("store_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("store_id").as("store_a"),
+        col("n").as("n_a"))), Seq("store_a"))
+      .join(broadcast(sizes.select(col("store_id").as("store_b"),
+        col("n").as("n_b"))), Seq("store_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select("store_a", "store_b", "n_a", "n_b", "n_common", "jaccard")
+      .orderBy("store_a", "store_b")
+  }
+
+  /** Seasonal-naive forecast backtest — forecast(store, month, year) =
+    * actual(store, month, year−1), scored per store with WAPE
+    * (Σ|err| / Σactual) and signed bias. The join is on year−1
+    * EXACTLY — a lag window over present years would silently compare
+    * against the last year THAT HAD DATA, a different (and wrong)
+    * model. All error arithmetic in exact integer cents; the two
+    * ratios are single double divisions at the surface. The monthly
+    * table is store×calendar-bounded; everything after the first
+    * aggregate is dimension-sized. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        expr("CAST(year(time_id) AS INT)").as("year"),
+        expr("CAST(month(time_id) AS INT)").as("month"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val scored = monthly.as("a").join(monthly.as("f"),
+        col("a.store_id") === col("f.store_id") &&
+          col("a.month") === col("f.month") &&
+          col("a.year") === col("f.year") + 1)
+      .select(col("a.store_id").as("store_id"),
+        col("a.cents").as("actual"), col("f.cents").as("forecast"))
+    scored.groupBy("store_id")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(abs(col("actual") - col("forecast"))).as("abs_err_cents"),
+        sum(col("actual") - col("forecast")).as("err_cents"),
+        sum("actual").as("actual_cents"))
+      .withColumn("wape",
+        col("abs_err_cents").cast("double") / col("actual_cents").cast("double"))
+      .withColumn("bias",
+        col("err_cents").cast("double") / col("actual_cents").cast("double"))
+      .select("store_id", "n_months", "abs_err_cents", "actual_cents",
+        "wape", "bias")
+      .orderBy("store_id")
+  }
+
   /** Semi-structured extraction — the events table's `props` column is
     * a JSON string (the schema-on-read payload every event pipeline
     * carries); extract the numeric `k` attribute per row and profile it

@@ -1,0 +1,61 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the assortment-overlap and forecast-backtest
+  * operators on the sf0.001 smoke fact; exact values are pinned by the
+  * DuckDB twins (`etl_store_overlap`, `etl_forecast_backtest`). */
+class OverlapBacktestSpec extends SparkSpec {
+
+  test("store overlap: jaccard in (0,1], intersection bounded, brute-force pair agrees") {
+    val ov = EtlQueries.storeOverlap(spark, sfSmoke).cache()
+    try {
+      assert(ov.count() > 0)
+      assert(ov.where(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+      assert(ov.where(col("n_common") > least(col("n_a"), col("n_b"))).count() == 0)
+      // pairs are canonical and unique
+      assert(ov.where(col("store_a") >= col("store_b")).count() == 0)
+      assert(ov.groupBy("store_a", "store_b").count()
+        .where(col("count") > 1).count() == 0)
+      // brute force the first pair with plain Scala sets
+      val row = ov.first()
+      val (sa, sb) = (row.get(row.fieldIndex("store_a")),
+        row.get(row.fieldIndex("store_b")))
+      def productsOf(s: Any): Set[Any] = Star.salesFact(spark, sfSmoke)
+        .where(col("store_id") === s).select("product_id")
+        .distinct().collect().map(_.get(0)).toSet
+      val (pa, pb) = (productsOf(sa), productsOf(sb))
+      assert(row.getLong(row.fieldIndex("n_common")) == (pa & pb).size)
+      assert(row.getDouble(row.fieldIndex("jaccard")) ==
+        (pa & pb).size.toDouble / (pa | pb).size.toDouble)
+    } finally ov.unpersist()
+  }
+
+  test("forecast backtest: wape bounds bias, strict year-1 pairing only") {
+    val bt = EtlQueries.forecastBacktest(spark, sfSmoke).cache()
+    try {
+      assert(bt.count() > 0)
+      // |bias| <= wape always (triangle inequality on the error sums)
+      assert(bt.where(abs(col("bias")) > col("wape") + lit(1e-15)).count() == 0)
+      assert(bt.where(col("wape") < 0).count() == 0)
+      // scored months never exceed the store's months with a prior year
+      val monthly = Star.salesFact(spark, sfSmoke)
+        .groupBy(col("store_id"),
+          expr("CAST(year(time_id) AS INT)").as("year"),
+          expr("CAST(month(time_id) AS INT)").as("month"))
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+        .cache()
+      try {
+        val withPrior = monthly.as("a").join(monthly.as("f"),
+            col("a.store_id") === col("f.store_id") &&
+              col("a.month") === col("f.month") &&
+              col("a.year") === col("f.year") + 1)
+          .groupBy(col("a.store_id").as("store_id"))
+          .agg(count(lit(1)).as("expect"))
+        assert(bt.join(withPrior, Seq("store_id"))
+          .where(col("n_months") =!= col("expect")).count() == 0)
+      } finally monthly.unpersist()
+    } finally bt.unpersist()
+  }
+}
