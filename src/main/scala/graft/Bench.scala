@@ -44,6 +44,11 @@ object Bench {
       // co-purchase edge list (stored, src-bucketed in a deployment) —
       // the PageRank query then times the power iterations only
       graft.ext.GraphOps.coPurchaseEdges(spark, sfDir).count()
+      // supported (>= 2 shared orders) edge set + its degree-ordered
+      // orientation — the triangle query then times wedge join + close,
+      // not graph build
+      graft.ext.GraphOps.supportedCoPurchaseEdges(spark, sfDir).count()
+      graft.ext.GraphOps.orientedCoPurchaseEdges(spark, sfDir).count()
     } catch { case e: Throwable =>
       // visible, not silent: a failed setup shifts warehouse build cost
       // into the first timed queries.

@@ -172,31 +172,59 @@ object GraphOps {
     * knob that keeps the graph sparse and the triangles meaningful
     * (pairs that RELIABLY sell together). Output: per-product triangle
     * participation, products in ≥ 1 triangle. */
+  /** The SUPPORTED co-purchase edge set (canonical u < v, one row per
+    * pair with ≥ `minSupport` distinct shared orders) — session-cached
+    * like [[coPurchaseEdges]]: it is a stored graph artifact a pipeline
+    * materializes once (the fact self-join + support aggregate runs
+    * once per session, not once per reference — the triangle plan
+    * alone reads it four times: two degree joins, the wedge self-join,
+    * the closing join; uncached, each reference re-runs the fact
+    * self-join). */
+  def supportedCoPurchaseEdges(spark: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark,
+      s"graph|$dir|supported_edges|$minSupport") {
+      val fact = graft.etl.Star.salesFact(spark, dir)
+        .select("order_id", "product_id")
+      fact.as("a").join(fact.as("b"),
+          col("a.order_id") === col("b.order_id") &&
+            col("a.product_id") < col("b.product_id"))
+        .groupBy(col("a.product_id").as("u"), col("b.product_id").as("v"))
+        .agg(countDistinct("a.order_id").as("w"))
+        .where(col("w") >= minSupport)
+        .select("u", "v")
+    }
+
+  /** The ORIENTED supported co-purchase edges — session-cached next to
+    * [[supportedCoPurchaseEdges]]: degree-ordered orientation is the
+    * paper's PREPROCESSING step (a stored property of the graph, not of
+    * any query), and the triangle query referencing `oriented` twice
+    * (the wedge self-join) would otherwise recompute the degree
+    * aggregate and both broadcast joins per reference. */
+  def orientedCoPurchaseEdges(spark: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark,
+      s"graph|$dir|oriented_edges|$minSupport") {
+      orientEdges(supportedCoPurchaseEdges(spark, dir, minSupport))
+    }
+
   def triangleCounts(spark: SparkSession, dir: String,
-      minSupport: Int = 2): DataFrame = {
-    val fact = graft.etl.Star.salesFact(spark, dir)
-      .select("order_id", "product_id")
-    val edges = fact.as("a").join(fact.as("b"),
-        col("a.order_id") === col("b.order_id") &&
-          col("a.product_id") < col("b.product_id"))
-      .groupBy(col("a.product_id").as("u"), col("b.product_id").as("v"))
-      .agg(countDistinct("a.order_id").as("w"))
-      .where(col("w") >= minSupport)
-      .select("u", "v")
-    triangleCountsOf(edges)
+      minSupport: Int = 2): DataFrame =
+    trianglesFromOriented(
+      orientedCoPurchaseEdges(spark, dir, minSupport),
+      supportedCoPurchaseEdges(spark, dir, minSupport))
       .select(col("node").as("product_id"), col("triangles"))
       .orderBy(desc("triangles"), asc("product_id"))
-  }
 
-  /** Core of [[triangleCounts]] over an arbitrary canonical (u < v,
-    * distinct) undirected edge frame — per-node triangle participation,
-    * nodes in ≥ 1 triangle. */
-  def triangleCountsOf(edges: DataFrame): DataFrame = {
+  /** Degree-ordered orientation: every canonical (u < v) edge becomes
+    * (s, t) directed from the lower-(degree, id) endpoint to the
+    * higher. The degree table is catalog-sized (one row per product in
+    * a supported pair) — broadcast back to the edge set. */
+  def orientEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("node"))
       .unionByName(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    // catalog-sized (one row per product ever in a supported pair)
-    val oriented = edges
+    edges
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), Seq("u"))
       .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), Seq("v"))
       .select(
@@ -204,6 +232,12 @@ object GraphOps {
           col("u")).otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** Wedge enumeration + closure over a pre-oriented edge frame:
+    * wedges at each edge's lower endpoint, closed against the canonical
+    * edge set, every triangle credited to its three corners. */
+  def trianglesFromOriented(oriented: DataFrame, edges: DataFrame): DataFrame = {
     val tri = oriented.as("x").join(oriented.as("y"),
         col("x.s") === col("y.s") && col("x.t") < col("y.t"))
       // x.t < y.t by the join condition, so (x.t, y.t) is already the
@@ -215,6 +249,12 @@ object GraphOps {
       .unionByName(tri.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Core of [[triangleCounts]] over an arbitrary canonical (u < v,
+    * distinct) undirected edge frame — per-node triangle participation,
+    * nodes in ≥ 1 triangle. Uncached composition (the spec path). */
+  def triangleCountsOf(edges: DataFrame): DataFrame =
+    trianglesFromOriented(orientEdges(edges), edges)
 
   /** Driver-contract entry: PageRank of the product co-purchase graph —
     * "centrality in the basket graph", the classic what-anchors-the-
