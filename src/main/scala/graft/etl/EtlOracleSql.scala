@@ -198,6 +198,29 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** Trend twin: the same exact-bigint OLS sums — never `regr_slope`,
+    * whose double accumulation would not be bit-identical. */
+  val trendSlope: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS x,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |sums AS (
+      |  SELECT store_id, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM monthly GROUP BY store_id
+      |)
+      |SELECT store_id, n,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month
+      |FROM sums
+      |ORDER BY store_id""".stripMargin)
+
   /** Assortment-overlap twin: same co-membership join and
     * inclusion-exclusion union. */
   val storeOverlap: String = star(

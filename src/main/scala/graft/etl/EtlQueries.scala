@@ -364,6 +364,38 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Revenue trend — per-store ordinary-least-squares slope of monthly
+    * revenue against a month index (the "is this store growing"
+    * analytics staple, and the closed-form special case of regression
+    * the warehouse can answer exactly). The slope is computed from the
+    * textbook sums, n·Σxy − Σx·Σy over n·Σx² − (Σx)², ALL IN EXACT
+    * BIGINT (x = months since epoch, y = integer cents): float
+    * accumulation order varies with partitioning, so a double-summed
+    * regression is not reproducible run-to-run — the integer sums are
+    * associative-exact and partial-aggregable (one shuffle), and the
+    * single double division happens once per store at the surface.
+    * Headroom: n·Σxy needs |cents|·months² ≲ 2⁶³ — loud ANSI overflow
+    * beyond, not silent drift. */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+    monthly.groupBy("store_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope_cents_per_month",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select("store_id", "n", "slope_cents_per_month")
+      .orderBy("store_id")
+  }
+
   /** Assortment overlap — product-set Jaccard similarity between every
     * store pair (the "how interchangeable are these two stores"
     * catalog analytics). Co-membership spelling: one self-join of the

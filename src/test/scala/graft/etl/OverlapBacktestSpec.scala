@@ -32,6 +32,29 @@ class OverlapBacktestSpec extends SparkSpec {
     } finally ov.unpersist()
   }
 
+  test("trend slope matches the brute-force exact-integer OLS for every store") {
+    val ts = EtlQueries.trendSlope(spark, sfSmoke)
+    val monthly = Star.salesFact(spark, sfSmoke)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+      .collect().groupBy(_.get(0))
+    val rows = ts.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pts = monthly(r.get(0)).map(p => (p.getInt(1).toLong, p.getLong(2)))
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val expect = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r.getLong(r.fieldIndex("n")) == n)
+      assert(r.getDouble(r.fieldIndex("slope_cents_per_month")) == expect,
+        s"slope drifts for store ${r.get(0)}")
+    }
+  }
+
   test("forecast backtest: wape bounds bias, strict year-1 pairing only") {
     val bt = EtlQueries.forecastBacktest(spark, sfSmoke).cache()
     try {
