@@ -19,6 +19,18 @@ case class CartState(nEvents: Long, total: Double, hasPurchase: Boolean, lastTsM
 case class AbandonedCart(user_id: Long, n_events: Long, total_value: Double,
     last_ts: Timestamp)
 
+/** One keyed event for the rate limiter (the id makes the per-key
+  * order total under equal timestamps). */
+case class RateEvent(user_id: Long, ts: Timestamp, event_id: Long)
+
+/** Token-bucket state per key: fixed-point millitokens + the event-time
+  * of the last decision. Two scalars — never the events. */
+case class BucketState(milliTokens: Long, lastTsMs: Long)
+
+/** One admission decision, emitted per event. */
+case class RateDecision(user_id: Long, ts: Timestamp, event_id: Long,
+    allowed: Boolean, milli_tokens_after: Long)
+
 /** Custom streaming state machines via `flatMapGroupsWithState` — the
   * tier BELOW the built-in operators. Windowed aggs, session windows
   * and stream-stream joins all have native operators here (StreamETL /
@@ -96,6 +108,69 @@ object StatefulOps {
             // so replays with the same data produce the same alerts
             state.setTimeoutTimestamp(s.lastTsMs + gapMs)
             alerts.result().iterator
+          }
+      }
+  }
+
+  /** Per-key EVENT-TIME token bucket — admit at most `capacity` events
+    * per `periodSeconds` per user, with continuous refill; every event
+    * is emitted with its admission decision (the downstream filter picks
+    * `allowed`; emitting decisions rather than dropping keeps the
+    * throttled volume observable). Semantics none of the built-ins
+    * express: the decision for event N depends on the decisions for
+    * events 1..N−1 — a windowed count can cap a window but cannot refill
+    * continuously, and a post-filter cannot see the running balance.
+    *
+    * Determinism contract (same discipline as [[abandonedCarts]]):
+    * tokens are FIXED-POINT MILLITOKENS refilled by integer arithmetic
+    * (`elapsedMs · capacity · 1000 / periodMs`, truncating), events fold
+    * in (ts, event_id) order inside each batch, and refill elapses in
+    * EVENT time — so a replay, a backfill, or a different micro-batch
+    * carving produces identical decisions for in-order arrivals, and
+    * nothing reads the wall clock. State is freed by an event-time
+    * timeout one full refill period after the last event (a full bucket
+    * is indistinguishable from fresh state, so eviction is lossless).
+    * Out-of-order arrivals WITHIN a batch are handled by the sort;
+    * across batches the bucket refuses time travel (`max` with the last
+    * seen ts) rather than silently refunding tokens. */
+  def rateLimit(events: Dataset[RateEvent], capacity: Int = 10,
+      periodSeconds: Int = 60,
+      watermark: String = "10 minutes"): Dataset[RateDecision] = {
+    require(capacity >= 1 && periodSeconds >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val periodMs = periodSeconds * 1000L
+    val fullMilli = capacity * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, RateDecision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[RateEvent], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // a full period elapsed: the bucket is full again — fresh
+            // state is equivalent, so dropping it loses nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(BucketState(fullMilli, Long.MinValue))
+            val out = Seq.newBuilder[RateDecision]
+            val s = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .foldLeft(prev) { (acc, e) =>
+                val nowMs = math.max(acc.lastTsMs, e.ts.getTime)
+                val refill =
+                  if (acc.lastTsMs == Long.MinValue) 0L
+                  else (nowMs - acc.lastTsMs) * fullMilli / periodMs
+                val avail = math.min(fullMilli, acc.milliTokens + refill)
+                val allowed = avail >= 1000L
+                val left = if (allowed) avail - 1000L else avail
+                out += RateDecision(user, e.ts, e.event_id, allowed, left)
+                BucketState(left, nowMs)
+              }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTsMs + periodMs)
+            out.result().iterator
           }
       }
   }
