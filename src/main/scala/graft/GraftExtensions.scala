@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, KmvSketchAgg, Md5Prefix32}
+import graft.functions.{ArrayDotProduct, JaroWinklerSimilarity, KmvSketchAgg, Md5Prefix32}
 
 /** Production `SparkSessionExtensions` hook: registers the engine's
   * custom expressions so a deployment enables them cluster-wide with
@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       KmvSketchAgg.builder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "jaro_winkler expects exactly 2 arguments")
+        JaroWinklerSimilarity(args.head, args(1))
+      }))
   }
 }

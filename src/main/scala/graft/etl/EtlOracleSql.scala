@@ -198,6 +198,31 @@ object EtlOracleSql {
       |ORDER BY streak_days DESC, product_id
       |LIMIT 100""".stripMargin)
 
+  /** Jaro-Winkler twin: DuckDB's native `jaro_winkler_similarity` IS
+    * the pinned contract the engine's codegen expression replicates —
+    * the rank's (jw DESC, match_id ASC) mirrors the struct-max. */
+  val jwBestMatch: String = star(
+    """, blocked AS (
+      |  SELECT customer_id, customer_name,
+      |         substr(customer_name, 1, 16) AS blk
+      |  FROM dim_customer
+      |),
+      |pairs AS (
+      |  SELECT a.customer_id, b.customer_id AS match_id,
+      |         jaro_winkler_similarity(a.customer_name, b.customer_name) AS jw
+      |  FROM blocked a JOIN blocked b
+      |    ON a.blk = b.blk AND a.customer_id <> b.customer_id
+      |),
+      |r AS (
+      |  SELECT customer_id, match_id, jw,
+      |         row_number() OVER (PARTITION BY customer_id
+      |                            ORDER BY jw DESC, match_id ASC) AS rn
+      |  FROM pairs
+      |)
+      |SELECT customer_id, match_id AS best_match_id, jw
+      |FROM r WHERE rn = 1
+      |ORDER BY customer_id""".stripMargin)
+
   /** Trend twin: the same exact-bigint OLS sums — never `regr_slope`,
     * whose double accumulation would not be bit-identical. */
   val trendSlope: String = star(

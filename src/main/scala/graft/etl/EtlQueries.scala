@@ -629,6 +629,38 @@ object EtlQueries {
       .orderBy("customer_a", "customer_b")
   }
 
+  /** Best fuzzy match per customer under JARO-WINKLER — the other half
+    * of the record-linkage pair next to [[entityMatch]]'s Levenshtein:
+    * within each blocking group, every customer's single most-similar
+    * other name (argmax similarity, ties to the lower id), scored by
+    * the native codegen [[graft.functions.JaroWinklerSimilarity]]
+    * expression — pinned bit-for-bit to DuckDB's
+    * `jaro_winkler_similarity`, so a DOUBLE similarity is hash-exact
+    * across engines. Same candidates-then-verify shape as entityMatch
+    * (directed in-block pairs, explicit-count repartition before the
+    * per-pair scoring); the argmax is one struct-max aggregate, not a
+    * window over the pair fan-out. */
+  def jwBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Star.dimCustomer(spark, dir)
+      .select(col("customer_id"), col("customer_name"),
+        expr("substring(customer_name, 1, 16)").as("blk"))
+    val probe = blocked.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("blk"))
+    probe.as("a").join(broadcast(blocked).as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.customer_id") =!= col("b.customer_id"))
+      .select(col("a.customer_id").as("customer_id"),
+        col("b.customer_id").as("match_id"),
+        graft.functions.JaroWinkler.jw(
+          col("a.customer_name"), col("b.customer_name")).as("jw"))
+      .groupBy("customer_id")
+      .agg(max(struct(col("jw"), (-col("match_id")).as("nm"))).as("best"))
+      .select(col("customer_id"),
+        (-col("best.nm")).as("best_match_id"),
+        col("best.jw").as("jw"))
+      .orderBy("customer_id")
+  }
+
   /** Calendar-spine gap filling — every (store, month) cell of the
     * reference year, zero-filled where no sales happened. Aggregates
     * over the fact table only emit PRESENT groups; a report (or a

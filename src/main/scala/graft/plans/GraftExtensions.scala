@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, Md5Prefix32}
+import graft.functions.{ArrayDotProduct, JaroWinklerSimilarity, Md5Prefix32}
 
 /** The library's `spark.sql.extensions` entry point — the deployment
   * path for the custom tier: a cluster configured with
@@ -49,5 +49,8 @@ object GraftExtensions {
       build2("array_dot", ArrayDotProduct.apply) _),
     (FunctionIdentifier("md5_prefix32"),
       new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
-      build1("md5_prefix32", Md5Prefix32.apply) _))
+      build1("md5_prefix32", Md5Prefix32.apply) _),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
+      build2("jaro_winkler", JaroWinklerSimilarity.apply) _))
 }

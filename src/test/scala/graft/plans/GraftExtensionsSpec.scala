@@ -62,11 +62,13 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     // the injected builders construct the native expressions
-    val Seq(dot, md5) = GraftExtensions.functions
-    assert(dot._1.funcName == "array_dot" && md5._1.funcName == "md5_prefix32")
+    val Seq(dot, md5, jw) = GraftExtensions.functions
+    assert(dot._1.funcName == "array_dot" && md5._1.funcName == "md5_prefix32" &&
+      jw._1.funcName == "jaro_winkler")
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1)
     assert(dot._3(Seq(lit, lit)).isInstanceOf[graft.functions.ArrayDotProduct])
     assert(md5._3(Seq(lit)).isInstanceOf[graft.functions.Md5Prefix32])
+    assert(jw._3(Seq(lit, lit)).isInstanceOf[graft.functions.JaroWinklerSimilarity])
     intercept[IllegalArgumentException](dot._3(Seq(lit)))
   }
 }
