@@ -223,6 +223,42 @@ object EtlOracleSql {
       |FROM r WHERE rn = 1
       |ORDER BY customer_id""".stripMargin)
 
+  /** RFM twin: identical total-ordered ntiles and the same corpus-max
+    * recency anchor. */
+  val rfmSegments: String = star(
+    """, per_cust AS (
+      |  SELECT customer_id,
+      |         max(CAST(time_id AS DATE)) AS last_day,
+      |         count(DISTINCT order_id) AS frequency,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT)
+      |           AS monetary_cents
+      |  FROM sales_fact GROUP BY customer_id
+      |),
+      |anchor AS (SELECT max(CAST(time_id AS DATE)) AS anchor_day FROM sales_fact),
+      |scored AS (
+      |  SELECT p.customer_id,
+      |         CAST(date_diff('day', p.last_day, a.anchor_day) AS INT)
+      |           AS recency_days,
+      |         p.frequency, p.monetary_cents
+      |  FROM per_cust p, anchor a
+      |),
+      |q AS (
+      |  SELECT *,
+      |    CAST(ntile(4) OVER (ORDER BY recency_days, customer_id) AS INT)
+      |      AS r_quartile,
+      |    CAST(ntile(4) OVER (ORDER BY frequency, customer_id) AS INT)
+      |      AS f_quartile,
+      |    CAST(ntile(4) OVER (ORDER BY monetary_cents, customer_id) AS INT)
+      |      AS m_quartile
+      |  FROM scored
+      |)
+      |SELECT customer_id, recency_days, frequency, monetary_cents,
+      |       r_quartile, f_quartile, m_quartile,
+      |       CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR) ||
+      |         CAST(m_quartile AS VARCHAR) AS segment
+      |FROM q
+      |ORDER BY customer_id""".stripMargin)
+
   /** Trend twin: the same exact-bigint OLS sums — never `regr_slope`,
     * whose double accumulation would not be bit-identical. */
   val trendSlope: String = star(

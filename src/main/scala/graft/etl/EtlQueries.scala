@@ -364,6 +364,45 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** RFM segmentation — the classic customer-mart operator: recency
+    * (days since last purchase, against the CORPUS max date so the
+    * score is reproducible — never the wall clock), frequency (distinct
+    * orders) and monetary (exact cents), each quartiled by `ntile(4)`
+    * over a TOTAL order (metric, then customer_id — an untied ntile is
+    * partition luck), composed into the three-digit segment label.
+    * Recency quartile 1 = most recent (ascending days), frequency and
+    * monetary quartile 4 = best (ascending value) — the standard
+    * convention. One fact scan into a customer-sized aggregate; the
+    * three ntiles are unpartitioned windows over the CUSTOMER table
+    * (dimension-sized — the documented bounded-window exception, same
+    * as the quarter mapping), and the corpus max date rides in as a
+    * broadcast-crossed 1-row aggregate. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Star.salesFact(spark, dir)
+      .groupBy("customer_id")
+      .agg(
+        max(col("time_id").cast("date")).as("last_day"),
+        countDistinct("order_id").as("frequency"),
+        sum((col("total_revenue") * 100).cast("long")).as("monetary_cents"))
+    val anchor = Star.salesFact(spark, dir)
+      .agg(max(col("time_id").cast("date")).as("anchor_day"))
+    perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor_day"), col("last_day")))
+      .withColumn("r_quartile",
+        ntile(4).over(Window.orderBy(col("recency_days"), col("customer_id"))))
+      .withColumn("f_quartile",
+        ntile(4).over(Window.orderBy(col("frequency"), col("customer_id"))))
+      .withColumn("m_quartile",
+        ntile(4).over(Window.orderBy(col("monetary_cents"), col("customer_id"))))
+      .withColumn("segment",
+        concat(col("r_quartile"), col("f_quartile"), col("m_quartile")))
+      .select("customer_id", "recency_days", "frequency", "monetary_cents",
+        "r_quartile", "f_quartile", "m_quartile", "segment")
+      .orderBy("customer_id")
+  }
+
   /** Revenue trend — per-store ordinary-least-squares slope of monthly
     * revenue against a month index (the "is this store growing"
     * analytics staple, and the closed-form special case of regression

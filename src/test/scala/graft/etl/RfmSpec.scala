@@ -1,0 +1,41 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RFM segmentation invariants on the sf0.001 smoke fact; exact values
+  * pinned by the DuckDB twin (`etl_rfm`). */
+class RfmSpec extends SparkSpec {
+
+  test("quartiles balance, segment is the quartile concat, metrics reconcile") {
+    val rfm = EtlQueries.rfmSegments(spark, sfSmoke).cache()
+    try {
+      val n = rfm.count()
+      assert(n > 0)
+      // ntile(4) balance: sizes differ by at most 1, all four occupied
+      for (c <- Seq("r_quartile", "f_quartile", "m_quartile")) {
+        val sizes = rfm.groupBy(c).count().collect().map(_.getLong(1))
+        assert(sizes.length == 4, s"$c does not cover 4 quartiles")
+        assert(sizes.max - sizes.min <= 1, s"$c unbalanced: ${sizes.toSeq}")
+      }
+      // segment is exactly the three digits
+      assert(rfm.where(col("segment") =!=
+        concat(col("r_quartile"), col("f_quartile"), col("m_quartile")))
+        .count() == 0)
+      // someone bought on the anchor day ⇒ a zero recency exists,
+      // and it sits in quartile 1 (most recent = lowest days)
+      val zero = rfm.where(col("recency_days") === 0)
+      assert(zero.count() > 0)
+      assert(zero.where(col("r_quartile") =!= 1).count() == 0)
+      // quartile boundaries are monotone in the metric: the max of
+      // quartile q never exceeds the min of quartile q+1
+      val m = rfm.groupBy("m_quartile")
+        .agg(min("monetary_cents").as("lo"), max("monetary_cents").as("hi"))
+        .orderBy("m_quartile").collect()
+      m.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(2) <= b.getLong(1),
+          "monetary quartiles overlap beyond the boundary")
+      }
+    } finally rfm.unpersist()
+  }
+}
