@@ -223,6 +223,45 @@ object EtlOracleSql {
       |FROM r WHERE rn = 1
       |ORDER BY customer_id""".stripMargin)
 
+  /** Churn twin: the same shifted full-outer classification and
+    * double-spine restriction. */
+  val assortmentChurn: String = star(
+    """, pres AS (
+      |  SELECT DISTINCT store_id, product_id,
+      |         CAST(year(time_id) AS INT) * 4 +
+      |           (CAST(quarter(time_id) AS INT) - 1) AS qi
+      |  FROM sales_fact
+      |),
+      |spine AS (SELECT DISTINCT qi FROM pres),
+      |j AS (
+      |  SELECT COALESCE(c.store_id, p.store_id) AS store_id,
+      |         COALESCE(c.qi, p.qi + 1) AS qi,
+      |         c.qi IS NOT NULL AS in_cur,
+      |         p.qi IS NOT NULL AS in_prev
+      |  FROM pres c
+      |  FULL OUTER JOIN pres p
+      |    ON c.store_id = p.store_id AND c.product_id = p.product_id
+      |   AND c.qi = p.qi + 1
+      |),
+      |churn AS (
+      |  SELECT store_id, qi,
+      |         CAST(sum(CASE WHEN in_cur AND NOT in_prev THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_added,
+      |         CAST(sum(CASE WHEN NOT in_cur AND in_prev THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_dropped,
+      |         CAST(sum(CASE WHEN in_cur AND in_prev THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_kept
+      |  FROM j GROUP BY store_id, qi
+      |)
+      |SELECT store_id,
+      |       CAST(qi // 4 AS INT) AS year,
+      |       CAST(qi % 4 + 1 AS INT) AS quarter,
+      |       n_added, n_dropped, n_kept
+      |FROM churn
+      |WHERE qi IN (SELECT qi FROM spine)
+      |  AND qi - 1 IN (SELECT qi FROM spine)
+      |ORDER BY store_id, year, quarter""".stripMargin)
+
   /** RFM twin: identical total-ordered ntiles and the same corpus-max
     * recency anchor. */
   val rfmSegments: String = star(

@@ -364,6 +364,55 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Assortment churn — per store and quarter, how the product set
+    * changed against the PREVIOUS quarter: added / dropped / kept
+    * counts (the temporal set-difference family next to the
+    * key-instant [[graft.etl.Cdc]] pair — here the "key" is a period
+    * and the diff walks the whole calendar in ONE full-outer join).
+    * The presence table (store, product, quarter-index) is deduped
+    * once; the previous quarter arrives by shifting qi+1 — never a
+    * per-quarter loop — and one aggregate classifies every
+    * (store, product, quarter) cell as added (present now only),
+    * dropped (present before only) or kept. Quarters with no
+    * predecessor in the data are excluded by a broadcast semi-join on
+    * the quarter spine (the first quarter is not "all added"; it is
+    * undefined). */
+  def assortmentChurn(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Star.salesFact(spark, dir)
+      .select(col("store_id"), col("product_id"),
+        (expr("CAST(year(time_id) AS INT)") * 4 +
+          (expr("CAST(quarter(time_id) AS INT)") - 1)).as("qi"))
+      .distinct()
+    val cur = pres.withColumn("in_cur", lit(1))
+    val prevShift = pres
+      .select(col("store_id"), col("product_id"), (col("qi") + 1).as("qi"))
+      .withColumn("in_prev", lit(1))
+    val spine = pres.select("qi").distinct()
+    val churn = cur
+      .join(prevShift, Seq("store_id", "product_id", "qi"), "full")
+      .groupBy("store_id", "qi")
+      .agg(
+        sum(when(col("in_cur").isNotNull && col("in_prev").isNull, 1)
+          .otherwise(0)).as("n_added"),
+        sum(when(col("in_cur").isNull && col("in_prev").isNotNull, 1)
+          .otherwise(0)).as("n_dropped"),
+        sum(when(col("in_cur").isNotNull && col("in_prev").isNotNull, 1)
+          .otherwise(0)).as("n_kept"))
+    churn
+      // both the quarter itself and its predecessor must exist in the
+      // data: without the first semi-join the shifted last quarter + 1
+      // would surface as an all-dropped artifact row
+      .join(broadcast(spine), Seq("qi"), "left_semi")
+      .join(broadcast(spine.select((col("qi") + 1).as("qi"))), Seq("qi"),
+        "left_semi")
+      .select(
+        col("store_id"),
+        expr("CAST(qi div 4 AS INT)").as("year"),
+        expr("CAST(qi % 4 + 1 AS INT)").as("quarter"),
+        col("n_added"), col("n_dropped"), col("n_kept"))
+      .orderBy("store_id", "year", "quarter")
+  }
+
   /** RFM segmentation — the classic customer-mart operator: recency
     * (days since last purchase, against the CORPUS max date so the
     * score is reproducible — never the wall clock), frequency (distinct

@@ -32,6 +32,32 @@ class OverlapBacktestSpec extends SparkSpec {
     } finally ov.unpersist()
   }
 
+  test("assortment churn conserves set sizes across consecutive quarters") {
+    val churn = EtlQueries.assortmentChurn(spark, sfSmoke).cache()
+    try {
+      assert(churn.count() > 0)
+      val sizes = Star.salesFact(spark, sfSmoke)
+        .select(col("store_id"), col("product_id"),
+          (expr("CAST(year(time_id) AS INT)") * 4 +
+            (expr("CAST(quarter(time_id) AS INT)") - 1)).as("qi"))
+        .distinct()
+        .groupBy("store_id", "qi").agg(count(lit(1)).as("n"))
+      val keyed = churn.withColumn("qi", col("year") * 4 + (col("quarter") - 1))
+      // kept + added == the quarter's assortment; kept + dropped == the
+      // previous quarter's — inclusion-exclusion bookkeeping must close
+      val withCur = keyed.join(sizes, Seq("store_id", "qi"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      assert(withCur.where(col("n_kept") + col("n_added") =!= col("n"))
+        .count() == 0, "kept+added != current assortment size")
+      val withPrev = keyed
+        .withColumn("qi", col("qi") - 1)
+        .join(sizes, Seq("store_id", "qi"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      assert(withPrev.where(col("n_kept") + col("n_dropped") =!= col("n"))
+        .count() == 0, "kept+dropped != previous assortment size")
+    } finally churn.unpersist()
+  }
+
   test("trend slope matches the brute-force exact-integer OLS for every store") {
     val ts = EtlQueries.trendSlope(spark, sfSmoke)
     val monthly = Star.salesFact(spark, sfSmoke)
