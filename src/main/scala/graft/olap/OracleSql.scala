@@ -459,6 +459,37 @@ object OracleSql {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY store_id, year, month""".stripMargin)
 
+  /** Q27 twin: same exact-count rules, same (lift DESC, confidence
+    * DESC, pair ASC) total order. */
+  val q27: String = star(
+    """, basket AS (SELECT DISTINCT order_id, product_id FROM sales_fact),
+      |per_product AS (
+      |  SELECT product_id AS p, count(*) AS n_p FROM basket GROUP BY 1
+      |),
+      |pairs AS (
+      |  SELECT a.product_id AS u, b.product_id AS v, count(*) AS n_ab
+      |  FROM basket a JOIN basket b
+      |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |),
+      |total AS (SELECT count(DISTINCT order_id) AS n_orders FROM basket),
+      |directed AS (
+      |  SELECT u AS antecedent, v AS consequent, n_ab FROM pairs
+      |  UNION ALL
+      |  SELECT v, u, n_ab FROM pairs
+      |)
+      |SELECT d.antecedent, d.consequent, d.n_ab,
+      |       pa.n_p AS n_ante, pc.n_p AS n_cons,
+      |       CAST(d.n_ab AS DOUBLE) / CAST(pa.n_p AS DOUBLE) AS confidence,
+      |       CAST(d.n_ab * t.n_orders AS DOUBLE)
+      |         / CAST(pa.n_p * pc.n_p AS DOUBLE) AS lift
+      |FROM directed d
+      |JOIN per_product pa ON d.antecedent = pa.p
+      |JOIN per_product pc ON d.consequent = pc.p
+      |CROSS JOIN total t
+      |ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+      |LIMIT 100""".stripMargin)
+
   /** Q26 twin: deliberately the DIRECT long aggregate, not a melt of
     * the wide table — the differential then proves unpivot ∘ pivot is
     * the identity on populated cells. */

@@ -764,6 +764,52 @@ object Queries {
       .orderBy("store_id", "year", "month")
   }
 
+  /** Q27 (extension): ASSOCIATION RULES over baskets — the directed
+    * completion of Q6's co-occurrence counts: for every supported
+    * product pair, both rules a→b and b→a with support count,
+    * confidence n_ab/n_a and lift n_ab·N/(n_a·n_b). All counts are
+    * exact bigints from ONE distinct (order, product) table — the pair
+    * self-join is per-order bounded (basket size ≤ 7 lines), the
+    * per-product order counts broadcast back, N rides in as a 1-row
+    * broadcast cross — and the two ratios are single double divisions
+    * of exact integer products (n_ab·N fits int64 comfortably at any
+    * SF this schema reaches). Top-k by lift via `TakeOrderedAndProject`
+    * (bounded, never a global sort). */
+  def q27Rules(spark: SparkSession, dir: String, minSupport: Int = 2,
+      k: Int = 100): DataFrame = {
+    val basket = Star.salesFact(spark, dir)
+      .select("order_id", "product_id").distinct()
+    val perProduct = basket.groupBy(col("product_id").as("p"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = basket.as("a").join(basket.as("b"),
+        col("a.order_id") === col("b.order_id") &&
+          col("a.product_id") < col("b.product_id"))
+      .groupBy(col("a.product_id").as("u"), col("b.product_id").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val total = basket.select("order_id").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val directed = pairs
+      .select(col("u").as("antecedent"), col("v").as("consequent"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("v").as("antecedent"), col("u").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(perProduct.select(col("p").as("antecedent"),
+        col("n_p").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(perProduct.select(col("p").as("consequent"),
+        col("n_p").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .withColumn("confidence",
+        col("n_ab").cast("double") / col("n_ante").cast("double"))
+      .withColumn("lift", (col("n_ab") * col("n_orders")).cast("double") /
+        (col("n_ante") * col("n_cons")).cast("double"))
+      .select("antecedent", "consequent", "n_ab", "n_ante", "n_cons",
+        "confidence", "lift")
+      .orderBy(desc("lift"), desc("confidence"), asc("antecedent"),
+        asc("consequent"))
+      .limit(k)
+  }
+
   /** Q25 (extension): grouped EXACT percentile family — per store, the
     * order-value distribution (median / p90 / p99 over each order's
     * store subtotal) plus count and range. Values are integer cents, so

@@ -168,6 +168,28 @@ class OlapPropertySpec extends SparkSpec {
     } finally div.unpersist()
   }
 
+  test("association rules: ratios rebuild from counts, lift is direction-symmetric") {
+    val rules = Queries.q27Rules(spark, sfSmoke).cache()
+    try {
+      val rows = rules.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (nab, na, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(r.get(0) != r.get(1))
+        assert(nab <= math.min(na, nc), "pair count exceeds a marginal")
+        assert(r.getDouble(5) == nab.toDouble / na.toDouble)
+      }
+      // lift is symmetric in direction: a→b and b→a carry the same lift
+      val byPair = rows.groupBy(r => Set(r.get(0), r.get(1)))
+      byPair.values.filter(_.length == 2).foreach { pair =>
+        assert(pair(0).getDouble(6) == pair(1).getDouble(6))
+      }
+      // output is lift-descending
+      val lifts = rows.map(_.getDouble(6))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    } finally rules.unpersist()
+  }
+
   test("unpivot of the pivot equals the direct long aggregate") {
     val melted = Queries.q26Unpivot(spark, sfSmoke)
     val time = Star.dimTime(spark, sfSmoke).select("time_id", "quarter")
