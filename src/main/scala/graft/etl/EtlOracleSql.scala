@@ -262,6 +262,26 @@ object EtlOracleSql {
       |  AND qi - 1 IN (SELECT qi FROM spine)
       |ORDER BY store_id, year, quarter""".stripMargin)
 
+  /** Theil-Sen twin: same pairwise slopes, `quantile_cont` median. */
+  val theilSenSlope: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS x,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |slopes AS (
+      |  SELECT a.store_id,
+      |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM monthly a JOIN monthly b
+      |    ON a.store_id = b.store_id AND a.x < b.x
+      |)
+      |SELECT store_id, count(*) AS n_pairs,
+      |       quantile_cont(slope, 0.5) AS theil_sen_slope
+      |FROM slopes GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** RFM twin: identical total-ordered ntiles and the same corpus-max
     * recency anchor. */
   val rfmSegments: String = star(

@@ -413,6 +413,33 @@ object EtlQueries {
       .orderBy("store_id", "year", "quarter")
   }
 
+  /** Theil-Sen robust trend — the median of all pairwise slopes of the
+    * store's monthly series, the breakdown-resistant companion to
+    * [[trendSlope]]'s OLS (one wild month moves OLS arbitrarily; the
+    * pairwise-slope median shrugs off up to ~29 % outliers). The pair
+    * fan-out is per-store calendar-bounded (C(months, 2) ≤ ~3.5k — a
+    * self-join on the MONTHLY aggregate, never the fact), each slope
+    * is one double division of exact integers, and the median is the
+    * same interpolated `percentile` == `quantile_cont` contract as
+    * [[madOutliers]]. */
+  def theilSenSlope(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+    monthly.as("a").join(monthly.as("b"),
+        col("a.store_id") === col("b.store_id") && col("a.x") < col("b.x"))
+      .select(col("a.store_id").as("store_id"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      .groupBy("store_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, CAST(0.5 AS DOUBLE))").as("theil_sen_slope"))
+      .orderBy("store_id")
+  }
+
   /** RFM segmentation — the classic customer-mart operator: recency
     * (days since last purchase, against the CORPUS max date so the
     * score is reproducible — never the wall clock), frequency (distinct

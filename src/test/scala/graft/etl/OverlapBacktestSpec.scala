@@ -81,6 +81,34 @@ class OverlapBacktestSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen slope is the brute-force pairwise-slope median and sits in the slope range") {
+    val ts = EtlQueries.theilSenSlope(spark, sfSmoke)
+    val monthly = Star.salesFact(spark, sfSmoke)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+      .collect().groupBy(_.get(0))
+    ts.collect().foreach { r =>
+      val pts = monthly(r.get(0)).map(p => (p.getInt(1), p.getLong(2)))
+      val slopes = (for {
+        (a, i) <- pts.zipWithIndex; b <- pts.drop(i + 1)
+        if a._1 != b._1
+      } yield {
+        val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+        (hi._2 - lo._2).toDouble / (hi._1 - lo._1).toDouble
+      }).sorted
+      assert(r.getLong(r.fieldIndex("n_pairs")) == slopes.length)
+      val pos = (slopes.length - 1) * 0.5
+      val lo = pos.toInt
+      val expect =
+        if (lo + 1 >= slopes.length) slopes.last
+        else slopes(lo) + (pos - lo) * (slopes(lo + 1) - slopes(lo))
+      assert(r.getDouble(r.fieldIndex("theil_sen_slope")) == expect,
+        s"median slope drifts for store ${r.get(0)}")
+    }
+  }
+
   test("forecast backtest: wape bounds bias, strict year-1 pairing only") {
     val bt = EtlQueries.forecastBacktest(spark, sfSmoke).cache()
     try {
