@@ -180,20 +180,29 @@ object GraphOps {
     * alone reads it four times: two degree joins, the wedge self-join,
     * the closing join; uncached, each reference re-runs the fact
     * self-join). */
-  def supportedCoPurchaseEdges(spark: SparkSession, dir: String,
+  /** Weighted co-purchase pair counts (canonical u < v, `n_ab` =
+    * distinct shared orders, kept at ≥ `minSupport`) — the ONE stored
+    * basket-pair artifact both the triangle graph and the
+    * association-rule miner derive from (the fact self-join +
+    * support aggregate is the expensive part; everything downstream is
+    * pair-table-sized). */
+  def coPurchasePairCounts(spark: SparkSession, dir: String,
       minSupport: Int = 2): DataFrame =
     graft.util.SessionCache.getOrBuild(spark,
-      s"graph|$dir|supported_edges|$minSupport") {
-      val fact = graft.etl.Star.salesFact(spark, dir)
-        .select("order_id", "product_id")
-      fact.as("a").join(fact.as("b"),
+      s"graph|$dir|pair_counts|$minSupport") {
+      val basket = graft.etl.Star.salesFact(spark, dir)
+        .select("order_id", "product_id").distinct()
+      basket.as("a").join(basket.as("b"),
           col("a.order_id") === col("b.order_id") &&
             col("a.product_id") < col("b.product_id"))
         .groupBy(col("a.product_id").as("u"), col("b.product_id").as("v"))
-        .agg(countDistinct("a.order_id").as("w"))
-        .where(col("w") >= minSupport)
-        .select("u", "v")
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= minSupport)
     }
+
+  def supportedCoPurchaseEdges(spark: SparkSession, dir: String,
+      minSupport: Int = 2): DataFrame =
+    coPurchasePairCounts(spark, dir, minSupport).select("u", "v")
 
   /** The ORIENTED supported co-purchase edges — session-cached next to
     * [[supportedCoPurchaseEdges]]: degree-ordered orientation is the

@@ -781,12 +781,8 @@ object Queries {
       .select("order_id", "product_id").distinct()
     val perProduct = basket.groupBy(col("product_id").as("p"))
       .agg(count(lit(1)).as("n_p"))
-    val pairs = basket.as("a").join(basket.as("b"),
-        col("a.order_id") === col("b.order_id") &&
-          col("a.product_id") < col("b.product_id"))
-      .groupBy(col("a.product_id").as("u"), col("b.product_id").as("v"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minSupport)
+    // the stored basket-pair artifact shared with the triangle graph
+    val pairs = graft.ext.GraphOps.coPurchasePairCounts(spark, dir, minSupport)
     val total = basket.select("order_id").distinct()
       .agg(count(lit(1)).as("n_orders"))
     val directed = pairs
