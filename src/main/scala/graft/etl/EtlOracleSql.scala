@@ -877,6 +877,36 @@ object EtlOracleSql {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Session-path twin: the same gap-island sessionization as
+    * [[eventSessions]], paths via ORDER BY-ed string_agg (the (ts,
+    * event_id) order mirrors the engine's struct sort). */
+  val sessionPaths: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL 30 MINUTE
+      |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |),
+      |numbered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         SUM(new_session) OVER (
+      |           PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |         ) AS session_id
+      |  FROM flagged
+      |),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM numbered GROUP BY user_id, session_id
+      |)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC
+      |LIMIT 50""".stripMargin
+
   /** Erasure-audit twin: the same every-97th request list, counted with
     * FILTER instead of the engine's broadcast flag join. */
   val forgetCustomer: String = star(

@@ -230,6 +230,28 @@ object EtlQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** Session path analysis — the most common WHOLE-SESSION event-type
+    * sequences (the "how do users actually move through the product"
+    * report; [[eventTransitions]] is its one-step marginal). Sessions
+    * are the same 30-minute-gap `session_window`s as
+    * [[eventSessions]]; each session's path is assembled
+    * DETERMINISTICALLY by sorting the collected (ts, event_id, type)
+    * structs — a bare `collect_list` order is partition luck, and a
+    * path column built from it would differ run to run. Per-session
+    * state is gap-bounded (the bounded-group trade, as with exact
+    * percentiles); the path table then aggregates to a bounded
+    * TakeOrdered top-k. */
+  def sessionPaths(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Star.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(expr("concat_ws('>', transform(" +
+        "array_sort(collect_list(struct(ts, event_id, event_type)))," +
+        " e -> e.event_type)) AS path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(k)
+
   /** Right-to-erasure audit ([[Retention.forgetCustomers]]): per
     * customer-keyed table, rows before/deleted/after the scrub. */
   def forgetCustomer(spark: SparkSession, dir: String): DataFrame =

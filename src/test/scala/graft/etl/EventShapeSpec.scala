@@ -25,6 +25,24 @@ class EventShapeSpec extends SparkSpec {
     } finally p.unpersist()
   }
 
+  test("session paths: session totals reconcile, tokens are real event types") {
+    // sf0.001 smoke has few sessions — every path survives the top-k,
+    // so the path-table row count must equal the session count
+    val paths = EtlQueries.sessionPaths(spark, sfSmoke, k = 1000000).cache()
+    try {
+      val nSessions = EtlQueries.eventSessions(spark, sfSmoke).count()
+      val pathTotal = paths.agg(sum("n_sessions")).first().getLong(0)
+      assert(pathTotal == nSessions,
+        s"paths account for $pathTotal sessions, expected $nSessions")
+      val types = Star.events(spark, sfSmoke).select("event_type")
+        .distinct().collect().map(_.getString(0)).toSet
+      paths.select("path").collect().foreach { r =>
+        r.getString(0).split(">").foreach(t =>
+          assert(types.contains(t), s"unknown event type '$t' in a path"))
+      }
+    } finally paths.unpersist()
+  }
+
   test("hopping windows: every event covered by exactly 4 windows; tumbling is the marginal") {
     val s = EtlQueries.eventsSliding(spark, sfSmoke).cache()
     try {
