@@ -262,6 +262,63 @@ object EtlOracleSql {
       |  AND qi - 1 IN (SELECT qi FROM spine)
       |ORDER BY store_id, year, quarter""".stripMargin)
 
+  /** Rolling-median twin: same 3-window contribution explode and
+    * `quantile_cont` median, real-month restriction via IN. */
+  val rollingMedian: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS x,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |contrib AS (
+      |  SELECT store_id, x + i AS wx, y
+      |  FROM monthly CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
+      |),
+      |med AS (
+      |  SELECT store_id, wx, CAST(count(*) AS INT) AS n_in_window,
+      |         quantile_cont(y, 0.5) AS rolling_median_cents
+      |  FROM contrib GROUP BY store_id, wx
+      |)
+      |SELECT m.store_id,
+      |       CAST((m.wx - 1) // 12 AS INT) AS year,
+      |       CAST((m.wx - 1) % 12 + 1 AS INT) AS month,
+      |       m.n_in_window, m.rolling_median_cents
+      |FROM med m
+      |WHERE EXISTS (SELECT 1 FROM monthly o
+      |              WHERE o.store_id = m.store_id AND o.x = m.wx)
+      |ORDER BY m.store_id, year, month""".stripMargin)
+
+  /** Returns twin: identical floor-cents integerization and
+    * conditional sums. */
+  val returnRates: String =
+    """SELECT s.s_nationkey AS store_id,
+      |       CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT)
+      |         AS qty_total,
+      |       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |                THEN CAST(floor(l.l_quantity) AS BIGINT)
+      |                ELSE 0 END) AS BIGINT) AS qty_returned,
+      |       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |         AS BIGINT) AS cents_total,
+      |       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |                THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+      |                ELSE 0 END) AS BIGINT) AS cents_returned,
+      |       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |                THEN CAST(floor(l.l_quantity) AS BIGINT) ELSE 0 END)
+      |          AS DOUBLE)
+      |         / CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS DOUBLE)
+      |         AS qty_return_rate,
+      |       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |                THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+      |                ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |             AS DOUBLE) AS revenue_return_rate
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_nationkey
+      |ORDER BY store_id""".stripMargin
+
   /** Theil-Sen twin: same pairwise slopes, `quantile_cont` median. */
   val theilSenSlope: String = star(
     """, monthly AS (

@@ -435,6 +435,69 @@ object EtlQueries {
       .orderBy("store_id", "year", "quarter")
   }
 
+  /** Trailing 3-month rolling MEDIAN of monthly revenue — the robust
+    * moving average (Q22's trailing mean breaks on one wild month; the
+    * window median does not). Spark windows cannot host `percentile`,
+    * and a rank-within-frame emulation sorts the partition per row —
+    * instead the [[rollingActive]] EXPLODE trick: each month
+    * contributes its cents to the 3 windows it covers (bounded 3×
+    * fan-out, partial-aggregable grouping), one exact interpolated
+    * median per (store, window), then a semi-join back to real months
+    * so phantom windows after gaps don't surface. Medians run on exact
+    * integer cents under the `percentile` == `quantile_cont`
+    * contract. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+    val contrib = monthly.select(col("store_id"),
+      explode(array(col("x"), col("x") + 1, col("x") + 2)).as("wx"),
+      col("y"))
+    contrib.groupBy("store_id", "wx")
+      .agg(
+        count(lit(1)).cast("int").as("n_in_window"),
+        expr("percentile(y, CAST(0.5 AS DOUBLE))").as("rolling_median_cents"))
+      .join(monthly.select(col("store_id"), col("x").as("wx")),
+        Seq("store_id", "wx"), "left_semi")
+      .select(col("store_id"),
+        expr("CAST((wx - 1) div 12 AS INT)").as("year"),
+        expr("CAST((wx - 1) % 12 + 1 AS INT)").as("month"),
+        col("n_in_window"), col("rolling_median_cents"))
+      .orderBy("store_id", "year", "month")
+  }
+
+  /** Returns analysis — per store, ordered vs RETURNED quantity and
+    * revenue (`l_returnflag = 'R'`, the line-status signal the star
+    * fact deliberately drops and this report reads from the raw
+    * lineitem): conditional sums in exact integers (the
+    * [[graft.ext.BloomOps]] floor-cents convention — the raw prices
+    * are doubles, so the integerization is floor(x·100) stated
+    * identically in both engines), return rates as single double
+    * divisions. One scan, one broadcast dim join, one
+    * partial-aggregable conditional aggregate — the A4 conditional-
+    * aggregation family applied to the raw-table tier. */
+  def returnRates(spark: SparkSession, dir: String): DataFrame = {
+    val l = Star.table(spark, dir, "lineitem")
+    val s = Star.table(spark, dir, "supplier")
+    val ret = col("l_returnflag") === "R"
+    val qty = expr("CAST(floor(l_quantity) AS BIGINT)")
+    val cents = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("store_id"))
+      .agg(
+        sum(qty).as("qty_total"),
+        sum(when(ret, qty).otherwise(0L)).as("qty_returned"),
+        sum(cents).as("cents_total"),
+        sum(when(ret, cents).otherwise(0L)).as("cents_returned"))
+      .withColumn("qty_return_rate",
+        col("qty_returned").cast("double") / col("qty_total").cast("double"))
+      .withColumn("revenue_return_rate",
+        col("cents_returned").cast("double") / col("cents_total").cast("double"))
+      .orderBy("store_id")
+  }
+
   /** Theil-Sen robust trend — the median of all pairwise slopes of the
     * store's monthly series, the breakdown-resistant companion to
     * [[trendSlope]]'s OLS (one wild month moves OLS arbitrarily; the

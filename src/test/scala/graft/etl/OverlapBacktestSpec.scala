@@ -81,6 +81,54 @@ class OverlapBacktestSpec extends SparkSpec {
     }
   }
 
+  test("return rates: conditional sums partition the totals, rates in [0,1]") {
+    val rr = EtlQueries.returnRates(spark, sfSmoke)
+    val rows = rr.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("qty_returned")) <=
+        r.getLong(r.fieldIndex("qty_total")))
+      val rate = r.getDouble(r.fieldIndex("qty_return_rate"))
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // flag partition: R + non-R == total (brute force on one store)
+    val sid = rows.head.get(0)
+    val l = Star.table(spark, sfSmoke, "lineitem")
+    val s = Star.table(spark, sfSmoke, "supplier")
+    val sl = l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .where(col("s_nationkey") === sid)
+    val total = sl.agg(sum(expr("CAST(floor(l_quantity) AS BIGINT)")))
+      .first().getLong(0)
+    assert(rows.head.getLong(rows.head.fieldIndex("qty_total")) == total)
+  }
+
+  test("rolling median: window membership counts and a brute-force window agree") {
+    val rm = EtlQueries.rollingMedian(spark, sfSmoke).cache()
+    try {
+      assert(rm.count() > 0)
+      assert(rm.where(col("n_in_window") < 1 || col("n_in_window") > 3).count() == 0)
+      // brute force one (store, month): median over the up-to-3
+      // trailing months actually present
+      val r = rm.orderBy(desc("n_in_window"), asc("store_id"),
+        asc("year"), asc("month")).first()
+      val x = r.getInt(r.fieldIndex("year")) * 12 + r.getInt(r.fieldIndex("month"))
+      val ys = Star.salesFact(spark, sfSmoke)
+        .where(col("store_id") === r.get(0))
+        .groupBy((expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+        .where(col("x") >= x - 2 && col("x") <= x)
+        .select("y").collect().map(_.getLong(0)).sorted
+      assert(r.getInt(r.fieldIndex("n_in_window")) == ys.length)
+      val pos = (ys.length - 1) * 0.5
+      val lo = pos.toInt
+      val expect =
+        if (lo + 1 >= ys.length) ys.last.toDouble
+        else ys(lo) + (pos - lo) * (ys(lo + 1) - ys(lo))
+      assert(r.getDouble(r.fieldIndex("rolling_median_cents")) == expect)
+    } finally rm.unpersist()
+  }
+
   test("theil-sen slope is the brute-force pairwise-slope median and sits in the slope range") {
     val ts = EtlQueries.theilSenSlope(spark, sfSmoke)
     val monthly = Star.salesFact(spark, sfSmoke)
