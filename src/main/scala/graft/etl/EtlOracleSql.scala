@@ -290,6 +290,26 @@ object EtlOracleSql {
       |              WHERE o.store_id = m.store_id AND o.x = m.wx)
       |ORDER BY m.store_id, year, month""".stripMargin)
 
+  /** Benford twin: same string-extracted digit and the SAME nine
+    * literal expected shares (no engine evaluates a log). */
+  val benfordAudit: String = star(
+    s""", by_digit AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         count(*) AS n
+       |  FROM (SELECT CAST(total_revenue * 100 AS BIGINT) AS cents
+       |        FROM sales_fact)
+       |  WHERE cents > 0
+       |  GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM by_digit)
+       |SELECT digit, n,
+       |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed_share,
+       |       ${EtlQueries.BenfordShareSql.replace("\n", " ")} AS benford_share,
+       |       (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) /
+       |         (${EtlQueries.BenfordShareSql.replace("\n", " ")}) AS ratio
+       |FROM by_digit, tot
+       |ORDER BY digit""".stripMargin)
+
   /** Returns twin: identical floor-cents integerization and
     * conditional sums. */
   val returnRates: String =

@@ -468,6 +468,45 @@ object EtlQueries {
       .orderBy("store_id", "year", "month")
   }
 
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * over the fact's revenue amounts: observed first-significant-digit
+    * shares against Benford's log₁₀(1 + 1/d) expectation. The digit is
+    * extracted from the INTEGER CENTS' decimal string (never via
+    * `log10` — transcendentals don't reproduce across engines; the
+    * leading character of a positive integer's base-10 rendering is
+    * exact everywhere), expected shares are nine shared double
+    * LITERALS (the [[MadConsistency]] constant convention), and the
+    * only runtime float work is two per-row divisions on the 9-row
+    * output. One scan, one 9-group aggregate, total as a 1-row
+    * broadcast cross. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val byDigit = Star.salesFact(spark, dir)
+      .select((col("total_revenue") * 100).cast("long").as("cents"))
+      .where(col("cents") > 0)
+      .groupBy(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = byDigit.agg(sum("n").as("n_total"))
+    byDigit.crossJoin(broadcast(total))
+      .withColumn("observed_share",
+        col("n").cast("double") / col("n_total").cast("double"))
+      .withColumn("benford_share", expr(BenfordShareSql))
+      .withColumn("ratio", col("observed_share") / col("benford_share"))
+      .select("digit", "n", "observed_share", "benford_share", "ratio")
+      .orderBy("digit")
+  }
+
+  /** Benford's expected shares log₁₀(1 + 1/d) as a shared CASE of nine
+    * double literals — identical text in both engines, so no engine
+    * ever evaluates a logarithm. */
+  val BenfordShareSql: String =
+    """CAST(CASE digit
+      | WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+      | WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+      | WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+      | WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+      | ELSE 0.04575749056067514 END AS DOUBLE)""".stripMargin
+
   /** Returns analysis — per store, ordered vs RETURNED quantity and
     * revenue (`l_returnflag = 'R'`, the line-status signal the star
     * fact deliberately drops and this report reads from the raw

@@ -81,6 +81,19 @@ class OverlapBacktestSpec extends SparkSpec {
     }
   }
 
+  test("benford audit: digit coverage, exact expected literals, observed shares sum to 1") {
+    val bf = EtlQueries.benfordAudit(spark, sfSmoke)
+    val rows = bf.collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    rows.foreach { r =>
+      // the shared literals ARE the IEEE doubles of log10(1 + 1/d)
+      assert(r.getDouble(r.fieldIndex("benford_share")) ==
+        math.log10(1.0 + 1.0 / r.getInt(0)))
+    }
+    val obs = rows.map(_.getDouble(rows.head.fieldIndex("observed_share"))).sum
+    assert(math.abs(obs - 1.0) < 1e-12)
+  }
+
   test("return rates: conditional sums partition the totals, rates in [0,1]") {
     val rr = EtlQueries.returnRates(spark, sfSmoke)
     val rows = rr.collect()
