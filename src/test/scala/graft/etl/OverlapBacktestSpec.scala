@@ -85,10 +85,19 @@ class OverlapBacktestSpec extends SparkSpec {
     val bf = EtlQueries.benfordAudit(spark, sfSmoke)
     val rows = bf.collect()
     assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    // The pinned cross-engine literals (libm's correctly-rounded
+    // log10(1 + 1/d)). NOT java.lang.Math.log10: the JVM's result is
+    // one ULP HIGH for d = 3 (…993 vs …992) — the very divergence that
+    // makes engine-evaluated transcendentals un-oracle-able and forces
+    // the literal table the operator uses.
+    val pinned = Map(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
     rows.foreach { r =>
-      // the shared literals ARE the IEEE doubles of log10(1 + 1/d)
-      assert(r.getDouble(r.fieldIndex("benford_share")) ==
-        math.log10(1.0 + 1.0 / r.getInt(0)))
+      assert(r.getDouble(r.fieldIndex("benford_share")) == pinned(r.getInt(0)))
     }
     val obs = rows.map(_.getDouble(rows.head.fieldIndex("observed_share"))).sum
     assert(math.abs(obs - 1.0) < 1e-12)
