@@ -131,6 +131,39 @@ class PlanShapeSpec extends SparkSpec {
       s"ext_sketch_hll shuffles its tiny per-type join:\n$hll")
   }
 
+  test("fourth-leg additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // attribution: the trailing-window pairing is a bucket EQUI-join —
+    // a plan with BNLJ/cartesian means the range predicate lost its
+    // equi-component
+    val at = planOf("etl_attribution")
+    assert(!at.contains("CartesianProduct") &&
+      !at.contains("BroadcastNestedLoopJoin"),
+      s"etl_attribution degenerated to an inequality join:\n$at")
+    // rendezvous sharding: per-row argmax fused into the scan — no
+    // join, no aggregate, no shuffle anywhere before the final sort
+    val hrw = planOf("ext_shard_rendezvous")
+    assert(!hrw.contains("Join") && !hrw.contains("HashAggregate"),
+      s"ext_shard_rendezvous is no longer a pure per-row projection:\n$hrw")
+    // division: divisor cardinality rides in as a broadcast 1-row
+    // cross, never a collected literal (same plan must run on a
+    // cluster); dims broadcast
+    val div = planOf("q24_division")
+    assert(div.contains("BroadcastNestedLoopJoin") ||
+      div.contains("BroadcastHashJoin"),
+      s"q24_division lost its broadcast divisor/dim joins:\n$div")
+    assert(!div.contains("CartesianProduct"))
+    // entity match + jw match: candidates via equi-join on the block
+    for (q <- Seq("etl_entity_match", "etl_jw_match")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q lost its blocking equi-join:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q verifies outside its blocks:\n$p")
+    }
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)
