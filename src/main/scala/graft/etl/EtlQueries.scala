@@ -860,9 +860,15 @@ object EtlQueries {
     probe.as("a").join(broadcast(blocked).as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.customer_id") < col("b.customer_id"))
+      // THRESHOLDED levenshtein: the banded O(maxDist·n) variant — it
+      // returns −1 beyond the bound instead of paying the full O(n²)
+      // table for pairs that can never match (most of every block).
+      // For kept rows the distance is exact, so the oracle's plain
+      // levenshtein agrees row-for-row.
       .withColumn("dist",
-        levenshtein(col("a.customer_name"), col("b.customer_name")))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("a.customer_name"), col("b.customer_name"),
+          maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a.customer_id").as("customer_a"),
         col("b.customer_id").as("customer_b"), col("dist").cast("int").as("dist"))
       .orderBy("customer_a", "customer_b")
