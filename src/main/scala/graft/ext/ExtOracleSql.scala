@@ -808,6 +808,28 @@ object ExtOracleSql {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Weighted-lottery twin: the same clamped token-count weight, the
+    * same salted per-ticket hashes, max per doc, top-k. */
+  val sampleWeighted: String =
+    s"""WITH weighted AS (
+       |  SELECT doc_id,
+       |         least(8, greatest(1, CAST(
+       |           len(string_split_regex(trim(lower(text)), '\\s+')) // 64
+       |           AS INT))) AS w
+       |  FROM documents
+       |),
+       |tickets AS (
+       |  SELECT doc_id, w,
+       |         ${h32("'lottery:' || CAST(doc_id AS VARCHAR) || ':' || CAST(t.ticket AS VARCHAR)")}
+       |           AS priority
+       |  FROM weighted, LATERAL (SELECT unnest(generate_series(1, w)) AS ticket) t
+       |)
+       |SELECT doc_id, w, max(priority) AS best_ticket
+       |FROM tickets
+       |GROUP BY doc_id, w
+       |ORDER BY best_ticket DESC, doc_id ASC
+       |LIMIT 100""".stripMargin
+
   /** Rendezvous-sharding twin: the argmax as a rank over the unnested
     * (doc × shard) candidates — ORDER BY w DESC, shard DESC mirrors the
     * engine's max-struct tie-break. */

@@ -167,6 +167,38 @@ object SampleOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — the lottery
+    * scheme: every document holds `w` salted-hash tickets (w = its
+    * integer weight, here a clamped token-count bucket — the "sample
+    * long documents more" lever), a document's entry is its BEST
+    * ticket, and the k highest entries win. Inclusion probability is
+    * monotone in w, the draw is a pure function of (doc_id, weight) —
+    * replayable across runs, engines and corpus growth — and there is
+    * NO transcendental anywhere (the textbook Efraimidis–Spirakis keys
+    * u^(1/w) need pow/log, which never reproduce across engines; the
+    * ticket lottery trades their exact inclusion law for integer-exact
+    * determinism, stated openly). Ticket fan-out is Σw ≤ `maxWeight`·n
+    * — bounded, partial-aggregable max per doc, bounded TakeOrdered
+    * top-k. */
+  def weightedLottery(spark: SparkSession, dir: String, k: Int = 100,
+      maxWeight: Int = 8): DataFrame = {
+    val weighted = TextOps.withTextSignals(TextOps.withWords(
+        TextOps.docs(spark, dir)))
+      .select(col("doc_id"),
+        least(lit(maxWeight),
+          greatest(lit(1), expr("CAST(n_tokens div 64 AS INT)"))).as("w"))
+    weighted
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1, w)")).as("ticket"))
+      .select(col("doc_id"), col("w"),
+        TextOps.h32(concat(lit("lottery:"), col("doc_id").cast("string"),
+          lit(":"), col("ticket").cast("string"))).as("priority"))
+      .groupBy("doc_id", "w")
+      .agg(max("priority").as("best_ticket"))
+      .orderBy(desc("best_ticket"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Rendezvous (highest-random-weight) sharding over an explicit shard
     * id set: each doc goes to the shard with the maximum salted hash
     * H("shard:" + doc_id + ":" + shard) — Thaler & Ravishankar's HRW,

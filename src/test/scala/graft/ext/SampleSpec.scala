@@ -115,6 +115,31 @@ class SampleSpec extends SparkSpec {
     } finally kept.unpersist()
   }
 
+  test("weighted lottery: entries grow with weight, winners hold their true best ticket") {
+    val all = SampleOps.weightedLottery(spark, sfSmoke, k = 1000000).cache()
+    try {
+      assert(all.where(col("w") < 1 || col("w") > 8).count() == 0)
+      // more tickets can only raise a doc's entry: the maxWeight=1 draw
+      // (every doc's single ticket-1 hash) is a lower bound everywhere
+      val single = SampleOps.weightedLottery(spark, sfSmoke,
+        k = 1000000, maxWeight = 1)
+        .select(col("doc_id"), col("best_ticket").as("t1"))
+      assert(all.join(single, Seq("doc_id"))
+        .where(col("best_ticket") < col("t1")).count() == 0,
+        "a weighted entry fell below its own ticket-1 hash")
+      // winners' entries ARE the max over their w ticket hashes
+      all.orderBy(desc("best_ticket")).limit(10).collect().foreach { r =>
+        val (id, w) = (r.get(0), r.getInt(1))
+        val expect = (1 to w).map { t =>
+          TextOps.docs(spark, sfSmoke).sparkSession.range(1).select(
+            TextOps.h32(concat(lit(s"lottery:$id:$t"))).as("h"))
+            .first().getLong(0)
+        }.max
+        assert(r.getLong(2) == expect, s"doc $id entry is not its best ticket")
+      }
+    } finally all.unpersist()
+  }
+
   test("rendezvous sharding: removing a shard remaps ONLY that shard's documents") {
     val docs = TextOps.docs(spark, sfSmoke).select("doc_id")
     val full = SampleOps.rendezvousOf(docs, 0 until 8)
