@@ -290,6 +290,36 @@ object EtlOracleSql {
       |              WHERE o.store_id = m.store_id AND o.x = m.wx)
       |ORDER BY m.store_id, year, month""".stripMargin)
 
+  /** Correlation twin: same exact-bigint sums and the same factored
+    * num / (sqrt·sqrt) spelling — never DuckDB's `corr()`. */
+  val storeCorrelation: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS m,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) // 100
+      |           AS BIGINT) AS y
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |sums AS (
+      |  SELECT a.store_id AS store_a, b.store_id AS store_b,
+      |         count(*) AS n_months,
+      |         CAST(sum(a.y) AS BIGINT) AS sx,
+      |         CAST(sum(b.y) AS BIGINT) AS sy,
+      |         CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+      |         CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+      |         CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+      |  FROM monthly a JOIN monthly b
+      |    ON a.m = b.m AND a.store_id < b.store_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT store_a, store_b, n_months,
+      |       CAST(n_months * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(n_months * sxx - sx * sx AS DOUBLE))
+      |            * sqrt(CAST(n_months * syy - sy * sy AS DOUBLE))) AS corr_r
+      |FROM sums
+      |ORDER BY store_a, store_b""".stripMargin)
+
   /** Benford twin: same string-extracted digit and the SAME nine
     * literal expected shares (no engine evaluates a log). */
   val benfordAudit: String = star(

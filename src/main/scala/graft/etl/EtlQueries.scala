@@ -468,6 +468,52 @@ object EtlQueries {
       .orderBy("store_id", "year", "month")
   }
 
+  /** Cross-store revenue correlation — Pearson r between every store
+    * pair's aligned monthly series (the "which stores move together"
+    * matrix behind transfer pricing and cannibalization questions).
+    * NEVER `corr()`: its double accumulation is partitioning-dependent.
+    * All five sums run in EXACT BIGINT over integer cents (the
+    * [[trendSlope]] discipline), and the final r is spelled
+    * num / (sqrt(dxx) · sqrt(dyy)) — `sqrt` is IEEE-correctly-rounded
+    * in both engines (the ONE irrational this codebase trusts), and
+    * the factored form keeps dxx·dyy out of int64 range. The series is
+    * integer DOLLARS (exact `div 100` floor of the exact cents — the
+    * cents² · months products overflow int64 two SFs up, measured, not
+    * hypothetical); headroom: n·Σy² needs dollars² · months ≲ 2⁶³ —
+    * monthly revenue below ~$3·10⁸ per store, loud ANSI overflow
+    * beyond. Pair fan-out is stores² × calendar — dimension-bounded. */
+  def storeCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("m"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      // integer DOLLARS (exact floor of the exact cents): cents² · months
+      // overflows int64 two SFs up, dollars buy 10⁴ headroom; the floor
+      // is deterministic in both engines (`div`/`//`), so r is exact on
+      // the stated dollar series
+      .withColumn("y", expr("cents div 100"))
+      .drop("cents")
+    monthly.as("a").join(monthly.as("b"),
+        col("a.m") === col("b.m") && col("a.store_id") < col("b.store_id"))
+      .groupBy(col("a.store_id").as("store_a"),
+        col("b.store_id").as("store_b"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("a.y")).as("sx"), sum(col("b.y")).as("sy"),
+        sum(col("a.y") * col("a.y")).as("sxx"),
+        sum(col("b.y") * col("b.y")).as("syy"),
+        sum(col("a.y") * col("b.y")).as("sxy"))
+      .withColumn("corr_r",
+        (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_months") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n_months") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))))
+      .select("store_a", "store_b", "n_months", "corr_r")
+      .orderBy("store_a", "store_b")
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen
     * over the fact's revenue amounts: observed first-significant-digit
     * shares against Benford's log₁₀(1 + 1/d) expectation. The digit is

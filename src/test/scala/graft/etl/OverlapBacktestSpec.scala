@@ -81,6 +81,38 @@ class OverlapBacktestSpec extends SparkSpec {
     }
   }
 
+  test("store correlation: |r| <= 1, self-consistent with brute-force exact sums") {
+    val sc = EtlQueries.storeCorrelation(spark, sfSmoke).cache()
+    try {
+      assert(sc.count() > 0)
+      assert(sc.where(abs(col("corr_r")) > 1.0 + 1e-12).count() == 0)
+      assert(sc.where(col("store_a") >= col("store_b")).count() == 0)
+      // brute-force the first pair in plain Scala (exact longs, same
+      // factored spelling)
+      val r = sc.first()
+      val monthly = Star.salesFact(spark, sfSmoke)
+        .groupBy(col("store_id"),
+          (expr("CAST(year(time_id) AS INT)") * 12 +
+            expr("CAST(month(time_id) AS INT)")).as("m"))
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+        .collect().groupBy(_.get(0))
+      // integer dollars, the operator's stated series (exact floor)
+      val ma = monthly(r.get(0)).map(p => p.getInt(1) -> p.getLong(2) / 100).toMap
+      val mb = monthly(r.get(1)).map(p => p.getInt(1) -> p.getLong(2) / 100).toMap
+      val common = (ma.keySet & mb.keySet).toSeq
+      val n = common.size.toLong
+      val (sx, sy) = (common.map(ma).sum, common.map(mb).sum)
+      val sxx = common.map(m => ma(m) * ma(m)).sum
+      val syy = common.map(m => mb(m) * mb(m)).sum
+      val sxy = common.map(m => ma(m) * mb(m)).sum
+      val expect = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(r.getLong(r.fieldIndex("n_months")) == n)
+      assert(r.getDouble(r.fieldIndex("corr_r")) == expect)
+    } finally sc.unpersist()
+  }
+
   test("benford audit: digit coverage, exact expected literals, observed shares sum to 1") {
     val bf = EtlQueries.benfordAudit(spark, sfSmoke)
     val rows = bf.collect()
