@@ -613,18 +613,32 @@ object EtlQueries {
   /** RFM segmentation — the classic customer-mart operator: recency
     * (days since last purchase, against the CORPUS max date so the
     * score is reproducible — never the wall clock), frequency (distinct
-    * orders) and monetary (exact cents), each quartiled by `ntile(4)`
-    * over a TOTAL order (metric, then customer_id — an untied ntile is
-    * partition luck), composed into the three-digit segment label.
-    * Recency quartile 1 = most recent (ascending days), frequency and
-    * monetary quartile 4 = best (ascending value) — the standard
-    * convention. One fact scan into a customer-sized aggregate; the
-    * three ntiles are unpartitioned windows over the CUSTOMER table
-    * (dimension-sized — the documented bounded-window exception, same
-    * as the quarter mapping), and the corpus max date rides in as a
-    * broadcast-crossed 1-row aggregate. */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * orders) and monetary (exact cents), each quartiled with exact
+    * `ntile(4)` SEMANTICS over a TOTAL order (metric, then customer_id
+    * — an untied ntile is partition luck), composed into the
+    * three-digit segment label. Recency quartile 1 = most recent
+    * (ascending days), frequency and monetary quartile 4 = best
+    * (ascending value) — the standard convention.
+    *
+    * The natural spelling — three `ntile(4) OVER (ORDER BY …)` windows
+    * — is three SERIAL single-partition sorts of the customer table,
+    * and "customer" is the one dimension that grows with the business:
+    * the plan [[graft.ext.PackOps]] refuses. Instead each quartile
+    * derives from the customer's exact GLOBAL RANK, computed with the
+    * shared distributed prefix sum (percentile-cut range buckets that
+    * tile the (metric, customer_id) order — monotone, so per-bucket
+    * parallel windows + a B-row serial offset pass reproduce the global
+    * row number; bucket count affects parallelism only, never values).
+    * Rank → tile is then closed-form ntile arithmetic: the first
+    * N mod 4 tiles take ⌈N/4⌉ rows, the rest ⌊N/4⌋ — bit-identical to
+    * the window ntile the DuckDB twin still runs (semantics, not plans,
+    * must match). One fact scan feeds the customer aggregate; Catalyst
+    * exchange reuse shares it across the three rank passes; the corpus
+    * max date and the three cutoff arrays ride in as broadcast-crossed
+    * 1-row aggregates. */
+  def rfmSegments(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets
+      else math.max(4, spark.sparkContext.defaultParallelism / 4)
     val perCust = Star.salesFact(spark, dir)
       .groupBy("customer_id")
       .agg(
@@ -633,20 +647,56 @@ object EtlQueries {
         sum((col("total_revenue") * 100).cast("long")).as("monetary_cents"))
     val anchor = Star.salesFact(spark, dir)
       .agg(max(col("time_id").cast("date")).as("anchor_day"))
-    perCust.crossJoin(broadcast(anchor))
+    val base = perCust.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("anchor_day"), col("last_day")))
-      .withColumn("r_quartile",
-        ntile(4).over(Window.orderBy(col("recency_days"), col("customer_id"))))
-      .withColumn("f_quartile",
-        ntile(4).over(Window.orderBy(col("frequency"), col("customer_id"))))
-      .withColumn("m_quartile",
-        ntile(4).over(Window.orderBy(col("monetary_cents"), col("customer_id"))))
+      .select("customer_id", "recency_days", "frequency", "monetary_cents")
+    base
+      .join(quartileByRank(base, "recency_days", "r_quartile", b), "customer_id")
+      .join(quartileByRank(base, "frequency", "f_quartile", b), "customer_id")
+      .join(quartileByRank(base, "monetary_cents", "m_quartile", b), "customer_id")
       .withColumn("segment",
         concat(col("r_quartile"), col("f_quartile"), col("m_quartile")))
       .select("customer_id", "recency_days", "frequency", "monetary_cents",
         "r_quartile", "f_quartile", "m_quartile", "segment")
       .orderBy("customer_id")
+  }
+
+  /** (customer_id, `out`): exact `ntile(4) OVER (ORDER BY metric,
+    * customer_id)` without the unpartitioned window — global rank via
+    * [[graft.ext.PackOps.prefixSumOverBuckets]] counting 1 per row,
+    * then the closed-form ntile bucket arithmetic (sizes ⌈N/4⌉ for the
+    * first N mod 4 tiles, ⌊N/4⌋ after). The percentile bucket cuts are
+    * a broadcast 1-row aggregate; ties in the metric land in one bucket
+    * and are ordered within it by customer_id, so the rank is the
+    * window's total order exactly. The `div` by ⌊N/4⌋ is guarded by the
+    * CASE: with N < 4 every rank falls in the first N mod 4 tiles and
+    * the zero divisor is never evaluated. */
+  private def quartileByRank(base: DataFrame, metric: String, out: String,
+      b: Int): DataFrame = {
+    val qs = (1 until b).map(i => i.toDouble / b).mkString(",")
+    val cuts = base.agg(
+      expr(s"percentile($metric, array($qs))").as("cuts"),
+      count(lit(1)).as("n_cust"))
+    val keyed = base.select(col("customer_id"), col(metric))
+      .crossJoin(broadcast(cuts))
+      // #cutoffs strictly below the metric — monotone non-decreasing in
+      // the (metric, customer_id) order, so buckets tile it
+      .withColumn("bucket", expr(
+        s"aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN $metric > c THEN 1 ELSE 0 END)"))
+      .withColumn("one", lit(1L))
+    graft.ext.PackOps.prefixSumOverBuckets(keyed, b, "one",
+        Seq(metric, "customer_id"))
+      .withColumn("rnk", col("global_before") + lit(1L))
+      .withColumn(out, expr(
+        """CAST(CASE
+          |  WHEN rnk <= (n_cust % 4) * (n_cust div 4 + 1)
+          |    THEN (rnk - 1) div (n_cust div 4 + 1) + 1
+          |  ELSE (n_cust % 4)
+          |    + (rnk - 1 - (n_cust % 4) * (n_cust div 4 + 1)) div (n_cust div 4)
+          |    + 1
+          |END AS INT)""".stripMargin))
+      .select("customer_id", out)
   }
 
   /** Revenue trend — per-store ordinary-least-squares slope of monthly
@@ -1163,8 +1213,12 @@ object EtlQueries {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val epoch = lit("2024-01-01").cast("date")
     val e = Star.events(spark, dir)
+      // floor, not cast-truncate: an event BEFORE the epoch must land in
+      // week −1, not collide with week 0 (cast("int") truncates toward
+      // zero, putting days −6..−1 in the first real week). Matches the
+      // oracle's `//`, which is floor division in DuckDB.
       .select(col("user_id"),
-        (datediff(to_date(col("ts")), epoch) / 7).cast("int").as("week"))
+        floor(datediff(to_date(col("ts")), epoch) / 7).cast("int").as("week"))
     val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
     val active = e.distinct()
     active.join(cohort, Seq("user_id"))

@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   * the word vocabulary), greedy left-to-right within a word.
   *
   * Encoding trick that makes the merge exact AND cross-engine: a word's
-  * symbol sequence is stored as a single string joined by the unit
-  * separator U+001F (which never occurs inside a symbol). Merging pair
-  * (a, b) is then literal-string `replace(enc, a⟂b, ab)` — and both
-  * engines' `replace` scan left-to-right non-overlapping, which IS the
-  * BPE tie rule ("aaa" + (a,a) → "aa","a"). The DuckDB twin unrolls the
-  * same rounds with the same representation, so the learned merge table
-  * is bit-for-bit comparable.
+  * symbol sequence is stored as a single string with EVERY symbol
+  * individually wrapped in the unit separator U+001F (which never
+  * occurs inside a symbol): "xa","b" → `⟂xa⟂⟂b⟂`. Merging pair (a, b)
+  * is then literal-string `replace(enc, ⟂a⟂⟂b⟂, ⟂ab⟂)`. The wrapping
+  * makes the replace SYMBOL-BOUNDARY-EXACT — a single-separator
+  * encoding (`a⟂b`) also matches where the left symbol merely ENDS
+  * with "a" (`xa⟂b` → "xab", fusing a symbol that was never the pair),
+  * and regex boundary assertions are out because the DuckDB twin's RE2
+  * has no lookbehind. Because each symbol carries its OWN delimiters,
+  * adjacent pair occurrences share no characters, so both engines'
+  * left-to-right non-overlapping `replace` IS the BPE tie rule
+  * ("aaaa" + (a,a) → "aa","aa"; "aaa" → "aa","a"). The DuckDB twin
+  * unrolls the same rounds with the same representation, so the
+  * learned merge table is bit-for-bit comparable.
   *
   * Scale shape: the corpus is touched ONCE (word-frequency aggregate —
   * one shuffle); every round after that works on the VOCABULARY (one
@@ -32,6 +39,28 @@ object BpeOps {
 
   private val Sep = "\u001f"
 
+  /** Inter-symbol separator run: each symbol is wrapped `⟂sym⟂`, so two
+    * adjacent symbols meet as `…⟂⟂…`. */
+  private val Sep2 = Sep + Sep
+
+  /** Wrap a word's characters as individually-delimited symbols. */
+  private def encodeWord(wCol: org.apache.spark.sql.Column) =
+    concat(lit(Sep), concat_ws(Sep2, split(wCol, "")), lit(Sep))
+
+  /** SQL for the symbol array of a wrapped encoding (strip the outer
+    * separator pair, split on the doubled inner one; U+001F is no regex
+    * metacharacter, so the split pattern is literal). */
+  private[ext] def symsSql(c: String): String =
+    s"split(substring($c, 2, length($c) - 2), concat(char(31), char(31)))"
+
+  /** Boundary-exact merge of pair (l, r): only whole symbols match
+    * because the literal pattern includes both symbols' own delimiters,
+    * and adjacent occurrences share no characters (greedy left-to-right
+    * BPE adjacency is preserved). */
+  private def applyMerge(c: org.apache.spark.sql.Column, l: String, r: String) =
+    org.apache.spark.sql.functions.replace(
+      c, lit(Sep + l + Sep2 + r + Sep), lit(Sep + l + r + Sep))
+
   /** Default merge rounds — mirrored by the unrolled oracle
     * ([[ExtOracleSql.bpeMerges]]); a change here without regenerating
     * the oracle breaks the differential, by design. */
@@ -43,11 +72,11 @@ object BpeOps {
     TextOps.withWords(TextOps.docs(spark, dir))
       .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("enc", concat_ws(Sep, split(col("w"), "")))
+      .withColumn("enc", encodeWord(col("w")))
 
   /** Frequency-weighted adjacent-pair counts over a (freq, enc) vocab. */
   private def pairCounts(v: DataFrame): DataFrame =
-    v.select(col("freq"), split(col("enc"), Sep).as("syms"))
+    v.select(col("freq"), expr(symsSql("enc")).as("syms"))
       .select(col("freq"), explode(expr(
         // the CASE guards 1-symbol words: sequence(1, 0) would run
         // BACKWARDS (step −1) and index element 0
@@ -61,9 +90,20 @@ object BpeOps {
     * the unit-testable core. Returns the merge table
     * (round, left_sym, right_sym, pair_count): the stored artifact a
     * tokenizer deployment ships. */
+  /** Materialize the vocab every this many merge rounds: each round
+    * wraps `enc` in another `replace`, so an unbounded loop grows the
+    * plan (and its codegen) linearly — at production merge counts
+    * (10k+) lineage alone kills the job. `localCheckpoint` cuts the
+    * lineage to the materialized blocks; the round cost then stays flat
+    * regardless of how many rounds preceded. The driver-side argmax per
+    * round is the serial floor inherent to greedy BPE (the merge
+    * decision is a global scalar) — checkpointing bounds the PLAN, the
+    * one-job-per-round cadence remains. */
+  val CheckpointEvery = 8
+
   def mergesFrom(spark: SparkSession, vocabFreq: DataFrame, rounds: Int): DataFrame = {
     import spark.implicits._
-    var v = vocabFreq.withColumn("enc", concat_ws(Sep, split(col("w"), "")))
+    var v = vocabFreq.withColumn("enc", encodeWord(col("w")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (round <- 1 to rounds) {
       // driver-side argmax: the merge decision is a global scalar
@@ -74,9 +114,9 @@ object BpeOps {
         val (l, r, cnt) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += ((round, l, r, cnt))
-        v = v.withColumn("enc",
-          org.apache.spark.sql.functions.replace(
-            col("enc"), lit(l + Sep + r), lit(l + r)))
+        v = v.withColumn("enc", applyMerge(col("enc"), l, r))
+        if (round % CheckpointEvery == 0 && round < rounds)
+          v = v.localCheckpoint()
       }
     }
     merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
@@ -103,9 +143,8 @@ object BpeOps {
     val merges = bpeMerges(spark, dir, rounds)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val encWord = merges.foldLeft(
-      concat_ws(Sep, split(col("w"), ""))) { case (c, (l, r)) =>
-      org.apache.spark.sql.functions.replace(c, lit(l + Sep + r), lit(l + r))
+    val encWord = merges.foldLeft(encodeWord(col("w"))) {
+      case (c, (l, r)) => applyMerge(c, l, r)
     }
     TextOps.withWords(TextOps.docs(spark, dir))
       .select(col("doc_id"), explode(col("ws")).as("w"))
@@ -114,7 +153,7 @@ object BpeOps {
       .agg(
         count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("n_chars"),
-        sum(size(split(col("enc"), Sep)).cast("long")).as("n_bpe_tokens"))
+        sum(size(expr(symsSql("enc"))).cast("long")).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 }

@@ -1721,10 +1721,20 @@ object ExtOracleSql {
 
   /** BPE twin: [[BpeOps.Rounds]] merge rounds UNROLLED as CTE chains
     * (the same pattern as the Lloyd-iteration oracle) over the same
-    * sep-encoded vocabulary — chr(31) is the engine's U+001F. DuckDB's
-    * `replace` is left-to-right non-overlapping like Spark's, so the
+    * sep-encoded vocabulary — chr(31) is the engine's U+001F, and each
+    * symbol is individually wrapped `⟂sym⟂` (see [[BpeOps]]: the
+    * wrapping makes the literal merge replace symbol-boundary-exact;
+    * a bare single-separator pattern also matches symbol SUFFIXES).
+    * DuckDB's `replace` is left-to-right non-overlapping like Spark's,
+    * and wrapped adjacent occurrences share no characters, so the
     * greedy merge semantics align exactly. */
   private val bpeSep = "chr(31)"
+  private val bpeSep2 = "(chr(31) || chr(31))"
+
+  /** Symbol array of a wrapped encoding (strip the outer separator
+    * pair, split on the doubled inner one). */
+  private def bpeSyms(c: String): String =
+    s"string_split(substring($c, 2, length($c) - 2), $bpeSep2)"
 
   /** Shared BPE CTE chain: doc-grain words, the sep-encoded vocabulary
     * v0, and [[BpeOps.Rounds]] unrolled (pair-count, argmax, merge)
@@ -1736,15 +1746,16 @@ object ExtOracleSql {
       s"""p$i AS (
          |  SELECT syms[ii$i] AS l, syms[ii$i + 1] AS r,
          |         CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, string_split(enc, $bpeSep) AS syms FROM $prev),
+         |  FROM (SELECT freq, ${bpeSyms("enc")} AS syms FROM $prev),
          |       LATERAL (SELECT unnest(range(1, len(syms))) AS ii$i)
          |  GROUP BY l, r
          |),
          |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |v$i AS (
          |  SELECT w, freq,
-         |         replace(enc, (SELECT l || $bpeSep || r FROM b$i),
-         |                      (SELECT l || r FROM b$i)) AS enc
+         |         replace(enc,
+         |                 (SELECT $bpeSep || l || $bpeSep2 || r || $bpeSep FROM b$i),
+         |                 (SELECT $bpeSep || l || r || $bpeSep FROM b$i)) AS enc
          |  FROM $prev
          |)""".stripMargin
     val rounds = (1 to BpeOps.Rounds)
@@ -1757,7 +1768,8 @@ object ExtOracleSql {
        |),
        |v0 AS (
        |  SELECT w, count(*) AS freq,
-       |         array_to_string(string_split(w, ''), $bpeSep) AS enc
+       |         $bpeSep || array_to_string(string_split(w, ''), $bpeSep2) ||
+       |           $bpeSep AS enc
        |  FROM words GROUP BY w
        |),
        |$rounds""".stripMargin
@@ -1779,7 +1791,7 @@ object ExtOracleSql {
        |SELECT d.doc_id,
        |       count(*) AS n_words,
        |       CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
-       |       CAST(sum(len(string_split(v.enc, $bpeSep))) AS BIGINT) AS n_bpe_tokens
+       |       CAST(sum(len(${bpeSyms("v.enc")})) AS BIGINT) AS n_bpe_tokens
        |FROM words d JOIN v${BpeOps.Rounds} v ON d.w = v.w
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin

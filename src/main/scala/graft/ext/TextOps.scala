@@ -510,8 +510,9 @@ object TextOps {
     * lexicographic (hash asc, position desc) order becomes plain bigint
     * order; decode after the min. All arithmetic is bigint (`div`/`%` on
     * positives — identical in DuckDB), so selections are exact across
-    * engines. Positions must fit 20 bits (docs ≤ 1M chars; the driver
-    * corpus is ≪ that).
+    * engines. Positions must fit 20 bits (docs ≤ 1M chars) — enforced
+    * with a per-row `raise_error` guard, not assumed: an oversize
+    * document fails the job loudly instead of fingerprinting wrong.
     *
     * Scale shape: the only shuffle is the per-doc window sort, keyed and
     * parallel by doc_id; window state is `w` rows. The explode is the
@@ -521,9 +522,17 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2 && w <= 64, s"window width must be in [2, 64], got $w")
     val enc = 1048576L // 2^20 position slots per hash value
+    // positions run 1..length−7 and pack as (enc−1)−i, so any document
+    // longer than enc+6 chars would go NEGATIVE in the packed slot and
+    // silently corrupt the per-window argmin — fail loudly instead
+    // (evaluated per row, but the guard branch is codegen'd and free on
+    // the non-error path).
     val grams = docs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("t", expr("lower(text)"))
+      .withColumn("t", expr(
+        s"CASE WHEN length(text) > ${enc + 6} THEN raise_error(" +
+          "'winnowing: document exceeds 1048582 chars; position overflows 20-bit packing') " +
+          "ELSE lower(text) END"))
       .select(col("doc_id"), col("t"),
         explode(expr("sequence(1, greatest(length(t) - 7, 1))")).as("i"))
       .select(col("doc_id"), col("i"), h32(expr("substring(t, i, 8)")).as("h"))

@@ -164,6 +164,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("fifth-leg additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // RFM: quartiles derive from the distributed bucketed rank — a plan
+    // with `ntile` means the customer-wide unpartitioned window came
+    // back (three serial single-partition sorts of the one "dimension"
+    // that grows with the business). The only unpartitioned windows
+    // allowed are the B-row bucket-offset passes inside the shared
+    // prefix sum (same contract as packing/q23).
+    val rfm = planOf("etl_rfm")
+    // NB "percentile(" would match a bare "ntile(" — the broadcast cut
+    // aggregate is exactly what SHOULD be there
+    assert(!rfm.contains("ntile(4)"),
+      s"etl_rfm regressed to customer-wide ntile windows:\n$rfm")
+    assert(!rfm.contains("CartesianProduct"),
+      s"etl_rfm plan contains a cartesian product:\n$rfm")
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)

@@ -38,4 +38,14 @@ class RfmSpec extends SparkSpec {
       }
     } finally rfm.unpersist()
   }
+
+  test("bucket count never changes values (prefix-sum rank == window ntile)") {
+    // same contract as packing/q23: the range buckets of the
+    // distributed rank affect parallelism only — a value drift here
+    // means the bucket monotonicity (and therefore the global rank)
+    // broke. 13 also exercises uneven bucket occupancy.
+    val default = EtlQueries.rfmSegments(spark, sfSmoke).collect()
+    val alt = EtlQueries.rfmSegments(spark, sfSmoke, buckets = 13).collect()
+    assert(default.toSeq == alt.toSeq)
+  }
 }

@@ -36,6 +36,22 @@ class BpeSpec extends SparkSpec {
       (2, "aa", "aa", 1L)))
   }
 
+  test("merges respect symbol boundaries: a suffix of a merged symbol never matches") {
+    // round 1 merges (x,a) cnt 6 → "xab" becomes [xa, b]. Round 2 merges
+    // (a,b) cnt 3 (from the "ab" words) — under a boundary-BLIND
+    // substring replace that pattern also matches the tail of [xa, b]
+    // (… "a⟂b") and fuses the word into one bogus "xab" symbol, leaving
+    // NO pair for round 3. Boundary-correct, [xa, b] is untouched (its
+    // pair is (xa, b), not (a, b)) and round 3 merges it with count 1.
+    val vocab = Seq(("xa", 5L), ("ab", 3L), ("xab", 1L)).toDF("w", "freq")
+    val merges = BpeOps.mergesFrom(spark, vocab, rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "x", "a", 6L),
+      (2, "a", "b", 3L),
+      (3, "xa", "b", 1L)))
+  }
+
   test("corpus merges are well-formed: positive counts, grown symbols, k rows") {
     val m = BpeOps.bpeMerges(spark, sfSmoke).cache()
     try {
