@@ -1,0 +1,239 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Transactional parquet sink — the reference's transactional
+  * insert-if-not-exists (`/root/reference/src/Meshjoin.java:489-591`
+  * wraps its per-record probes+INSERTs in MySQL transactions) rebuilt as
+  * a minimal ACID commit protocol over plain parquet, in the
+  * write-audit-publish shape every modern table format (Delta, Iceberg)
+  * uses:
+  *
+  *  1. **Write**: the batch lands as parquet under a fresh
+  *     `data/tx-<uuid>` directory. Staged data is invisible — readers
+  *     only ever see directories referenced by the log.
+  *  2. **Audit**: the staged files are read back and row-counted against
+  *     the intended count before anything is published; a short write
+  *     aborts the commit instead of corrupting the table.
+  *  3. **Publish**: one manifest file `_txlog/<version>.txn` appears
+  *     ATOMICALLY via hard-link creation (`Files.createLink` is an
+  *     atomic create-if-absent on POSIX — unlike create-then-rename,
+  *     which `rename(2)` makes last-writer-wins). Losing the race throws
+  *     `FileAlreadyExistsException` → optimistic-concurrency retry.
+  *
+  * MERGE semantics ([[mergeUpsert]]): insert-if-absent on `keys` under
+  * snapshot isolation. The anti-join runs against the snapshot the
+  * writer read; if a concurrent commit lands first, the loser re-reads
+  * ONLY the delta commits, re-filters its staged rows against the keys
+  * that appeared in between, and re-publishes — so two interleaved
+  * writers upserting overlapping keys produce no duplicates and lose no
+  * rows, which plain [[WarehouseSink.upsertAppend]] (read keys → append,
+  * no fencing) cannot guarantee. Readers always see a committed prefix
+  * of the log: no torn batches, no half-visible files.
+  *
+  * Scale posture: the log is O(commits) tiny files of a few hundred
+  * bytes — listing and parsing it is driver-side metadata work, never a
+  * data scan; the per-commit data cost is the same single anti-join
+  * shuffle as the non-transactional path (broadcast when the batch is
+  * small, the common case). Conflict resolution reads only the DELTA
+  * commits, not the table. The one deployment-specific primitive is
+  * atomic create-if-absent, provided here by the POSIX filesystem
+  * (local disk, NFS, anything with atomic `link(2)`); an object-store
+  * deployment swaps exactly this one method for a conditional PUT /
+  * DynamoDB-style log store, as Delta's LogStore does — the protocol
+  * above it is unchanged.
+  */
+final case class TxParquetSink(dir: String) extends WarehouseSink {
+  import TxParquetSink._
+
+  private val root: Path = Paths.get(dir)
+  private val logDir: Path = root.resolve("_txlog")
+
+  /** Committed (version, manifest) pairs in version order. Driver-side
+    * metadata listing only. */
+  def commits(): Seq[(Long, Manifest)] =
+    if (!Files.isDirectory(logDir)) Nil
+    else
+      Files.list(logDir).iterator.asScala
+        .filter(p => p.getFileName.toString.matches("\\d{20}\\.txn"))
+        .map { p =>
+          val v = p.getFileName.toString.stripSuffix(".txn").toLong
+          (v, parseManifest(new String(Files.readAllBytes(p), UTF_8)))
+        }
+        .toSeq.sortBy(_._1)
+
+  /** Latest committed version, −1 for an empty table. */
+  def version(): Long = commits().lastOption.map(_._1).getOrElse(-1L)
+
+  /** Snapshot read: the union of every committed data directory; None
+    * before the first commit. Uncommitted staged directories are never
+    * visible here — that is the isolation guarantee. */
+  def readSnapshot(spark: SparkSession): Option[DataFrame] =
+    dataOf(spark, commits())
+
+  private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)]): Option[DataFrame] = {
+    val paths = cs.flatMap(_._2.files).map(f => root.resolve(f).toString)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  def existingKeys(spark: SparkSession, keys: Seq[String], schemaSource: DataFrame): DataFrame =
+    readSnapshot(spark)
+      .map(_.select(keys.head, keys.tail: _*))
+      .getOrElse(WarehouseSink.emptyKeys(spark, keys, schemaSource))
+
+  /** Unconditional transactional append (no key semantics): stage, audit,
+    * publish with retry. Appends never conflict with each other — a lost
+    * race just re-publishes the same staged directory at the next
+    * version. */
+  def append(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    val n = df.count()
+    if (n == 0) return
+    val staged = stageAudited(spark, df, n)
+    var v = version() + 1
+    while (!tryPublish(v, Manifest(n, Seq(staged)))) v = version() + 1
+  }
+
+  /** MERGE (WHEN NOT MATCHED THEN INSERT) on `keys` with optimistic
+    * concurrency — see the class doc for the protocol. Returns the rows
+    * actually inserted. `beforePublish` is a test seam invoked between
+    * audit and publish (it is where a concurrent writer interleaves);
+    * production callers leave the default no-op. */
+  def mergeUpsert(
+      spark: SparkSession,
+      incoming: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    var snap = commits()
+    var toAdd = Upserts.insertIfAbsent(
+        existingKeysAt(spark, snap, keys, incoming), incoming, keys, orderCols)
+      .localCheckpoint(eager = true)
+    var n = toAdd.count()
+    if (n == 0) return 0
+    var staged = stageAudited(spark, toAdd, n)
+
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts) {
+        deleteRecursively(root.resolve(staged))
+        throw new IllegalStateException(
+          s"mergeUpsert: gave up after $maxAttempts publish attempts on $dir")
+      }
+      beforePublish()
+      if (tryPublish(snap.lastOption.map(_._1).getOrElse(-1L) + 1,
+          Manifest(n, Seq(staged))))
+        return n
+
+      // Lost the race: some other writer committed first. Re-filter the
+      // staged rows against ONLY the keys that landed in between — the
+      // snapshot we already joined against needs no re-read.
+      val now = commits()
+      val delta = now.drop(snap.size)
+      snap = now
+      dataOf(spark, delta) match {
+        case Some(deltaDf) =>
+          val remaining = spark.read.parquet(root.resolve(staged).toString)
+            .join(deltaDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+              keys, "left_anti")
+            .localCheckpoint(eager = true)
+          val m = remaining.count()
+          if (m < n) {
+            deleteRecursively(root.resolve(staged))
+            if (m == 0) return 0
+            n = m
+            staged = stageAudited(spark, remaining, n)
+          }
+        case None => ()
+      }
+    }
+    n // unreachable
+  }
+
+  private def existingKeysAt(
+      spark: SparkSession, snap: Seq[(Long, Manifest)],
+      keys: Seq[String], schemaSource: DataFrame): DataFrame =
+    dataOf(spark, snap)
+      .map(_.select(keys.head, keys.tail: _*))
+      .getOrElse(WarehouseSink.emptyKeys(spark, keys, schemaSource))
+
+  /** Write + audit: stage the batch under a fresh uuid directory, read
+    * it back, and verify the row count before it can be published. */
+  private def stageAudited(spark: SparkSession, df: DataFrame, expected: Long): String = {
+    val rel = "data/tx-" + java.util.UUID.randomUUID().toString
+    val p = root.resolve(rel)
+    df.write.mode("error").parquet(p.toString)
+    val audited = spark.read.parquet(p.toString).count()
+    if (audited != expected) {
+      deleteRecursively(p)
+      throw new IllegalStateException(
+        s"stage audit failed: wrote $audited rows, expected $expected ($p)")
+    }
+    rel
+  }
+
+  /** The single atomicity primitive: publish manifest `m` as version `v`
+    * iff no commit at `v` exists. Hard-link creation is atomic
+    * create-if-absent on POSIX; a swap target for object stores. */
+  private def tryPublish(v: Long, m: Manifest): Boolean = {
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, ".stage-", ".txn.tmp")
+    try {
+      Files.write(tmp, renderManifest(m).getBytes(UTF_8))
+      try { Files.createLink(logDir.resolve(f"$v%020d.txn"), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Remove staged data directories no manifest references — the litter
+    * of crashed writers (they staged, never published, so their data was
+    * never visible). Only safe when no writer is mid-commit; a
+    * production deployment gates this on a staged-dir age TTL exactly
+    * like Delta's VACUUM retention window. Returns the removed paths. */
+  def vacuumOrphans(): Seq[String] = {
+    val dataDir = root.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val referenced = commits().flatMap(_._2.files).map(f => root.resolve(f)).toSet
+    val orphans = Files.list(dataDir).iterator.asScala
+      .filter(p => !referenced.contains(p))
+      .toSeq
+    orphans.foreach(deleteRecursively)
+    orphans.map(_.toString)
+  }
+}
+
+object TxParquetSink {
+
+  /** One commit's content: the row count audited at stage time and the
+    * table-relative data directories this commit makes visible. */
+  final case class Manifest(rows: Long, files: Seq[String])
+
+  /** Line-oriented manifest codec (`rows=<n>` then one `file=<rel>` per
+    * line): trivially greppable, no parser dependency, and append-only
+    * fields keep old readers working. */
+  private[etl] def renderManifest(m: Manifest): String =
+    (s"rows=${m.rows}" +: m.files.map(f => s"file=$f")).mkString("", "\n", "\n")
+
+  private[etl] def parseManifest(s: String): Manifest = {
+    val kv = s.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"malformed manifest line: $line")
+      (line.substring(0, i), line.substring(i + 1))
+    }.toSeq
+    Manifest(
+      kv.collectFirst { case ("rows", v) => v.toLong }
+        .getOrElse(throw new IllegalArgumentException("manifest missing rows=")),
+      kv.collect { case ("file", v) => v })
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+    }
+}

@@ -1,0 +1,121 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+/** The ACID commit protocol: snapshot isolation, MERGE idempotence, and
+  * — the case the plain read-keys-then-append upsert cannot survive —
+  * two INTERLEAVED writers upserting overlapping keys with no duplicate
+  * and no lost row. Mirrors the guarantee the reference gets from MySQL
+  * transactions around its insert-if-not-exists probes
+  * (`/root/reference/src/Meshjoin.java:489-591`). */
+class TxSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String)*) =
+    rows.toDF("product_id", "product_name")
+  private val keys = Seq("product_id")
+  private val order = Seq("product_name")
+
+  private def table() = TxParquetSink(
+    Files.createTempDirectory("txsink").toString + "/t")
+
+  private def keySet(t: TxParquetSink): Seq[String] =
+    t.readSnapshot(spark).map(_.select("product_id").as[String].collect().toSeq.sorted)
+      .getOrElse(Nil)
+
+  test("merge is insert-if-absent and idempotent; snapshot reads see only commits") {
+    val t = table()
+    assert(t.readSnapshot(spark).isEmpty && t.version() == -1L)
+
+    val n1 = t.mergeUpsert(spark, batch("P1" -> "Widget", "P2" -> "Gadget", "P1" -> "ZDupe"),
+      keys, order)
+    assert(n1 == 2) // in-batch dupe collapses first-wins (by orderCols) before the write
+    assert(t.version() == 0L)
+
+    val n2 = t.mergeUpsert(spark, batch("P1" -> "Replay", "P3" -> "Sprocket"), keys, order)
+    assert(n2 == 1 && keySet(t) == Seq("P1", "P2", "P3"))
+    // all-replay batch commits nothing — not even an empty version
+    assert(t.mergeUpsert(spark, batch("P2" -> "Again"), keys, order) == 0)
+    assert(t.version() == 1L)
+    // first-wins value survived the replay attempts
+    val p1 = t.readSnapshot(spark).get.where($"product_id" === "P1")
+      .select("product_name").as[String].collect().toSeq
+    assert(p1 == Seq("Widget"))
+  }
+
+  test("interleaved writer: conflicting commit between audit and publish drops the overlap") {
+    val t = table()
+    t.mergeUpsert(spark, batch("A" -> "a0"), keys, order)
+
+    // Writer B fires exactly once, INSIDE writer A's commit window —
+    // after A staged its anti-joined batch, before A publishes. B lands
+    // keys {B, C}; A staged {B, D} against a snapshot of {A}. A's first
+    // publish must lose, and its retry must re-filter to {D} only.
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      assert(t.mergeUpsert(spark, batch("B" -> "fromB", "C" -> "fromB"), keys, order) == 2)
+    }
+    val nA = t.mergeUpsert(spark, batch("B" -> "fromA", "D" -> "fromA"),
+      keys, order, beforePublish = interleaved)
+    assert(nA == 1, "writer A must insert only the non-conflicting key D")
+    assert(keySet(t) == Seq("A", "B", "C", "D"))
+    val bVal = t.readSnapshot(spark).get.where($"product_id" === "B")
+      .select("product_name").as[String].collect().toSeq
+    assert(bVal == Seq("fromB"), "the committed-first writer wins the key")
+  }
+
+  test("interleaved writer whose keys fully overlap leaves no empty commit") {
+    val t = table()
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true; t.mergeUpsert(spark, batch("X" -> "fromB"), keys, order); ()
+    }
+    assert(t.mergeUpsert(spark, batch("X" -> "fromA"), keys, order,
+      beforePublish = interleaved) == 0)
+    assert(keySet(t) == Seq("X") && t.version() == 0L)
+  }
+
+  test("hammer: concurrent writers over overlapping key ranges — no dupes, no lost rows") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val t = table()
+    // 4 writers × 3 batches; every key is claimed by at least two writers
+    val writers = Future.traverse(1 to 4) { w =>
+      Future {
+        for (b <- 0 until 3) {
+          val ks = (0 until 20).map(i => (b * 20 + i) % 50)
+          t.mergeUpsert(spark,
+            ks.map(k => (f"K$k%03d", s"w$w")).toDF("product_id", "product_name"),
+            keys, order)
+        }
+      }
+    }
+    Await.result(writers, 120.seconds)
+    val rows = t.readSnapshot(spark).get
+      .select("product_id").as[String].collect().toSeq
+    assert(rows.size == rows.distinct.size, "duplicate keys committed")
+    assert(rows.sorted == (0 until 50).map(k => f"K$k%03d"),
+      "some key was lost in a conflict retry")
+  }
+
+  test("vacuum removes crashed-writer litter, never committed data") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "Widget"), keys, order)
+    // a writer that staged and died before publish: visible to nobody
+    batch("ZZ" -> "orphan").write.parquet(
+      java.nio.file.Paths.get(t.dir, "data", "tx-orphan").toString)
+    assert(keySet(t) == Seq("P1"), "staged-but-unpublished data leaked into reads")
+    val removed = t.vacuumOrphans()
+    assert(removed.exists(_.endsWith("tx-orphan")) && removed.size == 1)
+    assert(keySet(t) == Seq("P1"))
+  }
+
+  test("manifest codec round-trips") {
+    val m = TxParquetSink.Manifest(42L, Seq("data/tx-a", "data/tx-b"))
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+  }
+}
