@@ -130,7 +130,16 @@ object StreamETL {
     * defines the late-data cutoff: records older than (max seen order_ts
     * − horizon) are DROPPED by the watermark. For backfill-heavy
     * schedules pass a horizon wider than the largest expected delivery
-    * gap. */
+    * gap.
+    *
+    * `afterBatchWrite(batchId)` is a test seam invoked after the batch's
+    * parquet append but BEFORE the micro-batch completes (and therefore
+    * before the engine commits its offsets) — throwing there simulates a
+    * crash in the exactly-once danger window: data durably written,
+    * progress not recorded. The restart replays that batch; the
+    * anti-join against the re-read fact table must absorb the replay
+    * (spec: `CrashRecoverySpec`). Production callers leave the default
+    * no-op. */
   def runAvailableNow(
       spark: SparkSession,
       txStream: DataFrame,
@@ -138,7 +147,8 @@ object StreamETL {
       customers: DataFrame,
       factDir: String,
       checkpointDir: String,
-      dedupHorizon: String = "1 day"): Unit = {
+      dedupHorizon: String = "1 day",
+      afterBatchWrite: Long => Unit = _ => ()): Unit = {
     // path-missing is the only condition that legitimately means "no fact
     // table yet"; any other failure (transient FS error, corrupt footer)
     // must abort rather than silently disable the re-delivery anti-join.
@@ -158,7 +168,7 @@ object StreamETL {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val toAppend = factAppendBatch(knownKeys, batch).localCheckpoint(eager = true)
         toAppend
           .withColumn("sale_year", year(col("order_ts")))
@@ -166,6 +176,7 @@ object StreamETL {
           .write.mode("append")
           .partitionBy("sale_year", "sale_month")
           .parquet(factDir)
+        afterBatchWrite(batchId)
         knownKeys = knownKeys
           .unionByName(toAppend.select("order_id"))
           .localCheckpoint(eager = true)
