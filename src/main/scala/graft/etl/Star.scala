@@ -42,18 +42,29 @@ object Star {
       build: => DataFrame): DataFrame =
     graft.util.SessionCache.getOrBuild(spark, s"star|$dir|$name")(build)
 
-  /** The events stream table is written with nanosecond parquet
-    * timestamps, which Spark's vectorized reader rejects; read them as
-    * longs (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
-    * microsecond timestamps (the data is µs-granular, so this is
-    * lossless). DELIBERATELY session-global: the flag is not settable
-    * per-read, and every nanos-timestamp parquet this engine touches
-    * wants the same treatment — restoring it between reads would make
-    * unrelated scans ordering-dependent on when their plans execute. */
+  /** The events stream table, normalized to a session-timezone
+    * `timestamp` ts regardless of how the file spells it — generators
+    * have shipped it three ways, and the engine must read all of them:
+    *  - nanosecond parquet timestamps (rejected by Spark's vectorized
+    *    reader): read as longs via `spark.sql.legacy.parquet.nanosAsLong`
+    *    and floor-convert to µs (the data is µs-granular — lossless).
+    *    That flag is DELIBERATELY session-global: it is not settable
+    *    per-read, and every nanos parquet this engine touches wants the
+    *    same treatment — restoring it between reads would make unrelated
+    *    scans ordering-dependent on when their plans execute.
+    *  - native µs timestamps without timezone metadata (TIMESTAMP_NTZ):
+    *    cast to `timestamp` — the session zone is pinned UTC by every
+    *    entrypoint, so the instant is unchanged.
+    *  - plain `timestamp`: pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Customers(Customer_ID, Customer_Name, Gender) — c_mktsegment stands in
