@@ -57,13 +57,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def commits(): Seq[(Long, Manifest)] =
     if (!Files.isDirectory(logDir)) Nil
     else
-      Files.list(logDir).iterator.asScala
+      listDir(logDir)
         .filter(p => p.getFileName.toString.matches("\\d{20}\\.txn"))
         .map { p =>
           val v = p.getFileName.toString.stripSuffix(".txn").toLong
           (v, parseManifest(new String(Files.readAllBytes(p), UTF_8)))
         }
-        .toSeq.sortBy(_._1)
+        .sortBy(_._1)
 
   /** Latest committed version, −1 for an empty table. */
   def version(): Long = commits().lastOption.map(_._1).getOrElse(-1L)
@@ -126,6 +126,17 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           s"mergeUpsert: gave up after $maxAttempts publish attempts on $dir")
       }
       beforePublish()
+      // Fail LOUD, not corrupt: if a mistimed vacuum (retention window
+      // shorter than this commit) deleted the staged dir, publishing
+      // would commit a manifest of dangling files and break every
+      // subsequent snapshot read. A races-with-vacuum deployment must
+      // raise the vacuum TTL; this check converts the common mistiming
+      // into an aborted commit instead of a poisoned table.
+      if (!Files.isDirectory(root.resolve(staged)))
+        throw new IllegalStateException(
+          s"mergeUpsert: staged directory $staged vanished before publish " +
+            "(vacuumed mid-commit?) — aborting instead of committing a " +
+            "dangling manifest")
       if (tryPublish(snap.lastOption.map(_._1).getOrElse(-1L) + 1,
           Manifest(n, Seq(staged))))
         return n
@@ -190,24 +201,59 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Remove staged data directories no manifest references — the litter
-    * of crashed writers (they staged, never published, so their data was
-    * never visible). Only safe when no writer is mid-commit; a
-    * production deployment gates this on a staged-dir age TTL exactly
-    * like Delta's VACUUM retention window. Returns the removed paths. */
-  def vacuumOrphans(): Seq[String] = {
+  /** Remove crashed-writer litter: staged data directories no manifest
+    * references (they staged, never published, so their data was never
+    * visible) and `.txn.tmp` manifest scratch files in `_txlog` left by a
+    * committer that died between link and delete. Gated on an age TTL
+    * exactly like Delta's VACUUM retention window: anything younger
+    * than `minAgeMs` is presumed to belong to an IN-FLIGHT commit and
+    * is left alone — deleting a live writer's staged dir would let its
+    * publish commit a manifest of dangling files. The default retention
+    * is deliberately much longer than any sane commit; a deployment
+    * that vacuums aggressively must keep the TTL above its slowest
+    * writer's stage→publish window (the publish path also re-checks the
+    * staged dir and aborts loudly if it vanished). Returns the removed
+    * paths. */
+  def vacuumOrphans(minAgeMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean =
+      try now - Files.getLastModifiedTime(p).toMillis >= minAgeMs
+      catch { case _: java.io.IOException => false } // raced a deletion: skip
+    val tmps =
+      if (!Files.isDirectory(logDir)) Nil
+      else listDir(logDir)
+        .filter(p => p.getFileName.toString.endsWith(".txn.tmp"))
+        .filter(oldEnough)
+    tmps.foreach(Files.deleteIfExists(_))
     val dataDir = root.resolve("data")
-    if (!Files.isDirectory(dataDir)) return Nil
-    val referenced = commits().flatMap(_._2.files).map(f => root.resolve(f)).toSet
-    val orphans = Files.list(dataDir).iterator.asScala
-      .filter(p => !referenced.contains(p))
-      .toSeq
+    val orphans =
+      if (!Files.isDirectory(dataDir)) Nil
+      else {
+        val referenced =
+          commits().flatMap(_._2.files).map(f => root.resolve(f)).toSet
+        listDir(dataDir).filterNot(referenced.contains).filter(oldEnough)
+      }
     orphans.foreach(deleteRecursively)
-    orphans.map(_.toString)
+    (orphans ++ tmps).map(_.toString)
+  }
+
+  /** Directory listing with the stream CLOSED before returning —
+    * `Files.list` leaks a file descriptor per call otherwise, and
+    * `commits()` runs inside the optimistic-retry loop and on every
+    * snapshot read. */
+  private def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try s.iterator.asScala.toSeq
+    finally s.close()
   }
 }
 
 object TxParquetSink {
+
+  /** Default [[TxParquetSink.vacuumOrphans]] retention: 24 h, far above
+    * any sane stage→publish window (Delta ships 7 days for the same
+    * guard; commits here are one batch, not a day of them). */
+  val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
 
   /** One commit's content: the row count audited at stage time and the
     * table-relative data directories this commit makes visible. */
@@ -233,7 +279,8 @@ object TxParquetSink {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverseIterator
-        .foreach(Files.deleteIfExists(_))
+      val s = Files.walk(p)
+      val all = try s.iterator.asScala.toSeq finally s.close()
+      all.reverseIterator.foreach(Files.deleteIfExists(_))
     }
 }

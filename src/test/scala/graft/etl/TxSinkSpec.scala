@@ -108,9 +108,40 @@ class TxSinkSpec extends SparkSpec {
     // a writer that staged and died before publish: visible to nobody
     batch("ZZ" -> "orphan").write.parquet(
       java.nio.file.Paths.get(t.dir, "data", "tx-orphan").toString)
+    // a committer that died between manifest link and tmp delete
+    val tmp = java.nio.file.Paths.get(t.dir, "_txlog", ".stage-dead.txn.tmp")
+    Files.write(tmp, "rows=1\n".getBytes)
     assert(keySet(t) == Seq("P1"), "staged-but-unpublished data leaked into reads")
-    val removed = t.vacuumOrphans()
-    assert(removed.exists(_.endsWith("tx-orphan")) && removed.size == 1)
+    val removed = t.vacuumOrphans(minAgeMs = 0)
+    assert(removed.exists(_.endsWith("tx-orphan")))
+    assert(removed.exists(_.endsWith(".txn.tmp")) && !Files.exists(tmp),
+      "crashed-committer manifest scratch must be vacuumed too")
+    assert(removed.size == 2)
+    assert(keySet(t) == Seq("P1"))
+  }
+
+  test("vacuum retention TTL protects an in-flight writer's staged dir") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "Widget"), keys, order)
+    // mid-commit writer: staged seconds ago, not yet published
+    batch("ZZ" -> "inflight").write.parquet(
+      java.nio.file.Paths.get(t.dir, "data", "tx-inflight").toString)
+    // default retention (24 h) must leave it alone
+    assert(t.vacuumOrphans().isEmpty,
+      "a freshly staged dir was vacuumed under the default retention")
+    assert(Files.isDirectory(java.nio.file.Paths.get(t.dir, "data", "tx-inflight")))
+    // and a zero-TTL vacuum inside a writer's commit window makes the
+    // writer ABORT (dangling-manifest publish is refused), not corrupt
+    var vacuumed = false
+    val sabotage: () => Unit = () => if (!vacuumed) {
+      vacuumed = true; t.vacuumOrphans(minAgeMs = 0); ()
+    }
+    val e = intercept[IllegalStateException] {
+      t.mergeUpsert(spark, batch("Q1" -> "victim"), keys, order,
+        beforePublish = sabotage)
+    }
+    assert(e.getMessage.contains("vanished before publish"))
+    // table still healthy: committed prefix intact, snapshot readable
     assert(keySet(t) == Seq("P1"))
   }
 
