@@ -5,10 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §7.5): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, plus a batched
-  * decode/feature-extract stage. The container has no image/audio codecs,
-  * so the decode kernel is a clearly-marked deterministic STUB — but the
-  * Spark-side plumbing (schema, binary column, partition-preserving
-  * `mapPartitions` batch shape, feature schema) is real and tested.
+  * decode/feature-extract stage.
+  *
+  * The decode stage is TWO-PATH per payload:
+  *  - **Real image path** — payloads that sniff as PNG/JPEG/GIF/BMP are
+  *    decoded with `javax.imageio` (public JDK, no external dep) to an
+  *    8-bit luma raster; features, resize and the perceptual hash then
+  *    run on REAL PIXELS ([[decodeRaster]], [[resizeRaster]],
+  *    [[averageHash16]] — all integer arithmetic, so results are
+  *    deterministic across JVMs/platforms, unlike Graphics2D filtering).
+  *  - **Byte-kernel fallback** — anything undecodable (in particular the
+  *    documents-derived fixture payloads, which are UTF-8 text bytes)
+  *    gets the deterministic byte-statistics kernel, which is what keeps
+  *    the `ext_media_*` oracles engine-checkable in DuckDB.
   *
   * At 100 TB the payloads live in parquet binary columns (or object-store
   * pointers); decode is a `mapPartitions` over batches so codec init cost
@@ -22,9 +31,107 @@ object MediaOps {
       doc_id: Long, media_type: String, payload: Array[Byte],
       width: Long, height: Long, duration_ms: Long)
 
+  /** `phash` is the REAL 16-bit average-hash when the payload decoded as
+    * an image, −1 when the byte-kernel fallback ran (the downstream
+    * signature query substitutes its oracle-checkable derivation). */
   case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Int,
-      checksum: Long, feature: Array[Float])
+      checksum: Long, feature: Array[Float], phash: Int)
+
+  /** Decoded raster: row-major 8-bit luma plane. */
+  final case class Raster(width: Int, height: Int, luma: Array[Byte])
+
+  /** REAL image decode: sniffs the payload magic (PNG/JPEG/GIF/BMP) and
+    * decodes via `javax.imageio` to an 8-bit luma raster using integer
+    * Rec.601 weights ((77R + 150G + 29B) >> 8) — fixed-point so the
+    * plane is bit-identical on every JVM. None for payloads that are
+    * not decodable images (wrong magic, truncated file): callers fall
+    * back to the byte kernel. The magic sniff keeps the text-payload
+    * fixture rows from paying ImageIO stream setup per row. */
+  def decodeRaster(payload: Array[Byte]): Option[Raster] = {
+    if (payload == null || payload.length < 8) return None
+    def b(i: Int) = payload(i) & 0xff
+    val looksImage =
+      (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff && b(1) == 0xd8) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M')
+    if (!looksImage) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val luma = new Array[Byte](w * h)
+        // Grayscale images: take the RAW sample — getRGB would route it
+        // through a gray→sRGB color-space conversion (gamma), breaking
+        // the lossless round-trip of our own grayscale PNG re-encodes.
+        val gray = img.getColorModel.getNumColorComponents == 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            luma(y * w + x) =
+              if (gray) img.getRaster.getSample(x, y, 0).toByte
+              else {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val bl = rgb & 0xff
+                ((77 * r + 150 * g + 29 * bl) >> 8).toByte
+              }
+            x += 1
+          }
+          y += 1
+        }
+        Some(Raster(w, h, luma))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL nearest-neighbor resize on the luma plane. Nearest-neighbor —
+    * not bilinear/Lanczos — deliberately: it is the one resampling
+    * kernel that is exactly reproducible in pure integer arithmetic
+    * (source index = ⌊target·srcDim/dstDim⌋), which the determinism
+    * contract of this engine requires. */
+  def resizeRaster(r: Raster, tw: Int, th: Int): Raster = {
+    require(tw > 0 && th > 0, s"resize target must be positive, got ${tw}x$th")
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * r.height / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * r.width / tw).toInt
+        out(y * tw + x) = r.luma(sy * r.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(tw, th, out)
+  }
+
+  /** REAL 16-bit average-hash: nearest-neighbor thumbnail to 4×4 luma,
+    * bit i set iff pixel i is STRICTLY above the integer mean — the
+    * classic aHash at the width the 2-block pigeonhole join
+    * ([[phashPairs]]) indexes. Re-encodes and mild edits move few
+    * bits; the strict compare keeps flat (all-equal) images at hash 0
+    * deterministically. */
+  def averageHash16(r: Raster): Int = {
+    val t = resizeRaster(r, 4, 4)
+    var sum = 0
+    var i = 0
+    while (i < 16) { sum += t.luma(i) & 0xff; i += 1 }
+    val mean = sum / 16
+    var bits = 0
+    i = 0
+    while (i < 16) {
+      if ((t.luma(i) & 0xff) > mean) bits |= (1 << i)
+      i += 1
+    }
+    bits
+  }
 
   /** Derives the media table from `documents`: the UTF-8 text bytes stand
     * in for an encoded frame/sample payload; metadata is derived from the
@@ -50,30 +157,51 @@ object MediaOps {
       .orderBy("doc_id")
 
   /** Batched decode / feature-extraction over the binary payloads via
-    * `mapPartitions`: one iterator per partition (codec state would be
-    * initialized here once per partition, not per row).
+    * `mapPartitions`: one iterator per partition (codec state is
+    * initialized once per partition, not per row).
     *
-    * STUB: a real deployment would decode the payload with an image/audio
-    * library here. This container has none, so the "decode" is a
-    * deterministic byte-level kernel: checksum = Σ bytes mod 997 and a
-    * 4-dim "feature" from byte statistics. The iteration over payload
-    * bytes is real — the stage exercises exactly the data path a codec
-    * would. */
+    * Two-path (see class doc): payloads that decode as images get REAL
+    * pixel features — checksum = Σ luma mod 997, feature =
+    * [width, height, mean luma, aHash] and the 16-bit [[averageHash16]];
+    * undecodable payloads (the text-byte fixtures) get the deterministic
+    * byte kernel — checksum = Σ bytes mod 997, byte-statistics feature,
+    * phash −1 — which is the DuckDB-reproducible oracle path. */
   def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+    decodeFeaturesOf(mediaTable(spark, dir).as[MediaRecord])
+  }
+
+  /** Kernel body over an arbitrary media dataset — the seam the fixture
+    * spec drives with REAL encoded PNGs. */
+  def decodeFeaturesOf(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
       it.map { r =>
         val bytes = r.payload
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-        val checksum = sum % 997
-        val feature = Array(
-          bytes.length.toFloat,
-          checksum.toFloat,
-          if (bytes.isEmpty) 0f else (bytes(0) & 0xff).toFloat,
-          if (bytes.isEmpty) 0f else (bytes(bytes.length - 1) & 0xff).toFloat)
-        MediaFeatures(r.doc_id, r.media_type, bytes.length, checksum, feature)
+        decodeRaster(bytes) match {
+          case Some(ras) =>
+            var sum = 0L
+            var i = 0
+            while (i < ras.luma.length) { sum += ras.luma(i) & 0xff; i += 1 }
+            val mean =
+              if (ras.luma.isEmpty) 0f else sum.toFloat / ras.luma.length
+            val ah = averageHash16(ras)
+            MediaFeatures(r.doc_id, r.media_type, bytes.length, sum % 997,
+              Array(ras.width.toFloat, ras.height.toFloat, mean, ah.toFloat),
+              ah)
+          case None =>
+            var sum = 0L
+            var i = 0
+            while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+            val checksum = sum % 997
+            val feature = Array(
+              bytes.length.toFloat,
+              checksum.toFloat,
+              if (bytes.isEmpty) 0f else (bytes(0) & 0xff).toFloat,
+              if (bytes.isEmpty) 0f else (bytes(bytes.length - 1) & 0xff).toFloat)
+            MediaFeatures(r.doc_id, r.media_type, bytes.length, checksum,
+              feature, -1)
+        }
       }
     }
   }
@@ -89,26 +217,44 @@ object MediaOps {
       .select("doc_id", "media_type", "n_bytes", "checksum")
       .orderBy("doc_id")
 
-  /** Resize stage (STUB kernel, real plumbing): recomputes the payload
-    * for a target resolution. A real deployment calls the image codec
-    * per batch here; the stub scales the byte budget proportionally
-    * (truncation) and rewrites the metadata, preserving the
-    * partition-preserving `mapPartitions` batch shape. */
+  /** Resize stage: image payloads get a REAL nearest-neighbor resample
+    * of the decoded luma plane, re-encoded as PNG (javax.imageio, still
+    * inside the per-partition batch); undecodable payloads keep the
+    * proportional-truncation byte stub so the oracle fixtures stay
+    * byte-accountable. Metadata is rewritten either way. */
   def resize(spark: SparkSession, dir: String, targetW: Int, targetH: Int): Dataset[MediaRecord] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+    resizeOf(mediaTable(spark, dir).as[MediaRecord], targetW, targetH)
+  }
+
+  /** Kernel body over an arbitrary media dataset — the seam the fixture
+    * spec drives with REAL encoded PNGs. */
+  def resizeOf(ds: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
       it.map { r =>
-        val scale = (targetW.toLong * targetH).toDouble /
-          math.max(1L, r.width * r.height).toDouble
-        // empty payloads stay empty — fabricating a byte would corrupt
-        // downstream byte accounting (checksum/octet_length vs mediaMeta)
-        val newLen =
-          if (r.payload.isEmpty) 0
-          else math.max(1, math.min(r.payload.length,
-            math.ceil(r.payload.length * scale).toInt))
-        r.copy(
-          payload = java.util.Arrays.copyOf(r.payload, newLen),
-          width = targetW, height = targetH)
+        decodeRaster(r.payload) match {
+          case Some(ras) =>
+            val out = resizeRaster(ras, targetW, targetH)
+            val img = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            img.getRaster.setDataElements(0, 0, targetW, targetH, out.luma)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            r.copy(payload = bos.toByteArray, width = targetW, height = targetH)
+          case None =>
+            val scale = (targetW.toLong * targetH).toDouble /
+              math.max(1L, r.width * r.height).toDouble
+            // empty payloads stay empty — fabricating a byte would corrupt
+            // downstream byte accounting (checksum/octet_length vs mediaMeta)
+            val newLen =
+              if (r.payload.isEmpty) 0
+              else math.max(1, math.min(r.payload.length,
+                math.ceil(r.payload.length * scale).toInt))
+            r.copy(
+              payload = java.util.Arrays.copyOf(r.payload, newLen),
+              width = targetW, height = targetH)
+        }
       }
     }
   }
@@ -148,20 +294,23 @@ object MediaOps {
         max("offset_ms").as("last_offset_ms"))
       .orderBy("doc_id")
 
-  /** Perceptual-hash signatures over the decoded payloads (16 bits).
-    *
-    * STUB kernel, real plumbing — same contract as the rest of the
-    * module: a real deployment computes a DCT/average-hash from the
-    * decoded PIXELS inside [[decodeFeatures]]'s `mapPartitions` stage
-    * (where the pixel buffer is in scope); this container has no
-    * codecs, so the stub derives the 16 signature bits from the
-    * kernel's decoded BYTE statistics (checksum, byte length) via the
-    * cross-engine hash — which is exactly what keeps the downstream
-    * near-dup join oracle-checkable. */
+  /** Perceptual-hash signatures over the decoded payloads (16 bits):
+    * the REAL [[averageHash16]] over the decoded 4×4 luma thumbnail
+    * when the payload is an image (computed inside [[decodeFeatures]]'s
+    * `mapPartitions` stage, where the pixel buffer is in scope);
+    * undecodable payloads substitute the byte-statistics derivation via
+    * the cross-engine hash — which is exactly what keeps the downstream
+    * near-dup join oracle-checkable over the text-byte fixtures. */
   def phashSignatures(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, dir).toDF()
+    phashSignaturesOf(decodeFeatures(spark, dir))
+
+  /** Signature selection over an arbitrary feature dataset — the seam
+    * the fixture spec drives with REAL encoded PNGs. */
+  def phashSignaturesOf(feats: Dataset[MediaFeatures]): DataFrame =
+    feats.toDF()
       .withColumn("phash",
-        TextOps.h32(concat(col("checksum"), lit(":"), col("n_bytes"))) % 65536)
+        when(col("phash") >= 0, col("phash")).otherwise(
+          TextOps.h32(concat(col("checksum"), lit(":"), col("n_bytes"))) % 65536))
       .select("doc_id", "media_type", "phash")
 
   /** Near-duplicate media detection by perceptual-hash Hamming

@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ext.MediaOps.{MediaRecord, Raster}
+
+/** The REAL image path of the media module: fixture PNGs generated
+  * in-test (javax.imageio is plain JDK), decoded, resized and
+  * perceptually hashed on actual pixels — end-to-end through the same
+  * `mapPartitions` kernels the table queries run, driven via the
+  * `*Of(ds)` seams. The text-payload fallback (the oracle path) is
+  * pinned to stay byte-identical to round 5's behavior. */
+class MediaKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic RGB test card: pixel (x,y) = f(x,y) so every
+    * decode of the same (w,h,seed) sees identical pixels. */
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + seed) % 256
+      val g = (y * 11 + 2 * seed) % 256
+      val b = (x + y + 3 * seed) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def rec(id: Long, payload: Array[Byte], w: Long = 0, h: Long = 0) =
+    MediaRecord(id, "image", payload, w, h, 0L)
+
+  test("decodeRaster: PNG round-trips to the exact integer luma plane") {
+    val bytes = pngBytes(8, 5, seed = 1)
+    val ras = MediaOps.decodeRaster(bytes).get
+    assert(ras.width == 8 && ras.height == 5)
+    // independently recompute the fixed-point Rec.601 luma of pixel (3,2)
+    val (r, g, b) = ((3 * 7 + 1) % 256, (2 * 11 + 2) % 256, (3 + 2 + 3) % 256)
+    val expected = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+    assert(ras.luma(2 * 8 + 3) == expected)
+  }
+
+  test("decodeRaster: text bytes and truncated images fall back to None") {
+    assert(MediaOps.decodeRaster("just some text payload".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.decodeRaster(pngBytes(4, 4, 0).take(10)).isEmpty)
+    assert(MediaOps.decodeRaster(Array.emptyByteArray).isEmpty)
+    assert(MediaOps.decodeRaster(null).isEmpty)
+  }
+
+  test("resizeRaster is exact nearest-neighbor (integer index math)") {
+    // 4x2 plane with distinct values; downscale to 2x1
+    val src = Raster(4, 2, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val out = MediaOps.resizeRaster(src, 2, 1)
+    // sx = floor(x*4/2) -> pixels 0 and 2 of row sy = floor(0*2/1) = 0
+    assert(out.luma.toSeq == Seq[Byte](10, 30))
+    // upscale replicates: 2x1 -> 4x1 takes sx = 0,0,1,1
+    val up = MediaOps.resizeRaster(Raster(2, 1, Array[Byte](5, 9)), 4, 1)
+    assert(up.luma.toSeq == Seq[Byte](5, 5, 9, 9))
+  }
+
+  test("averageHash16: stable on identical pixels, near on mild edits, 0 on flat") {
+    val a = MediaOps.decodeRaster(pngBytes(64, 64, seed = 3)).get
+    val b = MediaOps.decodeRaster(pngBytes(64, 64, seed = 3)).get
+    assert(MediaOps.averageHash16(a) == MediaOps.averageHash16(b))
+    // a re-encode after resize is a mild edit: hash moves few bits
+    val resized = MediaOps.resizeRaster(a, 48, 48)
+    val d = Integer.bitCount(
+      MediaOps.averageHash16(a) ^ MediaOps.averageHash16(resized))
+    assert(d <= 2, s"resize moved $d of 16 aHash bits")
+    // flat image: strictly-above-mean never fires
+    assert(MediaOps.averageHash16(Raster(4, 4, Array.fill(16)(100.toByte))) == 0)
+  }
+
+  test("decodeFeaturesOf: real pixels drive checksum/feature/phash; text keeps the byte kernel") {
+    val png = pngBytes(16, 12, seed = 7)
+    val txt = "plain text payload".getBytes("UTF-8")
+    val feats = MediaOps.decodeFeaturesOf(
+        Seq(rec(1L, png), rec(2L, txt)).toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val ras = MediaOps.decodeRaster(png).get
+    val lumaSum = ras.luma.map(_ & 0xff).map(_.toLong).sum
+    val real = feats(1L)
+    assert(real.n_bytes == png.length)
+    assert(real.checksum == lumaSum % 997, "image checksum must be over PIXELS, not file bytes")
+    assert(real.feature(0) == 16f && real.feature(1) == 12f)
+    assert(real.phash == MediaOps.averageHash16(ras) && real.phash >= 0)
+
+    val stub = feats(2L)
+    assert(stub.checksum == txt.map(_ & 0xff).map(_.toLong).sum % 997)
+    assert(stub.phash == -1, "fallback rows must carry the -1 sentinel")
+  }
+
+  test("resizeOf: image payloads are re-encoded at target size and re-decode to the resampled plane") {
+    val png = pngBytes(20, 10, seed = 5)
+    val out = MediaOps.resizeOf(Seq(rec(1L, png, 20, 10)).toDS(), 10, 5)
+      .collect().head
+    assert(out.width == 10 && out.height == 5)
+    val decoded = MediaOps.decodeRaster(out.payload).get
+    assert(decoded.width == 10 && decoded.height == 5)
+    // the re-encoded PNG must hold EXACTLY the nearest-neighbor plane
+    val expected = MediaOps.resizeRaster(MediaOps.decodeRaster(png).get, 10, 5)
+    assert(decoded.luma.toSeq == expected.luma.toSeq,
+      "PNG round-trip must preserve the resampled luma exactly (grayscale PNG is lossless)")
+  }
+
+  test("near-duplicate detection on real pixels: re-encode collides, distinct images differ") {
+    val a = pngBytes(32, 32, seed = 11)
+    // near-dup: same pixels re-encoded through a resize-to-same-size pass
+    val aAgain = MediaOps.resizeOf(Seq(rec(1L, a, 32, 32)).toDS(), 32, 32)
+      .collect().head.payload
+    val c = pngBytes(32, 32, seed = 200) // unrelated content
+    val sigs = MediaOps.phashSignaturesOf(MediaOps.decodeFeaturesOf(
+        Seq(rec(1L, a), rec(2L, aAgain), rec(3L, c)).toDS()))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("phash").intValue).toMap
+    assert(Integer.bitCount(sigs(1L) ^ sigs(2L)) <= 1,
+      "re-encoded image must sit within the Hamming-1 near-dup radius")
+    assert(Integer.bitCount(sigs(1L) ^ sigs(3L)) > 1,
+      "unrelated images must not collide within the near-dup radius")
+  }
+}
