@@ -1038,4 +1038,45 @@ object EtlOracleSql {
       |  FROM sales_fact
       |)
       |ORDER BY table_name""".stripMargin)
+
+  /** Token-bucket rate-limiter twin: the streaming state machine's
+    * decisions over the CLOSED event log are a deterministic
+    * (ts, event_id)-ordered fold per user, which SQL replays with a
+    * recursive CTE — one recursion step per event rank, all users
+    * advancing in lockstep. The arithmetic mirrors
+    * [[graft.streaming.StatefulOps.bucketStep]] exactly: integer
+    * millitokens, truncating refill `(Δms · full) // periodMs`, cap at
+    * full, spend 1000 iff ≥ 1000 available. capacity=2, period=4 h
+    * (full = 2000 millitokens, periodMs = 14400000). */
+  val rateLimit: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ts_ms,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |),
+      |fold AS (
+      |  SELECT user_id, ts, event_id, rn,
+      |         TRUE AS allowed,
+      |         CAST(1000 AS BIGINT) AS milli_tokens_after,
+      |         ts_ms AS last_ms
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, rn,
+      |         avail >= 1000 AS allowed,
+      |         CAST(CASE WHEN avail >= 1000 THEN avail - 1000 ELSE avail END
+      |              AS BIGINT) AS milli_tokens_after,
+      |         now_ms AS last_ms
+      |  FROM (
+      |    SELECT e.user_id, e.ts, e.event_id, e.rn,
+      |           greatest(f.last_ms, e.ts_ms) AS now_ms,
+      |           least(2000, f.milli_tokens_after
+      |             + (greatest(f.last_ms, e.ts_ms) - f.last_ms) * 2000 // 14400000)
+      |             AS avail
+      |    FROM fold f
+      |    JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+      |  )
+      |)
+      |SELECT user_id, ts, event_id, allowed, milli_tokens_after
+      |FROM fold
+      |ORDER BY user_id, ts, event_id""".stripMargin
 }

@@ -158,21 +158,86 @@ object StatefulOps {
             val out = Seq.newBuilder[RateDecision]
             val s = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
               .foldLeft(prev) { (acc, e) =>
-                val nowMs = math.max(acc.lastTsMs, e.ts.getTime)
-                val refill =
-                  if (acc.lastTsMs == Long.MinValue) 0L
-                  else (nowMs - acc.lastTsMs) * fullMilli / periodMs
-                val avail = math.min(fullMilli, acc.milliTokens + refill)
-                val allowed = avail >= 1000L
-                val left = if (allowed) avail - 1000L else avail
-                out += RateDecision(user, e.ts, e.event_id, allowed, left)
-                BucketState(left, nowMs)
+                val (next, dec) = bucketStep(acc, e, fullMilli, periodMs)
+                out += dec
+                next
               }
             state.update(s)
             state.setTimeoutTimestamp(s.lastTsMs + periodMs)
             out.result().iterator
           }
       }
+  }
+
+  /** The token-bucket transition — ONE kernel shared by the streaming
+    * state machine and the batch twin, so the oracle-checked batch
+    * decisions are bit-identical to what the stream emits. */
+  private[streaming] def bucketStep(acc: BucketState, e: RateEvent,
+      fullMilli: Long, periodMs: Long): (BucketState, RateDecision) = {
+    val nowMs = math.max(acc.lastTsMs, e.ts.getTime)
+    val refill =
+      if (acc.lastTsMs == Long.MinValue) 0L
+      else (nowMs - acc.lastTsMs) * fullMilli / periodMs
+    val avail = math.min(fullMilli, acc.milliTokens + refill)
+    val allowed = avail >= 1000L
+    val left = if (allowed) avail - 1000L else avail
+    (BucketState(left, nowMs),
+      RateDecision(e.user_id, e.ts, e.event_id, allowed, left))
+  }
+
+  /** Batch twin of [[rateLimit]] over a CLOSED event log: the same
+    * per-key (ts, event_id)-ordered fold, run to completion. This is
+    * what makes the streaming tier ORACLE-CHECKABLE — decisions over a
+    * finished log are a deterministic function of the data, so a SQL
+    * engine can replay them (recursive CTE) and hash-compare.
+    *
+    * Scale shape: ONE shuffle (hash repartition on user_id) + a
+    * sort-within-partitions, then a STREAMING per-partition fold with
+    * key-change detection — per-key state is two scalars and no
+    * per-user event list is ever materialized (`groupByKey.flatMapGroups`
+    * would give the same iterator shape; the explicit
+    * repartition+sortWithinPartitions spelling documents that the sort
+    * is intra-partition, never a global order). */
+  def rateLimitBatch(events: Dataset[RateEvent], capacity: Int = 10,
+      periodSeconds: Int = 60): Dataset[RateDecision] = {
+    require(capacity >= 1 && periodSeconds >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val periodMs = periodSeconds * 1000L
+    val fullMilli = capacity * 1000L
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var st = BucketState(fullMilli, Long.MinValue)
+        it.map { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id
+            started = true
+            st = BucketState(fullMilli, Long.MinValue)
+          }
+          val (next, dec) = bucketStep(st, e, fullMilli, periodMs)
+          st = next
+          dec
+        }
+      }
+  }
+
+  /** Driver-contract entry for the batch twin: admission decisions for
+    * every event in the events table, capacity 2 per 4 h (one token
+    * refills every 2 h — chosen so the testdata's inter-event gaps
+    * produce a real mix of allowed and throttled). */
+  def rateLimitQuery(spark: SparkSession, dir: String,
+      capacity: Int = 2, periodSeconds: Int = 4 * 3600): DataFrame = {
+    import spark.implicits._
+    val events = graft.etl.Star.events(spark, dir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long")).as[RateEvent]
+    rateLimitBatch(events, capacity, periodSeconds)
+      .toDF()
+      .orderBy("user_id", "ts", "event_id")
   }
 
   /** Untyped entry: adapts an events frame (user_id, ts, event_type,

@@ -99,11 +99,12 @@ class StatefulOpsSpec extends SparkSpec {
   }
 
   private def runLimiter(name: String, batches: Seq[Seq[RateEvent]],
-      capacity: Int, periodSeconds: Int): Seq[(Long, Boolean, Long)] = {
+      capacity: Int, periodSeconds: Int,
+      watermark: String = "0 seconds"): Seq[(Long, Boolean, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RateEvent]
     val out = StatefulOps.rateLimit(in.toDS(), capacity, periodSeconds,
-      watermark = "0 seconds")
+      watermark = watermark)
     val q = out.toDF().writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -151,5 +152,36 @@ class StatefulOpsSpec extends SparkSpec {
     val got = runLimiter("rl4", Seq(events), capacity = 2, periodSeconds = 60)
     // each key admits exactly its own capacity
     assert(got.count(_._2) === 4)
+  }
+
+  test("batch twin replays the stream's decisions exactly (shared kernel)") {
+    val base = ts("2024-01-01 10:00:00").getTime
+    // two keys, bursts + refill gaps + a duplicate-ts tie (id 100)
+    val events = (0 until 12).map { i =>
+      RateEvent((i % 2).toLong + 20L,
+        new Timestamp(base + (i / 2) * 25000L), i.toLong)
+    } ++ Seq(
+      RateEvent(20L, new Timestamp(base), 100L),
+      RateEvent(21L, new Timestamp(base + 500000L), 101L))
+    // The twin replays the closed log in (ts, event_id) order, so parity
+    // holds exactly when the stream SEES that order: batches carved on
+    // event-time boundaries (disorder only WITHIN a batch — the in-batch
+    // sort absorbs it), and a watermark generous enough that nothing is
+    // late-dropped. Cross-batch time travel and late-drop are watermark
+    // semantics, not bucket semantics, and are pinned by the other tests.
+    val inOrder = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val batches = Seq(
+      inOrder.take(5).reverse,  // intra-batch disorder, incl. the tie
+      inOrder.slice(5, 9).reverse,
+      inOrder.drop(9).reverse)
+    val streamed = runLimiter("rl5", batches,
+      capacity = 2, periodSeconds = 60, watermark = "1 hour")
+    val batch = StatefulOps.rateLimitBatch(events.toDS(), capacity = 2,
+        periodSeconds = 60)
+      .collect().toSeq.map(d => (d.event_id, d.allowed, d.milli_tokens_after))
+      .sortBy(_._1)
+    assert(batch === streamed,
+      "batch twin must be bit-identical to the streaming operator's output")
+    assert(batch.exists(!_._2) && batch.exists(_._2))
   }
 }
