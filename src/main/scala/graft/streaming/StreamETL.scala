@@ -186,6 +186,51 @@ object StreamETL {
     query.awaitTermination()
   }
 
+  /** [[runAvailableNow]] with the ACID sink: each micro-batch lands via
+    * [[graft.etl.TxParquetSink.mergeUpsert]] (insert-if-absent on
+    * order_id under snapshot isolation) instead of a plain parquet
+    * append guarded by driver-side key bookkeeping. What that buys over
+    * the plain runner:
+    *  - **No torn batches.** The plain path's crash window (parquet
+    *    append durable, offsets not committed) leaves a half-visible
+    *    batch that only the NEXT run's anti-join repairs; here a batch
+    *    is invisible until its manifest publishes atomically, and a
+    *    replayed batch re-filters against the committed snapshot to
+    *    zero inserts — the danger window closes by construction.
+    *  - **Concurrent writers.** A backfill job or second pipeline
+    *    upserting overlapping order ids interleaves safely (optimistic
+    *    publish + delta re-filter); the plain path's driver-cached key
+    *    set cannot see foreign commits.
+    * Trade-off: the Tx sink's data layout is one directory per commit,
+    * not the year/month partitioning of the plain runner — at 100 TB a
+    * periodic compaction/layout job (see [[graft.etl.Layout]]) owns
+    * read-side organization, exactly as Delta/Iceberg deployments pair
+    * OPTIMIZE with streaming ingest. */
+  def runAvailableNowTx(
+      spark: SparkSession,
+      txStream: DataFrame,
+      products: DataFrame,
+      customers: DataFrame,
+      sink: graft.etl.TxParquetSink,
+      checkpointDir: String,
+      dedupHorizon: String = "1 day",
+      afterBatchWrite: Long => Unit = _ => ()): Unit = {
+    val query = withMeasures(meshJoin(
+        withStreamDedup(cleanTransactions(txStream), dedupHorizon), products, customers))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.mergeUpsert(spark, batch,
+          keys = Seq("order_id"), orderCols = factOrderCols)
+        afterBatchWrite(batchId)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Wires the full pipeline on a streaming transactions frame and runs
     * it to completion against in-memory sinks (used by tests and local
     * runs; a production deployment points the same transforms at a file/
