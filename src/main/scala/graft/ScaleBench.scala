@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up measurement harness: materializes a FACTOR× synthetic blow-up
+  * of a source SF directory (default 10× sf0.1 ≈ "sf1") and times the
+  * heaviest queries at both scales, printing one JSON line with the
+  * per-query ratios. This is the empirical check behind the "flat
+  * profile, survives 100×" plan-shape argument — a query whose sf1 time
+  * grows ≫ FACTOR× its sf0.1 time has a super-linear stage (collapsed
+  * bucket, all-pairs join, driver materialization) the plan pins missed.
+  *
+  * Blow-up construction (copy k of FACTOR, k = 0 is the original):
+  *  - `orders`/`lineitem`: order keys offset by k·span — FACTOR× facts;
+  *    dimension FKs (cust/part/supp) unchanged, matching how a real
+  *    business grows facts against slowly-growing dimensions.
+  *  - `events`: event ids AND user ids offset — FACTOR× users each with
+  *    the original per-user density (sessions/rate state stay bounded).
+  *  - `documents`: doc ids offset; copies k ≥ 1 get every word suffixed
+  *    with the copy id — an ISOMORPHIC vocabulary renaming, so each
+  *    copy's shingle document-frequency distribution is exactly the
+  *    original corpus's and copies share no shingles. This is the
+  *    construction under which a linear dedup operator must scale
+  *    ~FACTOR×. (A word-level hash shuffle was tried first and rejected:
+  *    it manufactures stopword-triple shingles natural text never
+  *    contains, df in the hundreds, and sends candidate generation
+  *    quadratic — a hot-shingle stress test, not a scale-up; that regime
+  *    is pinned separately by DedupSkewSpec.)
+  *  - `embeddings`: vec ids offset; copies perturbed by a deterministic
+  *    ±1% hash noise per component so ANN cells grow without exact-dup
+  *    degeneracy.
+  *  - dimension tables copied as-is.
+  *
+  * Usage: runMain graft.ScaleBench [srcDir] [outDir] [factor] [passes] [query...]
+  * The scaled directory is built once and reused if present.
+  */
+object ScaleBench {
+
+  /** Heaviest per-query timings from the round-5 bench, the measurement
+    * targets (VERDICT round 5, item 3). */
+  val DefaultQueries: Seq[String] = Seq(
+    "etl_rfm", "etl_assortment_churn", "q23_abc_pareto", "etl_store_overlap",
+    "ext_curriculum_order", "ext_dedup_cluster_sizes", "ext_text_winnowing",
+    "q09_spikes", "q05_volatility", "etl_cdc_emit", "etl_sales_streaks",
+    "ext_text_tfidf", "ext_text_fingerprint", "etl_peak_open_orders",
+    "ext_text_cooccur", "etl_cumulative_reach", "etl_fact_profile",
+    "ext_sketch_cms", "ext_dedup_jaccard", "q21_lapsed_customers")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val passes = args.lift(3).map(_.toInt).getOrElse(1)
+    val names = if (args.length > 4) args.drop(4).toSeq else DefaultQueries
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    def session(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    locally {
+      val spark = session()
+      if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+        buildScaled(spark, srcDir, outDir, factor)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    // ONE session per scale: a shared session holds BOTH scales' cached
+    // warehouse/index artifacts and the storage-memory eviction it
+    // causes inflates the big side ~2.5× (measured) — exactly the
+    // cross-talk a per-cluster deployment doesn't have. Setup
+    // (warehouse + dedup/ANN index build, Bench's setup_sec contract)
+    // runs before timing so queries measure query work.
+    def timeAll(dir: String): Map[String, Double] = {
+      val spark = session()
+      try {
+        try {
+          graft.etl.Star.salesFact(spark, dir).count()
+          graft.ext.DedupOps.buildIndexes(spark, dir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] setup($dir) failed: ${e.getMessage}")
+        }
+        names.map { n =>
+          var best = Double.MaxValue
+          for (_ <- 1 to passes) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          n -> best
+        }.toMap
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+    // small scale first (warms JIT on the cheap side)
+    val small = timeAll(srcDir)
+    val big = timeAll(outDir)
+    val ratios = names.map(n => n -> big(n) / math.max(1e-9, small(n)))
+    val js = names.map { n =>
+      f""""$n":{"small":${small(n)}%.3f,"big":${big(n)}%.3f,"ratio":${big(n) / math.max(1e-9, small(n))}%.2f}"""
+    }.mkString("{", ",", "}")
+    val worst = ratios.maxBy(_._2)
+    println(s"""{"metric":"scale_ratio","factor":$factor,"queries":$js,""" +
+      s""""worst":"${worst._1}","worst_ratio":${f"${worst._2}%.2f"}}""")
+  }
+
+  /** One-time blow-up build; every transform is deterministic (hash
+    * arithmetic, no rand()). */
+  def buildScaled(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(read(t), t)
+
+    def copies(df: DataFrame): DataFrame =
+      (0 until factor).map(k => df.withColumn("copy_k", lit(k))).reduce(_ unionAll _)
+
+    val orderSpan = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+    write(copies(read("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy_k") * orderSpan)
+      .drop("copy_k"), "orders")
+    write(copies(read("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy_k") * orderSpan)
+      .drop("copy_k")
+      .repartition(spark.sessionState.conf.numShufflePartitions), "lineitem")
+
+    val ev = read("events")
+    val evSpan = ev.agg(max("event_id")).head.getLong(0) + 1
+    val userSpan = ev.agg(max("user_id")).head.getLong(0) + 1
+    write(copies(ev)
+      .withColumn("event_id", col("event_id") + col("copy_k") * evSpan)
+      .withColumn("user_id", col("user_id") + col("copy_k") * userSpan)
+      .drop("copy_k"), "events")
+
+    val docs = read("documents")
+    val docSpan = docs.agg(max("doc_id")).head.getLong(0) + 1
+    write(copies(docs)
+      .withColumn("doc_id", col("doc_id") + col("copy_k") * docSpan)
+      // copy 0 keeps the original text; other copies rename the
+      // vocabulary (word → word␣suffix) — isomorphic df distribution,
+      // zero cross-copy shingle overlap
+      .withColumn("text", when(col("copy_k") === 0, col("text")).otherwise(
+        expr("""array_join(
+          |  transform(split(text, ' '),
+          |    w -> concat(w, CAST(copy_k AS STRING))),
+          |  ' ')""".stripMargin)))
+      .drop("copy_k")
+      .repartition(spark.sessionState.conf.numShufflePartitions), "documents")
+
+    val emb = read("embeddings")
+    val vecSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+    write(copies(emb)
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(x + CASE WHEN copy_k = 0 THEN CAST(0.0 AS FLOAT) ELSE
+          |    CAST(((pmod(hash(vec_id, i, copy_k), 1000) / 1000.0) - 0.5) * 0.02
+          |         AS FLOAT) END AS FLOAT))""".stripMargin))
+      .withColumn("vec_id", col("vec_id") + col("copy_k") * vecSpan)
+      .drop("copy_k"), "embeddings")
+  }
+}

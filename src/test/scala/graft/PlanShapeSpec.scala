@@ -173,12 +173,20 @@ class PlanShapeSpec extends SparkSpec {
     // allowed are the B-row bucket-offset passes inside the shared
     // prefix sum (same contract as packing/q23).
     val rfm = planOf("etl_rfm")
-    // NB "percentile(" would match a bare "ntile(" — the broadcast cut
-    // aggregate is exactly what SHOULD be there
     assert(!rfm.contains("ntile(4)"),
       s"etl_rfm regressed to customer-wide ntile windows:\n$rfm")
     assert(!rfm.contains("CartesianProduct"),
       s"etl_rfm plan contains a cartesian product:\n$rfm")
+    // Since round 6 the cut arrays are construction-time driver
+    // literals (bounded pull, BPE-argmax pattern): the QUERY plan must
+    // carry no percentile aggregate at all — its reappearance means the
+    // nested 1-row-aggregate shape (AQE re-plans it in every offsets
+    // branch; measured 10× slower) came back. Matches "ntile(" too, so
+    // it subsumes the window pin above.
+    assert(!rfm.toLowerCase.contains("percentile"),
+      s"etl_rfm plan recomputes percentile cuts in-plan:\n$rfm")
+    assert(!rfm.contains("BroadcastNestedLoopJoin"),
+      s"etl_rfm plan re-grew broadcast-crossed 1-row aggregates:\n$rfm")
   }
 
   test("star-join OLAP queries broadcast their dimension sides") {
