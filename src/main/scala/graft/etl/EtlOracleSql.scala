@@ -1048,6 +1048,35 @@ object EtlOracleSql {
     * millitokens, truncating refill `(Δms · full) // periodMs`, cap at
     * full, spend 1000 iff ≥ 1000 available. capacity=2, period=4 h
     * (full = 2000 millitokens, periodMs = 14400000). */
+  /** Abandoned-carts twin: gaps-and-islands sessionization (new session
+    * at gap ≥ 30 min — `session_window`'s boundary convention), decimal
+    * value sums, alert = session without a purchase. */
+  val abandonedCarts: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts, value, event_type,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e
+      |), agg AS (
+      |  SELECT user_id, sid,
+      |         count(*) AS n_events,
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      |              AS DOUBLE) AS total_value,
+      |         max(ts) AS last_ts,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+      |  FROM s GROUP BY user_id, sid
+      |)
+      |SELECT user_id, n_events, total_value, last_ts
+      |FROM agg WHERE hp = 0
+      |ORDER BY user_id, last_ts""".stripMargin
+
   val rateLimit: String =
     """WITH RECURSIVE ev AS (
       |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ts_ms,

@@ -240,6 +240,39 @@ object StatefulOps {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** Batch twin of [[abandonedCarts]] over a CLOSED event log — the
+    * second streaming-tier operator with an oracle row. Over finished
+    * data the state machine's semantics collapse to Spark's native
+    * `session_window` (30-minute-gap sessions) plus the content
+    * condition (no purchase), so the twin is one watermark-free
+    * sessionized aggregate; the DuckDB oracle replays it as
+    * gaps-and-islands SQL. total_value goes through the decimal cast
+    * discipline (sum order must not leak into the hash — the streaming
+    * operator's running double is fine for alerts, not for an oracle).
+    * Boundary convention: `session_window` STARTS a new session at a
+    * gap of exactly `gapMinutes`; the state machine merges it (strict
+    * `>` in the fold). The boundary is measure-zero on µs-granular
+    * data; the parity spec keeps fixtures off it. */
+  def abandonedCartsQuery(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    abandonedCartsBatch(graft.etl.Star.events(spark, dir), gapMinutes)
+
+  /** The sessionized aggregate over an arbitrary events frame — the
+    * seam the stream/batch parity spec drives. */
+  def abandonedCartsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)")
+          .as("total_value"),
+        max(col("ts")).as("last_ts"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hp"))
+      .where(col("hp") === 0)
+      .select("user_id", "n_events", "total_value", "last_ts")
+      .orderBy("user_id", "last_ts")
+
   /** Untyped entry: adapts an events frame (user_id, ts, event_type,
     * value) to the typed state machine. */
   def abandonedCartsDF(spark: SparkSession, events: DataFrame,

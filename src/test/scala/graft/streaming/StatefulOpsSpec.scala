@@ -154,6 +154,48 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.count(_._2) === 4)
   }
 
+  test("abandoned-carts batch twin matches the stream over a closed log") {
+    // Fixture discipline: every user's LAST session contains a purchase
+    // (neither side alerts on it — the stream because it never times
+    // out without later data, the twin because of the content filter),
+    // no gap sits exactly on the 30-minute boundary, and values are
+    // binary-exact so the stream's double running total equals the
+    // twin's decimal sum.
+    val events = Seq(
+      // user 1: abandoned browse, then a purchase session
+      CartEvent(1L, ts("2024-01-01 09:00:00"), "view", 1.25),
+      CartEvent(1L, ts("2024-01-01 09:10:00"), "click", 2.50),
+      CartEvent(1L, ts("2024-01-01 11:00:00"), "view", 4.00),
+      CartEvent(1L, ts("2024-01-01 11:05:00"), "purchase", 8.00),
+      // user 2: two abandoned sessions, then purchase
+      CartEvent(2L, ts("2024-01-01 08:00:00"), "view", 0.50),
+      CartEvent(2L, ts("2024-01-01 10:00:00"), "click", 0.25),
+      CartEvent(2L, ts("2024-01-01 12:00:00"), "purchase", 16.00))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CartEvent]
+    val q = StatefulOps.abandonedCarts(in.toDS(), gapMinutes = 30,
+        watermark = "1 hour")
+      .toDF().writeStream.format("memory").queryName("carts_twin")
+      .outputMode("append").start()
+    val streamed = try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      spark.table("carts_twin")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    } finally q.stop()
+
+    val twin = StatefulOps.abandonedCartsBatch(
+        events.toDF("user_id", "ts", "event_type", "value")
+          .selectExpr("user_id", "ts", "event_type", "value"))
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+
+    assert(twin === streamed,
+      "closed-log twin must emit exactly the stream's alerts")
+    assert(twin === Seq((1L, 2L, 3.75), (2L, 1L, 0.25), (2L, 1L, 0.50)))
+  }
+
   test("batch twin replays the stream's decisions exactly (shared kernel)") {
     val base = ts("2024-01-01 10:00:00").getTime
     // two keys, bursts + refill gaps + a duplicate-ts tie (id 100)
