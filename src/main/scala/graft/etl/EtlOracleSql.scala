@@ -1077,6 +1077,20 @@ object EtlOracleSql {
       |FROM agg WHERE hp = 0
       |ORDER BY user_id, last_ts""".stripMargin
 
+  /** Interval-join twin: purchases × same-user views inside the
+    * trailing 10-minute window, as a plain range join. */
+  val viewAttribution: String =
+    """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |       p.user_id, p.value,
+      |       v.event_id AS view_id, v.ts AS view_ts
+      |FROM events p
+      |JOIN events v
+      |  ON v.user_id = p.user_id
+      | AND v.ts >= p.ts - INTERVAL 10 MINUTE
+      | AND v.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   val rateLimit: String =
     """WITH RECURSIVE ev AS (
       |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ts_ms,

@@ -47,4 +47,30 @@ object StreamJoins {
       .select("purchase_id", "purchase_ts", "user_id", "value",
         "view_id", "view_ts")
   }
+
+  /** Batch twin over a CLOSED event log — the interval join with the
+    * watermark machinery stripped: the IDENTICAL predicate as a plain
+    * equi+range join between the log's views and purchases. This is the
+    * third (and last) spec-only streaming operator to gain an oracle
+    * row: with it, every streaming operator's emission semantics are
+    * hash-checked against a SQL replay, not only spec-asserted. Scale
+    * shape: equi-join shuffle on user_id; the range predicate evaluates
+    * post-match (per-user event counts are bounded). */
+  def viewPurchaseBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      window: String = "10 minutes"): DataFrame = {
+    val e = graft.etl.Star.events(spark, dir)
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+    p.join(v,
+        expr(s"""v_user = user_id
+                |AND view_ts >= purchase_ts - INTERVAL $window
+                |AND view_ts <= purchase_ts""".stripMargin))
+      .select("purchase_id", "purchase_ts", "user_id", "value",
+        "view_id", "view_ts")
+      .orderBy("purchase_id", "view_id")
+  }
 }

@@ -59,4 +59,40 @@ class StreamJoinsSpec extends SparkSpec {
       assert(got === Set((600L, 200L)))
     } finally q.stop()
   }
+
+  test("batch twin over a closed log emits exactly the streamed matches") {
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (101L, ts("2024-01-01 09:54:00"), 1L, "view", 0.0),
+      (102L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0),
+      (103L, ts("2024-01-01 10:04:00"), 2L, "view", 0.0),
+      (104L, ts("2024-01-01 10:06:00"), 1L, "view", 0.0),
+      (500L, ts("2024-01-01 10:05:00"), 1L, "purchase", 9.5),
+      (600L, ts("2024-01-01 10:12:00"), 2L, "purchase", 3.0),
+      (601L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0))
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[JoinEv]
+    val purchases = MemoryStream[JoinEv]
+    val out = StreamJoins.viewPurchaseAttribution(views.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("vp_attr3")
+      .outputMode("append").start()
+    val streamed = try {
+      views.addData(events.filter(_._4 == "view")
+        .map(e => JoinEv(e._1, e._2, e._3, e._5)): _*)
+      purchases.addData(events.filter(_._4 == "purchase")
+        .map(e => JoinEv(e._1, e._2, e._3, e._5)): _*)
+      q.processAllAvailable()
+      spark.table("vp_attr3").select("purchase_id", "view_id")
+        .as[(Long, Long)].collect().toSet
+    } finally q.stop()
+
+    // same closed log through the oracle-checked batch twin
+    val dir = tempDataDir("events" ->
+      events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val twin = StreamJoins.viewPurchaseBatch(spark, dir)
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(twin === streamed,
+      "batch interval join must emit exactly the streamed matches")
+    assert(twin === Set((500L, 100L), (500L, 102L), (600L, 103L)))
+  }
 }
