@@ -216,6 +216,46 @@ object ExtOracleSql {
        |WHERE i <= n - 4 + 1
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** Duplicated-span twin: word-8-gram hashes, cross-doc duplicates
+    * (count(DISTINCT doc_id) ≥ 2), gaps-and-islands merge per doc with
+    * break at gap > 8. k = 8 hardcoded to match the Spark default. */
+  val dupSpans: String =
+    s"""WITH ws0 AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, i, ${h32("array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')", "ds")} AS h
+       |  FROM ws0, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+       |  WHERE len(ws) >= 8
+       |),
+       |dup AS (
+       |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |),
+       |hits AS (
+       |  SELECT doc_id, i FROM grams WHERE h IN (SELECT h FROM dup)
+       |),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 8
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM hits
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |),
+       |isl2 AS (
+       |  SELECT doc_id, i,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+       |                        ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl
+       |)
+       |SELECT doc_id,
+       |       CAST(min(i) AS INT) AS span_start,
+       |       CAST(max(i) + 7 AS INT) AS span_end,
+       |       count(*) AS n_grams
+       |FROM isl2
+       |GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val dedupExact: String =
     """SELECT doc_id, text_hash, n_copies
       |FROM (

@@ -591,4 +591,52 @@ object TextOps {
         min(col("h")).as("fp_min"),
         min(expr("(1299709 * h + 12345) % 4294967311")).as("fp_rot"))
       .orderBy("doc_id")
+
+  /** Cross-document duplicated SPANS — substring-level dedup, the step
+    * below document-level near-dup: word runs of length `k` that occur
+    * verbatim in ≥ 2 distinct documents, merged per document into
+    * maximal spans (overlap-or-adjacent k-gram hits coalesce; a break
+    * needs a gap > k positions). The training-data use is duplicated-
+    * passage removal: doc-level dedup keeps one copy of a duplicated
+    * PAGE but leaves boilerplate paragraphs repeated across thousands
+    * of otherwise-distinct pages — those are exactly these spans.
+    *
+    * Shape at 100 TB: explicit-count repartition before the k-gram
+    * blowup (the [[fingerprint]] lesson); duplicated-gram detection is
+    * a hash-groupBy on the gram hash (countDistinct doc_id ≥ 2 — the
+    * Expand×2 is over gram GROUPS, not raw hits); the hit join shuffles
+    * on the same hash; span merging is a per-document windowed
+    * gaps-and-islands pass (partitioned by doc — never global). Hash
+    * collisions (2⁻³² per pair) can merge two distinct grams — the
+    * standard fingerprinting trade, same as [[winnowing]]. */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = withWords(
+        docs(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> struct(i AS i, array_join(slice(ws, i, $k), ' ') AS g))")).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), h32(col("p.g")).as("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    grams.join(dup, "h")
+      .select("doc_id", "i")
+      .withColumn("prev", lag("i", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > k, 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("i").as("span_start"),
+        (max("i") + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
 }
