@@ -1078,7 +1078,8 @@ object EtlOracleSql {
       |ORDER BY user_id, last_ts""".stripMargin
 
   /** Interval-join twin: purchases × same-user views inside the
-    * trailing 10-minute window, as a plain range join. */
+    * trailing window (6 h registered — see SparkEntry — so the check
+    * covers thousands of matches), as a plain range join. */
   val viewAttribution: String =
     """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
       |       p.user_id, p.value,
@@ -1086,7 +1087,7 @@ object EtlOracleSql {
       |FROM events p
       |JOIN events v
       |  ON v.user_id = p.user_id
-      | AND v.ts >= p.ts - INTERVAL 10 MINUTE
+      | AND v.ts >= p.ts - INTERVAL 6 HOUR
       | AND v.ts <= p.ts
       |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
       |ORDER BY purchase_id, view_id""".stripMargin
