@@ -256,6 +256,49 @@ object ExtOracleSql {
        |GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Strip-duplicated-spans twin: keeper doc = min doc_id per
+    * duplicated gram hash; covered positions removed elsewhere; text
+    * rebuilt with an ordered string_agg (COALESCE for the fully-covered
+    * edge — Spark's concat_ws yields '' there, string_agg yields NULL). */
+  val stripDupSpans: String =
+    s"""WITH ws0 AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |words AS (
+       |  SELECT doc_id, w, pos
+       |  FROM ws0, LATERAL (SELECT unnest(ws) AS w,
+       |                            generate_subscripts(ws, 1) AS pos)
+       |),
+       |grams AS (
+       |  SELECT doc_id, i, ${h32("array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+7], ' ')", "ss")} AS h
+       |  FROM ws0, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+       |  WHERE len(ws) >= 8
+       |),
+       |keeper AS (
+       |  SELECT h, min(doc_id) AS kdoc
+       |  FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |),
+       |covered AS (
+       |  SELECT DISTINCT g.doc_id, p AS pos
+       |  FROM grams g JOIN keeper k USING (h),
+       |       LATERAL (SELECT unnest(generate_series(g.i, g.i + 7)) AS p)
+       |  WHERE g.doc_id <> k.kdoc
+       |),
+       |marked AS (
+       |  SELECT w.doc_id, w.pos, w.w, c.pos IS NOT NULL AS rm
+       |  FROM words w
+       |  LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_words,
+       |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' ' ORDER BY pos),
+       |                '') AS clean_text
+       |FROM marked
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val dedupExact: String =
     """SELECT doc_id, text_hash, n_copies
       |FROM (

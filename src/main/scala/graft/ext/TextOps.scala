@@ -609,6 +609,55 @@ object TextOps {
     * gaps-and-islands pass (partitioned by doc — never global). Hash
     * collisions (2⁻³² per pair) can merge two distinct grams — the
     * standard fingerprinting trade, same as [[winnowing]]. */
+  /** APPLY the duplicated-span detection: rewrite each document with
+    * cross-document duplicated passages removed from every document
+    * EXCEPT the first (min doc_id) containing them — the
+    * remove-all-but-one-occurrence step of substring-level dedup.
+    * Keeper granularity is the gram's first DOCUMENT: occurrences
+    * inside the keeper doc are retained in full (intra-doc repetition
+    * is [[repetitionSignals]]' domain, not this operator's).
+    *
+    * Shape: the same gram/hash pipeline as [[dupSpans]]; removal is a
+    * per-doc position anti-set (explode gram hits → covered positions →
+    * DISTINCT → left join against the word table), and the rewrite is
+    * one per-doc aggregate (sort-by-position inside `array_sort` of
+    * collected structs — never a window). Returns (doc_id, n_words,
+    * n_removed, clean_text). */
+  def stripDupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val base = withWords(
+      docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+    val words = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val grams = base
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> struct(i AS i, array_join(slice(ws, i, $k), ' ') AS g))")).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), h32(col("p.g")).as("h"))
+    val keeper = grams.groupBy("h")
+      .agg(min("doc_id").as("kdoc"), countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("h", "kdoc")
+    val covered = grams.join(keeper, "h")
+      .where(col("doc_id") =!= col("kdoc"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
+      .distinct()
+    words
+      .join(covered.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        expr("concat_ws(' ', transform(array_sort(" +
+          "filter(collect_list(struct(pos, w, rm)), s -> s.rm IS NULL))," +
+          " s -> s.w))").as("clean_text"))
+      .select("doc_id", "n_words", "n_removed", "clean_text")
+      .orderBy("doc_id")
+  }
+
   def dupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = withWords(

@@ -34,4 +34,17 @@ class DupSpansSpec extends SparkSpec {
       (2L, 4, 15, 5L)),  // shifted by the 3 lead-in words in doc 2
       s"got ${spans.toSeq}")
   }
+
+  test("strip removes the passage everywhere except the first document") {
+    val out = TextOps.stripDupSpans(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1 is the keeper: nothing removed
+    assert(out(1L) == ((15L, 0L, s"$boiler unique tail one")))
+    // doc 2 loses exactly the 12 passage words, keeps its own content
+    assert(out(2L) == ((19L, 12L, "alpha beta gamma and some closing words")))
+    // doc 3 shares nothing and is untouched
+    assert(out(3L)._2 == 0L)
+  }
 }
