@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, plus a batched
   * decode/feature-extract stage.
   *
-  * The decode stage is TWO-PATH per payload:
+  * The decode stage is MULTI-PATH per payload:
   *  - **Real image path** — payloads that sniff as PNG/JPEG/GIF/BMP are
   *    decoded with `javax.imageio` (public JDK, no external dep) to an
   *    8-bit luma raster; features, resize and the perceptual hash then
   *    run on REAL PIXELS ([[decodeRaster]], [[resizeRaster]],
   *    [[averageHash16]] — all integer arithmetic, so results are
   *    deterministic across JVMs/platforms, unlike Graphics2D filtering).
+  *  - **Real audio path** — RIFF/WAVE payloads decode to 16-bit PCM by
+  *    direct header+sample parsing ([[decodeWav]] — PCM needs no codec);
+  *    features are integer sample statistics (amplitude checksum, mean
+  *    |amplitude|, zero crossings).
   *  - **Byte-kernel fallback** — anything undecodable (in particular the
   *    documents-derived fixture payloads, which are UTF-8 text bytes)
   *    gets the deterministic byte-statistics kernel, which is what keeps
@@ -88,6 +92,57 @@ object MediaOps {
         Some(Raster(w, h, luma))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded audio: sample rate, channel count, interleaved 16-bit PCM
+    * samples. */
+  final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** REAL audio decode for RIFF/WAVE payloads — pure header+sample
+    * parsing (PCM WAV needs no codec), little-endian per the RIFF spec,
+    * integer arithmetic only. Handles standard 16-bit PCM (format tag
+    * 1); anything else — wrong magic, truncated, compressed formats the
+    * JDK cannot decode — returns None and callers fall back to the
+    * byte kernel. */
+  def decodeWav(payload: Array[Byte]): Option[Pcm] = {
+    if (payload == null || payload.length < 44) return None
+    def b(i: Int) = payload(i) & 0xff
+    def le16(i: Int) = b(i) | (b(i + 1) << 8)
+    def le32(i: Int) = b(i).toLong | (b(i + 1).toLong << 8) |
+      (b(i + 2).toLong << 16) | (b(i + 3).toLong << 24)
+    val riff = b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    if (!riff) return None
+    // chunk walk: find fmt and data
+    var pos = 12
+    var fmtTag = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= payload.length && (fmtTag < 0 || dataOff < 0)) {
+      val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(pos + 4)
+      if (id == "fmt " && pos + 8 + 16 <= payload.length) {
+        fmtTag = le16(pos + 8)
+        channels = le16(pos + 10)
+        rate = le32(pos + 12).toInt
+        bits = le16(pos + 22)
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = len
+      }
+      // chunks are word-aligned (odd sizes padded)
+      pos += 8 + len.toInt + (len.toInt & 1)
+      if (len < 0 || len > payload.length) return None
+    }
+    if (fmtTag != 1 || bits != 16 || channels < 1 || rate <= 0 ||
+        dataOff < 0 || dataOff + dataLen > payload.length) return None
+    val n = (dataLen / 2).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (le16(dataOff + 2 * i)).toShort
+      i += 1
+    }
+    Some(Pcm(rate, channels, samples))
   }
 
   /** REAL nearest-neighbor resize on the luma plane. Nearest-neighbor —
@@ -178,8 +233,8 @@ object MediaOps {
     ds.mapPartitions { it =>
       it.map { r =>
         val bytes = r.payload
-        decodeRaster(bytes) match {
-          case Some(ras) =>
+        (decodeRaster(bytes), decodeWav(bytes)) match {
+          case (Some(ras), _) =>
             var sum = 0L
             var i = 0
             while (i < ras.luma.length) { sum += ras.luma(i) & 0xff; i += 1 }
@@ -189,7 +244,26 @@ object MediaOps {
             MediaFeatures(r.doc_id, r.media_type, bytes.length, sum % 997,
               Array(ras.width.toFloat, ras.height.toFloat, mean, ah.toFloat),
               ah)
-          case None =>
+          case (None, Some(pcm)) =>
+            // real audio path: checksum over PCM samples (|s| mod 997),
+            // feature = [rate, n_samples, mean |amplitude|, zero
+            // crossings]; no perceptual hash for audio (phash −1 keeps
+            // the image near-dup join image-only)
+            var sum = 0L
+            var zc = 0L
+            var i = 0
+            while (i < pcm.samples.length) {
+              sum += math.abs(pcm.samples(i).toInt)
+              if (i > 0 && ((pcm.samples(i) ^ pcm.samples(i - 1)) < 0)) zc += 1
+              i += 1
+            }
+            val meanAbs =
+              if (pcm.samples.isEmpty) 0f else sum.toFloat / pcm.samples.length
+            MediaFeatures(r.doc_id, r.media_type, bytes.length, sum % 997,
+              Array(pcm.sampleRate.toFloat, pcm.samples.length.toFloat,
+                meanAbs, zc.toFloat),
+              -1)
+          case (None, None) =>
             var sum = 0L
             var i = 0
             while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }

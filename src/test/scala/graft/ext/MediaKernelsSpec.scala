@@ -105,6 +105,45 @@ class MediaKernelsSpec extends SparkSpec {
       "PNG round-trip must preserve the resampled luma exactly (grayscale PNG is lossless)")
   }
 
+  /** Minimal 16-bit PCM WAV: 44-byte canonical header + little-endian
+    * samples. */
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeWav: PCM round-trips exactly; non-WAV and truncated payloads fall back") {
+    val samples = Array[Short](0, 1000, -1000, 2000, -2000, 0, 500, -500)
+    val wav = wavBytes(8000, samples)
+    val pcm = MediaOps.decodeWav(wav).get
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1)
+    assert(pcm.samples.toSeq == samples.toSeq)
+    assert(MediaOps.decodeWav("not audio at all, just text".getBytes).isEmpty)
+    assert(MediaOps.decodeWav(wav.take(30)).isEmpty)
+  }
+
+  test("decodeFeaturesOf: WAV payloads get sample-statistics features") {
+    val samples = Array[Short](100, -100, 100, -100, 100, -100, 100, -100)
+    val f = MediaOps.decodeFeaturesOf(
+        Seq(rec(5L, wavBytes(16000, samples))).toDS())
+      .collect().head
+    assert(f.checksum == (800L % 997))
+    assert(f.feature(0) == 16000f)      // sample rate
+    assert(f.feature(1) == 8f)          // n samples
+    assert(f.feature(2) == 100f)        // mean |amplitude|
+    assert(f.feature(3) == 7f)          // sign alternates every step
+    assert(f.phash == -1, "audio must not enter the image near-dup join")
+  }
+
   test("near-duplicate detection on real pixels: re-encode collides, distinct images differ") {
     val a = pngBytes(32, 32, seed = 11)
     // near-dup: same pixels re-encoded through a resize-to-same-size pass
