@@ -37,15 +37,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** Heaviest per-query timings from the round-5 bench, the measurement
-    * targets (VERDICT round 5, item 3). */
+  /** Heaviest per-query timings from the round-5 bench (VERDICT round
+    * 5, item 3) plus the round-6 additions — every new operator ships
+    * with scale evidence, not just an argument. */
   val DefaultQueries: Seq[String] = Seq(
     "etl_rfm", "etl_assortment_churn", "q23_abc_pareto", "etl_store_overlap",
     "ext_curriculum_order", "ext_dedup_cluster_sizes", "ext_text_winnowing",
     "q09_spikes", "q05_volatility", "etl_cdc_emit", "etl_sales_streaks",
     "ext_text_tfidf", "ext_text_fingerprint", "etl_peak_open_orders",
     "ext_text_cooccur", "etl_cumulative_reach", "etl_fact_profile",
-    "ext_sketch_cms", "ext_dedup_jaccard", "q21_lapsed_customers")
+    "ext_sketch_cms", "ext_dedup_jaccard", "q21_lapsed_customers",
+    "ext_text_dup_spans", "ext_text_strip_spans",
+    "stream_rate_limit", "stream_abandoned_carts", "stream_view_attribution")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
