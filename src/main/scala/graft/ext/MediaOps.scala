@@ -63,35 +63,64 @@ object MediaOps {
     if (!looksImage) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val luma = new Array[Byte](w * h)
-        // Grayscale images: take the RAW sample — getRGB would route it
-        // through a gray→sRGB color-space conversion (gamma), breaking
-        // the lossless round-trip of our own grayscale PNG re-encodes.
-        val gray = img.getColorModel.getNumColorComponents == 1
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            luma(y * w + x) =
-              if (gray) img.getRaster.getSample(x, y, 0).toByte
-              else {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xff
-                val g = (rgb >> 8) & 0xff
-                val bl = rgb & 0xff
-                ((77 * r + 150 * g + 29 * bl) >> 8).toByte
-              }
-            x += 1
-          }
-          y += 1
-        }
-        Some(Raster(w, h, luma))
-      }
+      if (img == null) None else Some(toLuma(img))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** BufferedImage → 8-bit luma plane (the decode tail shared by still
+    * images and GIF frames). Grayscale images take the RAW sample —
+    * getRGB would route them through a gray→sRGB color-space conversion
+    * (gamma), breaking the lossless round-trip of our own grayscale PNG
+    * re-encodes. */
+  private def toLuma(img: java.awt.image.BufferedImage): Raster = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Byte](w * h)
+    val gray = img.getColorModel.getNumColorComponents == 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        luma(y * w + x) =
+          if (gray) img.getRaster.getSample(x, y, 0).toByte
+          else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val bl = rgb & 0xff
+            ((77 * r + 150 * g + 29 * bl) >> 8).toByte
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, luma)
+  }
+
+  /** REAL multi-frame decode for animated (or still) GIF payloads — the
+    * one animation container the JDK ships a decoder for. One luma
+    * raster per stored frame, in order. None for non-GIF payloads or
+    * decode failures (callers fall back to the byte-slice stub). */
+  def decodeGifFrames(payload: Array[Byte]): Option[Seq[Raster]] = {
+    if (payload == null || payload.length < 6) return None
+    if (!(payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n < 1) None
+      else Some((0 until n).map(i => toLuma(reader.read(i))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) iis.close()
+    }
   }
 
   /** Decoded audio: sample rate, channel count, interleaved 16-bit PCM
@@ -335,23 +364,49 @@ object MediaOps {
 
   case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long, frame: Array[Byte])
 
-  /** Frame-sampling stage for video rows (STUB kernel, real plumbing):
-    * emits one row per sampled frame every `everyMs` milliseconds. A real
-    * deployment would seek+decode; the stub slices the payload
-    * deterministically per frame index. The 1→N `flatMap` inside
-    * `mapPartitions` is exactly the batch shape a decoder needs — codec
-    * opened once per partition, rows streamed out. */
+  /** Frame-sampling stage for video rows: emits one row per frame. Two
+    * paths, like decode:
+    *  - **Real path** — GIF payloads (the JDK's one animation decoder)
+    *    emit one row per STORED frame, the frame bytes being the
+    *    PNG-encoded luma plane ([[decodeGifFrames]]); offsets sit on the
+    *    `everyMs` sampling grid (per-frame delay metadata is a container
+    *    attribute the fixture schema does not carry).
+    *  - **Stub fallback** — undecodable payloads keep the deterministic
+    *    byte-slice kernel over the metadata-declared duration, which is
+    *    what the DuckDB frame-count oracle checks.
+    * The 1→N `flatMap` inside `mapPartitions` is exactly the batch shape
+    * a decoder needs — codec opened once per partition, rows streamed
+    * out. */
   def sampleFrames(spark: SparkSession, dir: String, everyMs: Long = 60000L): Dataset[Frame] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+    sampleFramesOf(mediaTable(spark, dir).as[MediaRecord], everyMs)
+  }
+
+  /** Kernel body over an arbitrary media dataset — the seam the fixture
+    * spec drives with a REAL animated GIF. */
+  def sampleFramesOf(ds: Dataset[MediaRecord], everyMs: Long = 60000L): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
       it.filter(_.media_type == "video").flatMap { r =>
-        val n = math.max(1L, r.duration_ms / math.max(1L, everyMs)).toInt
-        (0 until n).iterator.map { i =>
-          val off = i.toLong * everyMs
-          val sliceStart = if (r.payload.isEmpty) 0 else (i * 7) % r.payload.length
-          val sliceLen = math.min(16, r.payload.length - sliceStart)
-          Frame(r.doc_id, i, off,
-            java.util.Arrays.copyOfRange(r.payload, sliceStart, sliceStart + sliceLen))
+        decodeGifFrames(r.payload) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              val img = new java.awt.image.BufferedImage(
+                f.width, f.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              img.getRaster.setDataElements(0, 0, f.width, f.height, f.luma)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Frame(r.doc_id, i, i.toLong * everyMs, bos.toByteArray)
+            }
+          case None =>
+            val n = math.max(1L, r.duration_ms / math.max(1L, everyMs)).toInt
+            (0 until n).iterator.map { i =>
+              val off = i.toLong * everyMs
+              val sliceStart = if (r.payload.isEmpty) 0 else (i * 7) % r.payload.length
+              val sliceLen = math.min(16, r.payload.length - sliceStart)
+              Frame(r.doc_id, i, off,
+                java.util.Arrays.copyOfRange(r.payload, sliceStart, sliceStart + sliceLen))
+            }
         }
       }
     }

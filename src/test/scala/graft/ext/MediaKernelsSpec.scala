@@ -144,6 +144,62 @@ class MediaKernelsSpec extends SparkSpec {
     assert(f.phash == -1, "audio must not enter the image near-dup join")
   }
 
+  /** Multi-frame GIF via the JDK's sequence writer. */
+  private def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      val meta = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, meta), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  private def flatFrame(w: Int, h: Int, level: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) g.setSample(x, y, 0, level)
+    img
+  }
+
+  test("sampleFramesOf: animated GIF emits one real frame per stored frame") {
+    // 16x16, not smaller: the JDK GIF codec truncates the final LZW
+    // sub-block on very small images (6x4 loses its last row) — a codec
+    // quirk, not a kernel defect
+    val gif = gifBytes(Seq(flatFrame(16, 16, 40), flatFrame(16, 16, 140),
+      flatFrame(16, 16, 240)))
+    assert(MediaOps.decodeGifFrames(gif).get.size == 3)
+    val frames = MediaOps.sampleFramesOf(
+        Seq(MediaOps.MediaRecord(9L, "video", gif, 16L, 16L, 300000L)).toDS(),
+        everyMs = 1000L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3, s"expected 3 real frames, got ${frames.length}")
+    assert(frames.map(_.offset_ms).toSeq == Seq(0L, 1000L, 2000L))
+    // each emitted frame is a PNG of the stored frame's luma plane
+    frames.zip(Seq(40, 140, 240)).foreach { case (f, level) =>
+      val ras = MediaOps.decodeRaster(f.frame).get
+      assert(ras.width == 16 && ras.height == 16)
+      assert(ras.luma.forall(b => (b & 0xff) == level),
+        s"frame ${f.frame_idx} luma should be flat $level")
+    }
+    // a non-GIF "video" payload keeps the byte-slice stub
+    val stub = MediaOps.sampleFramesOf(
+        Seq(MediaOps.MediaRecord(10L, "video", "textbytes".getBytes, 0L, 0L, 120000L)).toDS(),
+        everyMs = 60000L)
+      .collect()
+    assert(stub.length == 2 && stub.forall(_.frame.length <= 16))
+  }
+
   test("near-duplicate detection on real pixels: re-encode collides, distinct images differ") {
     val a = pngBytes(32, 32, seed = 11)
     // near-dup: same pixels re-encoded through a resize-to-same-size pass
