@@ -507,12 +507,12 @@ object ExtOracleSql {
        |FROM scored WHERE cos >= 0.5
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  val simTopK: String =
+  private def simTopKSql(k: Int, nQueries: Int): String =
     s"""$normCte,
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${dot("q.embedding", "c.embedding", "d")} / (q.norm * c.norm) AS cos
-       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id
        |),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
@@ -521,8 +521,34 @@ object ExtOracleSql {
        |  FROM scored
        |)
        |SELECT query_id, rank, neighbor_id, cos AS score
-       |FROM ranked WHERE rank <= 5
+       |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  val simTopK: String = simTopKSql(5, 8)
+
+  /** Recall@3 twin: the brute twin (k=3 over 64 queries) and the IVF
+    * twin composed as subqueries (each carries its own CTE scope), one
+    * (query, neighbor) left join, count the matches. Lazy: it embeds
+    * [[simIvfTopK]], which is declared later in this object. */
+  lazy val simRecall: String =
+    s"""WITH brute AS (
+       |  SELECT query_id, neighbor_id FROM (${simTopKSql(3, 64)})
+       |),
+       |apx AS (
+       |  SELECT query_id, neighbor_id FROM ($simIvfTopK)
+       |  WHERE query_id < 64
+       |),
+       |hits AS (
+       |  SELECT b.query_id, count(a.neighbor_id) AS n_hits
+       |  FROM brute b
+       |  LEFT JOIN apx a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits AS DOUBLE) / 3 AS recall_at_3
+       |FROM hits
+       |ORDER BY query_id""".stripMargin
 
   /** MMR twin: the identical two-stage shape — top-64 retrieval pool,
     * then the k = 8 greedy rounds UNROLLED as one CTE per selection

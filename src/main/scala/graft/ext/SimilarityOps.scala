@@ -95,6 +95,37 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN quality measurement — recall@k of the IVF index against the
+    * brute-force ground truth over a bounded query set: per query,
+    * how many of the true top-k the approximate search returned. This
+    * is the evaluation loop every ANN deployment runs before trusting
+    * an index (the recall/probe trade is IVF's whole tuning story);
+    * here it is an oracle-checked QUERY, so the measurement itself is
+    * verified, not just the two searches it compares.
+    *
+    * Shape: ground truth is the bounded brute-force pass (queries
+    * broadcast, corpus scanned once, top-k as the bounded aggregate);
+    * the approximate side reads the session-cached IVF index; the
+    * comparison is one left-semi-style join on (query, neighbor) and a
+    * query-sized aggregate. Nothing here scales worse than the two
+    * searches themselves. */
+  def recallAtK(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 64, nProbe: Int = 2, nCentroids: Int = 0): DataFrame = {
+    val brute = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(spark, dir, k, nProbe, nCentroids)
+      .where(col("query_id") < nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn(s"recall_at_$k",
+        col("n_hits").cast("double") / lit(k))
+      .orderBy("query_id")
+  }
+
   /** IVF (inverted-file) ANN: vectors are partitioned into cells by
     * nearest centroid; each query searches its `nProbe` nearest centroids'
     * cells. The "training" step is a deterministic stub — the `nCent`

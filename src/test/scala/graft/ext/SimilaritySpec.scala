@@ -68,4 +68,24 @@ class SimilaritySpec extends SparkSpec {
     val v0Neighbors = out.filter(_._1 == 0L).map(_._2).toSet
     assert(v0Neighbors == Set(1L, 3L))
   }
+
+  test("recall@k is 1.0 under exhaustive probing and within [0,1] always") {
+    // probing every cell IS brute force: recall must be exactly 1
+    val exhaustive = SimilarityOps.recallAtK(spark, dir, k = 2, nQueries = 4,
+        nProbe = 1000, nCentroids = 3)
+      .collect()
+    assert(exhaustive.nonEmpty)
+    exhaustive.foreach { r =>
+      assert(r.getDouble(2) == 1.0,
+        s"exhaustive probe must reach full recall, got $r")
+    }
+    // a narrow probe can only lose neighbors, never invent them
+    val narrow = SimilarityOps.recallAtK(spark, dir, k = 2, nQueries = 4,
+        nProbe = 1, nCentroids = 3)
+      .collect()
+    narrow.foreach { r =>
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }
