@@ -301,6 +301,31 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection — the keeper policy a real
+    * pipeline wants INSTEAD of min-id: per near-dup cluster, keep the
+    * member with the highest [[TextOps.textStats]] quality score (tie →
+    * lower doc_id). Min-id keepers ([[clusters]]' `is_keeper`) are the
+    * deterministic default; this operator upgrades the choice to "keep
+    * the best copy" — the difference matters exactly when near-dups are
+    * unequal (a clean original vs a boilerplate-wrapped scrape).
+    *
+    * Shape: cluster table ⋈ quality table on doc_id (both
+    * oracle-checked queries already), then ONE cluster-keyed aggregate
+    * whose argmax is a `max(struct(quality, −doc_id))` — no window, no
+    * per-cluster sort. */
+  def qualityKeepers(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir).select("doc_id", "cluster")
+      .join(graft.ext.TextOps.textStats(spark, dir)
+        .select("doc_id", "quality_score"), "doc_id")
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("best.nd")).as("keeper_doc_id"),
+        col("best.quality_score").as("keeper_quality"))
+      .orderBy("cluster")
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), pruned by
     * sign-LSH buckets: a pair is a candidate iff its two 8-bit buckets
     * ([[SimilarityOps.bucketExpr]]) differ in at most one bit (the

@@ -430,6 +430,34 @@ object ExtOracleSql {
        |FROM reach GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-keeper twin: the cluster and quality twins composed as
+    * subqueries (each carries its own CTE scope), argmax per cluster
+    * via row_number on (quality DESC, doc_id ASC). Lazy: embeds
+    * [[dedupClusters]] declared just above and [[textStats]] far
+    * above — lazy keeps it robust to future reordering. */
+  lazy val dedupQualityKeeper: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, cluster FROM ($dedupClusters)
+       |),
+       |q AS (
+       |  SELECT doc_id, quality_score FROM ($textStats)
+       |),
+       |j AS (
+       |  SELECT c.cluster, c.doc_id, q.quality_score
+       |  FROM c JOIN q USING (doc_id)
+       |),
+       |r AS (
+       |  SELECT cluster, doc_id, quality_score,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY quality_score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster) AS n_members
+       |  FROM j
+       |)
+       |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+       |       doc_id AS keeper_doc_id, quality_score AS keeper_quality
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+
   /** Cluster-size histogram twin: the same recursive components,
     * aggregated twice. */
   val dedupClusterSizes: String =
