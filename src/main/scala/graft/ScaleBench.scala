@@ -156,12 +156,15 @@ object ScaleBench {
     write(copies(docs)
       .withColumn("doc_id", col("doc_id") + col("copy_k") * docSpan)
       // copy 0 keeps the original text; other copies rename the
-      // vocabulary (word → word␣suffix) — isomorphic df distribution,
-      // zero cross-copy shingle overlap
+      // vocabulary (word → word␟suffix) — isomorphic df distribution,
+      // zero cross-copy shingle overlap. The U+0001 separator cannot
+      // occur in the whitespace-tokenized vocabulary, so an original
+      // token ending in a digit can never collide with a renamed one
+      // (bare concat(w, copy_k) could: 'alpha1' vs copy-1 'alpha').
       .withColumn("text", when(col("copy_k") === 0, col("text")).otherwise(
         expr("""array_join(
           |  transform(split(text, ' '),
-          |    w -> concat(w, CAST(copy_k AS STRING))),
+          |    w -> concat(w, '', CAST(copy_k AS STRING))),
           |  ' ')""".stripMargin)))
       .drop("copy_k")
       .repartition(spark.sessionState.conf.numShufflePartitions), "documents")

@@ -1092,8 +1092,24 @@ object EtlOracleSql {
       |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
       |ORDER BY purchase_id, view_id""".stripMargin
 
-  val rateLimit: String =
-    """WITH RECURSIVE ev AS (
+  /** The twin is GENERATED from the same (capacity, periodSeconds)
+    * constants [[graft.streaming.StatefulOps.rateLimitQuery]] defaults
+    * to, so the registered query and its oracle cannot drift: changing
+    * the defaults re-derives full/periodMs/base-case tokens here.
+    * (Calling rateLimitQuery with NON-default params is a different
+    * query and needs [[rateLimitSql]] with the same params.) */
+  val rateLimit: String = rateLimitSql(
+    graft.streaming.StatefulOps.DefaultRateCapacity,
+    graft.streaming.StatefulOps.DefaultRatePeriodSeconds)
+
+  def rateLimitSql(capacity: Int, periodSeconds: Int): String = {
+    require(capacity >= 1 && periodSeconds >= 1)
+    val full = capacity * 1000L
+    val periodMs = periodSeconds * 1000L
+    // base case = bucketStep from a fresh full bucket: first event per
+    // user always has full >= 1000 available (capacity >= 1), spends 1000
+    val baseAfter = full - 1000L
+    s"""WITH RECURSIVE ev AS (
       |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ts_ms,
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events
@@ -1101,7 +1117,7 @@ object EtlOracleSql {
       |fold AS (
       |  SELECT user_id, ts, event_id, rn,
       |         TRUE AS allowed,
-      |         CAST(1000 AS BIGINT) AS milli_tokens_after,
+      |         CAST($baseAfter AS BIGINT) AS milli_tokens_after,
       |         ts_ms AS last_ms
       |  FROM ev WHERE rn = 1
       |  UNION ALL
@@ -1113,8 +1129,8 @@ object EtlOracleSql {
       |  FROM (
       |    SELECT e.user_id, e.ts, e.event_id, e.rn,
       |           greatest(f.last_ms, e.ts_ms) AS now_ms,
-      |           least(2000, f.milli_tokens_after
-      |             + (greatest(f.last_ms, e.ts_ms) - f.last_ms) * 2000 // 14400000)
+      |           least($full, f.milli_tokens_after
+      |             + (greatest(f.last_ms, e.ts_ms) - f.last_ms) * $full // $periodMs)
       |             AS avail
       |    FROM fold f
       |    JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
@@ -1123,4 +1139,5 @@ object EtlOracleSql {
       |SELECT user_id, ts, event_id, allowed, milli_tokens_after
       |FROM fold
       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
 }

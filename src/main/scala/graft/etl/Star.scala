@@ -61,10 +61,56 @@ object Star {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // A long `ts` is ambiguous: under nanosAsLong a TIMESTAMP(NANOS)
+        // column maps to long, but so would a future generator's raw
+        // int64 µs — and a silent `div 1000` there would shift every
+        // event-time query by 1000× while the oracle reads the raw
+        // value (ADVICE r6). The parquet footer names the unit; key the
+        // conversion on it and fail loudly on anything unannotated.
+        tsFooterUnit(spark, s"$dir/events.parquet") match {
+          case Some("NANOS")  => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case Some("MICROS") => raw.withColumn("ts", expr("timestamp_micros(ts)"))
+          case Some("MILLIS") => raw.withColumn("ts", expr("timestamp_millis(ts)"))
+          case other => throw new IllegalStateException(
+            s"events.ts read as long but parquet logical type is $other — " +
+              "cannot infer the time unit; refusing to guess (a wrong guess " +
+              "is a silent 1000x shift in every event-time query)")
+        }
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Parquet logical-type unit of the events `ts` column, read from one
+    * file footer — O(1) metadata, no data scan, evaluated once at plan
+    * construction. Returns the annotation's unit name ("MILLIS",
+    * "MICROS", "NANOS"), or None when `ts` is absent or not annotated
+    * as a timestamp (e.g. a raw int64). */
+  private def tsFooterUnit(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalStateException(s"no parquet files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) None
+      else schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          Some(t.getUnit.toString)
+        case _ => None
+      }
+    } finally reader.close()
   }
 
   /** Customers(Customer_ID, Customer_Name, Gender) — c_mktsegment stands in

@@ -225,12 +225,19 @@ object StatefulOps {
       }
   }
 
+  /** The registered query's operating point — capacity 2 per 4 h (one
+    * token refills every 2 h, chosen so the testdata's inter-event gaps
+    * produce a real mix of allowed and throttled). The DuckDB twin
+    * ([[graft.etl.EtlOracleSql.rateLimit]]) is GENERATED from these
+    * constants, so query and oracle move together. */
+  val DefaultRateCapacity: Int = 2
+  val DefaultRatePeriodSeconds: Int = 4 * 3600
+
   /** Driver-contract entry for the batch twin: admission decisions for
-    * every event in the events table, capacity 2 per 4 h (one token
-    * refills every 2 h — chosen so the testdata's inter-event gaps
-    * produce a real mix of allowed and throttled). */
+    * every event in the events table at the default operating point. */
   def rateLimitQuery(spark: SparkSession, dir: String,
-      capacity: Int = 2, periodSeconds: Int = 4 * 3600): DataFrame = {
+      capacity: Int = DefaultRateCapacity,
+      periodSeconds: Int = DefaultRatePeriodSeconds): DataFrame = {
     import spark.implicits._
     val events = graft.etl.Star.events(spark, dir)
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),

@@ -25,6 +25,25 @@ class EventShapeSpec extends SparkSpec {
     } finally p.unpersist()
   }
 
+  test("events(): a raw-int64 ts with no timestamp annotation fails loudly") {
+    // Generator schema drift has shipped ts three ways already; the one
+    // shape the engine must NOT guess at is a bare long with no parquet
+    // logical type — µs-as-long misread as ns would shift every
+    // event-time query 1000× while the DuckDB oracle reads the raw
+    // value (ADVICE r6). events() keys the conversion on the footer
+    // annotation and refuses unannotated longs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rawts").toString
+    try {
+      spark.range(10).selectExpr(
+          "id AS event_id", "id * 1000000 AS ts", "id AS user_id",
+          "'view' AS event_type", "1.0 AS value", "'{}' AS props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val e = intercept[IllegalStateException](Star.events(spark, dir))
+      assert(e.getMessage.contains("cannot infer the time unit"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("session paths: session totals reconcile, tokens are real event types") {
     // sf0.001 smoke has few sessions — every path survives the top-k,
     // so the path-table row count must equal the session count

@@ -60,7 +60,7 @@ class DedupSkewSpec extends SparkSpec {
       "the df cap must never drop a pair related through RARE shingles")
     // hot-phrase-only "similarity" is mostly stop-shingles: those pairs
     // are exactly the ones the cap is licensed to forgo
-    assert(!pairs.exists(p => p._1 < 200L && p._2 < 200L && p._1 != p._2 - 0),
+    assert(!pairs.exists(p => p._1 < 200L && p._2 < 200L),
       "no unique-tail doc pair should verify at threshold 0.6 from the hot phrase alone")
   }
 

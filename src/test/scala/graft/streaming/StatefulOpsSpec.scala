@@ -196,6 +196,48 @@ class StatefulOpsSpec extends SparkSpec {
     assert(twin === Seq((1L, 2L, 3.75), (2L, 1L, 0.25), (2L, 1L, 0.50)))
   }
 
+  test("twin diverges from the stream ONLY on final purchase-less sessions") {
+    // The known, documented divergence (ADVICE r6): over a CLOSED log a
+    // user's final purchase-less session never times out in the stream
+    // (no later event advances the watermark past last_ts + gap), but
+    // the batch twin — and the DuckDB oracle — do alert on it. This
+    // spec pins that the divergence is EXACTLY those final sessions:
+    // the twin's alerts are a superset of the stream's, and every extra
+    // alert is its user's last session in the log.
+    val events = Seq(
+      // user 3: abandoned browse, then a purchase-less FINAL session
+      CartEvent(3L, ts("2024-01-01 09:00:00"), "view", 1.00),
+      CartEvent(3L, ts("2024-01-01 09:05:00"), "click", 2.00),
+      CartEvent(3L, ts("2024-01-01 11:00:00"), "view", 4.00),
+      // user 4: abandoned browse, then a purchase FINAL session
+      CartEvent(4L, ts("2024-01-01 09:00:00"), "view", 0.50),
+      CartEvent(4L, ts("2024-01-01 11:30:00"), "purchase", 8.00))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CartEvent]
+    val q = StatefulOps.abandonedCarts(in.toDS(), gapMinutes = 30,
+        watermark = "1 hour")
+      .toDF().writeStream.format("memory").queryName("carts_final")
+      .outputMode("append").start()
+    val streamed = try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      spark.table("carts_final")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+    } finally q.stop()
+    val twin = StatefulOps.abandonedCartsBatch(
+        events.toDF("user_id", "ts", "event_type", "value"))
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // mid-log abandoned sessions: both sides alert
+    assert(streamed === Set((3L, 2L, 3.00), (4L, 1L, 0.50)))
+    // twin = streamed + the final purchase-less session, nothing else
+    assert(streamed.subsetOf(twin), "twin must be a superset of the stream")
+    assert(twin -- streamed === Set((3L, 1L, 4.00)),
+      "the divergence must be exactly the final purchase-less sessions")
+  }
+
   test("batch twin replays the stream's decisions exactly (shared kernel)") {
     val base = ts("2024-01-01 10:00:00").getTime
     // two keys, bursts + refill gaps + a duplicate-ts tie (id 100)
