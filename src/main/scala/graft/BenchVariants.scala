@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.Star
+
+/** Reference formulations for [[Bench]]'s paired A/B mode — one
+  * STRAIGHTFORWARD spelling per adjudicated query, semantically
+  * identical to the registered (optimized) implementation
+  * (`BenchVariantsSpec` pins row-for-row equality at the smoke SF).
+  *
+  * Why these exist (VERDICT r6, "what's wrong" #1): driver bench rounds
+  * on the shared box carry up to 4× run-to-run noise, so a round-over-
+  * round absolute delta cannot distinguish a real regression from
+  * contention. The paired mode times A (registered) and B (this
+  * reference spelling) ADJACENTLY in one session, min-of-N: both sides
+  * see the same contention regime, so the ratio a/b is a contention-
+  * immune control. B's code is frozen — if a future round's ratio moves
+  * while absolutes also move, the query regressed; if absolutes move
+  * and the ratio holds, it was the box.
+  *
+  * These are NOT registered queries (no oracle rows of their own — they
+  * are pinned against the registered queries, which have oracle rows).
+  */
+object BenchVariants {
+
+  /** The adjudication set: the five queries whose r6 driver times
+    * inflated 3–6× on untouched code (VERDICT r6 next-round item 1). */
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_event_props" -> (eventPropsFromJson(_, _)),
+    "etl_event_transitions" -> (eventTransitionsSelfJoin(_, _)),
+    "etl_peak_open_orders" -> (peakOpenOrdersRangeWindow(_, _)),
+    "q23_abc_pareto" -> (abcParetoGlobalWindow(_, _)),
+    "q06_affinity" -> (affinityAggThenName(_, _)))
+
+  /** vs the registered `get_json_object` (path probe fused into the
+    * scan): full `from_json` parse to a struct, then the same profile
+    * aggregate. Parses the whole payload to read one field. */
+  def eventPropsFromJson(spark: SparkSession, dir: String): DataFrame =
+    Star.events(spark, dir)
+      .withColumn("k", expr("from_json(props, 'k INT').k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum("k").cast("bigint").as("sum_k"))
+      .orderBy("event_type")
+
+  /** vs the registered single lag-window pass: the rank self-join
+    * spelling (row_number per user, join rn+1 = rn) — two window
+    * shuffles plus an equi-join instead of one window. */
+  def eventTransitionsSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = Star.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    seq.as("a").join(seq.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.rn") + 1 === col("b.rn"))
+      .groupBy(col("a.event_type").as("prev_type"),
+        col("b.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** vs the registered per-day pre-aggregated delta sweep: the same ±1
+    * deltas WITHOUT the per-(store, day) combine, running-summed with a
+    * RANGE frame (ties = same day ⇒ every row of a day carries the
+    * end-of-day total, so the struct-max picks the same peak/day). The
+    * window sorts 2·|lineitem| rows per store instead of |days|. */
+  def peakOpenOrdersRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val l = Star.table(spark, dir, "lineitem")
+    val o = Star.table(spark, dir, "orders")
+    val s = Star.table(spark, dir, "supplier")
+    val iv = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .select(s("s_nationkey").as("store_id"),
+        expr("least(datediff(o_orderdate, DATE'1970-01-01'), " +
+          "datediff(l_shipdate, DATE'1970-01-01'))").as("sd"),
+        expr("greatest(datediff(o_orderdate, DATE'1970-01-01'), " +
+          "datediff(l_shipdate, DATE'1970-01-01'))").as("ed"))
+    val deltas = iv.select(col("store_id"), col("sd").as("day"), lit(1).as("delta"))
+      .unionByName(iv.select(col("store_id"),
+        (col("ed") + 1).as("day"), lit(-1).as("delta")))
+    val run = Window.partitionBy("store_id").orderBy("day")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open", sum("delta").over(run))
+      .groupBy("store_id")
+      .agg(max(struct(col("open").as("o"), (-col("day")).as("nd"))).as("best"))
+      .select(col("store_id"),
+        col("best.o").cast("int").as("peak_open"),
+        expr("CAST(date_add(DATE'1970-01-01', CAST(-best.nd AS INT)) AS TIMESTAMP)")
+          .as("peak_day"))
+      .orderBy("store_id")
+  }
+
+  /** vs the registered distributed prefix sum: the textbook GLOBAL
+    * window (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING) — a
+    * single-partition sort of the catalog-sized aggregate, the exact
+    * plan the registered query exists to avoid. Shares the registered
+    * query's AbcA/AbcB thresholds. */
+  def abcParetoGlobalWindow(spark: SparkSession, dir: String): DataFrame = {
+    val perProduct = Star.salesFact(spark, dir)
+      .groupBy("product_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(desc("cents"), asc("product_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perProduct.agg(sum("cents").as("total_cents"))
+    perProduct
+      .withColumn("running_cents", sum("cents").over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share",
+        col("running_cents").cast("double") / col("total_cents").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= lit(graft.olap.Queries.AbcA), "A")
+          .when(col("cum_share") <= lit(graft.olap.Queries.AbcB), "B")
+          .otherwise("C"))
+      .select("product_id", "cents", "running_cents", "cum_share", "abc_class")
+      .orderBy(desc("cents"), asc("product_id"))
+  }
+
+  /** vs the registered name-join-then-aggregate: aggregate pair
+    * frequencies on product IDS first, then map names and re-aggregate
+    * (two products may share a name, so the name grain re-groups). */
+  def affinityAggThenName(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Star.salesFact(spark, dir).select("order_id", "product_id")
+    val product = Star.dimProduct(spark, dir).select("product_id", "product_name")
+    val pairs = fact.as("a").join(fact.as("b"),
+        col("a.order_id") === col("b.order_id") &&
+          col("a.product_id") < col("b.product_id"))
+      .groupBy(col("a.product_id").as("pid1"), col("b.product_id").as("pid2"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs
+      .join(broadcast(product).as("p1"), col("pid1") === col("p1.product_id"))
+      .join(broadcast(product).as("p2"), col("pid2") === col("p2.product_id"))
+      .groupBy(col("p1.product_name").as("product_1"),
+        col("p2.product_name").as("product_2"))
+      .agg(sum("cnt").as("frequency"))
+      .orderBy(desc("frequency"), asc("product_1"), asc("product_2"))
+      .limit(5)
+  }
+}

@@ -46,14 +46,22 @@ object DedupOps {
     * candidate joins and verification — is NOT touched here. Used by
     * [[graft.Bench]]'s setup phase (timed separately as setup_sec, like
     * the star warehouse). */
-  def buildIndexes(spark: SparkSession, dir: String, maxDf: Long = 10000L): Unit = {
-    TextOps.shingleHashes(spark, dir).count()
-    jaccardDocTable(spark, dir, maxDf).count()
-    docShingleArrays(spark, dir).count()
-    lshBands(spark, dir).count()
-    simhashSignatures(spark, dir).count()
-    ChunkOps.paragraphTable(spark, dir).count()
-  }
+  def buildIndexes(spark: SparkSession, dir: String, maxDf: Long = 10000L): Unit =
+    indexArtifacts(spark, dir, maxDf).foreach(_._2())
+
+  /** The same index builds as NAMED thunks, in dependency order (each
+    * builds on the session-cached result of the previous), so
+    * [[graft.Bench]] can time each artifact individually — a setup-time
+    * inflation then names its culprit instead of hiding in one
+    * aggregate number. */
+  def indexArtifacts(spark: SparkSession, dir: String,
+      maxDf: Long = 10000L): Seq[(String, () => Unit)] = Seq(
+    "shingle_hashes" -> (() => TextOps.shingleHashes(spark, dir).count(): Unit),
+    "jaccard_doc_table" -> (() => jaccardDocTable(spark, dir, maxDf).count(): Unit),
+    "shingle_arrays" -> (() => docShingleArrays(spark, dir).count(): Unit),
+    "lsh_bands" -> (() => lshBands(spark, dir).count(): Unit),
+    "simhash" -> (() => simhashSignatures(spark, dir).count(): Unit),
+    "paragraphs" -> (() => ChunkOps.paragraphTable(spark, dir).count(): Unit))
 
   /** Exact dedup by content hash of the whitespace-normalized text: keeper
     * = min doc_id per group (the reference's first-wins rule F3,
