@@ -684,7 +684,8 @@ object ExtOracleSql {
 
   // Mirrors SimilarityOps.ivfTopK geometry: nCent = max(8, ceil(sqrt(n)))
   // deterministic lowest-id centroids, cell = crank 1, queries probe
-  // crank <= 2 (nProbe = 2).
+  // crank <= DefaultNProbe — the measured-recall operating point, shared
+  // with the engine so both sides move together.
   val simIvfTopK: String =
     s"""$normCte,
        |cents AS (
@@ -705,7 +706,7 @@ object ExtOracleSql {
        |),
        |probes AS (
        |  SELECT vec_id AS pvid, cent_id AS pcell
-       |  FROM cellranked WHERE crank <= 2
+       |  FROM cellranked WHERE crank <= ${SimilarityOps.DefaultNProbe}
        |),
        |scored AS (
        |  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,

@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** The IVF default operating point, chosen from the MEASURED
+    * recall/cost curve (graft.RecallSweep at sf0.1, 2000 vectors,
+    * ⌈√n⌉ = 45 cells, recall@3 over 64 queries vs brute force):
+    *
+    *   nProbe          1     2     4     8     12    16
+    *   recall (sf0.1)  .714  .755  .792  .870  .911  .932
+    *   recall (sf0.01) .479  .552  .615  .750  .859  .953
+    *
+    * nProbe = 16 is the first point at recall ≥ 0.9 at BOTH test SFs
+    * (the r6 default of 2 silently lost a quarter of true neighbors).
+    * Search cost at test scale is flat (fixed overhead dominates); at
+    * scale, candidate volume is nProbe/√n of the corpus — the probed
+    * FRACTION shrinks as the corpus grows, so a recall-calibrated
+    * probe count is the right default, not a cost ceiling. The DuckDB
+    * twins interpolate this constant (ExtOracleSql.simIvfTopK /
+    * simRecall), so engine and oracle move together. These embeddings
+    * are near-isotropic — IVF's worst case; clustered real-world
+    * embeddings reach the same recall at lower nProbe, never higher. */
+  val DefaultNProbe: Int = 16
+
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayDotProduct.register(spark)
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -110,7 +130,7 @@ object SimilarityOps {
     * query-sized aggregate. Nothing here scales worse than the two
     * searches themselves. */
   def recallAtK(spark: SparkSession, dir: String, k: Int = 3,
-      nQueries: Int = 64, nProbe: Int = 2, nCentroids: Int = 0): DataFrame = {
+      nQueries: Int = 64, nProbe: Int = DefaultNProbe, nCentroids: Int = 0): DataFrame = {
     val brute = bruteForceTopK(spark, dir, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
     val approx = ivfTopK(spark, dir, k, nProbe, nCentroids)
@@ -153,7 +173,7 @@ object SimilarityOps {
     * total, the standard IVF assignment shape) reduces map-side to n
     * rows of ≤ nProbe centroid ids; a row_number window here would
     * shuffle all n×√n scored rows instead. */
-  def ivfIndex(spark: SparkSession, dir: String, nProbe: Int = 2,
+  def ivfIndex(spark: SparkSession, dir: String, nProbe: Int = DefaultNProbe,
       nCentroids: Int = 0): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
     val nCent =
@@ -174,7 +194,7 @@ object SimilarityOps {
       spark, s"sim|$dir|ivf_ranked|$nCent|$nP")(ranked)
   }
 
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = DefaultNProbe,
       nCentroids: Int = 0): DataFrame = {
     val rankedCached = ivfIndex(spark, dir, nProbe, nCentroids)
     val cells = rankedCached.where(col("crank") === 1)

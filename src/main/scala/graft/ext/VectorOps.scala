@@ -196,6 +196,14 @@ object VectorOps {
         .join(e.select("vec_id", "embedding", "norm"), "vec_id")
     }
 
+  /** Operating-point note (measured, graft.RecallSweep at sf0.1):
+    * recall@3 = 0.521 at (kCent = 8, nProbe = 2) over near-isotropic
+    * embeddings — 8 trained cells is too coarse for production recall.
+    * This operator's role is the TRAINED-quantizer machinery shared
+    * with [[kmeansRefine]]/PQ (Lloyd iterations are oracle-unrolled,
+    * which caps the checkable cell count); the production ANN default
+    * is [[SimilarityOps.ivfTopK]] at its measured ≥ 0.9 operating
+    * point ([[SimilarityOps.DefaultNProbe]]). */
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 3,
       nProbe: Int = 2, kCent: Int = 8, iters: Int = 2): DataFrame = {
     val ranked = kmeansAssign(spark, dir, nProbe, kCent, iters)
