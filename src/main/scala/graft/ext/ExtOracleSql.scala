@@ -408,6 +408,66 @@ object ExtOracleSql {
        |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Streaming incremental-dedup twin: the greedy SEQUENTIAL replay of
+    * [[graft.streaming.StreamDedup.incrementalStreamDedupBatch]],
+    * batches unrolled (one kept/surv CTE pair per micro-batch — the
+    * batch count is [[graft.streaming.StreamDedup.ReplayBatches]],
+    * shared, so engine and oracle replay the same schedule).
+    * Per batch b: `kept_b` = batch docs surviving in-batch content
+    * first-wins and the exact-text check against ADMITTED docs;
+    * `surv_b` = kept_b minus verified LSH near-dups of admitted docs
+    * or of earlier-id kept peers in the same batch. The near-dup
+    * relation is the shared `lshpairs` CTE (band collision is
+    * intrinsic to a pair, so the global pair table restricted to the
+    * right doc sets is exactly what the live index join produces).
+    * NOTE the semantics pinned here are greedy-sequential, NOT
+    * connected components: a doc dropped against an admitted doc does
+    * not itself block later docs (its bands never enter the index). */
+  lazy val streamIncrementalDedup: String = {
+    val nB = graft.streaming.StreamDedup.ReplayBatches
+    def survPrev(b: Int): String =
+      (0 until b).map(j => s"SELECT doc_id FROM surv_$j").mkString(" UNION ALL ")
+    val perBatch = (0 until nB).map { b =>
+      val exactPrev =
+        if (b == 0) ""
+        else s"""
+           |    AND NOT EXISTS (SELECT 1 FROM (${survPrev(b)}) s
+           |                    JOIN batched ds ON ds.doc_id = s.doc_id
+           |                    WHERE ds.norm_text = d.norm_text)""".stripMargin
+      val lshPrev =
+        if (b == 0) ""
+        else s"""
+           |    AND NOT EXISTS (SELECT 1 FROM lshpairs p JOIN (${survPrev(b)}) s
+           |      ON (p.doc_a = k.doc_id AND p.doc_b = s.doc_id)
+           |      OR (p.doc_b = k.doc_id AND p.doc_a = s.doc_id))""".stripMargin
+      s"""kept_$b AS (
+         |  SELECT d.doc_id, d.norm_text FROM batched d
+         |  WHERE d.batch = $b
+         |    AND NOT EXISTS (SELECT 1 FROM batched d2
+         |                    WHERE d2.batch = $b AND d2.norm_text = d.norm_text
+         |                      AND d2.doc_id < d.doc_id)$exactPrev
+         |),
+         |surv_$b AS (
+         |  SELECT k.doc_id FROM kept_$b k
+         |  WHERE NOT EXISTS (SELECT 1 FROM lshpairs p JOIN kept_$b k2
+         |      ON p.doc_b = k.doc_id AND p.doc_a = k2.doc_id)$lshPrev
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$minhashPairsCtes,
+       |batched AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id // (SELECT (max(doc_id) + $nB) // $nB FROM documents)
+       |         AS INT) AS batch,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+       |  FROM documents
+       |),
+       |$perBatch
+       |SELECT d.doc_id, d.batch,
+       |  d.doc_id IN (${survPrev(nB)}) AS is_novel
+       |FROM batched d
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Connected components over the LSH near-dup pairs: cluster id = min
     * doc_id reachable through pair edges (WITH RECURSIVE transitive
     * closure — the fixed point the Spark side reaches by min-label

@@ -70,9 +70,22 @@ object StreamDedup {
     * streaming sink so the logic is testable (and usable) as a batch
     * operator too. */
   def novelDocs(spark: SparkSession, batch: DataFrame, store: CorpusStore,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    novelAgainst(spark, batch,
+      spark.read.parquet(store.docsDir),
+      spark.read.parquet(store.bandsDir),
+      spark.read.parquet(store.arraysDir), threshold)
+
+  /** The per-batch filtering KERNEL, over corpus/index FRAMES instead
+    * of the parquet store — ONE function shared by the streaming sink
+    * (via [[novelDocs]]) and the oracle-checked batch replay
+    * ([[incrementalStreamDedupBatch]]), the same shared-kernel pattern
+    * as [[StatefulOps.rateLimitBatch]]: the DuckDB twin then checks
+    * the logic the stream actually runs. */
+  def novelAgainst(spark: SparkSession, batch: DataFrame,
+      corpusDocs: DataFrame, bands: DataFrame, arrays: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpusDocs = spark.read.parquet(store.docsDir)
     // 1. in-batch dedup: first-wins by id (stream may repeat doc ids),
     //    then first-wins by CONTENT (same text under two fresh ids in
     //    one batch must collapse — the index can't catch intra-batch
@@ -91,9 +104,9 @@ object StreamDedup {
     val batchBands = DedupOps.lshBandsOf(
       DedupOps.minhashSignaturesOf(TextOps.shingleHashesOf(shingles)))
     val batchArrays = DedupOps.docShingleArraysOf(shingles)
-    val indexBands = spark.read.parquet(store.bandsDir)
+    val indexBands = bands
       .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
-    val corpusArrays = spark.read.parquet(store.arraysDir)
+    val corpusArrays = arrays
       .select(col("doc_id").as("corpus_id"), col("n").as("nc"), col("arr").as("ac"))
     // 3. candidates: batch docs sharing any band bucket with the corpus,
     //    PLUS intra-batch band collisions (earlier id wins)
@@ -143,6 +156,73 @@ object StreamDedup {
         Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
     if (!missing.isEmpty) appendIndexRows(missing, store)
+  }
+
+  /** Batch carving for the oracle-checked replay: the documents table
+    * split into this many doc_id-range micro-batches. Shared with the
+    * DuckDB twin ([[graft.ext.ExtOracleSql.streamIncrementalDedup]]) so
+    * engine and oracle replay the same schedule. */
+  val ReplayBatches: Int = 4
+
+  /** Oracle-checkable REPLAY of the incremental stream dedup over a
+    * closed document log (VERDICT r6 item 3 — the last spec-only
+    * streaming family): the documents table is carved into
+    * [[ReplayBatches]] doc_id-range micro-batches and pushed through
+    * the SAME per-batch kernel the streaming sink runs
+    * ([[novelAgainst]]), with the corpus/index accumulating in memory
+    * exactly as the parquet store accumulates under [[run]]. Emits one
+    * row per document: its batch and whether it was admitted as novel.
+    *
+    * The semantics this pins are the GREEDY SEQUENTIAL ones that
+    * distinguish streaming ingestion from batch clustering
+    * ([[graft.ext.DedupOps.clusters]]): a document is dropped iff it
+    * duplicates an already-ADMITTED document (the index only ever
+    * holds survivors) or an earlier-id document of its own batch —
+    * so in a chain A←B←C with J(A,C) < t, batch order decides whether
+    * C survives (B dropped against admitted A; C admitted unless it
+    * shares a batch with B). A connected-components pass would drop C
+    * everywhere; the replay must not.
+    *
+    * Driver loop shape: [[ReplayBatches]] sequential rounds (micro-
+    * batches are inherently sequential — same class as BPE's merge
+    * rounds); per round one bounded `localCheckpoint` of the novel
+    * set truncates lineage, so plan depth stays O(batches). The one
+    * driver scalar (max doc_id, for the batch carve) is a bounded
+    * metadata pull. */
+  def incrementalStreamDedupBatch(spark: SparkSession, dir: String,
+      nBatches: Int = ReplayBatches, threshold: Double = 0.5): DataFrame = {
+    val docs = TextOps.docs(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val batchSize = (maxId + nBatches) / nBatches  // = ceil((max+1)/B)
+    val withBatch = docs.withColumn("batch",
+      expr(s"CAST(doc_id DIV $batchSize AS INT)"))
+
+    // empty corpus/index frames with the store's exact schemas (lazy
+    // limit(0) pipelines — never executed beyond schema derivation)
+    val none = docs.limit(0)
+    var corpusDocs = withTextHash(none)
+    var bands = DedupOps.lshBandsOf(
+      DedupOps.minhashSignaturesOf(TextOps.shingleHashesOf(TextOps.shingleSetOf(none))))
+    var arrays = DedupOps.docShingleArraysOf(TextOps.shingleSetOf(none))
+
+    var novelAll: DataFrame = null
+    for (b <- 0 until nBatches) {
+      val batch = withBatch.where(col("batch") === b).drop("batch")
+      val novel = novelAgainst(spark, batch, corpusDocs, bands, arrays, threshold)
+        .localCheckpoint(eager = true)
+      val shingles = TextOps.shingleSetOf(novel)
+      corpusDocs = corpusDocs.unionByName(novel)
+      bands = bands.unionByName(DedupOps.lshBandsOf(
+        DedupOps.minhashSignaturesOf(TextOps.shingleHashesOf(shingles))))
+      arrays = arrays.unionByName(DedupOps.docShingleArraysOf(shingles))
+      val ids = novel.select("doc_id")
+      novelAll = if (novelAll == null) ids else novelAll.unionByName(ids)
+    }
+    withBatch.select(col("doc_id"), col("batch"))
+      .join(novelAll.withColumn("__novel", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("batch"),
+        coalesce(col("__novel"), lit(false)).as("is_novel"))
+      .orderBy("doc_id")
   }
 
   /** The streaming query: micro-batches of documents filtered against

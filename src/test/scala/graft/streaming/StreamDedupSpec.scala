@@ -91,6 +91,51 @@ class StreamDedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("batch replay twin matches the streaming sink over the same batch carving") {
+    implicit val sqlCtx = spark.sqlContext
+    // the replay's carve at max doc_id 30, 4 batches: size 8 →
+    // ids {0} | {10, 11} | {20, 21} | {30}
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet zulu york"
+    val tC = "quebec romeo sierra tango uniform victor whiskey xray yankee papa oscar november"
+    val docs = Seq(
+      doc(0, tA),   // batch 0: seeds the corpus
+      doc(10, tA),  // batch 1: exact dup of admitted 0 → dropped
+      doc(11, tB),  // batch 1: near-dup of admitted 0 (tail edit)
+      doc(20, tC),  // batch 2: novel
+      doc(21, tC),  // batch 2: in-batch content dup of 20 → dropped
+      doc(30, tC))  // batch 3: exact dup of ADMITTED 20 (live index) → dropped
+    val dir = tempDataDir("documents" -> docs.toDF())
+
+    val replay = StreamDedup.incrementalStreamDedupBatch(spark, dir)
+      .where($"is_novel").select("doc_id").as[Long].collect().toSet
+
+    // the real streaming sink over the SAME batch schedule, empty store
+    val emptyDir = tempDataDir("documents" -> Seq.empty[Doc].toDF())
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-dedup-par").toString
+    val store = StreamDedup.CorpusStore(
+      s"$storeRoot/docs", s"$storeRoot/bands", s"$storeRoot/arrays")
+    StreamDedup.bootstrap(spark, emptyDir, store)
+    val stream = MemoryStream[Doc]
+    val q = StreamDedup.run(spark, stream.toDF(), store,
+      java.nio.file.Files.createTempDirectory("graft-dedup-par-ckpt").toString)
+    try {
+      for (batch <- Seq(Seq(0L), Seq(10L, 11L), Seq(20L, 21L), Seq(30L))) {
+        stream.addData(docs.filter(d => batch.contains(d.doc_id)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(store.docsDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    assert(streamed === replay,
+      "the oracle-checked replay must admit exactly the streaming sink's corpus")
+    // the fixture's deterministic core: exact dups drop against corpus,
+    // in-batch, and live index; the novel doc survives
+    assert(replay.contains(0L) && replay.contains(20L))
+    assert(!replay.contains(10L) && !replay.contains(21L) && !replay.contains(30L))
+  }
+
   test("repairIndex re-derives index rows for corpus docs that lost them") {
     import spark.implicits._
     val corpusDir = tempDataDir("documents" ->
