@@ -674,6 +674,17 @@ object EtlQueries {
     // doubles. Inlining them as LITERALS keeps the rank passes' plans
     // shallow: left as nested 1-row aggregates, every offsets branch
     // re-plans and re-runs them under AQE (measured 10× slower).
+    //
+    // LITERAL SCOPE CONTRACT (ADVICE r6): these literals are
+    // PLAN-CONSTRUCTION-scoped — every rfmSegments() call re-pulls
+    // them from ITS (session, dir) fact table, so two corpora in one
+    // session get independent, correct plans (RfmSpec pins this by
+    // interleaving dirs). What a caller must NOT do is hold the
+    // returned DataFrame across a rewrite of the underlying dir and
+    // re-execute it: the plan is a snapshot of the corpus it was
+    // built against — the same contract as SessionCache's input-
+    // immutability rule, stated here because the literals make the
+    // staleness silent rather than schema-visible.
     val stats = perCust.agg(
       max(col("last_day")).as("anchor_day"),
       (max(col("customer_id")) + lit(1L)).cast("double").as("cid_span"),

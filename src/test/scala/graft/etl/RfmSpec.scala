@@ -39,6 +39,26 @@ class RfmSpec extends SparkSpec {
     } finally rfm.unpersist()
   }
 
+  test("corpus-scoped literals: two corpora in one session stay independent") {
+    // The nCust / cut / anchor literals are PLAN-CONSTRUCTION-scoped
+    // (see the rfmSegments contract comment): every call re-pulls them
+    // for its own dir. Interleave two corpora with different customer
+    // counts and re-run the first — its results must be byte-identical,
+    // and each corpus's quartiles must balance over ITS OWN count.
+    val a1 = EtlQueries.rfmSegments(spark, sfSmoke).collect()
+    val b1 = EtlQueries.rfmSegments(spark, "/root/testdata/sf0.01").collect()
+    val a2 = EtlQueries.rfmSegments(spark, sfSmoke).collect()
+    assert(a1.length != b1.length,
+      "fixture corpora must differ in customer count to discriminate leakage")
+    assert(a1.toSeq == a2.toSeq,
+      "running a second corpus in the session changed the first's results")
+    // the second corpus's quartiles balance over its own customer count
+    val byQ = b1.groupBy(_.getAs[Int]("r_quartile")).view.mapValues(_.size)
+    assert(byQ.keys.toSeq.sorted == Seq(1, 2, 3, 4))
+    assert(byQ.values.max - byQ.values.min <= 1,
+      s"r_quartile unbalanced on the second corpus: $byQ")
+  }
+
   test("bucket count never changes values (prefix-sum rank == window ntile)") {
     // same contract as packing/q23: the range buckets of the
     // distributed rank affect parallelism only — a value drift here

@@ -145,6 +145,22 @@ class TxSinkSpec extends SparkSpec {
     assert(keySet(t) == Seq("P1"))
   }
 
+  test("mid-commit writer survives a concurrent default-TTL vacuum") {
+    // The other face of the TTL guard (ADVICE r6): not just that a
+    // synthetic staged dir is left alone, but that a REAL writer whose
+    // commit window a default-TTL vacuum lands inside publishes
+    // successfully — the vacuum must report nothing removed and the
+    // merge must land its rows.
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "Widget"), keys, order)
+    var removed: Seq[String] = null
+    val n = t.mergeUpsert(spark, batch("P2" -> "Gadget"), keys, order,
+      beforePublish = () => { removed = t.vacuumOrphans() })
+    assert(removed != null && removed.isEmpty,
+      "a default-TTL vacuum inside a live commit window must skip the staged dir")
+    assert(n == 1 && keySet(t) == Seq("P1", "P2"))
+  }
+
   test("manifest codec round-trips") {
     val m = TxParquetSink.Manifest(42L, Seq("data/tx-a", "data/tx-b"))
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
