@@ -153,6 +153,53 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Ordered CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| ≥ τ over
+    * the df-capped shingle sets — the asymmetric cousin of
+    * [[jaccardPairs]]. Jaccard misses exactly the pairs containment
+    * exists for: a short document quoted whole inside a long one scores
+    * J ≈ |A|/|B| ≈ 0 but C(A→B) = 1. That is the subset-scrape /
+    * quote-inflation shape a training-data dedup pass wants to catch
+    * (keep the superset, drop the contained copy) — the same asymmetry
+    * [[decontaminationScores]] uses against a fixed test split, here as
+    * an all-pairs operator over one corpus.
+    *
+    * Pruning (prefix filter, containment form): if C(A→B) ≥ τ then at
+    * most |A| − ⌈τ·|A|⌉ of A's shingles miss B, so among the FIRST
+    * |A| − ⌈τ·|A|⌉ + 1 shingles of A under the global rarest-first
+    * order at least one is in B — the same prefix length as Jaccard's,
+    * but probed against the FULL inverted index (no length filter: B
+    * may be arbitrarily larger, that is the point of the operator).
+    * Candidate volume is Σ_{sh ∈ prefixes} df(sh), bounded by the df
+    * cap exactly like [[jaccardCandidates]]; rarest-first ordering
+    * keeps the probed shingles the low-df ones. Verification is the
+    * per-pair `array_intersect` against the cached doc arrays. Pairs
+    * are ORDERED (doc_a = the contained side, doc_a ≠ doc_b): A⊂B and
+    * B⊂A are different facts and both are reported when both hold
+    * (e.g. equal sets). */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      maxDf: Long = 10000L): DataFrame = {
+    val docs = jaccardDocTable(spark, dir, maxDf)
+    val prefLen = (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val probe = docs.select(col("doc_id").as("doc_a"),
+      explode(slice(col("ord"), lit(1), prefLen)).as("sh"))
+    val index = docs.select(col("doc_id").as("doc_b"), explode(col("ord")).as("sh"))
+    val cand = probe.join(index,
+        probe("sh") === index("sh") && col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id"), col("n").as("na"), col("ord").as("oa")),
+        col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(docs.select(col("doc_id"), col("ord").as("ob")),
+        col("doc_b") === col("doc_id"))
+      .withColumn("n_shared", size(array_intersect(col("oa"), col("ob"))))
+      .withColumn("containment", expr("CAST(n_shared AS DOUBLE) / na"))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signatures from an arbitrary (doc_id, h) shingle-hash frame
     * (batch index build or a streaming micro-batch): one hash-aggregate
     * pass producing all 12 minhash columns m0..m11 (partial aggregation

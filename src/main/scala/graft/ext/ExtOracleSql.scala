@@ -333,6 +333,26 @@ object ExtOracleSql {
        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Ordered containment pairs over the same df-capped shingle sets as
+    * the Jaccard twin: C(A→B) = shared / |A| (asymmetric — doc_a is the
+    * contained side, both orders reported when both hold). The `pairs`
+    * CTE from [[jaccardTail]] is unreferenced here (DuckDB leaves
+    * unreferenced CTEs unevaluated); only shfil/sizes are shared. */
+  val dedupContainment: String =
+    s"""$shingleBase,
+       |$jaccardTail,
+       |opairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+       |  FROM shfil x JOIN shfil y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, CAST(shared AS INTEGER) AS n_shared,
+       |  CAST(shared AS DOUBLE) / sa.n AS containment
+       |FROM opairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |WHERE CAST(shared AS DOUBLE) / sa.n >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val coeffValues: String = DedupOps.minhashCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
@@ -1736,10 +1756,13 @@ object ExtOracleSql {
     * joined per-subspace rows would add doubles in engine order and
     * could diverge at the ulp. Slots of Lloyd-dropped centroids fill
     * with 0.0 (unreferenced by construction). */
-  val simPqTopK: String = {
+  /** The PQ index chain (subvectors → 2 Lloyd iterations → codes →
+    * per-query lookup tables), shared by the whole-corpus ADC twin
+    * ([[simPqTopK]]) and the IVF-routed one ([[simIvfPq]]). Assumes
+    * `quant` is in scope; ends at `codes` and `qlut`. */
+  private def pqChainCtes: String = {
     val m = VectorOps.PqM; val d = VectorOps.PqSubDim; val k = VectorOps.PqK
-    s"""WITH $quantCte,
-       |pqsubs AS (
+    s"""pqsubs AS (
        |  SELECT vec_id, s.sub, q[$d * s.sub + 1 : $d * (s.sub + 1)] AS sq
        |  FROM quant, (SELECT unnest(range($m)) AS sub) s
        |),
@@ -1783,13 +1806,25 @@ object ExtOracleSql {
        |    LEFT JOIN pqc2 cb ON cb.sub = g.sub AND cb.cent_id = g.cent_id
        |  )
        |  GROUP BY query_id
-       |),
+       |)""".stripMargin
+  }
+
+  /** The ADC fold as SQL: 4 lut lookups summed in strict subspace
+    * order, matching [[graft.ext.VectorOps]]' `adcFoldExpr`. */
+  private def adcFoldSql(lut: String, codes: String): String = {
+    val m = VectorOps.PqM; val k = VectorOps.PqK
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range($m),
+       |        sa -> $lut[sa * $k + $codes[sa + 1] + 1])),
+       |      (aa2, va2) -> aa2 + va2)""".stripMargin
+  }
+
+  val simPqTopK: String =
+    s"""WITH $quantCte,
+       |$pqChainCtes,
        |adc AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(range($m),
-       |        sa -> q.lut[sa * $k + c.codes[sa + 1] + 1])),
-       |      (aa2, va2) -> aa2 + va2) AS approx_d2
+       |    ${adcFoldSql("q.lut", "c.codes")} AS approx_d2
        |  FROM codes c JOIN qlut q ON c.vec_id <> q.query_id
        |)
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
@@ -1801,7 +1836,6 @@ object ExtOracleSql {
        |)
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Quantized-scoring ANN twin: same sign-LSH buckets, integer code
     * dot product, and the identical `(qdot·sa·sb)/(na·nb)` operation
@@ -1893,6 +1927,52 @@ object ExtOracleSql {
        |)
        |SELECT query_id, cell, CAST(rank AS INT) AS rank, neighbor_id, cos AS score
        |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF+PQ (IVFADC) twin: [[trainedCellsCte]]'s coarse assignment
+    * routes each query (vec_id < 8) to its nProbe = 2 cells; the
+    * [[pqChainCtes]] codes of the probed cells' vectors are ADC-scored
+    * against the query's lookup table; the 8 best ADC candidates
+    * re-rank by the exact float cosine. Ties break to the lower
+    * neighbor id at both stages, same as the Spark side. */
+  val simIvfPq: String =
+    s"""WITH $trainedCellsCte,
+       |$pqChainCtes,
+       |iprobes AS (
+       |  SELECT vec_id AS pvid, cent_id AS pcell FROM cr
+       |  WHERE crank <= 2 AND vec_id < 8
+       |),
+       |cellcodes AS (
+       |  SELECT cd.vec_id, cd.codes, cl.cell
+       |  FROM codes cd JOIN cells cl ON cl.vec_id = cd.vec_id
+       |),
+       |adcp AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${adcFoldSql("q.lut", "c.codes")} AS approx_d2
+       |  FROM qlut q
+       |  JOIN iprobes p ON p.pvid = q.query_id
+       |  JOIN cellcodes c ON c.cell = p.pcell AND c.vec_id <> q.query_id
+       |),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM adcp
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx_d2 ASC, neighbor_id ASC) <= 8
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${dot("qe.embedding", "ne.embedding", "ip")} / (qe.norm * ne.norm) AS cos
+       |  FROM shortlist s
+       |  JOIN en qe ON qe.vec_id = s.query_id
+       |  JOIN en ne ON ne.vec_id = s.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+       |FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr
+       |)
+       |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
   /** SemDeDup twin: within-cell pairs over [[trainedCellsCte]]'s

@@ -559,13 +559,31 @@ object VectorOps {
     * (smaller = closer), ties to the lower neighbor id. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 8): DataFrame = {
+    val scored = pqCodes(spark, dir)
+      .join(broadcast(pqLut(spark, dir, nQueries)), col("vec_id") =!= col("query_id"))
+      .withColumn("approx_d2", adcFoldExpr)
+    SimilarityOps.topKPerGroup(scored, col("query_id"), Seq.empty,
+      -col("approx_d2"), col("vec_id"), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).as("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-query ADC lookup table (query_id, lut): the query's squared
+    * distance to every codebook centroid, laid out as one 64-slot array
+    * indexed `sub·PqK + cent_id`. One row per query — the broadcast
+    * side of every ADC scan. Slots of Lloyd-dropped centroids fill
+    * with 0.0 (no code references them). Shared by [[pqTopK]] (ADC
+    * over the whole corpus) and [[ivfPqTopK]] (ADC over probed cells
+    * only). */
+  private def pqLut(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val cb = pqCodebooks(spark, dir).select("sub", "cent_id", "cv")
     val queries = withQuantized(SimilarityOps.embeddings(spark, dir))
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q"))
     val grid = spark.range(PqM).selectExpr("CAST(id AS INT) AS sub")
       .crossJoin(spark.range(PqK).selectExpr("CAST(id AS INT) AS cent_id"))
-    val lut = queries.crossJoin(broadcast(grid))
+    queries.crossJoin(broadcast(grid))
       .join(broadcast(cb), Seq("sub", "cent_id"), "left")
       .withColumn("qsq", expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)"))
       .withColumn("ld2", when(col("cv").isNull, lit(0.0))
@@ -573,16 +591,63 @@ object VectorOps {
       .groupBy("query_id")
       .agg(expr(s"transform(array_sort(collect_list(struct(sub * $PqK + cent_id AS idx, ld2 AS v))), x -> x.v)")
         .as("lut"))
-    val scored = pqCodes(spark, dir)
-      .join(broadcast(lut), col("vec_id") =!= col("query_id"))
-      .withColumn("approx_d2", expr(
-        s"aggregate(transform(sequence(0, ${PqM - 1}), s -> " +
-          s"element_at(lut, CAST(s * $PqK + element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT))), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-    SimilarityOps.topKPerGroup(scored, col("query_id"), Seq.empty,
-      -col("approx_d2"), col("vec_id"), k)
+  }
+
+  /** The ADC fold: 4 table lookups (`codes` into `lut`), summed in
+    * strict subspace order — fixed addition order ⇒ bit-identical
+    * cross-engine. */
+  private val adcFoldExpr: Column = expr(
+    s"aggregate(transform(sequence(0, ${PqM - 1}), s -> " +
+      s"element_at(lut, CAST(s * $PqK + element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT))), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** IVF+PQ composed ANN — the production index layout at 100 TB
+    * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", PAMI 2011: IVFADC): a trained COARSE quantizer routes each
+    * query to `nProbe` cells ([[kmeansAssign]], the stored IVF
+    * artifact), PQ codes give a RAM-resident 4-byte representation of
+    * every corpus vector ([[pqCodes]]), ADC scores only the probed
+    * cells' codes via the query's broadcast lookup table, and the
+    * `shortlist` best ADC candidates are re-ranked with the EXACT
+    * float cosine — approximate arithmetic never decides the final
+    * ranking, only who gets ranked.
+    *
+    * Why this composition is the scale path: candidate volume is
+    * nProbe/kCent of the corpus (IVF), scanned at 4 bytes/vector with
+    * zero vector arithmetic (ADC), and the expensive exact cosine
+    * touches `shortlist` rows per query. Each stage is an equi-join or
+    * a bounded aggregate — the same plan shapes as its two parents,
+    * composed. Every tie (ADC distance, cosine) breaks to the lower
+    * neighbor id; folds are strict left folds — the DuckDB twin is
+    * bit-identical. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
+      kCent: Int = 8, iters: Int = 2, shortlist: Int = 8,
+      nQueries: Int = 8): DataFrame = {
+    val assign = kmeansAssign(spark, dir, nProbe, kCent, iters)
+    val cells = assign.where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = assign.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("pcell"))
+    val cellCodes = pqCodes(spark, dir).join(cells, "vec_id")
+    val adc = probes
+      .join(cellCodes, col("pcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(pqLut(spark, dir, nQueries)), "query_id")
+      .withColumn("approx_d2", adcFoldExpr)
+    val short = SimilarityOps.topKPerGroup(adc, col("query_id"), Seq.empty,
+      -col("approx_d2"), col("vec_id"), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir))
+    val rr = short
+      .join(broadcast(e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("norm").as("qn"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("norm").as("nn")), "neighbor_id")
+      .withColumn("cos", expr(SimilarityOps.cosExpr("qv", "nv", "qn", "nn")))
+    SimilarityOps.topKPerGroup(rr, col("query_id"), Seq.empty,
+      col("cos"), col("neighbor_id"), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        (-col("score")).as("approx_d2"))
+        col("score").as("cos"))
       .orderBy("query_id", "rank")
   }
 }

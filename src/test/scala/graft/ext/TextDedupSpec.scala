@@ -106,6 +106,49 @@ class TextDedupSpec extends SparkSpec {
     } finally inc.unpersist()
   }
 
+  // containment fixture: doc 2 is a verbatim prefix quote of doc 1 —
+  // the shape Jaccard structurally misses (J = |A|/|B| when A ⊂ B).
+  private lazy val cdir = tempDataDir(
+    "documents" -> Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "web", 61L),
+      (2L, "the quick brown fox jumps over", "en", "web", 30L),
+      (3L, "completely different content about spark query engines, nothing shared here at all", "en", "web", 83L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("containment catches the quoted-subset pair jaccard misses") {
+    val c = DedupOps.containmentPairs(spark, cdir, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // doc 2's 4 shingles all sit inside doc 1's 11 → C(2→1) = 1.0,
+    // ordered: the reverse direction (11 shingles, 4 shared) is 4/11.
+    assert(c.get((2L, 1L)).contains(1.0))
+    assert(!c.contains((1L, 2L)))
+    assert(!c.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair is invisible to Jaccard at its threshold:
+    // J(1,2) = 4 / (11 + 4 − 4) = 0.36.
+    val j = DedupOps.jaccardPairs(spark, cdir, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
+  }
+
+  test("containment prefix filter is recall-lossless vs the full inverted-index join") {
+    import org.apache.spark.sql.functions._
+    val corpus = "/root/testdata/sf0.001"
+    val t = 0.7
+    val sh = TextOps.shingleSet(spark, corpus)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .where(expr(s"CAST(shared AS DOUBLE) / za.n >= $t"))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = DedupOps.containmentPairs(spark, corpus, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == truth)
+  }
+
   test("simhash: identical shingle sets get identical signatures (hamming 0)") {
     val pairs = DedupOps.simhashPairs(spark, dir, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue))

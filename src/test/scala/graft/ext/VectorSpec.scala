@@ -147,6 +147,46 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ: candidates come only from probed cells, final cosines are exact") {
+    val out = VectorOps.ivfPqTopK(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    // coarse routing: every neighbor's cell must be among its query's
+    // probed cells (the IVF contract — ADC never sees other cells)
+    val assign = VectorOps.kmeansAssign(spark, sfSmoke)
+      .select("vec_id", "crank", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("crank").intValue) ->
+        r.getAs[Number]("cent_id").longValue).toMap
+    val cellOf = assign.collect { case ((v, 1), c) => v -> c }
+    val probesOf = assign.keys.map(_._1).toSet.map { (v: Long) =>
+      v -> assign.collect { case ((`v`, _), c) => c }.toSet
+    }.toMap
+    // exact re-rank: the emitted cosine equals the float-exact left-fold
+    // cosine of the original embeddings (approximate ADC arithmetic must
+    // not leak into the output scores)
+    val emb = SimilarityOps.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to rows.length), s"ranks not contiguous for $qid")
+      var prev = Double.MaxValue
+      rows.sortBy(_.getInt(1)).foreach { r =>
+        val (nid, cos) = (r.getLong(2), r.getDouble(3))
+        assert(nid != qid)
+        assert(probesOf(qid).contains(cellOf(nid)),
+          s"neighbor $nid of query $qid sits in an unprobed cell")
+        val exact = dotd(emb(qid), emb(nid)) /
+          (math.sqrt(dotd(emb(qid), emb(qid))) * math.sqrt(dotd(emb(nid), emb(nid))))
+        assert(cos == exact, s"cos for ($qid, $nid) is not the exact cosine")
+        assert(cos <= prev, s"cosines not descending for $qid")
+        prev = cos
+      }
+    }
+  }
+
   test("semantic dedup keeps the canonical copy and only drops true near-dups") {
     val out = VectorOps.semanticDedup(spark, sfSmoke).cache()
     try {
