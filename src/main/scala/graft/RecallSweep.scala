@@ -33,7 +33,7 @@ object RecallSweep {
       // index build (cached per nProbe) is setup, not query cost
       graft.ext.SimilarityOps.ivfIndex(spark, dir, nProbe = p).count()
       val mean = graft.ext.SimilarityOps.recallAtK(spark, dir, nProbe = p)
-        .agg(avg(col("recall_at_3"))).head.getDouble(0)
+        .agg(avg(col("recall_at_3"))).head().getDouble(0)
       var best = Double.MaxValue
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()

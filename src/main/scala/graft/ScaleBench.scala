@@ -48,7 +48,8 @@ object ScaleBench {
     "ext_text_cooccur", "etl_cumulative_reach", "etl_fact_profile",
     "ext_sketch_cms", "ext_dedup_jaccard", "q21_lapsed_customers",
     "ext_text_dup_spans", "ext_text_strip_spans",
-    "stream_rate_limit", "stream_abandoned_carts", "stream_view_attribution")
+    "stream_rate_limit", "stream_abandoned_carts", "stream_view_attribution",
+    "ext_dedup_containment", "ext_dedup_containment_keep", "ext_sim_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -146,7 +147,7 @@ object ScaleBench {
     def copies(df: DataFrame): DataFrame =
       (0 until factor).map(k => df.withColumn("copy_k", lit(k))).reduce(_ unionAll _)
 
-    val orderSpan = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+    val orderSpan = read("orders").agg(max("o_orderkey")).head().getLong(0) + 1
     write(copies(read("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("copy_k") * orderSpan)
       .drop("copy_k"), "orders")
@@ -156,15 +157,15 @@ object ScaleBench {
       .repartition(spark.sessionState.conf.numShufflePartitions), "lineitem")
 
     val ev = read("events")
-    val evSpan = ev.agg(max("event_id")).head.getLong(0) + 1
-    val userSpan = ev.agg(max("user_id")).head.getLong(0) + 1
+    val evSpan = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userSpan = ev.agg(max("user_id")).head().getLong(0) + 1
     write(copies(ev)
       .withColumn("event_id", col("event_id") + col("copy_k") * evSpan)
       .withColumn("user_id", col("user_id") + col("copy_k") * userSpan)
       .drop("copy_k"), "events")
 
     val docs = read("documents")
-    val docSpan = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val docSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
     write(copies(docs)
       .withColumn("doc_id", col("doc_id") + col("copy_k") * docSpan)
       // copy 0 keeps the original text; other copies rename the
@@ -182,7 +183,7 @@ object ScaleBench {
       .repartition(spark.sessionState.conf.numShufflePartitions), "documents")
 
     val emb = read("embeddings")
-    val vecSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val vecSpan = emb.agg(max("vec_id")).head().getLong(0) + 1
     write(copies(emb)
       .withColumn("embedding", expr(
         """transform(embedding, (x, i) ->

@@ -200,6 +200,45 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The APPLY half of containment dedup: per document, the keep/drop
+    * verdict and the best superset it was dropped for. The keep rule is
+    * pairwise dominance — B dominates A iff C(A→B) ≥ τ and EITHER the
+    * containment is one-way (B is the strictly-larger superset) OR it
+    * is mutual (near-identical sets) and B has the lower id — the
+    * family's first-wins convention, which keeps exactly one member of
+    * every mutually-contained group instead of dropping all of them.
+    * Greedy pairwise semantics (standard for containment dedup): a
+    * dropped doc's content is retained by its superset at ≥ τ per hop,
+    * not transitively re-verified — the same documented trade as the
+    * stream-dedup tier's greedy-sequential rule.
+    *
+    * Shape: ONE self-join of the (already thresholded, ordered) pair
+    * table against itself on the reversed key to detect mutuality, a
+    * per-doc `max(struct)` argmax (no window), and a left join onto the
+    * corpus to restore never-contained docs. Nothing here outweighs
+    * the pair generation it consumes. */
+  def containmentKeepers(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      maxDf: Long = 10000L): DataFrame = {
+    val pairs = containmentPairs(spark, dir, threshold, maxDf)
+      .select("doc_a", "doc_b", "containment")
+    val dom = pairs.as("x")
+      .join(pairs.as("y"),
+        col("y.doc_a") === col("x.doc_b") && col("y.doc_b") === col("x.doc_a"),
+        "left")
+      .where(col("y.doc_a").isNull || col("x.doc_b") < col("x.doc_a"))
+      .select(col("x.doc_a").as("doc_id"), col("x.doc_b").as("sup"),
+        col("x.containment").as("c"))
+    val best = dom.groupBy("doc_id")
+      .agg(max(struct(col("c"), (-col("sup")).as("ns"))).as("b"))
+      .select(col("doc_id"), (-col("b.ns")).as("contained_in"),
+        col("b.c").as("containment"))
+    TextOps.docs(spark, dir).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contained_in").isNull.as("keep"),
+        col("contained_in"), col("containment"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures from an arbitrary (doc_id, h) shingle-hash frame
     * (batch index build or a streaming micro-batch): one hash-aggregate
     * pass producing all 12 minhash columns m0..m11 (partial aggregation

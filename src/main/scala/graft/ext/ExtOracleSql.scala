@@ -353,6 +353,39 @@ object ExtOracleSql {
        |WHERE CAST(shared AS DOUBLE) / sa.n >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Keeper twin: the thresholded ordered pairs, a reversed-key self
+    * left join for mutuality, dominance rule (one-way superset, or
+    * mutual with the lower id), best dominator by (containment desc,
+    * sup asc), left-joined onto the corpus. */
+  val dedupContainmentKeep: String =
+    s"""$shingleBase,
+       |$jaccardTail,
+       |cont AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+       |  FROM shfil x JOIN shfil y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |cpairs AS (
+       |  SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / sa.n AS c
+       |  FROM cont JOIN sizes sa ON doc_a = sa.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / sa.n >= 0.8
+       |),
+       |dom AS (
+       |  SELECT x.doc_a AS doc_id, x.doc_b AS sup, x.c
+       |  FROM cpairs x
+       |  LEFT JOIN cpairs y ON y.doc_a = x.doc_b AND y.doc_b = x.doc_a
+       |  WHERE y.doc_a IS NULL OR x.doc_b < x.doc_a
+       |),
+       |best AS (
+       |  SELECT doc_id, sup, c FROM dom
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, sup ASC) = 1
+       |)
+       |SELECT d.doc_id, b.sup IS NULL AS keep,
+       |  b.sup AS contained_in, b.c AS containment
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val coeffValues: String = DedupOps.minhashCoeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 

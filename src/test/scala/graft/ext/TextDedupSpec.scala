@@ -112,7 +112,9 @@ class TextDedupSpec extends SparkSpec {
     "documents" -> Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "web", 61L),
       (2L, "the quick brown fox jumps over", "en", "web", 30L),
-      (3L, "completely different content about spark query engines, nothing shared here at all", "en", "web", 83L)
+      (3L, "completely different content about spark query engines, nothing shared here at all", "en", "web", 83L),
+      // doc 4: identical shingle set to doc 1 — MUTUAL containment
+      (4L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "web", 61L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars"))
 
   test("containment catches the quoted-subset pair jaccard misses") {
@@ -128,6 +130,20 @@ class TextDedupSpec extends SparkSpec {
     val j = DedupOps.jaccardPairs(spark, cdir, threshold = 0.6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
+  }
+
+  test("containment keepers: supersets survive, mutual groups keep the lowest id") {
+    val out = DedupOps.containmentKeepers(spark, cdir, threshold = 0.8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // doc 2 (the quote) drops for its superset; which of the two equal
+    // supersets wins the argmax is the lower id at equal containment
+    assert(out(2L) == (false, Some(1L)))
+    // docs 1 and 4 are mutually contained: first-wins keeps 1, drops 4
+    assert(out(1L)._1 && out(4L) == (false, Some(1L)))
+    // the unrelated doc is untouched
+    assert(out(3L) == (true, None))
+    assert(out.size == 4)
   }
 
   test("containment prefix filter is recall-lossless vs the full inverted-index join") {
