@@ -51,9 +51,18 @@ object RecallSweep {
       .where(col("query_id") < 64).select(col("query_id"), col("neighbor_id"))
     val kmRecall = brute.join(km, Seq("query_id", "neighbor_id"), "left_semi")
       .count().toDouble / (64 * 3)
+    // IVF+PQ composed-index sweep over its two levers (coarse probes ×
+    // ADC shortlist) — the measurement that picks ivfPqTopK's default
+    val pqRows = for (p <- Seq(2, 3, 4); s <- Seq(8, 16, 32)) yield {
+      val mean = graft.ext.VectorOps
+        .ivfPqRecallAtK(spark, dir, nProbe = p, shortlist = s)
+        .agg(avg(col("recall_at_3"))).head().getDouble(0)
+      f""""p${p}_s$s":$mean%.3f"""
+    }
     println(s"""{"metric":"ivf_recall_curve","n_vectors":$n,"sf":"$dir",""" +
       s""""k":3,"n_queries":64,"by_nprobe":${rows.mkString("{", ",", "}")},""" +
-      f""""kmeans_8cell_2probe_recall":$kmRecall%.3f}""")
+      f""""kmeans_8cell_2probe_recall":$kmRecall%.3f,""" +
+      s""""ivfpq_recall_by_probe_shortlist":${pqRows.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

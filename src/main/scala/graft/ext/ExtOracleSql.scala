@@ -1784,7 +1784,7 @@ object ExtOracleSql {
 
   /** PQ ANN twin: per-subspace codebooks (2 unrolled Lloyd iterations
     * over the integer subvectors), 4-code encoding, then ADC scoring
-    * via the same per-query 64-slot lookup list and strict left fold
+    * via the same per-query PqM·PqK-slot lookup list and strict left fold
     * in subspace order as [[graft.ext.VectorOps.pqTopK]] — a SUM over
     * joined per-subspace rows would add doubles in engine order and
     * could diverge at the ulp. Slots of Lloyd-dropped centroids fill
@@ -1965,9 +1965,9 @@ object ExtOracleSql {
   /** IVF+PQ (IVFADC) twin: [[trainedCellsCte]]'s coarse assignment
     * routes each query (vec_id < 8) to its nProbe = 2 cells; the
     * [[pqChainCtes]] codes of the probed cells' vectors are ADC-scored
-    * against the query's lookup table; the 8 best ADC candidates
-    * re-rank by the exact float cosine. Ties break to the lower
-    * neighbor id at both stages, same as the Spark side. */
+    * against the query's lookup table; the `IvfPqShortlist` best ADC
+    * candidates re-rank by the exact float cosine. Ties break to the
+    * lower neighbor id at both stages, same as the Spark side. */
   val simIvfPq: String =
     s"""WITH $trainedCellsCte,
        |$pqChainCtes,
@@ -1989,7 +1989,7 @@ object ExtOracleSql {
        |shortlist AS (
        |  SELECT query_id, neighbor_id FROM adcp
        |  QUALIFY row_number() OVER (PARTITION BY query_id
-       |    ORDER BY approx_d2 ASC, neighbor_id ASC) <= 8
+       |    ORDER BY approx_d2 ASC, neighbor_id ASC) <= ${VectorOps.IvfPqShortlist}
        |),
        |rr AS (
        |  SELECT s.query_id, s.neighbor_id,
@@ -2007,6 +2007,28 @@ object ExtOracleSql {
        |)
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF+PQ recall twin: brute (k=3 over the same 8 queries) vs the
+    * composed-index output, the [[simRecall]] comparison shape. Lazy:
+    * embeds [[simIvfPq]]. */
+  lazy val simIvfPqRecall: String =
+    s"""WITH brute AS (
+       |  SELECT query_id, neighbor_id FROM (${simTopKSql(3, 8)})
+       |),
+       |apx AS (
+       |  SELECT query_id, neighbor_id FROM ($simIvfPq)
+       |),
+       |hits AS (
+       |  SELECT b.query_id, count(a.neighbor_id) AS n_hits
+       |  FROM brute b
+       |  LEFT JOIN apx a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits AS DOUBLE) / 3 AS recall_at_3
+       |FROM hits
+       |ORDER BY query_id""".stripMargin
 
   /** SemDeDup twin: within-cell pairs over [[trainedCellsCte]]'s
     * assignment, dominated = any lower-id same-cell vector at cosine ≥

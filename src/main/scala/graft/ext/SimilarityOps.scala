@@ -130,12 +130,20 @@ object SimilarityOps {
     * query-sized aggregate. Nothing here scales worse than the two
     * searches themselves. */
   def recallAtK(spark: SparkSession, dir: String, k: Int = 3,
-      nQueries: Int = 64, nProbe: Int = DefaultNProbe, nCentroids: Int = 0): DataFrame = {
+      nQueries: Int = 64, nProbe: Int = DefaultNProbe, nCentroids: Int = 0): DataFrame =
+    recallAgainstBrute(spark, dir,
+      ivfTopK(spark, dir, k, nProbe, nCentroids)
+        .where(col("query_id") < nQueries), k, nQueries)
+
+  /** The recall comparison itself, against brute-force ground truth
+    * over `nQueries` bounded queries — shared by every index variant's
+    * recall row (plain IVF above, IVF+PQ in
+    * [[graft.ext.VectorOps.ivfPqRecallAtK]]). */
+  private[ext] def recallAgainstBrute(spark: SparkSession, dir: String,
+      approxTopK: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val brute = bruteForceTopK(spark, dir, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfTopK(spark, dir, k, nProbe, nCentroids)
-      .where(col("query_id") < nQueries)
-      .select(col("query_id"), col("neighbor_id"))
+    val approx = approxTopK.select(col("query_id"), col("neighbor_id"))
     val hits = brute.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     brute.select("query_id").distinct()

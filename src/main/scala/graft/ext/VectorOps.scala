@@ -478,13 +478,18 @@ object VectorOps {
 
   /** PQ geometry: 64-dim vectors split into [[PqM]] subspaces of
     * [[PqSubDim]] dims, each encoded against a [[PqK]]-entry codebook —
-    * a vector becomes 4 code bytes (vs 64 int8s or 256 float bytes),
+    * a vector becomes PqM code bytes (8, vs 64 int8s or 256 float bytes),
     * the representation that keeps a 100 TB-corpus index RAM-resident
     * where even int8 codes spill. */
-  val PqM = 4
-  val PqSubDim = 16
+  val PqM = 8
+  val PqSubDim = 8
   val PqK = 16
   val PqIters = 2
+
+  /** ADC shortlist width for [[ivfPqTopK]] — the measured recall knee
+    * (see ivfPqTopK's scaladoc); interpolated into the DuckDB twin so
+    * engine and oracle share the operating point. */
+  val IvfPqShortlist = 32
 
   /** (vec_id, sub, sq): the quantized vector split into its PqM int
     * subvectors — per-row expression work (explode of a 4-slot array),
@@ -531,7 +536,7 @@ object VectorOps {
     }
 
   /** (vec_id, codes): each vector encoded as its PqM nearest-centroid
-    * ids, ordered by subspace — the 4-byte stored representation.
+    * ids, ordered by subspace — the PqM-byte stored representation.
     * Assignment ties break to the lowest cent_id, same as training. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionCache.getOrBuild(spark, s"vec|$dir|pq_codes") {
@@ -546,9 +551,9 @@ object VectorOps {
     }
 
   /** PQ ANN top-k by asymmetric distance (ADC): per query, ONE
-    * 64-slot lookup table (its distance to every codebook centroid,
+    * PqM·PqK-slot lookup table (its distance to every codebook centroid,
     * indexed sub·PqK + cent_id) is precomputed and broadcast; scoring a
-    * corpus vector then reads its 4 codes and folds 4 table lookups —
+    * corpus vector then reads its PqM codes and folds PqM table lookups —
     * no vector arithmetic in the corpus scan at all. The fold is a
     * strict left fold in subspace order (doubles are added in a fixed
     * order ⇒ bit-identical cross-engine; a SUM over joined per-subspace
@@ -570,7 +575,7 @@ object VectorOps {
   }
 
   /** Per-query ADC lookup table (query_id, lut): the query's squared
-    * distance to every codebook centroid, laid out as one 64-slot array
+    * distance to every codebook centroid, laid out as one PqM·PqK-slot array
     * indexed `sub·PqK + cent_id`. One row per query — the broadcast
     * side of every ADC scan. Slots of Lloyd-dropped centroids fill
     * with 0.0 (no code references them). Shared by [[pqTopK]] (ADC
@@ -593,7 +598,7 @@ object VectorOps {
         .as("lut"))
   }
 
-  /** The ADC fold: 4 table lookups (`codes` into `lut`), summed in
+  /** The ADC fold: PqM table lookups (`codes` into `lut`), summed in
     * strict subspace order — fixed addition order ⇒ bit-identical
     * cross-engine. */
   private val adcFoldExpr: Column = expr(
@@ -605,7 +610,7 @@ object VectorOps {
     * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
     * Search", PAMI 2011: IVFADC): a trained COARSE quantizer routes each
     * query to `nProbe` cells ([[kmeansAssign]], the stored IVF
-    * artifact), PQ codes give a RAM-resident 4-byte representation of
+    * artifact), PQ codes give a RAM-resident PqM-byte representation of
     * every corpus vector ([[pqCodes]]), ADC scores only the probed
     * cells' codes via the query's broadcast lookup table, and the
     * `shortlist` best ADC candidates are re-ranked with the EXACT
@@ -613,15 +618,27 @@ object VectorOps {
     * ranking, only who gets ranked.
     *
     * Why this composition is the scale path: candidate volume is
-    * nProbe/kCent of the corpus (IVF), scanned at 4 bytes/vector with
+    * nProbe/kCent of the corpus (IVF), scanned at PqM bytes/vector with
     * zero vector arithmetic (ADC), and the expensive exact cosine
     * touches `shortlist` rows per query. Each stage is an equi-join or
     * a bounded aggregate — the same plan shapes as its two parents,
     * composed. Every tie (ADC distance, cosine) breaks to the lower
     * neighbor id; folds are strict left folds — the DuckDB twin is
-    * bit-identical. */
+    * bit-identical.
+    *
+    * Operating point (MEASURED, graft.RecallSweep
+    * `ivfpq_recall_by_probe_shortlist`, M = 8 subspaces): recall@3
+    * over the 8 bounded queries peaks at (nProbe = 2, shortlist =
+    * [[IvfPqShortlist]]) — 0.79 at sf0.01, 0.75 at sf0.1; the M = 4
+    * geometry measured 0.29–0.58 at sf0.1 and was rejected, and wider
+    * probing does NOT help (more ADC candidates competing for the
+    * same shortlist slots push true neighbors out). The residual gap
+    * to 1.0 is the 8-cell coarse router's ceiling — cells are capped
+    * by the oracle's unrolled Lloyd; a deployment pairs these M = 8
+    * codes with the calibrated √n-cell router
+    * ([[SimilarityOps.ivfTopK]]'s geometry). */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = 2,
-      kCent: Int = 8, iters: Int = 2, shortlist: Int = 8,
+      kCent: Int = 8, iters: Int = 2, shortlist: Int = IvfPqShortlist,
       nQueries: Int = 8): DataFrame = {
     val assign = kmeansAssign(spark, dir, nProbe, kCent, iters)
     val cells = assign.where(col("crank") === 1)
@@ -650,4 +667,17 @@ object VectorOps {
         col("score").as("cos"))
       .orderBy("query_id", "rank")
   }
+
+  /** Recall@k of the composed IVF+PQ index against brute-force ground
+    * truth over its bounded query set — the same oracle-checked
+    * evaluation loop `ext_sim_recall` runs for plain IVF, applied to
+    * the production composition (coarse routing AND code quantization
+    * both lose recall; measuring the composed loss is what a
+    * deployment tunes nProbe/shortlist against). */
+  def ivfPqRecallAtK(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 8, nProbe: Int = 2,
+      shortlist: Int = IvfPqShortlist): DataFrame =
+    SimilarityOps.recallAgainstBrute(spark, dir,
+      ivfPqTopK(spark, dir, k, nProbe = nProbe, shortlist = shortlist),
+      k, nQueries)
 }

@@ -109,7 +109,7 @@ class VectorSpec extends SparkSpec {
     } finally hn.unpersist()
   }
 
-  test("PQ: valid 4-byte codes, ADC distances rebuild from the codebook exactly") {
+  test("PQ: valid PqM-byte codes, ADC distances rebuild from the codebook exactly") {
     val cb = VectorOps.pqCodebooks(spark, sfSmoke)
       .collect()
       .map(r => ((r.getInt(0), r.getLong(1).toInt),
