@@ -1684,6 +1684,72 @@ object ExtOracleSql {
        |ORDER BY exact_cnt DESC, term""".stripMargin
   }
 
+  /** Streaming CMS replay twin: because CMS counters are order-
+    * independent sums, the state after batch b is the sketch of the
+    * prefix corpus — so the procedural merge loop the engine runs is
+    * checkable as a (cell × batch) grid with cumulative sums. Missing
+    * cells probe as 0 at every prefix, same as the engine's left join. */
+  lazy val streamCmsTopK: String = {
+    val d = SketchOps.Depth; val wd = SketchOps.Width
+    val b = SketchOps.ReplayBatches
+    s"""WITH bs AS (SELECT (max(doc_id) + $b) // $b AS sz FROM documents),
+       |words AS (
+       |  SELECT CAST(doc_id // (SELECT sz FROM bs) AS INT) AS batch, w
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(ws) AS w)
+       |),
+       |hrows AS (SELECT unnest(range($d)) AS r),
+       |batches AS (SELECT CAST(unnest(range($b)) AS INT) AS batch),
+       |probes AS (
+       |  SELECT w AS term FROM words GROUP BY 1
+       |  ORDER BY count(*) DESC, term LIMIT 20
+       |),
+       |percell AS (
+       |  SELECT r, ${h32("'cms' || CAST(r AS VARCHAR) || ':' || w", "sc")} % $wd AS bucket,
+       |    batch, count(*) AS c
+       |  FROM words CROSS JOIN hrows
+       |  GROUP BY 1, 2, 3
+       |),
+       |cellgrid AS (
+       |  SELECT c.r, c.bucket, b.batch
+       |  FROM (SELECT DISTINCT r, bucket FROM percell) c CROSS JOIN batches b
+       |),
+       |cum AS (
+       |  SELECT g.r, g.bucket, g.batch,
+       |    CAST(sum(COALESCE(p.c, 0)) OVER (PARTITION BY g.r, g.bucket
+       |      ORDER BY g.batch) AS BIGINT) AS cnt
+       |  FROM cellgrid g LEFT JOIN percell p
+       |    ON p.r = g.r AND p.bucket = g.bucket AND p.batch = g.batch
+       |),
+       |probecells AS (
+       |  SELECT term, r,
+       |    ${h32("'cms' || CAST(r AS VARCHAR) || ':' || term", "sp")} % $wd AS bucket
+       |  FROM probes CROSS JOIN hrows
+       |),
+       |ests AS (
+       |  SELECT pc.term, b.batch,
+       |    CAST(min(COALESCE(cm.cnt, 0)) AS BIGINT) AS est_cnt
+       |  FROM probecells pc CROSS JOIN batches b
+       |  LEFT JOIN cum cm ON cm.r = pc.r AND cm.bucket = pc.bucket
+       |    AND cm.batch = b.batch
+       |  GROUP BY 1, 2
+       |),
+       |exact AS (
+       |  SELECT p.term, b.batch,
+       |    CAST(sum(COALESCE(w.c, 0)) OVER (PARTITION BY p.term
+       |      ORDER BY b.batch) AS BIGINT) AS exact_prefix
+       |  FROM probes p CROSS JOIN batches b
+       |  LEFT JOIN (SELECT w AS term, batch, count(*) AS c
+       |             FROM words GROUP BY 1, 2) w
+       |    ON w.term = p.term AND w.batch = b.batch
+       |)
+       |SELECT e.batch, e.term, x.exact_prefix, e.est_cnt,
+       |  e.est_cnt - x.exact_prefix AS overcount
+       |FROM ests e JOIN exact x ON x.term = e.term AND x.batch = e.batch
+       |ORDER BY e.batch, e.term""".stripMargin
+  }
+
   /** Shared quantization CTE: scale = max|x|/127 (left-fold amax),
     * q_i = ⌊x_i/scale + 0.5⌋ — floor(x+0.5), never round(), whose
     * half-even/half-up double behavior differs between engines. */

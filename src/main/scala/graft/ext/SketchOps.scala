@@ -170,6 +170,80 @@ object SketchOps {
   def cmsSketch(spark: SparkSession, dir: String): DataFrame =
     cmsSketchOf(tokens(spark, dir))
 
+  /** Batch carving for the oracle-checked sketch replay — same rule as
+    * the stream-dedup replay (doc_id-range micro-batches), shared with
+    * the DuckDB twin. */
+  val ReplayBatches: Int = 4
+
+  /** Oracle-checkable REPLAY of a streaming heavy-hitter sink over a
+    * closed document log: the corpus is carved into [[ReplayBatches]]
+    * doc_id-range micro-batches; each batch's sketch increment
+    * ([[cmsSketchOf]] — the identical kernel a `foreachBatch` sink
+    * runs) folds into the accumulated state via [[mergeSketches]] (the
+    * identical merge), and after every batch the state is probed for
+    * the corpus-wide top-`k` terms — one row per (batch, term) with
+    * the estimate AND the exact prefix count beside it.
+    *
+    * What this pins that the one-shot `ext_sketch_cms` row cannot:
+    * the state EVOLUTION — estimates are monotone in the batch axis,
+    * the one-sided bound est ≥ exact holds at every prefix (not just
+    * the final corpus), and a cell untouched by early batches probes
+    * as 0, not as a missing row. Because CMS counters are order-
+    * independent sums, the replayed state after batch b is bit-equal
+    * to the sketch of the prefix corpus — which is exactly the
+    * property that lets the DuckDB twin check a STREAM's state with a
+    * grid + cumulative-sum formulation instead of a procedural loop.
+    *
+    * Scale shape: state is ≤ Depth×Width rows regardless of corpus or
+    * batch count (the whole point of sketch-state streaming); the
+    * B-round lazy merge tree re-reads each batch's tokens O(B − b)
+    * times here, bounded and cheap at B = 4 (an eager per-round
+    * checkpoint was measured SLOWER on the dedup replay — same call).
+    * One bounded driver scalar (max doc_id) carves the batches. */
+  def cmsStreamReplay(spark: SparkSession, dir: String,
+      nBatches: Int = ReplayBatches, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextOps.docs(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val batchSize = (maxId + nBatches) / nBatches // = ceil((max+1)/B)
+    val wordsB = TextOps.withWords(docs)
+      .select(expr(s"CAST(doc_id DIV $batchSize AS INT)").as("batch"),
+        explode(col("ws")).as("w"))
+    // fixed probe set: the corpus-wide exact top-k (ties → term asc)
+    val probeTerms = wordsB.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("total_cnt"))
+      .orderBy(col("total_cnt").desc, col("term"))
+      .limit(k)
+      .select("term")
+    // exact prefix counts on a (term × batch) grid — k·B bounded rows
+    val batchIds = spark.range(nBatches).select(col("id").cast("int").as("batch"))
+    val exactPrefix = probeTerms.crossJoin(batchIds)
+      .join(wordsB.groupBy(col("w").as("term"), col("batch"))
+        .agg(count(lit(1)).as("c")), Seq("term", "batch"), "left")
+      .withColumn("exact_prefix",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy("term").orderBy("batch")))
+      .select("term", "batch", "exact_prefix")
+    val probeCells = probeTerms
+      .select(col("term"), explode(expr(s"sequence(0, ${Depth - 1})")).as("r"))
+      .withColumn("bucket", bucketCol(col("r"), col("term")))
+    // the streaming fold: per batch, increment ⊕ state, then probe
+    var state: DataFrame = null
+    val emissions = (0 until nBatches).map { b =>
+      val inc = cmsSketchOf(wordsB.where(col("batch") === b).select("w"))
+      state = if (state == null) inc else mergeSketches(state, inc)
+      probeCells
+        .join(state, Seq("r", "bucket"), "left")
+        .groupBy("term")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+        .withColumn("batch", lit(b))
+    }.reduce(_ unionByName _)
+    emissions.join(exactPrefix, Seq("term", "batch"))
+      .select(col("batch"), col("term"), col("exact_prefix"),
+        col("est_cnt"), (col("est_cnt") - col("exact_prefix")).as("overcount"))
+      .orderBy("batch", "term")
+  }
+
   /** The top-`k` exact heavy hitters with their CMS estimates side by
     * side: (term, exact_cnt, est_cnt, overcount). exact_cnt ≤ est_cnt
     * always (the CMS one-sided error bound — pinned by spec and by the

@@ -34,6 +34,34 @@ class SketchCmsSpec extends SparkSpec {
     assert(oneShot.join(merged, Seq("r", "bucket", "cnt"), "left_anti").count() == 0)
   }
 
+  test("CMS stream replay: monotone state, one-sided bound at every prefix, final = one-shot") {
+    val rep = SketchOps.cmsStreamReplay(spark, sfSmoke).cache()
+    try {
+      // one-sided bound holds at EVERY prefix, not just the corpus
+      assert(rep.where(col("est_cnt") < col("exact_prefix")).count() == 0)
+      assert(rep.where(col("overcount") < 0).count() == 0)
+      // counters only ever grow: est monotone non-decreasing per term
+      val shrunk = rep.as("a").join(rep.as("b"),
+          col("a.term") === col("b.term") && col("a.batch") < col("b.batch") &&
+            col("a.est_cnt") > col("b.est_cnt"))
+        .count()
+      assert(shrunk == 0, "sketch state shrank between batches")
+      // after the last batch the replayed state IS the corpus sketch:
+      // final estimates equal the one-shot heavy-hitter estimates
+      val last = rep.where(col("batch") === SketchOps.ReplayBatches - 1)
+        .select(col("term"), col("est_cnt"), col("exact_prefix"))
+      val oneShot = SketchOps.cmsHeavyHitters(spark, sfSmoke)
+        .select(col("term"), col("est_cnt").as("os_est"),
+          col("exact_cnt").as("os_exact"))
+      val joined = last.join(oneShot, Seq("term")).cache()
+      try {
+        assert(joined.count() == 20) // same probe set
+        assert(joined.where(col("est_cnt") =!= col("os_est") ||
+          col("exact_prefix") =!= col("os_exact")).count() == 0)
+      } finally joined.unpersist()
+    } finally rep.unpersist()
+  }
+
   test("HLL estimate lands inside the m=64 error budget; halves merge to the one-shot sketch") {
     val res = SketchOps.hllDistinctUsers(spark, sfSmoke).cache()
     try {
