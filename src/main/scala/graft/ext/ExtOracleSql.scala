@@ -1327,6 +1327,49 @@ object ExtOracleSql {
       |GROUP BY node
       |ORDER BY triangles DESC, product_id ASC""".stripMargin
 
+  /** k-core twin: the synchronous peel unrolled to exactly
+    * [[GraphOps.KCoreRounds]] rounds over the same supported co-purchase
+    * edge set — each round an induced-degree aggregate + threshold
+    * filter, the definition spelled as a CTE chain. The engine side's
+    * early exit is value-identical (a stable round makes every later
+    * round a no-op). */
+  val graphKCore: String = {
+    val k = GraphOps.KCoreK
+    val n = GraphOps.KCoreRounds
+    val rounds = (1 to n).map { r =>
+      // MATERIALIZED: each round references the previous one twice —
+      // inlined CTEs would expand the chain 2^rounds times
+      s"""d$r AS (
+         |  SELECT s.a AS node, count(*) AS d
+         |  FROM ksym s
+         |  JOIN a${r - 1} x$r ON s.a = x$r.node
+         |  JOIN a${r - 1} y$r ON s.b = y$r.node
+         |  GROUP BY 1
+         |),
+         |a$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+    graft.etl.Star.oracleCte +
+      s""",
+         |kedges AS (
+         |  SELECT a.product_id AS u, b.product_id AS v
+         |  FROM sales_fact a JOIN sales_fact b
+         |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.order_id) >= 2
+         |),
+         |ksym AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM kedges
+         |  UNION ALL SELECT v AS a, u AS b FROM kedges
+         |),
+         |a0 AS (SELECT DISTINCT a AS node FROM ksym),
+         |$rounds
+         |SELECT s.a AS product_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM ksym s
+         |JOIN a$n xf ON s.a = xf.node
+         |JOIN a$n yf ON s.b = yf.node
+         |GROUP BY 1
+         |ORDER BY core_degree DESC, product_id ASC""".stripMargin
+  }
+
   /** Bloom-semi-join twin: the oracle is the PLAIN semi-join — the bloom
     * prefilter must be invisible in the result (false positives removed
     * by the exact join), so any divergence here is a real defect. */
@@ -1651,6 +1694,70 @@ object ExtOracleSql {
        |  )
        |)
        |ORDER BY event_type""".stripMargin
+  }
+
+  /** Trailing-window HLL twin: the identical integer path as
+    * [[sketchHll]], with the window merge spelled exactly as the Spark
+    * side does it — daily (day, bucket, max-ρ) sketch rows exploded to
+    * their covered days and bucket-wise max-merged — and the exact
+    * trailing distinct via the same coverage trick on raw users (the
+    * [[graft.etl.EtlOracleSql.rollingActive]] `wau_7` spelling). */
+  val sketchHllWindow: String = {
+    val wDiv = 1L << SketchOps.HllWBits
+    val twoPow27 = 1L << (SketchOps.HllWBits + 1)
+    val span = SketchOps.TrailingDays
+    val est = s"""CAST(${SketchOps.HllAlphaM2} AS DOUBLE) * CAST($twoPow27 AS DOUBLE)
+       |      / CAST(s.t_present + (${SketchOps.HllM} - s.n_buckets) * $twoPow27 AS DOUBLE)""".stripMargin
+    s"""WITH act AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+       |),
+       |hashed AS (
+       |  SELECT day, ${h32("CAST(user_id AS VARCHAR)", "hw")} AS h FROM act
+       |),
+       |daily AS (
+       |  SELECT day, CAST(h // $wDiv AS INT) AS bucket,
+       |    max(${SketchOps.hllRhoCase(s"(h % $wDiv)")}) AS mrho
+       |  FROM hashed GROUP BY 1, 2
+       |),
+       |merged AS (
+       |  SELECT d.day + CAST(o AS INT) AS day, d.bucket, max(d.mrho) AS mrho
+       |  FROM daily d, LATERAL (SELECT unnest(range(0, $span)) AS o)
+       |  GROUP BY 1, 2
+       |),
+       |sketch AS (
+       |  SELECT day,
+       |    sum(CAST(1 AS BIGINT) << (${SketchOps.HllWBits + 1} - mrho)) AS t_present,
+       |    count(*) AS n_buckets
+       |  FROM merged GROUP BY 1
+       |),
+       |cov AS (
+       |  SELECT a.user_id, a.day + CAST(o AS INT) AS day
+       |  FROM (SELECT DISTINCT user_id, day FROM act) a,
+       |       LATERAL (SELECT unnest(range(0, $span)) AS o)
+       |),
+       |exact AS (
+       |  SELECT day, count(DISTINCT user_id) AS n_exact FROM cov GROUP BY 1
+       |)
+       |SELECT CAST(day AS TIMESTAMP) AS day, n_exact, hll_estimate,
+       |  n_empty_buckets,
+       |  abs(hll_estimate - CAST(n_exact AS DOUBLE))
+       |    / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM (
+       |  SELECT day, n_exact, n_empty_buckets,
+       |    CASE WHEN e_raw <= CAST(${SketchOps.HllSmallRange} AS DOUBLE)
+       |           AND n_empty_buckets > 0
+       |         THEN ${SketchOps.hllLinearCountCase("n_empty_buckets")}
+       |         ELSE e_raw END AS hll_estimate
+       |  FROM (
+       |    SELECT s.day, e.n_exact,
+       |      $est AS e_raw,
+       |      CAST(${SketchOps.HllM} - s.n_buckets AS INT) AS n_empty_buckets
+       |    FROM sketch s
+       |    JOIN exact e ON s.day = e.day
+       |    WHERE s.day IN (SELECT day FROM act)
+       |  )
+       |)
+       |ORDER BY day""".stripMargin
   }
 
   val cmsHeavyHitters: String = {

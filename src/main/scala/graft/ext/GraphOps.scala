@@ -265,6 +265,76 @@ object GraphOps {
   def triangleCountsOf(edges: DataFrame): DataFrame =
     trianglesFromOriented(orientEdges(edges), edges)
 
+  /** k for the [[kCore]] driver query — shared with the oracle twin. */
+  val KCoreK = 3
+
+  /** Synchronous peel rounds for [[kCore]] — the oracle unrolls exactly
+    * this many, so both engines compute V_R by construction whether or
+    * not the peel has converged (on the test corpora it converges well
+    * inside the budget — spec-pinned; the engine side additionally
+    * early-exits once a round removes nothing, which is value-identical
+    * to running the remaining no-op rounds). */
+  val KCoreRounds = 8
+
+  /** The k-core node set of an undirected graph (canonical u < v edge
+    * frame) by SYNCHRONOUS peeling: each round drops every node whose
+    * degree in the currently-induced subgraph is < k, until stable (or
+    * `rounds` is exhausted — see [[KCoreRounds]]). The k-core is the
+    * classic cohesion screen (Seidman '83): the maximal subgraph where
+    * everyone has ≥ k neighbors inside it, which hub-degree alone
+    * cannot find (a high-degree node whose neighbors are all leaves
+    * peels away in round 2).
+    *
+    * Scale shape per round: the symmetric edge frame is semi-joined
+    * against the alive node set on BOTH endpoints (node-sized build
+    * sides, edge-sized probe — no fan-out), then one partial-aggregable
+    * degree groupBy; nothing is edge², nothing collects. Synchronous
+    * peeling finishes in O(peel-depth) rounds — removing ALL sub-k
+    * nodes per round, not one at a time like the sequential coreness
+    * algorithm — and each round's frame is `localCheckpoint`ed to keep
+    * the iterative lineage bounded (the [[connectedComponents]]
+    * discipline). The early exit compares two bounded driver scalars
+    * (alive counts), the same acceptable control-flow scalar as CC's
+    * convergence check. */
+  def kcoreOf(edges: DataFrame, k: Int, rounds: Int = KCoreRounds): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var alive = sym.select(col("a").as("node")).distinct()
+      .localCheckpoint(true)
+    var aliveCount = alive.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val next = sym
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select("node")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      stable = nextCount == aliveCount
+      alive = next
+      aliveCount = nextCount
+      r += 1
+    }
+    // final induced degree — the coreness evidence column
+    sym
+      .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Driver-contract entry: the 3-core of the supported co-purchase
+    * graph — products in the catalog's cohesive basket community, with
+    * their within-core degree. */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(supportedCoPurchaseEdges(spark, dir), KCoreK)
+      .select(col("node").as("product_id"), col("core_degree"))
+      .orderBy(desc("core_degree"), asc("product_id"))
+
   /** Driver-contract entry: PageRank of the product co-purchase graph —
     * "centrality in the basket graph", the classic what-anchors-the-
     * catalog analysis. The node count is one scalar `count()` on the

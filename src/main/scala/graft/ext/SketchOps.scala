@@ -130,6 +130,79 @@ object SketchOps {
       .orderBy("event_type")
   }
 
+  /** Trailing-window span in days for [[hllTrailingDistinct]] — shared
+    * with the oracle twin. */
+  val TrailingDays = 7
+
+  /** Trailing 7-day distinct users per day from MERGED daily HLL
+    * sketches — the sliding-window cardinality a dashboard calls "WAU",
+    * computed the way a cluster actually computes it at 100 TB: a
+    * nightly job persists one ≤ [[HllM]]-row sketch per day (the daily
+    * state here), and the trailing-k estimate for ANY day is the
+    * bucket-wise MAX of k stored sketches — raw events are scanned
+    * ONCE ever, never once per window. The exact trailing distinct
+    * ([[graft.etl.EtlQueries.rollingActive]]'s `wau_7`) rides along as
+    * the oracle-visible yardstick, same convention as
+    * [[hllDistinctUsers]].
+    *
+    * The trailing merge reuses the explode-to-covered-days trick the
+    * exact side pioneered — but over SKETCH rows: each (day, bucket,
+    * mrho) row contributes to cover days day..day+6, and
+    * groupBy(cover_day, bucket).max(mrho) IS the window merge. The
+    * blowup is 7 × ≤ 64 rows per day regardless of user volume —
+    * against raw-user coverage (7 × |daily actives|) this is the whole
+    * argument for sketch-state windows. Days are emitted only where
+    * activity exists (the [[graft.etl.EtlQueries.rollingActive]]
+    * contract), via a semi-join against the observed-day set.
+    *
+    * Determinism: identical integer path to [[hllDistinctUsers]] —
+    * md5-contract bucket/ρ, max/shift-sum integer aggregates, shared
+    * α·m² and linear-count double literals, one exact-input final
+    * division. Fully hash-checkable cross-engine. */
+  def hllTrailingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val twoPow27 = 1L << (HllWBits + 1)
+    val act = graft.etl.Star.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val days = act.select("day").distinct()
+    val daily = act
+      .select(col("day"), TextOps.h32(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", expr(s"CAST(h DIV ${1L << HllWBits} AS INT)"))
+      .withColumn("w", col("h") % lit(1L << HllWBits))
+      .withColumn("rho", expr(hllRhoCase("w")))
+      .groupBy("day", "bucket")
+      .agg(max("rho").as("mrho"))
+    val merged = daily
+      .select(col("bucket"), col("mrho"),
+        explode(expr(s"sequence(day, date_add(day, ${TrailingDays - 1}))")).as("day"))
+      .groupBy("day", "bucket")
+      .agg(max("mrho").as("mrho"))
+    val sketch = merged.groupBy("day")
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllWBits + 1} - mrho)")).as("t_present"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("n_empty_buckets", (lit(HllM) - col("n_buckets")).cast("int"))
+      .withColumn("e_raw",
+        lit(HllAlphaM2) * lit(twoPow27).cast("double") /
+          (col("t_present") + col("n_empty_buckets") * lit(twoPow27)).cast("double"))
+      .withColumn("hll_estimate",
+        when(col("e_raw") <= lit(HllSmallRange) && col("n_empty_buckets") > 0,
+          expr(hllLinearCountCase("n_empty_buckets")))
+          .otherwise(col("e_raw")))
+    val exact = act.distinct()
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${TrailingDays - 1}))")).as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("n_exact"))
+    sketch.join(exact, Seq("day"))
+      .join(days, Seq("day"), "left_semi")
+      .withColumn("rel_err",
+        abs(col("hll_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .select(col("day").cast("timestamp").as("day"), col("n_exact"),
+        col("hll_estimate"), col("n_empty_buckets"), col("rel_err"))
+      .orderBy("day")
+  }
+
   // ---- Count-min sketch --------------------------------------------------
 
   private def bucketCol(r: org.apache.spark.sql.Column,

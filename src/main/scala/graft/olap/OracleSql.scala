@@ -540,4 +540,26 @@ object OracleSql {
       |    WHERE f.customer_id = c.customer_id
       |      AND n.n_regionkey = r.r_regionkey))
       |ORDER BY customer_id""".stripMargin)
+
+  /** Q28 twin: the skyline by DEFINITION — the double-condition
+    * NOT-EXISTS dominance predicate over the per-product aggregate,
+    * deliberately not the engine side's prefix-maxima reduction, so the
+    * reduction itself is what the hash comparison checks. Quantities
+    * and prices are exact integers on both sides. */
+  val q28: String = star(
+    """, per_product AS (
+      |  SELECT f.product_id,
+      |         CAST(p.price * 100 AS BIGINT) AS price_cents,
+      |         CAST(sum(f.quantity_ordered) AS BIGINT) AS total_qty
+      |  FROM sales_fact f
+      |  JOIN dim_product p ON f.product_id = p.product_id
+      |  GROUP BY f.product_id, p.price
+      |)
+      |SELECT a.product_id, a.price_cents, a.total_qty
+      |FROM per_product a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM per_product b
+      |  WHERE b.price_cents <= a.price_cents AND b.total_qty >= a.total_qty
+      |    AND (b.price_cents < a.price_cents OR b.total_qty > a.total_qty))
+      |ORDER BY price_cents, product_id""".stripMargin)
 }

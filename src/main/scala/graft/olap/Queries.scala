@@ -878,4 +878,68 @@ object Queries {
       .select("customer_id", "customer_name", "regions_covered")
       .orderBy("customer_id")
   }
+
+  /** Q28 (extension): SKYLINE / Pareto frontier — products not dominated
+    * on (price ↓, total units sold ↑): no other product is at most as
+    * expensive AND sells at least as much with one strict. The classic
+    * multi-objective "efficient frontier" report (Börzsönyi et al.
+    * ICDE'01), the set-membership sibling of Q23's one-dimensional
+    * Pareto ranking.
+    *
+    * The naive spelling is an all-pairs dominance self-join (catalog²).
+    * In 2D dominance collapses to PREFIX MAXIMA: with
+    * M_lt(p) = max{qty : price < p} and M_eq(p) = max{qty : price = p},
+    * a product survives iff qty > M_lt(p) and qty = M_eq(p) (nothing
+    * strictly cheaper sells as much; it is the best seller at its own
+    * price). M_eq is one partial-aggregable groupBy(price); M_lt is an
+    * exclusive running max over the DISTINCT-price table — computed with
+    * the same bucketed two-pass structure as the shared prefix sum
+    * ([[graft.ext.PackOps.prefixSumOverBuckets]], max instead of sum):
+    * percentile range buckets over prices, per-bucket local window,
+    * B-row offset pass — so there is NO single-partition window over the
+    * price domain and NO self-join anywhere. Quantities are exact
+    * bigints, prices exact integer cents; the −1 sentinel for "no
+    * cheaper price exists" is safe (quantities are ≥ 0). The DuckDB twin
+    * deliberately uses the double-NOT-EXISTS dominance spelling — the
+    * definition, not the algorithm — so the prefix-maxima reduction
+    * itself is what the oracle checks. Bucket count affects parallelism
+    * only, never values (spec-pinned, the prefix-sum contract). */
+  def q28Skyline(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = if (buckets > 0) buckets
+      else math.max(4, spark.sparkContext.defaultParallelism / 4)
+    val price = Star.dimProduct(spark, dir)
+      .select(col("product_id"), (col("price") * 100).cast("long").as("price_cents"))
+    val perProduct = Star.salesFact(spark, dir)
+      .groupBy("product_id")
+      .agg(sum(col("quantity_ordered").cast("long")).as("total_qty"))
+      .join(broadcast(price), Seq("product_id"))
+    val perPrice = perProduct.groupBy("price_cents")
+      .agg(max("total_qty").as("peq"))
+    val qs = (1 until b).map(i => i.toDouble / b).mkString(",")
+    val cuts = perPrice.agg(expr(s"percentile(price_cents, array($qs))").as("cuts"))
+    val keyed = perPrice.crossJoin(broadcast(cuts))
+      .withColumn("bucket", expr(
+        "aggregate(cuts, 0, (acc, c) -> acc + CASE WHEN price_cents > c THEN 1 ELSE 0 END)"))
+      .repartitionByRange(b, col("bucket"))
+    val localWin = Window.partitionBy("bucket").orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = keyed.withColumn("local_mlt",
+      coalesce(max(col("peq")).over(localWin), lit(-1L)))
+    val offsetWin = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy("bucket")
+      .agg(max(greatest(col("local_mlt"), col("peq"))).as("bucket_max"))
+      .withColumn("bucket_mlt",
+        coalesce(max(col("bucket_max")).over(offsetWin), lit(-1L)))
+      .select("bucket", "bucket_mlt")
+    val mlt = local.join(broadcast(offsets), "bucket")
+      .withColumn("m_lt", greatest(col("local_mlt"), col("bucket_mlt")))
+      .select("price_cents", "peq", "m_lt")
+    perProduct.join(mlt, Seq("price_cents"))
+      .where(col("total_qty") > col("m_lt") && col("total_qty") === col("peq"))
+      .select("product_id", "price_cents", "total_qty")
+      .orderBy("price_cents", "product_id")
+  }
 }

@@ -85,6 +85,50 @@ class SketchCmsSpec extends SparkSpec {
     } finally res.unpersist()
   }
 
+  test("trailing HLL window: merged sketch == one-shot sketch of the window slice") {
+    val res = SketchOps.hllTrailingDistinct(spark, sfSmoke).cache()
+    try {
+      assert(res.count() > 0)
+      // same 3σ raw-estimator budget as the per-type sketch
+      assert(res.where(col("rel_err") > 0.39).count() == 0)
+      // the window merge is exact: for a probe day, the trailing merged
+      // estimate equals the one-shot estimate over the raw 7-day slice —
+      // sketch(∪ days) == bucket-max of daily sketches, per definition
+      val act = graft.etl.Star.events(spark, sfSmoke)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val probe = res.orderBy(col("day").desc).limit(1)
+        .select(col("day").cast("date")).collect().head.getDate(0)
+      val slice = act.where(col("day") > date_sub(lit(probe), SketchOps.TrailingDays)
+        && col("day") <= lit(probe))
+      val oneShot = SketchOps.hllPerBucket(
+        slice.select(lit("x").as("event_type"), col("user_id")))
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${SketchOps.HllWBits + 1} - mrho)")))
+        .collect().head.getLong(0)
+      val exactSlice = slice.select("user_id").distinct().count()
+      val probeRow = res.where(col("day").cast("date") === lit(probe)).collect().head
+      assert(probeRow.getAs[Long]("n_exact") == exactSlice)
+      // reconstruct t_present from the reported estimate path: estimates
+      // agree iff the merged sketch state equals the one-shot state
+      val merged = SketchOps.hllTrailingDistinct(spark, sfSmoke) // plan reuse
+      assert(merged.where(col("day").cast("date") === lit(probe))
+        .collect().head.getDouble(2) == probeRow.getDouble(2))
+      val mergedState = {
+        val daily = act
+          .select(col("day"), TextOps.h32(col("user_id").cast("string")).as("h"))
+          .withColumn("bucket", expr(s"CAST(h DIV ${1L << SketchOps.HllWBits} AS INT)"))
+          .withColumn("w", col("h") % lit(1L << SketchOps.HllWBits))
+          .withColumn("rho", expr(SketchOps.hllRhoCase("w")))
+          .groupBy("day", "bucket").agg(max("rho").as("mrho"))
+        daily.where(col("day") > date_sub(lit(probe), SketchOps.TrailingDays)
+          && col("day") <= lit(probe))
+          .groupBy("bucket").agg(max("mrho").as("mrho"))
+          .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${SketchOps.HllWBits + 1} - mrho)")))
+          .collect().head.getLong(0)
+      }
+      assert(mergedState == oneShot, "bucket-max window merge != one-shot window sketch")
+    } finally res.unpersist()
+  }
+
   test("sketch state is bounded by depth x width regardless of corpus") {
     val sk = SketchOps.cmsSketch(spark, sfSmoke).cache()
     try {

@@ -369,4 +369,31 @@ class OlapPropertySpec extends SparkSpec {
       .agg(sum("total_revenue")).collect().head.getDecimal(0)
     assert(seasonal.compareTo(total) == 0)
   }
+
+  test("q28 skyline equals brute-force dominance and is bucket-count independent") {
+    val sky = Queries.q28Skyline(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sky.nonEmpty)
+    // brute-force: the all-pairs dominance filter the operator refuses
+    val price = Star.dimProduct(spark, sfSmoke)
+      .select(col("product_id"), (col("price") * 100).cast("long").as("price_cents"))
+    val pp = Star.salesFact(spark, sfSmoke)
+      .groupBy("product_id")
+      .agg(sum(col("quantity_ordered").cast("long")).as("total_qty"))
+      .join(price, Seq("product_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val brute = pp.filter { case (_, p, q) =>
+      !pp.exists { case (_, p2, q2) => p2 <= p && q2 >= q && (p2 < p || q2 > q) }
+    }.map { case (id, p, q) => (id, p, q) }.sortBy(t => (t._2, t._1))
+    assert(sky.toSeq == brute.toSeq)
+    // every excluded product is dominated by some skyline member
+    val skySet = sky.map(_._1).toSet
+    pp.filterNot(t => skySet.contains(t._1)).foreach { case (_, p, q) =>
+      assert(sky.exists { case (_, sp, sq) => sp <= p && sq >= q && (sp < p || sq > q) })
+    }
+    // bucket count is parallelism only, never values
+    val b7 = Queries.q28Skyline(spark, sfSmoke, buckets = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b7.toSeq == sky.toSeq)
+  }
 }
