@@ -1760,6 +1760,46 @@ object ExtOracleSql {
        |ORDER BY day""".stripMargin
   }
 
+  /** Late-data replay twin ([[graft.streaming.LateData]]): identical
+    * integer path — md5-contract transport delay, 6 h arrival batching,
+    * exclusive running max of per-batch event-time maxima minus the
+    * delay, window-end-vs-watermark verdict — spelled as a grid +
+    * window formulation over the closed log. */
+  val streamLateData: String = {
+    val lt = graft.streaming.LateData
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+       |),
+       |arr AS (
+       |  SELECT ts_ms,
+       |    (ts_ms + (${h32("CAST(event_id AS VARCHAR)", "ld")} % ${lt.MaxTransportMs}))
+       |      // ${lt.TriggerMs} AS abs_batch
+       |  FROM ev
+       |),
+       |b AS (
+       |  SELECT ts_ms,
+       |    abs_batch - (SELECT min(abs_batch) FROM arr) AS batch
+       |  FROM arr
+       |),
+       |pb AS (SELECT batch, max(ts_ms) AS bmax FROM b GROUP BY 1),
+       |wm AS (
+       |  SELECT batch,
+       |    greatest(coalesce(max(bmax) OVER (
+       |        ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) - ${lt.DelayMs}, 0) AS watermark_ms
+       |  FROM pb
+       |)
+       |SELECT b.batch, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN (ts_ms // ${lt.WindowMs}) * ${lt.WindowMs} + ${lt.WindowMs}
+       |                     <= wm.watermark_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  CAST(sum(CASE WHEN (ts_ms // ${lt.WindowMs}) * ${lt.WindowMs} + ${lt.WindowMs}
+       |                     <= wm.watermark_ms THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
+       |  wm.watermark_ms
+       |FROM b JOIN wm USING (batch)
+       |GROUP BY b.batch, wm.watermark_ms
+       |ORDER BY batch""".stripMargin
+  }
+
   val cmsHeavyHitters: String = {
     val d = SketchOps.Depth
     val wd = SketchOps.Width
