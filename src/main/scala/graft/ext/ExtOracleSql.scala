@@ -185,6 +185,49 @@ object ExtOracleSql {
       |ORDER BY lift DESC, term_a, term_b
       |LIMIT 50""".stripMargin
 
+  /** Drift twin: identical doc_id-half split, per-term 2×2 margins,
+    * the ONE shared [[TextOps.chi2Expr]] spelling, and the exact
+    * cross-product direction flag. */
+  val termDrift: String =
+    s"""WITH b AS (SELECT max(doc_id) AS max_id FROM documents),
+       |halves AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id > (SELECT max_id FROM b) // 2 THEN 1 ELSE 0 END AS half,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |sizes AS (
+       |  SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM halves
+       |),
+       |present AS (
+       |  SELECT DISTINCT doc_id, half, w AS term
+       |  FROM halves, LATERAL (SELECT unnest(ws) AS w)
+       |),
+       |dfs AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+       |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+       |  FROM present GROUP BY term
+       |  HAVING sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+       |       + sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) >= ${TextOps.DriftMinDf}
+       |),
+       |scored AS (
+       |  SELECT term, df_a, df_b,
+       |    df_a * (n2 - df_b) - df_b * (n1 - df_a) AS delta,
+       |    n1, n2
+       |  FROM dfs, sizes
+       |)
+       |SELECT term, df_a, df_b,
+       |  ${TextOps.chi2Expr} AS chi2,
+       |  CASE WHEN df_b * n1 > df_a * n2 THEN 'rising'
+       |       WHEN df_b * n1 < df_a * n2 THEN 'falling'
+       |       ELSE 'flat' END AS direction
+       |FROM scored
+       |ORDER BY chi2 DESC, term
+       |LIMIT 20""".stripMargin
+
   /** Winnowing twin: identical pack-into-bigint encoding (hash·2²⁰ +
     * reversed position) so the rightmost-min-tie-break is one window
     * MIN in both engines; w = 4 hardcoded to match the Spark default. */
@@ -1368,6 +1411,46 @@ object ExtOracleSql {
          |JOIN a$n yf ON s.b = yf.node
          |GROUP BY 1
          |ORDER BY core_degree DESC, product_id ASC""".stripMargin
+  }
+
+  /** LPA twin: [[GraphOps.LpaRounds]] synchronous rounds unrolled —
+    * per round a neighbor-label frequency aggregate and the
+    * deterministic (count DESC, label ASC) argmax, spelled as the
+    * row_number()=1 pick against the engine side's struct-max. */
+  val graphLpa: String = {
+    val n = GraphOps.LpaRounds
+    val rounds = (1 to n).map { r =>
+      s"""c$r AS (
+         |  SELECT s.a AS node, l$r.lab, count(*) AS c
+         |  FROM ksym s JOIN lp${r - 1} l$r ON s.b = l$r.node
+         |  GROUP BY 1, 2
+         |),
+         |lp$r AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+         |    FROM c$r) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    graft.etl.Star.oracleCte +
+      s""",
+         |kedges AS (
+         |  SELECT a.product_id AS u, b.product_id AS v
+         |  FROM sales_fact a JOIN sales_fact b
+         |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.order_id) >= 2
+         |),
+         |ksym AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM kedges
+         |  UNION ALL SELECT v AS a, u AS b FROM kedges
+         |),
+         |lp0 AS (SELECT DISTINCT a AS node, a AS lab FROM ksym),
+         |$rounds
+         |SELECT l.node AS product_id, l.lab AS community, sz.community_size
+         |FROM lp$n l
+         |JOIN (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+         |      FROM lp$n GROUP BY 1) sz USING (lab)
+         |ORDER BY community_size DESC, community ASC, product_id ASC""".stripMargin
   }
 
   /** Bloom-semi-join twin: the oracle is the PLAIN semi-join — the bloom

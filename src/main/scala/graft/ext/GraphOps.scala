@@ -335,6 +335,61 @@ object GraphOps {
       .select(col("node").as("product_id"), col("core_degree"))
       .orderBy(desc("core_degree"), asc("product_id"))
 
+  /** Synchronous label-propagation rounds for [[labelCommunities]] —
+    * unrolled verbatim by the oracle. Fixed (never until-convergence):
+    * synchronous LPA can oscillate on bipartite structure, so
+    * "convergence" is not well-defined — a fixed round count IS the
+    * deterministic semantics (Raghavan et al. '07 note the oscillation;
+    * their fix is async update order, which is exactly what a
+    * distributed engine cannot reproduce deterministically). */
+  val LpaRounds = 4
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara '07, deterministic variant): every node starts as
+    * its own label; each round a node adopts the label most frequent
+    * among its NEIGHBORS (ties → smallest label — the determinism the
+    * paper's random tie-break forfeits). Complements the structural
+    * families: CC finds reachability, k-core finds cohesion, triangles
+    * find closure — LPA finds the basket communities marketing actually
+    * asks for.
+    *
+    * Scale shape per round: one edge-sized equi-join against the
+    * node-sized label table (labels hash-partitioned on node from
+    * their own aggregate), one (node, label) count groupBy, one
+    * struct-max argmax per node — all partial-aggregable, nothing
+    * edge², no windows. Lineage bounded by `localCheckpoint` per round
+    * (the [[connectedComponents]] discipline). */
+  def labelPropagationOf(edges: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        // most frequent neighbor label, smallest label on ties
+        .groupBy(col("a").as("node"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("lab"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Driver-contract entry: LPA communities of the supported
+    * co-purchase graph with their sizes. */
+  def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val labels = labelPropagationOf(supportedCoPurchaseEdges(spark, dir))
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("node").as("product_id"), col("lab").as("community"),
+        col("community_size"))
+      .orderBy(desc("community_size"), asc("community"), asc("product_id"))
+  }
+
   /** Driver-contract entry: PageRank of the product co-purchase graph —
     * "centrality in the basket graph", the classic what-anchors-the-
     * catalog analysis. The node count is one scalar `count()` on the

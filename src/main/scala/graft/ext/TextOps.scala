@@ -688,4 +688,76 @@ object TextOps {
       .select("doc_id", "span_start", "span_end", "n_grams")
       .orderBy("doc_id", "span_start")
   }
+
+  /** Document-frequency floor for [[termDrift]] (χ² validity needs
+    * expected cell counts ≥ ~5) — shared with the oracle twin. */
+  val DriftMinDf = 5
+
+  /** The 2×2 χ² statistic over exact integer margins, spelled ONCE and
+    * pasted verbatim into both engines: with N1 = (a+c), N2 = (b+d) the
+    * classic N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). `delta` = ad−bc is an
+    * exact bigint (each product ≤ df·N < 2⁶³ at any realistic corpus);
+    * every factor is cast to double BEFORE arithmetic and the
+    * multiplication order is fully parenthesized — IEEE multiply and
+    * divide on identical inputs in identical order are bit-identical
+    * cross-engine (the [[graft.etl.EtlQueries]] storeCorrelation
+    * discipline). */
+  val chi2Expr: String =
+    // degenerate margin (term in EVERY doc, or an empty half): no drift
+    // evidence by definition — and the denominator would be 0 (Spark
+    // ANSI mode throws even for double division by zero)
+    "CASE WHEN (n1 - df_a) + (n2 - df_b) = 0 OR n1 = 0 OR n2 = 0 THEN 0.0 ELSE " +
+      "((CAST(delta AS DOUBLE) * CAST(delta AS DOUBLE)) * CAST(n1 + n2 AS DOUBLE))" +
+      " / (((CAST(df_a + df_b AS DOUBLE) * CAST((n1 - df_a) + (n2 - df_b) AS DOUBLE))" +
+      " * CAST(n1 AS DOUBLE)) * CAST(n2 AS DOUBLE)) END"
+
+  /** Corpus DRIFT audit: which vocabulary shifted between two corpus
+    * snapshots — the distribution-shift screen a training-data pipeline
+    * runs before trusting "same source, newer crawl" (topic drift,
+    * template churn, spam influx all surface as term-df shifts long
+    * before they surface in model metrics). Snapshots are the doc_id
+    * halves (the ingestion-order proxy, same convention as the replay
+    * operators' batch carving); per term the 2×2 table (in-half-A df,
+    * in-half-B df vs the half sizes) is scored by χ² and the top-`k`
+    * movers are reported with a rising/falling direction flag from the
+    * exact cross-product compare (df_b·N1 vs df_a·N2 — never a ratio of
+    * doubles).
+    *
+    * Scale shape: one corpus scan → per-doc distinct terms (per-row
+    * `array_distinct`, no shuffle) → ONE (term) groupBy with
+    * conditional partial-aggregable sums → df-floor filter → bounded
+    * TakeOrdered top-k. The half sizes and the split point ride the
+    * plan as broadcast 1-row aggregates, never `collect()`ed. */
+  def termDrift(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    termDriftOf(docs(spark, dir), k)
+
+  /** The drift kernel over an arbitrary `(doc_id, text)` frame — the
+    * fixture path for the spec. */
+  def termDriftOf(docsDf: DataFrame, k: Int = 20): DataFrame = {
+    val d = withWords(docsDf).select(col("doc_id"), col("ws"))
+    val bounds = d.agg(max("doc_id").as("max_id"))
+    val halves = d.crossJoin(broadcast(bounds))
+      .withColumn("half", (col("doc_id") > expr("max_id div 2")).cast("int"))
+    val sizes = halves.agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
+    halves
+      .select(col("half"), explode(array_distinct(col("ws"))).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("df_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("df_b"))
+      .where(col("df_a") + col("df_b") >= DriftMinDf)
+      .crossJoin(broadcast(sizes))
+      .withColumn("delta",
+        col("df_a") * (col("n2") - col("df_b")) - col("df_b") * (col("n1") - col("df_a")))
+      .withColumn("chi2", expr(chi2Expr))
+      .withColumn("direction",
+        when(col("df_b") * col("n1") > col("df_a") * col("n2"), "rising")
+          .when(col("df_b") * col("n1") < col("df_a") * col("n2"), "falling")
+          .otherwise("flat"))
+      .select("term", "df_a", "df_b", "chi2", "direction")
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
 }
