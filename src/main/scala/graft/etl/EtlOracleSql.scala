@@ -829,6 +829,58 @@ object EtlOracleSql {
       |GROUP BY segment, bal_band
       |ORDER BY segment, bal_band""".stripMargin
 
+  /** l-diversity twin: identical stacked aggregates over the same QI
+    * projection with the nation as the sensitive attribute. */
+  val lDiversity: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |         c_nationkey AS sensitive,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM customer
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT segment, bal_band,
+       |       CAST(sum(cnt) AS BIGINT) AS group_size,
+       |       CAST(count(*) AS INT) AS n_sensitive,
+       |       CAST(max(cnt) AS BIGINT) AS top_sensitive_cnt,
+       |       count(*) >= ${graft.etl.Retention.LDiversityL} AS is_diverse
+       |FROM cells
+       |GROUP BY segment, bal_band
+       |ORDER BY segment, bal_band""".stripMargin
+
+  /** EWMA twin: same dyadic weights over the same bounded fan-out. */
+  val ewmaTrend: String = {
+    val span = EtlQueries.EwmaSpan
+    star(
+      s""", monthly AS (
+         |  SELECT store_id,
+         |         CAST(year(time_id) AS INT) * 12 +
+         |           CAST(month(time_id) AS INT) AS x,
+         |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM sales_fact GROUP BY 1, 2
+         |),
+         |contrib AS (
+         |  SELECT store_id, x + i AS wx, y,
+         |         CAST(1 AS BIGINT) << (${span - 1} - i) AS w
+         |  FROM monthly CROSS JOIN (SELECT unnest(generate_series(0, ${span - 1})) AS i)
+         |),
+         |agg AS (
+         |  SELECT store_id, wx, CAST(count(*) AS INT) AS n_in_window,
+         |         CAST(sum(y * w) AS BIGINT) AS num,
+         |         CAST(sum(w) AS BIGINT) AS den
+         |  FROM contrib GROUP BY store_id, wx
+         |)
+         |SELECT a.store_id,
+         |       CAST((a.wx - 1) // 12 AS INT) AS year,
+         |       CAST((a.wx - 1) % 12 + 1 AS INT) AS month,
+         |       a.n_in_window, o.y AS cents,
+         |       CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) AS ewma_cents
+         |FROM agg a
+         |JOIN monthly o ON o.store_id = a.store_id AND o.x = a.wx
+         |ORDER BY a.store_id, year, month""".stripMargin)
+  }
+
   /** Transition twin: the same (ts, event_id)-ordered lag per user. */
   val eventTransitions: String =
     """SELECT prev_type, event_type, count(*) AS n_transitions

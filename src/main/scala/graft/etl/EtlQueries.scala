@@ -468,6 +468,51 @@ object EtlQueries {
       .orderBy("store_id", "year", "month")
   }
 
+  /** Truncated EWMA span in months — shared with the oracle twin. */
+  val EwmaSpan = 6
+
+  /** Exponentially-weighted trailing revenue average per store-month —
+    * the smoothing a demand planner lays over the raw series (reacts
+    * faster than the rolling median, weights recency explicitly). The
+    * classic recursive EWMA (s_t = αx_t + (1−α)s_{t−1}) is an
+    * order-dependent float fold no two engines accumulate identically;
+    * this is the reproducible formulation: α = 1/2 TRUNCATED at
+    * [[EwmaSpan]] months, so the weights are the exact powers of two
+    * 2^(span−1−lag) and both numerator (cents × weight) and
+    * denominator (present-month weight sum — missing months simply
+    * don't contribute, no imputation) are EXACT BIGINTs; the single
+    * double division is exact-input ([[trendSlope]] discipline).
+    *
+    * Plan shape: the [[rollingMedian]] explode trick — each monthly
+    * aggregate row fans out to the ≤ [[EwmaSpan]] target months it
+    * weights into (bounded 6×, on the store×month table, never the
+    * fact), one partial-aggregable groupBy, a semi-join back to real
+    * months. No windows at all. */
+  def ewmaTrend(spark: SparkSession, dir: String): DataFrame = {
+    val span = EwmaSpan
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+    val contrib = monthly.select(col("store_id"), col("x"),
+        explode(expr(s"sequence(x, x + ${span - 1})")).as("wx"), col("y"))
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), ${span - 1} - (wx - x))"))
+    contrib.groupBy("store_id", "wx")
+      .agg(
+        count(lit(1)).cast("int").as("n_in_window"),
+        sum(col("y") * col("w")).as("num"),
+        sum(col("w")).as("den"))
+      .join(monthly.select(col("store_id"), col("x").as("wx"), col("y").as("cents")),
+        Seq("store_id", "wx"))
+      .withColumn("ewma_cents", col("num").cast("double") / col("den").cast("double"))
+      .select(col("store_id"),
+        expr("CAST((wx - 1) div 12 AS INT)").as("year"),
+        expr("CAST((wx - 1) % 12 + 1 AS INT)").as("month"),
+        col("n_in_window"), col("cents"), col("ewma_cents"))
+      .orderBy("store_id", "year", "month")
+  }
+
   /** Cross-store revenue correlation — Pearson r between every store
     * pair's aligned monthly series (the "which stores move together"
     * matrix behind transfer pricing and cannibalization questions).

@@ -89,6 +89,37 @@ object Retention {
       .withColumn("is_anonymous", col("group_size") >= k)
       .orderBy("segment", "bal_band")
 
+  /** l for the [[lDiversity]] audit — shared with the oracle twin. */
+  val LDiversityL = 5
+
+  /** l-diversity audit — the check k-anonymity famously misses
+    * (Machanavajjhala et al. '06): a QI group can cover k people and
+    * STILL leak if they all share the sensitive value (the homogeneity
+    * attack). Per QI group (segment × balance band, the
+    * [[kAnonymity]] identifiers) against the nation as the sensitive
+    * attribute: group size, distinct sensitive values, the modal
+    * sensitive count (the homogeneity evidence — its ratio to the
+    * group size is what a recursive (c,l) policy would bound), and the
+    * distinct-l verdict. Two stacked partial-aggregable aggregates —
+    * (QI, sensitive) counts, then per-QI size/distinct/struct-max —
+    * output bounded by the QI domain, same scale contract as
+    * [[kAnonymity]]. */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = LDiversityL): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_nationkey").as("sensitive"))
+      .groupBy("segment", "bal_band", "sensitive")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("segment", "bal_band")
+      .agg(
+        sum("cnt").as("group_size"),
+        count(lit(1)).cast("int").as("n_sensitive"),
+        max("cnt").as("top_sensitive_cnt"))
+      .withColumn("is_diverse", col("n_sensitive") >= l)
+      .orderBy("segment", "bal_band")
+
   /** The enforcing half: the released view keeps only rows whose QI
     * group reaches k — a semi-join of the table against its own
     * passing groups (the audit flags; this suppresses). */

@@ -237,4 +237,39 @@ class OverlapBacktestSpec extends SparkSpec {
       } finally monthly.unpersist()
     } finally bt.unpersist()
   }
+
+  test("ewma: dyadic weights reproduce the brute-force trailing average per store") {
+    val ew = EtlQueries.ewmaTrend(spark, sfSmoke).cache()
+    try {
+      assert(ew.count() > 0)
+      assert(ew.where(col("n_in_window") < 1 ||
+        col("n_in_window") > EtlQueries.EwmaSpan).count() == 0)
+      // a month whose window holds only itself smooths to itself
+      assert(ew.where(col("n_in_window") === 1 &&
+        col("ewma_cents") =!= col("cents").cast("double")).count() == 0)
+      // brute force: recompute every store's series from the monthly table
+      val monthly = Star.salesFact(spark, sfSmoke)
+        .groupBy(col("store_id"),
+          (expr("CAST(year(time_id) AS INT)") * 12 +
+            expr("CAST(month(time_id) AS INT)")).as("x"))
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("y"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val byStore = monthly.groupBy(_._1)
+        .view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      val got = ew.collect().map { r =>
+        (r.getInt(0), r.getInt(1) * 12 + r.getInt(2)) -> r.getDouble(5)
+      }.toMap
+      byStore.foreach { case (store, series) =>
+        series.keys.foreach { x =>
+          val span = EtlQueries.EwmaSpan
+          val terms = (0 until span).flatMap { lag =>
+            series.get(x - lag).map(y => (y, 1L << (span - 1 - lag)))
+          }
+          val expect = terms.map(t => t._1 * t._2).sum.toDouble /
+            terms.map(_._2).sum.toDouble
+          assert(got((store, x)) == expect, s"ewma mismatch at ($store, $x)")
+        }
+      }
+    } finally ew.unpersist()
+  }
 }

@@ -52,4 +52,26 @@ class RetentionSpec extends SparkSpec {
       assert(suppressed > 0)
     } finally { audit.unpersist(); release.unpersist() }
   }
+
+  test("l-diversity: margins reconcile with k-anonymity groups and the verdict is consistent") {
+    val ld = Retention.lDiversity(spark, sfSmoke).cache()
+    try {
+      assert(ld.count() > 0)
+      // counting identities per group
+      assert(ld.where(col("top_sensitive_cnt") > col("group_size") ||
+        col("n_sensitive") > col("group_size") ||
+        col("top_sensitive_cnt") * col("n_sensitive") < col("group_size")).count() == 0)
+      assert(ld.where(col("is_diverse") =!=
+        (col("n_sensitive") >= Retention.LDiversityL)).count() == 0)
+      // the QI groups and their sizes are exactly kAnonymity's
+      val ka = Retention.kAnonymity(spark, sfSmoke)
+        .select("segment", "bal_band", "group_size")
+      assert(ld.select("segment", "bal_band", "group_size")
+        .except(ka).count() == 0)
+      assert(ka.except(ld.select("segment", "bal_band", "group_size")).count() == 0)
+      // the audit discriminates on this corpus: both outcomes occur
+      assert(ld.where(col("is_diverse")).count() > 0)
+      assert(ld.where(!col("is_diverse")).count() > 0)
+    } finally ld.unpersist()
+  }
 }
