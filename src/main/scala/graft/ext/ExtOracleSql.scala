@@ -1417,7 +1417,10 @@ object ExtOracleSql {
     * per round a neighbor-label frequency aggregate and the
     * deterministic (count DESC, label ASC) argmax, spelled as the
     * row_number()=1 pick against the engine side's struct-max. */
-  val graphLpa: String = {
+  /** The star CTE + edge set + [[GraphOps.LpaRounds]] unrolled LPA
+    * rounds ending at `lp<rounds>` — the shared prefix of the LPA
+    * listing and the modularity score. */
+  private def lpaChain: String = {
     val n = GraphOps.LpaRounds
     val rounds = (1 to n).map { r =>
       s"""c$r AS (
@@ -1434,7 +1437,7 @@ object ExtOracleSql {
     }.mkString(",\n")
     graft.etl.Star.oracleCte +
       s""",
-         |kedges AS (
+         |kedges AS MATERIALIZED (
          |  SELECT a.product_id AS u, b.product_id AS v
          |  FROM sales_fact a JOIN sales_fact b
          |    ON a.order_id = b.order_id AND a.product_id < b.product_id
@@ -1445,12 +1448,46 @@ object ExtOracleSql {
          |  UNION ALL SELECT v AS a, u AS b FROM kedges
          |),
          |lp0 AS (SELECT DISTINCT a AS node, a AS lab FROM ksym),
-         |$rounds
-         |SELECT l.node AS product_id, l.lab AS community, sz.community_size
-         |FROM lp$n l
-         |JOIN (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
-         |      FROM lp$n GROUP BY 1) sz USING (lab)
-         |ORDER BY community_size DESC, community ASC, product_id ASC""".stripMargin
+         |$rounds""".stripMargin
+  }
+
+  val graphLpa: String =
+    s"""$lpaChain
+       |SELECT l.node AS product_id, l.lab AS community, sz.community_size
+       |FROM lp${GraphOps.LpaRounds} l
+       |JOIN (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+       |      FROM lp${GraphOps.LpaRounds} GROUP BY 1) sz USING (lab)
+       |ORDER BY community_size DESC, community ASC, product_id ASC""".stripMargin
+
+  /** Modularity twin: the same exact-integer margins (m, e_c, d_c)
+    * over the shared LPA chain and the identical two-division q_term
+    * spelling. */
+  val graphModularity: String = {
+    val n = GraphOps.LpaRounds
+    s"""$lpaChain,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kedges),
+       |ein AS (
+       |  SELECT lu.lab, CAST(count(*) AS BIGINT) AS internal_edges
+       |  FROM kedges e
+       |  JOIN lp$n lu ON e.u = lu.node
+       |  JOIN lp$n lv ON e.v = lv.node
+       |  WHERE lu.lab = lv.lab
+       |  GROUP BY 1
+       |),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM ksym GROUP BY 1),
+       |dtot AS (
+       |  SELECT l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(g.d) AS BIGINT) AS total_degree
+       |  FROM lp$n l JOIN deg g ON l.node = g.node
+       |  GROUP BY 1
+       |)
+       |SELECT t.lab AS community, t.n_nodes,
+       |  coalesce(e.internal_edges, 0) AS internal_edges, t.total_degree,
+       |  CAST(coalesce(e.internal_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       |    - (CAST(t.total_degree AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE))
+       |      * (CAST(t.total_degree AS DOUBLE) / CAST(mm.m * 2 AS DOUBLE)) AS q_term
+       |FROM dtot t LEFT JOIN ein e USING (lab), mm
+       |ORDER BY community""".stripMargin
   }
 
   /** Bloom-semi-join twin: the oracle is the PLAIN semi-join — the bloom
@@ -2231,6 +2268,52 @@ object ExtOracleSql {
        |  SELECT e.vec_id, e.embedding, e.norm, cr.cent_id AS cell
        |  FROM en e JOIN cr ON cr.vec_id = e.vec_id AND cr.crank = 1
        |)""".stripMargin
+
+  /** Cluster-quality twin: the same sufficient-statistics distortion
+    * ([[VectorOps.distortionTermExpr]] verbatim, integer Sx/Sxx per
+    * (cell, dim), pos-ordered fold) and centroid-pair separation over
+    * [[trainedCellsCte]]'s trained index. */
+  val kmeansQuality: String =
+    s"""WITH $trainedCellsCte,
+       |kqm AS (SELECT vec_id, cent_id FROM cr WHERE crank = 1),
+       |perdim AS (
+       |  SELECT m.cent_id, u.pos,
+       |    CAST(sum(u.qv) AS BIGINT) AS sx,
+       |    CAST(sum(u.qv * u.qv) AS BIGINT) AS sxx,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM kqm m JOIN quant qt ON qt.vec_id = m.vec_id,
+       |       LATERAL (SELECT unnest(qt.q) AS qv, generate_subscripts(qt.q, 1) AS pos) u
+       |  GROUP BY 1, 2
+       |),
+       |terms AS (
+       |  SELECT cent_id, pos, n,
+       |    ${VectorOps.distortionTermExpr} AS term
+       |  FROM (
+       |    SELECT p.cent_id, p.pos, p.n, p.sx, p.sxx, c.cv[p.pos] AS cval
+       |    FROM perdim p JOIN c2 c ON c.cent_id = p.cent_id
+       |  )
+       |),
+       |kqd AS (
+       |  SELECT cent_id, CAST(max(n) AS BIGINT) AS n_members,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY pos)),
+       |      (aq, vq) -> aq + vq) AS distortion
+       |  FROM terms GROUP BY 1
+       |),
+       |kqs AS (
+       |  SELECT a.cent_id, b.cent_id AS oc,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(a.cv, b.cv),
+       |        zs -> (zs[1] - zs[2]) * (zs[1] - zs[2]))),
+       |      (as1, vs1) -> as1 + vs1) AS d2
+       |  FROM c2 a JOIN c2 b ON a.cent_id <> b.cent_id
+       |),
+       |nearest AS (
+       |  SELECT cent_id, oc AS nearest_cent, d2 AS separation_d2 FROM kqs
+       |  QUALIFY row_number() OVER (PARTITION BY cent_id ORDER BY d2, oc) = 1
+       |)
+       |SELECT d.cent_id, d.n_members, d.distortion, ne.nearest_cent, ne.separation_d2
+       |FROM kqd d JOIN nearest ne USING (cent_id)
+       |ORDER BY cent_id""".stripMargin
 
   /** IVF-over-trained-centroids twin: [[trainedCellsCte]]'s assignment,
     * nProbe = 2 probing, and exact-cosine re-ranking over the original

@@ -379,16 +379,64 @@ object GraphOps {
     labels
   }
 
+  /** The LPA label table of the supported co-purchase graph —
+    * session-cached like the other stored graph artifacts (a community
+    * assignment is computed once and then queried; both the community
+    * listing and the modularity score read it). */
+  def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionCache.getOrBuild(spark, s"graph|$dir|lpa_labels") {
+      labelPropagationOf(supportedCoPurchaseEdges(spark, dir))
+    }
+
   /** Driver-contract entry: LPA communities of the supported
     * co-purchase graph with their sizes. */
   def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val labels = labelPropagationOf(supportedCoPurchaseEdges(spark, dir))
+    val labels = lpaLabels(spark, dir)
     val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("lab"))
       .select(col("node").as("product_id"), col("lab").as("community"),
         col("community_size"))
       .orderBy(desc("community_size"), asc("community"), asc("product_id"))
   }
+
+  /** Modularity of a partition over a canonical (u < v) edge frame —
+    * Newman–Girvan Q = Σ_c (e_c/m − (d_c/2m)²), the standard "is this
+    * community structure better than chance" score, emitted per
+    * community so the weak communities are visible, not averaged away.
+    * All margins (m, within-community edges e_c, community degree d_c)
+    * are EXACT bigints from three partial-aggregable joins/aggregates;
+    * the per-community term is two exact-input double divisions and one
+    * multiply, spelled identically in the oracle. */
+  def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val m = edges.agg(count(lit(1)).as("m"))
+    val eIn = edges
+      .join(labels.select(col("node").as("u"), col("lab").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("lab").as("lv")), Seq("v"))
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lab"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dTot = deg.join(labels, Seq("node"))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("total_degree"))
+    dTot.join(eIn, Seq("lab"), "left")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("frac", col("total_degree").cast("double") / (col("m") * 2).cast("double"))
+      .withColumn("q_term",
+        col("internal_edges").cast("double") / col("m").cast("double")
+          - col("frac") * col("frac"))
+      .select(col("lab").as("community"), col("n_nodes"),
+        col("internal_edges"), col("total_degree"), col("q_term"))
+      .orderBy("community")
+  }
+
+  /** Driver-contract entry: per-community modularity of the LPA
+    * partition — the quality score next to the assignment. */
+  def lpaModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(supportedCoPurchaseEdges(spark, dir), lpaLabels(spark, dir))
 
   /** Driver-contract entry: PageRank of the product co-purchase graph —
     * "centrality in the basket graph", the classic what-anchors-the-

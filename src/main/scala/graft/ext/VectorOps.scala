@@ -122,6 +122,64 @@ object VectorOps {
         col("col").as("c_val"), col("n_members"))
       .orderBy("cent_id", "pos")
 
+  /** Per-dimension distortion term of a cluster against its STORED
+    * centroid — Σ(x−c)² rewritten as Sxx − 2c·Sx + n·c² so the
+    * cross-row sums are EXACT bigints and only the last three ops are
+    * (exact-input, deterministic) double arithmetic. Spelled once,
+    * pasted into both engines. */
+  val distortionTermExpr: String =
+    "(CAST(sxx AS DOUBLE) - ((CAST(2 AS DOUBLE) * cval) * CAST(sx AS DOUBLE)))" +
+      " + ((CAST(n AS DOUBLE) * cval) * cval)"
+
+  /** Cluster-quality report of the trained k-means index — the
+    * evaluation the IVF/PQ/SemDeDup consumers of [[kmeansAssign]] need
+    * before trusting the partition: per cell its size, the total
+    * quantization DISTORTION against the stored centroid (the number
+    * Lloyd minimizes — reported per cell so one bloated cell is
+    * visible, not averaged away), and the separation to the nearest
+    * other centroid (distortion ≪ separation is what makes a cell
+    * assignment meaningful). The naive Σ‖x−c‖² is a double sum whose
+    * accumulation order no engine pair agrees on; the sufficient-
+    * statistics form ([[distortionTermExpr]]) needs only per-(cell,
+    * dim) integer Sx/Sxx — partial-aggregable, order-independent —
+    * folded over the FIXED dimension order. At 100 TB the report costs
+    * one pass over the stored (cell, code) table into ≤ cells×dims
+    * bounded groups; centroid separation is a cells² broadcast pair
+    * scan. */
+  def kmeansQuality(spark: SparkSession, dir: String, kCent: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(spark, dir, kCent, iters).select("cent_id", "cv")
+    val members = kmeansAssign(spark, dir, nProbe = 2, kCent = kCent, iters = iters)
+      .where(col("crank") === 1).select(col("vec_id"), col("cent_id"))
+    val q = withQuantized(SimilarityOps.embeddings(spark, dir))
+      .select(col("vec_id"), col("q"))
+    val perDim = members.join(q, Seq("vec_id"))
+      .select(col("cent_id"), posexplode(col("q")))
+      .groupBy("cent_id", "pos")
+      .agg(
+        sum(col("col").cast("long")).as("sx"),
+        sum((col("col") * col("col")).cast("long")).as("sxx"),
+        count(lit(1)).as("n"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .withColumn("cval", expr("element_at(cv, CAST(pos + 1 AS INT))"))
+      .withColumn("term", expr(distortionTermExpr))
+    val distortion = perDim.groupBy("cent_id")
+      .agg(
+        max("n").as("n_members"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, term))), " +
+          "x -> x.term), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("distortion"))
+    val sep = cents.as("a").join(cents.as("b"),
+        col("a.cent_id") =!= col("b.cent_id"))
+      .withColumn("d2", dist2("a.cv", "b.cv"))
+      .groupBy(col("a.cent_id").as("cent_id"))
+      .agg(min(struct(col("d2"), col("b.cent_id").as("oc"))).as("m"))
+      .select(col("cent_id"), col("m.oc").as("nearest_cent"),
+        col("m.d2").as("separation_d2"))
+    distortion.join(sep, Seq("cent_id"))
+      .select("cent_id", "n_members", "distortion", "nearest_cent", "separation_d2")
+      .orderBy("cent_id")
+  }
+
   /** ANN top-k scored on the INT8 CODES — the memory-bound search
     * path: per pair the engine reads two 64-byte codes plus two
     * scalars instead of two 256-byte float vectors (the 4× footprint

