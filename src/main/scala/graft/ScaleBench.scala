@@ -49,7 +49,11 @@ object ScaleBench {
     "ext_sketch_cms", "ext_dedup_jaccard", "q21_lapsed_customers",
     "ext_text_dup_spans", "ext_text_strip_spans",
     "stream_rate_limit", "stream_abandoned_carts", "stream_view_attribution",
-    "ext_dedup_containment", "ext_dedup_containment_keep", "ext_sim_ivfpq")
+    "ext_dedup_containment", "ext_dedup_containment_keep", "ext_sim_ivfpq",
+    // round-7 second leg: the heaviest of the ten additions plus the
+    // graph pair whose per-round joins must stay edge-linear
+    "ext_text_drift", "q28_skyline", "etl_ewma_trend", "stream_late_data",
+    "ext_graph_kcore", "ext_graph_lpa")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -74,6 +74,19 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def readSnapshot(spark: SparkSession): Option[DataFrame] =
     dataOf(spark, commits())
 
+  /** TIME-TRAVEL read: the table exactly as of commit `asOf` — the
+    * union of every data directory published at version ≤ asOf. The
+    * log IS the version history (append-only manifests, immutable data
+    * directories), so any historical snapshot is just a shorter prefix
+    * of it: no copy, no restore, driver-side metadata work only. This
+    * is what makes the sink's audits reproducible — a reconciliation
+    * ([[Reconcile.snapshotDiff]]) can re-read the exact pre-restatement
+    * state instead of trusting a saved copy. `vacuumOrphans` never
+    * touches committed directories, so history stays readable until a
+    * (deliberate, not implemented) log truncation. */
+  def readVersion(spark: SparkSession, asOf: Long): Option[DataFrame] =
+    dataOf(spark, commits().takeWhile(_._1 <= asOf))
+
   private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)]): Option[DataFrame] = {
     val paths = cs.flatMap(_._2.files).map(f => root.resolve(f).toString)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))

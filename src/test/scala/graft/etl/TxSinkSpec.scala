@@ -161,6 +161,27 @@ class TxSinkSpec extends SparkSpec {
     assert(n == 1 && keySet(t) == Seq("P1", "P2"))
   }
 
+  test("time travel: every historical version reads as the exact committed prefix") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "Widget"), keys, order)
+    t.mergeUpsert(spark, batch("P2" -> "Gadget"), keys, order)
+    t.mergeUpsert(spark, batch("P3" -> "Sprocket"), keys, order)
+    assert(t.version() == 2L)
+    def at(v: Long): Seq[String] =
+      t.readVersion(spark, v).map(_.select("product_id").as[String].collect().toSeq.sorted)
+        .getOrElse(Nil)
+    assert(at(-1L) == Nil) // before the first commit
+    assert(at(0L) == Seq("P1"))
+    assert(at(1L) == Seq("P1", "P2"))
+    assert(at(2L) == Seq("P1", "P2", "P3"))
+    assert(at(99L) == Seq("P1", "P2", "P3")) // future asOf = latest
+    // vacuum never makes history unreadable: committed dirs are not orphans
+    assert(t.vacuumOrphans(0L).isEmpty)
+    assert(at(0L) == Seq("P1"))
+    // current snapshot is the time travel of the head version
+    assert(keySet(t) == at(t.version()))
+  }
+
   test("manifest codec round-trips") {
     val m = TxParquetSink.Manifest(42L, Seq("data/tx-a", "data/tx-b"))
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
