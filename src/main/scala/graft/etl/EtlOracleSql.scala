@@ -1144,6 +1144,21 @@ object EtlOracleSql {
       |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** Outer-attribution twin: the LEFT range join — the filters move
+    * into the subqueries/ON clause so unmatched purchases null-extend
+    * instead of being filtered away; NULLS FIRST matches Spark's
+    * ascending null ordering. */
+  val viewAttributionOuter: String =
+    """SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |       p.user_id, p.value,
+      |       v.event_id AS view_id, v.ts AS view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON v.user_id = p.user_id
+      | AND v.ts >= p.ts - INTERVAL 6 HOUR
+      | AND v.ts <= p.ts
+      |ORDER BY purchase_id, view_id NULLS FIRST""".stripMargin
+
   /** The twin is GENERATED from the same (capacity, periodSeconds)
     * constants [[graft.streaming.StatefulOps.rateLimitQuery]] defaults
     * to, so the registered query and its oracle cannot drift: changing

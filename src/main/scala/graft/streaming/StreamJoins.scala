@@ -73,4 +73,56 @@ object StreamJoins {
         "view_id", "view_ts")
       .orderBy("purchase_id", "view_id")
   }
+
+  /** LEFT OUTER interval join — purchases WITH their attributed views
+    * plus the unattributed purchases as null-view rows (the
+    * "organic conversion" share a marketing report needs; the inner
+    * join silently loses it). Streaming left-outer needs both
+    * watermarks AND the interval bounds for the same state-eviction
+    * reason, plus one more semantic: a null-extended row emits only
+    * when the watermark proves no match can still arrive. */
+  def viewPurchaseOuter(views: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      expr(s"""v_user = user_id
+              |AND view_ts >= purchase_ts - INTERVAL $window
+              |AND view_ts <= purchase_ts""".stripMargin),
+      "left_outer")
+      .select("purchase_id", "purchase_ts", "user_id", "value",
+        "view_id", "view_ts")
+  }
+
+  /** Batch twin of [[viewPurchaseOuter]] over a closed log: the plain
+    * left equi+range join. KNOWN DIVERGENCE (the
+    * [[StatefulOps.abandonedCarts]] class): over a closed log the twin
+    * null-extends every unmatched purchase, while the stream only
+    * null-extends those whose join window the final watermark has
+    * passed — the twin is a superset differing exactly in the
+    * purchases inside the last watermark horizon (spec-pinned). */
+  def viewPurchaseOuterBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      window: String = "10 minutes"): DataFrame = {
+    val e = graft.etl.Star.events(spark, dir)
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("v_user"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+    p.join(v,
+        expr(s"""v_user = user_id
+                |AND view_ts >= purchase_ts - INTERVAL $window
+                |AND view_ts <= purchase_ts""".stripMargin),
+      "left_outer")
+      .select("purchase_id", "purchase_ts", "user_id", "value",
+        "view_id", "view_ts")
+      .orderBy("purchase_id", "view_id")
+  }
 }

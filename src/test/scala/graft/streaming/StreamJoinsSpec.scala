@@ -95,4 +95,51 @@ class StreamJoinsSpec extends SparkSpec {
       "batch interval join must emit exactly the streamed matches")
     assert(twin === Set((500L, 100L), (500L, 102L), (600L, 103L)))
   }
+
+  test("left outer: null rows emit only once the watermark closes the window; twin superset") {
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (500L, ts("2024-01-01 10:05:00"), 1L, "purchase", 9.5), // matched
+      (600L, ts("2024-01-01 10:06:00"), 2L, "purchase", 3.0), // organic, window closeable
+      (601L, ts("2024-01-01 16:00:00"), 3L, "purchase", 1.0)) // organic, in the final horizon
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[JoinEv]
+    val purchases = MemoryStream[JoinEv]
+    val out = StreamJoins.viewPurchaseOuter(views.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("vp_outer")
+      .outputMode("append").start()
+    val streamed = try {
+      views.addData(events.filter(_._4 == "view")
+        .map(e => JoinEv(e._1, e._2, e._3, e._5)): _*)
+      purchases.addData(events.filter(_._4 == "purchase")
+        .map(e => JoinEv(e._1, e._2, e._3, e._5)): _*)
+      q.processAllAvailable()
+      // second batch so the advanced watermark can emit the closed
+      // null-extended rows
+      views.addData(JoinEv(900L, ts("2024-01-01 23:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      views.addData(JoinEv(901L, ts("2024-01-01 23:00:01"), 9L, 0.0))
+      q.processAllAvailable()
+      spark.table("vp_outer").select("purchase_id", "view_id")
+        .as[(Long, Option[Long])].collect().toSet
+    } finally q.stop()
+    // purchase 500 matched; 600's window was closed by the advancing
+    // watermark -> null-extended; 601 sits inside the final horizon on
+    // THIS schedule? no — 23:00 advanced the watermark far past it, so
+    // it null-extends too. The matched pair must never null-extend.
+    assert(streamed.contains((500L, Some(100L))))
+    assert(streamed.contains((600L, None)))
+    assert(!streamed.contains((500L, None)))
+
+    // twin over the same closed log: every streamed row, plus possibly
+    // null-extensions for purchases the final watermark had not closed
+    val dir = tempDataDir("events" ->
+      events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val twin = StreamJoins.viewPurchaseOuterBatch(spark, dir, "10 minutes")
+      .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toSet
+    assert(streamed.subsetOf(twin), "stream emitted a row the twin lacks")
+    // divergence is confined to null-extensions (never matched pairs)
+    assert((twin -- streamed).forall(_._2.isEmpty))
+    assert(twin === Set((500L, Some(100L)), (600L, None), (601L, None)))
+  }
 }
