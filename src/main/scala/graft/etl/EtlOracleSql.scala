@@ -829,6 +829,76 @@ object EtlOracleSql {
       |GROUP BY segment, bal_band
       |ORDER BY segment, bal_band""".stripMargin
 
+  /** Interval-merge twin: identical calendar-coverage islanding over
+    * the same per-(store, order) intervals. */
+  val intervalMerge: String =
+    """WITH iv AS (
+      |  SELECT store_id, order_id, d0, greatest(d0, d1) AS d1 FROM (
+      |    SELECT s.s_nationkey AS store_id, l.l_orderkey AS order_id,
+      |           CAST(min(o.o_orderdate) AS DATE) AS d0,
+      |           CAST(max(l.l_shipdate) AS DATE) AS d1
+      |    FROM lineitem l
+      |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |    GROUP BY 1, 2
+      |  )
+      |),
+      |cov AS (
+      |  SELECT DISTINCT store_id, CAST(d AS DATE) AS day
+      |  FROM iv, LATERAL (SELECT unnest(generate_series(
+      |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS d)
+      |),
+      |isl AS (
+      |  SELECT store_id, day,
+      |    datediff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY store_id ORDER BY day) AS grp
+      |  FROM cov
+      |)
+      |SELECT store_id,
+      |  CAST(min(day) AS TIMESTAMP) AS start_day,
+      |  CAST(max(day) AS TIMESTAMP) AS end_day,
+      |  count(*) AS n_days
+      |FROM isl
+      |GROUP BY store_id, grp
+      |ORDER BY store_id, start_day""".stripMargin
+
+  /** Subject-export twin: same request rule (every 97th customer), same
+    * two-level rollup, md5 over the identical sorted comma-joined order
+    * ids; subjects without orders export zeros and md5(''). */
+  val subjectExport: String = star(
+    """, req AS (
+      |  SELECT customer_id, customer_name, gender AS segment
+      |  FROM dim_customer WHERE customer_id % 97 = 0
+      |),
+      |per_order AS (
+      |  SELECT f.customer_id, f.order_id,
+      |         CAST(count(*) AS BIGINT) AS n_items_o,
+      |         CAST(sum(CAST(f.total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents_o,
+      |         min(f.time_id) AS t0, max(f.time_id) AS t1
+      |  FROM sales_fact f
+      |  WHERE f.customer_id % 97 = 0
+      |  GROUP BY 1, 2
+      |),
+      |per_subject AS (
+      |  SELECT customer_id,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(n_items_o) AS BIGINT) AS n_items,
+      |         CAST(sum(cents_o) AS BIGINT) AS spend_cents,
+      |         min(t0) AS first_order, max(t1) AS last_order,
+      |         md5(string_agg(CAST(order_id AS VARCHAR), ',' ORDER BY order_id))
+      |           AS orders_fp
+      |  FROM per_order
+      |  GROUP BY customer_id
+      |)
+      |SELECT r.customer_id, r.customer_name, r.segment,
+      |       coalesce(s.n_orders, 0) AS n_orders,
+      |       coalesce(s.n_items, 0) AS n_items,
+      |       coalesce(s.spend_cents, 0) AS spend_cents,
+      |       s.first_order, s.last_order,
+      |       coalesce(s.orders_fp, md5('')) AS orders_fp
+      |FROM req r LEFT JOIN per_subject s USING (customer_id)
+      |ORDER BY customer_id""".stripMargin)
+
   /** l-diversity twin: identical stacked aggregates over the same QI
     * projection with the nation as the sensitive attribute. */
   val lDiversity: String =

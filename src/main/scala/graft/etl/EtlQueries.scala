@@ -468,6 +468,46 @@ object EtlQueries {
       .orderBy("store_id", "year", "month")
   }
 
+  /** Merge overlapping intervals into coverage ISLANDS — per store, the
+    * order-activity periods [order date, last ship date] unioned into
+    * maximal busy stretches (the interval-union report behind "how many
+    * distinct active periods, how long" — [[peakOpenOrders]] answers
+    * how DEEP the overlap is, this answers its extent). The classic
+    * spelling sorts all intervals per store and walks a running max
+    * end — an unbounded per-store sort. Instead the union is computed
+    * on the CALENDAR: explode each interval to its covered days
+    * (bounded fan-out — order lead times are weeks, not years),
+    * de-duplicate, and island the per-store day sequence with the
+    * [[salesStreaks]] day-minus-row_number trick — the window is over
+    * distinct calendar days per store, calendar-bounded regardless of
+    * order volume. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Star.table(spark, dir, "lineitem")
+    val o = Star.table(spark, dir, "orders")
+    val s = Star.table(spark, dir, "supplier")
+    val iv = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_nationkey").as("store_id"), col("l_orderkey").as("order_id"))
+      .agg(to_date(min("o_orderdate")).as("d0"), to_date(max("l_shipdate")).as("d1"))
+      // generator noise can ship "before" ordering; a reversed interval
+      // is degenerate — clamp so it covers exactly its start day
+      // (Spark's sequence() would otherwise run BACKWARDS over it)
+      .withColumn("d1", greatest(col("d0"), col("d1")))
+    val cov = iv.select(col("store_id"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("store_id").orderBy("day")
+    cov
+      .withColumn("grp",
+        expr("datediff(day, DATE '1970-01-01')") - row_number().over(w))
+      .groupBy("store_id", "grp")
+      .agg(min("day").as("sd"), max("day").as("ed"), count(lit(1)).as("n_days"))
+      .select(col("store_id"), col("sd").cast("timestamp").as("start_day"),
+        col("ed").cast("timestamp").as("end_day"), col("n_days"))
+      .orderBy("store_id", "start_day")
+  }
+
   /** Truncated EWMA span in months — shared with the oracle twin. */
   val EwmaSpan = 6
 

@@ -60,6 +60,51 @@ object Retention {
       .orderBy("table_name")
   }
 
+  /** SUBJECT-ACCESS export (GDPR art. 15) — the READ counterpart of the
+    * art. 17 erasure above: for every subject on the request list, one
+    * portable summary row of everything the warehouse holds on them —
+    * identity attributes, order/item counts, exact spend, activity
+    * range, and an order-set fingerprint (md5 over the sorted order
+    * ids: two exports match iff the underlying order sets match, which
+    * is how a regulator-facing export is diffed without shipping raw
+    * rows twice). Subjects with no fact rows still export (zero counts,
+    * empty-set fingerprint) — absence of data is also an answer.
+    *
+    * Scale shape: the request list broadcasts into ONE semi-joined fact
+    * scan; the rollup is two stacked partial-aggregable aggregates
+    * (order grain, then subject grain) — the sorted collect is over one
+    * subject's ORDER IDS (entity-bounded, the [[EtlQueries.sessionPaths]]
+    * contract), never the fact rows. */
+  def subjectExport(spark: SparkSession, dir: String): DataFrame = {
+    val keys = forgetKeys(spark, dir)
+    val cust = Star.dimCustomer(spark, dir)
+      .join(broadcast(keys), Seq("customer_id"), "left_semi")
+      .select(col("customer_id"), col("customer_name"), col("gender").as("segment"))
+    val perOrder = Star.salesFact(spark, dir)
+      .join(broadcast(keys), Seq("customer_id"), "left_semi")
+      .groupBy("customer_id", "order_id")
+      .agg(
+        count(lit(1)).as("n_items_o"),
+        sum((col("total_revenue") * 100).cast("long")).as("cents_o"),
+        min("time_id").as("t0"), max("time_id").as("t1"))
+    val perSubject = perOrder.groupBy("customer_id")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum("n_items_o").as("n_items"),
+        sum("cents_o").as("spend_cents"),
+        min("t0").as("first_order"), max("t1").as("last_order"),
+        md5(expr("CAST(concat_ws(',', transform(array_sort(collect_list(order_id)), " +
+          "x -> CAST(x AS STRING))) AS BINARY)")).as("orders_fp"))
+    cust.join(perSubject, Seq("customer_id"), "left")
+      .select(col("customer_id"), col("customer_name"), col("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+        col("first_order"), col("last_order"),
+        coalesce(col("orders_fp"), md5(lit("").cast("binary"))).as("orders_fp"))
+      .orderBy("customer_id")
+  }
+
   /** Customer quasi-identifier projection for the anonymity audit:
     * market segment × account-balance band (floor(bal/1000) —
     * identical double division + floor in both engines). The QI set is

@@ -74,4 +74,44 @@ class RetentionSpec extends SparkSpec {
       assert(ld.where(!col("is_diverse")).count() > 0)
     } finally ld.unpersist()
   }
+
+  test("subject export covers exactly the request list and reconciles with direct aggregation") {
+    val ex = Retention.subjectExport(spark, sfSmoke).cache()
+    try {
+      // one row per requested subject, no extras
+      val req = Retention.forgetKeys(spark, sfSmoke)
+        .collect().map(_.getLong(0)).toSet
+      val got = ex.select("customer_id").collect().map(_.getLong(0)).toSet
+      assert(got == req)
+      // spend and counts reconcile with a direct fact aggregation
+      val direct = Star.salesFact(spark, sfSmoke)
+        .groupBy("customer_id")
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"),
+          countDistinct("order_id").as("no"), count(lit(1)).as("ni"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      ex.collect().foreach { r =>
+        val id = r.getLong(0)
+        direct.get(id) match {
+          case Some((cents, no, ni)) =>
+            assert(r.getAs[Long]("spend_cents") == cents)
+            assert(r.getAs[Long]("n_orders") == no && r.getAs[Long]("n_items") == ni)
+          case None =>
+            assert(r.getAs[Long]("n_orders") == 0L &&
+              r.getAs[Long]("spend_cents") == 0L)
+            assert(r.getAs[String]("orders_fp") ==
+              java.security.MessageDigest.getInstance("MD5").digest(Array.empty[Byte])
+                .map("%02x".format(_)).mkString)
+        }
+      }
+      // fingerprint is the md5 of the sorted comma-joined order ids
+      val probe = ex.where(col("n_orders") > 0).orderBy("customer_id").first()
+      val ids = Star.salesFact(spark, sfSmoke)
+        .where(col("customer_id") === probe.getLong(0))
+        .select("order_id").distinct().collect().map(_.getLong(0)).sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(probe.getAs[String]("orders_fp") == md)
+    } finally ex.unpersist()
+  }
 }
