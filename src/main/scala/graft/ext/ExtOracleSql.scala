@@ -1102,6 +1102,91 @@ object ExtOracleSql {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** One FK relation of the join-cardinality twin: KMV sketches as the
+    * k smallest DISTINCT key hashes (list aggregate + sort + slice —
+    * the set the engine's bounded TreeSet retains), theta-style union
+    * via list algebra, and the identical fixed double expression tree
+    * for every estimate. */
+  private def joinCardPair(ta: String, ka: String, tb: String, kb: String,
+      sfx: String): String = {
+    val k = SketchOps.JoinCardK
+    def est(arr: String) =
+      s"""CASE WHEN len($arr) < $k THEN CAST(len($arr) AS DOUBLE)
+         |     ELSE CAST(${k - 1} AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |          / CAST($arr[$k] AS DOUBLE) END""".stripMargin
+    def side(t: String, key: String, s: String) =
+      s"""(SELECT count(*) AS rows_$s, count(DISTINCT k) AS d_${s}_exact,
+         |        list_sort(list(DISTINCT h))[1:$k] AS kmv_$s
+         | FROM (SELECT k, ${h32("k", s + sfx)} AS h
+         |       FROM (SELECT CAST($key AS VARCHAR) AS k FROM $t)))""".stripMargin
+    s"""SELECT '$ta-$tb' AS rel, rows_a, rows_b, d_a_exact, d_b_exact,
+       |  d_a_kmv, d_b_kmv, n_match_exact, n_match_kmv, join_exact, join_kmv,
+       |  (join_kmv - CAST(join_exact AS DOUBLE))
+       |    / CAST(join_exact AS DOUBLE) AS rel_err
+       |FROM (
+       |  SELECT *,
+       |    ${est("kmv_a")} AS d_a_kmv,
+       |    ${est("kmv_b")} AS d_b_kmv,
+       |    ${est("u")} AS u_est,
+       |    len(list_filter(u, x$sfx -> list_contains(kmv_a, x$sfx)
+       |        AND list_contains(kmv_b, x$sfx))) AS m,
+       |    (CAST(m AS DOUBLE) / CAST(len(u) AS DOUBLE)) * u_est AS n_match_kmv,
+       |    n_match_kmv * (CAST(rows_a AS DOUBLE) / d_a_kmv)
+       |      * (CAST(rows_b AS DOUBLE) / d_b_kmv) AS join_kmv
+       |  FROM (
+       |    SELECT sa.*, sb.*, ex.*,
+       |      list_sort(list_distinct(list_concat(kmv_a, kmv_b)))[1:$k] AS u
+       |    FROM ${side(ta, ka, "a")} sa,
+       |         ${side(tb, kb, "b")} sb,
+       |         (SELECT count(*) AS n_match_exact,
+       |                 CAST(sum(ca * cb) AS BIGINT) AS join_exact
+       |          FROM (SELECT $ka AS jk, count(*) AS ca FROM $ta GROUP BY 1) ja
+       |          JOIN (SELECT $kb AS jk, count(*) AS cb FROM $tb GROUP BY 1) jb
+       |            USING (jk)) ex
+       |  )
+       |)""".stripMargin
+  }
+
+  /** Join-cardinality twin over every profiled FK relation. */
+  lazy val sketchJoinCard: String =
+    SketchOps.JoinCardPairs.zipWithIndex
+      .map { case ((ta, ka, tb, kb), i) => joinCardPair(ta, ka, tb, kb, s"p$i") }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+
+  /** Leakproof-split twin: the recursive cluster closure hashed on the
+    * CLUSTER id with the identical salt, the naive per-doc assignment
+    * alongside, and the per-cluster straddle audit. Lazy: embeds
+    * [[dedupClusters]]. */
+  lazy val splitLeakproof: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, cluster FROM ($dedupClusters)
+       |),
+       |n AS (
+       |  SELECT doc_id,
+       |    CASE WHEN hn % 100 < 80 THEN 'train'
+       |         WHEN hn % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS naive_split
+       |  FROM (SELECT doc_id,
+       |          ${h32("'split:' || CAST(doc_id AS VARCHAR)", "n")} AS hn
+       |        FROM documents)
+       |),
+       |a AS (
+       |  SELECT doc_id, cluster,
+       |    CASE WHEN hc % 100 < 80 THEN 'train'
+       |         WHEN hc % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, cluster,
+       |          ${h32("'split:' || CAST(cluster AS VARCHAR)", "c")} AS hc
+       |        FROM c)
+       |),
+       |l AS (
+       |  SELECT cluster, count(DISTINCT naive_split) > 1 AS cluster_leaky
+       |  FROM c JOIN n USING (doc_id) GROUP BY cluster
+       |)
+       |SELECT a.doc_id, a.cluster, a.split, n.naive_split, l.cluster_leaky
+       |FROM a JOIN n USING (doc_id) JOIN l USING (cluster)
+       |ORDER BY a.doc_id""".stripMargin
+
   /** Weighted-lottery twin: the same clamped token-count weight, the
     * same salted per-ticket hashes, max per doc, top-k. */
   val sampleWeighted: String =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset-split operators for the
@@ -34,10 +34,7 @@ object SampleOps {
       .withColumn("h32_split",
         TextOps.h32(concat(lit("split:"), col("doc_id").cast("string"))))
       .withColumn("bucket", expr(bucketExpr).cast("int"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCase(col("bucket")))
 
   /** Reproducible 80/10/10 train/val/test assignment by salted id hash.
     * A document's split NEVER changes as the corpus grows — assignment
@@ -47,6 +44,45 @@ object SampleOps {
     withSplit(TextOps.docs(spark, dir))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
+
+  /** The 80/10/10 bucket → split rule as a reusable Column. */
+  private def splitCase(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** LEAKAGE-SAFE split — the dedup-aware upgrade of [[datasetSplit]]:
+    * hash the near-dup CLUSTER id, not the document id, so every member
+    * of a near-duplicate cluster lands in the same split. Per-document
+    * hashing leaks: two near-identical documents can straddle
+    * train/test, and the model is then evaluated on (a paraphrase of)
+    * its own training data. Cluster ids are the canonical min member
+    * ([[DedupOps.clusters]]), so a singleton's leakproof split EQUALS
+    * its naive split — adopting this operator only moves documents that
+    * have near-duplicates. `cluster_leaky` reports, per cluster,
+    * whether the naive per-doc assignment would in fact have straddled
+    * splits — the audit column that justifies the migration.
+    *
+    * Shape: the cluster map (already an oracle-checked artifact) joined
+    * to the per-row naive assignment on doc_id, one cluster-keyed
+    * countDistinct, one join back — keyed shuffles only, no windows;
+    * split assignment itself stays pure per-row expression work. */
+  def leakproofSplit(spark: SparkSession, dir: String): DataFrame = {
+    val members = DedupOps.clusters(spark, dir).select("doc_id", "cluster")
+    val naive = withSplit(TextOps.docs(spark, dir).select("doc_id"))
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val assigned = members
+      .withColumn("h32_split",
+        TextOps.h32(concat(lit("split:"), col("cluster").cast("string"))))
+      .withColumn("split", splitCase(expr(bucketExpr)))
+      .drop("h32_split")
+    val leaky = assigned.join(naive, "doc_id")
+      .groupBy("cluster")
+      .agg((countDistinct("naive_split") > 1).as("cluster_leaky"))
+    assigned.join(naive, "doc_id")
+      .join(leaky, "cluster")
+      .select(col("doc_id"), col("cluster"), col("split"),
+        col("naive_split"), col("cluster_leaky"))
+      .orderBy("doc_id")
+  }
 
   /** Per-source sampling rate in parts-per-million, as a CASE shared
     * verbatim with the oracle SQL (identical syntax in both engines).

@@ -168,7 +168,7 @@ object VectorOps {
         max("n").as("n_members"),
         expr("aggregate(transform(array_sort(collect_list(struct(pos, term))), " +
           "x -> x.term), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("distortion"))
-    val sep = cents.as("a").join(cents.as("b"),
+    val sep = cents.as("a").join(broadcast(cents.as("b")),
         col("a.cent_id") =!= col("b.cent_id"))
       .withColumn("d2", dist2("a.cv", "b.cv"))
       .groupBy(col("a.cent_id").as("cent_id"))

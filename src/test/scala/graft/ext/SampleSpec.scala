@@ -22,6 +22,29 @@ class SampleSpec extends SparkSpec {
     } finally split.unpersist()
   }
 
+  test("leakproof split keeps clusters whole, matches naive on singletons, and audits straddles") {
+    val lp = SampleOps.leakproofSplit(spark, sfSmoke).cache()
+    try {
+      assert(lp.count() == TextOps.docs(spark, sfSmoke).count())
+      // the whole point: one split per cluster, no exceptions
+      assert(lp.groupBy("cluster")
+        .agg(countDistinct("split").as("ns"))
+        .where(col("ns") > 1).count() == 0)
+      // singleton clusters (cluster == doc_id, size 1) keep the naive split
+      val sizes = lp.groupBy("cluster").count()
+      val singles = lp.join(sizes.where(col("count") === 1), "cluster")
+      assert(singles.where(col("split") =!= col("naive_split")).count() == 0)
+      assert(singles.where(col("cluster_leaky")).count() == 0)
+      // cluster_leaky is exactly "naive assignment straddles splits"
+      val straddle = lp.groupBy("cluster")
+        .agg(countDistinct("naive_split").as("nn"), first("cluster_leaky").as("fl"))
+      assert(straddle.where((col("nn") > 1) =!= col("fl")).count() == 0)
+      // the fixture actually exercises the audit: some cluster leaks naively
+      assert(lp.where(col("cluster_leaky")).count() > 0,
+        "no naive-leaky cluster in fixture — audit untested")
+    } finally lp.unpersist()
+  }
+
   test("mixture sample keeps all of a ppm=1e6 source and rates are wired per source") {
     val docs = TextOps.docs(spark, sfSmoke)
     val kept = SampleOps.mixtureSample(spark, sfSmoke).cache()

@@ -20,6 +20,28 @@ class SketchCmsSpec extends SparkSpec {
     } finally hh.unpersist()
   }
 
+  test("join-cardinality estimates audit against exact sizes on every FK relation") {
+    val jc = SketchOps.joinCardinality(spark, sfSmoke).cache()
+    try {
+      assert(jc.count() == SketchOps.JoinCardPairs.size)
+      val rows = jc.collect().map(r => r.getString(0) -> r).toMap
+      // FK integrity makes matching keys == child-side distinct keys
+      SketchOps.JoinCardPairs.foreach { case (ta, _, tb, _) =>
+        val r = rows(s"$ta-$tb")
+        assert(r.getAs[Long]("n_match_exact") == r.getAs[Long]("d_a_exact"))
+        // every child row finds exactly one parent -> join == child rows
+        assert(r.getAs[Long]("join_exact") == r.getAs[Long]("rows_a"))
+      }
+      // a side with < k distinct keys sketches EXACTLY (estimate == count)
+      val sup = rows("lineitem-supplier")
+      if (sup.getAs[Long]("d_b_exact") < SketchOps.JoinCardK)
+        assert(sup.getAs[Double]("d_b_kmv") == sup.getAs[Long]("d_b_exact").toDouble)
+      // estimator sanity: within 60% relative error at k=64 (4σ ~ 1/sqrt(63))
+      assert(jc.where(abs(col("rel_err")) > 0.6).count() == 0,
+        jc.select("rel", "rel_err").collect().mkString(", "))
+    } finally jc.unpersist()
+  }
+
   test("micro-batch sketches merge to exactly the one-shot corpus sketch") {
     import spark.implicits._
     val docs = TextOps.withWords(TextOps.docs(spark, sfSmoke))
