@@ -829,6 +829,32 @@ object EtlOracleSql {
       |GROUP BY segment, bal_band
       |ORDER BY segment, bal_band""".stripMargin
 
+  /** Gini twin: identical ascending ranks, DECIMAL rank×cents sum, and
+    * the shared closed-form expression. */
+  val giniConcentration: String = star(
+    s""", per_cust AS (
+      |  SELECT store_id, customer_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |ranked AS (
+      |  SELECT store_id, cents,
+      |         CAST(row_number() OVER (PARTITION BY store_id
+      |                                 ORDER BY cents, customer_id) AS BIGINT) AS i
+      |  FROM per_cust
+      |),
+      |agg AS (
+      |  SELECT store_id,
+      |         count(*) AS n_customers,
+      |         CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |         sum(CAST(i AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS s1
+      |  FROM ranked GROUP BY store_id
+      |)
+      |SELECT store_id, n_customers, revenue_cents,
+      |       ${EtlQueries.GiniExpr} AS gini
+      |FROM agg
+      |ORDER BY store_id""".stripMargin)
+
   /** Interval-merge twin: identical calendar-coverage islanding over
     * the same per-(store, order) intervals. */
   val intervalMerge: String =

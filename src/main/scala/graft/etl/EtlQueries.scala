@@ -508,6 +508,44 @@ object EtlQueries {
       .orderBy("store_id", "start_day")
   }
 
+  /** Revenue-concentration Gini per store — the single-number
+    * inequality coefficient behind [[graft.olap.Queries]]' ABC/Pareto
+    * classes: over each store's per-customer revenue,
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ ascending. Ranks come
+    * from a store-partitioned window over the CUSTOMER-grain aggregate
+    * (dimension-sized partitions, the RFM discipline — never the fact);
+    * tie order cannot matter because Σi·xᵢ is permutation-invariant
+    * within equal xᵢ. Σi·xᵢ accumulates in DECIMAL — rank×cents
+    * overflows int64 at warehouse customer counts — and the only float
+    * work is the one shared closed-form expression over exact-integer
+    * casts. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Star.salesFact(spark, dir)
+      .groupBy("store_id", "customer_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("store_id").orderBy("cents", "customer_id")
+    perCust
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("store_id")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("cents").as("revenue_cents"),
+        sum(col("i").cast("decimal(18,0)") * col("cents").cast("decimal(18,0)"))
+          .as("s1"))
+      .withColumn("gini", expr(GiniExpr))
+      .select("store_id", "n_customers", "revenue_cents", "gini")
+      .orderBy("store_id")
+  }
+
+  /** The Gini closed form over exact-integer inputs, spelled once and
+    * pasted into both engines. */
+  val GiniExpr: String =
+    "(CAST(2 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+      " - (CAST(n_customers AS DOUBLE) + CAST(1 AS DOUBLE))" +
+      " * CAST(revenue_cents AS DOUBLE))" +
+      " / (CAST(n_customers AS DOUBLE) * CAST(revenue_cents AS DOUBLE))"
+
   /** Truncated EWMA span in months — shared with the oracle twin. */
   val EwmaSpan = 6
 

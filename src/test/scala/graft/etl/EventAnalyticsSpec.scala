@@ -108,6 +108,27 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally w.unpersist()
   }
 
+  test("gini: bounds hold and a brute-force mean-absolute-difference agrees per store") {
+    val g = EtlQueries.giniConcentration(spark, sfSmoke).cache()
+    try {
+      assert(g.count() > 0)
+      // G in [0, 1): equality needs one customer holding everything
+      assert(g.where(col("gini") < 0 || col("gini") >= 1).count() == 0)
+      // brute force on one store: G = sum|xi-xj| / (2 n^2 mu)
+      val store = g.first().getInt(0)
+      val xs = Star.salesFact(spark, sfSmoke)
+        .where(col("store_id") === store)
+        .groupBy("customer_id")
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("c"))
+        .collect().map(_.getLong(1))
+      val n = xs.length.toDouble
+      val sumAbs = (for (a <- xs; b <- xs) yield math.abs(a - b)).map(_.toDouble).sum
+      val brute = sumAbs / (2.0 * n * xs.map(_.toDouble).sum)
+      val got = g.where(col("store_id") === store).first().getAs[Double]("gini")
+      assert(math.abs(got - brute) < 1e-9, s"gini $got != brute $brute")
+    } finally g.unpersist()
+  }
+
   test("month spine: exactly stores x 12 cells, imputed zeros flagged, totals conserved") {
     val sp = EtlQueries.monthSpine(spark, sfSmoke).cache()
     try {
