@@ -77,6 +77,64 @@ object Layout {
     * existing splits together without rebalancing — skewed input files
     * stay skewed; the shuffle buys evenly-sized output files, which is
     * the point of the exercise. */
+  /** Target partition count and deterministic sample modulus for
+    * [[rangeBounds]] — shared with the oracle twin. */
+  val RangeP = 32
+  val RangeSampleMod = 16
+
+  /** Equi-depth RANGE-PARTITION boundaries — the third layout lever
+    * beside directory partitioning and bucketing: what Spark's own
+    * `RangePartitioner` computes before every global sort / sorted
+    * write. Boundaries come from a SAMPLE (sorting the full key column
+    * to find 31 cut points would cost the very shuffle the boundaries
+    * exist to plan), but where RangePartitioner samples randomly —
+    * unreproducible, so untestable — this uses the salted-hash keep
+    * rule (1/[[RangeSampleMod]] of rows, a pure function of the row
+    * key), making boundary j exactly the sample's (j·m div P)-th order
+    * statistic in BOTH engines. The report then audits the boundaries
+    * against the FULL table: per-bucket row counts and the skew ratio
+    * vs the ideal n/P — ties on the key (many rows share a ship day)
+    * surface as visible imbalance, exactly the skew a real range
+    * shuffle would suffer, instead of hiding inside a partitioner.
+    *
+    * Scale: the sample is the only sorted thing (m ≈ n/16 here;
+    * production would cap it — the machinery is rate-independent), the
+    * audit is one scan with a 31-entry broadcast fold per row, and the
+    * output is P rows. */
+  def rangeBounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Star.table(spark, dir, "lineitem")
+      .select(
+        expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("key"),
+        col("l_orderkey"), col("l_linenumber"))
+    val sampled = li.where(
+      pmod(graft.ext.TextOps.h32(concat(
+        lit("rb:"), col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))),
+        lit(RangeSampleMod)) === 0)
+    val bounds = sampled.agg(sort_array(collect_list("key")).as("ss"))
+      .select(
+        expr(s"transform(sequence(1, ${RangeP - 1}), j -> element_at(ss, " +
+          s"CAST(greatest(1, (j * size(ss)) div $RangeP) AS INT)))").as("bounds"),
+        size(col("ss")).cast("long").as("n_sampled"))
+    val bucketed = li.crossJoin(broadcast(bounds.select("bounds")))
+      .withColumn("bucket", expr(
+        "aggregate(bounds, 0, (acc, b) -> acc + CASE WHEN key > b THEN 1 ELSE 0 END)"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val spine = spark.range(0, RangeP).select(col("id").cast("int").as("bucket"))
+    val total = li.agg(count(lit(1)).as("total"))
+    spine.join(bucketed, Seq("bucket"), "left")
+      .crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(total))
+      .withColumn("n_rows", coalesce(col("cnt"), lit(0L)))
+      .select(col("bucket"),
+        expr("CASE WHEN bucket >= 1 THEN element_at(bounds, bucket) END")
+          .as("lo_key"),
+        col("n_rows"), col("n_sampled"),
+        expr(s"CAST(n_rows AS DOUBLE) / (CAST(total AS DOUBLE)" +
+          s" / CAST($RangeP AS DOUBLE))").as("skew"))
+      .orderBy("bucket")
+  }
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Int = {
     val path = new org.apache.hadoop.fs.Path(inDir)

@@ -1147,6 +1147,53 @@ object ExtOracleSql {
        |)""".stripMargin
   }
 
+  /** Range-bounds twin: identical salted sample, boundary j as the
+    * (j·m div P)-th sorted-sample order statistic, identical full-table
+    * bucket fold and skew expression. */
+  lazy val rangeBounds: String = {
+    val p = graft.etl.Layout.RangeP
+    val mod = graft.etl.Layout.RangeSampleMod
+    s"""WITH li AS (
+       |  SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS key,
+       |         l_orderkey, l_linenumber
+       |  FROM lineitem
+       |),
+       |sampled AS (
+       |  SELECT key FROM (
+       |    SELECT key, ${h32("'rb:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+                  "CAST(l_linenumber AS VARCHAR)", "rb")} AS h
+       |    FROM li
+       |  ) WHERE h % $mod = 0
+       |),
+       |bo AS (
+       |  SELECT list_transform(range(1, $p),
+       |           jrb -> ss[CAST(greatest(1, (jrb * len(ss)) // $p) AS INT)])
+       |           AS bounds,
+       |         CAST(len(ss) AS BIGINT) AS n_sampled
+       |  FROM (SELECT list_sort(list(key)) AS ss FROM sampled)
+       |),
+       |bucketed AS (
+       |  SELECT CAST(len(list_filter(bo.bounds, brb -> li.key > brb)) AS INT)
+       |           AS bucket,
+       |         count(*) AS cnt
+       |  FROM li CROSS JOIN bo GROUP BY 1
+       |),
+       |total AS (SELECT count(*) AS total FROM li),
+       |spine AS (SELECT CAST(unnest(range(0, $p)) AS INT) AS bucket)
+       |SELECT bucket, lo_key, n_rows, n_sampled,
+       |       CAST(n_rows AS DOUBLE) / (CAST(total AS DOUBLE)
+       |         / CAST($p AS DOUBLE)) AS skew
+       |FROM (
+       |  SELECT s.bucket,
+       |         CASE WHEN s.bucket >= 1 THEN bo.bounds[s.bucket] END AS lo_key,
+       |         CAST(coalesce(b.cnt, 0) AS BIGINT) AS n_rows,
+       |         bo.n_sampled, t.total
+       |  FROM spine s LEFT JOIN bucketed b USING (bucket)
+       |       CROSS JOIN bo CROSS JOIN total t
+       |)
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** Join-cardinality twin over every profiled FK relation. */
   lazy val sketchJoinCard: String =
     SketchOps.JoinCardPairs.zipWithIndex

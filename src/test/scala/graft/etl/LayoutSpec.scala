@@ -95,4 +95,28 @@ class LayoutSpec extends SparkSpec {
     val b = spark.read.parquet(s"$base/compacted")
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  test("range bounds: buckets partition the table, boundaries ascend, skew is tamed") {
+    import org.apache.spark.sql.functions._
+    val rb = Layout.rangeBounds(spark, sfSmoke).cache()
+    try {
+      assert(rb.count() == Layout.RangeP)
+      // the buckets PARTITION the table: counts conserve exactly
+      val total = Star.table(spark, sfSmoke, "lineitem").count()
+      assert(rb.agg(sum("n_rows")).collect().head.getLong(0) == total)
+      // boundaries are order statistics of a sorted sample: non-decreasing
+      val los = rb.where(col("lo_key").isNotNull)
+        .orderBy("bucket").collect().map(_.getAs[Long]("lo_key"))
+      assert(los.zip(los.tail).forall { case (a2, b2) => a2 <= b2 })
+      assert(rb.where(col("bucket") === 0 && col("lo_key").isNotNull).count() == 0)
+      // equi-depth from a 1/16 sample on a tie-heavy day key: no bucket
+      // should exceed 4x its ideal share, and most rows sit near 1x
+      assert(rb.agg(max("skew")).collect().head.getDouble(0) < 4.0)
+      // skew is n_rows re-expressed: ratios reconstruct counts exactly
+      val t = rb.select(
+        (col("skew") * (lit(total.toDouble) / Layout.RangeP.toDouble))
+          .cast("long").as("re"), col("n_rows"))
+      assert(t.where(abs(col("re") - col("n_rows")) > 1).count() == 0)
+    } finally rb.unpersist()
+  }
 }
