@@ -53,7 +53,11 @@ object ScaleBench {
     // round-7 second leg: the heaviest of the ten additions plus the
     // graph pair whose per-round joins must stay edge-linear
     "ext_text_drift", "q28_skyline", "etl_ewma_trend", "stream_late_data",
-    "ext_graph_kcore", "ext_graph_lpa")
+    "ext_graph_kcore", "ext_graph_lpa",
+    // round-7 third leg: cluster-keyed split, sketch-profiled FK
+    // relations, calendar islanding, subject rollup, sampled bounds
+    "ext_split_leakproof", "ext_sketch_join_card", "etl_interval_merge",
+    "etl_subject_export", "etl_range_bounds")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
