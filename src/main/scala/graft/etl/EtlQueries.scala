@@ -474,13 +474,19 @@ object EtlQueries {
     * distinct active periods, how long" — [[peakOpenOrders]] answers
     * how DEEP the overlap is, this answers its extent). The classic
     * spelling sorts all intervals per store and walks a running max
-    * end — an unbounded per-store sort. Instead the union is computed
-    * on the CALENDAR: explode each interval to its covered days
-    * (bounded fan-out — order lead times are weeks, not years),
-    * de-duplicate, and island the per-store day sequence with the
-    * [[salesStreaks]] day-minus-row_number trick — the window is over
-    * distinct calendar days per store, calendar-bounded regardless of
-    * order volume. */
+    * end — an unbounded per-store sort; the first cut here exploded
+    * every interval to its covered days (|orders|·lead-time rows — the
+    * suite's worst query at 7.5 s/sf0.1). This is the SWEEP-LINE
+    * spelling: each interval contributes two boundary deltas (+1 at
+    * d0, −1 at d1+1 — the [[peakOpenOrders]] kernel), deltas aggregate
+    * to ≤ one row per (store, boundary day), and a store-partitioned
+    * running sum walks the open count. An island runs from a day where
+    * the count leaves 0 to the first day it returns to 0 — coverage
+    * between consecutive boundary days is constant, so the islands are
+    * exactly the exploded version's, at 2 rows per order and a
+    * calendar-bounded window instead of a day-grain explode+distinct.
+    * (A +1 boundary can never net to 0 against a −1 while the count is
+    * 0: a −1 at day X belongs to an interval still open through X−1.) */
   def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = Star.table(spark, dir, "lineitem")
@@ -492,19 +498,27 @@ object EtlQueries {
       .agg(to_date(min("o_orderdate")).as("d0"), to_date(max("l_shipdate")).as("d1"))
       // generator noise can ship "before" ordering; a reversed interval
       // is degenerate — clamp so it covers exactly its start day
-      // (Spark's sequence() would otherwise run BACKWARDS over it)
       .withColumn("d1", greatest(col("d0"), col("d1")))
-    val cov = iv.select(col("store_id"),
-        explode(expr("sequence(d0, d1)")).as("day"))
-      .distinct()
+    val deltas = iv.select(col("store_id"), col("d0").as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("store_id"),
+        date_add(col("d1"), 1).as("day"), lit(-1L).as("delta")))
+      .groupBy("store_id", "day")
+      .agg(sum("delta").as("net"))
     val w = Window.partitionBy("store_id").orderBy("day")
-    cov
-      .withColumn("grp",
-        expr("datediff(day, DATE '1970-01-01')") - row_number().over(w))
+    deltas
+      .withColumn("open",
+        sum("net").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_open", lag("open", 1, 0L).over(w))
+      .withColumn("grp", sum(
+        when(col("open") > 0 && col("prev_open") === 0, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("store_id", "grp")
-      .agg(min("day").as("sd"), max("day").as("ed"), count(lit(1)).as("n_days"))
+      .agg(min("day").as("sd"),
+        // first boundary day back at 0 is the first UNcovered day
+        date_sub(min(when(col("open") === 0, col("day"))), 1).as("ed"))
       .select(col("store_id"), col("sd").cast("timestamp").as("start_day"),
-        col("ed").cast("timestamp").as("end_day"), col("n_days"))
+        col("ed").cast("timestamp").as("end_day"),
+        (datediff(col("ed"), col("sd")) + 1).cast("long").as("n_days"))
       .orderBy("store_id", "start_day")
   }
 
