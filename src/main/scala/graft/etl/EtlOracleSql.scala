@@ -888,6 +888,123 @@ object EtlOracleSql {
       |GROUP BY store_id, grp
       |ORDER BY store_id, start_day""".stripMargin
 
+  /** CUSUM twin: same scaled integer deviation n·cum − i·total over
+    * the store×month table, argmax by (|dev| desc, month asc) via
+    * QUALIFY against the engine side's struct-max. */
+  val cusumChangepoint: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS x,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |stats AS (
+      |  SELECT store_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total
+      |  FROM monthly GROUP BY store_id
+      |),
+      |walked AS (
+      |  SELECT m.store_id, m.x, s.n,
+      |         CAST(row_number() OVER w AS BIGINT) AS i,
+      |         CAST(sum(m.cents) OVER w AS BIGINT) AS cum,
+      |         s.total
+      |  FROM monthly m JOIN stats s USING (store_id)
+      |  WINDOW w AS (PARTITION BY m.store_id ORDER BY m.x
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |scored AS (SELECT *, n * cum - i * total AS dev FROM walked)
+      |SELECT store_id, n AS n_months,
+      |       CAST((x - 1) // 12 AS INT) AS cp_year,
+      |       CAST((x - 1) % 12 + 1 AS INT) AS cp_month,
+      |       dev AS cusum_scaled,
+      |       CASE WHEN dev < 0 THEN 'up' WHEN dev > 0 THEN 'down'
+      |            ELSE 'flat' END AS shift_direction
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY store_id
+      |  ORDER BY abs(dev) DESC, x ASC) = 1
+      |ORDER BY store_id""".stripMargin)
+
+  /** Gap-interpolation twin: per-store month spine via
+    * generate_series, IGNORE NULLS window walks, and the identical
+    * truncated integer division. */
+  val gapInterpolate: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS x,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |spine AS (
+      |  SELECT store_id, CAST(s AS INT) AS x
+      |  FROM (SELECT store_id, min(x) AS x0, max(x) AS x1
+      |        FROM monthly GROUP BY store_id),
+      |       LATERAL (SELECT unnest(generate_series(x0, x1)) AS s)
+      |),
+      |walked AS (
+      |  SELECT sp.store_id, sp.x, m.cents,
+      |    last_value(m.cents IGNORE NULLS) OVER wb AS pc,
+      |    last_value(CASE WHEN m.cents IS NOT NULL THEN sp.x END IGNORE NULLS)
+      |      OVER wb AS px,
+      |    first_value(m.cents IGNORE NULLS) OVER wf AS nc,
+      |    first_value(CASE WHEN m.cents IS NOT NULL THEN sp.x END IGNORE NULLS)
+      |      OVER wf AS nx
+      |  FROM spine sp LEFT JOIN monthly m USING (store_id, x)
+      |  WINDOW
+      |    wb AS (PARTITION BY sp.store_id ORDER BY sp.x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY sp.store_id ORDER BY sp.x
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT store_id,
+      |       CAST((x - 1) // 12 AS INT) AS year,
+      |       CAST((x - 1) % 12 + 1 AS INT) AS month,
+      |       coalesce(cents, pc + ((nc - pc) * (x - px)) // (nx - px)) AS cents,
+      |       cents IS NULL AS interpolated
+      |FROM walked
+      |ORDER BY store_id, year, month""".stripMargin)
+
+  /** t-closeness twin: the same zero-filled QI×category grid
+    * (cross join of the group marginal with the global category
+    * counts, left join of the cells) and exact cross-multiplied
+    * numerators. */
+  val tCloseness: String =
+    s"""WITH qi AS (
+       |  SELECT c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |         c_nationkey AS sensitive
+       |  FROM customer
+       |),
+       |cell AS (
+       |  SELECT segment, bal_band, sensitive, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM qi GROUP BY 1, 2, 3
+       |),
+       |gsize AS (
+       |  SELECT segment, bal_band, CAST(sum(cnt) AS BIGINT) AS n_g
+       |  FROM cell GROUP BY 1, 2
+       |),
+       |gcat AS (
+       |  SELECT sensitive, CAST(count(*) AS BIGINT) AS g_cnt
+       |  FROM qi GROUP BY 1
+       |),
+       |grid AS (
+       |  SELECT g.segment, g.bal_band, g.n_g, c.sensitive, c.g_cnt,
+       |         t.n_total, coalesce(l.cnt, 0) AS cnt
+       |  FROM gsize g
+       |  CROSS JOIN gcat c
+       |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_total FROM qi) t
+       |  LEFT JOIN cell l ON l.segment = g.segment
+       |    AND l.bal_band = g.bal_band AND l.sensitive = c.sensitive
+       |)
+       |SELECT segment, bal_band, n_g AS group_size,
+       |  (1000000 * CAST(sum(abs(cnt * n_total - g_cnt * n_g)) AS BIGINT))
+       |    // (2 * n_g * n_total) AS t_ppm,
+       |  (1000000 * CAST(sum(abs(cnt * n_total - g_cnt * n_g)) AS BIGINT))
+       |    // (2 * n_g * n_total) <= ${Retention.TClosenessPpm} AS is_close
+       |FROM grid
+       |GROUP BY segment, bal_band, n_g, n_total
+       |ORDER BY segment, bal_band""".stripMargin
+
   /** Subject-export twin: same request rule (every 97th customer), same
     * two-level rollup, md5 over the identical sorted comma-joined order
     * ids; subjects without orders export zeros and md5(''). */

@@ -944,6 +944,107 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** CUSUM changepoint detection — per store, the month where the
+    * cumulative deviation of monthly revenue from the store's own mean
+    * peaks (Page '54's cumulative-sum chart, the offline single-
+    * changepoint special case): the month after which "the level
+    * shifted" explains the series best. The statistic is kept
+    * integer-exact by scaling: S_i = Σ_{j≤i}(x_j − T/n) becomes
+    * n·Σ_{j≤i}x_j − i·T in BIGINT cents (the [[trendSlope]]
+    * discipline — float prefix sums are partitioning-order-dependent),
+    * and the argmax of |S_i| is one struct-max per store with the
+    * earliest-month tie-break. A negative peak means the early months
+    * ran BELOW the mean — the level shifted up after the changepoint —
+    * and vice versa.
+    *
+    * Shape: one fact aggregate to store×month (the [[trendSlope]]
+    * table), a store-partitioned calendar-bounded running sum, one
+    * per-store argmax aggregate. Headroom: n·Σx ≤ months²·cents ≲ 2⁶³
+    * loud under ANSI. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents")))
+
+  /** The CUSUM kernel over an arbitrary `(store_id, x, cents)` monthly
+    * frame — the fixture path for the spec. */
+  def cusumOf(monthly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = monthly.groupBy("store_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+    val w = Window.partitionBy("store_id").orderBy("x")
+    monthly.join(stats, "store_id")
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dev", col("n") * col("cum") - col("i") * col("total"))
+      .groupBy("store_id")
+      .agg(max("n").as("n_months"),
+        max(struct(abs(col("dev")).as("a"), (-col("x")).as("nx"),
+          col("dev").as("dev"))).as("best"))
+      .select(col("store_id"), col("n_months"),
+        expr("CAST((-best.nx - 1) div 12 AS INT)").as("cp_year"),
+        expr("CAST((-best.nx - 1) % 12 + 1 AS INT)").as("cp_month"),
+        col("best.dev").as("cusum_scaled"),
+        when(col("best.dev") < 0, "up")
+          .when(col("best.dev") > 0, "down").otherwise("flat")
+          .as("shift_direction"))
+      .orderBy("store_id")
+  }
+
+  /** Linear gap interpolation — fill the missing months of each
+    * store's revenue series by interpolating between the surrounding
+    * present months (the series-repair step before any
+    * calendar-aligned model: [[forecastBacktest]] and [[ewmaTrend]]
+    * simply skip gaps; a consumer that needs a dense series needs
+    * them FILLED). For a gap month x between present months xp < x <
+    * xn: cents(x) = cents(xp) + ⌊(cents(xn) − cents(xp))·(x − xp) /
+    * (xn − xp)⌋ — exact BIGINT with floored division (both engines
+    * floor identically; no doubles). The spine is each store's OWN
+    * [min, max] month range ([[monthSpine]]'s rule), so ends are
+    * never extrapolated.
+    *
+    * Shape: the monthly aggregate, a per-store `sequence()` spine
+    * explode (calendar-bounded), a left join, and two
+    * store-partitioned IGNORE NULLS window walks (last preceding /
+    * first following present value — frames over the store×month
+    * table, never the fact). */
+  def gapInterpolate(spark: SparkSession, dir: String): DataFrame =
+    gapInterpolateOf(Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents")))
+
+  /** The interpolation kernel over an arbitrary `(store_id, x, cents)`
+    * monthly frame — the fixture path for the spec. */
+  def gapInterpolateOf(monthly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = monthly.groupBy("store_id")
+      .agg(min("x").as("x0"), max("x").as("x1"))
+      .select(col("store_id"), explode(expr("sequence(x0, x1)")).as("x"))
+    val wb = Window.partitionBy("store_id").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy("store_id").orderBy("x")
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(monthly, Seq("store_id", "x"), "left")
+      .withColumn("pc", last("cents", ignoreNulls = true).over(wb))
+      .withColumn("px",
+        last(when(col("cents").isNotNull, col("x")), ignoreNulls = true).over(wb))
+      .withColumn("nc", first("cents", ignoreNulls = true).over(wf))
+      .withColumn("nx",
+        first(when(col("cents").isNotNull, col("x")), ignoreNulls = true).over(wf))
+      .select(col("store_id"),
+        expr("CAST((x - 1) div 12 AS INT)").as("year"),
+        expr("CAST((x - 1) % 12 + 1 AS INT)").as("month"),
+        coalesce(col("cents"),
+          expr("pc + ((nc - pc) * (x - px)) div (nx - px)")).as("cents"),
+        col("cents").isNull.as("interpolated"))
+      .orderBy("store_id", "year", "month")
+  }
+
   /** Assortment overlap — product-set Jaccard similarity between every
     * store pair (the "how interchangeable are these two stores"
     * catalog analytics). Co-membership spelling: one self-join of the

@@ -165,6 +165,61 @@ object Retention {
       .withColumn("is_diverse", col("n_sensitive") >= l)
       .orderBy("segment", "bal_band")
 
+  /** t threshold in ppm for [[tCloseness]] (t = 0.3) — shared with
+    * the oracle twin. */
+  val TClosenessPpm = 300000L
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * check l-diversity famously misses in turn: a QI group can hold l
+    * DISTINCT sensitive values and still leak when its distribution
+    * skews far from the table's (the skewness attack — "this group is
+    * 90 % one nation" is a disclosure even with 5 nations present).
+    * Per QI group ([[kAnonymity]]'s segment × balance band) against
+    * nation as the categorical sensitive attribute, the distance is
+    * total variation: t = ½·Σ_c |p_g(c) − p(c)|, reported as the
+    * exact-integer ppm quantization
+    * ⌊10⁶·Σ_c |cnt_g(c)·N − cnt(c)·n_g| / (2·n_g·N)⌋ — numerators are
+    * cross-multiplied BIGINTs (the termDrift direction discipline;
+    * headroom |cnt·N| ≤ N², loud ANSI overflow beyond, never silent
+    * float drift).
+    *
+    * Shape: the (QI, sensitive) cell counts and two marginal
+    * aggregates, then a zero-filled QI×category grid (bounded by the
+    * two attribute domains, never the table) via a broadcast cross
+    * join + left join, and one per-group aggregate. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(spark.read.parquet(s"$dir/customer.parquet")
+      .select(
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_nationkey").as("sensitive")))
+
+  /** The audit kernel over an arbitrary
+    * `(segment, bal_band, sensitive)` frame — the fixture path for
+    * the spec. */
+  def tClosenessOf(qi: DataFrame): DataFrame = {
+    val cell = qi.groupBy("segment", "bal_band", "sensitive")
+      .agg(count(lit(1)).as("cnt"))
+    val gsize = cell.groupBy("segment", "bal_band").agg(sum("cnt").as("n_g"))
+    val global = qi.groupBy("sensitive").agg(count(lit(1)).as("g_cnt"))
+    val total = qi.agg(count(lit(1)).as("n_total"))
+    gsize
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(total))
+      .join(cell, Seq("segment", "bal_band", "sensitive"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("num",
+        abs(col("cnt") * col("n_total") - col("g_cnt") * col("n_g")))
+      .groupBy("segment", "bal_band", "n_g", "n_total")
+      .agg(sum("num").as("t_num"))
+      .withColumn("t_ppm",
+        expr("(1000000 * t_num) div (2 * n_g * n_total)"))
+      .withColumn("is_close", col("t_ppm") <= TClosenessPpm)
+      .select(col("segment"), col("bal_band"),
+        col("n_g").as("group_size"), col("t_ppm"), col("is_close"))
+      .orderBy("segment", "bal_band")
+  }
+
   /** The enforcing half: the released view keeps only rows whose QI
     * group reaches k — a semi-join of the table against its own
     * passing groups (the audit flags; this suppresses). */

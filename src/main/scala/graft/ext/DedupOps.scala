@@ -554,4 +554,50 @@ object DedupOps {
       .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
+
+  /** Weighted-Jaccard ppm threshold (τ_w = 0.5) — shared with the
+    * oracle twin. */
+  val WJaccardPpm = 500000L
+
+  /** WEIGHTED (multiset) Jaccard near-dup pairs:
+    * J_w(A,B) = Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over the
+    * df-capped shingle BAGS — the repetition-aware cousin of
+    * [[jaccardPairs]]. Set-Jaccard treats "spam spam spam …" and one
+    * "spam" as the same set; the weighted form is what near-dup work
+    * on templated/repetitive corpora actually wants (and what
+    * consistent-weighted-sampling sketches approximate — this is the
+    * exact verify those sketches would feed).
+    *
+    * Identity that keeps it one join: per term max + min = tf_A + tf_B
+    * and unshared terms contribute their own tf to the max side, so
+    * Σmax = T_A + T_B − Σmin with T the per-doc capped-bag totals —
+    * the intersection join plus two doc-table lookups, never a union
+    * materialization. The pair join is the inverted-index equi-join on
+    * the shingle key (the [[containmentPairs]] shape), df-capped so a
+    * hot shingle cannot quadratically explode candidates; the ratio is
+    * ppm-QUANTIZED exact BIGINT (⌊10⁶·Σmin/Σmax⌋ — both engines floor
+    * identically; no doubles anywhere). Totals are computed over the
+    * SAME capped universe as the intersection, so the identity holds
+    * exactly. */
+  def weightedJaccardPairs(spark: SparkSession, dir: String,
+      maxDf: Long = 10000L): DataFrame = {
+    val tf = TextOps.shingleBag(spark, dir)
+    val dfreq = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val capped = tf.join(dfreq.select("sh"), "sh")
+    val totals = capped.groupBy("doc_id").agg(sum("tf").as("total"))
+    capped.as("x").join(capped.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(least(col("x.tf"), col("y.tf"))).as("inter"))
+      .join(totals.select(col("doc_id").as("doc_a"), col("total").as("ta")),
+        "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("total").as("tb")),
+        "doc_b")
+      .withColumn("j_wppm",
+        expr(s"(${TextOps.Ppm} * inter) div (ta + tb - inter)"))
+      .where(col("j_wppm") >= WJaccardPpm)
+      .select("doc_a", "doc_b", "inter", "j_wppm")
+      .orderBy("doc_a", "doc_b")
+  }
 }

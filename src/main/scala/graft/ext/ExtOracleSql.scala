@@ -2737,4 +2737,120 @@ object ExtOracleSql {
        |  FROM topm)
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Bigram-LM score twin: identical add-one ppm quantization
+    * ⌊10⁶·(c(ab)+1)/(c(a·)+V)⌋ over list-indexed bigrams; DuckDB `//`
+    * and Spark `div` both truncate, and every operand is BIGINT. */
+  val textLmScore: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, ws[i] AS a, ws[i] || ' ' || ws[i + 1] AS bg
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+       |),
+       |cab AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY bg),
+       |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY a),
+       |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+       |      FROM (SELECT unnest(ws) AS t FROM w)),
+       |q AS (
+       |  SELECT bg.doc_id,
+       |         (${TextOps.Ppm} * (c_ab + 1)) // (c_a + vocab) AS q_ppm
+       |  FROM bg JOIN cab USING (bg) JOIN ca USING (a), v
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(q_ppm) AS BIGINT) AS sum_q_ppm,
+       |       CAST(sum(q_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_q_ppm
+       |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Feature-hashing twin: same bucket = H mod d and the ξ sign from
+    * the disjoint bit range H div d mod 2. */
+  val featureHash: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents
+       |),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM w GROUP BY 1, 2),
+       |h AS (SELECT doc_id, tf, ${h32("term", "fh")} AS hh FROM tf)
+       |SELECT doc_id, CAST(hh % ${TextOps.FeatureHashDim} AS INT) AS bucket,
+       |  CAST(sum((CASE WHEN (hh // ${TextOps.FeatureHashDim}) % 2 = 0
+       |            THEN 1 ELSE -1 END) * tf) AS BIGINT) AS weight
+       |FROM h GROUP BY 1, 2
+       |ORDER BY doc_id, bucket""".stripMargin
+
+  /** Weighted-Jaccard twin: multiset shingle bags, the same df cap,
+    * Σmin via the pair join and Σmax by the T_A + T_B − Σmin identity,
+    * identical truncated ppm ratio. */
+  val dedupWeightedJaccard: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |shl AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS sh
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)
+       |),
+       |tf AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+       |       FROM shl GROUP BY 1, 2),
+       |keep AS (SELECT sh FROM tf GROUP BY sh HAVING count(*) <= 10000),
+       |capped AS (SELECT t.doc_id, t.sh, t.tf FROM tf t JOIN keep USING (sh)),
+       |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total
+       |        FROM capped GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         CAST(sum(least(x.tf, y.tf)) AS BIGINT) AS inter
+       |  FROM capped x JOIN capped y
+       |    ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter,
+       |  (${TextOps.Ppm} * inter) // (ta.total + tb.total - inter) AS j_wppm
+       |FROM inter
+       |JOIN tot ta ON doc_a = ta.doc_id
+       |JOIN tot tb ON doc_b = tb.doc_id
+       |WHERE (${TextOps.Ppm} * inter) // (ta.total + tb.total - inter)
+       |  >= ${DedupOps.WJaccardPpm}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** BFS twin: the kCore edge CTE, the deterministic hub pick, and
+    * [[GraphOps.BfsRounds]] frontier expansions unrolled as
+    * MATERIALIZED level/visited CTE pairs. */
+  val graphBfs: String = {
+    val n = GraphOps.BfsRounds
+    val rounds = (1 to n).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT DISTINCT s.b AS node
+         |  FROM ksym s JOIN l${r - 1} f$r ON s.a = f$r.node
+         |  WHERE s.b NOT IN (SELECT node FROM v${r - 1})
+         |),
+         |v$r AS MATERIALIZED (
+         |  SELECT node FROM v${r - 1} UNION ALL SELECT node FROM l$r)""".stripMargin
+    }.mkString(",\n")
+    val levels = (0 to n)
+      .map(r => s"SELECT node, $r AS hops FROM l$r")
+      .mkString("\nUNION ALL ")
+    graft.etl.Star.oracleCte +
+      s""",
+         |kedges AS (
+         |  SELECT a.product_id AS u, b.product_id AS v
+         |  FROM sales_fact a JOIN sales_fact b
+         |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.order_id) >= 2
+         |),
+         |ksym AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM kedges
+         |  UNION ALL SELECT v AS a, u AS b FROM kedges
+         |),
+         |l0 AS MATERIALIZED (
+         |  SELECT a AS node FROM (SELECT a, count(*) AS d FROM ksym GROUP BY a)
+         |  ORDER BY d DESC, a ASC LIMIT 1
+         |),
+         |v0 AS (SELECT node FROM l0),
+         |$rounds
+         |SELECT node AS product_id, hops FROM (
+         |$levels)
+         |ORDER BY hops, product_id""".stripMargin
+  }
 }

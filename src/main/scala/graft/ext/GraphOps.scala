@@ -450,4 +450,52 @@ object GraphOps {
       .select(col("id").as("product_id"), col("r").as("rank_fp"))
       .orderBy(desc("rank_fp"), asc("product_id"))
   }
+
+  /** Hop bound for [[bfsHops]] — fixed, shared with the oracle twin
+    * (the oracle unrolls exactly this many frontier expansions). */
+  val BfsRounds = 4
+
+  /** Bounded-round BREADTH-FIRST SEARCH from the graph's busiest hub:
+    * minimum hop distance ≤ [[BfsRounds]] from the max-degree node of
+    * the supported co-purchase graph (tie → smallest id) — the
+    * "substitution neighborhood" / blast-radius query ("if the anchor
+    * product stocks out, how far does the basket disruption reach").
+    * Completes the graph family: CC answers reachability-ever, k-core
+    * cohesion, LPA membership — BFS answers reachability-in-k.
+    *
+    * Scale shape per round: the frontier (node-sized, shrinking)
+    * equi-joins the symmetrized edge list on the frontier key, one
+    * DISTINCT, one anti-join against the visited set — no windows,
+    * nothing edge². Rounds are FIXED (the [[labelPropagationOf]]
+    * determinism discipline), lineage bounded per round by
+    * `localCheckpoint`. The source pick is a 1-row struct-max
+    * aggregate riding the plan, never `collect()`ed. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame =
+    bfsHopsOf(supportedCoPurchaseEdges(spark, dir))
+      .select(col("node").as("product_id"), col("hops"))
+      .orderBy("hops", "product_id")
+
+  /** The BFS kernel over an arbitrary undirected `(u, v)` edge frame —
+    * hub pick + [[BfsRounds]] expansions; the fixture path for the
+    * spec. Returns (node, hops) for every node within reach. */
+  def bfsHopsOf(edges: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val src = sym.groupBy("a").agg(count(lit(1)).as("d"))
+      .agg(max(struct(col("d"), (-col("a")).as("na"))).as("best"))
+      .select((-col("best.na")).as("node"))
+    var dist = src.withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val next = sym
+        .join(frontier.select(col("node").as("a")), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(r))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    dist
+  }
 }

@@ -81,6 +81,19 @@ object TextOps {
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
     }
 
+  /** (doc_id, sh, tf) — MULTISET word-3-gram shingle counts per
+    * document (the weighted cousin of [[shingleSet]]: multiplicity is
+    * kept as the weight instead of distinct-collapsed). Session-cached
+    * like the other index artifacts. */
+  def shingleBag(spark: SparkSession, dir: String): DataFrame =
+    index(spark, dir, "shingle_bag") {
+      withWords(docs(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** (doc_id, sh, h) with the cross-engine shingle hash, from an
     * arbitrary shingle frame. */
   def shingleHashesOf(shingles: DataFrame): DataFrame =
@@ -687,6 +700,97 @@ object TextOps {
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Parts-per-million quantization scale for integer-exact ratios
+    * ([[bigramLmScore]], [[DedupOps.weightedJaccardPairs]]) — shared
+    * with the oracle twins. */
+  val Ppm = 1000000L
+
+  /** Bigram language-model quality score — the sequence-aware half of
+    * the perplexity-style filter (CCNet's recipe: score each document
+    * by how probable its token sequence is under an n-gram model; low
+    * scorers are gibberish, boilerplate soup, or the wrong language).
+    * [[tokenCommonness]] is the unigram/df surrogate (WHAT words);
+    * this is the conditional-probability surrogate (what ORDER) — a
+    * doc of common words in impossible order scores high there and
+    * low here. The model is add-one-smoothed bigram counts over the
+    * corpus itself, and every probability is the ppm-QUANTIZED integer
+    * `⌊10⁶·(c(ab)+1) / (c(a·)+V)⌋` — true perplexity exponentiates
+    * log-probabilities, and libm transcendentals can never be
+    * bit-reproduced cross-engine (the TF-IDF ratio-form trade), so the
+    * score stays in exact BIGINT arithmetic end to end: per-doc bigram
+    * count, ppm sum, and the floored mean.
+    *
+    * Scale shape: bigrams are a per-row `transform(sequence(...))`
+    * (fuse into the scan, no shuffle); the model is two
+    * partial-aggregable counts (bigram-vocabulary- and
+    * token-vocabulary-sized — Catalyst/AQE broadcast them when small,
+    * shuffle-join on the bigram key when not); scoring is one
+    * equi-join back and one per-doc aggregate. The vocab size rides
+    * the plan as a broadcast 1-row aggregate, never `collect()`ed. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScoreOf(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+
+  /** The scoring kernel over an arbitrary `(doc_id, text)` frame —
+    * the fixture path for the spec. */
+  def bigramLmScoreOf(docsDf: DataFrame): DataFrame = {
+    val d = withWords(docsDf).select(col("doc_id"), col("ws"))
+    val bg = d.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(" +
+          "element_at(ws, i) AS a, " +
+          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)) AS bg))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.bg").as("bg"))
+    val cab = bg.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val ca = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocab = d.select(explode(col("ws")).as("t"))
+      .agg(countDistinct("t").as("vocab"))
+    bg.join(cab, "bg")
+      .join(ca, "a")
+      .crossJoin(broadcast(vocab))
+      .withColumn("q_ppm", expr(s"($Ppm * (c_ab + 1)) div (c_a + vocab)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("q_ppm").as("sum_q_ppm"))
+      .withColumn("avg_q_ppm", expr("sum_q_ppm div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Bucket count for [[featureHash]] — shared with the oracle twin.
+    * Small by design: the point of the trick is a FIXED dimensionality
+    * independent of vocabulary growth; collisions are the accepted
+    * trade (Weinberger et al., ICML'09). */
+  val FeatureHashDim = 64L
+
+  /** Feature hashing ("the hashing trick", Weinberger et al., ICML'09
+    * — public algorithm): map each document's term frequencies into a
+    * fixed [[FeatureHashDim]]-bucket sparse vector, bucket =
+    * h(term) mod d, with the SIGNED update ξ(term)·tf that makes the
+    * estimator unbiased under collisions. ξ comes from a bit range of
+    * the same 32-bit hash DISJOINT from the bucket bits (bit 6 for
+    * d = 64) — independent of the bucket value, which is all the
+    * construction needs, without a second md5 per term. Output is the
+    * sparse (doc_id, bucket, weight) triple table — the input shape of
+    * every linear-model trainer; zero buckets are absent by
+    * construction.
+    *
+    * Scale shape: one explode → one (doc, term) partial-aggregable tf
+    * count → per-row hash arithmetic → one (doc, bucket) aggregate.
+    * No joins, no windows, nothing driver-side; output is
+    * |docs|·min(d, distinct-terms) bounded. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val words = withWords(docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("hh", h32(col("term")))
+      .withColumn("bucket", expr(s"CAST(hh % $FeatureHashDim AS INT)"))
+      .withColumn("sgn",
+        expr(s"CASE WHEN (hh div $FeatureHashDim) % 2 = 0 THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(expr("sgn * tf")).as("weight"))
+      .orderBy("doc_id", "bucket")
   }
 
   /** Document-frequency floor for [[termDrift]] (χ² validity needs
