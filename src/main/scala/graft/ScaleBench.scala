@@ -57,7 +57,11 @@ object ScaleBench {
     // round-7 third leg: cluster-keyed split, sketch-profiled FK
     // relations, calendar islanding, subject rollup, sampled bounds
     "ext_split_leakproof", "ext_sketch_join_card", "etl_interval_merge",
-    "etl_subject_export", "etl_range_bounds")
+    "etl_subject_export", "etl_range_bounds",
+    // round-7 fourth leg: the corpus-sized additions (the store×month
+    // ops are calendar-bounded and not worth a scale slot)
+    "ext_text_lm_score", "ext_feature_hash", "ext_dedup_weighted_jaccard",
+    "ext_graph_bfs")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

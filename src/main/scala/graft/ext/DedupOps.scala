@@ -57,6 +57,7 @@ object DedupOps {
   def indexArtifacts(spark: SparkSession, dir: String,
       maxDf: Long = 10000L): Seq[(String, () => Unit)] = Seq(
     "shingle_hashes" -> (() => TextOps.shingleHashes(spark, dir).count(): Unit),
+    "shingle_bag" -> (() => TextOps.shingleBag(spark, dir).count(): Unit),
     "jaccard_doc_table" -> (() => jaccardDocTable(spark, dir, maxDf).count(): Unit),
     "shingle_arrays" -> (() => docShingleArrays(spark, dir).count(): Unit),
     "lsh_bands" -> (() => lshBands(spark, dir).count(): Unit),
