@@ -1005,6 +1005,65 @@ object EtlOracleSql {
        |GROUP BY segment, bal_band, n_g, n_total
        |ORDER BY segment, bal_band""".stripMargin
 
+  /** IVM twin: the FULL recompute of the daily view — hash equality
+    * against the engine's base ⊕ delta merge is the SUM/COUNT
+    * self-maintainability check. */
+  val ivmDailyRefresh: String = star(
+    """SELECT store_id, time_id,
+      |       CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM sales_fact
+      |GROUP BY 1, 2
+      |ORDER BY store_id, time_id""".stripMargin)
+
+  /** χ²-independence twin: the same zero-filled segment×priority grid
+    * and the shared cell expression. */
+  val chi2Independence: String =
+    s"""WITH pairs AS (
+       |  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |),
+       |cell AS (
+       |  SELECT segment, priority, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pairs GROUP BY 1, 2
+       |),
+       |rowm AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS rt
+       |         FROM cell GROUP BY 1),
+       |colm AS (SELECT priority, CAST(sum(cnt) AS BIGINT) AS ct
+       |         FROM cell GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cell),
+       |grid AS (
+       |  SELECT r.segment, c.priority, r.rt, c.ct, t.n_total,
+       |         coalesce(l.cnt, 0) AS cnt
+       |  FROM rowm r
+       |  CROSS JOIN colm c
+       |  CROSS JOIN tot t
+       |  LEFT JOIN cell l ON l.segment = r.segment AND l.priority = c.priority
+       |),
+       |scored AS (SELECT *, cnt * n_total - rt * ct AS delta FROM grid)
+       |SELECT segment, priority, cnt AS observed, rt, ct,
+       |       ${EtlQueries.chi2CellExpr} AS contrib
+       |FROM scored
+       |ORDER BY segment, priority""".stripMargin
+
+  /** NDV-profile twin: the same column list and casts
+    * ([[EtlQueries.ProfileCols]]), unpivoted as a UNION ALL chain. */
+  val ndvProfile: String = {
+    val unp = EtlQueries.ProfileCols
+      .map { case (n, cast) =>
+        s"SELECT '$n' AS column_name, $cast AS val FROM lineitem" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH unp AS (
+       |  $unp
+       |)
+       |SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT val) AS BIGINT) AS ndv,
+       |  min(val) AS min_str, max(val) AS max_str
+       |FROM unp GROUP BY column_name
+       |ORDER BY column_name""".stripMargin
+  }
+
   /** Subject-export twin: same request rule (every 97th customer), same
     * two-level rollup, md5 over the identical sorted comma-joined order
     * ids; subjects without orders export zeros and md5(''). */

@@ -1541,4 +1541,89 @@ object EtlQueries {
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** The r×c χ² cell contribution over exact integer margins, spelled
+    * once and pasted into both engines ([[graft.ext.TextOps.chi2Expr]]
+    * discipline): (cnt·N − rt·ct)²/(N·rt·ct) with the delta an exact
+    * BIGINT (≤ N², safe), squared in DOUBLE (delta² would overflow
+    * int64), every factor cast before arithmetic, multiplication
+    * fully parenthesized. */
+  val chi2CellExpr: String =
+    "(CAST(delta AS DOUBLE) * CAST(delta AS DOUBLE))" +
+      " / ((CAST(n_total AS DOUBLE) * CAST(rt AS DOUBLE)) * CAST(ct AS DOUBLE))"
+
+  /** χ² INDEPENDENCE audit between two categoricals — does customer
+    * segment predict order priority? — the r×c generalization of
+    * [[graft.ext.TextOps.termDrift]]'s 2×2: per cell of the
+    * segment×priority contingency table, observed count, both margins,
+    * and the cell's χ² contribution (o−e)²/e in the cross-multiplied
+    * integer form. The GRID is zero-filled (an empty cell still
+    * contributes (rt·ct/N)²-worth of evidence — dropping it would
+    * understate dependence), bounded by the two attribute domains.
+    * The grand total Σ contrib is deliberately NOT a column: a
+    * cross-row double sum is accumulation-order-dependent and can
+    * never match a second engine bit-for-bit (the corpusProfile rule);
+    * consumers sum the 25 cells themselves.
+    *
+    * Shape: one fact-dimension join, one cell aggregate, two marginal
+    * aggregates off the cells, a broadcast domain cross join. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+    val c = Star.table(spark, dir, "customer")
+    val pairs = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+    val cell = pairs.groupBy("segment", "priority")
+      .agg(count(lit(1)).as("cnt"))
+    val rowm = cell.groupBy("segment").agg(sum("cnt").as("rt"))
+    val colm = cell.groupBy("priority").agg(sum("cnt").as("ct"))
+    val total = cell.agg(sum("cnt").as("n_total"))
+    rowm.crossJoin(broadcast(colm))
+      .crossJoin(broadcast(total))
+      .join(cell, Seq("segment", "priority"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("delta", col("cnt") * col("n_total") - col("rt") * col("ct"))
+      .select(col("segment"), col("priority"), col("cnt").as("observed"),
+        col("rt"), col("ct"), expr(chi2CellExpr).as("contrib"))
+      .orderBy("segment", "priority")
+  }
+
+  /** The lineitem columns profiled by [[ndvProfile]], with their
+    * canonical string cast — shared with the oracle twin so the
+    * column list and cast discipline cannot drift. Doubles are
+    * deliberately absent: Spark and DuckDB render float-to-string
+    * differently at scientific-notation boundaries; the ISO date cast
+    * and integer casts are bit-identical text in both engines. */
+  val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "CAST(l_orderkey AS STRING)",
+    "l_partkey" -> "CAST(l_partkey AS STRING)",
+    "l_suppkey" -> "CAST(l_suppkey AS STRING)",
+    "l_linenumber" -> "CAST(l_linenumber AS STRING)",
+    "l_returnflag" -> "l_returnflag",
+    "l_linestatus" -> "l_linestatus",
+    "l_shipdate" -> "CAST(CAST(l_shipdate AS DATE) AS STRING)")
+
+  /** Column-statistics profile — the exact ANALYZE TABLE numbers a
+    * cost-based optimizer (or a data contract) wants per column:
+    * row count, null count, exact NDV, lexicographic min/max of the
+    * canonical string form. One scan, one `stack` unpivot (per-row,
+    * no shuffle until the 7-group aggregate), one aggregate whose
+    * count-distinct Expand is over the unpivoted pairs. At 100 TB the
+    * exact-NDV aggregate is the expensive-but-correct choice a stats
+    * job runs offline; the query-time variant is the HLL sketch
+    * ([[graft.ext.SketchOps]]) — both belong to the engine, this is
+    * the offline one. */
+  def ndvProfile(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = ProfileCols
+      .map { case (n, cast) => s"'$n', $cast" }.mkString(", ")
+    Star.table(spark, dir, "lineitem")
+      .select(expr(s"stack(${ProfileCols.size}, $stackArgs) AS (column_name, val)"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct("val").as("ndv"),
+        min("val").as("min_str"),
+        max("val").as("max_str"))
+      .orderBy("column_name")
+  }
 }

@@ -2853,4 +2853,62 @@ object ExtOracleSql {
          |$levels)
          |ORDER BY hops, product_id""".stripMargin
   }
+
+  /** RA link-prediction twin: same hub cap, wedge self-join, NOT
+    * EXISTS non-adjacency, and the identical ⌊10⁶/deg⌋ integer
+    * summands. */
+  val graphLinkPred: String =
+    graft.etl.Star.oracleCte +
+      s""",
+         |kedges AS (
+         |  SELECT a.product_id AS u, b.product_id AS v
+         |  FROM sales_fact a JOIN sales_fact b
+         |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.order_id) >= 2
+         |),
+         |ksym AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM kedges
+         |  UNION ALL SELECT v AS a, u AS b FROM kedges
+         |),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM ksym GROUP BY a),
+         |centers AS (
+         |  SELECT s.a, s.b, g.d FROM ksym s JOIN deg g ON s.a = g.a
+         |  WHERE g.d <= ${GraphOps.LinkPredHubCap}
+         |),
+         |wedges AS (
+         |  SELECT x.b AS u, y.b AS v, x.d
+         |  FROM centers x JOIN centers y ON x.a = y.a AND x.b < y.b
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM kedges e WHERE e.u = x.b AND e.v = y.b)
+         |)
+         |SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(sum(${TextOps.Ppm} // d) AS BIGINT) AS ra_ppm
+         |FROM wedges GROUP BY u, v
+         |ORDER BY ra_ppm DESC, u, v
+         |LIMIT ${GraphOps.LinkPredK}""".stripMargin
+
+  /** Conjunctive-search twin: same df-rank query-term derivation (two
+    * bounded sorts, never a window), tf join, HAVING conjunction gate
+    * and Σtf ranking. */
+  val textSearch: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents
+       |),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term
+       |),
+       |topn AS (SELECT term, df FROM dfreq
+       |         ORDER BY df DESC, term ASC LIMIT ${TextOps.SearchRankHi}),
+       |qterms AS (SELECT term FROM topn ORDER BY df ASC, term DESC
+       |           LIMIT ${TextOps.SearchRankHi - TextOps.SearchRankLo + 1}),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM w GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+       |FROM tf JOIN qterms USING (term)
+       |GROUP BY doc_id
+       |HAVING count(DISTINCT term) = ${TextOps.SearchRankHi - TextOps.SearchRankLo + 1}
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT ${TextOps.SearchK}""".stripMargin
 }

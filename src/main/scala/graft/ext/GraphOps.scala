@@ -451,6 +451,57 @@ object GraphOps {
       .orderBy(desc("rank_fp"), asc("product_id"))
   }
 
+  /** Wedge-center degree cap for [[linkPredict]] — shared with the
+    * oracle twin. A center of degree d contributes d² wedges but only
+    * 10⁶/d ppm per wedge: past the cap the quadratic cost buys
+    * near-zero score (the standard hub cut in RA/Adamic-Adar
+    * implementations), and capping makes Σdeg² linear in edges. */
+  val LinkPredHubCap = 64L
+
+  /** Top-k for [[linkPredict]] — shared with the oracle twin. */
+  val LinkPredK = 50
+
+  /** LINK PREDICTION by the Resource-Allocation index (Zhou, Lü &
+    * Zhang '09; the log-free sibling of Adamic–Adar from Liben-Nowell
+    * & Kleinberg's survey): for non-adjacent products u, v score
+    * RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — which co-purchase edges
+    * the basket graph is "missing" (assortment gaps: pairs connected
+    * through many low-degree specialists but never yet bought
+    * together). Per-wedge terms are the ppm-quantized integers
+    * ⌊10⁶/deg(w)⌋ summed in BIGINT, so no float summation order can
+    * drift cross-engine (the transcendental-free trade: ln-weighted
+    * Adamic–Adar would break bit-parity; RA is ALREADY the stronger
+    * hub discount).
+    *
+    * Shape: wedge enumeration at each center (one self-join of the
+    * symmetrized edge list keyed on the center), capped at
+    * [[LinkPredHubCap]] centers, an anti-join against the edge set
+    * (only ABSENT pairs are predictions), one (u,v) aggregate, bounded
+    * TakeOrdered top-[[LinkPredK]]. */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictOf(supportedCoPurchaseEdges(spark, dir))
+
+  /** The kernel over an arbitrary undirected `(u, v)` edge frame —
+    * the fixture path for the spec. */
+  def linkPredictOf(edges: DataFrame, hubCap: Long = LinkPredHubCap,
+      k: Int = LinkPredK): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+    val centers = sym.join(deg.where(col("d") <= hubCap), "a")
+    val wedges = centers.as("x").join(centers.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("u"), col("y.b").as("v"), col("x.d").as("d"))
+    wedges
+      .join(edges.select(col("u"), col("v")).withColumn("adj", lit(1)),
+        Seq("u", "v"), "left_anti")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(s"${graft.ext.TextOps.Ppm} div d")).as("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   /** Hop bound for [[bfsHops]] — fixed, shared with the oracle twin
     * (the oracle unrolls exactly this many frontier expansions). */
   val BfsRounds = 4

@@ -757,6 +757,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** df ranks of the self-derived query terms and the result cap for
+    * [[conjunctiveSearch]] — shared with the oracle twin. */
+  val SearchRankLo = 10
+  val SearchRankHi = 11
+  val SearchK = 50
+
+  /** Conjunctive keyword retrieval — the boolean-AND probe of the
+    * inverted index every corpus tool needs ("which documents contain
+    * ALL these terms, best first"). The two query terms are derived
+    * from the corpus itself — df ranks [[SearchRankLo]]–[[SearchRankHi]]
+    * under (df desc, term asc), mid-frequency terms that select a
+    * non-trivial subset — so the operator is self-contained and
+    * deterministic in both engines. Ranking is Σtf over the query
+    * terms (ties → doc_id), the transcendental-free score (BM25's
+    * idf·log and length normalization would break bit-parity; with a
+    * two-term conjunctive query, tf ordering is the workhorse).
+    *
+    * Shape: the df table is a vocabulary-sized aggregate; the
+    * query-term pick is two bounded TakeOrdered passes (top-11 then
+    * bottom-2 — never a global window); retrieval is one equi-join of
+    * the (doc, term, tf) index against the 2-row term set, one per-doc
+    * aggregate with a HAVING distinct-term = 2 conjunction gate, one
+    * bounded top-[[SearchK]]. */
+  def conjunctiveSearch(spark: SparkSession, dir: String): DataFrame = {
+    val words = withWords(docs(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val dfreq = words.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("term").asc)
+      .limit(SearchRankHi)
+      .orderBy(col("df").asc, col("term").desc)
+      .limit(SearchRankHi - SearchRankLo + 1)
+    words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms.select("term")), "term")
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("n_matched"), sum("tf").as("score"))
+      .where(col("n_matched") === (SearchRankHi - SearchRankLo + 1))
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(SearchK)
+  }
+
   /** Bucket count for [[featureHash]] — shared with the oracle twin.
     * Small by design: the point of the trick is a FIXED dimensionality
     * independent of vocabulary growth; collisions are the accepted

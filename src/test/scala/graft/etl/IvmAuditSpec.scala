@@ -1,0 +1,92 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVM refresh, χ² independence, NDV profile and conjunctive search:
+  * the delta-merge ≡ recompute identity in-engine, an exactly
+  * independent contingency table, planted nulls, and a controlled-df
+  * retrieval fixture. End-to-end values are pinned by the DuckDB
+  * twins. */
+class IvmAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivm: base excludes the delta day; base ⊕ delta equals the full recompute") {
+    val full = Star.salesFact(spark, sfSmoke)
+      .groupBy("store_id", "time_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_rows"))
+    val cut = full.agg(max("time_id").as("cut"))
+    assert(Ivm.dailyMvBase(spark, sfSmoke).crossJoin(broadcast(cut))
+      .where(col("time_id") >= col("cut")).count() == 0)
+    val refreshed = Ivm.ivmDailyRefresh(spark, sfSmoke)
+    assert(refreshed.crossJoin(broadcast(cut))
+      .where(col("time_id") === col("cut")).count() > 0)
+    val diff = refreshed.join(full, Seq("store_id", "time_id"), "full_outer")
+      .where(refreshed("cents") =!= full("cents") ||
+        refreshed("n_rows") =!= full("n_rows") ||
+        refreshed("cents").isNull || full("cents").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("chi2: proportional margins give zero everywhere; the grid is zero-filled") {
+    val dir = tempDataDir(
+      "customer" -> Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment"),
+      "orders" -> (
+        Seq.fill(10)((1L, "P")) ++ Seq.fill(20)((1L, "Q")) ++
+          Seq.fill(5)((2L, "P")) ++ Seq.fill(10)((2L, "Q"))
+        ).toDF("o_custkey", "o_orderpriority"))
+    val r = EtlQueries.chi2Independence(spark, dir).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (row.getLong(2), row.getDouble(5))).toMap
+    assert(r.size == 4)
+    assert(r.values.forall(_._2 == 0.0))
+    // drop the (Y, P) cell: the zero-filled grid must still emit it
+    val dir2 = tempDataDir(
+      "customer" -> Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment"),
+      "orders" -> (
+        Seq.fill(10)((1L, "P")) ++ Seq.fill(10)((1L, "Q")) ++
+          Seq.fill(10)((2L, "Q"))
+        ).toDF("o_custkey", "o_orderpriority"))
+    val r2 = EtlQueries.chi2Independence(spark, dir2).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (row.getLong(2), row.getDouble(5))).toMap
+    assert(r2((("Y", "P"))) == ((0L, {
+      // observed 0, rt = 10, ct = 10, N = 30 → (0·30 − 100)²/(30·10·10)
+      val delta = 0.0 * 30.0 - 10.0 * 10.0
+      (delta * delta) / ((30.0 * 10.0) * 10.0)
+    })))
+  }
+
+  test("ndv profile: exact ndv, planted nulls, lexicographic min/max") {
+    val rows = Seq(
+      (1L, 10L, 100L, 1, "A", "F", Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))),
+      (1L, 20L, 100L, 2, "R", "F", Some(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))),
+      (2L, 10L, 200L, 1, "A", "O", None))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = tempDataDir("lineitem" -> rows)
+    val r = EtlQueries.ndvProfile(spark, dir).collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3),
+          row.getString(4), row.getString(5))).toMap
+    assert(r("l_orderkey") == ((3L, 0L, 2L, "1", "2")))
+    assert(r("l_shipdate") == ((3L, 1L, 2L, "2024-01-02", "2024-01-03")))
+    assert(r("l_returnflag") == ((3L, 0L, 2L, "A", "R")))
+    // integer-as-string min/max is lexicographic BY CONTRACT: 100 < 20
+    assert(r("l_partkey") == ((3L, 0L, 2L, "10", "20")))
+    assert(r("l_suppkey")._4 == "100")
+  }
+
+  test("conjunctive search on a nested-df corpus returns exactly the AND set") {
+    // doc k holds terms a01..a(13−k): df(a_j) = 13 − j, so df ranks
+    // 10 and 11 are a10 (df 3) and a11 (df 2) — both only in docs 1, 2
+    val docs = (1 to 12).map { k =>
+      (k.toLong, (1 to (13 - k)).map(j => f"a$j%02d").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = tempDataDir("documents" -> docs)
+    val r = graft.ext.TextOps.conjunctiveSearch(spark, dir).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L), (2L, 2L)))
+  }
+}
