@@ -1607,21 +1607,26 @@ object EtlQueries {
     * cost-based optimizer (or a data contract) wants per column:
     * row count, null count, exact NDV, lexicographic min/max of the
     * canonical string form. One scan, one `stack` unpivot (per-row,
-    * no shuffle until the 7-group aggregate), one aggregate whose
-    * count-distinct Expand is over the unpivoted pairs. At 100 TB the
-    * exact-NDV aggregate is the expensive-but-correct choice a stats
-    * job runs offline; the query-time variant is the HLL sketch
-    * ([[graft.ext.SketchOps]]) — both belong to the engine, this is
-    * the offline one. */
+    * no shuffle), then TWO stacked aggregates instead of one
+    * countDistinct: a (column, value) count first — partial-aggregable,
+    * so the map side collapses every repeated value before anything
+    * shuffles (the shuffle is NDV-sized, not row-count-sized) — then a
+    * per-column rollup where ndv is a plain conditional count. The
+    * single-aggregate spelling's countDistinct Expand doubled the
+    * unpivoted rows and shuffled them all (measured 8.2 s vs 2.5 s at
+    * sf0.1). At 100 TB the exact-NDV job is the offline stats pass; the
+    * query-time variant is the HLL sketch ([[graft.ext.SketchOps]]). */
   def ndvProfile(spark: SparkSession, dir: String): DataFrame = {
     val stackArgs = ProfileCols
       .map { case (n, cast) => s"'$n', $cast" }.mkString(", ")
     Star.table(spark, dir, "lineitem")
       .select(expr(s"stack(${ProfileCols.size}, $stackArgs) AS (column_name, val)"))
+      .groupBy("column_name", "val")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("column_name")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct("val").as("ndv"),
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        sum(when(col("val").isNotNull, 1L).otherwise(0L)).as("ndv"),
         min("val").as("min_str"),
         max("val").as("max_str"))
       .orderBy("column_name")
