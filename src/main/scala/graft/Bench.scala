@@ -19,7 +19,11 @@ object Bench {
     "star" -> Seq(
       "sales_fact" -> (() => graft.etl.Star.salesFact(spark, sfDir).count(): Unit),
       "dim_product" -> (() => graft.etl.Star.dimProduct(spark, sfDir).count(): Unit),
-      "dim_time" -> (() => graft.etl.Star.dimTime(spark, sfDir).count(): Unit)),
+      "dim_time" -> (() => graft.etl.Star.dimTime(spark, sfDir).count(): Unit),
+      // the stored materialized view the IVM query refreshes — a
+      // deployment keeps it on disk; the refresh should time the
+      // delta merge, not the historical backfill
+      "daily_mv" -> (() => graft.etl.Ivm.dailyMvBase(spark, sfDir).count(): Unit)),
     // text/dedup index family: each builds on the previous (shingles →
     // jaccard doc table / arrays / bands / simhash) — DedupOps names
     // the chain

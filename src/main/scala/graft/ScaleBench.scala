@@ -61,7 +61,10 @@ object ScaleBench {
     // round-7 fourth leg: the corpus-sized additions (the store×month
     // ops are calendar-bounded and not worth a scale slot)
     "ext_text_lm_score", "ext_feature_hash", "ext_dedup_weighted_jaccard",
-    "ext_graph_bfs")
+    "ext_graph_bfs",
+    // round-7 fifth leg
+    "ext_graph_linkpred", "ext_text_search", "etl_ivm_refresh",
+    "etl_ndv_profile")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
