@@ -1064,6 +1064,27 @@ object EtlOracleSql {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** DQ-rule twin: the same predicate strings evaluated as one
+    * conditional-sum pass, unpivoted by a UNION ALL chain. */
+  val dqRules: String = {
+    val sums = EtlQueries.DqRules.map { case (n, pred) =>
+      s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
+    }.mkString(",\n         ")
+    val unions = EtlQueries.DqRules.map { case (n, _) =>
+      s"SELECT '$n' AS rule, n_checked, v_$n AS n_violations FROM wide"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH wide AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+       |         $sums
+       |  FROM lineitem
+       |)
+       |SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+       |FROM (
+       |  $unions
+       |)
+       |ORDER BY rule""".stripMargin
+  }
+
   /** Subject-export twin: same request rule (every 97th customer), same
     * two-level rollup, md5 over the identical sorted comma-joined order
     * ids; subjects without orders export zeros and md5(''). */

@@ -1588,6 +1588,43 @@ object EtlQueries {
       .orderBy("segment", "priority")
   }
 
+  /** Declarative data-quality rules over lineitem — each entry is
+    * (rule name, SQL predicate flagging a VIOLATION), the predicate
+    * text shared VERBATIM with the oracle twin so the rule set cannot
+    * drift between engines. Numeric literals carry explicit DOUBLE
+    * casts (the no-bare-decimal-literal rule). */
+  val DqRules: Seq[(String, String)] = Seq(
+    "discount_range" ->
+      "l_discount < CAST(0 AS DOUBLE) OR l_discount > CAST(0.1 AS DOUBLE)",
+    "linestatus_domain" -> "l_linestatus NOT IN ('O', 'F')",
+    "orderkey_positive" -> "l_orderkey <= 0",
+    "quantity_range" ->
+      "l_quantity < CAST(1 AS DOUBLE) OR l_quantity > CAST(50 AS DOUBLE)",
+    "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+    "shipdate_not_null" -> "l_shipdate IS NULL")
+
+  /** Data-quality RULE ENGINE — the declarative expectation check
+    * (Great-Expectations-style) a contract-driven pipeline runs before
+    * publishing: every [[DqRules]] predicate evaluated in ONE scan as
+    * conditional sums (never one scan per rule), the 1-row wide result
+    * stacked to the (rule, n_checked, n_violations, passed) long
+    * audit. Adding a rule is a data change, not a plan change. */
+  def dqRules(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Star.table(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n_checked"),
+        DqRules.map { case (n, pred) =>
+          sum(when(expr(pred), 1L).otherwise(0L)).as(s"v_$n")
+        }: _*)
+    val stackArgs = DqRules
+      .map { case (n, _) => s"'$n', v_$n" }.mkString(", ")
+    wide
+      .select(col("n_checked"),
+        expr(s"stack(${DqRules.size}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy("rule")
+  }
+
   /** The lineitem columns profiled by [[ndvProfile]], with their
     * canonical string cast — shared with the oracle twin so the
     * column list and cast discipline cannot drift. Doubles are

@@ -56,4 +56,26 @@ object Ivm {
           coalesce(col("d_rows"), lit(0L))).as("n_rows"))
       .orderBy("store_id", "time_id")
   }
+
+  /** STREAMING maintenance of the same view, as a delta LOG: each
+    * micro-batch appends its (store, day) aggregate atomically
+    * ([[TxParquetSink.append]] — the crash-safe sink the fact merge
+    * already uses), and the view is the additive fold of the log. The
+    * append-deltas-fold-on-read split is how a sum-merge view scales:
+    * writers never read-modify-write the whole view (no write
+    * amplification, no lost-update races between concurrent batches),
+    * and a periodic compaction — here [[readStreamedMv]] itself — is
+    * the only consolidating reader. Used by the IvmAuditSpec streaming
+    * parity test: stream-maintained ≡ batch recompute. */
+  def maintainDailyMv(batch: DataFrame, sink: TxParquetSink): Unit =
+    sink.append(
+      batch.groupBy("store_id", "time_id")
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n_rows")))
+
+  /** The consolidated view over the streamed delta log. */
+  def readStreamedMv(spark: SparkSession, sink: TxParquetSink): Option[DataFrame] =
+    sink.readSnapshot(spark).map(
+      _.groupBy("store_id", "time_id")
+        .agg(sum("cents").as("cents"), sum("n_rows").as("n_rows")))
 }

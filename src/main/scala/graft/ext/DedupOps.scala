@@ -556,6 +556,40 @@ object DedupOps {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** Threshold grid for [[thresholdCurve]] — spelled as SQL literal
+    * text so both engines parse the identical doubles. */
+  val CurveTaus: Seq[String] = Seq("0.6", "0.7", "0.8", "0.9")
+
+  /** Dedup YIELD CURVE — the tuning dashboard for a threshold choice:
+    * at each τ of [[CurveTaus]], how many verified near-dup pairs
+    * survive and how many distinct documents they touch. Answers "what
+    * does tightening τ cost in recall / buy in precision" from ONE
+    * pass over the already-verified pair table (pairs below the base
+    * τ = 0.6 were never near-dups under the operator's own
+    * definition, so the curve's domain starts there). Zero-filled
+    * against the τ spine so an empty tier is a visible 0, not a
+    * missing row.
+    *
+    * Shape: verified pairs × 4 grid rows (bounded explode), two tiny
+    * aggregates, a 4-row spine left join — everything after the
+    * shared pair table is pair-count-sized. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val tauArr = s"array(${CurveTaus.map(t => s"CAST($t AS DOUBLE)").mkString(", ")})"
+    val spine = spark.range(1).select(explode(expr(tauArr)).as("tau"))
+    val hits = jaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(expr(tauArr)).as("tau"))
+      .where(col("jaccard") >= col("tau"))
+    val np = hits.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val nd = hits
+      .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("tau").agg(countDistinct("doc").as("n_docs"))
+    spine.join(np, Seq("tau"), "left").join(nd, Seq("tau"), "left")
+      .select(col("tau"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("tau")
+  }
+
   /** Weighted-Jaccard ppm threshold (τ_w = 0.5) — shared with the
     * oracle twin. */
   val WJaccardPpm = 500000L

@@ -2911,4 +2911,74 @@ object ExtOracleSql {
        |HAVING count(DISTINCT term) = ${TextOps.SearchRankHi - TextOps.SearchRankLo + 1}
        |ORDER BY score DESC, doc_id ASC
        |LIMIT ${TextOps.SearchK}""".stripMargin
+
+  /** Threshold-curve twin: the shared verified-pair CTEs swept against
+    * the same literal τ grid, zero-filled on the τ spine. */
+  val dedupThresholdCurve: String = {
+    val tauList = DedupOps.CurveTaus
+      .map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+    s"""$shingleBase,
+       |$jaccardTail,
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS j
+       |  FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
+       |),
+       |taus AS (SELECT unnest([$tauList]) AS tau),
+       |hits AS (SELECT t.tau, j.doc_a, j.doc_b FROM taus t
+       |         JOIN jp j ON j.j >= t.tau),
+       |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+       |       FROM hits GROUP BY tau),
+       |nd AS (
+       |  SELECT tau, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+       |  FROM (SELECT tau, doc_a AS doc FROM hits
+       |        UNION ALL SELECT tau, doc_b FROM hits)
+       |  GROUP BY tau
+       |)
+       |SELECT t.tau, coalesce(np.n_pairs, 0) AS n_pairs,
+       |       coalesce(nd.n_docs, 0) AS n_docs
+       |FROM taus t
+       |LEFT JOIN np ON t.tau = np.tau
+       |LEFT JOIN nd ON t.tau = nd.tau
+       |ORDER BY t.tau""".stripMargin
+  }
+
+  /** Nearest-centroid eval twin: identical fixed-scale quantization,
+    * floored integer centroids, integer squared distances, rn=1
+    * argmin vs the engine side's struct-min. */
+  val embedCentroidEval: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, v ->
+       |      CAST(floor(CAST(v AS DOUBLE) * ${VectorOps.CentroidQuant}) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |coords AS (
+       |  SELECT label, i, q[i] AS v
+       |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i)
+       |),
+       |cm AS (
+       |  SELECT label, i,
+       |         CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+       |  FROM coords GROUP BY 1, 2
+       |),
+       |cents AS (SELECT label AS clabel, list(c ORDER BY i) AS cv
+       |          FROM cm GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(e.q, c.cv),
+       |        zc -> (zc[1] - zc[2]) * (zc[1] - zc[2]))),
+       |      (ac, vc) -> ac + vc) AS d2
+       |  FROM e CROSS JOIN cents c
+       |)
+       |SELECT label, clabel AS predicted, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, clabel) AS rn FROM scored)
+       |WHERE rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY label, predicted""".stripMargin
 }

@@ -59,6 +59,50 @@ object VectorOps {
           "CAST(0 AS DOUBLE), (acc, e) -> greatest(acc, e))").as("max_abs_err"))
       .orderBy("vec_id")
 
+  /** Fixed power-of-two quantization scale for [[centroidEval]] —
+    * float × 1024 is EXACT (a power-of-two multiply only shifts the
+    * exponent), so the floor is the same integer in both engines with
+    * no rounding contract needed. Shared with the oracle twin. */
+  val CentroidQuant = 1024
+
+  /** Nearest-centroid LABEL EVALUATION — the embedding-quality smoke
+    * test every labeled-embedding pipeline runs (Rocchio/NCC: does the
+    * space cluster by label?): per-label integer centroids over the
+    * fixed-scale quantized vectors, every vector assigned to its
+    * nearest centroid (squared L2, ties → smallest label), confusion
+    * counts out. All arithmetic is exact BIGINT — quantized coords,
+    * floored centroid means (both engines truncate identically), and
+    * integer squared distances — so the argmin can never drift
+    * cross-engine the way float distance sums would.
+    *
+    * Shape: one posexplode → (label, coord) aggregate (labels×dims
+    * rows), centroid arrays re-packed per label (array_sort of a
+    * label-bounded collect — never a window), a broadcast cross join
+    * of vectors × the label-count-sized centroid table with a per-row
+    * integer fold, one argmin aggregate, one confusion aggregate. */
+  def centroidEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = SimilarityOps.embeddings(spark, dir).withColumn("q",
+      expr(s"transform(embedding, v -> " +
+        s"CAST(floor(CAST(v AS DOUBLE) * $CentroidQuant) AS BIGINT))"))
+    val cents = e
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
+        .as("cv"))
+    e.crossJoin(broadcast(cents.select(col("label").as("clabel"), col("cv"))))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+      .groupBy(col("label"), col("best.clabel").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+
   /** Squared L2 distance between an int-array column and a double-array
     * centroid column: strict left fold, bit-identical cross-engine. */
   private def dist2(q: String, cv: String): Column = expr(

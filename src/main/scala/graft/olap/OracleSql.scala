@@ -562,4 +562,19 @@ object OracleSql {
       |  WHERE b.price_cents <= a.price_cents AND b.total_qty >= a.total_qty
       |    AND (b.price_cents < a.price_cents OR b.total_qty > a.total_qty))
       |ORDER BY price_cents, product_id""".stripMargin)
+
+  /** Q29 twin: the same canonical triple expansion and support count. */
+  val q29: String = star(
+    """, basket AS (SELECT DISTINCT order_id, product_id FROM sales_fact)
+      |SELECT a.product_id AS p1, b.product_id AS p2, c.product_id AS p3,
+      |       CAST(count(*) AS BIGINT) AS support
+      |FROM basket a
+      |JOIN basket b ON a.order_id = b.order_id
+      |  AND a.product_id < b.product_id
+      |JOIN basket c ON b.order_id = c.order_id
+      |  AND b.product_id < c.product_id
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) >= 2
+      |ORDER BY support DESC, p1, p2, p3
+      |LIMIT 50""".stripMargin)
 }

@@ -942,4 +942,35 @@ object Queries {
       .select("product_id", "price_cents", "total_qty")
       .orderBy("price_cents", "product_id")
   }
+
+  /** Q29 — top-k frequent 3-itemsets by exact support, completing the
+    * basket-mining ladder (pair counts → association rules Q27 →
+    * triangles → triples): which product TRIOS reliably sell together.
+    * Enumeration is the within-order triple expansion of the distinct
+    * basket table — a two-step self-join on the order key with the
+    * canonical p1 < p2 < p3 ordering, so each trio is counted once per
+    * order. The fan-out is C(basket, 3) per order, cubic in BASKET
+    * SIZE (≤ 7 lines in this schema — bounded by the domain, not the
+    * corpus) and linear in orders; support is then a partial-aggregable
+    * count and the result a bounded TakeOrdered. An Apriori pass
+    * (prune triples whose pairs miss min-support) only pays at basket
+    * sizes this schema cannot produce. */
+  def q29Itemsets3(spark: SparkSession, dir: String, minSupport: Int = 2,
+      k: Int = 50): DataFrame = {
+    val basket = graft.etl.Star.salesFact(spark, dir)
+      .select("order_id", "product_id").distinct()
+    basket.as("a")
+      .join(basket.as("b"),
+        col("a.order_id") === col("b.order_id") &&
+          col("a.product_id") < col("b.product_id"))
+      .join(basket.as("c"),
+        col("b.order_id") === col("c.order_id") &&
+          col("b.product_id") < col("c.product_id"))
+      .groupBy(col("a.product_id").as("p1"), col("b.product_id").as("p2"),
+        col("c.product_id").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(k)
+  }
 }

@@ -29,6 +29,39 @@ class IvmAuditSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("streaming mv maintenance: per-batch delta appends fold to the batch recompute") {
+    val fact = Star.salesFact(spark, sfSmoke)
+      .select("store_id", "time_id", "total_revenue")
+    val src = java.nio.file.Files.createTempDirectory("ivm-src").toString
+    fact.repartition(4).write.mode("overwrite").parquet(src)
+    val sink = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("ivm-mv").toString)
+    val q = spark.readStream
+      .schema(fact.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => Ivm.maintainDailyMv(batch, sink))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivm-ckpt").toString)
+      .start()
+    q.awaitTermination()
+    // more than one delta commit landed (the log is really incremental)
+    assert(sink.version() >= 1)
+    val streamed = Ivm.readStreamedMv(spark, sink).get
+    val full = fact.groupBy("store_id", "time_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_rows"))
+    val diff = streamed.as("s").join(full.as("f"),
+        Seq("store_id", "time_id"), "full_outer")
+      .where(col("s.cents") =!= col("f.cents") ||
+        col("s.n_rows") =!= col("f.n_rows") ||
+        col("s.cents").isNull || col("f.cents").isNull)
+    assert(diff.count() == 0)
+  }
+
   test("chi2: proportional margins give zero everywhere; the grid is zero-filled") {
     val dir = tempDataDir(
       "customer" -> Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment"),

@@ -1,0 +1,43 @@
+package graft.olap
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Q29 3-itemsets and the dedup threshold curve: brute-force support
+  * recomputation, Apriori monotonicity, and curve monotonicity.
+  * End-to-end values are pinned by the DuckDB twins. */
+class Itemsets3Spec extends SparkSpec {
+
+  test("q29: emitted supports match brute force and respect Apriori monotonicity") {
+    val res = Queries.q29Itemsets3(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    assert(res.nonEmpty)
+    val baskets = graft.etl.Star.salesFact(spark, sfSmoke)
+      .select("order_id", "product_id").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairSupport = graft.ext.GraphOps.coPurchasePairCounts(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    res.foreach { case ((p1, p2, p3), sup) =>
+      assert(p1 < p2 && p2 < p3)
+      val brute = baskets.values.count(b =>
+        b.contains(p1) && b.contains(p2) && b.contains(p3))
+      assert(brute.toLong == sup, s"($p1,$p2,$p3)")
+      // every sub-pair supports at least as many orders as the triple
+      Seq((p1, p2), (p1, p3), (p2, p3)).foreach { pr =>
+        assert(pairSupport.getOrElse(pr, 0L) >= sup)
+      }
+    }
+  }
+
+  test("dedup curve: 4 zero-filled rows, monotone non-increasing, base tier exact") {
+    val rows = graft.ext.DedupOps.thresholdCurve(spark, sfSmoke).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0.6, 0.7, 0.8, 0.9))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3)
+    }
+    val base = graft.ext.DedupOps.jaccardPairs(spark, sfSmoke).count()
+    assert(rows.head._2 == base)
+  }
+}
