@@ -64,7 +64,10 @@ object ScaleBench {
     "ext_graph_bfs",
     // round-7 fifth leg
     "ext_graph_linkpred", "ext_text_search", "etl_ivm_refresh",
-    "etl_ndv_profile")
+    "etl_ndv_profile",
+    // round-7 sixth/seventh leg (dq_rules is one conditional-sum scan
+    // — trivially linear, not worth a slot)
+    "q29_itemsets3", "ext_dedup_curve", "ext_embed_centroid_eval")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
