@@ -1064,6 +1064,49 @@ object EtlOracleSql {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** ABC-migration twin: per-year cumulative-share classes via a
+    * plain year-partitioned window (the engine side's window is also
+    * partitioned — same shape), consecutive-year full outer inside
+    * valid year pairs, none-filled entrants/exits. */
+  val abcMigration: String = star(
+    s""", py AS (
+       |  SELECT CAST(year(time_id) AS INT) AS year, product_id,
+       |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM sales_fact GROUP BY 1, 2
+       |),
+       |tot AS (SELECT year, CAST(sum(cents) AS BIGINT) AS total_cents
+       |        FROM py GROUP BY year),
+       |classed AS (
+       |  SELECT p.year, p.product_id,
+       |    CASE WHEN CAST(sum(p.cents) OVER w AS DOUBLE)
+       |           / CAST(t.total_cents AS DOUBLE) <= CAST(${graft.olap.Queries.AbcA} AS DOUBLE)
+       |         THEN 'A'
+       |         WHEN CAST(sum(p.cents) OVER w AS DOUBLE)
+       |           / CAST(t.total_cents AS DOUBLE) <= CAST(${graft.olap.Queries.AbcB} AS DOUBLE)
+       |         THEN 'B' ELSE 'C' END AS cls
+       |  FROM py p JOIN tot t USING (year)
+       |  WINDOW w AS (PARTITION BY p.year
+       |    ORDER BY p.cents DESC, p.product_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |valid AS (
+       |  SELECT a.year FROM (SELECT DISTINCT year FROM py) a
+       |  JOIN (SELECT DISTINCT year FROM py) b ON a.year + 1 = b.year
+       |),
+       |cur AS (SELECT c.year, c.product_id, c.cls AS class_from
+       |        FROM classed c JOIN valid v ON c.year = v.year),
+       |nxt AS (SELECT c.year - 1 AS year, c.product_id, c.cls AS class_to
+       |        FROM classed c
+       |        JOIN valid v ON c.year - 1 = v.year)
+       |SELECT coalesce(cur.year, nxt.year) AS year_from,
+       |       coalesce(class_from, 'none') AS class_from,
+       |       coalesce(class_to, 'none') AS class_to,
+       |       CAST(count(*) AS BIGINT) AS n_products
+       |FROM cur FULL OUTER JOIN nxt
+       |  ON cur.year = nxt.year AND cur.product_id = nxt.product_id
+       |GROUP BY 1, 2, 3
+       |ORDER BY year_from, class_from, class_to""".stripMargin)
+
   /** DQ-rule twin: the same predicate strings evaluated as one
     * conditional-sum pass, unpivoted by a UNION ALL chain. */
   val dqRules: String = {

@@ -1588,6 +1588,52 @@ object EtlQueries {
       .orderBy("segment", "priority")
   }
 
+  /** ABC CLASS MIGRATION — year-over-year transitions of each
+    * product's Pareto class (the assortment-churn view at the CLASS
+    * grain: "which A-products slipped to B, what entered, what
+    * exited"). Per year the classification is Q23's cumulative-share
+    * rule (A ≤ 80 %, B ≤ 95 % — the shared [[graft.olap.Queries]]
+    * constants) over a YEAR-PARTITIONED window: partitions are
+    * catalog-bounded per year (the gini/RFM dimension-window
+    * discipline — the fact is never windowed), so no single global
+    * sort appears. Transitions join consecutive-year class tables on
+    * product with full-outer semantics inside valid year pairs —
+    * entrants surface as from-'none', exits as to-'none' instead of
+    * silently vanishing. Output is years × 4 × 4 cells. */
+  def abcMigration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val py = Star.salesFact(spark, dir)
+      .groupBy(expr("CAST(year(time_id) AS INT)").as("year"), col("product_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val tot = py.groupBy("year").agg(sum("cents").as("total_cents"))
+    val w = Window.partitionBy("year")
+      .orderBy(desc("cents"), asc("product_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val classed = py.join(broadcast(tot), "year")
+      .withColumn("cum_share",
+        sum("cents").over(w).cast("double") / col("total_cents").cast("double"))
+      .withColumn("cls",
+        when(col("cum_share") <= lit(graft.olap.Queries.AbcA), "A")
+          .when(col("cum_share") <= lit(graft.olap.Queries.AbcB), "B")
+          .otherwise("C"))
+      .select("year", "product_id", "cls")
+    val years = py.select("year").distinct()
+    val validFrom = years.as("a")
+      .join(years.as("b"), col("a.year") + 1 === col("b.year"), "left_semi")
+    val cur = classed.join(validFrom, Seq("year"), "left_semi")
+      .select(col("year"), col("product_id"), col("cls").as("class_from"))
+    val nxt = classed
+      .select((col("year") - 1).as("year"), col("product_id"),
+        col("cls").as("class_to"))
+      .join(validFrom, Seq("year"), "left_semi")
+    cur.join(nxt, Seq("year", "product_id"), "full_outer")
+      .groupBy(col("year").as("year_from"),
+        coalesce(col("class_from"), lit("none")).as("class_from"),
+        coalesce(col("class_to"), lit("none")).as("class_to"))
+      .agg(count(lit(1)).as("n_products"))
+      .orderBy("year_from", "class_from", "class_to")
+  }
+
   /** Declarative data-quality rules over lineitem — each entry is
     * (rule name, SQL predicate flagging a VIOLATION), the predicate
     * text shared VERBATIM with the oracle twin so the rule set cannot

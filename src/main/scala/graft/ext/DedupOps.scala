@@ -590,6 +590,30 @@ object DedupOps {
       .orderBy("tau")
   }
 
+  /** LSH RECALL AUDIT — what the banding sketch actually catches, by
+    * similarity band: ground truth is the LOSSLESS PPJoin pair set at
+    * τ = 0.5 ([[jaccardPairs]] — prefix filtering provably drops no
+    * true pair), found is the [[minhashLsh]] verified set (banding is
+    * probabilistic: P[candidate] = 1 − (1 − j³)⁴, so misses
+    * concentrate just above τ). Per 0.1-wide jaccard bucket: true
+    * pairs, found pairs, ppm recall — the measured sketch-quality
+    * curve next to the ANN recall calibrations, from one left join of
+    * two already-computed pair tables (both session-cached; the audit
+    * adds only pair-count-sized work). Bucketing floors the SAME
+    * bit-identical double in both engines. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(spark, dir, threshold = 0.5)
+    val found = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", expr("CAST(floor(jaccard * 10) AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall_ppm", expr("(1000000 * n_found) div n_true"))
+      .orderBy("bucket")
+  }
+
   /** Weighted-Jaccard ppm threshold (τ_w = 0.5) — shared with the
     * oracle twin. */
   val WJaccardPpm = 500000L

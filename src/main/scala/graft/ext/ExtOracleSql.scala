@@ -2981,4 +2981,71 @@ object ExtOracleSql {
        |WHERE rn = 1
        |GROUP BY 1, 2
        |ORDER BY label, predicted""".stripMargin
+
+  /** LSH-recall twin: the shared banding chain for `found`, a
+    * freshly-named capped-pair chain for `truth` (the jaccardTail CTE
+    * names would collide inside one WITH), identical bucket floor and
+    * ppm division. */
+  val dedupLshRecall: String =
+    s"""$minhashPairsCtes,
+       |tshfil AS (
+       |  SELECT s.doc_id, s.sh FROM shingles s
+       |  JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 10000) r
+       |    USING (sh)
+       |),
+       |tsizes AS (SELECT doc_id, count(*) AS n FROM tshfil GROUP BY 1),
+       |tpairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+       |  FROM tshfil x JOIN tshfil y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(shared AS DOUBLE) / (ta.n + tb.n - shared) AS jaccard
+       |  FROM tpairs
+       |  JOIN tsizes ta ON doc_a = ta.doc_id
+       |  JOIN tsizes tb ON doc_b = tb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (ta.n + tb.n - shared) >= 0.5
+       |)
+       |SELECT CAST(floor(t.jaccard * 10) AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_found,
+       |  (1000000 * CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS recall_ppm
+       |FROM truth t
+       |LEFT JOIN lshpairs l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** Poisson-bootstrap twin: the same salted hash through the same
+    * literal CDF table. */
+  val bootstrapMeans: String = {
+    val cdf = SampleOps.PoissonCdfPpm.zipWithIndex
+      .map { case (pr, k) => s"WHEN u < $pr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${SampleOps.PoissonCdfPpm.size} END")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS x
+       |  FROM documents
+       |),
+       |reps AS (
+       |  SELECT m.doc_id, m.x, CAST(r AS BIGINT) AS rep
+       |  FROM m, LATERAL (SELECT unnest(generate_series(0,
+       |    ${SampleOps.BootstrapB - 1})) AS r)
+       |),
+       |hashed AS (
+       |  SELECT rep, x,
+       |    ${h32("'boot:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)", "bt")}
+       |      % 1000000 AS u
+       |  FROM reps
+       |),
+       |weighted AS (SELECT rep, x, $cdf AS w FROM hashed)
+       |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+       |  CAST(sum(w * x) AS BIGINT) AS sum_wx,
+       |  CAST(CAST(sum(w * x) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_tokens
+       |FROM weighted GROUP BY rep
+       |ORDER BY rep""".stripMargin
+  }
 }

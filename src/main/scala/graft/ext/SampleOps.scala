@@ -265,6 +265,50 @@ object SampleOps {
 
   /** Driver-contract entry: rendezvous placement of the document corpus
     * onto 8 shards. */
+  /** Replicate count for [[bootstrapMeans]] — shared with the oracle
+    * twin. */
+  val BootstrapB = 32
+
+  /** Poisson(1) CDF thresholds in ppm, precomputed as literals (the
+    * HLL linear-counting discipline: e^{-1} is a transcendental no two
+    * engines evaluate identically, so the quantized CDF ships as
+    * constants): P(X ≤ k) for k = 0..5; the tail collapses to w = 6. */
+  val PoissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+
+  /** POISSON BOOTSTRAP replicate means (Chamandy et al.'s
+    * single-pass bootstrap — the distributed standard: true resampling
+    * needs n dependent draws per replicate; independent Poisson(1)
+    * weights per (row, replicate) approximate it with one scan): B
+    * replicates of the mean document token count, each an EXACT
+    * integer pair (Σw, Σw·x) with the one double division at the
+    * surface — the sampling-error bars a corpus-metric dashboard
+    * needs. Weights come from the salted md5 contract through the
+    * literal CDF table, so every replicate is a pure function of
+    * (doc_id, rep) in both engines.
+    *
+    * Shape: per-doc metric table × B bounded explode, one
+    * partial-aggregable (rep) aggregate — B×metric-table-sized, never
+    * corpus-text-sized. */
+  def bootstrapMeans(spark: SparkSession, dir: String): DataFrame = {
+    val cdf = PoissonCdfPpm.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p THEN ${k}L" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.size}L END")
+    TextOps.withWords(TextOps.docs(spark, dir))
+      .select(col("doc_id"), expr("size(ws)").cast("long").as("x"))
+      .select(col("doc_id"), col("x"),
+        explode(expr(s"sequence(0, ${BootstrapB - 1})")).as("rep"))
+      .withColumn("u", TextOps.h32(
+        concat(lit("boot:"), col("doc_id").cast("string"),
+          lit(":"), col("rep").cast("string"))) % lit(1000000L))
+      .withColumn("w", expr(cdf))
+      .groupBy("rep")
+      .agg(sum("w").as("n_eff"), sum(expr("w * x")).as("sum_wx"))
+      .withColumn("mean_tokens",
+        col("sum_wx").cast("double") / col("n_eff").cast("double"))
+      .orderBy("rep")
+  }
+
   def rendezvousShard(spark: SparkSession, dir: String,
       shards: Int = 8): DataFrame =
     rendezvousOf(TextOps.docs(spark, dir).select("doc_id"), 0 until shards)
