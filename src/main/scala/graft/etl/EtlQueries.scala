@@ -1609,6 +1609,10 @@ object EtlQueries {
     val w = Window.partitionBy("year")
       .orderBy(desc("cents"), asc("product_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // materialize: the class table feeds BOTH sides of the transition
+    // join plus the year spine — un-checkpointed, each reference
+    // re-runs the fact aggregate (measured 4 fact scans, 4.6 s →
+    // 2.6 s); the table itself is catalog×years-sized
     val classed = py.join(broadcast(tot), "year")
       .withColumn("cum_share",
         sum("cents").over(w).cast("double") / col("total_cents").cast("double"))
@@ -1617,7 +1621,8 @@ object EtlQueries {
           .when(col("cum_share") <= lit(graft.olap.Queries.AbcB), "B")
           .otherwise("C"))
       .select("year", "product_id", "cls")
-    val years = py.select("year").distinct()
+      .localCheckpoint(true)
+    val years = classed.select("year").distinct()
     val validFrom = years.as("a")
       .join(years.as("b"), col("a.year") + 1 === col("b.year"), "left_semi")
     val cur = classed.join(validFrom, Seq("year"), "left_semi")
