@@ -67,7 +67,9 @@ object ScaleBench {
     "etl_ndv_profile",
     // round-7 sixth/seventh leg (dq_rules is one conditional-sum scan
     // — trivially linear, not worth a slot)
-    "q29_itemsets3", "ext_dedup_curve", "ext_embed_centroid_eval")
+    "q29_itemsets3", "ext_dedup_curve", "ext_embed_centroid_eval",
+    // round-7 eighth leg
+    "ext_dedup_lsh_recall", "etl_abc_migration", "ext_bootstrap_means")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
