@@ -54,6 +54,45 @@ object ChunkOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** CHUNK STITCH — the inverse of [[chunkWindows]], and the proof the
+    * chunking loses nothing: re-enumerate each document's overlapping
+    * chunks, keep chunk 1 whole and each later chunk's NON-overlap
+    * suffix, and rebuild the document in chunk order. Because chunks
+    * advance by exactly `stride`, the new-token suffix starts at the
+    * CONSTANT local offset window − stride + 1 in every later chunk
+    * (a fully-covered short tail slices to empty and is filtered out).
+    * The oracle twin does NOT mirror the reconstruction — it hashes
+    * the normalized original text directly — so the hash gate checks
+    * stitch ∘ chunk ≡ identity, the round-trip contract itself.
+    *
+    * Shape: the same per-row enumeration as chunking, one per-doc
+    * bounded sort_array rebuild (the boilerplateStrip machinery) —
+    * no joins, no windows. */
+  def stitchChunks(spark: SparkSession, dir: String,
+      window: Int = Window, stride: Int = Stride): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    TextOps.withWords(TextOps.docs(spark, dir))
+      .withColumn("n", expr("size(ws)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CASE WHEN n <= $window THEN 0
+           |              ELSE (n - $window + ${stride - 1}) DIV $stride END),
+           |  i -> slice(ws, 1 + i * $stride, $window))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_id"),
+        expr(s"CASE WHEN pos = 0 THEN col " +
+          s"ELSE slice(col, ${window - stride + 1}, $window) END").as("nw"))
+      .withColumn("nt", concat_ws(" ", col("nw")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sort_array(collect_list(struct(col("chunk_id"), col("nt")))).as("kp"))
+      .select(col("doc_id"), col("n_chunks"),
+        TextOps.h32(concat_ws(" ",
+          expr("transform(filter(kp, x -> x.nt != ''), x -> x.nt)")))
+          .as("rebuilt_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Paragraph size (tokens) for the boilerplate strip: non-overlapping
     * windows stand in for paragraphs — the corpus has no newlines, so
     * fixed token windows are the deterministic paragraph surrogate. */

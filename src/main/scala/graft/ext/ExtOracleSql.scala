@@ -3048,4 +3048,80 @@ object ExtOracleSql {
        |FROM weighted GROUP BY rep
        |ORDER BY rep""".stripMargin
   }
+
+  /** Chunk-stitch twin: the oracle does NOT mirror the
+    * reconstruction — it hashes the normalized original directly and
+    * derives the chunk count from the closed form, so the hash gate
+    * checks stitch ∘ chunk ≡ identity. */
+  val chunkStitch: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN len(ws) <= ${ChunkOps.Window} THEN 1
+       |       ELSE (len(ws) - ${ChunkOps.Window} + ${ChunkOps.Stride} - 1)
+       |              // ${ChunkOps.Stride} + 1 END AS INT) AS n_chunks,
+       |  ${h32("array_to_string(ws, ' ')", "cs")} AS rebuilt_hash
+       |FROM w
+       |ORDER BY doc_id""".stripMargin
+
+  /** SRM twin: the same zero-filled design table and exact
+    * cross-multiplied deviations. */
+  val splitSrm: String = {
+    val design = SampleOps.SplitExpectedPpm
+      .map { case (nm, p) => s"('$nm', CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH assigned AS (
+       |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT ${h32("'split:' || CAST(doc_id AS VARCHAR)", "sp")} % 100 AS b
+       |        FROM documents)
+       |),
+       |observed AS (SELECT split, CAST(count(*) AS BIGINT) AS n
+       |             FROM assigned GROUP BY split),
+       |design(split, expected_ppm) AS (VALUES $design),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM observed)
+       |SELECT d.split, coalesce(o.n, 0) AS n, d.expected_ppm,
+       |  coalesce(o.n, 0) * 1000000 - d.expected_ppm * t.n_total
+       |    AS delta_ppm_scaled,
+       |  (CAST(coalesce(o.n, 0) * 1000000 - d.expected_ppm * t.n_total AS DOUBLE)
+       |     * CAST(coalesce(o.n, 0) * 1000000 - d.expected_ppm * t.n_total AS DOUBLE))
+       |   / ((CAST(1000000 AS DOUBLE) * CAST(d.expected_ppm AS DOUBLE))
+       |      * CAST(t.n_total AS DOUBLE)) AS contrib
+       |FROM design d LEFT JOIN observed o ON d.split = o.split, tot t
+       |ORDER BY d.split""".stripMargin
+  }
+
+  /** pHash-cluster twin: the stub-signature pair edges under the same
+    * recursive transitive closure as the text cluster twin, plus
+    * cluster sizes. */
+  val mediaClusters: String =
+    s"""WITH RECURSIVE $mediaFeatsCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${h32("CAST(checksum AS VARCHAR) || ':' || CAST(n_bytes AS VARCHAR)", "mc")}
+       |      % 65536 AS phash
+       |  FROM feats
+       |),
+       |ppairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 1
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM ppairs
+       |  UNION ALL SELECT doc_b, doc_a FROM ppairs
+       |),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.doc_id
+       |),
+       |cl AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY cluster)
+       |SELECT doc_id, cluster, cluster_size,
+       |       CAST(doc_id = cluster AS BOOLEAN) AS is_keeper
+       |FROM cl JOIN sz USING (cluster)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -486,6 +486,27 @@ object MediaOps {
     * At 100 TB the block join shuffles on a 2×256-ary key; radius > 1
     * needs maxHamming+1 blocks (the require documents the guarantee,
     * like SimHash's). */
+  /** Perceptual near-dup CLUSTERS — the image/media counterpart of
+    * text dedup's cluster table: connected components over the
+    * hamming-≤1 pHash pair edges ([[phashPairs]] — pigeonhole block
+    * join, never all-pairs), canonical min-id cluster labels, sizes
+    * alongside (the "how many copies of this asset" report). Same
+    * large-star/small-star CC machinery as the text side — one more
+    * consumer of the shared kernel, not a new algorithm. */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = phashPairs(spark, dir).select("doc_a", "doc_b")
+    val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val cl = TextOps.docs(spark, dir).select("doc_id")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 1,
       s"phashPairs' 2-block pigeonhole join is complete only for maxHamming <= 1, got $maxHamming")

@@ -265,6 +265,40 @@ object SampleOps {
 
   /** Driver-contract entry: rendezvous placement of the document corpus
     * onto 8 shards. */
+  /** Expected split shares in ppm (train/val/test 80/10/10) — shared
+    * with the oracle twin. */
+  val SplitExpectedPpm: Seq[(String, Long)] =
+    Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
+
+  /** SAMPLE-RATIO-MISMATCH audit — the first thing an experimentation
+    * or data-split pipeline checks before trusting downstream metrics
+    * (Fabijan et al.'s SRM test): do the observed split sizes match
+    * the declared 80/10/10 design? Per split: observed count, expected
+    * ppm, the exact cross-multiplied deviation n·10⁶ − p_ppm·N (BIGINT
+    * — the termDrift discipline), and the χ² cell contribution
+    * (o−e)²/e from exact-integer inputs. The grand χ² total is
+    * deliberately absent (three cells; the cross-row double-sum rule).
+    * Missing splits zero-fill from the declared design, so a split
+    * that vanished entirely is a loud n = 0 row, not a missing row. */
+  def splitBalanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val observed = datasetSplit(spark, dir)
+      .groupBy("split").agg(count(lit(1)).as("n"))
+    val design = spark.createDataFrame(SplitExpectedPpm)
+      .toDF("split", "expected_ppm")
+    val total = observed.agg(sum("n").as("n_total"))
+    design.join(observed, Seq("split"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("delta_ppm_scaled",
+        col("n") * lit(1000000L) - col("expected_ppm") * col("n_total"))
+      .withColumn("contrib", expr(
+        "(CAST(delta_ppm_scaled AS DOUBLE) * CAST(delta_ppm_scaled AS DOUBLE))" +
+          " / ((CAST(1000000 AS DOUBLE) * CAST(expected_ppm AS DOUBLE))" +
+          " * CAST(n_total AS DOUBLE))"))
+      .select("split", "n", "expected_ppm", "delta_ppm_scaled", "contrib")
+      .orderBy("split")
+  }
+
   /** Replicate count for [[bootstrapMeans]] — shared with the oracle
     * twin. */
   val BootstrapB = 32
