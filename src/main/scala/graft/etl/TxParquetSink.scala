@@ -72,7 +72,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * before the first commit. Uncommitted staged directories are never
     * visible here — that is the isolation guarantee. */
   def readSnapshot(spark: SparkSession): Option[DataFrame] =
-    dataOf(spark, commits())
+    dataOf(spark, effective(commits()))
 
   /** TIME-TRAVEL read: the table exactly as of commit `asOf` — the
     * union of every data directory published at version ≤ asOf. The
@@ -85,7 +85,16 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * touches committed directories, so history stays readable until a
     * (deliberate, not implemented) log truncation. */
   def readVersion(spark: SparkSession, asOf: Long): Option[DataFrame] =
-    dataOf(spark, commits().takeWhile(_._1 <= asOf))
+    dataOf(spark, effective(commits().takeWhile(_._1 <= asOf)))
+
+  /** Snapshot resolution under compaction: a BASE commit is a full
+    * rewrite, so the effective log is the suffix from the newest base
+    * (every older commit's rows are contained in it). Applied to any
+    * prefix, so time travel keeps working across compactions. */
+  private def effective(cs: Seq[(Long, Manifest)]): Seq[(Long, Manifest)] = {
+    val i = cs.lastIndexWhere(_._2.base)
+    if (i < 0) cs else cs.drop(i)
+  }
 
   private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)]): Option[DataFrame] = {
     val paths = cs.flatMap(_._2.files).map(f => root.resolve(f).toString)
@@ -182,7 +191,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   private def existingKeysAt(
       spark: SparkSession, snap: Seq[(Long, Manifest)],
       keys: Seq[String], schemaSource: DataFrame): DataFrame =
-    dataOf(spark, snap)
+    dataOf(spark, effective(snap))
       .map(_.select(keys.head, keys.tail: _*))
       .getOrElse(WarehouseSink.emptyKeys(spark, keys, schemaSource))
 
@@ -250,6 +259,52 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     (orphans ++ tmps).map(_.toString)
   }
 
+  /** LOG COMPACTION — the OPTIMIZE/checkpoint maintenance pass every
+    * log-structured table needs: rewrite the current snapshot into ONE
+    * staged directory and publish it as a BASE commit, after which
+    * readers resolve from that commit alone (the append-only manifest
+    * codec makes `base=true` invisible to older readers of other
+    * fields). Without it a long-lived table accumulates one directory
+    * per commit and every snapshot read unions an O(commits) file
+    * list. Concurrency is the same optimistic protocol as
+    * [[mergeUpsert]]: the base publishes at exactly snapshot-tip + 1,
+    * so a commit that lands in between loses us the race and the
+    * WHOLE read-stage-publish cycle retries — a base manifest may
+    * never hide a commit it did not contain. Historical directories
+    * stay on disk (still referenced by pre-base manifests, so
+    * [[vacuumOrphans]] never touches them) — time travel across the
+    * compaction keeps working; log truncation would be a separate,
+    * deliberate retention pass. Returns the published base version, or
+    * −1 on an empty table. `beforePublish` is the race-injection test
+    * seam, as in [[mergeUpsert]]. */
+  def compact(spark: SparkSession,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts)
+        throw new IllegalStateException(
+          s"compact: gave up after $maxAttempts publish attempts on $dir")
+      val snap = commits()
+      if (snap.isEmpty) return -1L
+      val df = dataOf(spark, effective(snap)).get.localCheckpoint(true)
+      val n = df.count()
+      val staged = stageAudited(spark, df, n)
+      beforePublish()
+      if (!Files.isDirectory(root.resolve(staged)))
+        throw new IllegalStateException(
+          s"compact: staged directory $staged vanished before publish " +
+            "(vacuumed mid-commit?) — aborting")
+      if (tryPublish(snap.last._1 + 1, Manifest(n, Seq(staged), base = true)))
+        return snap.last._1 + 1
+      // lost the race: a writer committed at our version — the staged
+      // rewrite is stale by construction; drop it and redo the cycle
+      deleteRecursively(root.resolve(staged))
+    }
+    -1L // unreachable
+  }
+
   /** Directory listing with the stream CLOSED before returning —
     * `Files.list` leaks a file descriptor per call otherwise, and
     * `commits()` runs inside the optimistic-retry loop and on every
@@ -268,15 +323,20 @@ object TxParquetSink {
     * guard; commits here are one batch, not a day of them). */
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
 
-  /** One commit's content: the row count audited at stage time and the
-    * table-relative data directories this commit makes visible. */
-  final case class Manifest(rows: Long, files: Seq[String])
+  /** One commit's content: the row count audited at stage time, the
+    * table-relative data directories this commit makes visible, and
+    * whether the commit is a BASE (a full-table rewrite — readers
+    * resolve snapshots from the newest base onward; see
+    * [[TxParquetSink.compact]]). */
+  final case class Manifest(rows: Long, files: Seq[String],
+      base: Boolean = false)
 
   /** Line-oriented manifest codec (`rows=<n>` then one `file=<rel>` per
     * line): trivially greppable, no parser dependency, and append-only
     * fields keep old readers working. */
   private[etl] def renderManifest(m: Manifest): String =
-    (s"rows=${m.rows}" +: m.files.map(f => s"file=$f")).mkString("", "\n", "\n")
+    ((s"rows=${m.rows}" +: m.files.map(f => s"file=$f")) ++
+      (if (m.base) Seq("base=true") else Nil)).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
     val kv = s.linesIterator.filter(_.nonEmpty).map { line =>
@@ -287,7 +347,8 @@ object TxParquetSink {
     Manifest(
       kv.collectFirst { case ("rows", v) => v.toLong }
         .getOrElse(throw new IllegalArgumentException("manifest missing rows=")),
-      kv.collect { case ("file", v) => v })
+      kv.collect { case ("file", v) => v },
+      kv.collectFirst { case ("base", v) => v.toBoolean }.getOrElse(false))
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -3124,4 +3124,80 @@ object ExtOracleSql {
        |       CAST(doc_id = cluster AS BOOLEAN) AS is_keeper
        |FROM cl JOIN sz USING (cluster)
        |ORDER BY doc_id""".stripMargin
+
+  /** Decayed top-k twin: the halving fold unrolled per batch (s//2 and
+    * Spark's div truncate identically), zero-drop filter included,
+    * QUALIFY rank ≤ k per emission. */
+  val streamDecayedTopk: String = {
+    val nB = SketchOps.ReplayBatches
+    val k = SketchOps.DecayK
+    val folds = (0 until nB).map { b =>
+      val cnt =
+        s"""c$b AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           |        FROM wb WHERE batch = $b GROUP BY term)""".stripMargin
+      val st =
+        if (b == 0) s"s0 AS MATERIALIZED (SELECT term, c AS s FROM c0)"
+        else
+          s"""s$b AS MATERIALIZED (
+             |  SELECT coalesce(p.term, c.term) AS term,
+             |         coalesce(p.s // 2, 0) + coalesce(c.c, 0) AS s
+             |  FROM s${b - 1} p FULL OUTER JOIN c$b c ON p.term = c.term
+             |  WHERE coalesce(p.s // 2, 0) + coalesce(c.c, 0) > 0
+             |)""".stripMargin
+      s"$cnt,\n$st"
+    }.mkString(",\n")
+    val emits = (0 until nB).map { b =>
+      s"""SELECT $b AS batch,
+         |  CAST(row_number() OVER (ORDER BY s DESC, term) AS INT) AS rank,
+         |  term, s
+         |FROM s$b
+         |QUALIFY row_number() OVER (ORDER BY s DESC, term) <= $k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |bsz AS (SELECT (max(doc_id) + $nB) // $nB AS bs FROM documents),
+       |wb AS (
+       |  SELECT CAST(doc_id // (SELECT bs FROM bsz) AS INT) AS batch,
+       |         unnest(ws) AS term
+       |  FROM w0
+       |),
+       |$folds
+       |$emits
+       |ORDER BY batch, rank""".stripMargin
+  }
+
+  /** Embedding-outlier twin: own-label centroid distance only, same
+    * quantization chain as the centroid-eval twin, bounded top-k. */
+  val embedOutliers: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, v ->
+       |      CAST(floor(CAST(v AS DOUBLE) * ${VectorOps.CentroidQuant}) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |coords AS (
+       |  SELECT label, i, q[i] AS v
+       |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i)
+       |),
+       |cm AS (
+       |  SELECT label, i,
+       |         CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+       |  FROM coords GROUP BY 1, 2
+       |),
+       |cents AS (SELECT label, list(c ORDER BY i) AS cv FROM cm GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(e.q, c.cv),
+       |        zo -> (zo[1] - zo[2]) * (zo[1] - zo[2]))),
+       |      (ao, vo) -> ao + vo) AS d2
+       |  FROM e JOIN cents c USING (label)
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS INT) AS rank,
+       |       vec_id, label, d2
+       |FROM scored
+       |ORDER BY d2 DESC, vec_id
+       |LIMIT ${VectorOps.OutlierK}""".stripMargin
 }

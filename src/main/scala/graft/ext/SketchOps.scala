@@ -417,4 +417,52 @@ object SketchOps {
     }
     perPair.reduce(_ unionByName _).orderBy("rel")
   }
+
+  /** Top-k size for [[decayedTopkReplay]] — shared with the oracle. */
+  val DecayK = 10
+
+  /** Exponentially-DECAYED heavy hitters over a replayed stream — the
+    * "trending now" query, where a term that stopped occurring must
+    * fall off the board instead of squatting on its lifetime count
+    * (the failure mode of the plain CMS top-k): per batch the state
+    * halves (s ← ⌊s/2⌋ + batch count — integer halving is the
+    * transcendental-free exponential decay, and both engines truncate
+    * identically) and the per-batch top-k is emitted. Terms decayed to
+    * zero DROP from the state — the state table is bounded by the
+    * recently-active vocabulary, not the corpus lifetime, which is the
+    * operator's whole scale story.
+    *
+    * Shape per batch: one batch-sliced count aggregate, one
+    * vocabulary-keyed full-outer merge (the token-bucket/CMS replay
+    * discipline — the identical fold a `foreachBatch` sink would run),
+    * state localCheckpoint-bounded, one bounded TakeOrdered emission. */
+  def decayedTopkReplay(spark: SparkSession, dir: String,
+      nBatches: Int = ReplayBatches, k: Int = DecayK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextOps.docs(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val batchSize = (maxId + nBatches) / nBatches
+    val wordsB = TextOps.withWords(docs)
+      .select(expr(s"CAST(doc_id DIV $batchSize AS INT)").as("batch"),
+        explode(col("ws")).as("term"))
+    var state: DataFrame = null
+    val emissions = (0 until nBatches).map { b =>
+      val inc = wordsB.where(col("batch") === b)
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      state = {
+        if (state == null) inc.select(col("term"), col("c").as("s"))
+        else state.select(col("term"), expr("s div 2").as("sd"))
+          .join(inc, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("sd"), lit(0L)) + coalesce(col("c"), lit(0L))).as("s"))
+      }.where(col("s") > 0).localCheckpoint(eager = true)
+      state.orderBy(col("s").desc, col("term")).limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("s").desc, col("term"))))
+        .withColumn("batch", lit(b))
+    }
+    emissions.reduce(_ unionByName _)
+      .select("batch", "rank", "term", "s")
+      .orderBy("batch", "rank")
+  }
 }

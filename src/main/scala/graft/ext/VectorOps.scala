@@ -103,6 +103,44 @@ object VectorOps {
       .orderBy("label", "predicted")
   }
 
+  /** Top-k for [[embedOutliers]] — shared with the oracle twin. */
+  val OutlierK = 20
+
+  /** EMBEDDING OUTLIERS — the label-noise / anomaly screen a labeled
+    * embedding set runs before training (Northcutt-style confident
+    * cleaning starts exactly here): the k vectors FARTHEST from their
+    * own label's centroid, under the same exact integer quantization
+    * and floored centroids as [[centroidEval]] — mislabeled points,
+    * out-of-distribution rows, and encoder glitches all surface at the
+    * top of this list. Own-label join only (label-keyed equi-join,
+    * never the cross join — the eval needs all centroids, the outlier
+    * screen needs one), integer d², bounded TakeOrdered. */
+  def embedOutliers(spark: SparkSession, dir: String,
+      k: Int = OutlierK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = SimilarityOps.embeddings(spark, dir).withColumn("q",
+      expr(s"transform(embedding, v -> " +
+        s"CAST(floor(CAST(v AS DOUBLE) * $CentroidQuant) AS BIGINT))"))
+    val cents = e
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
+        .as("cv"))
+    e.join(broadcast(cents), "label")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("d2").desc, col("vec_id"))))
+      .select("rank", "vec_id", "label", "d2")
+      .orderBy("rank")
+  }
+
   /** Squared L2 distance between an int-array column and a double-array
     * centroid column: strict left fold, bit-identical cross-engine. */
   private def dist2(q: String, cv: String): Column = expr(

@@ -577,4 +577,34 @@ object OracleSql {
       |HAVING count(*) >= 2
       |ORDER BY support DESC, p1, p2, p3
       |LIMIT 50""".stripMargin)
+
+  /** Q30 twin: same data-derived year pair, zero-filled full outer,
+    * exact deltas, bounded rank window. */
+  val q30: String = star(
+    """, yearly AS (
+      |  SELECT CAST(year(time_id) AS INT) AS year, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |ym AS (SELECT max(year) AS ym FROM yearly),
+      |cur AS (SELECT store_id, cents AS rev_cur FROM yearly, ym
+      |        WHERE year = ym),
+      |prev AS (SELECT store_id, cents AS rev_prev FROM yearly, ym
+      |         WHERE year = ym - 1),
+      |j AS (
+      |  SELECT coalesce(cur.store_id, prev.store_id) AS store_id,
+      |         coalesce(rev_prev, 0) AS rev_prev_cents,
+      |         coalesce(rev_cur, 0) AS rev_cur_cents,
+      |         coalesce(rev_cur, 0) - coalesce(rev_prev, 0) AS delta_cents
+      |  FROM cur FULL OUTER JOIN prev ON cur.store_id = prev.store_id
+      |),
+      |tot AS (SELECT CAST(sum(delta_cents) AS BIGINT) AS total_delta FROM j)
+      |SELECT CAST(row_number() OVER (ORDER BY abs(delta_cents) DESC, store_id)
+      |         AS INT) AS rank,
+      |       store_id, rev_prev_cents, rev_cur_cents, delta_cents,
+      |       CASE WHEN total_delta = 0 THEN CAST(0 AS DOUBLE)
+      |            ELSE CAST(delta_cents AS DOUBLE) / CAST(total_delta AS DOUBLE)
+      |       END AS share_of_delta
+      |FROM j, tot
+      |ORDER BY rank""".stripMargin)
 }

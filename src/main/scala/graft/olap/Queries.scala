@@ -943,6 +943,45 @@ object Queries {
       .orderBy("price_cents", "product_id")
   }
 
+  /** Q30 — year-over-year revenue WATERFALL: the latest year's total
+    * delta vs the year before, decomposed per store (the "where did
+    * the change come from" bridge chart every revenue review opens
+    * with). The year pair is data-derived (max year and its
+    * predecessor); stores missing from either side zero-fill rather
+    * than vanish — an exited store IS a negative contribution. Deltas
+    * are exact integer cents; the one double is each store's share of
+    * the total delta. The rank window is over the store dimension
+    * (≤ |stores| rows — the Q2-literal bounded-window precedent), so
+    * nothing fact-sized is ever sorted. */
+  def q30Waterfall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val yearly = Star.salesFact(spark, dir)
+      .groupBy(expr("CAST(year(time_id) AS INT)").as("year"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val ymax = yearly.agg(max("year").as("ym"))
+    val sliced = yearly.crossJoin(broadcast(ymax))
+      .where(col("year") >= col("ym") - 1)
+    val cur = sliced.where(col("year") === col("ym"))
+      .select(col("store_id"), col("cents").as("rev_cur"))
+    val prev = sliced.where(col("year") === col("ym") - 1)
+      .select(col("store_id"), col("cents").as("rev_prev"))
+    val joined = cur.join(prev, Seq("store_id"), "full_outer")
+      .select(col("store_id"),
+        coalesce(col("rev_prev"), lit(0L)).as("rev_prev_cents"),
+        coalesce(col("rev_cur"), lit(0L)).as("rev_cur_cents"))
+      .withColumn("delta_cents", col("rev_cur_cents") - col("rev_prev_cents"))
+    val total = joined.agg(sum("delta_cents").as("total_delta"))
+    joined.crossJoin(broadcast(total))
+      .withColumn("share_of_delta", expr(
+        "CASE WHEN total_delta = 0 THEN CAST(0 AS DOUBLE) " +
+          "ELSE CAST(delta_cents AS DOUBLE) / CAST(total_delta AS DOUBLE) END"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("delta_cents")).desc, col("store_id"))))
+      .select("rank", "store_id", "rev_prev_cents", "rev_cur_cents",
+        "delta_cents", "share_of_delta")
+      .orderBy("rank")
+  }
+
   /** Q29 — top-k frequent 3-itemsets by exact support, completing the
     * basket-mining ladder (pair counts → association rules Q27 →
     * triangles → triples): which product TRIOS reliably sell together.

@@ -185,5 +185,45 @@ class TxSinkSpec extends SparkSpec {
   test("manifest codec round-trips") {
     val m = TxParquetSink.Manifest(42L, Seq("data/tx-a", "data/tx-b"))
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+    val b = TxParquetSink.Manifest(7L, Seq("data/tx-c"), base = true)
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(b)) == b)
+  }
+
+  test("compaction: one-base snapshot equality, time travel intact, appends continue") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "A", "P2" -> "B"), keys, order)
+    t.mergeUpsert(spark, batch("P3" -> "C"), keys, order)
+    t.mergeUpsert(spark, batch("P4" -> "D"), keys, order)
+    val preKeys = keySet(t)
+    val preTip = t.version()
+    val v = t.compact(spark)
+    assert(v == preTip + 1)
+    assert(keySet(t) == preKeys) // snapshot unchanged by the rewrite
+    // the effective snapshot now reads ONE directory
+    val eff = t.commits().filter(_._1 == v)
+    assert(eff.head._2.base && eff.head._2.files.size == 1)
+    // time travel to a pre-compaction version still sees the old prefix
+    assert(t.readVersion(spark, 0L).get.select("product_id")
+      .as[String].collect().sorted.toSeq == Seq("P1", "P2"))
+    // post-compaction merges keep de-duplicating against the base
+    val n = t.mergeUpsert(spark, batch("P1" -> "Replay", "P5" -> "E"), keys, order)
+    assert(n == 1 && keySet(t) == preKeys :+ "P5")
+  }
+
+  test("compaction racing a writer retries and never hides the interleaved commit") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "A"), keys, order)
+    var fired = false
+    val v = t.compact(spark, beforePublish = () => {
+      if (!fired) { // the interleaved writer lands between stage and publish
+        fired = true
+        t.mergeUpsert(spark, batch("P9" -> "Interleaved"), keys, order)
+      }
+    })
+    assert(fired)
+    // the retried base INCLUDES the racing commit's row
+    assert(keySet(t) == Seq("P1", "P9"))
+    val base = t.commits().filter(_._1 == v).head._2
+    assert(base.base && base.rows == 2L)
   }
 }
