@@ -141,7 +141,18 @@ object DedupOps {
     * Verification is per-pair `array_intersect` against the cached per-doc
     * arrays, not a shingle-expansion join. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      maxDf: Long = 10000L): DataFrame = {
+      maxDf: Long = 10000L): DataFrame =
+    // session-cached like the LSH verified pairs (same rationale: the
+    // threshold curve sweeps this table through TWO aggregates and the
+    // recall audit reads it as ground truth — uncached, each reference
+    // re-runs candidates + verify; measured 13.7 s → ~4 s for the curve)
+    graft.util.SessionCache.getOrBuild(spark,
+      s"dedup|$dir|jaccard_pairs|$threshold|$maxDf") {
+      jaccardPairsUncached(spark, dir, threshold, maxDf)
+    }
+
+  private def jaccardPairsUncached(spark: SparkSession, dir: String,
+      threshold: Double, maxDf: Long): DataFrame = {
     val docs = jaccardDocTable(spark, dir, maxDf)
     jaccardCandidates(spark, dir, threshold, maxDf)
       .join(docs.select(col("doc_id"), col("n").as("na"), col("ord").as("oa")), col("doc_a") === col("doc_id"))
