@@ -125,6 +125,48 @@ object EtlOracleSql {
       |FROM chg
       |ORDER BY customer_id, valid_from""".stripMargin
 
+  /** SCD2-audit twin: the history twin as a subquery under the same
+    * lead-window chain checks. */
+  val scd2Audit: String =
+    s"""WITH hist AS (
+       |$scd2Customer
+       |),
+       |walked AS (
+       |  SELECT customer_id, valid_from, valid_to, is_current,
+       |    lead(valid_from) OVER (PARTITION BY customer_id
+       |      ORDER BY valid_from) AS nxt_from
+       |  FROM hist
+       |)
+       |SELECT customer_id, CAST(count(*) AS BIGINT) AS n_versions,
+       |  CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_current,
+       |  CAST(sum(CASE WHEN nxt_from IS NOT NULL AND valid_to IS NOT NULL
+       |       AND valid_to < nxt_from THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       |  CAST(sum(CASE WHEN nxt_from IS NOT NULL AND valid_to IS NOT NULL
+       |       AND valid_to > nxt_from THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlaps,
+       |  CAST(sum(CASE WHEN nxt_from IS NOT NULL AND valid_to IS NULL
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+       |  sum(CASE WHEN is_current THEN 1 ELSE 0 END) = 1
+       |    AND sum(CASE WHEN nxt_from IS NOT NULL AND valid_to IS NOT NULL
+       |            AND valid_to < nxt_from THEN 1 ELSE 0 END) = 0
+       |    AND sum(CASE WHEN nxt_from IS NOT NULL AND valid_to IS NOT NULL
+       |            AND valid_to > nxt_from THEN 1 ELSE 0 END) = 0
+       |    AND sum(CASE WHEN nxt_from IS NOT NULL AND valid_to IS NULL
+       |            THEN 1 ELSE 0 END) = 0 AS chain_ok
+       |FROM walked
+       |GROUP BY customer_id
+       |ORDER BY customer_id""".stripMargin
+
+  /** Salted-join twin: the PLAIN equi-join — hash equality against the
+    * engine's salted plan is the semantics-preservation theorem. */
+  val saltedJoinCounts: String =
+    """SELECT c.c_mktsegment AS segment, e.event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Point-in-time twin: the same history fixture at the 1996/1998
     * dates, left-joined with the half-open interval predicate — each
     * order binds at most one version; pre-history orders keep NULLs. */

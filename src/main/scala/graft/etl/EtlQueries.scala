@@ -944,6 +944,68 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** SCD2 INTERVAL-CHAIN AUDIT — the data-quality check every
+    * slowly-changing dimension needs before anyone trusts a
+    * point-in-time join: per entity, do the version intervals chain
+    * cleanly (each closed version's valid_to equals the next
+    * valid_from — no gaps, no overlaps), is exactly one version open,
+    * and is the open one last? A broken chain makes [[scd2PointInTime]]
+    * silently bind zero or two versions — this surfaces it as a loud
+    * audit row instead. Shape: one entity-partitioned lead window over
+    * the (entity-bounded) history table, one per-entity aggregate. */
+  def scd2Audit(spark: SparkSession, dir: String): DataFrame =
+    scd2AuditOf(scd2Customer(spark, dir))
+
+  /** The audit kernel over an arbitrary
+    * `(customer_id, valid_from, valid_to, is_current)` history — the
+    * fixture path for the spec. */
+  def scd2AuditOf(history: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("customer_id").orderBy("valid_from")
+    history
+      .withColumn("nxt_from", lead("valid_from", 1).over(w))
+      .withColumn("gap",
+        when(col("nxt_from").isNotNull && col("valid_to").isNotNull &&
+          col("valid_to") < col("nxt_from"), 1L).otherwise(0L))
+      .withColumn("overlap",
+        when(col("nxt_from").isNotNull && col("valid_to").isNotNull &&
+          col("valid_to") > col("nxt_from"), 1L).otherwise(0L))
+      // an open interval with a SUCCESSOR shadows every later version
+      .withColumn("dangling",
+        when(col("nxt_from").isNotNull && col("valid_to").isNull, 1L)
+          .otherwise(0L))
+      .groupBy("customer_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        sum("gap").as("n_gaps"),
+        sum("overlap").as("n_overlaps"),
+        sum("dangling").as("n_dangling"))
+      .withColumn("chain_ok",
+        col("n_current") === 1L && col("n_gaps") === 0L &&
+          col("n_overlaps") === 0L && col("n_dangling") === 0L)
+      .orderBy("customer_id")
+  }
+
+  /** SALTED-JOIN EQUIVALENCE — the skew-mitigation rewrite as an
+    * oracle row: the engine runs [[Skew.saltedEquiJoin]] (left rows
+    * scattered across salt buckets, the small right side replicated
+    * `factor`×) and aggregates; the DuckDB twin runs the PLAIN join.
+    * Hash equality is the theorem that salting is semantics-preserving
+    * — the property every skew mitigation silently relies on, here
+    * checked on real data every round. The aggregate (events per
+    * segment × event type) is salt-invariant by construction; the
+    * random salt routes rows, never changes them. */
+  def saltedJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Star.events(spark, dir).select("user_id", "event_type")
+    val cust = Star.table(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    Skew.saltedEquiJoin(ev, cust, "user_id")
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("segment", "event_type")
+  }
+
   /** CUSUM changepoint detection — per store, the month where the
     * cumulative deviation of monthly revenue from the store's own mean
     * peaks (Page '54's cumulative-sum chart, the offline single-

@@ -3200,4 +3200,45 @@ object ExtOracleSql {
        |FROM scored
        |ORDER BY d2 DESC, vec_id
        |LIMIT ${VectorOps.OutlierK}""".stripMargin
+
+  /** Lang-confusion twin: the langId twin as a subquery, one cell
+    * aggregate + marginal, identical ppm division. */
+  val langConfusion: String =
+    s"""WITH preds AS (
+       |$langId
+       |),
+       |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |          FROM preds GROUP BY 1, 2),
+       |marg AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_total
+       |         FROM cells GROUP BY lang)
+       |SELECT c.lang, c.pred_lang, c.n,
+       |       c.lang = c.pred_lang AS correct,
+       |       (${TextOps.Ppm} * c.n) // m.row_total AS class_share_ppm
+       |FROM cells c JOIN marg m ON c.lang = m.lang
+       |ORDER BY c.lang, c.pred_lang""".stripMargin
+
+  /** Filtered-ANN twin: same predicate-before-scoring semantics,
+    * rn ≤ k per query within the label slice. */
+  val simFiltered: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${dot("embedding", "embedding", "sf")}) AS norm
+       |  FROM embeddings
+       |),
+       |q AS (SELECT vec_id AS query_id, label AS qlabel,
+       |             embedding AS qv, norm AS qn
+       |      FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel AS label, c.vec_id AS neighbor_id,
+       |    ${dot("q.qv", "c.embedding", "cf")} / (q.qn * c.norm) AS cos
+       |  FROM e c JOIN q ON c.vec_id <> q.query_id AND c.label = q.qlabel
+       |)
+       |SELECT query_id, label,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+       |  neighbor_id, cos AS score
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id ASC) <= 3
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -115,6 +115,32 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED vector search — top-k UNDER A PREDICATE (here: the
+    * query's own label — "similar items in the same category"), the
+    * operation every vector deployment discovers it needs the day a
+    * metadata filter arrives. The filter applies BEFORE scoring
+    * (pre-filtering): post-filtering a plain top-k silently returns
+    * < k (or zero) rows when the predicate is selective — the classic
+    * filtered-ANN bug this operator's semantics exclude by
+    * construction. Shape: identical to [[bruteForceTopK]] with the
+    * predicate fused into the candidate join — the filter PRUNES work
+    * instead of adding a stage; an IVF variant would carry the same
+    * predicate into the probed cells. */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 8): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .withColumn("cos", expr(cosExpr("qv", "embedding", "qn", "norm")))
+    topKPerGroup(scored, col("query_id"), Seq("label" -> col("qlabel")),
+      col("cos"), col("vec_id"), k)
+      .select("query_id", "label", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN quality measurement — recall@k of the IVF index against the
     * brute-force ground truth over a bounded query set: per query,
     * how many of the true top-k the approximate search returned. This

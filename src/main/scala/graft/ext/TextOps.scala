@@ -177,6 +177,25 @@ object TextOps {
       .select("doc_id", "lang", "pred_lang")
       .orderBy("doc_id")
 
+  /** Language-ID CONFUSION MATRIX — the classifier evaluation beside
+    * the per-doc assignment ([[langId]]): per (true, predicted) cell
+    * the count, correctness flag, and the cell's share of its true
+    * class in exact ppm (the per-class recall decomposition — integer
+    * ⌊10⁶·n/row_total⌋, never a float ratio). One aggregate over the
+    * per-row predictions plus a true-class marginal join; output
+    * bounded by the language-domain square. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = withPredLang(withWords(docs(spark, dir)))
+      .select(col("lang"), col("pred_lang"))
+    val cells = preds.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val marg = cells.groupBy("lang").agg(sum("n").as("row_total"))
+    cells.join(broadcast(marg), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("lang") === col("pred_lang")).as("correct"),
+        expr(s"($Ppm * n) div row_total").as("class_share_ppm"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Corpus length-distribution statistics per (lang, source): counts,
     * range, exact quartiles, and mean. `percentile` (Spark) and
     * `quantile_cont` (DuckDB) share linear-interpolation semantics, so
