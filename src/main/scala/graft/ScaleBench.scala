@@ -69,7 +69,10 @@ object ScaleBench {
     // — trivially linear, not worth a slot)
     "q29_itemsets3", "ext_dedup_curve", "ext_embed_centroid_eval",
     // round-7 eighth leg
-    "ext_dedup_lsh_recall", "etl_abc_migration", "ext_bootstrap_means")
+    "ext_dedup_lsh_recall", "etl_abc_migration", "ext_bootstrap_means",
+    // round-7 legs 9-11 (the corpus-/fact-sized ones)
+    "ext_media_clusters", "ext_chunk_stitch", "stream_decayed_topk",
+    "etl_salted_join", "q30_waterfall")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
