@@ -436,6 +436,22 @@ object SketchOps {
     * vocabulary-keyed full-outer merge (the token-bucket/CMS replay
     * discipline — the identical fold a `foreachBatch` sink would run),
     * state localCheckpoint-bounded, one bounded TakeOrdered emission. */
+  /** One decay round: halve the carried state, add the batch counts,
+    * drop the zero-decayed — the SHARED kernel the replay folds and a
+    * real `foreachBatch` sink runs verbatim (the rateLimit/CMS twin
+    * discipline: the oracle then checks the real streaming logic, not
+    * a parallel reimplementation). `state` may be null (first batch);
+    * `inc` is the batch's `(term, c)` counts. */
+  def decayStep(state: DataFrame, inc: DataFrame): DataFrame = {
+    val next =
+      if (state == null) inc.select(col("term"), col("c").as("s"))
+      else state.select(col("term"), expr("s div 2").as("sd"))
+        .join(inc, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("sd"), lit(0L)) + coalesce(col("c"), lit(0L))).as("s"))
+    next.where(col("s") > 0)
+  }
+
   def decayedTopkReplay(spark: SparkSession, dir: String,
       nBatches: Int = ReplayBatches, k: Int = DecayK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -449,13 +465,7 @@ object SketchOps {
     val emissions = (0 until nBatches).map { b =>
       val inc = wordsB.where(col("batch") === b)
         .groupBy("term").agg(count(lit(1)).as("c"))
-      state = {
-        if (state == null) inc.select(col("term"), col("c").as("s"))
-        else state.select(col("term"), expr("s div 2").as("sd"))
-          .join(inc, Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("sd"), lit(0L)) + coalesce(col("c"), lit(0L))).as("s"))
-      }.where(col("s") > 0).localCheckpoint(eager = true)
+      state = decayStep(state, inc).localCheckpoint(eager = true)
       state.orderBy(col("s").desc, col("term")).limit(k)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("s").desc, col("term"))))
