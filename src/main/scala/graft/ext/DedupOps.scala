@@ -601,6 +601,40 @@ object DedupOps {
       .orderBy("tau")
   }
 
+  /** LEXICAL ↔ SEMANTIC dedup VENN — how much the two near-dup
+    * families overlap on real data: lexical pairs (word-shingle
+    * Jaccard ≥ 0.5, the lossless PPJoin set over documents) against
+    * semantic pairs ([[graft.ext.VectorOps.semanticDedup]]'s
+    * embedding-cosine set over the vector table) with both axes
+    * counted: both / lexical-only / semantic-only. Paraphrases land
+    * semantic-only, boilerplate-with-token-churn lexical-only — the
+    * split that decides whether a pipeline needs both passes or one.
+    * Doc and vector ids share the synthetic id space, so the
+    * comparison joins on the pair key directly. One full-outer join of
+    * two session-cached pair tables + one 3-row aggregate. */
+  def dedupVenn(spark: SparkSession, dir: String): DataFrame = {
+    val lex = jaccardPairs(spark, dir, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b")).withColumn("in_lex", lit(1))
+    // the same cell-bounded cosine pairs semanticDedup aggregates into
+    // its per-vector verdicts, kept at the PAIR grain and canonical
+    val cells = VectorOps.kmeansAssign(spark, dir, nProbe = 2)
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+    val sem = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(expr(SimilarityOps.cosExpr("a.embedding", "b.embedding",
+        "a.norm", "b.norm")) >= lit(VectorOps.SemTau))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .withColumn("in_sem", lit(1))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(col("in_lex").isNotNull && col("in_sem").isNotNull, "both")
+          .when(col("in_lex").isNotNull, "lexical_only")
+          .otherwise("semantic_only").as("family"))
+      .groupBy("family").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("family")
+  }
+
   /** LSH RECALL AUDIT — what the banding sketch actually catches, by
     * similarity band: ground truth is the LOSSLESS PPJoin pair set at
     * τ = 0.5 ([[jaccardPairs]] — prefix filtering provably drops no

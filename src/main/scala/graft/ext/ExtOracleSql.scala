@@ -3241,4 +3241,83 @@ object ExtOracleSql {
        |QUALIFY row_number() OVER (PARTITION BY query_id
        |  ORDER BY cos DESC, neighbor_id ASC) <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Pack-stats twin: the packSequences twin as a subquery under one
+    * aggregate, identical ppm utilization. */
+  val packStats: String =
+    s"""WITH layout AS (
+       |$packSequences
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(max(pack_last) + 1 AS BIGINT) AS n_packs,
+       |  CAST(sum(CASE WHEN packs_spanned > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_crossing,
+       |  CAST(sum(packs_spanned - 1) AS BIGINT) AS boundary_crossings,
+       |  (1000000 * CAST(sum(n_tokens) AS BIGINT))
+       |    // (CAST(max(pack_last) + 1 AS BIGINT) * ${PackOps.DefaultBudget})
+       |    AS utilization_ppm
+       |FROM layout""".stripMargin
+
+  /** Vocab-growth twin: first-occurrence reduction + bucket histogram
+    * + running sum over the bucket grid. */
+  val vocabGrowth: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |b AS (SELECT max(doc_id) AS max_id FROM documents),
+       |fs AS (
+       |  SELECT t, min(doc_id) AS first_doc
+       |  FROM (SELECT DISTINCT doc_id, unnest(ws) AS t FROM w)
+       |  GROUP BY t
+       |),
+       |pb AS (
+       |  SELECT CAST(least(${TextOps.GrowthBuckets - 1},
+       |           (first_doc * ${TextOps.GrowthBuckets}) // (max_id + 1))
+       |         AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS new_terms
+       |  FROM fs, b GROUP BY 1
+       |),
+       |grid AS (SELECT CAST(g AS INT) AS bucket
+       |         FROM (SELECT unnest(generate_series(0,
+       |           ${TextOps.GrowthBuckets - 1})) AS g))
+       |SELECT grid.bucket, coalesce(pb.new_terms, 0) AS new_terms,
+       |  CAST(sum(coalesce(pb.new_terms, 0)) OVER (ORDER BY grid.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS vocab_size
+       |FROM grid LEFT JOIN pb ON grid.bucket = pb.bucket
+       |ORDER BY grid.bucket""".stripMargin
+
+  /** Venn twin: the shared shingle/jaccard chains for the lexical
+    * side, the shared trained-cells chain for the semantic pairs
+    * (no CTE-name collisions across the three), one full outer, one
+    * 3-row aggregate. */
+  val dedupVenn: String =
+    s"""$shingleBase,
+       |$jaccardTail,
+       |$trainedCellsCte,
+       |lex AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+       |),
+       |sem AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dot("a.embedding", "b.embedding", "vn")} / (a.norm * b.norm)
+       |        >= ${VectorOps.SemTau}
+       |)
+       |SELECT family, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+       |  SELECT CASE
+       |    WHEN l.doc_a IS NOT NULL AND s2.doc_a IS NOT NULL THEN 'both'
+       |    WHEN l.doc_a IS NOT NULL THEN 'lexical_only'
+       |    ELSE 'semantic_only' END AS family
+       |  FROM lex l FULL OUTER JOIN sem s2
+       |    ON l.doc_a = s2.doc_a AND l.doc_b = s2.doc_b
+       |)
+       |GROUP BY family
+       |ORDER BY family""".stripMargin
 }

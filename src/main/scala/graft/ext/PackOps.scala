@@ -150,4 +150,24 @@ object PackOps {
     local.join(broadcast(offsets), "bucket")
       .withColumn("global_before", col("bucket_offset") + col("local_before"))
   }
+
+  /** PACKING EFFICIENCY report — the one-row answer to "did the pack
+    * pass work": pack count, exact utilization of the claimed packs in
+    * ppm (total tokens over packs × budget — the tail pack's slack is
+    * the only waste in contiguous packing), documents crossing a pack
+    * boundary and total boundary crossings (what a
+    * truncate-at-boundary trainer would cut). One aggregate over the
+    * [[packSequences]] layout; all-integer except nothing — even the
+    * utilization is a ppm integer. */
+  def packStats(spark: SparkSession, dir: String,
+      budget: Int = DefaultBudget): DataFrame =
+    packSequences(spark, dir, budget)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("pack_last") + 1).as("n_packs"),
+        sum(when(col("packs_spanned") > 1, 1L).otherwise(0L))
+          .as("docs_crossing"),
+        sum(col("packs_spanned") - 1).as("boundary_crossings"))
+      .withColumn("utilization_ppm",
+        expr(s"(1000000 * total_tokens) div (n_packs * $budget)"))
 }

@@ -855,6 +855,39 @@ object TextOps {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Ingestion-order bucket count for [[vocabGrowth]] — shared with
+    * the oracle twin. */
+  val GrowthBuckets = 10
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law empirically): distinct terms
+    * seen after each tenth of the corpus in doc_id (ingestion) order —
+    * the curve that says whether a tokenizer's vocab or a dedup pass's
+    * index will keep growing or is saturating. A term counts at its
+    * FIRST document (min doc_id — the cumulativeReach first-occurrence
+    * reduction applied to the vocabulary), so the whole curve is one
+    * vocabulary-sized aggregate + a bucket histogram + a running sum
+    * over [[GrowthBuckets]] rows — the corpus is scanned once and no
+    * prefix is ever re-scanned. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withWords(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+    val bounds = d.agg(max("doc_id").as("max_id"))
+    val firstSeen = d.select(col("doc_id"), explode(array_distinct(col("ws"))).as("t"))
+      .groupBy("t").agg(min("doc_id").as("first_doc"))
+    val perBucket = firstSeen.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"CAST(least(${GrowthBuckets - 1}, " +
+          s"(first_doc * $GrowthBuckets) div (max_id + 1)) AS INT)"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    spark.range(GrowthBuckets).select(col("id").cast("int").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("vocab_size", sum("new_terms").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("bucket")
+  }
+
   /** Document-frequency floor for [[termDrift]] (χ² validity needs
     * expected cell counts ≥ ~5) — shared with the oracle twin. */
   val DriftMinDf = 5
