@@ -125,6 +125,72 @@ object EtlOracleSql {
       |FROM chg
       |ORDER BY customer_id, valid_from""".stripMargin
 
+  /** Seasonal-HHI twin: identical twice-floored quantized shares and
+    * the rn=1 peak pick. */
+  val seasonalHhi: String = star(
+    """, monthly AS (
+      |  SELECT store_id, CAST(month(time_id) AS INT) AS month,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |tot AS (SELECT store_id, CAST(sum(cents) AS BIGINT) AS total_cents
+      |        FROM monthly GROUP BY store_id),
+      |shares AS (
+      |  SELECT m.store_id, m.month, m.cents, t.total_cents,
+      |         (1000000 * m.cents) // t.total_cents AS share_ppm
+      |  FROM monthly m JOIN tot t USING (store_id)
+      |),
+      |agg AS (
+      |  SELECT store_id, count(*) AS n_months,
+      |    CAST(max(total_cents) AS BIGINT) AS total_cents,
+      |    CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm
+      |  FROM shares GROUP BY store_id
+      |),
+      |peak AS (
+      |  SELECT store_id, month AS peak_month, cents AS peak_cents
+      |  FROM monthly
+      |  QUALIFY row_number() OVER (PARTITION BY store_id
+      |    ORDER BY cents DESC, month ASC) = 1
+      |)
+      |SELECT a.store_id, a.n_months, a.total_cents, a.hhi_ppm,
+      |  p.peak_month, p.peak_cents
+      |FROM agg a JOIN peak p ON a.store_id = p.store_id
+      |ORDER BY a.store_id""".stripMargin)
+
+  /** Outage twin: per-type distinct active minutes, spine via
+    * generate_series, anti-join, minute islanding, threshold. */
+  val outageWindows: String =
+    s"""WITH minutes AS (
+       |  SELECT DISTINCT event_type,
+       |    date_diff('minute', TIMESTAMP '1970-01-01 00:00:00', ts) AS m
+       |  FROM events
+       |),
+       |spine AS (
+       |  SELECT event_type, CAST(g AS BIGINT) AS m
+       |  FROM (SELECT event_type, min(m) AS m0, max(m) AS m1
+       |        FROM minutes GROUP BY event_type),
+       |       LATERAL (SELECT unnest(generate_series(m0, m1)) AS g)
+       |),
+       |dark AS (
+       |  SELECT s.event_type, s.m FROM spine s
+       |  LEFT JOIN minutes x ON s.event_type = x.event_type AND s.m = x.m
+       |  WHERE x.m IS NULL
+       |),
+       |isl AS (
+       |  SELECT event_type, m,
+       |    m - row_number() OVER (PARTITION BY event_type ORDER BY m) AS grp
+       |  FROM dark
+       |)
+       |SELECT event_type,
+       |  make_timestamp(min(m) * 60 * 1000000) AS outage_start,
+       |  make_timestamp((max(m) + 1) * 60 * 1000000) AS outage_end,
+       |  CAST(count(*) AS BIGINT) AS n_minutes
+       |FROM isl
+       |GROUP BY event_type, grp
+       |HAVING count(*) >= ${EtlQueries.OutageMinMinutes}
+       |ORDER BY event_type, outage_start""".stripMargin
+
   /** SCD2-audit twin: the history twin as a subquery under the same
     * lead-window chain checks. */
   val scd2Audit: String =

@@ -944,6 +944,83 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** SEASONAL CONCENTRATION — per store, the Herfindahl index of
+    * revenue over calendar months (Σ share², the concentration scalar
+    * [[giniConcentration]] computes over customers, here over TIME):
+    * ~10⁶/n_months = perfectly even, 10⁶ = one-month business. The
+    * index is computed from ppm-QUANTIZED shares — share_ppm =
+    * ⌊10⁶·m/T⌋ per month, hhi = ⌊Σ share_ppm²/10⁶⌋ — because the
+    * cross-multiplied form 10⁶·Σm²/T² overflows int64 at any revenue
+    * unit once stores grow (caught by ANSI at sf0.01 in dollars);
+    * quantized shares are SCALE-FREE, so the arithmetic fits at every
+    * corpus size and both engines floor identically twice. The peak
+    * month rides along as the argmax. One fact aggregate + one
+    * store-sized aggregate. */
+  def seasonalHhi(spark: SparkSession, dir: String): DataFrame =
+    seasonalHhiOf(Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        expr("CAST(month(time_id) AS INT)").as("month"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents")))
+
+  /** The concentration kernel over an arbitrary
+    * `(store_id, month, cents)` frame — the fixture path for the
+    * spec. */
+  def seasonalHhiOf(monthly: DataFrame): DataFrame = {
+    val totals = monthly.groupBy("store_id").agg(sum("cents").as("total_cents"))
+    monthly.join(totals, "store_id")
+      .withColumn("share_ppm", expr("(1000000 * cents) div total_cents"))
+      .groupBy("store_id")
+      .agg(count(lit(1)).as("n_months"),
+        max("total_cents").as("total_cents"),
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"),
+        max(struct(col("cents"), (-col("month")).as("nm"))).as("best"))
+      .select(col("store_id"), col("n_months"), col("total_cents"),
+        col("hhi_ppm"),
+        expr("CAST(-best.nm AS INT)").as("peak_month"),
+        col("best.cents").as("peak_cents"))
+      .orderBy("store_id")
+  }
+
+  /** Outage-minute threshold for [[outageWindows]] — shared with the
+    * oracle twin. */
+  val OutageMinMinutes = 30
+
+  /** EVENT-STREAM OUTAGE WINDOWS — the pipeline-health monitor: per
+    * event type, the gaps of ≥ [[OutageMinMinutes]] consecutive
+    * minutes with NO events inside the type's own active range (a
+    * silent source is an incident; this names its windows). The
+    * sweep is over DISTINCT active minutes (calendar-bounded per
+    * type, never event-grain): a minute spine per type, absent
+    * minutes islanded with the day-minus-row_number trick on the
+    * minute index. Short blips below the threshold are normal
+    * inter-arrival noise and are suppressed. */
+  def outageWindows(spark: SparkSession, dir: String): DataFrame =
+    outageWindowsOf(Star.events(spark, dir)
+      .select(col("event_type"), expr("unix_timestamp(ts) div 60").as("m"))
+      .distinct())
+
+  /** The islanding kernel over an arbitrary distinct
+    * `(event_type, m)` active-minute frame — the fixture path for the
+    * spec. */
+  def outageWindowsOf(minutes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = minutes.groupBy("event_type")
+      .agg(min("m").as("m0"), max("m").as("m1"))
+      .select(col("event_type"), explode(expr("sequence(m0, m1)")).as("m"))
+    val dark = spine.join(minutes, Seq("event_type", "m"), "left_anti")
+    val w = Window.partitionBy("event_type").orderBy("m")
+    dark
+      .withColumn("grp", col("m") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(min("m").as("ms"), max("m").as("me"), count(lit(1)).as("n_minutes"))
+      .where(col("n_minutes") >= OutageMinMinutes)
+      .select(col("event_type"),
+        expr("timestamp_seconds(ms * 60)").as("outage_start"),
+        expr("timestamp_seconds((me + 1) * 60)").as("outage_end"),
+        col("n_minutes"))
+      .orderBy("event_type", "outage_start")
+  }
+
   /** SCD2 INTERVAL-CHAIN AUDIT — the data-quality check every
     * slowly-changing dimension needs before anyone trusts a
     * point-in-time join: per entity, do the version intervals chain
