@@ -72,7 +72,10 @@ object ScaleBench {
     "ext_dedup_lsh_recall", "etl_abc_migration", "ext_bootstrap_means",
     // round-7 legs 9-11 (the corpus-/fact-sized ones)
     "ext_media_clusters", "ext_chunk_stitch", "stream_decayed_topk",
-    "etl_salted_join", "q30_waterfall")
+    "etl_salted_join", "q30_waterfall",
+    // round-7 legs 12-13
+    "ext_dedup_venn", "ext_vocab_growth", "etl_outage_windows",
+    "etl_seasonal_hhi")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
