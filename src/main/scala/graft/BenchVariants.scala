@@ -32,7 +32,55 @@ object BenchVariants {
     "etl_event_transitions" -> (eventTransitionsSelfJoin(_, _)),
     "etl_peak_open_orders" -> (peakOpenOrdersRangeWindow(_, _)),
     "q23_abc_pareto" -> (abcParetoGlobalWindow(_, _)),
-    "q06_affinity" -> (affinityAggThenName(_, _)))
+    "q06_affinity" -> (affinityAggThenName(_, _)),
+    // round-7 optimizations, frozen as their own controls
+    "etl_interval_merge" -> (intervalMergeDayExplode(_, _)),
+    "etl_ndv_profile" -> (ndvProfileCountDistinct(_, _)))
+
+  /** vs the registered sweep-line: the original day-grain
+    * explode+distinct spelling (|orders|·lead-time rows) — the 7.5 s
+    * version the sweep replaced (round-7; BASELINE third leg). */
+  def intervalMergeDayExplode(spark: SparkSession, dir: String): DataFrame = {
+    val l = Star.table(spark, dir, "lineitem")
+    val o = Star.table(spark, dir, "orders")
+    val s = Star.table(spark, dir, "supplier")
+    val iv = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_nationkey").as("store_id"), col("l_orderkey").as("order_id"))
+      .agg(to_date(min("o_orderdate")).as("d0"), to_date(max("l_shipdate")).as("d1"))
+      .withColumn("d1", greatest(col("d0"), col("d1")))
+    val cov = iv.select(col("store_id"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("store_id").orderBy("day")
+    cov
+      .withColumn("grp",
+        expr("datediff(day, DATE '1970-01-01')") - row_number().over(w))
+      .groupBy("store_id", "grp")
+      .agg(min("day").as("sd"), max("day").as("ed"), count(lit(1)).as("n_days"))
+      .select(col("store_id"), col("sd").cast("timestamp").as("start_day"),
+        col("ed").cast("timestamp").as("end_day"), col("n_days"))
+      .orderBy("store_id", "start_day")
+  }
+
+  /** vs the registered two-level aggregate: the single-aggregate
+    * countDistinct spelling whose Expand doubles and shuffles every
+    * unpivoted row (8.2 s vs 2.5 s at sf0.1 — round-7). */
+  def ndvProfileCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = graft.etl.EtlQueries.ProfileCols
+      .map { case (n, cast) => s"'$n', $cast" }.mkString(", ")
+    Star.table(spark, dir, "lineitem")
+      .select(expr(
+        s"stack(${graft.etl.EtlQueries.ProfileCols.size}, $stackArgs)" +
+          " AS (column_name, val)"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct("val").as("ndv"),
+        min("val").as("min_str"),
+        max("val").as("max_str"))
+      .orderBy("column_name")
+  }
 
   /** vs the registered `get_json_object` (path probe fused into the
     * scan): full `from_json` parse to a struct, then the same profile
