@@ -189,6 +189,36 @@ class PlanShapeSpec extends SparkSpec {
       s"etl_rfm plan re-grew broadcast-crossed 1-row aggregates:\n$rfm")
   }
 
+  test("round-7 additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // sweep-line interval merge: the day-grain explode must not come
+    // back — its signature is a `sequence(d0, d1)` generator in the
+    // plan (the sweep only ever sequences nothing; its fan-out is the
+    // two boundary rows)
+    val im = planOf("etl_interval_merge")
+    assert(!im.contains("sequence("),
+      s"etl_interval_merge regressed to the day-grain explode:\n$im")
+    // two-level NDV: a countDistinct reintroduces the Expand over the
+    // unpivoted rows (the 8.2 s vs 2.5 s spelling)
+    val ndv = planOf("etl_ndv_profile")
+    assert(!ndv.contains("Expand"),
+      s"etl_ndv_profile regressed to the countDistinct Expand:\n$ndv")
+    // the wedge/pair joins of the leg additions stay keyed.
+    // ext_text_lm_score is exempt from the BNLJ ban ONLY: its one BNLJ
+    // is the broadcast 1-ROW vocab scalar riding the plan (the
+    // termDrift bounded-aggregate pattern) — the cartesian ban still
+    // applies.
+    for (q <- Seq("ext_graph_linkpred", "ext_graph_bfs",
+        "ext_dedup_weighted_jaccard", "ext_media_clusters",
+        "ext_text_lm_score", "q29_itemsets3")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "ext_text_lm_score")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an all-pairs join:\n$p")
+    }
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)
