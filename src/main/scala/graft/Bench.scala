@@ -40,6 +40,10 @@ object Bench {
     // scan + top-k only)
     "pq" -> Seq(
       "pq_codes" -> (() => graft.ext.VectorOps.pqCodes(spark, sfDir).count(): Unit)),
+    // media signature table: decode runs at ingest in a deployment;
+    // the pair/cluster queries then time banding + CC, not decoding
+    "media" -> Seq(
+      "phash_sig" -> (() => graft.ext.MediaOps.phashSignatures(spark, sfDir).count(): Unit)),
     // co-purchase graph chain: edges → supported (≥ 2 shared orders) →
     // degree-ordered orientation; PageRank/triangle queries then time
     // iterations / wedge close, not graph build
