@@ -191,6 +191,46 @@ object EtlOracleSql {
        |HAVING count(*) >= ${EtlQueries.OutageMinMinutes}
        |ORDER BY event_type, outage_start""".stripMargin
 
+  /** Lead-time-drift twin: the shared bucket rule, zero-filled fixed
+    * domain, identical cross-multiplied TV. */
+  val leadtimeDrift: String = {
+    val domain = EtlQueries.LeadBucketDomain
+      .map(b => s"('$b')").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT s.s_nationkey AS store_id,
+       |         CAST(year(o.o_orderdate) AS INT) AS year,
+       |         date_diff('day', CAST(o.o_orderdate AS DATE),
+       |                   CAST(l.l_shipdate AS DATE)) AS lead_days
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |),
+       |cell AS (
+       |  SELECT store_id, year, ${EtlQueries.LeadBucketExpr} AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM base GROUP BY 1, 2, 3
+       |),
+       |tot AS (SELECT store_id, year, CAST(sum(cnt) AS BIGINT) AS n
+       |        FROM cell GROUP BY 1, 2),
+       |dom(bucket) AS (VALUES $domain),
+       |grid AS (
+       |  SELECT t.store_id, t.year, d.bucket, t.n,
+       |         coalesce(c.cnt, 0) AS cnt
+       |  FROM tot t CROSS JOIN dom d
+       |  LEFT JOIN cell c ON c.store_id = t.store_id
+       |    AND c.year = t.year AND c.bucket = d.bucket
+       |)
+       |SELECT a.store_id, a.year AS year_from,
+       |  a.n AS n_from, b.n AS n_to,
+       |  (1000000 * CAST(sum(abs(a.cnt * b.n - b.cnt * a.n)) AS BIGINT))
+       |    // (2 * a.n * b.n) AS tv_ppm
+       |FROM grid a
+       |JOIN grid b ON a.store_id = b.store_id AND a.year + 1 = b.year
+       |  AND a.bucket = b.bucket
+       |GROUP BY a.store_id, a.year, a.n, b.n
+       |ORDER BY a.store_id, year_from""".stripMargin
+  }
+
   /** SCD2-audit twin: the history twin as a subquery under the same
     * lead-window chain checks. */
   val scd2Audit: String =

@@ -944,6 +944,66 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Lead-time bucket rule — spelled once as SQL text shared verbatim
+    * with the oracle twin (day counts are exact integers in both
+    * engines). */
+  val LeadBucketExpr: String =
+    "CASE WHEN lead_days <= 7 THEN '0-7' WHEN lead_days <= 14 THEN '8-14' " +
+      "WHEN lead_days <= 30 THEN '15-30' ELSE '31+' END"
+  val LeadBucketDomain: Seq[String] = Seq("0-7", "8-14", "15-30", "31+")
+
+  /** LEAD-TIME DISTRIBUTION DRIFT — the logistics monitor: per store,
+    * the year-over-year total-variation distance between ship-lead-time
+    * bucket distributions (order date → line ship date). A supplier
+    * slipping from the 0-7 into the 15-30 bucket moves this long
+    * before it moves an average ([[termDrift]]'s lesson applied to a
+    * numeric operational measure). Exact-integer TV in ppm via
+    * cross-multiplication — ⌊10⁶·Σ_b |c_y·N_{y+1} − c_{y+1}·N_y| /
+    * (2·N_y·N_{y+1})⌋, zero-filled over the FIXED bucket domain so a
+    * bucket emptying out counts as drift (headroom N²·10⁶ ≲ 2⁶³, loud
+    * ANSI overflow beyond — the t-closeness discipline). Valid
+    * consecutive-year pairs only, the abcMigration gate. */
+  def leadtimeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val l = Star.table(spark, dir, "lineitem")
+    val o = Star.table(spark, dir, "orders")
+    val s = Star.table(spark, dir, "supplier")
+    leadtimeDriftOf(l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .select(col("s_nationkey").as("store_id"),
+        expr("CAST(year(o_orderdate) AS INT)").as("year"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("lead_days")))
+  }
+
+  /** The drift kernel over an arbitrary
+    * `(store_id, year, lead_days)` frame — the fixture path for the
+    * spec. */
+  def leadtimeDriftOf(baseDf: DataFrame): DataFrame = {
+    val base = baseDf.withColumn("bucket", expr(LeadBucketExpr))
+    val cell = base.groupBy("store_id", "year", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cell.groupBy("store_id", "year").agg(sum("cnt").as("n"))
+    val spark2 = baseDf.sparkSession
+    val grid = tot.crossJoin(broadcast(
+        spark2.createDataset(LeadBucketDomain)(
+          org.apache.spark.sql.Encoders.STRING).toDF("bucket")))
+      .join(cell, Seq("store_id", "year", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val cur = grid.select(col("store_id"), col("year"), col("bucket"),
+      col("cnt").as("c_a"), col("n").as("n_a"))
+    val nxt = grid.select(col("store_id"), (col("year") - 1).as("year"),
+      col("bucket"), col("cnt").as("c_b"), col("n").as("n_b"))
+    cur.join(nxt, Seq("store_id", "year", "bucket"))
+      .withColumn("num", abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+      .groupBy(col("store_id"), col("year").as("year_from"),
+        col("n_a"), col("n_b"))
+      .agg(sum("num").as("tv_num"))
+      .withColumn("tv_ppm", expr("(1000000 * tv_num) div (2 * n_a * n_b)"))
+      .select(col("store_id"), col("year_from"),
+        col("n_a").as("n_from"), col("n_b").as("n_to"), col("tv_ppm"))
+      .orderBy("store_id", "year_from")
+  }
+
   /** SEASONAL CONCENTRATION — per store, the Herfindahl index of
     * revenue over calendar months (Σ share², the concentration scalar
     * [[giniConcentration]] computes over customers, here over TIME):

@@ -28,6 +28,20 @@ class HhiOutageSpec extends SparkSpec {
     assert(r.getInt(4) == 3 && r.getLong(3) == 500000L)
   }
 
+  test("leadtime drift: total shift scores 10^6, identical years score 0") {
+    val base = (
+      (1 to 10).map(_ => (1L, 2000, 3L)) ++ // all 0-7
+        (1 to 10).map(_ => (1L, 2001, 40L)) ++ // all 31+
+        (1 to 5).map(i => (2L, 2000, i.toLong * 10)) ++
+        (1 to 5).map(i => (2L, 2001, i.toLong * 10)) // identical mix
+      ).toDF("store_id", "year", "lead_days")
+    val r = EtlQueries.leadtimeDriftOf(base).collect()
+      .map(row => row.getLong(0) -> row.getLong(4)).toMap
+    assert(r(1L) == 1000000L)
+    assert(r(2L) == 0L)
+    assert(r.size == 2) // only valid consecutive-year pairs emit
+  }
+
   test("outage windows: a 45-minute gap surfaces with exact bounds, a 10-minute gap does not") {
     val base = 1000000L // minute index
     val active = // type A: gap [base+10, base+54] (45 dark minutes)
