@@ -62,6 +62,38 @@ class IvmAuditSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("ivm deletes: a negated delta retracts exactly the deleted day's rows") {
+    // the scaladoc claims the same merge expression handles deletes as
+    // negated deltas — checked here: stream the fact in, then retract
+    // one full day and compare to the recompute WITHOUT that day
+    val fact = Star.salesFact(spark, sfSmoke)
+      .select("store_id", "time_id", "total_revenue")
+    val sink = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("ivm-del").toString)
+    Ivm.maintainDailyMv(fact, sink)
+    val cut = fact.agg(max("time_id").as("cut"))
+    val deleted = fact.crossJoin(broadcast(cut))
+      .where(col("time_id") === col("cut"))
+      .select("store_id", "time_id", "total_revenue")
+    // negated delta: same aggregate shape, negative measures
+    sink.append(deleted.groupBy("store_id", "time_id")
+      .agg((-sum((col("total_revenue") * 100).cast("long"))).as("cents"),
+        (-count(lit(1))).as("n_rows")))
+    val state = Ivm.readStreamedMv(spark, sink).get
+      .where(col("n_rows") =!= 0L) // fully-retracted groups vanish
+    val expect = fact.crossJoin(broadcast(cut))
+      .where(col("time_id") < col("cut"))
+      .groupBy("store_id", "time_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_rows"))
+    val diff = state.as("s").join(expect.as("f"),
+        Seq("store_id", "time_id"), "full_outer")
+      .where(col("s.cents") =!= col("f.cents") ||
+        col("s.n_rows") =!= col("f.n_rows") ||
+        col("s.cents").isNull || col("f.cents").isNull)
+    assert(diff.count() == 0)
+  }
+
   test("chi2: proportional margins give zero everywhere; the grid is zero-filled") {
     val dir = tempDataDir(
       "customer" -> Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment"),
