@@ -123,20 +123,49 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * concurrency — see the class doc for the protocol. Returns the rows
     * actually inserted. `beforePublish` is a test seam invoked between
     * audit and publish (it is where a concurrent writer interleaves);
-    * production callers leave the default no-op. */
+    * production callers leave the default no-op.
+    *
+    * PARTITION-SCOPED CONFLICT DETECTION (`partitionCols`): at 100-TB
+    * ingest many loaders commit in parallel, almost always into
+    * DISJOINT date/tenant partitions — serializing them on a
+    * whole-table conflict check is the classic optimistic-concurrency
+    * bottleneck, and the reason Delta/Iceberg record touched-partition
+    * sets per commit. When `partitionCols` is non-empty, the manifest
+    * records the distinct partition tuples this commit touches
+    * (driver-side metadata, O(partitions-per-batch) — never a data
+    * scan). A writer that loses the version race then compares its set
+    * against ONLY the delta commits' sets: if every interleaved commit
+    * is partition-scoped and disjoint, the staged data is provably
+    * still conflict-free and the writer re-publishes at the next
+    * version with NO data re-read, no anti-join, no re-stage — the
+    * retry costs one manifest read and one hard link. Only an actually
+    * overlapping (or unscoped, or base/compaction) interleaved commit
+    * pays the key-level re-filter. Soundness requires
+    * `partitionCols ⊆ keys`: then rows in different partitions have
+    * different keys by construction, so disjoint partition sets imply
+    * no key overlap — enforced with a `require`, not documentation. */
   def mergeUpsert(
       spark: SparkSession,
       incoming: DataFrame,
       keys: Seq[String],
       orderCols: Seq[String],
       beforePublish: () => Unit = () => (),
-      maxAttempts: Int = 20): Long = {
+      maxAttempts: Int = 20,
+      partitionCols: Seq[String] = Nil,
+      onRefilter: () => Unit = () => ()): Long = {
+    require(partitionCols.forall(keys.contains),
+      s"partition-scoped conflict detection needs partitionCols ⊆ keys " +
+        s"(got partitionCols=$partitionCols, keys=$keys): only then do " +
+        "disjoint partition sets prove disjoint key sets")
     var snap = commits()
     var toAdd = Upserts.insertIfAbsent(
         existingKeysAt(spark, snap, keys, incoming), incoming, keys, orderCols)
       .localCheckpoint(eager = true)
     var n = toAdd.count()
     if (n == 0) return 0
+    val touched: Option[Set[String]] =
+      if (partitionCols.isEmpty) None
+      else Some(touchedPartitions(toAdd, partitionCols))
     var staged = stageAudited(spark, toAdd, n)
 
     var attempts = 0
@@ -160,32 +189,56 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             "(vacuumed mid-commit?) — aborting instead of committing a " +
             "dangling manifest")
       if (tryPublish(snap.lastOption.map(_._1).getOrElse(-1L) + 1,
-          Manifest(n, Seq(staged))))
+          Manifest(n, Seq(staged), partitions = touched)))
         return n
 
-      // Lost the race: some other writer committed first. Re-filter the
-      // staged rows against ONLY the keys that landed in between — the
-      // snapshot we already joined against needs no re-read.
+      // Lost the race: some other writer committed first.
       val now = commits()
       val delta = now.drop(snap.size)
       snap = now
-      dataOf(spark, delta) match {
-        case Some(deltaDf) =>
-          val remaining = spark.read.parquet(root.resolve(staged).toString)
-            .join(deltaDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
-              keys, "left_anti")
-            .localCheckpoint(eager = true)
-          val m = remaining.count()
-          if (m < n) {
-            deleteRecursively(root.resolve(staged))
-            if (m == 0) return 0
-            n = m
-            staged = stageAudited(spark, remaining, n)
-          }
-        case None => ()
+      // Partition-scoped fast path: if this commit and every
+      // interleaved commit declared partition sets, none is a base
+      // rewrite, and the sets are disjoint, the staged rows cannot
+      // share a key with anything that landed (partitionCols ⊆ keys) —
+      // re-publish with zero data work.
+      val provablyDisjoint = touched.exists { mine =>
+        delta.forall { case (_, m) =>
+          !m.base && m.partitions.exists(theirs => theirs.intersect(mine).isEmpty)
+        }
+      }
+      if (!provablyDisjoint) {
+        // Key-level re-filter of the staged rows against ONLY the keys
+        // that landed in between — the snapshot we already anti-joined
+        // against needs no re-read.
+        onRefilter()
+        dataOf(spark, delta) match {
+          case Some(deltaDf) =>
+            val remaining = spark.read.parquet(root.resolve(staged).toString)
+              .join(deltaDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+                keys, "left_anti")
+              .localCheckpoint(eager = true)
+            val m = remaining.count()
+            if (m < n) {
+              deleteRecursively(root.resolve(staged))
+              if (m == 0) return 0
+              n = m
+              staged = stageAudited(spark, remaining, n)
+            }
+          case None => ()
+        }
       }
     }
     n // unreachable
+  }
+
+  /** Distinct partition tuples of one staged batch, as the manifest's
+    * canonical strings — driver-side collect of a batch-local distinct,
+    * small by the same argument as the commit's key set. */
+  private def touchedPartitions(df: DataFrame, partitionCols: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    df.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => encodePartition(partitionCols.indices.map(i => String.valueOf(r.get(i)))))
+      .toSet
   }
 
   private def existingKeysAt(
@@ -324,19 +377,29 @@ object TxParquetSink {
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
 
   /** One commit's content: the row count audited at stage time, the
-    * table-relative data directories this commit makes visible, and
-    * whether the commit is a BASE (a full-table rewrite — readers
-    * resolve snapshots from the newest base onward; see
-    * [[TxParquetSink.compact]]). */
+    * table-relative data directories this commit makes visible, whether
+    * the commit is a BASE (a full-table rewrite — readers resolve
+    * snapshots from the newest base onward; see
+    * [[TxParquetSink.compact]]), and — when the writer declared
+    * partition scope — the set of partition tuples the commit touches.
+    * `partitions = None` means UNSCOPED: the commit conservatively
+    * conflicts with everything, which is both the legacy-manifest
+    * reading and the safe default. */
   final case class Manifest(rows: Long, files: Seq[String],
-      base: Boolean = false)
+      base: Boolean = false, partitions: Option[Set[String]] = None)
 
   /** Line-oriented manifest codec (`rows=<n>` then one `file=<rel>` per
-    * line): trivially greppable, no parser dependency, and append-only
-    * fields keep old readers working. */
+    * line, `pscope=true` + one `part=<tuple>` per touched partition for
+    * scoped commits): trivially greppable, no parser dependency, and
+    * append-only fields keep old readers working — an old reader
+    * ignores `part=` lines and treats every commit as unscoped, which
+    * only ever ADDS conflicts, never hides one. */
   private[etl] def renderManifest(m: Manifest): String =
     ((s"rows=${m.rows}" +: m.files.map(f => s"file=$f")) ++
-      (if (m.base) Seq("base=true") else Nil)).mkString("", "\n", "\n")
+      (if (m.base) Seq("base=true") else Nil) ++
+      m.partitions.toSeq.flatMap(ps =>
+        "pscope=true" +: ps.toSeq.sorted.map(p => s"part=$p"))
+      ).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
     val kv = s.linesIterator.filter(_.nonEmpty).map { line =>
@@ -348,8 +411,18 @@ object TxParquetSink {
       kv.collectFirst { case ("rows", v) => v.toLong }
         .getOrElse(throw new IllegalArgumentException("manifest missing rows=")),
       kv.collect { case ("file", v) => v },
-      kv.collectFirst { case ("base", v) => v.toBoolean }.getOrElse(false))
+      kv.collectFirst { case ("base", v) => v.toBoolean }.getOrElse(false),
+      if (kv.exists(_ == ("pscope", "true")))
+        Some(kv.collect { case ("part", v) => v }.toSet)
+      else None)
   }
+
+  /** Canonical string for one partition tuple: URL-encoded values
+    * joined by '/', so values containing the separator, '=' or
+    * newlines cannot forge a different tuple or break the line codec. */
+  private[etl] def encodePartition(values: Seq[String]): String =
+    values.map(v =>
+      java.net.URLEncoder.encode(v, UTF_8.name())).mkString("/")
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

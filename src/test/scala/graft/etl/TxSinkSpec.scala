@@ -226,4 +226,138 @@ class TxSinkSpec extends SparkSpec {
     val base = t.commits().filter(_._1 == v).head._2
     assert(base.base && base.rows == 2L)
   }
+
+  // ---- partition-scoped conflict detection (VERDICT r7 #1) ----------
+
+  private def pbatch(rows: (String, String, String)*) =
+    rows.toDF("day", "product_id", "product_name")
+  private val pkeys = Seq("day", "product_id")
+  private val pcols = Seq("day")
+
+  test("disjoint-partition writers both commit with a metadata-only retry") {
+    val t = table()
+    var refiltersA = 0
+    var fired = false
+    // Writer B (partition d2) lands INSIDE writer A's (partition d1)
+    // commit window. A loses the version race — but the manifests prove
+    // the partition sets are disjoint, so A must re-publish with ZERO
+    // data work: no anti-join against B's commit, no re-stage.
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      assert(t.mergeUpsert(spark, pbatch(("d2", "P1", "fromB"), ("d2", "P2", "fromB")),
+        pkeys, order, partitionCols = pcols) == 2)
+    }
+    val nA = t.mergeUpsert(spark, pbatch(("d1", "P1", "fromA"), ("d1", "P3", "fromA")),
+      pkeys, order, beforePublish = interleaved, partitionCols = pcols,
+      onRefilter = () => refiltersA += 1)
+    assert(fired)
+    assert(nA == 2, "disjoint-partition writer must land its full batch")
+    assert(refiltersA == 0,
+      "a provably-disjoint interleaved commit must not trigger a data re-filter")
+    assert(t.version() == 1L)
+    assert(t.readSnapshot(spark).get.count() == 4L)
+    // both manifests carry their partition scope
+    val parts = t.commits().map(_._2.partitions)
+    assert(parts == Seq(Some(Set("d2")), Some(Set("d1"))))
+  }
+
+  test("overlapping-partition writers still conflict and re-filter the overlap") {
+    val t = table()
+    var refilters = 0
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      t.mergeUpsert(spark, pbatch(("d1", "P1", "fromB")), pkeys, order,
+        partitionCols = pcols); ()
+    }
+    val nA = t.mergeUpsert(spark,
+      pbatch(("d1", "P1", "fromA"), ("d1", "P2", "fromA")),
+      pkeys, order, beforePublish = interleaved, partitionCols = pcols,
+      onRefilter = () => refilters += 1)
+    assert(refilters >= 1, "same-partition interleave must take the re-filter path")
+    assert(nA == 1, "only the non-conflicting key survives")
+    val p1 = t.readSnapshot(spark).get.where($"product_id" === "P1")
+      .select("product_name").as[String].collect().toSeq
+    assert(p1 == Seq("fromB"), "the committed-first writer wins the key")
+  }
+
+  test("an unscoped interleaved commit conservatively conflicts with a scoped writer") {
+    val t = table()
+    var refilters = 0
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true // legacy writer: no partitionCols declared → unscoped manifest
+      t.mergeUpsert(spark, pbatch(("d9", "P9", "legacy")), pkeys, order); ()
+    }
+    val nA = t.mergeUpsert(spark, pbatch(("d1", "P1", "fromA")), pkeys, order,
+      beforePublish = interleaved, partitionCols = pcols,
+      onRefilter = () => refilters += 1)
+    assert(refilters >= 1,
+      "an unscoped commit proves nothing — the loser must re-filter")
+    assert(nA == 1 && t.readSnapshot(spark).get.count() == 2L)
+  }
+
+  test("a base compaction interleaving a scoped writer forces the re-filter path") {
+    val t = table()
+    t.mergeUpsert(spark, pbatch(("d1", "P1", "A")), pkeys, order, partitionCols = pcols)
+    var refilters = 0
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true; t.compact(spark); ()
+    }
+    val nA = t.mergeUpsert(spark, pbatch(("d2", "P2", "fromA")), pkeys, order,
+      beforePublish = interleaved, partitionCols = pcols,
+      onRefilter = () => refilters += 1)
+    assert(refilters >= 1, "a base rewrite conflicts with every in-flight commit")
+    assert(nA == 1 && keySet2(t) == Seq("d1/P1", "d2/P2"))
+  }
+
+  test("partition-scoped hammer: disjoint writers, no dupes, no lost rows") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val t = table()
+    // 4 writers, each owning its own partition — the 100-TB parallel
+    // loader shape. All rows from all writers must land.
+    val writers = Future.traverse(1 to 4) { w =>
+      Future {
+        for (b <- 0 until 3) {
+          t.mergeUpsert(spark,
+            (0 until 10).map(i => (s"d$w", f"K${b * 10 + i}%03d", s"w$w"))
+              .toDF("day", "product_id", "product_name"),
+            pkeys, order, partitionCols = pcols)
+        }
+      }
+    }
+    Await.result(writers, 120.seconds)
+    val rows = keySet2(t)
+    assert(rows.size == rows.distinct.size, "duplicate keys committed")
+    assert(rows.size == 4 * 30, "some disjoint-partition row was lost")
+  }
+
+  private def keySet2(t: TxParquetSink): Seq[String] =
+    t.readSnapshot(spark)
+      .map(_.select(org.apache.spark.sql.functions.concat_ws("/", $"day", $"product_id"))
+        .as[String].collect().toSeq.sorted)
+      .getOrElse(Nil)
+
+  test("partitionCols must be a subset of keys") {
+    val t = table()
+    val e = intercept[IllegalArgumentException] {
+      t.mergeUpsert(spark, pbatch(("d1", "P1", "A")), Seq("product_id"), order,
+        partitionCols = Seq("day"))
+    }
+    assert(e.getMessage.contains("partitionCols"))
+  }
+
+  test("scoped manifest codec round-trips; separator chars cannot forge a tuple") {
+    val m = TxParquetSink.Manifest(3L, Seq("data/tx-a"),
+      partitions = Some(Set("d1", "d2/x")))
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+    // a value containing the tuple separator encodes differently from a
+    // genuine two-column tuple with the same rendered characters
+    assert(TxParquetSink.encodePartition(Seq("a/b")) !=
+      TxParquetSink.encodePartition(Seq("a", "b")))
+    assert(TxParquetSink.encodePartition(Seq("a=b\nc")) // codec-hostile chars
+      .forall(c => c != '=' && c != '\n'))
+  }
 }
