@@ -563,9 +563,19 @@ object OracleSql {
       |    AND (b.price_cents < a.price_cents OR b.total_qty > a.total_qty))
       |ORDER BY price_cents, product_id""".stripMargin)
 
-  /** Q29 twin: the same canonical triple expansion and support count. */
+  /** Q29 twin: the engine is Apriori-pruned; this twin DELIBERATELY
+    * keeps the brute-force triple expansion so the hash gate proves
+    * the pruning lossless on real data every round. The basket-size
+    * guard (≤ 100 distinct products per order) is semantics, so it IS
+    * mirrored. */
   val q29: String = star(
-    """, basket AS (SELECT DISTINCT order_id, product_id FROM sales_fact)
+    """, basket0 AS (SELECT DISTINCT order_id, product_id FROM sales_fact),
+      |basket AS (
+      |  SELECT order_id, product_id FROM basket0
+      |  WHERE order_id IN (
+      |    SELECT order_id FROM basket0 GROUP BY order_id
+      |    HAVING count(*) <= 100)
+      |)
       |SELECT a.product_id AS p1, b.product_id AS p2, c.product_id AS p3,
       |       CAST(count(*) AS BIGINT) AS support
       |FROM basket a

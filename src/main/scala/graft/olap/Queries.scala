@@ -985,31 +985,71 @@ object Queries {
   /** Q29 — top-k frequent 3-itemsets by exact support, completing the
     * basket-mining ladder (pair counts → association rules Q27 →
     * triangles → triples): which product TRIOS reliably sell together.
-    * Enumeration is the within-order triple expansion of the distinct
-    * basket table — a two-step self-join on the order key with the
-    * canonical p1 < p2 < p3 ordering, so each trio is counted once per
-    * order. The fan-out is C(basket, 3) per order, cubic in BASKET
-    * SIZE (≤ 7 lines in this schema — bounded by the domain, not the
-    * corpus) and linear in orders; support is then a partial-aggregable
-    * count and the result a bounded TakeOrdered. An Apriori pass
-    * (prune triples whose pairs miss min-support) only pays at basket
-    * sizes this schema cannot produce. */
+    *
+    * Enumeration is APRIORI-PRUNED (Agrawal–Srikant VLDB'94), not the
+    * naive two-step self-join: a triple with support ≥ s contains each
+    * of its pairs in every supporting order, so every sub-pair also has
+    * support ≥ s — pruning candidate expansions whose (p1,p2) [and,
+    * post-expansion, (p2,p3)] pair misses min-support is LOSSLESS for
+    * the final `support ≥ minSupport` output. That property is not
+    * argued, it is oracle-PROVEN: the DuckDB twin deliberately keeps
+    * the brute-force expansion, so the per-round hash gate pins
+    * Apriori ≡ brute force on real data. What pruning buys is skew
+    * resistance: unpruned, one pathological 10k-line order costs
+    * C(10⁴,3) ≈ 1.7·10¹¹ triples on a single order key; pruned, its
+    * expansion is bounded by its FREQUENT pairs × basket. A second,
+    * explicit guard caps basket size outright (`maxBasket`, default
+    * 100 — far above the domain's ≤7-line orders, so a no-op on sane
+    * data): a bot/bulk-upload order above the cap is excluded from
+    * mining entirely, mirrored verbatim in the oracle twin. */
   def q29Itemsets3(spark: SparkSession, dir: String, minSupport: Int = 2,
-      k: Int = 50): DataFrame = {
+      k: Int = 50, maxBasket: Int = 100): DataFrame = {
     val basket = graft.etl.Star.salesFact(spark, dir)
       .select("order_id", "product_id").distinct()
-    basket.as("a")
-      .join(basket.as("b"),
-        col("a.order_id") === col("b.order_id") &&
-          col("a.product_id") < col("b.product_id"))
-      .join(basket.as("c"),
-        col("b.order_id") === col("c.order_id") &&
-          col("b.product_id") < col("c.product_id"))
-      .groupBy(col("a.product_id").as("p1"), col("b.product_id").as("p2"),
-        col("c.product_id").as("p3"))
+    itemsets3Candidates(basket, minSupport, maxBasket)
+      .groupBy("p1", "p2", "p3")
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
       .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
       .limit(k)
+  }
+
+  /** The pruned candidate-triple table behind [[q29Itemsets3]]: one row
+    * per (order, canonical p1<p2<p3 trio) that SURVIVES the basket-size
+    * guard and the Apriori pair cuts. Factored out so the fan-out bound
+    * is a row-count assertion in `Itemsets3Spec`, not a claim. All
+    * joins share the order-key partitioning; the frequent-pair
+    * semi-joins are support-filtered aggregates (frequent pairs ≪
+    * pairs — AQE broadcasts them when small). */
+  private[olap] def itemsets3Candidates(basket: DataFrame,
+      minSupport: Int, maxBasket: Int): DataFrame = {
+    val kept = basket.groupBy("order_id")
+      .agg(count(lit(1)).as("basket_size"))
+      .where(col("basket_size") <= maxBasket)
+      .select("order_id")
+    val b = basket.join(kept, Seq("order_id"), "left_semi")
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.order_id") === col("b.order_id") &&
+          col("a.product_id") < col("b.product_id"))
+      .select(col("a.order_id").as("order_id"),
+        col("a.product_id").as("p1"), col("b.product_id").as("p2"))
+    val freqPairs = pairs.groupBy("p1", "p2")
+      .agg(count(lit(1)).as("pair_support"))
+      .where(col("pair_support") >= minSupport)
+      .select("p1", "p2")
+    // Apriori cut 1 — BEFORE the cubic extension: only frequent (p1,p2)
+    // occurrences extend to a third item.
+    pairs.join(freqPairs, Seq("p1", "p2"), "left_semi")
+      .as("ab")
+      .join(b.as("c"),
+        col("ab.order_id") === col("c.order_id") &&
+          col("ab.p2") < col("c.product_id"))
+      .select(col("ab.order_id").as("order_id"), col("p1"), col("p2"),
+        col("c.product_id").as("p3"))
+      // Apriori cut 2 — the (p2,p3) sub-pair must itself be frequent;
+      // trims the shuffle into the support aggregate.
+      .join(freqPairs.toDF("p2", "p3"), Seq("p2", "p3"), "left_semi")
+      .select("order_id", "p1", "p2", "p3")
   }
 }

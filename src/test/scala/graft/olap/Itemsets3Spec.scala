@@ -30,6 +30,32 @@ class Itemsets3Spec extends SparkSpec {
     }
   }
 
+  test("q29: one hot basket cannot go cubic — Apriori + size guard bound the fan-out") {
+    import spark.implicits._
+    // 5 normal orders all selling the trio {1,2,3}; one 40-product
+    // basket of singleton products (every pair support 1); one
+    // 12-product basket ABOVE the size guard that contains the hot trio.
+    val rows =
+      (1 to 5).flatMap(o => Seq(1L, 2L, 3L).map(p => (o.toLong, p))) ++
+        (1000L until 1040L).map(p => (99L, p)) ++
+        (1 to 12).map(p => (100L, p.toLong))
+    val basket = rows.toDF("order_id", "product_id")
+
+    val cands = Queries.itemsets3Candidates(basket, minSupport = 2, maxBasket = 10)
+    // Unpruned, order 99 alone would expand C(40,3) = 9880 candidate
+    // triples and order 100 another C(12,3) = 220. Pruned: order 99's
+    // pairs are all infrequent (cut 1 kills the expansion BEFORE the
+    // third join), order 100 is over the size cap — only the 5 genuine
+    // (1,2,3) occurrences remain.
+    val c = cands.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(c.length == 5, s"fan-out not bounded: ${c.length} candidates")
+    assert(c.forall(_ == ((1L, 2L, 3L))))
+
+    // with the guards effectively off, candidates == brute-force C(b,3)
+    val all = Queries.itemsets3Candidates(basket, minSupport = 1, maxBasket = 1000)
+    assert(all.count() == 5 * 1 + 9880 + 220)
+  }
+
   test("dedup curve: 4 zero-filled rows, monotone non-increasing, base tier exact") {
     val rows = graft.ext.DedupOps.thresholdCurve(spark, sfSmoke).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
