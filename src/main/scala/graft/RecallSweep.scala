@@ -52,17 +52,32 @@ object RecallSweep {
     val kmRecall = brute.join(km, Seq("query_id", "neighbor_id"), "left_semi")
       .count().toDouble / (64 * 3)
     // IVF+PQ composed-index sweep over its two levers (coarse probes ×
-    // ADC shortlist) — the measurement that picks ivfPqTopK's default
-    val pqRows = for (p <- Seq(2, 3, 4); s <- Seq(8, 16, 32)) yield {
+    // ADC shortlist) on the √n-cell scaled router — the measurement
+    // that picks ivfPqTopK's (IvfPqNProbe, IvfPqShortlist) default
+    val pqRows = for (p <- Seq(2, 4, 8, 12); s <- Seq(32, 64, 96, 128)) yield {
       val mean = graft.ext.VectorOps
         .ivfPqRecallAtK(spark, dir, nProbe = p, shortlist = s)
         .agg(avg(col("recall_at_3"))).head().getDouble(0)
       f""""p${p}_s$s":$mean%.3f"""
     }
+    // mining pool recall: does the cell-routed retrieval stage
+    // (hardNegatives/mmrSelect stage 1) hold the brute top-10 pool?
+    val bruteP = graft.ext.SimilarityOps.bruteForceTopK(spark, dir, 10, 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val poolRows = Seq(4, 6, 8, 12).map { p =>
+      val routed = graft.ext.VectorOps
+        .cellCandidates(spark, dir, nQueries = 8, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+      val r = bruteP.join(routed, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / (8 * 10)
+      f""""p$p":$r%.3f"""
+    }
     println(s"""{"metric":"ivf_recall_curve","n_vectors":$n,"sf":"$dir",""" +
       s""""k":3,"n_queries":64,"by_nprobe":${rows.mkString("{", ",", "}")},""" +
       f""""kmeans_8cell_2probe_recall":$kmRecall%.3f,""" +
-      s""""ivfpq_recall_by_probe_shortlist":${pqRows.mkString("{", ",", "}")}}""")
+      s""""scaled_kcent":${graft.ext.VectorOps.scaledKCent(n)},""" +
+      s""""ivfpq_recall_by_probe_shortlist":${pqRows.mkString("{", ",", "}")},""" +
+      s""""mining_pool10_recall_by_nprobe":${poolRows.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

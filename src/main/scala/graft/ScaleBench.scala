@@ -75,7 +75,10 @@ object ScaleBench {
     "etl_salted_join", "q30_waterfall",
     // round-7 legs 12-13
     "ext_dedup_venn", "ext_vocab_growth", "etl_outage_windows",
-    "etl_seasonal_hhi", "etl_leadtime_drift")
+    "etl_seasonal_hhi", "etl_leadtime_drift",
+    // round-8: cell-routed mining retrieval (hard negatives / MMR now
+    // probe the √n-cell trained router instead of brute force)
+    "ext_sim_hard_negatives", "ext_sim_mmr")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -734,12 +734,15 @@ object ExtOracleSql {
        |FROM hits
        |ORDER BY query_id""".stripMargin
 
-  /** MMR twin: the identical two-stage shape — top-64 retrieval pool,
+  /** MMR twin: the identical two-stage shape — the top-64 retrieval
+    * pool drawn through the √n-cell router (probe vector's
+    * MiningNProbe cells, mirroring the engine's cell-routed stage 1),
     * then the k = 8 greedy rounds UNROLLED as one CTE per selection
     * (sel1..sel8), each re-ranking the remaining pool by
     * (rel − greatest(cos to prior picks)) / 2 with the same exact-double
     * arithmetic and vec_id tie-break. */
-  val simMmr: String = {
+  // lazy: embeds scaledCellsCte, declared textually below
+  lazy val simMmr: String = {
     val k = 8
     val selCtes = (1 to k).map { i =>
       val pens = (1 until i).map { j =>
@@ -768,13 +771,16 @@ object ExtOracleSql {
     val unioned = (1 to k)
       .map(i => s"SELECT CAST($i AS INT) AS rank, vec_id, rel, marginal FROM sel$i")
       .mkString("\nUNION ALL\n")
-    s"""$normCte,
-       |q AS (SELECT vec_id, embedding, norm FROM e WHERE vec_id = 0),
+    s"""WITH $scaledCellsCte,
+       |q AS (SELECT vec_id, embedding, norm FROM en WHERE vec_id = 0),
        |cand AS MATERIALIZED (
        |  SELECT c.vec_id, c.embedding, c.norm,
        |    ${dot("c.embedding", "(SELECT embedding FROM q)", "mq")} /
        |      (c.norm * (SELECT norm FROM q)) AS rel
-       |  FROM e c WHERE c.vec_id <> 0
+       |  FROM cells c
+       |  JOIN cr p ON p.vec_id = 0 AND p.crank <= ${VectorOps.MiningNProbe}
+       |    AND c.cell = p.cent_id
+       |  WHERE c.vec_id <> 0
        |  ORDER BY rel DESC, c.vec_id LIMIT 64
        |),
        |$selCtes
@@ -782,14 +788,20 @@ object ExtOracleSql {
        |ORDER BY rank""".stripMargin
   }
 
-  /** Hard-negative twin: the same brute-force pool, the shared τ
-    * literal, and the identical re-rank ordering. */
-  val simHardNegatives: String =
-    s"""$normCte,
+  /** Hard-negative twin: the retrieval pool comes through the √n-cell
+    * trained router ([[scaledCellsCte]], crank ≤ MiningNProbe probes —
+    * the engine's cell-routed retrieval mirrored exactly), then the
+    * shared τ literal and the identical re-rank ordering. */
+  // lazy: embeds scaledCellsCte, declared textually below
+  lazy val simHardNegatives: String =
+    s"""WITH $scaledCellsCte,
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${dot("q.embedding", "c.embedding", "hn")} / (q.norm * c.norm) AS cos
-       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |  FROM cells q
+       |  JOIN cr p ON p.vec_id = q.vec_id AND p.crank <= ${VectorOps.MiningNProbe}
+       |  JOIN cells c ON c.cell = p.cent_id AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8
        |),
        |pool AS (
        |  SELECT query_id, neighbor_id, cos,
@@ -2366,16 +2378,23 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Trained-cell CTE chain shared by [[simIvfKmeans]] and
-    * [[semanticDedup]]: 2 unrolled Lloyd iterations from the
-    * `vec_id < 8` seed, then cell assignment in the trained metric
-    * (L2 over int8 codes, ties → lower cent_id) — ends at `cells`
+  /** The √n coarse-cell rule as SQL, shared verbatim with
+    * [[VectorOps.scaledKCent]] (IEEE sqrt is correctly rounded in both
+    * engines, so the cell count can never disagree). */
+  private val scaledSeedSql: String =
+    "greatest(4, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT))"
+
+  /** Trained-cell CTE chain shared by [[simIvfKmeans]],
+    * [[semanticDedup]], and (with the √n seed) the IVF+PQ / mining
+    * twins: 2 unrolled Lloyd iterations from the `vec_id < seed` seed,
+    * then cell assignment in the trained metric (L2 over int8 codes,
+    * ties → lower cent_id) — ends at `cells`
     * (vec_id, embedding, norm, cell). */
-  private val trainedCellsCte: String =
+  private def trainedCellsCteFor(seed: String): String =
     s"""$quantCte,
        |c0 AS (
        |  SELECT vec_id AS cent_id, list_transform(q, xc -> CAST(xc AS DOUBLE)) AS cv
-       |  FROM quant WHERE vec_id < 8
+       |  FROM quant WHERE vec_id < $seed
        |),
        |${lloydIter("c0", 1)},
        |${lloydIter("c1", 2)},
@@ -2400,6 +2419,13 @@ object ExtOracleSql {
        |  SELECT e.vec_id, e.embedding, e.norm, cr.cent_id AS cell
        |  FROM en e JOIN cr ON cr.vec_id = e.vec_id AND cr.crank = 1
        |)""".stripMargin
+
+  /** The legacy fixed-8-cell chain (the oracle-unrolled Lloyd demo's
+    * operating point — see [[VectorOps.ivfKmeansTopK]] scaladoc). */
+  private val trainedCellsCte: String = trainedCellsCteFor("8")
+
+  /** The production √n-cell chain used by the IVF+PQ and mining twins. */
+  private val scaledCellsCte: String = trainedCellsCteFor(scaledSeedSql)
 
   /** Cluster-quality twin: the same sufficient-statistics distortion
     * ([[VectorOps.distortionTermExpr]] verbatim, integer Sx/Sxx per
@@ -2473,18 +2499,18 @@ object ExtOracleSql {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  /** IVF+PQ (IVFADC) twin: [[trainedCellsCte]]'s coarse assignment
-    * routes each query (vec_id < 8) to its nProbe = 2 cells; the
+  /** IVF+PQ (IVFADC) twin: the √n-cell [[scaledCellsCte]] assignment
+    * routes each query (vec_id < 8) to its `IvfPqNProbe` cells; the
     * [[pqChainCtes]] codes of the probed cells' vectors are ADC-scored
     * against the query's lookup table; the `IvfPqShortlist` best ADC
     * candidates re-rank by the exact float cosine. Ties break to the
     * lower neighbor id at both stages, same as the Spark side. */
   val simIvfPq: String =
-    s"""WITH $trainedCellsCte,
+    s"""WITH $scaledCellsCte,
        |$pqChainCtes,
        |iprobes AS (
        |  SELECT vec_id AS pvid, cent_id AS pcell FROM cr
-       |  WHERE crank <= 2 AND vec_id < 8
+       |  WHERE crank <= ${VectorOps.IvfPqNProbe} AND vec_id < 8
        |),
        |cellcodes AS (
        |  SELECT cd.vec_id, cd.codes, cl.cell

@@ -152,7 +152,11 @@ class VectorSpec extends SparkSpec {
     assert(out.nonEmpty)
     // coarse routing: every neighbor's cell must be among its query's
     // probed cells (the IVF contract — ADC never sees other cells)
-    val assign = VectorOps.kmeansAssign(spark, sfSmoke)
+    // the same √n-cell router + probe width ivfPqTopK now defaults to
+    val kc = VectorOps.scaledKCent(
+      SimilarityOps.embeddings(spark, sfSmoke).count())
+    val assign = VectorOps.kmeansAssign(spark, sfSmoke,
+        nProbe = VectorOps.IvfPqNProbe, kCent = kc)
       .select("vec_id", "crank", "cent_id").collect()
       .map(r => (r.getLong(0), r.getAs[Number]("crank").intValue) ->
         r.getAs[Number]("cent_id").longValue).toMap
