@@ -179,24 +179,34 @@ object DedupOps {
     * most |A| − ⌈τ·|A|⌉ of A's shingles miss B, so among the FIRST
     * |A| − ⌈τ·|A|⌉ + 1 shingles of A under the global rarest-first
     * order at least one is in B — the same prefix length as Jaccard's,
-    * but probed against the FULL inverted index (no length filter: B
-    * may be arbitrarily larger, that is the point of the operator).
-    * Candidate volume is Σ_{sh ∈ prefixes} df(sh), bounded by the df
-    * cap exactly like [[jaccardCandidates]]; rarest-first ordering
-    * keeps the probed shingles the low-df ones. Verification is the
-    * per-pair `array_intersect` against the cached doc arrays. Pairs
-    * are ORDERED (doc_a = the contained side, doc_a ≠ doc_b): A⊂B and
-    * B⊂A are different facts and both are reported when both hold
-    * (e.g. equal sets). */
+    * but probed against the FULL inverted index (no UPPER length
+    * filter: B may be arbitrarily larger, that is the point of the
+    * operator). One length filter IS sound and fused into the join —
+    * the |A| ≤ |B|/τ ORIENTATION cut: C(A→B) ≥ τ forces
+    * |B| ≥ |A∩B| ≥ ⌈τ·|A|⌉, so index entries of documents SMALLER
+    * than τ·|A| can never verify and are pruned inside the candidate
+    * join (lossless by the same ⌈τ·n − ε⌉ arithmetic as the prefix
+    * length; the round-7 super-linear constant came precisely from
+    * big-A probes raining candidates onto small Bs that could never
+    * contain them). Candidate volume is Σ_{sh ∈ prefixes} df(sh),
+    * bounded by the df cap exactly like [[jaccardCandidates]];
+    * rarest-first ordering keeps the probed shingles the low-df ones.
+    * Verification is the per-pair `array_intersect` against the cached
+    * doc arrays. Pairs are ORDERED (doc_a = the contained side,
+    * doc_a ≠ doc_b): A⊂B and B⊂A are different facts and both are
+    * reported when both hold (e.g. equal sets). */
   def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
       maxDf: Long = 10000L): DataFrame = {
     val docs = jaccardDocTable(spark, dir, maxDf)
     val prefLen = (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
-    val probe = docs.select(col("doc_id").as("doc_a"),
+    val minShared = ceil(col("na") * lit(threshold) - lit(1e-9))
+    val probe = docs.select(col("doc_id").as("doc_a"), col("n").as("na"),
       explode(slice(col("ord"), lit(1), prefLen)).as("sh"))
-    val index = docs.select(col("doc_id").as("doc_b"), explode(col("ord")).as("sh"))
+    val index = docs.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      explode(col("ord")).as("sh"))
     val cand = probe.join(index,
-        probe("sh") === index("sh") && col("doc_a") =!= col("doc_b"))
+        probe("sh") === index("sh") && col("doc_a") =!= col("doc_b") &&
+          col("nb") >= minShared)
       .select("doc_a", "doc_b")
       .distinct()
     cand

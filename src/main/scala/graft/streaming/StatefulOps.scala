@@ -53,12 +53,38 @@ case class RateDecision(user_id: Long, ts: Timestamp, event_id: Long,
   */
 object StatefulOps {
 
+  /** The END-OF-LOG sentinel contract (the drain that closes the
+    * final-session divergence): a stream over a CLOSED log never
+    * advances the watermark past the last event, so a final
+    * purchase-less session's event-time timeout can never fire and the
+    * batch twin used to alert on sessions the stream structurally
+    * could not. The fix is a DRAIN EVENT — one sentinel row
+    * ([[eolSentinel]]) appended after the last real batch, far enough
+    * in event time (`max_ts + gap + watermark + 1 min`) that the
+    * watermark passes every live session's timeout. The state machine
+    * treats sentinels as watermark-only: they never join a session,
+    * never create state, never appear in output ([[abandonedCarts]]
+    * filters them before the fold). An AvailableNow replay of a closed
+    * log appends the sentinel as its final input; a live deployment
+    * never needs it (the next real event advances the watermark). */
+  val EolUserId = -1L
+  val EolEventType = "__eol__"
+
+  /** The drain row for a log whose newest event is `maxTs` — see the
+    * sentinel contract above. */
+  def eolSentinel(maxTs: Timestamp, gapMinutes: Int,
+      watermarkMinutes: Int): CartEvent =
+    CartEvent(EolUserId,
+      new Timestamp(maxTs.getTime + (gapMinutes + watermarkMinutes + 1) * 60000L),
+      EolEventType, 0.0)
+
   /** Sessions that went quiet for `gapMinutes` (by event time, i.e. the
     * watermark passed last_event + gap) without ever reaching a
     * `purchase` event: emit one summary row per abandoned session, then
     * free the key's state. Browsing-only sessions with a later return
     * visit start a fresh session — same semantics as a session window,
-    * plus the content condition. */
+    * plus the content condition. Over a closed log, drain final
+    * sessions with the [[eolSentinel]] contract. */
   def abandonedCarts(events: Dataset[CartEvent], gapMinutes: Int = 30,
       watermark: String = "10 minutes"): Dataset[AbandonedCart] = {
     val spark = events.sparkSession
@@ -75,7 +101,7 @@ object StatefulOps {
             // quiet past the gap: alert iff the session had no purchase
             val s = state.get
             state.remove()
-            if (s.hasPurchase) Iterator.empty
+            if (s.hasPurchase || s.nEvents == 0) Iterator.empty
             else Iterator.single(
               AbandonedCart(user, s.nEvents, s.total, new Timestamp(s.lastTsMs)))
           } else {
@@ -87,27 +113,35 @@ object StatefulOps {
             // boundaries, which is exactly what event-time semantics
             // forbid. Sorting by ts and splitting on gap makes the
             // emitted alerts a function of the DATA alone.
-            val alerts = Seq.newBuilder[AbandonedCart]
-            def close(s: CartState): Unit =
-              if (!s.hasPurchase && s.nEvents > 0)
-                alerts += AbandonedCart(user, s.nEvents, s.total, new Timestamp(s.lastTsMs))
-            val prev = state.getOption.getOrElse(CartState(0L, 0.0, false, 0L))
-            val s = batch.toSeq.sortBy(_.ts.getTime).foldLeft(prev) { (acc, e) =>
-              val fresh =
-                if (acc.nEvents > 0 && e.ts.getTime - acc.lastTsMs > gapMs) {
-                  close(acc); CartState(0L, 0.0, false, 0L)
-                } else acc
-              CartState(
-                fresh.nEvents + 1,
-                fresh.total + e.value,
-                fresh.hasPurchase || e.event_type == "purchase",
-                math.max(fresh.lastTsMs, e.ts.getTime))
+            // Sentinels ([[eolSentinel]]) are watermark-only: their job
+            // (advancing the global watermark) happened by their mere
+            // presence in the stream; folding them in would
+            // manufacture a phantom session for the sentinel key.
+            val real = batch.toSeq.filter(_.event_type != EolEventType)
+            if (real.isEmpty && state.getOption.isEmpty) Iterator.empty
+            else {
+              val alerts = Seq.newBuilder[AbandonedCart]
+              def close(s: CartState): Unit =
+                if (!s.hasPurchase && s.nEvents > 0)
+                  alerts += AbandonedCart(user, s.nEvents, s.total, new Timestamp(s.lastTsMs))
+              val prev = state.getOption.getOrElse(CartState(0L, 0.0, false, 0L))
+              val s = real.sortBy(_.ts.getTime).foldLeft(prev) { (acc, e) =>
+                val fresh =
+                  if (acc.nEvents > 0 && e.ts.getTime - acc.lastTsMs > gapMs) {
+                    close(acc); CartState(0L, 0.0, false, 0L)
+                  } else acc
+                CartState(
+                  fresh.nEvents + 1,
+                  fresh.total + e.value,
+                  fresh.hasPurchase || e.event_type == "purchase",
+                  math.max(fresh.lastTsMs, e.ts.getTime))
+              }
+              state.update(s)
+              // the timeout fires when the WATERMARK passes this timestamp,
+              // so replays with the same data produce the same alerts
+              state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+              alerts.result().iterator
             }
-            state.update(s)
-            // the timeout fires when the WATERMARK passes this timestamp,
-            // so replays with the same data produce the same alerts
-            state.setTimeoutTimestamp(s.lastTsMs + gapMs)
-            alerts.result().iterator
           }
       }
   }
@@ -268,6 +302,7 @@ object StatefulOps {
     * seam the stream/batch parity spec drives. */
   def abandonedCartsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events
+      .where(col("event_type") =!= lit(EolEventType)) // sentinel-blind, like the stream
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(

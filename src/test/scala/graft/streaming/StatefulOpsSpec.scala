@@ -196,14 +196,15 @@ class StatefulOpsSpec extends SparkSpec {
     assert(twin === Seq((1L, 2L, 3.75), (2L, 1L, 0.25), (2L, 1L, 0.50)))
   }
 
-  test("twin diverges from the stream ONLY on final purchase-less sessions") {
-    // The known, documented divergence (ADVICE r6): over a CLOSED log a
-    // user's final purchase-less session never times out in the stream
-    // (no later event advances the watermark past last_ts + gap), but
-    // the batch twin — and the DuckDB oracle — do alert on it. This
-    // spec pins that the divergence is EXACTLY those final sessions:
-    // the twin's alerts are a superset of the stream's, and every extra
-    // alert is its user's last session in the log.
+  test("end-of-log drain: stream with the eol sentinel equals the batch twin EXACTLY") {
+    // Round 7 pinned a KNOWN DIVERGENCE here: over a closed log a
+    // user's final purchase-less session never timed out in the stream
+    // (no later event advances the watermark past last_ts + gap), so
+    // the twin alerted on sessions the stream structurally could not.
+    // The eolSentinel drain closes it: one watermark-only row appended
+    // after the last real batch pushes the watermark past every live
+    // session's timeout, the pending finals flush, and stream ≡ twin
+    // with no carve-out.
     val events = Seq(
       // user 3: abandoned browse, then a purchase-less FINAL session
       CartEvent(3L, ts("2024-01-01 09:00:00"), "view", 1.00),
@@ -221,6 +222,10 @@ class StatefulOpsSpec extends SparkSpec {
     val streamed = try {
       in.addData(events: _*)
       q.processAllAvailable()
+      // the drain: one sentinel as the closed log's final input
+      in.addData(StatefulOps.eolSentinel(
+        ts("2024-01-01 11:30:00"), gapMinutes = 30, watermarkMinutes = 60))
+      q.processAllAvailable()
       spark.table("carts_final")
         .select("user_id", "n_events", "total_value")
         .as[(Long, Long, Double)].collect().toSet
@@ -230,12 +235,10 @@ class StatefulOpsSpec extends SparkSpec {
       .select("user_id", "n_events", "total_value")
       .as[(Long, Long, Double)].collect().toSet
 
-    // mid-log abandoned sessions: both sides alert
-    assert(streamed === Set((3L, 2L, 3.00), (4L, 1L, 0.50)))
-    // twin = streamed + the final purchase-less session, nothing else
-    assert(streamed.subsetOf(twin), "twin must be a superset of the stream")
-    assert(twin -- streamed === Set((3L, 1L, 4.00)),
-      "the divergence must be exactly the final purchase-less sessions")
+    // mid-log alerts AND the drained final purchase-less session; the
+    // sentinel itself appears nowhere (no user -1 row, no phantom state)
+    assert(streamed === Set((3L, 2L, 3.00), (4L, 1L, 0.50), (3L, 1L, 4.00)))
+    assert(streamed === twin, "drained stream must equal the batch twin exactly")
   }
 
   test("batch twin replays the stream's decisions exactly (shared kernel)") {
