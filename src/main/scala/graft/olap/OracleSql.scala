@@ -522,6 +522,32 @@ object OracleSql {
       |FROM sub GROUP BY store_id
       |ORDER BY store_id""".stripMargin)
 
+  /** Q25a twin: the approx-percentile ERROR ENVELOPE. The sketch's
+    * values are Spark-internal, so the twin gates the guarantee, not
+    * the values: identical spine (store × quantile label), identical
+    * target-rank ⌈p·n⌉ and tolerance ⌊n/accuracy⌋+1 arithmetic, and
+    * the EXPECTED verdict TRUE — the engine's measured `within_bound`
+    * must agree on every row or the hash gate fails. */
+  val q25Approx: String = star(
+    s""", sub AS (
+      |  SELECT store_id, order_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT)
+      |           AS order_cents
+      |  FROM sales_fact GROUP BY store_id, order_id
+      |),
+      |g AS (SELECT store_id, CAST(count(*) AS BIGINT) AS n_orders
+      |      FROM sub GROUP BY store_id)
+      |SELECT g.store_id, q.qlabel, g.n_orders,
+      |       CAST(greatest(1, ceil(q.p * g.n_orders)) AS BIGINT) AS target_rank,
+      |       CAST(g.n_orders // ${Queries.PercentileAccuracy} + 1 AS BIGINT)
+      |         AS tolerance,
+      |       TRUE AS within_bound
+      |FROM g CROSS JOIN (VALUES
+      |    ('p50', CAST(0.5 AS DOUBLE)),
+      |    ('p90', CAST(0.9 AS DOUBLE)),
+      |    ('p99', CAST(0.99 AS DOUBLE))) q(qlabel, p)
+      |ORDER BY store_id, qlabel""".stripMargin)
+
   /** Q24 twin: Codd's division as the classic double NOT EXISTS — no
     * region without a purchase by this customer. Same divisor (the
     * full region table) as the count-matching plan; a customer with no

@@ -832,6 +832,68 @@ object Queries {
       .orderBy("store_id")
   }
 
+  /** Q25a (extension): the UNBOUNDED-GROUP percentile answer —
+    * `approx_percentile` (a mergeable rank sketch: constant memory per
+    * group, full partial aggregation) in place of [[q25Percentiles]]'s
+    * exact per-group value buffers, REGISTERED AS ITS ERROR-ENVELOPE
+    * AUDIT. The sketch's values are engine-specific (no second engine
+    * reproduces them bit-for-bit), so what the oracle can — and does —
+    * gate is the advertised guarantee itself: for each (store,
+    * quantile), one exact pass counts the approx value's rank range
+    * [n_lt+1, n_le] and checks it lands within ±(⌊n/accuracy⌋+1) of
+    * the target rank ⌈p·n⌉. Engine emits the MEASURED verdict, the
+    * twin emits the expected one (TRUE) over the identical spine /
+    * target / tolerance arithmetic — a wrong or drifting sketch flips
+    * `within_bound` and fails the hash gate. This is the 100-TB
+    * switch: exact percentiles hold per-group buffers (fine for
+    * store-bounded groups), the sketch holds O(accuracy) state per
+    * group at any cardinality; the envelope row keeps the switch
+    * honest. */
+  def q25PercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = PercentileAccuracy): DataFrame = {
+    val sub = Star.salesFact(spark, dir)
+      .groupBy("store_id", "order_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("order_cents"))
+    val approx = sub.groupBy("store_id")
+      .agg(expr("approx_percentile(order_cents, " +
+        s"array(CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)), $accuracy)")
+        .as("ap"))
+      .select(col("store_id"), posexplode(col("ap")))
+      .select(col("store_id"),
+        element_at(lit(Array("p50", "p90", "p99")), col("pos").cast("int") + 1).as("qlabel"),
+        element_at(lit(Array(0.5, 0.9, 0.99)), col("pos").cast("int") + 1).as("p"),
+        col("col").as("v"))
+    percentileEnvelope(sub, approx, accuracy)
+  }
+
+  /** Sketch accuracy for [[q25PercentilesApprox]]: rank tolerance
+    * ⌊n/accuracy⌋+1 — tight enough to be a real check at test group
+    * sizes, shared with the twin's tolerance arithmetic. */
+  val PercentileAccuracy = 1000
+
+  /** The envelope checker behind [[q25PercentilesApprox]], factored so
+    * the spec can feed it a DELIBERATELY wrong `approx` frame and watch
+    * the verdict flip. `approx` carries (store_id, qlabel, p, v); the
+    * check is one exact aggregate over `sub` joined on the group key —
+    * partial-aggregable, no buffers. */
+  private[olap] def percentileEnvelope(sub: DataFrame, approx: DataFrame,
+      accuracy: Int): DataFrame =
+    sub.join(approx, "store_id")
+      .groupBy("store_id", "qlabel", "p")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("order_cents") <= col("v"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("order_cents") < col("v"), 1L).otherwise(0L)).as("n_lt"))
+      .withColumn("target_rank",
+        greatest(lit(1L), ceil(col("p") * col("n_orders")).cast("long")))
+      .withColumn("tolerance", expr(s"n_orders div $accuracy") + lit(1L))
+      .withColumn("within_bound",
+        col("n_le") >= col("target_rank") - col("tolerance") &&
+          col("n_lt") < col("target_rank") + col("tolerance"))
+      .select("store_id", "qlabel", "n_orders", "target_rank", "tolerance",
+        "within_bound")
+      .orderBy("store_id", "qlabel")
+
   /** Q26 (extension): UNPIVOT — [[q14PivotQuarters]]'s wide quarter
     * columns melted back to (store, quarter, revenue) rows via `stack`
     * (one codegen projection, a 4× bounded fan-out — the exact inverse
