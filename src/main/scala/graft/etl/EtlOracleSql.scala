@@ -1691,4 +1691,31 @@ object EtlOracleSql {
       |FROM fold
       |ORDER BY user_id, ts, event_id""".stripMargin
   }
+
+  /** Tx-overwrite round-trip twin: the DECLARATIVE final state the
+    * restatement must land in — untouched months' original rollup
+    * unioned with the last month's weekday-only reload. The engine
+    * side reaches it through the sink's commit log + manifest-drop
+    * read path; equality here proves the overwrite semantics on real
+    * data. */
+  val txOverwrite: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lastm AS (SELECT max(month) AS m FROM monthly),
+      |restated AS (
+      |  SELECT substring(CAST(f.time_id AS VARCHAR), 1, 7) AS month, f.store_id,
+      |         CAST(sum(CAST(f.total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON t.time_id = f.time_id AND NOT t.is_weekend
+      |  WHERE substring(CAST(f.time_id AS VARCHAR), 1, 7) = (SELECT m FROM lastm)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT month, store_id, cents FROM monthly
+      |WHERE month <> (SELECT m FROM lastm)
+      |UNION ALL
+      |SELECT month, store_id, cents FROM restated
+      |ORDER BY month, store_id""".stripMargin)
 }

@@ -1918,4 +1918,40 @@ object EtlQueries {
         max("val").as("max_str"))
       .orderBy("column_name")
   }
+
+  /** ACID partition-overwrite ROUND TRIP — the restatement exercise,
+    * run end-to-end through [[TxParquetSink]] and gated by the oracle
+    * hash: load the monthly store-revenue rollup as the table's first
+    * commit, then REPLACE the data-derived last month with a restated
+    * reload (weekend sales excluded — the audit-adjustment shape), and
+    * read the final snapshot. The oracle computes the same final state
+    * declaratively (untouched months ∪ restated last month), so the
+    * differential proves the overwrite's logical-delete read path —
+    * manifest drops applied as partition predicates over earlier
+    * commits — on real data every round, not just in the spec's
+    * fixtures. The sink lives in a fresh temp dir per call: commit
+    * mechanics are the measured work, table size is the rollup
+    * (months × stores), and the restated month's vanished
+    * weekend-only (month, store) cells vanish on both sides. */
+  def txOverwriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txow").toString + "/t")
+    t.append(monthly)
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val weekdays = Star.dimTime(spark, dir)
+      .where(!col("is_weekend")).select("time_id")
+    val restated = Star.salesFact(spark, dir)
+      .join(broadcast(weekdays), "time_id")
+      .where(monthExpr === lit(lastMonth))
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    t.overwritePartitions(spark, restated, Seq("month"))
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
 }

@@ -96,9 +96,37 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     if (i < 0) cs else cs.drop(i)
   }
 
+  /** Commit-list resolution WITH partition-overwrite semantics: a
+    * commit's visible rows are its files MINUS any partition a LATER
+    * commit in the list replaced ([[overwritePartitions]]). The
+    * exclusion is a predicate on the partition COLUMNS (row-group
+    * prunable at the scan — never a join), built from the later
+    * manifests' dropped-tuple sets: driver-side metadata, O(commits).
+    * Commits that share an identical pending-drop set are read in one
+    * multi-path scan, so the common tail (commits newer than every
+    * overwrite) stays a single read. */
   private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)]): Option[DataFrame] = {
-    val paths = cs.flatMap(_._2.files).map(f => root.resolve(f).toString)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    import org.apache.spark.sql.functions.not
+    if (cs.isEmpty) return None
+    // per commit index i: the replace sets of commits AFTER i
+    val replacesAfter: Seq[Seq[(Seq[String], Set[String])]] =
+      cs.indices.map(i => cs.drop(i + 1).map(_._2)
+        .filter(_.replaceCols.nonEmpty)
+        .map(m => (m.replaceCols, m.replaceKeys)))
+    val grouped = cs.zipWithIndex
+      .groupBy { case (_, i) => replacesAfter(i) }
+      .toSeq
+    val frames = grouped.flatMap { case (drops, commits) =>
+      val paths = commits.flatMap(_._1._2.files).map(f => root.resolve(f).toString)
+      if (paths.isEmpty) None
+      else {
+        val base = spark.read.parquet(paths: _*)
+        Some(drops.foldLeft(base) { case (df, (cols, keys)) =>
+          df.where(not(sepKeyExpr(cols).isin(keys.toSeq: _*)))
+        })
+      }
+    }
+    frames.reduceOption(_ unionByName _)
   }
 
   def existingKeys(spark: SparkSession, keys: Seq[String], schemaSource: DataFrame): DataFrame =
@@ -165,7 +193,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     if (n == 0) return 0
     val touched: Option[Set[String]] =
       if (partitionCols.isEmpty) None
-      else Some(touchedPartitions(toAdd, partitionCols))
+      else Some(touchedPartitions(toAdd, partitionCols).map(encodePartition))
     var staged = stageAudited(spark, toAdd, n)
 
     var attempts = 0
@@ -189,7 +217,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             "(vacuumed mid-commit?) — aborting instead of committing a " +
             "dangling manifest")
       if (tryPublish(snap.lastOption.map(_._1).getOrElse(-1L) + 1,
-          Manifest(n, Seq(staged), partitions = touched)))
+          Manifest(n, Seq(staged), partitions = touched,
+            partitionCols = partitionCols)))
         return n
 
       // Lost the race: some other writer committed first.
@@ -201,9 +230,17 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       // rewrite, and the sets are disjoint, the staged rows cannot
       // share a key with anything that landed (partitionCols ⊆ keys) —
       // re-publish with zero data work.
+      // The comparison is only meaningful between commits scoped on the
+      // SAME column set — a commit scoped by (region) proves nothing to
+      // a writer scoped by (day), so differing pcols fall back to the
+      // re-filter. An interleaved OVERWRITE commit participates on the
+      // same terms: its partition set is the replaced tuples, so a
+      // disjoint overwrite neither adds nor removes any key this merge
+      // could collide with.
       val provablyDisjoint = touched.exists { mine =>
         delta.forall { case (_, m) =>
-          !m.base && m.partitions.exists(theirs => theirs.intersect(mine).isEmpty)
+          !m.base && m.partitionCols == partitionCols &&
+            m.partitions.exists(theirs => theirs.intersect(mine).isEmpty)
         }
       }
       if (!provablyDisjoint) {
@@ -231,14 +268,68 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     n // unreachable
   }
 
-  /** Distinct partition tuples of one staged batch, as the manifest's
-    * canonical strings — driver-side collect of a batch-local distinct,
-    * small by the same argument as the commit's key set. */
-  private def touchedPartitions(df: DataFrame, partitionCols: Seq[String]): Set[String] = {
+  /** Distinct partition tuples of one staged batch, as raw value
+    * sequences — driver-side collect of a batch-local distinct, small
+    * by the same argument as the commit's key set; call sites pick the
+    * encoding ([[encodePartition]] for conflict sets, [[sepEncode]]
+    * for the overwrite read filter). */
+  private def touchedPartitions(df: DataFrame,
+      partitionCols: Seq[String]): Set[Seq[String]] = {
     import org.apache.spark.sql.functions.col
     df.select(partitionCols.map(col): _*).distinct().collect()
-      .map(r => encodePartition(partitionCols.indices.map(i => String.valueOf(r.get(i)))))
+      .map(r => partitionCols.indices.map(i => String.valueOf(r.get(i))))
       .toSet
+  }
+
+  /** REPLACE WHERE — the ACID partition-overwrite commit, the update
+    * path the insert-only log lacked: atomically replace EVERY row of
+    * the partitions `incoming` touches with `incoming`'s rows (the
+    * Delta `replaceWhere` / Hive dynamic-partition-overwrite shape —
+    * the restatement primitive: reload one day, correct one tenant).
+    * The manifest records the replaced tuple set; READERS apply it as
+    * a partition-column predicate over earlier commits' files
+    * ([[dataOf]]) — deletion is logical, O(commits) metadata, and the
+    * predicate is row-group prunable at the scan. Data directories are
+    * never touched, so time travel still reads the pre-overwrite rows
+    * at pre-overwrite versions and [[vacuumOrphans]] semantics are
+    * unchanged. Concurrency: replace semantics are version-relative
+    * ("my content supersedes whatever these partitions held at any
+    * earlier version"), so a lost publish race retries with ZERO data
+    * work — overwrites never re-filter; an insert writer interleaving
+    * with a disjoint same-cols overwrite keeps ITS metadata-only fast
+    * path (see [[mergeUpsert]]). Returns the committed row count. */
+  def overwritePartitions(
+      spark: SparkSession,
+      incoming: DataFrame,
+      partitionCols: Seq[String],
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
+    val n = incoming.count()
+    if (n == 0) return 0 // nothing touched, nothing replaced
+    val tuples = touchedPartitions(incoming, partitionCols)
+    val staged = stageAudited(spark, incoming, n)
+    val manifest = Manifest(n, Seq(staged),
+      partitions = Some(tuples.map(encodePartition)),
+      partitionCols = partitionCols,
+      replaceCols = partitionCols,
+      replaceKeys = tuples.map(sepEncode))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts) {
+        deleteRecursively(root.resolve(staged))
+        throw new IllegalStateException(
+          s"overwritePartitions: gave up after $maxAttempts publish attempts on $dir")
+      }
+      beforePublish()
+      if (!Files.isDirectory(root.resolve(staged)))
+        throw new IllegalStateException(
+          s"overwritePartitions: staged directory $staged vanished before " +
+            "publish (vacuumed mid-commit?) — aborting")
+      if (tryPublish(version() + 1, manifest)) return n
+    }
+    n // unreachable
   }
 
   private def existingKeysAt(
@@ -386,7 +477,9 @@ object TxParquetSink {
     * conflicts with everything, which is both the legacy-manifest
     * reading and the safe default. */
   final case class Manifest(rows: Long, files: Seq[String],
-      base: Boolean = false, partitions: Option[Set[String]] = None)
+      base: Boolean = false, partitions: Option[Set[String]] = None,
+      partitionCols: Seq[String] = Nil,
+      replaceCols: Seq[String] = Nil, replaceKeys: Set[String] = Set.empty)
 
   /** Line-oriented manifest codec (`rows=<n>` then one `file=<rel>` per
     * line, `pscope=true` + one `part=<tuple>` per touched partition for
@@ -398,7 +491,13 @@ object TxParquetSink {
     ((s"rows=${m.rows}" +: m.files.map(f => s"file=$f")) ++
       (if (m.base) Seq("base=true") else Nil) ++
       m.partitions.toSeq.flatMap(ps =>
-        "pscope=true" +: ps.toSeq.sorted.map(p => s"part=$p"))
+        "pscope=true" +: ps.toSeq.sorted.map(p => s"part=$p")) ++
+      (if (m.partitionCols.nonEmpty)
+        Seq(s"pcols=${m.partitionCols.mkString(",")}") else Nil) ++
+      (if (m.replaceCols.nonEmpty)
+        s"rcols=${m.replaceCols.mkString(",")}" +:
+          m.replaceKeys.toSeq.sorted.map(k => s"rkey=$k")
+      else Nil)
       ).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
@@ -414,7 +513,10 @@ object TxParquetSink {
       kv.collectFirst { case ("base", v) => v.toBoolean }.getOrElse(false),
       if (kv.exists(_ == ("pscope", "true")))
         Some(kv.collect { case ("part", v) => v }.toSet)
-      else None)
+      else None,
+      kv.collectFirst { case ("pcols", v) => v.split(',').toSeq }.getOrElse(Nil),
+      kv.collectFirst { case ("rcols", v) => v.split(',').toSeq }.getOrElse(Nil),
+      kv.collect { case ("rkey", v) => v }.toSet)
   }
 
   /** Canonical string for one partition tuple: URL-encoded values
@@ -423,6 +525,27 @@ object TxParquetSink {
   private[etl] def encodePartition(values: Seq[String]): String =
     values.map(v =>
       java.net.URLEncoder.encode(v, UTF_8.name())).mkString("/")
+
+  /** The -separated tuple key used by the OVERWRITE read filter —
+    * a second encoding of the same tuples because this one must be
+    * reproducible as a COLUMN EXPRESSION inside the scan
+    * ([[sepKeyExpr]]: regexp_replace chains — URL-encoding is not
+    * expressible there). '%'→'%25' and the separator→'%01' make it
+    * collision-free; a null partition value prints "null" on both
+    * sides (String.valueOf vs coalesce). */
+  private[etl] val SepChar = "\u0001"
+  private[etl] def sepEncode(values: Seq[String]): String =
+    values.map(v => v.replace("%", "%25").replace(SepChar, "%01"))
+      .mkString(SepChar)
+
+  /** [[sepEncode]] as an expression over the partition columns. */
+  private[etl] def sepKeyExpr(cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws(SepChar, cols.map(c =>
+      regexp_replace(
+        regexp_replace(coalesce(col(c).cast("string"), lit("null")), "%", "%25"),
+        SepChar, "%01")): _*)
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -349,10 +349,100 @@ class TxSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("partitionCols"))
   }
 
+  // ---- partition overwrite (REPLACE WHERE) --------------------------
+
+  test("overwrite replaces exactly the touched partitions, atomically") {
+    val t = table()
+    t.append(pbatch(("d1", "P1", "old1"), ("d1", "P2", "old2"), ("d2", "P3", "keep")))
+    val n = t.overwritePartitions(spark,
+      pbatch(("d1", "P9", "new")), Seq("day"))
+    assert(n == 1)
+    // d1's two old rows are gone, d2 untouched, the new row visible
+    assert(keySet2(t) == Seq("d1/P9", "d2/P3"))
+    // deletion is logical: time travel to the pre-overwrite version
+    // still reads the replaced rows
+    assert(t.readVersion(spark, 0L).get.count() == 3L)
+    val names = t.readVersion(spark, 0L).get
+      .select("product_name").as[String].collect().sorted.toSeq
+    assert(names == Seq("keep", "old1", "old2"))
+  }
+
+  test("overwrite then compact: the base resolves the deletion, history survives") {
+    val t = table()
+    t.append(pbatch(("d1", "P1", "old"), ("d2", "P2", "keep")))
+    t.overwritePartitions(spark, pbatch(("d1", "P3", "new")), Seq("day"))
+    val v = t.compact(spark)
+    assert(keySet2(t) == Seq("d1/P3", "d2/P2"))
+    val base = t.commits().filter(_._1 == v).head._2
+    assert(base.base && base.rows == 2L, "base must hold the RESOLVED snapshot")
+    // pre-base, pre-overwrite history still readable
+    assert(t.readVersion(spark, 0L).get.count() == 2L)
+    // and post-compaction merges de-duplicate against the resolved state
+    assert(t.mergeUpsert(spark, pbatch(("d1", "P3", "replay")), pkeys, order) == 0)
+  }
+
+  test("overwrite losing a race retries metadata-only and supersedes the interleaver") {
+    val t = table()
+    t.append(pbatch(("d2", "Q1", "other")))
+    var fired = false
+    // an insert lands INSIDE the overwrite's commit window: one row in
+    // the replaced partition d1, one elsewhere
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      t.append(pbatch(("d1", "X1", "doomed"), ("d3", "X2", "survives")))
+    }
+    val n = t.overwritePartitions(spark, pbatch(("d1", "P1", "new")), Seq("day"),
+      beforePublish = interleaved)
+    assert(fired && n == 1)
+    // replace is version-relative: the interleaved commit published
+    // FIRST, so its d1 row is superseded; its d3 row survives
+    assert(keySet2(t) == Seq("d1/P1", "d2/Q1", "d3/X2"))
+  }
+
+  test("merge keeps its metadata-only fast path across a disjoint same-cols overwrite") {
+    val t = table()
+    t.append(pbatch(("d2", "P0", "seed")))
+    var refilters = 0
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      t.overwritePartitions(spark, pbatch(("d2", "P7", "restated")), Seq("day")); ()
+    }
+    val n = t.mergeUpsert(spark, pbatch(("d1", "P1", "fromA")), pkeys, order,
+      beforePublish = interleaved, partitionCols = pcols,
+      onRefilter = () => refilters += 1)
+    assert(refilters == 0,
+      "a disjoint same-cols overwrite must not force the merge to re-filter")
+    assert(n == 1 && keySet2(t) == Seq("d1/P1", "d2/P7"))
+  }
+
+  test("differing partition-col scopes prove nothing: the merge must re-filter") {
+    val t = table()
+    var refilters = 0
+    var fired = false
+    // interleaved writer scopes by product_id — its partition-set
+    // strings can never be compared with a day-scoped writer's
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      t.mergeUpsert(spark, pbatch(("d9", "P9", "other")), pkeys, order,
+        partitionCols = Seq("product_id")); ()
+    }
+    t.mergeUpsert(spark, pbatch(("d1", "P1", "fromA")), pkeys, order,
+      beforePublish = interleaved, partitionCols = pcols,
+      onRefilter = () => refilters += 1)
+    assert(refilters >= 1,
+      "partition sets over different column sets are incomparable")
+  }
+
   test("scoped manifest codec round-trips; separator chars cannot forge a tuple") {
     val m = TxParquetSink.Manifest(3L, Seq("data/tx-a"),
-      partitions = Some(Set("d1", "d2/x")))
+      partitions = Some(Set("d1", "d2/x")), partitionCols = Seq("day"))
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+    val ow = TxParquetSink.Manifest(2L, Seq("data/tx-b"),
+      partitions = Some(Set("d1")), partitionCols = Seq("day"),
+      replaceCols = Seq("day"),
+      replaceKeys = Set(TxParquetSink.sepEncode(Seq("d1"))))
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(ow)) == ow)
     // a value containing the tuple separator encodes differently from a
     // genuine two-column tuple with the same rendered characters
     assert(TxParquetSink.encodePartition(Seq("a/b")) !=
