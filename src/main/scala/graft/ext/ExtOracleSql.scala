@@ -1101,6 +1101,42 @@ object ExtOracleSql {
        |  AND s.doc_id IN (SELECT doc_id FROM ($dedupClusters) WHERE is_keeper)
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Funnel twin: the same per-doc gate flags from the nested component
+    * oracles, one running-conjunction aggregate, unioned to the 5-row
+    * stage table. The final stage's n_out is cleanCorpus's row count by
+    * construction — checked in-engine by PipelineSpec and here by the
+    * hash gate. */
+  def filterFunnel: String =
+    s"""WITH f AS (
+       |  SELECT s.doc_id,
+       |    s.n_tokens >= ${PipelineOps.MinTokens} AS p1,
+       |    s.quality_score >= ${PipelineOps.MinQuality} AS p2,
+       |    l.pred_lang <> 'unknown' AS p3,
+       |    s.doc_id IN (SELECT doc_id FROM ($dedupExact)) AS p4,
+       |    s.doc_id IN (SELECT doc_id FROM ($dedupClusters) WHERE is_keeper) AS p5
+       |  FROM ($textStats) s
+       |  JOIN ($langId) l USING (doc_id)
+       |),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+       |    CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+       |  FROM f
+       |)
+       |SELECT CAST(stage AS INT) AS stage, stage_name, n_in,
+       |       n_in - n_out AS n_dropped, n_out
+       |FROM (
+       |  SELECT 1 AS stage, 'length' AS stage_name, n0 AS n_in, n1 AS n_out FROM a
+       |  UNION ALL SELECT 2, 'quality', n1, n2 FROM a
+       |  UNION ALL SELECT 3, 'language', n2, n3 FROM a
+       |  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM a
+       |  UNION ALL SELECT 5, 'near_dup', n4, n5 FROM a
+       |)
+       |ORDER BY stage""".stripMargin
+
   /** Split/sample oracles share the engine's salted-hash contract: the
     * hash input is 'salt:' || id, so assignments are independent of the
     * unsalted id hashes used elsewhere. */

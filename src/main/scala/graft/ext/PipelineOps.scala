@@ -50,4 +50,57 @@ object PipelineOps {
       .select("doc_id", "lang", "pred_lang", "split", "n_tokens", "quality_score")
       .orderBy("doc_id")
   }
+
+  /** FILTER FUNNEL — [[cleanCorpus]]'s observability twin: per stage,
+    * how many documents entered, died, and survived. This is the
+    * dashboard every curation pipeline runs next to its filters ("where
+    * does my corpus go?"): a threshold that silently eats 40 % of a
+    * source shows up here, not in the cleaned output. Stages are the
+    * pipeline's own gates in the pipeline's own order (length →
+    * quality → language → exact-dedup keeper → near-dup keeper), with
+    * the SAME shared constants and keeper tables — so the final
+    * stage's `n_out` equals `cleanCorpus.count()` BY CONSTRUCTION, and
+    * `PipelineSpec` pins that theorem in-engine while the DuckDB twin
+    * (which nests the same component oracles) hash-gates every count.
+    *
+    * Shape: the per-row gates are column definitions over the one
+    * tokenized scan; the keeper memberships are two left joins on
+    * doc_id; the funnel itself is ONE aggregate of running
+    * conjunctions (fully partial-aggregable — at 100 TB this is a
+    * single pass and a 5-row result). */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextOps.withPredLang(
+        TextOps.withTextSignals(TextOps.withWords(TextOps.docs(spark, dir))))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("pred_lang"))
+    val exactK = DedupOps.exact(spark, dir)
+      .select(col("doc_id")).withColumn("ek", lit(true))
+    val clusterK = DedupOps.clusters(spark, dir).where(col("is_keeper"))
+      .select(col("doc_id")).withColumn("ck", lit(true))
+    val flags = base
+      .join(exactK, Seq("doc_id"), "left")
+      .join(clusterK, Seq("doc_id"), "left")
+      .withColumn("p1", col("n_tokens") >= lit(MinTokens))
+      .withColumn("p2", col("quality_score") >= lit(MinQuality))
+      .withColumn("p3", col("pred_lang") =!= "unknown")
+      .withColumn("p4", coalesce(col("ek"), lit(false)))
+      .withColumn("p5", coalesce(col("ck"), lit(false)))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+          .otherwise(0L)).as("n4"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4") && col("p5"), 1L)
+          .otherwise(0L)).as("n5"))
+      .selectExpr("stack(5, " +
+        "1, 'length', n0, n1, " +
+        "2, 'quality', n1, n2, " +
+        "3, 'language', n2, n3, " +
+        "4, 'exact_dedup', n3, n4, " +
+        "5, 'near_dup', n4, n5) AS (stage, stage_name, n_in, n_out)")
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .select("stage", "stage_name", "n_in", "n_dropped", "n_out")
+      .orderBy("stage")
+  }
 }
