@@ -2603,6 +2603,37 @@ object ExtOracleSql {
        |FROM hits
        |ORDER BY query_id""".stripMargin
 
+  /** kNN-eval twin: the same cell-routed candidate generation
+    * ([[scaledCellsCte]], crank ≤ MiningNProbe), exact-cosine top-k
+    * with the id tie-break, majority vote with the lower-label
+    * tie-break, confusion-matrix rollup. */
+  lazy val embedKnnEval: String =
+    s"""WITH $scaledCellsCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |knc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, l.label AS nlabel,
+       |    ${dot("q.embedding", "c.embedding", "ke")} / (q.norm * c.norm) AS cos
+       |  FROM cells q
+       |  JOIN cr p ON p.vec_id = q.vec_id AND p.crank <= ${VectorOps.MiningNProbe}
+       |  JOIN cells c ON c.cell = p.cent_id AND c.vec_id <> q.vec_id
+       |  JOIN lab l ON l.vec_id = c.vec_id
+       |),
+       |topk AS (
+       |  SELECT query_id, nlabel FROM knc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) <= ${VectorOps.KnnK}
+       |),
+       |votes AS (SELECT query_id, nlabel, count(*) AS cnt FROM topk GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, nlabel AS predicted FROM votes
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cnt DESC, nlabel ASC) = 1
+       |)
+       |SELECT l.label, p.predicted, CAST(count(*) AS BIGINT) AS n
+       |FROM pred p JOIN lab l ON l.vec_id = p.query_id
+       |GROUP BY 1, 2
+       |ORDER BY label, predicted""".stripMargin
+
   /** SemDeDup twin: within-cell pairs over [[trainedCellsCte]]'s
     * assignment, dominated = any lower-id same-cell vector at cosine ≥
     * tau; max_cos stays NULL when no dominating pair exists. */

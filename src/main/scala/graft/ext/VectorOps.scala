@@ -103,6 +103,61 @@ object VectorOps {
       .orderBy("label", "predicted")
   }
 
+  /** Neighbor count for [[knnEval]] — shared with the oracle twin. */
+  val KnnK = 5
+
+  /** kNN-classifier evaluation THROUGH THE TRAINED CELLS — the
+    * non-parametric companion of [[centroidEval]] (Rocchio assumes one
+    * center per class; kNN follows the local decision boundary) and a
+    * third consumer of the √n-cell router: every vector is classified
+    * leave-one-out by the MAJORITY LABEL of its [[KnnK]] nearest
+    * neighbors, where "nearest" is searched the way a 100-TB
+    * deployment searches — only the query's [[MiningNProbe]] probed
+    * cells are scored (n·nProbe·√n total candidate work, never the n²
+    * all-pairs eval), exact cosine decides the ranking, and every tie
+    * is deterministic (cosine ties → lower neighbor id; vote ties →
+    * lower label). The confusion matrix this emits therefore measures
+    * the PRODUCTION retrieval stack's labeling quality — router recall
+    * loss included — which is the number a deployment actually ships.
+    * All queries run (no nQueries bound): probes⋈cells is a plain
+    * cell-keyed equi-join, no broadcast hint — AQE picks the strategy
+    * by size. */
+  def knnEval(spark: SparkSession, dir: String, k: Int = KnnK,
+      nProbe: Int = MiningNProbe): DataFrame = {
+    val assign = kmeansAssign(spark, dir, nProbe,
+      resolveKCent(spark, dir, kCent = 0), iters = 2)
+    val labels = SimilarityOps.embeddings(spark, dir).select("vec_id", "label")
+    val cells = assign.where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+      .join(labels, "vec_id")
+    val probes = assign
+      .select(col("vec_id").as("query_id"), col("cent_id").as("pcell"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+    val cand = probes
+      .join(cells, col("pcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr(SimilarityOps.cosExpr("qv", "embedding", "qn", "norm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"), col("cos"))
+    // bounded top-k aggregate (partial combine in the candidate stage),
+    // neighbor label rides the ordering struct — no second label join
+    val tk = graft.functions.TopK.topKBy(
+      struct(col("cos").as("s"), (-col("neighbor_id")).as("t"),
+        col("nlabel").as("l")), k)
+    val votes = cand.groupBy("query_id").agg(tk.as("tkv"))
+      .select(col("query_id"), explode(col("tkv")).as("nb"))
+      .groupBy(col("query_id"), col("nb.l").as("vlabel"))
+      .agg(count(lit(1)).as("cnt"))
+    val predicted = votes.groupBy("query_id")
+      .agg(max(struct(col("cnt"), (-col("vlabel")).as("nl"))).as("best"))
+      .select(col("query_id"), (-col("best.nl")).as("predicted"))
+    predicted
+      .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+
   /** Top-k for [[embedOutliers]] — shared with the oracle twin. */
   val OutlierK = 20
 

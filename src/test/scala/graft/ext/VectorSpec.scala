@@ -109,6 +109,28 @@ class VectorSpec extends SparkSpec {
     } finally hn.unpersist()
   }
 
+  test("kNN eval: every vector classified once, votes reconcile, domain closed") {
+    val out = VectorOps.knnEval(spark, sfSmoke).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val labels = SimilarityOps.embeddings(spark, sfSmoke)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // confusion matrix covers the whole corpus exactly once
+    assert(out.map(_._3).sum == labels.length.toLong)
+    // row sums equal the true per-label counts
+    val byLabel = labels.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.groupBy(_._1).foreach { case (l, cells) =>
+      assert(cells.map(_._3).sum == byLabel(l), s"label $l row sum")
+    }
+    // predictions stay inside the label domain
+    val domain = byLabel.keySet
+    assert(out.forall(c => domain.contains(c._2)))
+    // deterministic: a second run is identical (tie-breaks are total)
+    val again = VectorOps.knnEval(spark, sfSmoke).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("PQ: valid PqM-byte codes, ADC distances rebuild from the codebook exactly") {
     val cb = VectorOps.pqCodebooks(spark, sfSmoke)
       .collect()
