@@ -35,7 +35,62 @@ object BenchVariants {
     "q06_affinity" -> (affinityAggThenName(_, _)),
     // round-7 optimizations, frozen as their own controls
     "etl_interval_merge" -> (intervalMergeDayExplode(_, _)),
-    "etl_ndv_profile" -> (ndvProfileCountDistinct(_, _)))
+    "etl_ndv_profile" -> (ndvProfileCountDistinct(_, _)),
+    // round-8 rewrites, frozen as their own controls
+    "q29_itemsets3" -> (itemsets3Unpruned(_, _)),
+    "ext_dedup_containment" -> (containmentNoOrientation(_, _)))
+
+  /** vs the registered Apriori enumeration: the round-7 brute-force
+    * two-step self-join (no pair-support pruning, no basket-size
+    * guard — C(basket,3) candidates per order regardless of support).
+    * Lossless-equivalence is pinned by the oracle, which deliberately
+    * keeps this spelling; the ratio prices what Apriori buys. */
+  def itemsets3Unpruned(spark: SparkSession, dir: String): DataFrame = {
+    val basket = Star.salesFact(spark, dir)
+      .select("order_id", "product_id").distinct()
+    basket.as("a")
+      .join(basket.as("b"),
+        col("a.order_id") === col("b.order_id") &&
+          col("a.product_id") < col("b.product_id"))
+      .join(basket.as("c"),
+        col("b.order_id") === col("c.order_id") &&
+          col("b.product_id") < col("c.product_id"))
+      .groupBy(col("a.product_id").as("p1"), col("b.product_id").as("p2"),
+        col("c.product_id").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(50)
+  }
+
+  /** vs the registered orientation-cut containment: the round-7 probe
+    * of the FULL inverted index with no |B| ≥ ⌈τ·|A|⌉ length filter —
+    * big-A prefixes rain candidates onto small Bs that can never
+    * verify. The cut is lossless (same ⌈τ·n−ε⌉ arithmetic as the
+    * prefix length), so this B side returns identical rows. */
+  def containmentNoOrientation(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.8
+    val docs = graft.ext.DedupOps.jaccardDocTable(spark, dir, 10000L)
+    val prefLen = (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val probe = docs.select(col("doc_id").as("doc_a"),
+      explode(slice(col("ord"), lit(1), prefLen)).as("sh"))
+    val index = docs.select(col("doc_id").as("doc_b"), explode(col("ord")).as("sh"))
+    val cand = probe.join(index,
+        probe("sh") === index("sh") && col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id"), col("n").as("na"), col("ord").as("oa")),
+        col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(docs.select(col("doc_id"), col("ord").as("ob")),
+        col("doc_b") === col("doc_id"))
+      .withColumn("n_shared", size(array_intersect(col("oa"), col("ob"))))
+      .withColumn("containment", expr("CAST(n_shared AS DOUBLE) / na"))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** vs the registered sweep-line: the original day-grain
     * explode+distinct spelling (|orders|·lead-time rows) — the 7.5 s

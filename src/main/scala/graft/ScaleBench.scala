@@ -78,7 +78,11 @@ object ScaleBench {
     "etl_seasonal_hhi", "etl_leadtime_drift",
     // round-8: cell-routed mining retrieval (hard negatives / MMR now
     // probe the √n-cell trained router instead of brute force)
-    "ext_sim_hard_negatives", "ext_sim_mmr")
+    "ext_sim_hard_negatives", "ext_sim_mmr",
+    // round-8 second leg: all-queries cell-routed kNN eval (the
+    // heaviest new ANN consumer), the funnel's corpus pass, and the
+    // ACID overwrite round trip (commit mechanics + snapshot read)
+    "ext_embed_knn_eval", "ext_pipeline_funnel", "etl_tx_overwrite")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -120,13 +120,17 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       val paths = commits.flatMap(_._1._2.files).map(f => root.resolve(f).toString)
       if (paths.isEmpty) None
       else {
-        val base = spark.read.parquet(paths: _*)
+        // mergeSchema: commits may ADD columns over the table's life
+        // (schema evolution) — older rows read back null-filled, the
+        // Delta/Iceberg contract; dropping or retyping a column is not
+        // supported (parquet would throw on read, loudly).
+        val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         Some(drops.foldLeft(base) { case (df, (cols, keys)) =>
           df.where(not(sepKeyExpr(cols).isin(keys.toSeq: _*)))
         })
       }
     }
-    frames.reduceOption(_ unionByName _)
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   def existingKeys(spark: SparkSession, keys: Seq[String], schemaSource: DataFrame): DataFrame =

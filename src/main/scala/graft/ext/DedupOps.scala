@@ -95,7 +95,7 @@ object DedupOps {
     * materialization). Row width is bounded by document length, so the
     * array form is safe at 100 TB (documents are bounded; corpora are
     * not). */
-  private def jaccardDocTable(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
+  private[graft] def jaccardDocTable(spark: SparkSession, dir: String, maxDf: Long): DataFrame = {
     val sh = TextOps.shingleSet(spark, dir)
     graft.util.SessionCache.getOrBuild(spark, s"dedup|$dir|jacdoc|$maxDf") {
       val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
