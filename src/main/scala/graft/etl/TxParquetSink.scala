@@ -384,6 +384,37 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * writer's stage→publish window (the publish path also re-checks the
     * staged dir and aborts loudly if it vanished). Returns the removed
     * paths. */
+  /** LOG TRUNCATION — the deliberate history-retention pass the
+    * time-travel scaladoc reserves: permanently forget every version
+    * BEFORE the newest base commit by deleting the pre-base manifests
+    * and every data directory ONLY they referenced. This is the third
+    * leg of the table lifecycle (compact bounds the read fan-in,
+    * vacuum removes crashed-writer litter, truncate bounds HISTORY)
+    * and the step that makes an erasure PHYSICAL: an
+    * overwrite/restatement only hides rows logically — the bytes stay
+    * readable via time travel until the pre-base history is truncated
+    * (GDPR art. 17 needs overwrite → compact → truncate → the files
+    * are gone). Refuses to run without a base commit (truncating a
+    * base-less log would delete live data) and never touches the
+    * base or anything after it, so `readSnapshot`/`readVersion` at or
+    * above the base are unchanged; `readVersion` below the horizon now
+    * returns the post-base view of that empty prefix (None). Returns
+    * the deleted paths (manifests + data dirs). */
+  def truncateHistory(): Seq[String] = {
+    val cs = commits()
+    val baseIdx = cs.lastIndexWhere(_._2.base)
+    if (baseIdx < 0) return Nil // no base: nothing is safely forgettable
+    val (before, fromBase) = cs.splitAt(baseIdx)
+    if (before.isEmpty) return Nil
+    val keepDirs = fromBase.flatMap(_._2.files).toSet
+    val dropDirs = before.flatMap(_._2.files).toSet -- keepDirs
+    val manifests = before.map { case (v, _) => logDir.resolve(f"$v%020d.txn") }
+    val dirs = dropDirs.toSeq.sorted.map(root.resolve(_))
+    dirs.foreach(deleteRecursively)
+    manifests.foreach(Files.deleteIfExists(_))
+    (manifests ++ dirs).map(_.toString)
+  }
+
   def vacuumOrphans(minAgeMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean =

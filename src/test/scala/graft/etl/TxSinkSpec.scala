@@ -434,6 +434,58 @@ class TxSinkSpec extends SparkSpec {
       "partition sets over different column sets are incomparable")
   }
 
+  // ---- log truncation (history retention) ---------------------------
+
+  test("truncation forgets pre-base history, keeps the snapshot, and is physical") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "secret"), keys, order)
+    t.mergeUpsert(spark, batch("P2" -> "keep"), keys, order)
+    // base-less log: truncation refuses (nothing is safely forgettable)
+    assert(t.truncateHistory().isEmpty && t.version() == 1L)
+    // the GDPR path: overwrite-style restatement via merge is not
+    // enough — P1's bytes stay time-travel readable until truncation
+    val v = t.compact(spark)
+    assert(t.readVersion(spark, 0L).get.count() == 1L, "history readable pre-truncate")
+    val removed = t.truncateHistory()
+    assert(removed.nonEmpty)
+    // snapshot at and after the base is unchanged
+    assert(keySet(t) == Seq("P1", "P2") && t.version() == v)
+    // pre-base versions are gone — reads below the horizon see the
+    // post-base resolution of an empty prefix
+    assert(t.readVersion(spark, 0L).isEmpty)
+    // PHYSICAL: no data directory outside the base's survives
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.dir, "data")).iterator()
+    var n = 0
+    while (dataDirs.hasNext) { dataDirs.next(); n += 1 }
+    assert(n == 1, "only the base's directory may remain")
+    // idempotent: a second truncation is a no-op
+    assert(t.truncateHistory().isEmpty)
+    // and the table keeps working
+    assert(t.mergeUpsert(spark, batch("P3" -> "new"), keys, order) == 1)
+    assert(keySet(t) == Seq("P1", "P2", "P3"))
+  }
+
+  test("truncation never deletes a directory the base still references") {
+    // compact() stages a NEW directory, so pre-base dirs are normally
+    // all droppable — but a future shallow/incremental base might
+    // reference old dirs; pin the reference-counting rule directly on
+    // a hand-written manifest pair.
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "a"), keys, order)
+    val shared = t.commits().head._2.files.head
+    // hand-publish a base that REUSES the first commit's directory
+    val logDir = java.nio.file.Paths.get(t.dir, "_txlog")
+    java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.txn"),
+      TxParquetSink.renderManifest(
+        TxParquetSink.Manifest(1L, Seq(shared), base = true)).getBytes)
+    val removed = t.truncateHistory()
+    // the version-0 manifest goes; the shared data directory must stay
+    assert(removed.exists(_.endsWith(".txn")))
+    assert(!removed.exists(_.endsWith(shared.stripPrefix("data/"))))
+    assert(keySet(t) == Seq("P1"), "shared directory must survive truncation")
+  }
+
   test("scoped manifest codec round-trips; separator chars cannot forge a tuple") {
     val m = TxParquetSink.Manifest(3L, Seq("data/tx-a"),
       partitions = Some(Set("d1", "d2/x")), partitionCols = Seq("day"))
