@@ -80,6 +80,17 @@ object EtlOracleSql {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Exactly-once replay twin: the PLAIN daily aggregate — the engine
+    * side reaches it through month-batched overwrite commits plus one
+    * deliberately redelivered batch, so hash equality here IS the
+    * exactly-once proof. */
+  val txDailyReplay: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |       COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   val eventsHourly: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |       COUNT(*) AS n_events,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.TxParquetSink
 
 /** EXACTLY-ONCE streaming loads via partition overwrite — the
@@ -32,5 +32,40 @@ object TxStreamSink {
       batch: DataFrame, batchId: Long): Unit = {
     sink.overwritePartitions(batch.sparkSession, batch, partitionCols)
     ()
+  }
+
+  /** Oracle-checkable REPLAY of the exactly-once load over a closed
+    * event log — the [[graft.streaming.StreamDedup]] replay pattern
+    * applied to the sink: the events table is carved into month-sized
+    * micro-batches (complete `day` partitions by construction — the
+    * contract), each pushed through the SAME [[overwriteBatch]] body
+    * the real stream runs, and then one mid-log batch is DELIBERATELY
+    * REDELIVERED (Spark's at-least-once foreachBatch retry). The final
+    * snapshot is read back and hash-gated against the plain
+    * declarative daily aggregate — so the oracle differential proves,
+    * on real data every round, that a double-applied batch changes
+    * NOTHING: the exactly-once claim, not asserted but checked.
+    * Driver loop shape: one bounded month list (calendar-domain
+    * metadata), one commit per batch; the sink's own commit log is
+    * the accumulating state. */
+  def txDailyReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sink = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txreplay").toString + "/t")
+    val ev = graft.etl.Star.events(spark, dir)
+      .withColumn("day", expr("CAST(CAST(ts AS DATE) AS STRING)"))
+    def monthly(m: String) = ev.where(expr(s"substring(day, 1, 7) = '$m'"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val months = ev.select(expr("substring(day, 1, 7)").as("mon"))
+      .distinct().orderBy("mon").collect().map(_.getString(0)).toSeq
+    val write = overwriteBatch(sink, Seq("day")) _
+    months.zipWithIndex.foreach { case (m, i) => write(monthly(m), i.toLong) }
+    // the at-least-once redelivery: the middle batch runs AGAIN
+    val replayed = months(months.size / 2)
+    write(monthly(replayed), months.size / 2)
+    sink.readSnapshot(spark).get
+      .select("day", "event_type", "n_events")
+      .orderBy("day", "event_type")
   }
 }
