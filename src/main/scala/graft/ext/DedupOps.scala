@@ -714,4 +714,39 @@ object DedupOps {
       .select("doc_a", "doc_b", "inter", "j_wppm")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** SOURCE-OVERLAP MATRIX — near-dup provenance analysis: for every
+    * (source, source) pair, how many verified Jaccard near-dup pairs
+    * straddle it. This is the question a multi-crawl corpus asks
+    * before budgeting dedup ("which feeds copy which?"): a hot
+    * OFF-diagonal cell is a mirror/scraper relationship worth a
+    * source-level rule; a hot DIAGONAL cell is internal churn
+    * (re-crawls of one feed). Cells are CANONICAL (source_a ≤ source_b
+    * lexicographically) so each undirected pair lands in one cell, and
+    * the matrix is zero-filled over the full source×source upper
+    * triangle — an absent relationship is a visible 0, not a missing
+    * row. Shape: the session-cached verified pair table joined twice
+    * to the doc→source map (doc-keyed broadcastable side), one
+    * bounded aggregate (≤ |sources|² rows), a domain-grid left join. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val src = TextOps.docs(spark, dir).select("doc_id", "source")
+    val pairs = jaccardPairs(spark, dir, threshold)
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "sb"), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val sources = src.select("source").distinct()
+    val grid = sources.as("x").crossJoin(sources.as("y"))
+      .where(col("x.source") <= col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    grid.join(pairs, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -376,6 +376,29 @@ object ExtOracleSql {
        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Source-overlap twin: the Jaccard pair chain nested verbatim,
+    * canonical (least, greatest) source cells, zero-filled upper
+    * triangle. */
+  lazy val dedupSourceOverlap: String =
+    s"""WITH jp AS (SELECT doc_a, doc_b FROM ($dedupJaccard)),
+       |src AS (SELECT doc_id, source FROM documents),
+       |cells AS (
+       |  SELECT least(sa.source, sb.source) AS source_a,
+       |         greatest(sa.source, sb.source) AS source_b,
+       |         count(*) AS n_pairs
+       |  FROM jp
+       |  JOIN src sa ON sa.doc_id = jp.doc_a
+       |  JOIN src sb ON sb.doc_id = jp.doc_b
+       |  GROUP BY 1, 2
+       |),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |grid AS (SELECT x.source AS source_a, y.source AS source_b
+       |         FROM srcs x JOIN srcs y ON x.source <= y.source)
+       |SELECT g.source_a, g.source_b,
+       |       CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs
+       |FROM grid g LEFT JOIN cells c USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Ordered containment pairs over the same df-capped shingle sets as
     * the Jaccard twin: C(A→B) = shared / |A| (asymmetric — doc_a is the
     * contained side, both orders reported when both hold). The `pairs`
@@ -1136,6 +1159,35 @@ object ExtOracleSql {
        |  UNION ALL SELECT 5, 'near_dup', n4, n5 FROM a
        |)
        |ORDER BY stage""".stripMargin
+
+  /** Datasheet twin: the cleaned-corpus twin nested verbatim, cell
+    * aggregate, 1-row totals, zero-filled language×split grid, the
+    * same ⌊10⁶·cell/total⌋ integer shares. */
+  def corpusDatasheet: String =
+    s"""WITH clean AS (SELECT lang, split, n_tokens FROM ($cleanCorpus)),
+       |cells AS (
+       |  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM clean GROUP BY 1, 2
+       |),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+       |               CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM cells),
+       |grid AS (
+       |  SELECT l.lang, s.split
+       |  FROM (SELECT DISTINCT lang FROM documents) l
+       |  CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split)
+       |)
+       |SELECT g.lang, g.split,
+       |       CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST((1000000 * coalesce(c.n_docs, 0)) // t.tot_docs AS BIGINT)
+       |         AS doc_share_ppm,
+       |       CAST((1000000 * coalesce(c.n_tokens, 0)) // t.tot_tokens AS BIGINT)
+       |         AS token_share_ppm
+       |FROM grid g
+       |LEFT JOIN cells c USING (lang, split)
+       |CROSS JOIN tot t
+       |ORDER BY lang, split""".stripMargin
 
   /** Split/sample oracles share the engine's salted-hash contract: the
     * hash input is 'salt:' || id, so assignments are independent of the

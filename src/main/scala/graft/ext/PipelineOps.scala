@@ -51,6 +51,42 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** CORPUS DATASHEET — the composition report of the CLEANED corpus
+    * (Gebru et al.'s "Datasheets for Datasets" summary table, the
+    * artifact a training-data release ships): per (language, split)
+    * cell — document count, token count, and each cell's exact ppm
+    * share of cleaned documents and of cleaned tokens. Where the
+    * funnel answers "where do documents DIE", this answers "what is
+    * the survivor mix" — the number a mixture-weighting or
+    * per-language budget decision reads. The grid is zero-filled over
+    * the FULL source-language × split domain, so a language that the
+    * cleaning emptied out (or a split that lost a language) is a
+    * visible 0-row, not a missing one. Shares are ⌊10⁶·cell/total⌋
+    * integer ppm — cross-engine exact. One aggregate over the cleaned
+    * frame + a broadcast 1-row total + a domain-grid left join. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clean = cleanCorpus(spark, dir)
+      .select("lang", "split", "n_tokens")
+    val cells = clean.groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot = cells.agg(sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"))
+    val langs = TextOps.docs(spark, dir).select("lang").distinct()
+    val splits = Seq("train", "val", "test").toDF("split")
+    val grid = langs.crossJoin(splits)
+    grid.join(cells, Seq("lang", "split"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("split"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr("(CAST(1000000 AS BIGINT) * coalesce(n_docs, 0)) div tot_docs")
+          .as("doc_share_ppm"),
+        expr("(CAST(1000000 AS BIGINT) * coalesce(n_tokens, 0)) div tot_tokens")
+          .as("token_share_ppm"))
+      .orderBy("lang", "split")
+  }
+
   /** FILTER FUNNEL — [[cleanCorpus]]'s observability twin: per stage,
     * how many documents entered, died, and survived. This is the
     * dashboard every curation pipeline runs next to its filters ("where
