@@ -126,7 +126,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         // supported (parquet would throw on read, loudly).
         val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         Some(drops.foldLeft(base) { case (df, (cols, keys)) =>
-          df.where(not(sepKeyExpr(cols).isin(keys.toSeq: _*)))
+          df.where(dropPredicate(cols, keys))
         })
       }
     }
@@ -580,6 +580,28 @@ object TxParquetSink {
       regexp_replace(
         regexp_replace(coalesce(col(c).cast("string"), lit("null")), "%", "%25"),
         SepChar, "%01")): _*)
+  }
+
+  /** The drop-exclusion predicate for one replace set. Single-column
+    * replace sets whose values carry no escapes take the FAST PATH —
+    * a plain `NOT col IN (values)`: Catalyst coerces the literals to
+    * the column's type and the filter TRANSLATES TO A DATA-SOURCE
+    * FILTER, so parquet row-group statistics can skip whole replaced
+    * partitions at the scan (`PushedFilters: [Not(In(day, …))]` —
+    * pinned by the spec). Multi-column sets or escaped values fall
+    * back to the expression form, which filters post-scan but is
+    * always correct. */
+  private[etl] def dropPredicate(cols: Seq[String],
+      keys: Set[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    if (cols.size == 1 && keys.forall(k => !k.contains("%")) &&
+        !keys.contains("null")) {
+      // keys ARE the raw values when nothing was escaped; a null
+      // partition value nulls the In() — keep those rows explicitly
+      // (the "null" marker key, which WOULD drop them, routes to the
+      // expression path above)
+      not(col(cols.head).isin(keys.toSeq: _*)) || col(cols.head).isNull
+    } else not(sepKeyExpr(cols).isin(keys.toSeq: _*))
   }
 
   private def deleteRecursively(p: Path): Unit =

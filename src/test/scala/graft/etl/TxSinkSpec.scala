@@ -434,6 +434,23 @@ class TxSinkSpec extends SparkSpec {
       "partition sets over different column sets are incomparable")
   }
 
+  test("overwrite exclusion pushes to the parquet scan as Not(In(day, ...))") {
+    val t = table()
+    t.append(pbatch(("d1", "P1", "old"), ("d2", "P2", "keep")))
+    t.overwritePartitions(spark, pbatch(("d1", "P9", "new")), Seq("day"))
+    val plan = t.readSnapshot(spark).get.queryExecution.executedPlan.toString
+    // the single-column fast path must reach the data source as a
+    // TRANSLATABLE filter so row-group stats can skip replaced
+    // partitions — not run as a post-scan expression (Spark renders a
+    // 1-value In as Not(EqualTo(day, ...)), wider sets as Not(In(day, ...)))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*Not\\((?:In|EqualTo)\\(day.*"),
+      s"drop exclusion did not push down:\n$plan")
+    // and values containing escape characters fall back safely
+    t.overwritePartitions(spark, pbatch(("d%3", "P5", "esc")), Seq("day"))
+    assert(keySet2(t).contains("d%3/P5"))
+    assert(t.readSnapshot(spark).get.count() == 3L)
+  }
+
   // ---- log truncation (history retention) ---------------------------
 
   test("truncation forgets pre-base history, keeps the snapshot, and is physical") {
