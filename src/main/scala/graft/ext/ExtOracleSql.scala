@@ -2662,6 +2662,8 @@ object ExtOracleSql {
   lazy val embedKnnEval: String =
     s"""WITH $scaledCellsCte,
        |lab AS (SELECT vec_id, label FROM embeddings),
+       |smod AS (SELECT greatest(1, (SELECT count(*) FROM embeddings)
+       |                 // ${VectorOps.KnnEvalQueryCap}) AS m),
        |knc AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, l.label AS nlabel,
        |    ${dot("q.embedding", "c.embedding", "ke")} / (q.norm * c.norm) AS cos
@@ -2669,6 +2671,7 @@ object ExtOracleSql {
        |  JOIN cr p ON p.vec_id = q.vec_id AND p.crank <= ${VectorOps.MiningNProbe}
        |  JOIN cells c ON c.cell = p.cent_id AND c.vec_id <> q.vec_id
        |  JOIN lab l ON l.vec_id = c.vec_id
+       |  WHERE q.vec_id % (SELECT m FROM smod) = 0
        |),
        |topk AS (
        |  SELECT query_id, nlabel FROM knc

@@ -106,6 +106,16 @@ object VectorOps {
   /** Neighbor count for [[knnEval]] — shared with the oracle twin. */
   val KnnK = 5
 
+  /** Query-sample cap for [[knnEval]]: above this corpus size the eval
+    * runs on the deterministic `vec_id % ⌊n/cap⌋ = 0` sample instead
+    * of all vectors — an evaluation is a MEASUREMENT, and ~5 k sampled
+    * queries bound the accuracy CI at ~±1.4 % while keeping the eval's
+    * candidate volume flat (the un-capped all-queries eval is
+    * n·nProbe·√n — measured to the heap cliff at 200 k vectors on one
+    * box). Below the cap the modulus is 1 and every vector is a query.
+    * Formula shared verbatim with the twin. */
+  val KnnEvalQueryCap = 5000L
+
   /** kNN-classifier evaluation THROUGH THE TRAINED CELLS — the
     * non-parametric companion of [[centroidEval]] (Rocchio assumes one
     * center per class; kNN follows the local decision boundary) and a
@@ -124,6 +134,8 @@ object VectorOps {
     * by size. */
   def knnEval(spark: SparkSession, dir: String, k: Int = KnnK,
       nProbe: Int = MiningNProbe): DataFrame = {
+    val n = SimilarityOps.embeddings(spark, dir).count()
+    val sampleMod = math.max(1L, n / KnnEvalQueryCap)
     val assign = kmeansAssign(spark, dir, nProbe,
       resolveKCent(spark, dir, kCent = 0), iters = 2)
     val labels = SimilarityOps.embeddings(spark, dir).select("vec_id", "label")
@@ -131,6 +143,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
       .join(labels, "vec_id")
     val probes = assign
+      .where(col("vec_id") % lit(sampleMod) === 0)
       .select(col("vec_id").as("query_id"), col("cent_id").as("pcell"),
         col("embedding").as("qv"), col("norm").as("qn"))
     val cand = probes
