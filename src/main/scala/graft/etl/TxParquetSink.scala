@@ -399,7 +399,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * base or anything after it, so `readSnapshot`/`readVersion` at or
     * above the base are unchanged; `readVersion` below the horizon now
     * returns the post-base view of that empty prefix (None). Returns
-    * the deleted paths (manifests + data dirs). */
+    * the deleted paths (manifests + data dirs). OPERATIONAL contract
+    * (the Delta VACUUM discipline): run from a maintenance window, not
+    * concurrently with writers — a writer holding a pre-truncation
+    * snapshot can still publish safely (version numbers are never
+    * reused), but its delta-conflict window would span commits the
+    * truncation removed, so it conservatively re-filters against an
+    * empty delta; quiesce writers to avoid paying that. */
   def truncateHistory(): Seq[String] = {
     val cs = commits()
     val baseIdx = cs.lastIndexWhere(_._2.base)
