@@ -434,6 +434,41 @@ class TxSinkSpec extends SparkSpec {
       "partition sets over different column sets are incomparable")
   }
 
+  test("mixed hammer: concurrent merges and a restating overwriter converge exactly") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val t = table()
+    // three disjoint-day merge writers, plus one writer repeatedly
+    // RESTATING day d9 via overwrite — the mixed production workload
+    val merges = (1 to 3).map { w =>
+      Future {
+        for (b <- 0 until 3) {
+          t.mergeUpsert(spark,
+            (0 until 8).map(i => (s"d$w", f"K${b * 8 + i}%02d", s"w$w"))
+              .toDF("day", "product_id", "product_name"),
+            pkeys, order, partitionCols = pcols)
+        }
+      }
+    }
+    val restater = Future {
+      for (r <- 1 to 4) {
+        t.overwritePartitions(spark,
+          (0 until r).map(i => ("d9", f"R$i%02d", s"rev$r"))
+            .toDF("day", "product_id", "product_name"),
+          Seq("day"))
+      }
+    }
+    Await.result(Future.sequence(merges :+ restater), 120.seconds)
+    val rows = keySet2(t)
+    assert(rows.size == rows.distinct.size, "duplicate keys committed")
+    // every merge row landed; d9 holds exactly the LAST restatement
+    assert(rows.count(_.startsWith("d9/")) == 4, s"d9 state wrong: $rows")
+    assert(rows.size == 3 * 24 + 4)
+    val rev = t.readSnapshot(spark).get.where($"day" === "d9")
+      .select("product_name").as[String].collect().toSet
+    assert(rev == Set("rev4"), s"d9 must hold only the final restatement, got $rev")
+  }
+
   test("overwrite exclusion pushes to the parquet scan as Not(In(day, ...))") {
     val t = table()
     t.append(pbatch(("d1", "P1", "old"), ("d2", "P2", "keep")))
