@@ -464,7 +464,39 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * seam, as in [[mergeUpsert]]. */
   def compact(spark: SparkSession,
       beforePublish: () => Unit = () => (),
-      maxAttempts: Int = 20): Long = {
+      maxAttempts: Int = 20): Long =
+    compactWith(spark, identity, beforePublish, maxAttempts)
+
+  /** CLUSTERED compaction — `OPTIMIZE ... ZORDER BY (x, y)` on this
+    * log: the base rewrite is laid out z-clustered
+    * ([[ZOrder.zValue]] interleave, range-partitioned then sorted),
+    * so each base file covers a compact z-range and a 2-D slab
+    * predicate prunes most files via parquet min/max stats — the
+    * read-layout maintenance pass composed with the commit protocol
+    * (same races, same time travel; only the staged layout differs).
+    * Spec pins the physical property directly: per-file z-ranges are
+    * pairwise DISJOINT (range partitioning guarantees it). */
+  def compactZOrdered(spark: SparkSession, x: String, y: String,
+      bits: Int = 16, numFiles: Int = 8,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long =
+    compactWith(spark, df => {
+      import org.apache.spark.sql.functions.col
+      // EXPLICIT file count: an unsized repartitionByRange of a small
+      // shuffle gets AQE-coalesced back to one partition and the
+      // clustering evaporates (the TextOps.shingleSet lesson); a
+      // deployment sizes this by target file bytes.
+      val zk = ZOrder.zValue(col(x), col(y), bits)
+      df.withColumn("__zk", zk)
+        .repartitionByRange(numFiles, col("__zk"))
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+    }, beforePublish, maxAttempts)
+
+  private def compactWith(spark: SparkSession,
+      layout: DataFrame => DataFrame,
+      beforePublish: () => Unit,
+      maxAttempts: Int): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -473,7 +505,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           s"compact: gave up after $maxAttempts publish attempts on $dir")
       val snap = commits()
       if (snap.isEmpty) return -1L
-      val df = dataOf(spark, effective(snap)).get.localCheckpoint(true)
+      val df = layout(dataOf(spark, effective(snap)).get.localCheckpoint(true))
       val n = df.count()
       val staged = stageAudited(spark, df, n)
       beforePublish()

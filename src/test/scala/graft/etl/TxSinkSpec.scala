@@ -486,6 +486,46 @@ class TxSinkSpec extends SparkSpec {
     assert(t.readSnapshot(spark).get.count() == 3L)
   }
 
+  test("z-ordered compaction: snapshot equal, per-file z-ranges pairwise disjoint") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // scatter a 2-D grid across several unclustered commits
+    val rows = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong, s"v$x-$y")
+    rows.grouped(64).foreach { g =>
+      t.append(g.toDF("cx", "cy", "payload"))
+    }
+    val pre = t.readSnapshot(spark).get.count()
+    val v = t.compactZOrdered(spark, "cx", "cy", bits = 8)
+    assert(v >= 0 && t.readSnapshot(spark).get.count() == pre,
+      "clustered rewrite must not change the snapshot")
+    // physical pin: every base file covers a z-range disjoint from
+    // every other's (range partitioning on the interleave guarantees it)
+    val base = t.commits().filter(_._2.base).last._2.files.head
+    val dir = java.nio.file.Paths.get(t.dir, base)
+    val parquets = java.nio.file.Files.list(dir).iterator()
+    val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    while (parquets.hasNext) {
+      val p = parquets.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val zf = spark.read.parquet(p.toString)
+          .select(ZOrder.zValue(col("cx"), col("cy"), 8).as("zk"))
+          .agg(org.apache.spark.sql.functions.min("zk"),
+            org.apache.spark.sql.functions.max("zk"))
+          .head()
+        ranges += ((zf.getLong(0), zf.getLong(1)))
+      }
+    }
+    assert(ranges.size > 1, "clustered base should hold multiple range files")
+    val sorted = ranges.sortBy(_._1).toSeq
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a._2 < b._1, s"z-ranges overlap: $a vs $b")
+    }
+    // and the log keeps working after the clustered base
+    t.append(Seq((99L, 99L, "post")).toDF("cx", "cy", "payload"))
+    assert(t.readSnapshot(spark).get.count() == pre + 1)
+  }
+
   // ---- log truncation (history retention) ---------------------------
 
   test("truncation forgets pre-base history, keeps the snapshot, and is physical") {
