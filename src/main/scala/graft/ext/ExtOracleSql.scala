@@ -1398,6 +1398,75 @@ object ExtOracleSql {
     * engine's union+ordered-window plan). `max_by(o_totalprice,
     * o_orderkey)` mirrors Spark's max(struct(o_orderkey, o_totalprice))
     * keeper: o_orderkey is unique, so both pick the same row. */
+  /** SAX similarity twin: identical window build (ORDER BY month
+    * lists), exact integer sums, the SAME literal Gaussian-tercile
+    * breakpoints, left-fold z/PAA/distance arithmetic, and tie-broken
+    * global top-k. Needs the star CTE for sales_fact. */
+  val tsSaxSimilar: String = {
+    import TemporalOps._
+    val w = SaxW
+    val seg = w / SaxSegments
+    graft.etl.Star.oracleCte +
+    s""", monthly AS (
+       |  SELECT store_id, substring(CAST(time_id AS VARCHAR), 1, 7) AS month,
+       |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) // 100 AS BIGINT)
+       |           AS dollars
+       |  FROM sales_fact GROUP BY 1, 2
+       |),
+       |series AS (
+       |  SELECT store_id, list(month ORDER BY month) AS months,
+       |         list(dollars ORDER BY month) AS ds
+       |  FROM monthly GROUP BY 1
+       |),
+       |win AS (
+       |  SELECT store_id, months[i] AS wstart,
+       |         list_transform(range(0, $w), j -> ds[i + j]) AS vals
+       |  FROM series, LATERAL (SELECT unnest(range(1, len(ds) - ${w - 2})) AS i)
+       |  WHERE len(ds) >= $w
+       |),
+       |sums AS (
+       |  SELECT store_id, wstart, vals,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+       |      (sa, sv) -> sa + sv) AS sx,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(vals, v -> v * v)), (qa, qv) -> qa + qv) AS sxx
+       |  FROM win
+       |),
+       |nz AS (
+       |  SELECT store_id, wstart, vals,
+       |    CAST(sx AS DOUBLE) / $w AS mean,
+       |    sqrt(CAST(CAST($w AS BIGINT) * sxx - sx * sx AS DOUBLE)) / $w AS sd
+       |  FROM sums WHERE CAST($w AS BIGINT) * sxx - sx * sx > 0
+       |),
+       |wz AS (
+       |  SELECT store_id, wstart,
+       |    list_transform(vals, v -> (CAST(v AS DOUBLE) - mean) / sd) AS z
+       |  FROM nz
+       |),
+       |wsax AS (
+       |  SELECT store_id, wstart, z,
+       |    array_to_string(list_transform(
+       |      list_transform(range(0, ${SaxSegments}), s ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          z[CAST(s * $seg + 1 AS BIGINT) : CAST(s * $seg + $seg AS BIGINT)]),
+       |          (pa, pv) -> pa + pv) / $seg),
+       |      p -> CASE WHEN p < $SaxBreakLo THEN 'a'
+       |                WHEN p < $SaxBreakHi THEN 'b' ELSE 'c' END), '') AS word
+       |  FROM wz
+       |)
+       |SELECT x.store_id AS store_a, x.wstart AS start_a,
+       |       y.store_id AS store_b, y.wstart AS start_b, x.word AS word,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip(x.z, y.z),
+       |      zz -> (zz[1] - zz[2]) * (zz[1] - zz[2]))),
+       |    (da, dv) -> da + dv) AS dist2
+       |FROM wsax x JOIN wsax y ON x.word = y.word
+       |  AND (x.store_id < y.store_id OR
+       |       (x.store_id = y.store_id AND x.wstart < y.wstart))
+       |ORDER BY dist2, store_a, start_a, store_b, start_b
+       |LIMIT ${SaxTopK}""".stripMargin
+  }
+
   val asofEventsOrders: String =
     s"""WITH ord AS (
        |  SELECT o_custkey, o_orderdate AS last_order_date,

@@ -154,4 +154,93 @@ object TemporalOps {
           .as("last_prior_day"))
       .orderBy("o_orderkey")
   }
+
+  // ---- SAX-indexed time-series similarity search ----------------------
+
+  /** SAX geometry: windows of [[SaxW]] consecutive observed months,
+    * PAA-compressed to [[SaxSegments]] segment means, discretized on
+    * the 3-letter Gaussian-tercile alphabet. The breakpoints ±0.4307…
+    * are TRANSCENDENTAL (Φ⁻¹(1/3)) and therefore ship as shared
+    * LITERAL constants — the HLL/bootstrap quantized-table discipline:
+    * a computed `qnorm` would never bit-agree cross-engine. */
+  val SaxW = 6
+  val SaxSegments = 3
+  val SaxBreakLo = -0.4307272992954576
+  val SaxBreakHi = 0.4307272992954576
+  val SaxTopK = 20
+
+  /** TIME-SERIES SIMILARITY SEARCH, SAX-indexed (the Lin/Keogh iSAX
+    * recipe, the EDBT'19 streaming-similarity shape): which stores'
+    * revenue TRAJECTORIES repeat each other, and when? Each store's
+    * observed monthly revenue sequence is cut into [[SaxW]]-month
+    * sliding windows; every window is z-NORMALIZED (shape, not level —
+    * a big and a small store with the same seasonal curve should
+    * match), PAA-compressed and SAX-discretized; candidate pairs come
+    * ONLY from an equi-join on the SAX word (the index property:
+    * similar shapes share words, so candidates are O(collisions),
+    * never all-pairs-of-windows); the exact z-normalized distance² —
+    * a strict left fold, bit-identical cross-engine — re-ranks, and a
+    * bounded global top-k emits.
+    *
+    * Exactness contract: monthly revenue in integer DOLLARS (cents²
+    * overflows BIGINT at sf ≥ 0.1 — the storeCorrelation lesson);
+    * window variance from exact integer sums (W·Σx² − (Σx)²), windows
+    * with zero variance (flat series) are excluded BEFORE the divide
+    * on both sides; all per-window arithmetic is position-ordered
+    * array HOFs; the series table is store×month — calendar-bounded,
+    * so the collect_list window build is the bounded-group pattern,
+    * not a corpus-sized sort. */
+  def saxSimilarWindows(spark: SparkSession, dir: String,
+      k: Int = SaxTopK): DataFrame =
+    saxSimilarFrom(
+      graft.etl.Star.salesFact(spark, dir)
+        .groupBy(col("store_id"),
+          expr("substring(CAST(time_id AS STRING), 1, 7)").as("month"))
+        .agg(expr("sum(CAST(total_revenue * 100 AS BIGINT)) div 100").as("dollars")),
+      k)
+
+  /** The SAX kernel over an arbitrary (store_id, month, dollars) frame —
+    * the seam the first-principles spec drives. */
+  private[ext] def saxSimilarFrom(monthly: DataFrame, k: Int): DataFrame = {
+    val series = monthly.groupBy("store_id")
+      .agg(expr("transform(array_sort(collect_list(struct(month, dollars))), x -> x)")
+        .as("ms"))
+    val w = SaxW
+    val windows = series
+      .select(col("store_id"), expr(
+        s"explode(CASE WHEN size(ms) >= $w THEN " +
+          s"transform(sequence(1, size(ms) - ${w - 1}), i -> " +
+          s"struct(element_at(ms, i).month AS wstart, " +
+          s"transform(sequence(0, ${w - 1}), j -> element_at(ms, i + j).dollars) AS vals)) " +
+          "ELSE array() END)").as("wd"))
+      .select(col("store_id"), col("wd.wstart").as("wstart"), col("wd.vals").as("vals"))
+      .withColumn("sx", expr("aggregate(vals, CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("sxx", expr("aggregate(vals, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
+      .withColumn("ivar", expr(s"CAST($w AS BIGINT) * sxx - sx * sx"))
+      .where(col("ivar") > 0) // flat windows have no shape to match
+      .withColumn("mean", expr(s"CAST(sx AS DOUBLE) / $w"))
+      .withColumn("sd", expr(s"sqrt(CAST(ivar AS DOUBLE)) / $w"))
+      .withColumn("z", expr("transform(vals, v -> (CAST(v AS DOUBLE) - mean) / sd)"))
+      .withColumn("paa", expr(
+        s"transform(sequence(0, ${SaxSegments - 1}), s -> " +
+          s"aggregate(slice(z, s * ${w / SaxSegments} + 1, ${w / SaxSegments}), " +
+          s"CAST(0 AS DOUBLE), (a, v) -> a + v) / ${w / SaxSegments})"))
+      .withColumn("word", expr(
+        s"concat_ws('', transform(paa, p -> CASE WHEN p < $SaxBreakLo THEN 'a' " +
+          s"WHEN p < $SaxBreakHi THEN 'b' ELSE 'c' END))"))
+      .select("store_id", "wstart", "word", "z")
+    windows.as("x").join(windows.as("y"),
+        col("x.word") === col("y.word") &&
+          (col("x.store_id") < col("y.store_id") ||
+            (col("x.store_id") === col("y.store_id") &&
+              col("x.wstart") < col("y.wstart"))))
+      .select(col("x.store_id").as("store_a"), col("x.wstart").as("start_a"),
+        col("y.store_id").as("store_b"), col("y.wstart").as("start_b"),
+        col("x.word").as("word"),
+        expr("aggregate(zip_with(x.z, y.z, (p, q) -> (p - q) * (p - q)), " +
+          "CAST(0 AS DOUBLE), (a, v) -> a + v)").as("dist2"))
+      .orderBy(col("dist2"), col("store_a"), col("start_a"),
+        col("store_b"), col("start_b"))
+      .limit(k)
+  }
 }
