@@ -1729,4 +1729,77 @@ object EtlOracleSql {
       |UNION ALL
       |SELECT month, store_id, cents FROM restated
       |ORDER BY month, store_id""".stripMargin)
+
+  /** Candidate-key twin: one per-key-count subquery per candidate from
+    * the SHARED [[EtlQueries.KeyCandidates]] list, rolled up and
+    * unioned. DuckDB's sum(BIGINT) widens to HUGEINT, so n_rows /
+    * n_dup_keys are cast back to BIGINT to match the engine's LongType. */
+  val keyCandidates: String =
+    EtlQueries.KeyCandidates.map { case (table, label, cols) =>
+      s"""SELECT '$label' AS candidate,
+         |       CAST(sum(c) AS BIGINT) AS n_rows,
+         |       count(*) AS ndv,
+         |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+         |       max(c) AS max_dup,
+         |       count(*) = CAST(sum(c) AS BIGINT) AS is_key
+         |FROM (SELECT count(*) AS c FROM $table GROUP BY ${cols.mkString(", ")})""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+
+  /** FD-audit twin: GROUP BY lhs with a distinct-rhs count per FD from
+    * the SHARED [[EtlQueries.FdChecks]] list, rolled up and unioned. */
+  val fdAudit: String =
+    EtlQueries.FdChecks.map { case (table, lhs, rhs) =>
+      s"""SELECT '$table: $lhs -> $rhs' AS fd,
+         |       count(*) AS n_lhs,
+         |       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+         |       max(n_rhs) AS max_rhs_per_lhs,
+         |       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+         |FROM (SELECT count(DISTINCT $rhs) AS n_rhs FROM $table GROUP BY $lhs)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+
+  /** Sequential-pattern twin: the same islands sessionization as
+    * [[eventSessions]] but over exact epoch-microsecond integers
+    * (matching the engine's `unix_micros`; the feed has sub-second
+    * timestamps), then the per-(session, type) min/max reduction and the
+    * min(A) < max(B) subsequence join. */
+  val seqPatterns: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_type,
+      |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |                 > 30 * 60 * 1000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |),
+      |numbered AS (
+      |  SELECT user_id, ts, event_type,
+      |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |),
+      |per_type AS (
+      |  SELECT user_id, session_id, event_type,
+      |         min(ts) AS first_ts, max(ts) AS last_ts
+      |  FROM numbered GROUP BY 1, 2, 3
+      |),
+      |pairs AS (
+      |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |         count(*) AS n_sessions_both
+      |  FROM per_type a
+      |  JOIN per_type b ON a.user_id = b.user_id
+      |    AND a.session_id = b.session_id
+      |    AND a.first_ts < b.last_ts
+      |  GROUP BY 1, 2
+      |),
+      |per_a AS (
+      |  SELECT event_type AS antecedent, count(*) AS n_sessions_antecedent
+      |  FROM per_type GROUP BY 1
+      |)
+      |SELECT p.antecedent, p.consequent,
+      |       CAST(p.n_sessions_both AS BIGINT) AS n_sessions_both,
+      |       CAST(a.n_sessions_antecedent AS BIGINT) AS n_sessions_antecedent,
+      |       CAST(p.n_sessions_both AS DOUBLE) / CAST(a.n_sessions_antecedent AS DOUBLE)
+      |         AS confidence
+      |FROM pairs p JOIN per_a a USING (antecedent)
+      |ORDER BY antecedent, consequent""".stripMargin
 }

@@ -1954,4 +1954,134 @@ object EtlQueries {
       .select("month", "store_id", "cents")
       .orderBy("month", "store_id")
   }
+
+  /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
+    * columns). Shared with the oracle twin so the candidate list cannot
+    * drift between engines. The lineitem candidates bracket the schema's
+    * EXPECTED primary key: the reference loads transactions keyed by
+    * Order_ID alone (SURVEY.md §2.6 D7), TPC-H proper keys lineitem by
+    * (orderkey, linenumber) — and this feed satisfies NEITHER (the
+    * generator emits duplicate lines), which is exactly the discovery a
+    * key profiler exists to make before a MERGE keys on a non-key. */
+  val KeyCandidates: Seq[(String, String, Seq[String])] = Seq(
+    ("lineitem", "lineitem(l_orderkey)", Seq("l_orderkey")),
+    ("lineitem", "lineitem(l_orderkey,l_linenumber)",
+      Seq("l_orderkey", "l_linenumber")),
+    ("lineitem", "lineitem(l_orderkey,l_linenumber,l_partkey)",
+      Seq("l_orderkey", "l_linenumber", "l_partkey")),
+    ("lineitem", "lineitem(l_partkey,l_suppkey)", Seq("l_partkey", "l_suppkey")),
+    ("orders", "orders(o_orderkey)", Seq("o_orderkey")),
+    ("orders", "orders(o_custkey)", Seq("o_custkey")),
+    ("events", "events(event_id)", Seq("event_id")))
+
+  /** Candidate-key discovery — the uniqueness profile a warehouse loader
+    * needs BEFORE it picks a MERGE/upsert key ([[Upserts]] dedups by
+    * Order_ID on exactly this feed). Per candidate column set: row count,
+    * distinct combinations, how many combinations collide and how hard,
+    * and the verdict. Each candidate is one column-pruned scan into a
+    * two-level hash aggregate (per-key counts partial map-side, then a
+    * single-row rollup) — no sort, no window, no distinct-expand; at
+    * 100 TB each candidate is exactly the shuffle its GROUP BY implies
+    * and nothing more. Candidates are independent, so Spark schedules
+    * the union's legs concurrently. */
+  def keyCandidates(spark: SparkSession, dir: String): DataFrame =
+    KeyCandidates.map { case (table, label, cols) =>
+      Star.table(spark, dir, table)
+        .groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("ndv"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          max(col("c")).as("max_dup"))
+        .select(lit(label).as("candidate"), col("n_rows"), col("ndv"),
+          col("n_dup_keys"), col("max_dup"),
+          (col("ndv") === col("n_rows")).as("is_key"))
+    }.reduce(_ unionByName _).orderBy("candidate")
+
+  /** Functional dependencies audited by [[fdAudit]] — (table, lhs → rhs).
+    * Shared with the oracle twin. A deliberate mix: one FD that must hold
+    * (a primary key determines every column — the audit's control), and
+    * three plausible-but-false dependencies a modeler might assume
+    * (customer → priority, order → returnflag, part → supplier) whose
+    * violation counts quantify how wrong the assumption is. */
+  val FdChecks: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"))
+
+  /** Functional-dependency audit — for each declared lhs → rhs, the
+    * number of lhs values bound to MORE than one distinct rhs (the
+    * violation count; 0 means the dependency holds on this data) and the
+    * worst fan-out. The per-FD plan is GROUP BY lhs with a distinct-rhs
+    * count, then a one-row rollup: the same partial-aggregate shuffle
+    * shape as [[keyCandidates]], and the reason this beats the naive
+    * "self-join on lhs where rhs differs" spelling (which is quadratic
+    * per key and was never written). Complements [[dqRules]] (row-local
+    * predicates) and [[fkAudit]] (cross-table containment): FDs are the
+    * third schema-trust axis, intra-table column determinism. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame =
+    FdChecks.map { case (table, lhs, rhs) =>
+      Star.table(spark, dir, table)
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(
+          count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+          max(col("n_rhs")).as("max_rhs_per_lhs"))
+        .select(lit(s"$table: $lhs -> $rhs").as("fd"), col("n_lhs"),
+          col("n_violating_lhs"), col("max_rhs_per_lhs"),
+          (col("n_violating_lhs") === 0L).as("holds"))
+    }.reduce(_ unionByName _).orderBy("fd")
+
+  /** Gapped sequential-pattern mining — for every ordered pair of event
+    * types (A, B), the number of sessions where an A occurs STRICTLY
+    * before a B (any gap, same 30-minute-gap sessions as
+    * [[eventSessions]]), with confidence = support / sessions containing
+    * A. [[eventTransitions]] counts only ADJACENT steps; real behavioral
+    * rules ("sessions that see an error eventually purchase anyway") need
+    * the subsequence relation, which this computes WITHOUT the
+    * within-session event self-join: a session contains A…B iff
+    * min ts(A) < max ts(B), so one per-(session, type) min/max aggregate
+    * (sessions × |types| rows — far smaller than events) replaces the
+    * quadratic pairing of raw events. A = B reads "A recurs at two
+    * distinct times". Sessionization is the gaps-and-islands window
+    * spelled over exact epoch-microsecond integers in BOTH engines (the
+    * events feed carries sub-second timestamps; a seconds cast would
+    * truncate), one shuffle by user — equal-timestamp ties cannot flip
+    * the break flag (their pairwise gap is 0), so the cumulative-sum
+    * session id is order-stable. Confidence is one exact-long IEEE
+    * divide, bit-identical cross-engine ([[storeCorr]] precedent). */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gapMicros = 30L * 60 * 1000000
+    val tagged = Star.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+            lit(gapMicros), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perType = tagged
+      .groupBy("user_id", "session_id", "event_type")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val pairs = perType.as("a").join(perType.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.first_ts") < col("b.last_ts"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_sessions_both"))
+    val perA = perType.groupBy(col("event_type").as("antecedent"))
+      .agg(count(lit(1)).as("n_sessions_antecedent"))
+    pairs.join(broadcast(perA), "antecedent")
+      .select(col("antecedent"), col("consequent"), col("n_sessions_both"),
+        col("n_sessions_antecedent"),
+        (col("n_sessions_both").cast("double") /
+          col("n_sessions_antecedent").cast("double")).as("confidence"))
+      .orderBy("antecedent", "consequent")
+  }
 }
