@@ -82,7 +82,11 @@ object ScaleBench {
     // round-8 second leg: all-queries cell-routed kNN eval (the
     // heaviest new ANN consumer), the funnel's corpus pass, and the
     // ACID overwrite round trip (commit mechanics + snapshot read)
-    "ext_embed_knn_eval", "ext_pipeline_funnel", "etl_tx_overwrite")
+    "ext_embed_knn_eval", "ext_pipeline_funnel", "etl_tx_overwrite",
+    // round-8 third leg: SAX window index, the session-type subsequence
+    // join, and the multi-candidate key profiler (fd_audit shares
+    // key_candidates' aggregate shape at strictly lower cardinality)
+    "ext_ts_sax_similar", "etl_seq_patterns", "etl_key_candidates")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

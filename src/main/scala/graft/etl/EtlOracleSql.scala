@@ -1476,6 +1476,38 @@ object EtlOracleSql {
       |LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Deadline-funnel twin: [[funnelSteps]]'s CTEs with the per-stage
+    * interval cap from the SHARED [[EtlQueries.FunnelDeadlineMinutes]]. */
+  val funnelDeadline: String = {
+    val m = EtlQueries.FunnelDeadlineMinutes
+    s"""WITH v AS (
+       |  SELECT user_id, min(ts) AS t_view FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |),
+       |c AS (
+       |  SELECT e.user_id, min(e.ts) AS t_click
+       |  FROM events e JOIN v ON v.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+       |    AND e.ts <= v.t_view + INTERVAL $m MINUTE
+       |  GROUP BY e.user_id
+       |),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t_purchase
+       |  FROM events e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+       |    AND e.ts <= c.t_click + INTERVAL $m MINUTE
+       |  GROUP BY e.user_id
+       |)
+       |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+       |    AS funnel_stage
+       |FROM v
+       |LEFT JOIN c ON v.user_id = c.user_id
+       |LEFT JOIN p ON v.user_id = p.user_id
+       |ORDER BY v.user_id""".stripMargin
+  }
+
   /** Cohort twin: integer week arithmetic from the same epoch. */
   val cohortRetention: String =
     """WITH e AS (

@@ -1713,6 +1713,48 @@ object EtlQueries {
       .orderBy("user_id")
   }
 
+  /** Deadline for each [[funnelDeadline]] stage, minutes — shared with
+    * the oracle twin. 12 hours: on this feed's sparse month-long user
+    * histories (hours between events) a session-scale deadline prunes
+    * every user to stage 1 (measured: 30 min → 150/0/0 at sf0.01) and
+    * the row degenerates; 720 min yields the 150/37/7 stage mix that
+    * actually exercises both cap predicates. */
+  val FunnelDeadlineMinutes = 720
+
+  /** Deadline funnel — [[funnelSteps]] under windowFunnel semantics:
+    * each stage's first qualifying event must also land WITHIN
+    * [[FunnelDeadlineMinutes]] of the previous stage's timestamp, the
+    * "did the user convert promptly" question every product funnel
+    * actually asks (the anytime funnel over a month of events calls a
+    * week-later purchase a conversion). Because both variants
+    * take the FIRST qualifying event after the previous stage, the
+    * deadline can only null a stage out, never move it: reached stages
+    * carry identical timestamps and `funnel_stage` is pointwise ≤ the
+    * anytime funnel's (pinned in the spec). Same scale shape as
+    * [[funnelSteps]]: cascaded conditional min-aggregates all keyed on
+    * user_id, stage predicates pushed to the event scan, interval
+    * arithmetic exact on microsecond timestamps in both engines. */
+  def funnelDeadline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Star.events(spark, dir).select("user_id", "ts", "event_type")
+    val cap = expr(s"INTERVAL $FunnelDeadlineMinutes MINUTES")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view") && col("ts") <= col("t_view") + cap)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click") && col("ts") <= col("t_click") + cap)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("funnel_stage",
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("int"))
+      .orderBy("user_id")
+  }
+
   /** Cohort retention matrix: users grouped by first-seen week, counted
     * distinct in each subsequent week — the warehouse query behind
     * every retention curve. Weeks are integer offsets from the corpus

@@ -34,6 +34,29 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally f.unpersist()
   }
 
+  test("deadline funnel: stages are pointwise <= the anytime funnel, reached stages keep their timestamps") {
+    val any = EtlQueries.funnelSteps(spark, sfSmoke)
+      .select(col("user_id"), col("funnel_stage").as("s_any"),
+        col("t_click").as("c_any"), col("t_purchase").as("p_any"))
+    val dl = EtlQueries.funnelDeadline(spark, sfSmoke)
+      .select(col("user_id"), col("funnel_stage").as("s_dl"),
+        col("t_click").as("c_dl"), col("t_purchase").as("p_dl"))
+    val j = any.join(dl, Seq("user_id"), "full").cache()
+    try {
+      // same user universe (stage 1 is deadline-free: the first view)
+      assert(j.where(col("s_any").isNull || col("s_dl").isNull).count() == 0)
+      // a deadline can only null a stage out, never add or move one
+      assert(j.where(col("s_dl") > col("s_any")).count() == 0)
+      assert(j.where(col("c_dl").isNotNull &&
+        col("c_dl") =!= col("c_any")).count() == 0)
+      assert(j.where(col("p_dl").isNotNull &&
+        col("p_dl") =!= col("p_any")).count() == 0)
+      // and on sparse month-long user histories a 30-minute deadline
+      // must actually bite — otherwise this spec is vacuous
+      assert(j.where(col("s_dl") < col("s_any")).count() > 0)
+    } finally j.unpersist()
+  }
+
   test("transition counts conserve: total transitions = events - users") {
     val t = EtlQueries.eventTransitions(spark, sfSmoke)
     val total = t.agg(sum("n_transitions")).collect().head.getLong(0)
