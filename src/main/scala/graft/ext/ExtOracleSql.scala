@@ -2908,6 +2908,39 @@ object ExtOracleSql {
       dot("embedding", s"[$lits]", s"rp$j")
     }.mkString("[", ",\n  ", "]")
 
+  /** Matryoshka twin: per truncation level from the SHARED
+    * [[VectorOps.MatryoshkaDims]], the sliced-prefix brute-force top-k
+    * (row_number over the same strict-fold cosines) and its hit count
+    * against the full-dimension leg. */
+  val embedMatryoshka: String = {
+    val k = VectorOps.MatryoshkaK
+    val nq = VectorOps.MatryoshkaQueries
+    val denom = nq * k
+    val dims = VectorOps.MatryoshkaDims
+    val levelCtes = dims.map { d =>
+      s"""e$d AS (
+         |  SELECT vec_id, emb, sqrt(${dot("emb", "emb", s"n$d")}) AS nrm
+         |  FROM (SELECT vec_id, embedding[1:$d] AS emb FROM embeddings)
+         |),
+         |t$d AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dot("q.emb", "c.emb", s"x$d")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM e$d q JOIN e$d c ON q.vec_id < $nq AND c.vec_id <> q.vec_id
+         |  ) WHERE rank <= $k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val legs = dims.map { d =>
+      s"""SELECT CAST($d AS INT) AS dim, count(*) AS n_hits,
+         |  CAST(count(*) AS DOUBLE) / CAST($denom AS DOUBLE) AS recall_at_k
+         |FROM t$d a JOIN t${dims.max} b
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $levelCtes\n$legs\nORDER BY dim"
+  }
+
   val embedProject: String =
     s"""WITH pe AS (
        |  SELECT vec_id, $rpProjList AS proj FROM embeddings

@@ -588,6 +588,61 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Truncation levels evaluated by [[matryoshkaEval]] — shared with
+    * the oracle twin. The full dimension (64) is included as the
+    * recall-1.0 control row: an eval harness whose ground-truth leg
+    * does not read exactly 1.0 is measuring the wrong thing. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+  val MatryoshkaK = 3
+  val MatryoshkaQueries = 64
+
+  /** Matryoshka truncation eval — recall@k of PREFIX-truncated
+    * embeddings against the full-dimension brute-force ground truth,
+    * one row per truncation level. [[projectedTopK]] answers "how much
+    * does a 16-dim RANDOM projection lose"; this answers the
+    * matryoshka-representation-learning question "how many TRAILING
+    * dims can serving drop" — the knob MRL-trained models expose,
+    * where the first d coordinates are themselves the d-dim embedding
+    * (on this isotropic synthetic corpus a prefix is statistically a
+    * random projection, so the curve is the honest worst case; MRL
+    * training concentrates meaning in the prefix and real curves sit
+    * above it). Per level: slice + fold-norm fuse into the scan, the
+    * 64-query side broadcasts, per-query top-k is the bounded
+    * aggregate (map-side partial combine — no candidate shuffle), and
+    * the hit count is a broadcast-sized semi-join against the
+    * full-dim leg: O(levels · nQueries · n) total work, linear in the
+    * corpus with a bounded query panel, same scale shape as
+    * [[SimilarityOps.bruteForceTopK]]. All scores are strict
+    * left-fold doubles over double-cast floats — bit-identical to the
+    * DuckDB twin's list_reduce. */
+  def matryoshkaEval(spark: SparkSession, dir: String,
+      k: Int = MatryoshkaK, nQueries: Int = MatryoshkaQueries): DataFrame = {
+    val e = SimilarityOps.embeddings(spark, dir)
+    def topkAt(d: Int): DataFrame = {
+      val sliced = e
+        .withColumn("emb_d", expr(s"slice(embedding, 1, $d)"))
+        .withColumn("norm_d", expr(s"sqrt(${SimilarityOps.dotExpr("emb_d", "emb_d")})"))
+      val q = sliced.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("emb_d").as("qv"), col("norm_d").as("qn"))
+      val scored = sliced.select(col("vec_id"), col("emb_d"), col("norm_d"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          expr(SimilarityOps.cosExpr("qv", "emb_d", "qn", "norm_d")))
+      SimilarityOps.topKPerGroup(
+          scored, col("query_id"), Seq.empty, col("cos"), col("vec_id"), k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topkAt(MatryoshkaDims.max)
+    MatryoshkaDims.map { d =>
+      topkAt(d).join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dim"), col("n_hits"),
+          (col("n_hits").cast("double") / lit((nQueries * k).toDouble))
+            .as("recall_at_k"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
   /** √n coarse-cell rule: a production IVF index trains k ∝ √n cells so
     * per-cell size AND cell count both grow as √n — per-query candidate
     * work at nProbe probes is nProbe·√n, sub-linear in the corpus. The

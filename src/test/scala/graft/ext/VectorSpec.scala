@@ -22,6 +22,25 @@ class VectorSpec extends SparkSpec {
     } finally qs.unpersist()
   }
 
+  test("matryoshka eval: full-dim control reads exactly 1.0, truncation is lossy, bounds hold") {
+    val m = VectorOps.matryoshkaEval(spark, sfSmoke).cache()
+    try {
+      val rows = m.collect().map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows.keySet == VectorOps.MatryoshkaDims.toSet)
+      // the ground-truth leg compared against itself must be perfect —
+      // anything else means the harness measures its own noise
+      assert(rows(VectorOps.MatryoshkaDims.max)._2 == 1.0)
+      // isotropic corpus: an 8/64 prefix cannot preserve the ranking
+      assert(rows(VectorOps.MatryoshkaDims.min)._2 < 1.0)
+      val denom = math.min(
+        SimilarityOps.embeddings(spark, sfSmoke).count(),
+        VectorOps.MatryoshkaQueries.toLong) * VectorOps.MatryoshkaK
+      assert(rows.values.forall { case (h, r) =>
+        h >= 0 && h <= denom && r >= 0.0 && r <= 1.0 })
+    } finally m.unpersist()
+  }
+
   test("Lloyd refinement conserves members and emits full centroid vectors") {
     val cents = VectorOps.kmeansRefine(spark, sfSmoke).cache()
     try {
