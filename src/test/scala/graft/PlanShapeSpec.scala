@@ -219,6 +219,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-8 third-leg additions keep their scale shapes") {
+    graft.util.SessionCache.invalidate(spark)
+    // every join in the leg is keyed: the subsequence self-join rides
+    // (user, session), the funnel stages ride user_id, the profilers
+    // are pure aggregates
+    for (q <- Seq("etl_seq_patterns", "etl_key_candidates", "etl_fd_audit",
+        "etl_funnel_deadline")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$p")
+    }
+    // the profilers' one-aggregate-per-candidate spelling must not
+    // regress to a multi-countDistinct Expand over the full scan (the
+    // ndv_profile lesson: 3.3× on the same data)
+    for (q <- Seq("etl_key_candidates", "etl_fd_audit"))
+      assert(!planOf(q).contains("Expand"),
+        s"$q regressed to an Expand spelling")
+    // matryoshka is a DOCUMENTED brute-force eval (bounded query panel
+    // × corpus, the ext_sim_topk exemption) — only the cartesian ban
+    // applies
+    assert(!planOf("ext_embed_matryoshka").contains("CartesianProduct"))
+  }
+
   test("star-join OLAP queries broadcast their dimension sides") {
     for (q <- Seq("q01_weekend", "q04_seasonal", "q08_halfyear")) {
       val p = planOf(q)
