@@ -2098,18 +2098,33 @@ object EtlQueries {
   def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts")
-    val gapMicros = 30L * 60 * 1000000
     val tagged = Star.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("brk",
         when(lag(col("ts"), 1).over(w).isNull ||
           unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
-            lit(gapMicros), 1L).otherwise(0L))
+            lit(SeqGapMicros), 1L).otherwise(0L))
       .withColumn("session_id", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val perType = tagged
       .groupBy("user_id", "session_id", "event_type")
       .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    patternsFromSpans(perType)
+  }
+
+  /** The 30-minute session gap in exact epoch microseconds — shared by
+    * [[seqPatterns]], its streaming maintainer
+    * ([[graft.streaming.StreamSeqPatterns]]), and the oracle twin. */
+  val SeqGapMicros: Long = 30L * 60 * 1000000
+
+  /** The pattern stage of [[seqPatterns]], over any per-(user, session,
+    * type) span table `(user_id, session_id, event_type, first_ts,
+    * last_ts)` — the KERNEL shared by the batch query and the streaming
+    * replay, so the oracle differential gates the logic the stream
+    * actually runs (the [[graft.streaming.StreamDedup]] pattern).
+    * Session ids only need to partition events correctly; the pair
+    * counts never expose them. */
+  def patternsFromSpans(perType: DataFrame): DataFrame = {
     val pairs = perType.as("a").join(perType.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.session_id") === col("b.session_id") &&
