@@ -87,7 +87,8 @@ object ScaleBench {
     // join, and the multi-candidate key profiler (fd_audit shares
     // key_candidates' aggregate shape at strictly lower cardinality)
     "ext_ts_sax_similar", "etl_seq_patterns", "etl_key_candidates",
-    "etl_funnel_deadline", "ext_embed_matryoshka", "stream_seq_patterns")
+    "etl_funnel_deadline", "ext_embed_matryoshka", "stream_seq_patterns",
+    "etl_fifo_allocation")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

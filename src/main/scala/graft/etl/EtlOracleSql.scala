@@ -1789,6 +1789,41 @@ object EtlOracleSql {
          |FROM (SELECT count(DISTINCT $rhs) AS n_rhs FROM $table GROUP BY $lhs)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
 
+  /** FIFO-allocation twin: the identical dual prefix sums (same
+    * extended window order key) and interval-overlap match, exact
+    * BIGINT units. */
+  val fifoAllocation: String =
+    """WITH led AS (
+      |  SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+      |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+      |  FROM lineitem
+      |),
+      |supply AS (
+      |  SELECT *, SUM(qty) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey, qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_end
+      |  FROM led WHERE l_returnflag <> 'R'
+      |),
+      |demand AS (
+      |  SELECT *, SUM(qty) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey, qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_end
+      |  FROM led WHERE l_returnflag = 'R'
+      |)
+      |SELECT s.l_partkey AS partkey,
+      |       d.l_orderkey AS ret_orderkey, d.l_linenumber AS ret_linenumber,
+      |       s.l_orderkey AS sup_orderkey, s.l_linenumber AS sup_linenumber,
+      |       CAST(least(s.c_end, d.c_end) -
+      |         greatest(s.c_end - s.qty, d.c_end - d.qty) AS BIGINT) AS qty_matched,
+      |       CAST(date_diff('day', CAST(s.l_shipdate AS DATE),
+      |                      CAST(d.l_shipdate AS DATE)) AS INT) AS lag_days
+      |FROM supply s JOIN demand d
+      |  ON s.l_partkey = d.l_partkey
+      | AND s.c_end > d.c_end - d.qty
+      | AND d.c_end > s.c_end - s.qty
+      |ORDER BY partkey, ret_orderkey, ret_linenumber,
+      |         sup_orderkey, sup_linenumber, qty_matched, lag_days""".stripMargin
+
   /** Sequential-pattern twin: the same islands sessionization as
     * [[eventSessions]] but over exact epoch-microsecond integers
     * (matching the engine's `unix_micros`; the feed has sub-second

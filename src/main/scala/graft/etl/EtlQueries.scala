@@ -2077,6 +2077,58 @@ object EtlQueries {
           (col("n_violating_lhs") === 0L).as("holds"))
     }.reduce(_ unionByName _).orderBy("fd")
 
+  /** FIFO allocation — every returned unit matched to the shipment
+    * that supplied it, oldest stock first: the inventory/cost-basis
+    * matching every accounting system runs (FIFO cost allocation,
+    * return-to-lot attribution, warranty aging). Reading lineitem as a
+    * part-level ledger (non-R lines supply units, R lines consume
+    * them), the classic cursor-walk becomes pure relational algebra
+    * via DUAL PREFIX SUMS: each side's rows get cumulative-quantity
+    * intervals [c_start, c_end) in ship-date order, and FIFO matching
+    * IS interval overlap — supply s covers return r for exactly
+    * min(ends) − max(starts) units when positive. One window per side
+    * partitioned by part (bounded groups), then a part-keyed equi-join
+    * with the overlap predicate as a residual filter — the
+    * range-join-within-key shape of [[graft.ext.TemporalOps]]; a
+    * part whose ledger outgrows a task would block-bucket the
+    * cumulative axis the way the trailing range join buckets time.
+    * All arithmetic is exact BIGINT units (quantities are integral by
+    * [[dqRules]]); the window order key is extended to
+    * (orderkey, linenumber, suppkey, qty) so only bit-identical
+    * duplicate rows can tie — and permuting identical rows permutes
+    * identical output rows. lag_days (return ship − supply ship) is
+    * the aging readout. Demand beyond a part's total supply stays
+    * unmatched by construction (no overlap interval exists for it). */
+  def fifoAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Star.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"), col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey", "qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cummed(df: DataFrame): DataFrame = df
+      .withColumn("c_end", sum("qty").over(w))
+      .withColumn("c_start", col("c_end") - col("qty"))
+    val supply = cummed(li.where(col("l_returnflag") =!= "R"))
+    val demand = cummed(li.where(col("l_returnflag") === "R"))
+    supply.as("s").join(demand.as("d"),
+        col("s.l_partkey") === col("d.l_partkey") &&
+          col("s.c_end") > col("d.c_start") &&
+          col("d.c_end") > col("s.c_start"))
+      .select(col("s.l_partkey").as("partkey"),
+        col("d.l_orderkey").as("ret_orderkey"),
+        col("d.l_linenumber").as("ret_linenumber"),
+        col("s.l_orderkey").as("sup_orderkey"),
+        col("s.l_linenumber").as("sup_linenumber"),
+        (least(col("s.c_end"), col("d.c_end")) -
+          greatest(col("s.c_start"), col("d.c_start"))).as("qty_matched"),
+        datediff(col("d.l_shipdate"), col("s.l_shipdate")).as("lag_days"))
+      .orderBy("partkey", "ret_orderkey", "ret_linenumber",
+        "sup_orderkey", "sup_linenumber", "qty_matched", "lag_days")
+  }
+
   /** Gapped sequential-pattern mining — for every ordered pair of event
     * types (A, B), the number of sessions where an A occurs STRICTLY
     * before a B (any gap, same 30-minute-gap sessions as
