@@ -1789,6 +1789,45 @@ object EtlOracleSql {
          |FROM (SELECT count(DISTINCT $rhs) AS n_rhs FROM $table GROUP BY $lhs)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
 
+  /** Max-drawdown twin: the same running-max / earliest-trough /
+    * first-recovery window algebra over exact integer cents. */
+  val maxDrawdown: String = star(
+    """, monthly AS (
+      |  SELECT store_id, substring(CAST(time_id AS VARCHAR), 1, 7) AS month,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |dd AS (
+      |  SELECT store_id, month, cents,
+      |         max(cents) OVER (PARTITION BY store_id ORDER BY month
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM monthly
+      |),
+      |maxdd AS (
+      |  SELECT store_id, CAST(max(peak - cents) AS BIGINT) AS max_dd
+      |  FROM dd GROUP BY store_id
+      |),
+      |trough AS (
+      |  SELECT store_id, max_dd, month AS trough_month, peak AS peak_cents
+      |  FROM (
+      |    SELECT d.store_id, m.max_dd, d.month, d.peak,
+      |           row_number() OVER (PARTITION BY d.store_id
+      |                              ORDER BY d.month) AS rn
+      |    FROM dd d JOIN maxdd m ON m.store_id = d.store_id
+      |    WHERE d.peak - d.cents = m.max_dd
+      |  ) WHERE rn = 1
+      |),
+      |recovery AS (
+      |  SELECT d.store_id, min(d.month) AS recovery_month
+      |  FROM dd d JOIN trough t ON t.store_id = d.store_id
+      |  WHERE d.month > t.trough_month AND d.cents >= t.peak_cents
+      |  GROUP BY d.store_id
+      |)
+      |SELECT t.store_id, t.max_dd, t.trough_month,
+      |       CAST(t.peak_cents AS BIGINT) AS peak_cents, r.recovery_month
+      |FROM trough t LEFT JOIN recovery r ON r.store_id = t.store_id
+      |ORDER BY t.store_id""".stripMargin)
+
   /** FIFO-allocation twin: the identical dual prefix sums (same
     * extended window order key) and interval-overlap match, exact
     * BIGINT units. */

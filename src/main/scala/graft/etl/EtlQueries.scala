@@ -2077,6 +2077,48 @@ object EtlQueries {
           (col("n_violating_lhs") === 0L).as("holds"))
     }.reduce(_ unionByName _).orderBy("fd")
 
+  /** Maximum drawdown + recovery — per store over the monthly revenue
+    * series: the deepest peak-to-trough fall in exact integer cents,
+    * the month it bottomed, the peak it fell from, and the first month
+    * revenue regained that peak (null = never recovered) — the
+    * risk-analysis readout ([[salesStreaks]] reports runs; this
+    * reports their cumulative DAMAGE, which a long shallow slide
+    * maximizes and a streak count misses). Pure window algebra: one
+    * running-max per store (calendar-bounded partitions), drawdown =
+    * peak − value, trough = earliest month at the per-store max
+    * drawdown, recovery = min month after the trough with value ≥ that
+    * peak. Every comparison is exact BIGINT cents or ISO month
+    * strings; zero-drawdown stores report their first month with
+    * max_dd = 0 (the control rows — dropping them would hide a store
+    * whose series is suspiciously monotone). */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"), monthExpr.as("month"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("store_id").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = monthly
+      .withColumn("peak", max("cents").over(w))
+      .withColumn("dd", col("peak") - col("cents"))
+    val maxDd = dd.groupBy("store_id").agg(max("dd").as("max_dd"))
+    val trough = dd.join(maxDd, Seq("store_id"))
+      .where(col("dd") === col("max_dd"))
+      .groupBy("store_id", "max_dd")
+      .agg(min(struct(col("month"), col("peak"))).as("t"))
+      .select(col("store_id"), col("max_dd"),
+        col("t.month").as("trough_month"), col("t.peak").as("peak_cents"))
+    val recovery = dd.join(trough, Seq("store_id"))
+      .where(col("month") > col("trough_month") &&
+        col("cents") >= col("peak_cents"))
+      .groupBy("store_id").agg(min("month").as("recovery_month"))
+    trough.join(recovery, Seq("store_id"), "left")
+      .select(col("store_id"), col("max_dd"), col("trough_month"),
+        col("peak_cents"), col("recovery_month"))
+      .orderBy("store_id")
+  }
+
   /** FIFO allocation — every returned unit matched to the shipment
     * that supplied it, oldest stock first: the inventory/cost-basis
     * matching every accounting system runs (FIFO cost allocation,
