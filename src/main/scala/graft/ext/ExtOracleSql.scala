@@ -2908,6 +2908,32 @@ object ExtOracleSql {
       dot("embedding", s"[$lits]", s"rp$j")
     }.mkString("[", ",\n  ", "]")
 
+  /** Embedding-drift twin: the shared trained-cells chain, halves by
+    * vec_id below/above n/2, twice-floored exact ppm. */
+  // lazy: embeds scaledCellsCte, declared textually below
+  lazy val embedDrift: String =
+    s"""WITH $scaledCellsCte,
+       |tot AS (SELECT count(*) AS n FROM embeddings),
+       |counts AS (
+       |  SELECT cell AS cent_id,
+       |    CAST(sum(CASE WHEN vec_id < (SELECT n FROM tot) // 2
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN vec_id >= (SELECT n FROM tot) // 2
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM cells GROUP BY cell
+       |),
+       |ppm AS (
+       |  SELECT cent_id, n_ref, n_cur,
+       |    CAST((1000000 * n_ref) // ((SELECT n FROM tot) // 2) AS BIGINT) AS ppm_ref,
+       |    CAST((1000000 * n_cur) //
+       |      ((SELECT n FROM tot) - (SELECT n FROM tot) // 2) AS BIGINT) AS ppm_cur
+       |  FROM counts
+       |)
+       |SELECT cent_id, n_ref, n_cur, ppm_ref, ppm_cur,
+       |       abs(ppm_ref - ppm_cur) AS ppm_shift
+       |FROM ppm
+       |ORDER BY cent_id""".stripMargin
+
   /** Matryoshka twin: per truncation level from the SHARED
     * [[VectorOps.MatryoshkaDims]], the sliced-prefix brute-force top-k
     * (row_number over the same strict-fold cosines) and its hit count

@@ -643,6 +643,36 @@ object VectorOps {
     }.reduce(_ unionByName _).orderBy("dim")
   }
 
+  /** Embedding-distribution drift monitor — the ML-ops screen run
+    * before trusting a retrained encoder or a new data snapshot: bin
+    * the corpus by the TRAINED √n-cell router (the same cells
+    * production search probes, so drift is measured exactly where it
+    * hurts retrieval), split by ingestion half (vec_id below/above
+    * n/2 — [[graft.ext.TextOps.termDrift]]'s snapshot convention), and
+    * report each cell's population in both halves with exact-ppm
+    * shares and the absolute shift. Σ\|shift\|/2 is the total
+    * variation distance; a cell emptying between halves is a loud
+    * ppm-sized row, not a vanished one (conditional sums over the full
+    * assignment keep both halves present per cell). One cell-keyed
+    * aggregate over the session-cached assignment — O(√n) output rows
+    * at any corpus size, integer arithmetic end to end (floor-div ppm
+    * twice, the [[graft.etl.EtlQueries.seasonalHhi]] discipline). */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val assign = kmeansAssign(spark, dir, nProbe = 1,
+        resolveKCent(spark, dir, 0), iters = 2)
+      .where(col("crank") === 1).select("vec_id", "cent_id")
+    val n = SimilarityOps.embeddings(spark, dir).count()
+    val refTotal = n / 2
+    val curTotal = n - refTotal
+    assign.groupBy("cent_id").agg(
+        sum(when(col("vec_id") < refTotal, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") >= refTotal, 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("ppm_ref", expr(s"(1000000 * n_ref) DIV ${refTotal}L"))
+      .withColumn("ppm_cur", expr(s"(1000000 * n_cur) DIV ${curTotal}L"))
+      .withColumn("ppm_shift", abs(col("ppm_ref") - col("ppm_cur")))
+      .orderBy("cent_id")
+  }
+
   /** √n coarse-cell rule: a production IVF index trains k ∝ √n cells so
     * per-cell size AND cell count both grow as √n — per-query candidate
     * work at nProbe probes is nProbe·√n, sub-linear in the corpus. The

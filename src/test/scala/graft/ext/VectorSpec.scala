@@ -41,6 +41,22 @@ class VectorSpec extends SparkSpec {
     } finally m.unpersist()
   }
 
+  test("embed drift: halves conserve the corpus, ppm bounded, shift is the absolute gap") {
+    val d = VectorOps.embedDrift(spark, sfSmoke).cache()
+    try {
+      val n = SimilarityOps.embeddings(spark, sfSmoke).count()
+      val sums = d.agg(sum("n_ref"), sum("n_cur")).head()
+      assert(sums.getLong(0) == n / 2 && sums.getLong(1) == n - n / 2)
+      assert(d.where(col("ppm_ref") < 0 || col("ppm_ref") > 1000000 ||
+        col("ppm_cur") < 0 || col("ppm_cur") > 1000000).count() == 0)
+      assert(d.where(col("ppm_shift") =!=
+        abs(col("ppm_ref") - col("ppm_cur"))).count() == 0)
+      // the trained router has more than one populated cell — a
+      // single-cell binning would make the monitor blind
+      assert(d.count() > 1)
+    } finally d.unpersist()
+  }
+
   test("Lloyd refinement conserves members and emits full centroid vectors") {
     val cents = VectorOps.kmeansRefine(spark, sfSmoke).cache()
     try {
