@@ -2908,6 +2908,31 @@ object ExtOracleSql {
       dot("embedding", s"[$lits]", s"rp$j")
     }.mkString("[", ",\n  ", "]")
 
+  /** Diversity-sample twin: the shared trained-cells chain, floor
+    * quotas, lowest-salted-hash picks per cell. */
+  // lazy: embeds scaledCellsCte, declared textually below
+  lazy val diversitySample: String =
+    s"""WITH $scaledCellsCte,
+       |tot AS (SELECT count(*) AS n FROM embeddings),
+       |sizes AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_cell,
+       |    CAST((${VectorOps.DiversityK} * count(*)) //
+       |      (SELECT n FROM tot) AS BIGINT) AS quota
+       |  FROM cells GROUP BY cell
+       |),
+       |ranked AS (
+       |  SELECT c.cell AS cent_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.cell ORDER BY
+       |      ${h32("'div:' || CAST(c.vec_id AS VARCHAR)", "dv")},
+       |      c.vec_id) AS pick_rank
+       |  FROM cells c
+       |)
+       |SELECT r.cent_id, CAST(r.pick_rank AS INT) AS pick_rank, r.vec_id,
+       |       s.n_cell, s.quota
+       |FROM ranked r JOIN sizes s ON s.cell = r.cent_id
+       |WHERE r.pick_rank <= s.quota
+       |ORDER BY cent_id, pick_rank""".stripMargin
+
   /** Embedding-drift twin: the shared trained-cells chain, halves by
     * vec_id below/above n/2, twice-floored exact ppm. */
   // lazy: embeds scaledCellsCte, declared textually below

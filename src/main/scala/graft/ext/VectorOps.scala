@@ -643,6 +643,45 @@ object VectorOps {
     }.reduce(_ unionByName _).orderBy("dim")
   }
 
+  /** Sample size targeted by [[diversitySample]] — shared with the
+    * oracle twin. */
+  val DiversityK = 64
+
+  /** Diversity-preserving coreset sampling — downsample the corpus to
+    * ~[[DiversityK]] vectors while keeping every REGION of embedding
+    * space represented in proportion: quotas are allocated per trained
+    * √n-router cell (⌊k·n_cell/n⌋ — floor allocation, so a cell too
+    * small to earn a slot contributes nothing; deterministic, and the
+    * under-allocation is visible in the quota column rather than
+    * silently rebalanced), and each cell's picks are its
+    * lowest-salted-hash members — the same hash-reservoir rule as
+    * [[SampleOps]]'s samplers, so re-runs and engine twins agree
+    * bit-for-bit. Uniform sampling oversamples dense clusters and can
+    * empty sparse ones; cluster-proportional hashing is the standard
+    * curation fix (the sampling face of SemDeDup's cells). One
+    * cell-keyed window over the session-cached assignment (cells are
+    * √n groups of bounded size), one broadcast-sized quota join. */
+  def diversitySample(spark: SparkSession, dir: String,
+      k: Int = DiversityK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = kmeansAssign(spark, dir, nProbe = 1,
+        resolveKCent(spark, dir, 0), iters = 2)
+      .where(col("crank") === 1).select("vec_id", "cent_id")
+    val n = SimilarityOps.embeddings(spark, dir).count()
+    val sizes = assign.groupBy("cent_id").agg(count(lit(1)).as("n_cell"))
+      .withColumn("quota", expr(s"($k * n_cell) DIV ${n}L"))
+    val w = Window.partitionBy("cent_id").orderBy("tick", "vec_id")
+    assign
+      .withColumn("tick",
+        TextOps.h32(concat(lit("div:"), col("vec_id").cast("string"))))
+      .withColumn("pick_rank", row_number().over(w))
+      .join(broadcast(sizes), Seq("cent_id"))
+      .where(col("pick_rank") <= col("quota"))
+      .select(col("cent_id"), col("pick_rank").cast("int").as("pick_rank"),
+        col("vec_id"), col("n_cell"), col("quota"))
+      .orderBy("cent_id", "pick_rank")
+  }
+
   /** Embedding-distribution drift monitor — the ML-ops screen run
     * before trusting a retrained encoder or a new data snapshot: bin
     * the corpus by the TRAINED √n-cell router (the same cells

@@ -41,6 +41,25 @@ class VectorSpec extends SparkSpec {
     } finally m.unpersist()
   }
 
+  test("diversity sample: quotas proportional and filled, no duplicates, big cells never starve") {
+    val s = VectorOps.diversitySample(spark, sfSmoke).cache()
+    try {
+      val n = SimilarityOps.embeddings(spark, sfSmoke).count()
+      val k = VectorOps.DiversityK
+      // every emitted quota is the floor-proportional one and is FILLED
+      val perCell = s.groupBy("cent_id", "n_cell", "quota")
+        .agg(count(lit(1)).as("picks"), max("pick_rank").as("maxr")).collect()
+      for (r <- perCell) {
+        val (nc, q, picks, maxr) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4).toLong)
+        assert(q == k * nc / n && picks == q && maxr == q)
+      }
+      // floor allocation: total ≤ k, one pick per vector, non-empty
+      assert(s.count() <= k && s.count() > 0)
+      assert(s.select("vec_id").distinct().count() == s.count())
+    } finally s.unpersist()
+  }
+
   test("embed drift: halves conserve the corpus, ppm bounded, shift is the absolute gap") {
     val d = VectorOps.embedDrift(spark, sfSmoke).cache()
     try {
