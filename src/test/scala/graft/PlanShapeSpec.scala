@@ -241,6 +241,18 @@ class PlanShapeSpec extends SparkSpec {
     // × corpus, the ext_sim_topk exemption) — only the cartesian ban
     // applies
     assert(!planOf("ext_embed_matryoshka").contains("CartesianProduct"))
+    // the FIFO overlap join and drawdown windows ride keyed joins only
+    for (q <- Seq("etl_fifo_allocation", "etl_max_drawdown")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$p")
+    }
+    // cell-binned drift/diversity inherit kmeansAssign's broadcast
+    // centroid NLJ (the documented IVF assignment shape) — cartesian
+    // ban only
+    for (q <- Seq("ext_embed_drift", "ext_sample_diversity"))
+      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian")
   }
 
   test("star-join OLAP queries broadcast their dimension sides") {
