@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *     the open session's last event ≤ the 30-minute threshold) or
   *     start a new one;
   *  3. assign stable session ids (open id for the continuation; open
-  *     id + local index for the rest) and min/max-merge the batch's
-  *     spans into the state.
+  *     id + local index for the rest) and APPEND the batch's spans to
+  *     the state log — [[mergedSpans]] min/max-folds the log at read
+  *     time, the IVM partial-aggregate trade.
   *
   * State is bounded by (users × types) per open session plus closed
   * history — and the closed spans are append-only facts: a session a
@@ -98,9 +99,11 @@ object StreamSeqPatterns {
     val batchSpans = bs.join(sidOf, Seq("user_id", "bsess"))
       .groupBy("user_id", "session_id", "event_type")
       .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    // spans are an APPEND-ONLY log: a continued session contributes one
+    // row per batch it touches, and [[mergedSpans]] min/max-folds them
+    // at read time — the IVM partial-aggregate trade, which saves the
+    // per-batch re-aggregation of the whole accumulated state
     val newSpans = spans.unionByName(batchSpans)
-      .groupBy("user_id", "session_id", "event_type")
-      .agg(min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
     // the new open session per batch user is their HIGHEST id; users
     // silent this batch keep their old open row
     val openFromBatch = sidOf
@@ -135,13 +138,20 @@ object StreamSeqPatterns {
       val batch = events.where(
         expr(s"(unix_micros(ts) - ${lo}L) DIV ${width}L") === b)
       val (s2, o2) = foldBatch(spans, open, batch)
-      // spans is the growing state — checkpoint it eagerly so each
-      // round's re-aggregate reads materialized rows. open is
-      // users-sized with an O(nBatches) lineage chain; a lazy
-      // checkpoint truncates it without paying a per-round job
-      spans = s2.localCheckpoint(true)
+      // the span log is append-only and open is users-sized: lazy
+      // checkpoints bound both lineage chains at O(nBatches) without
+      // paying a per-round materialization job — the whole replay
+      // executes as one composed plan at the final action
+      spans = s2.localCheckpoint(false)
       open = o2.localCheckpoint(false)
     }
-    graft.etl.EtlQueries.patternsFromSpans(spans)
+    graft.etl.EtlQueries.patternsFromSpans(mergedSpans(spans))
   }
+
+  /** Read-side fold of the append-only span log: min/max per
+    * (user, session, type) — associative, so merging once here equals
+    * merging every batch. */
+  def mergedSpans(spans: DataFrame): DataFrame =
+    spans.groupBy("user_id", "session_id", "event_type")
+      .agg(min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
 }

@@ -58,7 +58,7 @@ class StreamSeqPatternsSpec extends SparkSpec {
       spans = r._1.localCheckpoint(true)
       open = r._2.localCheckpoint(true)
     }
-    val got = rows(EtlQueries.patternsFromSpans(spans))
+    val got = rows(EtlQueries.patternsFromSpans(StreamSeqPatterns.mergedSpans(spans)))
     assert(got == rows(batchTwin()))
     // and the boundary cases actually happened as designed. Sessions:
     // u1s1 = {view@0:00, click@0:10, purchase@0:30 (cross-batch)},
@@ -92,7 +92,7 @@ class StreamSeqPatternsSpec extends SparkSpec {
     try {
       for (b <- batches) { stream.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    assert(rows(EtlQueries.patternsFromSpans(spans)) == rows(batchTwin()))
+    assert(rows(EtlQueries.patternsFromSpans(StreamSeqPatterns.mergedSpans(spans))) == rows(batchTwin()))
   }
 
   test("open-state retention: a user silent for a whole batch still extends their session") {
@@ -108,7 +108,7 @@ class StreamSeqPatternsSpec extends SparkSpec {
       spans = r._1.localCheckpoint(true)
       open = r._2.localCheckpoint(true)
     }
-    val got = rows(EtlQueries.patternsFromSpans(spans))
+    val got = rows(EtlQueries.patternsFromSpans(StreamSeqPatterns.mergedSpans(spans)))
     assert(got(("view", "purchase")) == ((1L, 1L, 1.0)))
   }
 }
