@@ -38,7 +38,45 @@ object BenchVariants {
     "etl_ndv_profile" -> (ndvProfileCountDistinct(_, _)),
     // round-8 rewrites, frozen as their own controls
     "q29_itemsets3" -> (itemsets3Unpruned(_, _)),
-    "ext_dedup_containment" -> (containmentNoOrientation(_, _)))
+    "ext_dedup_containment" -> (containmentNoOrientation(_, _)),
+    "etl_seq_patterns" -> (seqPatternsEventSelfJoin(_, _)))
+
+  /** vs the registered per-(session, type) min/max span table: the
+    * naive subsequence spelling — pair RAW EVENTS within each session
+    * (a.ts < b.ts) and dedup to session-level pairs. Per-session
+    * QUADRATIC in events where the span table is linear; equivalent
+    * because "some A before some B" ⟺ min ts(A) < max ts(B). */
+  def seqPatternsEventSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val tagged = Star.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+            lit(graft.etl.EtlQueries.SeqGapMicros), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pairsSess = tagged.as("a").join(tagged.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.ts") < col("b.ts"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.session_id").as("session_id"),
+        col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .distinct()
+    val pairs = pairsSess.groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_sessions_both"))
+    val perA = tagged.select("user_id", "session_id", "event_type").distinct()
+      .groupBy(col("event_type").as("antecedent"))
+      .agg(count(lit(1)).as("n_sessions_antecedent"))
+    pairs.join(broadcast(perA), "antecedent")
+      .select(col("antecedent"), col("consequent"), col("n_sessions_both"),
+        col("n_sessions_antecedent"),
+        (col("n_sessions_both").cast("double") /
+          col("n_sessions_antecedent").cast("double")).as("confidence"))
+      .orderBy("antecedent", "consequent")
+  }
 
   /** vs the registered Apriori enumeration: the round-7 brute-force
     * two-step self-join (no pair-support pruning, no basket-size
