@@ -1789,6 +1789,45 @@ object EtlOracleSql {
          |FROM (SELECT count(DISTINCT $rhs) AS n_rhs FROM $table GROUP BY $lhs)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
 
+  /** Time-travel diff twin: the DECLARATIVE change feed between the
+    * original rollup and the weekday-only restatement of its last
+    * month — what the sink's two versioned reads must reconstruct. */
+  val txVersionDiff: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lastm AS (
+      |  SELECT max(substring(CAST(f.time_id AS VARCHAR), 1, 7)) AS m
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON t.time_id = f.time_id AND t.is_weekend
+      |),
+      |restated AS (
+      |  SELECT substring(CAST(f.time_id AS VARCHAR), 1, 7) AS month, f.store_id,
+      |         CAST(sum(CAST(f.total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact f
+      |  JOIN dim_time t ON t.time_id = f.time_id AND NOT t.is_weekend
+      |  WHERE substring(CAST(f.time_id AS VARCHAR), 1, 7) = (SELECT m FROM lastm)
+      |  GROUP BY 1, 2
+      |),
+      |before_m AS (SELECT * FROM monthly WHERE month = (SELECT m FROM lastm)),
+      |diff AS (
+      |  SELECT coalesce(b.month, r.month) AS month,
+      |         coalesce(b.store_id, r.store_id) AS store_id,
+      |         b.cents AS cents_before, r.cents AS cents_after
+      |  FROM before_m b FULL OUTER JOIN restated r
+      |    ON b.month = r.month AND b.store_id = r.store_id
+      |)
+      |SELECT month, store_id, cents_before, cents_after,
+      |       CASE WHEN cents_after IS NULL THEN 'D'
+      |            WHEN cents_before IS NULL THEN 'I'
+      |            ELSE 'U' END AS op
+      |FROM diff
+      |WHERE cents_before IS NULL OR cents_after IS NULL
+      |   OR cents_before <> cents_after
+      |ORDER BY month, store_id""".stripMargin)
+
   /** Max-drawdown twin: the same running-max / earliest-trough /
     * first-recovery window algebra over exact integer cents. */
   val maxDrawdown: String = star(

@@ -1997,6 +1997,61 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** Time-travel version diff — the AUDIT QUERY time travel exists
+    * for: after the [[txOverwriteRoundtrip]] restatement, read BOTH
+    * versions of the table through the sink's versioned read path
+    * (`readVersion` — manifest resolution, logical-delete application,
+    * the real machinery, not a cached frame) and emit the semantic
+    * change feed between them: one row per (month, store) cell that
+    * changed, with before/after cents and the change kind (U for
+    * restated cells, D for cells the restatement removed — weekend-only
+    * cells vanish; inserts can't arise from a replaceWhere of an
+    * existing partition, and unchanged cells stay silent). The oracle
+    * computes the same diff DECLARATIVELY from the raw tables, so the
+    * differential proves the versioned read path reconstructs history
+    * exactly on real data — the row that turns the spec-pinned time
+    * travel claim into a driver-gated one. Full-outer on the
+    * partition key + measure comparison: one rollup-sized join. */
+  def txVersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txdiff").toString + "/t")
+    t.append(monthly)
+    // restate the latest month that HAS weekend sales — the feed's
+    // final calendar month is a weekday-only stub (10 rows at sf0.01),
+    // where the restatement would no-op and the diff gate go vacuous
+    val weekends = Star.dimTime(spark, dir)
+      .where(col("is_weekend")).select("time_id")
+    val lastMonth = Star.salesFact(spark, dir)
+      .join(broadcast(weekends), "time_id")
+      .agg(max(monthExpr)).head().getString(0)
+    val weekdays = Star.dimTime(spark, dir)
+      .where(!col("is_weekend")).select("time_id")
+    val restated = Star.salesFact(spark, dir)
+      .join(broadcast(weekdays), "time_id")
+      .where(monthExpr === lit(lastMonth))
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    val vBefore = t.version()
+    t.overwritePartitions(spark, restated, Seq("month"))
+    val vAfter = t.version()
+    val v1 = t.readVersion(spark, vBefore).get
+      .select(col("month"), col("store_id"), col("cents").as("cents_before"))
+    val v2 = t.readVersion(spark, vAfter).get
+      .select(col("month"), col("store_id"), col("cents").as("cents_after"))
+    v1.join(v2, Seq("month", "store_id"), "full")
+      .where(col("cents_before").isNull || col("cents_after").isNull ||
+        col("cents_before") =!= col("cents_after"))
+      .select(col("month"), col("store_id"), col("cents_before"),
+        col("cents_after"),
+        when(col("cents_after").isNull, "D")
+          .when(col("cents_before").isNull, "I").otherwise("U").as("op"))
+      .orderBy("month", "store_id")
+  }
+
   /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
     * columns). Shared with the oracle twin so the candidate list cannot
     * drift between engines. The lineitem candidates bracket the schema's
