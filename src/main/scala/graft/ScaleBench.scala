@@ -88,7 +88,8 @@ object ScaleBench {
     // key_candidates' aggregate shape at strictly lower cardinality)
     "ext_ts_sax_similar", "etl_seq_patterns", "etl_key_candidates",
     "etl_funnel_deadline", "ext_embed_matryoshka", "stream_seq_patterns",
-    "etl_fifo_allocation", "ext_embed_drift", "ext_sample_diversity")
+    "etl_fifo_allocation", "ext_embed_drift", "ext_sample_diversity",
+    "etl_tx_version_diff")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
