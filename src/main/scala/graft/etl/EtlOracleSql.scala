@@ -801,6 +801,47 @@ object EtlOracleSql {
       |FROM best WHERE r = 1
       |ORDER BY store_id""".stripMargin)
 
+  /** KS-drift twin: identical (store, value) pre-aggregate, the same
+    * one-window CDF pass, the same cross-multiplied integer gap, and
+    * row_number as the struct-max spelling (gap DESC, value ASC). */
+  val ksDrift: String =
+    s"""WITH rows_ AS (
+       |  SELECT s.s_nationkey AS store_id,
+       |         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS v,
+       |         CASE WHEN year(o.o_orderdate) < ${EtlQueries.KsPivotYear}
+       |              THEN 1 ELSE 0 END AS a
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |),
+       |counts AS (
+       |  SELECT store_id, v, CAST(sum(a) AS BIGINT) AS c1,
+       |         CAST(count(*) - sum(a) AS BIGINT) AS c2
+       |  FROM rows_ GROUP BY 1, 2
+       |),
+       |cdf AS (
+       |  SELECT store_id, v,
+       |    CAST(sum(c1) OVER (PARTITION BY store_id ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+       |    CAST(sum(c2) OVER (PARTITION BY store_id ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+       |    CAST(sum(c1) OVER (PARTITION BY store_id) AS BIGINT) AS n1,
+       |    CAST(sum(c2) OVER (PARTITION BY store_id) AS BIGINT) AS n2
+       |  FROM counts
+       |),
+       |best AS (
+       |  SELECT store_id, n1, n2,
+       |    abs(cum1 * n2 - cum2 * n1) AS gap, v,
+       |    row_number() OVER (PARTITION BY store_id
+       |      ORDER BY abs(cum1 * n2 - cum2 * n1) DESC, v ASC) AS r
+       |  FROM cdf
+       |)
+       |SELECT store_id, n1, n2, gap AS ks_num,
+       |       (1000000 * gap) // (n1 * n2) AS ks_ppm,
+       |       v AS ks_at_cents
+       |FROM best WHERE r = 1
+       |ORDER BY store_id""".stripMargin
+
   /** Entity-match twin: identical blocking prefix and integer
     * Levenshtein threshold. */
   val entityMatch: String = star(

@@ -747,6 +747,74 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** Era pivot shared verbatim with the oracle twin: sample A = order
+    * years strictly before, sample B = the pivot year onward. */
+  val KsPivotYear = 1998
+
+  /** KOLMOGOROV–SMIRNOV two-sample drift — per store, the exact KS
+    * statistic between the line-revenue distributions of the early era
+    * (order year < [[KsPivotYear]]) and the late era: D = max over the
+    * merged value domain of |F₁(v) − F₂(v)|. The bucket monitors
+    * ([[leadtimeDrift]]'s TV distance, the CUSUM mean tracker) only see
+    * drift that crosses THEIR bucket edges; KS reads the full empirical
+    * CDFs, so a shape change anywhere in the distribution moves it —
+    * the standard nonparametric two-sample gate a feature-drift monitor
+    * runs before retraining. Exactness: the gap is held as the
+    * cross-multiplied integer |cum₁·N₂ − cum₂·N₁| (never a float CDF),
+    * the reported `ks_ppm` = ⌊10⁶·D⌋ is one BIGINT floor division, and
+    * `ks_at_cents` pins WHERE the CDFs diverge most (smallest value on
+    * ties — the actionable readout: everything ≤ it shifted). Headroom:
+    * 10⁶·N₁·N₂ < 2⁶³ ⇒ ~3·10⁶ rows per store-era — beyond that a real
+    * deployment switches the CDF legs to mergeable rank sketches
+    * (the [[graft.olap.Queries.q25PercentilesApprox]] discipline);
+    * overflow here is loud ANSI, never silent.
+    *
+    * Shape: one fact scan + broadcast dim join, one (store, value)
+    * pre-aggregate (the distinct-value compression that bounds the
+    * window input), ONE window pass per store ordered by value carrying
+    * both running sums and both partition totals in the same exchange,
+    * and a struct-max fold — no self-join, no per-era rescan, and the
+    * sort is over DISTINCT values per store, not rows. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val l = Star.table(spark, dir, "lineitem")
+    val o = Star.table(spark, dir, "orders")
+    val s = Star.table(spark, dir, "supplier")
+    ksDriftOf(l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .select(s("s_nationkey").as("store_id"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"),
+        when(expr(s"year(o_orderdate) < $KsPivotYear"), 1L).otherwise(0L)
+          .as("a")))
+  }
+
+  /** Kernel of [[ksDrift]] over pre-extracted samples: one row per
+    * observation with (store_id, v, a ∈ {1 = sample A, 0 = sample B}).
+    * Spec-testable on planted distributions. */
+  private[graft] def ksDriftOf(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = rows
+      .groupBy("store_id", "v")
+      .agg(sum("a").as("c1"), (count(lit(1)) - sum("a")).as("c2"))
+    val run = Window.partitionBy("store_id").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("store_id")
+    counts
+      .withColumn("cum1", sum("c1").over(run))
+      .withColumn("cum2", sum("c2").over(run))
+      .withColumn("n1", sum("c1").over(all))
+      .withColumn("n2", sum("c2").over(all))
+      .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy("store_id")
+      .agg(
+        max("n1").as("n1"), max("n2").as("n2"),
+        max(struct(col("gap").as("g"), (-col("v")).as("nv"))).as("best"))
+      .select(col("store_id"), col("n1"), col("n2"),
+        col("best.g").as("ks_num"),
+        expr("(1000000 * best.g) div (n1 * n2)").as("ks_ppm"),
+        (-col("best.nv")).as("ks_at_cents"))
+      .orderBy("store_id")
+  }
+
   /** RFM segmentation — the classic customer-mart operator: recency
     * (days since last purchase, against the CORPUS max date so the
     * score is reproducible — never the wall clock), frequency (distinct

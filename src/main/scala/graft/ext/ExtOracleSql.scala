@@ -1202,6 +1202,39 @@ object ExtOracleSql {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Distribution-matching twin: the shared bucket CASE and reference
+    * split, the same double ppm floors, the same salted-hash accept. */
+  val sampleMatchDist: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    ${SampleOps.MatchBucketExpr} AS bucket,
+       |    ${SampleOps.MatchRefExpr} AS is_ref
+       |  FROM documents
+       |),
+       |byb AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+       |  FROM d GROUP BY bucket
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM d
+       |),
+       |rates AS (
+       |  SELECT bucket,
+       |    CAST(least(1000000,
+       |      (1000000 * ((1000000 * c_a) // n_a)) //
+       |        greatest(1, (1000000 * c_b) // n_b)) AS BIGINT) AS rate_ppm
+       |  FROM byb, tot WHERE c_b > 0
+       |)
+       |SELECT doc_id, source, d.bucket AS bucket, rate_ppm
+       |FROM d JOIN rates ON d.bucket = rates.bucket
+       |WHERE NOT is_ref
+       |  AND ${h32("'match:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+       |ORDER BY doc_id""".stripMargin
+
   /** One FK relation of the join-cardinality twin: KMV sketches as the
     * k smallest DISTINCT key hashes (list aggregate + sort + slice —
     * the set the engine's bounded TreeSet retains), theta-style union
@@ -3039,6 +3072,56 @@ object ExtOracleSql {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** RRF twin: the exact-cosine top-20 and the pure projected-space
+    * top-20 as row_number rankings, full-outer joined, the identical
+    * integer ⌊10⁹/(60+rank)⌋ contributions (order-independent BIGINT
+    * sum), re-ranked by (fused DESC, neighbor ASC). */
+  val simRrf: String = {
+    val kD = SimilarityOps.RrfDampK
+    val sc = SimilarityOps.RrfScale
+    val pool = SimilarityOps.RrfPool
+    val k = SimilarityOps.RrfTopK
+    s"""WITH b AS (
+       |  SELECT query_id, neighbor_id, rank FROM (${simTopKSql(pool, 8)})
+       |),
+       |ppe AS (SELECT vec_id, $rpProjList AS proj FROM embeddings),
+       |ppn AS (
+       |  SELECT vec_id, proj, sqrt(${dot("proj", "proj", "rr")}) AS pnorm
+       |  FROM ppe
+       |),
+       |pq AS (SELECT * FROM ppn WHERE vec_id < 8),
+       |pcand AS (
+       |  SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("pq.proj", "c.proj", "rf")} / (pq.pnorm * c.pnorm) AS pcos
+       |  FROM ppn c JOIN pq ON c.vec_id <> pq.vec_id
+       |),
+       |p AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY pcos DESC, neighbor_id ASC) AS rank
+       |    FROM pcand) WHERE rank <= $pool
+       |),
+       |fused AS (
+       |  SELECT COALESCE(b.query_id, p.query_id) AS query_id,
+       |         COALESCE(b.neighbor_id, p.neighbor_id) AS neighbor_id,
+       |         CAST(b.rank AS INT) AS rank_exact,
+       |         CAST(p.rank AS INT) AS rank_proj,
+       |         CAST(COALESCE($sc // ($kD + b.rank), 0) +
+       |              COALESCE($sc // ($kD + p.rank), 0) AS BIGINT) AS rrf_score
+       |  FROM b FULL OUTER JOIN p
+       |    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score,
+       |       rank_exact, rank_proj
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+       |  FROM fused)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Bigram-LM score twin: identical add-one ppm quantization
     * ⌊10⁶·(c(ab)+1)/(c(a·)+V)⌋ over list-indexed bigrams; DuckDB `//`
     * and Spark `div` both truncate, and every operand is BIGINT. */
@@ -3517,6 +3600,35 @@ object ExtOracleSql {
        |       (${TextOps.Ppm} * c.n) // m.row_total AS class_share_ppm
        |FROM cells c JOIN marg m ON c.lang = m.lang
        |ORDER BY c.lang, c.pred_lang""".stripMargin
+
+  /** Cohen's-kappa twin: the langId twin as a subquery, the identical
+    * confusion-cell aggregate, marginal folds, and cross-multiplied
+    * BIGINT ppm ratios (DuckDB `//` ≡ Spark `div`; every operand is
+    * non-negative on a better-than-chance classifier, so floor and
+    * truncate agree). */
+  val labelAgreement: String =
+    s"""WITH preds AS (
+       |$langId
+       |),
+       |cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |          FROM preds GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |          CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+       |            AS BIGINT) AS n_agree
+       |        FROM cells),
+       |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n
+       |      FROM cells GROUP BY lang),
+       |c AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS col_n
+       |      FROM cells GROUP BY pred_lang),
+       |pe AS (SELECT COALESCE(CAST(sum(row_n * col_n) AS BIGINT),
+       |                       CAST(0 AS BIGINT)) AS pe_num
+       |       FROM r JOIN c ON r.lang = c.pred_lang)
+       |SELECT n_docs, n_agree,
+       |  (${TextOps.Ppm} * n_agree) // n_docs AS po_ppm,
+       |  (${TextOps.Ppm} * pe_num) // (n_docs * n_docs) AS pe_ppm,
+       |  (${TextOps.Ppm} * (n_agree * n_docs - pe_num)) //
+       |    (n_docs * n_docs - pe_num) AS kappa_ppm
+       |FROM tot, pe""".stripMargin
 
   /** Filtered-ANN twin: same predicate-before-scoring semantics,
     * rn ≤ k per query within the label slice. */

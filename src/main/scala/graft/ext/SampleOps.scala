@@ -347,4 +347,71 @@ object SampleOps {
       shards: Int = 8): DataFrame =
     rendezvousOf(TextOps.docs(spark, dir).select("doc_id"), 0 until shards)
       .orderBy("doc_id")
+
+  /** Length-bucket rule for [[matchDistribution]], shared verbatim with
+    * the oracle twin (exact integer edges — no float binning). */
+  val MatchBucketExpr: String =
+    "CASE WHEN n_chars <= 100 THEN '0-100' WHEN n_chars <= 200 THEN '101-200' " +
+      "WHEN n_chars <= 300 THEN '201-300' WHEN n_chars <= 400 THEN '301-400' " +
+      "ELSE '401+' END"
+
+  /** Corpus split for [[matchDistribution]]: src0–src9 are the curated
+    * REFERENCE mix, src10+ the new crawl being reshaped. Shared
+    * verbatim with the oracle twin. */
+  val MatchRefExpr: String = "length(source) <= 4"
+
+  /** DISTRIBUTION-MATCHING RESAMPLE — reshape the new crawl so its
+    * length profile matches the curated reference corpus: per length
+    * bucket b, accept new-crawl documents at rate
+    * min(1, share_ref(b) / share_new(b)) — rejection matching, the
+    * standard move when a new source skews short (boilerplate) or long
+    * (concatenation artifacts) relative to the mix the model was tuned
+    * on. Down-sampling only (a rate is capped at 1): buckets the crawl
+    * over-represents are thinned to the reference shape; buckets it
+    * under-represents are kept whole — matching by deletion, never by
+    * duplication. All shares and rates are exact integer ppm
+    * (⌊10⁶·c/N⌋ twice, both floors stated identically in both
+    * engines), and the accept decision is the salted-hash contract
+    * (`h32("match:"+doc_id) % 10⁶ < rate_ppm`) — a pure function of
+    * the document id, so the kept set is reproducible across runs,
+    * engines, and corpus growth, exactly like [[mixtureSample]].
+    * Headroom: the ppm share floor needs N ≤ 10⁶ per corpus side per
+    * audit slice before a bucket share can round to 0; the
+    * greatest(1,·) guard makes that degrade loud (rate pins to the
+    * full share ratio), not divide-by-zero.
+    *
+    * Shape: one bucket-domain conditional aggregate over the corpus
+    * (the only shuffle, bucket-domain-sized), a broadcast rate-table
+    * join back, and a per-row hash filter that fuses into the scan —
+    * no window, no per-bucket pass. */
+  def matchDistribution(spark: SparkSession, dir: String): DataFrame =
+    matchDistributionOf(TextOps.docs(spark, dir))
+
+  /** Kernel of [[matchDistribution]] over any frame with
+    * (doc_id, source, n_chars) — spec-testable on planted mixes. */
+  private[graft] def matchDistributionOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("bucket", expr(MatchBucketExpr))
+      .withColumn("is_ref", expr(MatchRefExpr))
+    val byBucket = d.groupBy("bucket").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_b"))
+    val tot = d.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_b"))
+    val rates = byBucket.crossJoin(broadcast(tot))
+      .where(col("c_b") > 0)
+      .withColumn("share_a_ppm", expr("(1000000 * c_a) div n_a"))
+      .withColumn("share_b_ppm", expr("(1000000 * c_b) div n_b"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("(1000000 * share_a_ppm) div greatest(1, share_b_ppm)")))
+      .select("bucket", "rate_ppm")
+    d.where(!col("is_ref"))
+      .join(broadcast(rates), "bucket")
+      .withColumn("h32_match",
+        TextOps.h32(concat(lit("match:"), col("doc_id").cast("string"))))
+      .where(col("h32_match") % 1000000L < col("rate_ppm"))
+      .select("doc_id", "source", "bucket", "rate_ppm")
+      .orderBy("doc_id")
+  }
 }

@@ -141,6 +141,58 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** RRF constants, shared verbatim with the oracle twin. K = 60 is the
+    * standard dampening constant (Cormack et al.'s original choice —
+    * rank 1 contributes 1/61, rank 20 contributes 1/80, so no single
+    * list dominates); contributions are held as ⌊10⁹/(K + rank)⌋
+    * BIGINTs, an ORDER-INDEPENDENT integer sum — float 1/(K+r) sums
+    * would be addition-order-sensitive and break the cross-engine
+    * hash. */
+  val RrfDampK = 60
+  val RrfScale = 1000000000L
+  val RrfPool = 20
+  val RrfTopK = 5
+
+  /** RECIPROCAL RANK FUSION — merge two retrievers' rankings without
+    * score calibration: fused(d) = Σ_lists 1/(K + rank_list(d)), top-k
+    * by the fused score. The production retrieval stack is almost
+    * never one retriever — dense + lexical (or here, full-precision
+    * dense + a 4×-cheaper projected dense) each mis-rank DIFFERENT
+    * documents, and RRF is the standard fusion because ranks need no
+    * score normalization across spaces (raw cosine and projected
+    * cosine are not comparable; their RANKS are). A document in only
+    * one list contributes only that list's term — absent ≠ rank ∞
+    * penalty, the convention that keeps single-list hits alive.
+    *
+    * Shape: two bounded top-`pool` retrievals (each the broadcast-panel
+    * + map-side top-k aggregate shape — corpus scanned twice, once per
+    * representation; a fused single pass would read both columns at
+    * once but couple the retrievers' plans), then a full-outer join and
+    * window over ≤ 2·pool·|queries| rows — candidate-set-sized, never
+    * corpus-sized, so the fusion stage costs nothing at any scale. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = RrfTopK,
+      pool: Int = RrfPool, nQueries: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = bruteForceTopK(spark, dir, pool, nQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_exact"))
+    val proj = VectorOps.projectedRanking(spark, dir, pool, nQueries)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_proj"))
+    val fused = exact.join(proj, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$RrfScale div ($RrfDampK + rank_exact)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfDampK + rank_proj)"), lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "rrf_score",
+        "rank_exact", "rank_proj")
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN quality measurement — recall@k of the IVF index against the
     * brute-force ground truth over a bounded query set: per query,
     * how many of the true top-k the approximate search returned. This

@@ -959,4 +959,49 @@ object TextOps {
       .orderBy(col("chi2").desc, col("term"))
       .limit(k)
   }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between the heuristic
+    * language classifier ([[withPredLang]]) and the labeled `lang`
+    * column, the one-number readout beside [[langConfusion]]'s cell
+    * table. Raw accuracy flatters a classifier on a skewed label mix
+    * (predicting the majority class scores high by chance alone);
+    * kappa = (p_o − p_e)/(1 − p_e) subtracts the agreement the
+    * MARGINALS alone would produce, which is the number a labeling-QA
+    * gate should threshold on. All arithmetic is exact integer ppm:
+    * p_o, p_e and kappa are cross-multiplied BIGINT ratios
+    * (⌊10⁶·x⌋, never a float), so the row hash-matches the oracle.
+    * Headroom: 10⁶·N² < 2⁶³ ⇒ N ≲ 3·10⁶ docs per audit slice — larger
+    * corpora kappa a stratified sample or per-shard slices (the
+    * t-closeness discipline), overflow is loud ANSI, never silent.
+    *
+    * Shape: one language-domain-bounded cell aggregate (the confusion
+    * matrix), two marginal folds of it, one marginal-domain join —
+    * everything after the first aggregate is O(|langs|²) driver-side
+    * scale, and the 1-row combine is the broadcast scalar-subquery
+    * cross join. */
+  def labelAgreement(spark: SparkSession, dir: String): DataFrame =
+    labelAgreementOf(withPredLang(withWords(docs(spark, dir)))
+      .select(col("lang"), col("pred_lang")))
+
+  /** Kernel of [[labelAgreement]] over any (lang, pred_lang) pair
+    * frame — spec-testable on planted confusion matrices. */
+  private[graft] def labelAgreementOf(preds: DataFrame): DataFrame = {
+    val cells = preds.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(
+      sum("n").as("n_docs"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val rowMarg = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    val colMarg = cells.groupBy("pred_lang").agg(sum("n").as("col_n"))
+    // classes present in only one margin contribute row_n·0 = 0 to p_e,
+    // so the inner join on the class IS the full chance-agreement sum
+    val pe = rowMarg.join(colMarg, col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"),
+        expr(s"($Ppm * n_agree) div n_docs").as("po_ppm"),
+        expr(s"($Ppm * pe_num) div (n_docs * n_docs)").as("pe_ppm"),
+        expr(s"($Ppm * (n_agree * n_docs - pe_num)) div " +
+          "(n_docs * n_docs - pe_num)").as("kappa_ppm"))
+  }
 }

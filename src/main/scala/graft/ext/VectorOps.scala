@@ -588,6 +588,30 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Pure projected-space ranking — stage 1 of [[projectedTopK]] AS a
+    * retriever in its own right (no exact re-rank): the 16-dim cosine
+    * ordering, top-k per query. On its own it is the cheapest, least
+    * accurate retriever in the family; its value is as a FUSION leg
+    * ([[SimilarityOps.rrfFusion]]) — a projection mis-ranks different
+    * pairs than the exact metric or a lexical scorer, and rank fusion
+    * exploits exactly that decorrelation. Same bounded top-k shape as
+    * [[SimilarityOps.bruteForceTopK]]: broadcast query panel, one
+    * corpus scan reading only (proj, pnorm), map-side partial top-k. */
+  def projectedRanking(spark: SparkSession, dir: String, k: Int,
+      nQueries: Int): DataFrame = {
+    val e = withProjected(SimilarityOps.embeddings(spark, dir))
+      .withColumn("pnorm", expr(s"sqrt(${projDot("proj", "proj")})"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("proj").as("qp"), col("pnorm").as("qpn"))
+    val scored = e.select("vec_id", "proj", "pnorm")
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos",
+        expr(projDot("qp", "proj")) / (col("qpn") * col("pnorm")))
+    SimilarityOps.topKPerGroup(
+      scored, col("query_id"), Seq.empty, col("pcos"), col("vec_id"), k)
+  }
+
   /** Truncation levels evaluated by [[matryoshkaEval]] — shared with
     * the oracle twin. The full dimension (64) is included as the
     * recall-1.0 control row: an eval harness whose ground-truth leg

@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-8 curation trio: Cohen's kappa on planted confusion
+  * matrices, RRF fusion re-derived from its two input rankings, and
+  * distribution-matching rates on a planted two-corpus mix. Exact
+  * end-to-end values on the real corpus are pinned by the DuckDB twins
+  * (`ext_label_agreement`, `ext_sim_rrf`, `ext_sample_match_dist`). */
+class FusionCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kappa: perfect agreement scores exactly 10^6") {
+    val preds = Seq.fill(30)(("en", "en")) ++ Seq.fill(10)(("de", "de"))
+    val r = TextOps.labelAgreementOf(preds.toDF("lang", "pred_lang")).collect()(0)
+    assert(r.getLong(0) == 40L && r.getLong(1) == 40L)
+    assert(r.getLong(4) == 1000000L)
+  }
+
+  test("kappa: hand-computed 2x2 case, chance-corrected below raw accuracy") {
+    // 40 en->en, 10 de->de, 10 de->en: po=50/60, pe=(40*50+20*10)/3600
+    val preds = Seq.fill(40)(("en", "en")) ++ Seq.fill(10)(("de", "de")) ++
+      Seq.fill(10)(("de", "en"))
+    val r = TextOps.labelAgreementOf(preds.toDF("lang", "pred_lang")).collect()(0)
+    assert(r.getLong(0) == 60L && r.getLong(1) == 50L)
+    assert(r.getLong(2) == 833333L, "po_ppm = floor(1e6*50/60)")
+    assert(r.getLong(3) == 611111L, "pe_ppm = floor(1e6*2200/3600)")
+    assert(r.getLong(4) == 571428L, "kappa_ppm = floor(1e6*800/1400)")
+    assert(r.getLong(4) < r.getLong(2), "kappa sits below raw agreement")
+  }
+
+  test("rrf fusion equals the fold of its two input rankings") {
+    val pool = SimilarityOps.RrfPool
+    val exact = SimilarityOps.bruteForceTopK(spark, sfSmoke, pool, 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("re"))
+    val proj = VectorOps.projectedRanking(spark, sfSmoke, pool, 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rp"))
+    val expected = exact.join(proj, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("score",
+        coalesce(expr("1000000000 div (60 + re)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rp)"), lit(0L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("score"))
+      .toMap
+    val fused = SimilarityOps.rrfFusion(spark, sfSmoke).collect()
+    assert(fused.length == 8 * SimilarityOps.RrfTopK)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(expected(key) == r.getLong(3),
+        s"fused score mismatch at $key")
+    }
+    // within each query the emitted ranks follow (score desc, id asc)
+    fused.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getInt(1))
+      val resorted = rows.sortBy(r => (-r.getLong(3), r.getLong(2)))
+      assert(ordered.map(_.getLong(2)).toSeq == resorted.map(_.getLong(2)).toSeq)
+    }
+    // and the fused top set is drawn only from the two pools
+    val poolSet = (exact.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      proj.collect().map(r => (r.getLong(0), r.getLong(1)))).toSet
+    fused.foreach(r => assert(poolSet.contains((r.getLong(0), r.getLong(2)))))
+  }
+
+  test("distribution matching: cap at 1, planted thinning rate, A-absent bucket dropped") {
+    // ref (src0, len 4): 4 docs of 50 chars + 4 of 150; new crawl
+    // (src10): 2 of 50, 6 of 150, 2 of 450 (a bucket the reference lacks)
+    val docs =
+      (0L to 3L).map(id => (id, "src0", 50L)) ++
+        (4L to 7L).map(id => (id, "src0", 150L)) ++
+        (10L to 11L).map(id => (id, "src10", 50L)) ++
+        (12L to 17L).map(id => (id, "src10", 150L)) ++
+        (18L to 19L).map(id => (id, "src10", 450L))
+    val res = SampleOps.matchDistributionOf(
+        docs.toDF("doc_id", "source", "n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // under-represented bucket: rate capped at 1e6, every doc kept
+    assert(Seq(10L, 11L).forall(id => res.get(id).contains(("0-100", 1000000L))))
+    // bucket absent from the reference: rate 0, nothing kept
+    assert(Seq(18L, 19L).forall(id => !res.contains(id)))
+    // over-represented bucket: rate floor(1e6*500000/600000), kept set
+    // is exactly the salted-hash rule replayed
+    val kept150 = res.collect { case (id, ("101-200", r)) => assert(r == 833333L); id }.toSet
+    val byHash = (12L to 17L).toDF("doc_id")
+      .withColumn("h", TextOps.h32(concat(lit("match:"), col("doc_id").cast("string"))))
+      .where(col("h") % 1000000L < 833333L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept150 == byHash)
+  }
+}
