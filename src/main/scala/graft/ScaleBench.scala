@@ -89,7 +89,11 @@ object ScaleBench {
     "ext_ts_sax_similar", "etl_seq_patterns", "etl_key_candidates",
     "etl_funnel_deadline", "ext_embed_matryoshka", "stream_seq_patterns",
     "etl_fifo_allocation", "ext_embed_drift", "ext_sample_diversity",
-    "etl_tx_version_diff")
+    "etl_tx_version_diff",
+    // round-8 sixth leg: the KS CDF window over the fact and the
+    // corpus-wide matching resample (rrf/kappa are bounded-panel /
+    // confusion-domain work — nothing to probe)
+    "etl_ks_drift", "ext_sample_match_dist")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -253,6 +253,22 @@ class PlanShapeSpec extends SparkSpec {
     // ban only
     for (q <- Seq("ext_embed_drift", "ext_sample_diversity"))
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // the KS CDF pass rides keyed joins + one window per store over
+    // DISTINCT values — no pair join anywhere
+    locally {
+      val p = planOf("etl_ks_drift")
+      assert(!p.contains("CartesianProduct"), s"etl_ks_drift cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"etl_ks_drift all-pairs join:\n$p")
+    }
+    // rrf's retrieval legs inherit the documented broadcast-panel NLJ
+    // (the ext_sim_topk exemption); match-dist's 1-row totals ride the
+    // scalar-subquery cross join — cartesian ban only for both, and the
+    // match-dist rate table must come back as a broadcast equi-join
+    for (q <- Seq("ext_sim_rrf", "ext_sample_match_dist"))
+      assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    assert(planOf("ext_sample_match_dist").contains("BroadcastHashJoin"),
+      "ext_sample_match_dist rate table is not a broadcast equi-join")
   }
 
   test("star-join OLAP queries broadcast their dimension sides") {
