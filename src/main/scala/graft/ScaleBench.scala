@@ -93,7 +93,10 @@ object ScaleBench {
     // round-8 sixth leg: the KS CDF window over the fact and the
     // corpus-wide matching resample (rrf/kappa are bounded-panel /
     // confusion-domain work — nothing to probe)
-    "etl_ks_drift", "ext_sample_match_dist")
+    "etl_ks_drift", "ext_sample_match_dist",
+    // the posting-table probe (term-keyed; stopword lists are the skew)
+    // and its fused consumer
+    "ext_text_bm25", "ext_sim_hybrid")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -3122,6 +3122,96 @@ object ExtOracleSql {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** BM25 twin builder: the identical posting-table probe, the SHARED
+    * [[TextOps.Bm25ContribExpr]] (rational idf × tf saturation, floored
+    * to integer ppm), order-independent BIGINT score sum, row_number
+    * ranking. */
+  private def bm25Sql(k: Int, nQueries: Int): String =
+    s"""WITH bw AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |),
+       |bwords AS (SELECT doc_id, unnest(ws) AS term FROM bw),
+       |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |        FROM bwords GROUP BY 1, 2),
+       |bdlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |          FROM bwords GROUP BY 1),
+       |bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM bdlen),
+       |bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM btf GROUP BY 1),
+       |bscored AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+       |    ${TextOps.Bm25ContribExpr} AS contrib_ppm
+       |  FROM (SELECT doc_id, term FROM btf WHERE doc_id < $nQueries) q
+       |  JOIN btf c ON c.term = q.term AND c.doc_id <> q.doc_id
+       |  JOIN bdf ON bdf.term = c.term
+       |  JOIN bdlen ON bdlen.doc_id = c.doc_id
+       |  CROSS JOIN (SELECT n_docs, sum_dl,
+       |                CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+       |              FROM bstats) s
+       |),
+       |bperdoc AS (
+       |  SELECT query_id, cand_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
+       |  FROM bscored GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS doc_id, score_ppm
+       |FROM (
+       |  SELECT query_id, cand_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, cand_id ASC) AS rank
+       |  FROM bperdoc)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  val textBm25: String = bm25Sql(TextOps.Bm25TopK, TextOps.Bm25NQueries)
+
+  /** Hybrid-retrieval twin: exact-cosine dense leg restricted to
+    * document-backed vectors, the BM25 twin as the lexical leg, the
+    * identical RRF integer fusion. */
+  val simHybrid: String = {
+    val kD = SimilarityOps.RrfDampK
+    val sc = SimilarityOps.RrfScale
+    val pool = SimilarityOps.RrfPool
+    val k = SimilarityOps.RrfTopK
+    s"""WITH he AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding", "hb")}) AS norm
+       |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)
+       |),
+       |hdense AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.embedding", "c.embedding", "hc")}
+       |          / (q.norm * c.norm) DESC, c.vec_id ASC) AS rank
+       |    FROM he q JOIN he c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       |  ) WHERE rank <= $pool
+       |),
+       |hlex AS (
+       |  SELECT query_id, doc_id AS neighbor_id, rank
+       |  FROM (${bm25Sql(pool, 8)})
+       |),
+       |hfused AS (
+       |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+       |         COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+       |         CAST(d.rank AS INT) AS rank_dense,
+       |         CAST(l.rank AS INT) AS rank_lex,
+       |         CAST(COALESCE($sc // ($kD + d.rank), 0) +
+       |              COALESCE($sc // ($kD + l.rank), 0) AS BIGINT) AS rrf_score
+       |  FROM hdense d FULL OUTER JOIN hlex l
+       |    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score,
+       |       rank_dense, rank_lex
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+       |  FROM hfused)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Bigram-LM score twin: identical add-one ppm quantization
     * ⌊10⁶·(c(ab)+1)/(c(a·)+V)⌋ over list-indexed bigrams; DuckDB `//`
     * and Spark `div` both truncate, and every operand is BIGINT. */

@@ -171,26 +171,63 @@ object SimilarityOps {
     * window over ≤ 2·pool·|queries| rows — candidate-set-sized, never
     * corpus-sized, so the fusion stage costs nothing at any scale. */
   def rrfFusion(spark: SparkSession, dir: String, k: Int = RrfTopK,
-      pool: Int = RrfPool, nQueries: Int = 8): DataFrame = {
+      pool: Int = RrfPool, nQueries: Int = 8): DataFrame =
+    rrfOf(
+      bruteForceTopK(spark, dir, pool, nQueries), "rank_exact",
+      VectorOps.projectedRanking(spark, dir, pool, nQueries), "rank_proj",
+      k)
+
+  /** The fusion kernel shared by [[rrfFusion]] and [[hybridFusion]]:
+    * each input carries (query_id, neighbor_id, rank); output columns
+    * take the caller's per-leg rank names. The full-outer join and
+    * re-rank window run over ≤ 2·pool·|queries| rows — candidate-set
+    * sized, never corpus-sized. */
+  private[ext] def rrfOf(a: DataFrame, aName: String,
+      b: DataFrame, bName: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exact = bruteForceTopK(spark, dir, pool, nQueries)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").as("rank_exact"))
-    val proj = VectorOps.projectedRanking(spark, dir, pool, nQueries)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").as("rank_proj"))
-    val fused = exact.join(proj, Seq("query_id", "neighbor_id"), "full_outer")
+    val la = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").as(aName))
+    val lb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").as(bName))
+    val fused = la.join(lb, Seq("query_id", "neighbor_id"), "full_outer")
       .withColumn("rrf_score",
-        coalesce(expr(s"$RrfScale div ($RrfDampK + rank_exact)"), lit(0L)) +
-          coalesce(expr(s"$RrfScale div ($RrfDampK + rank_proj)"), lit(0L)))
+        coalesce(expr(s"$RrfScale div ($RrfDampK + $aName)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfDampK + $bName)"), lit(0L)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
     fused
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "rrf_score",
-        "rank_exact", "rank_proj")
+      .select("query_id", "rank", "neighbor_id", "rrf_score", aName, bName)
       .orderBy("query_id", "rank")
+  }
+
+  /** HYBRID RETRIEVAL — dense + lexical over ONE corpus, RRF-fused:
+    * the production search stack in one operator. The dense leg is
+    * exact-cosine top-`pool` restricted to DOCUMENT-BACKED vectors (a
+    * keyed semi-join on the doc ids — both legs must rank the same
+    * candidate universe or fusion just measures id-space mismatch);
+    * the lexical leg is [[TextOps.bm25TopK]] over the same documents.
+    * Dense retrieval finds paraphrases BM25's vocabulary match misses;
+    * BM25 finds exact-term hits an embedding blurs — the fused list is
+    * robust to both failure modes, and [[rrfOf]] needs no score
+    * calibration between cosine and integer-ppm BM25 (only ranks
+    * cross the boundary). */
+  def hybridFusion(spark: SparkSession, dir: String, k: Int = RrfTopK,
+      pool: Int = RrfPool, nQueries: Int = 8): DataFrame = {
+    val docIds = TextOps.docs(spark, dir).select(col("doc_id"))
+    val e = withNorm(embeddings(spark, dir))
+      .join(docIds, col("vec_id") === col("doc_id"), "left_semi")
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosExpr("qv", "embedding", "qn", "norm")))
+    val dense = topKPerGroup(
+      scored, col("query_id"), Seq.empty, col("cos"), col("vec_id"), pool)
+    val lexical = TextOps.bm25TopK(spark, dir, pool, nQueries)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    rrfOf(dense, "rank_dense", lexical, "rank_lex", k)
   }
 
   /** ANN quality measurement — recall@k of the IVF index against the

@@ -960,6 +960,87 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 constants, shared verbatim with the oracle twin. k1 = 1.2 and
+    * b = 0.75 are the textbook defaults; both appear only inside
+    * [[Bm25ContribExpr]] so engine and oracle cannot drift. */
+  val Bm25TopK = 10
+  val Bm25NQueries = 8
+
+  /** The BM25 per-term contribution as ONE shared expression string:
+    * rational idf `(N − df + 0.5)/(df + 0.5) + 1` — Robertson's idf
+    * WITHOUT the ln, the engine's standing transcendental-free contract
+    * (libm ln differs across engines at the ulp level; the rational
+    * form preserves idf's monotone-in-df ordering per term and keeps
+    * every double derived from exact integers through a fixed
+    * expression tree) — times the classic tf saturation
+    * `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`. The product is floored
+    * to integer PPM so the per-(query, doc) score is a BIGINT sum —
+    * ORDER-INDEPENDENT, unlike a float Σ over terms, which no second
+    * engine reproduces bit-for-bit. Headroom: a one-doc term
+    * contributes ≈ 2.2·(2N+2)·10⁶ ppm; with ≤ ~10³ query terms the sum
+    * stays under 2⁶³ to N ≈ 10⁸ docs per retrieval corpus — loud ANSI
+    * overflow beyond. */
+  val Bm25ContribExpr: String =
+    "CAST(floor(1000000 * (" +
+      "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / " +
+      "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))" +
+      ")) AS BIGINT)"
+
+  /** BM25 RETRIEVAL — the standard lexical ranking function, top-k per
+    * query document over the whole corpus: each query term probes the
+    * term-keyed posting table (the inverted-index equi-join — candidate
+    * generation is BUCKETED by term, the same discipline as the PPJoin
+    * prefix index, never doc×doc), contributions are scored by
+    * [[Bm25ContribExpr]] and summed as exact BIGINTs, per-query top-k
+    * is the bounded aggregate. Dense retrieval ([[SimilarityOps]])
+    * finds semantic neighbors; BM25 finds exact-vocabulary matches —
+    * they mis-rank DIFFERENT documents, which is why production stacks
+    * run both and fuse ([[SimilarityOps.hybridFusion]]).
+    *
+    * Scale notes: hot posting lists (stopword terms) are BM25's known
+    * skew — the rational idf already floors their contribution to ~1,
+    * and a production deployment additionally caps or stoplists them
+    * (WAND/block-max is the principled upgrade); the join stays keyed
+    * either way. Scores are integer ppm, ties break by doc id. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = Bm25TopK,
+      nQueries: Int = Bm25NQueries): DataFrame =
+    bm25TopKOf(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      k, nQueries)
+
+  /** Kernel of [[bm25TopK]] over any (doc_id, text) frame —
+    * spec-testable on planted corpora. */
+  private[graft] def bm25TopKOf(d: DataFrame, k: Int,
+      nQueries: Int): DataFrame = {
+    val words = withWords(d)
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // query term SETS (tf is already distinct per (doc, term))
+    val qterms = tf.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val scored = qterms
+      .join(tf.withColumnRenamed("doc_id", "cand_id"), "term")
+      .where(col("cand_id") =!= col("query_id"))
+      .join(df, "term")
+      .join(dlen.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .withColumn("contrib_ppm", expr(Bm25ContribExpr))
+    val perDoc = scored.groupBy("query_id", "cand_id")
+      .agg(sum("contrib_ppm").as("score_ppm"))
+    SimilarityOps.topKPerGroup(perDoc, col("query_id"), Seq.empty,
+        col("score_ppm"), col("cand_id"), k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("doc_id"), col("score").as("score_ppm"))
+      .orderBy("query_id", "rank")
+  }
+
   /** COHEN'S KAPPA — chance-corrected agreement between the heuristic
     * language classifier ([[withPredLang]]) and the labeled `lang`
     * column, the one-number readout beside [[langConfusion]]'s cell

@@ -269,6 +269,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(!planOf(q).contains("CartesianProduct"), s"$q plans a cartesian")
     assert(planOf("ext_sample_match_dist").contains("BroadcastHashJoin"),
       "ext_sample_match_dist rate table is not a broadcast equi-join")
+    // BM25's candidate generation must stay a term-keyed posting probe —
+    // never doc×doc (hybrid inherits the dense panel NLJ exemption, so
+    // there only the cartesian ban applies)
+    locally {
+      val p = planOf("ext_text_bm25")
+      assert(!p.contains("CartesianProduct"), s"ext_text_bm25 cartesian:\n$p")
+    }
+    assert(!planOf("ext_sim_hybrid").contains("CartesianProduct"),
+      "ext_sim_hybrid plans a cartesian")
   }
 
   test("star-join OLAP queries broadcast their dimension sides") {

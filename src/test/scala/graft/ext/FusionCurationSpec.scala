@@ -62,6 +62,60 @@ class FusionCurationSpec extends SparkSpec {
     fused.foreach(r => assert(poolSet.contains((r.getLong(0), r.getLong(2)))))
   }
 
+  test("bm25: rare-term match outranks common-term match; repetition saturates; length penalizes") {
+    // query doc 0 carries both terms; docs 10/11 are the SAME length
+    // with one hit each — only idf separates them (df(rare)=2 <
+    // df(common)=4); doc 12 repeats "common" 20x; doc 13 has 11's tf
+    // in 4x the length
+    val corpus = Seq(
+      (0L, "rare common filler"),
+      (10L, "rare pad1 pad2 pad3"),
+      (11L, "common pd1 pd2 pd3"),
+      (12L, (1 to 20).map(_ => "common").mkString(" ")),
+      (13L, "common " + (1 to 15).map(i => s"q$i").mkString(" ")))
+    val res = TextOps.bm25TopKOf(corpus.toDF("doc_id", "text"), 10, 1)
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getLong(3))).toMap
+    // idf ordering at equal tf and length: the rarer term's hit wins
+    assert(res(10L)._2 > res(11L)._2, s"idf must order equal-length hits: $res")
+    // 20 repetitions beat one hit but saturate far below 20x
+    assert(res(12L)._2 > res(11L)._2)
+    assert(res(12L)._2 < 3L * res(11L)._2,
+      s"tf must saturate: ${res(12L)._2} vs ${res(11L)._2}")
+    // same tf in a 4x longer document scores lower
+    assert(res(13L)._2 < res(11L)._2, s"length must penalize: $res")
+  }
+
+  test("bm25: hand-computed contribution on a two-doc corpus") {
+    // corpus: query "a", candidate "a b" — N=2, df(a)=2, tf=1, dl=2,
+    // avgdl=1.5 (dl: query 1, cand 2)
+    val corpus = Seq((0L, "a"), (1L, "a b"))
+    val r = TextOps.bm25TopKOf(corpus.toDF("doc_id", "text"), 10, 1).collect()
+    assert(r.length == 1)
+    val idf = (2.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0
+    val sat = (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (2.0 / 1.5)))
+    assert(r(0).getLong(3) == math.floor(1000000 * (idf * sat)).toLong)
+  }
+
+  test("hybrid fusion equals rrf of its two legs over the document-backed universe") {
+    val pool = SimilarityOps.RrfPool
+    val hybrid = SimilarityOps.hybridFusion(spark, sfSmoke).collect()
+    assert(hybrid.nonEmpty)
+    val docIds = TextOps.docs(spark, sfSmoke)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    hybrid.foreach(r => assert(docIds.contains(r.getLong(2)),
+      "hybrid neighbor outside the document-backed universe"))
+    // every fused score is the fold of the two leg ranks it reports
+    hybrid.foreach { r =>
+      val rd = Option(r.get(4)).map(_ => 1000000000L / (60 + r.getInt(4))).getOrElse(0L)
+      val rl = Option(r.get(5)).map(_ => 1000000000L / (60 + r.getInt(5))).getOrElse(0L)
+      assert(r.getLong(3) == rd + rl)
+    }
+    // the lexical leg really contributes: at least one fused row carries
+    // a BM25 rank (the legs are not accidentally identical)
+    assert(hybrid.exists(r => !r.isNullAt(5)))
+    assert(hybrid.exists(r => !r.isNullAt(4)))
+  }
+
   test("distribution matching: cap at 1, planted thinning rate, A-absent bucket dropped") {
     // ref (src0, len 4): 4 docs of 50 chars + 4 of 150; new crawl
     // (src10): 2 of 50, 6 of 150, 2 of 450 (a bucket the reference lacks)
