@@ -1018,8 +1018,18 @@ object TextOps {
       .select(col("doc_id"), explode(col("ws")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25ScoreOf(tf, dlen, df, k, nQueries)
+  }
+
+  /** The BM25 SCORING pass over prebuilt index tables — the read side
+    * an incrementally-maintained index serves
+    * ([[graft.streaming.StreamBm25]]): postings `tf` (doc_id, term,
+    * tf), lengths `dlen` (doc_id, dl), term frequencies `df` (term,
+    * df). Corpus stats derive from `dlen` in one bounded aggregate. */
+  private[graft] def bm25ScoreOf(tf: DataFrame, dlen: DataFrame,
+      df: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // query term SETS (tf is already distinct per (doc, term))
     val qterms = tf.where(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"))
