@@ -96,7 +96,8 @@ object ScaleBench {
     "etl_ks_drift", "ext_sample_match_dist",
     // the posting-table probe (term-keyed; stopword lists are the skew)
     // and its fused consumer
-    "ext_text_bm25", "ext_sim_hybrid", "stream_bm25_index")
+    "ext_text_bm25", "ext_sim_hybrid", "stream_bm25_index",
+    "etl_tx_skipping")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -1782,6 +1782,19 @@ object EtlOracleSql {
     * side reaches it through the sink's commit log + manifest-drop
     * read path; equality here proves the overwrite semantics on real
     * data. */
+  /** Data-skipping twin: the range computed declaratively — the
+    * engine side answers it through the stats-pruned commit read, so
+    * the hash gate proves pruning loses no matching row. */
+  val txSkipping: String = star(
+    s""", monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT month, store_id, cents FROM monthly
+      |WHERE month >= '${EtlQueries.TxSkipLo}' AND month <= '${EtlQueries.TxSkipHi}'
+      |ORDER BY month, store_id""".stripMargin)
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

@@ -2120,6 +2120,48 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** Range bounds for [[txSkippingRead]], shared with the oracle twin:
+    * the middle two calendar years of the feed. */
+  val TxSkipLo = "1997-01"
+  val TxSkipHi = "1998-12"
+
+  /** MANIFEST-LEVEL DATA SKIPPING round trip — the stats-pruned read
+    * path run end-to-end through [[TxParquetSink.appendWithStats]] /
+    * [[TxParquetSink.readSnapshotRange]] and gated by the oracle hash:
+    * the monthly store-revenue rollup lands as ONE COMMIT PER CALENDAR
+    * YEAR (each carrying its month-range stats in the manifest — the
+    * ingestion pattern of a daily/weekly loader), then a two-year range
+    * read is answered through the pruned path plus the real predicate.
+    * The oracle computes the same range declaratively, so the
+    * differential proves the SUPERSET CONTRACT (pruning never loses a
+    * matching row) on real data every round; the spec additionally pins
+    * that commits outside the range were actually SKIPPED — the
+    * performance half of the claim, asserted structurally
+    * ([[graft.etl]] TxSinkSpec). At 100 TB this is the difference
+    * between a range query scanning every commit of a years-deep table
+    * and scanning only the commits whose manifest says they can
+    * match — pruning decided on the DRIVER, before any task launches,
+    * the Delta/Iceberg stats-skipping shape. */
+  def txSkippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true) // 7 year-slices reuse it without re-aggregating
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txskip").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")), Seq("month"))
+    }
+    t.readSnapshotRange(spark, "month", TxSkipLo, TxSkipHi).get
+      .where(col("month") >= TxSkipLo && col("month") <= TxSkipHi)
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
     * columns). Shared with the oracle twin so the candidate list cannot
     * drift between engines. The lineitem candidates bracket the schema's

@@ -105,7 +105,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * Commits that share an identical pending-drop set are read in one
     * multi-path scan, so the common tail (commits newer than every
     * overwrite) stays a single read. */
-  private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)]): Option[DataFrame] = {
+  private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)],
+      keepData: Manifest => Boolean = _ => true): Option[DataFrame] = {
     import org.apache.spark.sql.functions.not
     if (cs.isEmpty) return None
     // per commit index i: the replace sets of commits AFTER i
@@ -116,8 +117,12 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val grouped = cs.zipWithIndex
       .groupBy { case (_, i) => replacesAfter(i) }
       .toSeq
+    // keepData prunes a commit's FILE READS only (stats-based data
+    // skipping) — its manifest stays in replacesAfter, so a pruned
+    // overwrite still masks earlier commits
     val frames = grouped.flatMap { case (drops, commits) =>
-      val paths = commits.flatMap(_._1._2.files).map(f => root.resolve(f).toString)
+      val paths = commits.map(_._1._2).filter(keepData)
+        .flatMap(_.files).map(f => root.resolve(f).toString)
       if (paths.isEmpty) None
       else {
         // mergeSchema: commits may ADD columns over the table's life
@@ -149,6 +154,67 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val staged = stageAudited(spark, df, n)
     var v = version() + 1
     while (!tryPublish(v, Manifest(n, Seq(staged)))) v = version() + 1
+  }
+
+  /** Transactional append that records per-commit MIN/MAX column
+    * statistics in the manifest — the metadata that makes
+    * [[readSnapshotRange]]'s data skipping possible. The stats
+    * aggregate is one bounded pass fused with the audit read-back (the
+    * staged files are being re-read anyway); an all-null column yields
+    * no stats entry (conservatively always read). At 100 TB this is
+    * the same move Delta/Iceberg make: commit-time stats cost one
+    * map-reduce over the batch; every later range read prunes whole
+    * commits from the DRIVER, before any scan task launches. */
+  def appendWithStats(df: DataFrame, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.types.NumericType
+    val spark = df.sparkSession
+    val n = df.count()
+    if (n == 0) return
+    val staged = stageAudited(spark, df, n)
+    val stagedDf = spark.read.parquet(root.resolve(staged).toString)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
+    val numeric = stagedDf.schema.fields
+      .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
+    val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
+      if (mn == null || mx == null) None
+      else Some(c -> ColStats(numeric.getOrElse(c, false), mn, mx))
+    }.toMap
+    var v = version() + 1
+    while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats)))
+      v = version() + 1
+  }
+
+  /** DATA-SKIPPING range read: the snapshot restricted to commits whose
+    * recorded `column` stats intersect [lo, hi] (inclusive; both bounds
+    * in the column's cast-to-string form — numeric stats compare as
+    * exact BigDecimal). Contract: returns a SUPERSET of the snapshot
+    * rows with `column` in range — commits without stats for `column`
+    * are always kept, and kept commits still carry their other rows —
+    * so the caller applies its real predicate unchanged and pruning is
+    * purely an I/O optimization, exactly Delta's stats-skipping
+    * contract. Replace semantics survive pruning: a later overwrite's
+    * drop mask applies to every KEPT earlier commit whether or not the
+    * overwrite's own data was skipped (manifests are never pruned,
+    * only their file reads). */
+  def readSnapshotRange(spark: SparkSession, column: String,
+      lo: String, hi: String): Option[DataFrame] =
+    dataOf(spark, effective(commits()),
+      keepData = m => m.stats.get(column).forall(s => !rangeDisjoint(s, lo, hi)))
+
+  /** Skipping observability: (data directories in the effective
+    * snapshot, directories a [[readSnapshotRange]] of this range would
+    * skip). Driver-side metadata only. */
+  def skippingAudit(column: String, lo: String, hi: String): (Int, Int) = {
+    val ms = effective(commits()).map(_._2).filter(_.files.nonEmpty)
+    val skipped = ms
+      .filter(m => m.stats.get(column).exists(s => rangeDisjoint(s, lo, hi)))
+      .map(_.files.size).sum
+    (ms.map(_.files.size).sum, skipped)
   }
 
   /** MERGE (WHEN NOT MATCHED THEN INSERT) on `keys` with optimistic
@@ -552,7 +618,18 @@ object TxParquetSink {
   final case class Manifest(rows: Long, files: Seq[String],
       base: Boolean = false, partitions: Option[Set[String]] = None,
       partitionCols: Seq[String] = Nil,
-      replaceCols: Seq[String] = Nil, replaceKeys: Set[String] = Set.empty)
+      replaceCols: Seq[String] = Nil, replaceKeys: Set[String] = Set.empty,
+      stats: Map[String, ColStats] = Map.empty)
+
+  /** Per-commit column statistics for DATA SKIPPING: min/max of a
+    * column over the commit's files, captured at write time. `num`
+    * selects the comparison domain — numeric stats compare as exact
+    * BigDecimal, everything else lexicographically (dates/timestamps in
+    * their canonical cast-to-string form are order-preserving). A
+    * commit WITHOUT stats for a queried column is conservatively always
+    * read — so old manifests, compaction bases, and overwrites keep
+    * exactly their current semantics. */
+  final case class ColStats(num: Boolean, min: String, max: String)
 
   /** Line-oriented manifest codec (`rows=<n>` then one `file=<rel>` per
     * line, `pscope=true` + one `part=<tuple>` per touched partition for
@@ -570,7 +647,10 @@ object TxParquetSink {
       (if (m.replaceCols.nonEmpty)
         s"rcols=${m.replaceCols.mkString(",")}" +:
           m.replaceKeys.toSeq.sorted.map(k => s"rkey=$k")
-      else Nil)
+      else Nil) ++
+      m.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"stat=${encodePartition(Seq(c, if (s.num) "n" else "s", s.min, s.max))}"
+      }
       ).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
@@ -589,7 +669,13 @@ object TxParquetSink {
       else None,
       kv.collectFirst { case ("pcols", v) => v.split(',').toSeq }.getOrElse(Nil),
       kv.collectFirst { case ("rcols", v) => v.split(',').toSeq }.getOrElse(Nil),
-      kv.collect { case ("rkey", v) => v }.toSet)
+      kv.collect { case ("rkey", v) => v }.toSet,
+      kv.collect { case ("stat", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 4, s"malformed stat line: $v")
+        parts(0) -> ColStats(parts(1) == "n", parts(2), parts(3))
+      }.toMap)
   }
 
   /** Canonical string for one partition tuple: URL-encoded values
@@ -641,6 +727,12 @@ object TxParquetSink {
       not(col(cols.head).isin(keys.toSeq: _*)) || col(cols.head).isNull
     } else not(sepKeyExpr(cols).isin(keys.toSeq: _*))
   }
+
+  /** True iff the commit's [min, max] cannot intersect [lo, hi] —
+    * the only case data skipping may drop its files. */
+  private[etl] def rangeDisjoint(s: ColStats, lo: String, hi: String): Boolean =
+    if (s.num) BigDecimal(s.max) < BigDecimal(lo) || BigDecimal(s.min) > BigDecimal(hi)
+    else s.max < lo || s.min > hi
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

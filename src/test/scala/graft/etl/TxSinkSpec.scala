@@ -594,4 +594,55 @@ class TxSinkSpec extends SparkSpec {
     assert(TxParquetSink.encodePartition(Seq("a=b\nc")) // codec-hostile chars
       .forall(c => c != '=' && c != '\n'))
   }
+
+  test("data skipping: range read prunes disjoint commits, keeps the superset contract") {
+    val t = table()
+    val days = (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong))
+    // three commits of ten days each, month-day stats recorded
+    days.grouped(10).foreach { g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"))
+    }
+    // a narrow range touches exactly one commit
+    val (total, skipped) = t.skippingAudit("day", "2024-01-12", "2024-01-14")
+    assert(total == 3 && skipped == 2,
+      s"expected 2 of 3 commits skipped, got ($total, $skipped)")
+    val pruned = t.readSnapshotRange(spark, "day", "2024-01-12", "2024-01-14").get
+    // superset contract: the pruned read holds every in-range row...
+    val inRange = pruned.where($"day" >= "2024-01-12" && $"day" <= "2024-01-14")
+      .select("day").as[String].collect().sorted
+    assert(inRange.toSeq == Seq("2024-01-12", "2024-01-13", "2024-01-14"))
+    // ...and only whole kept commits beyond it (days 11-20), never more
+    val all = pruned.select("day").as[String].collect().sorted
+    assert(all.toSeq == (11 to 20).map(d => f"2024-01-$d%02d"))
+    // numeric stats compare numerically, not lexicographically:
+    // amount 9 vs 10 would invert under string compare
+    val (t2, s2) = t.skippingAudit("amount", "9", "10")
+    assert(t2 == 3 && s2 == 2, s"numeric stats compare: ($t2, $s2)")
+    // a column with no recorded stats is never pruned
+    assert(t.skippingAudit("absent", "a", "b") == ((3, 0)))
+  }
+
+  test("data skipping: a pruned overwrite still masks earlier commits") {
+    val t = table()
+    t.appendWithStats(Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
+      .toDF("day", "amount"), Seq("day"))
+    t.appendWithStats(Seq(("2024-02-01", 3L)).toDF("day", "amount"), Seq("day"))
+    // restate day 2 (overwrite commits carry no stats — always read)
+    t.overwritePartitions(spark,
+      Seq(("2024-01-02", 20L)).toDF("day", "amount"), Seq("day"))
+    // range read over January: the February commit is skipped, the
+    // overwrite's mask still applies to the kept January commit
+    val (total, skipped) = t.skippingAudit("day", "2024-01-01", "2024-01-31")
+    assert(total == 3 && skipped == 1)
+    val jan = t.readSnapshotRange(spark, "day", "2024-01-01", "2024-01-31").get
+      .where($"day" <= "2024-01-31")
+      .select("day", "amount").as[(String, Long)].collect().sorted
+    assert(jan.toSeq == Seq(("2024-01-01", 1L), ("2024-01-02", 20L)),
+      s"pruned read must apply the overwrite mask: ${jan.toSeq}")
+    // plain appends (no stats) round-trip through the manifest codec
+    val m = TxParquetSink.Manifest(1, Seq("data/x"),
+      stats = Map("day" -> TxParquetSink.ColStats(num = false, "a", "b"),
+        "amount" -> TxParquetSink.ColStats(num = true, "1", "2")))
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+  }
 }
