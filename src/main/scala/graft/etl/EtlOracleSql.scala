@@ -1795,6 +1795,17 @@ object EtlOracleSql {
       |WHERE month >= '${EtlQueries.TxSkipLo}' AND month <= '${EtlQueries.TxSkipHi}'
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Bloom point-lookup twin: the probe customer's order history
+    * computed declaratively — the engine answers it through the
+    * bloom-pruned commit read, so the hash gate proves false negatives
+    * cannot occur. */
+  val txPointLookup: String =
+    s"""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year,
+       |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |FROM orders
+       |WHERE o_custkey = ${EtlQueries.TxProbeCustomer}
+       |ORDER BY o_orderkey""".stripMargin
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

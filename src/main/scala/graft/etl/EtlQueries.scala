@@ -2162,6 +2162,44 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** Probe key for [[txPointLookup]], shared with the oracle twin: a
+    * customer whose orders cluster in few calendar years (bloom
+    * skipping's useful case — a minmax range can't prune a key lookup
+    * when every year-commit spans the key domain). */
+  val TxProbeCustomer = 802L
+
+  /** BLOOM POINT-LOOKUP round trip — the key-lookup companion of
+    * [[txSkippingRead]]: orders land as one commit per calendar year,
+    * each manifest carrying a customer-key bloom; a single customer's
+    * order history is then answered through
+    * [[TxParquetSink.readSnapshotPoint]] plus the real predicate. The
+    * oracle computes the same history declaratively, so the hash gate
+    * proves the bloom path loses no row (false negatives impossible);
+    * the spec pins that year-commits the customer never ordered in are
+    * actually SKIPPED. At 100 TB this is the "find one entity's rows
+    * in a years-deep table" query: minmax stats are useless (every
+    * commit spans the key range), the manifest blooms answer it from
+    * the driver. */
+  def txPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(year(o_orderdate) AS INT)").as("year"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txpoint").toString + "/t")
+    val years = o.select("year").distinct().orderBy("year")
+      .collect().map(_.getInt(0))
+    years.foreach { y =>
+      t.appendWithStats(o.where(col("year") === y), Seq("year"),
+        bloomCols = Seq("o_custkey"))
+    }
+    t.readSnapshotPoint(spark, "o_custkey", TxProbeCustomer.toString).get
+      .where(col("o_custkey") === TxProbeCustomer)
+      .select("o_orderkey", "year", "cents")
+      .orderBy("o_orderkey")
+  }
+
   /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
     * columns). Shared with the oracle twin so the candidate list cannot
     * drift between engines. The lineitem candidates bracket the schema's

@@ -165,27 +165,46 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * the same move Delta/Iceberg make: commit-time stats cost one
     * map-reduce over the batch; every later range read prunes whole
     * commits from the DRIVER, before any scan task launches. */
-  def appendWithStats(df: DataFrame, statsCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, min, max}
+  def appendWithStats(df: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max, explode, array, pmod, concat, lit}
     import org.apache.spark.sql.types.NumericType
     val spark = df.sparkSession
     val n = df.count()
     if (n == 0) return
     val staged = stageAudited(spark, df, n)
     val stagedDf = spark.read.parquet(root.resolve(staged).toString)
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
-    val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
     val numeric = stagedDf.schema.fields
       .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
-    val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
-      if (mn == null || mx == null) None
-      else Some(c -> ColStats(numeric.getOrElse(c, false), mn, mx))
+    val stats = if (statsCols.isEmpty) Map.empty[String, ColStats] else {
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+      val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
+        if (mn == null || mx == null) None
+        else Some(c -> ColStats(numeric.getOrElse(c, false), mn, mx))
+      }.toMap
+    }
+    // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
+    // positions per row fused into the scan, one bounded distinct —
+    // at most BloomM ints per column ever reach the driver
+    val blooms = bloomCols.map { c =>
+      val positions = stagedDf
+        .where(col(c).isNotNull)
+        .select(explode(array((0 until BloomK).map(i =>
+          pmod(graft.ext.TextOps.h32(
+            concat(lit(s"bloom$i:"), col(c).cast("string"))), lit(BloomM))
+            .cast("int")): _*)).as("p"))
+        .distinct().collect().map(_.getInt(0))
+      val bs = new java.util.BitSet(BloomM)
+      positions.foreach(bs.set)
+      c -> BloomBits(BloomM, BloomK,
+        java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bs.toByteArray))
     }.toMap
     var v = version() + 1
-    while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats)))
+    while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats, blooms = blooms)))
       v = version() + 1
   }
 
@@ -205,6 +224,29 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       lo: String, hi: String): Option[DataFrame] =
     dataOf(spark, effective(commits()),
       keepData = m => m.stats.get(column).forall(s => !rangeDisjoint(s, lo, hi)))
+
+  /** BLOOM-SKIPPING point read: the snapshot restricted to commits
+    * whose bloom filter for `column` might contain `value` (in its
+    * cast-to-string form). Same SUPERSET contract as
+    * [[readSnapshotRange]]: commits without a bloom for `column` are
+    * always kept, false positives only add reads, false negatives
+    * cannot occur, replace masks survive pruning. The lookup a minmax
+    * range cannot serve: every year-commit of a fact spans the full
+    * key range, but only the commits a key actually landed in light up
+    * its bloom. */
+  def readSnapshotPoint(spark: SparkSession, column: String,
+      value: String): Option[DataFrame] =
+    dataOf(spark, effective(commits()),
+      keepData = m => m.blooms.get(column).forall(b => mightContain(b, value)))
+
+  /** Bloom-skipping observability, the [[skippingAudit]] twin. */
+  def pointSkippingAudit(column: String, value: String): (Int, Int) = {
+    val ms = effective(commits()).map(_._2).filter(_.files.nonEmpty)
+    val skipped = ms
+      .filter(m => m.blooms.get(column).exists(b => !mightContain(b, value)))
+      .map(_.files.size).sum
+    (ms.map(_.files.size).sum, skipped)
+  }
 
   /** Skipping observability: (data directories in the effective
     * snapshot, directories a [[readSnapshotRange]] of this range would
@@ -619,7 +661,35 @@ object TxParquetSink {
       base: Boolean = false, partitions: Option[Set[String]] = None,
       partitionCols: Seq[String] = Nil,
       replaceCols: Seq[String] = Nil, replaceKeys: Set[String] = Set.empty,
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      blooms: Map[String, BloomBits] = Map.empty)
+
+  /** Per-commit BLOOM FILTER over a column's value set — the POINT
+    * companion to [[ColStats]]'s range skipping (min/max can't help a
+    * key lookup when every commit's range spans it; a bloom can). Bits
+    * are set from `pmod(md5_prefix32("bloom<i>:" || value), m)` for
+    * i < k — the engine's cross-engine hash contract, so the
+    * driver-side membership test ([[graft.functions.Md5Prefix32.hash]])
+    * reproduces the distributed writer's bits exactly. m = 2¹³ bits
+    * (1 KiB per column per commit in the manifest), k = 6: ≈ 1.9 %
+    * false-positive rate at 1 000 distinct keys per commit — a false
+    * positive only costs reading one extra commit (the superset
+    * contract); a false NEGATIVE is impossible, which is the half that
+    * matters. `bits` stays in its URL-safe base64 form. */
+  final case class BloomBits(m: Int, k: Int, bits: String)
+
+  val BloomM: Int = 8192
+  val BloomK: Int = 6
+
+  /** Driver-side membership test: false ⇒ the value is provably absent
+    * from the commit (its files may be skipped); true ⇒ maybe present. */
+  private[etl] def mightContain(b: BloomBits, value: String): Boolean = {
+    val bs = java.util.BitSet.valueOf(
+      java.util.Base64.getUrlDecoder.decode(b.bits))
+    (0 until b.k).forall { i =>
+      bs.get((graft.functions.Md5Prefix32.hash(s"bloom$i:$value") % b.m).toInt)
+    }
+  }
 
   /** Per-commit column statistics for DATA SKIPPING: min/max of a
     * column over the commit's files, captured at write time. `num`
@@ -650,6 +720,9 @@ object TxParquetSink {
       else Nil) ++
       m.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"stat=${encodePartition(Seq(c, if (s.num) "n" else "s", s.min, s.max))}"
+      } ++
+      m.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+        s"bloom=${encodePartition(Seq(c, b.m.toString, b.k.toString, b.bits))}"
       }
       ).mkString("", "\n", "\n")
 
@@ -675,6 +748,12 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 4, s"malformed stat line: $v")
         parts(0) -> ColStats(parts(1) == "n", parts(2), parts(3))
+      }.toMap,
+      kv.collect { case ("bloom", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 4, s"malformed bloom line: $v")
+        parts(0) -> BloomBits(parts(1).toInt, parts(2).toInt, parts(3))
       }.toMap)
   }
 

@@ -62,6 +62,17 @@ case class Md5Prefix32(child: Expression) extends UnaryExpression {
 }
 
 object Md5Prefix32 {
+  /** Driver-side twin of the expression — identical bytes, identical
+    * long — for metadata consumers (the manifest bloom membership test
+    * in [[graft.etl.TxParquetSink]]) that must agree with bits set by
+    * the column expression. */
+  def hash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Temp-function registration (same pattern as [[ArrayDotProduct]]). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -645,4 +645,37 @@ class TxSinkSpec extends SparkSpec {
         "amount" -> TxParquetSink.ColStats(num = true, "1", "2")))
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
   }
+
+  test("bloom skipping: point lookup prunes commits the key never landed in, never loses a row") {
+    val t = table()
+    // three commits with disjoint key populations
+    val commitsKeys = Seq(1L to 50L, 51L to 100L, 101L to 150L)
+    commitsKeys.foreach { ks =>
+      t.appendWithStats(ks.map(k => (k, s"v$k")).toDF("k", "payload"),
+        Nil, bloomCols = Seq("k"))
+    }
+    // a key from the middle commit: the other two are provably absent
+    // (modulo the ~2% per-commit false-positive rate — with 3 commits
+    // the chance of ANY false positive here is ~4%, so assert >= 1
+    // skipped and exact row recovery, not an exact skip count)
+    val (total, skipped) = t.pointSkippingAudit("k", "75")
+    assert(total == 3 && skipped >= 1, s"bloom never fired: ($total, $skipped)")
+    val rows = t.readSnapshotPoint(spark, "k", "75").get
+      .where($"k" === 75L).select("payload").as[String].collect().toSeq
+    assert(rows == Seq("v75"))
+    // every present key is found through the pruned path (no false negatives)
+    val probes = Seq(1L, 50L, 51L, 100L, 101L, 150L)
+    probes.foreach { k =>
+      val got = t.readSnapshotPoint(spark, "k", k.toString).get
+        .where($"k" === k).count()
+      assert(got == 1L, s"bloom path lost key $k")
+    }
+    // an absent key may be skipped everywhere — the read is then empty
+    val (_, skAbsent) = t.pointSkippingAudit("k", "999999")
+    assert(skAbsent >= 2, "absent key should prune nearly every commit")
+    // bloom manifest codec round-trips
+    val m = TxParquetSink.Manifest(1, Seq("data/y"),
+      blooms = Map("k" -> TxParquetSink.BloomBits(8192, 6, "AAEC_w")))
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+  }
 }
