@@ -839,8 +839,48 @@ object EtlOracleSql {
        |SELECT store_id, n1, n2, gap AS ks_num,
        |       (1000000 * gap) // (n1 * n2) AS ks_ppm,
        |       v AS ks_at_cents
-       |FROM best WHERE r = 1
+       |FROM best WHERE r = 1 AND n1 > 0 AND n2 > 0
        |ORDER BY store_id""".stripMargin
+
+  /** Streaming-KS twin: each replay batch's prefix computed
+    * declaratively — same arm split, same day-range carve, same CDF
+    * arithmetic, one leg per prefix — so the incremental fold's state
+    * EVOLUTION is gated, not just its final answer. */
+  val streamKsDrift: String = {
+    val legs = (0 until graft.streaming.StreamKs.ReplayBatches).map { b =>
+      s"""SELECT CAST($b AS INT) AS batch, event_type, n1, n2, gap AS ks_num,
+         |  (1000000 * gap) // (n1 * n2) AS ks_ppm, v AS ks_at_cents
+         |FROM (
+         |  WITH rows_ AS (
+         |    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         |           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+         |    FROM events
+         |    WHERE (day(ts) - 1) // ${graft.streaming.StreamKs.BatchDays} <= $b
+         |  ),
+         |  counts AS (
+         |    SELECT event_type, v, CAST(sum(a) AS BIGINT) AS c1,
+         |           CAST(count(*) - sum(a) AS BIGINT) AS c2
+         |    FROM rows_ GROUP BY 1, 2
+         |  ),
+         |  cdf AS (
+         |    SELECT event_type, v,
+         |      CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+         |      CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+         |      CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+         |      CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+         |    FROM counts
+         |  )
+         |  SELECT event_type, n1, n2, abs(cum1 * n2 - cum2 * n1) AS gap, v,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY abs(cum1 * n2 - cum2 * n1) DESC, v ASC) AS r
+         |  FROM cdf
+         |  QUALIFY r = 1 AND n1 > 0 AND n2 > 0
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    legs + "\nORDER BY batch, event_type"
+  }
 
   /** Entity-match twin: identical blocking prefix and integer
     * Levenshtein threshold. */

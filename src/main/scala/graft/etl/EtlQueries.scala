@@ -790,29 +790,39 @@ object EtlQueries {
   /** Kernel of [[ksDrift]] over pre-extracted samples: one row per
     * observation with (store_id, v, a ∈ {1 = sample A, 0 = sample B}).
     * Spec-testable on planted distributions. */
-  private[graft] def ksDriftOf(rows: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = rows
+  private[graft] def ksDriftOf(rows: DataFrame): DataFrame =
+    ksFromCounts(rows
       .groupBy("store_id", "v")
-      .agg(sum("a").as("c1"), (count(lit(1)) - sum("a")).as("c2"))
-    val run = Window.partitionBy("store_id").orderBy("v")
+      .agg(sum("a").as("c1"), (count(lit(1)) - sum("a")).as("c2")), "store_id")
+
+  /** The KS arithmetic over a (key, v, c1, c2) COUNT SYNOPSIS — the
+    * form an incrementally-maintained monitor stores (counts are
+    * additive, so the synopsis folds exactly under streaming merges;
+    * [[graft.streaming.StreamKs]]). Groups with an EMPTY sample side
+    * are dropped (no distribution to compare — and the ppm division
+    * would be the loud ANSI zero-divide otherwise), stated identically
+    * in the twins. */
+  private[graft] def ksFromCounts(counts: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(keyCol).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy("store_id")
+    val all = Window.partitionBy(keyCol)
     counts
       .withColumn("cum1", sum("c1").over(run))
       .withColumn("cum2", sum("c2").over(run))
       .withColumn("n1", sum("c1").over(all))
       .withColumn("n2", sum("c2").over(all))
       .withColumn("gap", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
-      .groupBy("store_id")
+      .groupBy(keyCol)
       .agg(
         max("n1").as("n1"), max("n2").as("n2"),
         max(struct(col("gap").as("g"), (-col("v")).as("nv"))).as("best"))
-      .select(col("store_id"), col("n1"), col("n2"),
+      .where(col("n1") > 0 && col("n2") > 0)
+      .select(col(keyCol), col("n1"), col("n2"),
         col("best.g").as("ks_num"),
         expr("(1000000 * best.g) div (n1 * n2)").as("ks_ppm"),
         (-col("best.nv")).as("ks_at_cents"))
-      .orderBy("store_id")
+      .orderBy(keyCol)
   }
 
   /** RFM segmentation — the classic customer-mart operator: recency
@@ -2194,7 +2204,10 @@ object EtlQueries {
       t.appendWithStats(o.where(col("year") === y), Seq("year"),
         bloomCols = Seq("o_custkey"))
     }
-    t.readSnapshotPoint(spark, "o_custkey", TxProbeCustomer.toString).get
+    // a corpus without the probe key prunes EVERY commit (bloom
+    // absence proof) — the read is then legitimately empty, not an error
+    t.readSnapshotPoint(spark, "o_custkey", TxProbeCustomer.toString)
+      .getOrElse(o.limit(0))
       .where(col("o_custkey") === TxProbeCustomer)
       .select("o_orderkey", "year", "cents")
       .orderBy("o_orderkey")
