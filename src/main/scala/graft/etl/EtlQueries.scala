@@ -2172,6 +2172,35 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** The [[txSkippingRead]] round trip THROUGH a range-bucketed
+    * compaction ([[TxParquetSink.compactRanged]]): same year-per-commit
+    * ingestion, then the whole table is rewritten into month-range
+    * buckets with PER-FILE stats, and the same two-year range is
+    * answered through the post-compaction pruned path. Registered
+    * against the same declarative twin — the gate that per-file
+    * skipping over a compacted base loses no row, on real data every
+    * round (the bucket-pruning counts are pinned by the spec). */
+  def txSkippingCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txskipc").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")), Seq("month"))
+    }
+    t.compactRanged(spark, "month", numBuckets = 6)
+    t.readSnapshotRange(spark, "month", TxSkipLo, TxSkipHi).get
+      .where(col("month") >= TxSkipLo && col("month") <= TxSkipHi)
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Probe key for [[txPointLookup]], shared with the oracle twin: a
     * customer whose orders cluster in few calendar years (bloom
     * skipping's useful case — a minmax range can't prune a key lookup

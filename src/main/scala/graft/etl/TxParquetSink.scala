@@ -106,7 +106,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * multi-path scan, so the common tail (commits newer than every
     * overwrite) stays a single read. */
   private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)],
-      keepData: Manifest => Boolean = _ => true): Option[DataFrame] = {
+      keepFile: (Manifest, String) => Boolean = (_, _) => true): Option[DataFrame] = {
     import org.apache.spark.sql.functions.not
     if (cs.isEmpty) return None
     // per commit index i: the replace sets of commits AFTER i
@@ -117,12 +117,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val grouped = cs.zipWithIndex
       .groupBy { case (_, i) => replacesAfter(i) }
       .toSeq
-    // keepData prunes a commit's FILE READS only (stats-based data
-    // skipping) — its manifest stays in replacesAfter, so a pruned
-    // overwrite still masks earlier commits
+    // keepFile prunes FILE READS only (stats-based data skipping) —
+    // manifests stay in replacesAfter, so a pruned overwrite still
+    // masks earlier commits
     val frames = grouped.flatMap { case (drops, commits) =>
-      val paths = commits.map(_._1._2).filter(keepData)
-        .flatMap(_.files).map(f => root.resolve(f).toString)
+      val paths = commits.map(_._1._2)
+        .flatMap(m => m.files.filter(f => keepFile(m, f)))
+        .map(f => root.resolve(f).toString)
       if (paths.isEmpty) None
       else {
         // mergeSchema: commits may ADD columns over the table's life
@@ -223,7 +224,15 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def readSnapshotRange(spark: SparkSession, column: String,
       lo: String, hi: String): Option[DataFrame] =
     dataOf(spark, effective(commits()),
-      keepData = m => m.stats.get(column).forall(s => !rangeDisjoint(s, lo, hi)))
+      keepFile = (m, f) => rangeKeeps(m, f, column, lo, hi))
+
+  /** The per-file range rule: file-level stats ([[compactRanged]])
+    * take precedence, then commit-level stats, then conservative
+    * keep. */
+  private def rangeKeeps(m: Manifest, f: String, column: String,
+      lo: String, hi: String): Boolean =
+    m.fileStats.get(f).flatMap(_.get(column)).orElse(m.stats.get(column))
+      .forall(s => !rangeDisjoint(s, lo, hi))
 
   /** BLOOM-SKIPPING point read: the snapshot restricted to commits
     * whose bloom filter for `column` might contain `value` (in its
@@ -237,7 +246,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def readSnapshotPoint(spark: SparkSession, column: String,
       value: String): Option[DataFrame] =
     dataOf(spark, effective(commits()),
-      keepData = m => m.blooms.get(column).forall(b => mightContain(b, value)))
+      keepFile = (m, _) => m.blooms.get(column).forall(b => mightContain(b, value)))
 
   /** Bloom-skipping observability, the [[skippingAudit]] twin. */
   def pointSkippingAudit(column: String, value: String): (Int, Int) = {
@@ -254,8 +263,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def skippingAudit(column: String, lo: String, hi: String): (Int, Int) = {
     val ms = effective(commits()).map(_._2).filter(_.files.nonEmpty)
     val skipped = ms
-      .filter(m => m.stats.get(column).exists(s => rangeDisjoint(s, lo, hi)))
-      .map(_.files.size).sum
+      .map(m => m.files.count(f => !rangeKeeps(m, f, column, lo, hi))).sum
     (ms.map(_.files.size).sum, skipped)
   }
 
@@ -544,9 +552,15 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val orphans =
       if (!Files.isDirectory(dataDir)) Nil
       else {
-        val referenced =
-          commits().flatMap(_._2.files).map(f => root.resolve(f)).toSet
-        listDir(dataDir).filterNot(referenced.contains).filter(oldEnough)
+        // prefix-aware: a bucketed base ([[compactRanged]]) references
+        // SUBDIRECTORIES of its staged root — the root itself must
+        // count as referenced or the vacuum would delete live data
+        val referenced = commits().flatMap(_._2.files).toSet
+        def isReferenced(p: Path): Boolean = {
+          val rel = root.relativize(p).toString
+          referenced.contains(rel) || referenced.exists(_.startsWith(rel + "/"))
+        }
+        listDir(dataDir).filterNot(isReferenced).filter(oldEnough)
       }
     orphans.foreach(deleteRecursively)
     (orphans ++ tmps).map(_.toString)
@@ -600,6 +614,76 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         .sortWithinPartitions("__zk")
         .drop("__zk")
     }, beforePublish, maxAttempts)
+
+  /** RANGE-BUCKETED compaction — the maintenance pass that makes data
+    * skipping SURVIVE compaction: [[compact]]'s single base directory
+    * carries whole-table stats (useless for pruning — they span
+    * everything); this one range-partitions the snapshot on `column`
+    * into `numBuckets` directories and records PER-FILE min/max in the
+    * base manifest, so a [[readSnapshotRange]] after compaction prunes
+    * buckets exactly as it pruned the original commits — Delta's
+    * OPTIMIZE-preserves-stats behavior. Same optimistic protocol,
+    * races, and time travel as [[compact]]; the bucket column is
+    * synthetic (range-partition id) and never lands in the data. */
+  def compactRanged(spark: SparkSession, column: String,
+      numBuckets: Int = 8,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, min, max, count, lit, spark_partition_id}
+    import org.apache.spark.sql.types.NumericType
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts)
+        throw new IllegalStateException(
+          s"compactRanged: gave up after $maxAttempts publish attempts on $dir")
+      val snap = commits()
+      if (snap.isEmpty) return -1L
+      val df = dataOf(spark, effective(snap)).get.localCheckpoint(true)
+      val n = df.count()
+      // explicit bucket count: an unsized repartitionByRange gets
+      // AQE-coalesced and the bucketing evaporates (the zOrdered lesson)
+      val rel = "data/tx-" + java.util.UUID.randomUUID().toString
+      val stagedRoot = root.resolve(rel)
+      df.repartitionByRange(numBuckets, col(column))
+        .withColumn("__bucket", spark_partition_id())
+        .write.mode("error").partitionBy("__bucket").parquet(stagedRoot.toString)
+      // audit + per-bucket stats in one read-back pass (partition
+      // discovery restores __bucket)
+      val back = spark.read.parquet(stagedRoot.toString)
+      val statRows = back.groupBy("__bucket")
+        .agg(count(lit(1)).as("__n"),
+          min(col(column)).cast("string").as("__min"),
+          max(col(column)).cast("string").as("__max"))
+        .collect()
+      val audited = statRows.map(_.getAs[Long]("__n")).sum
+      if (audited != n) {
+        deleteRecursively(stagedRoot)
+        throw new IllegalStateException(
+          s"compactRanged stage audit failed: wrote $audited rows, expected $n")
+      }
+      val num = df.schema.fields.find(_.name == column)
+        .exists(_.dataType.isInstanceOf[NumericType])
+      val buckets = statRows.map(r => r.getAs[Any]("__bucket").toString)
+      val files = buckets.map(b => s"$rel/__bucket=$b").toSeq
+      val fileStats = statRows.flatMap { r =>
+        val (mn, mx) = (r.getAs[String]("__min"), r.getAs[String]("__max"))
+        if (mn == null || mx == null) None
+        else Some(s"$rel/__bucket=${r.getAs[Any]("__bucket")}" ->
+          Map(column -> ColStats(num, mn, mx)))
+      }.toMap
+      beforePublish()
+      if (!Files.isDirectory(stagedRoot))
+        throw new IllegalStateException(
+          s"compactRanged: staged directory $rel vanished before publish " +
+            "(vacuumed mid-commit?) — aborting")
+      if (tryPublish(snap.last._1 + 1,
+          Manifest(n, files, base = true, fileStats = fileStats)))
+        return snap.last._1 + 1
+      deleteRecursively(stagedRoot) // lost the race: stale by construction
+    }
+    -1L // unreachable
+  }
 
   private def compactWith(spark: SparkSession,
       layout: DataFrame => DataFrame,
@@ -662,7 +746,8 @@ object TxParquetSink {
       partitionCols: Seq[String] = Nil,
       replaceCols: Seq[String] = Nil, replaceKeys: Set[String] = Set.empty,
       stats: Map[String, ColStats] = Map.empty,
-      blooms: Map[String, BloomBits] = Map.empty)
+      blooms: Map[String, BloomBits] = Map.empty,
+      fileStats: Map[String, Map[String, ColStats]] = Map.empty)
 
   /** Per-commit BLOOM FILTER over a column's value set — the POINT
     * companion to [[ColStats]]'s range skipping (min/max can't help a
@@ -723,6 +808,11 @@ object TxParquetSink {
       } ++
       m.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
         s"bloom=${encodePartition(Seq(c, b.m.toString, b.k.toString, b.bits))}"
+      } ++
+      m.fileStats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, s) =>
+          s"fstat=${encodePartition(Seq(f, c, if (s.num) "n" else "s", s.min, s.max))}"
+        }
       }
       ).mkString("", "\n", "\n")
 
@@ -754,7 +844,15 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 4, s"malformed bloom line: $v")
         parts(0) -> BloomBits(parts(1).toInt, parts(2).toInt, parts(3))
-      }.toMap)
+      }.toMap,
+      kv.collect { case ("fstat", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 5, s"malformed fstat line: $v")
+        (parts(0), parts(1), ColStats(parts(2) == "n", parts(3), parts(4)))
+      }.groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> r._3).toMap
+      })
   }
 
   /** Canonical string for one partition tuple: URL-encoded values

@@ -678,4 +678,42 @@ class TxSinkSpec extends SparkSpec {
       blooms = Map("k" -> TxParquetSink.BloomBits(8192, 6, "AAEC_w")))
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
   }
+
+  test("ranged compaction: skipping survives the base rewrite; vacuum spares the bucketed root") {
+    val t = table()
+    val days = (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong))
+    days.grouped(10).foreach { g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day"))
+    }
+    val before = t.readSnapshot(spark).get
+      .select("day", "amount").as[(String, Long)].collect().sorted.toSeq
+    val baseV = t.compactRanged(spark, "day", numBuckets = 3)
+    assert(baseV == 3L)
+    // snapshot is bit-unchanged across the rewrite
+    val after = t.readSnapshot(spark).get
+      .select("day", "amount").as[(String, Long)].collect().sorted.toSeq
+    assert(after == before)
+    // the base's per-file stats prune buckets exactly as the original
+    // commits pruned: a narrow range skips 2 of 3 bucket dirs
+    val (total, skipped) = t.skippingAudit("day", "2024-01-12", "2024-01-14")
+    assert(total == 3 && skipped == 2,
+      s"post-compaction skipping: ($total, $skipped)")
+    val pruned = t.readSnapshotRange(spark, "day", "2024-01-12", "2024-01-14").get
+      .where($"day" >= "2024-01-12" && $"day" <= "2024-01-14")
+      .select("day").as[String].collect().sorted
+    assert(pruned.toSeq == Seq("2024-01-12", "2024-01-13", "2024-01-14"))
+    // buckets are genuinely disjoint day ranges (range partitioning)
+    val manifest = t.commits().last._2
+    assert(manifest.base && manifest.files.size == 3)
+    val ranges = manifest.files.map(f => manifest.fileStats(f)("day"))
+      .map(s => (s.min, s.max)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1); case _ => }
+    // vacuum (TTL 0) must NOT delete the bucketed base root — its
+    // manifest references subdirectories, not the root itself
+    t.vacuumOrphans(minAgeMs = 0L)
+    assert(t.readSnapshot(spark).get.count() == 30L,
+      "vacuum deleted live bucketed data")
+    // time travel to a pre-base version still reads the old commits
+    assert(t.readVersion(spark, 1L).get.count() == 20L)
+  }
 }
