@@ -624,7 +624,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * buckets exactly as it pruned the original commits — Delta's
     * OPTIMIZE-preserves-stats behavior. Same optimistic protocol,
     * races, and time travel as [[compact]]; the bucket column is
-    * synthetic (range-partition id) and never lands in the data. */
+    * synthetic (range-partition id) and never lands in the data.
+    * Scope note: BLOOM skipping does not survive compaction (blooms
+    * are commit-level; the base carries none, so point lookups
+    * conservatively read every bucket afterward) — a deployment that
+    * compacts a bloom-indexed table re-appends with
+    * [[appendWithStats]]' bloomCols or extends fileStats to per-file
+    * blooms; stated here rather than silently degraded. */
   def compactRanged(spark: SparkSession, column: String,
       numBuckets: Int = 8,
       beforePublish: () => Unit = () => (),

@@ -3720,6 +3720,38 @@ object ExtOracleSql {
        |    (n_docs * n_docs - pe_num) AS kappa_ppm
        |FROM tot, pe""".stripMargin
 
+  /** Calibration twin: the textStats and langId twins joined on
+    * doc_id, the identical floored/clamped ppm confidence, decile
+    * binning, and BIGINT floor-division diagram. */
+  val labelCalibration: String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM ($textStats)),
+       |p AS (SELECT doc_id, lang, pred_lang FROM ($langId)),
+       |pr AS (
+       |  SELECT greatest(0, least(1000000,
+       |           CAST(floor(1000000 * quality_score) AS BIGINT))) AS conf_ppm,
+       |         lang = pred_lang AS correct
+       |  FROM q JOIN p USING (doc_id)
+       |),
+       |bins AS (
+       |  SELECT CAST(least(9, conf_ppm // 100000) AS INT) AS bin,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(conf_ppm) AS BIGINT) AS sum_conf,
+       |         CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_correct
+       |  FROM pr GROUP BY 1
+       |),
+       |b2 AS (
+       |  SELECT bin, n,
+       |         sum_conf // n AS avg_conf_ppm,
+       |         (1000000 * n_correct) // n AS acc_ppm,
+       |         abs(sum_conf // n - (1000000 * n_correct) // n) AS gap_ppm
+       |  FROM bins
+       |),
+       |e AS (SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
+       |      FROM b2)
+       |SELECT bin, n, avg_conf_ppm, acc_ppm, gap_ppm, ece_ppm
+       |FROM b2, e ORDER BY bin""".stripMargin
+
   /** Filtered-ANN twin: same predicate-before-scoring semantics,
     * rn ≤ k per query within the label slice. */
   val simFiltered: String =

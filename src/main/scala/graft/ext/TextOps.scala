@@ -1051,6 +1051,50 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** CALIBRATION AUDIT — the reliability diagram + expected calibration
+    * error over (confidence, correct) pairs: bin predictions by
+    * confidence decile, compare each bin's mean confidence against its
+    * observed accuracy, and weight the gaps into one ECE number — the
+    * standard readout for "can this score be TRUSTED as a
+    * probability", which a curation pipeline must know before it
+    * thresholds on a classifier's score. Here the pair under audit is
+    * the corpus's own heuristics (quality score as the confidence
+    * proxy, langid correctness as the outcome); the KERNEL
+    * ([[calibrationOf]]) takes any (conf_ppm, correct) frame. All
+    * arithmetic is exact integer ppm — confidences are floored doubles
+    * (bit-identical cross-engine), bins/averages/ECE are BIGINT floor
+    * divisions — so the full diagram hash-matches the twin. One
+    * bounded 10-bin aggregate; the ECE combine is the 1-row broadcast
+    * scalar shape. */
+  def labelCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationOf(
+      withTextSignals(withPredLang(withWords(docs(spark, dir))))
+        .select(
+          expr("greatest(0L, least(1000000L, " +
+            "CAST(floor(1000000 * quality_score) AS BIGINT)))").as("conf_ppm"),
+          (col("lang") === col("pred_lang")).as("correct")))
+
+  /** Kernel of [[labelCalibration]] over any (conf_ppm ∈ [0, 10⁶],
+    * correct) frame — spec-testable on planted calibrations. */
+  private[graft] def calibrationOf(preds: DataFrame): DataFrame = {
+    val bins = preds
+      .withColumn("bin",
+        least(lit(9L), expr("conf_ppm div 100000")).cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("conf_ppm").as("sum_conf"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("avg_conf_ppm", expr("sum_conf div n"))
+      .withColumn("acc_ppm", expr("(1000000 * n_correct) div n"))
+      .withColumn("gap_ppm", abs(col("avg_conf_ppm") - col("acc_ppm")))
+    val ece = bins.agg(
+      expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"))
+    bins.crossJoin(broadcast(ece))
+      .select("bin", "n", "avg_conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm")
+      .orderBy("bin")
+  }
+
   /** COHEN'S KAPPA — chance-corrected agreement between the heuristic
     * language classifier ([[withPredLang]]) and the labeled `lang`
     * column, the one-number readout beside [[langConfusion]]'s cell

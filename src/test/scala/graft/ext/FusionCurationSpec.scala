@@ -30,6 +30,29 @@ class FusionCurationSpec extends SparkSpec {
     assert(r.getLong(4) < r.getLong(2), "kappa sits below raw agreement")
   }
 
+  test("calibration: perfect scores read zero ECE, inverted scores read the full gap") {
+    // perfectly calibrated: in each decile bin, accuracy == confidence
+    // (conf 250000 -> 1 of 4 correct; conf 750000 -> 3 of 4)
+    val calibrated =
+      (Seq.fill(1)((250000L, true)) ++ Seq.fill(3)((250000L, false)) ++
+        Seq.fill(3)((750000L, true)) ++ Seq.fill(1)((750000L, false)))
+        .toDF("conf_ppm", "correct")
+    val good = TextOps.calibrationOf(calibrated).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(good(2) == ((4L, 250000L, 250000L, 0L, 0L)))
+    assert(good(7) == ((4L, 750000L, 750000L, 0L, 0L)))
+    // anti-calibrated: fully confident and always wrong
+    val bad = TextOps.calibrationOf(
+        Seq.fill(5)((1000000L, false)).toDF("conf_ppm", "correct"))
+      .collect()
+    assert(bad.length == 1)
+    // conf 1e6 folds into bin 9 (least(9, .)), gap and ECE read the
+    // full 1e6 miscalibration
+    assert(bad(0).getInt(0) == 9 && bad(0).getLong(4) == 1000000L &&
+      bad(0).getLong(5) == 1000000L)
+  }
+
   test("rrf fusion equals the fold of its two input rankings") {
     val pool = SimilarityOps.RrfPool
     val exact = SimilarityOps.bruteForceTopK(spark, sfSmoke, pool, 8)
