@@ -98,7 +98,7 @@ object ScaleBench {
     // and its fused consumer
     "ext_text_bm25", "ext_sim_hybrid", "stream_bm25_index",
     "etl_tx_skipping", "etl_tx_point_lookup", "stream_ks_drift",
-    "etl_tx_skipping_compacted")
+    "etl_tx_skipping_compacted", "etl_tx_point_compacted")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2242,6 +2242,31 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The [[txPointLookup]] round trip THROUGH a range-bucketed
+    * compaction rebuilding PER-FILE customer blooms — the gate that
+    * point skipping also survives OPTIMIZE. Buckets range on `year`,
+    * blooms index `o_custkey`: orthogonal columns, so a bucket prunes
+    * iff the customer placed no order in its year range — exactly the
+    * lookup shape a years-deep compacted fact serves. Same declarative
+    * twin as the pre-compaction row. */
+  def txPointLookupCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(year(o_orderdate) AS INT)").as("year"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txpointc").toString + "/t")
+    t.append(o) // one plain commit; the compaction builds the index
+    t.compactRanged(spark, "year", numBuckets = 4,
+      bloomCols = Seq("o_custkey"))
+    t.readSnapshotPoint(spark, "o_custkey", TxProbeCustomer.toString)
+      .getOrElse(o.limit(0))
+      .where(col("o_custkey") === TxProbeCustomer)
+      .select("o_orderkey", "year", "cents")
+      .orderBy("o_orderkey")
+  }
+
   /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
     * columns). Shared with the oracle twin so the candidate list cannot
     * drift between engines. The lineitem candidates bracket the schema's

@@ -246,14 +246,20 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def readSnapshotPoint(spark: SparkSession, column: String,
       value: String): Option[DataFrame] =
     dataOf(spark, effective(commits()),
-      keepFile = (m, _) => m.blooms.get(column).forall(b => mightContain(b, value)))
+      keepFile = (m, f) => pointKeeps(m, f, column, value))
+
+  /** The per-file point rule: file-level blooms ([[compactRanged]])
+    * take precedence, then commit-level, then conservative keep. */
+  private def pointKeeps(m: Manifest, f: String, column: String,
+      value: String): Boolean =
+    m.fileBlooms.get(f).flatMap(_.get(column)).orElse(m.blooms.get(column))
+      .forall(b => mightContain(b, value))
 
   /** Bloom-skipping observability, the [[skippingAudit]] twin. */
   def pointSkippingAudit(column: String, value: String): (Int, Int) = {
     val ms = effective(commits()).map(_._2).filter(_.files.nonEmpty)
     val skipped = ms
-      .filter(m => m.blooms.get(column).exists(b => !mightContain(b, value)))
-      .map(_.files.size).sum
+      .map(m => m.files.count(f => !pointKeeps(m, f, column, value))).sum
     (ms.map(_.files.size).sum, skipped)
   }
 
@@ -625,17 +631,16 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * OPTIMIZE-preserves-stats behavior. Same optimistic protocol,
     * races, and time travel as [[compact]]; the bucket column is
     * synthetic (range-partition id) and never lands in the data.
-    * Scope note: BLOOM skipping does not survive compaction (blooms
-    * are commit-level; the base carries none, so point lookups
-    * conservatively read every bucket afterward) — a deployment that
-    * compacts a bloom-indexed table re-appends with
-    * [[appendWithStats]]' bloomCols or extends fileStats to per-file
-    * blooms; stated here rather than silently degraded. */
+    * `bloomCols` rebuilds PER-FILE bloom filters for the base's
+    * buckets (one distinct-positions aggregate grouped by bucket —
+    * ≤ buckets·m ints reach the driver), so POINT skipping survives
+    * the compaction too. */
   def compactRanged(spark: SparkSession, column: String,
       numBuckets: Int = 8,
+      bloomCols: Seq[String] = Nil,
       beforePublish: () => Unit = () => (),
       maxAttempts: Int = 20): Long = {
-    import org.apache.spark.sql.functions.{col, min, max, count, lit, spark_partition_id}
+    import org.apache.spark.sql.functions.{col, min, max, count, lit, spark_partition_id, explode, array, pmod, concat}
     import org.apache.spark.sql.types.NumericType
     var attempts = 0
     while (true) {
@@ -678,13 +683,35 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         else Some(s"$rel/__bucket=${r.getAs[Any]("__bucket")}" ->
           Map(column -> ColStats(num, mn, mx)))
       }.toMap
+      // per-bucket blooms: distinct (bucket, position) pairs —
+      // ≤ buckets·BloomM ints to the driver
+      val fileBlooms = bloomCols.flatMap { c =>
+        back.where(col(c).isNotNull)
+          .select(col("__bucket"),
+            explode(array((0 until BloomK).map(i =>
+              pmod(graft.ext.TextOps.h32(
+                concat(lit(s"bloom$i:"), col(c).cast("string"))), lit(BloomM))
+                .cast("int")): _*)).as("p"))
+          .distinct().collect()
+          .groupBy(_.getAs[Any]("__bucket").toString)
+          .map { case (b, rows) =>
+            val bs = new java.util.BitSet(BloomM)
+            rows.foreach(r => bs.set(r.getAs[Int]("p")))
+            (s"$rel/__bucket=$b", c, BloomBits(BloomM, BloomK,
+              java.util.Base64.getUrlEncoder.withoutPadding
+                .encodeToString(bs.toByteArray)))
+          }
+      }.groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> r._3).toMap
+      }
       beforePublish()
       if (!Files.isDirectory(stagedRoot))
         throw new IllegalStateException(
           s"compactRanged: staged directory $rel vanished before publish " +
             "(vacuumed mid-commit?) — aborting")
       if (tryPublish(snap.last._1 + 1,
-          Manifest(n, files, base = true, fileStats = fileStats)))
+          Manifest(n, files, base = true, fileStats = fileStats,
+            fileBlooms = fileBlooms)))
         return snap.last._1 + 1
       deleteRecursively(stagedRoot) // lost the race: stale by construction
     }
@@ -753,7 +780,8 @@ object TxParquetSink {
       replaceCols: Seq[String] = Nil, replaceKeys: Set[String] = Set.empty,
       stats: Map[String, ColStats] = Map.empty,
       blooms: Map[String, BloomBits] = Map.empty,
-      fileStats: Map[String, Map[String, ColStats]] = Map.empty)
+      fileStats: Map[String, Map[String, ColStats]] = Map.empty,
+      fileBlooms: Map[String, Map[String, BloomBits]] = Map.empty)
 
   /** Per-commit BLOOM FILTER over a column's value set — the POINT
     * companion to [[ColStats]]'s range skipping (min/max can't help a
@@ -819,6 +847,11 @@ object TxParquetSink {
         cols.toSeq.sortBy(_._1).map { case (c, s) =>
           s"fstat=${encodePartition(Seq(f, c, if (s.num) "n" else "s", s.min, s.max))}"
         }
+      } ++
+      m.fileBlooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, b) =>
+          s"fbloom=${encodePartition(Seq(f, c, b.m.toString, b.k.toString, b.bits))}"
+        }
       }
       ).mkString("", "\n", "\n")
 
@@ -856,6 +889,14 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 5, s"malformed fstat line: $v")
         (parts(0), parts(1), ColStats(parts(2) == "n", parts(3), parts(4)))
+      }.groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> r._3).toMap
+      },
+      kv.collect { case ("fbloom", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 5, s"malformed fbloom line: $v")
+        (parts(0), parts(1), BloomBits(parts(2).toInt, parts(3).toInt, parts(4)))
       }.groupBy(_._1).map { case (f, rows) =>
         f -> rows.map(r => r._2 -> r._3).toMap
       })

@@ -716,4 +716,26 @@ class TxSinkSpec extends SparkSpec {
     // time travel to a pre-base version still reads the old commits
     assert(t.readVersion(spark, 1L).get.count() == 20L)
   }
+
+  test("ranged compaction rebuilds per-file blooms: point skipping survives OPTIMIZE") {
+    val t = table()
+    // keys cluster by range: compaction on k gives each bucket a
+    // disjoint key population, so per-bucket blooms genuinely prune
+    t.appendWithStats((1L to 90L).map(k => (k, s"v$k")).toDF("k", "payload"),
+      Nil, bloomCols = Seq("k"))
+    t.compactRanged(spark, "k", numBuckets = 3, bloomCols = Seq("k"))
+    val (total, skipped) = t.pointSkippingAudit("k", "45")
+    assert(total == 3 && skipped >= 1,
+      s"post-compaction bloom never fired: ($total, $skipped)")
+    // no false negatives through the compacted bloom path
+    Seq(1L, 45L, 90L).foreach { k =>
+      val got = t.readSnapshotPoint(spark, "k", k.toString).get
+        .where($"k" === k).count()
+      assert(got == 1L, s"compacted bloom path lost key $k")
+    }
+    // file-level blooms round-trip the codec
+    val m = t.commits().last._2
+    assert(m.base && m.fileBlooms.nonEmpty)
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+  }
 }
