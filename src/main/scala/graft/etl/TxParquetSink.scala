@@ -83,7 +83,9 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * ([[Reconcile.snapshotDiff]]) can re-read the exact pre-restatement
     * state instead of trusting a saved copy. `vacuumOrphans` never
     * touches committed directories, so history stays readable until a
-    * (deliberate, not implemented) log truncation. */
+    * deliberate [[truncateHistory]] pass forgets the pre-base prefix —
+    * after which `readVersion` below the truncation horizon sees only
+    * the post-base view of that prefix, i.e. returns None. */
   def readVersion(spark: SparkSession, asOf: Long): Option[DataFrame] =
     dataOf(spark, effective(commits().takeWhile(_._1 <= asOf)))
 
@@ -184,8 +186,9 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
       statsCols.zipWithIndex.flatMap { case (c, i) =>
         val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
-        if (mn == null || mx == null) None
-        else Some(c -> ColStats(numeric.getOrElse(c, false), mn, mx))
+        val num = numeric.getOrElse(c, false)
+        if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
+        else Some(c -> ColStats(num, mn, mx))
       }.toMap
     }
     // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
@@ -347,9 +350,20 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             partitionCols = partitionCols)))
         return n
 
-      // Lost the race: some other writer committed first.
+      // Lost the race: some other writer committed first. The delta is
+      // computed BY VERSION, never by position: a concurrent
+      // [[truncateHistory]] can delete pre-base manifests between our
+      // snapshot and this retry, shrinking `commits()` so that a
+      // positional drop(snap.size) would hide the interleaved commit
+      // inside the vanished prefix and skip the key re-filter. Version
+      // numbers are monotone and never reused, so filtering on
+      // version > last-seen is immune to log truncation: a truncated
+      // interleaved commit is covered by the surviving base (a full
+      // rewrite containing its rows), which itself has a newer version
+      // and lands in the delta.
       val now = commits()
-      val delta = now.drop(snap.size)
+      val lastSeen = snap.lastOption.map(_._1).getOrElse(-1L)
+      val delta = now.filter { case (v, _) => v > lastSeen }
       snap = now
       // Partition-scoped fast path: if this commit and every
       // interleaved commit declared partition sets, none is a base
@@ -402,8 +416,12 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   private def touchedPartitions(df: DataFrame,
       partitionCols: Seq[String]): Set[Seq[String]] = {
     import org.apache.spark.sql.functions.col
+    // SQL NULL survives as Scala null (NOT the string "null") so the
+    // encoders can keep a NULL partition value distinct from a row
+    // whose partition value is the literal string "null".
     df.select(partitionCols.map(col): _*).distinct().collect()
-      .map(r => partitionCols.indices.map(i => String.valueOf(r.get(i))))
+      .map(r => partitionCols.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i).toString))
       .toSet
   }
 
@@ -481,9 +499,20 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   }
 
   /** The single atomicity primitive: publish manifest `m` as version `v`
-    * iff no commit at `v` exists. Hard-link creation is atomic
-    * create-if-absent on POSIX; a swap target for object stores. */
+    * iff no commit at `v` exists AND `v` is beyond the current tip.
+    * Hard-link creation is atomic create-if-absent on POSIX; a swap
+    * target for object stores. The tip guard exists because
+    * [[truncateHistory]] deletes pre-base manifest FILES, freeing
+    * their names: a stale writer could otherwise re-publish at a
+    * truncated version and commit a manifest `effective()` never
+    * resolves (an invisible commit = silently lost rows). The check
+    * is race-free: the tip never decreases (truncation always keeps
+    * the newest base), and versions are allocated contiguously, so a
+    * name above the tip at check time can only be taken by an
+    * interleaved commit at exactly `v` — which the link then loses
+    * to, as intended. */
   private def tryPublish(v: Long, m: Manifest): Boolean = {
+    if (v <= version()) return false
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, ".stage-", ".txn.tmp")
     try {
@@ -524,10 +553,12 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * the deleted paths (manifests + data dirs). OPERATIONAL contract
     * (the Delta VACUUM discipline): run from a maintenance window, not
     * concurrently with writers — a writer holding a pre-truncation
-    * snapshot can still publish safely (version numbers are never
-    * reused), but its delta-conflict window would span commits the
-    * truncation removed, so it conservatively re-filters against an
-    * empty delta; quiesce writers to avoid paying that. */
+    * snapshot can still publish safely: [[mergeUpsert]]'s conflict
+    * delta is computed by VERSION (never by log position), so commits
+    * the truncation hid are covered by the surviving base (a full
+    * rewrite containing their rows, at a newer version), and the
+    * writer's key re-filter runs against that base — sound but
+    * whole-table-conservative; quiesce writers to avoid paying it. */
   def truncateHistory(): Seq[String] = {
     val cs = commits()
     val baseIdx = cs.lastIndexWhere(_._2.base)
@@ -679,7 +710,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       val files = buckets.map(b => s"$rel/__bucket=$b").toSeq
       val fileStats = statRows.flatMap { r =>
         val (mn, mx) = (r.getAs[String]("__min"), r.getAs[String]("__max"))
-        if (mn == null || mx == null) None
+        if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
         else Some(s"$rel/__bucket=${r.getAs[Any]("__bucket")}" ->
           Map(column -> ColStats(num, mn, mx)))
       }.toMap
@@ -904,30 +935,45 @@ object TxParquetSink {
 
   /** Canonical string for one partition tuple: URL-encoded values
     * joined by '/', so values containing the separator, '=' or
-    * newlines cannot forge a different tuple or break the line codec. */
+    * newlines cannot forge a different tuple or break the line codec.
+    * A SQL NULL value (Scala null) encodes as "%N" — URL encoding
+    * always escapes '%' to "%25", so no real string can collide with
+    * it and NULL stays distinct from the literal string "null". */
   private[etl] def encodePartition(values: Seq[String]): String =
     values.map(v =>
-      java.net.URLEncoder.encode(v, UTF_8.name())).mkString("/")
+      if (v == null) "%N"
+      else java.net.URLEncoder.encode(v, UTF_8.name())).mkString("/")
 
   /** The -separated tuple key used by the OVERWRITE read filter —
     * a second encoding of the same tuples because this one must be
     * reproducible as a COLUMN EXPRESSION inside the scan
     * ([[sepKeyExpr]]: regexp_replace chains — URL-encoding is not
     * expressible there). '%'→'%25' and the separator→'%01' make it
-    * collision-free; a null partition value prints "null" on both
-    * sides (String.valueOf vs coalesce). */
+    * collision-free, INCLUDING for NULL: a SQL NULL value encodes as
+    * "null", while a value that IS the literal string "null" escapes
+    * to "%6Eull" (applied after '%'-escaping, so a genuine "%6Eull"
+    * value becomes "%256Eull") — overwriting the NULL partition can
+    * never also logically delete the "null"-string partition, or
+    * vice versa. */
   private[etl] val SepChar = "\u0001"
   private[etl] def sepEncode(values: Seq[String]): String =
-    values.map(v => v.replace("%", "%25").replace(SepChar, "%01"))
-      .mkString(SepChar)
+    values.map { v =>
+      if (v == null) "null"
+      else {
+        val esc = v.replace("%", "%25").replace(SepChar, "%01")
+        if (esc == "null") "%6Eull" else esc
+      }
+    }.mkString(SepChar)
 
   /** [[sepEncode]] as an expression over the partition columns. */
   private[etl] def sepKeyExpr(cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    concat_ws(SepChar, cols.map(c =>
-      regexp_replace(
-        regexp_replace(coalesce(col(c).cast("string"), lit("null")), "%", "%25"),
-        SepChar, "%01")): _*)
+    concat_ws(SepChar, cols.map { c =>
+      val esc = regexp_replace(
+        regexp_replace(col(c).cast("string"), "%", "%25"), SepChar, "%01")
+      when(col(c).isNull, lit("null"))
+        .otherwise(when(esc === lit("null"), lit("%6Eull")).otherwise(esc))
+    }: _*)
   }
 
   /** The drop-exclusion predicate for one replace set. Single-column
@@ -953,10 +999,26 @@ object TxParquetSink {
   }
 
   /** True iff the commit's [min, max] cannot intersect [lo, hi] —
-    * the only case data skipping may drop its files. */
+    * the only case data skipping may drop its files. Unparseable
+    * numeric stats (a float column's min/max can be "NaN"/"Infinity" —
+    * Spark propagates NaN through min/max) NEVER throw at read time:
+    * they fall back to conservative keep, honoring the superset
+    * contract for manifests written before the write-side
+    * [[finiteNumeric]] filter existed. */
   private[etl] def rangeDisjoint(s: ColStats, lo: String, hi: String): Boolean =
-    if (s.num) BigDecimal(s.max) < BigDecimal(lo) || BigDecimal(s.min) > BigDecimal(hi)
+    if (s.num)
+      (try BigDecimal(s.max) < BigDecimal(lo) || BigDecimal(s.min) > BigDecimal(hi)
+       catch { case _: NumberFormatException => false })
     else s.max < lo || s.min > hi
+
+  /** Write-side stats admission rule for numeric columns: record only
+    * min/max that parse as finite decimals. A NaN/±Infinity extremum
+    * (floats) would otherwise poison every later range read with a
+    * NumberFormatException; skipping the entry is the conservative
+    * always-read posture the contract already allows. */
+  private[etl] def finiteNumeric(num: Boolean, mn: String, mx: String): Boolean =
+    !num || (try { BigDecimal(mn); BigDecimal(mx); true }
+             catch { case _: NumberFormatException => false })
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -95,13 +95,40 @@ object StreamBm25 {
       .groupBy("term").agg(sum("df_delta").as("df"))
 
   /** Read-optimize the df delta log back to one row per term (the
-    * log-structured index's compaction). Rewrite via a temp dir so a
-    * concurrent reader never sees an empty store. */
+    * log-structured index's compaction). The fold lands in a fresh
+    * temp dir, then replaces the store via two directory RENAMES
+    * (metadata-only, same filesystem) — so a concurrent reader can
+    * never observe the partially-written parquet an in-place
+    * mode("overwrite") (delete-then-write) would expose. The swap is
+    * two renames, not one, so a reader racing the microsecond window
+    * BETWEEN them can still see the path briefly absent — callers
+    * that compact concurrently with readers retry on path-not-found
+    * (a true single-rename swap needs a versioned-pointer layout,
+    * [[graft.etl.TxParquetSink]]'s job, not a df side-file's). Both
+    * scratch dirs are removed afterwards — compaction leaves no
+    * orphans behind. */
   def compactDf(spark: SparkSession, store: IndexStore): Unit = {
-    val tmp = store.dfDir + ".compact"
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = store.dfDir + ".compact-" + java.util.UUID.randomUUID()
+    val trash = store.dfDir + ".old-" + java.util.UUID.randomUUID()
     dfOf(spark, store).withColumnRenamed("df", "df_delta")
-      .write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(store.dfDir)
+      .write.mode("error").parquet(tmp)
+    Files.move(Paths.get(store.dfDir), Paths.get(trash),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(store.dfDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteDir(trash)
+  }
+
+  private def deleteDir(d: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(d)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      val all = try s.iterator.asScala.toSeq finally s.close()
+      all.reverseIterator.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Drop orphan/duplicate posting+df rows left by a crash between the

@@ -738,4 +738,89 @@ class TxSinkSpec extends SparkSpec {
     assert(m.base && m.fileBlooms.nonEmpty)
     assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
   }
+
+  // ---- round-9 regressions ------------------------------------------
+
+  test("merge delta is computed by version: truncation mid-retry cannot hide a conflict") {
+    // Writer A stages {B, D} against a snapshot of {A}. Inside A's
+    // commit window, writer B lands {B, C}, the log is COMPACTED, and
+    // truncateHistory deletes the pre-base manifests — so A's retry
+    // sees a SHORTER commit list than its snapshot. A positional
+    // delta (drop(snap.size)) would come up empty, skip the key
+    // re-filter, and commit a duplicate B; the version-based delta
+    // must still catch the conflict via the surviving base commit.
+    val t = table()
+    t.mergeUpsert(spark, batch("A" -> "a0"), keys, order)
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      assert(t.mergeUpsert(spark, batch("B" -> "fromB", "C" -> "fromB"), keys, order) == 2)
+      assert(t.compact(spark) >= 0)
+      assert(t.truncateHistory().nonEmpty, "truncation must actually shrink the log")
+    }
+    val nA = t.mergeUpsert(spark, batch("B" -> "fromA", "D" -> "fromA"),
+      keys, order, beforePublish = interleaved)
+    assert(nA == 1, "writer A must insert only the non-conflicting key D")
+    assert(keySet(t) == Seq("A", "B", "C", "D"))
+    val bVal = t.readSnapshot(spark).get.where($"product_id" === "B")
+      .select("product_name").as[String].collect().toSeq
+    assert(bVal == Seq("fromB"),
+      "truncation between snapshot and retry must not let the loser duplicate B")
+  }
+
+  test("overwrite of the NULL partition never deletes the \"null\"-string partition") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = table()
+    t.append(Seq((Option.empty[String], "P1", "isNull"),
+        (Some("null"), "P2", "isNullString"),
+        (Some("x"), "P3", "plain"))
+      .toDF("day", "product_id", "product_name"))
+    // replace ONLY the NULL partition
+    val n = t.overwritePartitions(spark,
+      Seq((Option.empty[String], "P9", "newNull")).toDF("day", "product_id", "product_name"),
+      Seq("day"))
+    assert(n == 1)
+    val after = t.readSnapshot(spark).get
+    assert(after.count() == 3L)
+    assert(after.where(col("product_id") === "P1").isEmpty, "NULL partition replaced")
+    assert(after.where(col("product_id") === "P2").count() == 1L,
+      "the literal-string \"null\" partition must survive a NULL overwrite")
+    assert(after.where(col("day").isNull).select("product_name")
+      .as[String].collect().toSeq == Seq("newNull"))
+    // and the mirror image: replacing the "null"-string partition
+    // leaves the (new) NULL rows alone
+    t.overwritePartitions(spark,
+      Seq((Some("null"), "P8", "newNullString")).toDF("day", "product_id", "product_name"),
+      Seq("day"))
+    val after2 = t.readSnapshot(spark).get
+    assert(after2.count() == 3L)
+    assert(after2.where(col("product_id") === "P2").isEmpty)
+    assert(after2.where(col("day").isNull).count() == 1L,
+      "NULL rows must survive a \"null\"-string overwrite")
+    assert(after2.where(col("product_id") === "P8").count() == 1L)
+  }
+
+  test("NaN/Infinity float stats never poison range reads") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // a float column whose min/max propagate NaN: the stats entry must
+    // be skipped at write time, and the range read must stay correct
+    t.appendWithStats(
+      Seq(("2024-01-01", Double.NaN), ("2024-01-02", 2.5))
+        .toDF("day", "score"), Seq("day", "score"))
+    t.appendWithStats(
+      Seq(("2024-02-01", Double.PositiveInfinity), ("2024-02-02", 7.0))
+        .toDF("day", "score"), Seq("day", "score"))
+    // no throw, superset contract intact
+    val r = t.readSnapshotRange(spark, "score", "2", "8").get
+    assert(r.count() == 4L, "non-finite stats must mean conservative keep, not a skip")
+    // the day column's (clean, string) stats still prune as before
+    val (total, skipped) = t.skippingAudit("day", "2024-02-01", "2024-02-28")
+    assert(total == 2 && skipped == 1)
+    // a legacy manifest that DID record "NaN" stats: conservative keep, no throw
+    assert(!TxParquetSink.rangeDisjoint(
+      TxParquetSink.ColStats(num = true, "NaN", "NaN"), "1", "2"))
+    assert(!TxParquetSink.rangeDisjoint(
+      TxParquetSink.ColStats(num = true, "-Infinity", "Infinity"), "1", "2"))
+  }
 }

@@ -67,6 +67,14 @@ class StreamBm25Spec extends SparkSpec {
     assert(afterCompact.toSeq == batch.toSeq)
     val dfRows = spark.read.parquet(store.dfDir).groupBy("term").count()
     assert(dfRows.where(col("count") > 1).isEmpty, "compaction left delta rows")
+    // the rename-swap leaves no scratch directories behind
+    val parent = java.nio.file.Paths.get(store.dfDir).getParent
+    val leftovers = java.nio.file.Files.list(parent).iterator()
+    while (leftovers.hasNext) {
+      val p = leftovers.next().getFileName.toString
+      assert(!p.contains(".compact") && !p.contains(".old"),
+        s"compactDf left scratch dir $p")
+    }
   }
 
   test("repair heals orphan postings from a crash before the registry append") {
