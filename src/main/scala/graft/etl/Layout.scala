@@ -77,10 +77,20 @@ object Layout {
     * existing splits together without rebalancing — skewed input files
     * stay skewed; the shuffle buys evenly-sized output files, which is
     * the point of the exercise. */
-  /** Target partition count and deterministic sample modulus for
-    * [[rangeBounds]] — shared with the oracle twin. */
+  /** Target partition count and BOUNDED sample size for
+    * [[rangeBounds]] — shared with the oracle twin. The sample
+    * modulus is DERIVED from the table's row count
+    * (`max(1, n div RangeSampleTarget)`), so the sample the driver
+    * sorts holds ≈ [[RangeSampleTarget]]..2·RangeSampleTarget keys at
+    * ANY table size — a fixed-rate sample (the previous 1/16 rule)
+    * grows linearly with the data and turns the single-row sorted
+    * array into a heap cliff at 100×. Deterministic (a pure function
+    * of n and the row key), so the DuckDB twin reproduces the exact
+    * same sample — the [[graft.ext.VectorOps]] KnnEvalQueryCap
+    * precedent. 128 sample keys per cut point at P=32 keeps the
+    * boundary rank error ≪ one bucket. */
   val RangeP = 32
-  val RangeSampleMod = 16
+  val RangeSampleTarget = 4096L
 
   /** Equi-depth RANGE-PARTITION boundaries — the third layout lever
     * beside directory partitioning and bucketing: what Spark's own
@@ -89,28 +99,32 @@ object Layout {
     * to find 31 cut points would cost the very shuffle the boundaries
     * exist to plan), but where RangePartitioner samples randomly —
     * unreproducible, so untestable — this uses the salted-hash keep
-    * rule (1/[[RangeSampleMod]] of rows, a pure function of the row
-    * key), making boundary j exactly the sample's (j·m div P)-th order
-    * statistic in BOTH engines. The report then audits the boundaries
-    * against the FULL table: per-bucket row counts and the skew ratio
-    * vs the ideal n/P — ties on the key (many rows share a ship day)
+    * rule (1/mod of rows, mod = max(1, n div [[RangeSampleTarget]]),
+    * a pure function of the row count and the row key), making
+    * boundary j exactly the sample's (j·m div P)-th order statistic
+    * in BOTH engines. The report then audits the boundaries against
+    * the FULL table: per-bucket row counts and the skew ratio vs the
+    * ideal n/P — ties on the key (many rows share a ship day)
     * surface as visible imbalance, exactly the skew a real range
     * shuffle would suffer, instead of hiding inside a partitioner.
     *
-    * Scale: the sample is the only sorted thing (m ≈ n/16 here;
-    * production would cap it — the machinery is rate-independent), the
-    * audit is one scan with a 31-entry broadcast fold per row, and the
-    * output is P rows. */
+    * Scale: the sample is the only sorted thing, and the
+    * count-derived modulus BOUNDS it at ≈ RangeSampleTarget keys
+    * whatever the table size (one extra count() pass buys a sorted
+    * array that can never outgrow the driver); the audit is one scan
+    * with a 31-entry broadcast fold per row, and the output is P
+    * rows. */
   def rangeBounds(spark: SparkSession, dir: String): DataFrame = {
     val li = Star.table(spark, dir, "lineitem")
       .select(
         expr("datediff(l_shipdate, DATE '1970-01-01')").cast("long").as("key"),
         col("l_orderkey"), col("l_linenumber"))
+    val mod = math.max(1L, li.count() / RangeSampleTarget)
     val sampled = li.where(
       pmod(graft.ext.TextOps.h32(concat(
         lit("rb:"), col("l_orderkey").cast("string"),
         lit(":"), col("l_linenumber").cast("string"))),
-        lit(RangeSampleMod)) === 0)
+        lit(mod)) === 0)
     val bounds = sampled.agg(sort_array(collect_list("key")).as("ss"))
       .select(
         expr(s"transform(sequence(1, ${RangeP - 1}), j -> element_at(ss, " +

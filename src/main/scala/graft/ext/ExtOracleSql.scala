@@ -1285,18 +1285,19 @@ object ExtOracleSql {
     * bucket fold and skew expression. */
   lazy val rangeBounds: String = {
     val p = graft.etl.Layout.RangeP
-    val mod = graft.etl.Layout.RangeSampleMod
+    val tgt = graft.etl.Layout.RangeSampleTarget
     s"""WITH li AS (
        |  SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS key,
        |         l_orderkey, l_linenumber
        |  FROM lineitem
        |),
+       |modv AS (SELECT greatest(1, count(*) // $tgt) AS m FROM li),
        |sampled AS (
        |  SELECT key FROM (
        |    SELECT key, ${h32("'rb:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
                   "CAST(l_linenumber AS VARCHAR)", "rb")} AS h
        |    FROM li
-       |  ) WHERE h % $mod = 0
+       |  ) WHERE h % (SELECT m FROM modv) = 0
        |),
        |bo AS (
        |  SELECT list_transform(range(1, $p),
@@ -3210,6 +3211,83 @@ object ExtOracleSql {
        |  FROM hfused)
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** ANN-served hybrid twin: the dense leg drawn through the √n-cell
+    * trained router ([[scaledCellsCte]], crank ≤ MiningNProbe probes —
+    * [[VectorOps.cellCandidates]] mirrored exactly), both leg sides
+    * restricted to document-backed vectors, then the identical bounded
+    * re-rank, BM25 lexical leg, and RRF integer fusion as
+    * [[simHybrid]]. */
+  val simHybridAnn: String = {
+    val kD = SimilarityOps.RrfDampK
+    val sc = SimilarityOps.RrfScale
+    val pool = SimilarityOps.RrfPool
+    val k = SimilarityOps.RrfTopK
+    s"""WITH $scaledCellsCte,
+       |ascored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "ha")} / (q.norm * c.norm) AS cos
+       |  FROM cells q
+       |  JOIN cr p ON p.vec_id = q.vec_id AND p.crank <= ${VectorOps.MiningNProbe}
+       |  JOIN cells c ON c.cell = p.cent_id AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8
+       |    AND q.vec_id IN (SELECT doc_id FROM documents)
+       |    AND c.vec_id IN (SELECT doc_id FROM documents)
+       |),
+       |adense AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM ascored) WHERE rank <= $pool
+       |),
+       |alex AS (
+       |  SELECT query_id, doc_id AS neighbor_id, rank
+       |  FROM (${bm25Sql(pool, 8)})
+       |),
+       |afused AS (
+       |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+       |         COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+       |         CAST(d.rank AS INT) AS rank_dense,
+       |         CAST(l.rank AS INT) AS rank_lex,
+       |         CAST(COALESCE($sc // ($kD + d.rank), 0) +
+       |              COALESCE($sc // ($kD + l.rank), 0) AS BIGINT) AS rrf_score
+       |  FROM adense d FULL OUTER JOIN alex l
+       |    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score,
+       |       rank_dense, rank_lex
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+       |  FROM afused)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Fused-list agreement twin: the exact and ANN-served hybrid twins
+    * composed as subqueries, one (query, neighbor) left join, count
+    * the overlap — [[simRecall]]'s shape applied to fusion output. */
+  val simHybridAnnAgree: String = {
+    val k = SimilarityOps.RrfTopK
+    s"""WITH hex AS (
+       |  SELECT query_id, neighbor_id FROM ($simHybrid)
+       |),
+       |hann AS (
+       |  SELECT query_id, neighbor_id FROM ($simHybridAnn)
+       |),
+       |hhits AS (
+       |  SELECT e.query_id, count(a.neighbor_id) AS n_hits
+       |  FROM hex e
+       |  LEFT JOIN hann a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id
+       |)
+       |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(n_hits AS DOUBLE) / $k AS agree_at_$k
+       |FROM hhits
+       |ORDER BY query_id""".stripMargin
   }
 
   /** Bigram-LM score twin: identical add-one ppm quantization

@@ -230,6 +230,55 @@ object SimilarityOps {
     rrfOf(dense, "rank_dense", lexical, "rank_lex", k)
   }
 
+  /** [[hybridFusion]] with the dense leg served FROM THE ANN INDEX —
+    * the production spelling: at 100 TB the exact dense leg is a full
+    * corpus scan per query panel, which is exactly what the trained
+    * √n-cell router exists to avoid. Candidates come through
+    * [[VectorOps.cellCandidates]] (the calibrated
+    * [[VectorOps.MiningNProbe]]-probe retrieval stage shared with
+    * hard-negative mining — nProbe·√n exact-cosine candidates per
+    * query, never the corpus), restricted to document-backed vectors
+    * on BOTH sides so the two legs rank the same candidate universe,
+    * then the same bounded top-`pool` re-rank and the identical RRF
+    * integer fusion. [[hybridFusion]] stays registered as the exact
+    * recall control; [[hybridAnnAgreement]] measures how much fused
+    * output the index serving actually changes. */
+  def hybridFusionAnn(spark: SparkSession, dir: String, k: Int = RrfTopK,
+      pool: Int = RrfPool, nQueries: Int = 8,
+      nProbe: Int = VectorOps.MiningNProbe): DataFrame = {
+    val docIds = TextOps.docs(spark, dir).select(col("doc_id"))
+    val cands = VectorOps.cellCandidates(spark, dir, nQueries, nProbe)
+      .join(broadcast(docIds), col("neighbor_id") === col("doc_id"), "left_semi")
+      .join(broadcast(docIds), col("query_id") === col("doc_id"), "left_semi")
+    val dense = topKPerGroup(cands, col("query_id"), Seq.empty,
+      col("cos"), col("neighbor_id"), pool)
+    val lexical = TextOps.bm25TopK(spark, dir, pool, nQueries)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    rrfOf(dense, "rank_dense", lexical, "rank_lex", k)
+  }
+
+  /** Fused-list agreement of the ANN-served hybrid against the exact
+    * spelling — the measurement that licenses serving the dense leg
+    * from the index: per query, how many of the exact hybrid's fused
+    * top-k the ANN-backed hybrid also returns. Both sides are
+    * oracle-gated queries in their own right, so this row verifies the
+    * MEASUREMENT, not just the two retrievals it compares (the
+    * [[recallAtK]] discipline applied to the fusion output). */
+  def hybridAnnAgreement(spark: SparkSession, dir: String,
+      k: Int = RrfTopK): DataFrame = {
+    val exact = hybridFusion(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = hybridFusionAnn(spark, dir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn(s"agree_at_$k", col("n_hits").cast("double") / lit(k))
+      .orderBy("query_id")
+  }
+
   /** ANN quality measurement — recall@k of the IVF index against the
     * brute-force ground truth over a bounded query set: per query,
     * how many of the true top-k the approximate search returned. This

@@ -109,9 +109,17 @@ class LayoutSpec extends SparkSpec {
         .orderBy("bucket").collect().map(_.getAs[Long]("lo_key"))
       assert(los.zip(los.tail).forall { case (a2, b2) => a2 <= b2 })
       assert(rb.where(col("bucket") === 0 && col("lo_key").isNotNull).count() == 0)
-      // equi-depth from a 1/16 sample on a tie-heavy day key: no bucket
-      // should exceed 4x its ideal share, and most rows sit near 1x
+      // equi-depth from a bounded sample on a tie-heavy day key: no
+      // bucket should exceed 4x its ideal share, most rows sit near 1x
       assert(rb.agg(max("skew")).collect().head.getDouble(0) < 4.0)
+      // the sample is BOUNDED: the count-derived modulus keeps the one
+      // sorted array at ≈ RangeSampleTarget keys at any table size
+      // (n < target ⇒ mod 1 keeps all n; else expectation ≈ target —
+      // allow 3x for hash variance)
+      val nSampled = rb.select("n_sampled").head.getLong(0)
+      assert(nSampled > 0 &&
+        (nSampled == total || nSampled <= 3L * Layout.RangeSampleTarget),
+        s"sample size $nSampled exceeds the bounded-sample contract")
       // skew is n_rows re-expressed: ratios reconstruct counts exactly
       val t = rb.select(
         (col("skew") * (lit(total.toDouble) / Layout.RangeP.toDouble))
