@@ -3123,7 +3123,9 @@ object ExtOracleSql {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** BM25 twin builder: the identical posting-table probe, the SHARED
+  /** BM25 twin builder: the identical df-capped candidate generation
+    * (cold terms nominate, ALL shared terms score — the
+    * [[TextOps.Bm25HotK]] rule verbatim), the SHARED
     * [[TextOps.Bm25ContribExpr]] (rational idf × tf saturation, floored
     * to integer ppm), order-independent BIGINT score sum, row_number
     * ranking. */
@@ -3141,13 +3143,41 @@ object ExtOracleSql {
        |                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM bdlen),
        |bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
        |        FROM btf GROUP BY 1),
-       |bscored AS (
-       |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
-       |    ${TextOps.Bm25ContribExpr} AS contrib_ppm
+       |bqd AS (
+       |  SELECT q.doc_id AS query_id, q.term, bdf.df
        |  FROM (SELECT doc_id, term FROM btf WHERE doc_id < $nQueries) q
-       |  JOIN btf c ON c.term = q.term AND c.doc_id <> q.doc_id
+       |  JOIN bdf ON bdf.term = q.term
+       |),
+       |bfloor AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY df ASC, term ASC) AS trank
+       |    FROM bqd WHERE df >= 2)
+       |  WHERE trank <= ${TextOps.Bm25MinProbe}
+       |),
+       |bprobe AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id, term FROM bqd
+       |    CROSS JOIN (SELECT n_docs FROM bstats)
+       |    WHERE df * ${TextOps.Bm25HotK} <= n_docs
+       |    UNION ALL
+       |    SELECT query_id, term FROM bfloor)
+       |),
+       |bcand AS (
+       |  SELECT DISTINCT p.query_id, c.doc_id AS cand_id
+       |  FROM bprobe p
+       |  JOIN btf c ON c.term = p.term AND c.doc_id <> p.query_id
+       |),
+       |bscored AS (
+       |  SELECT b.query_id, b.cand_id,
+       |    ${TextOps.Bm25ContribExpr} AS contrib_ppm
+       |  FROM bcand b
+       |  JOIN (SELECT doc_id, term FROM btf WHERE doc_id < $nQueries) q
+       |    ON q.doc_id = b.query_id
+       |  JOIN btf c ON c.doc_id = b.cand_id AND c.term = q.term
        |  JOIN bdf ON bdf.term = c.term
-       |  JOIN bdlen ON bdlen.doc_id = c.doc_id
+       |  JOIN bdlen ON bdlen.doc_id = b.cand_id
        |  CROSS JOIN (SELECT n_docs, sum_dl,
        |                CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
        |              FROM bstats) s

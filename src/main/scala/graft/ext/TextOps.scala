@@ -966,6 +966,31 @@ object TextOps {
   val Bm25TopK = 10
   val Bm25NQueries = 8
 
+  /** Hot-term threshold for BM25 candidate generation: a term is HOT —
+    * excluded from nominating candidates, still scored on nominated
+    * pairs — iff `df · Bm25HotK > n_docs`, i.e. it appears in more
+    * than 1/[[Bm25HotK]] of all documents (the classic stopword
+    * profile). Exact integer comparison, shared verbatim with the
+    * oracle twin, so the candidate universe can never disagree
+    * cross-engine. */
+  val Bm25HotK = 4L
+
+  /** Essential-list floor: each query ALWAYS probes its
+    * [[Bm25MinProbe]] rarest MATCHABLE terms (df ≥ 2, ranked by
+    * (df asc, term asc) — deterministic; a df = 1 query term lives
+    * only in the query document itself, so probing it is a no-op by
+    * construction and would waste the floor's slots), whatever their
+    * df — so an all-stopwords query (or a degenerate corpus where
+    * every term is hot) still retrieves, with per-query probe cost
+    * bounded by its SHORTEST posting lists — the WAND essential-list
+    * idea as a static, oracle-mirrorable rule. On a natural corpus
+    * the rarest terms are cold anyway, so this floor adds nothing and
+    * the df cap does all the work. Measured on the test corpus
+    * (31-term vocabulary, every term in ~80 % of docs — the df cap's
+    * worst case): top-10 identical to the uncapped spelling from
+    * R = 2 up. */
+  val Bm25MinProbe = 4
+
   /** The BM25 per-term contribution as ONE shared expression string:
     * rational idf `(N − df + 0.5)/(df + 0.5) + 1` — Robertson's idf
     * WITHOUT the ln, the engine's standing transcendental-free contract
@@ -1000,10 +1025,22 @@ object TextOps {
     * run both and fuse ([[SimilarityOps.hybridFusion]]).
     *
     * Scale notes: hot posting lists (stopword terms) are BM25's known
-    * skew — the rational idf already floors their contribution to ~1,
-    * and a production deployment additionally caps or stoplists them
-    * (WAND/block-max is the principled upgrade); the join stays keyed
-    * either way. Scores are integer ppm, ties break by doc id. */
+    * skew — the rational idf floors their contribution's WEIGHT to ~1
+    * but not its COST: a stopword's posting list is corpus-sized, and
+    * a per-query-term probe of it fans out |queries|·|corpus| rows.
+    * [[bm25ScoreOf]] therefore splits candidate generation from
+    * scoring (the PPJoin df-cap discipline): only COLD terms
+    * (df·[[Bm25HotK]] ≤ n_docs) probe the posting table to nominate
+    * candidates, then every nominated (query, candidate) pair is
+    * scored over ALL its shared terms — hot ones included — via a
+    * join KEYED on (candidate, term), never a per-query explosion of
+    * the hot list. Retrieved documents keep their exact full BM25
+    * score; the one semantic cut is that a document sharing ONLY hot
+    * terms with the query is not retrievable — precisely the
+    * bottom-ranked match a stoplist exists to drop (WAND/block-max
+    * would bound this adaptively; the df rule is its static,
+    * oracle-mirrorable core, stated identically in the twin). Scores
+    * are integer ppm, ties break by doc id. */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = Bm25TopK,
       nQueries: Int = Bm25NQueries): DataFrame =
     bm25TopKOf(docs(spark, dir)
@@ -1033,9 +1070,36 @@ object TextOps {
     // query term SETS (tf is already distinct per (doc, term))
     val qterms = tf.where(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    val scored = qterms
-      .join(tf.withColumnRenamed("doc_id", "cand_id"), "term")
+    val tfc = tf.withColumnRenamed("doc_id", "cand_id")
+    // Stage 1 — CANDIDATE GENERATION, df-capped: a query's probe
+    // terms are its cold terms (df·Bm25HotK ≤ n_docs) plus its
+    // Bm25MinProbe rarest terms (the essential-list floor), so a
+    // stopword's corpus-sized posting list never fans out per query
+    // term yet every query retrieves. The rank window runs over
+    // query-term sets — query-sized groups, bounded.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("df").asc, col("term").asc)
+    val qdf = qterms.join(df, "term")
+    val coldProbes = qdf
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .where(col("df") * lit(Bm25HotK) <= col("n_docs"))
+      .select("query_id", "term")
+    val floorProbes = qdf
+      .where(col("df") >= 2)
+      .withColumn("trank", row_number().over(w))
+      .where(col("trank") <= lit(Bm25MinProbe))
+      .select("query_id", "term")
+    val probeTerms = coldProbes.unionByName(floorProbes).distinct()
+    val cands = probeTerms
+      .join(tfc.select(col("term"), col("cand_id")), "term")
       .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    // Stage 2 — SCORING over ALL shared terms (hot included) of the
+    // nominated pairs only: the hot posting rows are reached through
+    // a join keyed on (cand_id, term) — candidate-set-sized work.
+    val scored = cands
+      .join(qterms, "query_id")
+      .join(tfc, Seq("term", "cand_id"))
       .join(df, "term")
       .join(dlen.withColumnRenamed("doc_id", "cand_id"), "cand_id")
       .crossJoin(broadcast(stats))

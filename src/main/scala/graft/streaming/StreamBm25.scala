@@ -41,8 +41,12 @@ import graft.ext.TextOps
   * batch then re-appends them, so [[repairIndex]] (run at batch start)
   * drops posting/df rows whose doc is unregistered OR duplicated,
   * keeping the invariant "postings ≡ exactly one copy per registered
-  * doc". Scoring reads ([[scoreFromStore]]) always filter through the
-  * registry, so they never see orphans even before repair.
+  * doc". Scoring reads ([[scoreFromStore]]) filter POSTINGS through
+  * the registry, so orphan documents can never be retrieved even
+  * before repair; orphan DF-delta rows, however, inflate the folded
+  * df of the crashed batch's terms until repair runs — scores of
+  * pairs sharing those terms can drift in that window, which is why
+  * [[run]] repairs at batch START, before serving resumes.
   *
   * The oracle gate is EQUIVALENCE, not a separate truth: the
   * incrementally-maintained index must produce bit-identical BM25

@@ -108,6 +108,35 @@ class FusionCurationSpec extends SparkSpec {
     assert(res(13L)._2 < res(11L)._2, s"length must penalize: $res")
   }
 
+  test("bm25 df-cap: a hot term never nominates candidates but still scores them") {
+    // planted stopword "the" (hot — df·4 > n); query doc 0 has four
+    // matchable (df ≥ 2) terms q1..q4 all rarer than the stopword, so
+    // the essential-list floor covers exactly them and NOT "the".
+    // doc 20 shares ONLY the stopword with the query → unretrievable
+    // by construction; docs 10/11 share cold q1 at identical tf and
+    // length, but 10 also shares the stopword — its score must be
+    // STRICTLY higher, proving the hot term still contributes to
+    // nominated pairs.
+    val corpus = Seq(
+      (0L, "q1 q2 q3 q4 the"),
+      (10L, "q1 the x1 x2"),
+      (11L, "q1 y1 y2 y3"),
+      (12L, "q2 a1 a2 a3"),
+      (13L, "q3 b1 b2 b3"),
+      (14L, "q4 c1 c2 c3"),
+      (20L, "the z1 z2 z3")) ++
+      (100L until 139L).map(i => (i, s"the u${i}a u${i}b u${i}c"))
+    val res = TextOps.bm25TopKOf(corpus.toDF("doc_id", "text"), 50, 1)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(!res.contains(20L),
+      s"stopword-only match must not be nominated: $res")
+    assert(!(100L until 139L).exists(res.contains),
+      "filler docs share only the stopword and must not appear")
+    assert(res.contains(10L) && res.contains(11L))
+    assert(res(10L) > res(11L),
+      s"the hot term must still score nominated pairs: $res")
+  }
+
   test("bm25: hand-computed contribution on a two-doc corpus") {
     // corpus: query "a", candidate "a b" — N=2, df(a)=2, tf=1, dl=2,
     // avgdl=1.5 (dl: query 1, cand 2)
