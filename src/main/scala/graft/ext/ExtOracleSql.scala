@@ -2387,15 +2387,20 @@ object ExtOracleSql {
 
   /** One unrolled Lloyd iteration for the k-means twin: distances to
     * the previous centroids, argmin assignment (ties → lowest
-    * cent_id), integer per-coordinate sums. */
+    * cent_id), integer per-coordinate sums. `src` is the training
+    * frame — the whole corpus for the batch twins, the bootstrap
+    * range for the incremental-index twin ([[streamAnnIndex]]). */
   private def lloydIter(prev: String, n: Int): String =
+    lloydIterOver("quant", prev, n)
+
+  private def lloydIterOver(src: String, prev: String, n: Int): String =
     s"""d$n AS (
        |  SELECT qt.vec_id, qt.q, c.cent_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(list_zip(qt.q, c.cv),
        |        zd$n -> (CAST(zd$n[1] AS DOUBLE) - zd$n[2]) * (CAST(zd$n[1] AS DOUBLE) - zd$n[2]))),
        |      (ad$n, vd$n) -> ad$n + vd$n) AS d2
-       |  FROM quant qt CROSS JOIN $prev c
+       |  FROM $src qt CROSS JOIN $prev c
        |), a$n AS (
        |  SELECT vec_id, q, cent_id FROM d$n
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
@@ -2617,6 +2622,49 @@ object ExtOracleSql {
 
   /** The production √n-cell chain used by the IVF+PQ and mining twins. */
   private val scaledCellsCte: String = trainedCellsCteFor(scaledSeedSql)
+
+  /** Incremental-ANN-index twin
+    * ([[graft.streaming.StreamAnnIndex.incrementalAnnBatch]]): the √n
+    * router TRAINED ON THE BOOTSTRAP RANGE ONLY (first of the 4
+    * replay batches — 2 Lloyd iterations over `bquant`, seed = the
+    * kCent lowest bootstrap vec_ids, kCent = ⌈√|bootstrap|⌉), frozen,
+    * then EVERY vector ranked against the frozen centroids (ties →
+    * lowest cent_id), crank ≤ StoreNProbe kept. The gate is the
+    * incremental ≡ batch equivalence itself: the replay accumulates
+    * per-batch assignments; this twin assigns the whole corpus in one
+    * pass — identical by construction iff the frozen-centroid kernel
+    * is. */
+  val streamAnnIndex: String = {
+    val nB = graft.streaming.StreamAnnIndex.ReplayBatches
+    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
+    s"""WITH $quantCte,
+       |bsz AS (SELECT (max(vec_id) + $nB) // $nB AS b FROM embeddings),
+       |bquant AS (SELECT * FROM quant WHERE vec_id < (SELECT b FROM bsz)),
+       |bkc AS (SELECT greatest(4, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+       |                AS BIGINT)) AS k FROM bquant),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, list_transform(q, xc -> CAST(xc AS DOUBLE)) AS cv
+       |  FROM bquant WHERE vec_id < (SELECT k FROM bkc)
+       |),
+       |${lloydIterOver("bquant", "c0", 1)},
+       |${lloydIterOver("bquant", "c1", 2)},
+       |d3 AS (
+       |  SELECT qt.vec_id, c.cent_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_zip(qt.q, c.cv),
+       |        zs -> (CAST(zs[1] AS DOUBLE) - zs[2]) * (CAST(zs[1] AS DOUBLE) - zs[2]))),
+       |      (as_, vs) -> as_ + vs) AS d2
+       |  FROM quant qt CROSS JOIN c2 c
+       |),
+       |cr AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crank
+       |  FROM d3
+       |)
+       |SELECT vec_id, CAST(crank AS INT) AS crank, cent_id
+       |FROM cr WHERE crank <= $nProbe
+       |ORDER BY vec_id, crank""".stripMargin
+  }
 
   /** Cluster-quality twin: the same sufficient-statistics distortion
     * ([[VectorOps.distortionTermExpr]] verbatim, integer Sx/Sxx per

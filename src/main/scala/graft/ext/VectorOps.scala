@@ -236,8 +236,19 @@ object VectorOps {
   def kmeansCentroids(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame =
     graft.util.SessionCache.getOrBuild(spark, s"vec|$dir|kmeans|$k|$iters") {
-      val q = withQuantized(SimilarityOps.embeddings(spark, dir))
-        .select(col("vec_id"), col("q"))
+      kmeansCentroidsOf(
+        withQuantized(SimilarityOps.embeddings(spark, dir))
+          .select(col("vec_id"), col("q")),
+        k, iters)
+    }
+
+  /** The Lloyd trainer over ANY quantized (vec_id, q) frame — shared
+    * by the whole-corpus [[kmeansCentroids]] and the bootstrap-subset
+    * training of the incremental index
+    * ([[graft.streaming.StreamAnnIndex]]), which must train on only
+    * the vectors present at bootstrap time and then FREEZE. */
+  private[graft] def kmeansCentroidsOf(q: DataFrame, k: Int,
+      iters: Int): DataFrame = {
       var cents = q.where(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"),
           expr("transform(q, x -> CAST(x AS DOUBLE))").as("cv"),
@@ -262,7 +273,24 @@ object VectorOps {
             min("n_members").as("n_members"))
       }
       cents
-    }
+  }
+
+  /** Centroid ranking of ANY (vec_id, embedding, norm, q) frame
+    * against a FIXED centroid set, in the trained metric (L2 over
+    * int8 codes, ties -> lowest cent_id): (vec_id, crank, cent_id)
+    * for crank <= nProbe — the per-batch assignment kernel of the
+    * incremental index, identical arithmetic to [[kmeansAssign]]'s
+    * ranking stage. */
+  private[graft] def assignToCells(cents: DataFrame, e: DataFrame,
+      nProbe: Int): DataFrame =
+    e.join(broadcast(cents.select("cent_id", "cv")))
+      .withColumn("d2", dist2("q", "cv"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopK.topKBy(
+        struct((-col("d2")).as("nd"), (-col("cent_id")).as("nc")), nProbe).as("tk"))
+      .select(col("vec_id"), posexplode(sort_array(col("tk"), asc = false)))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("crank"),
+        (-col("col.nc")).as("cent_id"))
 
   def kmeansRefine(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame =

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.VectorOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class AnnVec(vec_id: Long, embedding: Array[Float])
+
+/** Incremental ANN index maintenance: a real MemoryStream run must
+  * leave the stored assignment identical to a one-pass assignment of
+  * the same vectors against the frozen bootstrap centroids;
+  * re-delivery (in-batch and cross-batch) is a no-op; the drift
+  * monitor flags a collapsed batch and stays quiet on a
+  * bootstrap-like one. The corpus-level incremental ≡ batch
+  * equivalence is hash-gated by `stream_ann_index`. */
+class StreamAnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated deterministic clusters in dim 8: ids < 40 near
+    * +e1, ids ≥ 40 near −e1, with a per-id jitter so vectors are
+    * distinct and quantization is non-degenerate. */
+  private def vec(id: Long): AnnVec = {
+    val sign = if (id < 40) 1f else -1f
+    AnnVec(id, Array.tabulate(8)(d =>
+      sign * (if (d == 0) 1f else 0.1f) + 0.01f * ((id * 7 + d * 3) % 11).toFloat))
+  }
+  private val all = (0L until 80L).map(vec)
+
+  private def newStore(tag: String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-ann-$tag").toString
+    StreamAnnIndex.AnnStore(s"$root/cents", s"$root/assign", s"$root/monitor")
+  }
+
+  test("streamed assignments equal one-pass assignment against the frozen centroids") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = newStore("run")
+    StreamAnnIndex.bootstrap(spark, all.take(40).toDF(), store)
+    val centsFrozen = spark.read.parquet(store.centroidsDir).collect()
+
+    val stream = MemoryStream[AnnVec]
+    val q = StreamAnnIndex.run(spark, stream.toDF(), store,
+      java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString)
+    try {
+      // in-batch repeat of 40; cross-batch redelivery of 40..44 and a
+      // bootstrap vector (0) later
+      stream.addData(all.slice(40, 60) :+ all(40): _*)
+      q.processAllAvailable()
+      stream.addData(all.slice(60, 80) ++ all.slice(40, 45) :+ all(0): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // centroids are FROZEN: byte-identical to the bootstrap artifact
+    assert(spark.read.parquet(store.centroidsDir).collect().toSeq ==
+      centsFrozen.toSeq)
+
+    // registry holds each vector exactly once at crank 1
+    val reg = spark.read.parquet(store.assignDir)
+      .where(col("crank") === 1).groupBy("vec_id").count()
+    assert(reg.where(col("count") > 1).isEmpty, "duplicate assignment rows")
+    assert(reg.count() == 80)
+
+    // stored index ≡ one-pass assignment of all 80 vectors against
+    // the frozen centroids (the incremental ≡ batch contract)
+    val stored = spark.read.parquet(store.assignDir)
+      .select("vec_id", "crank", "cent_id")
+      .orderBy("vec_id", "crank").collect().toSeq
+    val onePass = VectorOps.assignToCells(
+        spark.read.parquet(store.centroidsDir),
+        VectorOps.withQuantized(
+          graft.ext.SimilarityOps.withNorm(all.toDF()))
+          .select(col("vec_id"), col("embedding"), col("norm"), col("q")),
+        StreamAnnIndex.StoreNProbe)
+      .select("vec_id", "crank", "cent_id")
+      .orderBy("vec_id", "crank").collect().toSeq
+    assert(stored == onePass,
+      "incrementally maintained assignment must equal the batch assignment")
+  }
+
+  test("drift monitor flags a collapsed batch, stays quiet on a bootstrap-like one") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = newStore("drift")
+    StreamAnnIndex.bootstrap(spark, all.toDF(), store)
+
+    val stream = MemoryStream[AnnVec]
+    val q = StreamAnnIndex.run(spark, stream.toDF(), store,
+      java.nio.file.Files.createTempDirectory("graft-ann-ckpt2").toString)
+    try {
+      // batch 0: drawn like the bootstrap mix (every other bootstrap
+      // vector, re-keyed) — each cell keeps ~its bootstrap share
+      stream.addData((0L until 80L by 2).map(i =>
+        vec(i).copy(vec_id = i + 1000)): _*)
+      q.processAllAvailable()
+      // batch 1: COLLAPSED — every vector lands near one bootstrap
+      // point, so one cell takes ~the whole batch share
+      stream.addData((200L until 240L).map(i =>
+        vec(0).copy(vec_id = i + 2000)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val mon = spark.read.parquet(store.monitorDir)
+      .where(col("batch_id") >= 0)
+      .select("batch_id", "ppm", "retrain")
+      .orderBy("batch_id").collect()
+    assert(mon.length == 2)
+    assert(!mon(0).getBoolean(2),
+      s"bootstrap-like batch must not flag retrain: shift ${mon(0).getLong(1)} ppm")
+    assert(mon(1).getBoolean(2),
+      s"collapsed batch must flag retrain: shift ${mon(1).getLong(1)} ppm")
+  }
+}
