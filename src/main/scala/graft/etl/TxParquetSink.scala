@@ -66,13 +66,67 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         .sortBy(_._1)
 
   /** Latest committed version, −1 for an empty table. */
-  def version(): Long = commits().lastOption.map(_._1).getOrElse(-1L)
+  def version(): Long = resolvedCommits().lastOption.map(_._1).getOrElse(-1L)
+
+  /** The newest-base pointer file — Delta's `_last_checkpoint` move:
+    * without it, EVERY snapshot resolution lists and parses the whole
+    * `_txlog` directory, O(total commits) driver work that grows for
+    * the table's lifetime (compact bounds the DATA fan-in but not the
+    * log walk). The pointer names the newest base version; resolution
+    * then probes CONTIGUOUS version file names upward from it — no
+    * directory listing, O(commits-since-base) reads. Correctness does
+    * not depend on the pointer: it is advisory (last-writer-wins
+    * atomic rename), a STALE pointer just probes from an older base
+    * and [[effective]] still picks the newest one in the walked
+    * suffix, and a pointer whose manifest was truncated away falls
+    * back to the full listing. */
+  private val basePointer: Path = logDir.resolve("_last_base")
+
+  private def writeBasePointer(v: Long): Unit =
+    try {
+      Files.createDirectories(logDir)
+      val tmp = Files.createTempFile(logDir, ".bp-", ".txn.tmp")
+      Files.write(tmp, v.toString.getBytes(UTF_8))
+      Files.move(tmp, basePointer,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.io.IOException => () } // advisory — never fails a commit
+
+  /** Snapshot-resolution commit list: the effective suffix (newest
+    * base onward), via the base pointer's contiguous version probe
+    * when available, else the full listing. Versions from the tip of
+    * a base onward are contiguous by construction (allocation is
+    * tip + 1, truncation only removes pre-base names), so the probe
+    * walks `base, base+1, …` until the first missing file and sees
+    * exactly the manifests a full listing would keep. */
+  private[etl] def resolvedCommits(): Seq[(Long, Manifest)] = {
+    val probed =
+      try {
+        if (!Files.exists(basePointer)) None
+        else {
+          val v0 = new String(Files.readAllBytes(basePointer), UTF_8).trim.toLong
+          if (!Files.exists(logDir.resolve(f"$v0%020d.txn"))) None
+          else {
+            val out = Seq.newBuilder[(Long, Manifest)]
+            var v = v0
+            var p = logDir.resolve(f"$v%020d.txn")
+            while (Files.exists(p)) {
+              out += ((v, parseManifest(new String(Files.readAllBytes(p), UTF_8))))
+              v += 1
+              p = logDir.resolve(f"$v%020d.txn")
+            }
+            Some(effective(out.result()))
+          }
+        }
+      } catch { case _: Exception => None } // racing truncation: fall back
+    probed.getOrElse(effective(commits()))
+  }
 
   /** Snapshot read: the union of every committed data directory; None
     * before the first commit. Uncommitted staged directories are never
     * visible here — that is the isolation guarantee. */
   def readSnapshot(spark: SparkSession): Option[DataFrame] =
-    dataOf(spark, effective(commits()))
+    dataOf(spark, resolvedCommits())
 
   /** TIME-TRAVEL read: the table exactly as of commit `asOf` — the
     * union of every data directory published at version ≤ asOf. The
@@ -226,7 +280,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * only their file reads). */
   def readSnapshotRange(spark: SparkSession, column: String,
       lo: String, hi: String): Option[DataFrame] =
-    dataOf(spark, effective(commits()),
+    dataOf(spark, resolvedCommits(),
       keepFile = (m, f) => rangeKeeps(m, f, column, lo, hi))
 
   /** The per-file range rule: file-level stats ([[compactRanged]])
@@ -248,7 +302,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * its bloom. */
   def readSnapshotPoint(spark: SparkSession, column: String,
       value: String): Option[DataFrame] =
-    dataOf(spark, effective(commits()),
+    dataOf(spark, resolvedCommits(),
       keepFile = (m, f) => pointKeeps(m, f, column, value))
 
   /** The per-file point rule: file-level blooms ([[compactRanged]])
@@ -260,7 +314,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
 
   /** Bloom-skipping observability, the [[skippingAudit]] twin. */
   def pointSkippingAudit(column: String, value: String): (Int, Int) = {
-    val ms = effective(commits()).map(_._2).filter(_.files.nonEmpty)
+    val ms = resolvedCommits().map(_._2).filter(_.files.nonEmpty)
     val skipped = ms
       .map(m => m.files.count(f => !pointKeeps(m, f, column, value))).sum
     (ms.map(_.files.size).sum, skipped)
@@ -270,7 +324,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * snapshot, directories a [[readSnapshotRange]] of this range would
     * skip). Driver-side metadata only. */
   def skippingAudit(column: String, lo: String, hi: String): (Int, Int) = {
-    val ms = effective(commits()).map(_._2).filter(_.files.nonEmpty)
+    val ms = resolvedCommits().map(_._2).filter(_.files.nonEmpty)
     val skipped = ms
       .map(m => m.files.count(f => !rangeKeeps(m, f, column, lo, hi))).sum
     (ms.map(_.files.size).sum, skipped)
@@ -314,7 +368,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       s"partition-scoped conflict detection needs partitionCols ⊆ keys " +
         s"(got partitionCols=$partitionCols, keys=$keys): only then do " +
         "disjoint partition sets prove disjoint key sets")
-    var snap = commits()
+    var snap = resolvedCommits()
     var toAdd = Upserts.insertIfAbsent(
         existingKeysAt(spark, snap, keys, incoming), incoming, keys, orderCols)
       .localCheckpoint(eager = true)
@@ -361,7 +415,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       // interleaved commit is covered by the surviving base (a full
       // rewrite containing its rows), which itself has a newer version
       // and lands in the delta.
-      val now = commits()
+      val now = resolvedCommits()
       val lastSeen = snap.lastOption.map(_._1).getOrElse(-1L)
       val delta = now.filter { case (v, _) => v > lastSeen }
       snap = now
@@ -742,8 +796,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             "(vacuumed mid-commit?) — aborting")
       if (tryPublish(snap.last._1 + 1,
           Manifest(n, files, base = true, fileStats = fileStats,
-            fileBlooms = fileBlooms)))
+            fileBlooms = fileBlooms))) {
+        writeBasePointer(snap.last._1 + 1)
         return snap.last._1 + 1
+      }
       deleteRecursively(stagedRoot) // lost the race: stale by construction
     }
     -1L // unreachable
@@ -769,8 +825,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         throw new IllegalStateException(
           s"compact: staged directory $staged vanished before publish " +
             "(vacuumed mid-commit?) — aborting")
-      if (tryPublish(snap.last._1 + 1, Manifest(n, Seq(staged), base = true)))
+      if (tryPublish(snap.last._1 + 1, Manifest(n, Seq(staged), base = true))) {
+        writeBasePointer(snap.last._1 + 1)
         return snap.last._1 + 1
+      }
       // lost the race: a writer committed at our version — the staged
       // rewrite is stale by construction; drop it and redo the cycle
       deleteRecursively(root.resolve(staged))

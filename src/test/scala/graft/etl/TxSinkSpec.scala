@@ -800,6 +800,36 @@ class TxSinkSpec extends SparkSpec {
     assert(after2.where(col("product_id") === "P8").count() == 1L)
   }
 
+  test("base pointer bounds resolution: snapshot reads never parse pre-base manifests") {
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "a"), keys, order)
+    t.mergeUpsert(spark, batch("P2" -> "b"), keys, order)
+    assert(t.compact(spark) == 2L)
+    t.mergeUpsert(spark, batch("P3" -> "c"), keys, order)
+    val logDir = java.nio.file.Paths.get(t.dir, "_txlog")
+    assert(java.nio.file.Files.exists(logDir.resolve("_last_base")),
+      "compaction must publish the newest-base pointer")
+    // corrupt a PRE-BASE manifest: resolution that parses it would
+    // throw, so a clean snapshot read PROVES the pointer probe reads
+    // only post-base manifests
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.txn"),
+      "garbage, not a manifest".getBytes)
+    assert(keySet(t) == Seq("P1", "P2", "P3"))
+    assert(t.version() == 3L)
+    assert(t.mergeUpsert(spark, batch("P4" -> "d"), keys, order) == 1,
+      "the merge path must also resolve through the pointer")
+    // control: WITHOUT the pointer, resolution falls back to the full
+    // listing and hits the corrupt manifest — the probe above wasn't
+    // accidentally listing
+    java.nio.file.Files.delete(logDir.resolve("_last_base"))
+    intercept[Exception] { t.readSnapshot(spark).get.count() }
+    // restore the manifest: full-listing resolution works again and
+    // sees the same table
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.txn"),
+      TxParquetSink.renderManifest(TxParquetSink.Manifest(0L, Nil)).getBytes)
+    assert(keySet(t) == Seq("P1", "P2", "P3", "P4"))
+  }
+
   test("NaN/Infinity float stats never poison range reads") {
     import org.apache.spark.sql.functions.col
     val t = table()
