@@ -2634,10 +2634,14 @@ object ExtOracleSql {
     * per-batch assignments; this twin assigns the whole corpus in one
     * pass — identical by construction iff the frozen-centroid kernel
     * is. */
-  val streamAnnIndex: String = {
+  /** The BOOTSTRAP-trained cell chain shared by [[streamAnnIndex]] and
+    * [[streamHybridSearch]]: the √n router trained on the first of the
+    * ReplayBatches vec-id ranges only (2 Lloyd iterations over
+    * `bquant`, kCent = ⌈√|bootstrap|⌉), frozen, then EVERY vector
+    * ranked against it (`cr`) with crank = 1 as the cell (`bcells`). */
+  private val bootCellsCte: String = {
     val nB = graft.streaming.StreamAnnIndex.ReplayBatches
-    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
-    s"""WITH $quantCte,
+    s"""$quantCte,
        |bsz AS (SELECT (max(vec_id) + $nB) // $nB AS b FROM embeddings),
        |bquant AS (SELECT * FROM quant WHERE vec_id < (SELECT b FROM bsz)),
        |bkc AS (SELECT greatest(4, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
@@ -2660,10 +2664,78 @@ object ExtOracleSql {
        |  SELECT vec_id, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS crank
        |  FROM d3
-       |)
+       |),
+       |ben AS (
+       |  SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding", "bn")}) AS norm
+       |  FROM embeddings
+       |),
+       |bcells AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, cr.cent_id AS cell
+       |  FROM ben e JOIN cr ON cr.vec_id = e.vec_id AND cr.crank = 1
+       |)""".stripMargin
+  }
+
+  val streamAnnIndex: String = {
+    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
+    s"""WITH $bootCellsCte
        |SELECT vec_id, CAST(crank AS INT) AS crank, cent_id
        |FROM cr WHERE crank <= $nProbe
        |ORDER BY vec_id, crank""".stripMargin
+  }
+
+  /** Streamed-hybrid twin ([[graft.streaming.StreamHybrid]]): the
+    * dense leg through the bootstrap-trained frozen router
+    * ([[bootCellsCte]], crank ≤ StoreNProbe probes, both sides
+    * document-backed), the capped BM25 twin as the lexical leg, the
+    * identical RRF integer fusion — the end-to-end gate that the
+    * incrementally-maintained indexes serve the same fused search a
+    * one-pass build does. */
+  val streamHybridSearch: String = {
+    val kD = SimilarityOps.RrfDampK
+    val sc = SimilarityOps.RrfScale
+    val pool = SimilarityOps.RrfPool
+    val k = SimilarityOps.RrfTopK
+    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
+    s"""WITH $bootCellsCte,
+       |sscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "sh")} / (q.norm * c.norm) AS cos
+       |  FROM bcells q
+       |  JOIN cr p ON p.vec_id = q.vec_id AND p.crank <= $nProbe
+       |  JOIN bcells c ON c.cell = p.cent_id AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8
+       |    AND q.vec_id IN (SELECT doc_id FROM documents)
+       |    AND c.vec_id IN (SELECT doc_id FROM documents)
+       |),
+       |sdense AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM sscored) WHERE rank <= $pool
+       |),
+       |slex AS (
+       |  SELECT query_id, doc_id AS neighbor_id, rank
+       |  FROM (${bm25Sql(pool, 8)})
+       |),
+       |sfused AS (
+       |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+       |         COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+       |         CAST(d.rank AS INT) AS rank_dense,
+       |         CAST(l.rank AS INT) AS rank_lex,
+       |         CAST(COALESCE($sc // ($kD + d.rank), 0) +
+       |              COALESCE($sc // ($kD + l.rank), 0) AS BIGINT) AS rrf_score
+       |  FROM sdense d FULL OUTER JOIN slex l
+       |    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score,
+       |       rank_dense, rank_lex
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+       |  FROM sfused)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Cluster-quality twin: the same sufficient-statistics distortion

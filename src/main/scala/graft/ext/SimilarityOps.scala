@@ -83,7 +83,7 @@ object SimilarityOps {
     * formulation, deterministic because scores are bit-identical
     * doubles. `carry` are group-constant columns (bucket/cell) kept
     * through the aggregate. */
-  private[ext] def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
+  private[graft] def topKPerGroup(scored: DataFrame, group: Column, carry: Seq[(String, Column)],
       score: Column, id: Column, k: Int): DataFrame = {
     // the ordering struct carries only (score, -id): the id is
     // recovered by re-negating the tie-break, not shuffled twice
@@ -182,7 +182,7 @@ object SimilarityOps {
     * take the caller's per-leg rank names. The full-outer join and
     * re-rank window run over ≤ 2·pool·|queries| rows — candidate-set
     * sized, never corpus-sized. */
-  private[ext] def rrfOf(a: DataFrame, aName: String,
+  private[graft] def rrfOf(a: DataFrame, aName: String,
       b: DataFrame, bName: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val la = a.select(col("query_id"), col("neighbor_id"),

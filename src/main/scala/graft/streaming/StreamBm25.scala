@@ -185,6 +185,16 @@ object StreamBm25 {
     * discipline). */
   def incrementalBm25Batch(spark: SparkSession, dir: String,
       nBatches: Int = ReplayBatches): DataFrame = {
+    val (tf, dlen, df) = incrementalBm25Frames(spark, dir, nBatches)
+    TextOps.bm25ScoreOf(tf, dlen, df, TextOps.Bm25TopK, TextOps.Bm25NQueries)
+  }
+
+  /** The replay's accumulated index FRAMES (postings, lengths, folded
+    * df) — shared with the streamed hybrid-search composition
+    * ([[StreamHybrid]]), which serves a different retrieval from the
+    * same incrementally-built index. */
+  private[graft] def incrementalBm25Frames(spark: SparkSession, dir: String,
+      nBatches: Int = ReplayBatches): (DataFrame, DataFrame, DataFrame) = {
     val docs = TextOps.docs(spark, dir).select("doc_id", "text")
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
     val batchSize = (maxId + nBatches) / nBatches
@@ -201,8 +211,7 @@ object StreamBm25 {
       dlen = dlen.unionByName(bdlen)
       dfDelta = dfDelta.unionByName(bdf)
     }
-    val df = dfDelta.groupBy("term").agg(sum("df_delta").as("df"))
-    TextOps.bm25ScoreOf(tf, dlen, df, TextOps.Bm25TopK, TextOps.Bm25NQueries)
+    (tf, dlen, dfDelta.groupBy("term").agg(sum("df_delta").as("df")))
   }
 
   /** The streaming query: micro-batches indexed incrementally;
