@@ -98,7 +98,13 @@ object ScaleBench {
     // and its fused consumer
     "ext_text_bm25", "ext_sim_hybrid", "stream_bm25_index",
     "etl_tx_skipping", "etl_tx_point_lookup", "stream_ks_drift",
-    "etl_tx_skipping_compacted", "etl_tx_point_compacted")
+    "etl_tx_skipping_compacted", "etl_tx_point_compacted",
+    // round-9: the ACID row-grain tier (delete commit is O(1) — the
+    // slot times the masked read; the CDF replays every commit's
+    // masked rows; DFP collects the dim keys then prunes the fact),
+    // the ANN-served hybrid, and the incremental-index replays
+    "etl_tx_delete", "etl_tx_cdf", "etl_tx_dfp_join",
+    "ext_sim_hybrid_ann", "stream_ann_index", "stream_hybrid_search")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

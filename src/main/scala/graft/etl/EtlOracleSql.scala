@@ -1933,6 +1933,134 @@ object EtlOracleSql {
       |   OR cents_before <> cents_after
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Row-level-delete twin: the final table state computed
+    * declaratively — everything except the predicate-matching rows,
+    * plus the re-inserted recent slice. The engine reaches it through
+    * the sink's O(1) predicate-tombstone commit and masked read path;
+    * equality proves SQL DELETE semantics (predicate-true rows hidden,
+    * NULL keeps, later appends untouched) on real data. */
+  val txDelete: String = star(
+    s""", monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT month, store_id, cents FROM monthly
+      |WHERE NOT (store_id % 7 = 3)
+      |   OR month >= '${EtlQueries.TxDeleteRestoreFrom}'
+      |ORDER BY month, store_id""".stripMargin)
+
+  /** Change-data-feed twin: the full I/D stream derived declaratively —
+    * per-year inserts at the year's rank, the overwrite's delete/insert
+    * pair at version n (n = number of year commits), the predicate
+    * delete's matches over the post-overwrite state at n+1. Equality
+    * proves [[EtlQueries.txChangeFeed]]'s manifest-reconstructed feed
+    * carries every commit's exact row-level effect. */
+  val txChangeFeed: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lastm AS (SELECT max(month) AS m FROM monthly),
+      |ny AS (
+      |  SELECT CAST(count(DISTINCT substring(month, 1, 4)) AS BIGINT) AS n
+      |  FROM monthly
+      |),
+      |inserts AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY substring(month, 1, 4)) - 1
+      |              AS BIGINT) AS version,
+      |         'I' AS op, month, store_id, cents
+      |  FROM monthly
+      |),
+      |ow_d AS (
+      |  SELECT (SELECT n FROM ny) AS version, 'D' AS op, month, store_id, cents
+      |  FROM monthly WHERE month = (SELECT m FROM lastm)
+      |),
+      |ow_i AS (
+      |  SELECT (SELECT n FROM ny) AS version, 'I' AS op, month, store_id,
+      |         CAST(cents * 2 AS BIGINT) AS cents
+      |  FROM monthly WHERE month = (SELECT m FROM lastm)
+      |),
+      |post AS (
+      |  SELECT month, store_id, cents FROM monthly
+      |  WHERE month <> (SELECT m FROM lastm)
+      |  UNION ALL
+      |  SELECT month, store_id, CAST(cents * 2 AS BIGINT) AS cents
+      |  FROM monthly WHERE month = (SELECT m FROM lastm)
+      |),
+      |del_d AS (
+      |  SELECT (SELECT n FROM ny) + 1 AS version, 'D' AS op, month,
+      |         store_id, cents
+      |  FROM post WHERE store_id % 7 = 3
+      |)
+      |SELECT * FROM (
+      |  SELECT * FROM inserts UNION ALL SELECT * FROM ow_d
+      |  UNION ALL SELECT * FROM ow_i UNION ALL SELECT * FROM del_d)
+      |ORDER BY version, op, month, store_id""".stripMargin)
+
+  /** Dynamic-file-pruning twin: the selective dimension join computed
+    * declaratively — the engine serves the fact side through the
+    * any-of bloom-pruned commit read, so the hash gate proves pruning
+    * with a collected key SET loses no joining row. */
+  val txDfpJoin: String =
+    s"""SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       |       CAST(year(o.o_orderdate) AS INT) AS year,
+       |       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_custkey % ${EtlQueries.TxDfpCustomerMod} = 1
+       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** SCD-1 key-grain upsert twin: the final state computed
+    * declaratively — original rows minus the updated keys, plus the
+    * update batch (matched keys restated, shifted keys inserted). The
+    * engine reaches it through key-granularity replace commits; the
+    * hash gate proves key-grain replace = UPDATE ∪ INSERT. */
+  val txUpsertScd1: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lastm AS (SELECT max(month) AS m FROM monthly),
+      |upd AS (
+      |  SELECT month, store_id, CAST(cents + 10 AS BIGINT) AS cents
+      |  FROM monthly
+      |  WHERE month = (SELECT m FROM lastm) AND store_id % 3 = 0
+      |)
+      |SELECT month, store_id, cents FROM (
+      |  SELECT month, store_id, cents FROM monthly
+      |  WHERE NOT (month = (SELECT m FROM lastm) AND store_id % 3 = 0)
+      |  UNION ALL
+      |  SELECT month, store_id, cents FROM upd
+      |  UNION ALL
+      |  SELECT month, store_id + 100000 AS store_id, cents FROM upd)
+      |ORDER BY month, store_id""".stripMargin)
+
+  /** CDC-consumer twin: the per-store aggregate over the FINAL table
+    * state (post-restatement, post-delete) computed declaratively —
+    * what the engine's feed-folded maintenance must reproduce. */
+  val txCdfApply: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lastm AS (SELECT max(month) AS m FROM monthly),
+      |post AS (
+      |  SELECT month, store_id, cents FROM monthly
+      |  WHERE month <> (SELECT m FROM lastm)
+      |  UNION ALL
+      |  SELECT month, store_id, CAST(cents * 2 AS BIGINT) AS cents
+      |  FROM monthly WHERE month = (SELECT m FROM lastm)
+      |)
+      |SELECT store_id, CAST(sum(cents) AS BIGINT) AS cents_total,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM post
+      |WHERE NOT (store_id % 7 = 3)
+      |GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** Max-drawdown twin: the same running-max / earliest-trough /
     * first-recovery window algebra over exact integer cents. */
   val maxDrawdown: String = star(

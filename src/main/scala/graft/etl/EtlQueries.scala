@@ -2267,6 +2267,231 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Month from which [[txDeleteRead]] re-inserts predicate-matching
+    * rows after the delete — shared with the oracle twin. */
+  val TxDeleteRestoreFrom = "1998-01"
+
+  /** ROW-LEVEL DELETE round trip — [[TxParquetSink.deleteWhere]] run
+    * end-to-end and gated by the oracle hash: the monthly rollup lands
+    * one commit per year, a predicate delete (`store_id % 7 = 3`) lands
+    * as an O(1) METADATA commit (no data rewritten at any table size),
+    * and then the recent slice of the deleted stores is RE-INSERTED —
+    * proving the mask applies only to rows committed before it. The
+    * oracle computes the same final state declaratively
+    * (`NOT matched OR restored`), so the differential proves SQL DELETE
+    * semantics (predicate-true rows hidden, later appends untouched) on
+    * real data every round; the spec additionally pins time travel
+    * across the delete and the physical materialization path. At
+    * 100 TB this is the GDPR shape: the delete is visible instantly for
+    * constant cost, the terabyte rewrite happens in the next
+    * maintenance window ([[TxParquetSink.compact]] +
+    * [[TxParquetSink.truncateHistory]]). */
+  def txDeleteRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txdel").toString + "/t")
+    txDeleteCommits(spark, dir, t)
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
+  /** The [[txDeleteRead]] round trip THROUGH a compaction: same commit
+    * sequence, then the whole table is rewritten into a base commit —
+    * the pass that makes the logical delete PHYSICAL (the base's files
+    * simply lack the masked rows; the spec pins that no delete
+    * predicate survives into the effective log). Same declarative twin:
+    * materializing the mask must not change a single row. */
+  def txDeleteCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txdelc").toString + "/t")
+    txDeleteCommits(spark, dir, t)
+    t.compact(spark)
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
+  /** Shared commit sequence of the delete round trips: per-year
+    * appends, the predicate delete, the partial re-insert. */
+  private def txDeleteCommits(spark: SparkSession, dir: String,
+      t: TxParquetSink): Unit = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    t.deleteWhere(spark, "store_id % 7 = 3")
+    t.append(monthly.where(
+      expr(s"store_id % 7 = 3 AND month >= '$TxDeleteRestoreFrom'")))
+  }
+
+  /** CHANGE DATA FEED round trip — [[TxParquetSink.changesBetween]]
+    * over a full table lifecycle (per-year appends → a partition
+    * restatement doubling the last month's cents → a predicate delete)
+    * gated by the oracle hash: the DuckDB twin derives the SAME I/D
+    * stream declaratively (insert version = the year's rank, the
+    * overwrite's delete/insert pair at version n, the delete's matches
+    * over the post-overwrite state at n+1), so the differential proves
+    * the feed reconstructs every commit's row-level effect exactly —
+    * the contract a downstream incremental consumer ([[Cdc]]/[[Ivm]])
+    * depends on. Nothing extra is written at commit time: the log IS
+    * the feed, and each overwrite/delete commit in range costs one
+    * pruned read of its masked rows, never a history replay. */
+  def txChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txcdf").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val restated = monthly.where(col("month") === lit(lastMonth))
+      .withColumn("cents", (col("cents") * 2).cast("long"))
+    t.overwritePartitions(spark, restated, Seq("month"))
+    t.deleteWhere(spark, "store_id % 7 = 3")
+    t.changesBetween(spark, -1L, t.version()).get
+      .select(col("_version").as("version"), col("_change_type").as("op"),
+        col("month"), col("store_id"), col("cents"))
+      .orderBy("version", "op", "month", "store_id")
+  }
+
+  /** Probe-set rule for [[txDfpJoin]], shared with the oracle twin: a
+    * deterministic ~0.1 % customer slice — the selectivity at which
+    * dynamic file pruning pays (a broad dimension filter lights up
+    * every bloom and prunes nothing, correctly). */
+  val TxDfpCustomerMod = 997L
+
+  /** DYNAMIC FILE PRUNING join — the fact side of a selective
+    * dimension join served through
+    * [[TxParquetSink.readSnapshotPointAny]]: orders land one commit
+    * per year with customer-key blooms; the FILTERED customer
+    * dimension's keys (bounded by its selectivity — the same argument
+    * as the broadcast join they feed) are collected and the fact read
+    * keeps only commits whose bloom might contain ANY of them, decided
+    * on the driver before a task launches — Delta's dynamic file
+    * pruning move. The oracle computes the join declaratively, so the
+    * hash gate proves any-of pruning loses no joining row (the
+    * superset contract); the spec pins actual skipping on a planted
+    * clustered table. */
+  def txDfpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Star.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(year(o_orderdate) AS INT)").as("year"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txdfp").toString + "/t")
+    val years = o.select("year").distinct().orderBy("year")
+      .collect().map(_.getInt(0))
+    years.foreach { y =>
+      t.appendWithStats(o.where(col("year") === y), Seq("year"),
+        bloomCols = Seq("o_custkey"))
+    }
+    val dim = Star.table(spark, dir, "customer")
+      .where(col("c_custkey") % TxDfpCustomerMod === 1)
+      .select("c_custkey", "c_name")
+    val keys = dim.select("c_custkey").distinct().orderBy("c_custkey")
+      .collect().map(_.getLong(0).toString).toSeq
+    t.readSnapshotPointAny(spark, "o_custkey", keys)
+      .getOrElse(o.limit(0))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "year", "cents")
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD-1 KEY-GRAIN UPSERT — MERGE WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT in one ACID commit, expressed through
+    * [[TxParquetSink.overwritePartitions]] at KEY granularity: replace
+    * semantics over partitionCols = the key columns are exactly
+    * "incoming rows supersede whatever these keys held" — the update
+    * path [[TxParquetSink.mergeUpsert]] (insert-if-absent) deliberately
+    * lacks. The batch here restates the last month's every-third-store
+    * rows (+10 cents — matched keys, updated in place) and lands the
+    * same rows under shifted store ids (unmatched keys, pure inserts).
+    * Cost model: the manifest records O(batch keys) replaced tuples —
+    * bounded by the BATCH, never the table — and readers apply them as
+    * the multi-column expression-path drop predicate; the commit is
+    * one staged write + one hard link, lost races retry with zero data
+    * work (replace is version-relative). The oracle computes the final
+    * state declaratively, so the hash gate proves key-grain replace =
+    * UPDATE ∪ INSERT on real data. */
+  def txUpsertScd1(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txscd1").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val updates = monthly
+      .where(col("month") === lit(lastMonth) && col("store_id") % 3 === 0)
+      .withColumn("cents", col("cents") + lit(10L))
+    val inserts = updates.withColumn("store_id", col("store_id") + lit(100000))
+    t.overwritePartitions(spark, updates.unionByName(inserts),
+      Seq("month", "store_id"))
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
+  /** CDC CONSUMER — the incremental-maintenance loop the change feed
+    * exists for: a per-store revenue aggregate maintained purely from
+    * [[TxParquetSink.changesBetween]]'s I/D stream (inserts add,
+    * deletes subtract — never a snapshot re-read), over the same
+    * lifecycle as [[txChangeFeed]]. The oracle aggregates the FINAL
+    * table state declaratively, so the hash gate proves feed-folded ≡
+    * recomputed — the [[Ivm]] additive-delta argument, now driven by
+    * the sink's own CDC stream instead of a bespoke delta log. At
+    * 100 TB this is why a downstream consumer reads the feed: each
+    * refresh costs the commits since its cursor, not a table scan. */
+  def txCdfApply(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txcdfa").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val restated = monthly.where(col("month") === lit(lastMonth))
+      .withColumn("cents", (col("cents") * 2).cast("long"))
+    t.overwritePartitions(spark, restated, Seq("month"))
+    t.deleteWhere(spark, "store_id % 7 = 3")
+    // the IVM multiplicity discipline: fold cents AND row counts (I:+1,
+    // D:−1); a key whose multiplicity reaches 0 was deleted outright —
+    // it must leave the view, not linger as a zero row
+    t.changesBetween(spark, -1L, t.version()).get
+      .withColumn("sgn",
+        when(col("_change_type") === "I", lit(1L)).otherwise(lit(-1L)))
+      .groupBy("store_id")
+      .agg(sum(col("sgn") * col("cents")).as("cents_total"),
+        sum(col("sgn")).as("n_rows"))
+      .where(col("n_rows") > 0)
+      .orderBy("store_id")
+  }
+
   /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
     * columns). Shared with the oracle twin so the candidate list cannot
     * drift between engines. The lineitem candidates bracket the schema's

@@ -163,20 +163,26 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * overwrite) stays a single read. */
   private def dataOf(spark: SparkSession, cs: Seq[(Long, Manifest)],
       keepFile: (Manifest, String) => Boolean = (_, _) => true): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.not
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     if (cs.isEmpty) return None
-    // per commit index i: the replace sets of commits AFTER i
+    // per commit index i: the replace sets / delete predicates of
+    // commits AFTER i — both are row-hiding masks a reader applies to
+    // every EARLIER commit's rows, and both are conjunctive filters, so
+    // application order is irrelevant and commits sharing a mask set
+    // read in one multi-path scan
     val replacesAfter: Seq[Seq[(Seq[String], Set[String])]] =
       cs.indices.map(i => cs.drop(i + 1).map(_._2)
         .filter(_.replaceCols.nonEmpty)
         .map(m => (m.replaceCols, m.replaceKeys)))
+    val deletesAfter: Seq[Seq[String]] =
+      cs.indices.map(i => cs.drop(i + 1).flatMap(_._2.deletePred))
     val grouped = cs.zipWithIndex
-      .groupBy { case (_, i) => replacesAfter(i) }
+      .groupBy { case (_, i) => (replacesAfter(i), deletesAfter(i)) }
       .toSeq
     // keepFile prunes FILE READS only (stats-based data skipping) —
-    // manifests stay in replacesAfter, so a pruned overwrite still
-    // masks earlier commits
-    val frames = grouped.flatMap { case (drops, commits) =>
+    // manifests stay in replacesAfter/deletesAfter, so a pruned
+    // overwrite or delete still masks earlier commits
+    val frames = grouped.flatMap { case ((drops, dels), commits) =>
       val paths = commits.map(_._1._2)
         .flatMap(m => m.files.filter(f => keepFile(m, f)))
         .map(f => root.resolve(f).toString)
@@ -187,8 +193,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         // Delta/Iceberg contract; dropping or retyping a column is not
         // supported (parquet would throw on read, loudly).
         val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        Some(drops.foldLeft(base) { case (df, (cols, keys)) =>
+        val replaced = drops.foldLeft(base) { case (df, (cols, keys)) =>
           df.where(dropPredicate(cols, keys))
+        }
+        // SQL DELETE semantics: a row is deleted iff the predicate is
+        // TRUE — a NULL predicate keeps the row (the coalesce)
+        Some(dels.foldLeft(replaced) { case (df, pred) =>
+          df.where(not(coalesce(expr(pred), lit(false))))
         })
       }
     }
@@ -528,6 +539,141 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       if (tryPublish(version() + 1, manifest)) return n
     }
     n // unreachable
+  }
+
+  /** DELETE WHERE — row-level delete as an O(1) METADATA commit, the
+    * Delta/Iceberg "merge-on-read" deletion shape: the commit carries
+    * only the predicate (no files, no data work at ANY table size);
+    * READERS apply `NOT <predicate IS TRUE>` to every EARLIER commit's
+    * rows ([[dataOf]]), so a simple predicate reaches the parquet scan
+    * as a pushed filter and row-group stats prune whole deleted ranges.
+    * Rows appended AFTER the delete are untouched (the predicate masks
+    * only the snapshot it landed over — re-inserting a deleted key
+    * works), time travel still reads pre-delete rows at pre-delete
+    * versions, and the erasure becomes PHYSICAL through the existing
+    * lifecycle: [[compact]] materializes the mask into the base rewrite
+    * and [[truncateHistory]] forgets the pre-base bytes — the same
+    * overwrite→compact→truncate pipeline, now at row grain. At 100 TB
+    * this is the difference between a GDPR delete rewriting terabytes
+    * synchronously and a constant-time commit whose rewrite happens in
+    * the next maintenance window.
+    *
+    * Contract: the predicate is a SQL boolean expression over columns
+    * present in the commits it masks (validated against the CURRENT
+    * snapshot before publishing — an unresolvable or non-boolean
+    * predicate throws here, never at read time); NULL evaluations keep
+    * the row (SQL DELETE semantics). Concurrency is version-relative
+    * like [[overwritePartitions]]: a lost race retries the publish with
+    * zero data work, and the landed delete masks everything below its
+    * final version. Returns the published version, or −1 on an empty
+    * table (nothing to delete from — masking nothing is a no-op commit
+    * not worth a version). */
+  def deleteWhere(spark: SparkSession, predicateSql: String,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.expr
+    val snap = readSnapshot(spark).getOrElse(return -1L)
+    // analysis-time validation: resolve the predicate against the
+    // current snapshot schema and require a RESOLVED BOOLEAN — fail the
+    // COMMIT, not every later read (Spark's implicit coercions would
+    // otherwise let a string expression slip into a filter)
+    val resolved = snap.select(expr(predicateSql).as("__pred")).schema.head
+    require(resolved.dataType == org.apache.spark.sql.types.BooleanType,
+      s"deleteWhere predicate must be boolean, got ${resolved.dataType}: $predicateSql")
+    val manifest = Manifest(0, Nil, deletePred = Some(predicateSql))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts)
+        throw new IllegalStateException(
+          s"deleteWhere: gave up after $maxAttempts publish attempts on $dir")
+      beforePublish()
+      val v = version() + 1
+      if (tryPublish(v, manifest)) return v
+    }
+    -1L // unreachable
+  }
+
+  /** CHANGE DATA FEED — the row-level change log between two versions,
+    * reconstructed from the manifests (nothing extra is written at
+    * commit time; the log IS the feed). For every commit `v` with
+    * `fromV < v ≤ toV`, emits the rows the commit logically changed,
+    * tagged `_change_type` ('I' insert / 'D' delete) and `_version`:
+    *
+    *  - append/merge commits: their staged rows as inserts (a merge's
+    *    staged rows are exactly its post-anti-join inserts);
+    *  - [[overwritePartitions]]: the replaced partitions' rows AS OF
+    *    `v−1` as deletes, plus the commit's own rows as inserts;
+    *  - [[deleteWhere]]: the predicate-matching rows as of `v−1` as
+    *    deletes;
+    *  - [[compact]] bases: nothing — a rewrite changes no logical row.
+    *
+    * This is what makes the sink a CDC SOURCE: a downstream consumer
+    * (the [[Cdc]]/[[Ivm]] pattern) applies the I/D stream instead of
+    * re-reading snapshots, and the spec pins the replay invariant —
+    * folding the feed over the `fromV` snapshot reproduces the `toV`
+    * snapshot exactly. Cost: O(commits in range) metadata plus, for
+    * each overwrite/delete commit in range, one pruned read of the
+    * masked rows (partition-predicate / pushed-filter scans — never a
+    * full-history replay). `fromV = -1` feeds from the table's
+    * beginning; a range below [[truncateHistory]]'s horizon throws
+    * (the pre-base manifests are gone — the feed would be silently
+    * incomplete, which a CDC consumer must never see). */
+  def changesBetween(spark: SparkSession, fromV: Long, toV: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = commits()
+    val horizon = cs.headOption.map(_._1).getOrElse(0L)
+    require(fromV >= horizon - 1,
+      s"changesBetween($fromV, $toV): history below version $horizon was " +
+        "truncated — the feed would silently miss commits")
+    val inRange = cs.filter { case (v, _) => v > fromV && v <= toV }
+    val frames = inRange.flatMap { case (v, m) =>
+      val inserts: Option[DataFrame] =
+        if (m.base || m.files.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(m.files.map(f => root.resolve(f).toString): _*)
+          .withColumn("_change_type", lit("I"))
+          .withColumn("_version", lit(v)))
+      val deletes: Option[DataFrame] =
+        if (m.replaceCols.nonEmpty)
+          readVersion(spark, v - 1).map(_
+            .where(not(dropPredicate(m.replaceCols, m.replaceKeys)))
+            .withColumn("_change_type", lit("D"))
+            .withColumn("_version", lit(v)))
+        else m.deletePred.map { pred =>
+          readVersion(spark, v - 1)
+            .map(_.where(coalesce(expr(pred), lit(false)))
+              .withColumn("_change_type", lit("D"))
+              .withColumn("_version", lit(v)))
+            .getOrElse(spark.emptyDataFrame)
+        }.filter(_.columns.nonEmpty)
+      deletes.toSeq ++ inserts.toSeq
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** DYNAMIC FILE PRUNING point read — [[readSnapshotPoint]] for a SET
+    * of probe values: keep a file iff its bloom might contain ANY of
+    * them. This is the fact-side half of Delta's dynamic file pruning:
+    * the caller collects the join keys of a FILTERED dimension (bounded
+    * by the dimension's selectivity — the same bounded-domain argument
+    * as the broadcast join it accompanies) and the fact scan drops
+    * every commit none of those keys landed in, decided on the driver
+    * before any task launches. Same superset contract as the
+    * single-value read: blooms never produce false negatives, commits
+    * without a bloom are always read, and the caller's real join/filter
+    * applies unchanged. */
+  def readSnapshotPointAny(spark: SparkSession, column: String,
+      values: Seq[String]): Option[DataFrame] =
+    dataOf(spark, resolvedCommits(),
+      keepFile = (m, f) => values.exists(v => pointKeeps(m, f, column, v)))
+
+  /** [[pointSkippingAudit]] for the any-of probe: (files, skipped). */
+  def pointSkippingAuditAny(column: String, values: Seq[String]): (Int, Int) = {
+    val ms = resolvedCommits().map(_._2).filter(_.files.nonEmpty)
+    val skipped = ms.map(m => m.files.count(f =>
+      !values.exists(v => pointKeeps(m, f, column, v)))).sum
+    (ms.map(_.files.size).sum, skipped)
   }
 
   private def existingKeysAt(
@@ -870,7 +1016,8 @@ object TxParquetSink {
       stats: Map[String, ColStats] = Map.empty,
       blooms: Map[String, BloomBits] = Map.empty,
       fileStats: Map[String, Map[String, ColStats]] = Map.empty,
-      fileBlooms: Map[String, Map[String, BloomBits]] = Map.empty)
+      fileBlooms: Map[String, Map[String, BloomBits]] = Map.empty,
+      deletePred: Option[String] = None)
 
   /** Per-commit BLOOM FILTER over a column's value set — the POINT
     * companion to [[ColStats]]'s range skipping (min/max can't help a
@@ -941,7 +1088,14 @@ object TxParquetSink {
         cols.toSeq.sortBy(_._1).map { case (c, b) =>
           s"fbloom=${encodePartition(Seq(f, c, b.m.toString, b.k.toString, b.bits))}"
         }
-      }
+      } ++
+      // NOT covered by the append-only-is-safe argument above: a reader
+      // that ignored delwhere= would RESURRECT deleted rows. The parser
+      // below understands it, and no other reader of this log exists;
+      // a multi-reader deployment versions the protocol (Delta's
+      // minReaderVersion) before shipping a row-hiding field.
+      m.deletePred.toSeq.map(p =>
+        s"delwhere=${java.net.URLEncoder.encode(p, UTF_8.name())}")
       ).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
@@ -988,6 +1142,9 @@ object TxParquetSink {
         (parts(0), parts(1), BloomBits(parts(2).toInt, parts(3).toInt, parts(4)))
       }.groupBy(_._1).map { case (f, rows) =>
         f -> rows.map(r => r._2 -> r._3).toMap
+      },
+      kv.collectFirst { case ("delwhere", v) =>
+        java.net.URLDecoder.decode(v, UTF_8.name())
       })
   }
 

@@ -2683,6 +2683,22 @@ object ExtOracleSql {
        |ORDER BY vec_id, crank""".stripMargin
   }
 
+  /** Retrain twin ([[graft.streaming.StreamAnnIndex.retrainReplay]]):
+    * the √n router trained on the FULL corpus in one pass (the
+    * [[scaledCellsCte]] chain — kCent = ⌈√n⌉, 2 Lloyd iterations,
+    * lowest-vec_id seed), every vector assigned against it. The engine
+    * side reaches the same assignment through bootstrap + incremental
+    * batches + the generation-2 retrain over the indexed universe —
+    * equality proves incremental maintenance never poisons the next
+    * generation. */
+  val streamAnnRetrain: String = {
+    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
+    s"""WITH $scaledCellsCte
+       |SELECT vec_id, CAST(crank AS INT) AS crank, cent_id
+       |FROM cr WHERE crank <= $nProbe
+       |ORDER BY vec_id, crank""".stripMargin
+  }
+
   /** Streamed-hybrid twin ([[graft.streaming.StreamHybrid]]): the
     * dense leg through the bootstrap-trained frozen router
     * ([[bootCellsCte]], crank ≤ StoreNProbe probes, both sides

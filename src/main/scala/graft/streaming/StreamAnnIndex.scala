@@ -161,6 +161,49 @@ object StreamAnnIndex {
       }
       .start()
 
+  /** RETRAIN — the deliberate offline pass the monitor's flag calls
+    * for: a NEW INDEX GENERATION trained over the currently-INDEXED
+    * universe (the registry's vec ids joined back to their vectors —
+    * you retrain over what the index holds, not over whatever the
+    * source table has become), written to a FRESH store. The old
+    * generation keeps serving untouched until the caller cuts readers
+    * over — the same never-behind-readers'-backs discipline as the
+    * sink's compaction: a retrain that overwrote the live store would
+    * change every probe list mid-query. The new store's monitor
+    * baseline (batch −1) is the new generation's own profile, so the
+    * drift readout restarts relative to current data. */
+  def retrain(spark: SparkSession, vecs: DataFrame,
+      old: AnnStore, next: AnnStore): AnnStore = {
+    val indexed = spark.read.parquet(old.assignDir)
+      .where(col("crank") === 1).select("vec_id")
+    bootstrap(spark, vecs.join(indexed, "vec_id"), next)
+    next
+  }
+
+  /** Oracle-checkable RETRAIN replay: the incremental accumulation
+    * ([[incrementalAnnBatch]] — bootstrap + streamed batches) followed
+    * by the generation-2 retrain over the indexed universe, serving
+    * the NEW generation's assignment. Gated against the DuckDB twin
+    * that trains the √n router on the FULL corpus in one pass — the
+    * hash gate proves the retrain path reproduces a from-scratch batch
+    * build exactly: nothing about incremental maintenance (bootstrap
+    * carving, per-batch appends, registry anti-joins) poisons the next
+    * generation, which is what licenses the monitor→retrain loop as
+    * the index's long-term maintenance story. */
+  def retrainReplay(spark: SparkSession, dir: String): DataFrame = {
+    val gen1 = incrementalAnnBatch(spark, dir)
+      .where(col("crank") === 1).select("vec_id")
+    val vecs = SimilarityOps.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .join(gen1, "vec_id")
+    val q = quantized(vecs).localCheckpoint(eager = true)
+    val kCent = VectorOps.scaledKCent(q.count())
+    val cents = VectorOps.kmeansCentroidsOf(q.select("vec_id", "q"), kCent, iters = 2)
+      .select("cent_id", "cv")
+    VectorOps.assignToCells(cents, q, StoreNProbe)
+      .orderBy("vec_id", "crank")
+  }
+
   /** Batch carving for the oracle-checked replay. */
   val ReplayBatches: Int = 4
 

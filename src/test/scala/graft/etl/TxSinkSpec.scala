@@ -853,4 +853,139 @@ class TxSinkSpec extends SparkSpec {
     assert(!TxParquetSink.rangeDisjoint(
       TxParquetSink.ColStats(num = true, "-Infinity", "Infinity"), "1", "2"))
   }
+
+  test("deleteWhere: O(1) metadata commit hides matches; later appends unaffected") {
+    val t = table()
+    assert(t.deleteWhere(spark, "product_id = 'B'") == -1L) // empty table: no-op
+    t.append(batch("A" -> "a", "B" -> "b", "C" -> "c"))
+    val v = t.deleteWhere(spark, "product_id = 'B'")
+    assert(v == 1L)
+    // the delete commit carries NO data: zero rows, zero files
+    val m = t.commits().find(_._1 == v).get._2
+    assert(m.rows == 0 && m.files.isEmpty && m.deletePred.contains("product_id = 'B'"))
+    assert(keySet(t) == Seq("A", "C"))
+    // a row appended AFTER the delete is untouched even though it matches
+    t.append(batch("B" -> "reborn"))
+    assert(keySet(t) == Seq("A", "B", "C"))
+    val name = t.readSnapshot(spark).get.where($"product_id" === "B")
+      .select("product_name").as[String].collect().toSeq
+    assert(name == Seq("reborn"))
+    // SQL DELETE semantics: a NULL predicate evaluation KEEPS the row
+    val t2 = table()
+    t2.append(Seq(("N1", null), ("N2", "zzz")).toDF("product_id", "product_name"))
+    t2.deleteWhere(spark, "product_name < 'a'")
+    assert(keySet(t2) == Seq("N1", "N2"), "NULL comparison must keep, not delete")
+    // commit-time validation: an unresolvable predicate never reaches the log
+    intercept[Exception] { t2.deleteWhere(spark, "no_such_column = 1") }
+    intercept[Exception] { t2.deleteWhere(spark, "product_id") } // non-boolean
+    assert(t2.version() == 1L, "a rejected predicate must not have committed")
+  }
+
+  test("deleteWhere: time travel intact; compact materializes; truncate is physical") {
+    val t = table()
+    t.append(batch("A" -> "a", "B" -> "b"))
+    t.append(batch("C" -> "c"))
+    val vBefore = t.version()
+    t.deleteWhere(spark, "product_id = 'B'")
+    // pre-delete versions still read the deleted row
+    assert(t.readVersion(spark, vBefore).get.count() == 3)
+    assert(keySet(t) == Seq("A", "C"))
+    // compact: the base MATERIALIZES the mask — no predicate survives
+    // into the effective log, and the base's files physically lack B
+    t.compact(spark)
+    assert(keySet(t) == Seq("A", "C"))
+    val baseM = t.resolvedCommits().map(_._2)
+    assert(baseM.forall(_.deletePred.isEmpty))
+    val baseFiles = baseM.flatMap(_.files)
+      .map(f => java.nio.file.Paths.get(t.dir).resolve(f).toString)
+    val physical = spark.read.parquet(baseFiles: _*)
+      .select("product_id").as[String].collect().toSeq.sorted
+    assert(physical == Seq("A", "C"), "compaction must rewrite the mask physically")
+    // truncation then forgets the pre-base bytes entirely
+    assert(t.truncateHistory().nonEmpty)
+    assert(keySet(t) == Seq("A", "C"))
+  }
+
+  test("change feed reconstructs every commit's row-level effect; replay converges") {
+    import org.apache.spark.sql.functions.col
+    def dayBatch(rows: (String, String, String)*) =
+      rows.toDF("day", "product_id", "product_name")
+    val t = table()
+    t.append(dayBatch(("d1", "A", "a"), ("d1", "B", "b")))
+    t.append(dayBatch(("d2", "C", "c")))
+    t.overwritePartitions(spark, dayBatch(("d1", "A", "a2")), Seq("day"))
+    t.deleteWhere(spark, "product_id = 'C'")
+    val tip = t.version()
+    val feed = t.changesBetween(spark, -1L, tip).get
+      .select(col("_version").as[Long], col("_change_type").as[String],
+        col("product_id").as[String], col("product_name").as[String])
+      .collect().toSeq.sortBy(r => (r._1, r._2, r._3))
+    // v0: I{A,B}; v1: I{C}; v2 overwrite d1: D{A,B} I{A(a2)}; v3 delete: D{C}
+    assert(feed.map(r => (r._1, r._2, r._3)) == Seq(
+      (0L, "I", "A"), (0L, "I", "B"), (1L, "I", "C"),
+      (2L, "D", "A"), (2L, "D", "B"), (2L, "I", "A"), (3L, "D", "C")))
+    assert(feed.collect { case (2L, "I", "A", n) => n } == Seq("a2"))
+    // replay invariant: folding the feed over the empty table reproduces
+    // the final snapshot (keys are unique per version here)
+    val replayed = feed.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(Map.empty[String, String]) { case (state, (_, evs)) =>
+        val afterD = evs.filter(_._2 == "D").map(_._3)
+          .foldLeft(state)(_ - _)
+        evs.filter(_._2 == "I").foldLeft(afterD)((s, e) => s + (e._3 -> e._4))
+      }
+    val snap = t.readSnapshot(spark)
+      .get.select("product_id", "product_name").as[(String, String)]
+      .collect().toMap
+    assert(replayed == snap)
+    // a partial range feeds only its commits
+    assert(t.changesBetween(spark, tip - 1, tip).get
+      .select(col("_change_type").as[String]).collect().toSeq == Seq("D"))
+    // a compaction base changes no logical row: the feed over it is empty
+    t.compact(spark)
+    assert(t.changesBetween(spark, tip, t.version()).isEmpty)
+    // below the truncation horizon the feed REFUSES (it would be
+    // silently incomplete) instead of feeding a partial history
+    t.truncateHistory()
+    intercept[IllegalArgumentException] { t.changesBetween(spark, -1L, t.version()) }
+  }
+
+  test("a delete interleaving a merge serializes as delete-then-merge") {
+    val t = table()
+    t.append(batch("A" -> "a", "B" -> "b"))
+    var fired = false
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      t.deleteWhere(spark, "product_id = 'A' OR product_id = 'C'"); ()
+    }
+    // the merge stages C against snapshot {A, B}; the delete lands
+    // inside its commit window; the merge retries (a delete commit has
+    // no keys to re-filter against) and publishes AFTER the delete —
+    // so C survives even though it matches the predicate, and A is
+    // gone: exactly the delete-then-merge serial order
+    val n = t.mergeUpsert(spark, batch("C" -> "c"), keys, order,
+      beforePublish = interleaved)
+    assert(n == 1)
+    assert(keySet(t) == Seq("B", "C"))
+  }
+
+  test("any-of bloom pruning skips commits containing none of the probe keys") {
+    import org.apache.spark.sql.functions.col
+    val t = table()
+    // three commits with DISJOINT key ranges — the clustered shape
+    // dynamic file pruning exists for
+    Seq(0, 100, 200).foreach { base =>
+      t.appendWithStats(
+        (base until base + 10).map(k => (k.toLong, s"v$k")).toDF("k", "v"),
+        Nil, bloomCols = Seq("k"))
+    }
+    val probes = Seq("5", "105") // keys from two of the three commits
+    val (total, skipped) = t.pointSkippingAuditAny("k", probes)
+    assert(total == 3 && skipped == 1, "the commit with neither key must prune")
+    val r = t.readSnapshotPointAny(spark, "k", probes).get
+      .where(col("k").isin(5L, 105L))
+      .select("v").as[String].collect().toSeq.sorted
+    assert(r == Seq("v105", "v5"))
+    // no probe keys at all: everything prunes, superset of nothing
+    assert(t.pointSkippingAuditAny("k", Nil) == ((3, 3)))
+  }
 }

@@ -107,5 +107,37 @@ class StreamAnnIndexSpec extends SparkSpec {
       s"bootstrap-like batch must not flag retrain: shift ${mon(0).getLong(1)} ppm")
     assert(mon(1).getBoolean(2),
       s"collapsed batch must flag retrain: shift ${mon(1).getLong(1)} ppm")
+
+    // RETRAIN answers the flag: generation 2 trains over the INDEXED
+    // universe into a fresh store; generation 1 keeps serving untouched
+    val gen1Cents = spark.read.parquet(store.centroidsDir).collect().toSeq
+    val gen1Ids = spark.read.parquet(store.assignDir)
+      .where(col("crank") === 1).select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    val corpus = (all ++ (0L until 80L by 2).map(i => vec(i).copy(vec_id = i + 1000)) ++
+      (200L until 240L).map(i => vec(0).copy(vec_id = i + 2000)) ++
+      Seq(vec(7).copy(vec_id = 9999L))).toDF() // 9999 is NOT indexed
+    val gen2 = StreamAnnIndex.retrain(spark, corpus, store, newStore("gen2"))
+    // the old generation is untouched — readers cut over when told to
+    assert(spark.read.parquet(store.centroidsDir).collect().toSeq == gen1Cents)
+    // gen2 indexes exactly the gen1 universe (9999 was never indexed),
+    // each vector once at crank 1
+    val gen2Ids = spark.read.parquet(gen2.assignDir)
+      .where(col("crank") === 1).select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    assert(gen2Ids == gen1Ids)
+    // and it really retrained: seeded with √n of the CURRENT universe
+    // (160 vectors → 13 seeds, vs the bootstrap's 80 → 9; Lloyd drops
+    // empty cells, so the survivor count is BOUNDED by the seed count,
+    // not equal to it — here the skewed dup-heavy corpus collapses to
+    // 9) and the centroid table differs from generation 1's, with a
+    // fresh monitor baseline over the new generation's own profile
+    val gen2Cents = spark.read.parquet(gen2.centroidsDir).collect().toSeq
+    assert(gen2Cents.size <= VectorOps.scaledKCent(gen1Ids.size))
+    assert(gen2Cents.map(_.getLong(0)).toSet != gen1Cents.map(_.getLong(0)).toSet ||
+      gen2Cents.toSet != gen1Cents.toSet,
+      "retrain must produce a new centroid generation, not reuse gen1's")
+    val base = spark.read.parquet(gen2.monitorDir).where(col("batch_id") === -1L)
+    assert(base.agg(sum("n_cell")).head.getLong(0) == gen1Ids.size)
   }
 }
