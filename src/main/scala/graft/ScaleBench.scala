@@ -104,7 +104,10 @@ object ScaleBench {
     // masked rows; DFP collects the dim keys then prunes the fact),
     // the ANN-served hybrid, and the incremental-index replays
     "etl_tx_delete", "etl_tx_cdf", "etl_tx_dfp_join",
-    "ext_sim_hybrid_ann", "stream_ann_index", "stream_hybrid_search")
+    "ext_sim_hybrid_ann", "stream_ann_index", "stream_hybrid_search",
+    // round-9 second leg: clone materialization (the compact is the
+    // data-sized stage) and the streamed cursor-committed CDC view
+    "etl_tx_clone_materialize", "stream_cdc_view")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2061,6 +2061,38 @@ object EtlOracleSql {
       |GROUP BY store_id
       |ORDER BY store_id""".stripMargin)
 
+  /** Shallow-clone twin: BOTH final states computed declaratively —
+    * the source as the plain rollup, the clone as the delete + restore
+    * state ([[txDelete]]'s algebra), tagged by side. Equality proves
+    * the clone's borrowed-file reads carry full delete/append
+    * semantics while the source is untouched by the divergence. */
+  val txClone: String = star(
+    s""", monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT side, month, store_id, cents FROM (
+      |  SELECT 'src' AS side, month, store_id, cents FROM monthly
+      |  UNION ALL
+      |  SELECT 'clone' AS side, month, store_id, cents FROM monthly
+      |  WHERE NOT (store_id % 7 = 3)
+      |     OR month >= '${EtlQueries.TxDeleteRestoreFrom}'
+      |)
+      |ORDER BY side, month, store_id""".stripMargin)
+
+  /** Constrained-load twin: the plain declarative rollup — what the
+    * constrained table must hold iff every valid batch passed and
+    * every must-reject probe left no trace. */
+  val txConstrained: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT month, store_id, cents FROM monthly
+      |ORDER BY month, store_id""".stripMargin)
+
   /** Max-drawdown twin: the same running-max / earliest-trough /
     * first-recovery window algebra over exact integer cents. */
   val maxDrawdown: String = star(

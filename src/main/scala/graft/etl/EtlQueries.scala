@@ -2492,6 +2492,116 @@ object EtlQueries {
       .orderBy("store_id")
   }
 
+  /** SHALLOW CLONE round trip — [[TxParquetSink.cloneTo]] run
+    * end-to-end and gated on BOTH tables' final states: the monthly
+    * rollup lands one commit per year in the SOURCE, the clone copies
+    * the log (O(commits) metadata, zero data bytes — every file
+    * reference rewritten to an absolute path into the source), and the
+    * clone then DIVERGES (the [[txDeleteRead]] delete + partial
+    * restore). The returned frame unions source rows tagged 'src' with
+    * clone rows tagged 'clone', so the oracle hash proves divergence
+    * is fully isolated: the clone shows delete semantics through
+    * borrowed files, the source shows none of it. The spec additionally
+    * pins the zero-copy claim (no data directory under the clone) and
+    * the reverse direction (a post-clone source commit is invisible to
+    * the clone). At 100 TB this is Delta CLONE: branching a table for
+    * an experiment costs manifests, not terabytes. */
+  def txCloneDiverge(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-txclone")
+    val src = TxParquetSink(base.toString + "/src")
+    val clone = TxParquetSink(base.toString + "/clone")
+    val monthly = monthlyCentsByYear(spark, dir, src)
+    src.cloneTo(clone)
+    clone.deleteWhere(spark, "store_id % 7 = 3")
+    clone.append(monthly.where(
+      expr(s"store_id % 7 = 3 AND month >= '$TxDeleteRestoreFrom'")))
+    src.readSnapshot(spark).get.withColumn("side", lit("src"))
+      .unionByName(clone.readSnapshot(spark).get.withColumn("side", lit("clone")))
+      .select("side", "month", "store_id", "cents")
+      .orderBy("side", "month", "store_id")
+  }
+
+  /** CLONE MATERIALIZATION — the second half of the clone lifecycle:
+    * after diverging, the clone runs the standard maintenance passes
+    * ([[TxParquetSink.compact]] → [[TxParquetSink.truncateHistory]])
+    * and thereby STOPS BORROWING: the base rewrite copies the
+    * snapshot into clone-local files and truncation forgets the
+    * absolute source references — without ever deleting a source byte
+    * (truncate skips external paths; the spec pins the source files
+    * still exist). The twin is the same declarative delete-state SQL
+    * as [[txDeleteRead]]: materializing ownership must not change a
+    * row. */
+  def txCloneMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-txclonem")
+    val src = TxParquetSink(base.toString + "/src")
+    val clone = TxParquetSink(base.toString + "/clone")
+    val monthly = monthlyCentsByYear(spark, dir, src)
+    src.cloneTo(clone)
+    clone.deleteWhere(spark, "store_id % 7 = 3")
+    clone.append(monthly.where(
+      expr(s"store_id % 7 = 3 AND month >= '$TxDeleteRestoreFrom'")))
+    clone.compact(spark)
+    clone.truncateHistory()
+    clone.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
+  /** CHECK-CONSTRAINED LOAD — [[TxParquetSink.addConstraint]] enforced
+    * across a real load: two constraints register up front (non-negative
+    * cents, well-formed month), the per-year appends all pass, and the
+    * query then fires three MUST-REJECT probes inside intercepts — a
+    * violating append, a violating key-grain overwrite, and an
+    * addConstraint the existing table violates. The gate is
+    * self-evidencing: if any rejection failed to hold, the leaked rows
+    * (or the silently-dropped batch) would break the oracle hash
+    * against the plain declarative rollup. Enforcement is one fused
+    * aggregate pass per BATCH — never a table scan — which is what
+    * makes commit-time constraints affordable at any table size. */
+  def txConstrainedLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txcons").toString + "/t")
+    t.addConstraint(spark, "cents_nonneg", "cents >= 0")
+    t.addConstraint(spark, "month_form", "length(month) = 7")
+    monthlyCentsByYear(spark, dir, t)
+    // self-evidencing: a rejection that failed either left its
+    // violating rows in the snapshot (hash breaks) or — for the
+    // row-free probe — fails the query outright here
+    def mustReject(body: => Unit): Unit = {
+      val rejected = try { body; false } catch { case _: Exception => true }
+      if (!rejected) throw new IllegalStateException(
+        "constraint probe was NOT rejected")
+    }
+    mustReject(t.append(
+      Seq(("1998-01", 7L, -5L)).toDF("month", "store_id", "cents")))
+    mustReject(t.overwritePartitions(spark,
+      Seq(("199801", 7L, 5L)).toDF("month", "store_id", "cents"),
+      Seq("month", "store_id")))
+    mustReject(t.addConstraint(spark, "impossible", "cents > 1000000000000"))
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
+  /** Shared load: the monthly-cents rollup appended into `t` one
+    * commit per year (the tx-family lifecycle base); returns the
+    * rollup frame for follow-up batches. */
+  private def monthlyCentsByYear(spark: SparkSession, dir: String,
+      t: TxParquetSink): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    monthly
+  }
+
   /** Candidate key sets profiled by [[keyCandidates]] — (table, label,
     * columns). Shared with the oracle twin so the candidate list cannot
     * drift between engines. The lineitem candidates bracket the schema's

@@ -219,6 +219,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val spark = df.sparkSession
     val n = df.count()
     if (n == 0) return
+    enforceConstraints(df)
     val staged = stageAudited(spark, df, n)
     var v = version() + 1
     while (!tryPublish(v, Manifest(n, Seq(staged)))) v = version() + 1
@@ -240,6 +241,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val spark = df.sparkSession
     val n = df.count()
     if (n == 0) return
+    enforceConstraints(df)
     val staged = stageAudited(spark, df, n)
     val stagedDf = spark.read.parquet(root.resolve(staged).toString)
     val numeric = stagedDf.schema.fields
@@ -385,6 +387,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       .localCheckpoint(eager = true)
     var n = toAdd.count()
     if (n == 0) return 0
+    enforceConstraints(toAdd)
     val touched: Option[Set[String]] =
       if (partitionCols.isEmpty) None
       else Some(touchedPartitions(toAdd, partitionCols).map(encodePartition))
@@ -516,6 +519,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
     val n = incoming.count()
     if (n == 0) return 0 // nothing touched, nothing replaced
+    enforceConstraints(incoming)
     val tuples = touchedPartitions(incoming, partitionCols)
     val staged = stageAudited(spark, incoming, n)
     val manifest = Manifest(n, Seq(staged),
@@ -676,6 +680,136 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     (ms.map(_.files.size).sum, skipped)
   }
 
+  /** SHALLOW CLONE — Delta's CLONE move: publish a new table whose log
+    * REFERENCES this table's data files without copying a byte. The
+    * clone copies the source's EFFECTIVE commit list (same versions,
+    * same masks/stats/blooms — replace semantics, predicate deletes and
+    * data skipping all carry over) with every file path rewritten to an
+    * ABSOLUTE path into the source, so at any table size the clone
+    * costs O(commits) driver metadata and zero data work — the cheap
+    * branch-for-an-experiment primitive. The clone is INDEPENDENT from
+    * its first commit on: appends/deletes/overwrites land in the
+    * clone's own log and dir, the source never sees them, and new
+    * source commits are invisible to the clone (it pinned the source's
+    * state at clone time). Full materialization is the existing
+    * lifecycle: [[compact]] on the clone rewrites the snapshot into
+    * clone-local files, after which [[truncateHistory]] forgets the
+    * source references and the clone owns every byte it reads.
+    *
+    * Caveats (exactly Delta's): the clone's external references share
+    * fate with the SOURCE's retention passes — a source
+    * [[truncateHistory]] deletes pre-base bytes a clone may still
+    * reference (source [[vacuumOrphans]] is safe: it never touches
+    * committed directories). And a clone's own maintenance never
+    * deletes source bytes: [[truncateHistory]] skips external
+    * (absolute) references — they are not ours to delete — and
+    * [[vacuumOrphans]] only scans the clone-local data dir. Returns
+    * the clone's tip version. */
+  def cloneTo(target: TxParquetSink): Long = {
+    require(target.version() == -1L,
+      s"cloneTo: target ${target.dir} is not empty")
+    val cs = resolvedCommits()
+    require(cs.nonEmpty, s"cloneTo: source $dir has no commits")
+    def abs(f: String): String = root.resolve(f).toString
+    cs.foreach { case (v, m) =>
+      val rewritten = m.copy(
+        files = m.files.map(abs),
+        fileStats = m.fileStats.map { case (f, s) => abs(f) -> s },
+        fileBlooms = m.fileBlooms.map { case (f, b) => abs(f) -> b })
+      require(target.tryPublish(v, rewritten),
+        s"cloneTo: version $v already exists in ${target.dir}")
+    }
+    if (cs.head._2.base) target.writeBasePointer(cs.head._1)
+    // CLONE copies table metadata too: the clone starts life under the
+    // source's CHECK constraints (Delta CLONE's table-properties copy)
+    if (Files.exists(constraintsFile)) target.writeConstraints(constraints())
+    cs.last._1
+  }
+
+  /** CHECK-constraint registry file: `name=<urlencoded sql>` lines,
+    * rewritten atomically (temp + rename) like the base pointer. */
+  private val constraintsFile: Path = logDir.resolve("_constraints")
+
+  /** The registered CHECK constraints, in registration order. */
+  def constraints(): Seq[(String, String)] =
+    if (!Files.exists(constraintsFile)) Nil
+    else new String(Files.readAllBytes(constraintsFile), UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"malformed constraint line: $line")
+        (line.substring(0, i),
+          java.net.URLDecoder.decode(line.substring(i + 1), UTF_8.name()))
+      }.toSeq
+
+  /** ADD a CHECK constraint — Delta's `ALTER TABLE ADD CONSTRAINT`:
+    * from now on every write path that introduces rows ([[append]],
+    * [[appendWithStats]], [[mergeUpsert]], [[overwritePartitions]])
+    * REJECTS its whole batch before staging if any incoming row makes
+    * the predicate FALSE (SQL CHECK semantics: a NULL evaluation
+    * PASSES — constraints reject known-bad data, they don't demand
+    * known-good). Enforcement costs one aggregate pass over the BATCH
+    * (all constraints fused into a single scan), never the table. Like
+    * Delta, adding requires the EXISTING table to satisfy the
+    * constraint — otherwise readers could never trust it — and the
+    * validation read prunes nothing (one full scan, the documented
+    * price of a late constraint). Maintenance passes ([[compact]] and
+    * friends) restate rows that already passed, so they do not
+    * re-check. */
+  def addConstraint(spark: SparkSession, name: String, predicateSql: String): Unit = {
+    require(name.nonEmpty && !name.contains('=') && !name.contains('\n'),
+      s"constraint name must be non-empty without '=' or newline: $name")
+    require(constraints().forall(_._1 != name),
+      s"constraint $name already exists on $dir")
+    readSnapshot(spark).foreach { snap =>
+      val bad = violations(snap, predicateSql).limit(1).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name: existing rows violate $predicateSql")
+    }
+    writeConstraints(constraints() :+ (name -> predicateSql))
+  }
+
+  /** Remove a CHECK constraint (no-op if absent). */
+  def dropConstraint(name: String): Unit =
+    writeConstraints(constraints().filterNot(_._1 == name))
+
+  private def writeConstraints(cs: Seq[(String, String)]): Unit = {
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, ".cons-", ".txn.tmp")
+    Files.write(tmp, cs.map { case (n, p) =>
+      s"$n=${java.net.URLEncoder.encode(p, UTF_8.name())}"
+    }.mkString("", "\n", "\n").getBytes(UTF_8))
+    Files.move(tmp, constraintsFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Rows of `df` that VIOLATE the predicate: FALSE violates, TRUE and
+    * NULL pass (SQL CHECK semantics). */
+  private def violations(df: DataFrame, predicateSql: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    df.where(not(coalesce(expr(predicateSql), lit(true))))
+  }
+
+  /** Batch-side enforcement shared by the row-introducing write paths:
+    * one fused aggregate pass counts every constraint's violations;
+    * any violation rejects the batch BEFORE staging — the commit never
+    * starts, the table is untouched. */
+  private def enforceConstraints(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val cs = constraints()
+    if (cs.isEmpty) return
+    val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
+      coalesce(sum(when(not(coalesce(expr(p), lit(true))), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__c$i")
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, p), i) =>
+      if (r.getLong(i) != 0L)
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n violated by ${r.getLong(i)} incoming rows: $p")
+    }
+  }
+
   private def existingKeysAt(
       spark: SparkSession, snap: Seq[(Long, Manifest)],
       keys: Seq[String], schemaSource: DataFrame): DataFrame =
@@ -768,7 +902,12 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val keepDirs = fromBase.flatMap(_._2.files).toSet
     val dropDirs = before.flatMap(_._2.files).toSet -- keepDirs
     val manifests = before.map { case (v, _) => logDir.resolve(f"$v%020d.txn") }
-    val dirs = dropDirs.toSeq.sorted.map(root.resolve(_))
+    // a shallow clone ([[cloneTo]]) references the SOURCE's files by
+    // absolute path — truncating the clone forgets the references but
+    // must never delete bytes it does not own
+    val dirs = dropDirs.toSeq.sorted
+      .filterNot(f => Paths.get(f).isAbsolute)
+      .map(root.resolve(_))
     dirs.foreach(deleteRecursively)
     manifests.foreach(Files.deleteIfExists(_))
     (manifests ++ dirs).map(_.toString)

@@ -988,4 +988,108 @@ class TxSinkSpec extends SparkSpec {
     // no probe keys at all: everything prunes, superset of nothing
     assert(t.pointSkippingAuditAny("k", Nil) == ((3, 3)))
   }
+
+  test("shallow clone: zero bytes copied, reads equal, divergence isolated both ways") {
+    val src = table()
+    src.append(batch("A" -> "a", "B" -> "b"))
+    src.append(batch("C" -> "c"))
+    src.deleteWhere(spark, "product_id = 'B'")
+    val clone = table()
+    assert(src.cloneTo(clone) == src.version())
+    // zero-copy: the clone has a log but NO data directory of its own
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(clone.dir).resolve("data")))
+    // reads equal, masks carried over (B stays deleted through the clone)
+    assert(keySet(clone) == keySet(src) && keySet(clone) == Seq("A", "C"))
+    // time travel works in the clone too (pre-delete version still has B)
+    assert(clone.readVersion(spark, 1L).get.count() == 3)
+    // divergence: clone-side writes are invisible to the source...
+    clone.append(batch("D" -> "d"))
+    clone.deleteWhere(spark, "product_id = 'A'")
+    assert(keySet(clone) == Seq("C", "D") && keySet(src) == Seq("A", "C"))
+    // ...and post-clone source commits are invisible to the clone
+    src.append(batch("E" -> "e"))
+    assert(keySet(src) == Seq("A", "C", "E") && keySet(clone) == Seq("C", "D"))
+    // a clone may not land on a non-empty table
+    intercept[IllegalArgumentException] { src.cloneTo(clone) }
+  }
+
+  test("clone materialization: compact+truncate never deletes a source byte") {
+    val src = table()
+    src.append(batch("A" -> "a", "B" -> "b"))
+    src.append(batch("C" -> "c"))
+    val clone = table()
+    src.cloneTo(clone)
+    clone.deleteWhere(spark, "product_id = 'B'")
+    clone.compact(spark)
+    val removed = clone.truncateHistory()
+    // everything deleted by the clone's maintenance lives under the clone
+    assert(removed.nonEmpty)
+    assert(removed.forall(p => p.startsWith(clone.dir) ||
+      java.nio.file.Paths.get(p).startsWith(java.nio.file.Paths.get(clone.dir))),
+      s"truncate removed a path outside the clone: $removed")
+    // the source is byte-for-byte alive and both snapshots are right
+    assert(keySet(src) == Seq("A", "B", "C"))
+    assert(keySet(clone) == Seq("A", "C"))
+    // the clone now owns its bytes: no external references remain
+    assert(clone.resolvedCommits().flatMap(_._2.files)
+      .forall(f => !java.nio.file.Paths.get(f).isAbsolute))
+  }
+
+  test("clone carries per-file stats and blooms: skipping works through borrowed files") {
+    val src = table()
+    Seq(0, 100, 200).foreach { base =>
+      src.appendWithStats(
+        (base until base + 10).map(k => (k.toLong, s"v$k")).toDF("k", "v"),
+        Seq("k"), bloomCols = Seq("k"))
+    }
+    val clone = table()
+    src.cloneTo(clone)
+    assert(clone.pointSkippingAudit("k", "105") == ((3, 2)))
+    val r = clone.readSnapshotRange(spark, "k", "100", "109").get
+      .where($"k".between(100L, 109L)).count()
+    assert(r == 10L)
+  }
+
+  test("CHECK constraints: reject before staging, NULL passes, existing rows validated") {
+    val t = table()
+    t.append(batch("A" -> "a"))
+    // adding a constraint the existing table violates must refuse
+    intercept[IllegalArgumentException] {
+      t.addConstraint(spark, "upper", "product_name = upper(product_name)")
+    }
+    t.addConstraint(spark, "id_nonempty", "length(product_id) > 0")
+    assert(t.constraints().map(_._1) == Seq("id_nonempty"))
+    // violating append: whole batch rejected, no version consumed
+    val v0 = t.version()
+    intercept[IllegalArgumentException] { t.append(batch("" -> "bad", "B" -> "ok")) }
+    assert(t.version() == v0 && keySet(t) == Seq("A"))
+    // NULL evaluation PASSES (SQL CHECK semantics)
+    t.append(Seq((null.asInstanceOf[String], "nullid"))
+      .toDF("product_id", "product_name"))
+    assert(t.readSnapshot(spark).get.count() == 2)
+    // merge and overwrite enforce too
+    intercept[IllegalArgumentException] {
+      t.mergeUpsert(spark, batch("" -> "viaMerge"), keys, order)
+    }
+    intercept[IllegalArgumentException] {
+      t.overwritePartitions(spark, batch("" -> "viaOw"), Seq("product_id"))
+    }
+    // a merge whose violating rows are all REPLAYS stages nothing → fine
+    assert(t.mergeUpsert(spark, batch("A" -> "replay"), keys, order) == 0)
+    // dropConstraint lifts enforcement
+    t.dropConstraint("id_nonempty")
+    t.append(batch("" -> "nowOk"))
+    assert(t.readSnapshot(spark).get.count() == 3)
+  }
+
+  test("constraints survive a shallow clone") {
+    val src = table()
+    src.addConstraint(spark, "id_nonempty", "length(product_id) > 0")
+    src.append(batch("A" -> "a"))
+    val clone = table()
+    src.cloneTo(clone)
+    assert(clone.constraints().map(_._1) == Seq("id_nonempty"))
+    intercept[IllegalArgumentException] { clone.append(batch("" -> "bad")) }
+  }
 }
