@@ -2584,6 +2584,32 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** RESTORE round trip — [[TxParquetSink.restore]] run end-to-end:
+    * the per-year load lands, then a restatement (last month doubled)
+    * and a predicate delete damage the table, and RESTORE rolls it
+    * back to the post-load version. The final snapshot must equal the
+    * PLAIN declarative rollup — as if the damage never happened —
+    * which is exactly what the hash gate checks; the rollback itself
+    * is a versioned commit, so the spec separately pins that the
+    * damaged states remain time-travel-readable below it. This is the
+    * bad-deploy recovery story at any table size: the restore costs
+    * one snapshot rewrite, not a backup restore. */
+  def txRestore(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txrestore").toString + "/t")
+    val monthly = monthlyCentsByYear(spark, dir, t)
+    val goodV = t.version()
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val restated = monthly.where(col("month") === lit(lastMonth))
+      .withColumn("cents", (col("cents") * 2).cast("long"))
+    t.overwritePartitions(spark, restated, Seq("month"))
+    t.deleteWhere(spark, "store_id % 7 = 3")
+    t.restore(spark, goodV)
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Shared load: the monthly-cents rollup appended into `t` one
     * commit per year (the tx-family lifecycle base); returns the
     * rollup frame for follow-up batches. */

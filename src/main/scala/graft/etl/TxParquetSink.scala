@@ -1090,6 +1090,50 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     -1L // unreachable
   }
 
+  /** RESTORE TABLE TO VERSION — roll the table back to a historical
+    * version AS A NEW COMMIT (Delta's RESTORE): the target version's
+    * snapshot is restated as a base at tip+1, so the rollback is
+    * itself versioned — every commit it undid stays readable below it
+    * (time travel across the restore works both ways) until a
+    * deliberate [[truncateHistory]] makes the rollback permanent.
+    * Unlike Delta (whose commits carry materialized absolute file
+    * lists, so RESTORE is metadata-only), this log's masks are
+    * CROSS-COMMIT (replace sets and delete predicates apply to every
+    * earlier commit), so a single manifest cannot express a masked
+    * prefix — restore pays one snapshot rewrite, the merge-on-read
+    * trade documented on [[deleteWhere]]. Concurrency: restore wins by
+    * design — an interleaved commit lands below the restore base and
+    * is rolled back with everything else (a rollback that spared
+    * late-arriving writes would not be a rollback); the optimistic
+    * loop only re-stages to keep the version allocation race-free.
+    * Returns the restore commit's version. */
+  def restore(spark: SparkSession, toVersion: Long,
+      maxAttempts: Int = 20): Long = {
+    require(toVersion <= version(),
+      s"restore: version $toVersion is beyond the tip of $dir")
+    val df = readVersion(spark, toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore: version $toVersion of $dir is not readable " +
+          "(never existed, or truncated away)"))
+      .localCheckpoint(eager = true)
+    val n = df.count()
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts)
+        throw new IllegalStateException(
+          s"restore: gave up after $maxAttempts publish attempts on $dir")
+      val staged = stageAudited(spark, df, n)
+      val v = version() + 1
+      if (tryPublish(v, Manifest(n, Seq(staged), base = true))) {
+        writeBasePointer(v)
+        return v
+      }
+      deleteRecursively(root.resolve(staged))
+    }
+    -1L // unreachable
+  }
+
   private def compactWith(spark: SparkSession,
       layout: DataFrame => DataFrame,
       beforePublish: () => Unit,

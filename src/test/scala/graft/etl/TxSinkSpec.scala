@@ -1083,6 +1083,33 @@ class TxSinkSpec extends SparkSpec {
     assert(t.readSnapshot(spark).get.count() == 3)
   }
 
+  test("restore rolls back as a versioned commit; history readable until truncated") {
+    val t = table()
+    t.append(batch("A" -> "a", "B" -> "b"))     // v0
+    val goodV = t.version()
+    t.append(batch("C" -> "c"))                  // v1 — damage
+    t.deleteWhere(spark, "product_id = 'A'")     // v2 — damage
+    assert(keySet(t) == Seq("B", "C"))
+    val rv = t.restore(spark, goodV)             // v3 — the rollback
+    assert(rv == 3L && keySet(t) == Seq("A", "B"))
+    // the rollback is versioned: the damaged state is still below it
+    assert(t.readVersion(spark, 2L).get.select("product_id")
+      .as[String].collect().toSeq.sorted == Seq("B", "C"))
+    // appends continue on top of the restore
+    t.append(batch("D" -> "d"))
+    assert(keySet(t) == Seq("A", "B", "D"))
+    // restore-of-restore: roll FORWARD to the damaged state again
+    t.restore(spark, 2L)
+    assert(keySet(t) == Seq("B", "C"))
+    // truncation makes the newest rollback permanent — only the
+    // newest base and after survive
+    t.truncateHistory()
+    assert(keySet(t) == Seq("B", "C"))
+    intercept[IllegalArgumentException] { t.restore(spark, goodV) }
+    // a version that never existed refuses too
+    intercept[IllegalArgumentException] { t.restore(spark, 99L) }
+  }
+
   test("constraints survive a shallow clone") {
     val src = table()
     src.addConstraint(spark, "id_nonempty", "length(product_id) > 0")
