@@ -2610,6 +2610,44 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** IDEMPOTENT-WRITER round trip — [[TxParquetSink.appendIdempotent]]
+    * driven the way an at-least-once delivery actually fails: the
+    * yearly loader commits batches 0..k under its appId, "crashes",
+    * and RESTARTS FROM ZERO (the backfill-replay story — every batch
+    * redelivered, not just the last), then finishes the remaining
+    * years and redelivers the final batch once more. Every redelivery
+    * must drop at the high-water-mark check without staging a byte;
+    * the final snapshot ≡ the plain declarative rollup, so any
+    * double-applied batch breaks the hash. This is the exactly-once
+    * primitive for appends that are NOT complete partitions —
+    * complementing [[graft.streaming.TxStreamSink]]'s
+    * overwrite-per-batch pattern. */
+  def txIdempotentLoad(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txidem").toString + "/t")
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    def batchOf(y: String) =
+      monthly.where(expr(s"substring(month, 1, 4) = '$y'"))
+    val mid = years.size / 2
+    def deliver(i: Int): Boolean =
+      t.appendIdempotent(batchOf(years(i)), "loader", i.toLong)
+    (0 to mid).foreach(deliver)          // first run, crashes after mid
+    (0 to mid).foreach { i =>            // restart replays from zero
+      require(!deliver(i), s"redelivered batch $i must not re-commit")
+    }
+    ((mid + 1) until years.size).foreach(deliver)
+    require(!deliver(years.size - 1), "final redelivery must not re-commit")
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Shared load: the monthly-cents rollup appended into `t` one
     * commit per year (the tx-family lifecycle base); returns the
     * rollup frame for follow-up batches. */

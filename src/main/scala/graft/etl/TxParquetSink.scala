@@ -225,6 +225,58 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     while (!tryPublish(v, Manifest(n, Seq(staged)))) v = version() + 1
   }
 
+  /** The highest committed application-transaction version for
+    * `appId`, −1 if none — scanned from the FULL manifest log (a
+    * compaction base carries no txn records, so the pre-base
+    * manifests must stay consulted), which means the dedup horizon is
+    * bounded by [[truncateHistory]]: a replay older than the
+    * truncated history can no longer be detected — Delta's documented
+    * `txn` retention caveat; size the truncation window above the
+    * longest possible redelivery gap. */
+  def lastTxnVersion(appId: String): Long =
+    commits().flatMap(_._2.txn)
+      .collect { case (a, v) if a == appId => v }
+      .maxOption.getOrElse(-1L)
+
+  /** IDEMPOTENT APPEND — Delta's `txnAppId`/`txnVersion` writer
+    * contract, the exactly-once primitive for at-least-once delivery
+    * (foreachBatch retries, crash-restarted backfills) that
+    * [[graft.streaming.TxStreamSink]]'s overwrite pattern cannot
+    * cover when batches are NOT complete partitions: the writer names
+    * its stream (`appId`) and a monotone batch version; the commit
+    * records both in the manifest, and a delivery whose version is at
+    * or below the recorded high-water mark is dropped WITHOUT staging
+    * a byte. The check re-runs inside the optimistic publish loop, so
+    * two racing writers of the same (appId, version) cannot both
+    * land — the loser's re-check sees the winner's manifest and
+    * abandons its staged data. Version gaps are allowed (an empty
+    * batch consumes a version without committing), matching Delta:
+    * the contract is monotone, not contiguous. Returns true iff this
+    * call committed. */
+  def appendIdempotent(df: DataFrame, appId: String,
+      txnVersion: Long): Boolean = {
+    val spark = df.sparkSession
+    if (txnVersion <= lastTxnVersion(appId)) return false
+    val n = df.count()
+    if (n == 0) return false
+    enforceConstraints(df)
+    val staged = stageAudited(spark, df, n)
+    val manifest = Manifest(n, Seq(staged), txn = Some((appId, txnVersion)))
+    while (true) {
+      // pin the target version BEFORE re-checking the mark: a twin
+      // writer landing between the check and the publish necessarily
+      // takes this version, so our publish fails and the next loop
+      // iteration sees its mark — no TOCTOU double-commit
+      val v = version() + 1
+      if (txnVersion <= lastTxnVersion(appId)) { // raced a twin writer
+        deleteRecursively(root.resolve(staged))
+        return false
+      }
+      if (tryPublish(v, manifest)) return true
+    }
+    false // unreachable
+  }
+
   /** Transactional append that records per-commit MIN/MAX column
     * statistics in the manifest — the metadata that makes
     * [[readSnapshotRange]]'s data skipping possible. The stats
@@ -1200,7 +1252,8 @@ object TxParquetSink {
       blooms: Map[String, BloomBits] = Map.empty,
       fileStats: Map[String, Map[String, ColStats]] = Map.empty,
       fileBlooms: Map[String, Map[String, BloomBits]] = Map.empty,
-      deletePred: Option[String] = None)
+      deletePred: Option[String] = None,
+      txn: Option[(String, Long)] = None)
 
   /** Per-commit BLOOM FILTER over a column's value set — the POINT
     * companion to [[ColStats]]'s range skipping (min/max can't help a
@@ -1278,7 +1331,10 @@ object TxParquetSink {
       // a multi-reader deployment versions the protocol (Delta's
       // minReaderVersion) before shipping a row-hiding field.
       m.deletePred.toSeq.map(p =>
-        s"delwhere=${java.net.URLEncoder.encode(p, UTF_8.name())}")
+        s"delwhere=${java.net.URLEncoder.encode(p, UTF_8.name())}") ++
+      m.txn.toSeq.map { case (app, v) =>
+        s"txn=${encodePartition(Seq(app, v.toString))}"
+      }
       ).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
@@ -1328,6 +1384,12 @@ object TxParquetSink {
       },
       kv.collectFirst { case ("delwhere", v) =>
         java.net.URLDecoder.decode(v, UTF_8.name())
+      },
+      kv.collectFirst { case ("txn", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 2, s"malformed txn line: $v")
+        (parts(0), parts(1).toLong)
       })
   }
 

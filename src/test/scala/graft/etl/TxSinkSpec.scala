@@ -1110,6 +1110,46 @@ class TxSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.restore(spark, 99L) }
   }
 
+  test("idempotent append: high-water mark dedup, per-app isolation, compaction survival") {
+    val t = table()
+    assert(t.lastTxnVersion("app") == -1L)
+    assert(t.appendIdempotent(batch("A" -> "a"), "app", 0L))
+    assert(t.appendIdempotent(batch("B" -> "b"), "app", 1L))
+    // redelivery at and below the mark: dropped, no version consumed
+    val v = t.version()
+    assert(!t.appendIdempotent(batch("B" -> "dupe"), "app", 1L))
+    assert(!t.appendIdempotent(batch("X" -> "stale"), "app", 0L))
+    assert(t.version() == v && keySet(t) == Seq("A", "B"))
+    // versions are per-app: another stream's 0 is fresh
+    assert(t.appendIdempotent(batch("C" -> "c"), "other", 0L))
+    assert(t.lastTxnVersion("app") == 1L && t.lastTxnVersion("other") == 0L)
+    // gaps allowed (an empty delivery consumes no version but a
+    // skipped one is fine)
+    assert(!t.appendIdempotent(batch(), "app", 2L)) // empty batch
+    assert(t.appendIdempotent(batch("D" -> "d"), "app", 5L))
+    // the mark survives compaction (pre-base manifests keep txn records)
+    t.compact(spark)
+    assert(t.lastTxnVersion("app") == 5L)
+    assert(!t.appendIdempotent(batch("E" -> "late"), "app", 5L))
+    // ...but not truncation — the documented retention caveat
+    t.truncateHistory()
+    assert(t.lastTxnVersion("app") == -1L)
+  }
+
+  test("two racing writers of the same (appId, version) land exactly one commit") {
+    val t = table()
+    t.append(batch("Z" -> "z"))
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 4).map(i => Future {
+      t.appendIdempotent(batch(s"K$i" -> s"v$i"), "racer", 7L)
+    })), 2.minutes)
+    assert(results.count(identity) == 1,
+      s"exactly one of the racing deliveries may commit: $results")
+    // exactly one K-row landed, and the mark is set
+    val ks = keySet(t).filter(_.startsWith("K"))
+    assert(ks.size == 1 && t.lastTxnVersion("racer") == 7L)
+  }
+
   test("constraints survive a shallow clone") {
     val src = table()
     src.addConstraint(spark, "id_nonempty", "length(product_id) > 0")
