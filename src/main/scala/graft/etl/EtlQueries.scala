@@ -2648,6 +2648,31 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** EXTERNAL-READER EXPORT round trip —
+    * [[TxParquetSink.exportManifest]] exercised the way an external
+    * engine consumes it: the delete lifecycle runs ([[txDeleteRead]]'s
+    * commits), the masked log correctly REFUSES to export, compact
+    * materializes the masks, and the final frame is read by a BARE
+    * `spark.read.parquet` over the exported paths — no sink code in
+    * the read path at all. Hash equality against the delete-state twin
+    * proves the export hands an outside reader exactly the snapshot,
+    * masks resolved. This is the interop story: at 100 TB the same
+    * table serves Spark through the commit protocol and every other
+    * engine through the manifest. */
+  def txExportRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txexport").toString + "/t")
+    txDeleteCommits(spark, dir, t)
+    val refused = try { t.exportManifest(); false }
+      catch { case _: IllegalArgumentException => true }
+    if (!refused) throw new IllegalStateException(
+      "a masked log must refuse to export")
+    t.compact(spark)
+    spark.read.parquet(t.exportManifest(): _*)
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Shared load: the monthly-cents rollup appended into `t` one
     * commit per year (the tx-family lifecycle base); returns the
     * rollup frame for follow-up batches. */

@@ -778,6 +778,29 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     cs.last._1
   }
 
+  /** EXTERNAL-READER MANIFEST EXPORT — Delta's
+    * `symlink_format_manifest` move: the current snapshot as a plain
+    * list of parquet paths any engine can read (Presto/Trino/Hive — or
+    * a bare `spark.read.parquet`) with NO knowledge of the commit
+    * protocol. Sound only when the snapshot is SELF-DESCRIBING:
+    * row-hiding masks (partition replaces, predicate deletes) live in
+    * the manifests, and an external reader that unions the files would
+    * RESURRECT masked rows — so a masked log REFUSES, with
+    * [[compact]] as the stated fix (the base materializes every mask
+    * into plain files; an append-only log exports directly). The
+    * export is a point-in-time view, stale the moment a new commit
+    * lands — the same contract Delta documents; regenerate after
+    * maintenance. */
+  def exportManifest(): Seq[String] = {
+    val cs = resolvedCommits()
+    require(cs.nonEmpty, s"exportManifest: $dir has no commits")
+    require(cs.forall { case (_, m) =>
+      m.replaceCols.isEmpty && m.deletePred.isEmpty },
+      s"exportManifest: the snapshot of $dir carries row-hiding masks " +
+        "an external reader cannot apply — run compact() first")
+    cs.flatMap(_._2.files).map(f => root.resolve(f).toString)
+  }
+
   /** CHECK-constraint registry file: `name=<urlencoded sql>` lines,
     * rewritten atomically (temp + rename) like the base pointer. */
   private val constraintsFile: Path = logDir.resolve("_constraints")

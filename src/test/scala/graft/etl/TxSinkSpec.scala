@@ -1150,6 +1150,27 @@ class TxSinkSpec extends SparkSpec {
     assert(ks.size == 1 && t.lastTxnVersion("racer") == 7L)
   }
 
+  test("manifest export: masked logs refuse, compacted logs hand externals the snapshot") {
+    val t = table()
+    t.append(batch("A" -> "a", "B" -> "b"))
+    // append-only log: exports directly, bare read sees the snapshot
+    val files0 = t.exportManifest()
+    assert(spark.read.parquet(files0: _*).count() == 2)
+    // a mask makes the file list a LIE to an external reader: refuse
+    t.deleteWhere(spark, "product_id = 'A'")
+    intercept[IllegalArgumentException] { t.exportManifest() }
+    t.overwritePartitions(spark, batch("B" -> "b2"), Seq("product_id"))
+    intercept[IllegalArgumentException] { t.exportManifest() }
+    // compact materializes: export again, external read = masked snapshot
+    t.compact(spark)
+    val ext = spark.read.parquet(t.exportManifest(): _*)
+      .select("product_id", "product_name").as[(String, String)]
+      .collect().toMap
+    assert(ext == Map("B" -> "b2"))
+    // empty table refuses (nothing to hand over)
+    intercept[IllegalArgumentException] { table().exportManifest() }
+  }
+
   test("constraints survive a shallow clone") {
     val src = table()
     src.addConstraint(spark, "id_nonempty", "length(product_id) > 0")
