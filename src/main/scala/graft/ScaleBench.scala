@@ -107,7 +107,13 @@ object ScaleBench {
     "ext_sim_hybrid_ann", "stream_ann_index", "stream_hybrid_search",
     // round-9 second leg: clone materialization (the compact is the
     // data-sized stage) and the streamed cursor-committed CDC view
-    "etl_tx_clone_materialize", "stream_cdc_view")
+    "etl_tx_clone_materialize", "stream_cdc_view",
+    // round-9 closing: the rest of the row-grain ACID tier (all
+    // bounded-rollup commit harnesses — expected ~scale-free) and the
+    // generation-2 retrain (Θ(n·√n) Lloyd, the family's heaviest)
+    "etl_tx_delete_compacted", "etl_tx_cdf_apply", "etl_tx_upsert_scd1",
+    "etl_tx_constraints", "etl_tx_restore", "etl_tx_idempotent",
+    "etl_tx_export", "stream_ann_retrain")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
