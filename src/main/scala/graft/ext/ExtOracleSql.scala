@@ -3964,6 +3964,57 @@ object ExtOracleSql {
        |    (n_docs * n_docs - pe_num) AS kappa_ppm
        |FROM tot, pe""".stripMargin
 
+  /** Krippendorff-alpha twin: the same three size-class raters (the
+    * shared band constants), the same coincidence-form integer
+    * algebra — per-unit even d_u, the exact 2/(m−1) weight for
+    * panels ≤ 3, alpha = (2E − (n−1)W) / 2E in floored ppm. */
+  val labelKrippendorff: String = {
+    val (l1, l2) = TextOps.AlphaLenBands
+    val (w1, w2) = TextOps.AlphaWordBands
+    val (d1, d2) = TextOps.AlphaDwBands
+    s"""WITH feat AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(ws) AS BIGINT) AS n_words,
+       |         CAST(len(list_distinct(ws)) AS BIGINT) AS n_dw
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents)
+       |),
+       |ratings AS (
+       |  SELECT doc_id, CASE WHEN n_chars < $l1 THEN 0
+       |                      WHEN n_chars < $l2 THEN 1 ELSE 2 END AS cat
+       |  FROM feat
+       |  UNION ALL
+       |  SELECT doc_id, CASE WHEN n_words < $w1 THEN 0
+       |                      WHEN n_words < $w2 THEN 1 ELSE 2 END
+       |  FROM feat
+       |  UNION ALL
+       |  SELECT doc_id, CASE WHEN n_dw < $d1 THEN 0
+       |                      WHEN n_dw < $d2 THEN 1 ELSE 2 END
+       |  FROM feat WHERE n_words >= ${TextOps.AlphaMinWords}
+       |),
+       |uc AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n_uc
+       |       FROM ratings GROUP BY 1, 2),
+       |units AS (SELECT doc_id, CAST(sum(n_uc) AS BIGINT) AS m_u,
+       |            CAST(sum(n_uc * n_uc) AS BIGINT) AS ss_u
+       |          FROM uc GROUP BY 1 HAVING sum(n_uc) >= 2),
+       |w AS (SELECT CAST(sum((2 * (m_u * m_u - ss_u)) // (m_u - 1))
+       |               AS BIGINT) AS w_num,
+       |             CAST(sum(m_u) AS BIGINT) AS n_ratings,
+       |             CAST(count(*) AS BIGINT) AS n_units
+       |      FROM units),
+       |marg AS (SELECT cat, CAST(sum(n_uc) AS BIGINT) AS n_c
+       |         FROM uc JOIN units USING (doc_id) GROUP BY 1),
+       |e AS (SELECT CAST(sum(n_c) * sum(n_c) - sum(n_c * n_c)
+       |               AS BIGINT) AS e_num FROM marg)
+       |SELECT n_units, n_ratings,
+       |  (${TextOps.Ppm} * w_num) // (2 * n_ratings) AS do_ppm,
+       |  (${TextOps.Ppm} * e_num) // (n_ratings * (n_ratings - 1)) AS de_ppm,
+       |  (${TextOps.Ppm} * (2 * e_num - (n_ratings - 1) * w_num)) //
+       |    (2 * e_num) AS alpha_ppm
+       |FROM w, e""".stripMargin
+  }
+
   /** Calibration twin: the textStats and langId twins joined on
     * doc_id, the identical floored/clamped ppm confidence, decile
     * binning, and BIGINT floor-division diagram. */

@@ -1182,6 +1182,80 @@ object TextOps {
     labelAgreementOf(withPredLang(withWords(docs(spark, dir)))
       .select(col("lang"), col("pred_lang")))
 
+  /** Size-class band edges shared by [[krippendorffAlpha]]'s three
+    * raters and the oracle twin: (lo, hi) per rater, category =
+    * 0 below lo, 1 below hi, 2 otherwise. */
+  val AlphaLenBands: (Int, Int) = (200, 1000)
+  val AlphaWordBands: (Int, Int) = (40, 200)
+  val AlphaDwBands: (Int, Int) = (30, 150)
+
+  /** A rater needs at least this many tokens to judge — below it the
+    * distinct-words rater ABSTAINS, the missing-rating case alpha
+    * exists for and kappa cannot express. */
+  val AlphaMinWords: Int = 5
+
+  /** KRIPPENDORFF'S ALPHA — chance-corrected agreement for the cases
+    * [[labelAgreement]]'s kappa cannot express: MORE than two raters
+    * and MISSING ratings. Three deterministic size-class raters judge
+    * every document (character-length, token-count, and
+    * distinct-token bands; the third abstains under [[AlphaMinWords]]
+    * tokens), and alpha reads how far their agreement exceeds what the
+    * pooled category marginals would produce by chance — the
+    * labeling-QA number for a multi-annotator pipeline. Nominal-data
+    * coincidence form, EXACT integer arithmetic end to end:
+    * per-unit ordered disagreeing pairs d_u = m_u² − Σ_c n_uc² are
+    * always even, so the 2/(m_u−1) pairable-pair weight is an exact
+    * integer for panels of ≤ 3 raters (m_u ∈ {2,3}) — the panel size
+    * is the exactness contract, larger panels would floor; with
+    * W = Σ_u 2·d_u/(m_u−1), n = Σ m_u and E = n² − Σ_c n_c²,
+    * alpha = (2E − (n−1)·W) / 2E, emitted as ⌊10⁶·x⌋ ppm alongside
+    * D_o = W/2n and D_e = E/n(n−1). Headroom: 10⁶·2E < 2⁶³ ⇒
+    * n ≲ 2·10⁶ ratings per audit slice (the kappa discipline —
+    * stratify larger corpora). Shape: one (unit, cat) aggregate, one
+    * unit fold with the m ≥ 2 keep, one category-domain marginal fold
+    * — everything after the first aggregate is category-domain-sized,
+    * and the 1-row combine is the broadcast scalar-subquery cross
+    * join. */
+  def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val feat = withWords(docs(spark, dir)).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(col("ws")).cast("long").as("n_words"),
+      size(array_distinct(col("ws"))).cast("long").as("n_dw"))
+    def band(c: String, lohi: (Int, Int)) =
+      when(col(c) < lohi._1, 0).when(col(c) < lohi._2, 1).otherwise(2)
+    val ratings = feat.select(col("doc_id"), band("n_chars", AlphaLenBands).as("cat"))
+      .unionByName(feat.select(col("doc_id"), band("n_words", AlphaWordBands).as("cat")))
+      .unionByName(feat.where(col("n_words") >= AlphaMinWords)
+        .select(col("doc_id"), band("n_dw", AlphaDwBands).as("cat")))
+    alphaOf(ratings)
+  }
+
+  /** Kernel of [[krippendorffAlpha]] over any (doc_id, cat) ratings
+    * frame (rater identity is irrelevant to nominal alpha) —
+    * spec-testable on planted panels. */
+  private[graft] def alphaOf(ratings: DataFrame): DataFrame = {
+    val uc = ratings.groupBy("doc_id", "cat").agg(count(lit(1)).as("n_uc"))
+    val units = uc.groupBy("doc_id")
+      .agg(sum("n_uc").as("m_u"), sum(col("n_uc") * col("n_uc")).as("ss_u"))
+      .where(col("m_u") >= 2) // a unit one rater saw carries no pair
+    val w = units.agg(
+      sum(expr("(2 * (m_u * m_u - ss_u)) div (m_u - 1)")).as("w_num"),
+      sum("m_u").as("n_ratings"),
+      count(lit(1)).as("n_units"))
+    val marg = uc.join(units.select("doc_id"), "doc_id")
+      .groupBy("cat").agg(sum("n_uc").as("n_c"))
+    val e = marg.agg(
+      (sum(col("n_c")) * sum(col("n_c")) - sum(col("n_c") * col("n_c")))
+        .as("e_num"))
+    w.crossJoin(broadcast(e))
+      .select(col("n_units"), col("n_ratings"),
+        expr(s"($Ppm * w_num) div (2 * n_ratings)").as("do_ppm"),
+        expr(s"($Ppm * e_num) div (n_ratings * (n_ratings - 1))").as("de_ppm"),
+        expr(s"($Ppm * (2 * e_num - (n_ratings - 1) * w_num)) div (2 * e_num)")
+          .as("alpha_ppm"))
+  }
+
   /** Kernel of [[labelAgreement]] over any (lang, pred_lang) pair
     * frame — spec-testable on planted confusion matrices. */
   private[graft] def labelAgreementOf(preds: DataFrame): DataFrame = {

@@ -30,6 +30,37 @@ class FusionCurationSpec extends SparkSpec {
     assert(r.getLong(4) < r.getLong(2), "kappa sits below raw agreement")
   }
 
+  test("krippendorff alpha: perfect panels score 10^6, textbook zero case reads zero") {
+    // three raters, full agreement on every unit
+    val perfect = (0L until 20L).flatMap(u =>
+      Seq.fill(3)((u, (u % 3).toInt))).toDF("doc_id", "cat")
+    val p = TextOps.alphaOf(perfect).collect()(0)
+    assert(p.getLong(0) == 20L && p.getLong(1) == 60L)
+    assert(p.getLong(2) == 0L, "Do = 0 under perfect agreement")
+    assert(p.getLong(4) == 1000000L)
+    // textbook zero: u1 {0,0}, u2 {0,1} -> W=4, n=4, E=6, alpha = 0/12
+    val zero = Seq((1L, 0), (1L, 0), (2L, 0), (2L, 1)).toDF("doc_id", "cat")
+    val z = TextOps.alphaOf(zero).collect()(0)
+    assert(z.getLong(0) == 2L && z.getLong(1) == 4L)
+    assert(z.getLong(2) == 500000L && z.getLong(3) == 500000L)
+    assert(z.getLong(4) == 0L)
+  }
+
+  test("krippendorff alpha: missing ratings — singleton units carry no pair") {
+    // u1 rated by all 3 (agreeing), u2 by 2 (agreeing), u3 by ONE rater
+    // (must drop: a lone rating has no coincidence) — and a disagreeing
+    // mixed-size pair to keep alpha strictly inside (0, 1)
+    val ratings = (Seq.fill(3)((1L, 0)) ++ Seq.fill(2)((2L, 1)) ++
+      Seq((3L, 2)) ++ Seq((4L, 0), (4L, 1), (4L, 1))).toDF("doc_id", "cat")
+    val r = TextOps.alphaOf(ratings).collect()(0)
+    // units kept: 1 (m=3), 2 (m=2), 4 (m=3); unit 3 dropped
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L)
+    // W = 2*0/2 + 2*0/1 + 2*(9-5)/2 = 4; E = 64 - (16+16+0) = 32
+    // alpha = (64 - 7*4)/64 = 36/64
+    assert(r.getLong(4) == 562500L)
+    assert(r.getLong(4) > 0L && r.getLong(4) < 1000000L)
+  }
+
   test("calibration: perfect scores read zero ECE, inverted scores read the full gap") {
     // perfectly calibrated: in each decile bin, accuracy == confidence
     // (conf 250000 -> 1 of 4 correct; conf 750000 -> 3 of 4)
