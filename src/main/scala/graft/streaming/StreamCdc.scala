@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.etl.TxParquetSink
 
 /** STREAMED CDC CONSUMER — the downstream half of the sink's change
@@ -99,6 +100,24 @@ object StreamCdc {
     view.readSnapshot(spark).get
       .where(col("store_id") >= 0 && col("n_rows") > 0)
       .select("store_id", "cents_total", "n_rows")
+
+  /** The real streaming query: any trigger stream (a rate source, a
+    * notification topic — tick CONTENT is ignored, arrival is the
+    * signal) drives one [[applyTick]] per micro-batch. Exactly-once
+    * needs nothing from the checkpoint: the cursor lives in the view's
+    * own commits, so a redelivered or replayed batch re-reads an
+    * already-advanced cursor and applies nothing — the
+    * [[graft.etl.TxParquetSink]] sink-side twin of Spark's
+    * source-side offset tracking. */
+  def run(spark: SparkSession, ticks: DataFrame, source: TxParquetSink,
+      view: TxParquetSink, checkpointDir: String): StreamingQuery =
+    ticks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyTick(spark, source, view); ()
+      }
+      .start()
 
   /** Oracle-checkable REPLAY over the [[graft.etl.EtlQueries
     * .txChangeFeed]] lifecycle (per-year appends → a partition

@@ -64,6 +64,30 @@ class StreamCdcSpec extends SparkSpec {
     assert(served(view) == Map(1L -> (210L, 2L)))
   }
 
+  test("real tick stream: redelivered and idle ticks converge to the recomputed truth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val (src, view) = pair()
+    src.append(rows(("m1", 1L, 100L), ("m1", 2L, 50L)))
+    val ticks = MemoryStream[Int]
+    val q = StreamCdc.run(spark, ticks.toDF(), src, view,
+      java.nio.file.Files.createTempDirectory("cdc-ckpt").toString)
+    try {
+      ticks.addData(1); q.processAllAvailable()
+      assert(served(view) == Map(1L -> (100L, 1L), 2L -> (50L, 1L)))
+      // idle ticks (no source news): views must not churn versions
+      val v = view.version()
+      ticks.addData(2, 3); q.processAllAvailable()
+      assert(view.version() == v)
+      // catch-up: two source commits between ticks
+      src.overwritePartitions(spark,
+        rows(("m1", 1L, 200L), ("m1", 2L, 50L)), Seq("month"))
+      src.deleteWhere(spark, "store_id = 2")
+      ticks.addData(4); q.processAllAvailable()
+      assert(served(view) == Map(1L -> (200L, 1L)))
+    } finally q.stop()
+  }
+
   test("a key deleted and re-inserted across ticks resurrects cleanly") {
     val (src, view) = pair()
     src.append(rows(("m1", 7L, 70L)))
