@@ -4010,8 +4010,9 @@ object ExtOracleSql {
        |SELECT n_units, n_ratings,
        |  (${TextOps.Ppm} * w_num) // (2 * n_ratings) AS do_ppm,
        |  (${TextOps.Ppm} * e_num) // (n_ratings * (n_ratings - 1)) AS de_ppm,
-       |  (${TextOps.Ppm} * (2 * e_num - (n_ratings - 1) * w_num)) //
-       |    (2 * e_num) AS alpha_ppm
+       |  CASE WHEN e_num = 0 THEN NULL ELSE
+       |    (${TextOps.Ppm} * (2 * e_num - (n_ratings - 1) * w_num)) //
+       |      (2 * e_num) END AS alpha_ppm
        |FROM w, e""".stripMargin
   }
 

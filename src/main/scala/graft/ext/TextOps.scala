@@ -1248,12 +1248,16 @@ object TextOps {
     val e = marg.agg(
       (sum(col("n_c")) * sum(col("n_c")) - sum(col("n_c") * col("n_c")))
         .as("e_num"))
+    // e_num = 0 (every kept rating in ONE category) leaves alpha
+    // undefined — chance agreement is total, there is nothing to
+    // correct against; emit NULL rather than an ANSI divide-by-zero
     w.crossJoin(broadcast(e))
       .select(col("n_units"), col("n_ratings"),
         expr(s"($Ppm * w_num) div (2 * n_ratings)").as("do_ppm"),
         expr(s"($Ppm * e_num) div (n_ratings * (n_ratings - 1))").as("de_ppm"),
-        expr(s"($Ppm * (2 * e_num - (n_ratings - 1) * w_num)) div (2 * e_num)")
-          .as("alpha_ppm"))
+        expr(s"CASE WHEN e_num = 0 THEN NULL ELSE " +
+          s"($Ppm * (2 * e_num - (n_ratings - 1) * w_num)) div (2 * e_num) " +
+          "END").as("alpha_ppm"))
   }
 
   /** Kernel of [[labelAgreement]] over any (lang, pred_lang) pair

@@ -46,6 +46,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("krippendorff alpha is invariant under unit and category relabeling") {
+    // random ≤3-rater panels over ≤3 categories; alpha must not move
+    // under a bijective renaming of units or categories, and must sit
+    // at or below exact 10^6 (perfect agreement) whenever defined
+    val panelGen: Gen[List[(Long, Int)]] = for {
+      nUnits <- Gen.choose(2, 8)
+      ratings <- Gen.sequence[List[List[(Long, Int)]], List[(Long, Int)]](
+        (1 to nUnits).toList.map { u =>
+          for {
+            m <- Gen.choose(1, 3)
+            cats <- Gen.listOfN(m, Gen.choose(0, 2))
+          } yield cats.map(c => (u.toLong, c))
+        })
+    } yield ratings.flatten
+    check(Prop.forAll(panelGen, Gen.choose(1, 5)) { (panel, seed) =>
+      def alpha(rs: List[(Long, Int)]): Option[Seq[Long]] = {
+        val rows = graft.ext.TextOps.alphaOf(rs.toDF("doc_id", "cat")).collect()
+        // a panel with no pairable unit or a degenerate E yields no
+        // meaningful row — treat 0-unit results as undefined
+        rows.headOption
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(4) && r.getLong(1) >= 2)
+          .map(r => (0 to 4).map(r.getLong))
+      }
+      val unitMap: Long => Long = u => u * 31L % 97L
+      val catMap: Int => Int = c => (c + seed) % 3
+      val base = alpha(panel)
+      val renamedUnits = alpha(panel.map { case (u, c) => (unitMap(u), c) })
+      val renamedCats = alpha(panel.map { case (u, c) => (u, catMap(c)) })
+      val bounded = base.forall(r => r(4) <= 1000000L)
+      base == renamedUnits && base == renamedCats && bounded
+    })
+  }
+
   test("decimal aggregation is order- and partitioning-independent") {
     val amounts = Gen.listOfN(50, Gen.choose(-99999L, 99999L))
     check(Prop.forAll(amounts, Gen.choose(1, 8)) { (cents, parts) =>
