@@ -2093,6 +2093,37 @@ object EtlOracleSql {
       |SELECT month, store_id, cents FROM monthly
       |ORDER BY month, store_id""".stripMargin)
 
+  /** DESCRIBE-HISTORY twin: the lifecycle's audit log derived
+    * declaratively — append versions by year rank with the year's
+    * group count, the overwrite at version n with the last month's
+    * count, the O(1) delete at n+1 with zero rows and zero files. */
+  val txHistory: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |peryear AS (
+      |  SELECT substring(month, 1, 4) AS y, CAST(count(*) AS BIGINT) AS n
+      |  FROM monthly GROUP BY 1
+      |),
+      |ny AS (SELECT CAST(count(*) AS BIGINT) AS n FROM peryear),
+      |lastm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM monthly
+      |  WHERE month = (SELECT max(month) FROM monthly)
+      |)
+      |SELECT version, operation, n_rows, n_files FROM (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY y) - 1 AS BIGINT) AS version,
+      |         'append' AS operation, n AS n_rows, CAST(1 AS BIGINT) AS n_files
+      |  FROM peryear
+      |  UNION ALL
+      |  SELECT (SELECT n FROM ny), 'overwrite', (SELECT n FROM lastm),
+      |         CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT (SELECT n FROM ny) + 1, 'delete', CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT)
+      |)
+      |ORDER BY version""".stripMargin)
+
   /** Max-drawdown twin: the same running-max / earliest-trough /
     * first-recovery window algebra over exact integer cents. */
   val maxDrawdown: String = star(

@@ -2673,6 +2673,28 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** DESCRIBE-HISTORY round trip — [[TxParquetSink.history]] over the
+    * standard lifecycle (per-year appends → last-month restatement →
+    * predicate delete): the audit log's versions, operation kinds, and
+    * per-commit row counts are DETERMINISTIC functions of the data
+    * (append rows = the year's group count, the overwrite's = the last
+    * month's, the delete's = 0 — an O(1) metadata commit), so the
+    * DuckDB twin derives the exact same table declaratively and the
+    * hash gate proves the audit surface reports what actually
+    * happened — the history can't drift from the commits because it IS
+    * the commits. */
+  def txHistory(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txhist").toString + "/t")
+    val monthly = monthlyCentsByYear(spark, dir, t)
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val restated = monthly.where(col("month") === lit(lastMonth))
+      .withColumn("cents", (col("cents") * 2).cast("long"))
+    t.overwritePartitions(spark, restated, Seq("month"))
+    t.deleteWhere(spark, "store_id % 7 = 3")
+    t.history(spark).orderBy("version")
+  }
+
   /** Shared load: the monthly-cents rollup appended into `t` one
     * commit per year (the tx-family lifecycle base); returns the
     * rollup frame for follow-up batches. */

@@ -801,6 +801,27 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     cs.flatMap(_._2.files).map(f => root.resolve(f).toString)
   }
 
+  /** DESCRIBE HISTORY — the commit log as a queryable frame (version,
+    * operation kind, row count, file count): the audit surface every
+    * table format exposes, derived purely from the manifests (nothing
+    * extra recorded at commit time — the kind is READ OFF the
+    * manifest's shape, so history can never disagree with what readers
+    * actually resolve). Driver-side O(commits) metadata; rows below
+    * the truncation horizon disappear with their manifests, exactly
+    * like every other history reader. */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    commits().map { case (v, m) =>
+      val kind =
+        if (m.base) "base"
+        else if (m.deletePred.nonEmpty) "delete"
+        else if (m.replaceCols.nonEmpty) "overwrite"
+        else if (m.txn.nonEmpty) "append_txn"
+        else "append"
+      (v, kind, m.rows, m.files.size.toLong)
+    }.toDF("version", "operation", "n_rows", "n_files")
+  }
+
   /** CHECK-constraint registry file: `name=<urlencoded sql>` lines,
     * rewritten atomically (temp + rename) like the base pointer. */
   private val constraintsFile: Path = logDir.resolve("_constraints")

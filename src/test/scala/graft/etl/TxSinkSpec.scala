@@ -1171,6 +1171,25 @@ class TxSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table().exportManifest() }
   }
 
+  test("history reads every operation kind off the manifest shape") {
+    val t = table()
+    t.append(batch("A" -> "a"))
+    t.appendIdempotent(batch("B" -> "b"), "app", 0L)
+    t.overwritePartitions(spark, batch("A" -> "a2"), Seq("product_id"))
+    t.deleteWhere(spark, "product_id = 'B'")
+    t.compact(spark)
+    val h = t.history(spark)
+      .select("version", "operation", "n_rows", "n_files")
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(h.map(_._2) ==
+      Seq("append", "append_txn", "overwrite", "delete", "base"))
+    assert(h(3)._3 == 0L && h(3)._4 == 0L, "delete is a zero-row commit")
+    // truncation trims history like every other reader
+    t.truncateHistory()
+    assert(t.history(spark).select("operation").as[String].collect().toSeq
+      == Seq("base"))
+  }
+
   test("constraints survive a shallow clone") {
     val src = table()
     src.addConstraint(spark, "id_nonempty", "length(product_id) > 0")
