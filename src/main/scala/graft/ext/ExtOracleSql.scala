@@ -1627,6 +1627,53 @@ object ExtOracleSql {
        |GROUP BY pct, n_docs
        |ORDER BY pct""".stripMargin
 
+  /** Bottom-k-by-hash quantile-sketch twin
+    * ([[SketchOps.quantileSketch]]): the sample is the window spelling
+    * of the engine's bounded TopK aggregate — the k smallest
+    * (h, doc_id) per source — and estimate, exact rank, and error ppm
+    * repeat the identical integer algebra (nearest-rank `//` indexing,
+    * conditional count, ppm floor division). Shared by the one-shot
+    * `ext_sketch_quantiles` row and the incremental replay
+    * `stream_quantile_sketch` ([[graft.streaming.StreamQuantile]]):
+    * one twin gating both is what proves incremental ≡ batch. */
+  val sketchQuantiles: String = {
+    val k = SketchOps.QuantK
+    val qs = SketchOps.QuantQs.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+       |         ${h32("'qsk:' || CAST(doc_id AS VARCHAR)", "qk")} AS h
+       |  FROM documents
+       |),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+       |r AS (
+       |  SELECT source, v,
+       |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM d
+       |),
+       |sk AS (
+       |  SELECT source, list(v ORDER BY v) AS vs, CAST(count(*) AS BIGINT) AS m_sample
+       |  FROM r WHERE rn <= $k GROUP BY 1
+       |),
+       |qq AS (SELECT unnest([$qs]) AS q),
+       |est AS (
+       |  SELECT sk.source, qq.q, sk.m_sample,
+       |         vs[CAST((qq.q * sk.m_sample + 99) // 100 AS BIGINT)] AS est_len
+       |  FROM sk CROSS JOIN qq
+       |),
+       |rk AS (
+       |  SELECT est.source, est.q, est.m_sample, est.est_len,
+       |         CAST(count(*) FILTER (WHERE d.v <= est.est_len) AS BIGINT) AS cnt_le
+       |  FROM est JOIN d ON d.source = est.source
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT rk.source, rk.q, nd.n_docs, rk.m_sample, rk.est_len,
+       |       (1000000 * rk.cnt_le) // nd.n_docs AS rank_ppm,
+       |       abs((1000000 * rk.cnt_le) // nd.n_docs
+       |           - CAST(rk.q AS BIGINT) * 10000) AS err_ppm
+       |FROM rk JOIN nd USING (source)
+       |ORDER BY source, q""".stripMargin
+  }
+
   /** PageRank twin: the identical fixed-point integer power iteration,
     * unrolled as a CTE chain (one CTE per iteration — the oracle favors
     * readability; the Spark side loops). Every arithmetic step is bigint

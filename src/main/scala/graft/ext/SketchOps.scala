@@ -475,4 +475,100 @@ object SketchOps {
       .select("batch", "rank", "term", "s")
       .orderBy("batch", "rank")
   }
+
+  // ---- bottom-k-by-hash quantile sketch ----------------------------------
+
+  /** Sample bound per group for [[quantileSketch]]. The k rows with the
+    * SMALLEST md5-contract hash of their unique key are a uniform
+    * deterministic sample, so every quantile's rank error is
+    * DKW-bounded by √(ln(2/δ)/2k) REGARDLESS of group size — at k=256,
+    * ±7.5 % rank error at 95 % confidence. Shared with the oracle
+    * twin's window spelling. */
+  val QuantK = 256
+
+  /** Reported quantiles (percent), shared with the twin. */
+  val QuantQs: Seq[Int] = Seq(25, 50, 90, 99)
+
+  /** The sketch input rows: one (source, doc_id, v, h) per document,
+    * v = n_chars (the profiled value), h = md5-contract hash of the
+    * unique key — the coin flip both engines toss identically. */
+  private[graft] def quantRows(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+      col("n_chars").cast("long").as("v"),
+      TextOps.h32(concat(lit("qsk:"), col("doc_id").cast("string"))).as("h"))
+
+  /** Per-group sketch in CANONICAL form: the ≤ k sample tuples as an
+    * ascending (h, d, v) struct array. Built with the bounded
+    * [[graft.functions.TopK]] aggregate (O(k) heap state, map-side
+    * partial merge — no per-group sort of the corpus anywhere); kept
+    * smallest-(h, doc_id) via negated ordering fields, then re-negated
+    * into the canonical ascending array. The canonical form is what
+    * makes the sketch MERGEABLE by pure array algebra:
+    * `slice(array_sort(flatten(...)), 1, k)` of any batch partition of
+    * the corpus reproduces this exact array ([[graft.streaming.StreamQuantile]]'s
+    * maintenance contract). */
+  private[graft] def quantSketchOf(rows: DataFrame, k: Int = QuantK): DataFrame = {
+    val tk = graft.functions.TopK.topKBy(
+      struct((-col("h")).as("nh"), (-col("doc_id")).as("nd"), col("v")), k)
+    rows.groupBy("source").agg(tk.as("tk"))
+      .select(col("source"), expr(
+        "array_sort(transform(tk, x -> named_struct('h', -x.nh, 'd', -x.nd, 'v', x.v)))")
+        .as("sk"))
+  }
+
+  /** Quantile readout + self-audit over a canonical sketch: for each
+    * group and each q ∈ [[QuantQs]], the nearest-rank estimate from
+    * the sample (`element_at` of the sample's sorted values — pure
+    * integer indexing, no interpolation doubles) sits next to the
+    * estimate's EXACT rank in the full group (one conditional-count
+    * aggregate — bounded, never a per-group sort or collect) and the
+    * absolute rank error in ppm. The audit is how an approximate
+    * operator earns a full hash gate: both engines derive estimate AND
+    * error from the same integer algebra, so the error column is
+    * VERIFIED, not trusted. */
+  private[graft] def quantReadout(rows: DataFrame, sketch: DataFrame): DataFrame = {
+    val n = rows.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val est = sketch
+      .withColumn("m_sample", size(col("sk")).cast("long"))
+      .withColumn("vs", expr("array_sort(transform(sk, x -> x.v))"))
+      .withColumn("q", explode(typedLit(QuantQs)))
+      .withColumn("est_len",
+        expr("element_at(vs, CAST((q * m_sample + 99) DIV 100 AS INT))"))
+      .select("source", "q", "m_sample", "est_len")
+    rows.join(broadcast(est), Seq("source"))
+      .groupBy("source", "q", "m_sample", "est_len")
+      .agg(count(when(col("v") <= col("est_len"), 1)).as("cnt_le"))
+      .join(broadcast(n), Seq("source"))
+      .withColumn("rank_ppm", expr("(1000000 * cnt_le) DIV n_docs"))
+      .withColumn("err_ppm", abs(col("rank_ppm") - col("q").cast("long") * 10000L))
+      .select("source", "q", "n_docs", "m_sample", "est_len", "rank_ppm", "err_ppm")
+      .orderBy("source", "q")
+  }
+
+  /** Per-source document-length quantiles from a BOTTOM-K-BY-HASH
+    * sample — the third member of the engine's quantile family and the
+    * one that scales without preconditions: [[graft.olap.Queries]]'
+    * exact `percentile` needs bounded group cardinality,
+    * [[TextOps.lengthHistQuantiles]]' fixed-bin histogram needs a
+    * bounded VALUE DOMAIN (its state is max(v)/binWidth counters and
+    * its error is the bin width); the bottom-k sample needs neither —
+    * O(k) state per group, rank error DKW-bounded by the sample size
+    * alone, any comparable value domain. It is also the only one of
+    * the three whose state is a MERGEABLE synopsis (bottom-k-by-hash
+    * is a semilattice: merge = union-then-truncate, exactly KMV's
+    * algebra over rows instead of distinct values), so per-day
+    * sketches roll up to per-month and a streaming sink maintains it
+    * incrementally ([[graft.streaming.StreamQuantile]]) — the property neither the
+    * exact sort nor the histogram offers.
+    *
+    * Determinism: the md5-contract hash is the sample's coin flip, so
+    * the sample — and therefore estimate and audited error — is
+    * bit-reproducible in the DuckDB twin (window spelling: the k
+    * smallest (h, doc_id) per group). Scale: one bounded TopK
+    * aggregate + one conditional-count aggregate over the corpus; the
+    * shuffle carries O(groups × k) tuples. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val rows = quantRows(TextOps.docs(spark, dir))
+    quantReadout(rows, quantSketchOf(rows))
+  }
 }
