@@ -113,7 +113,11 @@ object ScaleBench {
     // generation-2 retrain (Θ(n·√n) Lloyd, the family's heaviest)
     "etl_tx_delete_compacted", "etl_tx_cdf_apply", "etl_tx_upsert_scd1",
     "etl_tx_constraints", "etl_tx_restore", "etl_tx_idempotent",
-    "etl_tx_export", "stream_ann_retrain")
+    "etl_tx_export", "stream_ann_retrain",
+    // round-9 post-close: the mergeable quantile sketch (one bounded
+    // TopK + one conditional-count corpus aggregate) and its
+    // incremental replay
+    "ext_sketch_quantiles", "stream_quantile_sketch")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
