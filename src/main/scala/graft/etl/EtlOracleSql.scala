@@ -1457,6 +1457,67 @@ object EtlOracleSql {
          |ORDER BY a.store_id, year, month""".stripMargin)
   }
 
+  /** Seasonal-decomposition twin: the same 2×12 centered MA (half
+    * weight at |i| = 6, complete-window HAVING), per-moy index and
+    * centering via the shared [[EtlQueries.floorDiv]] spelling with
+    * `//` — the numerator-shift trick makes floor and truncation
+    * agree, so the engines' one integer-division disagreement never
+    * reaches the data. */
+  val seasonalDecompose: String = {
+    def fd(a: String, b: String) = EtlQueries.floorDiv(a, b, "//")
+    star(
+      s""", monthly AS (
+         |  SELECT store_id,
+         |         CAST(year(time_id) AS INT) * 12 +
+         |           CAST(month(time_id) AS INT) AS x,
+         |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM sales_fact GROUP BY 1, 2
+         |),
+         |contrib AS (
+         |  SELECT store_id, x + i AS wx, y,
+         |         CASE WHEN abs(i) = 6 THEN CAST(500 AS BIGINT)
+         |              ELSE CAST(1000 AS BIGINT) END AS w
+         |  FROM monthly CROSS JOIN (SELECT unnest(generate_series(-6, 6)) AS i)
+         |),
+         |trend AS (
+         |  SELECT store_id, wx AS x,
+         |         CAST(sum(y * w) AS BIGINT) // 12 AS trend_milli
+         |  FROM contrib GROUP BY store_id, wx HAVING count(*) = 13
+         |),
+         |det AS (
+         |  SELECT m.store_id, m.x, m.y, t.trend_milli,
+         |         m.y * 1000 - t.trend_milli AS det_milli
+         |  FROM monthly m
+         |  LEFT JOIN trend t ON t.store_id = m.store_id AND t.x = m.x
+         |),
+         |idx AS (
+         |  SELECT store_id, CAST((x - 1) % 12 + 1 AS INT) AS moy,
+         |         CAST(sum(det_milli) AS BIGINT) AS sdet,
+         |         CAST(count(*) AS BIGINT) AS nmoy
+         |  FROM det WHERE trend_milli IS NOT NULL GROUP BY 1, 2
+         |),
+         |idx2 AS (
+         |  SELECT store_id, moy, ${fd("sdet", "nmoy")} AS s_raw FROM idx
+         |),
+         |adj AS (
+         |  SELECT store_id, ${fd("CAST(sum(s_raw) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS s_adj
+         |  FROM idx2 GROUP BY 1
+         |),
+         |seasonal AS (
+         |  SELECT i.store_id, i.moy, i.s_raw - a.s_adj AS seasonal_milli
+         |  FROM idx2 i JOIN adj a USING (store_id)
+         |)
+         |SELECT d.store_id,
+         |       CAST((d.x - 1) // 12 AS INT) AS year,
+         |       CAST((d.x - 1) % 12 + 1 AS INT) AS month,
+         |       d.y AS cents, d.trend_milli, s.seasonal_milli,
+         |       d.det_milli - s.seasonal_milli AS remainder_milli
+         |FROM det d
+         |LEFT JOIN seasonal s
+         |  ON s.store_id = d.store_id AND s.moy = CAST((d.x - 1) % 12 + 1 AS INT)
+         |ORDER BY d.store_id, year, month""".stripMargin)
+  }
+
   /** Transition twin: the same (ts, event_id)-ordered lag per user. */
   val eventTransitions: String =
     """SELECT prev_type, event_type, count(*) AS n_transitions

@@ -563,6 +563,83 @@ object EtlQueries {
   /** Truncated EWMA span in months — shared with the oracle twin. */
   val EwmaSpan = 6
 
+  /** Explicit floor division as a shared SQL spelling — Spark `div`
+    * TRUNCATES toward zero while DuckDB `//` FLOORS, so any integer
+    * division whose numerator can go negative must not use either
+    * bare: subtracting the positive remainder (`((a % b) + b) % b` —
+    * both engines' `%` carries the dividend's sign, so this is the
+    * canonical positive mod in both) makes the numerator exactly
+    * divisible, where truncation and floor agree. `op` is `DIV`
+    * (Spark) or `//` (DuckDB); everything else is textually shared. */
+  def floorDiv(a: String, b: String, op: String): String =
+    s"(($a - ((($a % $b) + $b) % $b)) $op $b)"
+
+  /** Additive seasonal decomposition of each store's monthly revenue —
+    * cents = trend + seasonal + remainder, the classical decomposition
+    * a demand planner reads before trusting any month-over-month
+    * delta: TREND is the 2×12 centered moving average (half weight on
+    * the two end months, so the window spans exactly one calendar
+    * period and a pure-seasonal series decomposes to a flat trend),
+    * defined only where all 13 surrounding months exist — edges stay
+    * NULL rather than fabricating a padded average; SEASONAL is the
+    * per month-of-year mean of the detrended interior, centered so the
+    * twelve indices sum to ~0 (within one floor per index) and the
+    * trend keeps the level; REMAINDER is what neither explains.
+    *
+    * Everything is EXACT integer milli-cents. The two divisions whose
+    * numerators can go negative (the seasonal index and its centering
+    * mean) use the [[floorDiv]] spelling shared verbatim with the
+    * twin; the trend division sees only nonnegative revenue sums.
+    *
+    * Plan shape: the [[ewmaTrend]] explode trick — each monthly row
+    * fans out to the ≤ 13 windows it weights into (bounded, on the
+    * store×month table, never the fact), then two dimension-bounded
+    * groupBys (store×12, store) and broadcast joins back. No windows,
+    * nothing grows past store × calendar at any fact volume. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecomposeMonthly(Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("x"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("y")))
+
+  /** The decomposition core over a prepared (store_id, x, y) monthly
+    * frame — split out so the spec can hand it a constructed series
+    * whose exact decomposition is known in closed form. */
+  private[graft] def seasonalDecomposeMonthly(monthly: DataFrame): DataFrame = {
+    val contrib = monthly.select(col("store_id"), col("x"),
+        explode(expr("sequence(x - 6, x + 6)")).as("wx"), col("y"))
+      .withColumn("w",
+        when(abs(col("wx") - col("x")) === lit(6), lit(500L)).otherwise(lit(1000L)))
+    val trend = contrib.groupBy("store_id", "wx")
+      .agg(count(lit(1)).as("n13"), sum(col("y") * col("w")).as("num"))
+      .where(col("n13") === 13)
+      .select(col("store_id"), col("wx").as("x"),
+        expr("num DIV 12").as("trend_milli"))
+    val det = monthly.join(trend, Seq("store_id", "x"), "left")
+      .withColumn("det_milli", col("y") * lit(1000L) - col("trend_milli"))
+    val idx = det.where(col("trend_milli").isNotNull)
+      .groupBy(col("store_id"), expr("CAST((x - 1) % 12 + 1 AS INT)").as("moy"))
+      .agg(sum("det_milli").as("sdet"), count(lit(1)).as("nmoy"))
+      .withColumn("s_raw", expr(floorDiv("sdet", "nmoy", "DIV")))
+    val adj = idx.groupBy("store_id")
+      .agg(sum("s_raw").as("ssum"), count(lit(1)).as("nidx"))
+      .withColumn("s_adj", expr(floorDiv("ssum", "nidx", "DIV")))
+    val seasonal = idx.join(adj, "store_id")
+      .select(col("store_id"), col("moy"),
+        (col("s_raw") - col("s_adj")).as("seasonal_milli"))
+    det.withColumn("moy", expr("CAST((x - 1) % 12 + 1 AS INT)"))
+      .join(broadcast(seasonal), Seq("store_id", "moy"), "left")
+      .select(col("store_id"),
+        expr("CAST((x - 1) DIV 12 AS INT)").as("year"),
+        expr("CAST((x - 1) % 12 + 1 AS INT)").as("month"),
+        col("y").as("cents"),
+        col("trend_milli"),
+        col("seasonal_milli"),
+        (col("det_milli") - col("seasonal_milli")).as("remainder_milli"))
+      .orderBy("store_id", "year", "month")
+  }
+
   /** Exponentially-weighted trailing revenue average per store-month —
     * the smoothing a demand planner lays over the raw series (reacts
     * faster than the rolling median, weights recency explicitly). The
