@@ -1256,6 +1256,17 @@ object EtlOracleSql {
       |GROUP BY 1, 2
       |ORDER BY store_id, time_id""".stripMargin)
 
+  /** Join-view IVM twin: the full-recompute γ(L ⋈ O) the three-term
+    * delta refresh must reproduce — hash equality IS the delta rule. */
+  val ivmJoinRefresh: String =
+    """SELECT o_orderpriority,
+      |       CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_ym,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY o_orderpriority, ship_ym""".stripMargin
+
   /** χ²-independence twin: the same zero-filled segment×priority grid
     * and the shared cell expression. */
   val chi2Independence: String =

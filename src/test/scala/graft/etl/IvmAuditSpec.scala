@@ -62,6 +62,53 @@ class IvmAuditSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("ivm join rule: all three delta terms are exercised and the wrong rules fail") {
+    // the carve populations: each old/new combination must be nonempty,
+    // otherwise the hash gate proves a degenerate rule
+    val o = Star.table(spark, sfSmoke, "orders")
+    val l = Star.table(spark, sfSmoke, "lineitem")
+    def n(lp: String, op: String): Long =
+      l.where(lp).join(o.where(op),
+        col("l_orderkey") === col("o_orderkey")).count()
+    val (dLoO, oLdO, dLdO) = (
+      n("l_orderkey % 5 = 1", "o_orderkey % 7 != 3"),
+      n("l_orderkey % 5 != 1", "o_orderkey % 7 = 3"),
+      n("l_orderkey % 5 = 1", "o_orderkey % 7 = 3"))
+    assert(dLoO > 0 && oLdO > 0 && dLdO > 0,
+      s"every delta term must be live: $dLoO / $oLdO / $dLdO")
+
+    val full = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)").as("ship_ym"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority", "ship_ym").collect().toSeq
+    // the correct three-term refresh reproduces the recompute...
+    assert(Ivm.ivmJoinRefresh(spark, sfSmoke).collect().toSeq == full)
+    // ...and dropping the cross term visibly breaks it (rows missing),
+    // proving the gate distinguishes the rules
+    val broken = Ivm.joinMvBase(spark, sfSmoke)
+      .unionByName(l.where("l_orderkey % 5 = 1")
+        .join(o.where("o_orderkey % 7 != 3"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)").as("ship_ym"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+          count(lit(1)).as("n_rows")))
+      .unionByName(l.where("l_orderkey % 5 != 1")
+        .join(o.where("o_orderkey % 7 = 3"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)").as("ship_ym"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+          count(lit(1)).as("n_rows")))
+      .groupBy("o_orderpriority", "ship_ym")
+      .agg(sum("cents").as("cents"), sum("n_rows").as("n_rows"))
+      .agg(sum("n_rows")).head.getLong(0)
+    assert(broken == full.map(_.getLong(3)).sum - dLdO,
+      "dropping the cross term must miss exactly the both-new pairs")
+  }
+
   test("ivm deletes: a negated delta retracts exactly the deleted day's rows") {
     // the scaladoc claims the same merge expression handles deletes as
     // negated deltas — checked here: stream the fact in, then retract
