@@ -117,7 +117,10 @@ object ScaleBench {
     // round-9 post-close: the mergeable quantile sketch (one bounded
     // TopK + one conditional-count corpus aggregate) and its
     // incremental replay
-    "ext_sketch_quantiles", "stream_quantile_sketch")
+    "ext_sketch_quantiles", "stream_quantile_sketch",
+    // round-9 post-close second leg: one fact scan + calendar-bounded
+    // decomposition; the three delta-term joins of the join-IVM rule
+    "etl_seasonal_decompose", "etl_ivm_join")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
