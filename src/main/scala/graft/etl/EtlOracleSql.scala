@@ -2165,6 +2165,70 @@ object EtlOracleSql {
       |SELECT month, store_id, cents FROM monthly
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Manifest-sketch join-cardinality twin: re-derives BOTH sides —
+    * the KMV sketches from the same md5-contract hashes (the
+    * union-truncate fold across commits equals the global bottom-k, a
+    * semilattice identity, so the twin sketches the whole table in one
+    * window) and the estimates from the same IEEE expression trees
+    * ([[graft.functions.KmvSketchAgg.estimateExpr]]'s CASE, the
+    * match-fraction and uniform-multiplicity planner rules in the same
+    * operation order). */
+  val txJoinCard: String = {
+    def h32d(e: String, sfx: String): String = graft.ext.ExtOracleSql.h32(e, sfx)
+    def est(cnt: String, mx: String): String =
+      s"""CASE WHEN $cnt < 64 THEN CAST($cnt AS DOUBLE)
+         |     ELSE CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |          / CAST($mx AS DOUBLE) END""".stripMargin
+    star(
+      s""", monthly AS (
+         |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+         |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+         |  FROM sales_fact GROUP BY 1, 2
+         |),
+         |ha AS (SELECT DISTINCT ${h32d("CAST(store_id AS VARCHAR)", "ja")} AS h FROM monthly),
+         |hb AS (SELECT DISTINCT ${h32d("CAST(s_nationkey AS VARCHAR)", "jb")} AS h FROM supplier),
+         |hc AS (SELECT DISTINCT ${h32d("CAST(cents AS VARCHAR)", "jc")} AS h FROM monthly),
+         |ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 64),
+         |skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 64),
+         |skc AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hc) WHERE rn <= 64),
+         |ea AS (SELECT ${est("count(*)", "max(h)")} AS d FROM ska),
+         |eb AS (SELECT ${est("count(*)", "max(h)")} AS d FROM skb),
+         |ec AS (SELECT ${est("count(*)", "max(h)")} AS d FROM skc),
+         |uu AS (SELECT h FROM (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT h FROM ska UNION SELECT h FROM skb)) WHERE rn <= 64),
+         |eu AS (SELECT ${est("count(*)", "max(h)")} AS d, CAST(count(*) AS BIGINT) AS usize FROM uu),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m
+         |       FROM uu JOIN ska USING (h) JOIN skb USING (h)),
+         |rows_ AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS ra,
+         |                 (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS rb),
+         |exact AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_match_exact,
+         |         CAST(sum(ca * cb) AS BIGINT) AS join_exact
+         |  FROM (SELECT store_id, CAST(count(*) AS BIGINT) AS ca FROM monthly GROUP BY 1) a
+         |  JOIN (SELECT s_nationkey AS store_id, CAST(count(*) AS BIGINT) AS cb
+         |        FROM supplier GROUP BY 1) b USING (store_id)
+         |),
+         |nmk AS (SELECT (CAST(mm.m AS DOUBLE) / CAST(eu.usize AS DOUBLE)) * eu.d AS v
+         |        FROM mm, eu)
+         |SELECT rows_.ra AS rows_a, rows_.rb AS rows_b,
+         |       (SELECT CAST(count(DISTINCT store_id) AS BIGINT) FROM monthly) AS d_a_exact,
+         |       ea.d AS d_a_kmv,
+         |       (SELECT CAST(count(DISTINCT s_nationkey) AS BIGINT) FROM supplier) AS d_b_exact,
+         |       eb.d AS d_b_kmv,
+         |       (SELECT CAST(count(DISTINCT cents) AS BIGINT) FROM monthly) AS d_cents_exact,
+         |       ec.d AS d_cents_kmv,
+         |       exact.n_match_exact, nmk.v AS n_match_kmv,
+         |       exact.join_exact,
+         |       nmk.v * (CAST(rows_.ra AS DOUBLE) / ea.d)
+         |             * (CAST(rows_.rb AS DOUBLE) / eb.d) AS join_kmv,
+         |       (nmk.v * (CAST(rows_.ra AS DOUBLE) / ea.d)
+         |              * (CAST(rows_.rb AS DOUBLE) / eb.d)
+         |        - CAST(exact.join_exact AS DOUBLE))
+         |         / CAST(exact.join_exact AS DOUBLE) AS rel_err
+         |FROM rows_, ea, eb, ec, eu, mm, exact, nmk""".stripMargin)
+  }
+
   /** DESCRIBE-HISTORY twin: the lifecycle's audit log derived
     * declaratively — append versions by year rank with the year's
     * group count, the overwrite at version n with the last month's

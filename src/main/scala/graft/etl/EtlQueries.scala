@@ -2775,6 +2775,86 @@ object EtlQueries {
   /** Shared load: the monthly-cents rollup appended into `t` one
     * commit per year (the tx-family lifecycle base); returns the
     * rollup frame for follow-up batches. */
+  /** Join-cardinality planning from MANIFESTS ALONE — what a
+    * cost-based planner does before choosing a join strategy at
+    * 100 TB, now answerable for two [[TxParquetSink]] tables with
+    * ZERO data reads: each commit carries per-column KMV sketches
+    * ([[TxParquetSink.appendWithStats]] `sketchCols`), the table-level
+    * sketch is their union-truncate fold ([[TxParquetSink.tableSketch]]
+    * — the bottom-k semilattice makes the fold batching-invariant),
+    * and distinct counts, match count, and join size come out of the
+    * [[graft.ext.SketchOps.joinCardinality]] algebra over 2×64 longs
+    * on the driver. The monthly rollup (per-year commits, store_id +
+    * cents sketched — cents exercises the AT-CAPACITY estimator,
+    * store_id the exact-below-k branch) joins the supplier directory
+    * (two half-commits, nation key sketched); every estimate sits
+    * next to the exact value computed in-engine, and the DuckDB twin
+    * re-derives both sides from the same md5-contract hashes and the
+    * same IEEE expression trees — the planner's numbers are VERIFIED,
+    * not trusted. */
+  def txJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.TxParquetSink.{KmvMins, kmvEstimate, SketchK}
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val suppliers = Star.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("store_id"))
+      .localCheckpoint(true)
+
+    val tA = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txjc-a").toString + "/t")
+    monthly.select(expr("substring(month, 1, 4)").as("y")).distinct()
+      .orderBy("y").collect().map(_.getString(0)).foreach { y =>
+        tA.appendWithStats(
+          monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+          statsCols = Nil, sketchCols = Seq("store_id", "cents"))
+      }
+    val tB = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txjc-b").toString + "/t")
+    Seq(0, 1).foreach { h =>
+      tB.appendWithStats(suppliers.where(col("s_suppkey") % 2 === h),
+        statsCols = Nil, sketchCols = Seq("store_id"))
+    }
+
+    // ---- planner side: manifests only, zero data reads ----
+    val skA = tA.tableSketch("store_id")
+    val skB = tB.tableSketch("store_id")
+    val skC = tA.tableSketch("cents")
+    def rowsOf(t: TxParquetSink): Long =
+      t.history(spark).agg(sum("n_rows")).head().getLong(0)
+    val (rowsA, rowsB) = (rowsOf(tA), rowsOf(tB))
+    val (dA, dB, dC) = (kmvEstimate(skA), kmvEstimate(skB), kmvEstimate(skC))
+    val u = KmvMins(SketchK,
+      (skA.mins ++ skB.mins).distinct.sorted.take(SketchK))
+    val (aSet, bSet) = (skA.mins.toSet, skB.mins.toSet)
+    val m = u.mins.count(h => aSet(h) && bSet(h))
+    val uEst = kmvEstimate(u)
+    val nMatchKmv = (m.toDouble / u.mins.size.toDouble) * uEst
+    val joinKmv =
+      nMatchKmv * (rowsA.toDouble / dA) * (rowsB.toDouble / dB)
+
+    // ---- audit side: the exact values, computed in-engine ----
+    val ex = monthly.groupBy("store_id").agg(count(lit(1)).as("ca"))
+      .join(suppliers.groupBy("store_id").agg(count(lit(1)).as("cb")), "store_id")
+      .agg(count(lit(1)).as("n_match_exact"),
+        sum(col("ca") * col("cb")).as("join_exact"))
+      .head()
+    val dAx = monthly.select("store_id").distinct().count()
+    val dBx = suppliers.select("store_id").distinct().count()
+    val dCx = monthly.select("cents").distinct().count()
+    val joinExact = ex.getLong(1)
+
+    import spark.implicits._
+    Seq((rowsA, rowsB, dAx, dA, dBx, dB, dCx, dC,
+      ex.getLong(0), nMatchKmv, joinExact, joinKmv,
+      (joinKmv - joinExact.toDouble) / joinExact.toDouble))
+      .toDF("rows_a", "rows_b", "d_a_exact", "d_a_kmv", "d_b_exact",
+        "d_b_kmv", "d_cents_exact", "d_cents_kmv", "n_match_exact",
+        "n_match_kmv", "join_exact", "join_kmv", "rel_err")
+  }
+
   private def monthlyCentsByYear(spark: SparkSession, dir: String,
       t: TxParquetSink): DataFrame = {
     val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")

@@ -287,7 +287,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * map-reduce over the batch; every later range read prunes whole
     * commits from the DRIVER, before any scan task launches. */
   def appendWithStats(df: DataFrame, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, sketchCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, min, max, explode, array, pmod, concat, lit}
     import org.apache.spark.sql.types.NumericType
     val spark = df.sparkSession
@@ -326,9 +326,45 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       c -> BloomBits(BloomM, BloomK,
         java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bs.toByteArray))
     }.toMap
+    // per-column KMV sketch: one bounded aggregate fused with the
+    // read-back scan; at most SketchK longs per column reach the driver
+    val sketches = sketchCols.map { c =>
+      val arr = stagedDf
+        .select(graft.ext.TextOps.h32(col(c).cast("string")).as("h"))
+        .agg(graft.functions.KmvSketchAgg.kmvSketch(col("h"), SketchK).as("sk"))
+        .head().getSeq[Long](0)
+      c -> KmvMins(SketchK, arr)
+    }.toMap
     var v = version() + 1
-    while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats, blooms = blooms)))
+    while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats, blooms = blooms,
+      sketches = sketches)))
       v = version() + 1
+  }
+
+  /** The TABLE-level KMV sketch for `column`: the per-commit sketches
+    * union-truncated (the bottom-k semilattice — batching-invariant,
+    * so this equals the sketch of a one-shot load). SOUND only when
+    * every live row is profiled and none is hidden: refuses masked
+    * logs (a delete/overwrite mask would leave ghost values in the
+    * fold — the [[exportManifest]] self-describing discipline) and
+    * logs where any data commit lacks the column's sketch (including
+    * compaction bases, which carry no sketches — re-profile after
+    * OPTIMIZE). Driver-only, O(commits · k); zero data reads. */
+  def tableSketch(column: String): KmvMins = {
+    val cs = commits()
+    require(cs.forall { case (_, m) =>
+      m.deletePred.isEmpty && m.replaceCols.isEmpty },
+      s"tableSketch('$column') on a log with row-hiding masks would " +
+        "profile resurrected values; re-profile the compacted data")
+    val data = cs.map(_._2).filter(m => m.rows > 0)
+    require(data.nonEmpty, "no data commits to profile")
+    require(data.forall(_.sketches.contains(column)),
+      s"every data commit must carry a kmv sketch for '$column' " +
+        "(compaction bases drop sketches — re-profile after OPTIMIZE)")
+    val k = data.head.sketches(column).k
+    require(data.forall(_.sketches(column).k == k),
+      s"mixed sketch sizes for '$column'")
+    KmvMins(k, data.flatMap(_.sketches(column).mins).distinct.sorted.take(k))
   }
 
   /** DATA-SKIPPING range read: the snapshot restricted to commits whose
@@ -1296,8 +1332,34 @@ object TxParquetSink {
       blooms: Map[String, BloomBits] = Map.empty,
       fileStats: Map[String, Map[String, ColStats]] = Map.empty,
       fileBlooms: Map[String, Map[String, BloomBits]] = Map.empty,
+      sketches: Map[String, KmvMins] = Map.empty,
       deletePred: Option[String] = None,
       txn: Option[(String, Long)] = None)
+
+  /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
+    * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
+    * (membership): the k smallest md5-contract hashes of the commit's
+    * distinct values, from which a reader estimates the column's
+    * distinct count — and, across TWO tables, a join's cardinality —
+    * from MANIFESTS ALONE, zero data reads (what a cost-based planner
+    * consults before choosing a join strategy at 100 TB). Bottom-k is
+    * a semilattice, so per-commit sketches union-truncate to exactly
+    * the table-level sketch ([[tableSketch]]) no matter how ingestion
+    * was batched. ~0.5 KiB per column per commit at k = 64. */
+  final case class KmvMins(k: Int, mins: Seq[Long])
+
+  /** Manifest sketch size: [[graft.ext.SketchOps.JoinCardK]]'s 64 —
+    * ±1/√k ≈ 12 % relative error on distinct counts, the planning
+    * accuracy CBOs operate at. */
+  val SketchK: Int = 64
+
+  /** Distinct-count estimate from a folded sketch — the driver-side
+    * mirror of [[graft.functions.KmvSketchAgg.estimateExpr]], same
+    * IEEE ops in the same order (exact below k, `(k−1)·2³²/h_k` at
+    * capacity), so a DuckDB twin reproduces it bit-for-bit. */
+  def kmvEstimate(s: KmvMins): Double =
+    if (s.mins.size < s.k) s.mins.size.toDouble
+    else (s.k - 1).toDouble * 4294967296.0 / s.mins(s.k - 1).toDouble
 
   /** Per-commit BLOOM FILTER over a column's value set — the POINT
     * companion to [[ColStats]]'s range skipping (min/max can't help a
@@ -1369,6 +1431,11 @@ object TxParquetSink {
           s"fbloom=${encodePartition(Seq(f, c, b.m.toString, b.k.toString, b.bits))}"
         }
       } ++
+      // advisory metadata: a reader ignoring kmv= lines loses only the
+      // planning estimate, never data — the append-only-is-safe class
+      m.sketches.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"kmv=${encodePartition(Seq(c, s.k.toString, s.mins.mkString(",")))}"
+      } ++
       // NOT covered by the append-only-is-safe argument above: a reader
       // that ignored delwhere= would RESURRECT deleted rows. The parser
       // below understands it, and no other reader of this log exists;
@@ -1426,6 +1493,15 @@ object TxParquetSink {
       }.groupBy(_._1).map { case (f, rows) =>
         f -> rows.map(r => r._2 -> r._3).toMap
       },
+      kv.collect { case ("kmv", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size >= 2, s"malformed kmv line: $v")
+        val mins =
+          if (parts.size < 3 || parts(2).isEmpty) Nil
+          else parts(2).split(',').toSeq.map(_.toLong)
+        parts(0) -> KmvMins(parts(1).toInt, mins)
+      }.toMap,
       kv.collectFirst { case ("delwhere", v) =>
         java.net.URLDecoder.decode(v, UTF_8.name())
       },

@@ -20,8 +20,9 @@ package graft.ext
 object ExtOracleSql {
 
   /** DuckDB fold: hex prefix of md5(`e`) → BIGINT. Lambda vars are
-    * suffixed to stay hygienic under nesting. */
-  private def h32(e: String, sfx: String = ""): String =
+    * suffixed to stay hygienic under nesting. Shared with the etl
+    * twins that transport the same md5 contract. */
+  private[graft] def h32(e: String, sfx: String = ""): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split(substr(md5($e), 1, 8), ''),
        |    hx$sfx -> CAST(CASE WHEN hx$sfx BETWEEN '0' AND '9'

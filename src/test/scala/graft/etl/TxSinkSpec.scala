@@ -1171,6 +1171,44 @@ class TxSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table().exportManifest() }
   }
 
+  test("manifest kmv sketches: codec round-trip, batching-invariant fold, capacity estimate, refusals") {
+    import TxParquetSink.{KmvMins, kmvEstimate, SketchK}
+    // codec round-trip (including an empty sketch from an all-null column)
+    val m = TxParquetSink.Manifest(3, Seq("f1"),
+      sketches = Map("a" -> KmvMins(SketchK, Seq(5L, 9L, 123456789L)),
+        "b" -> KmvMins(SketchK, Nil)))
+    assert(TxParquetSink.parseManifest(TxParquetSink.renderManifest(m)) == m)
+
+    // 200 distinct keys (> k, exercising the at-capacity estimator)
+    // loaded in three UNEVEN commits with overlap — the fold must equal
+    // the one-shot sketch of the union (semilattice), and the estimate
+    // must land near 200
+    def rows(r: Range) = r.map(i => (s"K$i", s"v$i")).toDF("product_id", "product_name")
+    val t = table()
+    t.appendWithStats(rows(0 until 30), Nil, sketchCols = Seq("product_id"))
+    t.appendWithStats(rows(20 until 150), Nil, sketchCols = Seq("product_id"))
+    t.appendWithStats(rows(150 until 200), Nil, sketchCols = Seq("product_id"))
+    val folded = t.tableSketch("product_id")
+    val one = table()
+    one.appendWithStats(rows(0 until 200), Nil, sketchCols = Seq("product_id"))
+    assert(folded == one.tableSketch("product_id"),
+      "per-commit fold must equal the one-shot sketch")
+    val est = kmvEstimate(folded)
+    // distinct = 220 rows / 200 keys; 1/sqrt(64) ~ 12.5% — allow 3x
+    assert(math.abs(est - 200.0) / 200.0 < 0.4, s"estimate $est too far from 200")
+
+    // a commit without the sketch poisons the fold -> refuse
+    val t2 = table()
+    t2.appendWithStats(rows(0 until 10), Nil, sketchCols = Seq("product_id"))
+    t2.append(rows(10 until 20))
+    intercept[IllegalArgumentException] { t2.tableSketch("product_id") }
+    // a row-hiding mask would resurrect values -> refuse
+    val t3 = table()
+    t3.appendWithStats(rows(0 until 10), Nil, sketchCols = Seq("product_id"))
+    t3.deleteWhere(spark, "product_id = 'K3'")
+    intercept[IllegalArgumentException] { t3.tableSketch("product_id") }
+  }
+
   test("history reads every operation kind off the manifest shape") {
     val t = table()
     t.append(batch("A" -> "a"))
