@@ -1688,6 +1688,23 @@ object EtlOracleSql {
        |)
        |ORDER BY z, o_orderkey""".stripMargin
 
+  /** Hilbert-key twin: the rotation fold as the generated CTE chain
+    * ([[Hilbert.hilbertCteChain]]) over the same masked inputs as the
+    * Z twin — shared per-level construction, so the spellings cannot
+    * drift. */
+  val hilbertKeys: String = {
+    val chain = Hilbert.hilbertCteChain("hbase", Seq("o_orderkey"), "hl")
+    s"""WITH hbase AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey & 65535 AS BIGINT) AS hx,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) & 65535 AS hy
+       |  FROM orders
+       |),
+       |$chain
+       |SELECT o_orderkey, hd AS h FROM hl${Hilbert.Bits}
+       |ORDER BY h, o_orderkey""".stripMargin
+  }
+
   /** Gaps-and-islands twin of Spark's session_window (30-min gap):
     * session breaks where ts − lag(ts) > gap; session_end = last event +
     * gap. Events sharing one timestamp fall in one session either way. */
