@@ -90,12 +90,31 @@ object StreamQuantile {
 
   /** Fold the delta log back to one row per source (read-optimize).
     * Folded-then-appended rows are a no-op under the semilattice fold,
-    * so compaction never changes [[sketchFromStore]]'s answer. */
+    * so compaction never changes [[sketchFromStore]]'s answer. The
+    * swap is the [[StreamBm25.compactDf]] two-rename discipline
+    * (fresh temp dir, two atomic moves, scratch removed) — a
+    * concurrent reader can never observe a partially-written store,
+    * only a briefly-absent path it retries on. */
   def compactStore(spark: SparkSession, store: QuantStore): Unit = {
-    val folded = sketchFromStore(spark, store)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = store.skDir + ".compact-" + java.util.UUID.randomUUID()
+    val trash = store.skDir + ".old-" + java.util.UUID.randomUUID()
+    sketchFromStore(spark, store)
       .withColumn("batch_id", lit(-1L))
-      .localCheckpoint(eager = true)
-    folded.write.mode("overwrite").parquet(store.skDir)
+      .write.mode("error").parquet(tmp)
+    Files.move(Paths.get(store.skDir), Paths.get(trash),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(store.skDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    val p = Paths.get(trash)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.toSeq
+      } finally s.close()
+      all.reverseIterator.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** Oracle-checkable REPLAY: the documents table carved into
