@@ -120,7 +120,10 @@ object ScaleBench {
     "ext_sketch_quantiles", "stream_quantile_sketch",
     // round-9 post-close second leg: one fact scan + calendar-bounded
     // decomposition; the three delta-term joins of the join-IVM rule
-    "etl_seasonal_decompose", "etl_ivm_join")
+    "etl_seasonal_decompose", "etl_ivm_join",
+    // round-9 post-close third leg: the manifest-sketch planner
+    // harness (commit loads + driver fold) and the per-row Hilbert fold
+    "etl_tx_join_card", "etl_hilbert_key")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
