@@ -1123,6 +1123,28 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         .drop("__zk")
     }, beforePublish, maxAttempts)
 
+  /** CLUSTERED compaction by HILBERT key — [[compactZOrdered]] with
+    * the continuous curve ([[Hilbert]]): same commit protocol, same
+    * per-file-disjoint-range guarantee (range partitioning on the
+    * key), but each file's curve segment is CONTIGUOUS IN SPACE, so
+    * its (x, y) bounding box is tighter and a 2-D box predicate
+    * prunes more files than under the Morton interleave — the
+    * measured property the spec pins (total per-file bounding-box
+    * area strictly smaller than the z-clustered rewrite of the same
+    * data). The upgrade OPTIMIZE implementations make when box-query
+    * file counts, not key math, are the cost. */
+  def compactHilbert(spark: SparkSession, x: String, y: String,
+      bits: Int = 16, numFiles: Int = 8,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long =
+    compactWith(spark, df => {
+      import org.apache.spark.sql.functions.col
+      Hilbert.withHilbert(df, col(x), col(y), "__hk", bits)
+        .repartitionByRange(numFiles, col("__hk"))
+        .sortWithinPartitions("__hk")
+        .drop("__hk")
+    }, beforePublish, maxAttempts)
+
   /** RANGE-BUCKETED compaction — the maintenance pass that makes data
     * skipping SURVIVE compaction: [[compact]]'s single base directory
     * carries whole-table stats (useless for pruning — they span

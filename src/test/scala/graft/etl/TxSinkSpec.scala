@@ -526,6 +526,65 @@ class TxSinkSpec extends SparkSpec {
     assert(t.readSnapshot(spark).get.count() == pre + 1)
   }
 
+  test("hilbert compaction: snapshot equal, disjoint key ranges, tighter file boxes than z") {
+    import org.apache.spark.sql.functions.{col, min, max}
+    // 12 files over a 32x32 grid: segments NOT aligned to power-of-two
+    // subsquares — the regime where the curves' locality actually
+    // differs (8 files would split both curves into perfect rectangles)
+    val rows = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong, s"v$x-$y")
+    def load(): TxParquetSink = {
+      val t = table()
+      rows.grouped(200).foreach(g => t.append(g.toDF("cx", "cy", "payload")))
+      t
+    }
+    def fileBoxes(t: TxParquetSink): Seq[(Long, Long, Long, Long)] = {
+      val base = t.commits().filter(_._2.base).last._2.files.head
+      val dir = java.nio.file.Paths.get(t.dir, base)
+      val it = java.nio.file.Files.list(dir).iterator()
+      val boxes = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val r = spark.read.parquet(p.toString)
+            .agg(min("cx"), max("cx"), min("cy"), max("cy")).head()
+          boxes += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      }
+      boxes.toSeq
+    }
+    val th = load()
+    val pre = th.readSnapshot(spark).get.count()
+    assert(th.compactHilbert(spark, "cx", "cy", bits = 5, numFiles = 12) >= 0)
+    assert(th.readSnapshot(spark).get.count() == pre,
+      "clustered rewrite must not change the snapshot")
+    // per-file hilbert ranges pairwise disjoint (range partitioning)
+    val hb = th.commits().filter(_._2.base).last._2.files.head
+    val hk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(th.dir, hb)).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val r = Hilbert.withHilbert(spark.read.parquet(p.toString),
+            col("cx"), col("cy"), "hk", 5)
+          .agg(min("hk"), max("hk")).head()
+        hk += ((r.getLong(0), r.getLong(1)))
+      }
+    }
+    val sorted = hk.sortBy(_._1).toSeq
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a._2 < b._1, s"hilbert ranges overlap: $a vs $b")
+    }
+    // the measured locality claim: total per-file (x, y) bounding-box
+    // area is strictly smaller than the z-clustered rewrite's
+    val tz = load()
+    assert(tz.compactZOrdered(spark, "cx", "cy", bits = 5, numFiles = 12) >= 0)
+    def area(bs: Seq[(Long, Long, Long, Long)]): Long =
+      bs.map { case (x0, x1, y0, y1) => (x1 - x0 + 1) * (y1 - y0 + 1) }.sum
+    val (ha, za) = (area(fileBoxes(th)), area(fileBoxes(tz)))
+    assert(ha < za, s"hilbert boxes must be tighter: $ha vs z $za")
+  }
+
   // ---- log truncation (history retention) ---------------------------
 
   test("truncation forgets pre-base history, keeps the snapshot, and is physical") {
