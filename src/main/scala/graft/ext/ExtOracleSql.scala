@@ -1675,6 +1675,32 @@ object ExtOracleSql {
        |ORDER BY source, q""".stripMargin
   }
 
+  /** Incremental-CC twin ([[graft.streaming.StreamGraph]]): the
+    * from-scratch component labels the batch-carved incremental
+    * mapping must reproduce — recursive label reachability over the
+    * same co-purchase edge set, min label per node. */
+  val streamGraphCc: String =
+    "WITH RECURSIVE" + graft.etl.Star.oracleCte.stripPrefix("WITH") +
+      s""",
+         |edges0 AS (
+         |  SELECT DISTINCT least(a.product_id, b.product_id) AS src,
+         |                  greatest(a.product_id, b.product_id) AS dst
+         |  FROM sales_fact a JOIN sales_fact b
+         |    ON a.order_id = b.order_id AND a.product_id <> b.product_id
+         |),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges0
+         |          UNION SELECT DISTINCT dst FROM edges0),
+         |bidir AS (SELECT src, dst FROM edges0
+         |          UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lbl FROM bidir e JOIN reach r ON e.dst = r.node
+         |)
+         |SELECT node, CAST(min(lbl) AS BIGINT) AS component
+         |FROM reach GROUP BY node
+         |ORDER BY node""".stripMargin
+
   /** PageRank twin: the identical fixed-point integer power iteration,
     * unrolled as a CTE chain (one CTE per iteration — the oracle favors
     * readability; the Spark side loops). Every arithmetic step is bigint
