@@ -123,7 +123,10 @@ object ScaleBench {
     "etl_seasonal_decompose", "etl_ivm_join",
     // round-9 post-close third leg: the manifest-sketch planner
     // harness (commit loads + driver fold) and the per-row Hilbert fold
-    "etl_tx_join_card", "etl_hilbert_key")
+    "etl_tx_join_card", "etl_hilbert_key",
+    // round-9 post-close fourth leg: the incremental-CC replay (edge
+    // contraction + broadcast relabels over the growing mapping)
+    "stream_graph_cc")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
