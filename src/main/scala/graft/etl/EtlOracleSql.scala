@@ -2246,6 +2246,18 @@ object EtlOracleSql {
          |FROM rows_, ea, eb, ec, eu, mm, exact, nmk""".stripMargin)
   }
 
+  /** CONVERT twin: the adopted rollup minus the deleted stores —
+    * served through hard-linked bytes on the Spark side. */
+  val txConvert: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT month, store_id, cents FROM monthly
+      |WHERE store_id % 7 <> 3
+      |ORDER BY month, store_id""".stripMargin)
+
   /** DESCRIBE-HISTORY twin: the lifecycle's audit log derived
     * declaratively — append versions by year rank with the year's
     * group count, the overwrite at version n with the last month's

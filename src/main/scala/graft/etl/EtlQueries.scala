@@ -2750,6 +2750,28 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** CONVERT round trip — [[TxParquetSink.convertFrom]] adopts a
+    * plain parquet directory (the monthly rollup written by a
+    * protocol-unaware job, multiple part files) as commit 0 by HARD
+    * LINK, zero bytes rewritten, and the adopted table is immediately
+    * a full citizen: the lifecycle continues with a predicate DELETE,
+    * and the oracle gates the served snapshot — rollup minus the
+    * deleted stores — through the linked bytes, proving the on-ramp
+    * composes with the row-grain ACID tier end to end. */
+  def txConvert(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-txconv")
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+    monthly.repartition(4).write.mode("error").parquet(base.toString + "/plain")
+    val t = TxParquetSink(base.toString + "/t")
+    t.convertFrom(spark, base.toString + "/plain")
+    t.deleteWhere(spark, "store_id % 7 = 3")
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents").orderBy("month", "store_id")
+  }
+
   /** DESCRIBE-HISTORY round trip — [[TxParquetSink.history]] over the
     * standard lifecycle (per-year appends → last-month restatement →
     * predicate delete): the audit log's versions, operation kinds, and

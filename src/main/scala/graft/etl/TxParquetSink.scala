@@ -949,6 +949,49 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       .map(_.select(keys.head, keys.tail: _*))
       .getOrElse(WarehouseSink.emptyKeys(spark, keys, schemaSource))
 
+  /** CONVERT in place — adopt an existing plain parquet directory as
+    * commit 0 of a FRESH log without rewriting a byte (Delta's
+    * `CONVERT TO DELTA`, the on-ramp for data that already exists):
+    * every part file HARD-LINKS into the table's data directory
+    * (same-filesystem metadata op — zero copy; the audit count below
+    * reads THROUGH the links, proving the adopted bytes serve), then
+    * one ordinary manifest publishes them. The source directory is
+    * never touched — deleting it later only drops its directory
+    * entries, the table owns the inodes through its links. After
+    * conversion the log is a normal table: appends, merges, deletes,
+    * time travel, compaction all apply. A crash mid-link leaves an
+    * uncommitted staged directory — [[vacuumOrphans]]' existing
+    * territory. Refuses a non-fresh table (conversion is an adoption
+    * of history position 0, not an append — use the write paths for
+    * that). */
+  def convertFrom(spark: SparkSession, parquetDir: String): Long = {
+    require(version() == -1L,
+      s"convertFrom requires a fresh table, found version ${version()}")
+    val src = Paths.get(parquetDir)
+    require(Files.isDirectory(src), s"no such directory: $parquetDir")
+    val parts = {
+      val s = Files.list(src)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    require(parts.nonEmpty, s"no parquet part files in $parquetDir")
+    val rel = "data/tx-" + java.util.UUID.randomUUID().toString
+    val stagedRoot = root.resolve(rel)
+    Files.createDirectories(stagedRoot)
+    parts.foreach(p =>
+      Files.createLink(stagedRoot.resolve(p.getFileName.toString), p))
+    val rows = spark.read.parquet(stagedRoot.toString).count()
+    if (!tryPublish(0L, Manifest(rows, Seq(rel)))) {
+      deleteRecursively(stagedRoot)
+      throw new IllegalStateException(
+        "convertFrom lost the version-0 race — another writer initialized the table")
+    }
+    rows
+  }
+
   /** Write + audit: stage the batch under a fresh uuid directory, read
     * it back, and verify the row count before it can be published. */
   private def stageAudited(spark: SparkSession, df: DataFrame, expected: Long): String = {

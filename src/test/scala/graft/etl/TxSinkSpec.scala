@@ -1230,6 +1230,36 @@ class TxSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table().exportManifest() }
   }
 
+  test("convert adopts a parquet dir by hard link: zero copy, source untouched, full citizen after") {
+    val plain = Files.createTempDirectory("txconv-src").toString + "/p"
+    batch("A" -> "a", "B" -> "b", "C" -> "c").repartition(2)
+      .write.mode("error").parquet(plain)
+    val srcFiles = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(plain))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    val t = table()
+    assert(t.convertFrom(spark, plain) == 3L && t.version() == 0L)
+    assert(keySet(t) == Seq("A", "B", "C"))
+    // hard links: same inode, no bytes copied; source untouched
+    val base = t.commits().head._2.files.head
+    srcFiles.foreach { p =>
+      val linked = java.nio.file.Paths.get(t.dir, base, p.getFileName.toString)
+      assert(java.nio.file.Files.isSameFile(p, linked),
+        s"adopted file must be a hard link, not a copy: $p")
+    }
+    // the adopted table is a normal log: append, delete, time travel
+    t.append(batch("D" -> "d"))
+    t.deleteWhere(spark, "product_id = 'B'")
+    assert(keySet(t) == Seq("A", "C", "D"))
+    assert(t.readVersion(spark, 0L).get.count() == 3L, "time travel to the adopted commit")
+    // conversion refuses a non-fresh table
+    intercept[IllegalArgumentException] { t.convertFrom(spark, plain) }
+  }
+
   test("manifest kmv sketches: codec round-trip, batching-invariant fold, capacity estimate, refusals") {
     import TxParquetSink.{KmvMins, kmvEstimate, SketchK}
     // codec round-trip (including an empty sketch from an all-null column)
