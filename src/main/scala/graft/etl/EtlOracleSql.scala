@@ -1256,6 +1256,23 @@ object EtlOracleSql {
       |GROUP BY 1, 2
       |ORDER BY store_id, time_id""".stripMargin)
 
+  /** MIN/MAX-retraction twin: the view recomputed from scratch over
+    * the surviving days — equality proves the group-targeted rule. */
+  val ivmMinMax: String = star(
+    """, daily AS (
+      |  SELECT store_id, time_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT store_id,
+      |       CAST(min(cents) AS BIGINT) AS mn,
+      |       CAST(max(cents) AS BIGINT) AS mx,
+      |       CAST(count(*) AS BIGINT) AS n_days
+      |FROM daily
+      |WHERE time_id < (SELECT max(time_id) FROM daily)
+      |GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** Join-view IVM twin: the full-recompute γ(L ⋈ O) the three-term
     * delta refresh must reproduce — hash equality IS the delta rule. */
   val ivmJoinRefresh: String =

@@ -79,6 +79,93 @@ object Ivm {
       _.groupBy("store_id", "time_id")
         .agg(sum("cents").as("cents"), sum("n_rows").as("n_rows")))
 
+  // ---- MIN/MAX maintenance under deletes (the non-self-maintainable case)
+
+  /** The daily (store, day, cents) rollup the min/max view summarizes. */
+  private def dailyCents(spark: SparkSession, dir: String): DataFrame =
+    Star.salesFact(spark, dir)
+      .groupBy("store_id", "time_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+
+  /** MIN/MAX view refresh under a RETRACTION — the case that completes
+    * the self-maintainability taxonomy (Gupta & Mumick): SUM/COUNT
+    * absorb deletes algebraically ([[ivmDailyRefresh]]'s negated
+    * deltas), joins follow the three-term rule ([[ivmJoinRefresh]]),
+    * but MIN/MAX under deletes are NOT self-maintainable — deleting a
+    * group's current extremum destroys information no view state can
+    * restore. The production rule is GROUP-TARGETED recompute:
+    *
+    *   - a group the retracted day didn't touch keeps its row verbatim;
+    *   - a group where the retracted value was strictly inside
+    *     (min, max) keeps min/max and decrements its count
+    *     (self-maintainable half);
+    *   - ONLY groups whose retracted value WAS an extremum re-aggregate,
+    *     and only over their own rows (semi-join pushdown — the
+    *     recompute is affected-groups-sized, never table-sized);
+    *   - a group whose last row was retracted disappears.
+    *
+    * Here the view is per-store (min, max, n_days) over daily revenue
+    * and the retraction is the newest day. The oracle recomputes the
+    * view over the remaining days from scratch — hash equality proves
+    * the targeting rule loses nothing; [[ivmMinMaxAffected]] exposes
+    * which groups the rule recomputed so the spec can pin that the
+    * targeting is exact, not conservative. */
+  def ivmMinMaxRefresh(spark: SparkSession, dir: String): DataFrame =
+    ivmMinMaxOver(dailyCents(spark, dir))
+
+  /** The refresh core over a prepared (store_id, time_id, cents)
+    * frame — split out so the spec can construct a retraction that
+    * hits every branch (extremum-on-cut, interior, untouched,
+    * group-vanishes). */
+  private[etl] def ivmMinMaxOver(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(eager = true)
+    val cut = daily.agg(max("time_id").as("cut"))
+    val vOld = daily.groupBy("store_id")
+      .agg(min("cents").as("mn"), max("cents").as("mx"),
+        count(lit(1)).as("n_days"))
+    val retract = daily.crossJoin(broadcast(cut))
+      .where(col("time_id") === col("cut"))
+      .select(col("store_id"), col("cents").as("rc"))
+    val flagged = vOld.join(retract, Seq("store_id"), "left")
+    val untouched = flagged.where(col("rc").isNull)
+      .select(col("store_id"), col("mn"), col("mx"), col("n_days"))
+    val interior = flagged
+      .where(col("rc").isNotNull && col("rc") > col("mn") && col("rc") < col("mx"))
+      .select(col("store_id"), col("mn"), col("mx"),
+        (col("n_days") - 1).as("n_days"))
+    val affectedKeys = flagged
+      .where(col("rc").isNotNull &&
+        (col("rc") === col("mn") || col("rc") === col("mx")))
+      .select("store_id")
+    val recomputed = daily.crossJoin(broadcast(cut))
+      .where(col("time_id") < col("cut"))
+      .join(broadcast(affectedKeys), Seq("store_id"), "left_semi")
+      .groupBy("store_id")
+      .agg(min("cents").as("mn"), max("cents").as("mx"),
+        count(lit(1)).as("n_days"))
+    untouched.unionByName(interior).unionByName(recomputed)
+      .orderBy("store_id")
+  }
+
+  /** The groups [[ivmMinMaxRefresh]]'s targeting rule recomputes —
+    * exactly those whose retracted value was an extremum. Exposed for
+    * the spec's exactness pin. */
+  private[etl] def ivmMinMaxAffected(spark: SparkSession, dir: String): DataFrame =
+    ivmMinMaxAffectedOver(dailyCents(spark, dir))
+
+  private[etl] def ivmMinMaxAffectedOver(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(eager = true)
+    val cut = daily.agg(max("time_id").as("cut"))
+    val vOld = daily.groupBy("store_id")
+      .agg(min("cents").as("mn"), max("cents").as("mx"))
+    daily.crossJoin(broadcast(cut))
+      .where(col("time_id") === col("cut"))
+      .select(col("store_id"), col("cents").as("rc"))
+      .join(vOld, "store_id")
+      .where(col("rc") === col("mn") || col("rc") === col("mx"))
+      .select("store_id")
+  }
+
   // ---- join-view maintenance (the three-term delta rule) ----------------
 
   /** Exact line revenue in cents — the engine-shared integerization. */

@@ -109,6 +109,57 @@ class IvmAuditSpec extends SparkSpec {
       "dropping the cross term must miss exactly the both-new pairs")
   }
 
+  test("ivm minmax retraction: targeting is exact and the refresh equals the recompute") {
+    val daily = Star.salesFact(spark, sfSmoke)
+      .groupBy("store_id", "time_id")
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(eager = true)
+    val cut = daily.agg(max(col("time_id").cast("string"))).head().getString(0)
+    // independent truth: stores whose cut-day value is their extremum
+    val rows = daily.select(col("store_id"), col("time_id").cast("string"),
+        col("cents"))
+      .as[(Long, String, Long)].collect()
+    val byStore = rows.groupBy(_._1)
+    val expectAffected = byStore.collect { case (sid, rs)
+      if rs.exists(r => r._2 == cut &&
+        (r._3 == rs.map(_._3).min || r._3 == rs.map(_._3).max)) => sid
+    }.toSet
+    val affected = Ivm.ivmMinMaxAffected(spark, sfSmoke)
+      .as[Long].collect().toSet
+    assert(affected == expectAffected, "targeting must be exact, not conservative")
+    // the refresh equals the from-scratch recompute over surviving days
+    val refreshed = Ivm.ivmMinMaxRefresh(spark, sfSmoke)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expect = byStore.toSeq.flatMap { case (sid, rs) =>
+      val rest = rs.filter(_._2 != cut).map(_._3)
+      if (rest.isEmpty) None
+      else Some((sid, rest.min, rest.max, rest.size.toLong))
+    }.sortBy(_._1)
+    assert(refreshed == expect)
+    // the three branches partition the surviving stores (no dup rows)
+    assert(refreshed.map(_._1).distinct.size == refreshed.size)
+
+    // constructed retraction hitting EVERY branch: store 1 loses its
+    // max (recompute), store 2 loses an interior value (decrement),
+    // store 3 is untouched, store 4 loses its only row (vanishes),
+    // store 5 loses its min (recompute)
+    val hand = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 9L, 30L),
+      (2L, 1L, 10L), (2L, 2L, 30L), (2L, 9L, 20L),
+      (3L, 1L, 7L), (3L, 2L, 8L),
+      (4L, 9L, 99L),
+      (5L, 1L, 50L), (5L, 2L, 60L), (5L, 9L, 40L))
+      .toDF("store_id", "time_id", "cents")
+    val handAffected = Ivm.ivmMinMaxAffectedOver(hand).as[Long].collect().toSet
+    assert(handAffected == Set(1L, 4L, 5L),
+      "extremum-on-cut stores (incl. the vanishing singleton) recompute")
+    val handOut = Ivm.ivmMinMaxOver(hand)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(handOut == Seq((1L, 10L, 20L, 2L), (2L, 10L, 30L, 2L),
+      (3L, 7L, 8L, 2L), (5L, 50L, 60L, 2L)),
+      "recompute, decrement, verbatim, and vanish branches all correct")
+  }
+
   test("ivm deletes: a negated delta retracts exactly the deleted day's rows") {
     // the scaladoc claims the same merge expression handles deletes as
     // negated deltas — checked here: stream the fact in, then retract
