@@ -1273,6 +1273,16 @@ object EtlOracleSql {
       |GROUP BY store_id
       |ORDER BY store_id""".stripMargin)
 
+  /** Distinct-count-retraction twin: the view recomputed over the
+    * surviving fact — equality proves the multiplicity accounting. */
+  val ivmDistinct: String = star(
+    """SELECT store_id,
+      |       CAST(count(DISTINCT product_id) AS BIGINT) AS n_products
+      |FROM sales_fact
+      |WHERE time_id < (SELECT max(time_id) FROM sales_fact)
+      |GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** Join-view IVM twin: the full-recompute γ(L ⋈ O) the three-term
     * delta refresh must reproduce — hash equality IS the delta rule. */
   val ivmJoinRefresh: String =

@@ -166,6 +166,50 @@ object Ivm {
       .select("store_id")
   }
 
+  // ---- DISTINCT-COUNT maintenance under deletes (counting algorithm) ----
+
+  /** DISTINCT-COUNT view refresh under a retraction — the taxonomy's
+    * fourth case and Gupta & Mumick's COUNTING ALGORITHM: like MIN/MAX,
+    * a distinct count cannot absorb a delete from the view alone (was
+    * the deleted occurrence the value's LAST?), but unlike MIN/MAX it
+    * needs no base-table recompute at all — the right AUXILIARY makes
+    * it fully incremental: store per-(group, value) MULTIPLICITIES,
+    * decrement them by the delta's counts, and the view is the count
+    * of values whose multiplicity stays positive. The refresh touches
+    * the auxiliary (group×value-sized, the view's own support) with a
+    * delta-sized join — never the fact history.
+    *
+    * Here: distinct products per store; the retraction is the newest
+    * day's fact rows. The oracle recomputes the distinct count over
+    * the surviving fact from scratch — hash equality proves the
+    * multiplicity accounting, including the case the naive
+    * "subtract the delta's distinct count" rule gets wrong (a product
+    * also sold on earlier days must NOT leave the view; the spec pins
+    * that control). */
+  def ivmDistinctRefresh(spark: SparkSession, dir: String): DataFrame =
+    ivmDistinctOver(Star.salesFact(spark, dir)
+      .select("store_id", "product_id", "time_id"))
+
+  /** The refresh core over (store_id, product_id, time_id) rows. */
+  private[etl] def ivmDistinctOver(f0: DataFrame): DataFrame = {
+    val f = f0.localCheckpoint(eager = true)
+    val cut = f.agg(max("time_id").as("cut"))
+    // the STORED auxiliary a deployment keeps next to the view
+    val aux = f.groupBy("store_id", "product_id")
+      .agg(count(lit(1)).as("m"))
+    val delta = f.crossJoin(broadcast(cut))
+      .where(col("time_id") === col("cut"))
+      .groupBy("store_id", "product_id")
+      .agg(count(lit(1)).as("dm"))
+    aux.join(delta, Seq("store_id", "product_id"), "left")
+      .select(col("store_id"), col("product_id"),
+        (col("m") - coalesce(col("dm"), lit(0L))).as("m"))
+      .where(col("m") > 0)
+      .groupBy("store_id")
+      .agg(count(lit(1)).as("n_products"))
+      .orderBy("store_id")
+  }
+
   // ---- join-view maintenance (the three-term delta rule) ----------------
 
   /** Exact line revenue in cents — the engine-shared integerization. */

@@ -160,6 +160,33 @@ class IvmAuditSpec extends SparkSpec {
       "recompute, decrement, verbatim, and vanish branches all correct")
   }
 
+  test("ivm distinct retraction: multiplicity accounting beats the naive distinct-subtract") {
+    // store 1: product 100 sold day 1 AND day 9 (cut) — deleting the
+    // day-9 copy must NOT remove it from the view; product 200 sold
+    // only day 9 — must leave. store 2 untouched by the cut day.
+    val hand = Seq(
+      (1L, 100L, 1L), (1L, 100L, 9L), (1L, 200L, 9L), (1L, 300L, 2L),
+      (2L, 100L, 1L), (2L, 400L, 2L))
+      .toDF("store_id", "product_id", "time_id")
+    val out = Ivm.ivmDistinctOver(hand).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L),
+      "multi-copy product survives, last-copy product leaves, untouched store verbatim")
+    // the naive rule (view minus the delta's distinct count) would give
+    // store 1: 3 - 2 = 1 — wrong on exactly the multi-copy case
+    assert(out(1L) != 1L)
+    // real data: refresh ≡ from-scratch recompute over surviving days
+    val f = Star.salesFact(spark, sfSmoke)
+      .select("store_id", "product_id", "time_id")
+    val cut = f.agg(max("time_id").as("cut"))
+    val expect = f.crossJoin(broadcast(cut))
+      .where(col("time_id") < col("cut"))
+      .groupBy("store_id")
+      .agg(countDistinct("product_id").as("n_products"))
+      .orderBy("store_id").as[(Long, Long)].collect().toSeq
+    assert(Ivm.ivmDistinctRefresh(spark, sfSmoke)
+      .as[(Long, Long)].collect().toSeq == expect)
+  }
+
   test("ivm deletes: a negated delta retracts exactly the deleted day's rows") {
     // the scaladoc claims the same merge expression handles deletes as
     // negated deltas — checked here: stream the fact in, then retract
