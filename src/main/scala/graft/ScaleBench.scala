@@ -126,7 +126,10 @@ object ScaleBench {
     "etl_tx_join_card", "etl_hilbert_key",
     // round-9 post-close fourth leg: the incremental-CC replay (edge
     // contraction + broadcast relabels over the growing mapping)
-    "stream_graph_cc")
+    "stream_graph_cc",
+    // round-9 post-close fifth leg: the hard-link adoption harness and
+    // the two delete-side IVM rules (targeted recompute / multiplicities)
+    "etl_tx_convert", "etl_ivm_minmax", "etl_ivm_distinct")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
