@@ -216,8 +216,9 @@ object Ivm {
   private val lineCents = expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
 
   /** One aggregation term of the join view: revenue + row count by
-    * (order priority, ship year-month) over `lf ⋈ of`. */
-  private def joinTerm(lf: DataFrame, of: DataFrame): DataFrame =
+    * (order priority, ship year-month) over `lf ⋈ of`. Shared with the
+    * streaming replay ([[graft.streaming.StreamIvm]]). */
+  private[graft] def joinTerm(lf: DataFrame, of: DataFrame): DataFrame =
     lf.join(of, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"),
         expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)").as("ship_ym"))

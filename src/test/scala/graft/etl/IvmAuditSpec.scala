@@ -160,6 +160,27 @@ class IvmAuditSpec extends SparkSpec {
       "recompute, decrement, verbatim, and vanish branches all correct")
   }
 
+  test("stream ivm join: every arrival order is exercised by the replay carve") {
+    // under the replay's decorrelated carves, matched (line, header)
+    // pairs must land line-after-header, line-before-header, AND
+    // same-batch — otherwise the composed-stream gate would pass
+    // without ever exercising a cross term
+    val B = graft.streaming.StreamIvm.ReplayBatches
+    val o = Star.table(spark, sfSmoke, "orders")
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(B.toLong)).cast("int").as("ob"))
+    val l = Star.table(spark, sfSmoke, "lineitem")
+      .select(col("l_orderkey"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(B.toLong))
+          .cast("int").as("lb"))
+    val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val after = pairs.where(col("lb") > col("ob")).count()
+    val before = pairs.where(col("lb") < col("ob")).count()
+    val same = pairs.where(col("lb") === col("ob")).count()
+    assert(after > 0 && before > 0 && same > 0,
+      s"all three arrival orders must be live: $after / $before / $same")
+  }
+
   test("ivm distinct retraction: multiplicity accounting beats the naive distinct-subtract") {
     // store 1: product 100 sold day 1 AND day 9 (cut) — deleting the
     // day-9 copy must NOT remove it from the view; product 200 sold
