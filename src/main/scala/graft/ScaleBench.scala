@@ -129,7 +129,9 @@ object ScaleBench {
     "stream_graph_cc",
     // round-9 post-close fifth leg: the hard-link adoption harness and
     // the two delete-side IVM rules (targeted recompute / multiplicities)
-    "etl_tx_convert", "etl_ivm_minmax", "etl_ivm_distinct")
+    "etl_tx_convert", "etl_ivm_minmax", "etl_ivm_distinct",
+    // the composed-stream join-IVM replay (delta-vs-registry joins)
+    "stream_ivm_join")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
