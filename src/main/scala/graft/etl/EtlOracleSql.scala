@@ -1951,6 +1951,42 @@ object EtlOracleSql {
       |WHERE month >= '${EtlQueries.TxSkipLo}' AND month <= '${EtlQueries.TxSkipHi}'
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Metadata-only aggregate twin: the engine answers COUNT/MIN/MAX
+    * from manifests alone (zero data reads); the oracle recomputes the
+    * same aggregates declaratively over the rollup, so the hash gate
+    * proves manifest row counts and folded extremes equal the data's. */
+  val txStatsAggregate: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT * FROM (
+      |  SELECT 'cents' AS "column", count(*) AS n_rows,
+      |         CAST(min(cents) AS VARCHAR) AS min_value,
+      |         CAST(max(cents) AS VARCHAR) AS max_value FROM monthly
+      |  UNION ALL
+      |  SELECT 'month', count(*), min(month), max(month) FROM monthly
+      |  UNION ALL
+      |  SELECT 'store_id', count(*), CAST(min(store_id) AS VARCHAR),
+      |         CAST(max(store_id) AS VARCHAR) FROM monthly
+      |) ORDER BY "column"""".stripMargin)
+
+  /** Predicate-driven skipping twin: the same WHERE computed
+    * declaratively — the engine answers it through constraints it
+    * derived itself from the parsed predicate, so the hash gate proves
+    * the auto-derivation loses no row. */
+  val txWhereRead: String = star(
+    s""", monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT month, store_id, cents FROM monthly
+      |WHERE month >= '${EtlQueries.TxSkipLo}' AND month <= '${EtlQueries.TxSkipHi}'
+      |  AND store_id = (SELECT min(store_id) FROM monthly) AND cents > 0
+      |ORDER BY month, store_id""".stripMargin)
+
   /** Bloom point-lookup twin: the probe customer's order history
     * computed declaratively — the engine answers it through the
     * bloom-pruned commit read, so the hash gate proves false negatives

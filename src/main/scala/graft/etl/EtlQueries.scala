@@ -2278,6 +2278,70 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** METADATA-ONLY AGGREGATE round trip — COUNT(*) / MIN / MAX answered
+    * from [[TxParquetSink.statsAggregate]] (the commit log alone, zero
+    * data reads: after ingest the data files are never touched again)
+    * and gated against the oracle's declarative recompute over the SAME
+    * rollup. The hash match is the proof that manifest metadata ≡ data:
+    * per-commit row counts sum to the true count and per-commit
+    * extremes fold to the true MIN/MAX, across a multi-commit
+    * year-per-commit ingestion. At 100 TB this turns `SELECT count(*),
+    * min(x), max(x)` from a full scan into a driver-side metadata fold
+    * — the Delta/Iceberg metadata-only query path. */
+  def txStatsAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txstats").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "store_id", "cents"))
+    }
+    t.statsAggregate(spark, Seq("cents", "month", "store_id"))
+      .orderBy("column")
+  }
+
+  /** PREDICATE-DRIVEN SKIPPING round trip — the same year-per-commit
+    * ingestion as [[txSkippingRead]], but the range is never named:
+    * the reader hands [[TxParquetSink.readSnapshotWhere]] one ad-hoc
+    * WHERE string (a month range AND a store equality) and the sink
+    * derives the stats-range and bloom constraints itself from the
+    * parsed Catalyst expression tree. Gated against the oracle's
+    * declarative twin of the same predicate, so the hash match proves
+    * end-to-end that auto-derived pruning loses no row — including
+    * across the type-coercion edges the derivation refuses to prune
+    * ([[TxParquetSink.readSnapshotWhere]] scaladoc). The store key is
+    * the table's smallest, computed identically by both sides. */
+  def txWhereRead(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txwhere").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "store_id", "cents"), bloomCols = Seq("store_id"))
+    }
+    val minStore =
+      monthly.agg(min(col("store_id"))).head().getAs[Number](0).longValue
+    t.readSnapshotWhere(spark,
+      s"month >= '$TxSkipLo' AND month <= '$TxSkipHi' " +
+        s"AND store_id = $minStore AND cents > 0").get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Probe key for [[txPointLookup]], shared with the oracle twin: a
     * customer whose orders cluster in few calendar years (bloom
     * skipping's useful case — a minmax range can't prune a key lookup

@@ -421,6 +421,158 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     (ms.map(_.files.size).sum, skipped)
   }
 
+  /** PREDICATE-DRIVEN DATA SKIPPING — [[readSnapshotRange]] /
+    * [[readSnapshotPoint]] derived AUTOMATICALLY from an arbitrary SQL
+    * predicate, the way Delta/Iceberg prune from a query's WHERE clause
+    * without the caller naming columns and bounds by hand. The
+    * predicate is parsed with Catalyst's own SQL parser into an
+    * expression tree; each recognized conjunct — `col = lit`,
+    * `col IN (...)`, `col < / <= / > / >= lit`, either argument
+    * order — contributes a stats-range and/or bloom constraint every
+    * file must survive; everything else (OR trees, functions, casts,
+    * typed literals) contributes NOTHING — the conservative always-read
+    * posture. Strict bounds prune with their closed form. The FULL
+    * original predicate is then applied to the pruned scan, so results
+    * are exact — pruning is pure I/O avoidance, never semantics.
+    *
+    * Type-coercion safety (the part that makes auto-derivation sound):
+    * manifest stats/blooms hold `CAST(x AS STRING)` forms, while SQL
+    * comparison happens after implicit coercion — so a constraint only
+    * prunes when the literal's rendering provably matches the column's:
+    * numeric literals against numeric stats (exact BigDecimal), string
+    * literals against string stats (lexicographic); blooms probe only
+    * when the stats prove the stored cast form equals the literal's
+    * rendering (string col ↔ string lit, or integral-formed numeric
+    * stats ↔ integral lit — a DOUBLE column stores "5.0", so probing
+    * it with `= 5`'s "5" is refused rather than wrongly pruned). Any
+    * mismatch or missing stats ⇒ the file is read. At 100 TB this is
+    * the read path every ad-hoc query takes: the user writes WHERE,
+    * the manifests decide which files exist for the scan. Returns None
+    * for an empty table or an all-pruned read. */
+  def readSnapshotWhere(spark: SparkSession,
+      predicateSql: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.expr
+    val cons = parsePruningConstraints(spark, predicateSql)
+    dataOf(spark, resolvedCommits(),
+      keepFile = (m, f) => cons.forall(consKeeps(m, f, _)))
+      .map(_.where(expr(predicateSql)))
+  }
+
+  /** Observability twin of [[readSnapshotWhere]]: (files in the
+    * effective snapshot, files the predicate's derived constraints
+    * skip). Driver-side metadata only. */
+  def skippingAuditWhere(spark: SparkSession,
+      predicateSql: String): (Int, Int) = {
+    val cons = parsePruningConstraints(spark, predicateSql)
+    val ms = resolvedCommits().map(_._2).filter(_.files.nonEmpty)
+    val skipped = ms.map(m =>
+      m.files.count(f => !cons.forall(consKeeps(m, f, _)))).sum
+    (ms.map(_.files.size).sum, skipped)
+  }
+
+  /** The stats entry governing file `f` of manifest `m` for `column`:
+    * per-file ([[compactRanged]]) over commit-level, None = no pruning. */
+  private def statsFor(m: Manifest, f: String,
+      column: String): Option[ColStats] =
+    m.fileStats.get(f).flatMap(_.get(column)).orElse(m.stats.get(column))
+
+  private def consKeeps(m: Manifest, f: String, c: PruneCons): Boolean = c match {
+    case RangeCons(col, lo, hi, litNum) =>
+      statsFor(m, f, col).forall(s =>
+        s.num != litNum || !boundDisjoint(s, lo, hi))
+    case EqCons(col, v, litNum, litIntegral) =>
+      val statsOk = statsFor(m, f, col).forall(s =>
+        s.num != litNum || !boundDisjoint(s, Some(v), Some(v)))
+      // bloom probes only under a PROVEN cast-form match (see scaladoc)
+      val bloomSafe = statsFor(m, f, col).exists(s =>
+        if (litNum) litIntegral && s.num &&
+          integralForm(s.min) && integralForm(s.max)
+        else !s.num)
+      statsOk && (!bloomSafe || pointKeeps(m, f, col, v))
+    case InCons(col, vs, litNum, litIntegral) =>
+      vs.isEmpty || vs.exists(v =>
+        consKeeps(m, f, EqCons(col, v, litNum, litIntegral)))
+  }
+
+  /** One-sided [[rangeDisjoint]]: a missing bound never excludes;
+    * unparseable numeric literals conservatively keep. */
+  private def boundDisjoint(s: ColStats, lo: Option[String],
+      hi: Option[String]): Boolean =
+    if (s.num)
+      (try lo.exists(l => BigDecimal(s.max) < BigDecimal(l)) ||
+           hi.exists(h => BigDecimal(s.min) > BigDecimal(h))
+       catch { case _: NumberFormatException => false })
+    else lo.exists(s.max < _) || hi.exists(s.min > _)
+
+  private def parsePruningConstraints(spark: SparkSession,
+      predicateSql: String): Seq[PruneCons] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    def colOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    // literal rendering in the manifest's cast-to-string domain; typed
+    // literals (DATE/TIMESTAMP/BINARY...) render internally (epoch
+    // ints), so only string/numeric literals ever participate
+    def rendered(l: Literal): Option[(String, Boolean, Boolean)] =
+      l.dataType match {
+        case _ if l.value == null => None
+        case StringType => Some((l.value.toString, false, false))
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some((l.value.toString, true, true))
+        case _: NumericType => Some((l.value.toString, true, false))
+        case _ => None
+      }
+    conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
+      .flatMap {
+        case EqualTo(a, l: Literal) =>
+          for (c <- colOf(a); (v, n, i) <- rendered(l)) yield EqCons(c, v, n, i)
+        case EqualTo(l: Literal, a) =>
+          for (c <- colOf(a); (v, n, i) <- rendered(l)) yield EqCons(c, v, n, i)
+        case GreaterThan(a, l: Literal) =>
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, Some(v), None, n)
+        case GreaterThanOrEqual(a, l: Literal) =>
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, Some(v), None, n)
+        case LessThan(a, l: Literal) =>
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, None, Some(v), n)
+        case LessThanOrEqual(a, l: Literal) =>
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, None, Some(v), n)
+        case GreaterThan(l: Literal, a) => // lit > col ⇒ col < lit
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, None, Some(v), n)
+        case GreaterThanOrEqual(l: Literal, a) =>
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, None, Some(v), n)
+        case LessThan(l: Literal, a) => // lit < col ⇒ col > lit
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, Some(v), None, n)
+        case LessThanOrEqual(l: Literal, a) =>
+          for (c <- colOf(a); (v, n, _) <- rendered(l))
+            yield RangeCons(c, Some(v), None, n)
+        case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          val rs = vs.map(v => rendered(v.asInstanceOf[Literal]))
+          for {
+            c <- colOf(a)
+            if rs.forall(_.isDefined) // a NULL/typed member disables pruning
+            flat = rs.flatten
+            if flat.map(_._2).distinct.size == 1 // homogeneous literal domain
+          } yield InCons(c, flat.map(_._1), flat.head._2,
+            flat.forall(_._3))
+        case _ => None
+      }
+  }
+
   /** Skipping observability: (data directories in the effective
     * snapshot, directories a [[readSnapshotRange]] of this range would
     * skip). Driver-side metadata only. */
@@ -429,6 +581,54 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val skipped = ms
       .map(m => m.files.count(f => !rangeKeeps(m, f, column, lo, hi))).sum
     (ms.map(_.files.size).sum, skipped)
+  }
+
+  /** METADATA-ONLY AGGREGATE — `COUNT(*)` / `MIN` / `MAX` answered from
+    * the commit log alone: zero data-file reads, zero Spark jobs. At
+    * 100 TB this is the difference between a full-table scan and a
+    * millisecond driver-side fold — the Delta/Iceberg "metadata-only
+    * query" optimization, made an explicit API here because the sink
+    * owns its own log. One output row per requested column:
+    * `(column, n_rows, min_value, max_value)`, min/max rendered exactly
+    * as [[appendWithStats]] captured them (Spark's `CAST(x AS STRING)`),
+    * so integer/string columns round-trip bit-for-bit against a
+    * declarative recompute — which is precisely what the registered
+    * oracle twin (`etl_tx_stats_agg`) gates every round.
+    *
+    * Soundness guards (fail loudly, never answer wrong):
+    *  - a log carrying row-hiding masks ([[deleteWhere]] predicates or
+    *    [[overwritePartitions]] replace sets) is REFUSED — manifest row
+    *    counts and extremes describe rows a reader no longer sees;
+    *    compact first (the [[tableSketch]] discipline);
+    *  - every data commit must carry stats for the column (a non-finite
+    *    float extremum is dropped at append time — [[finiteNumeric]] —
+    *    so its absence here surfaces as an error, not a wrong MIN);
+    *  - numeric columns fold by value ([[BigDecimal]]), strings
+    *    lexicographically, matching [[rangeKeeps]]' comparison rules. */
+  def statsAggregate(spark: SparkSession, columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ms = resolvedCommits().map(_._2)
+    require(ms.forall(m => m.deletePred.isEmpty && m.replaceCols.isEmpty),
+      "statsAggregate on a log with row-hiding masks (deleteWhere / " +
+        "overwritePartitions) would aggregate hidden rows; compact first")
+    val data = ms.filter(_.rows > 0)
+    require(data.nonEmpty, "statsAggregate: no data commits")
+    val nRows = data.map(_.rows).sum
+    columns.sorted.map { c =>
+      val ss = data.map(m => m.stats.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"statsAggregate('$c'): a data commit lacks min/max stats " +
+            "(not profiled at append, or a non-finite extremum was " +
+            "dropped) — re-ingest with appendWithStats or read the data")))
+      val num = ss.head.num
+      require(ss.forall(_.num == num),
+        s"statsAggregate('$c'): commits disagree on the column's type")
+      val (mn, mx) =
+        if (num) (ss.minBy(s => BigDecimal(s.min)).min,
+                  ss.maxBy(s => BigDecimal(s.max)).max)
+        else (ss.map(_.min).min, ss.map(_.max).max)
+      (c, nRows, mn, mx)
+    }.toDF("column", "n_rows", "min_value", "max_value")
   }
 
   /** MERGE (WHEN NOT MATCHED THEN INSERT) on `keys` with optimistic
@@ -1462,6 +1662,24 @@ object TxParquetSink {
     * read — so old manifests, compaction bases, and overwrites keep
     * exactly their current semantics. */
   final case class ColStats(num: Boolean, min: String, max: String)
+
+  /** A pruning constraint derived from one WHERE conjunct by
+    * [[TxParquetSink.readSnapshotWhere]]. `litNum` records the
+    * literal's comparison domain (numeric vs string) and `litIntegral`
+    * whether its rendering is bloom-probe-safe against integral-formed
+    * column casts — see the method scaladoc for the soundness rules. */
+  private[etl] sealed trait PruneCons
+  private[etl] final case class RangeCons(col: String, lo: Option[String],
+      hi: Option[String], litNum: Boolean) extends PruneCons
+  private[etl] final case class EqCons(col: String, v: String,
+      litNum: Boolean, litIntegral: Boolean) extends PruneCons
+  private[etl] final case class InCons(col: String, vs: Seq[String],
+      litNum: Boolean, litIntegral: Boolean) extends PruneCons
+
+  /** Does a cast-to-string stat prove the column renders integrally?
+    * (DOUBLE min/max always carry '.'/'E'; integral and scale-0 decimal
+    * casts never do.) */
+  private[etl] def integralForm(s: String): Boolean = s.matches("-?\\d+")
 
   /** Line-oriented manifest codec (`rows=<n>` then one `file=<rel>` per
     * line, `pscope=true` + one `part=<tuple>` per touched partition for

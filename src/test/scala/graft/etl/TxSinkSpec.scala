@@ -681,6 +681,105 @@ class TxSinkSpec extends SparkSpec {
     assert(t.skippingAudit("absent", "a", "b") == ((3, 0)))
   }
 
+  test("statsAggregate answers count/min/max from manifests alone — zero data reads") {
+    val t = table()
+    val days = (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong))
+    days.grouped(10).foreach { g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"))
+    }
+    def snap() = t.statsAggregate(spark, Seq("amount", "day"))
+      .as[(String, Long, String, String)].collect().toSeq.sortBy(_._1)
+    val expected = Seq(
+      ("amount", 30L, "1", "30"), // numeric fold: "1" < "30" by VALUE ("9" > "10" lexicographically)
+      ("day", 30L, "2024-01-01", "2024-01-30"))
+    assert(snap() == expected)
+    // the metadata-only proof: remove every DATA file (keep the log) —
+    // a data-reading path dies, the manifest fold answers identically
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(t.dir)
+    val walk = java.nio.file.Files.walk(root)
+    val victims = try walk.iterator.asScala.toSeq finally walk.close()
+    victims.reverseIterator
+      .filterNot(p => p.toString.contains("_txlog") || p == root)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(snap() == expected, "statsAggregate must not touch data files")
+    assertThrows[Exception](
+      t.readSnapshot(spark).get.count()) // the scan path DOES need them
+    // soundness: a row-hiding mask refuses the metadata answer
+    val t2 = table()
+    t2.appendWithStats(Seq(("a", 1L), ("b", 2L)).toDF("day", "amount"),
+      Seq("amount"))
+    t2.deleteWhere(spark, "day = 'a'")
+    assertThrows[IllegalArgumentException](
+      t2.statsAggregate(spark, Seq("amount")))
+    // and a column with no recorded stats errors instead of guessing
+    val t3 = table()
+    t3.appendWithStats(Seq(("a", 1L)).toDF("day", "amount"), Seq("amount"))
+    assertThrows[IllegalArgumentException](
+      t3.statsAggregate(spark, Seq("day")))
+  }
+
+  test("readSnapshotWhere derives pruning from the predicate, stays exact") {
+    val t = table()
+    val days = (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong))
+    days.grouped(10).foreach { g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"))
+    }
+    def rows(pred: String): Seq[Long] =
+      t.readSnapshotWhere(spark, pred).map(
+        _.select("amount").as[Long].collect().toSeq.sorted).getOrElse(Nil)
+    // string range: middle commit only
+    assert(t.skippingAuditWhere(spark,
+      "day >= '2024-01-12' AND day <= '2024-01-14'") == ((3, 2)))
+    assert(rows("day >= '2024-01-12' AND day <= '2024-01-14'") == Seq(12L, 13L, 14L))
+    // numeric bounds compare by VALUE ("30" < "9" lexicographically);
+    // strict bounds prune with their closed form — commit2 (max=20) is
+    // conservatively kept for `> 20`, correctness unharmed
+    assert(t.skippingAuditWhere(spark, "amount > 20") == ((3, 1)))
+    assert(rows("amount > 20") == (21L to 30L))
+    assert(t.skippingAuditWhere(spark, "amount > 9 AND amount < 11") == ((3, 1)))
+    assert(rows("amount > 9 AND amount < 11") == Seq(10L))
+    // literal-first spellings flip correctly
+    assert(rows("9 < amount AND 11 > amount") == Seq(10L))
+    // IN prunes to the union of its members' commits
+    assert(t.skippingAuditWhere(spark, "amount IN (5, 25)") == ((3, 1)))
+    assert(rows("amount IN (5, 25)") == Seq(5L, 25L))
+    // an OR tree derives nothing — zero pruning, still exact
+    assert(t.skippingAuditWhere(spark, "amount = 5 OR amount = 25") == ((3, 0)))
+    assert(rows("amount = 5 OR amount = 25") == Seq(5L, 25L))
+    // type-mismatched conjunct (numeric literal vs string column)
+    // contributes no pruning and the residual filter stays exact
+    assert(t.skippingAuditWhere(spark, "day > 5") == ((3, 0)))
+    // all-pruned read is None, not an error
+    assert(t.readSnapshotWhere(spark, "amount > 1000").isEmpty)
+  }
+
+  test("readSnapshotWhere bloom probe refuses unproven cast forms") {
+    // integral column: equality bloom-prunes (stats prove integral form)
+    val t = table()
+    Seq(Seq(("a", 10L), ("b", 20L)), Seq(("c", 70L), ("d", 80L))).foreach(g =>
+      t.appendWithStats(g.toDF("k", "v"), Seq("v"), bloomCols = Seq("v")))
+    // v=70: commit1's range [10,20] excludes it; commit2 kept by range
+    // AND its bloom lights up. v=15: in commit1's range, bloom decides.
+    assert(t.skippingAuditWhere(spark, "v = 70") == ((2, 1)))
+    assert(t.readSnapshotWhere(spark, "v = 70").get.count() == 1)
+    val (_, skBloom) = t.skippingAuditWhere(spark, "v = 15")
+    assert(skBloom >= 1, "bloom must prune the absent-but-in-range key")
+    assert(t.readSnapshotWhere(spark, "v = 15").map(_.count()).getOrElse(0L) == 0)
+    // DOUBLE column stores "5.0": probing `= 5`'s "5" would wrongly
+    // prune — the derivation must refuse the bloom and keep the file
+    val td = table()
+    td.appendWithStats(Seq(("a", 5.0), ("b", 6.5)).toDF("k", "v"),
+      Seq("v"), bloomCols = Seq("v"))
+    assert(td.skippingAuditWhere(spark, "v = 5") == ((1, 0)))
+    assert(td.readSnapshotWhere(spark, "v = 5").get.count() == 1)
+    // typed literals (DATE) render internally — never pruned on
+    val tt = table()
+    tt.appendWithStats(Seq(("2024-01-05", 1L)).toDF("day", "amount"),
+      Seq("day"))
+    assert(tt.skippingAuditWhere(spark, "day = DATE '2024-01-05'") == ((1, 0)))
+  }
+
   test("data skipping: a pruned overwrite still masks earlier commits") {
     val t = table()
     t.appendWithStats(Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
