@@ -106,6 +106,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("readSnapshotWhere equals the unpruned filter for fuzzed predicates") {
+    // one fixed multi-commit table (stats + blooms on both columns),
+    // random predicates over a grammar of comparisons, IN-lists,
+    // AND/OR trees, and deliberately type-mismatched conjuncts — the
+    // SUPERSET CONTRACT says auto-derived pruning may only avoid I/O,
+    // never change the answer
+    val t = graft.etl.TxParquetSink(
+      java.nio.file.Files.createTempDirectory("txprop").toString + "/t")
+    (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong)).grouped(10).foreach(g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"),
+        bloomCols = Seq("day", "amount")))
+    val unpruned = t.readSnapshot(spark).get.localCheckpoint(true)
+    val numLit: Gen[String] = Gen.oneOf(
+      Gen.choose(-5, 35).map(_.toString), Gen.const("10.5"))
+    val dayLit: Gen[String] =
+      Gen.choose(-3, 33).map(d => f"'2024-01-$d%02d'")
+    val op: Gen[String] = Gen.oneOf("<", "<=", ">", ">=", "=")
+    val atom: Gen[String] = Gen.oneOf(
+      Gen.zip(op, numLit).map { case (o, l) => s"amount $o $l" },
+      Gen.zip(op, dayLit).map { case (o, l) => s"day $o $l" },
+      Gen.zip(numLit, op).map { case (l, o) => s"$l $o amount" },
+      Gen.zip(numLit, numLit).map { case (a, b) => s"amount IN ($a, $b)" },
+      // mismatched domain (string literal on the numeric column —
+      // ANSI-valid via coercion): the derivation must not prune on it
+      Gen.zip(op, Gen.choose(0, 35)).map { case (o, l) => s"amount $o '$l'" })
+    val pred: Gen[String] = for {
+      n <- Gen.choose(1, 3)
+      as <- Gen.listOfN(n, atom)
+      ops <- Gen.listOfN(n - 1, Gen.oneOf("AND", "OR"))
+    } yield as.tail.zip(ops).foldLeft(as.head) {
+      case (acc, (a, o)) => s"($acc) $o ($a)" }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("day", "amount").as[(String, Long)].collect().sorted.toSeq
+    check(Prop.forAll(pred) { p =>
+      val expect = rows(unpruned.where(expr(p)))
+      val got = t.readSnapshotWhere(spark, p).map(rows).getOrElse(Nil)
+      got == expect
+    })
+  }
+
   test("rollup grand total equals ungrouped total on random fact slices") {
     // localCheckpoint (not cache): materializes AND truncates lineage, so
     // the per-iteration rollup/filter plans don't trip Spark's
