@@ -131,7 +131,11 @@ object ScaleBench {
     // the two delete-side IVM rules (targeted recompute / multiplicities)
     "etl_tx_convert", "etl_ivm_minmax", "etl_ivm_distinct",
     // the composed-stream join-IVM replay (delta-vs-registry joins)
-    "stream_ivm_join")
+    "stream_ivm_join",
+    // round-9 post-close sixth leg: the metadata-only aggregate (the
+    // fold is O(commits) driver work — the slot times the ingest
+    // harness) and the predicate-derived pruned read
+    "etl_tx_stats_agg", "etl_tx_where")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

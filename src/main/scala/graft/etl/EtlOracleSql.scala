@@ -1987,6 +1987,25 @@ object EtlOracleSql {
       |  AND store_id = (SELECT min(store_id) FROM monthly) AND cents > 0
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Boundary-exact count twin: both counts computed declaratively —
+    * the engine credits fully-contained commits from manifest row
+    * counts and scans only boundary files, so the hash gate proves the
+    * credited rows are exactly the predicate's rows. */
+  val txCountWhere: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT * FROM (
+      |  SELECT 'complete' AS kind, count(*) AS n FROM monthly
+      |  WHERE month >= '1996-07' AND month <= '1998-09'
+      |  UNION ALL
+      |  SELECT 'fallback', count(*) FROM monthly
+      |  WHERE month >= '1996-07' AND month <= '1998-09'
+      |    AND (cents > 0 OR month = '')
+      |) ORDER BY kind""".stripMargin)
+
   /** Bloom point-lookup twin: the probe customer's order history
     * computed declaratively — the engine answers it through the
     * bloom-pruned commit read, so the hash gate proves false negatives

@@ -2342,6 +2342,38 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** BOUNDARY-EXACT COUNT round trip — `COUNT(*) WHERE` answered by
+    * [[TxParquetSink.countWhere]]: year commits fully inside the month
+    * range contribute their manifest row counts (never read), the two
+    * boundary years are scanned with the predicate, the rest are
+    * excluded by stats. Registered twice: a completely-parsed range
+    * (full credit active) and the same range with an OR conjunct
+    * (completeness fallback — every kept file demotes to a boundary
+    * scan). Both must equal the oracle's declarative counts, proving
+    * the manifest-credited rows ARE the predicate's rows. */
+  def txCountWhere(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txcount").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "store_id", "cents"))
+    }
+    val p1 = "month >= '1996-07' AND month <= '1998-09'"
+    val p2 = s"$p1 AND (cents > 0 OR month = '')"
+    Seq(("complete", t.countWhere(spark, p1)),
+        ("fallback", t.countWhere(spark, p2)))
+      .toDF("kind", "n").orderBy("kind")
+  }
+
   /** Probe key for [[txPointLookup]], shared with the oracle twin: a
     * customer whose orders cluster in few calendar years (bloom
     * skipping's useful case — a minmax range can't prune a key lookup

@@ -298,18 +298,25 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val stagedDf = spark.read.parquet(root.resolve(staged).toString)
     val numeric = stagedDf.schema.fields
       .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
-    val stats = if (statsCols.isEmpty) Map.empty[String, ColStats] else {
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
-      val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
-      statsCols.zipWithIndex.flatMap { case (c, i) =>
-        val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
-        val num = numeric.getOrElse(c, false)
-        if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
-        else Some(c -> ColStats(num, mn, mx))
-      }.toMap
-    }
+    val (stats, nullCounts) =
+      if (statsCols.isEmpty) (Map.empty[String, ColStats], Map.empty[String, Long])
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"),
+          org.apache.spark.sql.functions.count(col(c)).as(s"__cnt_$c")))
+        val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
+        val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val (mn, mx) = (r.getString(3 * i), r.getString(3 * i + 1))
+          val num = numeric.getOrElse(c, false)
+          if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
+          else Some(c -> ColStats(num, mn, mx))
+        }.toMap
+        val nc = statsCols.zipWithIndex.map { case (c, i) =>
+          c -> (n - r.getLong(3 * i + 2))
+        }.toMap
+        (st, nc)
+      }
     // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
     // positions per row fused into the scan, one bounded distinct —
     // at most BloomM ints per column ever reach the driver
@@ -337,7 +344,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     }.toMap
     var v = version() + 1
     while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats, blooms = blooms,
-      sketches = sketches)))
+      sketches = sketches, nullCounts = nullCounts)))
       v = version() + 1
   }
 
@@ -470,6 +477,78 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     (ms.map(_.files.size).sum, skipped)
   }
 
+  /** BOUNDARY-EXACT PREDICATE COUNT — `SELECT COUNT(*) WHERE <pred>`
+    * reading ONLY the files the predicate's derived constraints cannot
+    * decide. Every file in the effective snapshot classifies as:
+    *
+    *  - **Excluded** (stats/bloom disjoint — [[consKeeps]] fails):
+    *    contributes 0, never read;
+    *  - **Full** (stats PROVE every row satisfies every conjunct —
+    *    [[consFull]], strictness-aware, plus a recorded ZERO null
+    *    count for each constrained column, since min/max ignore NULLs
+    *    and NULL fails every comparison): contributes its manifest row
+    *    count, never read;
+    *  - **Boundary** (everything else): scanned with the full original
+    *    predicate — the only data I/O the count performs.
+    *
+    * Full credit additionally requires: the predicate parsed COMPLETELY
+    * (an unrecognized conjunct could reject rows inside a "full" file);
+    * the commit's exact per-file row count is known (single-file
+    * commits — multi-file compaction bases demote to Boundary); and no
+    * LATER commit hides rows ([[deleteWhere]] / [[overwritePartitions]]
+    * masks apply at scan time, which Full files skip). Any doubt
+    * demotes to Boundary — the answer is always exact, classification
+    * only moves I/O. This is how a 100-TB `COUNT(*) WHERE day BETWEEN
+    * …` touches two boundary files instead of three years of data. */
+  def countWhere(spark: SparkSession, predicateSql: String): Long =
+    countWhereAudit(spark, predicateSql)._1
+
+  /** [[countWhere]] plus its classification audit:
+    * (count, fullFiles, boundaryFiles, excludedFiles). */
+  def countWhereAudit(spark: SparkSession,
+      predicateSql: String): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.expr
+    val (cons, complete) = parsePruningConstraintsFull(spark, predicateSql)
+    val cs = resolvedCommits()
+    if (cs.isEmpty) return (0L, 0, 0, 0)
+    // the mask-free suffix: commits strictly after the last row-hiding
+    // commit are the only ones whose rows no later mask can hide
+    val lastMask = cs.lastIndexWhere { case (_, m) =>
+      m.deletePred.nonEmpty || m.replaceCols.nonEmpty }
+    // file → class (0 excluded / 1 boundary / 2 full); staged file
+    // names are UUID-unique across commits, so the key is the path
+    val fileClass: Map[String, Int] = cs.zipWithIndex.flatMap {
+      case ((_, m), i) =>
+        m.files.map { f =>
+          val cls =
+            if (!cons.forall(consKeeps(m, f, _))) 0
+            else if (complete && cons.nonEmpty && i > lastMask &&
+              m.files.size == 1 &&
+              cons.forall(c => consFull(m, f, c)) &&
+              cons.forall(c => m.nullCounts.get(colOfCons(c)).contains(0L)))
+              2
+            else 1
+          f -> cls
+        }
+    }.toMap
+    val full = cs.collect {
+      case (_, m) if m.files.size == 1 && fileClass(m.files.head) == 2 => m.rows
+    }.sum
+    val boundary = dataOf(spark, cs,
+      keepFile = (_, f) => fileClass.getOrElse(f, 1) == 1)
+    val scanned = boundary
+      .map(_.where(expr(predicateSql)).count()).getOrElse(0L)
+    val counts = fileClass.values.toSeq
+    (full + scanned, counts.count(_ == 2), counts.count(_ == 1),
+      counts.count(_ == 0))
+  }
+
+  private def colOfCons(c: PruneCons): String = c match {
+    case r: RangeCons => r.col
+    case e: EqCons => e.col
+    case i: InCons => i.col
+  }
+
   /** The stats entry governing file `f` of manifest `m` for `column`:
     * per-file ([[compactRanged]]) over commit-level, None = no pruning. */
   private def statsFor(m: Manifest, f: String,
@@ -477,7 +556,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     m.fileStats.get(f).flatMap(_.get(column)).orElse(m.stats.get(column))
 
   private def consKeeps(m: Manifest, f: String, c: PruneCons): Boolean = c match {
-    case RangeCons(col, lo, hi, litNum) =>
+    case RangeCons(col, lo, hi, litNum, _, _) =>
       statsFor(m, f, col).forall(s =>
         s.num != litNum || !boundDisjoint(s, lo, hi))
     case EqCons(col, v, litNum, litIntegral) =>
@@ -494,6 +573,34 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         consKeeps(m, f, EqCons(col, v, litNum, litIntegral)))
   }
 
+  /** Does the stats entry PROVE every non-null row of the file
+    * satisfies the constraint? (The Full half of [[countWhere]]'s
+    * classification — the dual of [[consKeeps]]' Excluded half.)
+    * Strictness matters here where pruning could ignore it: `x > 20`
+    * is full only when min > 20. Domain mismatches and unparseable
+    * literals are never full. */
+  private def consFull(m: Manifest, f: String, c: PruneCons): Boolean = c match {
+    case r: RangeCons =>
+      statsFor(m, f, r.col).exists { s =>
+        s.num == r.litNum && (try {
+          def cmp(a: String, b: String): Int =
+            if (s.num) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+          r.lo.forall(l => if (r.loStrict) cmp(s.min, l) > 0 else cmp(s.min, l) >= 0) &&
+          r.hi.forall(h => if (r.hiStrict) cmp(s.max, h) < 0 else cmp(s.max, h) <= 0)
+        } catch { case _: NumberFormatException => false })
+      }
+    case EqCons(col, v, litNum, _) =>
+      statsFor(m, f, col).exists { s =>
+        s.num == litNum && (try {
+          def eq(a: String, b: String): Boolean =
+            if (s.num) BigDecimal(a).compare(BigDecimal(b)) == 0 else a == b
+          eq(s.min, v) && eq(s.max, v)
+        } catch { case _: NumberFormatException => false })
+      }
+    case InCons(col, vs, litNum, litIntegral) =>
+      vs.exists(v => consFull(m, f, EqCons(col, v, litNum, litIntegral)))
+  }
+
   /** One-sided [[rangeDisjoint]]: a missing bound never excludes;
     * unparseable numeric literals conservatively keep. */
   private def boundDisjoint(s: ColStats, lo: Option[String],
@@ -505,7 +612,15 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     else lo.exists(s.max < _) || hi.exists(s.min > _)
 
   private def parsePruningConstraints(spark: SparkSession,
-      predicateSql: String): Seq[PruneCons] = {
+      predicateSql: String): Seq[PruneCons] =
+    parsePruningConstraintsFull(spark, predicateSql)._1
+
+  /** [[parsePruningConstraints]] plus a COMPLETENESS flag: true iff
+    * EVERY top-level conjunct yielded a constraint — the precondition
+    * for crediting Full files in [[countWhere]] (an unrecognized
+    * conjunct could reject rows a "fully satisfied" file would count). */
+  private def parsePruningConstraintsFull(spark: SparkSession,
+      predicateSql: String): (Seq[PruneCons], Boolean) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
@@ -530,47 +645,49 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         case _: NumericType => Some((l.value.toString, true, false))
         case _ => None
       }
-    conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
-      .flatMap {
-        case EqualTo(a, l: Literal) =>
-          for (c <- colOf(a); (v, n, i) <- rendered(l)) yield EqCons(c, v, n, i)
-        case EqualTo(l: Literal, a) =>
-          for (c <- colOf(a); (v, n, i) <- rendered(l)) yield EqCons(c, v, n, i)
-        case GreaterThan(a, l: Literal) =>
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, Some(v), None, n)
-        case GreaterThanOrEqual(a, l: Literal) =>
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, Some(v), None, n)
-        case LessThan(a, l: Literal) =>
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, None, Some(v), n)
-        case LessThanOrEqual(a, l: Literal) =>
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, None, Some(v), n)
-        case GreaterThan(l: Literal, a) => // lit > col ⇒ col < lit
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, None, Some(v), n)
-        case GreaterThanOrEqual(l: Literal, a) =>
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, None, Some(v), n)
-        case LessThan(l: Literal, a) => // lit < col ⇒ col > lit
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, Some(v), None, n)
-        case LessThanOrEqual(l: Literal, a) =>
-          for (c <- colOf(a); (v, n, _) <- rendered(l))
-            yield RangeCons(c, Some(v), None, n)
-        case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-          val rs = vs.map(v => rendered(v.asInstanceOf[Literal]))
-          for {
-            c <- colOf(a)
-            if rs.forall(_.isDefined) // a NULL/typed member disables pruning
-            flat = rs.flatten
-            if flat.map(_._2).distinct.size == 1 // homogeneous literal domain
-          } yield InCons(c, flat.map(_._1), flat.head._2,
-            flat.forall(_._3))
-        case _ => None
-      }
+    val opts: Seq[Option[PruneCons]] =
+      conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
+        .map {
+          case EqualTo(a, l: Literal) =>
+            for (c <- colOf(a); (v, n, i) <- rendered(l)) yield EqCons(c, v, n, i)
+          case EqualTo(l: Literal, a) =>
+            for (c <- colOf(a); (v, n, i) <- rendered(l)) yield EqCons(c, v, n, i)
+          case GreaterThan(a, l: Literal) =>
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, Some(v), None, n, loStrict = true)
+          case GreaterThanOrEqual(a, l: Literal) =>
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, Some(v), None, n)
+          case LessThan(a, l: Literal) =>
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, None, Some(v), n, hiStrict = true)
+          case LessThanOrEqual(a, l: Literal) =>
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, None, Some(v), n)
+          case GreaterThan(l: Literal, a) => // lit > col ⇒ col < lit
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, None, Some(v), n, hiStrict = true)
+          case GreaterThanOrEqual(l: Literal, a) =>
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, None, Some(v), n)
+          case LessThan(l: Literal, a) => // lit < col ⇒ col > lit
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, Some(v), None, n, loStrict = true)
+          case LessThanOrEqual(l: Literal, a) =>
+            for (c <- colOf(a); (v, n, _) <- rendered(l))
+              yield RangeCons(c, Some(v), None, n)
+          case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+            val rs = vs.map(v => rendered(v.asInstanceOf[Literal]))
+            for {
+              c <- colOf(a)
+              if rs.forall(_.isDefined) // a NULL/typed member disables pruning
+              flat = rs.flatten
+              if flat.map(_._2).distinct.size == 1 // homogeneous literal domain
+            } yield InCons(c, flat.map(_._1), flat.head._2,
+              flat.forall(_._3))
+          case _ => None
+        }
+    (opts.flatten, opts.forall(_.isDefined))
   }
 
   /** Skipping observability: (data directories in the effective
@@ -1599,7 +1716,8 @@ object TxParquetSink {
       fileBlooms: Map[String, Map[String, BloomBits]] = Map.empty,
       sketches: Map[String, KmvMins] = Map.empty,
       deletePred: Option[String] = None,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      nullCounts: Map[String, Long] = Map.empty)
 
   /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
     * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
@@ -1670,7 +1788,8 @@ object TxParquetSink {
     * column casts — see the method scaladoc for the soundness rules. */
   private[etl] sealed trait PruneCons
   private[etl] final case class RangeCons(col: String, lo: Option[String],
-      hi: Option[String], litNum: Boolean) extends PruneCons
+      hi: Option[String], litNum: Boolean,
+      loStrict: Boolean = false, hiStrict: Boolean = false) extends PruneCons
   private[etl] final case class EqCons(col: String, v: String,
       litNum: Boolean, litIntegral: Boolean) extends PruneCons
   private[etl] final case class InCons(col: String, vs: Seq[String],
@@ -1718,6 +1837,12 @@ object TxParquetSink {
       // planning estimate, never data — the append-only-is-safe class
       m.sketches.toSeq.sortBy(_._1).map { case (c, s) =>
         s"kmv=${encodePartition(Seq(c, s.k.toString, s.mins.mkString(",")))}"
+      } ++
+      // per-column null counts ([[appendWithStats]]): advisory — used
+      // only to PROVE a file fully satisfies a predicate (countWhere);
+      // ignoring them merely demotes Full files to Boundary scans
+      m.nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
+        s"nullc=${encodePartition(Seq(c, n.toString))}"
       } ++
       // NOT covered by the append-only-is-safe argument above: a reader
       // that ignored delwhere= would RESURRECT deleted rows. The parser
@@ -1793,7 +1918,13 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 2, s"malformed txn line: $v")
         (parts(0), parts(1).toLong)
-      })
+      },
+      kv.collect { case ("nullc", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 2, s"malformed nullc line: $v")
+        parts(0) -> parts(1).toLong
+      }.toMap)
   }
 
   /** Canonical string for one partition tuple: URL-encoded values

@@ -780,6 +780,56 @@ class TxSinkSpec extends SparkSpec {
     assert(tt.skippingAuditWhere(spark, "day = DATE '2024-01-05'") == ((1, 0)))
   }
 
+  test("countWhere credits full files from manifests, scans only boundaries") {
+    val t = table()
+    (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong)).grouped(10).foreach(g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount")))
+    // [11, 30]: commit1 excluded, commits 2+3 FULL — zero boundary reads
+    assert(t.countWhereAudit(spark, "amount >= 11 AND amount <= 30") ==
+      ((20L, 2, 0, 1)))
+    // strict bound: `> 10` is full for commit2 (min=11 > 10) while
+    // commit1 (max=10) survives the CLOSED-form prune as a boundary
+    // scan of zero matches; `> 11` is NOT full for commit2 (min=11
+    // fails the strict test) — boundary, still exact
+    assert(t.countWhereAudit(spark, "amount > 10 AND amount <= 30") ==
+      ((20L, 2, 1, 0)))
+    assert(t.countWhereAudit(spark, "amount > 11 AND amount <= 30") ==
+      ((19L, 1, 1, 1)))
+    // an OR conjunct kills completeness: same count, no full credit
+    assert(t.countWhereAudit(spark,
+      "amount >= 11 AND amount <= 30 AND (amount > 0 OR day = '')") ==
+      ((20L, 0, 2, 1)))
+    // equality: only a constant file can be full — boundary here
+    val (nEq, fEq, _, _) = t.countWhereAudit(spark, "amount = 15")
+    assert(nEq == 1L && fEq == 0)
+
+    // NULLs: min/max ignore them, so full credit requires the recorded
+    // zero null count — a committed null demotes to boundary and the
+    // count stays exact (NULL fails the comparison)
+    val tn = table()
+    tn.appendWithStats(Seq(("a", Some(1L)), ("b", None), ("c", Some(3L)))
+      .toDF("day", "amount"), Seq("amount"))
+    assert(tn.countWhereAudit(spark, "amount >= 1 AND amount <= 3") ==
+      ((2L, 0, 1, 0)))
+
+    // a later deleteWhere hides rows: full credit withdrawn for prior
+    // commits (they scan through the mask), count reflects the delete
+    t.deleteWhere(spark, "amount = 25")
+    assert(t.countWhere(spark, "amount >= 11 AND amount <= 30") == 19L)
+    val (_, fMasked, _, _) =
+      t.countWhereAudit(spark, "amount >= 11 AND amount <= 30")
+    assert(fMasked == 0, "masked commits must not take manifest credit")
+
+    // multi-file compaction base: exact per-file rows unknown — bounded
+    // to boundary scans, count still exact post-OPTIMIZE
+    val tc = table()
+    (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong)).grouped(10).foreach(g =>
+      tc.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount")))
+    tc.compactRanged(spark, "amount", numBuckets = 3)
+    val (nC, fC, _, _) = tc.countWhereAudit(spark, "amount >= 11 AND amount <= 30")
+    assert(nC == 20L && fC == 0)
+  }
+
   test("data skipping: a pruned overwrite still masks earlier commits") {
     val t = table()
     t.appendWithStats(Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
