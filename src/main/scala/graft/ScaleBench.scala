@@ -134,8 +134,9 @@ object ScaleBench {
     "stream_ivm_join",
     // round-9 post-close sixth leg: the metadata-only aggregate (the
     // fold is O(commits) driver work — the slot times the ingest
-    // harness) and the predicate-derived pruned read
-    "etl_tx_stats_agg", "etl_tx_where")
+    // harness), the predicate-derived pruned read, and the
+    // boundary-exact count
+    "etl_tx_stats_agg", "etl_tx_where", "etl_tx_count_where")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
