@@ -2006,6 +2006,24 @@ object EtlOracleSql {
       |    AND (cents > 0 OR month = '')
       |) ORDER BY kind""".stripMargin)
 
+  /** 2-D box twin: the engine answers it through Hilbert-clustered
+    * segments pruned by auto-derived constraints; the oracle computes
+    * the box declaratively. */
+  val txBoxWhere: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |), midx AS (
+      |  SELECT CAST((CAST(substring(month, 1, 4) AS INT) - 1992) * 12
+      |         + CAST(substring(month, 6, 2) AS INT) - 1 AS BIGINT) AS mi,
+      |         store_id, cents
+      |  FROM monthly
+      |)
+      |SELECT mi, store_id, cents FROM midx
+      |WHERE mi >= 24 AND mi <= 47 AND store_id >= 5 AND store_id <= 12
+      |ORDER BY mi, store_id""".stripMargin)
+
   /** Bloom point-lookup twin: the probe customer's order history
     * computed declaratively — the engine answers it through the
     * bloom-pruned commit read, so the hash gate proves false negatives

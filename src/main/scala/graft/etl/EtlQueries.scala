@@ -2374,6 +2374,40 @@ object EtlQueries {
       .toDF("kind", "n").orderBy("kind")
   }
 
+  /** 2-D BOX QUERY THROUGH CLUSTERED OPTIMIZE — the monthly rollup
+    * lands as four arbitrary unclustered slices, is rewritten by
+    * [[TxParquetSink.compactClustered]] into Hilbert-curve segments
+    * whose manifests carry per-segment (month-index, store) boxes and
+    * exact row counts, and a two-year × eight-store box is answered
+    * through [[TxParquetSink.readSnapshotWhere]] — the predicate parsed
+    * into constraints, interior/exterior segments decided from
+    * metadata. The oracle computes the box declaratively, so the hash
+    * gate proves curve layout + derived pruning lose no row. This is
+    * the `OPTIMIZE ZORDER BY` + WHERE-pruning composition a 100-TB
+    * table serves dashboard slices from. */
+  def txBoxWhere(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .withColumn("mi",
+        ((expr("CAST(substring(month, 1, 4) AS INT)") - lit(1992)) * lit(12) +
+          expr("CAST(substring(month, 6, 2) AS INT)") - lit(1)).cast("long"))
+      .select("mi", "store_id", "cents")
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txbox").toString + "/t")
+    (0 until 4).foreach { k =>
+      t.append(monthly.where(pmod(col("store_id"), lit(4)) === lit(k)))
+    }
+    t.compactClustered(spark, "mi", "store_id",
+      curve = "hilbert", bits = 8, numBuckets = 8)
+    t.readSnapshotWhere(spark,
+      "mi >= 24 AND mi <= 47 AND store_id >= 5 AND store_id <= 12").get
+      .select("mi", "store_id", "cents")
+      .orderBy("mi", "store_id")
+  }
+
   /** Probe key for [[txPointLookup]], shared with the oracle twin: a
     * customer whose orders cluster in few calendar years (bloom
     * skipping's useful case — a minmax range can't prune a key lookup

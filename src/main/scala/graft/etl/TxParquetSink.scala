@@ -493,9 +493,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     *
     * Full credit additionally requires: the predicate parsed COMPLETELY
     * (an unrecognized conjunct could reject rows inside a "full" file);
-    * the commit's exact per-file row count is known (single-file
-    * commits — multi-file compaction bases demote to Boundary); and no
-    * LATER commit hides rows ([[deleteWhere]] / [[overwritePartitions]]
+    * the file's exact row count is known (single-file commits from the
+    * manifest total, [[compactClustered]] base files from their
+    * `frows=` records — other multi-file bases demote to Boundary); and
+    * no LATER commit hides rows ([[deleteWhere]] / [[overwritePartitions]]
     * masks apply at scan time, which Full files skip). Any doubt
     * demotes to Boundary — the answer is always exact, classification
     * only moves I/O. This is how a 100-TB `COUNT(*) WHERE day BETWEEN
@@ -515,32 +516,36 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     // commit are the only ones whose rows no later mask can hide
     val lastMask = cs.lastIndexWhere { case (_, m) =>
       m.deletePred.nonEmpty || m.replaceCols.nonEmpty }
-    // file → class (0 excluded / 1 boundary / 2 full); staged file
-    // names are UUID-unique across commits, so the key is the path
-    val fileClass: Map[String, Int] = cs.zipWithIndex.flatMap {
+    // file → (class, exact rows if known): 0 excluded / 1 boundary /
+    // 2 full; staged file names are UUID-unique across commits, so the
+    // key is the path. Exact per-file rows come from frows=
+    // ([[compactClustered]] bases) or the commit total when it staged
+    // a single directory.
+    val classed: Seq[(String, Int, Option[Long])] = cs.zipWithIndex.flatMap {
       case ((_, m), i) =>
         m.files.map { f =>
+          val rowsKnown = m.fileRows.get(f)
+            .orElse(if (m.files.size == 1) Some(m.rows) else None)
           val cls =
             if (!cons.forall(consKeeps(m, f, _))) 0
             else if (complete && cons.nonEmpty && i > lastMask &&
-              m.files.size == 1 &&
+              rowsKnown.isDefined &&
               cons.forall(c => consFull(m, f, c)) &&
               cons.forall(c => m.nullCounts.get(colOfCons(c)).contains(0L)))
               2
             else 1
-          f -> cls
+          (f, cls, rowsKnown)
         }
-    }.toMap
-    val full = cs.collect {
-      case (_, m) if m.files.size == 1 && fileClass(m.files.head) == 2 => m.rows
-    }.sum
+    }
+    val fileClass: Map[String, Int] =
+      classed.map(e => e._1 -> e._2).toMap
+    val full = classed.collect { case (_, 2, Some(n)) => n }.sum
     val boundary = dataOf(spark, cs,
       keepFile = (_, f) => fileClass.getOrElse(f, 1) == 1)
     val scanned = boundary
       .map(_.where(expr(predicateSql)).count()).getOrElse(0L)
-    val counts = fileClass.values.toSeq
-    (full + scanned, counts.count(_ == 2), counts.count(_ == 1),
-      counts.count(_ == 0))
+    (full + scanned, classed.count(_._2 == 2), classed.count(_._2 == 1),
+      classed.count(_._2 == 0))
   }
 
   private def colOfCons(c: PruneCons): String = c match {
@@ -1604,6 +1609,100 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     -1L // unreachable
   }
 
+  /** CLUSTERED compaction WITH PER-FILE METADATA — [[compactZOrdered]] /
+    * [[compactHilbert]]'s layout fused with [[compactRanged]]'s
+    * bucket-directory mechanics: the base is rewritten into
+    * `numBuckets` range-disjoint segments of the chosen space-filling
+    * curve, and the manifest records each segment's (x, y) min/max
+    * (`fstat=`), exact row count (`frows=`), and the commit-level null
+    * counts — so a 2-D box predicate auto-prunes through
+    * [[readSnapshotWhere]] and [[countWhere]] credits interior
+    * segments without reading them. Hilbert locality keeps per-file
+    * boxes tight (the measured HilbertSpec claim), which is what makes
+    * box pruning effective: OPTIMIZE chooses the layout, the metadata
+    * makes it consultable. At 100 TB this is `OPTIMIZE ZORDER BY` plus
+    * data skipping in one commit — the pattern every lakehouse pairs. */
+  def compactClustered(spark: SparkSession, x: String, y: String,
+      curve: String = "hilbert", bits: Int = 16, numBuckets: Int = 8,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{col, min, max, count, lit, spark_partition_id}
+    import org.apache.spark.sql.types.NumericType
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts)
+        throw new IllegalStateException(
+          s"compactClustered: gave up after $maxAttempts publish attempts on $dir")
+      val snap = commits()
+      if (snap.isEmpty) return -1L
+      val df0 = dataOf(spark, effective(snap)).get.localCheckpoint(true)
+      val n = df0.count()
+      val keyed = curve match {
+        case "hilbert" => Hilbert.withHilbert(df0, col(x), col(y), "__ck", bits)
+        case "zorder" => df0.withColumn("__ck", ZOrder.zValue(col(x), col(y), bits))
+        case other => throw new IllegalArgumentException(s"unknown curve: $other")
+      }
+      val rel = "data/tx-" + java.util.UUID.randomUUID().toString
+      val stagedRoot = root.resolve(rel)
+      keyed.repartitionByRange(numBuckets, col("__ck"))
+        .sortWithinPartitions("__ck")
+        .withColumn("__bucket", spark_partition_id())
+        .drop("__ck")
+        .write.mode("error").partitionBy("__bucket").parquet(stagedRoot.toString)
+      // audit + per-segment stats + exact per-segment rows in ONE
+      // read-back pass (partition discovery restores __bucket)
+      val back = spark.read.parquet(stagedRoot.toString)
+      val statRows = back.groupBy("__bucket")
+        .agg(count(lit(1)).as("__n"),
+          count(col(x)).as("__nx"), count(col(y)).as("__ny"),
+          min(col(x)).cast("string").as("__minx"),
+          max(col(x)).cast("string").as("__maxx"),
+          min(col(y)).cast("string").as("__miny"),
+          max(col(y)).cast("string").as("__maxy"))
+        .collect()
+      val audited = statRows.map(_.getAs[Long]("__n")).sum
+      if (audited != n) {
+        deleteRecursively(stagedRoot)
+        throw new IllegalStateException(
+          s"compactClustered stage audit failed: wrote $audited rows, expected $n")
+      }
+      def isNum(c: String) = df0.schema.fields.find(_.name == c)
+        .exists(_.dataType.isInstanceOf[NumericType])
+      val (numX, numY) = (isNum(x), isNum(y))
+      def fileOf(r: org.apache.spark.sql.Row) =
+        s"$rel/__bucket=${r.getAs[Any]("__bucket")}"
+      val files = statRows.map(fileOf).toSeq
+      val fileStats = statRows.flatMap { r =>
+        def statOf(c: String, num: Boolean, mnK: String, mxK: String) = {
+          val (mn, mx) = (r.getAs[String](mnK), r.getAs[String](mxK))
+          if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
+          else Some(c -> ColStats(num, mn, mx))
+        }
+        val m = (statOf(x, numX, "__minx", "__maxx").toSeq ++
+          statOf(y, numY, "__miny", "__maxy").toSeq).toMap
+        if (m.isEmpty) None else Some(fileOf(r) -> m)
+      }.toMap
+      val fileRows = statRows.map(r => fileOf(r) -> r.getAs[Long]("__n")).toMap
+      val nullCounts = Map(
+        x -> (n - statRows.map(_.getAs[Long]("__nx")).sum),
+        y -> (n - statRows.map(_.getAs[Long]("__ny")).sum))
+      beforePublish()
+      if (!Files.isDirectory(stagedRoot))
+        throw new IllegalStateException(
+          s"compactClustered: staged directory $rel vanished before publish " +
+            "(vacuumed mid-commit?) — aborting")
+      if (tryPublish(snap.last._1 + 1,
+          Manifest(n, files, base = true, fileStats = fileStats,
+            fileRows = fileRows, nullCounts = nullCounts))) {
+        writeBasePointer(snap.last._1 + 1)
+        return snap.last._1 + 1
+      }
+      deleteRecursively(stagedRoot) // lost the race: stale by construction
+    }
+    -1L // unreachable
+  }
+
   /** RESTORE TABLE TO VERSION — roll the table back to a historical
     * version AS A NEW COMMIT (Delta's RESTORE): the target version's
     * snapshot is restated as a base at tip+1, so the rollback is
@@ -1717,7 +1816,8 @@ object TxParquetSink {
       sketches: Map[String, KmvMins] = Map.empty,
       deletePred: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      nullCounts: Map[String, Long] = Map.empty)
+      nullCounts: Map[String, Long] = Map.empty,
+      fileRows: Map[String, Long] = Map.empty)
 
   /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
     * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
@@ -1844,6 +1944,11 @@ object TxParquetSink {
       m.nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
         s"nullc=${encodePartition(Seq(c, n.toString))}"
       } ++
+      // per-file row counts ([[compactClustered]]): advisory — lets
+      // countWhere credit individual files of a multi-file base
+      m.fileRows.toSeq.sortBy(_._1).map { case (f, n) =>
+        s"frows=${encodePartition(Seq(f, n.toString))}"
+      } ++
       // NOT covered by the append-only-is-safe argument above: a reader
       // that ignored delwhere= would RESURRECT deleted rows. The parser
       // below understands it, and no other reader of this log exists;
@@ -1923,6 +2028,12 @@ object TxParquetSink {
         val parts = v.split('/').toSeq.map(p =>
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 2, s"malformed nullc line: $v")
+        parts(0) -> parts(1).toLong
+      }.toMap,
+      kv.collect { case ("frows", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 2, s"malformed frows line: $v")
         parts(0) -> parts(1).toLong
       }.toMap)
   }

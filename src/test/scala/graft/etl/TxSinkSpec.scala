@@ -830,6 +830,37 @@ class TxSinkSpec extends SparkSpec {
     assert(nC == 20L && fC == 0)
   }
 
+  test("compactClustered: per-segment boxes prune 2-D predicates, countWhere credits interiors") {
+    val t = table()
+    val rows = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong, s"v$x-$y")
+    rows.grouped(200).foreach(g => t.append(g.toDF("cx", "cy", "payload")))
+    val pre = t.readSnapshot(spark).get.count()
+    assert(t.compactClustered(spark, "cx", "cy",
+      curve = "hilbert", bits = 5, numBuckets = 12) >= 0)
+    assert(t.readSnapshot(spark).get.count() == pre,
+      "clustered rewrite must not change the snapshot")
+    val base = t.commits().filter(_._2.base).last._2
+    assert(base.files.size > 1 && base.fileRows.values.sum == pre,
+      "per-segment rows must be recorded and sum to the table")
+    assert(base.nullCounts == Map("cx" -> 0L, "cy" -> 0L))
+    // a small box prunes most segments from metadata alone
+    val box = "cx >= 2 AND cx <= 9 AND cy >= 2 AND cy <= 9"
+    val (total, skipped) = t.skippingAuditWhere(spark, box)
+    assert(total == base.files.size && skipped >= total / 2,
+      s"hilbert boxes should exclude most segments: ($total, $skipped)")
+    assert(t.readSnapshotWhere(spark, box).get.count() == 64L)
+    // a big box: interior segments credited from frows, never read
+    val big = "cx >= 0 AND cx <= 31 AND cy >= 0 AND cy <= 15"
+    val (n, full, boundary, _) = t.countWhereAudit(spark, big)
+    assert(n == 512L, s"boundary-exact count wrong: $n")
+    assert(full >= 1, s"interior segments must take manifest credit ($full full, $boundary boundary)")
+    // the whole space: every segment is interior — zero data reads
+    assert(t.countWhereAudit(spark,
+      "cx >= 0 AND cx <= 31 AND cy >= 0 AND cy <= 31") ==
+      ((1024L, base.files.size, 0, 0)))
+  }
+
   test("data skipping: a pruned overwrite still masks earlier commits") {
     val t = table()
     t.appendWithStats(Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
