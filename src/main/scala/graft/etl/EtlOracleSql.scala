@@ -91,6 +91,18 @@ object EtlOracleSql {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** Streamed metadata-count twin: the engine replays week-sliced
+    * exactly-once loads (one redelivered) and answers the two-week
+    * count from manifest credit + boundary scans; the oracle counts
+    * the daily aggregate's rows declaratively. */
+  val txCountReplay: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT count(*) AS n FROM daily
+      |WHERE day >= '2024-01-08' AND day <= '2024-01-21'""".stripMargin
+
   val eventsHourly: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       |       COUNT(*) AS n_events,

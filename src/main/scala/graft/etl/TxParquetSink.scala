@@ -296,27 +296,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     enforceConstraints(df)
     val staged = stageAudited(spark, df, n)
     val stagedDf = spark.read.parquet(root.resolve(staged).toString)
-    val numeric = stagedDf.schema.fields
-      .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
-    val (stats, nullCounts) =
-      if (statsCols.isEmpty) (Map.empty[String, ColStats], Map.empty[String, Long])
-      else {
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"__min_$c"),
-          max(col(c)).cast("string").as(s"__max_$c"),
-          org.apache.spark.sql.functions.count(col(c)).as(s"__cnt_$c")))
-        val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
-        val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val (mn, mx) = (r.getString(3 * i), r.getString(3 * i + 1))
-          val num = numeric.getOrElse(c, false)
-          if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
-          else Some(c -> ColStats(num, mn, mx))
-        }.toMap
-        val nc = statsCols.zipWithIndex.map { case (c, i) =>
-          c -> (n - r.getLong(3 * i + 2))
-        }.toMap
-        (st, nc)
-      }
+    val (stats, nullCounts) = profileStatsOf(stagedDf, n, statsCols)
     // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
     // positions per row fused into the scan, one bounded distinct —
     // at most BloomM ints per column ever reach the driver
@@ -512,8 +492,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val (cons, complete) = parsePruningConstraintsFull(spark, predicateSql)
     val cs = resolvedCommits()
     if (cs.isEmpty) return (0L, 0, 0, 0)
-    // the mask-free suffix: commits strictly after the last row-hiding
-    // commit are the only ones whose rows no later mask can hide
+    // the mask-free suffix: a file's rows can be hidden only by masks
+    // in STRICTLY LATER commits ([[dataOf]]'s replacesAfter/deletesAfter
+    // semantics — a masking commit never masks itself), so commits at
+    // or after the last row-hiding commit are credit-eligible
     val lastMask = cs.lastIndexWhere { case (_, m) =>
       m.deletePred.nonEmpty || m.replaceCols.nonEmpty }
     // file → (class, exact rows if known): 0 excluded / 1 boundary /
@@ -528,7 +510,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             .orElse(if (m.files.size == 1) Some(m.rows) else None)
           val cls =
             if (!cons.forall(consKeeps(m, f, _))) 0
-            else if (complete && cons.nonEmpty && i > lastMask &&
+            else if (complete && cons.nonEmpty && i >= lastMask &&
               rowsKnown.isDefined &&
               cons.forall(c => consFull(m, f, c)) &&
               cons.forall(c => m.nullCounts.get(colOfCons(c)).contains(0L)))
@@ -704,6 +686,41 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       .map(m => m.files.count(f => !rangeKeeps(m, f, column, lo, hi))).sum
     (ms.map(_.files.size).sum, skipped)
   }
+
+  /** One read-back profile pass shared by every stats-recording write:
+    * per-column min/max (cast-to-string domain) and null counts, with
+    * the [[finiteNumeric]] admission rule. */
+  private def profileStatsOf(stagedDf: DataFrame, n: Long,
+      statsCols: Seq[String]): (Map[String, ColStats], Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    import org.apache.spark.sql.types.NumericType
+    if (statsCols.isEmpty)
+      return (Map.empty[String, ColStats], Map.empty[String, Long])
+    val numeric = stagedDf.schema.fields
+      .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"),
+      count(col(c)).as(s"__cnt_$c")))
+    val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
+    val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val (mn, mx) = (r.getString(3 * i), r.getString(3 * i + 1))
+      val num = numeric.getOrElse(c, false)
+      if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
+      else Some(c -> ColStats(num, mn, mx))
+    }.toMap
+    val nc = statsCols.zipWithIndex.map { case (c, i) =>
+      c -> (n - r.getLong(3 * i + 2))
+    }.toMap
+    (st, nc)
+  }
+
+  /** [[profileStatsOf]] over a freshly staged directory. */
+  private def profileStats(spark: SparkSession, stagedRel: String, n: Long,
+      statsCols: Seq[String]): (Map[String, ColStats], Map[String, Long]) =
+    if (statsCols.isEmpty) (Map.empty, Map.empty)
+    else profileStatsOf(
+      spark.read.parquet(root.resolve(stagedRel).toString), n, statsCols)
 
   /** METADATA-ONLY AGGREGATE — `COUNT(*)` / `MIN` / `MAX` answered from
     * the commit log alone: zero data-file reads, zero Spark jobs. At
@@ -925,18 +942,21 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       incoming: DataFrame,
       partitionCols: Seq[String],
       beforePublish: () => Unit = () => (),
-      maxAttempts: Int = 20): Long = {
+      maxAttempts: Int = 20,
+      statsCols: Seq[String] = Nil): Long = {
     require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
     val n = incoming.count()
     if (n == 0) return 0 // nothing touched, nothing replaced
     enforceConstraints(incoming)
     val tuples = touchedPartitions(incoming, partitionCols)
     val staged = stageAudited(spark, incoming, n)
+    val (stats, nullCounts) = profileStats(spark, staged, n, statsCols)
     val manifest = Manifest(n, Seq(staged),
       partitions = Some(tuples.map(encodePartition)),
       partitionCols = partitionCols,
       replaceCols = partitionCols,
-      replaceKeys = tuples.map(sepEncode))
+      replaceKeys = tuples.map(sepEncode),
+      stats = stats, nullCounts = nullCounts)
     var attempts = 0
     while (true) {
       attempts += 1

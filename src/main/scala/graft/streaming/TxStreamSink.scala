@@ -34,6 +34,53 @@ object TxStreamSink {
     ()
   }
 
+  /** [[overwriteBatch]] recording per-batch min/max stats and null
+    * counts for `statsCols` — streamed loads join the metadata read
+    * tier: [[TxParquetSink.readSnapshotWhere]] prunes batches from
+    * their manifests and [[TxParquetSink.countWhere]] credits the
+    * newest batch's rows without a read. Same exactly-once contract;
+    * the stats pass is one extra aggregate over the staged batch. */
+  def overwriteBatchWithStats(sink: TxParquetSink, partitionCols: Seq[String],
+      statsCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    sink.overwritePartitions(batch.sparkSession, batch, partitionCols,
+      statsCols = statsCols)
+    ()
+  }
+
+  /** STREAMED METADATA COUNT replay — [[txDailyReplay]]'s week-sliced
+    * exactly-once load through [[overwriteBatchWithStats]] (a middle
+    * batch deliberately REDELIVERED), then `COUNT(*)` over a two-week
+    * day range answered by [[TxParquetSink.countWhere]]: the
+    * redelivered commit takes manifest credit (it is the newest mask —
+    * nothing can hide its rows), superseded and boundary batches scan
+    * through their masks, out-of-range batches are excluded by their
+    * own stats. The oracle computes the count declaratively, so the
+    * gate proves exactly-once AND metadata-credit compose: a replayed
+    * batch changes neither the table nor the credited count. */
+  def txCountReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sink = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txcnt").toString + "/t")
+    val ev = graft.etl.Star.events(spark, dir)
+      .withColumn("day", expr("CAST(CAST(ts AS DATE) AS STRING)"))
+    def slice(lo: String, hi: String) =
+      ev.where(col("day") >= lo && col("day") <= hi)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+    val weeks = Seq(
+      ("2024-01-01", "2024-01-07"), ("2024-01-08", "2024-01-14"),
+      ("2024-01-15", "2024-01-21"), ("2024-01-22", "2024-01-31"))
+    val write = overwriteBatchWithStats(sink, Seq("day"), Seq("day")) _
+    weeks.zipWithIndex.foreach { case ((lo, hi), i) =>
+      write(slice(lo, hi), i.toLong) }
+    // the at-least-once redelivery: week 2 runs AGAIN
+    write(slice(weeks(1)._1, weeks(1)._2), 1L)
+    Seq(sink.countWhere(spark,
+      "day >= '2024-01-08' AND day <= '2024-01-21'"))
+      .toDF("n")
+  }
+
   /** Oracle-checkable REPLAY of the exactly-once load over a closed
     * event log — the [[graft.streaming.StreamDedup]] replay pattern
     * applied to the sink: the events table is carved into month-sized

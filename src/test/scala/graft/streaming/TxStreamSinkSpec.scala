@@ -57,6 +57,29 @@ class TxStreamSinkSpec extends SparkSpec {
     // this pattern exists to exclude
   }
 
+  test("stats-recording batches: the redelivered commit takes metadata credit") {
+    val t = sink()
+    val write = TxStreamSink.overwriteBatchWithStats(t, Seq("day"), Seq("day")) _
+    def batch(days: Range) =
+      days.map(d => (f"2024-01-$d%02d", d.toLong)).toDF("day", "amount")
+    write(batch(1 to 7), 0L)
+    write(batch(8 to 14), 1L)
+    write(batch(15 to 21), 2L)
+    write(batch(22 to 30), 3L)
+    write(batch(8 to 14), 1L) // the at-least-once redelivery
+    val (n, full, boundary, excluded) =
+      t.countWhereAudit(spark, "day >= '2024-01-08' AND day <= '2024-01-21'")
+    assert(n == 14L, s"exactly-once count wrong: $n")
+    // the redelivered commit is the newest mask — its rows take
+    // manifest credit; the superseded week-2 and the boundary week-3
+    // scan through the masks; weeks 1 and 4 are excluded by stats
+    assert((full, boundary, excluded) == ((1, 2, 2)),
+      s"classification drifted: ($full, $boundary, $excluded)")
+    // pruned read agrees with the unpruned filter through the masks
+    assert(t.readSnapshotWhere(spark,
+      "day >= '2024-01-08' AND day <= '2024-01-21'").get.count() == 14L)
+  }
+
   test("the completeness contract: a half-partition batch replaces the other half away") {
     val t = sink()
     TxStreamSink.overwriteBatch(t, Seq("day"))(
