@@ -2036,6 +2036,26 @@ object EtlOracleSql {
       |WHERE mi >= 24 AND mi <= 47 AND store_id >= 5 AND store_id <= 12
       |ORDER BY mi, store_id""".stripMargin)
 
+  /** Boundary-exact aggregate twin: COUNT/MIN/MAX under the predicate
+    * computed declaratively — the engine combines manifest extremes of
+    * interior commits with one boundary scan. */
+  val txStatsWhere: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |), box AS (
+      |  SELECT * FROM monthly
+      |  WHERE month >= '1996-07' AND month <= '1998-09'
+      |)
+      |SELECT * FROM (
+      |  SELECT 'cents' AS "column", count(*) AS n_rows,
+      |         CAST(min(cents) AS VARCHAR) AS min_value,
+      |         CAST(max(cents) AS VARCHAR) AS max_value FROM box
+      |  UNION ALL
+      |  SELECT 'month', count(*), min(month), max(month) FROM box
+      |) ORDER BY "column"""".stripMargin)
+
   /** Bloom point-lookup twin: the probe customer's order history
     * computed declaratively — the engine answers it through the
     * bloom-pruned commit read, so the hash gate proves false negatives

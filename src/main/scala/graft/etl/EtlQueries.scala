@@ -2408,6 +2408,33 @@ object EtlQueries {
       .orderBy("mi", "store_id")
   }
 
+  /** BOUNDARY-EXACT AGGREGATE round trip — COUNT/MIN/MAX under a
+    * predicate via [[TxParquetSink.statsAggregateWhere]]: interior year
+    * commits contribute manifest row counts and recorded extremes, the
+    * two boundary years are scanned once, out-of-range years never
+    * read. The oracle recomputes the same predicate aggregates
+    * declaratively, so the hash gate proves the two-source combination
+    * (manifest extremes ∪ boundary-scan extremes) equals the data's. */
+  def txStatsWhere(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txsw").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "store_id", "cents"))
+    }
+    t.statsAggregateWhere(spark, Seq("cents", "month"),
+      "month >= '1996-07' AND month <= '1998-09'")
+      .orderBy("column")
+  }
+
   /** Probe key for [[txPointLookup]], shared with the oracle twin: a
     * customer whose orders cluster in few calendar years (bloom
     * skipping's useful case — a minmax range can't prune a key lookup

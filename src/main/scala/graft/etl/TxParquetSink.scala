@@ -489,45 +489,102 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def countWhereAudit(spark: SparkSession,
       predicateSql: String): (Long, Int, Int, Int) = {
     import org.apache.spark.sql.functions.expr
+    val (cs, classed) = classifyFiles(spark, predicateSql)
+    if (cs.isEmpty) return (0L, 0, 0, 0)
+    val boundarySet = classed.collect { case (_, f, 1, _) => f }.toSet
+    val full = classed.collect { case (_, _, 2, Some(n)) => n }.sum
+    val scanned = dataOf(spark, cs, keepFile = (_, f) => boundarySet(f))
+      .map(_.where(expr(predicateSql)).count()).getOrElse(0L)
+    (full + scanned, classed.count(_._3 == 2), classed.count(_._3 == 1),
+      classed.count(_._3 == 0))
+  }
+
+  /** BOUNDARY-EXACT AGGREGATE — [[statsAggregate]] under a predicate:
+    * COUNT(*)/MIN/MAX of `columns` over the predicate's rows, reading
+    * only Boundary files. Full files contribute their manifest row
+    * counts and recorded min/max (exact per-file extremes, and every
+    * row of a Full file satisfies the predicate; SQL MIN/MAX ignore
+    * NULLs exactly as the stats do, so no null-count condition is
+    * needed on the AGGREGATED columns — only on the constrained ones,
+    * which [[classifyFiles]] already enforces). Files lacking stats
+    * for an aggregated column demote to Boundary; extremes from the
+    * two sources combine in the stats' cast-to-string domain. One
+    * output row per column, the [[statsAggregate]] shape. */
+  def statsAggregateWhere(spark: SparkSession, columns: Seq[String],
+      predicateSql: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min}
+    import spark.implicits._
+    val (cs, classed) = classifyFiles(spark, predicateSql,
+      fullAlso = (m, f) => columns.forall(c => statsFor(m, f, c).isDefined))
+    val fullRows = classed.collect { case (_, _, 2, Some(n)) => n }.sum
+    val fullStats: Map[String, Seq[ColStats]] = columns.map(c =>
+      c -> classed.collect { case (m, f, 2, _) => statsFor(m, f, c).get }).toMap
+    val boundarySet = classed.collect { case (_, f, 1, _) => f }.toSet
+    val boundary = dataOf(spark, cs, keepFile = (_, f) => boundarySet(f))
+      .map(_.where(expr(predicateSql)))
+    val bRow = boundary.map { df =>
+      val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+      df.agg(aggs.head, aggs.tail: _*).head()
+    }
+    val n = fullRows + bRow.map(_.getLong(0)).getOrElse(0L)
+    val out = columns.sorted.map { c =>
+      val i = columns.indexOf(c)
+      val fs = fullStats(c)
+      val num = fs.headOption.map(_.num).getOrElse(
+        boundary.exists(df => df.schema.fields.find(_.name == c)
+          .exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType])))
+      require(fs.forall(_.num == num),
+        s"statsAggregateWhere('$c'): commits disagree on the column's type")
+      val mins = fs.map(_.min) ++ bRow.flatMap(r => Option(r.getString(1 + 2 * i)))
+      val maxs = fs.map(_.max) ++ bRow.flatMap(r => Option(r.getString(2 + 2 * i)))
+      def pick(vals: Seq[String], wantMin: Boolean): String =
+        if (vals.isEmpty) null
+        else if (num) {
+          if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
+        } else if (wantMin) vals.min else vals.max
+      (c, n, pick(mins, wantMin = true), pick(maxs, wantMin = false))
+    }
+    out.toDF("column", "n_rows", "min_value", "max_value")
+  }
+
+  /** Shared FULL/BOUNDARY/EXCLUDED classification behind [[countWhere]]
+    * and [[statsAggregateWhere]]: returns the commit list it classified
+    * (one capture — callers scan through the same snapshot) and, per
+    * file, (manifest, path, class 0/1/2, exact rows if known). Exact
+    * per-file rows come from `frows=` records ([[compactClustered]]
+    * bases) or the commit total when it staged a single directory.
+    * The mask-free suffix rule: a file's rows can be hidden only by
+    * masks in STRICTLY LATER commits ([[dataOf]]'s replacesAfter /
+    * deletesAfter semantics — a masking commit never masks itself), so
+    * commits at or after the last row-hiding commit are credit-
+    * eligible. `fullAlso` lets callers add eligibility conditions. */
+  private def classifyFiles(spark: SparkSession, predicateSql: String,
+      fullAlso: (Manifest, String) => Boolean = (_, _) => true)
+      : (Seq[(Long, Manifest)], Seq[(Manifest, String, Int, Option[Long])]) = {
     val (cons, complete) = parsePruningConstraintsFull(spark, predicateSql)
     val cs = resolvedCommits()
-    if (cs.isEmpty) return (0L, 0, 0, 0)
-    // the mask-free suffix: a file's rows can be hidden only by masks
-    // in STRICTLY LATER commits ([[dataOf]]'s replacesAfter/deletesAfter
-    // semantics — a masking commit never masks itself), so commits at
-    // or after the last row-hiding commit are credit-eligible
     val lastMask = cs.lastIndexWhere { case (_, m) =>
       m.deletePred.nonEmpty || m.replaceCols.nonEmpty }
-    // file → (class, exact rows if known): 0 excluded / 1 boundary /
-    // 2 full; staged file names are UUID-unique across commits, so the
-    // key is the path. Exact per-file rows come from frows=
-    // ([[compactClustered]] bases) or the commit total when it staged
-    // a single directory.
-    val classed: Seq[(String, Int, Option[Long])] = cs.zipWithIndex.flatMap {
-      case ((_, m), i) =>
-        m.files.map { f =>
-          val rowsKnown = m.fileRows.get(f)
-            .orElse(if (m.files.size == 1) Some(m.rows) else None)
-          val cls =
-            if (!cons.forall(consKeeps(m, f, _))) 0
-            else if (complete && cons.nonEmpty && i >= lastMask &&
-              rowsKnown.isDefined &&
-              cons.forall(c => consFull(m, f, c)) &&
-              cons.forall(c => m.nullCounts.get(colOfCons(c)).contains(0L)))
-              2
-            else 1
-          (f, cls, rowsKnown)
-        }
+    val classed = cs.zipWithIndex.flatMap { case ((_, m), i) =>
+      m.files.map { f =>
+        val rowsKnown = m.fileRows.get(f)
+          .orElse(if (m.files.size == 1) Some(m.rows) else None)
+        val cls =
+          if (!cons.forall(consKeeps(m, f, _))) 0
+          else if (complete && cons.nonEmpty && i >= lastMask &&
+            rowsKnown.isDefined &&
+            cons.forall(c => consFull(m, f, c)) &&
+            cons.forall(c => m.nullCounts.get(colOfCons(c)).contains(0L)) &&
+            fullAlso(m, f))
+            2
+          else 1
+        (m, f, cls, rowsKnown)
+      }
     }
-    val fileClass: Map[String, Int] =
-      classed.map(e => e._1 -> e._2).toMap
-    val full = classed.collect { case (_, 2, Some(n)) => n }.sum
-    val boundary = dataOf(spark, cs,
-      keepFile = (_, f) => fileClass.getOrElse(f, 1) == 1)
-    val scanned = boundary
-      .map(_.where(expr(predicateSql)).count()).getOrElse(0L)
-    (full + scanned, classed.count(_._2 == 2), classed.count(_._2 == 1),
-      classed.count(_._2 == 0))
+    (cs, classed)
   }
 
   private def colOfCons(c: PruneCons): String = c match {

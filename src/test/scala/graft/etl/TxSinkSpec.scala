@@ -861,6 +861,39 @@ class TxSinkSpec extends SparkSpec {
       ((1024L, base.files.size, 0, 0)))
   }
 
+  test("statsAggregateWhere combines manifest extremes with boundary scans") {
+    val t = table()
+    (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong)).grouped(10).foreach(g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount")))
+    def agg(pred: String, cols: Seq[String] = Seq("amount")) =
+      t.statsAggregateWhere(spark, cols, pred)
+        .as[(String, Long, String, String)].collect().toSeq.sortBy(_._1)
+    // boundary cut on both sides: min/max come from the boundary scans
+    assert(agg("amount >= 5 AND amount <= 28") ==
+      Seq(("amount", 24L, "5", "28")))
+    // interior-only predicate: extremes come from manifests alone —
+    // proven by deleting every data file and asking again
+    assert(agg("amount >= 11 AND amount <= 30") ==
+      Seq(("amount", 20L, "11", "30")))
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(t.dir)
+    val walk = java.nio.file.Files.walk(root)
+    val victims = try walk.iterator.asScala.toSeq finally walk.close()
+    victims.reverseIterator
+      .filterNot(p => p.toString.contains("_txlog") || p == root)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(agg("amount >= 11 AND amount <= 30", Seq("amount", "day")) ==
+      Seq(("amount", 20L, "11", "30"),
+        ("day", 20L, "2024-01-11", "2024-01-30")),
+      "interior aggregate must not touch data files")
+    // all excluded: zero count, NULL extremes (the SQL empty-agg shape)
+    val t2 = table()
+    t2.appendWithStats(Seq(("a", 1L)).toDF("day", "amount"), Seq("amount"))
+    val r = t2.statsAggregateWhere(spark, Seq("amount"), "amount > 99")
+      .collect().head
+    assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("data skipping: a pruned overwrite still masks earlier commits") {
     val t = table()
     t.appendWithStats(Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
