@@ -40,5 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "jaro_winkler expects exactly 2 arguments")
         JaroWinklerSimilarity(args.head, args(1))
       }))
+    // the optimizer tier: HOF dot-product upgrade and manifest-driven
+    // broadcast selection (same rules as graft.plans.GraftExtensions)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ManifestBroadcastJoins)
   }
 }

@@ -550,6 +550,18 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     out.toDF("column", "n_rows", "min_value", "max_value")
   }
 
+  /** Per-staged-path row metadata for the CURRENT effective snapshot:
+    * absolute file path → (commit version, the commit's TOTAL rows).
+    * The consumer sums each represented commit once (distinct by
+    * version), which upper-bounds the rows any subset of the commit's
+    * files can produce — masks and pruned reads only shrink it. This
+    * is the lookup [[graft.plans.ManifestBroadcastJoins]] uses to size
+    * join sides from manifests alone; driver-side metadata, no scan. */
+  def pathRows(): Map[String, (Long, Long)] =
+    resolvedCommits().flatMap { case (v, m) =>
+      m.files.map(f => root.resolve(f).toString -> (v, m.rows))
+    }.toMap
+
   /** Shared FULL/BOUNDARY/EXCLUDED classification behind [[countWhere]]
     * and [[statsAggregateWhere]]: returns the commit list it classified
     * (one capture — callers scan through the same snapshot) and, per

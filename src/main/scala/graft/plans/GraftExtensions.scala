@@ -13,10 +13,12 @@ import graft.functions.{ArrayDotProduct, JaroWinklerSimilarity, Md5Prefix32}
   *
   * gets the codegen'd SQL functions (`array_dot`, `md5_prefix32`)
   * PERMANENTLY in the function registry (the per-session
-  * `register(spark)` calls remain for ad-hoc sessions) plus the
-  * [[DotProductRewrite]] optimizer rule, so portable HOF dot products
-  * are upgraded to the native expression engine-wide. Everything else
-  * in this library is deliberately plain DataFrame code — built-in
+  * `register(spark)` calls remain for ad-hoc sessions) plus the two
+  * optimizer rules: [[DotProductRewrite]] (portable HOF dot products
+  * upgraded to the native expression engine-wide) and
+  * [[ManifestBroadcastJoins]] (join strategy chosen from the
+  * transactional sink's commit-log row counts). Everything else in
+  * this library is deliberately plain DataFrame code — built-in
   * operators express the semantics, so Catalyst needs no other help
   * (SURVEY.md §7.3: prefer composition, then expressions, then rules;
   * whole custom physical operators were never needed). */
@@ -24,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => ManifestBroadcastJoins)
   }
 }
 
