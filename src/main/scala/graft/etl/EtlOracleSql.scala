@@ -1976,12 +1976,15 @@ object EtlOracleSql {
       |SELECT * FROM (
       |  SELECT 'cents' AS "column", count(*) AS n_rows,
       |         CAST(min(cents) AS VARCHAR) AS min_value,
-      |         CAST(max(cents) AS VARCHAR) AS max_value FROM monthly
+      |         CAST(max(cents) AS VARCHAR) AS max_value,
+      |         CAST(sum(cents) AS VARCHAR) AS sum_value FROM monthly
       |  UNION ALL
-      |  SELECT 'month', count(*), min(month), max(month) FROM monthly
+      |  SELECT 'month', count(*), min(month), max(month),
+      |         CAST(NULL AS VARCHAR) FROM monthly
       |  UNION ALL
       |  SELECT 'store_id', count(*), CAST(min(store_id) AS VARCHAR),
-      |         CAST(max(store_id) AS VARCHAR) FROM monthly
+      |         CAST(max(store_id) AS VARCHAR),
+      |         CAST(sum(store_id) AS VARCHAR) FROM monthly
       |) ORDER BY "column"""".stripMargin)
 
   /** Predicate-driven skipping twin: the same WHERE computed
@@ -2051,9 +2054,11 @@ object EtlOracleSql {
       |SELECT * FROM (
       |  SELECT 'cents' AS "column", count(*) AS n_rows,
       |         CAST(min(cents) AS VARCHAR) AS min_value,
-      |         CAST(max(cents) AS VARCHAR) AS max_value FROM box
+      |         CAST(max(cents) AS VARCHAR) AS max_value,
+      |         CAST(sum(cents) AS VARCHAR) AS sum_value FROM box
       |  UNION ALL
-      |  SELECT 'month', count(*), min(month), max(month) FROM box
+      |  SELECT 'month', count(*), min(month), max(month),
+      |         CAST(NULL AS VARCHAR) FROM box
       |) ORDER BY "column"""".stripMargin)
 
   /** Bloom point-lookup twin: the probe customer's order history

@@ -296,7 +296,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     enforceConstraints(df)
     val staged = stageAudited(spark, df, n)
     val stagedDf = spark.read.parquet(root.resolve(staged).toString)
-    val (stats, nullCounts) = profileStatsOf(stagedDf, n, statsCols)
+    val (stats, nullCounts, sums) = profileStatsOf(stagedDf, n, statsCols)
     // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
     // positions per row fused into the scan, one bounded distinct —
     // at most BloomM ints per column ever reach the driver
@@ -324,7 +324,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     }.toMap
     var v = version() + 1
     while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats, blooms = blooms,
-      sketches = sketches, nullCounts = nullCounts)))
+      sketches = sketches, nullCounts = nullCounts, sums = sums)))
       v = version() + 1
   }
 
@@ -523,11 +523,22 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val boundary = dataOf(spark, cs, keepFile = (_, f) => boundarySet(f))
       .map(_.where(expr(predicateSql)))
     val bRow = boundary.map { df =>
+      val integral = df.schema.fields.map(f => f.name -> (f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })).toMap
       val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
+        max(col(c)).cast("string").as(s"__max_$c"),
+        (if (integral.getOrElse(c, false))
+          org.apache.spark.sql.functions.sum(col(c)).cast("string")
+        else lit(null).cast("string")).as(s"__sum_$c")))
       df.agg(aggs.head, aggs.tail: _*).head()
     }
+    val fullFiles = classed.collect { case (m, f, 2, _) => (m, f) }
     val n = fullRows + bRow.map(_.getLong(0)).getOrElse(0L)
     val out = columns.sorted.map { c =>
       val i = columns.indexOf(c)
@@ -538,16 +549,30 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             .isInstanceOf[org.apache.spark.sql.types.NumericType])))
       require(fs.forall(_.num == num),
         s"statsAggregateWhere('$c'): commits disagree on the column's type")
-      val mins = fs.map(_.min) ++ bRow.flatMap(r => Option(r.getString(1 + 2 * i)))
-      val maxs = fs.map(_.max) ++ bRow.flatMap(r => Option(r.getString(2 + 2 * i)))
+      val mins = fs.map(_.min) ++ bRow.flatMap(r => Option(r.getString(1 + 3 * i)))
+      val maxs = fs.map(_.max) ++ bRow.flatMap(r => Option(r.getString(2 + 3 * i)))
       def pick(vals: Seq[String], wantMin: Boolean): String =
         if (vals.isEmpty) null
         else if (num) {
           if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
         } else if (wantMin) vals.min else vals.max
-      (c, n, pick(mins, wantMin = true), pick(maxs, wantMin = false))
+      // exact SUM: every Full file must carry a recorded sum (valid only
+      // for single-file commits — a file-subset's share of a commit sum
+      // is unknowable) and the boundary scan must have summed (integral
+      // column, or no boundary files at all); else NULL
+      val fullSums = fullFiles.map { case (m, f) =>
+        if (m.files.size == 1) m.sums.get(c) else None
+      }
+      val bSum = bRow.map(r => Option(r.getString(3 + 3 * i)))
+      val bSummed = bRow.isEmpty || bRow.exists(_.getLong(0) == 0L) ||
+        bSum.exists(_.isDefined)
+      val sm =
+        if (n == 0L || fullSums.exists(_.isEmpty) || !bSummed) null
+        else (fullSums.flatten.map(BigDecimal(_)) ++
+          bSum.flatten.map(BigDecimal(_))).sum.toBigInt.toString
+      (c, n, pick(mins, wantMin = true), pick(maxs, wantMin = false), sm)
     }
-    out.toDF("column", "n_rows", "min_value", "max_value")
+    out.toDF("column", "n_rows", "min_value", "max_value", "sum_value")
   }
 
   /** Per-staged-path row metadata for the CURRENT effective snapshot:
@@ -757,37 +782,51 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   }
 
   /** One read-back profile pass shared by every stats-recording write:
-    * per-column min/max (cast-to-string domain) and null counts, with
-    * the [[finiteNumeric]] admission rule. */
+    * per-column min/max (cast-to-string domain), null counts, and —
+    * for INTEGRAL columns, the domain where addition is exact and
+    * associative — the column SUM, with the [[finiteNumeric]]
+    * admission rule on the extremes. */
   private def profileStatsOf(stagedDf: DataFrame, n: Long,
-      statsCols: Seq[String]): (Map[String, ColStats], Map[String, Long]) = {
-    import org.apache.spark.sql.functions.{col, count, max, min}
-    import org.apache.spark.sql.types.NumericType
+      statsCols: Seq[String])
+      : (Map[String, ColStats], Map[String, Long], Map[String, String]) = {
+    import org.apache.spark.sql.functions.{col, count, max, min, sum}
+    import org.apache.spark.sql.types._
     if (statsCols.isEmpty)
-      return (Map.empty[String, ColStats], Map.empty[String, Long])
+      return (Map.empty, Map.empty, Map.empty)
     val numeric = stagedDf.schema.fields
       .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
+    val integral = stagedDf.schema.fields.map(f => f.name -> (f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })).toMap
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
-      count(col(c)).as(s"__cnt_$c")))
+      count(col(c)).as(s"__cnt_$c"),
+      (if (integral.getOrElse(c, false)) sum(col(c)).cast("string")
+       else org.apache.spark.sql.functions.lit(null).cast("string"))
+        .as(s"__sum_$c")))
     val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
     val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val (mn, mx) = (r.getString(3 * i), r.getString(3 * i + 1))
+      val (mn, mx) = (r.getString(4 * i), r.getString(4 * i + 1))
       val num = numeric.getOrElse(c, false)
       if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
       else Some(c -> ColStats(num, mn, mx))
     }.toMap
     val nc = statsCols.zipWithIndex.map { case (c, i) =>
-      c -> (n - r.getLong(3 * i + 2))
+      c -> (n - r.getLong(4 * i + 2))
     }.toMap
-    (st, nc)
+    val sm = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      Option(r.getString(4 * i + 3)).map(c -> _)
+    }.toMap
+    (st, nc, sm)
   }
 
   /** [[profileStatsOf]] over a freshly staged directory. */
   private def profileStats(spark: SparkSession, stagedRel: String, n: Long,
-      statsCols: Seq[String]): (Map[String, ColStats], Map[String, Long]) =
-    if (statsCols.isEmpty) (Map.empty, Map.empty)
+      statsCols: Seq[String])
+      : (Map[String, ColStats], Map[String, Long], Map[String, String]) =
+    if (statsCols.isEmpty) (Map.empty, Map.empty, Map.empty)
     else profileStatsOf(
       spark.read.parquet(root.resolve(stagedRel).toString), n, statsCols)
 
@@ -797,7 +836,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * millisecond driver-side fold — the Delta/Iceberg "metadata-only
     * query" optimization, made an explicit API here because the sink
     * owns its own log. One output row per requested column:
-    * `(column, n_rows, min_value, max_value)`, min/max rendered exactly
+    * `(column, n_rows, min_value, max_value, sum_value)` — sum_value is
+    * the EXACT column sum folded from per-commit `sum=` records
+    * (integral columns only, where addition is exact and associative;
+    * NULL when any commit lacks the record) — min/max rendered exactly
     * as [[appendWithStats]] captured them (Spark's `CAST(x AS STRING)`),
     * so integer/string columns round-trip bit-for-bit against a
     * declarative recompute — which is precisely what the registered
@@ -835,8 +877,14 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         if (num) (ss.minBy(s => BigDecimal(s.min)).min,
                   ss.maxBy(s => BigDecimal(s.max)).max)
         else (ss.map(_.min).min, ss.map(_.max).max)
-      (c, nRows, mn, mx)
-    }.toDF("column", "n_rows", "min_value", "max_value")
+      // exact SUM — recorded only for integral columns; NULL whenever
+      // any commit lacks the record (the advisory-metadata posture)
+      val sm =
+        if (data.forall(_.sums.contains(c)))
+          data.map(m => BigDecimal(m.sums(c))).sum.toBigInt.toString
+        else null
+      (c, nRows, mn, mx, sm)
+    }.toDF("column", "n_rows", "min_value", "max_value", "sum_value")
   }
 
   /** MERGE (WHEN NOT MATCHED THEN INSERT) on `keys` with optimistic
@@ -1019,13 +1067,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     enforceConstraints(incoming)
     val tuples = touchedPartitions(incoming, partitionCols)
     val staged = stageAudited(spark, incoming, n)
-    val (stats, nullCounts) = profileStats(spark, staged, n, statsCols)
+    val (stats, nullCounts, sums) = profileStats(spark, staged, n, statsCols)
     val manifest = Manifest(n, Seq(staged),
       partitions = Some(tuples.map(encodePartition)),
       partitionCols = partitionCols,
       replaceCols = partitionCols,
       replaceKeys = tuples.map(sepEncode),
-      stats = stats, nullCounts = nullCounts)
+      stats = stats, nullCounts = nullCounts, sums = sums)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1906,7 +1954,8 @@ object TxParquetSink {
       deletePred: Option[String] = None,
       txn: Option[(String, Long)] = None,
       nullCounts: Map[String, Long] = Map.empty,
-      fileRows: Map[String, Long] = Map.empty)
+      fileRows: Map[String, Long] = Map.empty,
+      sums: Map[String, String] = Map.empty)
 
   /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
     * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
@@ -2038,6 +2087,11 @@ object TxParquetSink {
       m.fileRows.toSeq.sortBy(_._1).map { case (f, n) =>
         s"frows=${encodePartition(Seq(f, n.toString))}"
       } ++
+      // per-column EXACT sums (integral columns only — the associative
+      // domain): advisory, lets statsAggregate answer SUM with zero I/O
+      m.sums.toSeq.sortBy(_._1).map { case (c, v) =>
+        s"sum=${encodePartition(Seq(c, v))}"
+      } ++
       // NOT covered by the append-only-is-safe argument above: a reader
       // that ignored delwhere= would RESURRECT deleted rows. The parser
       // below understands it, and no other reader of this log exists;
@@ -2124,6 +2178,12 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 2, s"malformed frows line: $v")
         parts(0) -> parts(1).toLong
+      }.toMap,
+      kv.collect { case ("sum", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 2, s"malformed sum line: $v")
+        parts(0) -> parts(1)
       }.toMap)
   }
 

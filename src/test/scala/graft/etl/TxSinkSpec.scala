@@ -688,10 +688,12 @@ class TxSinkSpec extends SparkSpec {
       t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"))
     }
     def snap() = t.statsAggregate(spark, Seq("amount", "day"))
-      .as[(String, Long, String, String)].collect().toSeq.sortBy(_._1)
+      .as[(String, Long, String, String, String)].collect().toSeq.sortBy(_._1)
     val expected = Seq(
-      ("amount", 30L, "1", "30"), // numeric fold: "1" < "30" by VALUE ("9" > "10" lexicographically)
-      ("day", 30L, "2024-01-01", "2024-01-30"))
+      // numeric fold: "1" < "30" by VALUE ("9" > "10" lexicographically);
+      // integral sum folds exactly across commits (55+155+255)
+      ("amount", 30L, "1", "30", "465"),
+      ("day", 30L, "2024-01-01", "2024-01-30", null))
     assert(snap() == expected)
     // the metadata-only proof: remove every DATA file (keep the log) —
     // a data-reading path dies, the manifest fold answers identically
@@ -867,14 +869,15 @@ class TxSinkSpec extends SparkSpec {
       t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount")))
     def agg(pred: String, cols: Seq[String] = Seq("amount")) =
       t.statsAggregateWhere(spark, cols, pred)
-        .as[(String, Long, String, String)].collect().toSeq.sortBy(_._1)
-    // boundary cut on both sides: min/max come from the boundary scans
+        .as[(String, Long, String, String, String)].collect().toSeq.sortBy(_._1)
+    // boundary cut on both sides: min/max/sum combine the boundary
+    // scans (5..10 and 21..28) with commit2's manifest records
     assert(agg("amount >= 5 AND amount <= 28") ==
-      Seq(("amount", 24L, "5", "28")))
-    // interior-only predicate: extremes come from manifests alone —
+      Seq(("amount", 24L, "5", "28", "396")))
+    // interior-only predicate: extremes AND sum from manifests alone —
     // proven by deleting every data file and asking again
     assert(agg("amount >= 11 AND amount <= 30") ==
-      Seq(("amount", 20L, "11", "30")))
+      Seq(("amount", 20L, "11", "30", "410")))
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(t.dir)
     val walk = java.nio.file.Files.walk(root)
@@ -883,15 +886,15 @@ class TxSinkSpec extends SparkSpec {
       .filterNot(p => p.toString.contains("_txlog") || p == root)
       .foreach(java.nio.file.Files.deleteIfExists(_))
     assert(agg("amount >= 11 AND amount <= 30", Seq("amount", "day")) ==
-      Seq(("amount", 20L, "11", "30"),
-        ("day", 20L, "2024-01-11", "2024-01-30")),
+      Seq(("amount", 20L, "11", "30", "410"),
+        ("day", 20L, "2024-01-11", "2024-01-30", null)),
       "interior aggregate must not touch data files")
     // all excluded: zero count, NULL extremes (the SQL empty-agg shape)
     val t2 = table()
     t2.appendWithStats(Seq(("a", 1L)).toDF("day", "amount"), Seq("amount"))
     val r = t2.statsAggregateWhere(spark, Seq("amount"), "amount > 99")
       .collect().head
-    assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
   test("data skipping: a pruned overwrite still masks earlier commits") {
