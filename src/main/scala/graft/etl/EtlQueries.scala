@@ -2435,6 +2435,40 @@ object EtlQueries {
       .orderBy("column")
   }
 
+  /** TIME TRAVEL + PRUNING round trip — after the ingestion a month
+    * INSIDE the query range is restated (+1 cent corruption) by a
+    * partition overwrite; [[TxParquetSink.readVersionWhere]] then
+    * answers the range AS OF the pre-overwrite version through the
+    * same auto-derived pruning. The oracle is the ORIGINAL rollup's
+    * range (verbatim the `etl_tx_skipping` twin), so the hash gate
+    * proves the versioned pruned read sees through the later
+    * restatement — historical manifests prune exactly like the head's. */
+  def txTravelWhere(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txtravel").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "store_id", "cents"))
+    }
+    val vBefore = t.version()
+    t.overwritePartitions(spark,
+      monthly.where(col("month") === lit("1997-06"))
+        .withColumn("cents", col("cents") + lit(1L)),
+      Seq("month"))
+    t.readVersionWhere(spark, vBefore,
+      s"month >= '$TxSkipLo' AND month <= '$TxSkipHi'").get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** Probe key for [[txPointLookup]], shared with the oracle twin: a
     * customer whose orders cluster in few calendar years (bloom
     * skipping's useful case — a minmax range can't prune a key lookup

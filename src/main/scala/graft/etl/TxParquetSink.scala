@@ -143,6 +143,23 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def readVersion(spark: SparkSession, asOf: Long): Option[DataFrame] =
     dataOf(spark, effective(commits().takeWhile(_._1 <= asOf)))
 
+  /** TIME TRAVEL + PREDICATE PRUNING composed: [[readVersionWhere]] is
+    * [[readSnapshotWhere]] over the `asOf` prefix of the log — the
+    * same auto-derived stats/bloom constraints decide which of the
+    * HISTORICAL commits' files exist for the scan, because manifests
+    * are immutable: a version's pruning metadata is exactly as
+    * consultable as the head's. The audit-query shape at 100 TB:
+    * "what did the January slice look like at version v" touches the
+    * January commits of that era, nothing else. */
+  def readVersionWhere(spark: SparkSession, asOf: Long,
+      predicateSql: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.expr
+    val cons = parsePruningConstraints(spark, predicateSql)
+    dataOf(spark, effective(commits().takeWhile(_._1 <= asOf)),
+      keepFile = (m, f) => cons.forall(consKeeps(m, f, _)))
+      .map(_.where(expr(predicateSql)))
+  }
+
   /** Snapshot resolution under compaction: a BASE commit is a full
     * rewrite, so the effective log is the suffix from the newest base
     * (every older commit's rows are contained in it). Applied to any
