@@ -137,7 +137,8 @@ object ScaleBench {
     // harness), the predicate-derived pruned read, and the
     // boundary-exact count
     "etl_tx_stats_agg", "etl_tx_where", "etl_tx_count_where",
-    "etl_tx_box_where", "stream_tx_count", "etl_tx_stats_where")
+    "etl_tx_box_where", "stream_tx_count", "etl_tx_stats_where",
+    "etl_tx_travel_where")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
