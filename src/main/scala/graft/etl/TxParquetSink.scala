@@ -573,12 +573,14 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         else if (num) {
           if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
         } else if (wantMin) vals.min else vals.max
-      // exact SUM: every Full file must carry a recorded sum (valid only
-      // for single-file commits — a file-subset's share of a commit sum
-      // is unknowable) and the boundary scan must have summed (integral
-      // column, or no boundary files at all); else NULL
+      // exact SUM: every Full file must carry a recorded sum — its own
+      // fsum= record ([[compactClustered]] segments) or the commit sum
+      // when it staged a single directory (a file-subset's share of a
+      // multi-file commit sum is unknowable) — and the boundary scan
+      // must have summed (integral column, or no boundary files); else NULL
       val fullSums = fullFiles.map { case (m, f) =>
-        if (m.files.size == 1) m.sums.get(c) else None
+        m.fileSums.get(f).flatMap(_.get(c))
+          .orElse(if (m.files.size == 1) m.sums.get(c) else None)
       }
       val bSum = bRow.map(r => Option(r.getString(3 + 3 * i)))
       val bSummed = bRow.isEmpty || bRow.exists(_.getLong(0) == 0L) ||
@@ -1807,13 +1809,25 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       // audit + per-segment stats + exact per-segment rows in ONE
       // read-back pass (partition discovery restores __bucket)
       val back = spark.read.parquet(stagedRoot.toString)
+      def isIntegral(c: String) = df0.schema.fields.find(_.name == c)
+        .exists(_.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        })
+      def sumOf(c: String, as: String) =
+        (if (isIntegral(c)) org.apache.spark.sql.functions.sum(col(c)).cast("string")
+         else lit(null).cast("string")).as(as)
       val statRows = back.groupBy("__bucket")
         .agg(count(lit(1)).as("__n"),
           count(col(x)).as("__nx"), count(col(y)).as("__ny"),
           min(col(x)).cast("string").as("__minx"),
           max(col(x)).cast("string").as("__maxx"),
           min(col(y)).cast("string").as("__miny"),
-          max(col(y)).cast("string").as("__maxy"))
+          max(col(y)).cast("string").as("__maxy"),
+          sumOf(x, "__sumx"), sumOf(y, "__sumy"))
         .collect()
       val audited = statRows.map(_.getAs[Long]("__n")).sum
       if (audited != n) {
@@ -1841,14 +1855,44 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       val nullCounts = Map(
         x -> (n - statRows.map(_.getAs[Long]("__nx")).sum),
         y -> (n - statRows.map(_.getAs[Long]("__ny")).sum))
+      val fileSums = statRows.flatMap { r =>
+        val m = Seq(x -> Option(r.getAs[String]("__sumx")),
+          y -> Option(r.getAs[String]("__sumy")))
+          .collect { case (c, Some(v)) => c -> v }.toMap
+        if (m.isEmpty) None else Some(fileOf(r) -> m)
+      }.toMap
+      // commit-level folds so the zero-I/O statsAggregate keeps
+      // answering AFTER this OPTIMIZE (plain compaction drops stats)
+      val sums = Seq(x, y).flatMap { c =>
+        val parts = statRows.map(r =>
+          Option(r.getAs[String](if (c == x) "__sumx" else "__sumy")))
+        if (parts.forall(_.isDefined))
+          Some(c -> parts.flatten.map(BigDecimal(_)).sum.toBigInt.toString)
+        else None
+      }.toMap
+      val commitStats = Seq(x -> (numX, "__minx", "__maxx"),
+        y -> (numY, "__miny", "__maxy")).flatMap { case (c, (num, mnK, mxK)) =>
+        val mns = statRows.toSeq.map(r => Option(r.getAs[String](mnK)))
+        val mxs = statRows.toSeq.map(r => Option(r.getAs[String](mxK)))
+        if (mns.forall(_.isDefined) && mxs.forall(_.isDefined) &&
+          mns.flatten.forall(v => finiteNumeric(num, v, v)) &&
+          mxs.flatten.forall(v => finiteNumeric(num, v, v))) {
+          def pick(vs: Seq[String], wantMin: Boolean) =
+            if (num) { if (wantMin) vs.minBy(BigDecimal(_)) else vs.maxBy(BigDecimal(_)) }
+            else if (wantMin) vs.min else vs.max
+          Some(c -> ColStats(num, pick(mns.flatten, wantMin = true),
+            pick(mxs.flatten, wantMin = false)))
+        } else None
+      }.toMap
       beforePublish()
       if (!Files.isDirectory(stagedRoot))
         throw new IllegalStateException(
           s"compactClustered: staged directory $rel vanished before publish " +
             "(vacuumed mid-commit?) — aborting")
       if (tryPublish(snap.last._1 + 1,
-          Manifest(n, files, base = true, fileStats = fileStats,
-            fileRows = fileRows, nullCounts = nullCounts))) {
+          Manifest(n, files, base = true, stats = commitStats,
+            fileStats = fileStats, fileRows = fileRows,
+            nullCounts = nullCounts, sums = sums, fileSums = fileSums))) {
         writeBasePointer(snap.last._1 + 1)
         return snap.last._1 + 1
       }
@@ -1972,7 +2016,8 @@ object TxParquetSink {
       txn: Option[(String, Long)] = None,
       nullCounts: Map[String, Long] = Map.empty,
       fileRows: Map[String, Long] = Map.empty,
-      sums: Map[String, String] = Map.empty)
+      sums: Map[String, String] = Map.empty,
+      fileSums: Map[String, Map[String, String]] = Map.empty)
 
   /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
     * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
@@ -2109,6 +2154,13 @@ object TxParquetSink {
       m.sums.toSeq.sortBy(_._1).map { case (c, v) =>
         s"sum=${encodePartition(Seq(c, v))}"
       } ++
+      // per-file sums ([[compactClustered]]): advisory — SUM credit for
+      // individual segments of a multi-file base
+      m.fileSums.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, v) =>
+          s"fsum=${encodePartition(Seq(f, c, v))}"
+        }
+      } ++
       // NOT covered by the append-only-is-safe argument above: a reader
       // that ignored delwhere= would RESURRECT deleted rows. The parser
       // below understands it, and no other reader of this log exists;
@@ -2201,7 +2253,15 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 2, s"malformed sum line: $v")
         parts(0) -> parts(1)
-      }.toMap)
+      }.toMap,
+      kv.collect { case ("fsum", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 3, s"malformed fsum line: $v")
+        (parts(0), parts(1), parts(2))
+      }.groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> r._3).toMap
+      })
   }
 
   /** Canonical string for one partition tuple: URL-encoded values

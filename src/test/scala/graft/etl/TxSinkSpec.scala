@@ -861,6 +861,17 @@ class TxSinkSpec extends SparkSpec {
     assert(t.countWhereAudit(spark,
       "cx >= 0 AND cx <= 31 AND cy >= 0 AND cy <= 31") ==
       ((1024L, base.files.size, 0, 0)))
+    // the clustered base carries commit-level folds: the zero-I/O
+    // statsAggregate keeps answering AFTER this OPTIMIZE (each cx
+    // appears 32 times: sum = 32·(0+…+31) = 15872)
+    assert(t.statsAggregate(spark, Seq("cx"))
+      .as[(String, Long, String, String, String)].collect().toSeq ==
+      Seq(("cx", 1024L, "0", "31", "15872")))
+    // per-segment fsum= records: the half-space SUM combines interior
+    // segments' credited sums with the boundary scans (16·496 = 7936)
+    val half = t.statsAggregateWhere(spark, Seq("cx"), big)
+      .as[(String, Long, String, String, String)].collect().head
+    assert(half == (("cx", 512L, "0", "31", "7936")), half.toString)
   }
 
   test("statsAggregateWhere combines manifest extremes with boundary scans") {
