@@ -2263,6 +2263,34 @@ object EtlOracleSql {
       |  SELECT month, store_id + 100000 AS store_id, cents FROM upd)
       |ORDER BY month, store_id""".stripMargin)
 
+  /** MERGE INTO twin: the final state computed declaratively — the
+    * matched-update branch doubled (s.cents == t.cents for a source
+    * that restates the same rows), the matched-delete branch absent,
+    * untouched matched rows and earlier months verbatim, inserts
+    * appended. Hash equality proves the engine's single-commit
+    * key-grain merge ≡ MERGE semantics. */
+  val txMerge: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lastm AS (SELECT max(month) AS m FROM monthly),
+      |last_rows AS (
+      |  SELECT month, store_id, cents FROM monthly
+      |  WHERE month = (SELECT m FROM lastm)
+      |)
+      |SELECT month, store_id, cents FROM (
+      |  SELECT month, store_id, CAST(cents * 2 AS BIGINT) AS cents
+      |  FROM last_rows WHERE store_id % 3 = 0
+      |  UNION ALL
+      |  SELECT month, store_id, cents FROM monthly
+      |  WHERE NOT (month = (SELECT m FROM lastm) AND store_id % 3 IN (0, 1))
+      |  UNION ALL
+      |  SELECT month, store_id + 100000 AS store_id, cents
+      |  FROM last_rows WHERE store_id % 3 = 0)
+      |ORDER BY month, store_id""".stripMargin)
+
   /** CDC-consumer twin: the per-store aggregate over the FINAL table
     * state (post-restatement, post-delete) computed declaratively —
     * what the engine's feed-folded maintenance must reproduce. */

@@ -2719,6 +2719,44 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** MERGE INTO — the FULL conditional merge ([[TxParquetSink.mergeInto]]):
+    * one source batch drives all four behaviors in ONE atomic commit —
+    * matched & store%3=0 updates in place (cents + s.cents), matched &
+    * store%3=1 is deleted, matched & store%3=2 is untouched (never
+    * rewritten — the change feed would show no I/D for it), and the
+    * shifted store ids insert. The oracle computes the final state
+    * declaratively (update ∪ survivors ∪ inserts), so the hash gate
+    * proves the key-grain replace-with-nothing commit ≡ MERGE
+    * semantics on real data. Cost model: the merge join is
+    * source-bounded, unmatched target rows are never shuffled, and the
+    * manifest grows by O(batch keys) — the Delta MERGE shape. */
+  def txMerge(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txmerge").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    val lastMonth = monthly.agg(max("month")).head().getString(0)
+    val lastRows = monthly.where(col("month") === lit(lastMonth))
+    val src = lastRows.unionByName(
+      lastRows.where(col("store_id") % 3 === 0)
+        .withColumn("store_id", col("store_id") + lit(100000)))
+    t.mergeInto(spark, src, Seq("month", "store_id"),
+      updateSet = Map("cents" -> "t.cents + s.cents"),
+      updateCond = Some("s.store_id % 3 = 0"),
+      deleteCond = Some("s.store_id % 3 = 1"))
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** CDC CONSUMER — the incremental-maintenance loop the change feed
     * exists for: a per-store revenue aggregate maintained purely from
     * [[TxParquetSink.changesBetween]]'s I/D stream (inserts add,

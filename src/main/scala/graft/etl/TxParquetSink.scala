@@ -1111,6 +1111,160 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     n // unreachable
   }
 
+  /** MERGE INTO — the full conditional merge (the Delta `MERGE`
+    * statement's semantics) in ONE atomic commit: for every source row
+    * matched on `keys` against the current snapshot, evaluate the
+    * clauses in Delta's order — WHEN MATCHED AND `deleteCond` THEN
+    * DELETE first, else WHEN MATCHED AND `updateCond` THEN UPDATE SET
+    * `updateSet`, else leave the target row untouched — and WHEN NOT
+    * MATCHED THEN INSERT the source row (`insertUnmatched`). Conditions
+    * and update expressions are SQL over the aliases `t` (target row)
+    * and `s` (source row); a NULL condition keeps the row (SQL
+    * semantics); `updateSet` maps target columns to expressions and may
+    * not rewrite a key column (key-grain replace identifies rows BY
+    * key). NULL keys never match (SQL join equality), so a NULL-keyed
+    * source row inserts.
+    *
+    * Atomicity is the key-grain replace move ([[overwritePartitions]]
+    * at `partitionCols = keys`, the [[graft.etl.EtlQueries.txUpsertScd1]]
+    * shape) EXTENDED with replace-with-nothing tuples: the manifest's
+    * replaced-key set covers updated AND deleted keys, its staged data
+    * carries updated AND inserted rows — so a deleted key is a tuple
+    * with no replacement and an untouched matched row survives by NOT
+    * being in the set. One manifest, one version: readers see the whole
+    * merge or none of it, and time travel reads the pre-merge rows at
+    * pre-merge versions.
+    *
+    * Cost model at 100 TB: the join is SOURCE-DRIVEN — matched pairs
+    * via inner join, inserts via left-anti, both bounded by the source
+    * batch; unmatched target rows are never shuffled or rewritten. A
+    * single-column key prunes the target read through the manifest
+    * bloom filters ([[readSnapshotPointAny]]'s superset contract —
+    * false positives only add join rows, false negatives impossible),
+    * so the scan touches only commits the source keys landed in. The
+    * manifest grows by O(batch keys) replaced tuples — bounded by the
+    * BATCH, never the table. Concurrency is version-relative like
+    * [[overwritePartitions]]: a lost publish race retries with zero
+    * data work, and the landed merge supersedes whatever its keys held
+    * at any earlier version (last-writer-wins at key grain — writers
+    * needing insert-only key reservation use [[mergeUpsert]]).
+    *
+    * Ambiguity guard: duplicate source key tuples are REFUSED (Delta's
+    * multiple-matches error) — two source rows updating one target row
+    * is order-dependent nonsense no engine should pick silently.
+    * Returns (inserted, updated, deleted) row counts. */
+  def mergeInto(
+      spark: SparkSession,
+      source: DataFrame,
+      keys: Seq[String],
+      updateSet: Map[String, String] = Map.empty,
+      updateCond: Option[String] = None,
+      deleteCond: Option[String] = None,
+      insertUnmatched: Boolean = true,
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): MergeStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    require(keys.nonEmpty, "mergeInto needs key columns")
+    require(updateSet.keys.forall(c => !keys.contains(c)),
+      s"mergeInto: updateSet may not rewrite key columns (got " +
+        s"${updateSet.keys.filter(keys.contains).mkString(",")}) — " +
+        "key-grain replace identifies rows by key")
+    require(updateSet.nonEmpty || deleteCond.isDefined || insertUnmatched,
+      "mergeInto with no clauses is a no-op; pass at least one")
+    val srcCk = source.localCheckpoint(eager = true)
+    val dup = srcCk.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      "mergeInto: duplicate source key tuples — a target row matched " +
+        "by two source rows has no well-defined result (Delta's " +
+        "multiple-matches error); de-duplicate the source first")
+    // source keys are collected anyway (the replace-tuple discipline —
+    // bounded by the batch); a single-column key reuses them to prune
+    // the target read through the manifest blooms
+    val srcKeyTuples = touchedPartitions(srcCk, keys)
+    val snap = resolvedCommits()
+    val target: Option[DataFrame] =
+      if (keys.size == 1)
+        dataOf(spark, snap, keepFile = (m, f) => srcKeyTuples.exists(t =>
+          t.head == null || pointKeeps(m, f, keys.head, t.head)))
+      else dataOf(spark, snap)
+    val tCols: Seq[String] = target.map(_.columns.toSeq)
+      .getOrElse(srcCk.columns.toSeq)
+    require(tCols.forall(srcCk.columns.contains),
+      s"mergeInto: source must carry every target column for the " +
+        s"insert clause (missing ${tCols.filterNot(srcCk.columns.contains).mkString(",")})")
+    require(updateSet.keys.forall(tCols.contains),
+      s"mergeInto: updateSet names unknown target columns " +
+        s"(${updateSet.keys.filterNot(tCols.contains).mkString(",")})")
+
+    val joinCond = keys.map(k =>
+      col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val delExpr = deleteCond.map(c => coalesce(expr(c), lit(false)))
+      .getOrElse(lit(false))
+    val updExpr =
+      if (updateSet.isEmpty) lit(false)
+      else coalesce(expr(updateCond.getOrElse("true")), lit(false))
+    // matched pairs, classified and projected in one source-bounded
+    // pass; the checkpoint pins the classification before any retry
+    val touchedRows: DataFrame = target match {
+      case Some(t) =>
+        t.alias("t").join(srcCk.alias("s"), joinCond)
+          .withColumn("__del", delExpr)
+          .withColumn("__upd", !delExpr && updExpr)
+          .where(col("__del") || col("__upd"))
+          .select((tCols.map(c =>
+            expr(updateSet.getOrElse(c, s"t.`$c`")).as(c)) :+
+            col("__del")): _*)
+          .localCheckpoint(eager = true)
+      case None => srcCk.select(tCols.map(col): _*)
+        .withColumn("__del", lit(false)).limit(0)
+    }
+    val nDel = touchedRows.where(col("__del")).count()
+    val updatedRows = touchedRows.where(!col("__del")).drop("__del")
+    val nUpd = updatedRows.count()
+    val inserts: DataFrame = (target, insertUnmatched) match {
+      case (Some(t), true) =>
+        srcCk.alias("s").join(t.alias("t"), joinCond, "left_anti")
+          .select(tCols.map(col): _*).localCheckpoint(eager = true)
+      case (None, true) => srcCk.select(tCols.map(col): _*)
+      case _ => srcCk.select(tCols.map(col): _*).limit(0)
+    }
+    val nIns = inserts.count()
+    if (nDel == 0 && nUpd == 0 && nIns == 0) return MergeStats(0, 0, 0)
+
+    val replTuples = touchedPartitions(
+      touchedRows.select(keys.map(col): _*), keys)
+    val insTuples = touchedPartitions(inserts.select(keys.map(col): _*), keys)
+    val incoming = updatedRows.unionByName(inserts)
+    val n = nUpd + nIns
+    if (n > 0) enforceConstraints(incoming)
+    val staged = if (n == 0) Nil else Seq(stageAudited(spark, incoming, n))
+    // an insert-only merge is a plain scoped append: no replace mask,
+    // so metadata reads (statsAggregate & co.) stay servable
+    val manifest = Manifest(n, staged,
+      partitions = Some((replTuples ++ insTuples).map(encodePartition)),
+      partitionCols = keys,
+      replaceCols = if (replTuples.isEmpty) Nil else keys,
+      replaceKeys = replTuples.map(sepEncode))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts) {
+        staged.foreach(s => deleteRecursively(root.resolve(s)))
+        throw new IllegalStateException(
+          s"mergeInto: gave up after $maxAttempts publish attempts on $dir")
+      }
+      beforePublish()
+      if (staged.exists(s => !Files.isDirectory(root.resolve(s))))
+        throw new IllegalStateException(
+          "mergeInto: staged directory vanished before publish " +
+            "(vacuumed mid-commit?) — aborting")
+      if (tryPublish(version() + 1, manifest))
+        return MergeStats(nIns, nUpd, nDel)
+    }
+    MergeStats(nIns, nUpd, nDel) // unreachable
+  }
+
   /** DELETE WHERE — row-level delete as an O(1) METADATA commit, the
     * Delta/Iceberg "merge-on-read" deletion shape: the commit carries
     * only the predicate (no files, no data work at ANY table size);
@@ -1993,6 +2147,12 @@ object TxParquetSink {
     * any sane stage→publish window (Delta ships 7 days for the same
     * guard; commits here are one batch, not a day of them). */
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
+
+  /** [[TxParquetSink.mergeInto]]'s outcome: rows inserted (not
+    * matched), updated (matched, update clause), deleted (matched,
+    * delete clause). Matched rows no clause claimed are not counted —
+    * they were never rewritten. */
+  final case class MergeStats(inserted: Long, updated: Long, deleted: Long)
 
   /** One commit's content: the row count audited at stage time, the
     * table-relative data directories this commit makes visible, whether
