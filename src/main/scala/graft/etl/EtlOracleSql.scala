@@ -2263,6 +2263,40 @@ object EtlOracleSql {
       |  SELECT month, store_id + 100000 AS store_id, cents FROM upd)
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Metadata-moments twin: n / non-null n / Σx / Σx² / n·Σx²−(Σx)²
+    * recomputed declaratively in DuckDB HUGEINT — exact integers in
+    * both engines, so the VARCHAR renderings must match digit for
+    * digit. */
+  val txMoments: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT * FROM (
+      |  SELECT 'cents' AS "column", count(*) AS n_rows,
+      |         CAST(count(cents) AS VARCHAR) AS n_vals,
+      |         CAST(sum(cents) AS VARCHAR) AS sum_value,
+      |         CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+      |              AS VARCHAR) AS sumsq_value,
+      |         CAST(CAST(count(cents) AS HUGEINT) *
+      |                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) -
+      |              CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT)
+      |              AS VARCHAR) AS var_num_value
+      |  FROM monthly
+      |  UNION ALL
+      |  SELECT 'store_id', count(*),
+      |         CAST(count(store_id) AS VARCHAR),
+      |         CAST(sum(store_id) AS VARCHAR),
+      |         CAST(sum(CAST(store_id AS HUGEINT) * CAST(store_id AS HUGEINT))
+      |              AS VARCHAR),
+      |         CAST(CAST(count(store_id) AS HUGEINT) *
+      |                sum(CAST(store_id AS HUGEINT) * CAST(store_id AS HUGEINT)) -
+      |              CAST(sum(store_id) AS HUGEINT) * CAST(sum(store_id) AS HUGEINT)
+      |              AS VARCHAR)
+      |  FROM monthly
+      |) ORDER BY "column"""".stripMargin)
+
   /** MERGE INTO twin: the final state computed declaratively — the
     * matched-update branch doubled (s.cents == t.cents for a source
     * that restates the same rows), the matched-delete branch absent,

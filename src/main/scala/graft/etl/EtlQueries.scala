@@ -2719,6 +2719,32 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** METADATA-ONLY MOMENTS — [[TxParquetSink.momentsAggregate]] on a
+    * year-per-commit load: exact n/Σx/Σx² and the integer variance
+    * numerator n·Σx²−(Σx)² for two integral columns, folded from the
+    * manifests' per-commit moment records with ZERO data reads. The
+    * oracle recomputes every digit declaratively (DuckDB HUGEINT —
+    * both engines stay in exact integers end-to-end), so the hash gate
+    * proves the O(commits) driver fold ≡ a full-table profile. At
+    * 100 TB: AVG and VARIANCE of three years of data from a
+    * millisecond metadata fold. */
+  def txMoments(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txmom").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("cents", "store_id"))
+    }
+    t.momentsAggregate(spark, Seq("cents", "store_id")).orderBy("column")
+  }
+
   /** MERGE INTO — the FULL conditional merge ([[TxParquetSink.mergeInto]]):
     * one source batch drives all four behaviors in ONE atomic commit —
     * matched & store%3=0 updates in place (cents + s.cents), matched &

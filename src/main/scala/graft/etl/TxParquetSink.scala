@@ -313,7 +313,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     enforceConstraints(df)
     val staged = stageAudited(spark, df, n)
     val stagedDf = spark.read.parquet(root.resolve(staged).toString)
-    val (stats, nullCounts, sums) = profileStatsOf(stagedDf, n, statsCols)
+    val (stats, nullCounts, sums, sumsqs) =
+      profileStatsOf(stagedDf, n, statsCols)
     // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
     // positions per row fused into the scan, one bounded distinct —
     // at most BloomM ints per column ever reach the driver
@@ -341,7 +342,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     }.toMap
     var v = version() + 1
     while (!tryPublish(v, Manifest(n, Seq(staged), stats = stats, blooms = blooms,
-      sketches = sketches, nullCounts = nullCounts, sums = sums)))
+      sketches = sketches, nullCounts = nullCounts, sums = sums,
+      sumsqs = sumsqs)))
       v = version() + 1
   }
 
@@ -803,15 +805,19 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   /** One read-back profile pass shared by every stats-recording write:
     * per-column min/max (cast-to-string domain), null counts, and —
     * for INTEGRAL columns, the domain where addition is exact and
-    * associative — the column SUM, with the [[finiteNumeric]]
+    * associative — the column SUM and SUM OF SQUARES (the second
+    * moment: a long² always fits decimal(38,0), so the per-commit
+    * square-sum is exact; an overflowing total nulls out and is simply
+    * not recorded — the advisory posture), with the [[finiteNumeric]]
     * admission rule on the extremes. */
   private def profileStatsOf(stagedDf: DataFrame, n: Long,
       statsCols: Seq[String])
-      : (Map[String, ColStats], Map[String, Long], Map[String, String]) = {
+      : (Map[String, ColStats], Map[String, Long], Map[String, String],
+         Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, count, max, min, sum}
     import org.apache.spark.sql.types._
     if (statsCols.isEmpty)
-      return (Map.empty, Map.empty, Map.empty)
+      return (Map.empty, Map.empty, Map.empty, Map.empty)
     val numeric = stagedDf.schema.fields
       .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
     val integral = stagedDf.schema.fields.map(f => f.name -> (f.dataType match {
@@ -824,28 +830,40 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       count(col(c)).as(s"__cnt_$c"),
       (if (integral.getOrElse(c, false)) sum(col(c)).cast("string")
        else org.apache.spark.sql.functions.lit(null).cast("string"))
-        .as(s"__sum_$c")))
+        .as(s"__sum_$c"),
+      (if (integral.getOrElse(c, false))
+        sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
+          .cast("string")
+       else org.apache.spark.sql.functions.lit(null).cast("string"))
+        .as(s"__sumsq_$c")))
     val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
     val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val (mn, mx) = (r.getString(4 * i), r.getString(4 * i + 1))
+      val (mn, mx) = (r.getString(5 * i), r.getString(5 * i + 1))
       val num = numeric.getOrElse(c, false)
       if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
       else Some(c -> ColStats(num, mn, mx))
     }.toMap
     val nc = statsCols.zipWithIndex.map { case (c, i) =>
-      c -> (n - r.getLong(4 * i + 2))
+      c -> (n - r.getLong(5 * i + 2))
     }.toMap
     val sm = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      Option(r.getString(4 * i + 3)).map(c -> _)
+      Option(r.getString(5 * i + 3)).map(c -> _)
     }.toMap
-    (st, nc, sm)
+    val sq = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      // render as a plain integer string (decimal cast may print a
+      // scale); BigDecimal normalizes "123" and "123.000" alike
+      Option(r.getString(5 * i + 4)).map(v =>
+        c -> BigDecimal(v).toBigInt.toString)
+    }.toMap
+    (st, nc, sm, sq)
   }
 
   /** [[profileStatsOf]] over a freshly staged directory. */
   private def profileStats(spark: SparkSession, stagedRel: String, n: Long,
       statsCols: Seq[String])
-      : (Map[String, ColStats], Map[String, Long], Map[String, String]) =
-    if (statsCols.isEmpty) (Map.empty, Map.empty, Map.empty)
+      : (Map[String, ColStats], Map[String, Long], Map[String, String],
+         Map[String, String]) =
+    if (statsCols.isEmpty) (Map.empty, Map.empty, Map.empty, Map.empty)
     else profileStatsOf(
       spark.read.parquet(root.resolve(stagedRel).toString), n, statsCols)
 
@@ -904,6 +922,53 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         else null
       (c, nRows, mn, mx, sm)
     }.toDF("column", "n_rows", "min_value", "max_value", "sum_value")
+  }
+
+  /** METADATA-ONLY MOMENTS — exact AVG and VARIANCE ingredients from
+    * the commit log alone, zero data I/O: per requested column one row
+    * `(column, n_rows, n_vals, sum_value, sumsq_value, var_num_value)`
+    * where `n_vals` is the non-null count (manifest row counts minus
+    * recorded null counts — SQL AVG/VAR ignore NULLs), `sum_value` /
+    * `sumsq_value` fold the per-commit exact first and second moments
+    * ([[appendWithStats]]' `sum=`/`sumsq=` records, integral columns
+    * only — the associative domain where a long² always fits
+    * decimal(38,0)), and `var_num_value = n_vals·Σx² − (Σx)²` is the
+    * EXACT integer variance numerator: population variance is
+    * `var_num / n_vals²` and the mean `sum / n_vals`, both left to the
+    * consumer as exact rationals — no float ever enters the fold, so a
+    * DuckDB twin reproduces every digit (the transcendental-free
+    * integer contract). This is the metadata tier's answer to
+    * "profile a 100 TB column": moments are associative, so the fold
+    * is O(commits) driver work at any table size.
+    *
+    * Same soundness guards as [[statsAggregate]]: row-hiding masks are
+    * REFUSED; the moment fields are null (never wrong) when any data
+    * commit lacks the records — e.g. after a compaction base, which
+    * drops commit-level sums: re-profile after OPTIMIZE. */
+  def momentsAggregate(spark: SparkSession, columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ms = resolvedCommits().map(_._2)
+    require(ms.forall(m => m.deletePred.isEmpty && m.replaceCols.isEmpty),
+      "momentsAggregate on a log with row-hiding masks (deleteWhere / " +
+        "overwritePartitions) would aggregate hidden rows; compact first")
+    val data = ms.filter(_.rows > 0)
+    require(data.nonEmpty, "momentsAggregate: no data commits")
+    val nRows = data.map(_.rows).sum
+    columns.sorted.map { c =>
+      val have = data.forall(m =>
+        m.sums.contains(c) && m.sumsqs.contains(c) && m.nullCounts.contains(c))
+      if (!have) (c, nRows, null: String, null: String, null: String,
+        null: String)
+      else {
+        val nVals = nRows - data.map(_.nullCounts(c)).sum
+        val sm = data.map(m => BigInt(m.sums(c))).sum
+        val sq = data.map(m => BigInt(m.sumsqs(c))).sum
+        val varNum = BigInt(nVals) * sq - sm * sm
+        (c, nRows, nVals.toString, sm.toString, sq.toString,
+          varNum.toString)
+      }
+    }.toDF("column", "n_rows", "n_vals", "sum_value", "sumsq_value",
+      "var_num_value")
   }
 
   /** MERGE (WHEN NOT MATCHED THEN INSERT) on `keys` with optimistic
@@ -1086,13 +1151,15 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     enforceConstraints(incoming)
     val tuples = touchedPartitions(incoming, partitionCols)
     val staged = stageAudited(spark, incoming, n)
-    val (stats, nullCounts, sums) = profileStats(spark, staged, n, statsCols)
+    val (stats, nullCounts, sums, sumsqs) =
+      profileStats(spark, staged, n, statsCols)
     val manifest = Manifest(n, Seq(staged),
       partitions = Some(tuples.map(encodePartition)),
       partitionCols = partitionCols,
       replaceCols = partitionCols,
       replaceKeys = tuples.map(sepEncode),
-      stats = stats, nullCounts = nullCounts, sums = sums)
+      stats = stats, nullCounts = nullCounts, sums = sums,
+      sumsqs = sumsqs)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2177,7 +2244,8 @@ object TxParquetSink {
       nullCounts: Map[String, Long] = Map.empty,
       fileRows: Map[String, Long] = Map.empty,
       sums: Map[String, String] = Map.empty,
-      fileSums: Map[String, Map[String, String]] = Map.empty)
+      fileSums: Map[String, Map[String, String]] = Map.empty,
+      sumsqs: Map[String, String] = Map.empty)
 
   /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
     * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
@@ -2321,6 +2389,11 @@ object TxParquetSink {
           s"fsum=${encodePartition(Seq(f, c, v))}"
         }
       } ++
+      // per-column EXACT sums of squares (the second moment): advisory,
+      // lets momentsAggregate answer AVG/VARIANCE with zero I/O
+      m.sumsqs.toSeq.sortBy(_._1).map { case (c, v) =>
+        s"sumsq=${encodePartition(Seq(c, v))}"
+      } ++
       // NOT covered by the append-only-is-safe argument above: a reader
       // that ignored delwhere= would RESURRECT deleted rows. The parser
       // below understands it, and no other reader of this log exists;
@@ -2421,7 +2494,13 @@ object TxParquetSink {
         (parts(0), parts(1), parts(2))
       }.groupBy(_._1).map { case (f, rows) =>
         f -> rows.map(r => r._2 -> r._3).toMap
-      })
+      },
+      kv.collect { case ("sumsq", v) =>
+        val parts = v.split('/').toSeq.map(p =>
+          java.net.URLDecoder.decode(p, UTF_8.name()))
+        require(parts.size == 2, s"malformed sumsq line: $v")
+        parts(0) -> parts(1)
+      }.toMap)
   }
 
   /** Canonical string for one partition tuple: URL-encoded values

@@ -721,6 +721,51 @@ class TxSinkSpec extends SparkSpec {
       t3.statsAggregate(spark, Seq("day")))
   }
 
+  test("momentsAggregate: exact AVG/VAR ingredients from manifests alone") {
+    val t = table()
+    // amount is NULL every 5th day: the moment fold must count and sum
+    // only non-null values, exactly as SQL AVG/VAR do
+    val days = (1 to 30).map(d =>
+      (f"2024-01-$d%02d", if (d % 5 == 0) None else Some(d.toLong)))
+    days.grouped(10).foreach { g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"))
+    }
+    def snap() = t.momentsAggregate(spark, Seq("amount", "day"))
+      .as[(String, Long, String, String, String, String)]
+      .collect().toSeq.sortBy(_._1)
+    // Σd (d∤5) = 465−105 = 360; Σd² = 9455−2275 = 7180;
+    // var_num = 24·7180 − 360² = 42720 — all exact integers
+    val expected = Seq(
+      ("amount", 30L, "24", "360", "7180", "42720"),
+      ("day", 30L, null, null, null, null)) // string column: no moments
+    assert(snap() == expected)
+    // the metadata-only proof: remove every DATA file (keep the log) —
+    // the fold answers identically
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(t.dir)
+    val walk = java.nio.file.Files.walk(root)
+    val victims = try walk.iterator.asScala.toSeq finally walk.close()
+    victims.reverseIterator
+      .filterNot(p => p.toString.contains("_txlog") || p == root)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(snap() == expected, "momentsAggregate must not touch data files")
+    // a row-hiding mask refuses; a compaction base drops the records —
+    // moments go NULL (never wrong), n_rows stays served
+    val t2 = table()
+    t2.appendWithStats(Seq(("a", 1L), ("b", 2L)).toDF("day", "amount"),
+      Seq("amount"))
+    t2.deleteWhere(spark, "day = 'a'")
+    assertThrows[IllegalArgumentException](
+      t2.momentsAggregate(spark, Seq("amount")))
+    val t3 = table()
+    t3.appendWithStats(Seq(("a", 1L), ("b", 2L)).toDF("day", "amount"),
+      Seq("amount"))
+    t3.compact(spark)
+    assert(t3.momentsAggregate(spark, Seq("amount"))
+      .as[(String, Long, String, String, String, String)].collect().toSeq ==
+      Seq(("amount", 2L, null, null, null, null)))
+  }
+
   test("readSnapshotWhere derives pruning from the predicate, stays exact") {
     val t = table()
     val days = (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong))
