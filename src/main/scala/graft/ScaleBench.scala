@@ -138,7 +138,13 @@ object ScaleBench {
     // boundary-exact count
     "etl_tx_stats_agg", "etl_tx_where", "etl_tx_count_where",
     "etl_tx_box_where", "stream_tx_count", "etl_tx_stats_where",
-    "etl_tx_travel_where")
+    "etl_tx_travel_where",
+    // round-9 post-close seventh leg: the full conditional merge (the
+    // source-driven join is the data-sized stage), the metadata
+    // moments fold (O(commits) — the slot times the ingest), and the
+    // streamed-merge replay (per-batch source-bounded merges + the
+    // mid-replay OPTIMIZE)
+    "etl_tx_merge", "etl_tx_moments", "stream_tx_merge")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2297,6 +2297,23 @@ object EtlOracleSql {
       |  FROM monthly
       |) ORDER BY "column"""".stripMargin)
 
+  /** Streamed-merge twin: the month-sliced change batches (running
+    * cumulative upserts, then deletes of store_id % 7 = 3) must land
+    * the table on the plain per-store total minus the deletes —
+    * convergence of the streamed conditional merge, redeliveries
+    * included, computed declaratively. */
+  val streamTxMerge: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT store_id, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM monthly
+      |WHERE NOT store_id % 7 = 3
+      |GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** MERGE INTO twin: the final state computed declaratively — the
     * matched-update branch doubled (s.cents == t.cents for a source
     * that restates the same rows), the matched-delete branch absent,

@@ -1228,6 +1228,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       updateCond: Option[String] = None,
       deleteCond: Option[String] = None,
       insertUnmatched: Boolean = true,
+      insertCond: Option[String] = None,
       beforePublish: () => Unit = () => (),
       maxAttempts: Int = 20): MergeStats = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
@@ -1289,11 +1290,19 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val nDel = touchedRows.where(col("__del")).count()
     val updatedRows = touchedRows.where(!col("__del")).drop("__del")
     val nUpd = updatedRows.count()
+    // WHEN NOT MATCHED AND insertCond THEN INSERT — the conditional
+    // insert clause (a CDC consumer must NOT resurrect an unmatched
+    // delete row as an insert); the condition is source-only (`s.`),
+    // so it filters BEFORE the anti-join — same rows, less join work;
+    // NULL keeps SQL semantics: no insert
+    val insSrc = insertCond
+      .map(c => srcCk.alias("s").where(coalesce(expr(c), lit(false))))
+      .getOrElse(srcCk)
     val inserts: DataFrame = (target, insertUnmatched) match {
       case (Some(t), true) =>
-        srcCk.alias("s").join(t.alias("t"), joinCond, "left_anti")
+        insSrc.alias("s").join(t.alias("t"), joinCond, "left_anti")
           .select(tCols.map(col): _*).localCheckpoint(eager = true)
-      case (None, true) => srcCk.select(tCols.map(col): _*)
+      case (None, true) => insSrc.select(tCols.map(col): _*)
       case _ => srcCk.select(tCols.map(col): _*).limit(0)
     }
     val nIns = inserts.count()
@@ -2041,6 +2050,11 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       def sumOf(c: String, as: String) =
         (if (isIntegral(c)) org.apache.spark.sql.functions.sum(col(c)).cast("string")
          else lit(null).cast("string")).as(as)
+      def sumsqOf(c: String, as: String) =
+        (if (isIntegral(c)) org.apache.spark.sql.functions.sum(
+          col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
+          .cast("string")
+         else lit(null).cast("string")).as(as)
       val statRows = back.groupBy("__bucket")
         .agg(count(lit(1)).as("__n"),
           count(col(x)).as("__nx"), count(col(y)).as("__ny"),
@@ -2048,7 +2062,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           max(col(x)).cast("string").as("__maxx"),
           min(col(y)).cast("string").as("__miny"),
           max(col(y)).cast("string").as("__maxy"),
-          sumOf(x, "__sumx"), sumOf(y, "__sumy"))
+          sumOf(x, "__sumx"), sumOf(y, "__sumy"),
+          sumsqOf(x, "__sumsqx"), sumsqOf(y, "__sumsqy"))
         .collect()
       val audited = statRows.map(_.getAs[Long]("__n")).sum
       if (audited != n) {
@@ -2091,6 +2106,15 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           Some(c -> parts.flatten.map(BigDecimal(_)).sum.toBigInt.toString)
         else None
       }.toMap
+      // second-moment credit too, so momentsAggregate (exact AVG/VAR)
+      // also survives this OPTIMIZE — the same fold, squared domain
+      val sumsqs = Seq(x, y).flatMap { c =>
+        val parts = statRows.map(r =>
+          Option(r.getAs[String](if (c == x) "__sumsqx" else "__sumsqy")))
+        if (parts.forall(_.isDefined))
+          Some(c -> parts.flatten.map(BigDecimal(_)).sum.toBigInt.toString)
+        else None
+      }.toMap
       val commitStats = Seq(x -> (numX, "__minx", "__maxx"),
         y -> (numY, "__miny", "__maxy")).flatMap { case (c, (num, mnK, mxK)) =>
         val mns = statRows.toSeq.map(r => Option(r.getAs[String](mnK)))
@@ -2113,7 +2137,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       if (tryPublish(snap.last._1 + 1,
           Manifest(n, files, base = true, stats = commitStats,
             fileStats = fileStats, fileRows = fileRows,
-            nullCounts = nullCounts, sums = sums, fileSums = fileSums))) {
+            nullCounts = nullCounts, sums = sums, fileSums = fileSums,
+            sumsqs = sumsqs))) {
         writeBasePointer(snap.last._1 + 1)
         return snap.last._1 + 1
       }

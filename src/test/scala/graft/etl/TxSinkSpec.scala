@@ -917,6 +917,12 @@ class TxSinkSpec extends SparkSpec {
     val half = t.statsAggregateWhere(spark, Seq("cx"), big)
       .as[(String, Long, String, String, String)].collect().head
     assert(half == (("cx", 512L, "0", "31", "7936")), half.toString)
+    // the base carries the SECOND moment too: momentsAggregate keeps
+    // answering after OPTIMIZE (Σcx² = 32·10416 = 333312,
+    // var_num = 1024·333312 − 15872² = 89391104)
+    assert(t.momentsAggregate(spark, Seq("cx"))
+      .as[(String, Long, String, String, String, String)].collect().toSeq ==
+      Seq(("cx", 1024L, "1024", "15872", "333312", "89391104")))
   }
 
   test("statsAggregateWhere combines manifest extremes with boundary scans") {
