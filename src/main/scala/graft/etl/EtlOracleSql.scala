@@ -491,6 +491,39 @@ object EtlOracleSql {
       |FROM sums
       |ORDER BY store_a, store_b""".stripMargin)
 
+  /** ACF twin: the same lag-offset self-join and the same
+    * integer-exact sums; the single float division reproduces
+    * bit-for-bit (identical IEEE ops in the same order). */
+  val acfRevenue: String = star(
+    """, monthly AS (
+      |  SELECT store_id,
+      |         CAST(year(time_id) AS INT) * 12 +
+      |           CAST(month(time_id) AS INT) AS m,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) // 100
+      |           AS BIGINT) AS y
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |lags AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(lag)),
+      |sums AS (
+      |  SELECT a.store_id AS store_id, l.lag AS lag,
+      |         count(*) AS n_pairs,
+      |         CAST(sum(a.y) AS BIGINT) AS sx,
+      |         CAST(sum(b.y) AS BIGINT) AS sy,
+      |         CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+      |         CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+      |         CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+      |  FROM monthly a CROSS JOIN lags l
+      |    JOIN monthly b
+      |    ON a.store_id = b.store_id AND b.m = a.m + l.lag
+      |  GROUP BY 1, 2
+      |)
+      |SELECT store_id, lag, n_pairs,
+      |       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |            * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf_r
+      |FROM sums
+      |ORDER BY store_id, lag""".stripMargin)
+
   /** Benford twin: same string-extracted digit and the SAME nine
     * literal expected shares (no engine evaluates a log). */
   val benfordAudit: String = star(

@@ -728,6 +728,48 @@ object EtlQueries {
       .orderBy("store_a", "store_b")
   }
 
+  /** AUTOCORRELATION (ACF) — the time-series profile the seasonal /
+    * changepoint family still lacked: per-store Pearson autocorrelation
+    * of the monthly revenue series at lags 1..3, computed as a
+    * lag-offset self-join on the month index (never a window over a
+    * collected series — the join distributes per store and lag). The
+    * [[storeCorrelation]] exactness discipline: integer-dollar series,
+    * all five sums exact int64, and the only float work is the final
+    * r = (nΣxy−ΣxΣy)/√(…)·√(…) — identical IEEE ops in both engines.
+    * At 100 TB the shape holds: the series is an aggregate (store ×
+    * month — bounded by calendar × dimension), the self-join keys on
+    * (store, m+lag), and nothing is ever collected. */
+  def acfRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(col("store_id"),
+        (expr("CAST(year(time_id) AS INT)") * 12 +
+          expr("CAST(month(time_id) AS INT)")).as("m"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .withColumn("y", expr("cents div 100"))
+      .drop("cents")
+    val lags = Seq(1, 2, 3).toDF("lag")
+    monthly.as("a").join(broadcast(lags))
+      .join(monthly.as("b"),
+        col("a.store_id") === col("b.store_id") &&
+          col("b.m") === col("a.m") + col("lag"))
+      .groupBy(col("a.store_id").as("store_id"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("a.y")).as("sx"), sum(col("b.y")).as("sy"),
+        sum(col("a.y") * col("a.y")).as("sxx"),
+        sum(col("b.y") * col("b.y")).as("syy"),
+        sum(col("a.y") * col("b.y")).as("sxy"))
+      .withColumn("acf_r",
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))))
+      .select("store_id", "lag", "n_pairs", "acf_r")
+      .orderBy("store_id", "lag")
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen
     * over the fact's revenue amounts: observed first-significant-digit
     * shares against Benford's log₁₀(1 + 1/d) expectation. The digit is

@@ -1341,6 +1341,28 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     MergeStats(nIns, nUpd, nDel) // unreachable
   }
 
+  /** AUTO-MAINTENANCE POLICY — compact when the effective log carries
+    * more than `maskBudget` row-hiding commits (replace masks /
+    * predicate deletes). This turns a measured cost law into an
+    * enforced bound: every masking commit masks all EARLIER commits
+    * differently, so an unmaintained merge/delete target's snapshot
+    * read degrades to O(masking commits) distinct scan groups — the
+    * month-sliced streamed-merge first cut measured ~16 s/merge by
+    * commit 38 at sf0.01 — and metadata reads (statsAggregate,
+    * momentsAggregate, tableSketch) refuse masked logs outright. A
+    * base rewrite resolves every mask, so reads after maintenance are
+    * one multi-path scan again and the metadata tier resumes (modulo
+    * re-profiling). Writers call this after their commit (the
+    * [[graft.streaming.StreamMerge.mergeBatch]] hook); the policy is
+    * deliberately NOT inside the commit path — maintenance amortizes
+    * across commits and a lost compact race is harmless (the next call
+    * re-checks). Returns the base version when it compacted. */
+  def maintainIfNeeded(spark: SparkSession, maskBudget: Int = 8): Option[Long] = {
+    val masked = resolvedCommits().count { case (_, m) =>
+      m.deletePred.nonEmpty || m.replaceCols.nonEmpty }
+    if (masked > maskBudget) Some(compact(spark)) else None
+  }
+
   /** DELETE WHERE — row-level delete as an O(1) METADATA commit, the
     * Delta/Iceberg "merge-on-read" deletion shape: the commit carries
     * only the predicate (no files, no data work at ANY table size);

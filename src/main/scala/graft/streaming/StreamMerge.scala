@@ -30,9 +30,14 @@ object StreamMerge {
     * values; the transport `op` column never enters the table — the
     * bootstrap batch inserts the 'U' rows without it (fixing the table
     * schema to keys + values), and every later batch's insert clause
-    * projects the TARGET's columns (source may carry extras). */
+    * projects the TARGET's columns (source may carry extras).
+    * `maskBudget` > 0 runs [[graft.etl.TxParquetSink.maintainIfNeeded]]
+    * after the commit — a long-lived merge target degrades to
+    * O(masking commits) scan groups without periodic OPTIMIZE, so the
+    * policy belongs IN the writer loop, not in an ops runbook. */
   def mergeBatch(sink: TxParquetSink, keys: Seq[String],
-      valueCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+      valueCols: Seq[String], maskBudget: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       if (sink.version() == -1L)
         sink.append(batch.where(col("op") === "U").drop("op"))
@@ -42,6 +47,8 @@ object StreamMerge {
           updateCond = Some("s.op = 'U'"),
           deleteCond = Some("s.op = 'D'"),
           insertCond = Some("s.op <> 'D'"))
+        if (maskBudget > 0)
+          sink.maintainIfNeeded(batch.sparkSession, maskBudget)
         ()
       }
     }
@@ -52,12 +59,12 @@ object StreamMerge {
     * half-year-sliced change batches — a store's first active half
     * INSERTS it, later halves UPDATE it to the new cumulative
     * (absolute values, the idempotence contract), one mid-log batch is
-    * deliberately REDELIVERED (must converge), a mid-replay OPTIMIZE
-    * ([[graft.etl.TxParquetSink.compact]]) materializes the
-    * accumulated replace masks — the MAINTENANCE move a long-lived
-    * merge target needs, because every merge commit masks all earlier
-    * commits differently and unbounded mask depth makes each target
-    * read O(commits) scan groups — and a final batch DELETES every
+    * deliberately REDELIVERED (must converge), the writer-loop
+    * maintenance policy ([[graft.etl.TxParquetSink.maintainIfNeeded]],
+    * maskBudget = 4) OPTIMIZEs mid-replay when the merge-mask pile-up
+    * crosses the budget — every merge commit masks all earlier commits
+    * differently, so unbounded mask depth makes each target read
+    * O(commits) scan groups — and a final batch DELETES every
     * store_id % 7 = 3 (redelivered too: unmatched deletes must not
     * resurrect). The final snapshot hash-gates against the declarative
     * per-store total minus the deletes — the streamed conditional
@@ -84,7 +91,8 @@ object StreamMerge {
       java.nio.file.Files.createTempDirectory("graft-smerge").toString + "/t")
     val halves = cum.select("q").distinct().orderBy("q")
       .collect().map(_.getString(0)).toSeq
-    val write = mergeBatch(sink, Seq("store_id"), Seq("cents")) _
+    val write = mergeBatch(sink, Seq("store_id"), Seq("cents"),
+      maskBudget = 4) _
     def batchOf(q: String) = cum.where(col("q") === q)
       .select(col("store_id"), col("cents"), lit("U").as("op"))
     halves.zipWithIndex.foreach { case (q, i) =>
@@ -92,8 +100,6 @@ object StreamMerge {
       // the at-least-once redelivery: the second batch runs AGAIN —
       // absolute values make the re-apply a fixed point
       if (i == 1) write(batchOf(q), i.toLong)
-      // mid-replay maintenance: materialize the mask pile-up
-      if (i == halves.size / 2) sink.compact(spark)
     }
     val deletes = cum.select("store_id").distinct()
       .where(col("store_id") % 7 === 3)

@@ -49,6 +49,29 @@ class StreamMergeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the writer-loop maintenance policy bounds merge-mask depth") {
+    val t = sink()
+    val write = StreamMerge.mergeBatch(t, Seq("k"), Seq("cents"),
+      maskBudget = 3) _
+    (0 until 8).foreach { i =>
+      write(Seq(("A", i.toLong, "U"), (s"K$i", 1L, "U"))
+        .toDF("k", "cents", "op"), i.toLong)
+    }
+    // 7 merge commits landed (batch 0 bootstraps); budget 3 → the
+    // policy must have compacted, and the EFFECTIVE log (after the
+    // last base) must carry at most budget + 1 masked commits
+    val h = t.history(spark).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    val lastBase = h.lastIndexWhere(_ == "base")
+    assert(lastBase >= 0, "the policy must have compacted")
+    val maskedEff = h.drop(lastBase + 1).count(_ == "overwrite")
+    assert(maskedEff <= 4,
+      s"effective masked commits must stay within budget (got $maskedEff)")
+    // and the state is exactly the 8 upserts' final values
+    assert(state(t).toMap == (Map("A" -> 7L) ++
+      (0 until 8).map(i => s"K$i" -> 1L).toMap))
+  }
+
   test("a redelivered batch is a fixed point (absolute values)") {
     val t = sink()
     val write = StreamMerge.mergeBatch(t, Seq("k"), Seq("cents")) _
