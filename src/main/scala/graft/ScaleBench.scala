@@ -144,7 +144,9 @@ object ScaleBench {
     // moments fold (O(commits) — the slot times the ingest), and the
     // streamed-merge replay (per-batch source-bounded merges + the
     // mid-replay OPTIMIZE)
-    "etl_tx_merge", "etl_tx_moments", "stream_tx_merge")
+    "etl_tx_merge", "etl_tx_moments", "stream_tx_merge",
+    // row-grain UPDATE: pushed-filter read + rewrite of the matches
+    "etl_tx_update")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

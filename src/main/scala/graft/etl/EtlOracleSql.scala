@@ -2347,6 +2347,20 @@ object EtlOracleSql {
       |GROUP BY store_id
       |ORDER BY store_id""".stripMargin)
 
+  /** UPDATE WHERE twin: the declarative CASE spelling of the same
+    * UPDATE — the mask-plus-rewrite commit must land exactly here. */
+  val txUpdate: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT month, store_id,
+      |       CAST(CASE WHEN store_id % 5 = 2 THEN cents * 3 ELSE cents END
+      |            AS BIGINT) AS cents
+      |FROM monthly
+      |ORDER BY month, store_id""".stripMargin)
+
   /** MERGE INTO twin: the final state computed declaratively — the
     * matched-update branch doubled (s.cents == t.cents for a source
     * that restates the same rows), the matched-delete branch absent,

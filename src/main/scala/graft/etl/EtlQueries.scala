@@ -2787,6 +2787,31 @@ object EtlQueries {
     t.momentsAggregate(spark, Seq("cents", "store_id")).orderBy("column")
   }
 
+  /** UPDATE WHERE — [[TxParquetSink.updateWhere]] on the year-per-commit
+    * load: one atomic commit rewrites the matching rows (SET reads the
+    * OLD values) and masks their pre-images via the same manifest's
+    * predicate — never a table rewrite. The oracle is the declarative
+    * CASE spelling, so the hash gate proves mask + rewrite ≡ UPDATE. */
+  def txUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txupd").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.append(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+    t.updateWhere(spark, "store_id % 5 = 2",
+      Map("cents" -> "cents * 3"))
+    t.readSnapshot(spark).get
+      .select("month", "store_id", "cents")
+      .orderBy("month", "store_id")
+  }
+
   /** MERGE INTO — the FULL conditional merge ([[TxParquetSink.mergeInto]]):
     * one source batch drives all four behaviors in ONE atomic commit —
     * matched & store%3=0 updates in place (cents + s.cents), matched &

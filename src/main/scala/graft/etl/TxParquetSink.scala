@@ -1341,6 +1341,68 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     MergeStats(nIns, nUpd, nDel) // unreachable
   }
 
+  /** UPDATE WHERE — SQL UPDATE as ONE atomic commit, completing the
+    * row-grain DML triad next to [[deleteWhere]] and [[mergeInto]]:
+    * the manifest carries BOTH the predicate (masking the old matching
+    * rows in every earlier commit — [[dataOf]]'s delete semantics) and
+    * the rewritten rows as its own files — and a commit's masks never
+    * apply to its own files, so the pair IS the update: readers at
+    * this version see each matching row exactly once, post-SET. One
+    * manifest, one version; time travel reads the pre-update rows at
+    * pre-update versions; the CDF shows the textbook UPDATE pair
+    * (old rows as 'D' at v−1, rewritten rows as 'I').
+    *
+    * `set` maps columns to SQL expressions over the OLD row (standard
+    * UPDATE semantics — `cents -> "cents + 7"` reads the pre-update
+    * value); a NULL predicate evaluation leaves the row untouched on
+    * both faces (not rewritten, not masked). Cost: one PUSHED-filter
+    * read of the matching rows plus their rewrite — never a table
+    * rewrite; the mask joins the merge-on-read lifecycle ([[compact]]
+    * materializes it, [[maintainIfNeeded]] bounds the pile-up).
+    * Concurrency is version-relative like [[deleteWhere]]: a lost race
+    * retries the publish with zero data work. Returns rows updated. */
+  def updateWhere(spark: SparkSession, predicateSql: String,
+      set: Map[String, String],
+      beforePublish: () => Unit = () => (),
+      maxAttempts: Int = 20): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val snap = readSnapshot(spark).getOrElse(return 0L)
+    val resolved = snap.select(expr(predicateSql).as("__pred")).schema.head
+    require(resolved.dataType == org.apache.spark.sql.types.BooleanType,
+      s"updateWhere predicate must be boolean, got ${resolved.dataType}: $predicateSql")
+    require(set.keys.forall(snap.columns.contains),
+      s"updateWhere SET names unknown columns " +
+        s"(${set.keys.filterNot(snap.columns.contains).mkString(",")})")
+    val cols = snap.columns.toSeq
+    val rewritten = snap
+      .where(coalesce(expr(predicateSql), lit(false)))
+      .select(cols.map(c =>
+        (if (set.contains(c)) expr(set(c)) else col(c)).as(c)): _*)
+      .localCheckpoint(eager = true)
+    val n = rewritten.count()
+    if (n == 0) return 0L
+    enforceConstraints(rewritten)
+    val staged = stageAudited(spark, rewritten, n)
+    val manifest = Manifest(n, Seq(staged), deletePred = Some(predicateSql))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > maxAttempts) {
+        deleteRecursively(root.resolve(staged))
+        throw new IllegalStateException(
+          s"updateWhere: gave up after $maxAttempts publish attempts on $dir")
+      }
+      beforePublish()
+      if (!Files.isDirectory(root.resolve(staged)))
+        throw new IllegalStateException(
+          "updateWhere: staged directory vanished before publish " +
+            "(vacuumed mid-commit?) — aborting")
+      if (tryPublish(version() + 1, manifest)) return n
+    }
+    n // unreachable
+  }
+
   /** AUTO-MAINTENANCE POLICY — compact when the effective log carries
     * more than `maskBudget` row-hiding commits (replace masks /
     * predicate deletes). This turns a measured cost law into an

@@ -181,6 +181,40 @@ class MergeIntoSpec extends SparkSpec {
     assert(state(t) == before)
   }
 
+  test("updateWhere: atomic UPDATE, time travel, and the D/I change pair") {
+    val t = table()
+    base(t)
+    val v0 = t.version()
+    val n = t.updateWhere(spark, "cents <= 20", Map("cents" -> "cents + 1"))
+    assert(n == 2 && t.version() == v0 + 1, "one UPDATE = one version")
+    assert(state(t) == Seq(("A", 11L), ("B", 21L), ("C", 30L), ("D", 40L)))
+    // old rows at the pre-update version
+    assert(t.readVersion(spark, v0).get.where($"k" === "A")
+      .select("cents").as[Long].head() == 10L)
+    // the change feed shows UPDATE's textbook pair: D(old), I(new)
+    val feed = t.changesBetween(spark, v0, t.version()).get
+      .select($"_change_type", $"k", $"cents").as[(String, String, Long)]
+      .collect().toSeq.sorted
+    assert(feed == Seq(("D", "A", 10L), ("D", "B", 20L),
+      ("I", "A", 11L), ("I", "B", 21L)))
+    // SET reads the OLD row; post-update appends matching the predicate
+    // are untouched (the mask only covers earlier commits)
+    t.append(Seq(("E", 5L)).toDF("k", "cents"))
+    assert(state(t).contains(("E", 5L)))
+    // no matching rows → no commit
+    assert(t.updateWhere(spark, "cents > 999", Map("cents" -> "0")) == 0L)
+    assert(t.version() == v0 + 2)
+    // compaction materializes the update; snapshot unchanged
+    val before = state(t)
+    t.compact(spark)
+    assert(state(t) == before)
+    // guards: non-boolean predicate, unknown SET column
+    assertThrows[IllegalArgumentException](
+      t.updateWhere(spark, "k", Map("cents" -> "0")))
+    assertThrows[IllegalArgumentException](
+      t.updateWhere(spark, "cents > 0", Map("nope" -> "0")))
+  }
+
   test("merge into an empty table is a plain insert") {
     val t = table()
     val st = t.mergeInto(spark, Seq(("A", 1L)).toDF("k", "cents"), Seq("k"),
