@@ -44,5 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // broadcast selection (same rules as graft.plans.GraftExtensions)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ManifestBroadcastJoins)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggregates)
   }
 }

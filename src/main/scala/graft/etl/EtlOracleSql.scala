@@ -2347,6 +2347,19 @@ object EtlOracleSql {
       |GROUP BY store_id
       |ORDER BY store_id""".stripMargin)
 
+  /** Count-pushdown-rule twin: the first year's row count computed
+    * declaratively — what the rewritten literal must equal. */
+  val txCountRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |y AS (SELECT min(substring(month, 1, 4)) AS y0 FROM monthly)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows FROM monthly
+      |WHERE month >= (SELECT y0 || '-01' FROM y)
+      |  AND month <= (SELECT y0 || '-12' FROM y)""".stripMargin)
+
   /** UPDATE WHERE twin: the declarative CASE spelling of the same
     * UPDATE — the mask-plus-rewrite commit must land exactly here. */
   val txUpdate: String = star(

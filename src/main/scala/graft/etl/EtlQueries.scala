@@ -2787,6 +2787,47 @@ object EtlQueries {
     t.momentsAggregate(spark, Seq("cents", "store_id")).orderBy("column")
   }
 
+  /** METADATA COUNT-PUSHDOWN RULE — the Catalyst rule
+    * [[graft.plans.MetadataAggregates]] exercised end-to-end: the rule
+    * is installed into THIS session's optimizer (the extraOptimizations
+    * path — a deployment sets `spark.sql.extensions` instead), a plain
+    * `df.where(commit-aligned range).agg(count(*))` over the snapshot
+    * read optimizes into a LocalRelation (REQUIRED — a silently
+    * non-firing rule fails the row, never fakes it), and the literal
+    * answer hash-gates against DuckDB's declarative count. The
+    * 100 TB shape: zero scan stages — the whole plan is one literal. */
+  def txCountRule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txcr").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month"))
+    }
+    val (lo, hi) = (s"${years.head}-01", s"${years.head}-12")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val counted = t.readSnapshot(spark).get
+        .where(s"month >= '$lo' AND month <= '$hi'")
+        .agg(count(lit(1)).as("n_rows"))
+      require(counted.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the commit-aligned count " +
+          "into a literal — it did not fire:\n" +
+          counted.queryExecution.optimizedPlan.toString)
+      Seq(counted.as[Long].head()).toDF("n_rows")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** UPDATE WHERE — [[TxParquetSink.updateWhere]] on the year-per-commit
     * load: one atomic commit rewrites the matching rows (SET reads the
     * OLD values) and masks their pre-images via the same manifest's

@@ -608,6 +608,34 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       m.files.map(f => root.resolve(f).toString -> (v, m.rows))
     }.toMap
 
+  /** OPTIMIZER-GRADE METADATA COUNT — `Some(count)` iff COUNT(*) under
+    * the (optional) predicate is answerable from manifests WITHOUT any
+    * scan: the log carries no row-hiding masks, and — when a predicate
+    * is given — [[classifyFiles]] proves every file Full or Excluded
+    * (one Boundary file would need data). `None` means "stay silent":
+    * this is the driver-side kernel behind
+    * [[graft.plans.MetadataAggregates]], the Catalyst rule that
+    * rewrites whole count aggregates into literal results, so a wrong
+    * answer is never an option and an unanswerable one costs nothing
+    * (the scan plan stands). Unlike [[countWhere]] this NEVER launches
+    * a job — pure O(commits) metadata, safe inside the optimizer. */
+  def countFromMetadata(spark: SparkSession,
+      predicateSql: Option[String]): Option[Long] = {
+    val cs = resolvedCommits()
+    if (cs.isEmpty) return None
+    if (cs.exists { case (_, m) =>
+      m.deletePred.nonEmpty || m.replaceCols.nonEmpty }) return None
+    predicateSql match {
+      case None => Some(cs.map(_._2.rows).sum)
+      case Some(p) =>
+        try {
+          val (_, classed) = classifyFiles(spark, p)
+          if (classed.exists(_._3 == 1)) None
+          else Some(classed.collect { case (_, _, 2, Some(n)) => n }.sum)
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Shared FULL/BOUNDARY/EXCLUDED classification behind [[countWhere]]
     * and [[statsAggregateWhere]]: returns the commit list it classified
     * (one capture — callers scan through the same snapshot) and, per
@@ -649,6 +677,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     case r: RangeCons => r.col
     case e: EqCons => e.col
     case i: InCons => i.col
+    case n: NotNullCons => n.col
   }
 
   /** The stats entry governing file `f` of manifest `m` for `column`:
@@ -673,6 +702,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     case InCons(col, vs, litNum, litIntegral) =>
       vs.isEmpty || vs.exists(v =>
         consKeeps(m, f, EqCons(col, v, litNum, litIntegral)))
+    case NotNullCons(_) => true // never excludes (see the case class doc)
   }
 
   /** Does the stats entry PROVE every non-null row of the file
@@ -701,6 +731,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       }
     case InCons(col, vs, litNum, litIntegral) =>
       vs.exists(v => consFull(m, f, EqCons(col, v, litNum, litIntegral)))
+    // full iff the file's recorded null count is zero — exactly the
+    // per-constraint null-count gate classifyFiles applies to every
+    // constrained column, so TRUE here composes with that gate
+    case NotNullCons(_) => true
   }
 
   /** One-sided [[rangeDisjoint]]: a missing bound never excludes;
@@ -778,6 +812,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           case LessThanOrEqual(l: Literal, a) =>
             for (c <- colOf(a); (v, n, _) <- rendered(l))
               yield RangeCons(c, Some(v), None, n)
+          case IsNotNull(a) => colOf(a).map(NotNullCons)
           case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
             val rs = vs.map(v => rendered(v.asInstanceOf[Literal]))
             for {
@@ -2431,6 +2466,15 @@ object TxParquetSink {
       litNum: Boolean, litIntegral: Boolean) extends PruneCons
   private[etl] final case class InCons(col: String, vs: Seq[String],
       litNum: Boolean, litIntegral: Boolean) extends PruneCons
+  /** `col IS NOT NULL` — the conjunct the optimizer infers next to
+    * every comparison. Never excludes a file (pruning by null counts
+    * alone isn't worth the read of the rule); a file is FULL under it
+    * iff its recorded null count is zero, which [[classifyFiles]]'s
+    * existing per-constraint null-count gate already enforces. Parsing
+    * it (instead of treating it as unrecognized) keeps `complete` true
+    * for the inferred-filter spelling, so [[countFromMetadata]] can
+    * credit Full files on plans the optimizer has already decorated. */
+  private[etl] final case class NotNullCons(col: String) extends PruneCons
 
   /** Does a cast-to-string stat prove the column renders integrally?
     * (DOUBLE min/max always carry '.'/'E'; integral and scale-0 decimal

@@ -89,8 +89,9 @@ object ManifestBroadcastJoins extends Rule[LogicalPlan] {
     }
 
   /** Nearest ancestor directory holding a `_txlog` — the table root;
-    * None for plain parquet (the rule then stays silent). */
-  private def tableRootOf(path: String): Option[String] = {
+    * None for plain parquet (the rule then stays silent). Shared with
+    * [[MetadataAggregates]]. */
+  private[plans] def tableRootOf(path: String): Option[String] = {
     var p = Paths.get(path)
     var depth = 0
     while (p != null && depth < 16) {
