@@ -146,7 +146,10 @@ object ScaleBench {
     // mid-replay OPTIMIZE)
     "etl_tx_merge", "etl_tx_moments", "stream_tx_merge",
     // row-grain UPDATE: pushed-filter read + rewrite of the matches
-    "etl_tx_update")
+    "etl_tx_update",
+    // count-pushdown rule: the rewrite is O(commits) driver work —
+    // the slot times the ingest harness
+    "etl_tx_count_rule")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2360,6 +2360,23 @@ object EtlOracleSql {
       |WHERE month >= (SELECT y0 || '-01' FROM y)
       |  AND month <= (SELECT y0 || '-12' FROM y)""".stripMargin)
 
+  /** Profile-pushdown-rule twin: the whole aggregate panel computed
+    * declaratively — what the rewritten literal row must equal. */
+  val txAggRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(cents) AS BIGINT) AS n_vals,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       min(month) AS min_month,
+      |       max(month) AS max_month
+      |FROM monthly""".stripMargin)
+
   /** UPDATE WHERE twin: the declarative CASE spelling of the same
     * UPDATE — the mask-plus-rewrite commit must land exactly here. */
   val txUpdate: String = star(

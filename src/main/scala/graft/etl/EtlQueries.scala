@@ -2828,6 +2828,48 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** METADATA PROFILE-PUSHDOWN RULE — [[txCountRule]]'s sibling for the
+    * unfiltered path: one `agg(count/count(col)/min/max/sum)` panel
+    * over the snapshot scan, rewritten whole into a LocalRelation from
+    * the per-column manifest profiles (REQUIRED — all-or-nothing, so a
+    * single unanswerable member would keep the scan and fail the
+    * require), hash-gated against DuckDB's declarative profile. */
+  def txAggRule(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txar").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "cents"))
+    }
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val profiled = t.readSnapshot(spark).get.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_vals"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("month")).as("min_month"),
+        max(col("month")).as("max_month"))
+      require(profiled.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the whole profile panel " +
+          "into a literal — it did not fire:\n" +
+          profiled.queryExecution.optimizedPlan.toString)
+      val r = profiled.collect().head
+      spark.createDataFrame(java.util.List.of(r), profiled.schema)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** UPDATE WHERE — [[TxParquetSink.updateWhere]] on the year-per-commit
     * load: one atomic commit rewrites the matching rows (SET reads the
     * OLD values) and masks their pre-images via the same manifest's

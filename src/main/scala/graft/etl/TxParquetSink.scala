@@ -636,6 +636,43 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     }
   }
 
+  /** OPTIMIZER-GRADE COLUMN PROFILE — the quiet (Option, never-throw,
+    * never-scan) sibling of [[statsAggregate]]/[[momentsAggregate]],
+    * for [[graft.plans.MetadataAggregates]]' MIN/MAX/SUM rewrites:
+    * Some iff the log is mask-free and EVERY data commit carries
+    * min/max stats for `column`. `nonNull`/`sum` are themselves
+    * optional (each needs its record on every commit); `sum` folds as
+    * BigInt — the caller decides whether it fits the engine type. */
+  def columnMetaProfile(column: String): Option[ColMetaProfile] = {
+    val cs = resolvedCommits()
+    if (cs.isEmpty) return None
+    val ms = cs.map(_._2)
+    if (ms.exists(m => m.deletePred.nonEmpty || m.replaceCols.nonEmpty))
+      return None
+    val data = ms.filter(_.rows > 0)
+    if (data.isEmpty || !data.forall(_.stats.contains(column))) return None
+    val ss = data.map(_.stats(column))
+    val num = ss.head.num
+    if (!ss.forall(_.num == num)) return None
+    val (mn, mx) =
+      try {
+        if (num) (ss.minBy(s => BigDecimal(s.min)).min,
+                  ss.maxBy(s => BigDecimal(s.max)).max)
+        else (ss.map(_.min).min, ss.map(_.max).max)
+      } catch { case _: NumberFormatException => return None }
+    val rows = data.map(_.rows).sum
+    val nonNull =
+      if (data.forall(_.nullCounts.contains(column)))
+        Some(rows - data.map(_.nullCounts(column)).sum)
+      else None
+    val sum =
+      if (data.forall(_.sums.contains(column)))
+        try Some(data.map(m => BigInt(m.sums(column))).sum)
+        catch { case _: NumberFormatException => None }
+      else None
+    Some(ColMetaProfile(num, mn, mx, rows, nonNull, sum))
+  }
+
   /** Shared FULL/BOUNDARY/EXCLUDED classification behind [[countWhere]]
     * and [[statsAggregateWhere]]: returns the commit list it classified
     * (one capture — callers scan through the same snapshot) and, per
@@ -2358,6 +2395,12 @@ object TxParquetSink {
     * any sane stage→publish window (Delta ships 7 days for the same
     * guard; commits here are one batch, not a day of them). */
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
+
+  /** [[TxParquetSink.columnMetaProfile]]'s answer: the comparison
+    * domain flag and extremes in their cast-to-string form, total rows,
+    * and the optional non-null count / exact integral sum. */
+  final case class ColMetaProfile(num: Boolean, min: String, max: String,
+      rows: Long, nonNull: Option[Long], sum: Option[BigInt])
 
   /** [[TxParquetSink.mergeInto]]'s outcome: rows inserted (not
     * matched), updated (matched, update clause), deleted (matched,

@@ -79,6 +79,34 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("unfiltered MIN/MAX/SUM/COUNT(col) rewrite to literals, all-or-nothing") {
+    val s = fresh()
+    try {
+      val t = table(s)
+      val snap = t.readSnapshot(s).get
+      val profile = snap.agg(
+        count(lit(1)).as("n"), count(col("amount")).as("nn"),
+        min(col("amount")).as("mn"), max(col("amount")).as("mx"),
+        sum(col("amount")).as("sm"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+      assert(isLocal(profile), profile.queryExecution.optimizedPlan.toString)
+      val r = profile.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)) ==
+        ((30L, 30L, 1L, 30L, 465L, "2024-01-01", "2024-01-30")))
+      // all-or-nothing: avg is not answerable → the WHOLE plan scans,
+      // including the count that alone would have rewritten
+      val mixed = snap.agg(count(lit(1)).as("n"), avg("amount").as("a"))
+      assert(!isLocal(mixed))
+      assert(mixed.collect().head.getLong(0) == 30L)
+      // filters + extremes don't rewrite (stats describe whole commits)
+      val filteredMin = snap.where("amount >= 11 AND amount <= 20")
+        .agg(min(col("amount")).as("mn"))
+      assert(!isLocal(filteredMin))
+      assert(filteredMin.collect().head.getLong(0) == 11L)
+    } finally s.stop()
+  }
+
   test("the rewrite equals the scanning plan on every probe") {
     val s = fresh()
     try {
