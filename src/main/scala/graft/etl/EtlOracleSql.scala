@@ -2360,6 +2360,43 @@ object EtlOracleSql {
       |WHERE month >= (SELECT y0 || '-01' FROM y)
       |  AND month <= (SELECT y0 || '-12' FROM y)""".stripMargin)
 
+  /** Boundary-exact-moments twin: the predicate's rows' moments
+    * recomputed declaratively in HUGEINT — credited interiors plus
+    * boundary scans must land on every digit. */
+  val txMomentsWhere: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |rng AS (
+      |  SELECT * FROM monthly
+      |  WHERE month >= '1996-07' AND month <= '1998-09'
+      |)
+      |SELECT * FROM (
+      |  SELECT 'cents' AS "column", count(*) AS n_rows,
+      |         CAST(count(cents) AS VARCHAR) AS n_vals,
+      |         CAST(sum(cents) AS VARCHAR) AS sum_value,
+      |         CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+      |              AS VARCHAR) AS sumsq_value,
+      |         CAST(CAST(count(cents) AS HUGEINT) *
+      |                sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) -
+      |              CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT)
+      |              AS VARCHAR) AS var_num_value
+      |  FROM rng
+      |  UNION ALL
+      |  SELECT 'store_id', count(*),
+      |         CAST(count(store_id) AS VARCHAR),
+      |         CAST(sum(store_id) AS VARCHAR),
+      |         CAST(sum(CAST(store_id AS HUGEINT) * CAST(store_id AS HUGEINT))
+      |              AS VARCHAR),
+      |         CAST(CAST(count(store_id) AS HUGEINT) *
+      |                sum(CAST(store_id AS HUGEINT) * CAST(store_id AS HUGEINT)) -
+      |              CAST(sum(store_id) AS HUGEINT) * CAST(sum(store_id) AS HUGEINT)
+      |              AS VARCHAR)
+      |  FROM rng
+      |) ORDER BY "column"""".stripMargin)
+
   /** Profile-pushdown-rule twin: the whole aggregate panel computed
     * declaratively — what the rewritten literal row must equal. */
   val txAggRule: String = star(

@@ -2477,6 +2477,36 @@ object EtlQueries {
       .orderBy("column")
   }
 
+  /** BOUNDARY-EXACT MOMENTS UNDER A PREDICATE —
+    * [[TxParquetSink.momentsAggregateWhere]] over the same
+    * year-per-commit load and boundary-cutting month range as
+    * [[txStatsWhere]]: interior year-commits contribute their
+    * manifest's exact first+second moments and null-count-derived
+    * non-null counts, only the two boundary years scan. The oracle
+    * recomputes n/Σx/Σx²/n·Σx²−(Σx)² declaratively in HUGEINT, so the
+    * hash gate proves the credited moments are exactly the predicate's
+    * rows' — AVG and VARIANCE of a governed range at boundary-scan
+    * cost. */
+  def txMomentsWhere(spark: SparkSession, dir: String): DataFrame = {
+    val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+    val monthly = Star.salesFact(spark, dir)
+      .groupBy(monthExpr.as("month"), col("store_id"))
+      .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+      .localCheckpoint(true)
+    val t = TxParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-txmw").toString + "/t")
+    val years = monthly.select(expr("substring(month, 1, 4)").as("y"))
+      .distinct().orderBy("y").collect().map(_.getString(0))
+    years.foreach { y =>
+      t.appendWithStats(
+        monthly.where(expr(s"substring(month, 1, 4) = '$y'")),
+        Seq("month", "store_id", "cents"))
+    }
+    t.momentsAggregateWhere(spark, Seq("cents", "store_id"),
+      "month >= '1996-07' AND month <= '1998-09'")
+      .orderBy("column")
+  }
+
   /** TIME TRAVEL + PRUNING round trip — after the ingestion a month
     * INSIDE the query range is restated (+1 cent corruption) by a
     * partition overwrite; [[TxParquetSink.readVersionWhere]] then

@@ -596,6 +596,73 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     out.toDF("column", "n_rows", "min_value", "max_value", "sum_value")
   }
 
+  /** BOUNDARY-EXACT MOMENTS — [[momentsAggregate]] under a predicate:
+    * the exact AVG/VARIANCE ingredients of the predicate's rows,
+    * reading only Boundary files. Full files contribute their
+    * manifest's first AND second moment records plus null-count-derived
+    * non-null counts — which is why the Full bar is higher here than in
+    * [[statsAggregateWhere]]: per-file moment records don't exist, so
+    * only SINGLE-DIRECTORY commits carrying `sum=`, `sumsq=` and the
+    * column's null count take credit; everything else (multi-file
+    * bases included) demotes to a boundary scan, which stays exact.
+    * Output is the [[momentsAggregate]] shape with `n_rows` =
+    * predicate-matching rows; moment fields are NULL (never wrong)
+    * when a boundary column isn't integral. */
+  def momentsAggregateWhere(spark: SparkSession, columns: Seq[String],
+      predicateSql: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    import spark.implicits._
+    val (cs, classed) = classifyFiles(spark, predicateSql,
+      fullAlso = (m, _) => m.files.size == 1 && columns.forall(c =>
+        m.sums.contains(c) && m.sumsqs.contains(c) &&
+          m.nullCounts.contains(c)))
+    val boundarySet = classed.collect { case (_, f, 1, _) => f }.toSet
+    val fulls = classed.collect { case (m, _, 2, Some(_)) => m }
+    val boundary = dataOf(spark, cs, keepFile = (_, f) => boundarySet(f))
+      .map(_.where(expr(predicateSql)))
+    val bRow = boundary.map { df =>
+      val integral = df.schema.fields.map(f => f.name -> (f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })).toMap
+      val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (integral.getOrElse(c, false))
+          org.apache.spark.sql.functions.sum(col(c)).cast("string")
+        else lit(null).cast("string")).as(s"__sum_$c"),
+        (if (integral.getOrElse(c, false))
+          org.apache.spark.sql.functions.sum(
+            col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
+            .cast("string")
+        else lit(null).cast("string")).as(s"__sq_$c")))
+      df.agg(aggs.head, aggs.tail: _*).head()
+    }
+    val bN = bRow.map(_.getLong(0)).getOrElse(0L)
+    val n = fulls.map(_.rows).sum + bN
+    val out = columns.sorted.map { c =>
+      val i = columns.indexOf(c)
+      val bSum = bRow.flatMap(r => Option(r.getString(2 + 3 * i)))
+      val bSq = bRow.flatMap(r => Option(r.getString(3 + 3 * i)))
+      if (n == 0L || (bN > 0L && (bSum.isEmpty || bSq.isEmpty)))
+        (c, n, null: String, null: String, null: String, null: String)
+      else {
+        val nVals = fulls.map(m => m.rows - m.nullCounts(c)).sum +
+          bRow.map(_.getLong(1 + 3 * i)).getOrElse(0L)
+        val sm = fulls.map(m => BigInt(m.sums(c))).sum +
+          bSum.map(v => BigDecimal(v).toBigInt).getOrElse(BigInt(0))
+        val sq = fulls.map(m => BigInt(m.sumsqs(c))).sum +
+          bSq.map(v => BigDecimal(v).toBigInt).getOrElse(BigInt(0))
+        val varNum = BigInt(nVals) * sq - sm * sm
+        (c, n, nVals.toString, sm.toString, sq.toString, varNum.toString)
+      }
+    }
+    out.toDF("column", "n_rows", "n_vals", "sum_value", "sumsq_value",
+      "var_num_value")
+  }
+
   /** Per-staged-path row metadata for the CURRENT effective snapshot:
     * absolute file path → (commit version, the commit's TOTAL rows).
     * The consumer sums each represented commit once (distinct by

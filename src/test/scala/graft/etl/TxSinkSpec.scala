@@ -766,6 +766,42 @@ class TxSinkSpec extends SparkSpec {
       Seq(("amount", 2L, null, null, null, null)))
   }
 
+  test("momentsAggregateWhere credits interior moments, scans boundaries") {
+    val t = table()
+    // amount NULL every 5th day — the credited non-null counts must
+    // match SQL count(amount) over the predicate's rows
+    val days = (1 to 30).map(d =>
+      (f"2024-01-$d%02d", if (d % 5 == 0) None else Some(d.toLong)))
+    days.grouped(10).foreach { g =>
+      t.appendWithStats(g.toDF("day", "amount"), Seq("day", "amount"))
+    }
+    def agg(pred: String) =
+      t.momentsAggregateWhere(spark, Seq("amount"), pred)
+        .as[(String, Long, String, String, String, String)]
+        .collect().toSeq
+    // boundary cut on both sides: days 05..25 → n 21; non-null 16
+    // (drops 5,10,15,20,25); Σ = 315−75 = 240; Σ² = (Σ1..25²−Σ1..4²)
+    // − (25+100+225+400+625) = (5525−30) − 1375 = 4120;
+    // var_num = 16·4120 − 240² = 65920 − 57600 = 8320
+    assert(agg("day >= '2024-01-05' AND day <= '2024-01-25'") ==
+      Seq(("amount", 21L, "16", "240", "4120", "8320")))
+    // interior-only predicate (commit 2 exactly): zero data reads —
+    // proven by deleting every data file first
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(t.dir)
+    val walk = java.nio.file.Files.walk(root)
+    val victims = try walk.iterator.asScala.toSeq finally walk.close()
+    victims.reverseIterator
+      .filterNot(p => p.toString.contains("_txlog") || p == root)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // days 11..20: non-null 8 (drops 15,20); Σ = 155−35 = 120;
+    // Σ² = (Σ11..20²) − (225+400) = 2485 − 625 = 1860;
+    // var_num = 8·1860 − 120² = 14880 − 14400 = 480
+    assert(agg("day >= '2024-01-11' AND day <= '2024-01-20'") ==
+      Seq(("amount", 10L, "8", "120", "1860", "480")),
+      "interior-only moments must come from manifests alone")
+  }
+
   test("readSnapshotWhere derives pruning from the predicate, stays exact") {
     val t = table()
     val days = (1 to 30).map(d => (f"2024-01-$d%02d", d.toLong))
