@@ -149,7 +149,10 @@ object ScaleBench {
     "etl_tx_update",
     // count-pushdown rule: the rewrite is O(commits) driver work —
     // the slot times the ingest harness
-    "etl_tx_count_rule")
+    "etl_tx_count_rule",
+    // per-store ACF: the fact scan is the data-sized stage; the
+    // lag-offset self-join runs on the calendar-bounded aggregate
+    "etl_acf")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

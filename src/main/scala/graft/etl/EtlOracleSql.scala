@@ -507,20 +507,24 @@ object EtlOracleSql {
       |sums AS (
       |  SELECT a.store_id AS store_id, l.lag AS lag,
       |         count(*) AS n_pairs,
-      |         CAST(sum(a.y) AS BIGINT) AS sx,
-      |         CAST(sum(b.y) AS BIGINT) AS sy,
-      |         CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
-      |         CAST(sum(b.y * b.y) AS BIGINT) AS syy,
-      |         CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+      |         CAST(sum(a.y) AS HUGEINT) AS sx,
+      |         CAST(sum(b.y) AS HUGEINT) AS sy,
+      |         CAST(sum(CAST(a.y AS HUGEINT) * CAST(a.y AS HUGEINT))
+      |           AS HUGEINT) AS sxx,
+      |         CAST(sum(CAST(b.y AS HUGEINT) * CAST(b.y AS HUGEINT))
+      |           AS HUGEINT) AS syy,
+      |         CAST(sum(CAST(a.y AS HUGEINT) * CAST(b.y AS HUGEINT))
+      |           AS HUGEINT) AS sxy
       |  FROM monthly a CROSS JOIN lags l
       |    JOIN monthly b
       |    ON a.store_id = b.store_id AND b.m = a.m + l.lag
       |  GROUP BY 1, 2
       |)
       |SELECT store_id, lag, n_pairs,
-      |       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-      |         / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-      |            * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf_r
+      |       CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+      |            * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy
+      |                        AS DOUBLE))) AS acf_r
       |FROM sums
       |ORDER BY store_id, lag""".stripMargin)
 

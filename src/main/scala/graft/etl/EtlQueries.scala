@@ -749,6 +749,14 @@ object EtlQueries {
       .withColumn("y", expr("cents div 100"))
       .drop("cents")
     val lags = Seq(1, 2, 3).toDF("lag")
+    // second-moment sums and the variance-numerator products run in
+    // decimal(38,0) — the factor-10 probe caught n·Σy² overflowing
+    // int64 on the blown-up revenue series (dollars bought one decade
+    // of headroom, not two); the exact-integer→double conversion is
+    // round-to-nearest in both engines, so acf_r stays bit-identical
+    def sq(a: String, b: String) =
+      sum(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     monthly.as("a").join(broadcast(lags))
       .join(monthly.as("b"),
         col("a.store_id") === col("b.store_id") &&
@@ -757,15 +765,16 @@ object EtlQueries {
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(col("a.y")).as("sx"), sum(col("b.y")).as("sy"),
-        sum(col("a.y") * col("a.y")).as("sxx"),
-        sum(col("b.y") * col("b.y")).as("syy"),
-        sum(col("a.y") * col("b.y")).as("sxy"))
+        sq("a.y", "a.y").as("sxx"),
+        sq("b.y", "b.y").as("syy"),
+        sq("a.y", "b.y").as("sxy"))
       .withColumn("acf_r",
-        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-            .cast("double")) *
-           sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
-            .cast("double"))))
+        (d38(col("n_pairs")) * col("sxy") -
+          d38(col("sx")) * d38(col("sy"))).cast("double") /
+          (sqrt((d38(col("n_pairs")) * col("sxx") -
+            d38(col("sx")) * d38(col("sx"))).cast("double")) *
+           sqrt((d38(col("n_pairs")) * col("syy") -
+            d38(col("sy")) * d38(col("sy"))).cast("double"))))
       .select("store_id", "lag", "n_pairs", "acf_r")
       .orderBy("store_id", "lag")
   }
