@@ -1,0 +1,253 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, pmod, lit, sum}
+
+/** NAMED SETUP ARTIFACTS for the [[TxParquetSink]] query family.
+  *
+  * Every `etl_tx_*` registered row used to build its own temp-dir sink
+  * and replay the same year-per-commit ingest inside the timed query
+  * body — ~7 sequential driver-side commits (stage, audit read-back,
+  * stats profile, publish) per row, ~30 rows. Correct, but it timed the
+  * HARNESS, not the query: under box contention the dozens of tiny
+  * sequential jobs amplify scheduler latency 20–100×, which is exactly
+  * what made the round-9 driver bench artifact unreadable
+  * (`etl_tx_join_card` 385 s for a 1-row output).
+  *
+  * This object is the fix: the shared ingests become named, cached,
+  * once-per-(session, sfDir) fixtures — the pattern a deployment
+  * actually has (a governed table is LOADED once and queried forever;
+  * nobody re-ingests three years of commits per dashboard query) and
+  * the same pattern the dedup/ANN index artifacts already use
+  * ([[graft.ext.DedupOps.indexArtifacts]]). Registered rows then time
+  * what they claim to measure: the pruned read, the metadata fold, the
+  * merge commit — not seven stage-audit-publish round trips.
+  *
+  *  - READ-ONLY canonical sinks ([[statsYearSink]], [[plainYearSink]],
+  *    [[ordersYearSink]], [[ordersCompactedSink]], [[rangeCompactedSink]],
+  *    [[clusteredSink]], [[sketchSinks]], [[groupYearSink]]) are built
+  *    once and NEVER mutated — queries that only read share them.
+  *  - MUTATING rows (delete/update/merge/overwrite/restore/clone/…)
+  *    take a fresh [[cloneOf]] — the sink's own shallow-clone commit
+  *    path, O(commits) manifest metadata and zero data bytes — and
+  *    diverge in their own temp dir. The mutation commit is still paid
+  *    inside the timed body; only the shared historical load is not.
+  *  - Rows whose OPERATOR IS the load itself keep their end-to-end
+  *    ingest, explicitly: `etl_tx_constraints` (commit-time CHECK
+  *    enforcement), `etl_tx_idempotent` (the txn high-water mark),
+  *    `etl_tx_convert` (in-place adoption), and the streamed replay
+  *    rows `stream_tx_merge` / `stream_cdc_view` (the per-family
+  *    labeled end-to-end replays).
+  *
+  * Cache discipline: keyed by (session, sfDir) exactly like
+  * [[graft.util.SessionCache]] — compute-then-putIfAbsent, losers'
+  * temp dirs are orphaned (harmless; the OS owns temp cleanup). The
+  * canonical sinks live in temp dirs, so two sessions never collide.
+  */
+object TxFixtures {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
+
+  private def keyed[T <: AnyRef](spark: SparkSession, dir: String,
+      name: String)(build: => T): T = {
+    val k = (spark, dir, name)
+    val hit = built.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = built.putIfAbsent(k, v)
+      if (prev == null) v else prev.asInstanceOf[T]
+    }
+  }
+
+  private def tempSink(prefix: String): TxParquetSink =
+    TxParquetSink(
+      java.nio.file.Files.createTempDirectory(prefix).toString + "/t")
+
+  /** The monthly store-revenue rollup every tx fixture ingests —
+    * checkpointed once per (session, dir) so seven year-slices and a
+    * dozen follow-up batches reuse it without re-aggregating. */
+  def monthlyCents(spark: SparkSession, dir: String): DataFrame =
+    keyed(spark, dir, "monthly") {
+      val monthExpr = expr("substring(CAST(time_id AS STRING), 1, 7)")
+      Star.salesFact(spark, dir)
+        .groupBy(monthExpr.as("month"), col("store_id"))
+        .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true)
+    }
+
+  /** The rollup's distinct calendar years, ascending. */
+  def years(spark: SparkSession, dir: String): Seq[String] =
+    keyed(spark, dir, "years") {
+      monthlyCents(spark, dir)
+        .select(expr("substring(month, 1, 4)").as("y"))
+        .distinct().orderBy("y").collect().map(_.getString(0)).toSeq
+    }
+
+  /** The orders projection of the point-lookup family. */
+  def ordersProjected(spark: SparkSession, dir: String): DataFrame =
+    keyed(spark, dir, "orders_proj") {
+      Star.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(year(o_orderdate) AS INT)").as("year"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .localCheckpoint(true)
+    }
+
+  private def perYear(spark: SparkSession, dir: String)(
+      commit: DataFrame => Unit): Unit = {
+    val monthly = monthlyCents(spark, dir)
+    years(spark, dir).foreach { y =>
+      commit(monthly.where(expr(s"substring(month, 1, 4) = '$y'")))
+    }
+  }
+
+  /** CANONICAL STATS SINK — the year-per-commit load with per-commit
+    * min/max/null/sum/sumsq stats on (month, store_id, cents) and a
+    * store_id bloom: the union of every stats-tier row's needs (extra
+    * recorded stats never change an answer — pruning is a superset
+    * contract and aggregates read only the requested columns).
+    * READ-ONLY: mutators clone. */
+  def statsYearSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "stats_sink") {
+      val t = tempSink("graft-txfix-stats")
+      perYear(spark, dir)(slice => t.appendWithStats(slice,
+        statsCols = Seq("month", "store_id", "cents"),
+        bloomCols = Seq("store_id")))
+      t
+    }
+
+  /** CANONICAL PLAIN SINK — the year-per-commit load with no stats:
+    * the lifecycle base of the delete/update/merge/overwrite/restore/
+    * clone/history rows. READ-ONLY: mutators clone. */
+  def plainYearSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "plain_sink") {
+      val t = tempSink("graft-txfix-plain")
+      perYear(spark, dir)(slice => t.append(slice))
+      t
+    }
+
+  /** CANONICAL ORDERS SINK — one commit per order year, year stats +
+    * customer-key blooms: the bloom point-lookup / dynamic-file-pruning
+    * base. READ-ONLY. */
+  def ordersYearSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_sink") {
+      val o = ordersProjected(spark, dir)
+      val t = tempSink("graft-txfix-orders")
+      val ys = o.select("year").distinct().orderBy("year")
+        .collect().map(_.getInt(0)).toSeq
+      ys.foreach { y =>
+        t.appendWithStats(o.where(col("year") === y), Seq("year"),
+          bloomCols = Seq("o_custkey"))
+      }
+      t
+    }
+
+  /** Orders adopted as one commit, then OPTIMIZE'd into year-ranged
+    * buckets with per-file customer blooms — the compacted point-lookup
+    * base. READ-ONLY (the compaction is maintenance, paid at build). */
+  def ordersCompactedSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_compacted") {
+      val t = tempSink("graft-txfix-ordc")
+      t.append(ordersProjected(spark, dir))
+      t.compactRanged(spark, "year", numBuckets = 4,
+        bloomCols = Seq("o_custkey"))
+      t
+    }
+
+  /** The stats load rewritten into month-ranged buckets with per-file
+    * stats — the post-OPTIMIZE range-skipping base. READ-ONLY. */
+  def rangeCompactedSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "range_compacted") {
+      val t = tempSink("graft-txfix-rc")
+      statsYearSink(spark, dir).cloneTo(t)
+      t.compactRanged(spark, "month", numBuckets = 6)
+      t
+    }
+
+  /** The (month-index × store) table clustered by Hilbert OPTIMIZE —
+    * the 2-D box-query base. READ-ONLY. */
+  def clusteredSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "clustered") {
+      val mi = monthlyCents(spark, dir)
+        .withColumn("mi",
+          ((expr("CAST(substring(month, 1, 4) AS INT)") - lit(1992)) * lit(12) +
+            expr("CAST(substring(month, 6, 2) AS INT)") - lit(1)).cast("long"))
+        .select("mi", "store_id", "cents")
+      val t = tempSink("graft-txfix-box")
+      (0 until 4).foreach { k =>
+        t.append(mi.where(pmod(col("store_id"), lit(4)) === lit(k)))
+      }
+      t.compactClustered(spark, "mi", "store_id",
+        curve = "hilbert", bits = 8, numBuckets = 8)
+      t
+    }
+
+  /** The two KMV-sketched sinks of the join-cardinality planner row:
+    * the rollup (store_id + cents sketched, per-year commits) and the
+    * supplier directory (store_id sketched, two half-commits).
+    * READ-ONLY — the planner folds manifests, never data. */
+  def sketchSinks(spark: SparkSession, dir: String)
+      : (TxParquetSink, TxParquetSink) =
+    keyed(spark, dir, "sketch_sinks") {
+      val tA = tempSink("graft-txfix-ska")
+      perYear(spark, dir)(slice => tA.appendWithStats(slice,
+        statsCols = Nil, sketchCols = Seq("store_id", "cents")))
+      val suppliers = Star.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("store_id"))
+      val tB = tempSink("graft-txfix-skb")
+      Seq(0, 1).foreach { h =>
+        tB.appendWithStats(suppliers.where(col("s_suppkey") % 2 === h),
+          statsCols = Nil, sketchCols = Seq("store_id"))
+      }
+      (tA, tB)
+    }
+
+  /** The suppliers projection [[sketchSinks]]' exact-audit side reads. */
+  def suppliersProjected(spark: SparkSession, dir: String): DataFrame =
+    keyed(spark, dir, "suppliers_proj") {
+      Star.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("store_id"))
+        .localCheckpoint(true)
+    }
+
+  /** GROUP-COLUMN SINK — the rollup widened with its calendar year and
+    * loaded one commit per year with (y, cents) stats: every commit is
+    * single-valued in `y` (min == max), which is what lets a GROUP BY y
+    * profile be answered commit-by-commit from manifests alone
+    * ([[graft.plans.MetadataAggregates]]' grouped path). READ-ONLY. */
+  def groupYearSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "group_sink") {
+      val withY = monthlyCents(spark, dir)
+        .withColumn("y", expr("substring(month, 1, 4)"))
+      val t = tempSink("graft-txfix-grp")
+      years(spark, dir).foreach { y =>
+        t.appendWithStats(withY.where(col("y") === lit(y)),
+          statsCols = Seq("y", "cents"))
+      }
+      t
+    }
+
+  /** A fresh shallow clone of `source` for a mutating row: O(commits)
+    * manifest metadata into a new temp dir, zero data bytes copied —
+    * the mutation then diverges without touching the canonical sink. */
+  def cloneOf(source: TxParquetSink, prefix: String): TxParquetSink = {
+    val t = tempSink(prefix)
+    source.cloneTo(t)
+    t
+  }
+
+  /** Pre-builds every canonical fixture — the Bench setup hook, so the
+    * timed tx rows start from stored tables like a deployment would. */
+  def buildAll(spark: SparkSession, dir: String): Unit = {
+    statsYearSink(spark, dir)
+    plainYearSink(spark, dir)
+    ordersYearSink(spark, dir)
+    ordersCompactedSink(spark, dir)
+    rangeCompactedSink(spark, dir)
+    clusteredSink(spark, dir)
+    sketchSinks(spark, dir)
+    groupYearSink(spark, dir)
+  }
+}
