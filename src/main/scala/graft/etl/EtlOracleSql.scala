@@ -2418,6 +2418,45 @@ object EtlOracleSql {
       |       max(month) AS max_month
       |FROM monthly""".stripMargin)
 
+  /** Filtered-profile-rule twin: the commit-aligned two-year range
+    * panel recomputed declaratively — the literal the Catalyst rule
+    * substitutes from Full/Excluded manifest credit must land on
+    * every digit of the data's own answer. */
+  val txStatsRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |ys AS (SELECT DISTINCT substring(month, 1, 4) AS y FROM monthly),
+      |b AS (SELECT (SELECT y FROM ys ORDER BY y LIMIT 1 OFFSET 1) || '-01' AS lo,
+      |             (SELECT y FROM ys ORDER BY y LIMIT 1 OFFSET 2) || '-12' AS hi)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(cents) AS BIGINT) AS n_vals,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       min(month) AS min_month,
+      |       max(month) AS max_month
+      |FROM monthly, b
+      |WHERE month >= b.lo AND month <= b.hi""".stripMargin)
+
+  /** Grouped-rule twin: the per-year profile recomputed declaratively —
+    * the literal rows the rule folds from partition-grain manifests
+    * must equal the data's own GROUP BY. */
+  val txGroupRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT substring(month, 1, 4) AS y,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
+
   /** UPDATE WHERE twin: the declarative CASE spelling of the same
     * UPDATE — the mask-plus-rewrite commit must land exactly here. */
   val txUpdate: String = star(

@@ -2694,6 +2694,82 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** PREDICATE-CONSTRAINED PROFILE RULE — [[txAggRule]]'s filtered
+    * sibling (the round-9 verdict's top metadata gap): a plain
+    * `df.where(commit-aligned range).agg(count/min/max/sum)` over the
+    * snapshot scan, rewritten WHOLE into a LocalRelation through
+    * [[TxParquetSink.filteredMetaProfile]] — every file proven Full or
+    * Excluded by the predicate, extremes and exact sums folded from
+    * the credited manifests, zero scan stages (REQUIRED — a silently
+    * non-firing rule fails the row). Hash-gated against DuckDB's
+    * declarative recompute of the same range panel. At 100 TB:
+    * `SELECT count(*), min(x), max(x), sum(x) WHERE day BETWEEN …`
+    * over a governed table is one literal when the range lands on
+    * commit boundaries — the common monitoring shape. */
+  def txStatsRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.statsYearSink(spark, dir)
+    val years = TxFixtures.years(spark, dir)
+    // a commit-aligned TWO-year range strictly inside the feed: full
+    // credit on two commits, exclusion on the rest, zero boundaries
+    val (lo, hi) = (s"${years(1)}-01", s"${years(2)}-12")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val panel = t.readSnapshot(spark).get
+        .where(s"month >= '$lo' AND month <= '$hi'")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("cents")).as("n_vals"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("month")).as("min_month"),
+          max(col("month")).as("max_month"))
+      require(panel.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the commit-aligned filtered " +
+          "panel into a literal — it did not fire:\n" +
+          panel.queryExecution.optimizedPlan.toString)
+      val r = panel.collect().head
+      spark.createDataFrame(java.util.List.of(r), panel.schema)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** GROUPED METADATA-AGGREGATE RULE — the `GROUP BY <partition col>`
+    * profile answered commit-by-commit from manifests
+    * ([[TxParquetSink.groupedMetaProfile]] through the Catalyst rule):
+    * the rollup loads one commit per calendar YEAR with a `y` column
+    * (each commit single-valued in `y` — the partition-grain shape),
+    * and `GROUP BY y → count/min/max/sum(cents)` optimizes into
+    * literal rows with NO scan stage (REQUIRED), hash-gated against
+    * DuckDB's declarative per-year profile. The spec additionally
+    * proves the plan needs no data files (they are deleted and the
+    * answer stands). At 100 TB: a per-partition profile of a
+    * partition-grain table costs O(commits) driver metadata. */
+  def txGroupRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.groupYearSink(spark, dir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val grouped = t.readSnapshot(spark).get.groupBy("y").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      require(grouped.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the grouped profile into " +
+          "literal rows — it did not fire:\n" +
+          grouped.queryExecution.optimizedPlan.toString)
+      val rows = grouped.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), grouped.schema)
+        .orderBy("y")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** UPDATE WHERE — [[TxParquetSink.updateWhere]] on the year-per-commit
     * load: one atomic commit rewrites the matching rows (SET reads the
     * OLD values) and masks their pre-images via the same manifest's

@@ -574,7 +574,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         if (vals.isEmpty) null
         else if (num) {
           if (wantMin) vals.minBy(BigDecimal(_)) else vals.maxBy(BigDecimal(_))
-        } else if (wantMin) vals.min else vals.max
+        } else if (wantMin) utf8Min(vals) else utf8Max(vals)
       // exact SUM: every Full file must carry a recorded sum — its own
       // fsum= record ([[compactClustered]] segments) or the commit sum
       // when it staged a single directory (a file-subset's share of a
@@ -725,7 +725,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       try {
         if (num) (ss.minBy(s => BigDecimal(s.min)).min,
                   ss.maxBy(s => BigDecimal(s.max)).max)
-        else (ss.map(_.min).min, ss.map(_.max).max)
+        // engine collation, not Java's: [[utf8Cmp]] scaladoc
+        else (utf8Min(ss.map(_.min)), utf8Max(ss.map(_.max)))
       } catch { case _: NumberFormatException => return None }
     val rows = data.map(_.rows).sum
     val nonNull =
@@ -738,6 +739,123 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         catch { case _: NumberFormatException => None }
       else None
     Some(ColMetaProfile(num, mn, mx, rows, nonNull, sum))
+  }
+
+  /** OPTIMIZER-GRADE FILTERED PROFILE — [[columnMetaProfile]] under a
+    * predicate: `Some((rows, per-column profile))` iff every aggregate
+    * ingredient is provable from manifests with ZERO data reads —
+    * [[classifyFiles]] classifies every file Full or Excluded (one
+    * Boundary file would need a scan; the predicate must have parsed
+    * completely) and every Full file carries min/max stats for every
+    * requested column. Per-column `nonNull` needs the file's null
+    * count (single-directory commits only — null counts are
+    * commit-grain) and `sum` a per-file or single-directory sum
+    * record; each is independently absent rather than wrong. An
+    * all-Excluded classification returns `Some((0, empty))` — the
+    * predicate provably matches nothing. Never launches a job: this
+    * is [[graft.plans.MetadataAggregates]]' filtered branch, so a
+    * `df.where(commit-aligned range).agg(min/max/sum)` plans to a
+    * literal — the boundary-exact [[statsAggregateWhere]] capability,
+    * reachable from a plain DataFrame aggregate when (and only when)
+    * no boundary scan would be needed. */
+  def filteredMetaProfile(spark: SparkSession, predicateSql: String,
+      columns: Seq[String]): Option[(Long, Map[String, ColMetaProfile])] =
+    try {
+      val (_, classed) = classifyFiles(spark, predicateSql,
+        fullAlso = (m, f) => columns.forall(c => statsFor(m, f, c).isDefined))
+      if (classed.exists(_._3 == 1)) return None
+      val fulls = classed.collect { case (m, f, 2, Some(k)) => (m, f, k) }
+      val rows = fulls.map(_._3).sum
+      if (rows == 0L) return Some((0L, Map.empty))
+      val profiles = columns.map { c =>
+        val ss = fulls.map { case (m, f, _) => statsFor(m, f, c).get }
+        val num = ss.head.num
+        if (!ss.forall(_.num == num)) return None
+        val (mn, mx) =
+          try {
+            if (num) (ss.minBy(s => BigDecimal(s.min)).min,
+                      ss.maxBy(s => BigDecimal(s.max)).max)
+            else (utf8Min(ss.map(_.min)), utf8Max(ss.map(_.max)))
+          } catch { case _: NumberFormatException => return None }
+        // null counts are commit-grain: creditable only when the Full
+        // file IS its whole commit
+        val nonNull =
+          if (fulls.forall { case (m, _, _) =>
+            m.files.size == 1 && m.nullCounts.contains(c) })
+            Some(rows - fulls.map(_._1.nullCounts(c)).sum)
+          else None
+        val sums = fulls.map { case (m, f, _) =>
+          m.fileSums.get(f).flatMap(_.get(c))
+            .orElse(if (m.files.size == 1) m.sums.get(c) else None)
+        }
+        val sum =
+          if (sums.forall(_.isDefined))
+            try Some(sums.flatten.map(BigInt(_)).sum)
+            catch { case _: NumberFormatException => None }
+          else None
+        c -> ColMetaProfile(num, mn, mx, rows, nonNull, sum)
+      }.toMap
+      Some((rows, profiles))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** OPTIMIZER-GRADE GROUPED PROFILE — the `GROUP BY <col>` sibling of
+    * [[columnMetaProfile]]: `Some` iff the log is mask-free and EVERY
+    * data commit is SINGLE-VALUED in `groupCol` (recorded min == max
+    * and a recorded zero null count) — the partition-grain load shape
+    * (one commit per day/month/year) where a grouped profile is just a
+    * per-group fold of per-commit records. Yields one entry per group
+    * value: (rendered group value, group is numeric, group rows, per
+    * `aggCols` column the group's [[ColMetaProfile]] — every commit of
+    * the group must carry the column's stats, or the whole answer is
+    * None). O(commits) driver metadata, never a job: the kernel behind
+    * [[graft.plans.MetadataAggregates]]' grouped rewrite, which turns
+    * `SELECT g, count(*), min(x), max(x), sum(x) … GROUP BY g` over a
+    * partition-grain table into a literal LocalRelation with no scan
+    * stage at any table size. */
+  def groupedMetaProfile(groupCol: String, aggCols: Seq[String])
+      : Option[Seq[(String, Boolean, Long, Map[String, ColMetaProfile])]] = {
+    val cs = resolvedCommits()
+    if (cs.isEmpty) return None
+    val ms = cs.map(_._2)
+    if (ms.exists(m => m.deletePred.nonEmpty || m.replaceCols.nonEmpty))
+      return None
+    val data = ms.filter(_.rows > 0)
+    if (data.isEmpty) return None
+    val single = data.forall { m =>
+      m.stats.get(groupCol).exists(s => s.min == s.max) &&
+        m.nullCounts.get(groupCol).contains(0L)
+    }
+    if (!single) return None
+    val gNum = data.head.stats(groupCol).num
+    if (!data.forall(_.stats(groupCol).num == gNum)) return None
+    val groups = data.groupBy(_.stats(groupCol).min).toSeq.map {
+      case (gv, gms) =>
+        val rows = gms.map(_.rows).sum
+        val profiles = aggCols.map { c =>
+          if (!gms.forall(_.stats.contains(c))) return None
+          val ss = gms.map(_.stats(c))
+          val num = ss.head.num
+          if (!ss.forall(_.num == num)) return None
+          val (mn, mx) =
+            try {
+              if (num) (ss.minBy(s => BigDecimal(s.min)).min,
+                        ss.maxBy(s => BigDecimal(s.max)).max)
+              else (utf8Min(ss.map(_.min)), utf8Max(ss.map(_.max)))
+            } catch { case _: NumberFormatException => return None }
+          val nonNull =
+            if (gms.forall(_.nullCounts.contains(c)))
+              Some(rows - gms.map(_.nullCounts(c)).sum)
+            else None
+          val sum =
+            if (gms.forall(_.sums.contains(c)))
+              try Some(gms.map(m => BigInt(m.sums(c))).sum)
+              catch { case _: NumberFormatException => None }
+            else None
+          c -> ColMetaProfile(num, mn, mx, rows, nonNull, sum)
+        }.toMap
+        (gv, gNum, rows, profiles)
+    }
+    Some(groups)
   }
 
   /** Shared FULL/BOUNDARY/EXCLUDED classification behind [[countWhere]]
@@ -820,7 +938,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       statsFor(m, f, r.col).exists { s =>
         s.num == r.litNum && (try {
           def cmp(a: String, b: String): Int =
-            if (s.num) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+            if (s.num) BigDecimal(a).compare(BigDecimal(b)) else utf8Cmp(a, b)
           r.lo.forall(l => if (r.loStrict) cmp(s.min, l) > 0 else cmp(s.min, l) >= 0) &&
           r.hi.forall(h => if (r.hiStrict) cmp(s.max, h) < 0 else cmp(s.max, h) <= 0)
         } catch { case _: NumberFormatException => false })
@@ -849,7 +967,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       (try lo.exists(l => BigDecimal(s.max) < BigDecimal(l)) ||
            hi.exists(h => BigDecimal(s.min) > BigDecimal(h))
        catch { case _: NumberFormatException => false })
-    else lo.exists(s.max < _) || hi.exists(s.min > _)
+    else lo.exists(utf8Cmp(s.max, _) < 0) || hi.exists(utf8Cmp(s.min, _) > 0)
 
   private def parsePruningConstraints(spark: SparkSession,
       predicateSql: String): Seq[PruneCons] =
@@ -963,15 +1081,22 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     })).toMap
+    // sums fold in decimal(38,0) via try_sum: exact up to 38 digits
+    // (a wrapped int64 sum would be recorded as truth otherwise), and
+    // an overflow NULLS OUT under ANSI mode too instead of throwing —
+    // stats recording is advisory and must never fail the commit
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
       count(col(c)).as(s"__cnt_$c"),
-      (if (integral.getOrElse(c, false)) sum(col(c)).cast("string")
+      (if (integral.getOrElse(c, false))
+        org.apache.spark.sql.functions.try_sum(col(c).cast("decimal(38,0)"))
+          .cast("string")
        else org.apache.spark.sql.functions.lit(null).cast("string"))
         .as(s"__sum_$c"),
       (if (integral.getOrElse(c, false))
-        sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
+        org.apache.spark.sql.functions.try_sum(
+          col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
           .cast("string")
        else org.apache.spark.sql.functions.lit(null).cast("string"))
         .as(s"__sumsq_$c")))
@@ -986,7 +1111,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       c -> (n - r.getLong(5 * i + 2))
     }.toMap
     val sm = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      Option(r.getString(5 * i + 3)).map(c -> _)
+      Option(r.getString(5 * i + 3)).map(v =>
+        c -> BigDecimal(v).toBigInt.toString)
     }.toMap
     val sq = statsCols.zipWithIndex.flatMap { case (c, i) =>
       // render as a plain integer string (decimal cast may print a
@@ -1052,7 +1178,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       val (mn, mx) =
         if (num) (ss.minBy(s => BigDecimal(s.min)).min,
                   ss.maxBy(s => BigDecimal(s.max)).max)
-        else (ss.map(_.min).min, ss.map(_.max).max)
+        // engine collation, not Java's: [[utf8Cmp]] scaladoc
+        else (utf8Min(ss.map(_.min)), utf8Max(ss.map(_.max)))
       // exact SUM — recorded only for integral columns; NULL whenever
       // any commit lacks the record (the advisory-metadata posture)
       val sm =
@@ -1506,40 +1633,54 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       maxAttempts: Int = 20): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    val snap = readSnapshot(spark).getOrElse(return 0L)
-    val resolved = snap.select(expr(predicateSql).as("__pred")).schema.head
-    require(resolved.dataType == org.apache.spark.sql.types.BooleanType,
-      s"updateWhere predicate must be boolean, got ${resolved.dataType}: $predicateSql")
-    require(set.keys.forall(snap.columns.contains),
-      s"updateWhere SET names unknown columns " +
-        s"(${set.keys.filterNot(snap.columns.contains).mkString(",")})")
-    val cols = snap.columns.toSeq
-    val rewritten = snap
-      .where(coalesce(expr(predicateSql), lit(false)))
-      .select(cols.map(c =>
-        (if (set.contains(c)) expr(set(c)) else col(c)).as(c)): _*)
-      .localCheckpoint(eager = true)
-    val n = rewritten.count()
-    if (n == 0) return 0L
-    enforceConstraints(rewritten)
-    val staged = stageAudited(spark, rewritten, n)
-    val manifest = Manifest(n, Seq(staged), deletePred = Some(predicateSql))
     var attempts = 0
     while (true) {
       attempts += 1
-      if (attempts > maxAttempts) {
-        deleteRecursively(root.resolve(staged))
+      if (attempts > maxAttempts)
         throw new IllegalStateException(
           s"updateWhere: gave up after $maxAttempts publish attempts on $dir")
+      // pin the snapshot VERSION the rewrite is computed from: the
+      // commit must land at exactly snapV+1, else a row appended
+      // concurrently (after this read, before our publish) that
+      // matches the predicate would be masked with no rewritten
+      // counterpart — a silent concurrent-UPDATE data loss. A lost
+      // race therefore RECOMPUTES from the new snapshot (the Delta
+      // OCC shape for UPDATE: re-read, re-rewrite, re-stage) instead
+      // of republishing the stale rewrite at a higher version.
+      val snapV = version()
+      val snap = readVersion(spark, snapV).getOrElse(return 0L)
+      val resolved = snap.select(expr(predicateSql).as("__pred")).schema.head
+      require(resolved.dataType == org.apache.spark.sql.types.BooleanType,
+        s"updateWhere predicate must be boolean, got ${resolved.dataType}: $predicateSql")
+      require(set.keys.forall(snap.columns.contains),
+        s"updateWhere SET names unknown columns " +
+          s"(${set.keys.filterNot(snap.columns.contains).mkString(",")})")
+      val cols = snap.columns.toSeq
+      val rewritten = snap
+        .where(coalesce(expr(predicateSql), lit(false)))
+        .select(cols.map(c =>
+          (if (set.contains(c)) expr(set(c)) else col(c)).as(c)): _*)
+        .localCheckpoint(eager = true)
+      val n = rewritten.count()
+      if (n == 0) {
+        // no matching row in snapshot snapV: the UPDATE serializes at
+        // snapV as a no-op; later concurrent appends serialize after it
+        if (version() == snapV) return 0L
+        // something landed while we validated — re-read and re-check
+      } else {
+        enforceConstraints(rewritten)
+        val staged = stageAudited(spark, rewritten, n)
+        val manifest = Manifest(n, Seq(staged), deletePred = Some(predicateSql))
+        beforePublish()
+        if (!Files.isDirectory(root.resolve(staged)))
+          throw new IllegalStateException(
+            "updateWhere: staged directory vanished before publish " +
+              "(vacuumed mid-commit?) — aborting")
+        if (tryPublish(snapV + 1, manifest)) return n
+        deleteRecursively(root.resolve(staged)) // stale rewrite: recompute
       }
-      beforePublish()
-      if (!Files.isDirectory(root.resolve(staged)))
-        throw new IllegalStateException(
-          "updateWhere: staged directory vanished before publish " +
-            "(vacuumed mid-commit?) — aborting")
-      if (tryPublish(version() + 1, manifest)) return n
     }
-    n // unreachable
+    0L // unreachable
   }
 
   /** AUTO-MAINTENANCE POLICY — compact when the effective log carries
@@ -2270,11 +2411,15 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
                org.apache.spark.sql.types.LongType => true
           case _ => false
         })
+      // try_sum in decimal(38,0): exact (never a wrapped int64) and
+      // advisory under ANSI mode — [[profileStatsOf]]'s discipline
       def sumOf(c: String, as: String) =
-        (if (isIntegral(c)) org.apache.spark.sql.functions.sum(col(c)).cast("string")
+        (if (isIntegral(c))
+          org.apache.spark.sql.functions.try_sum(col(c).cast("decimal(38,0)"))
+            .cast("string")
          else lit(null).cast("string")).as(as)
       def sumsqOf(c: String, as: String) =
-        (if (isIntegral(c)) org.apache.spark.sql.functions.sum(
+        (if (isIntegral(c)) org.apache.spark.sql.functions.try_sum(
           col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
           .cast("string")
          else lit(null).cast("string")).as(as)
@@ -2317,7 +2462,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       val fileSums = statRows.flatMap { r =>
         val m = Seq(x -> Option(r.getAs[String]("__sumx")),
           y -> Option(r.getAs[String]("__sumy")))
-          .collect { case (c, Some(v)) => c -> v }.toMap
+          .collect { case (c, Some(v)) => c -> BigDecimal(v).toBigInt.toString }
+          .toMap
         if (m.isEmpty) None else Some(fileOf(r) -> m)
       }.toMap
       // commit-level folds so the zero-I/O statsAggregate keeps
@@ -2347,7 +2493,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           mxs.flatten.forall(v => finiteNumeric(num, v, v))) {
           def pick(vs: Seq[String], wantMin: Boolean) =
             if (num) { if (wantMin) vs.minBy(BigDecimal(_)) else vs.maxBy(BigDecimal(_)) }
-            else if (wantMin) vs.min else vs.max
+            else if (wantMin) TxParquetSink.utf8Min(vs)
+            else TxParquetSink.utf8Max(vs)
           Some(c -> ColStats(num, pick(mns.flatten, wantMin = true),
             pick(mxs.flatten, wantMin = false)))
         } else None
@@ -2842,7 +2989,26 @@ object TxParquetSink {
     if (s.num)
       (try BigDecimal(s.max) < BigDecimal(lo) || BigDecimal(s.min) > BigDecimal(hi)
        catch { case _: NumberFormatException => false })
-    else s.max < lo || s.min > hi
+    else utf8Cmp(s.max, lo) < 0 || utf8Cmp(s.min, hi) > 0
+
+  /** String comparison in the ENGINE's collation — UTF8String binary,
+    * i.e. UTF-8 byte order == code-point order. The manifest's string
+    * extremes were computed by Spark's MIN/MAX (UTF8String order), so
+    * every fold or comparison against them must use the same order:
+    * Java's `String.compareTo` ranks UTF-16 code units, which disagrees
+    * for supplementary-plane characters (U+10000..: surrogates 0xD800..
+    * sort BELOW 0xE000.. in UTF-16 but ABOVE in code points) — enough
+    * to wrongly exclude a matching file or report a wrong metadata
+    * MIN/MAX on emoji-bearing columns. */
+  private[etl] def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  private[etl] def utf8Min(vs: Seq[String]): String =
+    vs.reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+
+  private[etl] def utf8Max(vs: Seq[String]): String =
+    vs.reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
 
   /** Write-side stats admission rule for numeric columns: record only
     * min/max that parse as finite decimals. A NaN/±Infinity extremum

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -13,34 +13,44 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.etl.TxParquetSink
 
 /** METADATA AGGREGATE PUSHDOWN — the optimization every table format
-  * teaches its engine ("SELECT COUNT(*)/MIN/MAX/SUM FROM t [WHERE …]"
-  * answered from statistics), done the Spark-native way: a Catalyst
-  * optimizer rule (injected via [[GraftExtensions]]) that rewrites a
-  * whole ungrouped aggregate over a [[TxParquetSink]] snapshot scan
-  * into a LITERAL local relation when — and only when — the sink's
-  * commit log can prove every requested value without reading a byte:
+  * teaches its engine ("SELECT COUNT(*)/MIN/MAX/SUM FROM t [WHERE …]
+  * [GROUP BY part]" answered from statistics), done the Spark-native
+  * way: a Catalyst optimizer rule (injected via [[GraftExtensions]])
+  * that rewrites a whole aggregate over a [[TxParquetSink]] snapshot
+  * scan into a LITERAL local relation when — and only when — the
+  * sink's commit log can prove every requested value without reading
+  * a byte:
   *
   *  - the child is Filter/Project/SubqueryAlias over ONE parquet scan
   *    whose root paths cover the table's CURRENT snapshot exactly
   *    ([[TxParquetSink.pathRows]] set equality — a pruned read, a
-  *    stale plan, or a foreign parquet dir all fail the check);
-  *  - with filters present, only `COUNT(literal)` aggregates rewrite,
-  *    through [[TxParquetSink.countFromMetadata]] (no masks, every
-  *    file Full or Excluded under the filters reconstructed via
-  *    `Expression.sql` → the sink's own predicate parser);
-  *  - with no filters, `COUNT(literal)`, `COUNT(col)`, `MIN`/`MAX`
-  *    (string / integral / date columns), and `SUM` (integral, when
-  *    the exact manifest fold fits the engine's long) ALL rewrite,
-  *    through [[TxParquetSink.columnMetaProfile]] — and only if EVERY
-  *    aggregate in the list is answerable (all-or-nothing: a plan is
-  *    never half-rewritten).
+  *    stale plan, or a foreign parquet dir all fail the check), and
+  *    every attribute the aggregates, grouping, or filters reference
+  *    is an output OF THE RELATION ITSELF (matched by exprId, with
+  *    Projects restricted to pure attribute pass-throughs — an alias
+  *    that shadows a table column with a computed expression must
+  *    never reach the manifest profile of the raw column);
+  *  - with filters present, `COUNT(literal)`, `COUNT(col)`, `MIN`/
+  *    `MAX`, and integral `SUM` rewrite through
+  *    [[TxParquetSink.filteredMetaProfile]] — answerable only when the
+  *    predicate (reconstructed via `Expression.sql` → the sink's own
+  *    parser) proves every file Full or Excluded;
+  *  - with no filters, the same panel rewrites through
+  *    [[TxParquetSink.columnMetaProfile]];
+  *  - grouped by a single bare column over an unfiltered scan, the
+  *    panel rewrites through [[TxParquetSink.groupedMetaProfile]] when
+  *    every commit is single-valued in the group column (the
+  *    partition-grain load shape) — one literal row per group;
+  *  - in every mode, only if EVERY aggregate in the list is
+  *    answerable (all-or-nothing: a plan is never half-rewritten).
   *
   * The rewrite is strictly answer-preserving or absent: every guard
   * failure leaves the original plan untouched, and the kernels never
   * launch a job (pure O(commits) driver metadata — safe inside the
   * optimizer). At 100 TB this turns monitoring-style profiles of a
   * governed table into millisecond plans with NO scan stage at all —
-  * the [[TxParquetSink.statsAggregate]] capability, now reachable
+  * the [[TxParquetSink.statsAggregate]] /
+  * [[TxParquetSink.statsAggregateWhere]] capability, now reachable
   * from plain `df.agg(...)` / SQL without calling a sink API. */
 object MetadataAggregates extends Rule[LogicalPlan] {
 
@@ -50,8 +60,18 @@ object MetadataAggregates extends Rule[LogicalPlan] {
           case Alias(ae: AggregateExpression, _) => supported(ae)
           case _ => false
         } =>
-      answer(child, aggs.map { case Alias(ae: AggregateExpression, _) => ae })
+      answer(child, agg.aggregateExpressions,
+        aggs.map { case Alias(ae: AggregateExpression, _) => ae })
         .map(vs => LocalRelation(agg.output, Seq(InternalRow(vs: _*))))
+        .getOrElse(agg)
+    case agg @ Aggregate(Seq(g: AttributeReference), aggs, child, _)
+        if aggs.nonEmpty && aggs.forall {
+          case a: AttributeReference => a.exprId == g.exprId
+          case Alias(ae: AggregateExpression, _) => supported(ae)
+          case _ => false
+        } =>
+      answerGrouped(child, g, aggs)
+        .map(rows => LocalRelation(agg.output, rows))
         .getOrElse(agg)
   }
 
@@ -68,25 +88,36 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  private def isPlainCount(ae: AggregateExpression): Boolean =
-    ae.aggregateFunction match {
-      case Count(Seq(l: Literal)) => l.value != null
-      case _ => false
-    }
+  /** Filter/pass-through-Project/SubqueryAlias walk down to the single
+    * LogicalRelation, collecting filter conditions. A Project whose
+    * list is anything but bare AttributeReferences bails: a computed
+    * alias could shadow a relation column by NAME while meaning a
+    * different value ([[resolvable]] then re-checks by exprId). */
+  private def leafOf(n: LogicalPlan,
+      filters: scala.collection.mutable.ListBuffer[Expression])
+      : Option[LogicalRelation] = n match {
+    case f: Filter => filters += f.condition; leafOf(f.child, filters)
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      leafOf(pr.child, filters) // pure pass-through: 1:1 on rows, no renames
+    case a: SubqueryAlias => leafOf(a.child, filters)
+    case lr: LogicalRelation => Some(lr)
+    case _ => None
+  }
 
-  /** All the aggregates' literal values, or None if any guard fails. */
-  private def answer(p: LogicalPlan,
-      aggs: Seq[AggregateExpression]): Option[Seq[Any]] = {
-    var filters = List.empty[Expression]
-    def leafOf(n: LogicalPlan): Option[LogicalRelation] = n match {
-      case f: Filter => filters ::= f.condition; leafOf(f.child)
-      case pr: Project => leafOf(pr.child) // projections are 1:1 on rows
-      case a: SubqueryAlias => leafOf(a.child)
-      case lr: LogicalRelation => Some(lr)
-      case _ => None
-    }
+  /** Every attribute `es` reference must be an output of `lr` ITSELF,
+    * matched by exprId — the guard that a shadowing alias (or any
+    * attribute manufactured above the scan) never resolves against the
+    * base table's manifest stats by name. */
+  private def resolvable(lr: LogicalRelation, es: Seq[Expression]): Boolean =
+    es.flatMap(_.references).forall(a => lr.outputSet.contains(a))
+
+  private def sinkOf(p: LogicalPlan,
+      filters: scala.collection.mutable.ListBuffer[Expression],
+      checked: Seq[Expression]): Option[TxParquetSink] =
     for {
-      lr <- leafOf(p)
+      lr <- leafOf(p, filters)
+      if resolvable(lr, checked ++ filters.toSeq)
       fs <- lr.relation match {
         case h: HadoopFsRelation => Some(h)
         case _ => None
@@ -98,50 +129,107 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       // full-coverage check: the scan must read EXACTLY the current
       // snapshot (a pruned read or a post-plan commit fails equality)
       if roots.toSet == sink.pathRows().keySet
+    } yield sink
+
+  /** All the aggregates' literal values, or None if any guard fails. */
+  private def answer(p: LogicalPlan, named: Seq[NamedExpression],
+      aggs: Seq[AggregateExpression]): Option[Seq[Any]] = {
+    val filters = scala.collection.mutable.ListBuffer.empty[Expression]
+    for {
+      sink <- sinkOf(p, filters, named)
       values <-
-        if (filters.nonEmpty) filteredCounts(sink, filters, aggs)
+        if (filters.nonEmpty) filteredPanel(sink, filters.toSeq, aggs)
         else wholeTable(sink, aggs)
     } yield values
   }
 
-  /** Filtered path: every aggregate must be a plain count, answered by
-    * the Full/Excluded file classification. */
-  private def filteredCounts(sink: TxParquetSink, filters: Seq[Expression],
+  /** The attribute columns an aggregate list profiles. */
+  private def profiledCols(aggs: Seq[AggregateExpression]): Seq[String] =
+    aggs.flatMap(_.aggregateFunction match {
+      case Count(Seq(_: Literal)) => None
+      case Count(Seq(a: AttributeReference)) => Some(a.name)
+      case Min(a: AttributeReference) => Some(a.name)
+      case Max(a: AttributeReference) => Some(a.name)
+      case Sum(a: AttributeReference, _) => Some(a.name)
+      case _ => None
+    }).distinct
+
+  /** One aggregate's literal value from (group rows, column profiles);
+    * `Some(null)` is a legitimate SQL answer (empty MIN/SUM), `None`
+    * kills the whole rewrite. */
+  private def valueOf(ae: AggregateExpression, rows: Long,
+      profile: String => Option[TxParquetSink.ColMetaProfile]): Option[Any] =
+    ae.aggregateFunction match {
+      case Count(Seq(_: Literal)) => Some(rows)
+      case Count(Seq(a: AttributeReference)) =>
+        if (rows == 0L) Some(0L)
+        else profile(a.name).flatMap(_.nonNull).map(n => n: Any)
+      case Min(a: AttributeReference) =>
+        if (rows == 0L) Some(null)
+        else profile(a.name).flatMap(p => typed(p.min, a.dataType))
+      case Max(a: AttributeReference) =>
+        if (rows == 0L) Some(null)
+        else profile(a.name).flatMap(p => typed(p.max, a.dataType))
+      case Sum(a: AttributeReference, _) =>
+        // the scanning plan's long sum would wrap on overflow; the
+        // exact fold only substitutes when no wrap can occur
+        if (rows == 0L) Some(null)
+        else profile(a.name).flatMap(_.sum).filter(_.isValidLong)
+          .map(s => s.toLong: Any)
+      case _ => None
+    }
+
+  /** Filtered path: the whole panel from the Full/Excluded file
+    * classification — boundary-exact or absent, never a scan. */
+  private def filteredPanel(sink: TxParquetSink, filters: Seq[Expression],
       aggs: Seq[AggregateExpression]): Option[Seq[Any]] =
     for {
-      _ <- if (aggs.forall(isPlainCount)) Some(()) else None
       predSql <- scala.util.Try(
         filters.map(_.sql).mkString("(", ") AND (", ")")).toOption
-      n <- sink.countFromMetadata(SparkSession.active, Some(predSql))
-    } yield aggs.map(_ => n: Any)
+      profiled <- sink.filteredMetaProfile(SparkSession.active, predSql,
+        profiledCols(aggs))
+      (rows, profiles) = profiled
+      vs = aggs.map(valueOf(_, rows, profiles.get))
+      if vs.forall(_.isDefined)
+    } yield vs.map(_.get)
 
   /** Unfiltered path: counts, extremes, and exact sums from the
     * per-column manifest profiles — all-or-nothing. */
   private def wholeTable(sink: TxParquetSink,
       aggs: Seq[AggregateExpression]): Option[Seq[Any]] = {
-    lazy val rows = sink.countFromMetadata(SparkSession.active, None)
-    val profiles = scala.collection.mutable.Map.empty[String,
-      Option[TxParquetSink.ColMetaProfile]]
-    def profile(a: AttributeReference) =
-      profiles.getOrElseUpdate(a.name, sink.columnMetaProfile(a.name))
-    val vs = aggs.map { ae =>
-      ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) => rows.map(n => n: Any)
-        case Count(Seq(a: AttributeReference)) =>
-          profile(a).flatMap(_.nonNull).map(n => n: Any)
-        case Min(a: AttributeReference) =>
-          profile(a).flatMap(p => typed(p.min, a.dataType))
-        case Max(a: AttributeReference) =>
-          profile(a).flatMap(p => typed(p.max, a.dataType))
-        case Sum(a: AttributeReference, _) =>
-          // the scanning plan's long sum would wrap on overflow; the
-          // exact fold only substitutes when no wrap can occur
-          profile(a).flatMap(_.sum).filter(_.isValidLong)
-            .map(s => s.toLong: Any)
-        case _ => None
+    val spark = SparkSession.active
+    for {
+      rows <- sink.countFromMetadata(spark, None)
+      profiles = scala.collection.mutable.Map.empty[String,
+        Option[TxParquetSink.ColMetaProfile]]
+      vs = aggs.map(valueOf(_, rows,
+        c => profiles.getOrElseUpdate(c, sink.columnMetaProfile(c))))
+      if vs.forall(_.isDefined)
+    } yield vs.map(_.get)
+  }
+
+  /** Grouped path: one literal row per group from the partition-grain
+    * per-commit records — all groups, all aggregates, or nothing. */
+  private def answerGrouped(p: LogicalPlan, g: AttributeReference,
+      named: Seq[NamedExpression]): Option[Seq[InternalRow]] = {
+    val filters = scala.collection.mutable.ListBuffer.empty[Expression]
+    val aggs = named.collect { case Alias(ae: AggregateExpression, _) => ae }
+    for {
+      sink <- sinkOf(p, filters, named)
+      if filters.isEmpty // grouped + filtered: out of scope, keep the scan
+      groups <- sink.groupedMetaProfile(g.name, profiledCols(aggs))
+      rows = groups.map { case (gv, _, n, profiles) =>
+        val gVal = typed(gv, g.dataType)
+        val vs = named.map {
+          case _: AttributeReference => gVal
+          case Alias(ae: AggregateExpression, _) => valueOf(ae, n, profiles.get)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) Some(InternalRow(vs.map(_.get): _*))
+        else None
       }
-    }
-    if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+      if rows.forall(_.isDefined)
+    } yield rows.map(_.get)
   }
 
   /** A cast-to-string manifest extremum back in the engine's type —

@@ -215,6 +215,28 @@ class MergeIntoSpec extends SparkSpec {
       t.updateWhere(spark, "cents > 0", Map("nope" -> "0")))
   }
 
+  test("updateWhere recomputes when a matching row lands in its commit window") {
+    val t = table()
+    base(t)
+    var fired = false
+    // a concurrent append inside the UPDATE's stage→publish window,
+    // containing a row the predicate MATCHES: a blind republish at a
+    // higher version would mask it with no rewritten counterpart —
+    // silent data loss. The publish must fail at snapV+1 and the
+    // UPDATE recompute from the new snapshot instead.
+    val interleaved: () => Unit = () => if (!fired) {
+      fired = true
+      t.append(Seq(("E", 15L), ("F", 99L)).toDF("k", "cents"))
+    }
+    val n = t.updateWhere(spark, "cents <= 20", Map("cents" -> "cents + 1"),
+      beforePublish = interleaved)
+    assert(fired)
+    // the UPDATE serialized AFTER the append: E(15) matched and updated
+    assert(n == 3, s"recomputed UPDATE must cover the interleaved row, got $n")
+    assert(state(t) == Seq(("A", 11L), ("B", 21L), ("C", 30L),
+      ("D", 40L), ("E", 16L), ("F", 99L)))
+  }
+
   test("merge into an empty table is a plain insert") {
     val t = table()
     val st = t.mergeInto(spark, Seq(("A", 1L)).toDF("k", "cents"), Seq("k"),

@@ -1640,4 +1640,31 @@ class TxSinkSpec extends SparkSpec {
     assert(clone.constraints().map(_._1) == Seq("id_nonempty"))
     intercept[IllegalArgumentException] { clone.append(batch("" -> "bad")) }
   }
+
+  test("string stats fold and prune in engine collation (UTF-8), not UTF-16 units") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val t = table()
+    // U+10000 is a surrogate pair: UTF-16 code units rank it BELOW
+    // U+E000, code points (Spark's UTF8String order) rank it ABOVE —
+    // every fold against manifest stats must agree with the scan
+    val hi = new String(Character.toChars(0x10000))
+    val lo = ""
+    t.appendWithStats(Seq((lo, 1L)).toDF("day", "amount"), Seq("day"))
+    t.appendWithStats(Seq((hi, 2L)).toDF("day", "amount"), Seq("day"))
+    val scan = t.readSnapshot(spark).get
+      .agg(min(col("day")), max(col("day")))
+      .as[(String, String)].head()
+    assert(scan == ((lo, hi)), "scan ground truth")
+    val meta = t.statsAggregate(spark, Seq("day"))
+      .select("min_value", "max_value").as[(String, String)].head()
+    assert(meta == scan, "metadata extremes must match the scan's collation")
+    val p = t.columnMetaProfile("day").get
+    assert((p.min, p.max) == scan)
+    // pruning: a range starting at U+E000 must KEEP the pair's commit
+    // (UTF-16 comparison would call it disjoint and silently lose the row)
+    val got = t.readSnapshotRange(spark, "day", lo,
+      new String(Character.toChars(0x10FFFF))).get
+      .where(col("day") >= lo)
+    assert(got.count() == 2L, "supplementary-plane row lost to pruning")
+  }
 }

@@ -99,11 +99,115 @@ class MetadataAggregatesSpec extends AnyFunSuite {
       val mixed = snap.agg(count(lit(1)).as("n"), avg("amount").as("a"))
       assert(!isLocal(mixed))
       assert(mixed.collect().head.getLong(0) == 30L)
-      // filters + extremes don't rewrite (stats describe whole commits)
-      val filteredMin = snap.where("amount >= 11 AND amount <= 20")
-        .agg(min(col("amount")).as("mn"))
-      assert(!isLocal(filteredMin))
-      assert(filteredMin.collect().head.getLong(0) == 11L)
+    } finally s.stop()
+  }
+
+  test("commit-aligned filtered MIN/MAX/SUM rewrite; boundary cuts stay on the scan") {
+    val s = fresh()
+    try {
+      val t = table(s)
+      def snap = t.readSnapshot(s).get
+      // commit 2 is exactly amounts 11..20: every file Full or Excluded
+      val panel = snap.where("amount >= 11 AND amount <= 20").agg(
+        count(lit(1)).as("n"), count(col("amount")).as("nn"),
+        min(col("amount")).as("mn"), max(col("amount")).as("mx"),
+        sum(col("amount")).as("sm"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+      assert(isLocal(panel), panel.queryExecution.optimizedPlan.toString)
+      val r = panel.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)) ==
+        ((10L, 10L, 11L, 20L, 155L, "2024-01-11", "2024-01-20")))
+      // provably-empty predicate: COUNT 0, MIN/MAX/SUM NULL — literal
+      val empty = snap.where("amount >= 100").agg(
+        count(lit(1)).as("n"), min(col("amount")).as("mn"),
+        sum(col("amount")).as("sm"))
+      assert(isLocal(empty), empty.queryExecution.optimizedPlan.toString)
+      val e = empty.collect().head
+      assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+      // a mid-commit cut would need a boundary scan → untouched plan,
+      // same answer through the scan
+      val cut = snap.where("amount >= 15 AND amount <= 20")
+        .agg(min(col("amount")).as("mn"), sum(col("amount")).as("sm"))
+      assert(!isLocal(cut))
+      val c = cut.collect().head
+      assert(c.getLong(0) == 15L && c.getLong(1) == 105L)
+    } finally s.stop()
+  }
+
+  test("a computed alias shadowing a table column must NOT reach the manifest profile") {
+    val s = fresh()
+    try {
+      val t = table(s)
+      val snap = t.readSnapshot(s).get
+      // (amount % 3) aliased back to the NAME 'amount': a name-based
+      // resolver would answer min=1/max=30 from the raw column's stats
+      val shadow = snap
+        .select((col("amount") % 3).as("amount"), col("day"))
+        .agg(min(col("amount")).as("mn"), max(col("amount")).as("mx"),
+          sum(col("amount")).as("sm"))
+      assert(!isLocal(shadow),
+        shadow.queryExecution.optimizedPlan.toString)
+      val r = shadow.collect().head
+      assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+      // same hole through a FILTER above the renaming projection
+      val shadowFilter = snap
+        .select((col("amount") % 3).as("amount"))
+        .where("amount >= 0 AND amount <= 2")
+        .agg(count(lit(1)).as("n"))
+      assert(!isLocal(shadowFilter))
+      assert(shadowFilter.collect().head.getLong(0) == 30L)
+      // a PURE pass-through projection (prune + reorder) still rewrites
+      val pass = snap.select(col("amount")).agg(max(col("amount")).as("mx"))
+      assert(isLocal(pass), pass.queryExecution.optimizedPlan.toString)
+      assert(pass.collect().head.getLong(0) == 30L)
+    } finally s.stop()
+  }
+
+  test("GROUP BY a commit-constant column rewrites to literal rows; data files not needed") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaagggrp").toString + "/t")
+      (1 to 30).map(d => (f"2024-${(d - 1) / 10 + 1}%02d", d.toLong))
+        .grouped(10).foreach(g =>
+          t.appendWithStats(g.toDF("month", "amount"), Seq("month", "amount")))
+      val grouped = t.readSnapshot(s).get.groupBy("month").agg(
+        count(lit(1)).as("n"), min(col("amount")).as("mn"),
+        max(col("amount")).as("mx"), sum(col("amount")).as("sm"))
+      assert(isLocal(grouped), grouped.queryExecution.optimizedPlan.toString)
+      val rows = grouped.orderBy("month").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(rows == Seq(("2024-01", 10L, 1L, 10L, 55L),
+        ("2024-02", 10L, 11L, 20L, 155L),
+        ("2024-03", 10L, 21L, 30L, 255L)))
+      // the proof the plan never touches data: build the frame (schema
+      // inference reads footers — the last data access), DELETE every
+      // data file, and only then optimize + execute: the literal
+      // rewrite still answers where the scan would die
+      val again = t.readSnapshot(s).get.groupBy("month").agg(
+        count(lit(1)).as("n"), sum(col("amount")).as("sm"))
+      val dataDir = java.nio.file.Paths.get(t.dir).resolve("data")
+      val walk = java.nio.file.Files.walk(dataDir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      assert(isLocal(again))
+      assert(again.orderBy("month").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("2024-01", 10L, 55L), ("2024-02", 10L, 155L),
+          ("2024-03", 10L, 255L)))
+      // a table whose commits are NOT single-valued in the group column
+      // keeps the scan (the original fixture mixes days per commit)
+      val mixed = table(s)
+      val noRewrite = mixed.readSnapshot(s).get.groupBy("day")
+        .agg(count(lit(1)).as("n"))
+      assert(!isLocal(noRewrite))
+      assert(noRewrite.count() == 30L)
     } finally s.stop()
   }
 
