@@ -2773,6 +2773,27 @@ object ExtOracleSql {
        |ORDER BY vec_id, crank""".stripMargin
   }
 
+  /** The churn replays' deterministic delete set, in SQL — every 5th
+    * id among the first two batch ranges
+    * ([[graft.streaming.StreamAnnIndex.churnDeleteRule]]). */
+  private def churnDeleted(idCol: String): String =
+    s"($idCol % 5 = 3 AND $idCol < 2 * (SELECT b FROM bsz))"
+
+  /** ANN-retraction twin
+    * ([[graft.streaming.StreamAnnIndex.incrementalAnnDeleteBatch]]):
+    * the bootstrap-trained frozen router assigning the whole corpus,
+    * minus the delete set — what the incremental path must equal after
+    * interleaved appends, tombstones, a redelivery of deleted ids, and
+    * compaction. */
+  val streamAnnDelete: String = {
+    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
+    s"""WITH $bootCellsCte
+       |SELECT vec_id, CAST(crank AS INT) AS crank, cent_id
+       |FROM cr WHERE crank <= $nProbe
+       |  AND NOT ${churnDeleted("vec_id")}
+       |ORDER BY vec_id, crank""".stripMargin
+  }
+
   /** Streamed-hybrid twin ([[graft.streaming.StreamHybrid]]): the
     * dense leg through the bootstrap-trained frozen router
     * ([[bootCellsCte]], crank ≤ StoreNProbe probes, both sides
@@ -2807,6 +2828,64 @@ object ExtOracleSql {
        |slex AS (
        |  SELECT query_id, doc_id AS neighbor_id, rank
        |  FROM (${bm25Sql(pool, 8)})
+       |),
+       |sfused AS (
+       |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+       |         COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+       |         CAST(d.rank AS INT) AS rank_dense,
+       |         CAST(l.rank AS INT) AS rank_lex,
+       |         CAST(COALESCE($sc // ($kD + d.rank), 0) +
+       |              COALESCE($sc // ($kD + l.rank), 0) AS BIGINT) AS rrf_score
+       |  FROM sdense d FULL OUTER JOIN slex l
+       |    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score,
+       |       rank_dense, rank_lex
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+       |  FROM sfused)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Churned-hybrid twin ([[graft.streaming.StreamHybrid
+    * .hybridChurnReplay]]): both legs REBUILT FROM SCRATCH on the
+    * surviving corpus — the dense leg through the bootstrap-trained
+    * router with deleted ids excluded from queries and neighbors, the
+    * lexical leg's whole index (postings, lengths, df, stats) built
+    * over the surviving documents only — and fused identically. The
+    * hash gate proves churn-maintained ≡ rebuilt-on-survivors end to
+    * end. */
+  val streamHybridChurn: String = {
+    val kD = SimilarityOps.RrfDampK
+    val sc = SimilarityOps.RrfScale
+    val pool = SimilarityOps.RrfPool
+    val k = SimilarityOps.RrfTopK
+    val nProbe = graft.streaming.StreamAnnIndex.StoreNProbe
+    s"""WITH $bootCellsCte,
+       |sscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dot("q.embedding", "c.embedding", "sh")} / (q.norm * c.norm) AS cos
+       |  FROM bcells q
+       |  JOIN cr p ON p.vec_id = q.vec_id AND p.crank <= $nProbe
+       |  JOIN bcells c ON c.cell = p.cent_id AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8
+       |    AND NOT ${churnDeleted("q.vec_id")}
+       |    AND NOT ${churnDeleted("c.vec_id")}
+       |    AND q.vec_id IN (SELECT doc_id FROM documents)
+       |    AND c.vec_id IN (SELECT doc_id FROM documents)
+       |),
+       |sdense AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM sscored) WHERE rank <= $pool
+       |),
+       |slex AS (
+       |  SELECT query_id, doc_id AS neighbor_id, rank
+       |  FROM (${bm25Sql(pool, 8, s"NOT ${churnDeleted("doc_id")}")})
        |),
        |sfused AS (
        |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
@@ -3339,10 +3418,11 @@ object ExtOracleSql {
     * [[TextOps.Bm25ContribExpr]] (rational idf × tf saturation, floored
     * to integer ppm), order-independent BIGINT score sum, row_number
     * ranking. */
-  private def bm25Sql(k: Int, nQueries: Int): String =
+  private def bm25Sql(k: Int, nQueries: Int,
+      docsWhere: String = "TRUE"): String =
     s"""WITH bw AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
-       |  FROM documents
+       |  FROM documents WHERE $docsWhere
        |),
        |bwords AS (SELECT doc_id, unnest(ws) AS term FROM bw),
        |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -214,6 +214,25 @@ object StreamBm25 {
     (tf, dlen, dfDelta.groupBy("term").agg(sum("df_delta").as("df")))
   }
 
+  /** RETRACTION COMPACTION — apply a document delete set to the
+    * maintained index frames: postings and lengths drop the deleted
+    * docs (two anti-joins), and df is RECOMPUTED from the surviving
+    * postings (tf is distinct per (doc, term), so the per-term row
+    * count IS the document frequency) — the state a from-scratch
+    * build over the surviving corpus produces, which is exactly what
+    * the churn replay's oracle twin gates. In the stored-index
+    * deployment this is the delete-compaction pass (tombstones append
+    * to a denylist; queries anti-join it; this pass materializes) —
+    * O(index) once per maintenance window, never per delete. */
+  private[graft] def retractDocs(tf: DataFrame, dlen: DataFrame,
+      deleted: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dead = deleted.select("doc_id")
+    val tf2 = tf.join(dead, Seq("doc_id"), "left_anti")
+    val dlen2 = dlen.join(dead, Seq("doc_id"), "left_anti")
+    val df2 = tf2.groupBy("term").agg(count(lit(1)).as("df"))
+    (tf2, dlen2, df2)
+  }
+
   /** The streaming query: micro-batches indexed incrementally;
     * registry written LAST (see delivery-semantics note). */
   def run(spark: SparkSession, stream: DataFrame, store: IndexStore,

@@ -60,4 +60,56 @@ object StreamHybrid {
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
     SimilarityOps.rrfOf(dense, "rank_dense", lexical, "rank_lex", k)
   }
+
+  /** Streamed hybrid retrieval UNDER CHURN — the round-9 verdict's
+    * closing composition: both incremental indexes maintained through
+    * interleaved appends AND deletes, then one fused search over the
+    * SURVIVING corpus. The dense leg accumulates through
+    * [[StreamAnnIndex.incrementalAnnDeleteBatch]] (tombstoned ids
+    * excluded, redelivered deletes stay dead, compaction applied); the
+    * lexical leg applies the same delete set through
+    * [[StreamBm25.retractDocs]] (postings/lengths dropped, df
+    * recomputed from survivors). A deleted document can appear in
+    * NEITHER leg — not as a query (its terms and cell are gone) and
+    * not as a neighbor. Gated against the DuckDB twin that builds both
+    * legs from scratch on the surviving corpus and fuses identically:
+    * churn-maintained ≡ rebuilt-on-survivors, end to end. */
+  def hybridChurnReplay(spark: SparkSession, dir: String,
+      k: Int = SimilarityOps.RrfTopK, pool: Int = SimilarityOps.RrfPool,
+      nQueries: Int = 8): DataFrame = {
+    val docIds = TextOps.docs(spark, dir).select(col("doc_id"))
+    // dense leg from the churned ANN accumulation (live rows only)
+    val assign = StreamAnnIndex.incrementalAnnDeleteBatch(spark, dir)
+    val e = SimilarityOps.withNorm(SimilarityOps.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val cells = assign.where(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .join(e, "vec_id")
+    val qv = cells.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("norm").as("qn"))
+    val probes = assign.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("pcell"))
+    val cands = broadcast(probes.join(qv, "query_id"))
+      .join(cells, col("pcell") === col("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr(SimilarityOps.cosExpr("qv", "embedding", "qn", "norm")))
+      .join(broadcast(docIds), col("vec_id") === col("doc_id"), "left_semi")
+      .join(broadcast(docIds), col("query_id") === col("doc_id"), "left_semi")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    val dense = SimilarityOps.topKPerGroup(cands, col("query_id"), Seq.empty,
+      col("cos"), col("neighbor_id"), pool)
+    // lexical leg: the same delete set retracted from the BM25 frames
+    val vecs = SimilarityOps.embeddings(spark, dir).select("vec_id")
+    val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
+    val batchSize = (maxId + StreamAnnIndex.ReplayBatches) /
+      StreamAnnIndex.ReplayBatches
+    val deleted = vecs.where(StreamAnnIndex.churnDeleteRule(batchSize))
+      .select(col("vec_id").as("doc_id"))
+    val (tf, dlen, df) = StreamBm25.incrementalBm25Frames(spark, dir)
+    val (tf2, dlen2, df2) = StreamBm25.retractDocs(tf, dlen, deleted)
+    val lexical = TextOps.bm25ScoreOf(tf2, dlen2, df2, pool, nQueries)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+    SimilarityOps.rrfOf(dense, "rank_dense", lexical, "rank_lex", k)
+  }
 }

@@ -140,4 +140,64 @@ class StreamAnnIndexSpec extends SparkSpec {
     val base = spark.read.parquet(gen2.monitorDir).where(col("batch_id") === -1L)
     assert(base.agg(sum("n_cell")).head.getLong(0) == gen1Ids.size)
   }
+
+  test("retraction: tombstones hide, redelivery stays dead, compaction drops, retrain excludes") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = newStore("del")
+    StreamAnnIndex.bootstrap(spark, all.take(40).toDF(), store)
+
+    val stream = MemoryStream[AnnVec]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt3").toString
+    val q = StreamAnnIndex.run(spark, stream.toDF(), store, ckpt)
+    try {
+      stream.addData(all.slice(40, 60): _*)
+      q.processAllAvailable()
+      // DELETE ids 10, 45 (one bootstrap-indexed, one stream-indexed)
+      // while the query runs — an O(deleted) append, no rewrite
+      StreamAnnIndex.deleteVecs(spark,
+        Seq(10L, 45L).toDF("vec_id"), store)
+      // redelivery of a deleted id + the rest: 45 must stay dead
+      stream.addData(all.slice(60, 80) :+ all(45): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def liveIds() = StreamAnnIndex
+      .liveAssign(spark.read.parquet(store.assignDir))
+      .where(col("crank") === 1).select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    val expected = (0L until 80L).filterNot(Set(10L, 45L))
+    assert(liveIds() == expected, "tombstoned ids must not serve")
+
+    // the live view equals a one-pass assignment of the SURVIVORS
+    // against the frozen centroids (churn-maintained ≡ batch)
+    val onePass = VectorOps.assignToCells(
+        spark.read.parquet(store.centroidsDir),
+        VectorOps.withQuantized(
+          graft.ext.SimilarityOps.withNorm(
+            all.filterNot(v => v.vec_id == 10L || v.vec_id == 45L).toDF()))
+          .select(col("vec_id"), col("embedding"), col("norm"), col("q")),
+        StreamAnnIndex.StoreNProbe)
+      .select("vec_id", "crank", "cent_id")
+      .orderBy("vec_id", "crank").collect().toSeq
+    val liveView = StreamAnnIndex
+      .liveAssign(spark.read.parquet(store.assignDir))
+      .select("vec_id", "crank", "cent_id")
+      .orderBy("vec_id", "crank").collect().toSeq
+    assert(liveView == onePass)
+
+    // retrain over the live universe: deleted ids must not resurrect
+    val gen2 = StreamAnnIndex.retrain(spark, all.toDF(), store, newStore("del2"))
+    val gen2Ids = spark.read.parquet(gen2.assignDir)
+      .where(col("crank") === 1).select("vec_id")
+      .as[Long].collect().toSeq.sorted
+    assert(gen2Ids == expected, "retrain must exclude tombstoned ids")
+
+    // compaction drops tombstones AND dead rows physically; the live
+    // view is unchanged and the ids become re-indexable
+    StreamAnnIndex.compactStore(spark, store)
+    val after = spark.read.parquet(store.assignDir)
+    assert(after.where(col("crank") === StreamAnnIndex.TombstoneCrank).isEmpty)
+    assert(after.where(col("vec_id").isin(10L, 45L)).isEmpty)
+    assert(liveIds() == expected)
+  }
 }
