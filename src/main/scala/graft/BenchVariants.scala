@@ -39,7 +39,25 @@ object BenchVariants {
     // round-8 rewrites, frozen as their own controls
     "q29_itemsets3" -> (itemsets3Unpruned(_, _)),
     "ext_dedup_containment" -> (containmentNoOrientation(_, _)),
-    "etl_seq_patterns" -> (seqPatternsEventSelfJoin(_, _)))
+    "etl_seq_patterns" -> (seqPatternsEventSelfJoin(_, _)),
+    // round-10: the mask-depth maintenance-policy experiment (VERDICT
+    // r9 item 6) — a is the maintained merge target's snapshot read, b
+    // the identical replay left unmaintained
+    "etl_tx_merge_policy" -> (mergePolicyUnmaintainedRead(_, _)))
+
+  /** vs the registered maintained-target read (`etl_tx_merge_policy`):
+    * the SAME half-year merge replay with the writer-loop maintenance
+    * policy OFF ([[graft.etl.TxFixtures.mergeChurnSink]] unmaintained
+    * arm), so the snapshot read pays the documented O(masking commits)
+    * cost — every merge commit masks all earlier commits differently
+    * and the scan shatters into one group per mask set. Identical
+    * final state (per-store grand totals); the a/b ratio is the
+    * measured value of [[graft.etl.TxParquetSink.maintainIfNeeded]]. */
+  def mergePolicyUnmaintainedRead(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.TxFixtures.mergeChurnSink(spark, dir, maintained = false)
+      .readSnapshot(spark).get
+      .select("store_id", "cents")
+      .orderBy("store_id")
 
   /** vs the registered per-(session, type) min/max span table: the
     * naive subsequence spelling — pair RAW EVENTS within each session

@@ -2499,6 +2499,22 @@ object EtlOracleSql {
       |  FROM last_rows WHERE store_id % 3 = 0)
       |ORDER BY month, store_id""".stripMargin)
 
+  /** Merge-policy twin: the half-year accumulation replay's final
+    * state is each store's grand total (bootstrap insert + one
+    * `cents += s.cents` merge per later half ≡ SUM over all months) —
+    * identical for the maintained and unmaintained arms, so this one
+    * oracle gates the registered row while the bench pair measures
+    * what the maintenance policy is worth to a reader. */
+  val txMergePolicy: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT store_id, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM monthly GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** CDC-consumer twin: the per-store aggregate over the FINAL table
     * state (post-restatement, post-delete) computed declaratively —
     * what the engine's feed-folded maintenance must reproduce. */

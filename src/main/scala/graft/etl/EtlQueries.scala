@@ -2814,6 +2814,34 @@ object EtlQueries {
       .orderBy("month", "store_id")
   }
 
+  /** MERGE-MAINTENANCE POLICY — the snapshot read of a long-lived
+    * CDC-merge target kept healthy by the writer-loop policy
+    * ([[TxFixtures.mergeChurnSink]]: one merge commit per half-year of
+    * accumulation, [[TxParquetSink.maintainIfNeeded]] maskBudget = 4
+    * after each). The timed body is the READ — the cost the policy
+    * exists to bound: with maintenance the effective log never carries
+    * more than 4 row-masking commits, so the scan is O(1) groups at any
+    * table age; the [[graft.BenchVariants]] twin reads the SAME replay
+    * without maintenance, where every merge masks all earlier commits
+    * and the read degrades to O(masking commits) scan groups. Both
+    * arms land identical state (per-store grand totals), so the paired
+    * a/b ratio in bench_out.json isolates exactly what unbounded mask
+    * depth costs a reader — the measured form of the cost law
+    * documented on [[TxParquetSink.maintainIfNeeded]]. */
+  def txMergePolicy(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.mergeChurnSink(spark, dir, maintained = true)
+    // the policy's invariant, checked where the row is defined: the
+    // effective log never exceeds the budget in masking commits —
+    // O(commits) driver metadata, no data read
+    val masked = t.resolvedCommits().count { case (_, m) =>
+      m.deletePred.nonEmpty || m.replaceCols.nonEmpty }
+    require(masked <= 4,
+      s"maintenance policy failed to bound mask depth: $masked > 4")
+    t.readSnapshot(spark).get
+      .select("store_id", "cents")
+      .orderBy("store_id")
+  }
+
   /** CDC CONSUMER — the incremental-maintenance loop the change feed
     * exists for: a per-store revenue aggregate maintained purely from
     * [[TxParquetSink.changesBetween]]'s I/D stream (inserts add,

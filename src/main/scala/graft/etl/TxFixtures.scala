@@ -229,6 +229,65 @@ object TxFixtures {
       t
     }
 
+  /** The rollup re-aggregated to half-year grain — the change-batch
+    * feed of the merge-churn pair (one merge commit per half-year,
+    * ~2×years batches at any SF: enough masking commits to make depth
+    * visible, bounded regardless of data size). */
+  def halfCents(spark: SparkSession, dir: String): DataFrame =
+    keyed(spark, dir, "half_cents") {
+      monthlyCents(spark, dir)
+        .groupBy(expr(
+          "concat(substring(month, 1, 4), '-h', " +
+            "CASE WHEN CAST(substring(month, 6, 2) AS INT) <= 6 " +
+            "THEN 1 ELSE 2 END)").as("h"), col("store_id"))
+        .agg(sum("cents").as("cents"))
+        .localCheckpoint(true)
+    }
+
+  /** MERGE-CHURN PAIR — the mask-depth maintenance-policy experiment
+    * as stored fixtures: the SAME half-year accumulation replay
+    * (bootstrap append, then one [[TxParquetSink.mergeInto]] per half,
+    * `cents += s.cents`, inserts unmatched) run twice —
+    *
+    *  - `maintained = true` runs the writer-loop policy
+    *    ([[TxParquetSink.maintainIfNeeded]], maskBudget = 4) after
+    *    every merge, so the effective log never carries more than 4
+    *    row-masking commits: snapshot reads stay O(1) scan groups no
+    *    matter how long the table lives.
+    *  - `maintained = false` skips maintenance — every merge commit
+    *    masks all earlier commits differently, so the snapshot read
+    *    degrades to O(masking commits) distinct scan groups: the
+    *    documented cost law the policy exists to bound.
+    *
+    * Both arms land the IDENTICAL final state (per-store grand-total
+    * cents — [[MergeChurnSpec]] pins arm equality and the mask
+    * counts), so `etl_tx_merge_policy` (maintained read) and its
+    * [[graft.BenchVariants]] twin (unmaintained read) are a valid
+    * paired A/B: the ratio isolates exactly what unbounded mask depth
+    * costs a reader. At 100 TB this is the difference between a
+    * CDC-merged table that reads at constant cost forever and one
+    * whose every dashboard query replays the merge history. */
+  def mergeChurnSink(spark: SparkSession, dir: String,
+      maintained: Boolean): TxParquetSink =
+    keyed(spark, dir, if (maintained) "churn_m" else "churn_u") {
+      val half = halfCents(spark, dir)
+      val halves = half.select("h").distinct().orderBy("h")
+        .collect().map(_.getString(0)).toSeq
+      val t = tempSink(if (maintained) "graft-txfix-mcm" else "graft-txfix-mcu")
+      halves.foreach { h =>
+        val batch = half.where(col("h") === lit(h))
+          .select(col("store_id"), col("cents"))
+        if (t.version() == -1L) t.append(batch)
+        else {
+          t.mergeInto(spark, batch, Seq("store_id"),
+            updateSet = Map("cents" -> "t.cents + s.cents"))
+          if (maintained) t.maintainIfNeeded(spark, maskBudget = 4)
+          ()
+        }
+      }
+      t
+    }
+
   /** A fresh shallow clone of `source` for a mutating row: O(commits)
     * manifest metadata into a new temp dir, zero data bytes copied —
     * the mutation then diverges without touching the canonical sink. */
@@ -249,5 +308,7 @@ object TxFixtures {
     clusteredSink(spark, dir)
     sketchSinks(spark, dir)
     groupYearSink(spark, dir)
+    mergeChurnSink(spark, dir, maintained = true)
+    mergeChurnSink(spark, dir, maintained = false)
   }
 }
