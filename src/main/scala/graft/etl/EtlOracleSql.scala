@@ -2109,6 +2109,39 @@ object EtlOracleSql {
        |WHERE o_custkey = ${EtlQueries.TxProbeCustomer}
        |ORDER BY o_orderkey""".stripMargin
 
+  /** MV-rewrite twin: the per-customer profile recomputed from the
+    * RAW orders — what the rule's rollup re-aggregation (sum of sums,
+    * sum of counts, min of mins, max of maxes) must land exactly. */
+  val mvRewrite: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM o GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Filtered MV-rewrite twin: the same rollup probed through an
+    * interior year range, grouped at view grain. */
+  val mvRewriteWhere: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |b AS (SELECT min(year) + 1 AS lo, max(year) - 1 AS hi FROM o)
+      |SELECT year,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM o, b WHERE year >= b.lo AND year <= b.hi
+      |GROUP BY year
+      |ORDER BY year""".stripMargin
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

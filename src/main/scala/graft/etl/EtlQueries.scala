@@ -2770,6 +2770,90 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** MATERIALIZED-VIEW ROLLUP REWRITE — [[graft.plans.MvRewrite]]
+    * exercised end-to-end on the STRICTLY-COARSER grain: the registered
+    * rollup lives at (year, o_custkey) ([[TxFixtures.ordersMv]]), the
+    * query groups by o_custkey alone, so the rule must re-aggregate the
+    * view (SUM of partial sums, SUM of counts, MIN of mins, MAX of
+    * maxes) rather than just redirect the scan. The plan is REQUIRED to
+    * read only the rollup table — a leaf touching the base orders
+    * snapshot fails the row — and the answer hash-gates against
+    * DuckDB's recompute from the raw facts: rewrite + re-aggregation ≡
+    * the fact-table aggregate. At 100 TB this is the warehouse MV
+    * story: the dashboard's GROUP BY probes thousands of pre-rolled
+    * rows, never the fact scan, and freshness is version-gated so one
+    * base commit disarms the rule instead of serving stale answers. */
+  def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersMv(spark, dir)
+    val mvPath = graft.plans.MvCatalog.lookup(t.dir).get.mvPath
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      requireMvOnly(rolled, mvPath, t.dir)
+      val rows = rolled.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy("o_custkey")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** [[mvRewrite]]'s filtered sibling: a year range (strictly inside
+    * the calendar, bounds derived from the data) over the SAME rollup,
+    * grouped by year — the filter references only view grouping
+    * columns, so it transplants onto the rollup scan and prunes there.
+    * Plan required to read only the view; hash-gated against the
+    * declarative recompute. */
+  def mvRewriteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersMv(spark, dir)
+    val mvPath = graft.plans.MvCatalog.lookup(t.dir).get.mvPath
+    val o = TxFixtures.ordersProjected(spark, dir)
+    val (loY, hiY) = {
+      val r = o.agg(min("year"), max("year")).head()
+      (r.getInt(0) + 1, r.getInt(1) - 1)
+    }
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .where(col("year") >= lit(loY) && col("year") <= lit(hiY))
+        .groupBy("year")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"))
+      requireMvOnly(rolled, mvPath, t.dir)
+      val rows = rolled.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy("year")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** The MV rows' plan gate: every leaf must be a scan of the rollup
+    * table — the rewrite silently not firing (and the query quietly
+    * reading the fact) fails the row instead of faking the result. */
+  private def requireMvOnly(df: DataFrame, mvPath: String,
+      baseDir: String): Unit = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val ok = leaves.nonEmpty && leaves.forall {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.forall(_.toUri.getPath.startsWith(mvPath))
+          case _ => false
+        }
+      case _ => false
+    }
+    require(ok,
+      s"MvRewrite must redirect the aggregate to the rollup at $mvPath " +
+        s"(base $baseDir) — it did not fire:\n" +
+        df.queryExecution.optimizedPlan.toString)
+  }
+
   /** UPDATE WHERE — [[TxParquetSink.updateWhere]] on the year-per-commit
     * load: one atomic commit rewrites the matching rows (SET reads the
     * OLD values) and masks their pre-images via the same manifest's

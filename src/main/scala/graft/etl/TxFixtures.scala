@@ -288,6 +288,24 @@ object TxFixtures {
       t
     }
 
+  /** REGISTERED ROLLUP over [[ordersYearSink]] — the materialized view
+    * behind the [[graft.plans.MvRewrite]] rows: (year, o_custkey) grain
+    * with sum/min/max of cents and a row count, built from the
+    * canonical orders snapshot and registered in
+    * [[graft.plans.MvCatalog]] at that version. A query grouping by
+    * any subset of (year, o_custkey) then answers from the rollup
+    * instead of the fact scan. Returns the base sink. */
+  def ordersMv(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_mv") {
+      val sink = ordersYearSink(spark, dir)
+      val mvPath =
+        java.nio.file.Files.createTempDirectory("graft-txfix-mv").toString + "/mv"
+      graft.plans.MvCatalog.registerRollup(spark, sink,
+        groupCols = Seq("year", "o_custkey"), valueCols = Seq("cents"),
+        mvPath = mvPath)
+      sink
+    }
+
   /** A fresh shallow clone of `source` for a mutating row: O(commits)
     * manifest metadata into a new temp dir, zero data bytes copied —
     * the mutation then diverges without touching the canonical sink. */
@@ -310,5 +328,6 @@ object TxFixtures {
     groupYearSink(spark, dir)
     mergeChurnSink(spark, dir, maintained = true)
     mergeChurnSink(spark, dir, maintained = false)
+    ordersMv(spark, dir)
   }
 }

@@ -13,13 +13,15 @@ import graft.functions.{ArrayDotProduct, JaroWinklerSimilarity, Md5Prefix32}
   *
   * gets the codegen'd SQL functions (`array_dot`, `md5_prefix32`)
   * PERMANENTLY in the function registry (the per-session
-  * `register(spark)` calls remain for ad-hoc sessions) plus the three
+  * `register(spark)` calls remain for ad-hoc sessions) plus the four
   * optimizer rules: [[DotProductRewrite]] (portable HOF dot products
   * upgraded to the native expression engine-wide),
   * [[ManifestBroadcastJoins]] (join strategy chosen from the
-  * transactional sink's commit-log row counts), and
+  * transactional sink's commit-log row counts),
   * [[MetadataAggregates]] (whole count aggregates over tx-table scans
-  * rewritten into commit-log answers). Everything else in
+  * rewritten into commit-log answers), and [[MvRewrite]] (aggregates
+  * over a tx-table scan redirected to a registered, version-fresh
+  * rollup table when the view grain can answer them). Everything else in
   * this library is deliberately plain DataFrame code — built-in
   * operators express the semantics, so Catalyst needs no other help
   * (SURVEY.md §7.3: prefer composition, then expressions, then rules;
@@ -30,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectOptimizerRule(_ => ManifestBroadcastJoins)
     ext.injectOptimizerRule(_ => MetadataAggregates)
+    ext.injectOptimizerRule(_ => MvRewrite)
   }
 }
 

@@ -112,7 +112,7 @@ object MetadataAggregates extends Rule[LogicalPlan] {
   private def resolvable(lr: LogicalRelation, es: Seq[Expression]): Boolean =
     es.flatMap(_.references).forall(a => lr.outputSet.contains(a))
 
-  private def sinkOf(p: LogicalPlan,
+  private[plans] def sinkOf(p: LogicalPlan,
       filters: scala.collection.mutable.ListBuffer[Expression],
       checked: Seq[Expression]): Option[TxParquetSink] =
     for {

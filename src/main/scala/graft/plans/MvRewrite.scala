@@ -1,0 +1,222 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+
+import graft.etl.TxParquetSink
+
+/** MATERIALIZED-VIEW ROLLUP REWRITE — the classic aggregate-rewrite
+  * optimization (Goldstein & Larson, SIGMOD 2001; the feature every
+  * warehouse ships as "query rewrite against materialized views"),
+  * done as a Catalyst rule over the transactional sink: an
+  * `Aggregate` whose scan covers a [[TxParquetSink]] snapshot exactly
+  * is redirected to a REGISTERED rollup table when the view can
+  * provably answer it —
+  *
+  *  - the query's grouping columns are a SUBSET of the view's grouping
+  *    columns (same grain = direct hit; strictly coarser = rollup:
+  *    SUM re-sums partial sums, COUNT(*) sums the view's row counts,
+  *    MIN/MAX fold the view's extremes — the only aggregates whose
+  *    re-aggregation is exact, which is why AVG and DISTINCT are
+  *    deliberately out of scope),
+  *  - every aggregate's source column has the matching pre-aggregate
+  *    stored in the view (sum_/min_/max_ per registered value column,
+  *    `cnt` for COUNT), with integral SUM only (long addition is
+  *    associative even under wrap, so partial-sum re-summing is
+  *    bit-exact; float re-association is not),
+  *  - filters reference grouping columns of the VIEW only — each view
+  *    row belongs wholly inside or outside such a predicate, so the
+  *    filter transplants onto the view scan verbatim,
+  *  - the view is FRESH: it was built at exactly the snapshot version
+  *    the scan covers ([[MvCatalog]] records the base version at
+  *    registration; one later commit and the rule stands down — the
+  *    scan, not the stale view, answers).
+  *
+  * The rewrite preserves the original output attributes (names,
+  * exprIds) so parent operators re-resolve untouched, and it is
+  * all-or-nothing: any unsupported aggregate, grouping expression,
+  * filter reference, type mismatch, or staleness leaves the plan
+  * alone. At 100 TB this is the difference between a dashboard
+  * aggregating a fact table and one aggregating a few thousand
+  * pre-rolled rows — and unlike [[MetadataAggregates]] (which answers
+  * from commit-log stats and needs no auxiliary table) it covers
+  * GROUP BY any registered grain, at the price of keeping the rollup
+  * fresh ([[graft.etl.Ivm]] is the maintenance algebra for exactly
+  * these SUM/COUNT views). */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groups, aggs, child, _)
+        if groups.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.nonEmpty && aggs.forall {
+            case _: AttributeReference => true
+            case Alias(ae: AggregateExpression, _) => supported(ae)
+            case _ => false
+          } =>
+      rewrite(agg, groups.map(_.asInstanceOf[AttributeReference]),
+        aggs, child).getOrElse(agg)
+  }
+
+  private def supported(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) => l.value != null
+      case Min(_: AttributeReference) => true
+      case Max(_: AttributeReference) => true
+      case Sum(a: AttributeReference, _) => a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      case _ => false
+    })
+
+  private def rewrite(agg: Aggregate, groups: Seq[AttributeReference],
+      aggs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val filters = scala.collection.mutable.ListBuffer.empty[Expression]
+    for {
+      sink <- MetadataAggregates.sinkOf(child, filters, aggs)
+      mv <- MvCatalog.lookup(sink.dir)
+      // freshness: built at exactly the version this scan covers
+      if sink.version() == mv.baseVersion
+      // query grain ⊆ view grain, filters over view grouping cols only
+      if groups.forall(g => mv.groupCols.contains(g.name))
+      if filters.flatMap(_.references)
+        .forall(a => mv.groupCols.contains(a.name))
+      plan <- build(mv, groups, aggs, filters.toSeq)
+    } yield plan
+  }
+
+  /** The replacement plan: [Filter] + Aggregate over the view scan,
+    * output aliased back to the ORIGINAL names and exprIds. */
+  private def build(mv: MvCatalog.MvDef, groups: Seq[AttributeReference],
+      aggs: Seq[NamedExpression], filters: Seq[Expression])
+      : Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val mvPlan = spark.read.schema(mv.schema).parquet(mv.mvPath)
+      .queryExecution.analyzed
+    val byName = mvPlan.output.map(a => a.name -> a).toMap
+
+    // every group column must exist in the view at the identical type
+    // (the rollup was computed FROM these columns, but a registration
+    // against a since-evolved schema must not slip through)
+    val groupsOk = groups.forall(g =>
+      byName.get(g.name).exists(_.dataType == g.dataType))
+
+    def derived(ae: AggregateExpression): Option[Expression] =
+      ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) =>
+          byName.get(mv.countCol).map(cnt =>
+            // COUNT is non-null by contract; the re-sum of per-group
+            // counts is too (groups exist only with ≥1 view row), and
+            // the coalesce keeps the output attribute's nullability
+            // honest for the global-aggregate-over-empty-view case
+            Coalesce(Seq(ae.copy(aggregateFunction = Sum(cnt)),
+              Literal(0L))))
+        case Min(a: AttributeReference) =>
+          mv.mins.get(a.name).flatMap(byName.get)
+            .filter(_.dataType == a.dataType)
+            .map(c => ae.copy(aggregateFunction = Min(c)))
+        case Max(a: AttributeReference) =>
+          mv.maxs.get(a.name).flatMap(byName.get)
+            .filter(_.dataType == a.dataType)
+            .map(c => ae.copy(aggregateFunction = Max(c)))
+        case Sum(a: AttributeReference, _) =>
+          // the view stores integral sums widened to long; re-summing
+          // partial longs is associative (exact, wrap-consistent), and
+          // the result type matches the original Sum's long output
+          mv.sums.get(a.name).flatMap(byName.get)
+            .filter(_.dataType == LongType)
+            .map(c => ae.copy(aggregateFunction = Sum(c)))
+        case _ => None
+      }
+
+    val named = aggs.map {
+      case g: AttributeReference =>
+        byName.get(g.name).map(mvAttr =>
+          Alias(mvAttr, g.name)(exprId = g.exprId))
+      case al @ Alias(ae: AggregateExpression, name) =>
+        derived(ae).map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (!groupsOk || named.exists(_.isEmpty)) None
+    else {
+      val cond = filters.reduceOption((a, b) =>
+        org.apache.spark.sql.catalyst.expressions.And(a, b))
+      val condMv = cond.map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      })
+      val base = condMv.map(Filter(_, mvPlan)).getOrElse(mvPlan)
+      val mvGroups = groups.map(g => byName(g.name))
+      val namedOut = named.map(_.get)
+      // prune the view scan to the referenced columns ourselves — the
+      // rule runs after the main optimizer batches, so ColumnPruning
+      // won't revisit this subtree
+      val needed = (namedOut.flatMap(_.references) ++ mvGroups ++
+        condMv.toSeq.flatMap(_.references)).distinct
+      Some(Aggregate(mvGroups, namedOut,
+        Project(mvPlan.output.filter(needed.contains), base)))
+    }
+  }
+}
+
+/** The registered-rollup registry [[MvRewrite]] consults, keyed by the
+  * base table's root directory. Registration is session-shared mutable
+  * state, exactly like a warehouse's MV catalog; re-registering after
+  * a refresh replaces the entry (and bumps the recorded base version,
+  * which is what re-arms the rule after the base moves). */
+object MvCatalog {
+
+  /** A rollup table on disk: grouped by `groupCols`, carrying
+    * `sum_<c>`/`min_<c>`/`max_<c>` per value column and a `cnt` row
+    * count, built from base-table version `baseVersion`. */
+  final case class MvDef(
+      mvPath: String,
+      schema: StructType,
+      baseVersion: Long,
+      groupCols: Seq[String],
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      countCol: String)
+
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  def register(baseDir: String, d: MvDef): Unit = defs.put(baseDir, d)
+  def lookup(baseDir: String): Option[MvDef] = Option(defs.get(baseDir))
+  def unregister(baseDir: String): Unit = defs.remove(baseDir)
+
+  /** Builds the rollup of `sink`'s CURRENT snapshot at `groupCols`
+    * grain over integral `valueCols`, writes it to `mvPath`, and
+    * registers it. The version is read before and after the build —
+    * a base that moved mid-build fails registration rather than
+    * recording a version the rollup doesn't reflect. */
+  def registerRollup(spark: SparkSession, sink: TxParquetSink,
+      groupCols: Seq[String], valueCols: Seq[String],
+      mvPath: String): MvDef = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    val v0 = sink.version()
+    val snap = sink.readSnapshot(spark).getOrElse(
+      throw new IllegalStateException(s"registerRollup: empty table ${sink.dir}"))
+    val aggCols = valueCols.flatMap(c => Seq(
+      sum(col(c).cast("long")).as(s"sum_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+    val mv = snap.groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    mv.write.mode("overwrite").parquet(mvPath)
+    require(sink.version() == v0,
+      s"registerRollup: base ${sink.dir} moved during the build " +
+        s"($v0 -> ${sink.version()}); retry against the new snapshot")
+    val d = MvDef(mvPath, mv.schema, v0, groupCols,
+      sums = valueCols.map(c => c -> s"sum_$c").toMap,
+      mins = valueCols.map(c => c -> s"min_$c").toMap,
+      maxs = valueCols.map(c => c -> s"max_$c").toMap,
+      countCol = "cnt")
+    register(sink.dir, d)
+    d
+  }
+}

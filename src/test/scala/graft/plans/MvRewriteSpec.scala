@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.TxParquetSink
+
+/** [[MvRewrite]] is only safe if it fires EXACTLY when the registered
+  * rollup provably answers the query: the positive paths must redirect
+  * the plan to the view (and agree with the rule-off answer row for
+  * row), and every guard — staleness, shadowing projections, foreign
+  * aggregates, filters off the view grain, type drift — must keep the
+  * fact scan. */
+class MvRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A small governed base: (g, h, v) with two grouping grains. */
+  private def freshBase(): (TxParquetSink, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvspec").toString
+    val t = TxParquetSink(s"$dir/base")
+    val rows = (1 to 200).map(i => (i % 5, i % 3, i.toLong))
+    t.append(rows.toDF("g", "h", "v").where(col("g") < 3))
+    t.append(rows.toDF("g", "h", "v").where(col("g") >= 3))
+    (t, s"$dir/mv")
+  }
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def readsOnly(df: DataFrame, path: String): Boolean = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.forall(_.toUri.getPath.startsWith(path))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  private def readsBase(df: DataFrame, t: TxParquetSink): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toUri.getPath.startsWith(t.dir))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  test("coarser-grain rollup fires, reads only the view, and matches the rule-off answer") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"),
+        min("v").as("lo"), max("v").as("hi"))
+      .orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsOnly(on, mvPath), on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+    }
+  }
+
+  test("same-grain direct hit and global rollup both fire and agree") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    def grain() = t.readSnapshot(spark).get
+      .groupBy("g", "h").agg(sum("v").as("s")).orderBy("g", "h")
+    def global() = t.readSnapshot(spark).get
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val (offGrain, offGlobal) = (grain().collect().toSeq, global().collect().toSeq)
+    withRule {
+      assert(readsOnly(grain(), mvPath))
+      assert(grain().collect().toSeq === offGrain)
+      assert(readsOnly(global(), mvPath))
+      assert(global().collect().toSeq === offGlobal)
+    }
+  }
+
+  test("filter on a view grouping column transplants; filter on a value column keeps the scan") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    def byGroup() = t.readSnapshot(spark).get
+      .where(col("h") === 1).groupBy("g").agg(sum("v").as("s")).orderBy("g")
+    val off = byGroup().collect().toSeq
+    withRule {
+      assert(readsOnly(byGroup(), mvPath))
+      assert(byGroup().collect().toSeq === off)
+      val byValue = t.readSnapshot(spark).get
+        .where(col("v") > 50).groupBy("g").agg(sum("v").as("s"))
+      assert(readsBase(byValue, t), "value filter must keep the fact scan")
+    }
+  }
+
+  test("one base commit after registration disarms the rule (staleness)") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    t.append(Seq((7, 9, 1000L)).toDF("g", "h", "v"))
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsBase(q, t), "stale view must not answer")
+      // and the answer includes the post-registration row
+      assert(q.where(col("g") === 7).collect().head.getLong(1) === 1000L)
+    }
+    // re-registering at the new version re-arms
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    withRule {
+      assert(readsOnly(
+        t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s")), mvPath))
+    }
+  }
+
+  test("shadowing projection, foreign aggregate, and derived grouping all keep the scan") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    withRule {
+      // a computed alias shadowing the value column by name must never
+      // reach the view's pre-aggregates
+      val shadow = t.readSnapshot(spark).get
+        .select(col("g"), (col("v") % 3).as("v"))
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(readsBase(shadow, t), "shadowed column must keep the scan")
+      val avg_ = t.readSnapshot(spark).get
+        .groupBy("g").agg(avg("v").as("a"))
+      assert(readsBase(avg_, t), "AVG is not re-aggregable from the view")
+      val derived = t.readSnapshot(spark).get
+        .groupBy((col("g") + 1).as("g1")).agg(sum("v").as("s"))
+      assert(readsBase(derived, t), "derived grouping must keep the scan")
+      val distinct_ = t.readSnapshot(spark).get
+        .groupBy("g").agg(countDistinct(col("v")).as("d"))
+      assert(readsBase(distinct_, t), "DISTINCT is not re-aggregable")
+    }
+  }
+
+  test("a query grouping outside the view grain keeps the scan") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
+    withRule {
+      val q = t.readSnapshot(spark).get
+        .groupBy("h").agg(sum("v").as("s"))
+      assert(readsBase(q, t), "h is not a view grouping column")
+    }
+  }
+}
