@@ -2142,6 +2142,30 @@ object EtlOracleSql {
       |GROUP BY year
       |ORDER BY year""".stripMargin
 
+  /** MV-refresh twin: the per-customer profile over base ∪ delta (the
+    * last year's orders restated at doubled cents) — what the
+    * incrementally-maintained rollup, served through the rewrite,
+    * must land exactly. */
+  val mvRefresh: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |u AS (
+      |  SELECT o_custkey, cents FROM o
+      |  UNION ALL
+      |  SELECT o_custkey, CAST(cents * 2 AS BIGINT) AS cents
+      |  FROM o WHERE year = (SELECT max(year) FROM o)
+      |)
+      |SELECT o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM u GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

@@ -2833,6 +2833,54 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** MV INCREMENTAL REFRESH — the freshness loop closed: the rollup is
+    * registered on a CLONE of the orders table, the base then MOVES (a
+    * delta commit restates the last year's orders at doubled cents —
+    * at this point the rule is disarmed by the version gate), and
+    * [[graft.plans.MvCatalog.refresh]] brings the view forward from
+    * the sink's own change feed: delta commits aggregated at view
+    * grain, full-outer-merged into the stored rollup (SUM/COUNT
+    * self-maintenance; insert-only feed, so the stored extremes fold
+    * through least/greatest) — O(changed commits) + O(view), never a
+    * base rescan. The re-registered view re-arms [[graft.plans.MvRewrite]]
+    * and the SAME coarser-grain query must now (a) plan against the
+    * REFRESHED rollup only and (b) hash-gate against DuckDB's
+    * recompute over base ∪ delta: incrementally-maintained ≡
+    * recomputed, served through the optimizer rewrite. At 100 TB this
+    * is the full warehouse MV lifecycle: cheap maintenance per commit,
+    * stale answers structurally impossible. */
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = TxFixtures.cloneOf(
+      TxFixtures.ordersYearSink(spark, dir), "graft-mvref")
+    val mvPath = base.dir + "_mv"
+    graft.plans.MvCatalog.registerRollup(spark, base,
+      Seq("year", "o_custkey"), Seq("cents"), mvPath)
+    val o = TxFixtures.ordersProjected(spark, dir)
+    val maxY = o.agg(max("year")).head().getInt(0)
+    base.append(o.where(col("year") === lit(maxY))
+      .withColumn("cents", (col("cents") * 2).cast("long")))
+    val d = graft.plans.MvCatalog.refresh(spark, base).get
+    require(d.baseVersion == base.version(),
+      "refresh must land at the base's current version")
+    require(d.mvPath != mvPath,
+      "an insert-only refresh must be the incremental merge, not a rebuild")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = base.readSnapshot(spark).get
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      requireMvOnly(rolled, d.mvPath, base.dir)
+      val rows = rolled.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), rolled.schema)
+        .orderBy("o_custkey")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** The MV rows' plan gate: every leaf must be a scan of the rollup
     * table — the rewrite silently not firing (and the query quietly
     * reading the fact) fails the row instead of faking the result. */

@@ -112,24 +112,36 @@ object MetadataAggregates extends Rule[LogicalPlan] {
   private def resolvable(lr: LogicalRelation, es: Seq[Expression]): Boolean =
     es.flatMap(_.references).forall(a => lr.outputSet.contains(a))
 
-  private[plans] def sinkOf(p: LogicalPlan,
+  /** Every sink whose CURRENT snapshot the scan covers exactly. A
+    * diverged shallow clone scans files under BOTH its own root and
+    * its source's (cloneTo rewrites borrowed references to absolute
+    * source paths), so every scan root contributes a candidate table
+    * and each candidate is checked for full coverage — the source
+    * fails the equality (it doesn't know the clone's own commits), the
+    * clone passes. A fresh, undiverged clone legitimately yields both
+    * (identical file sets, identical answers). */
+  private[plans] def sinksOf(p: LogicalPlan,
       filters: scala.collection.mutable.ListBuffer[Expression],
-      checked: Seq[Expression]): Option[TxParquetSink] =
-    for {
-      lr <- leafOf(p, filters)
+      checked: Seq[Expression]): Seq[TxParquetSink] =
+    (for {
+      lr <- leafOf(p, filters).toSeq
       if resolvable(lr, checked ++ filters.toSeq)
       fs <- lr.relation match {
-        case h: HadoopFsRelation => Some(h)
-        case _ => None
+        case h: HadoopFsRelation => Seq(h)
+        case _ => Nil
       }
       roots = fs.location.rootPaths.map(_.toUri.getPath)
-      head <- roots.headOption
-      table <- ManifestBroadcastJoins.tableRootOf(head)
+      table <- roots.flatMap(ManifestBroadcastJoins.tableRootOf).distinct
       sink = TxParquetSink(table)
       // full-coverage check: the scan must read EXACTLY the current
       // snapshot (a pruned read or a post-plan commit fails equality)
       if roots.toSet == sink.pathRows().keySet
-    } yield sink
+    } yield sink)
+
+  private[plans] def sinkOf(p: LogicalPlan,
+      filters: scala.collection.mutable.ListBuffer[Expression],
+      checked: Seq[Expression]): Option[TxParquetSink] =
+    sinksOf(p, filters, checked).headOption
 
   /** All the aggregates' literal values, or None if any guard fails. */
   private def answer(p: LogicalPlan, named: Seq[NamedExpression],

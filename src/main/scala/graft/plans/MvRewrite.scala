@@ -77,8 +77,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       aggs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val filters = scala.collection.mutable.ListBuffer.empty[Expression]
     for {
-      sink <- MetadataAggregates.sinkOf(child, filters, aggs)
-      mv <- MvCatalog.lookup(sink.dir)
+      // a diverged clone's scan yields both the clone and (failing
+      // coverage) its source as candidates — take the first covering
+      // sink that has a registered view
+      (sink, mv) <- MetadataAggregates.sinksOf(child, filters, aggs)
+        .flatMap(s => MvCatalog.lookup(s.dir).map(d => (s, d)))
+        .headOption
       // freshness: built at exactly the version this scan covers
       if sink.version() == mv.baseVersion
       // query grain ⊆ view grain, filters over view grouping cols only
@@ -170,13 +174,17 @@ object MvRewrite extends Rule[LogicalPlan] {
 object MvCatalog {
 
   /** A rollup table on disk: grouped by `groupCols`, carrying
-    * `sum_<c>`/`min_<c>`/`max_<c>` per value column and a `cnt` row
-    * count, built from base-table version `baseVersion`. */
+    * `sum_<c>` (and, when registered with extremes, `min_<c>`/
+    * `max_<c>`) per value column plus a `cnt` row count, built from
+    * base-table version `baseVersion`. `valueCols` preserves the
+    * registration order — the stored column order [[refresh]] must
+    * reproduce. */
   final case class MvDef(
       mvPath: String,
       schema: StructType,
       baseVersion: Long,
       groupCols: Seq[String],
+      valueCols: Seq[String],
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
@@ -191,32 +199,108 @@ object MvCatalog {
 
   /** Builds the rollup of `sink`'s CURRENT snapshot at `groupCols`
     * grain over integral `valueCols`, writes it to `mvPath`, and
-    * registers it. The version is read before and after the build —
-    * a base that moved mid-build fails registration rather than
-    * recording a version the rollup doesn't reflect. */
+    * registers it. `minMax = false` registers a SUM/COUNT-only view —
+    * the fully self-maintainable algebra, refreshable through deletes
+    * ([[refresh]]); with extremes stored, a delete-bearing feed forces
+    * a rebuild (MIN/MAX are not self-maintainable under retraction —
+    * the [[graft.etl.Ivm]] taxonomy). The version is read before and
+    * after the build — a base that moved mid-build fails registration
+    * rather than recording a version the rollup doesn't reflect. */
   def registerRollup(spark: SparkSession, sink: TxParquetSink,
       groupCols: Seq[String], valueCols: Seq[String],
-      mvPath: String): MvDef = {
+      mvPath: String, minMax: Boolean = true): MvDef = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     val v0 = sink.version()
     val snap = sink.readSnapshot(spark).getOrElse(
       throw new IllegalStateException(s"registerRollup: empty table ${sink.dir}"))
-    val aggCols = valueCols.flatMap(c => Seq(
-      sum(col(c).cast("long")).as(s"sum_$c"),
-      min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+    val aggCols = valueCols.flatMap(c =>
+      Seq(sum(col(c).cast("long")).as(s"sum_$c")) ++
+        (if (minMax) Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+         else Nil)) :+ count(lit(1)).as("cnt")
     val mv = snap.groupBy(groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     mv.write.mode("overwrite").parquet(mvPath)
     require(sink.version() == v0,
       s"registerRollup: base ${sink.dir} moved during the build " +
         s"($v0 -> ${sink.version()}); retry against the new snapshot")
-    val d = MvDef(mvPath, mv.schema, v0, groupCols,
+    val d = MvDef(mvPath, mv.schema, v0, groupCols, valueCols,
       sums = valueCols.map(c => c -> s"sum_$c").toMap,
-      mins = valueCols.map(c => c -> s"min_$c").toMap,
-      maxs = valueCols.map(c => c -> s"max_$c").toMap,
+      mins = if (minMax) valueCols.map(c => c -> s"min_$c").toMap else Map.empty,
+      maxs = if (minMax) valueCols.map(c => c -> s"max_$c").toMap else Map.empty,
       countCol = "cnt")
     register(sink.dir, d)
     d
+  }
+
+  /** INCREMENTAL REFRESH — brings the registered rollup forward to the
+    * base's current version from the sink's own change feed
+    * ([[TxParquetSink.changesBetween]]), never a base rescan when the
+    * algebra allows: the delta commits aggregate at view grain with
+    * CDC sign (I adds, D subtracts — SUM/COUNT self-maintenance), the
+    * stored view full-outer-merges with coalesce-to-zero, and a group
+    * whose row count reaches zero leaves the view (the multiplicity
+    * discipline). MIN/MAX columns fold through `least`/`greatest` —
+    * valid ONLY for an insert-only feed, so a delete-bearing feed on a
+    * view with stored extremes falls back to a full
+    * [[registerRollup]] rebuild (Gupta & Mumick: MIN/MAX are not
+    * self-maintainable under retraction). The refreshed rollup lands
+    * at a NEW path (readers planned against the old one are
+    * unaffected) and re-registers at the new base version — which is
+    * what re-arms [[MvRewrite]] after the base moved. Cost:
+    * O(changed commits) + O(view), never O(base). */
+  def refresh(spark: SparkSession, sink: TxParquetSink): Option[MvDef] = {
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
+    lookup(sink.dir).map { d =>
+      val v1 = sink.version()
+      if (v1 == d.baseVersion) d
+      else {
+        val minMax = d.mins.nonEmpty || d.maxs.nonEmpty
+        val feedOpt = sink.changesBetween(spark, d.baseVersion, v1)
+        val hasDeletes = feedOpt.exists(f =>
+          f.where(col("_change_type") === "D").limit(1).count() > 0)
+        val newPath = s"${d.mvPath}_r$v1"
+        val d2 = feedOpt match {
+          case None =>
+            // only base/metadata commits in range: contents unchanged,
+            // re-stamp the version
+            d.copy(baseVersion = v1)
+          case Some(_) if hasDeletes && minMax =>
+            // retraction hit stored extremes: rebuild (re-registers)
+            registerRollup(spark, sink, d.groupCols, d.valueCols,
+              newPath, minMax = true)
+          case Some(feed) =>
+            val sgn = when(col("_change_type") === "I", lit(1L))
+              .otherwise(lit(-1L))
+            val deltaAggs = d.valueCols.flatMap(c =>
+              Seq(sum(sgn * col(c).cast("long")).as(s"d_sum_$c")) ++
+                (if (minMax) Seq(min(col(c)).as(s"d_min_$c"),
+                  max(col(c)).as(s"d_max_$c")) else Nil)) :+
+              sum(sgn).as("d_cnt")
+            val delta = feed.groupBy(d.groupCols.map(col): _*)
+              .agg(deltaAggs.head, deltaAggs.tail: _*)
+            val old = spark.read.schema(d.schema).parquet(d.mvPath)
+            val mergedCols = d.valueCols.flatMap(c =>
+              Seq((coalesce(col(s"sum_$c"), lit(0L)) +
+                coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c")) ++
+                (if (minMax) Seq(
+                  least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
+                  greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))
+                 else Nil)) :+
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("d_cnt"), lit(0L))).as("cnt")
+            old.join(delta, d.groupCols, "full_outer")
+              .select(d.groupCols.map(col) ++ mergedCols: _*)
+              .where(col("cnt") > 0)
+              .select(d.schema.fieldNames.map(col).toSeq: _*)
+              .write.mode("overwrite").parquet(newPath)
+            require(sink.version() == v1,
+              s"refresh: base ${sink.dir} moved during the merge " +
+                s"($v1 -> ${sink.version()}); retry")
+            d.copy(mvPath = newPath, baseVersion = v1)
+        }
+        register(sink.dir, d2)
+        d2
+      }
+    }
   }
 }

@@ -143,6 +143,81 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("insert-only refresh merges incrementally and equals a from-scratch rebuild") {
+    val (t, mvPath) = freshBase()
+    val d0 = MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    t.append(Seq((1, 1, 500L), (9, 9, 7L)).toDF("g", "h", "v"))
+    val d1 = MvCatalog.refresh(spark, t).get
+    assert(d1.baseVersion === t.version())
+    assert(d1.mvPath !== d0.mvPath, "refresh must land at a new path")
+    // incremental contents ≡ recompute from the current snapshot
+    val inc = spark.read.schema(d1.schema).parquet(d1.mvPath)
+      .orderBy("g", "h").collect().toSeq
+    val d2 = MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"),
+      mvPath + "_rebuild")
+    val full = spark.read.schema(d2.schema).parquet(d2.mvPath)
+      .orderBy("g", "h").collect().toSeq
+    assert(inc === full, "incremental refresh diverged from rebuild")
+    // and the refreshed registration re-arms the rule
+    MvCatalog.register(t.dir, d1)
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsOnly(q, d1.mvPath))
+    }
+  }
+
+  test("a delete-bearing feed rebuilds a view with extremes, merges a SUM/COUNT-only view") {
+    val (t, mvPath) = freshBase()
+    // extremes stored: retraction forces the rebuild path
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
+    t.deleteWhere(spark, "h = 2")
+    val d1 = MvCatalog.refresh(spark, t).get
+    val rebuilt = spark.read.schema(d1.schema).parquet(d1.mvPath)
+      .orderBy("g").collect().toSeq
+    val check = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      mvPath + "_chk")
+    assert(rebuilt === spark.read.schema(check.schema).parquet(check.mvPath)
+      .orderBy("g").collect().toSeq)
+
+    // SUM/COUNT-only view: the same retraction merges incrementally
+    // (signed deltas), including a group vanishing outright
+    val (t2, mvPath2) = freshBase()
+    val s0 = MvCatalog.registerRollup(spark, t2, Seq("g"), Seq("v"),
+      mvPath2, minMax = false)
+    assert(s0.mins.isEmpty && s0.maxs.isEmpty)
+    t2.deleteWhere(spark, "g = 2")
+    val s1 = MvCatalog.refresh(spark, t2).get
+    assert(s1.mvPath != s0.mvPath && s1.mvPath.contains("_r"),
+      "SUM/COUNT-only refresh must take the incremental path")
+    val inc = spark.read.schema(s1.schema).parquet(s1.mvPath)
+      .orderBy("g").collect().toSeq
+    val chk = MvCatalog.registerRollup(spark, t2, Seq("g"), Seq("v"),
+      mvPath2 + "_chk", minMax = false)
+    assert(inc === spark.read.schema(chk.schema).parquet(chk.mvPath)
+      .orderBy("g").collect().toSeq)
+    assert(!inc.exists(_.getInt(0) == 2), "the deleted group must leave the view")
+  }
+
+  test("the rewrite serves a DIVERGED clone from its own registered view") {
+    val (t, mvPath) = freshBase()
+    val cloneDir = java.nio.file.Files
+      .createTempDirectory("graft-mvspec-clone").toString + "/c"
+    val c = TxParquetSink(cloneDir)
+    t.cloneTo(c)
+    c.append(Seq((1, 1, 999L)).toDF("g", "h", "v"))
+    MvCatalog.registerRollup(spark, c, Seq("g", "h"), Seq("v"), mvPath)
+    def q() = c.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsOnly(on, mvPath),
+        "a diverged clone's mixed-root scan must still resolve to the clone")
+      assert(on.collect().toSeq === off)
+    }
+  }
+
   test("a query grouping outside the view grain keeps the scan") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
