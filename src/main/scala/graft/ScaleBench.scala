@@ -152,7 +152,20 @@ object ScaleBench {
     "etl_tx_count_rule",
     // per-store ACF: the fact scan is the data-sized stage; the
     // lag-offset self-join runs on the calendar-bounded aggregate
-    "etl_acf")
+    "etl_acf",
+    // round-10: ANN retraction + hybrid-under-churn replays (index
+    // maintenance is delta-sized; compaction is store-sized), the
+    // maintained merge-target read (the policy's bounded scan groups),
+    // the MV rollup re-aggregation (view-sized, never fact-sized), and
+    // the incremental MV refresh (clone + delta commit + feed-sized
+    // merge). The rule rows etl_tx_stats_rule/etl_tx_group_rule are
+    // O(commits) driver folds over stored fixtures — nothing
+    // data-sized to probe.
+    "stream_ann_delete", "stream_hybrid_churn", "etl_tx_merge_policy",
+    "etl_mv_rewrite", "etl_mv_refresh",
+    // the per-commit streamed MV maintenance replay (each tick is
+    // delta-sized + view-sized; the mid-replay compact is store-sized)
+    "stream_mv_refresh")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -206,6 +219,10 @@ object ScaleBench {
         try {
           graft.etl.Star.salesFact(spark, dir).count()
           graft.ext.DedupOps.buildIndexes(spark, dir)
+          // canonical tx fixtures (the round-10 harness/query split):
+          // without this the FIRST tx row at each scale absorbs the
+          // shared ingest and its ratio reads as harness, not query
+          graft.etl.TxFixtures.buildAll(spark, dir)
         } catch { case e: Throwable =>
           System.err.println(s"[scalebench] setup($dir) failed: ${e.getMessage}")
         }

@@ -2166,6 +2166,30 @@ object EtlOracleSql {
       |FROM u GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** Streamed-MV twin: the per-customer SUM/COUNT profile over the
+    * replay's surviving rows — the mid-replay DELETE masks only the
+    * first three years' commits (rows landed before it), so customers
+    * hit by it survive through their later-year orders only. What the
+    * per-commit incremental maintenance, served through the rewrite,
+    * must land exactly. */
+  val mvStreamRefresh: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |y3 AS (SELECT year AS cut FROM (SELECT DISTINCT year FROM o)
+      |       ORDER BY year LIMIT 1 OFFSET 2),
+      |u AS (
+      |  SELECT * FROM o
+      |  WHERE NOT (o_custkey % 7 = 3 AND year <= (SELECT cut FROM y3))
+      |)
+      |SELECT o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM u GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

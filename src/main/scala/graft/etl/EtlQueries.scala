@@ -2884,7 +2884,7 @@ object EtlQueries {
   /** The MV rows' plan gate: every leaf must be a scan of the rollup
     * table — the rewrite silently not firing (and the query quietly
     * reading the fact) fails the row instead of faking the result. */
-  private def requireMvOnly(df: DataFrame, mvPath: String,
+  private[graft] def requireMvOnly(df: DataFrame, mvPath: String,
       baseDir: String): Unit = {
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val ok = leaves.nonEmpty && leaves.forall {
