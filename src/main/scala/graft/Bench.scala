@@ -67,7 +67,11 @@ object Bench {
     // and single mutation commits against these stored fixtures —
     // mutators clone (O(commits) metadata), never re-ingest
     "tx_tables" -> Seq(
-      "tx_fixtures" -> (() => graft.etl.TxFixtures.buildAll(spark, sfDir))))
+      "tx_fixtures" -> (() => graft.etl.TxFixtures.buildCanonical(spark, sfDir))),
+    // the merge-churn replay arms are ~30 sequential merge commits —
+    // their own chain, overlapped with the canonical loads
+    "tx_churn" -> Seq(
+      "tx_churn" -> (() => graft.etl.TxFixtures.buildChurn(spark, sfDir))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2121,6 +2121,7 @@ object EtlOracleSql {
       |SELECT o_custkey,
       |       CAST(sum(cents) AS BIGINT) AS total_cents,
       |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(count(cents) AS BIGINT) AS n_vals,
       |       CAST(min(cents) AS BIGINT) AS min_cents,
       |       CAST(max(cents) AS BIGINT) AS max_cents
       |FROM o GROUP BY o_custkey

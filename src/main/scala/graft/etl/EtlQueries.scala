@@ -2793,6 +2793,7 @@ object EtlQueries {
         .groupBy("o_custkey")
         .agg(sum(col("cents")).as("total_cents"),
           count(lit(1)).as("n_orders"),
+          count(col("cents")).as("n_vals"),
           min(col("cents")).as("min_cents"),
           max(col("cents")).as("max_cents"))
       requireMvOnly(rolled, mvPath, t.dir)

@@ -315,9 +315,10 @@ object TxFixtures {
     t
   }
 
-  /** Pre-builds every canonical fixture — the Bench setup hook, so the
-    * timed tx rows start from stored tables like a deployment would. */
-  def buildAll(spark: SparkSession, dir: String): Unit = {
+  /** Pre-builds the canonical read-only sinks (plus the orders rollup
+    * registration, which depends on [[ordersYearSink]]) — one of
+    * [[graft.Bench]]'s two parallel tx setup chains. */
+  def buildCanonical(spark: SparkSession, dir: String): Unit = {
     statsYearSink(spark, dir)
     plainYearSink(spark, dir)
     ordersYearSink(spark, dir)
@@ -326,8 +327,23 @@ object TxFixtures {
     clusteredSink(spark, dir)
     sketchSinks(spark, dir)
     groupYearSink(spark, dir)
+    ordersMv(spark, dir)
+  }
+
+  /** Pre-builds the merge-churn replay arms (one merge commit per
+    * half-year, twice): the other parallel chain, so ~30 sequential
+    * merge commits don't serialize behind the canonical loads. Only
+    * [[monthlyCents]] is shared with the canonical chain, and the
+    * keyed cache makes a build race merely wasted work, not a
+    * correctness hazard. */
+  def buildChurn(spark: SparkSession, dir: String): Unit = {
     mergeChurnSink(spark, dir, maintained = true)
     mergeChurnSink(spark, dir, maintained = false)
-    ordersMv(spark, dir)
+  }
+
+  /** Every fixture — the ScaleBench setup hook. */
+  def buildAll(spark: SparkSession, dir: String): Unit = {
+    buildCanonical(spark, dir)
+    buildChurn(spark, dir)
   }
 }

@@ -24,8 +24,9 @@ import graft.etl.TxParquetSink
   *    re-aggregation is exact, which is why AVG and DISTINCT are
   *    deliberately out of scope),
   *  - every aggregate's source column has the matching pre-aggregate
-  *    stored in the view (sum_/min_/max_ per registered value column,
-  *    `cnt` for COUNT), with integral SUM only (long addition is
+  *    stored in the view (sum_/cntn_/min_/max_ per registered value
+  *    column, `cnt` for COUNT(*), `cntn_` for the non-null
+  *    COUNT(col)), with integral SUM only (long addition is
   *    associative even under wrap, so partial-sum re-summing is
   *    bit-exact; float re-association is not),
   *  - filters reference grouping columns of the VIEW only — each view
@@ -64,12 +65,17 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def supported(ae: AggregateExpression): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case Count(Seq(l: Literal)) => l.value != null
+      case Count(Seq(_: AttributeReference)) => true
       case Min(_: AttributeReference) => true
       case Max(_: AttributeReference) => true
       case Sum(a: AttributeReference, _) => a.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
+      // AVG is deliberately ABSENT: Spark's Average accumulates
+      // non-decimal input in double, so a re-sum-exactly-then-divide
+      // rewrite is only bit-identical while totals stay under 2^53 —
+      // the rule never trades exactness for speed
       case _ => false
     })
 
@@ -118,6 +124,11 @@ object MvRewrite extends Rule[LogicalPlan] {
             // the coalesce keeps the output attribute's nullability
             // honest for the global-aggregate-over-empty-view case
             Coalesce(Seq(ae.copy(aggregateFunction = Sum(cnt)),
+              Literal(0L))))
+        case Count(Seq(a: AttributeReference)) =>
+          // non-null count: the view's per-column cntn_<c> re-sums
+          mv.cnts.get(a.name).flatMap(byName.get).map(c =>
+            Coalesce(Seq(ae.copy(aggregateFunction = Sum(c)),
               Literal(0L))))
         case Min(a: AttributeReference) =>
           mv.mins.get(a.name).flatMap(byName.get)
@@ -174,11 +185,11 @@ object MvRewrite extends Rule[LogicalPlan] {
 object MvCatalog {
 
   /** A rollup table on disk: grouped by `groupCols`, carrying
-    * `sum_<c>` (and, when registered with extremes, `min_<c>`/
-    * `max_<c>`) per value column plus a `cnt` row count, built from
-    * base-table version `baseVersion`. `valueCols` preserves the
-    * registration order — the stored column order [[refresh]] must
-    * reproduce. */
+    * `sum_<c>` and non-null count `cntn_<c>` (and, when registered
+    * with extremes, `min_<c>`/`max_<c>`) per value column plus a
+    * `cnt` row count, built from base-table version `baseVersion`.
+    * `valueCols` preserves the registration order — the stored column
+    * order [[refresh]] must reproduce. */
   final case class MvDef(
       mvPath: String,
       schema: StructType,
@@ -188,6 +199,7 @@ object MvCatalog {
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
+      cnts: Map[String, String],
       countCol: String)
 
   private val defs =
@@ -214,7 +226,8 @@ object MvCatalog {
     val snap = sink.readSnapshot(spark).getOrElse(
       throw new IllegalStateException(s"registerRollup: empty table ${sink.dir}"))
     val aggCols = valueCols.flatMap(c =>
-      Seq(sum(col(c).cast("long")).as(s"sum_$c")) ++
+      Seq(sum(col(c).cast("long")).as(s"sum_$c"),
+        count(col(c)).as(s"cntn_$c")) ++
         (if (minMax) Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
          else Nil)) :+ count(lit(1)).as("cnt")
     val mv = snap.groupBy(groupCols.map(col): _*)
@@ -227,6 +240,7 @@ object MvCatalog {
       sums = valueCols.map(c => c -> s"sum_$c").toMap,
       mins = if (minMax) valueCols.map(c => c -> s"min_$c").toMap else Map.empty,
       maxs = if (minMax) valueCols.map(c => c -> s"max_$c").toMap else Map.empty,
+      cnts = valueCols.map(c => c -> s"cntn_$c").toMap,
       countCol = "cnt")
     register(sink.dir, d)
     d
@@ -272,7 +286,9 @@ object MvCatalog {
             val sgn = when(col("_change_type") === "I", lit(1L))
               .otherwise(lit(-1L))
             val deltaAggs = d.valueCols.flatMap(c =>
-              Seq(sum(sgn * col(c).cast("long")).as(s"d_sum_$c")) ++
+              Seq(sum(sgn * col(c).cast("long")).as(s"d_sum_$c"),
+                sum(when(col(c).isNotNull, sgn).otherwise(lit(0L)))
+                  .as(s"d_cntn_$c")) ++
                 (if (minMax) Seq(min(col(c)).as(s"d_min_$c"),
                   max(col(c)).as(s"d_max_$c")) else Nil)) :+
               sum(sgn).as("d_cnt")
@@ -281,7 +297,9 @@ object MvCatalog {
             val old = spark.read.schema(d.schema).parquet(d.mvPath)
             val mergedCols = d.valueCols.flatMap(c =>
               Seq((coalesce(col(s"sum_$c"), lit(0L)) +
-                coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c")) ++
+                coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c"),
+                (coalesce(col(s"cntn_$c"), lit(0L)) +
+                  coalesce(col(s"d_cntn_$c"), lit(0L))).as(s"cntn_$c")) ++
                 (if (minMax) Seq(
                   least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
                   greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))

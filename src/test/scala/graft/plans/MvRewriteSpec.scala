@@ -218,6 +218,32 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("COUNT(col) re-sums the view's non-null counts, including through refresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvspec-n").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append(Seq((1, Some(10L)), (1, None), (2, Some(5L)), (2, None))
+      .toDF("g", "v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv")
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g")
+      .agg(count(col("v")).as("nv"), count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsOnly(on, s"$dir/mv"), on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+    }
+    t.append(Seq((1, None: Option[Long]), (3, Some(2L))).toDF("g", "v"))
+    val d1 = MvCatalog.refresh(spark, t).get
+    val off2 = q().collect().toSeq
+    withRule {
+      val on2 = q()
+      assert(readsOnly(on2, d1.mvPath))
+      assert(on2.collect().toSeq === off2)
+    }
+  }
+
   test("a query grouping outside the view grain keeps the scan") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
