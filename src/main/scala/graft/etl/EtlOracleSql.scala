@@ -2539,6 +2539,28 @@ object EtlOracleSql {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
 
+  /** Grouped+filtered-rule twin: the interior-year range of the
+    * per-year profile recomputed declaratively — the literal rows the
+    * rule emits for the surviving groups must equal the data's own
+    * filtered GROUP BY. */
+  val txGroupWhereRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |ys AS (SELECT DISTINCT substring(month, 1, 4) AS y FROM monthly),
+      |b AS (SELECT (SELECT y FROM ys ORDER BY y LIMIT 1 OFFSET 1) AS lo,
+      |             (SELECT y FROM ys ORDER BY y DESC LIMIT 1 OFFSET 1) AS hi)
+      |SELECT substring(month, 1, 4) AS y,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM monthly, b
+      |WHERE substring(month, 1, 4) >= b.lo AND substring(month, 1, 4) <= b.hi
+      |GROUP BY 1 ORDER BY y""".stripMargin)
+
   /** UPDATE WHERE twin: the declarative CASE spelling of the same
     * UPDATE — the mask-plus-rewrite commit must land exactly here. */
   val txUpdate: String = star(

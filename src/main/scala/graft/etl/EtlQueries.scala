@@ -2770,6 +2770,42 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** GROUPED + FILTERED PROFILE RULE — [[txGroupRule]]'s predicate
+    * sibling (the shape a per-partition monitoring dashboard actually
+    * issues: `WHERE y BETWEEN … GROUP BY y`): the filter constrains the
+    * GROUP column alone, so each partition-grain group is wholly in or
+    * out — decided on the driver against its literal value — and the
+    * rule emits literal rows for the surviving groups only (REQUIRED:
+    * zero scan stages). Bounds are interior years derived from the
+    * data, so both boundary exclusions are exercised. Hash-gated
+    * against DuckDB's declarative recompute of the same range. */
+  def txGroupWhereRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.groupYearSink(spark, dir)
+    val years = TxFixtures.years(spark, dir)
+    val (lo, hi) = (years(1), years(years.size - 2))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val grouped = t.readSnapshot(spark).get
+        .where(s"y >= '$lo' AND y <= '$hi'")
+        .groupBy("y").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+      require(grouped.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the filtered grouped profile " +
+          "into literal rows — it did not fire:\n" +
+          grouped.queryExecution.optimizedPlan.toString)
+      val rows = grouped.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), grouped.schema)
+        .orderBy("y")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** MATERIALIZED-VIEW ROLLUP REWRITE — [[graft.plans.MvRewrite]]
     * exercised end-to-end on the STRICTLY-COARSER grain: the registered
     * rollup lives at (year, o_custkey) ([[TxFixtures.ordersMv]]), the

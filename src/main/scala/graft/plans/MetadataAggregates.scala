@@ -37,10 +37,12 @@ import graft.etl.TxParquetSink
   *    parser) proves every file Full or Excluded;
   *  - with no filters, the same panel rewrites through
   *    [[TxParquetSink.columnMetaProfile]];
-  *  - grouped by a single bare column over an unfiltered scan, the
-  *    panel rewrites through [[TxParquetSink.groupedMetaProfile]] when
-  *    every commit is single-valued in the group column (the
-  *    partition-grain load shape) — one literal row per group;
+  *  - grouped by a single bare column, the panel rewrites through
+  *    [[TxParquetSink.groupedMetaProfile]] when every commit is
+  *    single-valued in the group column (the partition-grain load
+  *    shape) — one literal row per group; deterministic filters over
+  *    the group column itself are admitted (each group is wholly in or
+  *    out, decided on the driver against its literal value);
   *  - in every mode, only if EVERY aggregate in the list is
   *    answerable (all-or-nothing: a plan is never half-rewritten).
   *
@@ -221,27 +223,51 @@ object MetadataAggregates extends Rule[LogicalPlan] {
   }
 
   /** Grouped path: one literal row per group from the partition-grain
-    * per-commit records — all groups, all aggregates, or nothing. */
+    * per-commit records — all groups, all aggregates, or nothing.
+    * Filters are admitted when they constrain the GROUP column alone:
+    * every commit (hence every row of a group) carries one group
+    * value, so a predicate over it includes or excludes groups WHOLE —
+    * evaluated on the driver against each group's literal value with
+    * Filter's own null-drops semantics (`WHERE y BETWEEN …  GROUP BY y`
+    * becomes literal rows for the surviving groups, no scan). A filter
+    * touching any other column, or a non-deterministic one (the scan
+    * would evaluate it per row), keeps the scan. */
   private def answerGrouped(p: LogicalPlan, g: AttributeReference,
       named: Seq[NamedExpression]): Option[Seq[InternalRow]] = {
     val filters = scala.collection.mutable.ListBuffer.empty[Expression]
     val aggs = named.collect { case Alias(ae: AggregateExpression, _) => ae }
     for {
       sink <- sinkOf(p, filters, named)
-      if filters.isEmpty // grouped + filtered: out of scope, keep the scan
+      conds = filters.toSeq
+      if conds.forall(c => c.deterministic &&
+        c.references.forall(_.exprId == g.exprId))
+      pred = conds.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And).map { c =>
+        val bp = org.apache.spark.sql.catalyst.expressions.Predicate
+          .create(c, Seq(g))
+        bp.initialize(0)
+        bp
+      }
       groups <- sink.groupedMetaProfile(g.name, profiledCols(aggs))
       rows = groups.map { case (gv, _, n, profiles) =>
-        val gVal = typed(gv, g.dataType)
-        val vs = named.map {
-          case _: AttributeReference => gVal
-          case Alias(ae: AggregateExpression, _) => valueOf(ae, n, profiles.get)
-          case _ => None
+        typed(gv, g.dataType) match {
+          case None => None // un-round-trippable group value: no rewrite
+          case Some(gVal) if !pred.forall(_.eval(InternalRow(gVal))) =>
+            Some(None) // excluded group: contributes no output row
+          case Some(gVal) =>
+            val vs = named.map {
+              case _: AttributeReference => Some(gVal)
+              case Alias(ae: AggregateExpression, _) =>
+                valueOf(ae, n, profiles.get)
+              case _ => None
+            }
+            if (vs.forall(_.isDefined))
+              Some(Some(InternalRow(vs.map(_.get): _*)))
+            else None
         }
-        if (vs.forall(_.isDefined)) Some(InternalRow(vs.map(_.get): _*))
-        else None
       }
       if rows.forall(_.isDefined)
-    } yield rows.map(_.get)
+    } yield rows.flatMap(_.get)
   }
 
   /** A cast-to-string manifest extremum back in the engine's type —

@@ -211,6 +211,50 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("GROUP BY + a group-column filter rewrites to surviving groups only; other filters keep the scan") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaagggrpf").toString + "/t")
+      (1 to 30).map(d => (f"2024-${(d - 1) / 10 + 1}%02d", d.toLong))
+        .grouped(10).foreach(g =>
+          t.appendWithStats(g.toDF("month", "amount"), Seq("month", "amount")))
+      val snap = t.readSnapshot(s).get
+      val filtered = snap
+        .where("month >= '2024-02'")
+        .groupBy("month").agg(
+          count(lit(1)).as("n"), min(col("amount")).as("mn"),
+          sum(col("amount")).as("sm"))
+      assert(isLocal(filtered), filtered.queryExecution.optimizedPlan.toString)
+      assert(filtered.orderBy("month").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq ==
+        Seq(("2024-02", 10L, 11L, 155L), ("2024-03", 10L, 21L, 255L)))
+      // a predicate that excludes EVERY group: zero literal rows
+      val none = snap.where("month > '2025'")
+        .groupBy("month").agg(count(lit(1)).as("n"))
+      assert(isLocal(none))
+      assert(none.collect().isEmpty)
+      // a filter on a NON-group column keeps the scan (rows within a
+      // group would be filtered individually — not answerable)
+      val byValue = snap.where("amount > 15")
+        .groupBy("month").agg(count(lit(1)).as("n"))
+      assert(!isLocal(byValue))
+      assert(byValue.orderBy("month").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("2024-02", 5L), ("2024-03", 10L)))
+      // a non-deterministic group filter keeps the scan (the scan
+      // evaluates it per row, the rule would evaluate it per group).
+      // NOTE the bound must not be provably-true: Spark's own
+      // optimizer eliminates rand(seed) >= -1.0 entirely (leaving a
+      // deterministic filter the rule CORRECTLY rewrites)
+      val nonDet = snap.where(rand(7) <= 0.99 && col("month") >= "2024-02")
+        .groupBy("month").agg(count(lit(1)).as("n"))
+      assert(!isLocal(nonDet))
+    } finally s.stop()
+  }
+
   test("the rewrite equals the scanning plan on every probe") {
     val s = fresh()
     try {

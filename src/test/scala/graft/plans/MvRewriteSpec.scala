@@ -244,6 +244,22 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("HAVING composes above the rewritten aggregate (output exprIds preserved)") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .where(col("s") > 1000L && col("c") > 10L)
+      .orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsOnly(on, mvPath), on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+      assert(off.nonEmpty, "the HAVING probe must keep some groups")
+    }
+  }
+
   test("a query grouping outside the view grain keeps the scan") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
