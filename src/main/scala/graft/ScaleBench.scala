@@ -165,7 +165,10 @@ object ScaleBench {
     "etl_mv_rewrite", "etl_mv_refresh",
     // the per-commit streamed MV maintenance replay (each tick is
     // delta-sized + view-sized; the mid-replay compact is store-sized)
-    "stream_mv_refresh")
+    "stream_mv_refresh",
+    // the cross-table transaction replay: two transfers + a crashed
+    // half-transaction; the repair restore is the data-sized stage
+    "etl_tx_multi")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

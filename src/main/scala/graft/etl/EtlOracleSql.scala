@@ -2539,6 +2539,22 @@ object EtlOracleSql {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
 
+  /** Cross-table-transaction twin: the declarative end-state of the
+    * two archiving transfers — months 01/02 tagged 'archive',
+    * everything else 'ledger' with every store present (the crashed
+    * mid-replay delete must leave zero trace). */
+  val txMulti: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT CASE WHEN substring(month, 6, 2) IN ('01', '02')
+      |            THEN 'archive' ELSE 'ledger' END AS src,
+      |       month, store_id, cents
+      |FROM monthly
+      |ORDER BY src, month, store_id""".stripMargin)
+
   /** Grouped+filtered-rule twin: the interior-year range of the
     * per-year profile recomputed declaratively — the literal rows the
     * rule emits for the surviving groups must equal the data's own

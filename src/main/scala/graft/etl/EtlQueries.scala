@@ -2770,6 +2770,56 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** CROSS-TABLE TRANSACTION — [[TxCatalog]] end-to-end: a ledger and
+    * an archive move together or not at all. Two transfer transactions
+    * (each = archive-side append + ledger-side predicate delete +
+    * ONE atomic catalog pin-set publish) bracket a simulated CRASHED
+    * transaction — a ledger delete that lands at the table level but
+    * whose catalog publish never happens. Catalog-scoped readers never
+    * see it (version-pinned reads can't look past the pin), and the
+    * second transfer's repair pass rolls the orphan back
+    * ([[TxParquetSink.restore]] to the pin) before applying its own
+    * writes. The final catalog read of ledger ∪ archive hash-gates
+    * against the declarative end-state: months 01/02 archived,
+    * everything else in the ledger WITH ALL STORES PRESENT — the
+    * crashed half-transaction must have left zero trace. At 100 TB
+    * this is the multi-table atomicity single-table ACID can't give
+    * (fact+dim republished together, transfers, cross-table erasure):
+    * one O(tables) catalog commit, no cross-table locks on the data
+    * path. */
+  def txMulti(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = TxFixtures.monthlyCents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-txcat").toString
+    val ledger = TxParquetSink(s"$base/ledger")
+    val archive = TxParquetSink(s"$base/archive")
+    ledger.append(monthly)
+    val cat = TxCatalog.create(s"$base/cat",
+      Map("ledger" -> ledger, "archive" -> archive))
+    def move(mm: String): Unit = {
+      cat.transact(spark) { t =>
+        // materialize the moving slice BEFORE the delete — a lazy frame
+        // would re-read the post-delete snapshot and archive nothing
+        val moving = t("ledger").readSnapshot(spark).get
+          .where(expr(s"substring(month, 6, 2) = '$mm'"))
+          .localCheckpoint(eager = true)
+        t("archive").append(moving)
+        t("ledger").deleteWhere(spark, s"substring(month, 6, 2) = '$mm'")
+        ()
+      }
+      ()
+    }
+    move("01")
+    // the crashed transaction: a table-level commit with no catalog
+    // publish — exactly what a writer dying mid-transaction leaves
+    ledger.deleteWhere(spark, "store_id % 2 = 0")
+    move("02")
+    val l = cat.read(spark, "ledger").get.withColumn("src", lit("ledger"))
+    val a = cat.read(spark, "archive").get.withColumn("src", lit("archive"))
+    l.unionByName(a)
+      .select("src", "month", "store_id", "cents")
+      .orderBy("src", "month", "store_id")
+  }
+
   /** GROUPED + FILTERED PROFILE RULE — [[txGroupRule]]'s predicate
     * sibling (the shape a per-partition monitoring dashboard actually
     * issues: `WHERE y BETWEEN … GROUP BY y`): the filter constrains the

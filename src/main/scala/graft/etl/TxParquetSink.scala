@@ -2533,11 +2533,29 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * is rolled back with everything else (a rollback that spared
     * late-arriving writes would not be a rollback); the optimistic
     * loop only re-stages to keep the version allocation race-free.
-    * Returns the restore commit's version. */
+    * `toVersion = -1` restores the PRE-HISTORY EMPTY state (an empty
+    * base commit, zero files — what rolling back a table's very first
+    * transaction means; [[graft.etl.TxCatalog]]'s repair of orphans
+    * above an empty pin needs exactly this). Returns the restore
+    * commit's version. */
   def restore(spark: SparkSession, toVersion: Long,
       maxAttempts: Int = 20): Long = {
     require(toVersion <= version(),
       s"restore: version $toVersion is beyond the tip of $dir")
+    if (toVersion < 0L) {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        if (attempts > maxAttempts)
+          throw new IllegalStateException(
+            s"restore: gave up after $maxAttempts publish attempts on $dir")
+        val v = version() + 1
+        if (tryPublish(v, Manifest(0, Nil, base = true))) {
+          writeBasePointer(v)
+          return v
+        }
+      }
+    }
     val df = readVersion(spark, toVersion).getOrElse(
       throw new IllegalArgumentException(
         s"restore: version $toVersion of $dir is not readable " +

@@ -1,0 +1,109 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** [[TxCatalog]]'s atomicity contract, pinned shape by shape: a
+  * transaction's tables move together or not at all; a crashed or
+  * aborted transaction is invisible to catalog-scoped readers and
+  * repaired away by the next one; concurrent transactors lose loudly. */
+class TxCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixture(): (TxCatalog, TxParquetSink, TxParquetSink) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-catspec").toString
+    val a = TxParquetSink(s"$base/a")
+    val b = TxParquetSink(s"$base/b")
+    a.append((1 to 20).map(i => (i, i.toLong)).toDF("k", "v"))
+    val cat = TxCatalog.create(s"$base/cat", Map("a" -> a, "b" -> b))
+    (cat, a, b)
+  }
+
+  private def rows(df: Option[org.apache.spark.sql.DataFrame]): Set[(Int, Long)] =
+    df.map(_.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+      .getOrElse(Set.empty)
+
+  test("a transfer moves both tables in one catalog commit; pins stay mutually consistent") {
+    val (cat, _, _) = fixture()
+    assert(rows(cat.read(spark, "b")) === Set.empty, "empty pin reads as None")
+    cat.transact(spark) { t =>
+      val moving = t("a").readSnapshot(spark).get
+        .where("k % 2 = 0").localCheckpoint(true)
+      t("b").append(moving)
+      t("a").deleteWhere(spark, "k % 2 = 0")
+      ()
+    }
+    val a1 = rows(cat.read(spark, "a")); val b1 = rows(cat.read(spark, "b"))
+    assert(a1 === (1 to 20).filter(_ % 2 == 1).map(i => (i, i.toLong)).toSet)
+    assert(b1 === (1 to 20).filter(_ % 2 == 0).map(i => (i, i.toLong)).toSet)
+    assert((a1 ++ b1).size === 20, "no row lost or duplicated across the pair")
+  }
+
+  test("a crashed half-transaction is invisible to catalog readers and repaired by the next transact") {
+    val (cat, a, _) = fixture()
+    val before = rows(cat.read(spark, "a"))
+    // table-level commit without a catalog publish = the crash shape
+    a.deleteWhere(spark, "k <= 10")
+    assert(rows(cat.read(spark, "a")) === before,
+      "catalog-scoped read must not see past the pin")
+    // the next transaction repairs the orphan, then applies its own write
+    cat.transact(spark) { t =>
+      t("a").deleteWhere(spark, "k = 1"); ()
+    }
+    assert(rows(cat.read(spark, "a")) ===
+      (2 to 20).map(i => (i, i.toLong)).toSet,
+      "repair must roll back the orphan delete; only k=1 is gone")
+  }
+
+  test("an aborted body publishes nothing and its partial commits are repaired") {
+    val (cat, a, b) = fixture()
+    val v0 = cat.version()
+    intercept[RuntimeException] {
+      cat.transact(spark) { t =>
+        t("b").append(t("a").readSnapshot(spark).get
+          .where("k <= 5").localCheckpoint(true))
+        sys.error("mid-transaction failure AFTER the b-side commit")
+      }
+    }
+    assert(cat.version() === v0, "no catalog commit on abort")
+    assert(rows(cat.read(spark, "b")) === Set.empty)
+    assert(b.version() >= 0, "the partial table commit exists as an orphan")
+    cat.transact(spark) { _ => () } // empty repair transaction
+    assert(rows(cat.read(spark, "b")) === Set.empty,
+      "repair keeps the catalog state; the orphan stays unreachable")
+  }
+
+  test("a lost catalog-publish race throws instead of merging pin-sets") {
+    val (cat, _, _) = fixture()
+    val racer = TxCatalog(cat.dir)
+    intercept[java.util.ConcurrentModificationException] {
+      cat.transact(spark) { t =>
+        t("a").deleteWhere(spark, "k = 2")
+        // a second transactor lands first
+        racer.transact(spark) { _ => () }
+        ()
+      }
+    }
+    // the winner's pin-set rules; the loser's delete is an orphan the
+    // next transaction rolls back
+    cat.transact(spark) { _ => () }
+    assert(rows(cat.read(spark, "a")) ===
+      (1 to 20).map(i => (i, i.toLong)).toSet)
+  }
+
+  test("orphans above an EMPTY pin repair to the pre-history empty state") {
+    val (cat, _, b) = fixture()
+    b.append(Seq((99, 99L)).toDF("k", "v")) // direct write to an empty-pinned table
+    assert(rows(cat.read(spark, "b")) === Set.empty,
+      "the rogue write is invisible through the catalog")
+    cat.transact(spark) { _ => () } // repair = restore(-1): empty base commit
+    assert(rows(cat.read(spark, "b")) === Set.empty)
+    assert(b.readSnapshot(spark).isEmpty,
+      "the table head itself is rolled back to empty")
+    // and the table remains writable through a later transaction
+    cat.transact(spark) { t =>
+      t("b").append(Seq((1, 1L)).toDF("k", "v")); ()
+    }
+    assert(rows(cat.read(spark, "b")) === Set((1, 1L)))
+  }
+}
