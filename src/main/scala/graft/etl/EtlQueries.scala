@@ -2763,10 +2763,7 @@ object EtlQueries {
         "MetadataAggregates must rewrite the grouped profile into " +
           "literal rows — it did not fire:\n" +
           grouped.queryExecution.optimizedPlan.toString)
-      val rows = grouped.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), grouped.schema)
-        .orderBy("y")
+      frozen(grouped, "y")
     } finally spark.experimental.extraOptimizations = prev
   }
 
@@ -2813,8 +2810,13 @@ object EtlQueries {
     // publish — exactly what a writer dying mid-transaction leaves
     ledger.deleteWhere(spark, "store_id % 2 = 0")
     move("02")
-    val l = cat.read(spark, "ledger").get.withColumn("src", lit("ledger"))
-    val a = cat.read(spark, "archive").get.withColumn("src", lit("archive"))
+    // the read-set discipline: ONE captured catalog version resolves
+    // both tables — mutually consistent by construction
+    val cv = cat.version()
+    val l = cat.readAt(spark, cv, "ledger").get
+      .withColumn("src", lit("ledger"))
+    val a = cat.readAt(spark, cv, "archive").get
+      .withColumn("src", lit("archive"))
     l.unionByName(a)
       .select("src", "month", "store_id", "cents")
       .orderBy("src", "month", "store_id")
@@ -2849,10 +2851,7 @@ object EtlQueries {
         "MetadataAggregates must rewrite the filtered grouped profile " +
           "into literal rows — it did not fire:\n" +
           grouped.queryExecution.optimizedPlan.toString)
-      val rows = grouped.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), grouped.schema)
-        .orderBy("y")
+      frozen(grouped, "y")
     } finally spark.experimental.extraOptimizations = prev
   }
 
@@ -2883,10 +2882,7 @@ object EtlQueries {
           min(col("cents")).as("min_cents"),
           max(col("cents")).as("max_cents"))
       requireMvOnly(rolled, mvPath, t.dir)
-      val rows = rolled.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), rolled.schema)
-        .orderBy("o_custkey")
+      frozen(rolled, "o_custkey")
     } finally spark.experimental.extraOptimizations = prev
   }
 
@@ -2913,10 +2909,7 @@ object EtlQueries {
         .agg(sum(col("cents")).as("total_cents"),
           count(lit(1)).as("n_orders"))
       requireMvOnly(rolled, mvPath, t.dir)
-      val rows = rolled.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), rolled.schema)
-        .orderBy("year")
+      frozen(rolled, "year")
     } finally spark.experimental.extraOptimizations = prev
   }
 
@@ -2961,11 +2954,22 @@ object EtlQueries {
           min(col("cents")).as("min_cents"),
           max(col("cents")).as("max_cents"))
       requireMvOnly(rolled, d.mvPath, base.dir)
-      val rows = rolled.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), rolled.schema)
-        .orderBy("o_custkey")
+      frozen(rolled, "o_custkey")
     } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** Freeze a rule-served result WHILE the rule is armed: the
+    * registered rows that install an optimizer rule via
+    * `extraOptimizations` must materialize before the finally-block
+    * restores the session's rule set (a lazy frame re-plans at
+    * execution time, without the rule), then re-wrap the literal rows
+    * so the returned frame is safely re-executable. One definition
+    * for the seven rule rows that need it. */
+  private[graft] def frozen(df: DataFrame, orderCols: String*): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      .orderBy(orderCols.map(col): _*)
   }
 
   /** The MV rows' plan gate: every leaf must be a scan of the rollup

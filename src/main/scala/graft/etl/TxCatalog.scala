@@ -13,11 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table's writes through the sink's ordinary single-table commits,
   * then (2) advance the whole pin-set in ONE atomic catalog commit
   * (the same create-hard-link publish the sinks use). Readers who
-  * resolve tables THROUGH the catalog ([[TxCatalog.read]] =
-  * `readVersion` at the pin) therefore see every transaction's tables
-  * move TOGETHER or not at all — never a half-transferred pair — and
-  * any two tables read under one catalog version are mutually
-  * consistent snapshots.
+  * resolve tables THROUGH the catalog ([[readAt]] = `readVersion` at
+  * the pin of one CAPTURED catalog version) therefore see every
+  * transaction's tables move TOGETHER or not at all — never a
+  * half-transferred pair — and any two tables resolved under the same
+  * captured version are mutually consistent snapshots ([[read]] is
+  * the single-table convenience that re-captures per call).
   *
   * Crash atomicity comes from the pin indirection plus restore-based
   * repair: a writer that dies AFTER some table commits but BEFORE the
@@ -77,16 +78,29 @@ final case class TxCatalog(dir: String) {
   /** The current pin-set. */
   def pins(): Map[String, (String, Long)] = pinsAt(version())
 
-  /** Catalog-scoped read: table `name` AT ITS PIN — two tables read
-    * under the same catalog version are mutually consistent, and a
-    * concurrent transaction's table commits are invisible until its
-    * catalog publish lands. None while the pin is −1 (registered
-    * empty, not yet written). */
-  def read(spark: SparkSession, name: String): Option[DataFrame] = {
-    val (d, pv) = pins().getOrElse(name,
-      throw new NoSuchElementException(s"catalog $dir has no table '$name'"))
+  /** Catalog-scoped read AT A CAPTURED CATALOG VERSION: table `name`
+    * at the pin catalog version `catVersion` recorded — THE read-set
+    * primitive. A multi-table read that must be mutually consistent
+    * captures `version()` ONCE and resolves every table through the
+    * same `catVersion`; pins are immutable once published, so the set
+    * can never straddle a concurrent transaction's publish. None
+    * while the pin is −1 (registered empty, not yet written) or the
+    * pinned table version reads empty. */
+  def readAt(spark: SparkSession, catVersion: Long,
+      name: String): Option[DataFrame] = {
+    val (d, pv) = pinsAt(catVersion).getOrElse(name,
+      throw new NoSuchElementException(
+        s"catalog $dir@$catVersion has no table '$name'"))
     if (pv < 0) None else TxParquetSink(d).readVersion(spark, pv)
   }
+
+  /** Single-table convenience read at the CURRENT catalog version.
+    * Each call resolves the head pin-set independently — two `read`
+    * calls can land on different catalog versions if a transaction
+    * publishes in between, so a cross-table read set uses
+    * [[readAt]] with one captured `version()` instead. */
+  def read(spark: SparkSession, name: String): Option[DataFrame] =
+    readAt(spark, version(), name)
 
   private def render(ps: Map[String, (String, Long)]): String =
     ps.toSeq.sortBy(_._1)

@@ -2550,7 +2550,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           throw new IllegalStateException(
             s"restore: gave up after $maxAttempts publish attempts on $dir")
         val v = version() + 1
-        if (tryPublish(v, Manifest(0, Nil, base = true))) {
+        if (tryPublish(v, Manifest(0, Nil, base = true, restated = true))) {
           writeBasePointer(v)
           return v
         }
@@ -2570,7 +2570,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           s"restore: gave up after $maxAttempts publish attempts on $dir")
       val staged = stageAudited(spark, df, n)
       val v = version() + 1
-      if (tryPublish(v, Manifest(n, Seq(staged), base = true))) {
+      if (tryPublish(v, Manifest(n, Seq(staged), base = true,
+          restated = true))) {
         writeBasePointer(v)
         return v
       }
@@ -2578,6 +2579,17 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     }
     -1L // unreachable
   }
+
+  /** TRUE iff any commit in (fromV, toV] RESTATED table contents (a
+    * [[restore]] base). The change feed ([[changesBetween]]) emits no
+    * rows for base commits — correct for content-preserving
+    * compactions, but a restore CHANGES contents, so an incremental
+    * consumer folding a feed across one silently diverges; this is
+    * the O(commits) driver check such consumers (e.g.
+    * [[graft.plans.MvCatalog.refresh]]) use to fall back to a
+    * rebuild instead. */
+  def restatedBetween(fromV: Long, toV: Long): Boolean =
+    commits().exists { case (v, m) => v > fromV && v <= toV && m.restated }
 
   private def compactWith(spark: SparkSession,
       layout: DataFrame => DataFrame,
@@ -2664,7 +2676,14 @@ object TxParquetSink {
       fileRows: Map[String, Long] = Map.empty,
       sums: Map[String, String] = Map.empty,
       fileSums: Map[String, Map[String, String]] = Map.empty,
-      sumsqs: Map[String, String] = Map.empty)
+      sumsqs: Map[String, String] = Map.empty,
+      // a base commit that RESTATED contents (RESTORE) rather than
+      // materializing them (compaction): the signal incremental CDC
+      // consumers need, because the change feed emits no rows for
+      // base commits — folding a feed across a restore silently
+      // diverges. Advisory for readers (ignoring it risks only a
+      // stale derived view, never wrong table reads).
+      restated: Boolean = false)
 
   /** Per-commit KMV DISTINCT-VALUE sketch of a column — the third
     * metadata tier next to [[ColStats]] (ranges) and [[BloomBits]]
@@ -2831,7 +2850,8 @@ object TxParquetSink {
         s"delwhere=${java.net.URLEncoder.encode(p, UTF_8.name())}") ++
       m.txn.toSeq.map { case (app, v) =>
         s"txn=${encodePartition(Seq(app, v.toString))}"
-      }
+      } ++
+      (if (m.restated) Seq("restated=true") else Nil)
       ).mkString("", "\n", "\n")
 
   private[etl] def parseManifest(s: String): Manifest = {
@@ -2928,7 +2948,8 @@ object TxParquetSink {
           java.net.URLDecoder.decode(p, UTF_8.name()))
         require(parts.size == 2, s"malformed sumsq line: $v")
         parts(0) -> parts(1)
-      }.toMap)
+      }.toMap,
+      kv.collectFirst { case ("restated", v) => v.toBoolean }.getOrElse(false))
   }
 
   /** Canonical string for one partition tuple: URL-encoded values

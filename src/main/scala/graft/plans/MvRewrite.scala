@@ -92,9 +92,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       // freshness: built at exactly the version this scan covers
       if sink.version() == mv.baseVersion
       // query grain ⊆ view grain, filters over view grouping cols only
+      // and DETERMINISTIC — the scan evaluates a predicate per base
+      // row, the transplant per pre-aggregated view cell, so e.g. a
+      // rand() sample would include whole groups wholesale instead of
+      // sampling rows (it also carries no references, which is why
+      // the reference check alone cannot catch it)
       if groups.forall(g => mv.groupCols.contains(g.name))
-      if filters.flatMap(_.references)
-        .forall(a => mv.groupCols.contains(a.name))
+      if filters.forall(c => c.deterministic &&
+        c.references.forall(a => mv.groupCols.contains(a.name)))
       plan <- build(mv, groups, aggs, filters.toSeq)
     } yield plan
   }
@@ -269,20 +274,32 @@ object MvCatalog {
       if (v1 == d.baseVersion) d
       else {
         val minMax = d.mins.nonEmpty || d.maxs.nonEmpty
-        val feedOpt = sink.changesBetween(spark, d.baseVersion, v1)
-        val hasDeletes = feedOpt.exists(f =>
-          f.where(col("_change_type") === "D").limit(1).count() > 0)
         val newPath = s"${d.mvPath}_r$v1"
-        val d2 = feedOpt match {
-          case None =>
-            // only base/metadata commits in range: contents unchanged,
+        // a RESTORE in range restated contents the change feed cannot
+        // represent (base commits emit no rows) — folding across one
+        // would silently diverge, so rebuild instead. Content-
+        // preserving compactions do NOT trip this.
+        val restated = sink.restatedBetween(d.baseVersion, v1)
+        val feedOpt =
+          if (restated) None else sink.changesBetween(spark, d.baseVersion, v1)
+        // the delete probe is a real job (each delete commit's masked
+        // pre-image is read) — pay it only when the answer matters,
+        // i.e. when stored extremes make retraction non-incremental
+        val hasDeletes = minMax && feedOpt.exists(f =>
+          f.where(col("_change_type") === "D").limit(1).count() > 0)
+        val d2 = (restated, feedOpt) match {
+          case (true, _) =>
+            registerRollup(spark, sink, d.groupCols, d.valueCols,
+              newPath, minMax = minMax)
+          case (_, None) =>
+            // only content-preserving base/metadata commits in range:
             // re-stamp the version
             d.copy(baseVersion = v1)
-          case Some(_) if hasDeletes && minMax =>
+          case (_, Some(_)) if hasDeletes =>
             // retraction hit stored extremes: rebuild (re-registers)
             registerRollup(spark, sink, d.groupCols, d.valueCols,
               newPath, minMax = true)
-          case Some(feed) =>
+          case (_, Some(feed)) =>
             val sgn = when(col("_change_type") === "I", lit(1L))
               .otherwise(lit(-1L))
             val deltaAggs = d.valueCols.flatMap(c =>
@@ -294,20 +311,41 @@ object MvCatalog {
               sum(sgn).as("d_cnt")
             val delta = feed.groupBy(d.groupCols.map(col): _*)
               .agg(deltaAggs.head, deltaAggs.tail: _*)
-            val old = spark.read.schema(d.schema).parquet(d.mvPath)
+            // null-safe group join: GROUP BY keeps a NULL group, and a
+            // plain using-columns join would never match its delta —
+            // a fully-retracted NULL group would survive with stale
+            // totals. Delta group columns are renamed, matched with
+            // <=>, and the output group value taken from whichever
+            // side exists (the stored cnt is never null, so its
+            // nullness marks old-side absence).
+            val dG = d.groupCols.map(c => c -> s"__d_$c")
+            val deltaR = delta.select(
+              dG.map { case (c, a) => col(c).as(a) } ++
+                delta.columns.filterNot(d.groupCols.contains).map(col): _*)
+            val joinCond = dG.map { case (c, a) => col(c) <=> col(a) }
+              .reduce(_ && _)
+            val groupOut = dG.map { case (c, a) =>
+              when(col("cnt").isNotNull, col(c)).otherwise(col(a)).as(c) }
+            def cntnOf(c: String) =
+              coalesce(col(s"cntn_$c"), lit(0L)) +
+                coalesce(col(s"d_cntn_$c"), lit(0L))
             val mergedCols = d.valueCols.flatMap(c =>
-              Seq((coalesce(col(s"sum_$c"), lit(0L)) +
-                coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c"),
-                (coalesce(col(s"cntn_$c"), lit(0L)) +
-                  coalesce(col(s"d_cntn_$c"), lit(0L))).as(s"cntn_$c")) ++
+              // SUM over zero non-null values is NULL, not 0 — a group
+              // whose surviving values are all NULL must answer NULL
+              // exactly like the scan (and like registerRollup stores)
+              Seq(when(cntnOf(c) === 0L, lit(null).cast("long"))
+                .otherwise(coalesce(col(s"sum_$c"), lit(0L)) +
+                  coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c"),
+                cntnOf(c).as(s"cntn_$c")) ++
                 (if (minMax) Seq(
                   least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
                   greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))
                  else Nil)) :+
               (coalesce(col("cnt"), lit(0L)) +
                 coalesce(col("d_cnt"), lit(0L))).as("cnt")
-            old.join(delta, d.groupCols, "full_outer")
-              .select(d.groupCols.map(col) ++ mergedCols: _*)
+            val old = spark.read.schema(d.schema).parquet(d.mvPath)
+            old.join(deltaR, joinCond, "full_outer")
+              .select(groupOut ++ mergedCols: _*)
               .where(col("cnt") > 0)
               .select(d.schema.fieldNames.map(col).toSeq: _*)
               .write.mode("overwrite").parquet(newPath)

@@ -272,8 +272,7 @@ object StreamAnnIndex {
       nBatches: Int = ReplayBatches): DataFrame = {
     val vecs = SimilarityOps.embeddings(spark, dir)
       .select("vec_id", "embedding")
-    val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
-    val batchSize = (maxId + nBatches) / nBatches
+    val batchSize = churnBatchSize(spark, dir, nBatches)
     val boot = vecs.where(col("vec_id") < batchSize)
     val q0 = quantized(boot)
     val kCent = VectorOps.scaledKCent(q0.count())
@@ -299,6 +298,24 @@ object StreamAnnIndex {
       : org.apache.spark.sql.Column =
     col("vec_id") % 5 === 3 && col("vec_id") < lit(2 * batchSize)
 
+  /** The replay's batch width — ONE definition of the carving
+    * arithmetic, so the dense and lexical churn legs (and their
+    * oracles) can never silently retract different id sets. */
+  private[graft] def churnBatchSize(spark: SparkSession, dir: String,
+      nBatches: Int = ReplayBatches): Long = {
+    val maxId = SimilarityOps.embeddings(spark, dir)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    (maxId + nBatches) / nBatches
+  }
+
+  /** The churn replay's deleted ids as a frame — the shared delete
+    * set [[graft.streaming.StreamHybrid.hybridChurnReplay]]'s lexical
+    * leg retracts. */
+  private[graft] def churnDeletedIds(spark: SparkSession, dir: String)
+      : DataFrame =
+    SimilarityOps.embeddings(spark, dir).select("vec_id")
+      .where(churnDeleteRule(churnBatchSize(spark, dir)))
+
   /** Oracle-checkable CHURN REPLAY — [[incrementalAnnBatch]] with
     * retraction interleaved, the round-9 verdict's missing dense-index
     * story run end to end:
@@ -321,8 +338,7 @@ object StreamAnnIndex {
       nBatches: Int = ReplayBatches): DataFrame = {
     val vecs = SimilarityOps.embeddings(spark, dir)
       .select("vec_id", "embedding")
-    val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
-    val batchSize = (maxId + nBatches) / nBatches
+    val batchSize = churnBatchSize(spark, dir, nBatches)
     def slice(b: Int) = vecs.where(
       col("vec_id") >= b * batchSize && col("vec_id") < (b + 1) * batchSize)
     val boot = vecs.where(col("vec_id") < batchSize)

@@ -99,12 +99,10 @@ object StreamHybrid {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
     val dense = SimilarityOps.topKPerGroup(cands, col("query_id"), Seq.empty,
       col("cos"), col("neighbor_id"), pool)
-    // lexical leg: the same delete set retracted from the BM25 frames
-    val vecs = SimilarityOps.embeddings(spark, dir).select("vec_id")
-    val maxId = vecs.agg(max(col("vec_id"))).head.getLong(0)
-    val batchSize = (maxId + StreamAnnIndex.ReplayBatches) /
-      StreamAnnIndex.ReplayBatches
-    val deleted = vecs.where(StreamAnnIndex.churnDeleteRule(batchSize))
+    // lexical leg: the same delete set retracted from the BM25 frames —
+    // ONE definition of the churn arithmetic (churnDeletedIds), so the
+    // two legs can never silently retract different id sets
+    val deleted = StreamAnnIndex.churnDeletedIds(spark, dir)
       .select(col("vec_id").as("doc_id"))
     val (tf, dlen, df) = StreamBm25.incrementalBm25Frames(spark, dir)
     val (tf2, dlen2, df2) = StreamBm25.retractDocs(tf, dlen, deleted)

@@ -72,10 +72,7 @@ object StreamMv {
           count(lit(1)).as("n_orders"))
       graft.etl.EtlQueries.requireMvOnly(rolled,
         MvCatalog.lookup(t.dir).get.mvPath, t.dir)
-      val rows = rolled.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), rolled.schema)
-        .orderBy("o_custkey")
+      graft.etl.EtlQueries.frozen(rolled, "o_custkey")
     } finally spark.experimental.extraOptimizations = prev
   }
 }

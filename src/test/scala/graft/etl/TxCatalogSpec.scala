@@ -91,6 +91,27 @@ class TxCatalogSpec extends SparkSpec {
       (1 to 20).map(i => (i, i.toLong)).toSet)
   }
 
+  test("readAt a captured version is stable across later transactions (the read-set primitive)") {
+    val (cat, _, _) = fixture()
+    val cv = cat.version()
+    val before = rows(cat.readAt(spark, cv, "a"))
+    cat.transact(spark) { t =>
+      val moving = t("a").readSnapshot(spark).get
+        .where("k <= 10").localCheckpoint(true)
+      t("b").append(moving)
+      t("a").deleteWhere(spark, "k <= 10")
+      ()
+    }
+    // the captured read set still resolves the OLD pins — a reader
+    // mid-flight can never see the half-transferred pair
+    assert(rows(cat.readAt(spark, cv, "a")) === before)
+    assert(rows(cat.readAt(spark, cv, "b")) === Set.empty)
+    // while the head version shows the transferred state
+    val cv2 = cat.version()
+    assert(rows(cat.readAt(spark, cv2, "a")).size === 10)
+    assert(rows(cat.readAt(spark, cv2, "b")).size === 10)
+  }
+
   test("orphans above an EMPTY pin repair to the pre-history empty state") {
     val (cat, _, b) = fixture()
     b.append(Seq((99, 99L)).toDF("k", "v")) // direct write to an empty-pinned table

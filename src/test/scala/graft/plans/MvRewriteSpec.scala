@@ -260,6 +260,86 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a RESTORE in the refresh range forces a rebuild — the feed cannot represent it") {
+    val (t, mvPath) = freshBase()
+    val d0 = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath,
+      minMax = false)
+    val vReg = t.version()
+    t.deleteWhere(spark, "g = 2")
+    t.restore(spark, vReg) // puts g=2 back; the feed shows only the delete
+    val d1 = MvCatalog.refresh(spark, t).get
+    assert(d1.baseVersion === t.version())
+    val inc = spark.read.schema(d1.schema).parquet(d1.mvPath)
+      .orderBy("g").collect().toSeq
+    val chk = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      mvPath + "_chk", minMax = false)
+    assert(inc === spark.read.schema(chk.schema).parquet(chk.mvPath)
+      .orderBy("g").collect().toSeq,
+      "refresh across a restore must rebuild, not fold a feed that " +
+        "subtracts rows the restore put back")
+    // restore-only range: the None-feed re-stamp must NOT mark a
+    // stale view fresh either
+    val (t2, mvPath2) = freshBase()
+    MvCatalog.registerRollup(spark, t2, Seq("g"), Seq("v"), mvPath2,
+      minMax = false)
+    val vReg2 = t2.version()
+    t2.deleteWhere(spark, "g = 1")
+    MvCatalog.refresh(spark, t2) // folds the delete (correct)
+    t2.restore(spark, vReg2)     // g=1 rows return; feed for this range: empty
+    val d2 = MvCatalog.refresh(spark, t2).get
+    val inc2 = spark.read.schema(d2.schema).parquet(d2.mvPath)
+      .where(col("g") === 1).collect()
+    assert(inc2.nonEmpty, "the restored group must be back in the view")
+  }
+
+  test("a non-deterministic filter keeps the scan (whole-cell sampling is not row sampling)") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    withRule {
+      // rand() has no attribute references, so the reference check
+      // alone passes vacuously — the deterministic guard must catch it
+      // (bound not provably true, or Spark folds the conjunct away)
+      val q = t.readSnapshot(spark).get
+        .where(rand(7) <= 0.99 && col("h") === 1)
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(readsBase(q, t), "non-deterministic filters must keep the scan")
+    }
+  }
+
+  test("NULL group keys and all-NULL sums survive the refresh merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvspec-null").toString
+    val t = TxParquetSink(s"$dir/base")
+    // group null: 2 rows; group 1: values all NULL (sum must be NULL)
+    t.append(Seq((Option.empty[Int], Some(10L)), (None, Some(20L)),
+      (Some(1), None), (Some(2), Some(5L))).toDF("g", "v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv",
+      minMax = false)
+    // retract the whole NULL group; touch nothing else
+    t.deleteWhere(spark, "g IS NULL")
+    val d1 = MvCatalog.refresh(spark, t).get
+    val mv1 = spark.read.schema(d1.schema).parquet(d1.mvPath)
+      .orderBy("g").collect().toSeq
+    val chk = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      s"$dir/mv_chk", minMax = false)
+    val full = spark.read.schema(chk.schema).parquet(chk.mvPath)
+      .orderBy("g").collect().toSeq
+    assert(mv1 === full,
+      "a fully-retracted NULL group must leave the view (null-safe join)")
+    assert(!mv1.exists(_.isNullAt(0)), "the NULL group is gone")
+    // group 1 (all-NULL values) must keep sum = NULL through the merge
+    val g1 = mv1.find(r => !r.isNullAt(0) && r.getInt(0) == 1).get
+    assert(g1.isNullAt(g1.fieldIndex("sum_v")),
+      "SUM over zero non-null values is NULL, not 0, after a refresh")
+    // and the rewrite serves that NULL
+    MvCatalog.register(t.dir, d1)
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g")
+        .agg(sum("v").as("s")).where(col("g") === 1)
+      assert(readsOnly(q, d1.mvPath))
+      assert(q.collect().head.isNullAt(1))
+    }
+  }
+
   test("a query grouping outside the view grain keeps the scan") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
