@@ -68,10 +68,15 @@ object Bench {
     // mutators clone (O(commits) metadata), never re-ingest
     "tx_tables" -> Seq(
       "tx_fixtures" -> (() => graft.etl.TxFixtures.buildCanonical(spark, sfDir))),
-    // the merge-churn replay arms are ~30 sequential merge commits —
-    // their own chain, overlapped with the canonical loads
-    "tx_churn" -> Seq(
-      "tx_churn" -> (() => graft.etl.TxFixtures.buildChurn(spark, sfDir))))
+    // the merge-churn replay arms are ~14 sequential merge commits
+    // EACH — independent replays, so each arm gets its own chain,
+    // overlapped with the canonical loads and with each other
+    "tx_churn_m" -> Seq(
+      "tx_churn_m" -> (() =>
+        graft.etl.TxFixtures.mergeChurnSink(spark, sfDir, maintained = true): Unit)),
+    "tx_churn_u" -> Seq(
+      "tx_churn_u" -> (() =>
+        graft.etl.TxFixtures.mergeChurnSink(spark, sfDir, maintained = false): Unit)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
