@@ -168,7 +168,10 @@ object ScaleBench {
     "stream_mv_refresh",
     // the cross-table transaction replay: two transfers + a crashed
     // half-transaction; the repair restore is the data-sized stage
-    "etl_tx_multi")
+    "etl_tx_multi",
+    // the exactly-once streamed pair maintenance: per-batch transact
+    // (append + relative merge), one redelivery, one crashed duplicate
+    "stream_tx_multi")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -2555,6 +2555,30 @@ object EtlOracleSql {
       |FROM monthly
       |ORDER BY src, month, store_id""".stripMargin)
 
+  /** Streamed-cross-table twin: both sides of the fact+aggregate pair
+    * recomputed declaratively from the raw facts — what the
+    * exactly-once transactional replay (redelivery skipped whole,
+    * crashed duplicate repaired) must land on BOTH tables. */
+  val streamTxMulti: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |half AS (
+      |  SELECT concat(substring(month, 1, 4), '-h',
+      |           CASE WHEN CAST(substring(month, 6, 2) AS INT) <= 6
+      |                THEN 1 ELSE 2 END) AS h,
+      |         store_id, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM monthly GROUP BY 1, 2
+      |)
+      |SELECT store_id,
+      |       CAST(sum(cents) AS BIGINT) AS agg_cents,
+      |       CAST(sum(cents) AS BIGINT) AS fact_cents,
+      |       CAST(count(*) AS BIGINT) AS n_halves
+      |FROM half GROUP BY store_id
+      |ORDER BY store_id""".stripMargin)
+
   /** Grouped+filtered-rule twin: the interior-year range of the
     * per-year profile recomputed declaratively — the literal rows the
     * rule emits for the surviving groups must equal the data's own

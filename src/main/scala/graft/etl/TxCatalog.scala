@@ -65,14 +65,36 @@ final case class TxCatalog(dir: String) {
   }
 
   /** The pin-set at catalog version `v`: name → (table dir, pinned
-    * table version). */
+    * table version). Lines starting with `#` are metadata (the `#txn`
+    * idempotence records), not tables. */
   def pinsAt(v: Long): Map[String, (String, Long)] = {
     val f = logDir.resolve(f"$v%020d.cat")
     new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
-      .filter(_.nonEmpty).map { line =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(n, d, pv) = line.split("\t", 3)
         n -> (d, pv.toLong)
       }.toMap
+  }
+
+  /** The highest committed application-transaction version for
+    * `appId` across the catalog history, −1 if none — the
+    * [[TxParquetSink.lastTxnVersion]] contract lifted to CROSS-TABLE
+    * transactions: each [[transact]] invoked with a `txn` records a
+    * `#txn` line in its catalog manifest, and a redelivered
+    * transaction at or below this high-water mark is skipped WHOLE
+    * (no table is touched), which is what makes an at-least-once
+    * streaming writer's multi-table batch exactly-once. O(catalog
+    * commits) driver metadata. */
+  def lastTxn(appId: String): Long = {
+    val v = version()
+    (0L to v).iterator.flatMap { cv =>
+      val f = logDir.resolve(f"$cv%020d.cat")
+      new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
+        .filter(_.startsWith("#txn\t")).flatMap { line =>
+          val Array(_, app, ver) = line.split("\t", 3)
+          if (app == appId) Some(ver.toLong) else None
+        }
+    }.maxOption.getOrElse(-1L)
   }
 
   /** The current pin-set. */
@@ -123,11 +145,30 @@ final case class TxCatalog(dir: String) {
     * Throws without publishing if the body throws (its partial commits
     * become orphans the next transaction repairs) or if the catalog
     * moved underneath (one transactor at a time — the documented
-    * contract). Returns the new catalog version. */
-  def transact(spark: SparkSession)(
+    * contract).
+    *
+    * `txn = Some((appId, ver))` makes the transaction IDEMPOTENT
+    * end-to-end (the Delta `txnAppId`/`txnVersion` writer contract at
+    * catalog scope): if `ver` is at or below the appId's committed
+    * high-water mark ([[lastTxn]]) the call returns the current
+    * version WITHOUT touching any table — so an at-least-once
+    * streaming writer (foreachBatch retries, crash-restarted
+    * backfills) re-delivering a multi-table batch converges even when
+    * the body uses RELATIVE updates (`t.cents + s.cents`): the skip
+    * happens before the body, not per table. A crash BEFORE the
+    * catalog publish leaves the mark unset, so the redelivery
+    * (post-repair) applies exactly once. Returns the new catalog
+    * version (or the current one on a skip). */
+  def transact(spark: SparkSession, txn: Option[(String, Long)] = None)(
       body: Map[String, TxParquetSink] => Unit): Long = {
     val v = version()
     require(v >= 0, s"transact: catalog $dir was never created")
+    val alreadyCommitted = txn.exists { case (app, ver) =>
+      require(!app.contains("\t") && !app.contains("\n"),
+        s"bad txn appId '$app'")
+      lastTxn(app) >= ver
+    }
+    if (alreadyCommitted) return v
     val p = pinsAt(v)
     val sinks = p.map { case (n, (d, _)) => n -> TxParquetSink(d) }
     p.foreach { case (n, (_, pv)) =>
@@ -142,7 +183,9 @@ final case class TxCatalog(dir: String) {
     }
     body(sinks)
     val newPins = p.map { case (n, (d, _)) => n -> (d, sinks(n).version()) }
-    if (!tryPublish(v + 1, render(newPins)))
+    val content = render(newPins) +
+      txn.map { case (app, ver) => s"#txn\t$app\t$ver\n" }.getOrElse("")
+    if (!tryPublish(v + 1, content))
       throw new java.util.ConcurrentModificationException(
         s"catalog $dir moved past version $v during the transaction — " +
           "one transactor at a time; this transaction's table commits " +
@@ -158,8 +201,9 @@ object TxCatalog {
   def create(dir: String, tables: Map[String, TxParquetSink]): TxCatalog = {
     require(tables.nonEmpty, "a catalog needs at least one table")
     tables.keys.foreach(n => require(
-      !n.contains("\t") && !n.contains("\n") && n.nonEmpty,
-      s"bad table name '$n'"))
+      !n.contains("\t") && !n.contains("\n") && n.nonEmpty &&
+        !n.startsWith("#"),
+      s"bad table name '$n' (no tabs/newlines, no leading '#')"))
     val c = TxCatalog(dir)
     require(c.version() == -1L, s"catalog $dir already exists")
     val pins = tables.map { case (n, s) => n -> (s.dir, s.version()) }

@@ -112,6 +112,52 @@ class TxCatalogSpec extends SparkSpec {
     assert(rows(cat.readAt(spark, cv2, "b")).size === 10)
   }
 
+  test("txn-marked transactions are idempotent: a redelivery skips whole, before any table is touched") {
+    val (cat, a, _) = fixture()
+    var applies = 0
+    def once(ver: Long): Unit = {
+      cat.transact(spark, Some(("app", ver))) { t =>
+        applies += 1
+        t("a").deleteWhere(spark, s"k = $ver"); ()
+      }
+      ()
+    }
+    once(1); once(1) // redelivery: body must not run again
+    assert(applies === 1, "the redelivered transaction must skip whole")
+    assert(rows(cat.read(spark, "a")).size === 19)
+    once(2)
+    assert(applies === 2, "a NEW version still applies")
+    // the high-water mark survives later unmarked transactions
+    cat.transact(spark) { _ => () }
+    once(2)
+    assert(applies === 2, "the mark is a history-scanned high water, not last-commit-only")
+    assert(cat.lastTxn("app") === 2L)
+    assert(cat.lastTxn("other") === -1L)
+  }
+
+  test("a crashed duplicate AFTER a committed txn is repaired, not re-applied") {
+    val (cat, a, _) = fixture()
+    cat.transact(spark, Some(("app", 7L))) { t =>
+      t("a").deleteWhere(spark, "k > 15"); ()
+    }
+    val committed = rows(cat.read(spark, "a"))
+    // the crash shape: a duplicate delivery got HALFWAY (table commit,
+    // no catalog publish) — its txn mark is already set from the clean
+    // apply, so the redelivered transact must skip AND the repair must
+    // remove the orphan
+    a.deleteWhere(spark, "k > 15") // no-op content-wise, but an orphan commit
+    a.append(Seq((99, 99L)).toDF("k", "v")) // a real divergence
+    cat.transact(spark, Some(("app", 7L))) { t =>
+      fail("a committed txn must never re-apply")
+    }
+    assert(rows(cat.read(spark, "a")) === committed,
+      "skip path must not publish or repair — pins unchanged")
+    cat.transact(spark) { _ => () } // an unmarked transaction repairs
+    assert(rows(cat.read(spark, "a")) === committed)
+    assert(a.readSnapshot(spark).get.count() === committed.size.toLong,
+      "the orphan rows are rolled back at the table head too")
+  }
+
   test("orphans above an EMPTY pin repair to the pre-history empty state") {
     val (cat, _, b) = fixture()
     b.append(Seq((99, 99L)).toDF("k", "v")) // direct write to an empty-pinned table
