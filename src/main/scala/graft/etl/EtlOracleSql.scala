@@ -2565,18 +2565,16 @@ object EtlOracleSql {
       |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
       |  FROM sales_fact GROUP BY 1, 2
       |),
-      |half AS (
-      |  SELECT concat(substring(month, 1, 4), '-h',
-      |           CASE WHEN CAST(substring(month, 6, 2) AS INT) <= 6
-      |                THEN 1 ELSE 2 END) AS h,
+      |yearly AS (
+      |  SELECT substring(month, 1, 4) AS y,
       |         store_id, CAST(sum(cents) AS BIGINT) AS cents
       |  FROM monthly GROUP BY 1, 2
       |)
       |SELECT store_id,
       |       CAST(sum(cents) AS BIGINT) AS agg_cents,
       |       CAST(sum(cents) AS BIGINT) AS fact_cents,
-      |       CAST(count(*) AS BIGINT) AS n_halves
-      |FROM half GROUP BY store_id
+      |       CAST(count(*) AS BIGINT) AS n_years
+      |FROM yearly GROUP BY store_id
       |ORDER BY store_id""".stripMargin)
 
   /** Grouped+filtered-rule twin: the interior-year range of the

@@ -33,17 +33,21 @@ import graft.etl.{TxCatalog, TxFixtures, TxParquetSink}
 object StreamTxMulti {
 
   def txMultiReplay(spark: SparkSession, dir: String): DataFrame = {
-    val half = TxFixtures.halfCents(spark, dir) // (h, store_id, cents)
-    val halves = half.select("h").distinct().orderBy("h")
-      .collect().map(_.getString(0)).toSeq
+    // year-grain batches: the full failure taxonomy needs only a
+    // handful of transacts — finer grain doubles replay cost for no
+    // extra coverage
+    val monthly = TxFixtures.monthlyCents(spark, dir)
+    val years = TxFixtures.years(spark, dir)
     val base = java.nio.file.Files.createTempDirectory("graft-stxm").toString
     val fact = TxParquetSink(s"$base/fact")
     val agg = TxParquetSink(s"$base/agg")
     val cat = TxCatalog.create(s"$base/cat",
       Map("fact" -> fact, "agg" -> agg))
-    def slice(h: String) = half.where(col("h") === lit(h))
+    def slice(y: String) = monthly
+      .where(expr(s"substring(month, 1, 4) = '$y'"))
+      .groupBy("store_id").agg(sum("cents").as("cents"))
     def apply(i: Int): Long = cat.transact(spark, Some(("replay", i.toLong))) { t =>
-      val s = slice(halves(i)).localCheckpoint(eager = true)
+      val s = slice(years(i)).localCheckpoint(eager = true)
       t("fact").append(s)
       if (t("agg").version() == -1L)
         t("agg").append(s.select("store_id", "cents"))
@@ -53,7 +57,7 @@ object StreamTxMulti {
         ()
       }
     }
-    halves.indices.foreach { i =>
+    years.indices.foreach { i =>
       apply(i)
       // batch 1 is REDELIVERED after its commit: the catalog txn mark
       // must make the whole multi-table re-apply a no-op — with a
@@ -66,7 +70,7 @@ object StreamTxMulti {
       // apply above), so this orphan is a half-applied DUPLICATE —
       // the next transaction's repair must remove it, and the skip
       // must NOT re-apply batch 2
-      if (i == 2) fact.append(slice(halves(i)))
+      if (i == 2) fact.append(slice(years(i)))
     }
     val cv = cat.version()
     val aggSide = cat.readAt(spark, cv, "agg").get
@@ -74,9 +78,9 @@ object StreamTxMulti {
     val factSide = cat.readAt(spark, cv, "fact").get
       .groupBy("store_id")
       .agg(sum("cents").as("fact_cents"),
-        count(lit(1)).as("n_halves"))
+        count(lit(1)).as("n_years"))
     aggSide.join(factSide, Seq("store_id"))
-      .select("store_id", "agg_cents", "fact_cents", "n_halves")
+      .select("store_id", "agg_cents", "fact_cents", "n_years")
       .orderBy("store_id")
   }
 }
