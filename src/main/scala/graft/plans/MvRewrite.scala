@@ -214,6 +214,83 @@ object MvCatalog {
   def lookup(baseDir: String): Option[MvDef] = Option(defs.get(baseDir))
   def unregister(baseDir: String): Unit = defs.remove(baseDir)
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** PERSIST the registry to `catalogDir` (one small text file per
+    * base table, atomically replaced) — a deployment's MV catalog
+    * survives session restarts; [[load]] re-registers on the next
+    * start. Only registration-convention fields are stored (group and
+    * value columns, the extremes flag, the base version, paths, the
+    * schema as its own JSON): the column-name maps are reconstructed,
+    * so the format stays one screen. A def whose base has moved since
+    * the save loads fine and simply never fires until
+    * [[refresh]]/[[registerRollup]] brings it forward — the version
+    * gate makes stale persistence safe by construction. */
+  def save(catalogDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Paths.get(catalogDir)
+    Files.createDirectories(d)
+    defs.forEach { (base, mv) =>
+      val content = Seq(
+        s"base=${enc(base)}",
+        s"mvPath=${enc(mv.mvPath)}",
+        s"schema=${enc(mv.schema.json)}",
+        s"baseVersion=${mv.baseVersion}",
+        s"groupCols=${mv.groupCols.map(enc).mkString(",")}",
+        s"valueCols=${mv.valueCols.map(enc).mkString(",")}",
+        s"minMax=${mv.mins.nonEmpty}").mkString("", "\n", "\n")
+      val tmp = Files.createTempFile(d, ".stage-", ".mv.tmp")
+      Files.write(tmp,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(enc(base) + ".mv"),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** LOAD every persisted def from `catalogDir` into the registry
+    * (replacing same-base entries). Returns the number loaded. */
+  def load(catalogDir: String): Int = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(catalogDir)
+    if (!Files.isDirectory(d)) return 0
+    val s = Files.list(d)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".mv")).toSeq
+    } finally s.close()
+    files.foreach { f =>
+      val kv = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('=')
+          (line.substring(0, i), line.substring(i + 1))
+        }.toMap
+      val base = dec(kv("base"))
+      val groupCols = kv("groupCols").split(',').toSeq.map(dec)
+      val valueCols = kv("valueCols").split(',').toSeq.map(dec)
+      val minMax = kv("minMax").toBoolean
+      register(base, MvDef(
+        mvPath = dec(kv("mvPath")),
+        schema = org.apache.spark.sql.types.DataType.fromJson(
+          dec(kv("schema"))).asInstanceOf[StructType],
+        baseVersion = kv("baseVersion").toLong,
+        groupCols = groupCols,
+        valueCols = valueCols,
+        sums = valueCols.map(c => c -> s"sum_$c").toMap,
+        mins = if (minMax) valueCols.map(c => c -> s"min_$c").toMap
+               else Map.empty,
+        maxs = if (minMax) valueCols.map(c => c -> s"max_$c").toMap
+               else Map.empty,
+        cnts = valueCols.map(c => c -> s"cntn_$c").toMap,
+        countCol = "cnt"))
+    }
+    files.size
+  }
+
   /** Builds the rollup of `sink`'s CURRENT snapshot at `groupCols`
     * grain over integral `valueCols`, writes it to `mvPath`, and
     * registers it. `minMax = false` registers a SUM/COUNT-only view —

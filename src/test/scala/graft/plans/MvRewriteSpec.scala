@@ -340,6 +340,41 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the registry persists: save + unregister + load re-arms the rule; stale loads stay disarmed") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    val catDir = java.nio.file.Files
+      .createTempDirectory("graft-mvcat").toString
+    MvCatalog.save(catDir)
+    MvCatalog.unregister(t.dir)
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsBase(q, t), "no registration, no rewrite")
+    }
+    assert(MvCatalog.load(catDir) >= 1)
+    withRule {
+      val q = t.readSnapshot(spark).get
+        .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c"),
+          min("v").as("lo"), count(col("v")).as("nv"))
+      assert(readsOnly(q, mvPath), "the loaded def re-arms the full panel")
+    }
+    // base moves after the save: the loaded def is stale and must not
+    // fire until refreshed — then it fires again
+    t.append(Seq((8, 8, 8L)).toDF("g", "h", "v"))
+    MvCatalog.unregister(t.dir)
+    MvCatalog.load(catDir)
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsBase(q, t), "stale persistence must stay disarmed")
+    }
+    val d = MvCatalog.refresh(spark, t).get
+    withRule {
+      assert(readsOnly(
+        t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s")),
+        d.mvPath))
+    }
+  }
+
   test("a query grouping outside the view grain keeps the scan") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
