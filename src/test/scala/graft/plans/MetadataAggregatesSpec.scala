@@ -255,6 +255,32 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("the metadata rewrite fires through SQL text too (temp view + spark.sql)") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaaggsql").toString + "/t")
+      (1 to 30).map(d => (f"2024-${(d - 1) / 10 + 1}%02d", d.toLong))
+        .grouped(10).foreach(g =>
+          t.appendWithStats(g.toDF("month", "amount"), Seq("month", "amount")))
+      t.readSnapshot(s).get.createOrReplaceTempView("meta_sql_base")
+      try {
+        val whole = s.sql(
+          "SELECT count(*) AS n, min(amount) AS mn, sum(amount) AS sm " +
+            "FROM meta_sql_base")
+        assert(isLocal(whole), whole.queryExecution.optimizedPlan.toString)
+        assert(whole.collect().head.toSeq === Seq(30L, 1L, 465L))
+        val grouped = s.sql(
+          "SELECT month, count(*) AS n FROM meta_sql_base " +
+            "WHERE month >= '2024-02' GROUP BY month ORDER BY month")
+        assert(isLocal(grouped), grouped.queryExecution.optimizedPlan.toString)
+        assert(grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+          .toSeq === Seq(("2024-02", 10L), ("2024-03", 10L)))
+      } finally s.catalog.dropTempView("meta_sql_base")
+    } finally s.stop()
+  }
+
   test("the rewrite equals the scanning plan on every probe") {
     val s = fresh()
     try {

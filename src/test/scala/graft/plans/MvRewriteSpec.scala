@@ -375,6 +375,24 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the rewrite fires through SQL text too (temp view + spark.sql)") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    t.readSnapshot(spark).get.createOrReplaceTempView("mv_sql_base")
+    try {
+      def q() = spark.sql(
+        """SELECT g, sum(v) AS s, count(*) AS c, min(v) AS lo
+          |FROM mv_sql_base WHERE h = 1 GROUP BY g ORDER BY g""".stripMargin)
+      val off = q().collect().toSeq
+      withRule {
+        val on = q()
+        assert(readsOnly(on, mvPath),
+          on.queryExecution.optimizedPlan.toString)
+        assert(on.collect().toSeq === off)
+      }
+    } finally spark.catalog.dropTempView("mv_sql_base")
+  }
+
   test("a query grouping outside the view grain keeps the scan") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
