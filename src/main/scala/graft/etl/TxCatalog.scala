@@ -204,6 +204,11 @@ object TxCatalog {
       !n.contains("\t") && !n.contains("\n") && n.nonEmpty &&
         !n.startsWith("#"),
       s"bad table name '$n' (no tabs/newlines, no leading '#')"))
+    // dirs share the tab-separated line format: a tab or newline in a
+    // sink path would make pinsAt's split mis-parse every later read
+    tables.values.foreach(s => require(
+      !s.dir.contains("\t") && !s.dir.contains("\n"),
+      s"bad table dir '${s.dir}' (no tabs/newlines)"))
     val c = TxCatalog(dir)
     require(c.version() == -1L, s"catalog $dir already exists")
     val pins = tables.map { case (n, s) => n -> (s.dir, s.version()) }

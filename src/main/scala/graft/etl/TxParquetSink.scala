@@ -2591,6 +2591,17 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   def restatedBetween(fromV: Long, toV: Long): Boolean =
     commits().exists { case (v, m) => v > fromV && v <= toV && m.restated }
 
+  /** TRUE iff any commit in (fromV, toV] carries a row-hiding mask (a
+    * predicate delete or a merge/replace) — i.e. the change feed over
+    * the range contains RETRACTIONS. O(commits) driver metadata: the
+    * check semilattice-fold consumers ([[graft.plans.MvRewrite]]'s
+    * stale-view compensation) use to decide whether MIN/MAX can fold
+    * through the tail (insert-only) or must stand down (Gupta &
+    * Mumick: extremes are not self-maintainable under retraction). */
+  def maskedBetween(fromV: Long, toV: Long): Boolean =
+    commits().exists { case (v, m) => v > fromV && v <= toV &&
+      (m.deletePred.nonEmpty || m.replaceCols.nonEmpty) }
+
   private def compactWith(spark: SparkSession,
       layout: DataFrame => DataFrame,
       beforePublish: () => Unit,

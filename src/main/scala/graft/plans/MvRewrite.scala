@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, GreaterThan, If, IsNotNull, Literal, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructType}
 
 import graft.etl.TxParquetSink
 
@@ -32,10 +32,23 @@ import graft.etl.TxParquetSink
   *  - filters reference grouping columns of the VIEW only — each view
   *    row belongs wholly inside or outside such a predicate, so the
   *    filter transplants onto the view scan verbatim,
-  *  - the view is FRESH: it was built at exactly the snapshot version
-  *    the scan covers ([[MvCatalog]] records the base version at
-  *    registration; one later commit and the rule stands down — the
-  *    scan, not the stale view, answers).
+  *  - the view is FRESH (built at exactly the snapshot version the
+  *    scan covers — [[MvCatalog]] records the base version at
+  *    registration), OR the view is STALE and the rule COMPENSATES:
+  *    the answer is served as `γ(view ⊕ feed-tail)` — the sink's own
+  *    change feed over `(baseVersion, head]`
+  *    ([[TxParquetSink.changesBetween]]) is mapped row-by-row into
+  *    signed view-grain partials (I adds, D subtracts — the
+  *    [[graft.etl.Ivm]] self-maintenance algebra the views restrict
+  *    to), unioned with the stored partials, re-aggregated at view
+  *    grain, and groups whose multiplicity reaches zero are dropped.
+  *    The compensated plan reads the VIEW plus a
+  *    commits-since-base-sized feed — never the base snapshot. MIN/MAX
+  *    fold through the tail only when it is insert-only
+  *    ([[TxParquetSink.maskedBetween]] — extremes are not
+  *    self-maintainable under retraction), and a RESTORE in range
+  *    ([[TxParquetSink.restatedBetween]]) stands the rule down
+  *    entirely (the feed cannot represent a restatement).
   *
   * The rewrite preserves the original output attributes (names,
   * exprIds) so parent operators re-resolve untouched, and it is
@@ -72,12 +85,36 @@ object MvRewrite extends Rule[LogicalPlan] {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
-      // AVG is deliberately ABSENT: Spark's Average accumulates
-      // non-decimal input in double, so a re-sum-exactly-then-divide
-      // rewrite is only bit-identical while totals stay under 2^53 —
-      // the rule never trades exactness for speed
+      // AVG serves as ONE final division of exact partials —
+      // Sum(view sums) / Sum(view non-null counts), cast and divided
+      // exactly the way Average's own evaluateExpression does — but
+      // only under [[avgExact]]'s 2^53 bound: Spark accumulates
+      // non-decimal AVG in double, which is bit-identical to the exact
+      // long fold precisely while every intermediate subset sum stays
+      // under 2^53 (integer doubles are closed under exact addition
+      // there). Past the bound the rule stays silent rather than
+      // trading exactness for speed.
+      case Average(a: AttributeReference, _) => a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
       case _ => false
     })
+
+  /** The 2^53 exactness bound for the AVG rewrite, provable from the
+    * base table's commit-log stats alone: every intermediate partial
+    * the scanning plan's double accumulation produces is a subset sum,
+    * so |partial| ≤ max(|min|,|max|) · rows — under 2^53 every such
+    * sum is an exactly-representable integer double and the scan's
+    * result equals the exact long fold bit-for-bit. A masked log (no
+    * profile) or a non-numeric column declines. */
+  private def avgExact(sink: TxParquetSink, column: String): Boolean =
+    sink.columnMetaProfile(column).exists { p =>
+      p.num && (try {
+        val bound = BigDecimal(p.min).abs.max(BigDecimal(p.max).abs) * p.rows
+        bound < BigDecimal(BigInt(1) << 53)
+      } catch { case _: NumberFormatException => false })
+    }
 
   private def rewrite(agg: Aggregate, groups: Seq[AttributeReference],
       aggs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
@@ -89,8 +126,6 @@ object MvRewrite extends Rule[LogicalPlan] {
       (sink, mv) <- MetadataAggregates.sinksOf(child, filters, aggs)
         .flatMap(s => MvCatalog.lookup(s.dir).map(d => (s, d)))
         .headOption
-      // freshness: built at exactly the version this scan covers
-      if sink.version() == mv.baseVersion
       // query grain ⊆ view grain, filters over view grouping cols only
       // and DETERMINISTIC — the scan evaluates a predicate per base
       // row, the transplant per pre-aggregated view cell, so e.g. a
@@ -100,25 +135,133 @@ object MvRewrite extends Rule[LogicalPlan] {
       if groups.forall(g => mv.groupCols.contains(g.name))
       if filters.forall(c => c.deterministic &&
         c.references.forall(a => mv.groupCols.contains(a.name)))
-      plan <- build(mv, groups, aggs, filters.toSeq)
+      // freshness: a view built at exactly the version the scan covers
+      // serves directly; a stale one serves through delta compensation
+      src <- sourcePlan(sink, mv)
+      plan <- build(mv, sink, groups, aggs, filters.toSeq, src)
     } yield plan
   }
 
-  /** The replacement plan: [Filter] + Aggregate over the view scan,
-    * output aliased back to the ORIGINAL names and exprIds. */
-  private def build(mv: MvCatalog.MvDef, groups: Seq[AttributeReference],
-      aggs: Seq[NamedExpression], filters: Seq[Expression])
-      : Option[LogicalPlan] = {
-    val spark = SparkSession.active
-    val mvPlan = spark.read.schema(mv.schema).parquet(mv.mvPath)
+  /** The view-schema-shaped plan the aggregation rewrites onto: the
+    * plain view scan when fresh, the delta-compensated merge when the
+    * base has committed past the registered version, None when the
+    * range restated contents (the feed cannot represent a restore). */
+  private def sourcePlan(sink: TxParquetSink,
+      mv: MvCatalog.MvDef): Option[LogicalPlan] = {
+    val head = sink.version()
+    if (head == mv.baseVersion) Some(viewScan(mv))
+    else compensated(sink, mv, head)
+  }
+
+  private def viewScan(mv: MvCatalog.MvDef): LogicalPlan =
+    SparkSession.active.read.schema(mv.schema).parquet(mv.mvPath)
       .queryExecution.analyzed
+
+  /** STALE-VIEW DELTA COMPENSATION — `γ(view ⊕ feed-tail)` as a
+    * logical plan: the change feed over `(baseVersion, head]` maps to
+    * signed view-grain partials (I adds, D subtracts), unions with the
+    * stored partials, re-aggregates at view grain, and drops groups
+    * whose row multiplicity reached zero — the classic
+    * stale-MV-plus-compensation completion (Gupta & Mumick's
+    * self-maintenance algebra, served at REWRITE time instead of
+    * refresh time). The produced plan carries the view's column names,
+    * so [[build]] consumes it exactly like a fresh view scan. Cost:
+    * O(view) + O(commits since base) — never a base snapshot read.
+    * MIN/MAX partials are exposed only over an insert-only tail
+    * (retraction would need the full group history); SUM re-derives
+    * NULL for groups whose surviving values are all NULL (the stored
+    * convention), and a restated range returns None. */
+  private def compensated(sink: TxParquetSink, mv: MvCatalog.MvDef,
+      head: Long): Option[LogicalPlan] = {
+    if (sink.restatedBetween(mv.baseVersion, head)) return None
+    val spark = SparkSession.active
+    val view = viewScan(mv)
+    val feed = sink.changesBetween(spark, mv.baseVersion, head) match {
+      case None => return Some(view) // content-preserving commits only
+      case Some(f) => f.queryExecution.analyzed
+    }
+    val vBy = view.output.map(a => a.name -> a).toMap
+    val fBy = feed.output.map(a => a.name -> a).toMap
+    // schema-drift guards: the feed must carry every registered column
+    // at the view's exact types (group cols verbatim; values are cast
+    // to long for sums, so their own width may differ)
+    val needed = mv.groupCols ++ mv.valueCols :+ "_change_type"
+    if (!needed.forall(fBy.contains)) return None
+    if (!mv.groupCols.forall(g => fBy(g).dataType == vBy(g).dataType))
+      return None
+    val minMax = (mv.mins.nonEmpty || mv.maxs.nonEmpty) &&
+      !sink.maskedBetween(mv.baseVersion, head)
+    if (minMax &&
+      !mv.valueCols.forall(c => fBy(c).dataType == vBy(s"min_$c").dataType))
+      return None
+    if (!mv.valueCols.forall(c => fBy(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })) return None
+
+    val sgn = If(EqualTo(fBy("_change_type"), Literal("I")),
+      Literal(1L), Literal(-1L))
+    def sides(c: String): (Seq[NamedExpression], Seq[NamedExpression]) = {
+      val x = fBy(c)
+      val v = (Seq(
+        Alias(vBy(s"sum_$c"), s"sum_$c")(),
+        Alias(vBy(s"cntn_$c"), s"cntn_$c")()) ++
+        (if (minMax) Seq(Alias(vBy(s"min_$c"), s"min_$c")(),
+          Alias(vBy(s"max_$c"), s"max_$c")()) else Nil))
+      val f = (Seq(
+        Alias(Multiply(sgn, Cast(x, LongType)), s"sum_$c")(),
+        Alias(If(IsNotNull(x), sgn, Literal(0L)), s"cntn_$c")()) ++
+        (if (minMax) Seq(Alias(x, s"min_$c")(), Alias(x, s"max_$c")())
+         else Nil))
+      (v, f)
+    }
+    val perCol = mv.valueCols.map(sides)
+    val viewSel = mv.groupCols.map(g => Alias(vBy(g), g)(): NamedExpression) ++
+      perCol.flatMap(_._1) :+ Alias(vBy(mv.countCol), mv.countCol)()
+    val feedSel = mv.groupCols.map(g => Alias(fBy(g), g)(): NamedExpression) ++
+      perCol.flatMap(_._2) :+ Alias(sgn, mv.countCol)()
+    val u = Union(Seq(Project(viewSel, view), Project(feedSel, feed)))
+    val uBy = u.output.map(a => a.name -> a).toMap
+    def sumOf(c: String) = Sum(uBy(c)).toAggregateExpression()
+    val merged = mv.groupCols.map(g => uBy(g): NamedExpression) ++
+      mv.valueCols.flatMap { c =>
+        val nn = sumOf(s"cntn_$c")
+        // a group whose surviving values are all NULL answers NULL,
+        // exactly like the scan (and like registerRollup stores)
+        Seq(Alias(If(EqualTo(nn, Literal(0L)), Literal(null, LongType),
+            sumOf(s"sum_$c")), s"sum_$c")(),
+          Alias(nn, s"cntn_$c")(): NamedExpression) ++
+          (if (minMax) Seq(
+            Alias(Min(uBy(s"min_$c")).toAggregateExpression(), s"min_$c")(),
+            Alias(Max(uBy(s"max_$c")).toAggregateExpression(), s"max_$c")())
+           else Nil)
+      } :+ Alias(sumOf(mv.countCol), mv.countCol)()
+    val agg = Aggregate(mv.groupCols.map(uBy), merged, u)
+    val cnt = agg.output.find(_.name == mv.countCol).get
+    // multiplicity discipline: a fully-retracted group leaves the view
+    Some(Filter(GreaterThan(cnt, Literal(0L)), agg))
+  }
+
+  /** The replacement plan: [Filter] + Aggregate over the view-shaped
+    * source (fresh scan or compensated merge), output aliased back to
+    * the ORIGINAL names and exprIds. */
+  private def build(mv: MvCatalog.MvDef, sink: TxParquetSink,
+      groups: Seq[AttributeReference], aggs: Seq[NamedExpression],
+      filters: Seq[Expression], mvPlan: LogicalPlan)
+      : Option[LogicalPlan] = {
     val byName = mvPlan.output.map(a => a.name -> a).toMap
 
     // every group column must exist in the view at the identical type
     // (the rollup was computed FROM these columns, but a registration
-    // against a since-evolved schema must not slip through)
+    // against a since-evolved schema must not slip through) — and so
+    // must every FILTER-referenced column: a filter on a view grouping
+    // column absent from the query's GROUP BY would otherwise bypass
+    // the type check entirely (and a missing name would throw during
+    // optimization instead of declining the rewrite)
     val groupsOk = groups.forall(g =>
-      byName.get(g.name).exists(_.dataType == g.dataType))
+      byName.get(g.name).exists(_.dataType == g.dataType)) &&
+      filters.flatMap(_.references).forall(a =>
+        byName.get(a.name).exists(_.dataType == a.dataType))
 
     def derived(ae: AggregateExpression): Option[Expression] =
       ae.aggregateFunction match {
@@ -150,6 +293,26 @@ object MvRewrite extends Rule[LogicalPlan] {
           mv.sums.get(a.name).flatMap(byName.get)
             .filter(_.dataType == LongType)
             .map(c => ae.copy(aggregateFunction = Sum(c)))
+        case Average(a: AttributeReference, _) =>
+          // divide-last over exact partials: Sum(sum_c) / Sum(cntn_c),
+          // cast and divided the way Average's own evaluateExpression
+          // spells it (LEGACY division — AVG of zero values is NULL).
+          // Bit-identical to the scan only under the 2^53 subset-sum
+          // bound, proven from the base's commit-log stats
+          for {
+            s <- mv.sums.get(a.name).flatMap(byName.get)
+              .filter(_.dataType == LongType)
+            n <- mv.cnts.get(a.name).flatMap(byName.get)
+            if avgExact(sink, a.name)
+            // two DISTINCT aggregates out of one original: each copy
+            // needs its own resultId, or the planner dedups them into
+            // the same buffer slot and the division collapses to 1.0
+          } yield Divide(
+            Cast(ae.copy(aggregateFunction = Sum(s),
+              resultId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId), DoubleType),
+            Cast(ae.copy(aggregateFunction = Sum(n),
+              resultId = org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId), DoubleType),
+            EvalMode.LEGACY)
         case _ => None
       }
 
@@ -351,7 +514,11 @@ object MvCatalog {
       if (v1 == d.baseVersion) d
       else {
         val minMax = d.mins.nonEmpty || d.maxs.nonEmpty
-        val newPath = s"${d.mvPath}_r$v1"
+        // fixed stem + version, NOT path + suffix: a per-commit
+        // maintenance loop (StreamMv) would otherwise accumulate one
+        // `_r<v>` per tick until the directory NAME itself overflows
+        // the filesystem's component limit
+        val newPath = s"${d.mvPath.replaceAll("_r\\d+$", "")}_r$v1"
         // a RESTORE in range restated contents the change feed cannot
         // represent (base commits emit no rows) — folding across one
         // would silently diverge, so rebuild instead. Content-

@@ -62,13 +62,35 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     // the injected builders construct the native expressions
-    val Seq(dot, md5, jw) = GraftExtensions.functions
+    val Seq(dot, md5, kmv, jw) = GraftExtensions.functions
     assert(dot._1.funcName == "array_dot" && md5._1.funcName == "md5_prefix32" &&
-      jw._1.funcName == "jaro_winkler")
+      kmv._1.funcName == "kmv_sketch" && jw._1.funcName == "jaro_winkler")
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1)
     assert(dot._3(Seq(lit, lit)).isInstanceOf[graft.functions.ArrayDotProduct])
     assert(md5._3(Seq(lit)).isInstanceOf[graft.functions.Md5Prefix32])
     assert(jw._3(Seq(lit, lit)).isInstanceOf[graft.functions.JaroWinklerSimilarity])
     intercept[IllegalArgumentException](dot._3(Seq(lit)))
+  }
+
+  test("both entry-point names register identical function and rule sets") {
+    // round-10 defect: graft.GraftExtensions and graft.plans.GraftExtensions
+    // drifted (one lacked MvRewrite, the other kmv_sketch) — a deployment
+    // silently lost a tier depending on which config spelling it used.
+    // Both must now fold the one shared registry.
+    def registered(hook: org.apache.spark.sql.SparkSessionExtensions => Unit)
+        : (Set[String], Seq[String]) = {
+      val (fns, rules) =
+        org.apache.spark.sql.GraftExtTestAccess.registered(hook)
+      (fns, rules.map(_.getClass.getName))
+    }
+    val (fA, rA) = registered(new graft.GraftExtensions()(_))
+    val (fB, rB) = registered(new GraftExtensions()(_))
+    assert(fA == Set("array_dot", "md5_prefix32", "kmv_sketch", "jaro_winkler"),
+      s"unexpected function set: $fA")
+    assert(fA == fB, s"function sets diverged: $fA vs $fB")
+    assert(rA == Seq(DotProductRewrite, ManifestBroadcastJoins,
+      MetadataAggregates, MvRewrite).map(_.getClass.getName),
+      s"unexpected rule set: $rA")
+    assert(rA == rB, s"rule sets diverged: $rA vs $rB")
   }
 }

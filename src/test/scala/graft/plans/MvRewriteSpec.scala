@@ -103,21 +103,175 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  test("one base commit after registration disarms the rule (staleness)") {
-    val (t, mvPath) = freshBase()
-    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
-    t.append(Seq((7, 9, 1000L)).toDF("g", "h", "v"))
-    withRule {
-      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
-      assert(readsBase(q, t), "stale view must not answer")
-      // and the answer includes the post-registration row
-      assert(q.where(col("g") === 7).collect().head.getLong(1) === 1000L)
+  /** The compensated-plan shape gate: every leaf reads either the view
+    * or delta commit files (versions strictly past the registered
+    * base) — a leaf over any PRE-registration base file means the
+    * compensation silently fell back to a base scan. */
+  private def readsViewPlusDelta(df: DataFrame, mvPath: String,
+      t: TxParquetSink, baseVersion: Long): Boolean = {
+    val preBase = t.pathRows().collect {
+      case (p, (v, _)) if v <= baseVersion => p
+    }.toSet
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    var sawView = false
+    var sawDelta = false
+    val ok = leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          val roots = h.location.rootPaths.map(_.toUri.getPath)
+          if (roots.forall(_.startsWith(mvPath))) { sawView = true; true }
+          else {
+            sawDelta = true
+            roots.forall(p => p.startsWith(t.dir) && !preBase.contains(p))
+          }
+        case _ => false
+      }
+      case _ => false
     }
-    // re-registering at the new version re-arms
-    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    ok && sawView && sawDelta
+  }
+
+  test("a stale view COMPENSATES: view + delta commits only, answers match the rule-off plan") {
+    val (t, mvPath) = freshBase()
+    val d = MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    t.append(Seq((7, 9, 1000L), (1, 1, 11L)).toDF("g", "h", "v"))
+    t.append(Seq((7, 9, 2L), (0, 0, 3L)).toDF("g", "h", "v"))
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c"),
+        min("v").as("lo"), max("v").as("hi"))
+      .orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsViewPlusDelta(on, mvPath, t, d.baseVersion),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+    }
+    // a refresh (or re-registration) returns the rule to the direct hit
+    MvCatalog.refresh(spark, t)
     withRule {
       assert(readsOnly(
-        t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s")), mvPath))
+        t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s")),
+        MvCatalog.lookup(t.dir).get.mvPath))
+    }
+  }
+
+  test("a value-column delete in the tail structurally keeps the scan (the mask filter is the guard)") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    t.deleteWhere(spark, "v > 150")
+    // the masked read injects NOT(v > 150) over a VALUE column — the
+    // filter guard refuses, so compensation never mis-serves a tail it
+    // cannot represent; the correct answer comes from the masked scan
+    def sums() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("g")
+    val off = sums().collect().toSeq
+    withRule {
+      val on = sums()
+      assert(!readsView(on, mvPath) && readsBase(on, t),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+    }
+  }
+
+  test("AVG serves as one division of exact partials under the 2^53 proof — and declines past it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvavg").toString
+    val t = TxParquetSink(s"$dir/base")
+    val rows = (1 to 200).map(i => (i % 5, i % 3, i.toLong))
+    t.appendWithStats(rows.toDF("g", "h", "v").where(col("g") < 3),
+      statsCols = Seq("v"))
+    t.appendWithStats(rows.toDF("g", "h", "v").where(col("g") >= 3),
+      statsCols = Seq("v"))
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), s"$dir/mv")
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(avg("v").as("a"), sum("v").as("s")).orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsOnly(on, s"$dir/mv"), on.queryExecution.optimizedPlan.toString)
+      val got = on.collect().toSeq
+      assert(got.length === off.length)
+      got.zip(off).foreach { case (a, b) =>
+        assert(a.getDouble(1) == b.getDouble(1), // bit-exact, not approx
+          s"AVG drift at g=${a.getInt(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+        assert(a.getLong(2) === b.getLong(2))
+      }
+    }
+    // past the bound: max|v| · rows ≥ 2^53 — the proof fails, scan stays
+    val big = TxParquetSink(s"$dir/big")
+    big.appendWithStats(
+      Seq((0, 0, (1L << 51)), (0, 1, (1L << 51)), (1, 0, 7L), (1, 1, 9L))
+        .toDF("g", "h", "v"), statsCols = Seq("v"))
+    MvCatalog.registerRollup(spark, big, Seq("g", "h"), Seq("v"), s"$dir/bigmv")
+    withRule {
+      val over = big.readSnapshot(spark).get
+        .groupBy("g").agg(avg("v").as("a"))
+      assert(readsBase(over, big),
+        "AVG past the 2^53 subset-sum bound must keep the scan")
+      // SUM on the same view still fires (long re-summing needs no bound)
+      assert(readsOnly(big.readSnapshot(spark).get
+        .groupBy("g").agg(sum("v").as("s")), s"$dir/bigmv"))
+    }
+  }
+
+  test("a stale view compensates AVG too (divide-last over compensated partials)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvavgst").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.appendWithStats((1 to 100).map(i => (i % 4, i.toLong)).toDF("g", "v"),
+      statsCols = Seq("v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv")
+    t.appendWithStats(Seq((1, 999L), (7, 5L)).toDF("g", "v"),
+      statsCols = Seq("v"))
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(avg("v").as("a"), count(lit(1)).as("c")).orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsView(on, s"$dir/mv"), on.queryExecution.optimizedPlan.toString)
+      val got = on.collect().toSeq
+      assert(got.length === off.length)
+      got.zip(off).foreach { case (a, b) =>
+        assert(a.getDouble(1) == b.getDouble(1) && a.getLong(2) == b.getLong(2))
+      }
+    }
+  }
+
+  private def readsView(df: DataFrame, mvPath: String): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.forall(_.toUri.getPath.startsWith(mvPath))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  test("a fully-retracted group leaves the compensated answer; a RESTORE in range stands down") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    // g = 4 exists only via v ≡ 4 (mod 5) rows; retract them all
+    t.deleteWhere(spark, "g = 4")
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("g")
+    val off = q().collect().toSeq
+    assert(!off.exists(_.getInt(0) == 4), "fixture: group 4 must be gone")
+    withRule {
+      assert(q().collect().toSeq === off,
+        "a retracted group must leave the compensated view")
+      // MIN/MAX cannot fold through a retraction: the compensated view
+      // omits the extremes, so an extremes query falls back to the scan
+      val e = t.readSnapshot(spark).get.groupBy("g").agg(max("v").as("hi"))
+      assert(!readsView(e, mvPath) && readsBase(e, t),
+        "MIN/MAX over a delete-bearing tail must scan")
+    }
+    // restore restates contents the feed cannot represent: stand down
+    t.restore(spark, 1L)
+    val off2 = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsBase(on, t) && !readsOnly(on, mvPath),
+        "a restored range must keep the scan")
+      assert(on.collect().toSeq === off2)
     }
   }
 
@@ -133,7 +287,8 @@ class MvRewriteSpec extends SparkSpec {
       assert(readsBase(shadow, t), "shadowed column must keep the scan")
       val avg_ = t.readSnapshot(spark).get
         .groupBy("g").agg(avg("v").as("a"))
-      assert(readsBase(avg_, t), "AVG is not re-aggregable from the view")
+      assert(readsBase(avg_, t),
+        "AVG without commit-log stats (no 2^53 proof) must keep the scan")
       val derived = t.readSnapshot(spark).get
         .groupBy((col("g") + 1).as("g1")).agg(sum("v").as("s"))
       assert(readsBase(derived, t), "derived grouping must keep the scan")
