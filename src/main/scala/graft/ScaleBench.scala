@@ -163,6 +163,11 @@ object ScaleBench {
     // data-sized to probe.
     "stream_ann_delete", "stream_hybrid_churn", "etl_tx_merge_policy",
     "etl_mv_rewrite", "etl_mv_refresh",
+    // round-11: stale-view delta compensation (the slot times the
+    // per-year ingest harness plus a view + tail-sized rewrite read —
+    // compensation cost must track the delta, never the base) and the
+    // divide-last AVG rewrite (view-sized, stats-proofed)
+    "etl_mv_stale_rewrite", "etl_mv_avg_rewrite",
     // the per-commit streamed MV maintenance replay (each tick is
     // delta-sized + view-sized; the mid-replay compact is store-sized)
     "stream_mv_refresh",

@@ -2191,6 +2191,41 @@ object EtlOracleSql {
       |FROM u GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** Stale-MV compensation twin: the full per-customer panel over ALL
+    * orders — the engine serves it from the pre-last-year rollup plus
+    * the signed tail feed, so hash equality proves
+    * γ(view ⊕ feed-tail) ≡ the from-scratch aggregate. */
+  val mvStaleRewrite: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM o GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** AVG-through-the-MV twin: per-year average cents over the raw
+    * facts — both engines divide the same exact integral sum by the
+    * same count (the 2^53 proof makes the doubles bit-identical), so
+    * the divide-last rewrite must hash-match AVG verbatim. */
+  val mvAvgRewrite: String =
+    """WITH o AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT year,
+      |       AVG(cents) AS avg_cents,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(cents) AS BIGINT) AS n_vals
+      |FROM o GROUP BY year
+      |ORDER BY year""".stripMargin
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

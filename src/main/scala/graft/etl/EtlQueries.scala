@@ -2958,6 +2958,99 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** STALE-MV DELTA COMPENSATION — the continuous-ingest window the
+    * version gate alone would never serve: the rollup is registered
+    * BEFORE the last order year lands ([[TxFixtures.ordersStaleMv]]),
+    * two tail appends then move the base PAST the registered version,
+    * and — with no refresh anywhere — the rule must answer as
+    * `γ(view ⊕ feed-tail)`: the stored partials unioned with the
+    * signed change feed over (baseVersion, head], re-aggregated at
+    * view grain. The plan is REQUIRED to read the view plus delta
+    * commit files only — one leaf over any PRE-registration base file
+    * means the compensation silently fell back to the fact scan — and
+    * the full SUM/COUNT/MIN/MAX panel hash-gates against DuckDB's
+    * recompute over ALL orders (extremes fold because the tail is
+    * insert-only). At 100 TB this is the difference between a
+    * dashboard that gets the MV only in the instant between refresh
+    * and next commit, and one served view + tail at any staleness. */
+  def mvStaleRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersStaleMv(spark, dir)
+    val d = graft.plans.MvCatalog.lookup(t.dir).get
+    require(t.version() > d.baseVersion,
+      "fixture must be STALE: base committed past the registered version")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      requireMvPlusDelta(rolled, d.mvPath, t, d.baseVersion)
+      frozen(rolled, "o_custkey")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** AVG THROUGH THE MV TIER — served as ONE final division of exact
+    * long partials (Sum of stored sums / Sum of stored non-null
+    * counts, the momentsAggregate divide-last discipline), admitted
+    * only under the 2^53 subset-sum proof from the base's commit-log
+    * stats ([[TxFixtures.ordersAvgMv]] records cents min/max per
+    * commit) — below that bound the scan's double accumulation is
+    * bit-identical to the exact fold, so the rewrite never trades
+    * exactness for speed. Plan REQUIRED to read only the rollup;
+    * hash-gated against DuckDB's AVG over the raw facts (both engines
+    * divide the same exact sum by the same count). */
+  def mvAvgRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersAvgMv(spark, dir)
+    val d = graft.plans.MvCatalog.lookup(t.dir).get
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .groupBy("year")
+        .agg(avg(col("cents")).as("avg_cents"),
+          sum(col("cents")).as("total_cents"),
+          count(col("cents")).as("n_vals"))
+      requireMvOnly(rolled, d.mvPath, t.dir)
+      frozen(rolled, "year")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** The stale-compensation plan gate: every leaf reads either the
+    * registered view or DELTA commit files (base versions strictly
+    * past the registered one) — and both kinds must be present. A leaf
+    * over any pre-registration base file means the rewrite fell back
+    * to the fact scan. */
+  private[graft] def requireMvPlusDelta(df: DataFrame, mvPath: String,
+      t: TxParquetSink, baseVersion: Long): Unit = {
+    val preBase = t.pathRows().collect {
+      case (p, (v, _)) if v <= baseVersion => p
+    }.toSet
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    var sawView = false
+    var sawDelta = false
+    val ok = leaves.nonEmpty && leaves.forall {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val roots = h.location.rootPaths.map(_.toUri.getPath)
+            if (roots.forall(_.startsWith(mvPath))) { sawView = true; true }
+            else {
+              sawDelta = true
+              roots.forall(p => p.startsWith(t.dir) && !preBase.contains(p))
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+    require(ok && sawView && sawDelta,
+      s"stale-MV compensation must read the view at $mvPath plus delta " +
+        s"commits only (base ${t.dir} past v$baseVersion) — it did not:\n" +
+        df.queryExecution.optimizedPlan.toString)
+  }
+
   /** Freeze a rule-served result WHILE the rule is armed: the
     * registered rows that install an optimizer rule via
     * `extraOptimizations` must materialize before the finally-block

@@ -306,6 +306,47 @@ object TxFixtures {
       sink
     }
 
+  /** STALE REGISTERED ROLLUP — the orders load with its (year,
+    * o_custkey) rollup registered BEFORE the last year lands, then two
+    * tail appends past the registered version and NO refresh: the
+    * fixture [[graft.plans.MvRewrite]]'s stale-view delta compensation
+    * serves from (view ⊕ insert-only feed tail — the continuously-
+    * ingesting window where a version-gated rule would otherwise never
+    * fire). READ-ONLY: the row only queries. */
+  def ordersStaleMv(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_stale_mv") {
+      val o = ordersProjected(spark, dir)
+      val ys = o.select("year").distinct().orderBy("year")
+        .collect().map(_.getInt(0)).toSeq
+      val t = tempSink("graft-txfix-stalemv")
+      ys.dropRight(1).foreach(y => t.append(o.where(col("year") === y)))
+      graft.plans.MvCatalog.registerRollup(spark, t,
+        groupCols = Seq("year", "o_custkey"), valueCols = Seq("cents"),
+        mvPath = t.dir + "_mv")
+      val last = o.where(col("year") === ys.last)
+      t.append(last.where(col("o_orderkey") % 2 === 0))
+      t.append(last.where(col("o_orderkey") % 2 === 1))
+      t
+    }
+
+  /** STATS-BEARING ROLLUP BASE — the orders load with per-commit cents
+    * stats (the 2^53 exactness proof [[graft.plans.MvRewrite]]'s AVG
+    * rewrite requires reads min/max/rows from the commit log) and its
+    * (year, o_custkey) rollup registered fresh. READ-ONLY. */
+  def ordersAvgMv(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_avg_mv") {
+      val o = ordersProjected(spark, dir)
+      val ys = o.select("year").distinct().orderBy("year")
+        .collect().map(_.getInt(0)).toSeq
+      val t = tempSink("graft-txfix-avgmv")
+      ys.foreach(y => t.appendWithStats(o.where(col("year") === y),
+        statsCols = Seq("year", "cents")))
+      graft.plans.MvCatalog.registerRollup(spark, t,
+        groupCols = Seq("year", "o_custkey"), valueCols = Seq("cents"),
+        mvPath = t.dir + "_mv")
+      t
+    }
+
   /** A fresh shallow clone of `source` for a mutating row: O(commits)
     * manifest metadata into a new temp dir, zero data bytes copied —
     * the mutation then diverges without touching the canonical sink. */
@@ -328,6 +369,8 @@ object TxFixtures {
     sketchSinks(spark, dir)
     groupYearSink(spark, dir)
     ordersMv(spark, dir)
+    ordersStaleMv(spark, dir)
+    ordersAvgMv(spark, dir)
   }
 
   /** Pre-builds the merge-churn replay arms (one merge commit per
