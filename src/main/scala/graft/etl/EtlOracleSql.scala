@@ -2574,6 +2574,34 @@ object EtlOracleSql {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
 
+  /** Composite-grouped-rule twin: the filtered per-(year, half)
+    * profile recomputed declaratively — the literal rows the rule
+    * folds from two-dimension partition-grain manifests must equal the
+    * data's own composite GROUP BY (first year restricted to h1). */
+  val txGroupMultiRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |tagged AS (
+      |  SELECT substring(month, 1, 4) AS y,
+      |         CASE WHEN CAST(substring(month, 6, 2) AS INT) <= 6
+      |              THEN 'h1' ELSE 'h2' END AS hh,
+      |         cents
+      |  FROM monthly
+      |),
+      |ys AS (SELECT DISTINCT substring(month, 1, 4) AS y FROM monthly),
+      |b AS (SELECT (SELECT y FROM ys ORDER BY y LIMIT 1 OFFSET 1) AS lo)
+      |SELECT y, hh,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM tagged, b
+      |WHERE y >= b.lo AND (hh = 'h1' OR y > b.lo)
+      |GROUP BY y, hh ORDER BY y, hh""".stripMargin)
+
   /** Cross-table-transaction twin: the declarative end-state of the
     * two archiving transfers — months 01/02 tagged 'archive',
     * everything else 'ledger' with every store present (the crashed

@@ -2767,6 +2767,42 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** COMPOSITE-KEY GROUPED RULE — [[txGroupRule]] generalized to a
+    * MULTI-column partition grain
+    * ([[TxParquetSink.groupedMetaProfileMulti]]): the load commits
+    * once per (year, half) with both `y` and `hh` single-valued per
+    * commit, a WHERE over both group columns drops interior tuples on
+    * the driver, and `GROUP BY y, hh → count/min/max/sum(cents)`
+    * optimizes into literal rows with NO scan stage (REQUIRED) —
+    * hash-gated against DuckDB's declarative recompute of the same
+    * filtered composite profile. At 100 TB: per-(day, region) panels
+    * of a two-dimension partitioned load cost O(commits) driver
+    * metadata, no matter how wide the table. */
+  def txGroupMultiRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.groupMultiSink(spark, dir)
+    val ys = TxFixtures.years(spark, dir)
+    val loY = ys(1) // interior bound: the first year's tuples drop
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val grouped = t.readSnapshot(spark).get
+        .where(col("y") >= lit(loY) &&
+          (col("hh") === lit("h1") || col("y") > lit(loY)))
+        .groupBy("y", "hh").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+      require(grouped.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the composite grouped profile " +
+          "into literal rows — it did not fire:\n" +
+          grouped.queryExecution.optimizedPlan.toString)
+      frozen(grouped, "y", "hh")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** CROSS-TABLE TRANSACTION — [[TxCatalog]] end-to-end: a ledger and
     * an archive move together or not at all. Two transfer transactions
     * (each = archive-side append + ledger-side predicate delete +

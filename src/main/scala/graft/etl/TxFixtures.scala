@@ -229,6 +229,32 @@ object TxFixtures {
       t
     }
 
+  /** COMPOSITE PARTITION-GRAIN SINK — the monthly load committed once
+    * per (year, half), single-valued in BOTH `y` and `hh` with cents
+    * stats: the multi-dimension partition-grain shape behind
+    * [[graft.plans.MetadataAggregates]]' composite GROUP BY rewrite
+    * (`GROUP BY y, hh` folds per-commit records, zero scan).
+    * READ-ONLY: mutators clone. */
+  def groupMultiSink(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "group_multi_sink") {
+      val m = monthlyCents(spark, dir)
+        .withColumn("y", expr("substring(month, 1, 4)"))
+        .withColumn("hh", expr(
+          "CASE WHEN CAST(substring(month, 6, 2) AS INT) <= 6 " +
+            "THEN 'h1' ELSE 'h2' END"))
+      val t = tempSink("graft-txfix-grpm")
+      years(spark, dir).foreach { y =>
+        Seq("h1", "h2").foreach { h =>
+          // append(empty slice) is a no-op commit — a year without a
+          // second half simply contributes one commit
+          t.appendWithStats(
+            m.where(col("y") === lit(y) && col("hh") === lit(h)),
+            statsCols = Seq("y", "hh", "cents"))
+        }
+      }
+      t
+    }
+
   /** The rollup re-aggregated to half-year grain — the change-batch
     * feed of the merge-churn pair (one merge commit per half-year,
     * ~2×years batches at any SF: enough masking commits to make depth
@@ -368,6 +394,7 @@ object TxFixtures {
     clusteredSink(spark, dir)
     sketchSinks(spark, dir)
     groupYearSink(spark, dir)
+    groupMultiSink(spark, dir)
     ordersMv(spark, dir)
     ordersStaleMv(spark, dir)
     ordersAvgMv(spark, dir)

@@ -813,7 +813,24 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * partition-grain table into a literal LocalRelation with no scan
     * stage at any table size. */
   def groupedMetaProfile(groupCol: String, aggCols: Seq[String])
-      : Option[Seq[(String, Boolean, Long, Map[String, ColMetaProfile])]] = {
+      : Option[Seq[(String, Boolean, Long, Map[String, ColMetaProfile])]] =
+    groupedMetaProfileMulti(Seq(groupCol), aggCols).map(_.map {
+      case (gvs, nums, rows, profiles) => (gvs.head, nums.head, rows, profiles)
+    })
+
+  /** [[groupedMetaProfile]] for a COMPOSITE group key: `Some` iff the
+    * log is mask-free and EVERY data commit is single-valued in EVERY
+    * group column — the multi-dimension partition-grain load (one
+    * commit per (day, region), per (year, half), …), where the grouped
+    * profile is a per-tuple fold of per-commit records. One entry per
+    * distinct group tuple: (rendered group values in `groupCols`
+    * order, per-column numeric flags, tuple rows, per-`aggCols`
+    * profile). Same O(commits) driver-metadata contract — the kernel
+    * behind [[graft.plans.MetadataAggregates]]' composite GROUP BY
+    * rewrite. */
+  def groupedMetaProfileMulti(groupCols: Seq[String], aggCols: Seq[String])
+      : Option[Seq[(Seq[String], Seq[Boolean], Long, Map[String, ColMetaProfile])]] = {
+    if (groupCols.isEmpty) return None
     val cs = resolvedCommits()
     if (cs.isEmpty) return None
     val ms = cs.map(_._2)
@@ -822,14 +839,17 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val data = ms.filter(_.rows > 0)
     if (data.isEmpty) return None
     val single = data.forall { m =>
-      m.stats.get(groupCol).exists(s => s.min == s.max) &&
-        m.nullCounts.get(groupCol).contains(0L)
+      groupCols.forall { g =>
+        m.stats.get(g).exists(s => s.min == s.max) &&
+          m.nullCounts.get(g).contains(0L)
+      }
     }
     if (!single) return None
-    val gNum = data.head.stats(groupCol).num
-    if (!data.forall(_.stats(groupCol).num == gNum)) return None
-    val groups = data.groupBy(_.stats(groupCol).min).toSeq.map {
-      case (gv, gms) =>
+    val gNums = groupCols.map(g => data.head.stats(g).num)
+    if (!data.forall(m => groupCols.zip(gNums).forall {
+      case (g, n) => m.stats(g).num == n })) return None
+    val groups = data.groupBy(m => groupCols.map(g => m.stats(g).min))
+      .toSeq.map { case (gv, gms) =>
         val rows = gms.map(_.rows).sum
         val profiles = aggCols.map { c =>
           if (!gms.forall(_.stats.contains(c))) return None
@@ -853,7 +873,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             else None
           c -> ColMetaProfile(num, mn, mx, rows, nonNull, sum)
         }.toMap
-        (gv, gNum, rows, profiles)
+        (gv, gNums, rows, profiles)
     }
     Some(groups)
   }

@@ -66,13 +66,18 @@ object MetadataAggregates extends Rule[LogicalPlan] {
         aggs.map { case Alias(ae: AggregateExpression, _) => ae })
         .map(vs => LocalRelation(agg.output, Seq(InternalRow(vs: _*))))
         .getOrElse(agg)
-    case agg @ Aggregate(Seq(g: AttributeReference), aggs, child, _)
-        if aggs.nonEmpty && aggs.forall {
-          case a: AttributeReference => a.exprId == g.exprId
-          case Alias(ae: AggregateExpression, _) => supported(ae)
-          case _ => false
-        } =>
-      answerGrouped(child, g, aggs)
+    case agg @ Aggregate(groups, aggs, child, _)
+        if groups.nonEmpty &&
+          groups.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.nonEmpty && {
+            val gIds = groups.map(_.asInstanceOf[AttributeReference].exprId).toSet
+            aggs.forall {
+              case a: AttributeReference => gIds.contains(a.exprId)
+              case Alias(ae: AggregateExpression, _) => supported(ae)
+              case _ => false
+            }
+          } =>
+      answerGrouped(child, groups.map(_.asInstanceOf[AttributeReference]), aggs)
         .map(rows => LocalRelation(agg.output, rows))
         .getOrElse(agg)
   }
@@ -222,41 +227,49 @@ object MetadataAggregates extends Rule[LogicalPlan] {
     } yield vs.map(_.get)
   }
 
-  /** Grouped path: one literal row per group from the partition-grain
-    * per-commit records — all groups, all aggregates, or nothing.
-    * Filters are admitted when they constrain the GROUP column alone:
-    * every commit (hence every row of a group) carries one group
-    * value, so a predicate over it includes or excludes groups WHOLE —
-    * evaluated on the driver against each group's literal value with
-    * Filter's own null-drops semantics (`WHERE y BETWEEN …  GROUP BY y`
-    * becomes literal rows for the surviving groups, no scan). A filter
-    * touching any other column, or a non-deterministic one (the scan
-    * would evaluate it per row), keeps the scan. */
-  private def answerGrouped(p: LogicalPlan, g: AttributeReference,
+  /** Grouped path: one literal row per group TUPLE from the
+    * partition-grain per-commit records — all groups, all aggregates,
+    * or nothing. The key may be COMPOSITE (`GROUP BY store_id, year`
+    * over a load whose every commit is single-valued in both columns —
+    * the multi-dimension partition grain); each group column's value
+    * resolves by exprId, so the output list may reference them in any
+    * order. Filters are admitted when they constrain GROUP columns
+    * alone: every commit (hence every row of a group) carries one
+    * value per group column, so a predicate over them includes or
+    * excludes tuples WHOLE — evaluated on the driver against each
+    * tuple's literal values with Filter's own null-drops semantics. A
+    * filter touching any other column, or a non-deterministic one (the
+    * scan would evaluate it per row), keeps the scan. */
+  private def answerGrouped(p: LogicalPlan, gs: Seq[AttributeReference],
       named: Seq[NamedExpression]): Option[Seq[InternalRow]] = {
     val filters = scala.collection.mutable.ListBuffer.empty[Expression]
     val aggs = named.collect { case Alias(ae: AggregateExpression, _) => ae }
+    val gIds = gs.map(_.exprId).toSet
     for {
       sink <- sinkOf(p, filters, named)
       conds = filters.toSeq
       if conds.forall(c => c.deterministic &&
-        c.references.forall(_.exprId == g.exprId))
+        c.references.forall(a => gIds.contains(a.exprId)))
       pred = conds.reduceOption(
           org.apache.spark.sql.catalyst.expressions.And).map { c =>
         val bp = org.apache.spark.sql.catalyst.expressions.Predicate
-          .create(c, Seq(g))
+          .create(c, gs)
         bp.initialize(0)
         bp
       }
-      groups <- sink.groupedMetaProfile(g.name, profiledCols(aggs))
-      rows = groups.map { case (gv, _, n, profiles) =>
-        typed(gv, g.dataType) match {
-          case None => None // un-round-trippable group value: no rewrite
-          case Some(gVal) if !pred.forall(_.eval(InternalRow(gVal))) =>
-            Some(None) // excluded group: contributes no output row
-          case Some(gVal) =>
+      groups <- sink.groupedMetaProfileMulti(gs.map(_.name),
+        profiledCols(aggs))
+      rows = groups.map { case (gvs, _, n, profiles) =>
+        val typedVals = gs.zip(gvs).map { case (g, v) => typed(v, g.dataType) }
+        if (typedVals.exists(_.isEmpty)) None // un-round-trippable: no rewrite
+        else {
+          val gVals = typedVals.map(_.get)
+          if (!pred.forall(_.eval(InternalRow(gVals: _*))))
+            Some(None) // excluded tuple: contributes no output row
+          else {
+            val byId = gs.map(_.exprId).zip(gVals).toMap
             val vs = named.map {
-              case _: AttributeReference => Some(gVal)
+              case a: AttributeReference => byId.get(a.exprId)
               case Alias(ae: AggregateExpression, _) =>
                 valueOf(ae, n, profiles.get)
               case _ => None
@@ -264,6 +277,7 @@ object MetadataAggregates extends Rule[LogicalPlan] {
             if (vs.forall(_.isDefined))
               Some(Some(InternalRow(vs.map(_.get): _*)))
             else None
+          }
         }
       }
       if rows.forall(_.isDefined)

@@ -255,6 +255,67 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("composite GROUP BY over a two-dimension partition grain rewrites; data files not needed") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaagggrpm").toString + "/t")
+      // one commit per (month, region): single-valued in BOTH columns
+      for (m <- 1 to 3; r <- Seq("e", "w")) {
+        val rows = (1 to 5).map(i =>
+          (f"2024-$m%02d", r, (m * 100 + i).toLong))
+        t.appendWithStats(rows.toDF("month", "region", "amount"),
+          Seq("month", "region", "amount"))
+      }
+      def q() = t.readSnapshot(s).get.groupBy("month", "region").agg(
+        count(lit(1)).as("n"), min(col("amount")).as("mn"),
+        max(col("amount")).as("mx"), sum(col("amount")).as("sm"))
+      val grouped = q()
+      assert(isLocal(grouped), grouped.queryExecution.optimizedPlan.toString)
+      assert(grouped.orderBy("month", "region").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq ==
+        (for (m <- 1 to 3; r <- Seq("e", "w")) yield
+          (f"2024-$m%02d", r, 5L, m * 100 + 1L, m * 100 + 5L,
+            (1 to 5).map(m * 100L + _).sum)))
+      // composite-key filter over BOTH group columns: tuples drop whole
+      val filtered = t.readSnapshot(s).get
+        .where("month >= '2024-02' AND (region = 'e' OR month = '2024-03')")
+        .groupBy("month", "region").agg(count(lit(1)).as("n"))
+      assert(isLocal(filtered))
+      assert(filtered.orderBy("month", "region").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("2024-02", "e", 5L), ("2024-03", "e", 5L), ("2024-03", "w", 5L)))
+      // group columns referenced in a different output order still bind
+      val reordered = t.readSnapshot(s).get.groupBy("month", "region")
+        .agg(count(lit(1)).as("n")).select("region", "n", "month")
+      assert(isLocal(reordered))
+      // proof the plan needs no data: delete every data file, re-ask
+      val again = q()
+      val dataDir = java.nio.file.Paths.get(t.dir).resolve("data")
+      val walk = java.nio.file.Files.walk(dataDir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      assert(isLocal(again))
+      assert(again.orderBy("month", "region").collect().length == 6)
+      // a commit single-valued in month but MIXED in region keeps the scan
+      val mixed = TxParquetSink(
+        Files.createTempDirectory("metaagggrpmx").toString + "/t")
+      mixed.appendWithStats(
+        Seq(("2024-01", "e", 1L), ("2024-01", "w", 2L))
+          .toDF("month", "region", "amount"),
+        Seq("month", "region", "amount"))
+      val no = mixed.readSnapshot(s).get.groupBy("month", "region")
+        .agg(count(lit(1)).as("n"))
+      assert(!isLocal(no))
+      assert(no.count() == 2L)
+    } finally s.stop()
+  }
+
   test("the metadata rewrite fires through SQL text too (temp view + spark.sql)") {
     val s = fresh()
     try {
