@@ -1,7 +1,7 @@
 package graft.etl
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,32 +24,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * repair: a writer that dies AFTER some table commits but BEFORE the
   * catalog publish leaves orphan commits above the pins — invisible to
   * every catalog-scoped reader (version-pinned reads never look past
-  * the pin) — and the NEXT [[transact]] rolls each drifted table back
-  * to its pin ([[TxParquetSink.restore]], itself a versioned commit,
-  * so history and in-flight pinned readers are untouched) before
-  * applying its own writes. Abort is the same path: a body that throws
-  * publishes nothing, and its partial table commits are repaired away.
+  * the pin) — and the NEXT [[transact]] covering those tables rolls
+  * each drifted one back to its pin ([[TxParquetSink.restore]], itself
+  * a versioned commit, so history and in-flight pinned readers are
+  * untouched) before applying its own writes. Abort is the same path:
+  * a body that throws publishes nothing, and its partial table commits
+  * are repaired away.
+  *
+  * CONCURRENCY is table-scoped, not catalog-scoped: [[transact]] takes
+  * a `scope` (default: every table) and fences it with per-table LEASE
+  * LOCKS under `_catlog/locks/` — acquired before repair, released
+  * after publish — so two transactions over DISJOINT table sets commit
+  * concurrently (each retries the catalog publish over the other's
+  * head pin-set; in-scope pins cannot move underneath because the
+  * locks hold), while overlapping scopes fail fast at acquisition with
+  * `ConcurrentModificationException` instead of racing. The locks also
+  * close the capture race an optimistic publish had: post-body head
+  * versions of LOCKED tables can only be the body's own commits, so a
+  * concurrent (lock-respecting) writer's commits can never be
+  * published inside a foreign pin-set. A transactor that dies holding
+  * a lock blocks that table only until the lease (`lockLeaseMs`)
+  * expires; the next acquirer steals the stale lock and repairs the
+  * orphans.
   *
   * Contract (the catalog OWNS the table pointer, exactly Iceberg's
   * rule): catalog-managed tables take writes only through [[transact]]
   * — a direct append to a managed table is indistinguishable from a
   * crashed transaction's orphan and will be rolled back at the next
-  * transaction. One transactor at a time: a lost catalog-publish race
-  * throws (the loser's table commits become orphans the winner's next
-  * transaction repairs) rather than silently merging pin-sets. And
-  * maintenance composes with the same caveat as time travel:
-  * [[TxParquetSink.truncateHistory]] on a managed table must keep the
-  * oldest pin a reader still uses.
+  * covering transaction. Maintenance composes with the same caveat as
+  * time travel: [[TxParquetSink.truncateHistory]] on a managed table
+  * must keep the oldest pin a reader still uses.
   *
   * At 100 TB this is the missing piece single-table ACID can't give: a
   * fact+dimension pair republished together, a transfer that debits
   * one table and credits another, a GDPR erasure spanning every table
   * that mentions the subject — each one catalog commit, O(tables)
-  * metadata, zero cross-table locks on the data path. */
-final case class TxCatalog(dir: String) {
+  * metadata, zero cross-table locks on the data path, and disjoint
+  * pipelines (orders-side vs telemetry-side) committing through one
+  * catalog without serializing on each other. */
+final case class TxCatalog(dir: String,
+    lockLeaseMs: Long = TxCatalog.DefaultLockLeaseMs) {
 
   private val root = Paths.get(dir)
   private val logDir = root.resolve("_catlog")
+  private val locksDir = logDir.resolve("locks")
 
   /** Newest catalog version, −1 before [[TxCatalog.create]]. */
   def version(): Long = {
@@ -64,38 +82,68 @@ final case class TxCatalog(dir: String) {
     } finally s.close()
   }
 
-  /** The pin-set at catalog version `v`: name → (table dir, pinned
-    * table version). Lines starting with `#` are metadata (the `#txn`
-    * idempotence records), not tables. */
-  def pinsAt(v: Long): Map[String, (String, Long)] = {
+  private def manifestAt(v: Long): String = {
     val f = logDir.resolve(f"$v%020d.cat")
-    new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
+    new String(Files.readAllBytes(f), UTF_8)
+  }
+
+  /** The pin-set at catalog version `v`: name → (table dir, pinned
+    * table version). Lines starting with `#` are metadata (txn marks),
+    * not tables. */
+  def pinsAt(v: Long): Map[String, (String, Long)] =
+    manifestAt(v).split("\n").iterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(n, d, pv) = line.split("\t", 3)
         n -> (d, pv.toLong)
       }.toMap
+
+  /** One manifest's txn marks and whether it carries the COMPLETE
+    * carried-forward set (the `#txnall` sentinel every manifest this
+    * code writes includes). */
+  private def marksAt(v: Long): (Map[String, Long], Boolean) = {
+    var complete = false
+    val m = Map.newBuilder[String, Long]
+    manifestAt(v).split("\n").iterator.foreach { line =>
+      if (line == "#txnall") complete = true
+      else if (line.startsWith("#txn\t")) {
+        val Array(_, app, ver) = line.split("\t", 3)
+        m += app -> ver.toLong
+      }
+    }
+    (m.result(), complete)
+  }
+
+  /** Every app's committed high-water mark as of version `v`: newest
+    * manifests win; the walk stops at the first manifest carrying the
+    * complete carried-forward set — O(1) manifest reads on any catalog
+    * this code created (every write re-emits all marks + `#txnall`),
+    * O(commits) only across a legacy prefix. */
+  private def allMarks(v: Long): Map[String, Long] = {
+    var acc = Map.empty[String, Long]
+    var cv = v
+    while (cv >= 0) {
+      val (m, complete) = marksAt(cv)
+      // earlier reads win nothing: acc already holds newer marks
+      acc = m ++ acc
+      if (complete) return acc
+      cv -= 1
+    }
+    acc
   }
 
   /** The highest committed application-transaction version for
     * `appId` across the catalog history, −1 if none — the
     * [[TxParquetSink.lastTxnVersion]] contract lifted to CROSS-TABLE
-    * transactions: each [[transact]] invoked with a `txn` records a
-    * `#txn` line in its catalog manifest, and a redelivered
-    * transaction at or below this high-water mark is skipped WHOLE
-    * (no table is touched), which is what makes an at-least-once
-    * streaming writer's multi-table batch exactly-once. O(catalog
-    * commits) driver metadata. */
-  def lastTxn(appId: String): Long = {
-    val v = version()
-    (0L to v).iterator.flatMap { cv =>
-      val f = logDir.resolve(f"$cv%020d.cat")
-      new String(Files.readAllBytes(f), UTF_8).split("\n").iterator
-        .filter(_.startsWith("#txn\t")).flatMap { line =>
-          val Array(_, app, ver) = line.split("\t", 3)
-          if (app == appId) Some(ver.toLong) else None
-        }
-    }.maxOption.getOrElse(-1L)
-  }
+    * transactions: each [[transact]] invoked with a `txn` records the
+    * mark in its catalog manifest (and CARRIES every known app's mark
+    * forward, so this read costs O(1) manifests — a long-lived
+    * streaming writer's per-batch idempotence check no longer scans
+    * the whole catalog history). A redelivered transaction at or below
+    * this high-water mark is skipped WHOLE (no table is touched),
+    * which is what makes an at-least-once streaming writer's
+    * multi-table batch exactly-once. */
+  def lastTxn(appId: String): Long =
+    allMarks(version()).getOrElse(appId, -1L)
 
   /** The current pin-set. */
   def pins(): Map[String, (String, Long)] = pinsAt(version())
@@ -128,6 +176,11 @@ final case class TxCatalog(dir: String) {
     ps.toSeq.sortBy(_._1)
       .map { case (n, (d, v)) => s"$n\t$d\t$v" }.mkString("", "\n", "\n")
 
+  private def renderMarks(marks: Map[String, Long]): String =
+    marks.toSeq.sortBy(_._1)
+      .map { case (app, ver) => s"#txn\t$app\t$ver" }
+      .mkString("", "\n", if (marks.nonEmpty) "\n" else "") + "#txnall\n"
+
   private def tryPublish(v: Long, content: String): Boolean = {
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, ".stage-", ".cat.tmp")
@@ -138,19 +191,56 @@ final case class TxCatalog(dir: String) {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** ONE cross-table transaction. Repairs any table whose head drifted
-    * past its pin (a previous transactor's crash — rolled back to the
-    * pinned state), hands the managed sinks to `body`, and publishes
-    * the post-body heads as catalog version+1 in one atomic commit.
-    * Throws without publishing if the body throws (its partial commits
-    * become orphans the next transaction repairs) or if the catalog
-    * moved underneath (one transactor at a time — the documented
-    * contract).
+  private def lockPath(name: String): Path = locksDir.resolve(
+    java.net.URLEncoder.encode(name, UTF_8) + ".lock")
+
+  /** One atomic lock acquisition with lease-steal: the hard link is
+    * the linearization point; a holder past `lockLeaseMs` is presumed
+    * dead and its lock deleted (one of the competing stealers' relink
+    * then wins — the delete-then-create window is the standard
+    * lease-lock caveat, bounded by the lease being generous relative
+    * to any real transaction body). */
+  private def tryAcquire(name: String): Boolean = {
+    Files.createDirectories(locksDir)
+    val p = lockPath(name)
+    val tmp = Files.createTempFile(locksDir, ".stage-", ".lock.tmp")
+    try {
+      Files.write(tmp, s"${System.currentTimeMillis()}\n".getBytes(UTF_8))
+      def link(): Boolean =
+        try { Files.createLink(p, tmp); true }
+        catch { case _: FileAlreadyExistsException => false }
+      if (link()) return true
+      val age = try {
+        System.currentTimeMillis() -
+          new String(Files.readAllBytes(p), UTF_8).trim.toLong
+      } catch { case _: Exception => Long.MaxValue } // unreadable: stale
+      if (age <= lockLeaseMs) return false
+      Files.deleteIfExists(p)
+      link()
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
+  private def release(names: Seq[String]): Unit =
+    names.foreach(n => Files.deleteIfExists(lockPath(n)))
+
+  /** ONE cross-table transaction over `scope` (default: every managed
+    * table). Acquires the scope's table locks (failing fast with
+    * `ConcurrentModificationException` if another live transactor
+    * holds any — disjoint scopes proceed concurrently), repairs any
+    * IN-SCOPE table whose head drifted past its pin (a previous
+    * transactor's crash — rolled back to the pinned state), hands the
+    * scope's sinks to `body`, and publishes the post-body heads as a
+    * new catalog version in one atomic commit — retrying over a
+    * concurrent disjoint transaction's head pin-set if one published
+    * first (in-scope pins cannot move: the locks hold). Throws without
+    * publishing if the body throws; its partial commits become orphans
+    * the next covering transaction repairs.
     *
     * `txn = Some((appId, ver))` makes the transaction IDEMPOTENT
     * end-to-end (the Delta `txnAppId`/`txnVersion` writer contract at
     * catalog scope): if `ver` is at or below the appId's committed
-    * high-water mark ([[lastTxn]]) the call returns the current
+    * high-water mark ([[lastTxn]], checked AFTER the locks are held so
+    * concurrent redeliveries serialize) the call returns the current
     * version WITHOUT touching any table — so an at-least-once
     * streaming writer (foreachBatch retries, crash-restarted
     * backfills) re-delivering a multi-table batch converges even when
@@ -159,42 +249,80 @@ final case class TxCatalog(dir: String) {
     * catalog publish leaves the mark unset, so the redelivery
     * (post-repair) applies exactly once. Returns the new catalog
     * version (or the current one on a skip). */
-  def transact(spark: SparkSession, txn: Option[(String, Long)] = None)(
+  def transact(spark: SparkSession, txn: Option[(String, Long)] = None,
+      scope: Set[String] = Set.empty)(
       body: Map[String, TxParquetSink] => Unit): Long = {
     val v = version()
     require(v >= 0, s"transact: catalog $dir was never created")
-    val alreadyCommitted = txn.exists { case (app, ver) =>
+    val p = pinsAt(v)
+    val scopeNames =
+      (if (scope.isEmpty) p.keySet else scope).toSeq.sorted
+    scope.foreach(n => require(p.contains(n),
+      s"transact: catalog $dir has no table '$n'"))
+    txn.foreach { case (app, _) =>
       require(!app.contains("\t") && !app.contains("\n"),
         s"bad txn appId '$app'")
-      lastTxn(app) >= ver
     }
-    if (alreadyCommitted) return v
-    val p = pinsAt(v)
-    val sinks = p.map { case (n, (d, _)) => n -> TxParquetSink(d) }
-    p.foreach { case (n, (_, pv)) =>
-      if (sinks(n).version() != pv) {
-        // a previous transactor's crash (or a rogue direct write):
-        // roll the table back to its pin — restore(-1) lands the
-        // pre-history empty state for a table orphaned above an
-        // empty pin
-        sinks(n).restore(spark, pv)
-        ()
+    val held = scala.collection.mutable.ListBuffer.empty[String]
+    scopeNames.foreach { n =>
+      if (tryAcquire(n)) held += n
+      else {
+        release(held.toSeq)
+        throw new java.util.ConcurrentModificationException(
+          s"catalog $dir: table '$n' is locked by another live " +
+            "transactor — overlapping scopes serialize; retry after it " +
+            s"publishes (or after its ${lockLeaseMs} ms lease expires)")
       }
     }
-    body(sinks)
-    val newPins = p.map { case (n, (d, _)) => n -> (d, sinks(n).version()) }
-    val content = render(newPins) +
-      txn.map { case (app, ver) => s"#txn\t$app\t$ver\n" }.getOrElse("")
-    if (!tryPublish(v + 1, content))
-      throw new java.util.ConcurrentModificationException(
-        s"catalog $dir moved past version $v during the transaction — " +
-          "one transactor at a time; this transaction's table commits " +
-          "are orphans the winner's next transaction will repair")
-    v + 1
+    try {
+      // idempotence check under the locks: concurrent redeliveries of
+      // the same (appId, ver) serialize on the scope's locks, so the
+      // second always sees the first's mark
+      val alreadyCommitted = txn.exists { case (app, ver) =>
+        lastTxn(app) >= ver
+      }
+      if (alreadyCommitted) return version()
+      val sinks = scopeNames.map(n => n -> TxParquetSink(p(n)._1)).toMap
+      sinks.foreach { case (n, s) =>
+        val pv = p(n)._2
+        if (s.version() != pv) {
+          // a previous transactor's crash (or a rogue direct write):
+          // roll the table back to its pin — restore(-1) lands the
+          // pre-history empty state for a table orphaned above an
+          // empty pin
+          s.restore(spark, pv)
+          ()
+        }
+      }
+      body(sinks)
+      // the locks guarantee these heads are the body's own commits —
+      // no foreign write can land inside the published pin-set
+      val updates = sinks.map { case (n, s) => n -> (p(n)._1, s.version()) }
+      while (true) {
+        val vh = version()
+        val ph = pinsAt(vh)
+        scopeNames.foreach { n =>
+          require(ph(n) == p(n),
+            s"catalog $dir: pin of locked table '$n' moved — a " +
+              "transactor bypassed the lock protocol")
+        }
+        val marks = allMarks(vh) ++ txn.toMap
+        val content = render(ph ++ updates) + renderMarks(marks)
+        if (tryPublish(vh + 1, content)) return vh + 1
+        // lost the version race to a DISJOINT transactor: re-read its
+        // head pin-set and re-publish ours on top
+      }
+      -1L // unreachable
+    } finally release(held.toSeq)
   }
 }
 
 object TxCatalog {
+
+  /** How long a table lock outlives its last touch before another
+    * transactor may presume the holder dead and steal it. Generous
+    * relative to any reasonable transaction body; tests shrink it. */
+  val DefaultLockLeaseMs: Long = 10L * 60 * 1000
 
   /** Creates the catalog at `dir`, pinning each table's CURRENT
     * version (−1 for a still-empty sink) as catalog version 0. */
@@ -212,7 +340,7 @@ object TxCatalog {
     val c = TxCatalog(dir)
     require(c.version() == -1L, s"catalog $dir already exists")
     val pins = tables.map { case (n, s) => n -> (s.dir, s.version()) }
-    require(c.tryPublish(0L, c.render(pins)),
+    require(c.tryPublish(0L, c.render(pins) + c.renderMarks(Map.empty)),
       s"catalog $dir: lost the creation race")
     c
   }

@@ -173,4 +173,98 @@ class TxCatalogSpec extends SparkSpec {
     }
     assert(rows(cat.read(spark, "b")) === Set((1, 1L)))
   }
+
+  test("transactions over DISJOINT scopes commit concurrently; overlapping scopes fail fast") {
+    val (cat, _, _) = fixture()
+    val v0 = cat.version()
+    // two writers, each scoped to its own table, forced to overlap in
+    // time: both must publish (neither sees a conflict)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq(
+      ("a", "k = 3"), ("b", "k = 999" /* no-op delete on empty */)).map {
+      case (name, pred) => new Thread(() => {
+        try {
+          cat.transact(spark, scope = Set(name)) { t =>
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            // both bodies are now inside their transactions at once
+            if (name == "a") { t("a").deleteWhere(spark, pred); () }
+            else { t("b").append(Seq((50, 50L)).toDF("k", "v")); () }
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          }
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint scopes must not conflict: ${errs}")
+    assert(cat.version() === v0 + 2, "both transactions published")
+    assert(rows(cat.read(spark, "a")) ===
+      (1 to 20).filter(_ != 3).map(i => (i, i.toLong)).toSet)
+    assert(rows(cat.read(spark, "b")) === Set((50, 50L)))
+    // overlapping scope while a lock is held: fail fast, loudly
+    cat.transact(spark, scope = Set("a")) { _ =>
+      intercept[java.util.ConcurrentModificationException] {
+        TxCatalog(cat.dir).transact(spark, scope = Set("a")) { _ => () }
+      }
+      ()
+    }
+    ()
+  }
+
+  test("a scoped transaction repairs only ITS tables; a stale lock is stolen after the lease") {
+    val (cat, a, b) = fixture()
+    // orphans on both tables (a crashed all-scope transactor)
+    a.deleteWhere(spark, "k <= 5")
+    b.append(Seq((77, 77L)).toDF("k", "v"))
+    val aOrphanHead = a.version()
+    cat.transact(spark, scope = Set("b")) { t =>
+      assert(!t.contains("a"), "body must see only the scoped tables")
+      t("b").append(Seq((1, 1L)).toDF("k", "v")); ()
+    }
+    // b's orphan was repaired (rolled back) before the append; a's is
+    // untouched — out of scope — but still invisible through the pins
+    assert(rows(cat.read(spark, "b")) === Set((1, 1L)))
+    assert(a.version() === aOrphanHead, "out-of-scope orphan not repaired")
+    assert(rows(cat.read(spark, "a")) ===
+      (1 to 20).map(i => (i, i.toLong)).toSet)
+    cat.transact(spark, scope = Set("a")) { _ => () }
+    assert(a.readSnapshot(spark).get.count() === 20L,
+      "the covering transaction repairs a's orphan")
+    // stale-lock steal: a dead transactor's lock blocks only until the
+    // lease expires
+    val lockDir = java.nio.file.Paths.get(cat.dir, "_catlog", "locks")
+    java.nio.file.Files.createDirectories(lockDir)
+    java.nio.file.Files.write(lockDir.resolve("a.lock"),
+      s"${System.currentTimeMillis() - 60000}\n".getBytes) // held 60 s ago
+    intercept[java.util.ConcurrentModificationException] {
+      cat.transact(spark, scope = Set("a")) { _ => () } // default lease: blocked
+    }
+    val shortLease = TxCatalog(cat.dir, lockLeaseMs = 1000L)
+    shortLease.transact(spark, scope = Set("a")) { t =>
+      t("a").deleteWhere(spark, "k = 20"); ()
+    }
+    assert(rows(cat.read(spark, "a")).size === 19,
+      "the stolen lock's transaction applied")
+  }
+
+  test("txn marks carry forward: the NEWEST manifest alone answers lastTxn for every app") {
+    val (cat, _, _) = fixture()
+    cat.transact(spark, Some(("app1", 3L))) { _ => () }
+    cat.transact(spark, Some(("app2", 9L))) { _ => () }
+    cat.transact(spark) { _ => () } // unmarked
+    cat.transact(spark, Some(("app1", 5L))) { _ => () }
+    assert(cat.lastTxn("app1") === 5L && cat.lastTxn("app2") === 9L)
+    // the O(1) proof: delete every manifest EXCEPT the newest — the
+    // carried-forward marks still answer (a scan-the-history
+    // implementation would die or forget app2)
+    val logDir = java.nio.file.Paths.get(cat.dir, "_catlog")
+    val head = cat.version()
+    (0L until head).foreach { v =>
+      java.nio.file.Files.delete(logDir.resolve(f"$v%020d.cat"))
+    }
+    assert(cat.lastTxn("app1") === 5L, "app1 mark must live in the head manifest")
+    assert(cat.lastTxn("app2") === 9L, "app2 mark must be carried forward")
+    assert(cat.lastTxn("nobody") === -1L)
+  }
 }
