@@ -507,6 +507,26 @@ object MvCatalog {
     * unaffected) and re-registers at the new base version — which is
     * what re-arms [[MvRewrite]] after the base moved. Cost:
     * O(changed commits) + O(view), never O(base). */
+  /** WRITE-PATH FRESHNESS POLICY — the
+    * [[TxParquetSink.maintainIfNeeded]] pattern for the MV tier:
+    * writers call this after their commit (deliberately NOT inside the
+    * commit path — maintenance amortizes and a lost race is harmless),
+    * and any rollup registered for `sink` that has fallen more than
+    * `lagBudget` versions behind is brought forward by [[refresh]] —
+    * so registered views re-arm without the caller remembering to run
+    * a maintenance loop. With `lagBudget > 0` the refresh amortizes
+    * across commits while [[MvRewrite]]'s stale-view compensation
+    * serves the in-between window from view ⊕ tail — the two halves of
+    * the freshness story: compensation bounds READ cost during the
+    * lag, the policy bounds the lag itself. Returns the refreshed def
+    * when a refresh ran, None when the view was fresh enough (or none
+    * is registered). */
+  def refreshIfStale(spark: SparkSession, sink: TxParquetSink,
+      lagBudget: Int = 0): Option[MvDef] =
+    lookup(sink.dir)
+      .filter(d => sink.version() > d.baseVersion + lagBudget)
+      .flatMap(_ => refresh(spark, sink))
+
   def refresh(spark: SparkSession, sink: TxParquetSink): Option[MvDef] = {
     import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
     lookup(sink.dir).map { d =>

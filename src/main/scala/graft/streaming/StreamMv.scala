@@ -41,11 +41,20 @@ object StreamMv {
     MvCatalog.registerRollup(spark, t, Seq("o_custkey"), Seq("cents"),
       mvPath, minMax = false)
     def tick(): Unit = {
-      val d = MvCatalog.refresh(spark, t).get
-      require(d.baseVersion == t.version(), "refresh must reach the head")
-      require(d.mvPath.contains("_r"),
-        "streamed maintenance must stay incremental — a rebuild here " +
-          "silently rescans the base every tick")
+      // the writer-loop hook: refreshIfStale decides from the version
+      // gap alone (the maintainIfNeeded pattern) — no caller-side
+      // version bookkeeping. A content-preserving commit in the gap
+      // (the mid-replay compact) re-stamps the version without a merge,
+      // so the incremental-path require only runs when a refresh ran.
+      MvCatalog.refreshIfStale(spark, t).foreach { d =>
+        require(d.baseVersion == t.version(), "refresh must reach the head")
+        require(d.mvPath.contains("_r"),
+          "streamed maintenance must stay incremental — a rebuild here " +
+            "silently rescans the base every tick")
+      }
+      val d = MvCatalog.lookup(t.dir).get
+      require(d.baseVersion == t.version(),
+        "the policy must leave the registered view FRESH after every commit")
     }
     years.drop(1).zipWithIndex.foreach { case (y, i) =>
       if (i == 2) { // after the first three years landed: the retraction

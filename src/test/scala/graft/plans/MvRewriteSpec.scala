@@ -236,6 +236,69 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("refreshIfStale: appends through the policy keep every registered view fresh, ticks incremental") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvpol").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 50).map(i => (i % 5, i.toLong)).toDF("g", "v"))
+    val d0 = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      s"$dir/mv", minMax = false)
+    // fresh view: the policy is a no-op
+    assert(MvCatalog.refreshIfStale(spark, t).isEmpty)
+    (1 to 4).foreach { i =>
+      t.append(Seq((i, 1000L + i)).toDF("g", "v"))
+      val d = MvCatalog.refreshIfStale(spark, t)
+      assert(d.nonEmpty, s"commit $i: the policy must refresh")
+      assert(d.get.baseVersion === t.version(),
+        s"commit $i: the view must be FRESH after the policy tick")
+      assert(d.get.mvPath.contains("_r"),
+        s"commit $i: the tick must be the incremental merge, not a rebuild")
+    }
+    // the view answers exactly like a rebuild would
+    val d1 = MvCatalog.lookup(t.dir).get
+    val inc = spark.read.schema(d1.schema).parquet(d1.mvPath)
+      .orderBy("g").collect().toSeq
+    val d2 = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      s"$dir/mv_rebuild", minMax = false)
+    val full = spark.read.schema(d2.schema).parquet(d2.mvPath)
+      .orderBy("g").collect().toSeq
+    assert(inc === full)
+    assert(d0.baseVersion < d1.baseVersion)
+  }
+
+  test("refreshIfStale with a lag budget amortizes; compensation serves the in-between window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvlag").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 50).map(i => (i % 5, i.toLong)).toDF("g", "v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv",
+      minMax = false)
+    val v0 = MvCatalog.lookup(t.dir).get.baseVersion
+    t.append(Seq((1, 500L)).toDF("g", "v"))
+    assert(MvCatalog.refreshIfStale(spark, t, lagBudget = 2).isEmpty,
+      "one commit behind is inside the budget")
+    t.append(Seq((2, 600L)).toDF("g", "v"))
+    assert(MvCatalog.refreshIfStale(spark, t, lagBudget = 2).isEmpty)
+    // inside the lag window the rewrite still serves: view + tail
+    withRule {
+      def q() = t.readSnapshot(spark).get
+        .groupBy("g").agg(sum("v").as("s")).orderBy("g")
+      val on = q()
+      assert(readsView(on, s"$dir/mv"),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === {
+        val prev = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations =
+          prev.filterNot(_ == MvRewrite)
+        try q().collect().toSeq
+        finally spark.experimental.extraOptimizations = prev
+      })
+    }
+    // the third commit crosses the budget: one amortized refresh
+    t.append(Seq((3, 700L)).toDF("g", "v"))
+    val d = MvCatalog.refreshIfStale(spark, t, lagBudget = 2)
+    assert(d.nonEmpty && d.get.baseVersion === t.version())
+    assert(d.get.baseVersion === v0 + 3)
+  }
+
   private def readsView(df: DataFrame, mvPath: String): Boolean =
     df.queryExecution.optimizedPlan.collectLeaves().exists {
       case lr: LogicalRelation => lr.relation match {
