@@ -3059,8 +3059,8 @@ object EtlQueries {
     * past the registered one) — and both kinds must be present. A leaf
     * over any pre-registration base file means the rewrite fell back
     * to the fact scan. */
-  private[graft] def requireMvPlusDelta(df: DataFrame, mvPath: String,
-      t: TxParquetSink, baseVersion: Long): Unit = {
+  private[graft] def mvPlusDeltaOnly(df: DataFrame, mvPath: String,
+      t: TxParquetSink, baseVersion: Long): Boolean = {
     val preBase = t.pathRows().collect {
       case (p, (v, _)) if v <= baseVersion => p
     }.toSet
@@ -3081,11 +3081,15 @@ object EtlQueries {
         }
       case _ => false
     }
-    require(ok && sawView && sawDelta,
+    ok && sawView && sawDelta
+  }
+
+  private[graft] def requireMvPlusDelta(df: DataFrame, mvPath: String,
+      t: TxParquetSink, baseVersion: Long): Unit =
+    require(mvPlusDeltaOnly(df, mvPath, t, baseVersion),
       s"stale-MV compensation must read the view at $mvPath plus delta " +
         s"commits only (base ${t.dir} past v$baseVersion) — it did not:\n" +
         df.queryExecution.optimizedPlan.toString)
-  }
 
   /** Freeze a rule-served result WHILE the rule is armed: the
     * registered rows that install an optimizer rule via

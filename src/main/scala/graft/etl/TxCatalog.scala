@@ -199,20 +199,26 @@ final case class TxCatalog(dir: String,
     * dead and its lock deleted (one of the competing stealers' relink
     * then wins — the delete-then-create window is the standard
     * lease-lock caveat, bounded by the lease being generous relative
-    * to any real transaction body). */
-  private def tryAcquire(name: String): Boolean = {
+    * to any real transaction body). The lock content is
+    * `<timestamp>\t<owner token>`: release deletes only a lock still
+    * carrying OUR token, so a long-running body whose lock was
+    * legitimately stolen cannot free the THIEF's lock on its way out
+    * (which would re-open the same-table race for a third party). */
+  private[etl] def tryAcquire(name: String, token: String): Boolean = {
     Files.createDirectories(locksDir)
     val p = lockPath(name)
     val tmp = Files.createTempFile(locksDir, ".stage-", ".lock.tmp")
     try {
-      Files.write(tmp, s"${System.currentTimeMillis()}\n".getBytes(UTF_8))
+      Files.write(tmp,
+        s"${System.currentTimeMillis()}\t$token\n".getBytes(UTF_8))
       def link(): Boolean =
         try { Files.createLink(p, tmp); true }
         catch { case _: FileAlreadyExistsException => false }
       if (link()) return true
       val age = try {
         System.currentTimeMillis() -
-          new String(Files.readAllBytes(p), UTF_8).trim.toLong
+          new String(Files.readAllBytes(p), UTF_8)
+            .trim.split("\t", 2).head.toLong
       } catch { case _: Exception => Long.MaxValue } // unreadable: stale
       if (age <= lockLeaseMs) return false
       Files.deleteIfExists(p)
@@ -220,8 +226,16 @@ final case class TxCatalog(dir: String,
     } finally { Files.deleteIfExists(tmp); () }
   }
 
-  private def release(names: Seq[String]): Unit =
-    names.foreach(n => Files.deleteIfExists(lockPath(n)))
+  private[etl] def release(names: Seq[String], token: String): Unit =
+    names.foreach { n =>
+      val p = lockPath(n)
+      val mine = try {
+        new String(Files.readAllBytes(p), UTF_8).trim
+          .split("\t", 2).lift(1).contains(token)
+      } catch { case _: Exception => false }
+      if (mine) Files.deleteIfExists(p)
+      ()
+    }
 
   /** ONE cross-table transaction over `scope` (default: every managed
     * table). Acquires the scope's table locks (failing fast with
@@ -250,24 +264,33 @@ final case class TxCatalog(dir: String,
     * (post-repair) applies exactly once. Returns the new catalog
     * version (or the current one on a skip). */
   def transact(spark: SparkSession, txn: Option[(String, Long)] = None,
-      scope: Set[String] = Set.empty)(
+      scope: Set[String] = Set.empty,
+      beforeLock: () => Unit = () => ())(
       body: Map[String, TxParquetSink] => Unit): Long = {
-    val v = version()
-    require(v >= 0, s"transact: catalog $dir was never created")
-    val p = pinsAt(v)
+    val v0 = version()
+    require(v0 >= 0, s"transact: catalog $dir was never created")
+    // pre-lock read ONLY to resolve the scope's table names (the table
+    // set is fixed at create); pins are re-read under the locks below —
+    // a lock-holding transactor may legitimately publish between this
+    // read and our acquisition, and repairing against ITS pin would
+    // roll back a committed write
+    val p0 = pinsAt(v0)
     val scopeNames =
-      (if (scope.isEmpty) p.keySet else scope).toSeq.sorted
-    scope.foreach(n => require(p.contains(n),
+      (if (scope.isEmpty) p0.keySet else scope).toSeq.sorted
+    scope.foreach(n => require(p0.contains(n),
       s"transact: catalog $dir has no table '$n'"))
     txn.foreach { case (app, _) =>
       require(!app.contains("\t") && !app.contains("\n"),
         s"bad txn appId '$app'")
     }
+    beforeLock() // test seam: the window between the name read and the
+    // lock acquisition, where a concurrent transactor may publish
+    val token = java.util.UUID.randomUUID().toString
     val held = scala.collection.mutable.ListBuffer.empty[String]
     scopeNames.foreach { n =>
-      if (tryAcquire(n)) held += n
+      if (tryAcquire(n, token)) held += n
       else {
-        release(held.toSeq)
+        release(held.toSeq, token)
         throw new java.util.ConcurrentModificationException(
           s"catalog $dir: table '$n' is locked by another live " +
             "transactor — overlapping scopes serialize; retry after it " +
@@ -275,6 +298,8 @@ final case class TxCatalog(dir: String,
       }
     }
     try {
+      // the authoritative pin capture, now race-free for our scope
+      val p = pinsAt(version())
       // idempotence check under the locks: concurrent redeliveries of
       // the same (appId, ver) serialize on the scope's locks, so the
       // second always sees the first's mark
@@ -306,14 +331,19 @@ final case class TxCatalog(dir: String,
             s"catalog $dir: pin of locked table '$n' moved — a " +
               "transactor bypassed the lock protocol")
         }
-        val marks = allMarks(vh) ++ txn.toMap
+        // merge marks with MAX per app: the same appId committing a
+        // HIGHER version through a disjoint scope concurrently must
+        // never be regressed by our lower mark (a regressed high-water
+        // mark would re-admit an already-committed redelivery)
+        val marks = (allMarks(vh).toSeq ++ txn.toSeq)
+          .groupMapReduce(_._1)(_._2)(math.max)
         val content = render(ph ++ updates) + renderMarks(marks)
         if (tryPublish(vh + 1, content)) return vh + 1
         // lost the version race to a DISJOINT transactor: re-read its
         // head pin-set and re-publish ours on top
       }
       -1L // unreachable
-    } finally release(held.toSeq)
+    } finally release(held.toSeq, token)
   }
 }
 

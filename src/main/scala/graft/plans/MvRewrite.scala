@@ -173,6 +173,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     * convention), and a restated range returns None. */
   private def compensated(sink: TxParquetSink, mv: MvCatalog.MvDef,
       head: Long): Option[LogicalPlan] = {
+    // history below the truncation horizon is GONE: the feed over the
+    // range would be silently incomplete (changesBetween throws, and a
+    // restore hidden in the truncated prefix is invisible to
+    // restatedBetween) — an optimizer rule declines, never crashes
+    val horizon = sink.commits().headOption.map(_._1).getOrElse(0L)
+    if (mv.baseVersion < horizon - 1) return None
     if (sink.restatedBetween(mv.baseVersion, head)) return None
     val spark = SparkSession.active
     val view = viewScan(mv)
@@ -537,8 +543,15 @@ object MvCatalog {
         // fixed stem + version, NOT path + suffix: a per-commit
         // maintenance loop (StreamMv) would otherwise accumulate one
         // `_r<v>` per tick until the directory NAME itself overflows
-        // the filesystem's component limit
-        val newPath = s"${d.mvPath.replaceAll("_r\\d+$", "")}_r$v1"
+        // the filesystem's component limit. A USER path that happens
+        // to end in `_r<digits>` could make the derived path collide
+        // with the current one — reading and overwriting the same
+        // directory in one job — so collisions take a disambiguating
+        // suffix instead
+        val stem = d.mvPath.replaceAll("_r\\d+$", "")
+        val newPath0 = s"${stem}_r$v1"
+        val newPath =
+          if (newPath0 == d.mvPath) s"${d.mvPath}_x" else newPath0
         // a RESTORE in range restated contents the change feed cannot
         // represent (base commits emit no rows) — folding across one
         // would silently diverge, so rebuild instead. Content-

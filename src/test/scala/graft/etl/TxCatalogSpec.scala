@@ -248,6 +248,65 @@ class TxCatalogSpec extends SparkSpec {
       "the stolen lock's transaction applied")
   }
 
+  test("pins are captured UNDER the locks: a publish in the pre-lock window is not rolled back") {
+    // review finding: transact used to read version/pins BEFORE
+    // acquiring the scope's locks, so a transactor publishing inside
+    // that window had its committed write treated as drift and
+    // restored away
+    val (cat, _, _) = fixture()
+    val before = rows(cat.read(spark, "a"))
+    var innerDone = false
+    cat.transact(spark, scope = Set("a"), beforeLock = () => {
+      // a full same-scope transaction lands INSIDE the window between
+      // the outer's name read and its lock acquisition
+      TxCatalog(cat.dir).transact(spark, scope = Set("a")) { t =>
+        t("a").deleteWhere(spark, "k = 9"); ()
+      }
+      innerDone = true
+    }) { t =>
+      t("a").deleteWhere(spark, "k = 10"); ()
+    }
+    assert(innerDone)
+    assert(rows(cat.read(spark, "a")) === before -- Set((9, 9L), (10, 10L)),
+      "both deletes must survive — the second transactor must re-read " +
+        "pins under its locks instead of restoring past the first's commit")
+  }
+
+  test("release is token-guarded: an expired holder cannot free the thief's lock") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cattok").toString
+    val c = TxCatalog(base, lockLeaseMs = 100L)
+    assert(c.tryAcquire("a", "tok1"))
+    Thread.sleep(150) // tok1's lease expires
+    assert(c.tryAcquire("a", "tok2"), "the stale lock must be stealable")
+    // the expired original holder finishing late must NOT free tok2's lock
+    c.release(Seq("a"), "tok1")
+    assert(!c.tryAcquire("a", "tok3"),
+      "tok2's fresh lock must survive tok1's late release")
+    c.release(Seq("a"), "tok2")
+    assert(c.tryAcquire("a", "tok3"), "a real release frees the lock")
+    c.release(Seq("a"), "tok3")
+  }
+
+  test("a lower txn mark published after a higher one never regresses the high-water") {
+    // review finding: the publish loop merged marks with ++, so a
+    // disjoint-scope transaction carrying a LOWER version for the same
+    // app could overwrite a concurrently-committed higher mark and
+    // re-admit an already-committed redelivery
+    val (cat, _, _) = fixture()
+    cat.transact(spark, Some(("app", 5L)), scope = Set("a")) { _ =>
+      // the same app commits version 7 through a DISJOINT scope while
+      // our (app, 5) transaction is still in flight
+      TxCatalog(cat.dir).transact(spark, Some(("app", 7L)),
+        scope = Set("b")) { _ => () }
+      ()
+    }
+    assert(cat.lastTxn("app") === 7L,
+      "the mark must merge with max, never regress to the later-published 5")
+    var applied = false
+    cat.transact(spark, Some(("app", 7L))) { _ => applied = true }
+    assert(!applied, "a redelivery of the higher version must still skip")
+  }
+
   test("txn marks carry forward: the NEWEST manifest alone answers lastTxn for every app") {
     val (cat, _, _) = fixture()
     cat.transact(spark, Some(("app1", 3L))) { _ => () }

@@ -103,33 +103,13 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  /** The compensated-plan shape gate: every leaf reads either the view
-    * or delta commit files (versions strictly past the registered
-    * base) — a leaf over any PRE-registration base file means the
-    * compensation silently fell back to a base scan. */
+  /** The compensated-plan shape gate — the ONE runtime implementation
+    * ([[graft.etl.EtlQueries.mvPlusDeltaOnly]], also behind the
+    * `etl_mv_stale_rewrite` oracle row) so the spec can never drift
+    * from the gate the driver row enforces. */
   private def readsViewPlusDelta(df: DataFrame, mvPath: String,
-      t: TxParquetSink, baseVersion: Long): Boolean = {
-    val preBase = t.pathRows().collect {
-      case (p, (v, _)) if v <= baseVersion => p
-    }.toSet
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-    var sawView = false
-    var sawDelta = false
-    val ok = leaves.nonEmpty && leaves.forall {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation =>
-          val roots = h.location.rootPaths.map(_.toUri.getPath)
-          if (roots.forall(_.startsWith(mvPath))) { sawView = true; true }
-          else {
-            sawDelta = true
-            roots.forall(p => p.startsWith(t.dir) && !preBase.contains(p))
-          }
-        case _ => false
-      }
-      case _ => false
-    }
-    ok && sawView && sawDelta
-  }
+      t: TxParquetSink, baseVersion: Long): Boolean =
+    graft.etl.EtlQueries.mvPlusDeltaOnly(df, mvPath, t, baseVersion)
 
   test("a stale view COMPENSATES: view + delta commits only, answers match the rule-off plan") {
     val (t, mvPath) = freshBase()
@@ -233,6 +213,30 @@ class MvRewriteSpec extends SparkSpec {
       got.zip(off).foreach { case (a, b) =>
         assert(a.getDouble(1) == b.getDouble(1) && a.getLong(2) == b.getLong(2))
       }
+    }
+  }
+
+  test("a registration below the truncation horizon declines quietly (no optimizer crash)") {
+    // review finding: compensated() called changesBetween without a
+    // horizon check, so a truncated history made an ordinary aggregate
+    // THROW during planning instead of falling back to the scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvtrunc").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 40).map(i => (i % 4, i.toLong)).toDF("g", "v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv",
+      minMax = false)
+    t.append(Seq((1, 100L)).toDF("g", "v"))
+    t.compact(spark)      // base commit
+    t.truncateHistory()   // horizon moves past the registered version
+    t.append(Seq((2, 200L)).toDF("g", "v"))
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s")).orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q() // must not throw during optimization
+      assert(readsBase(on, t) && !readsView(on, s"$dir/mv"),
+        "an incomplete feed range must keep the scan")
+      assert(on.collect().toSeq === off)
     }
   }
 

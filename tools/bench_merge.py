@@ -18,16 +18,20 @@ def merge(paths):
     base = dict(passes[0])
 
     def min_map(key):
+        # min over the VALID measurements only, order-independent: a -1
+        # failure marker survives into the envelope only when a query
+        # failed in EVERY pass (one noisy pass must not erase a real
+        # timing from another, in either argument order)
         out = {}
         for p in passes:
             for k, v in p.get(key, {}).items():
-                # -1 marks a failed query: never let it masquerade as fast
-                if not isinstance(v, (int, float)) or v < 0:
-                    if k not in out:
-                        out[k] = v
-                    continue
-                if k not in out or (isinstance(out[k], (int, float))
-                                    and 0 <= v < out[k]):
+                valid = isinstance(v, (int, float)) and v >= 0
+                cur = out.get(k)
+                cur_valid = isinstance(cur, (int, float)) and cur is not None \
+                    and cur >= 0
+                if k not in out:
+                    out[k] = v
+                elif valid and (not cur_valid or v < cur):
                     out[k] = v
         return out
 
