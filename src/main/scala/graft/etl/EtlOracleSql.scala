@@ -2574,6 +2574,23 @@ object EtlOracleSql {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
 
+  /** Grouped-AVG-rule twin: per-year average cents recomputed
+    * declaratively — both engines divide the same exact integral sum
+    * by the same non-null count (the 2^53 proof makes the doubles
+    * bit-identical), so the zero-scan literal must hash-match AVG
+    * verbatim. */
+  val txAvgRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT substring(month, 1, 4) AS y,
+      |       AVG(cents) AS avg_cents,
+      |       CAST(count(cents) AS BIGINT) AS n_vals,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
+
   /** Composite-grouped-rule twin: the filtered per-(year, half)
     * profile recomputed declaratively — the literal rows the rule
     * folds from two-dimension partition-grain manifests must equal the

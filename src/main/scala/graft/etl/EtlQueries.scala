@@ -2767,6 +2767,35 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** AVG THROUGH THE METADATA RULE — the grouped per-year profile
+    * extended with exact AVG: [[graft.plans.MetadataAggregates]] now
+    * serves `AVG(cents)` as ONE division of the manifest's exact sum
+    * by its exact non-null count, admitted per group only under the
+    * 2^53 subset-sum proof (max(|min|,|max|)·rows from the same
+    * per-commit stats — below it the scan's double accumulation is
+    * bit-identical to the exact fold). Plan REQUIRED to be literal
+    * rows; hash-gated against DuckDB's AVG verbatim — two engines,
+    * one exact division. At 100 TB: the monitoring panel's average
+    * column joins count/min/max/sum in the zero-scan answer. */
+  def txAvgRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.groupYearSink(spark, dir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val grouped = t.readSnapshot(spark).get.groupBy("y").agg(
+        avg(col("cents")).as("avg_cents"),
+        count(col("cents")).as("n_vals"),
+        sum(col("cents")).as("sum_cents"))
+      require(grouped.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the grouped AVG panel into " +
+          "literal rows — it did not fire:\n" +
+          grouped.queryExecution.optimizedPlan.toString)
+      frozen(grouped, "y")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** COMPOSITE-KEY GROUPED RULE — [[txGroupRule]] generalized to a
     * MULTI-column partition grain
     * ([[TxParquetSink.groupedMetaProfileMulti]]): the load commits

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -92,6 +92,16 @@ object MetadataAggregates extends Rule[LogicalPlan] {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
+      // AVG of an integral column: ONE division of the exact manifest
+      // sum by the exact non-null count — bit-identical to the scan's
+      // double accumulation only under the 2^53 subset-sum bound
+      // ([[valueOf]] proves it per panel from the profile's own
+      // min/max/rows; past the bound the member is unanswerable and
+      // the all-or-nothing contract keeps the scan)
+      case Average(a: AttributeReference, _) => a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
       case _ => false
     })
 
@@ -170,6 +180,7 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       case Min(a: AttributeReference) => Some(a.name)
       case Max(a: AttributeReference) => Some(a.name)
       case Sum(a: AttributeReference, _) => Some(a.name)
+      case Average(a: AttributeReference, _) => Some(a.name)
       case _ => None
     }).distinct
 
@@ -195,6 +206,25 @@ object MetadataAggregates extends Rule[LogicalPlan] {
         if (rows == 0L) Some(null)
         else profile(a.name).flatMap(_.sum).filter(_.isValidLong)
           .map(s => s.toLong: Any)
+      case Average(a: AttributeReference, _) =>
+        // divide-last over the exact manifest partials, admitted only
+        // when every intermediate subset sum the scan's double
+        // accumulation could form stays under 2^53 (|partial| ≤
+        // max(|min|,|max|) · rows — integer doubles are closed under
+        // exact addition there, so scan ≡ exact fold bit-for-bit);
+        // AVG of zero non-null values is NULL, like the scan
+        if (rows == 0L) Some(null)
+        else for {
+          p <- profile(a.name)
+          if p.num
+          nn <- p.nonNull
+          s <- p.sum
+          bound <- scala.util.Try(
+            BigDecimal(p.min).abs.max(BigDecimal(p.max).abs) * p.rows
+          ).toOption
+          if bound < BigDecimal(BigInt(1) << 53)
+        } yield if (nn == 0L) null
+          else (s.toDouble / nn.toDouble): Any
       case _ => None
     }
 

@@ -316,6 +316,51 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("AVG rewrites as exact-sum/count under the 2^53 proof; past the bound the panel keeps the scan") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaaggavg").toString + "/t")
+      (1 to 30).map(d => (f"2024-${(d - 1) / 10 + 1}%02d",
+          if (d % 10 == 0) null else java.lang.Long.valueOf(d.toLong)))
+        .grouped(10).foreach(g =>
+          t.appendWithStats(g.toDF("month", "amount"), Seq("month", "amount")))
+      // global, filtered, and grouped panels all serve AVG
+      def snap = t.readSnapshot(s).get
+      val global = snap.agg(avg(col("amount")).as("a"),
+        count(col("amount")).as("n"))
+      assert(isLocal(global), global.queryExecution.optimizedPlan.toString)
+      val grouped = snap.groupBy("month").agg(avg(col("amount")).as("a"))
+      assert(isLocal(grouped))
+      val filtered = snap.where("month >= '2024-02'")
+        .agg(avg(col("amount")).as("a"))
+      assert(isLocal(filtered))
+      // value parity, bit-for-bit, against a scanning ground truth the
+      // rule cannot match (the manual sum/count spelling is an Alias
+      // of a Divide, not of an AggregateExpression) — under the 2^53
+      // bound both equal Spark's own double-accumulated avg exactly
+      val manual = (sum(col("amount")) / count(col("amount"))).as("a")
+      def ground(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+        df.collect().toSeq.map(r => r.getDouble(r.length - 1))
+      assert(!isLocal(snap.agg(manual)),
+        "fixture error: the manual spelling must stay a scan")
+      assert(ground(global.select(col("a"))) === ground(snap.agg(manual)))
+      assert(ground(grouped.orderBy("month")) ===
+        ground(snap.groupBy("month").agg(manual).orderBy("month")))
+      assert(ground(filtered) ===
+        ground(snap.where("month >= '2024-02'").agg(manual)))
+      // past the bound: max|v| · rows ≥ 2^53 — whole panel stays a scan
+      val big = TxParquetSink(
+        Files.createTempDirectory("metaaggavgbig").toString + "/t")
+      big.appendWithStats(
+        Seq(("m", 1L << 51), ("m", 1L << 51), ("m", 7L), ("m", 9L))
+          .toDF("month", "amount"), Seq("month", "amount"))
+      val over = big.readSnapshot(s).get.agg(avg(col("amount")).as("a"))
+      assert(!isLocal(over), "AVG past the 2^53 proof must keep the scan")
+    } finally s.stop()
+  }
+
   test("the metadata rewrite fires through SQL text too (temp view + spark.sql)") {
     val s = fresh()
     try {
