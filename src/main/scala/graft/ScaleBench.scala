@@ -168,6 +168,10 @@ object ScaleBench {
     // compensation cost must track the delta, never the base) and the
     // divide-last AVG rewrite (view-sized, stats-proofed)
     "etl_mv_stale_rewrite", "etl_mv_avg_rewrite",
+    // cost-ordered view selection: the coarse (year) rollup answers a
+    // year-grain panel regardless of the fine cube's size — the slot
+    // times the per-year ingest + two rollup builds + a view-rows read
+    "etl_mv_multi_rewrite",
     // the per-commit streamed MV maintenance replay (each tick is
     // delta-sized + view-sized; the mid-replay compact is store-sized)
     "stream_mv_refresh",

@@ -2226,6 +2226,23 @@ object EtlOracleSql {
       |FROM o GROUP BY year
       |ORDER BY year""".stripMargin
 
+  /** Multi-view-selection twin: the per-year panel recomputed from the
+    * raw orders — the engine must land it from the coarse (year)
+    * rollup chosen over the covering-but-larger customer cube. */
+  val mvMultiRewrite: String =
+    """WITH o AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT year,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM o GROUP BY year
+      |ORDER BY year""".stripMargin
+
   val txOverwrite: String = star(
     """, monthly AS (
       |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,

@@ -3083,6 +3083,37 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** MULTI-VIEW SELECTION — two rollups registered on the same orders
+    * base ([[TxFixtures.ordersMultiMv]]: the fine (year, o_custkey)
+    * cube and the coarse (year) one) and a year-grain panel that BOTH
+    * can answer: [[graft.plans.MvRewrite]] must choose by cost and
+    * plan against the COARSE view only (REQUIRED — a plan touching the
+    * customer cube or the fact fails the row), hash-gated against
+    * DuckDB's per-year recompute from the raw orders. At 100 TB this
+    * is the warehouse view-selection story: a dashboard's month panel
+    * reads the handful of month rows, not the million-cell customer
+    * cube that happens to also cover it. */
+  def mvMultiRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersMultiMv(spark, dir)
+    val defs = graft.plans.MvCatalog.lookupAll(t.dir)
+    val coarse = defs.find(_.groupCols == Seq("year")).get
+    val fine = defs.find(_.groupCols == Seq("year", "o_custkey")).get
+    require(coarse.rows < fine.rows,
+      "fixture: the coarse view must be the smaller candidate")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .groupBy("year")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      requireMvOnly(rolled, coarse.mvPath, t.dir)
+      frozen(rolled, "year")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** The stale-compensation plan gate: every leaf reads either the
     * registered view or DELTA commit files (base versions strictly
     * past the registered one) — and both kinds must be present. A leaf

@@ -373,6 +373,28 @@ object TxFixtures {
       t
     }
 
+  /** MULTI-GRAIN ROLLUP BASE — the orders load with TWO rollups
+    * registered: the fine (year, o_custkey) cube and the coarse
+    * (year) one — the classic view-selection setup
+    * [[graft.plans.MvRewrite]] chooses from by cost (a year-grain
+    * query must plan against the few-row coarse view, never the
+    * customer cube). READ-ONLY. */
+  def ordersMultiMv(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_multi_mv") {
+      val o = ordersProjected(spark, dir)
+      val ys = o.select("year").distinct().orderBy("year")
+        .collect().map(_.getInt(0)).toSeq
+      val t = tempSink("graft-txfix-multimv")
+      ys.foreach(y => t.append(o.where(col("year") === y)))
+      graft.plans.MvCatalog.registerRollup(spark, t,
+        groupCols = Seq("year", "o_custkey"), valueCols = Seq("cents"),
+        mvPath = t.dir + "_mvfine")
+      graft.plans.MvCatalog.registerRollup(spark, t,
+        groupCols = Seq("year"), valueCols = Seq("cents"),
+        mvPath = t.dir + "_mvcoarse")
+      t
+    }
+
   /** A fresh shallow clone of `source` for a mutating row: O(commits)
     * manifest metadata into a new temp dir, zero data bytes copied —
     * the mutation then diverges without touching the canonical sink. */
@@ -398,6 +420,7 @@ object TxFixtures {
     ordersMv(spark, dir)
     ordersStaleMv(spark, dir)
     ordersAvgMv(spark, dir)
+    ordersMultiMv(spark, dir)
   }
 
   /** Pre-builds the merge-churn replay arms (one merge commit per

@@ -119,27 +119,46 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, groups: Seq[AttributeReference],
       aggs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val filters = scala.collection.mutable.ListBuffer.empty[Expression]
-    for {
-      // a diverged clone's scan yields both the clone and (failing
-      // coverage) its source as candidates — take the first covering
-      // sink that has a registered view
-      (sink, mv) <- MetadataAggregates.sinksOf(child, filters, aggs)
-        .flatMap(s => MvCatalog.lookup(s.dir).map(d => (s, d)))
-        .headOption
-      // query grain ⊆ view grain, filters over view grouping cols only
-      // and DETERMINISTIC — the scan evaluates a predicate per base
-      // row, the transplant per pre-aggregated view cell, so e.g. a
-      // rand() sample would include whole groups wholesale instead of
-      // sampling rows (it also carries no references, which is why
-      // the reference check alone cannot catch it)
-      if groups.forall(g => mv.groupCols.contains(g.name))
-      if filters.forall(c => c.deterministic &&
-        c.references.forall(a => mv.groupCols.contains(a.name)))
-      // freshness: a view built at exactly the version the scan covers
-      // serves directly; a stale one serves through delta compensation
-      src <- sourcePlan(sink, mv)
-      plan <- build(mv, sink, groups, aggs, filters.toSeq, src)
-    } yield plan
+    // a diverged clone's scan yields both the clone and (failing
+    // coverage) its source as candidates; each covering sink may carry
+    // SEVERAL registered grains — view selection over the whole set
+    val candidates = MetadataAggregates.sinksOf(child, filters, aggs)
+      .flatMap(s => MvCatalog.lookupAll(s.dir).map(d => (s, d)))
+      .filter { case (_, mv) =>
+        // query grain ⊆ view grain, filters over view grouping cols
+        // only and DETERMINISTIC — the scan evaluates a predicate per
+        // base row, the transplant per pre-aggregated view cell, so
+        // e.g. a rand() sample would include whole groups wholesale
+        // instead of sampling rows (it also carries no references,
+        // which is why the reference check alone cannot catch it)
+        groups.forall(g => mv.groupCols.contains(g.name)) &&
+          filters.forall(c => c.deterministic &&
+            c.references.forall(a => mv.groupCols.contains(a.name)))
+      }
+    // COST-ORDERED VIEW SELECTION (the Goldstein-Larson candidate
+    // choice): a FRESH view serves with zero feed reads, so freshness
+    // dominates; within a freshness class the view with the fewest
+    // stored rows is the cheapest re-aggregation (the coarse (month)
+    // rollup beats the fine (day, store, product) cube for a
+    // month-grain query). Candidates that decline at build time
+    // (missing extremes over a masked tail, schema drift) fall through
+    // to the next — all-or-nothing per candidate, best-first overall.
+    candidates
+      .sortBy { case (s, mv) =>
+        (if (s.version() == mv.baseVersion) 0 else 1,
+          if (mv.rows >= 0) mv.rows else Long.MaxValue)
+      }
+      .iterator
+      .flatMap { case (sink, mv) =>
+        for {
+          // freshness: a view built at exactly the version the scan
+          // covers serves directly; a stale one serves through delta
+          // compensation
+          src <- sourcePlan(sink, mv)
+          plan <- build(mv, sink, groups, aggs, filters.toSeq, src)
+        } yield plan
+      }
+      .nextOption()
   }
 
   /** The view-schema-shaped plan the aggregation rewrites onto: the
@@ -353,9 +372,14 @@ object MvRewrite extends Rule[LogicalPlan] {
 
 /** The registered-rollup registry [[MvRewrite]] consults, keyed by the
   * base table's root directory. Registration is session-shared mutable
-  * state, exactly like a warehouse's MV catalog; re-registering after
-  * a refresh replaces the entry (and bumps the recorded base version,
-  * which is what re-arms the rule after the base moves). */
+  * state, exactly like a warehouse's MV catalog. A base table may
+  * carry SEVERAL rollups at different grains (the classic
+  * view-selection setup — a fine (day, store, product) cube next to a
+  * coarse (month) one); registrations are keyed by grain within the
+  * table, so re-registering the SAME grain (what [[refresh]] does)
+  * replaces that entry and bumps its recorded base version — which is
+  * what re-arms the rule after the base moves — while a NEW grain
+  * joins the candidate set [[MvRewrite]] chooses from by cost. */
 object MvCatalog {
 
   /** A rollup table on disk: grouped by `groupCols`, carrying
@@ -363,7 +387,9 @@ object MvCatalog {
     * with extremes, `min_<c>`/`max_<c>`) per value column plus a
     * `cnt` row count, built from base-table version `baseVersion`.
     * `valueCols` preserves the registration order — the stored column
-    * order [[refresh]] must reproduce. */
+    * order [[refresh]] must reproduce. `rows` is the view's own row
+    * count at build time (−1 = unknown) — the cost key
+    * [[MvRewrite]]'s view selection orders candidates by. */
   final case class MvDef(
       mvPath: String,
       schema: StructType,
@@ -374,14 +400,36 @@ object MvCatalog {
       mins: Map[String, String],
       maxs: Map[String, String],
       cnts: Map[String, String],
-      countCol: String)
+      countCol: String,
+      rows: Long = -1L)
 
   private val defs =
-    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[MvDef]]()
 
-  def register(baseDir: String, d: MvDef): Unit = defs.put(baseDir, d)
-  def lookup(baseDir: String): Option[MvDef] = Option(defs.get(baseDir))
-  def unregister(baseDir: String): Unit = defs.remove(baseDir)
+  /** Registers `d` for `baseDir`: replaces the entry with the SAME
+    * grain (group-column set) in place, appends a new grain. */
+  def register(baseDir: String, d: MvDef): Unit = {
+    defs.compute(baseDir, (_, cur) => {
+      val list = Option(cur).getOrElse(Nil)
+      val grain = d.groupCols.toSet
+      if (list.exists(_.groupCols.toSet == grain))
+        list.map(e => if (e.groupCols.toSet == grain) d else e)
+      else list :+ d
+    })
+    ()
+  }
+
+  /** The PRIMARY (first-registered) def, kept for single-view callers;
+    * [[lookupAll]] is the candidate set view selection works from. */
+  def lookup(baseDir: String): Option[MvDef] =
+    Option(defs.get(baseDir)).flatMap(_.headOption)
+
+  /** Every grain registered for `baseDir`, in registration order. */
+  def lookupAll(baseDir: String): Seq[MvDef] =
+    Option(defs.get(baseDir)).getOrElse(Nil)
+
+  /** Drops every registered grain for `baseDir`. */
+  def unregister(baseDir: String): Unit = { defs.remove(baseDir); () }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
@@ -402,15 +450,18 @@ object MvCatalog {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = Paths.get(catalogDir)
     Files.createDirectories(d)
-    defs.forEach { (base, mv) =>
-      val content = Seq(
-        s"base=${enc(base)}",
-        s"mvPath=${enc(mv.mvPath)}",
-        s"schema=${enc(mv.schema.json)}",
-        s"baseVersion=${mv.baseVersion}",
-        s"groupCols=${mv.groupCols.map(enc).mkString(",")}",
-        s"valueCols=${mv.valueCols.map(enc).mkString(",")}",
-        s"minMax=${mv.mins.nonEmpty}").mkString("", "\n", "\n")
+    defs.forEach { (base, mvs) =>
+      val content = mvs.map { mv =>
+        Seq(
+          s"base=${enc(base)}",
+          s"mvPath=${enc(mv.mvPath)}",
+          s"schema=${enc(mv.schema.json)}",
+          s"baseVersion=${mv.baseVersion}",
+          s"groupCols=${mv.groupCols.map(enc).mkString(",")}",
+          s"valueCols=${mv.valueCols.map(enc).mkString(",")}",
+          s"minMax=${mv.mins.nonEmpty}",
+          s"rows=${mv.rows}").mkString("", "\n", "\n")
+      }.mkString("---\n") // one file per base, one block per grain
       val tmp = Files.createTempFile(d, ".stage-", ".mv.tmp")
       Files.write(tmp,
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -421,7 +472,9 @@ object MvCatalog {
   }
 
   /** LOAD every persisted def from `catalogDir` into the registry
-    * (replacing same-base entries). Returns the number loaded. */
+    * (replacing same-base-and-grain entries; a single-block file from
+    * before multi-grain support parses as one def). Returns the number
+    * of defs loaded. */
   def load(catalogDir: String): Int = {
     import java.nio.file.{Files, Paths}
     val d = Paths.get(catalogDir)
@@ -431,33 +484,38 @@ object MvCatalog {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.filter(_.getFileName.toString.endsWith(".mv")).toSeq
     } finally s.close()
+    var n = 0
     files.foreach { f =>
-      val kv = new String(Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty).map { line =>
+      val blocks = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).split("(?m)^---$")
+      blocks.filter(_.trim.nonEmpty).foreach { block =>
+        val kv = block.linesIterator.filter(_.nonEmpty).map { line =>
           val i = line.indexOf('=')
           (line.substring(0, i), line.substring(i + 1))
         }.toMap
-      val base = dec(kv("base"))
-      val groupCols = kv("groupCols").split(',').toSeq.map(dec)
-      val valueCols = kv("valueCols").split(',').toSeq.map(dec)
-      val minMax = kv("minMax").toBoolean
-      register(base, MvDef(
-        mvPath = dec(kv("mvPath")),
-        schema = org.apache.spark.sql.types.DataType.fromJson(
-          dec(kv("schema"))).asInstanceOf[StructType],
-        baseVersion = kv("baseVersion").toLong,
-        groupCols = groupCols,
-        valueCols = valueCols,
-        sums = valueCols.map(c => c -> s"sum_$c").toMap,
-        mins = if (minMax) valueCols.map(c => c -> s"min_$c").toMap
-               else Map.empty,
-        maxs = if (minMax) valueCols.map(c => c -> s"max_$c").toMap
-               else Map.empty,
-        cnts = valueCols.map(c => c -> s"cntn_$c").toMap,
-        countCol = "cnt"))
+        val base = dec(kv("base"))
+        val groupCols = kv("groupCols").split(',').toSeq.map(dec)
+        val valueCols = kv("valueCols").split(',').toSeq.map(dec)
+        val minMax = kv("minMax").toBoolean
+        register(base, MvDef(
+          mvPath = dec(kv("mvPath")),
+          schema = org.apache.spark.sql.types.DataType.fromJson(
+            dec(kv("schema"))).asInstanceOf[StructType],
+          baseVersion = kv("baseVersion").toLong,
+          groupCols = groupCols,
+          valueCols = valueCols,
+          sums = valueCols.map(c => c -> s"sum_$c").toMap,
+          mins = if (minMax) valueCols.map(c => c -> s"min_$c").toMap
+                 else Map.empty,
+          maxs = if (minMax) valueCols.map(c => c -> s"max_$c").toMap
+                 else Map.empty,
+          cnts = valueCols.map(c => c -> s"cntn_$c").toMap,
+          countCol = "cnt",
+          rows = kv.get("rows").map(_.toLong).getOrElse(-1L)))
+        n += 1
+      }
     }
-    files.size
+    n
   }
 
   /** Builds the rollup of `sink`'s CURRENT snapshot at `groupCols`
@@ -487,32 +545,20 @@ object MvCatalog {
     require(sink.version() == v0,
       s"registerRollup: base ${sink.dir} moved during the build " +
         s"($v0 -> ${sink.version()}); retry against the new snapshot")
+    // the view's own cardinality, read back from the written parquet
+    // (footer-count, view-sized) — the cost key view selection sorts by
+    val n = spark.read.schema(mv.schema).parquet(mvPath).count()
     val d = MvDef(mvPath, mv.schema, v0, groupCols, valueCols,
       sums = valueCols.map(c => c -> s"sum_$c").toMap,
       mins = if (minMax) valueCols.map(c => c -> s"min_$c").toMap else Map.empty,
       maxs = if (minMax) valueCols.map(c => c -> s"max_$c").toMap else Map.empty,
       cnts = valueCols.map(c => c -> s"cntn_$c").toMap,
-      countCol = "cnt")
+      countCol = "cnt",
+      rows = n)
     register(sink.dir, d)
     d
   }
 
-  /** INCREMENTAL REFRESH — brings the registered rollup forward to the
-    * base's current version from the sink's own change feed
-    * ([[TxParquetSink.changesBetween]]), never a base rescan when the
-    * algebra allows: the delta commits aggregate at view grain with
-    * CDC sign (I adds, D subtracts — SUM/COUNT self-maintenance), the
-    * stored view full-outer-merges with coalesce-to-zero, and a group
-    * whose row count reaches zero leaves the view (the multiplicity
-    * discipline). MIN/MAX columns fold through `least`/`greatest` —
-    * valid ONLY for an insert-only feed, so a delete-bearing feed on a
-    * view with stored extremes falls back to a full
-    * [[registerRollup]] rebuild (Gupta & Mumick: MIN/MAX are not
-    * self-maintainable under retraction). The refreshed rollup lands
-    * at a NEW path (readers planned against the old one are
-    * unaffected) and re-registers at the new base version — which is
-    * what re-arms [[MvRewrite]] after the base moved. Cost:
-    * O(changed commits) + O(view), never O(base). */
   /** WRITE-PATH FRESHNESS POLICY — the
     * [[TxParquetSink.maintainIfNeeded]] pattern for the MV tier:
     * writers call this after their commit (deliberately NOT inside the
@@ -528,14 +574,40 @@ object MvCatalog {
     * when a refresh ran, None when the view was fresh enough (or none
     * is registered). */
   def refreshIfStale(spark: SparkSession, sink: TxParquetSink,
-      lagBudget: Int = 0): Option[MvDef] =
-    lookup(sink.dir)
-      .filter(d => sink.version() > d.baseVersion + lagBudget)
-      .flatMap(_ => refresh(spark, sink))
+      lagBudget: Int = 0): Option[MvDef] = {
+    val v = sink.version()
+    if (lookupAll(sink.dir).exists(d => v > d.baseVersion + lagBudget))
+      refresh(spark, sink)
+    else None
+  }
 
+  /** Refreshes EVERY grain registered for `sink` ([[refreshDef]] per
+    * def) and returns the primary one, None if nothing is registered. */
   def refresh(spark: SparkSession, sink: TxParquetSink): Option[MvDef] = {
+    lookupAll(sink.dir).foreach(d => refreshDef(spark, sink, d))
+    lookup(sink.dir)
+  }
+
+  /** INCREMENTAL REFRESH of one grain — brings the registered rollup
+    * forward to the base's current version from the sink's own change
+    * feed ([[TxParquetSink.changesBetween]]), never a base rescan when
+    * the algebra allows: the delta commits aggregate at view grain
+    * with CDC sign (I adds, D subtracts — SUM/COUNT self-maintenance),
+    * the stored view full-outer-merges with coalesce-to-zero, and a
+    * group whose row count reaches zero leaves the view (the
+    * multiplicity discipline). MIN/MAX columns fold through
+    * `least`/`greatest` — valid ONLY for an insert-only feed, so a
+    * delete-bearing feed on a view with stored extremes falls back to
+    * a full [[registerRollup]] rebuild (Gupta & Mumick: MIN/MAX are
+    * not self-maintainable under retraction). The refreshed rollup
+    * lands at a NEW path (readers planned against the old one are
+    * unaffected) and re-registers at the new base version — which is
+    * what re-arms [[MvRewrite]] after the base moved. Cost:
+    * O(changed commits) + O(view), never O(base). */
+  private def refreshDef(spark: SparkSession, sink: TxParquetSink,
+      d: MvDef): MvDef = {
     import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
-    lookup(sink.dir).map { d =>
+    {
       val v1 = sink.version()
       if (v1 == d.baseVersion) d
       else {
@@ -629,7 +701,8 @@ object MvCatalog {
             require(sink.version() == v1,
               s"refresh: base ${sink.dir} moved during the merge " +
                 s"($v1 -> ${sink.version()}); retry")
-            d.copy(mvPath = newPath, baseVersion = v1)
+            d.copy(mvPath = newPath, baseVersion = v1,
+              rows = spark.read.schema(d.schema).parquet(newPath).count())
         }
         register(sink.dir, d2)
         d2

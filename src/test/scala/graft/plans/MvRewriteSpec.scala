@@ -216,6 +216,80 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("view selection: the cheapest covering grain wins; uncovered queries fall to the finer view") {
+    val (t, mvPath) = freshBase()
+    val fine = MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"),
+      mvPath + "_fine")
+    val coarse = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      mvPath + "_coarse")
+    assert(MvCatalog.lookupAll(t.dir).size === 2)
+    assert(coarse.rows < fine.rows, "fixture: the coarse view is smaller")
+    def byG() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("g")
+    def byGH() = t.readSnapshot(spark).get
+      .groupBy("g", "h").agg(sum("v").as("s")).orderBy("g", "h")
+    val (offG, offGH) = (byG().collect().toSeq, byGH().collect().toSeq)
+    withRule {
+      // both views cover GROUP BY g — the 5-row coarse one must win
+      assert(readsOnly(byG(), mvPath + "_coarse"),
+        byG().queryExecution.optimizedPlan.toString)
+      assert(byG().collect().toSeq === offG)
+      // only the fine view covers GROUP BY g, h
+      assert(readsOnly(byGH(), mvPath + "_fine"))
+      assert(byGH().collect().toSeq === offGH)
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("view selection prefers a FRESH fine view over a STALE coarse one; refresh flips it back") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      mvPath + "_coarse", minMax = false)
+    t.append(Seq((1, 1, 77L)).toDF("g", "h", "v")) // coarse is now stale
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"),
+      mvPath + "_fine", minMax = false) // fine is fresh at the new head
+    def q() = t.readSnapshot(spark).get
+      .groupBy("g").agg(sum("v").as("s")).orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      // fresh beats small: the fine view serves with zero feed reads
+      assert(readsOnly(q(), mvPath + "_fine"),
+        q().queryExecution.optimizedPlan.toString)
+      assert(q().collect().toSeq === off)
+    }
+    // refresh brings BOTH grains forward; the small coarse view wins again
+    MvCatalog.refresh(spark, t)
+    assert(MvCatalog.lookupAll(t.dir).forall(_.baseVersion == t.version()),
+      "refresh must bring every registered grain forward")
+    withRule {
+      val on = q()
+      assert(readsView(on, mvPath + "_coarse"),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("multi-grain registrations persist: save + unregister + load keeps both candidates") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath + "_f")
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath + "_c")
+    val catDir = java.nio.file.Files
+      .createTempDirectory("graft-mvmulti-save").toString
+    MvCatalog.save(catDir)
+    val before = MvCatalog.lookupAll(t.dir).map(d => (d.groupCols, d.rows))
+    MvCatalog.unregister(t.dir)
+    assert(MvCatalog.lookupAll(t.dir).isEmpty)
+    assert(MvCatalog.load(catDir) >= 2)
+    assert(MvCatalog.lookupAll(t.dir).map(d => (d.groupCols, d.rows))
+      .toSet === before.toSet, "both grains and their row counts round-trip")
+    withRule {
+      assert(readsOnly(t.readSnapshot(spark).get
+        .groupBy("g").agg(sum("v").as("s")), mvPath + "_c"))
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
   test("a registration below the truncation horizon declines quietly (no optimizer crash)") {
     // review finding: compensated() called changesBetween without a
     // horizon check, so a truncated history made an ordinary aggregate
