@@ -208,25 +208,30 @@ object MetadataAggregates extends Rule[LogicalPlan] {
           .map(s => s.toLong: Any)
       case Average(a: AttributeReference, _) =>
         // divide-last over the exact manifest partials, admitted only
-        // when every intermediate subset sum the scan's double
-        // accumulation could form stays under 2^53 (|partial| ≤
-        // max(|min|,|max|) · rows — integer doubles are closed under
-        // exact addition there, so scan ≡ exact fold bit-for-bit);
-        // AVG of zero non-null values is NULL, like the scan
+        // under the shared [[avgBoundOk]] 2^53 proof; AVG of zero
+        // non-null values is NULL, like the scan
         if (rows == 0L) Some(null)
         else for {
           p <- profile(a.name)
-          if p.num
+          if avgBoundOk(p)
           nn <- p.nonNull
           s <- p.sum
-          bound <- scala.util.Try(
-            BigDecimal(p.min).abs.max(BigDecimal(p.max).abs) * p.rows
-          ).toOption
-          if bound < BigDecimal(BigInt(1) << 53)
         } yield if (nn == 0L) null
           else (s.toDouble / nn.toDouble): Any
       case _ => None
     }
+
+  /** THE 2^53 AVG exactness proof, shared by this rule and
+    * [[MvRewrite]]'s divide-last AVG: every intermediate partial a
+    * scanning plan's double accumulation can form is a subset sum, so
+    * |partial| ≤ max(|min|,|max|) · rows — under 2^53 every such sum
+    * is an exactly-representable integer double and the scan's result
+    * equals the exact long fold bit-for-bit. Non-numeric or unparsable
+    * extremes decline. */
+  private[plans] def avgBoundOk(p: TxParquetSink.ColMetaProfile): Boolean =
+    p.num && scala.util.Try(
+      BigDecimal(p.min).abs.max(BigDecimal(p.max).abs) * p.rows <
+        BigDecimal(BigInt(1) << 53)).getOrElse(false)
 
   /** Filtered path: the whole panel from the Full/Excluded file
     * classification — boundary-exact or absent, never a scan. */

@@ -102,19 +102,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     })
 
   /** The 2^53 exactness bound for the AVG rewrite, provable from the
-    * base table's commit-log stats alone: every intermediate partial
-    * the scanning plan's double accumulation produces is a subset sum,
-    * so |partial| ≤ max(|min|,|max|) · rows — under 2^53 every such
-    * sum is an exactly-representable integer double and the scan's
-    * result equals the exact long fold bit-for-bit. A masked log (no
-    * profile) or a non-numeric column declines. */
+    * base table's commit-log stats alone (the ONE shared proof —
+    * [[MetadataAggregates.avgBoundOk]]). A masked log (no profile) or
+    * a non-numeric column declines. */
   private def avgExact(sink: TxParquetSink, column: String): Boolean =
-    sink.columnMetaProfile(column).exists { p =>
-      p.num && (try {
-        val bound = BigDecimal(p.min).abs.max(BigDecimal(p.max).abs) * p.rows
-        bound < BigDecimal(BigInt(1) << 53)
-      } catch { case _: NumberFormatException => false })
-    }
+    sink.columnMetaProfile(column).exists(MetadataAggregates.avgBoundOk)
 
   private def rewrite(agg: Aggregate, groups: Seq[AttributeReference],
       aggs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
@@ -143,9 +135,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     // month-grain query). Candidates that decline at build time
     // (missing extremes over a masked tail, schema drift) fall through
     // to the next — all-or-nothing per candidate, best-first overall.
+    // The head version is read ONCE per sink (commit-log I/O inside
+    // the optimizer), not once per (sink, grain) comparison.
+    val headOf = candidates.map(_._1).distinctBy(_.dir)
+      .map(s => s.dir -> s.version()).toMap
     candidates
       .sortBy { case (s, mv) =>
-        (if (s.version() == mv.baseVersion) 0 else 1,
+        (if (headOf(s.dir) == mv.baseVersion) 0 else 1,
           if (mv.rows >= 0) mv.rows else Long.MaxValue)
       }
       .iterator
@@ -154,7 +150,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           // freshness: a view built at exactly the version the scan
           // covers serves directly; a stale one serves through delta
           // compensation
-          src <- sourcePlan(sink, mv)
+          src <- sourcePlan(sink, mv, headOf(sink.dir))
           plan <- build(mv, sink, groups, aggs, filters.toSeq, src)
         } yield plan
       }
@@ -165,12 +161,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * plain view scan when fresh, the delta-compensated merge when the
     * base has committed past the registered version, None when the
     * range restated contents (the feed cannot represent a restore). */
-  private def sourcePlan(sink: TxParquetSink,
-      mv: MvCatalog.MvDef): Option[LogicalPlan] = {
-    val head = sink.version()
+  private def sourcePlan(sink: TxParquetSink, mv: MvCatalog.MvDef,
+      head: Long): Option[LogicalPlan] =
     if (head == mv.baseVersion) Some(viewScan(mv))
     else compensated(sink, mv, head)
-  }
 
   private def viewScan(mv: MvCatalog.MvDef): LogicalPlan =
     SparkSession.active.read.schema(mv.schema).parquet(mv.mvPath)
@@ -576,9 +570,12 @@ object MvCatalog {
   def refreshIfStale(spark: SparkSession, sink: TxParquetSink,
       lagBudget: Int = 0): Option[MvDef] = {
     val v = sink.version()
-    if (lookupAll(sink.dir).exists(d => v > d.baseVersion + lagBudget))
-      refresh(spark, sink)
-    else None
+    // per-grain budget: only the grains PAST the budget refresh — a
+    // fine cube three commits behind must not drag a coarse rollup one
+    // commit behind into an every-tick merge
+    val due = lookupAll(sink.dir).filter(d => v > d.baseVersion + lagBudget)
+    due.foreach(d => refreshDef(spark, sink, d))
+    if (due.nonEmpty) lookup(sink.dir) else None
   }
 
   /** Refreshes EVERY grain registered for `sink` ([[refreshDef]] per
@@ -607,10 +604,9 @@ object MvCatalog {
   private def refreshDef(spark: SparkSession, sink: TxParquetSink,
       d: MvDef): MvDef = {
     import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
-    {
-      val v1 = sink.version()
-      if (v1 == d.baseVersion) d
-      else {
+    val v1 = sink.version()
+    if (v1 == d.baseVersion) d
+    else {
         val minMax = d.mins.nonEmpty || d.maxs.nonEmpty
         // fixed stem + version, NOT path + suffix: a per-commit
         // maintenance loop (StreamMv) would otherwise accumulate one
@@ -706,7 +702,6 @@ object MvCatalog {
         }
         register(sink.dir, d2)
         d2
-      }
     }
   }
 }

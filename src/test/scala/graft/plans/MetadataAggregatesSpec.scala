@@ -94,11 +94,15 @@ class MetadataAggregatesSpec extends AnyFunSuite {
       assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5), r.getString(6)) ==
         ((30L, 30L, 1L, 30L, 465L, "2024-01-01", "2024-01-30")))
-      // all-or-nothing: avg is not answerable → the WHOLE plan scans,
-      // including the count that alone would have rewritten
-      val mixed = snap.agg(count(lit(1)).as("n"), avg("amount").as("a"))
+      // all-or-nothing: stddev is not answerable → the WHOLE plan
+      // scans, including the count that alone would have rewritten
+      // (avg IS answerable since the 2^53-proofed divide-last rewrite)
+      val mixed = snap.agg(count(lit(1)).as("n"), stddev("amount").as("sd"))
       assert(!isLocal(mixed))
       assert(mixed.collect().head.getLong(0) == 30L)
+      val withAvg = snap.agg(count(lit(1)).as("n"), avg("amount").as("a"))
+      assert(isLocal(withAvg))
+      assert(withAvg.collect().head.getDouble(1) == 15.5)
     } finally s.stop()
   }
 

@@ -270,6 +270,31 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.unregister(t.dir)
   }
 
+  test("the lag budget is PER GRAIN: a due fine cube does not drag a within-budget coarse view") {
+    val (t, mvPath) = freshBase()
+    val fine0 = MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"),
+      mvPath + "_fine", minMax = false)
+    t.append(Seq((1, 1, 5L)).toDF("g", "h", "v"))
+    t.append(Seq((2, 2, 6L)).toDF("g", "h", "v"))
+    // the coarse view registers ONE commit behind the head the fine
+    // cube is now three commits behind
+    val coarse0 = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      mvPath + "_coarse", minMax = false)
+    t.append(Seq((3, 0, 7L)).toDF("g", "h", "v"))
+    val refreshed = MvCatalog.refreshIfStale(spark, t, lagBudget = 2)
+    assert(refreshed.nonEmpty, "the fine cube is past the budget")
+    val after = MvCatalog.lookupAll(t.dir)
+    val fine1 = after.find(_.groupCols == Seq("g", "h")).get
+    val coarse1 = after.find(_.groupCols == Seq("g")).get
+    assert(fine1.baseVersion === t.version(),
+      "the due grain must be brought forward")
+    assert(coarse1.baseVersion === coarse0.baseVersion &&
+      coarse1.mvPath === coarse0.mvPath,
+      "the within-budget grain must NOT pay a refresh")
+    assert(fine1.mvPath !== fine0.mvPath)
+    MvCatalog.unregister(t.dir)
+  }
+
   test("multi-grain registrations persist: save + unregister + load keeps both candidates") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath + "_f")
