@@ -172,6 +172,9 @@ object ScaleBench {
     // year-grain panel regardless of the fine cube's size — the slot
     // times the per-year ingest + two rollup builds + a view-rows read
     "etl_mv_multi_rewrite",
+    // composite-key and AVG metadata panels: O(commits) driver folds —
+    // the slots time their partition-grain ingest harnesses
+    "etl_tx_group_multi_rule", "etl_tx_avg_rule",
     // the per-commit streamed MV maintenance replay (each tick is
     // delta-sized + view-sized; the mid-replay compact is store-sized)
     "stream_mv_refresh",
