@@ -1,7 +1,7 @@
 package graft.etl
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -196,15 +196,45 @@ final case class TxCatalog(dir: String,
 
   /** One atomic lock acquisition with lease-steal: the hard link is
     * the linearization point; a holder past `lockLeaseMs` is presumed
-    * dead and its lock deleted (one of the competing stealers' relink
-    * then wins — the delete-then-create window is the standard
-    * lease-lock caveat, bounded by the lease being generous relative
-    * to any real transaction body). The lock content is
+    * dead and its lock STOLEN. The lock content is
     * `<timestamp>\t<owner token>`: release deletes only a lock still
     * carrying OUR token, so a long-running body whose lock was
     * legitimately stolen cannot free the THIEF's lock on its way out
-    * (which would re-open the same-table race for a third party). */
-  private[etl] def tryAcquire(name: String, token: String): Boolean = {
+    * (which would re-open the same-table race for a third party).
+    *
+    * The steal is fenced two ways (a bare delete-then-relink had two
+    * live-lock-deletion races — the round-11 findings):
+    *
+    *  - A read that lands in the gap between a legitimate release
+    *    (delete) and the next acquirer's link sees NO file — that is
+    *    a free lock, not stale evidence, so the acquirer just retries
+    *    the link (never deletes): a brand-new foreign lock in the gap
+    *    makes the relink fail instead of being deleted.
+    *  - An actual steal runs under a CLAIM file (`<lock>.steal`,
+    *    created with the same atomic hard link): competing stealers
+    *    serialize on the claim, and the claim holder re-reads the lock
+    *    and proceeds only if it still carries the EXACT content it
+    *    classified as expired — a fresh lock relinked by an earlier
+    *    (completed) stealer fails the comparison and the late stealer
+    *    stands down. The replacement itself is one atomic rename over
+    *    the stale lock, so the lock file is never missing mid-steal
+    *    and a fresh acquirer can never link into a half-stolen window.
+    *    A claim whose own timestamp is past the lease (a stealer that
+    *    died mid-steal) is cleared so the table is not wedged.
+    *
+    * Residual (inherent to lease locks without resource-side fencing):
+    * a holder that is alive PAST its lease and releases in the
+    * microseconds between the claim holder's re-read and its rename
+    * can admit one extra acquirer; the publish-time pin verification
+    * in [[transact]] is the backstop that turns that into a loud
+    * failure instead of a merged pin-set.
+    *
+    * `beforeRead`/`beforeSteal` are test seams: the windows after the
+    * failed link and after the stale classification, where the spec
+    * interleaves competing acquirers deterministically. */
+  private[etl] def tryAcquire(name: String, token: String,
+      beforeRead: () => Unit = () => (),
+      beforeSteal: () => Unit = () => ()): Boolean = {
     Files.createDirectories(locksDir)
     val p = lockPath(name)
     val tmp = Files.createTempFile(locksDir, ".stage-", ".lock.tmp")
@@ -215,15 +245,70 @@ final case class TxCatalog(dir: String,
         try { Files.createLink(p, tmp); true }
         catch { case _: FileAlreadyExistsException => false }
       if (link()) return true
+      beforeRead()
+      val observed = try Some(new String(Files.readAllBytes(p), UTF_8))
+      catch {
+        case _: NoSuchFileException => None
+        case _: Exception => Some("") // present but unreadable: malformed
+      }
+      val content = observed match {
+        case None => return link() // release gap: free, not stale — relink
+        case Some(c) => c
+      }
       val age = try {
-        System.currentTimeMillis() -
-          new String(Files.readAllBytes(p), UTF_8)
-            .trim.split("\t", 2).head.toLong
-      } catch { case _: Exception => Long.MaxValue } // unreadable: stale
+        System.currentTimeMillis() - content.trim.split("\t", 2).head.toLong
+      } catch { case _: Exception => Long.MaxValue } // malformed: stale
       if (age <= lockLeaseMs) return false
-      Files.deleteIfExists(p)
-      link()
-    } finally { Files.deleteIfExists(tmp); () }
+      beforeSteal()
+      val claim = locksDir.resolve(p.getFileName.toString + ".steal")
+      val claimTmp = Files.createTempFile(locksDir, ".stage-", ".steal.tmp")
+      try {
+        Files.write(claimTmp,
+          s"${System.currentTimeMillis()}\t$token\n".getBytes(UTF_8))
+        val claimed =
+          try { Files.createLink(claim, claimTmp); true }
+          catch { case _: FileAlreadyExistsException => false }
+        if (!claimed) {
+          // another stealer is mid-steal; clear only a claim whose OWN
+          // lease expired (its holder died mid-steal), then stand down —
+          // the next acquisition attempt proceeds against a free claim
+          val claimAge = try {
+            System.currentTimeMillis() -
+              new String(Files.readAllBytes(claim), UTF_8)
+                .trim.split("\t", 2).head.toLong
+          } catch {
+            case _: NoSuchFileException => 0L // already finished: young
+            case _: Exception => Long.MaxValue
+          }
+          if (claimAge > lockLeaseMs) Files.deleteIfExists(claim)
+          return false
+        }
+        try {
+          // under the claim: the lock must STILL be the exact content
+          // classified as expired — anything else means the world moved
+          // on (a completed steal, a release + fresh acquire) and the
+          // late stealer stands down instead of deleting a live lock
+          val now = try Some(new String(Files.readAllBytes(p), UTF_8))
+          catch {
+            case _: NoSuchFileException => None
+            case _: Exception => Some("")
+          }
+          now match {
+            case None => link() // released under the claim: plain acquire
+            case Some(c2) if c2 != content => false
+            case _ =>
+              // one atomic rename over the stale lock: the lock file is
+              // never missing mid-steal, so no fresh acquirer can link
+              // into the window
+              Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+                StandardCopyOption.ATOMIC_MOVE)
+              // belt and braces: the published lock carries OUR token
+              (try new String(Files.readAllBytes(p), UTF_8)
+              catch { case _: Exception => "" }).contains(token)
+          }
+        } finally { Files.deleteIfExists(claim); () }
+      } finally { Files.deleteIfExists(claimTmp); () }
+    } finally { Files.deleteIfExists(tmp); () } // no-op if moved over p
   }
 
   private[etl] def release(names: Seq[String], token: String): Unit =

@@ -287,6 +287,82 @@ class TxCatalogSpec extends SparkSpec {
     c.release(Seq("a"), "tok3")
   }
 
+  test("two racing stealers can never both hold the lock") {
+    // round-11 finding: a stealer that read a stale lock used to
+    // delete-then-relink unconditionally, so a second stealer whose
+    // read predated the first's completed steal would delete the
+    // first's LIVE lock and relink — two concurrent holders. The claim
+    // protocol + content re-verify closes it: interleave B so that A
+    // completes a FULL steal inside B's classified-stale window.
+    val base = java.nio.file.Files.createTempDirectory("graft-catsteal").toString
+    val c = TxCatalog(base, lockLeaseMs = 100L)
+    assert(c.tryAcquire("t", "dead"))
+    Thread.sleep(150) // the holder is presumed dead
+    var aResult = false
+    val b = c.tryAcquire("t", "tokB", beforeSteal = () => {
+      aResult = c.tryAcquire("t", "tokA") // A's complete steal, inside B's window
+    })
+    assert(aResult, "A's steal of the expired lock must succeed")
+    assert(!b, "B classified the OLD content as stale; finding A's fresh " +
+      "lock under the claim it must stand down, never delete it")
+    // exactly one holder: A's lock survives and carries A's token
+    val lockFile = java.nio.file.Paths.get(base, "_catlog", "locks", "t.lock")
+    val content = new String(java.nio.file.Files.readAllBytes(lockFile))
+    assert(content.contains("tokA"), s"A's live lock must survive B: $content")
+    assert(!c.tryAcquire("t", "tokC"), "the stolen lock is held, not free")
+  }
+
+  test("a live foreign claim blocks a steal; an expired claim is cleared") {
+    val base = java.nio.file.Files.createTempDirectory("graft-catclaim").toString
+    val c = TxCatalog(base, lockLeaseMs = 100L)
+    assert(c.tryAcquire("t", "dead"))
+    Thread.sleep(150)
+    val locks = java.nio.file.Paths.get(base, "_catlog", "locks")
+    val claim = locks.resolve("t.lock.steal")
+    // a YOUNG claim = another stealer mid-steal: stand down, touch nothing
+    java.nio.file.Files.write(claim,
+      s"${System.currentTimeMillis()}\tother\n".getBytes)
+    assert(!c.tryAcquire("t", "tokB"))
+    assert(java.nio.file.Files.exists(claim), "a live claim is never cleared")
+    val lockContent = new String(java.nio.file.Files.readAllBytes(
+      locks.resolve("t.lock")))
+    assert(lockContent.contains("dead"), "the stale lock itself is untouched")
+    // an EXPIRED claim = a stealer that died mid-steal: cleared, so the
+    // NEXT acquisition proceeds instead of the table wedging forever
+    java.nio.file.Files.write(claim,
+      s"${System.currentTimeMillis() - 60000}\tcrashed\n".getBytes)
+    assert(!c.tryAcquire("t", "tokB"), "the clearing attempt stands down")
+    assert(!java.nio.file.Files.exists(claim), "the dead claim is cleared")
+    assert(c.tryAcquire("t", "tokB"), "the retry then steals normally")
+  }
+
+  test("a read landing in the release gap relinks instead of classifying stale") {
+    // ADVICE round-11 (medium): NoSuchFileException on the lock read
+    // used to parse as age = MaxValue -> stale -> delete + relink,
+    // which could delete the NEXT acquirer's brand-new lock. A missing
+    // file is a FREE lock: retry the link; a foreign lock that won the
+    // gap makes the relink fail instead of being deleted.
+    val base = java.nio.file.Files.createTempDirectory("graft-catgap").toString
+    val c = TxCatalog(base, lockLeaseMs = 100L)
+    assert(c.tryAcquire("t", "tok1"))
+    // gap shape 1: released before our read, nobody else — legit acquire
+    val got = c.tryAcquire("t", "tok2", beforeRead = () => {
+      c.release(Seq("t"), "tok1") // the legitimate release lands mid-call
+    })
+    assert(got, "a free lock observed through the gap is acquired")
+    // gap shape 2: released AND re-acquired before our read — the fresh
+    // foreign lock must survive us
+    var tok3got = false
+    val lost = c.tryAcquire("t", "tok4", beforeRead = () => {
+      c.release(Seq("t"), "tok2")
+      tok3got = c.tryAcquire("t", "tok3")
+    })
+    assert(tok3got && !lost, "the fresh foreign lock wins the gap")
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "_catlog", "locks", "t.lock")))
+    assert(content.contains("tok3"), "tok3's live lock must survive tok4")
+  }
+
   test("a lower txn mark published after a higher one never regresses the high-water") {
     // review finding: the publish loop merged marks with ++, so a
     // disjoint-scope transaction carrying a LOWER version for the same
