@@ -397,6 +397,25 @@ object MvCatalog {
       countCol: String,
       rows: Long = -1L)
 
+  /** Which path [[refreshDef]] took to bring a grain forward — the
+    * maintenance contract callers assert on. A per-commit replay that
+    * must stay incremental ([[graft.streaming.StreamMv]]) pins
+    * `Merged`/`Restamped` and fails loudly on `Rebuilt`; before this
+    * the pin checked the output PATH, which rebuilds also write — a
+    * silent fall-back to a full base rescan per tick would have passed
+    * (the round-11 vacuous-pin finding). */
+  sealed trait RefreshOutcome
+  object RefreshOutcome {
+    /** The incremental delta merge: O(changed commits) + O(view). */
+    case object Merged extends RefreshOutcome
+    /** A full base rescan ([[registerRollup]]): the range restated
+      * contents, or a retraction hit stored extremes. */
+    case object Rebuilt extends RefreshOutcome
+    /** Only content-preserving commits in range: the registered
+      * version re-stamped, no job ran. */
+    case object Restamped extends RefreshOutcome
+  }
+
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[String, List[MvDef]]()
 
@@ -564,18 +583,20 @@ object MvCatalog {
     * across commits while [[MvRewrite]]'s stale-view compensation
     * serves the in-between window from view ⊕ tail — the two halves of
     * the freshness story: compensation bounds READ cost during the
-    * lag, the policy bounds the lag itself. Returns the refreshed def
-    * when a refresh ran, None when the view was fresh enough (or none
-    * is registered). */
+    * lag, the policy bounds the lag itself. Returns the defs that were
+    * ACTUALLY refreshed, each with the path [[refreshDef]] took —
+    * empty when every grain was fresh enough (or none is registered).
+    * A caller asserting freshness inspects exactly the grains that
+    * moved, never a primary grain the tick didn't touch (the round-11
+    * wrong-grain finding). */
   def refreshIfStale(spark: SparkSession, sink: TxParquetSink,
-      lagBudget: Int = 0): Option[MvDef] = {
+      lagBudget: Int = 0): Seq[(MvDef, RefreshOutcome)] = {
     val v = sink.version()
     // per-grain budget: only the grains PAST the budget refresh — a
     // fine cube three commits behind must not drag a coarse rollup one
     // commit behind into an every-tick merge
     val due = lookupAll(sink.dir).filter(d => v > d.baseVersion + lagBudget)
-    due.foreach(d => refreshDef(spark, sink, d))
-    if (due.nonEmpty) lookup(sink.dir) else None
+    due.map(d => refreshDef(spark, sink, d))
   }
 
   /** Refreshes EVERY grain registered for `sink` ([[refreshDef]] per
@@ -600,12 +621,15 @@ object MvCatalog {
     * lands at a NEW path (readers planned against the old one are
     * unaffected) and re-registers at the new base version — which is
     * what re-arms [[MvRewrite]] after the base moved. Cost:
-    * O(changed commits) + O(view), never O(base). */
+    * O(changed commits) + O(view), never O(base). Returns the brought-
+    * forward def WITH the path taken ([[RefreshOutcome]]) so callers
+    * can pin the maintenance mode instead of inferring it from the
+    * output path (which rebuilds share). */
   private def refreshDef(spark: SparkSession, sink: TxParquetSink,
-      d: MvDef): MvDef = {
+      d: MvDef): (MvDef, RefreshOutcome) = {
     import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
     val v1 = sink.version()
-    if (v1 == d.baseVersion) d
+    if (v1 == d.baseVersion) (d, RefreshOutcome.Restamped)
     else {
         val minMax = d.mins.nonEmpty || d.maxs.nonEmpty
         // fixed stem + version, NOT path + suffix: a per-commit
@@ -632,18 +656,18 @@ object MvCatalog {
         // i.e. when stored extremes make retraction non-incremental
         val hasDeletes = minMax && feedOpt.exists(f =>
           f.where(col("_change_type") === "D").limit(1).count() > 0)
-        val d2 = (restated, feedOpt) match {
+        val (d2, outcome) = (restated, feedOpt) match {
           case (true, _) =>
-            registerRollup(spark, sink, d.groupCols, d.valueCols,
-              newPath, minMax = minMax)
+            (registerRollup(spark, sink, d.groupCols, d.valueCols,
+              newPath, minMax = minMax), RefreshOutcome.Rebuilt)
           case (_, None) =>
             // only content-preserving base/metadata commits in range:
             // re-stamp the version
-            d.copy(baseVersion = v1)
+            (d.copy(baseVersion = v1), RefreshOutcome.Restamped)
           case (_, Some(_)) if hasDeletes =>
             // retraction hit stored extremes: rebuild (re-registers)
-            registerRollup(spark, sink, d.groupCols, d.valueCols,
-              newPath, minMax = true)
+            (registerRollup(spark, sink, d.groupCols, d.valueCols,
+              newPath, minMax = true), RefreshOutcome.Rebuilt)
           case (_, Some(feed)) =>
             val sgn = when(col("_change_type") === "I", lit(1L))
               .otherwise(lit(-1L))
@@ -697,11 +721,12 @@ object MvCatalog {
             require(sink.version() == v1,
               s"refresh: base ${sink.dir} moved during the merge " +
                 s"($v1 -> ${sink.version()}); retry")
-            d.copy(mvPath = newPath, baseVersion = v1,
-              rows = spark.read.schema(d.schema).parquet(newPath).count())
+            (d.copy(mvPath = newPath, baseVersion = v1,
+              rows = spark.read.schema(d.schema).parquet(newPath).count()),
+              RefreshOutcome.Merged)
         }
         register(sink.dir, d2)
-        d2
+        (d2, outcome)
     }
   }
 }

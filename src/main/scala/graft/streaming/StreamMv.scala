@@ -46,9 +46,9 @@ object StreamMv {
       // version bookkeeping. A content-preserving commit in the gap
       // (the mid-replay compact) re-stamps the version without a merge,
       // so the incremental-path require only runs when a refresh ran.
-      MvCatalog.refreshIfStale(spark, t).foreach { d =>
+      MvCatalog.refreshIfStale(spark, t).foreach { case (d, outcome) =>
         require(d.baseVersion == t.version(), "refresh must reach the head")
-        require(d.mvPath.contains("_r"),
+        require(outcome != MvCatalog.RefreshOutcome.Rebuilt,
           "streamed maintenance must stay incremental — a rebuild here " +
             "silently rescans the base every tick")
       }

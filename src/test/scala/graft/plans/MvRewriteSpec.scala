@@ -351,9 +351,9 @@ class MvRewriteSpec extends SparkSpec {
       t.append(Seq((i, 1000L + i)).toDF("g", "v"))
       val d = MvCatalog.refreshIfStale(spark, t)
       assert(d.nonEmpty, s"commit $i: the policy must refresh")
-      assert(d.get.baseVersion === t.version(),
+      assert(d.head._1.baseVersion === t.version(),
         s"commit $i: the view must be FRESH after the policy tick")
-      assert(d.get.mvPath.contains("_r"),
+      assert(d.head._2 === MvCatalog.RefreshOutcome.Merged,
         s"commit $i: the tick must be the incremental merge, not a rebuild")
     }
     // the view answers exactly like a rebuild would
@@ -366,6 +366,63 @@ class MvRewriteSpec extends SparkSpec {
       .orderBy("g").collect().toSeq
     assert(inc === full)
     assert(d0.baseVersion < d1.baseVersion)
+  }
+
+  test("refreshIfStale reports HOW each grain moved; a forced rebuild is loud, not silent") {
+    // round-11 finding: the StreamMv "must stay incremental" pin
+    // checked the output path, which rebuilds also write — vacuous. The
+    // outcome is now part of the contract: this test FAILS if a rebuild
+    // is ever reported as a merge (or vice versa).
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvout").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 50).map(i => (i % 5, i.toLong)).toDF("g", "v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv",
+      minMax = true)
+    // insert-only tail: the incremental merge
+    t.append(Seq((1, 500L)).toDF("g", "v"))
+    val r1 = MvCatalog.refreshIfStale(spark, t)
+    assert(r1.map(_._2) === Seq(MvCatalog.RefreshOutcome.Merged))
+    // content-preserving commit only: a re-stamp, no job
+    t.compact(spark)
+    val r2 = MvCatalog.refreshIfStale(spark, t)
+    assert(r2.map(_._2) === Seq(MvCatalog.RefreshOutcome.Restamped))
+    // a retraction against STORED EXTREMES forces the rebuild — and the
+    // outcome says so (the replay-path pin rejects exactly this)
+    t.deleteWhere(spark, "v = 500")
+    val r3 = MvCatalog.refreshIfStale(spark, t)
+    assert(r3.map(_._2) === Seq(MvCatalog.RefreshOutcome.Rebuilt),
+      "a delete-bearing feed on a min/max view must report Rebuilt")
+    assert(r3.head._1.baseVersion === t.version())
+    // a restated range (restore) also reports the rebuild
+    t.append(Seq((2, 600L)).toDF("g", "v"))
+    val v = t.version()
+    t.restore(spark, v - 1)
+    val r4 = MvCatalog.refreshIfStale(spark, t)
+    assert(r4.map(_._2) === Seq(MvCatalog.RefreshOutcome.Rebuilt),
+      "a restore in range must report Rebuilt")
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("refreshIfStale returns exactly the grains that MOVED, not the primary") {
+    // ADVICE round-11: refreshIfStale returned lookup(dir) — the
+    // first-registered grain — whenever ANY grain refreshed, so a
+    // caller asserting freshness on the returned def could check a
+    // grain the tick never touched.
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"),
+      mvPath + "_fine", minMax = false) // PRIMARY (first-registered)
+    t.append(Seq((1, 1, 5L)).toDF("g", "h", "v"))
+    t.append(Seq((2, 2, 6L)).toDF("g", "h", "v"))
+    // the coarse grain registers at the head; the fine one is 2 behind
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      mvPath + "_coarse", minMax = false)
+    val moved = MvCatalog.refreshIfStale(spark, t, lagBudget = 1)
+    assert(moved.map(_._1.groupCols) === Seq(Seq("g", "h")),
+      "only the past-budget fine grain moved; the primary-def shortcut " +
+        "would have returned it anyway, but a COARSE-primary layout " +
+        "must not report the untouched grain")
+    assert(moved.head._1.baseVersion === t.version())
+    MvCatalog.unregister(t.dir)
   }
 
   test("refreshIfStale with a lag budget amortizes; compensation serves the in-between window") {
@@ -398,8 +455,9 @@ class MvRewriteSpec extends SparkSpec {
     // the third commit crosses the budget: one amortized refresh
     t.append(Seq((3, 700L)).toDF("g", "v"))
     val d = MvCatalog.refreshIfStale(spark, t, lagBudget = 2)
-    assert(d.nonEmpty && d.get.baseVersion === t.version())
-    assert(d.get.baseVersion === v0 + 3)
+    assert(d.nonEmpty && d.head._1.baseVersion === t.version())
+    assert(d.head._1.baseVersion === v0 + 3)
+    assert(d.head._2 === MvCatalog.RefreshOutcome.Merged)
   }
 
   private def readsView(df: DataFrame, mvPath: String): Boolean =
