@@ -416,6 +416,28 @@ object MvCatalog {
     case object Restamped extends RefreshOutcome
   }
 
+  /** RETENTION POLICY for superseded view directories. Every
+    * incremental refresh (and every rebuild) lands the view at a NEW
+    * path so readers planned against the old one are unaffected — but
+    * under a per-commit maintenance loop that is one full view copy
+    * per commit, and without reclamation the storage grows
+    * view-size × commits (the round-11 `perf_weak`). After a refresh
+    * moves a grain, [[refreshDef]] keeps the newest `keep` view
+    * directories (the current one plus `keep − 1` predecessors) and
+    * deletes older superseded ones whose last write is past `graceMs`
+    * — the grace window covers in-flight readers still executing a
+    * plan against a just-superseded path, the same discipline as
+    * [[TxParquetSink.truncateHistory]]'s oldest-pin caveat: size the
+    * grace above the longest-running query (and above any pinned
+    * cross-session reader's lifetime). Directories still registered
+    * for ANY grain are never candidates. */
+  final case class Retention(keep: Int = 2, graceMs: Long = 10L * 60 * 1000)
+  object Retention {
+    val Default: Retention = Retention()
+    /** Keep history forever — the pre-retention behavior. */
+    val KeepAll: Retention = Retention(keep = Int.MaxValue)
+  }
+
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[String, List[MvDef]]()
 
@@ -482,6 +504,22 @@ object MvCatalog {
         StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
+    // the registry is authoritative: prune .mv files whose base is no
+    // longer registered — without this a long-lived deployment's
+    // catalog dir accretes one stale file per retired table forever,
+    // and the next load() re-arms views over tables that were dropped
+    val liveFiles = {
+      import scala.jdk.CollectionConverters._
+      defs.keys().asScala.map(b => enc(b) + ".mv").toSet
+    }
+    val listing = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".mv"))
+        .filter(f => !liveFiles.contains(f.getFileName.toString))
+        .foreach(f => Files.deleteIfExists(f))
+    } finally listing.close()
   }
 
   /** LOAD every persisted def from `catalogDir` into the registry
@@ -572,6 +610,50 @@ object MvCatalog {
     d
   }
 
+  /** Reclaims superseded view directories around `stem` (the fixed
+    * refresh stem: `<stem>`, `<stem>_r<v>`, `<stem>_r<v>_x` are the
+    * only names [[refreshDef]] ever writes): every matching directory
+    * that is NOT currently registered for any grain of any base is a
+    * candidate; the newest `keep − 1` stay regardless of age, older
+    * ones are deleted once past the grace window. */
+  private def gcSuperseded(stem: String, retention: Retention): Unit = {
+    import java.nio.file.{Files, Paths}
+    val stemPath = Paths.get(stem)
+    val parent = stemPath.getParent
+    if (parent == null || !Files.isDirectory(parent)) return
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(stemPath.getFileName.toString) +
+        "(_r\\d+(_x)?)?")
+    val live: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      defs.values().asScala.flatMap(_.map(_.mvPath)).toSet
+    }
+    val listing = Files.list(parent)
+    val candidates = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(p => pat.matcher(p.getFileName.toString).matches())
+        .filter(p => !live.contains(p.toString) && Files.isDirectory(p))
+        .map(p => (p, Files.getLastModifiedTime(p).toMillis))
+        .toSeq
+    } finally listing.close()
+    val now = System.currentTimeMillis()
+    candidates.sortBy(-_._2).drop(math.max(retention.keep - 1, 0))
+      .foreach { case (p, mtime) =>
+        if (now - mtime > retention.graceMs) deleteRecursively(p)
+      }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } finally walk.close()
+  }
+
   /** WRITE-PATH FRESHNESS POLICY — the
     * [[TxParquetSink.maintainIfNeeded]] pattern for the MV tier:
     * writers call this after their commit (deliberately NOT inside the
@@ -590,19 +672,21 @@ object MvCatalog {
     * moved, never a primary grain the tick didn't touch (the round-11
     * wrong-grain finding). */
   def refreshIfStale(spark: SparkSession, sink: TxParquetSink,
-      lagBudget: Int = 0): Seq[(MvDef, RefreshOutcome)] = {
+      lagBudget: Int = 0,
+      retention: Retention = Retention.Default): Seq[(MvDef, RefreshOutcome)] = {
     val v = sink.version()
     // per-grain budget: only the grains PAST the budget refresh — a
     // fine cube three commits behind must not drag a coarse rollup one
     // commit behind into an every-tick merge
     val due = lookupAll(sink.dir).filter(d => v > d.baseVersion + lagBudget)
-    due.map(d => refreshDef(spark, sink, d))
+    due.map(d => refreshDef(spark, sink, d, retention))
   }
 
   /** Refreshes EVERY grain registered for `sink` ([[refreshDef]] per
     * def) and returns the primary one, None if nothing is registered. */
-  def refresh(spark: SparkSession, sink: TxParquetSink): Option[MvDef] = {
-    lookupAll(sink.dir).foreach(d => refreshDef(spark, sink, d))
+  def refresh(spark: SparkSession, sink: TxParquetSink,
+      retention: Retention = Retention.Default): Option[MvDef] = {
+    lookupAll(sink.dir).foreach(d => refreshDef(spark, sink, d, retention))
     lookup(sink.dir)
   }
 
@@ -626,7 +710,8 @@ object MvCatalog {
     * can pin the maintenance mode instead of inferring it from the
     * output path (which rebuilds share). */
   private def refreshDef(spark: SparkSession, sink: TxParquetSink,
-      d: MvDef): (MvDef, RefreshOutcome) = {
+      d: MvDef, retention: Retention = Retention.Default)
+      : (MvDef, RefreshOutcome) = {
     import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
     val v1 = sink.version()
     if (v1 == d.baseVersion) (d, RefreshOutcome.Restamped)
@@ -726,6 +811,10 @@ object MvCatalog {
               RefreshOutcome.Merged)
         }
         register(sink.dir, d2)
+        // the refresh moved the grain to a new directory: reclaim old
+        // superseded copies past the retention policy (a restamp keeps
+        // its path and reclaims nothing)
+        if (d2.mvPath != d.mvPath) gcSuperseded(stem, retention)
         (d2, outcome)
     }
   }

@@ -46,12 +46,18 @@ object StreamMv {
       // version bookkeeping. A content-preserving commit in the gap
       // (the mid-replay compact) re-stamps the version without a merge,
       // so the incremental-path require only runs when a refresh ran.
-      MvCatalog.refreshIfStale(spark, t).foreach { case (d, outcome) =>
-        require(d.baseVersion == t.version(), "refresh must reach the head")
-        require(outcome != MvCatalog.RefreshOutcome.Rebuilt,
-          "streamed maintenance must stay incremental — a rebuild here " +
-            "silently rescans the base every tick")
-      }
+      // keep = 2 with no grace: the replay is single-threaded, so the
+      // per-tick GC may reclaim superseded view copies immediately —
+      // the storage side of the per-commit maintenance story (without
+      // it a continuous writer accretes one full view copy per commit)
+      MvCatalog.refreshIfStale(spark, t,
+        retention = MvCatalog.Retention(keep = 2, graceMs = 0L))
+        .foreach { case (d, outcome) =>
+          require(d.baseVersion == t.version(), "refresh must reach the head")
+          require(outcome != MvCatalog.RefreshOutcome.Rebuilt,
+            "streamed maintenance must stay incremental — a rebuild here " +
+              "silently rescans the base every tick")
+        }
       val d = MvCatalog.lookup(t.dir).get
       require(d.baseVersion == t.version(),
         "the policy must leave the registered view FRESH after every commit")
@@ -72,6 +78,22 @@ object StreamMv {
       t.append(o.where(col("year") === lit(y)))
       tick()
     }
+    // the storage half of the claim: the replay took one refresh per
+    // commit, each landing a full view copy at a new path — retention
+    // must have reclaimed all but the last `keep` of them, or a
+    // 100-TB deployment's maintenance loop grows view-size × commits
+    val stemDir = java.nio.file.Paths.get(t.dir + "_mv").getParent
+    val stemName = java.nio.file.Paths.get(t.dir + "_mv").getFileName.toString
+    val viewDirs = {
+      val l = java.nio.file.Files.list(stemDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith(stemName))
+      } finally l.close()
+    }
+    require(viewDirs <= 2,
+      s"retention keep=2 must leave at most two view dirs, found $viewDirs")
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
     try {

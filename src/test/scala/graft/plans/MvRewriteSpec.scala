@@ -425,6 +425,80 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.unregister(t.dir)
   }
 
+  test("retention reclaims superseded view dirs; the registered and grace-protected ones survive") {
+    // round-11 perf_weak: every refresh lands a full view copy at a new
+    // path and nothing ever deleted the old ones — view-size × commits
+    // storage under a per-commit maintenance loop.
+    def viewDirs(dir: String): Seq[String] = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("mv")).toSeq.sorted
+      } finally l.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvgc").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 50).map(i => (i % 5, i.toLong)).toDF("g", "v"))
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv",
+      minMax = false)
+    (1 to 4).foreach { i =>
+      t.append(Seq((i, 100L + i)).toDF("g", "v"))
+      val r = MvCatalog.refreshIfStale(spark, t,
+        retention = MvCatalog.Retention(keep = 2, graceMs = 0L))
+      assert(r.map(_._2) === Seq(MvCatalog.RefreshOutcome.Merged))
+      val dirs = viewDirs(dir)
+      assert(dirs.size <= 2, s"keep=2 must bound the dirs, got $dirs")
+      val cur = MvCatalog.lookup(t.dir).get.mvPath
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cur)),
+        "the CURRENT registered view must never be reclaimed")
+    }
+    // the surviving view still answers (and the rewrite still fires)
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsOnly(q, MvCatalog.lookup(t.dir).get.mvPath))
+      assert(q.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ===
+        t.readSnapshot(spark).get.groupBy("g").agg(sum("v"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap)
+    }
+    // a GENEROUS grace window protects in-flight readers: nothing young
+    // is reclaimed even past the keep count
+    t.append(Seq((1, 999L)).toDF("g", "v"))
+    val before = viewDirs(dir).size
+    MvCatalog.refreshIfStale(spark, t,
+      retention = MvCatalog.Retention(keep = 1, graceMs = 60L * 60 * 1000))
+    assert(viewDirs(dir).size === before + 1,
+      "dirs inside the grace window must survive keep=1")
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("save prunes .mv files for bases that are no longer registered") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath,
+      minMax = false)
+    val catDir = java.nio.file.Files
+      .createTempDirectory("graft-mvprune").toString
+    MvCatalog.save(catDir)
+    def mvFiles(): Set[String] = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(catDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".mv")).toSet
+      } finally l.close()
+    }
+    val mine = java.net.URLEncoder.encode(t.dir,
+      java.nio.charset.StandardCharsets.UTF_8) + ".mv"
+    assert(mvFiles().contains(mine))
+    MvCatalog.unregister(t.dir)
+    // with the base retired, the next save must not leave the stale
+    // file behind for load() to re-arm a dropped table from (other
+    // live registrations — fixtures in this JVM — are untouched)
+    MvCatalog.save(catDir)
+    assert(!mvFiles().contains(mine),
+      "save must prune .mv files for unregistered bases")
+  }
+
   test("refreshIfStale with a lag budget amortizes; compensation serves the in-between window") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mvlag").toString
     val t = TxParquetSink(s"$dir/base")
