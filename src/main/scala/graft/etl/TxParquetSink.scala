@@ -53,33 +53,88 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   private val logDir: Path = root.resolve("_txlog")
 
   /** Committed (version, manifest) pairs in version order. Driver-side
-    * metadata listing only. */
-  def commits(): Seq[(Long, Manifest)] =
-    if (!Files.isDirectory(logDir)) Nil
-    else
-      listDir(logDir)
-        .filter(p => p.getFileName.toString.matches("\\d{20}\\.txn"))
-        .map { p =>
-          val v = p.getFileName.toString.stripSuffix(".txn").toLong
-          (v, parseManifest(new String(Files.readAllBytes(p), UTF_8)))
-        }
-        .sortBy(_._1)
+    * metadata only, served from the process-wide log snapshot cache
+    * ([[cachedLog]]): a hit costs one directory listing and zero
+    * manifest reads. */
+  def commits(): Seq[(Long, Manifest)] = cachedLog().all
+
+  /** THE COMMIT-LOG SNAPSHOT CACHE — every optimizer-time metadata
+    * read ([[version]], [[commits]], [[restatedBetween]],
+    * [[maskedBetween]], [[columnMetaProfile]], and through them
+    * [[graft.plans.MvRewrite]] / [[graft.plans.MetadataAggregates]] /
+    * [[graft.plans.ManifestBroadcastJoins]]) used to re-read and
+    * re-parse manifest files per PLAN — fine at bench QPS, repeated
+    * driver I/O at dashboard QPS (hundreds of plans/sec against the
+    * same table). The cache is keyed by table dir and validated by the
+    * sorted `.txn` NAME listing: manifests are write-once (publish is
+    * an atomic create; truncation only ever deletes), so an identical
+    * name set implies identical content and a hit costs one readdir,
+    * zero file reads. On a miss, each file parses AT MOST ONCE per
+    * process ([[TxParquetSink.parsedLogs]] memoizes per (dir, name);
+    * vanished names are dropped) — a writer's post-commit
+    * re-resolution costs O(new commits) parses, not O(history).
+    *
+    * The snapshot SUFFIX keeps the base-pointer probe semantics: when
+    * `_last_base` names a live manifest, only post-pointer names are
+    * parsed eagerly, so a corrupt or legacy PRE-BASE manifest never
+    * poisons snapshot reads (even in a fresh process); the full
+    * history parses lazily, only for callers that genuinely walk it
+    * (time travel, feeds, truncation). Shared across sink instances
+    * (cheap per-query case classes over the same dir), coarsely
+    * bounded at 512 tables. */
+  private def cachedLog(): LogSnapshot = {
+    val names: Seq[String] =
+      if (!Files.isDirectory(logDir)) Nil
+      else {
+        val s = Files.list(logDir)
+        try s.iterator.asScala.map(_.getFileName.toString)
+          .filter(_.matches("\\d{20}\\.txn")).toSeq.sorted
+        finally s.close()
+      }
+    val hit = TxParquetSink.logCache.get(dir)
+    if (hit != null && hit.names == names) return hit
+    val parses = TxParquetSink.parsedLogs
+      .computeIfAbsent(dir, _ => new java.util.concurrent.ConcurrentHashMap())
+    val nameSet = names.toSet
+    parses.keySet.removeIf(n => !nameSet.contains(n)) // truncation cleanup
+    def parse(n: String): (Long, Manifest) =
+      parses.computeIfAbsent(n, nn => {
+        TxParquetSink.manifestParses.incrementAndGet()
+        (nn.stripSuffix(".txn").toLong, parseManifest(
+          new String(Files.readAllBytes(logDir.resolve(nn)), UTF_8)))
+      })
+    val suffix = {
+      val probed =
+        try {
+          if (!Files.exists(basePointer)) None
+          else {
+            val v0 =
+              new String(Files.readAllBytes(basePointer), UTF_8).trim.toLong
+            val n0 = f"$v0%020d.txn"
+            if (!nameSet.contains(n0)) None
+            else Some(effective(names.dropWhile(_ < n0).map(parse)))
+          }
+        } catch { case _: Exception => None } // racing truncation: fall back
+      probed.getOrElse(effective(names.map(parse)))
+    }
+    val snap = new LogSnapshot(names, suffix, () => names.map(parse))
+    if (TxParquetSink.logCache.size > 512) {
+      TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear()
+    }
+    TxParquetSink.logCache.put(dir, snap)
+    snap
+  }
 
   /** Latest committed version, −1 for an empty table. */
   def version(): Long = resolvedCommits().lastOption.map(_._1).getOrElse(-1L)
 
-  /** The newest-base pointer file — Delta's `_last_checkpoint` move:
-    * without it, EVERY snapshot resolution lists and parses the whole
-    * `_txlog` directory, O(total commits) driver work that grows for
-    * the table's lifetime (compact bounds the DATA fan-in but not the
-    * log walk). The pointer names the newest base version; resolution
-    * then probes CONTIGUOUS version file names upward from it — no
-    * directory listing, O(commits-since-base) reads. Correctness does
-    * not depend on the pointer: it is advisory (last-writer-wins
-    * atomic rename), a STALE pointer just probes from an older base
-    * and [[effective]] still picks the newest one in the walked
-    * suffix, and a pointer whose manifest was truncated away falls
-    * back to the full listing. */
+  /** The newest-base pointer file — Delta's `_last_checkpoint` move.
+    * Advisory (last-writer-wins atomic rename; correctness never
+    * depends on it): [[cachedLog]] uses it to parse only post-pointer
+    * manifests eagerly for the snapshot suffix, so a corrupt or
+    * legacy pre-base manifest never poisons snapshot reads and a cold
+    * resolution on a compacted table costs O(commits-since-base)
+    * reads, not O(history). */
   private val basePointer: Path = logDir.resolve("_last_base")
 
   private def writeBasePointer(v: Long): Unit =
@@ -93,34 +148,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     } catch { case _: java.io.IOException => () } // advisory — never fails a commit
 
   /** Snapshot-resolution commit list: the effective suffix (newest
-    * base onward), via the base pointer's contiguous version probe
-    * when available, else the full listing. Versions from the tip of
-    * a base onward are contiguous by construction (allocation is
-    * tip + 1, truncation only removes pre-base names), so the probe
-    * walks `base, base+1, …` until the first missing file and sees
-    * exactly the manifests a full listing would keep. */
-  private[etl] def resolvedCommits(): Seq[(Long, Manifest)] = {
-    val probed =
-      try {
-        if (!Files.exists(basePointer)) None
-        else {
-          val v0 = new String(Files.readAllBytes(basePointer), UTF_8).trim.toLong
-          if (!Files.exists(logDir.resolve(f"$v0%020d.txn"))) None
-          else {
-            val out = Seq.newBuilder[(Long, Manifest)]
-            var v = v0
-            var p = logDir.resolve(f"$v%020d.txn")
-            while (Files.exists(p)) {
-              out += ((v, parseManifest(new String(Files.readAllBytes(p), UTF_8))))
-              v += 1
-              p = logDir.resolve(f"$v%020d.txn")
-            }
-            Some(effective(out.result()))
-          }
-        }
-      } catch { case _: Exception => None } // racing truncation: fall back
-    probed.getOrElse(effective(commits()))
-  }
+    * base onward), served from the log snapshot cache — one readdir
+    * on a hit, base-pointer-guided incremental parses on a miss. */
+  private[etl] def resolvedCommits(): Seq[(Long, Manifest)] =
+    cachedLog().suffix
 
   /** Snapshot read: the union of every committed data directory; None
     * before the first commit. Uncommitted staged directories are never
@@ -2670,6 +2701,32 @@ object TxParquetSink {
     * any sane stage→publish window (Delta ships 7 days for the same
     * guard; commits here are one batch, not a day of them). */
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
+
+  /** One table's commit log as [[TxParquetSink.cachedLog]] caches it:
+    * the validating sorted `.txn` name listing, the effective suffix
+    * (newest base onward) snapshot reads resolve from, and the full
+    * history parsed LAZILY — only the callers that genuinely walk
+    * pre-base commits (time travel, change feeds, truncation) force
+    * it. */
+  private[graft] final class LogSnapshot(val names: Seq[String],
+      val suffix: Seq[(Long, Manifest)],
+      allParse: () => Seq[(Long, Manifest)]) {
+    lazy val all: Seq[(Long, Manifest)] = allParse()
+  }
+
+  private[graft] val logCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogSnapshot]()
+
+  /** Write-once per-(dir, manifest-name) parse memo backing
+    * [[TxParquetSink.cachedLog]]. */
+  private[graft] val parsedLogs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)]]()
+
+  /** Manifest-file parse counter — the counted-I/O hook the snapshot
+    * cache's spec asserts on (N plans against an unchanged table must
+    * parse the log once, not N times). */
+  private[graft] val manifestParses =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** [[TxParquetSink.columnMetaProfile]]'s answer: the comparison
     * domain flag and extremes in their cast-to-string form, total rows,

@@ -129,24 +129,31 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
     // COST-ORDERED VIEW SELECTION (the Goldstein-Larson candidate
     // choice): a FRESH view serves with zero feed reads, so freshness
-    // dominates; within a freshness class the view with the fewest
-    // stored rows is the cheapest re-aggregation (the coarse (month)
-    // rollup beats the fine (day, store, product) cube for a
-    // month-grain query). Candidates that decline at build time
-    // (missing extremes over a masked tail, schema drift) fall through
-    // to the next — all-or-nothing per candidate, best-first overall.
-    // The head version is read ONCE per sink (commit-log I/O inside
-    // the optimizer), not once per (sink, grain) comparison.
+    // dominates; within the stale class fewer commits behind means a
+    // smaller feed tail to fold (each delta commit is a real read), and
+    // ties break on stored row count — the cheapest re-aggregation.
+    // Candidates that decline at build time (missing extremes over a
+    // masked tail, schema drift) fall through to the next —
+    // all-or-nothing per candidate, best-first overall. The head
+    // version is read ONCE per sink (commit-log metadata inside the
+    // optimizer), not once per (sink, grain) comparison.
     val headOf = candidates.map(_._1).distinctBy(_.dir)
       .map(s => s.dir -> s.version()).toMap
     candidates
       .sortBy { case (s, mv) =>
-        (if (headOf(s.dir) == mv.baseVersion) 0 else 1,
+        val behind = headOf(s.dir) - mv.baseVersion
+        (if (behind == 0L) 0 else 1, behind,
           if (mv.rows >= 0) mv.rows else Long.MaxValue)
       }
       .iterator
       .flatMap { case (sink, mv) =>
         for {
+          // cheap registered-schema coverage check FIRST: a candidate
+          // that cannot derive every output declines before any plan
+          // construction — a stale trial otherwise pays the view scan
+          // and change-feed analysis (parquet listings) just to fail
+          // the same checks inside build()
+          _ <- Option.when(coverable(mv, groups, aggs, filters.toSeq))(())
           // freshness: a view built at exactly the version the scan
           // covers serves directly; a stale one serves through delta
           // compensation
@@ -155,6 +162,44 @@ object MvRewrite extends Rule[LogicalPlan] {
         } yield plan
       }
       .nextOption()
+  }
+
+  /** NECESSARY (not sufficient) coverage check against the REGISTERED
+    * view schema alone — no plan, no file listing: every grouping and
+    * filter column must exist in the view at the identical type, and
+    * every aggregate must have its pre-aggregate column registered
+    * (sums as long, extremes at the query column's own type).
+    * [[build]] re-verifies against the actual source plan's output (a
+    * compensated source may expose fewer columns than the schema, e.g.
+    * no extremes over a masked tail), so this is purely the
+    * fail-fast gate. */
+  private def coverable(mv: MvCatalog.MvDef,
+      groups: Seq[AttributeReference], aggs: Seq[NamedExpression],
+      filters: Seq[Expression]): Boolean = {
+    val fields = mv.schema.fields.map(f => f.name -> f.dataType).toMap
+    val groupsOk = groups.forall(g => fields.get(g.name).contains(g.dataType)) &&
+      filters.flatMap(_.references).forall(a =>
+        fields.get(a.name).contains(a.dataType))
+    def aggOk(ae: AggregateExpression): Boolean = ae.aggregateFunction match {
+      case Count(Seq(_: Literal)) => fields.contains(mv.countCol)
+      case Count(Seq(a: AttributeReference)) =>
+        mv.cnts.get(a.name).exists(fields.contains)
+      case Min(a: AttributeReference) =>
+        mv.mins.get(a.name).flatMap(fields.get).contains(a.dataType)
+      case Max(a: AttributeReference) =>
+        mv.maxs.get(a.name).flatMap(fields.get).contains(a.dataType)
+      case Sum(a: AttributeReference, _) =>
+        mv.sums.get(a.name).flatMap(fields.get).contains(LongType)
+      case Average(a: AttributeReference, _) =>
+        mv.sums.get(a.name).flatMap(fields.get).contains(LongType) &&
+          mv.cnts.get(a.name).exists(fields.contains)
+      case _ => false
+    }
+    groupsOk && aggs.forall {
+      case _: AttributeReference => true
+      case Alias(ae: AggregateExpression, _) => aggOk(ae)
+      case _ => false
+    }
   }
 
   /** The view-schema-shaped plan the aggregation rewrites onto: the

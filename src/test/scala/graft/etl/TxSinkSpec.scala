@@ -1182,25 +1182,63 @@ class TxSinkSpec extends SparkSpec {
     val logDir = java.nio.file.Paths.get(t.dir, "_txlog")
     assert(java.nio.file.Files.exists(logDir.resolve("_last_base")),
       "compaction must publish the newest-base pointer")
-    // corrupt a PRE-BASE manifest: resolution that parses it would
-    // throw, so a clean snapshot read PROVES the pointer probe reads
-    // only post-base manifests
+    // corrupt a PRE-BASE manifest, then simulate a PROCESS RESTART
+    // (cold log cache): resolution that parses it would throw, so a
+    // clean snapshot read PROVES the pointer-guided suffix parse reads
+    // only post-base manifests even with nothing memoized
     java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.txn"),
       "garbage, not a manifest".getBytes)
+    TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear()
     assert(keySet(t) == Seq("P1", "P2", "P3"))
     assert(t.version() == 3L)
     assert(t.mergeUpsert(spark, batch("P4" -> "d"), keys, order) == 1,
       "the merge path must also resolve through the pointer")
-    // control: WITHOUT the pointer, resolution falls back to the full
-    // listing and hits the corrupt manifest — the probe above wasn't
-    // accidentally listing
+    // control: WITHOUT the pointer, a cold resolution falls back to
+    // the full listing and hits the corrupt manifest — the suffix
+    // parse above wasn't accidentally reading everything
     java.nio.file.Files.delete(logDir.resolve("_last_base"))
+    TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear()
     intercept[Exception] { t.readSnapshot(spark).get.count() }
     // restore the manifest: full-listing resolution works again and
     // sees the same table
     java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.txn"),
       TxParquetSink.renderManifest(TxParquetSink.Manifest(0L, Nil)).getBytes)
     assert(keySet(t) == Seq("P1", "P2", "P3", "P4"))
+  }
+
+  test("log snapshot cache: repeated metadata reads against an unchanged table parse the log once") {
+    // round-11 "What's missing #3": each optimization against a
+    // tx-table scan re-read version/commits/restatedBetween/
+    // columnMetaProfile from disk — per-plan driver I/O at dashboard
+    // QPS. The counted-I/O contract: N reads, ONE parse per manifest.
+    val t = table()
+    t.appendWithStats(batch("P1" -> "a"), statsCols = Seq("product_id"))
+    t.appendWithStats(batch("P2" -> "b"), statsCols = Seq("product_id"))
+    t.readSnapshot(spark).get.count() // warm the cache
+    val before = TxParquetSink.manifestParses.get()
+    (1 to 20).foreach { _ =>
+      assert(t.version() == 1L)
+      assert(t.commits().size == 2)
+      assert(!t.restatedBetween(0L, 1L))
+      assert(!t.maskedBetween(0L, 1L))
+      assert(t.columnMetaProfile("product_id").nonEmpty)
+      t.readSnapshot(spark).get // plan-time resolution, no job needed
+    }
+    assert(TxParquetSink.manifestParses.get() === before,
+      "120 metadata reads against an unchanged log must parse nothing")
+    // a new commit invalidates by NAME: only the new manifest parses
+    t.append(batch("P3" -> "c"))
+    t.version(); t.commits()
+    val afterCommit = TxParquetSink.manifestParses.get()
+    assert(afterCommit - before <= 2,
+      s"a post-commit re-resolution must parse O(new commits), " +
+        s"parsed ${afterCommit - before}")
+    // and a foreign (cross-process-shaped) log change is SEEN: delete
+    // the newest manifest out from under the cache
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      t.dir, "_txlog", f"${2L}%020d.txn"))
+    assert(t.version() == 1L,
+      "a name-set change must invalidate the snapshot immediately")
   }
 
   test("NaN/Infinity float stats never poison range reads") {
