@@ -172,6 +172,11 @@ object ScaleBench {
     // year-grain panel regardless of the fine cube's size — the slot
     // times the per-year ingest + two rollup builds + a view-rows read
     "etl_mv_multi_rewrite",
+    // round-12: grouping-sets through the MV tier — |sets| view-sized
+    // branch aggregations must replace the |sets|-way fact-row
+    // replication of the Expand shape, so the slot's growth must track
+    // the view (grain cells), never sets × base rows
+    "etl_mv_rollup_rewrite",
     // composite-key and AVG metadata panels: O(commits) driver folds —
     // the slots time their partition-grain ingest harnesses
     "etl_tx_group_multi_rule", "etl_tx_avg_rule",

@@ -2226,6 +2226,26 @@ object EtlOracleSql {
       |FROM o GROUP BY year
       |ORDER BY year""".stripMargin
 
+  /** Rollup-through-the-MV twin: DuckDB's ROLLUP over the raw orders —
+    * what the per-grouping-set view branches, unioned with the
+    * grouping-id restored, must land exactly (DuckDB's GROUPING(a, b)
+    * bit order matches Spark's grouping_id: first argument is the
+    * most significant bit). */
+  val mvRollupRewrite: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT year, o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(GROUPING(year, o_custkey) AS BIGINT) AS gid
+      |FROM o GROUP BY ROLLUP(year, o_custkey)
+      |ORDER BY gid, year NULLS FIRST, o_custkey NULLS FIRST""".stripMargin
+
   /** Multi-view-selection twin: the per-year panel recomputed from the
     * raw orders — the engine must land it from the coarse (year)
     * rollup chosen over the covering-but-larger customer cube. */

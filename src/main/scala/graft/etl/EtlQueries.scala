@@ -3083,6 +3083,40 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** ROLLUP THROUGH THE MV TIER — the reference's own Q7 shape
+    * (`/root/reference/SQL/OLAP Queries - Metro.sql:211-228` is a
+    * ROLLUP dashboard) over a governed table: GROUPING SETS compile to
+    * Aggregate-over-Expand, which the plain rewrite pattern never
+    * matches, so before round 12 a rollup bypassed the MV tier even
+    * with a perfectly fresh registered cube. [[graft.plans.MvRewrite]]
+    * now decomposes the Expand into one plain aggregate per grouping
+    * set — (year, o_custkey), (year), () — serves EACH from the
+    * registered rollup, and unions the branches with the grouping-id
+    * restored. The plan is REQUIRED to read only the view (every
+    * branch — one fact-scan branch fails the row), and the full
+    * SUM/COUNT/MIN/MAX panel plus grouping_id hash-gates against
+    * DuckDB's ROLLUP over the raw orders. At 100 TB the Expand shape
+    * is |sets| copies of every fact row through one shuffle; the
+    * rewrite replaces it with |sets| aggregations of a few thousand
+    * pre-rolled rows. */
+  def mvRollupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersMv(spark, dir)
+    val mvPath = graft.plans.MvCatalog.lookup(t.dir).get.mvPath
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .rollup("year", "o_custkey")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          grouping_id().as("gid"))
+      requireMvOnly(rolled, mvPath, t.dir)
+      frozen(rolled, "gid", "year", "o_custkey")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** MULTI-VIEW SELECTION — two rollups registered on the same orders
     * base ([[TxFixtures.ordersMultiMv]]: the fine (year, o_custkey)
     * cube and the coarse (year) one) and a year-grain panel that BOTH

@@ -64,6 +64,19 @@ import graft.etl.TxParquetSink
 object MvRewrite extends Rule[LogicalPlan] {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // GROUPING SETS / ROLLUP / CUBE compile to Aggregate-over-Expand,
+    // which the plain pattern below never matches — so a rollup
+    // dashboard over a tx table used to bypass the MV tier entirely
+    // even with a perfectly fresh registered cube (the reference's own
+    // Q7 shape). Each grouping set is served from the finest covering
+    // registered view and the branches union.
+    case agg @ Aggregate(groups, aggs, expand: Expand, _)
+        if groups.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.nonEmpty &&
+          groups.exists(_.asInstanceOf[AttributeReference].name ==
+            org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName) =>
+      rewriteGroupingSets(groups.map(_.asInstanceOf[AttributeReference]),
+        aggs, expand).getOrElse(agg)
     case agg @ Aggregate(groups, aggs, child, _)
         if groups.forall(_.isInstanceOf[AttributeReference]) &&
           aggs.nonEmpty && aggs.forall {
@@ -73,6 +86,97 @@ object MvRewrite extends Rule[LogicalPlan] {
           } =>
       rewrite(agg, groups.map(_.asInstanceOf[AttributeReference]),
         aggs, child).getOrElse(agg)
+  }
+
+  /** GROUPING-SETS REWRITE — `Aggregate(gid :: groupCopies, aggs,
+    * Expand(projections, _, child))` decomposes into one PLAIN
+    * aggregate per grouping set (the Expand projection tells which
+    * group columns the set keeps and which it nulls, plus the
+    * grouping-id literal), each served through the ordinary
+    * view-selection [[rewrite]] against `child`; the branches then
+    * project to the rollup's output shape (kept columns, NULLs for the
+    * rolled-up ones, the set's grouping-id) and UNION, with the
+    * original output names and exprIds restored on top. All-or-nothing
+    * across sets: one branch the views cannot answer keeps the fact
+    * scan for the whole rollup (a half-served Expand would read the
+    * fact anyway). Cost: |sets| small view aggregations instead of one
+    * |sets|-way row replication of the fact scan — the Expand shape is
+    * literally |sets| copies of every base row through one shuffle. */
+  private def rewriteGroupingSets(groups: Seq[AttributeReference],
+      aggs: Seq[NamedExpression], expand: Expand): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.VirtualColumn
+    val gid = groups.find(_.name == VirtualColumn.groupingIdName).get
+    val setCols = groups.filterNot(_.exprId == gid.exprId)
+    def pos(a: AttributeReference): Int =
+      expand.output.indexWhere(_.exprId == a.exprId)
+    val gidPos = pos(gid)
+    val colPos = setCols.map(c => c -> pos(c)).toMap
+    if (gidPos < 0 || colPos.valuesIterator.exists(_ < 0)) return None
+    // every output must be reconstructible per branch: a grouping
+    // column (possibly aliased — grouping_id() lands as an alias of
+    // the gid attribute) or a supported aggregate
+    val aggsOk = aggs.forall {
+      case a: AttributeReference => groups.exists(_.exprId == a.exprId)
+      case Alias(a: AttributeReference, _) => groups.exists(_.exprId == a.exprId)
+      case Alias(ae: AggregateExpression, _) => supported(ae)
+      case _ => false
+    }
+    if (!aggsOk) return None
+    // decompose each projection: the kept child column per group copy
+    // (an attribute), NULL for rolled-up ones, the grouping-id literal
+    val sets: Seq[(Literal, Map[org.apache.spark.sql.catalyst.expressions.ExprId, AttributeReference])] =
+      expand.projections.map { proj =>
+        val gl = proj(gidPos) match {
+          case l: Literal => l
+          case _ => return None
+        }
+        val inc = setCols.flatMap { c =>
+          proj(colPos(c)) match {
+            case a: AttributeReference => Seq(c.exprId -> a)
+            case Literal(null, _) => Nil
+            case _ => return None // a computed grouping expression
+          }
+        }.toMap
+        (gl, inc)
+      }
+    val branches = sets.map { case (gidLit, included) =>
+      val branchGroups = setCols.flatMap(c => included.get(c.exprId))
+      // fresh output aliases per branch: Union branches must not share
+      // output exprIds, and the final projection restores the originals
+      val aggAliases = aggs.collect {
+        case al @ Alias(ae: AggregateExpression, name) =>
+          al.exprId -> Alias(ae, name)()
+      }
+      val innerAggs: Seq[NamedExpression] =
+        branchGroups ++ aggAliases.map(_._2)
+      val inner = Aggregate(branchGroups, innerAggs, expand.child)
+      rewrite(inner, branchGroups, innerAggs, expand.child).map { served =>
+        val byId = served.output.map(a => a.exprId -> a).toMap
+        val aliasById = aggAliases.toMap
+        def groupValue(a: AttributeReference): Expression =
+          if (a.exprId == gid.exprId) gidLit
+          else included.get(a.exprId) match {
+            case Some(childAttr) => byId(childAttr.exprId)
+            case None => Literal(null, a.dataType)
+          }
+        val projOut: Seq[NamedExpression] = aggs.map {
+          case a: AttributeReference => Alias(groupValue(a), a.name)()
+          case Alias(a: AttributeReference, name) =>
+            Alias(groupValue(a), name)()
+          case al @ Alias(_: AggregateExpression, name) =>
+            Alias(byId(aliasById(al.exprId).exprId), name)()
+          case _ => return None // unreachable: aggsOk gated
+        }
+        Project(projOut, served)
+      }
+    }
+    // all-or-nothing: every set must serve from a view
+    if (branches.exists(_.isEmpty)) return None
+    val union = Union(branches.map(_.get))
+    val restored = union.output.zip(aggs).map { case (u, o) =>
+      Alias(u, o.name)(exprId = o.exprId)
+    }
+    Some(Project(restored, union))
   }
 
   private def supported(ae: AggregateExpression): Boolean =

@@ -368,6 +368,91 @@ class MvRewriteSpec extends SparkSpec {
     assert(d0.baseVersion < d1.baseVersion)
   }
 
+  test("ROLLUP/CUBE/GROUPING SETS serve from the view: every branch view-only, answers match") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    def rollq() = t.readSnapshot(spark).get.rollup("g", "h")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "g", "h")
+    def cubeq() = t.readSnapshot(spark).get.cube("g", "h")
+      .agg(sum(col("v")).as("s")).orderBy("g", "h")
+    val rollOff = rollq().collect().toSeq
+    val cubeOff = cubeq().collect().toSeq
+    withRule {
+      val on = rollq()
+      assert(readsOnly(on, mvPath),
+        "every grouping-set branch must read the view:\n" +
+          on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === rollOff)
+      val cu = cubeq()
+      assert(readsOnly(cu, mvPath))
+      assert(cu.collect().toSeq === cubeOff)
+      // SQL GROUPING SETS spelling through the same pattern
+      t.readSnapshot(spark).get.createOrReplaceTempView("gs_tv")
+      val sq = spark.sql("SELECT g, sum(v) AS s FROM gs_tv " +
+        "GROUP BY g GROUPING SETS ((g), ())")
+      assert(readsOnly(sq, mvPath))
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("a STALE view still serves the rollup through per-branch compensation") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath,
+      minMax = false)
+    t.append(Seq((1, 1, 500L), (9, 9, 900L)).toDF("g", "h", "v"))
+    def q() = t.readSnapshot(spark).get.rollup("g")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n")).orderBy("g")
+    val off = q().collect().toSeq
+    withRule {
+      val on = q()
+      assert(readsView(on, mvPath),
+        on.queryExecution.optimizedPlan.toString)
+      assert(!readsPreRegistration(on, t, MvCatalog.lookup(t.dir).get.baseVersion),
+        "compensated branches must read view + delta commits, never " +
+          "the pre-registration base:\n" +
+          on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off)
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("rollup declines whole: computed grouping expression or uncoverable aggregate keeps the scan") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    withRule {
+      // a computed grouping expression: the Expand projection carries
+      // an alias of (g % 2), not a view grouping column
+      val expr = t.readSnapshot(spark).get
+        .rollup((col("g") % 2).as("gm"), col("h"))
+        .agg(sum(col("v")).as("s"))
+      assert(readsBase(expr, t) && !readsView(expr, mvPath))
+      // one branch uncoverable -> ALL branches keep the scan (avg needs
+      // the 2^53 stats proof this base does not carry)
+      val av = t.readSnapshot(spark).get.rollup("g")
+        .agg(avg(col("v")).as("a"))
+      assert(readsBase(av, t) && !readsView(av, mvPath))
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
+  private def readsPreRegistration(df: DataFrame, t: TxParquetSink,
+      baseVersion: Long): Boolean = {
+    val preBase = t.pathRows().collect {
+      case (p, (v, _)) if v <= baseVersion => p
+    }.toSet
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(p => preBase.contains(p.toUri.getPath))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
   test("refreshIfStale reports HOW each grain moved; a forced rebuild is loud, not silent") {
     // round-11 finding: the StreamMv "must stay incremental" pin
     // checked the output path, which rebuilds also write — vacuous. The
