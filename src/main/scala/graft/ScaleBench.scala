@@ -177,6 +177,11 @@ object ScaleBench {
     // replication of the Expand shape, so the slot's growth must track
     // the view (grain cells), never sets × base rows
     "etl_mv_rollup_rewrite",
+    // targeted affected-groups compensation: the probe holds the
+    // delete footprint ~fixed in GROUP terms while the base grows, so
+    // the recompute branch must track the affected slice, not the
+    // table
+    "etl_mv_delete_rewrite",
     // composite-key and AVG metadata panels: O(commits) driver folds —
     // the slots time their partition-grain ingest harnesses
     "etl_tx_group_multi_rule", "etl_tx_avg_rule",

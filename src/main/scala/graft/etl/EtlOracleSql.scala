@@ -2226,6 +2226,32 @@ object EtlOracleSql {
       |FROM o GROUP BY year
       |ORDER BY year""".stripMargin
 
+  /** Targeted-compensation twin: the per-customer panel over the
+    * SURVIVING rows — the delete retracted every seventh customer from
+    * the pre-last-year load, the last year re-inserted its share — so
+    * hash equality proves view ⊕ tail ⊕ affected-groups-recompute ≡
+    * the from-scratch aggregate over survivors. */
+  val mvDeleteRewrite: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |mx AS (SELECT max(year) AS m FROM o),
+      |u AS (
+      |  SELECT * FROM o WHERE year = (SELECT m FROM mx)
+      |  UNION ALL
+      |  SELECT * FROM o
+      |  WHERE year < (SELECT m FROM mx) AND o_custkey % 7 <> 3
+      |)
+      |SELECT o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents
+      |FROM u GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   /** Rollup-through-the-MV twin: DuckDB's ROLLUP over the raw orders —
     * what the per-grouping-set view branches, unioned with the
     * grouping-id restored, must land exactly (DuckDB's GROUPING(a, b)

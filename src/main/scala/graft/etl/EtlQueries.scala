@@ -3117,6 +3117,40 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** TARGETED AFFECTED-GROUPS COMPENSATION — extremes over a
+    * retraction-bearing tail ([[TxFixtures.ordersDeleteMv]]: a
+    * predicate DELETE after registration, mask compacted, an insert
+    * tail re-inserting some deleted customers). MIN/MAX are not
+    * self-maintainable under retraction, so before round 12 this query
+    * fell back to the fact scan; [[graft.plans.MvRewrite]] now
+    * recomputes ONLY the groups the retractions touched from the base
+    * (null-safe semi-join on the feed's delete keys, the base read
+    * pre-filtered by the tail's own group-column delete predicate) and
+    * keeps view ⊕ tail for every other group. The plan is REQUIRED to
+    * carry that shape — a base leaf outside the semi-joined,
+    * predicate-pruned recompute branch fails the row — and the full
+    * SUM/COUNT/MIN/MAX panel hash-gates against DuckDB's recompute
+    * over the surviving rows. At 100 TB: the cost of a delete is the
+    * delete's groups, never a view rebuild or a fact rescan. */
+  def mvDeleteRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersDeleteMv(spark, dir)
+    val d = graft.plans.MvCatalog.lookup(t.dir).get
+    require(t.version() > d.baseVersion,
+      "fixture must be STALE: base committed past the registered version")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .groupBy("o_custkey")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+      requireMvTargeted(rolled, d.mvPath, t, Set("year", "o_custkey"))
+      frozen(rolled, "o_custkey")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** MULTI-VIEW SELECTION — two rollups registered on the same orders
     * base ([[TxFixtures.ordersMultiMv]]: the fine (year, o_custkey)
     * cube and the coarse (year) one) and a year-grain panel that BOTH
@@ -3184,6 +3218,56 @@ object EtlQueries {
       s"stale-MV compensation must read the view at $mvPath plus delta " +
         s"commits only (base ${t.dir} past v$baseVersion) — it did not:\n" +
         df.queryExecution.optimizedPlan.toString)
+
+  /** The targeted-compensation plan gate: the plan must read ONLY the
+    * registered view and the base table, the view must be present, and
+    * at least one LEFT SEMI join must restrict a base-reading subtree
+    * to the affected groups WITH the transplanted (positive,
+    * group-column-only) delete predicate beneath it — i.e. the base
+    * recompute is both key-restricted and footprint-pruned. A plain
+    * fact scan (no semi join) fails the row. */
+  private[graft] def requireMvTargeted(df: DataFrame, mvPath: String,
+      t: TxParquetSink, pruneCols: Set[String]): Unit = {
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    var sawView = false
+    val leavesOk = leaves.nonEmpty && leaves.forall {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val roots = h.location.rootPaths.map(_.toUri.getPath)
+            if (roots.forall(_.startsWith(mvPath))) { sawView = true; true }
+            else roots.forall(_.startsWith(t.dir))
+          case _ => false
+        }
+      case _ => false
+    }
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    val targeted = semis.exists { j =>
+      val basey = j.left.collectLeaves().exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toUri.getPath.startsWith(t.dir))
+            case _ => false
+          }
+        case _ => false
+      }
+      val prunedFilter = j.left.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.map(_.name).toSet.subsetOf(pruneCols) &&
+            !f.condition.sql.toUpperCase.contains("NOT") => f
+      }.nonEmpty
+      basey && prunedFilter
+    }
+    require(leavesOk && sawView && targeted,
+      s"targeted compensation must serve view + semi-joined, " +
+        s"predicate-pruned base recompute (view $mvPath, base ${t.dir}) " +
+        "— it did not:\n" + plan.toString)
+  }
 
   /** Freeze a rule-served result WHILE the rule is armed: the
     * registered rows that install an optimizer rule via

@@ -395,6 +395,31 @@ object TxFixtures {
       t
     }
 
+  /** RETRACTION-BEARING ROLLUP BASE — the orders load with its
+    * (year, o_custkey) rollup registered WITH extremes, then a
+    * predicate DELETE retracting every seventh customer, the mask
+    * compacted away (the maintainIfNeeded discipline — a masked log
+    * shatters the snapshot scan), and the last year landing as an
+    * insert tail that re-inserts some deleted customers. The fixture
+    * behind [[graft.plans.MvRewrite]]'s targeted affected-groups
+    * compensation: extremes over a retraction-bearing tail, served
+    * without a full base rescan. READ-ONLY: the row only queries. */
+  def ordersDeleteMv(spark: SparkSession, dir: String): TxParquetSink =
+    keyed(spark, dir, "orders_delete_mv") {
+      val o = ordersProjected(spark, dir)
+      val ys = o.select("year").distinct().orderBy("year")
+        .collect().map(_.getInt(0)).toSeq
+      val t = tempSink("graft-txfix-delmv")
+      ys.dropRight(1).foreach(y => t.append(o.where(col("year") === y)))
+      graft.plans.MvCatalog.registerRollup(spark, t,
+        groupCols = Seq("year", "o_custkey"), valueCols = Seq("cents"),
+        mvPath = t.dir + "_mv")
+      t.deleteWhere(spark, "o_custkey % 7 = 3")
+      t.compact(spark)
+      t.append(o.where(col("year") === ys.last))
+      t
+    }
+
   /** A fresh shallow clone of `source` for a mutating row: O(commits)
     * manifest metadata into a new temp dir, zero data bytes copied —
     * the mutation then diverges without touching the canonical sink. */
@@ -421,6 +446,7 @@ object TxFixtures {
     ordersStaleMv(spark, dir)
     ordersAvgMv(spark, dir)
     ordersMultiMv(spark, dir)
+    ordersDeleteMv(spark, dir)
   }
 
   /** Pre-builds the merge-churn replay arms (one merge commit per

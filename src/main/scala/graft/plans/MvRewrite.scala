@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, GreaterThan, If, IsNotNull, Literal, Multiply, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -261,7 +261,8 @@ object MvRewrite extends Rule[LogicalPlan] {
           // freshness: a view built at exactly the version the scan
           // covers serves directly; a stale one serves through delta
           // compensation
-          src <- sourcePlan(sink, mv, headOf(sink.dir))
+          src <- sourcePlan(sink, mv, headOf(sink.dir),
+            needExtremes(aggs))
           plan <- build(mv, sink, groups, aggs, filters.toSeq, src)
         } yield plan
       }
@@ -306,14 +307,27 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Does the query ask for MIN/MAX? Drives which compensation shape
+    * a retraction-bearing tail needs: extremes force the targeted
+    * affected-groups recompute; a SUM/COUNT panel folds the signed
+    * feed without touching the base. */
+  private def needExtremes(aggs: Seq[NamedExpression]): Boolean =
+    aggs.exists {
+      case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+        case _: Min | _: Max => true
+        case _ => false
+      }
+      case _ => false
+    }
+
   /** The view-schema-shaped plan the aggregation rewrites onto: the
     * plain view scan when fresh, the delta-compensated merge when the
     * base has committed past the registered version, None when the
     * range restated contents (the feed cannot represent a restore). */
   private def sourcePlan(sink: TxParquetSink, mv: MvCatalog.MvDef,
-      head: Long): Option[LogicalPlan] =
+      head: Long, wantExtremes: Boolean): Option[LogicalPlan] =
     if (head == mv.baseVersion) Some(viewScan(mv))
-    else compensated(sink, mv, head)
+    else compensated(sink, mv, head, wantExtremes)
 
   private def viewScan(mv: MvCatalog.MvDef): LogicalPlan =
     SparkSession.active.read.schema(mv.schema).parquet(mv.mvPath)
@@ -334,7 +348,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * NULL for groups whose surviving values are all NULL (the stored
     * convention), and a restated range returns None. */
   private def compensated(sink: TxParquetSink, mv: MvCatalog.MvDef,
-      head: Long): Option[LogicalPlan] = {
+      head: Long, wantExtremes: Boolean): Option[LogicalPlan] = {
     // history below the truncation horizon is GONE: the feed over the
     // range would be silently incomplete (changesBetween throws, and a
     // restore hidden in the truncated prefix is invisible to
@@ -344,10 +358,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (sink.restatedBetween(mv.baseVersion, head)) return None
     val spark = SparkSession.active
     val view = viewScan(mv)
-    val feed = sink.changesBetween(spark, mv.baseVersion, head) match {
+    val feedDf = sink.changesBetween(spark, mv.baseVersion, head) match {
       case None => return Some(view) // content-preserving commits only
-      case Some(f) => f.queryExecution.analyzed
+      case Some(f) => f
     }
+    val feed = feedDf.queryExecution.analyzed
     val vBy = view.output.map(a => a.name -> a).toMap
     val fBy = feed.output.map(a => a.name -> a).toMap
     // schema-drift guards: the feed must carry every registered column
@@ -357,8 +372,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (!needed.forall(fBy.contains)) return None
     if (!mv.groupCols.forall(g => fBy(g).dataType == vBy(g).dataType))
       return None
-    val minMax = (mv.mins.nonEmpty || mv.maxs.nonEmpty) &&
-      !sink.maskedBetween(mv.baseVersion, head)
+    val masked = sink.maskedBetween(mv.baseVersion, head)
+    val hasExtremes = mv.mins.nonEmpty || mv.maxs.nonEmpty
+    // extremes over a retraction-bearing tail: not foldable from the
+    // feed (Gupta & Mumick), but SERVABLE — recompute exactly the
+    // groups the retractions touched from the base, keep view ⊕ tail
+    // for the rest (the affected-groups targeted compensation)
+    if (wantExtremes && hasExtremes && masked)
+      return compensatedTargeted(sink, mv, head, feedDf)
+    val minMax = hasExtremes && !masked
     if (minMax &&
       !mv.valueCols.forall(c => fBy(c).dataType == vBy(s"min_$c").dataType))
       return None
@@ -408,6 +430,104 @@ object MvRewrite extends Rule[LogicalPlan] {
     val cnt = agg.output.find(_.name == mv.countCol).get
     // multiplicity discipline: a fully-retracted group leaves the view
     Some(Filter(GreaterThan(cnt, Literal(0L)), agg))
+  }
+
+  /** AFFECTED-GROUPS TARGETED COMPENSATION — extremes over a
+    * retraction-bearing tail. MIN/MAX are not self-maintainable under
+    * retraction (the whole group history would be needed), but the
+    * damage is bounded by the retractions' GROUPS: the feed's D rows
+    * name exactly the groups whose stored extremes are suspect.
+    * The served source is the union of
+    *
+    *  - stored view partials for groups the retractions did NOT touch
+    *    (null-safe anti-join against the affected keys),
+    *  - the signed feed tail for those same groups — insert-only by
+    *    construction (every D row's group is affected),
+    *  - an exact partial recompute from the CURRENT base snapshot for
+    *    the affected groups only (null-safe left-semi join; with the
+    *    base read additionally pre-filtered by the tail's own delete
+    *    predicates when they reference grouping columns only — the
+    *    predicate transplants because all rows of a group agree on a
+    *    group-column predicate, so the filter reaches the parquet scan
+    *    and the base read tracks the delete footprint, not the table),
+    *
+    * re-aggregated at view grain. Cost: O(view) + O(feed) +
+    * O(base ∩ affected groups) — the full-scan fallback only for the
+    * groups that actually lost rows. Built with the DataFrame API (the
+    * three-way self-referencing joins need analysis-time attribute
+    * deduplication); [[build]] consumes the analyzed plan by name like
+    * any other view-shaped source. */
+  private def compensatedTargeted(sink: TxParquetSink, mv: MvCatalog.MvDef,
+      head: Long, feedDf: org.apache.spark.sql.DataFrame)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val spark = SparkSession.active
+    val keyCols = mv.groupCols
+    val base = sink.readSnapshot(spark).getOrElse(return None)
+    val fTypes = feedDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bTypes = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val vTypes = mv.schema.fields.map(f => f.name -> f.dataType).toMap
+    // schema-drift guards: group cols at view types everywhere; value
+    // cols integral and at the stored extremes' types in feed AND base
+    if (!keyCols.forall(c =>
+      fTypes.get(c) == vTypes.get(c) && bTypes.get(c) == vTypes.get(c)))
+      return None
+    if (!mv.valueCols.forall { c =>
+      val vt = vTypes.get(s"min_$c")
+      fTypes.get(c) == vt && bTypes.get(c) == vt &&
+        (fTypes.get(c) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) => true
+          case _ => false
+        })
+    }) return None
+
+    val viewDf = spark.read.schema(mv.schema).parquet(mv.mvPath)
+    // distinct() via groupBy, NOT Deduplicate: this plan is injected
+    // POST-optimizer, where ReplaceDeduplicateWithAggregate has already
+    // run — a raw Deduplicate would fail physical planning
+    val affNames = keyCols.map(c => s"__aff_$c")
+    val affR = feedDf.where(col("_change_type") === "D")
+      .select(keyCols.map(c => col(c).as(s"__aff_$c")): _*)
+      .groupBy(affNames.map(col): _*).agg(count(lit(1)).as("__affc"))
+      .drop("__affc")
+    def affCond(df: DataFrame) =
+      keyCols.map(c => df(c) <=> affR(s"__aff_$c")).reduce(_ && _)
+    val fields = mv.schema.fieldNames.toSeq
+    val viewKeep = viewDf.join(affR, affCond(viewDf), "left_anti")
+      .select(fields.map(col): _*)
+    val feedKeep = feedDf.join(affR, affCond(feedDf), "left_anti")
+    val sgn = when(col("_change_type") === lit("I"), lit(1L))
+      .otherwise(lit(-1L))
+    val feedPart = feedKeep.select(
+      keyCols.map(col) ++ mv.valueCols.flatMap(c => Seq(
+        (sgn * col(c).cast("long")).as(s"sum_$c"),
+        when(col(c).isNotNull, sgn).otherwise(lit(0L)).as(s"cntn_$c"),
+        col(c).as(s"min_$c"), col(c).as(s"max_$c"))) :+ sgn.as("cnt"): _*)
+      .select(fields.map(col): _*)
+    val pruned = MvCatalog.deletePredColumn(spark, sink,
+      mv.baseVersion, head, keyCols)
+      .map(base.where).getOrElse(base)
+    val recomputeAggs = mv.valueCols.flatMap(c => Seq(
+      sum(col(c).cast("long")).as(s"sum_$c"),
+      count(col(c)).as(s"cntn_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("cnt")
+    val recomputed = pruned.join(affR, affCond(pruned), "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(recomputeAggs.head, recomputeAggs.tail: _*)
+      .select(fields.map(col): _*)
+    val unioned = viewKeep.union(feedPart).union(recomputed)
+    val mergedAggs = mv.valueCols.flatMap(c => Seq(
+      when(sum(col(s"cntn_$c")) === 0L, lit(null).cast("long"))
+        .otherwise(sum(col(s"sum_$c"))).as(s"sum_$c"),
+      sum(col(s"cntn_$c")).as(s"cntn_$c"),
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c"))) :+ sum(col("cnt")).as("cnt")
+    val served = unioned.groupBy(keyCols.map(col): _*)
+      .agg(mergedAggs.head, mergedAggs.tail: _*)
+      .where(col("cnt") > 0) // multiplicity: fully-retracted groups leave
+    Some(served.queryExecution.analyzed)
   }
 
   /** The replacement plan: [Filter] + Aggregate over the view-shaped
@@ -563,6 +683,11 @@ object MvCatalog {
     /** Only content-preserving commits in range: the registered
       * version re-stamped, no job ran. */
     case object Restamped extends RefreshOutcome
+    /** Retractions hit stored extremes: the affected groups were
+      * recomputed from the base (semi-joined, delete-predicate-pruned),
+      * everything else merged incrementally — O(base ∩ affected), not
+      * O(base). */
+    case object Targeted extends RefreshOutcome
   }
 
   /** RETENTION POLICY for superseded view directories. Every
@@ -759,6 +884,42 @@ object MvCatalog {
     d
   }
 
+  /** The tail's delete predicates as ONE transplantable pruning
+    * filter, when every row-hiding mask in `(fromV, toV]` is a
+    * predicate delete whose references are all GROUPING columns — a
+    * group-column predicate holds for every row of an affected group
+    * (the key determines it), so `OR`-ing the predicates over-covers
+    * the affected groups and the filter pushes into the base scan
+    * (file skipping + row-group pruning): the recompute read tracks
+    * the delete footprint instead of the table. None when any mask is
+    * a key-set replace or references value columns — the semi-join
+    * against the feed's D keys stays the exactness guarantee either
+    * way. */
+  private[plans] def deletePredColumn(spark: SparkSession,
+      sink: TxParquetSink, fromV: Long, toV: Long,
+      keyCols: Seq[String]): Option[org.apache.spark.sql.Column] = {
+    val masks = sink.commits().collect {
+      case (v, m) if v > fromV && v <= toV &&
+        (m.deletePred.nonEmpty || m.replaceCols.nonEmpty) => m
+    }
+    if (masks.isEmpty) return None
+    if (!masks.forall(m => m.deletePred.nonEmpty && m.replaceCols.isEmpty))
+      return None
+    val preds = masks.flatMap(_.deletePred)
+    try {
+      val groupOnly = preds.forall { p =>
+        val e = spark.sessionState.sqlParser.parseExpression(p)
+        e.deterministic && e.collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u
+        }.forall(u => u.nameParts.size == 1 && keyCols.contains(u.nameParts.head))
+      }
+      if (groupOnly)
+        Some(org.apache.spark.sql.functions.expr(
+          preds.map(p => s"($p)").mkString(" OR ")))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Reclaims superseded view directories around `stem` (the fixed
     * refresh stem: `<stem>`, `<stem>_r<v>`, `<stem>_r<v>_x` are the
     * only names [[refreshDef]] ever writes): every matching directory
@@ -839,6 +1000,64 @@ object MvCatalog {
     lookup(sink.dir)
   }
 
+  /** The SUM/COUNT(/insert-only MIN/MAX) delta merge both refresh arms
+    * share: `feed` aggregates to signed view-grain partials, full-outer
+    * merges into `old` with coalesce-to-zero, and groups whose row
+    * count reaches zero leave (the multiplicity discipline). Null-safe
+    * group join: GROUP BY keeps a NULL group, and a plain
+    * using-columns join would never match its delta — a
+    * fully-retracted NULL group would survive with stale totals; delta
+    * group columns are renamed, matched with `<=>`, and the output
+    * group value taken from whichever side exists (the stored cnt is
+    * never null, so its nullness marks old-side absence). MIN/MAX fold
+    * through least/greatest — valid only for an insert-only `feed`,
+    * which both callers guarantee. Returns the merged frame in the
+    * view's column order, cnt>0-filtered, unwritten. */
+  private def incrementalMerge(spark: SparkSession, d: MvDef,
+      minMax: Boolean, feed: DataFrame, old: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, greatest, least, lit, max, min, sum, when}
+    val sgn = when(col("_change_type") === "I", lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs = d.valueCols.flatMap(c =>
+      Seq(sum(sgn * col(c).cast("long")).as(s"d_sum_$c"),
+        sum(when(col(c).isNotNull, sgn).otherwise(lit(0L)))
+          .as(s"d_cntn_$c")) ++
+        (if (minMax) Seq(min(col(c)).as(s"d_min_$c"),
+          max(col(c)).as(s"d_max_$c")) else Nil)) :+
+      sum(sgn).as("d_cnt")
+    val delta = feed.groupBy(d.groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val dG = d.groupCols.map(c => c -> s"__d_$c")
+    val deltaR = delta.select(
+      dG.map { case (c, a) => col(c).as(a) } ++
+        delta.columns.filterNot(d.groupCols.contains).map(col): _*)
+    val joinCond = dG.map { case (c, a) => col(c) <=> col(a) }
+      .reduce(_ && _)
+    val groupOut = dG.map { case (c, a) =>
+      when(col("cnt").isNotNull, col(c)).otherwise(col(a)).as(c) }
+    def cntnOf(c: String) =
+      coalesce(col(s"cntn_$c"), lit(0L)) +
+        coalesce(col(s"d_cntn_$c"), lit(0L))
+    val mergedCols = d.valueCols.flatMap(c =>
+      // SUM over zero non-null values is NULL, not 0 — a group whose
+      // surviving values are all NULL must answer NULL exactly like
+      // the scan (and like registerRollup stores)
+      Seq(when(cntnOf(c) === 0L, lit(null).cast("long"))
+        .otherwise(coalesce(col(s"sum_$c"), lit(0L)) +
+          coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c"),
+        cntnOf(c).as(s"cntn_$c")) ++
+        (if (minMax) Seq(
+          least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
+          greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))
+         else Nil)) :+
+      (coalesce(col("cnt"), lit(0L)) +
+        coalesce(col("d_cnt"), lit(0L))).as("cnt")
+    old.join(deltaR, joinCond, "full_outer")
+      .select(groupOut ++ mergedCols: _*)
+      .where(col("cnt") > 0)
+      .select(d.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** INCREMENTAL REFRESH of one grain — brings the registered rollup
     * forward to the base's current version from the sink's own change
     * feed ([[TxParquetSink.changesBetween]]), never a base rescan when
@@ -861,7 +1080,7 @@ object MvCatalog {
   private def refreshDef(spark: SparkSession, sink: TxParquetSink,
       d: MvDef, retention: Retention = Retention.Default)
       : (MvDef, RefreshOutcome) = {
-    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, greatest, least, lit, max, min, sum, when}
     val v1 = sink.version()
     if (v1 == d.baseVersion) (d, RefreshOutcome.Restamped)
     else {
@@ -898,59 +1117,55 @@ object MvCatalog {
             // only content-preserving base/metadata commits in range:
             // re-stamp the version
             (d.copy(baseVersion = v1), RefreshOutcome.Restamped)
-          case (_, Some(_)) if hasDeletes =>
-            // retraction hit stored extremes: rebuild (re-registers)
-            (registerRollup(spark, sink, d.groupCols, d.valueCols,
-              newPath, minMax = true), RefreshOutcome.Rebuilt)
+          case (_, Some(feed)) if hasDeletes =>
+            // AFFECTED-GROUPS TARGETED RECOMPUTE — retractions hit
+            // stored extremes, which are not self-maintainable (Gupta &
+            // Mumick), but only the retracted GROUPS are suspect: keep
+            // the incremental merge for every other group, recompute
+            // exactly the affected ones from the current base snapshot
+            // (null-safe semi-join on the feed's D keys; base read
+            // pre-filtered by the tail's own delete predicates when
+            // they reference grouping columns only). Cost:
+            // O(view) + O(feed) + O(base ∩ affected) — the full rebuild
+            // survives only for restatements.
+            val affR = feed.where(col("_change_type") === "D")
+              .select(d.groupCols.map(c => col(c).as(s"__aff_$c")): _*)
+              .distinct().localCheckpoint(true) // small; reused 3×
+            def anti(df: DataFrame) = df.join(affR,
+              d.groupCols.map(c => df(c) <=> affR(s"__aff_$c"))
+                .reduce(_ && _), "left_anti")
+            val oldView = spark.read.schema(d.schema).parquet(d.mvPath)
+            val mergedUnaffected =
+              incrementalMerge(spark, d, minMax, anti(feed), anti(oldView))
+            val base = sink.readSnapshot(spark)
+            val out = base match {
+              case None => mergedUnaffected // fully-empty base: nothing to recompute
+              case Some(b) =>
+                val pruned = deletePredColumn(spark, sink,
+                  d.baseVersion, v1, d.groupCols).map(b.where).getOrElse(b)
+                val recomputeAggs = d.valueCols.flatMap(c => Seq(
+                  sum(col(c).cast("long")).as(s"sum_$c"),
+                  count(col(c)).as(s"cntn_$c"),
+                  min(col(c)).as(s"min_$c"),
+                  max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+                val recomputed = pruned.join(affR,
+                  d.groupCols.map(c => pruned(c) <=> affR(s"__aff_$c"))
+                    .reduce(_ && _), "left_semi")
+                  .groupBy(d.groupCols.map(col): _*)
+                  .agg(recomputeAggs.head, recomputeAggs.tail: _*)
+                  .select(d.schema.fieldNames.map(col).toSeq: _*)
+                mergedUnaffected.union(recomputed)
+            }
+            out.write.mode("overwrite").parquet(newPath)
+            require(sink.version() == v1,
+              s"refresh: base ${sink.dir} moved during the recompute " +
+                s"($v1 -> ${sink.version()}); retry")
+            (d.copy(mvPath = newPath, baseVersion = v1,
+              rows = spark.read.schema(d.schema).parquet(newPath).count()),
+              RefreshOutcome.Targeted)
           case (_, Some(feed)) =>
-            val sgn = when(col("_change_type") === "I", lit(1L))
-              .otherwise(lit(-1L))
-            val deltaAggs = d.valueCols.flatMap(c =>
-              Seq(sum(sgn * col(c).cast("long")).as(s"d_sum_$c"),
-                sum(when(col(c).isNotNull, sgn).otherwise(lit(0L)))
-                  .as(s"d_cntn_$c")) ++
-                (if (minMax) Seq(min(col(c)).as(s"d_min_$c"),
-                  max(col(c)).as(s"d_max_$c")) else Nil)) :+
-              sum(sgn).as("d_cnt")
-            val delta = feed.groupBy(d.groupCols.map(col): _*)
-              .agg(deltaAggs.head, deltaAggs.tail: _*)
-            // null-safe group join: GROUP BY keeps a NULL group, and a
-            // plain using-columns join would never match its delta —
-            // a fully-retracted NULL group would survive with stale
-            // totals. Delta group columns are renamed, matched with
-            // <=>, and the output group value taken from whichever
-            // side exists (the stored cnt is never null, so its
-            // nullness marks old-side absence).
-            val dG = d.groupCols.map(c => c -> s"__d_$c")
-            val deltaR = delta.select(
-              dG.map { case (c, a) => col(c).as(a) } ++
-                delta.columns.filterNot(d.groupCols.contains).map(col): _*)
-            val joinCond = dG.map { case (c, a) => col(c) <=> col(a) }
-              .reduce(_ && _)
-            val groupOut = dG.map { case (c, a) =>
-              when(col("cnt").isNotNull, col(c)).otherwise(col(a)).as(c) }
-            def cntnOf(c: String) =
-              coalesce(col(s"cntn_$c"), lit(0L)) +
-                coalesce(col(s"d_cntn_$c"), lit(0L))
-            val mergedCols = d.valueCols.flatMap(c =>
-              // SUM over zero non-null values is NULL, not 0 — a group
-              // whose surviving values are all NULL must answer NULL
-              // exactly like the scan (and like registerRollup stores)
-              Seq(when(cntnOf(c) === 0L, lit(null).cast("long"))
-                .otherwise(coalesce(col(s"sum_$c"), lit(0L)) +
-                  coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c"),
-                cntnOf(c).as(s"cntn_$c")) ++
-                (if (minMax) Seq(
-                  least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
-                  greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))
-                 else Nil)) :+
-              (coalesce(col("cnt"), lit(0L)) +
-                coalesce(col("d_cnt"), lit(0L))).as("cnt")
-            val old = spark.read.schema(d.schema).parquet(d.mvPath)
-            old.join(deltaR, joinCond, "full_outer")
-              .select(groupOut ++ mergedCols: _*)
-              .where(col("cnt") > 0)
-              .select(d.schema.fieldNames.map(col).toSeq: _*)
+            incrementalMerge(spark, d, minMax, feed,
+              spark.read.schema(d.schema).parquet(d.mvPath))
               .write.mode("overwrite").parquet(newPath)
             require(sink.version() == v1,
               s"refresh: base ${sink.dir} moved during the merge " +

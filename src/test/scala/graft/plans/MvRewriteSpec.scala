@@ -471,13 +471,23 @@ class MvRewriteSpec extends SparkSpec {
     t.compact(spark)
     val r2 = MvCatalog.refreshIfStale(spark, t)
     assert(r2.map(_._2) === Seq(MvCatalog.RefreshOutcome.Restamped))
-    // a retraction against STORED EXTREMES forces the rebuild — and the
-    // outcome says so (the replay-path pin rejects exactly this)
+    // a retraction against STORED EXTREMES takes the targeted
+    // affected-groups recompute — and the outcome says so (the
+    // replay-path pin rejects only full rebuilds)
     t.deleteWhere(spark, "v = 500")
     val r3 = MvCatalog.refreshIfStale(spark, t)
-    assert(r3.map(_._2) === Seq(MvCatalog.RefreshOutcome.Rebuilt),
-      "a delete-bearing feed on a min/max view must report Rebuilt")
+    assert(r3.map(_._2) === Seq(MvCatalog.RefreshOutcome.Targeted),
+      "a delete-bearing feed on a min/max view must report Targeted")
     assert(r3.head._1.baseVersion === t.version())
+    // the targeted content equals a from-scratch rebuild
+    val tchk = MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      s"$dir/mv_tchk")
+    assert(spark.read.schema(r3.head._1.schema).parquet(r3.head._1.mvPath)
+      .orderBy("g").collect().toSeq ===
+      spark.read.schema(tchk.schema).parquet(tchk.mvPath)
+        .orderBy("g").collect().toSeq)
+    MvCatalog.unregister(t.dir)
+    MvCatalog.register(t.dir, r3.head._1)
     // a restated range (restore) also reports the rebuild
     t.append(Seq((2, 600L)).toDF("g", "v"))
     val v = t.version()
@@ -636,16 +646,29 @@ class MvRewriteSpec extends SparkSpec {
     t.deleteWhere(spark, "g = 4")
     def q() = t.readSnapshot(spark).get
       .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("g")
+    def eq() = t.readSnapshot(spark).get
+      .groupBy("g").agg(max("v").as("hi"), min("v").as("lo")).orderBy("g")
     val off = q().collect().toSeq
+    val eOff = eq().collect().toSeq
     assert(!off.exists(_.getInt(0) == 4), "fixture: group 4 must be gone")
     withRule {
       assert(q().collect().toSeq === off,
         "a retracted group must leave the compensated view")
-      // MIN/MAX cannot fold through a retraction: the compensated view
-      // omits the extremes, so an extremes query falls back to the scan
-      val e = t.readSnapshot(spark).get.groupBy("g").agg(max("v").as("hi"))
-      assert(!readsView(e, mvPath) && readsBase(e, t),
-        "MIN/MAX over a delete-bearing tail must scan")
+      // MIN/MAX over a retraction serves through the TARGETED
+      // affected-groups compensation (round 12): only the retracted
+      // groups recompute from the base, the rest stay view ⊕ tail —
+      // before this, an extremes query here fell back to the fact scan
+      val e = eq()
+      assert(readsView(e, mvPath),
+        "extremes over a delete-bearing tail must serve through the " +
+          "targeted compensation:\n" +
+          e.queryExecution.optimizedPlan.toString)
+      assert(e.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.nonEmpty, "the base recompute must be SEMI-JOIN-restricted to " +
+        "the affected groups")
+      assert(e.collect().toSeq === eOff)
     }
     // restore restates contents the feed cannot represent: stand down
     t.restore(spark, 1L)
@@ -656,6 +679,54 @@ class MvRewriteSpec extends SparkSpec {
         "a restored range must keep the scan")
       assert(on.collect().toSeq === off2)
     }
+  }
+
+  test("targeted compensation prunes by the delete predicate; SUM-only panels never touch the base") {
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    t.deleteWhere(spark, "g = 2") // a GROUP-column predicate delete
+    // materialize the mask (the maintainIfNeeded discipline): a masked
+    // log shatters the snapshot into per-mask scan groups, which the
+    // coverage walk refuses; post-compact the scan is whole again while
+    // the FEED still carries the delete's retractions
+    t.compact(spark)
+    t.append(Seq((2, 1, 77L), (0, 0, 5L)).toDF("g", "h", "v"))
+    def eq() = t.readSnapshot(spark).get.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("v").as("s"))
+      .orderBy("g")
+    def sq() = t.readSnapshot(spark).get.groupBy("g")
+      .agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("g")
+    val (eOff, sOff) = (eq().collect().toSeq, sq().collect().toSeq)
+    withRule {
+      val e = eq()
+      val semis = e.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, "extremes need the targeted recompute")
+      // the base recompute branch is pre-filtered by the tail's own
+      // delete predicate (group-column-only, so it transplants): the
+      // base read tracks the delete footprint, not the table
+      val pruned = semis.exists(_.left.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.map(_.name).toSet == Set("g") &&
+            !f.condition.sql.toUpperCase.contains("NOT") &&
+            f.condition.sql.contains("2") => f
+      }.nonEmpty)
+      assert(pruned, "the delete predicate must transplant onto the " +
+        "recompute branch:\n" + e.queryExecution.optimizedPlan.toString)
+      assert(e.collect().toSeq === eOff)
+      // a SUM/COUNT panel over the same tail takes the CHEAP path:
+      // view ⊕ signed feed, no semi-join, no base recompute
+      val sP = sq()
+      assert(sP.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.isEmpty, "SUM-only must not pay the affected-groups recompute:\n" +
+        sP.queryExecution.optimizedPlan.toString)
+      assert(sP.collect().toSeq === sOff)
+    }
+    MvCatalog.unregister(t.dir)
   }
 
   test("shadowing projection, foreign aggregate, and derived grouping all keep the scan") {
@@ -704,9 +775,10 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  test("a delete-bearing feed rebuilds a view with extremes, merges a SUM/COUNT-only view") {
+  test("a delete-bearing feed recomputes affected groups on a view with extremes, merges a SUM/COUNT-only view") {
     val (t, mvPath) = freshBase()
-    // extremes stored: retraction forces the rebuild path
+    // extremes stored: retraction takes the targeted recompute path,
+    // whose content must equal a from-scratch rebuild exactly
     MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), mvPath)
     t.deleteWhere(spark, "h = 2")
     val d1 = MvCatalog.refresh(spark, t).get
