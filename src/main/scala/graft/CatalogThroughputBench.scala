@@ -17,6 +17,12 @@ import graft.etl.{TxCatalog, TxParquetSink}
   * TxCatalogSpec proves SAFETY (disjoint commit, overlapping
   * fail-fast, stale-lease steal); this measures the WIN.
   *
+  * Each rung also records the lost-publish-race RETRY count
+  * ([[graft.etl.TxCatalog.publishRetries]]): a retry is one O(tables)
+  * head re-read + re-link, so retries/commit is the direct price of
+  * catalog-version contention — the telemetry behind "O(1) re-render"
+  * staying true as writers double.
+  *
   * Usage: runMain graft.CatalogThroughputBench [commitsPerWriter]
   * Prints one JSON line; numbers recorded in BASELINE.md. */
 object CatalogThroughputBench {
@@ -32,13 +38,14 @@ object CatalogThroughputBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def run(writers: Int): (Double, Double) = {
+    def run(writers: Int): (Double, Double, Long) = {
       val base = java.nio.file.Files
         .createTempDirectory("cat-throughput").toString
       val tables = (0 until writers)
         .map(w => s"t$w" -> TxParquetSink(s"$base/t$w")).toMap
       val cat = TxCatalog.create(s"$base/cat", tables)
       val failures = new AtomicLong(0)
+      val retries0 = TxCatalog.publishRetries.get()
       val start = System.nanoTime()
       val threads = (0 until writers).map { w =>
         new Thread(() => {
@@ -69,13 +76,15 @@ object CatalogThroughputBench {
         val got = cat.read(spark, s"t$w").map(_.count()).getOrElse(0L)
         require(got == commitsPer * 50L, s"t$w rows: $got")
       }
-      (sec, writers.toLong * commitsPer / sec)
+      (sec, writers.toLong * commitsPer / sec,
+        TxCatalog.publishRetries.get() - retries0)
     }
 
     run(1) // warm the JIT/Spark write paths
-    val table = Seq(1, 2, 4, 8).map { w =>
-      val (sec, cps) = run(w)
-      f""""w$w":{"sec":$sec%.2f,"commits_per_sec":$cps%.2f}"""
+    val table = Seq(1, 2, 4, 8, 16, 32).map { w =>
+      val (sec, cps, retries) = run(w)
+      val rpc = retries.toDouble / (w.toLong * commitsPer)
+      f""""w$w":{"sec":$sec%.2f,"commits_per_sec":$cps%.2f,"publish_retries":$retries,"retries_per_commit":$rpc%.3f}"""
     }
     println(
       s"""{"metric":"catalog_throughput","commits_per_writer":$commitsPer,""" +
