@@ -271,16 +271,28 @@ final case class TxCatalog(dir: String,
         if (!claimed) {
           // another stealer is mid-steal; clear only a claim whose OWN
           // lease expired (its holder died mid-steal), then stand down —
-          // the next acquisition attempt proceeds against a free claim
-          val claimAge = try {
-            System.currentTimeMillis() -
-              new String(Files.readAllBytes(claim), UTF_8)
-                .trim.split("\t", 2).head.toLong
+          // the next acquisition attempt proceeds against a free claim.
+          // The clear re-reads and compares CONTENT immediately before
+          // the delete, so a fresh claim linked after our age read is
+          // (outside a residual instruction-level window, backstopped
+          // by the publish-time pin check) never the one deleted.
+          val claimContent = try {
+            Some(new String(Files.readAllBytes(claim), UTF_8))
           } catch {
-            case _: NoSuchFileException => 0L // already finished: young
-            case _: Exception => Long.MaxValue
+            case _: NoSuchFileException => None // already finished
+            case _: Exception => Some("")
           }
-          if (claimAge > lockLeaseMs) Files.deleteIfExists(claim)
+          val claimAge = claimContent.map { c =>
+            try System.currentTimeMillis() - c.trim.split("\t", 2).head.toLong
+            catch { case _: Exception => Long.MaxValue }
+          }.getOrElse(0L)
+          if (claimAge > lockLeaseMs) {
+            val still = try {
+              Some(new String(Files.readAllBytes(claim), UTF_8))
+            } catch { case _: Exception => None }
+            if (still == claimContent) Files.deleteIfExists(claim)
+            ()
+          }
           return false
         }
         try {

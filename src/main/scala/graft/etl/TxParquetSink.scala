@@ -83,12 +83,22 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * (cheap per-query case classes over the same dir), coarsely
     * bounded at 512 tables. */
   private def cachedLog(): LogSnapshot = {
-    val names: Seq[String] =
+    // the validator carries each manifest's byte SIZE next to its name:
+    // a table directory deleted and recreated at the same path with the
+    // same version count would otherwise revalidate against the dead
+    // table's parses (write-once holds within a table's life, not
+    // across reincarnations) — sizes are one stat each, no reads
+    val names: Seq[(String, Long)] =
       if (!Files.isDirectory(logDir)) Nil
       else {
         val s = Files.list(logDir)
-        try s.iterator.asScala.map(_.getFileName.toString)
-          .filter(_.matches("\\d{20}\\.txn")).toSeq.sorted
+        try s.iterator.asScala
+          .filter(_.getFileName.toString.matches("\\d{20}\\.txn"))
+          .map { p =>
+            val sz = try Files.size(p) catch { case _: Exception => -1L }
+            (p.getFileName.toString, sz)
+          }
+          .toSeq.sortBy(_._1)
         finally s.close()
       }
     val hit = TxParquetSink.logCache.get(dir)
@@ -96,12 +106,12 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val parses = TxParquetSink.parsedLogs
       .computeIfAbsent(dir, _ => new java.util.concurrent.ConcurrentHashMap())
     val nameSet = names.toSet
-    parses.keySet.removeIf(n => !nameSet.contains(n)) // truncation cleanup
-    def parse(n: String): (Long, Manifest) =
+    parses.keySet.removeIf(n => !nameSet.contains(n)) // truncation/drift cleanup
+    def parse(n: (String, Long)): (Long, Manifest) =
       parses.computeIfAbsent(n, nn => {
         TxParquetSink.manifestParses.incrementAndGet()
-        (nn.stripSuffix(".txn").toLong, parseManifest(
-          new String(Files.readAllBytes(logDir.resolve(nn)), UTF_8)))
+        (nn._1.stripSuffix(".txn").toLong, parseManifest(
+          new String(Files.readAllBytes(logDir.resolve(nn._1)), UTF_8)))
       })
     val suffix = {
       val probed =
@@ -111,8 +121,8 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             val v0 =
               new String(Files.readAllBytes(basePointer), UTF_8).trim.toLong
             val n0 = f"$v0%020d.txn"
-            if (!nameSet.contains(n0)) None
-            else Some(effective(names.dropWhile(_ < n0).map(parse)))
+            if (!names.exists(_._1 == n0)) None
+            else Some(effective(names.dropWhile(_._1 < n0).map(parse)))
           }
         } catch { case _: Exception => None } // racing truncation: fall back
       probed.getOrElse(effective(names.map(parse)))
@@ -2708,7 +2718,7 @@ object TxParquetSink {
     * history parsed LAZILY — only the callers that genuinely walk
     * pre-base commits (time travel, change feeds, truncation) force
     * it. */
-  private[graft] final class LogSnapshot(val names: Seq[String],
+  private[graft] final class LogSnapshot(val names: Seq[(String, Long)],
       val suffix: Seq[(Long, Manifest)],
       allParse: () => Seq[(Long, Manifest)]) {
     lazy val all: Seq[(Long, Manifest)] = allParse()
@@ -2717,10 +2727,10 @@ object TxParquetSink {
   private[graft] val logCache =
     new java.util.concurrent.ConcurrentHashMap[String, LogSnapshot]()
 
-  /** Write-once per-(dir, manifest-name) parse memo backing
+  /** Write-once per-(dir, manifest name + size) parse memo backing
     * [[TxParquetSink.cachedLog]]. */
   private[graft] val parsedLogs = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)]]()
+    String, java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Manifest)]]()
 
   /** Manifest-file parse counter — the counted-I/O hook the snapshot
     * cache's spec asserts on (N plans against an unchanged table must

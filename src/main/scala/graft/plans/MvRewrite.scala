@@ -147,8 +147,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         case al @ Alias(ae: AggregateExpression, name) =>
           al.exprId -> Alias(ae, name)()
       }
+      // the GRAND-TOTAL set needs an empty-input guard: a global
+      // Aggregate(Nil, …) yields ONE row over empty input, while the
+      // native Aggregate-over-Expand groups by the grouping id and
+      // yields ZERO — so the () branch carries an extra COUNT(*) and
+      // filters it > 0 (a grouped branch emits rows only for existing
+      // groups and needs no guard)
+      val guard =
+        if (branchGroups.nonEmpty) None
+        else Some(Alias(Count(Literal(1)).toAggregateExpression(), "__rows")())
       val innerAggs: Seq[NamedExpression] =
-        branchGroups ++ aggAliases.map(_._2)
+        branchGroups ++ aggAliases.map(_._2) ++ guard
       val inner = Aggregate(branchGroups, innerAggs, expand.child)
       rewrite(inner, branchGroups, innerAggs, expand.child).map { served =>
         val byId = served.output.map(a => a.exprId -> a).toMap
@@ -167,7 +176,10 @@ object MvRewrite extends Rule[LogicalPlan] {
             Alias(byId(aliasById(al.exprId).exprId), name)()
           case _ => return None // unreachable: aggsOk gated
         }
-        Project(projOut, served)
+        val src = guard.map(g =>
+          Filter(GreaterThan(byId(g.exprId), Literal(0L)), served))
+          .getOrElse(served)
+        Project(projOut, src)
       }
     }
     // all-or-nothing: every set must serve from a view
@@ -482,15 +494,13 @@ object MvRewrite extends Rule[LogicalPlan] {
         })
     }) return None
 
+    // the recompute reads the CURRENT snapshot while view ⊕ feed cover
+    // (baseVersion, head] — a commit landing between the query scan's
+    // pin (sinksOf's equality check) and this read would mix two table
+    // versions in one answer, so a moved head declines
+    if (sink.version() != head) return None
     val viewDf = spark.read.schema(mv.schema).parquet(mv.mvPath)
-    // distinct() via groupBy, NOT Deduplicate: this plan is injected
-    // POST-optimizer, where ReplaceDeduplicateWithAggregate has already
-    // run — a raw Deduplicate would fail physical planning
-    val affNames = keyCols.map(c => s"__aff_$c")
-    val affR = feedDf.where(col("_change_type") === "D")
-      .select(keyCols.map(c => col(c).as(s"__aff_$c")): _*)
-      .groupBy(affNames.map(col): _*).agg(count(lit(1)).as("__affc"))
-      .drop("__affc")
+    val affR = MvCatalog.affectedKeys(feedDf, mv.groupCols)
     def affCond(df: DataFrame) =
       keyCols.map(c => df(c) <=> affR(s"__aff_$c")).reduce(_ && _)
     val fields = mv.schema.fieldNames.toSeq
@@ -505,18 +515,8 @@ object MvRewrite extends Rule[LogicalPlan] {
         when(col(c).isNotNull, sgn).otherwise(lit(0L)).as(s"cntn_$c"),
         col(c).as(s"min_$c"), col(c).as(s"max_$c"))) :+ sgn.as("cnt"): _*)
       .select(fields.map(col): _*)
-    val pruned = MvCatalog.deletePredColumn(spark, sink,
-      mv.baseVersion, head, keyCols)
-      .map(base.where).getOrElse(base)
-    val recomputeAggs = mv.valueCols.flatMap(c => Seq(
-      sum(col(c).cast("long")).as(s"sum_$c"),
-      count(col(c)).as(s"cntn_$c"),
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("cnt")
-    val recomputed = pruned.join(affR, affCond(pruned), "left_semi")
-      .groupBy(keyCols.map(col): _*)
-      .agg(recomputeAggs.head, recomputeAggs.tail: _*)
-      .select(fields.map(col): _*)
+    val recomputed = MvCatalog.affectedRecompute(spark, sink, base, affR,
+      mv, mv.baseVersion, head)
     val unioned = viewKeep.union(feedPart).union(recomputed)
     val mergedAggs = mv.valueCols.flatMap(c => Seq(
       when(sum(col(s"cntn_$c")) === 0L, lit(null).cast("long"))
@@ -867,6 +867,7 @@ object MvCatalog {
     val mv = snap.groupBy(groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     mv.write.mode("overwrite").parquet(mvPath)
+    recordWritten(mvPath)
     require(sink.version() == v0,
       s"registerRollup: base ${sink.dir} moved during the build " +
         s"($v0 -> ${sink.version()}); retry against the new snapshot")
@@ -882,6 +883,49 @@ object MvCatalog {
       rows = n)
     register(sink.dir, d)
     d
+  }
+
+  /** The DISTINCT group keys the feed's retractions touched, renamed
+    * `__aff_<col>` for self-join-safe probing. Dedup via groupBy, NOT
+    * `distinct()`: [[MvRewrite]] injects this plan post-optimizer,
+    * where `ReplaceDeduplicateWithAggregate` has already run — a raw
+    * Deduplicate node would fail physical planning. */
+  private[plans] def affectedKeys(feed: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val affNames = groupCols.map(c => s"__aff_$c")
+    feed.where(col("_change_type") === "D")
+      .select(groupCols.map(c => col(c).as(s"__aff_$c")): _*)
+      .groupBy(affNames.map(col): _*).agg(count(lit(1)).as("__affc"))
+      .drop("__affc")
+  }
+
+  /** The exact partial recompute of the AFFECTED groups from `base`:
+    * null-safe left-semi join against `affR`'s keys, pre-filtered by
+    * the tail's transplantable delete predicates
+    * ([[deletePredColumn]]), aggregated to the full registered partial
+    * set (sum/cntn/min/max/cnt) in the view's column order. The ONE
+    * implementation both consumers ([[MvRewrite]]'s targeted
+    * compensation and [[refreshDef]]'s Targeted arm) share, so the
+    * rewrite-time answer can never drift from the refresh-time view
+    * content. */
+  private[plans] def affectedRecompute(spark: SparkSession,
+      sink: TxParquetSink, base: DataFrame, affR: DataFrame,
+      d: MvDef, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    val pruned = deletePredColumn(spark, sink, fromV, toV, d.groupCols)
+      .map(base.where).getOrElse(base)
+    val aggsList = d.valueCols.flatMap(c => Seq(
+      sum(col(c).cast("long")).as(s"sum_$c"),
+      count(col(c)).as(s"cntn_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("cnt")
+    pruned.join(affR,
+      d.groupCols.map(c => pruned(c) <=> affR(s"__aff_$c")).reduce(_ && _),
+      "left_semi")
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(aggsList.head, aggsList.tail: _*)
+      .select(d.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** The tail's delete predicates as ONE transplantable pruning
@@ -907,12 +951,22 @@ object MvCatalog {
       return None
     val preds = masks.flatMap(_.deletePred)
     try {
-      val groupOnly = preds.forall { p =>
-        val e = spark.sessionState.sqlParser.parseExpression(p)
-        e.deterministic && e.collect {
-          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u
-        }.forall(u => u.nameParts.size == 1 && keyCols.contains(u.nameParts.head))
+      // a structural WHITELIST, not a deterministic check: on an
+      // unresolved tree an UnresolvedFunction reports deterministic
+      // from its children, so rand()-style predicates would pass
+      // vacuously and silently drop surviving rows from the recompute
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{BinaryOperator, Cast => CastE, In, IsNotNull, IsNull, Not}
+      def safe(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+        case _: Literal => true
+        case u: UnresolvedAttribute =>
+          u.nameParts.size == 1 && keyCols.contains(u.nameParts.head)
+        case _: BinaryOperator | _: Not | _: In | _: IsNull |
+             _: IsNotNull | _: CastE => e.children.forall(safe)
+        case _ => false
       }
+      val groupOnly = preds.forall(p =>
+        safe(spark.sessionState.sqlParser.parseExpression(p)))
       if (groupOnly)
         Some(org.apache.spark.sql.functions.expr(
           preds.map(p => s"($p)").mkString(" OR ")))
@@ -920,38 +974,61 @@ object MvCatalog {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Reclaims superseded view directories around `stem` (the fixed
-    * refresh stem: `<stem>`, `<stem>_r<v>`, `<stem>_r<v>_x` are the
-    * only names [[refreshDef]] ever writes): every matching directory
-    * that is NOT currently registered for any grain of any base is a
-    * candidate; the newest `keep − 1` stay regardless of age, older
-    * ones are deleted once past the grace window. */
+  /** The canonical refresh stem of a view path: every `_r<v>` /
+    * `_r<v>_x` suffix layer [[refreshDef]] may have appended is
+    * stripped (repeatedly — a user path ending in `_r<digits>` can
+    * pick up an `_x` hop and then further `_r<v>` layers). */
+  private def stemOf(path: String): String =
+    path.replaceAll("(_r\\d+(_x)?)+$", "")
+
+  /** Every view directory THIS PROCESS wrote, per refresh stem — the
+    * only reclamation candidates [[gcSuperseded]] will ever touch. A
+    * name-pattern sweep was rejected: a user table legitimately named
+    * like a refresh output (`sales_r2021` next to a registered
+    * `sales_r2020`) would match the pattern and be deleted; dirs
+    * written before a process restart are instead left for the next
+    * lifecycle (a bounded, safe leak — never a deleted user table). */
+  private val writtenViews =
+    new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+
+  private def recordWritten(path: String): Unit = {
+    writtenViews.compute(stemOf(path), (_, cur) => {
+      val l = Option(cur).getOrElse(Nil)
+      if (l.contains(path)) l else path :: l
+    })
+    ()
+  }
+
+  /** Reclaims superseded view directories for `stem`: candidates are
+    * exactly the dirs [[recordWritten]] logged for it, minus every
+    * path still registered for any grain of any base; the newest
+    * `keep − 1` stay regardless of age, older ones are deleted once
+    * past the grace window (in-flight readers). */
   private def gcSuperseded(stem: String, retention: Retention): Unit = {
     import java.nio.file.{Files, Paths}
-    val stemPath = Paths.get(stem)
-    val parent = stemPath.getParent
-    if (parent == null || !Files.isDirectory(parent)) return
-    val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(stemPath.getFileName.toString) +
-        "(_r\\d+(_x)?)?")
     val live: Set[String] = {
       import scala.jdk.CollectionConverters._
       defs.values().asScala.flatMap(_.map(_.mvPath)).toSet
     }
-    val listing = Files.list(parent)
-    val candidates = try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala
-        .filter(p => pat.matcher(p.getFileName.toString).matches())
-        .filter(p => !live.contains(p.toString) && Files.isDirectory(p))
-        .map(p => (p, Files.getLastModifiedTime(p).toMillis))
-        .toSeq
-    } finally listing.close()
-    val now = System.currentTimeMillis()
-    candidates.sortBy(-_._2).drop(math.max(retention.keep - 1, 0))
-      .foreach { case (p, mtime) =>
-        if (now - mtime > retention.graceMs) deleteRecursively(p)
+    val written = Option(writtenViews.get(stem)).getOrElse(Nil)
+    val candidates = written
+      .filter(p => !live.contains(p))
+      .flatMap { p =>
+        val path = Paths.get(p)
+        if (!Files.isDirectory(path)) None
+        else Some((path, Files.getLastModifiedTime(path).toMillis))
       }
+    val now = System.currentTimeMillis()
+    val dropped = candidates.sortBy(-_._2)
+      .drop(math.max(retention.keep - 1, 0))
+      .filter { case (_, mtime) => now - mtime > retention.graceMs }
+    dropped.foreach { case (p, _) => deleteRecursively(p) }
+    val gone = dropped.map(_._1.toString).toSet
+    if (gone.nonEmpty) {
+      writtenViews.computeIfPresent(stem,
+        (_, cur) => cur.filterNot(gone.contains))
+      ()
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -1093,7 +1170,7 @@ object MvCatalog {
         // with the current one — reading and overwriting the same
         // directory in one job — so collisions take a disambiguating
         // suffix instead
-        val stem = d.mvPath.replaceAll("_r\\d+$", "")
+        val stem = stemOf(d.mvPath)
         val newPath0 = s"${stem}_r$v1"
         val newPath =
           if (newPath0 == d.mvPath) s"${d.mvPath}_x" else newPath0
@@ -1128,35 +1205,21 @@ object MvCatalog {
             // they reference grouping columns only). Cost:
             // O(view) + O(feed) + O(base ∩ affected) — the full rebuild
             // survives only for restatements.
-            val affR = feed.where(col("_change_type") === "D")
-              .select(d.groupCols.map(c => col(c).as(s"__aff_$c")): _*)
-              .distinct().localCheckpoint(true) // small; reused 3×
+            val affR = affectedKeys(feed, d.groupCols)
+              .localCheckpoint(true) // small; reused 3×
             def anti(df: DataFrame) = df.join(affR,
               d.groupCols.map(c => df(c) <=> affR(s"__aff_$c"))
                 .reduce(_ && _), "left_anti")
             val oldView = spark.read.schema(d.schema).parquet(d.mvPath)
             val mergedUnaffected =
               incrementalMerge(spark, d, minMax, anti(feed), anti(oldView))
-            val base = sink.readSnapshot(spark)
-            val out = base match {
+            val out = sink.readSnapshot(spark) match {
               case None => mergedUnaffected // fully-empty base: nothing to recompute
-              case Some(b) =>
-                val pruned = deletePredColumn(spark, sink,
-                  d.baseVersion, v1, d.groupCols).map(b.where).getOrElse(b)
-                val recomputeAggs = d.valueCols.flatMap(c => Seq(
-                  sum(col(c).cast("long")).as(s"sum_$c"),
-                  count(col(c)).as(s"cntn_$c"),
-                  min(col(c)).as(s"min_$c"),
-                  max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
-                val recomputed = pruned.join(affR,
-                  d.groupCols.map(c => pruned(c) <=> affR(s"__aff_$c"))
-                    .reduce(_ && _), "left_semi")
-                  .groupBy(d.groupCols.map(col): _*)
-                  .agg(recomputeAggs.head, recomputeAggs.tail: _*)
-                  .select(d.schema.fieldNames.map(col).toSeq: _*)
-                mergedUnaffected.union(recomputed)
+              case Some(b) => mergedUnaffected.union(
+                affectedRecompute(spark, sink, b, affR, d, d.baseVersion, v1))
             }
             out.write.mode("overwrite").parquet(newPath)
+            recordWritten(newPath)
             require(sink.version() == v1,
               s"refresh: base ${sink.dir} moved during the recompute " +
                 s"($v1 -> ${sink.version()}); retry")
@@ -1167,6 +1230,7 @@ object MvCatalog {
             incrementalMerge(spark, d, minMax, feed,
               spark.read.schema(d.schema).parquet(d.mvPath))
               .write.mode("overwrite").parquet(newPath)
+            recordWritten(newPath)
             require(sink.version() == v1,
               s"refresh: base ${sink.dir} moved during the merge " +
                 s"($v1 -> ${sink.version()}); retry")

@@ -398,6 +398,64 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.unregister(t.dir)
   }
 
+  test("rollup over an empty (filtered) input yields ZERO rows, not a spurious grand total") {
+    // review finding: the () grouping set used to become a global
+    // Aggregate(Nil, …), which yields ONE row over empty input — the
+    // native Aggregate-over-Expand groups by the grouping id and
+    // yields none. The grand-total branch now carries a COUNT(*) > 0
+    // guard.
+    val (t, mvPath) = freshBase()
+    MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath)
+    def q() = t.readSnapshot(spark).get.where(col("g") === 99)
+      .rollup("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val off = q().collect().toSeq
+    assert(off.isEmpty, "fixture: native rollup over empty input is empty")
+    withRule {
+      val on = q()
+      assert(readsOnly(on, mvPath),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().toSeq === off,
+        "the rewritten rollup must not invent a grand-total row")
+      // and the guard must not SUPPRESS a legitimate grand total
+      val full = t.readSnapshot(spark).get.rollup("g")
+        .agg(count(lit(1)).as("n")).where(col("g").isNull)
+      assert(full.collect().map(_.getLong(1)).toSeq === Seq(200L))
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
+  test("retention GC reclaims only directories the refresher wrote — a user _r-named sibling survives") {
+    // a name-pattern sweep would match a user table that happens to be
+    // named like a refresh output and delete it; candidates are now
+    // exactly the recorded engine writes
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvgcsafe").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 30).map(i => (i % 3, i.toLong)).toDF("g", "v"))
+    // the user's own parquet table, pattern-colliding name
+    spark.range(5).toDF("x").write.parquet(s"$dir/mv_r2021")
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"),
+      s"$dir/mv_r2020", minMax = false)
+    (1 to 3).foreach { i =>
+      t.append(Seq((i % 3, 100L + i)).toDF("g", "v"))
+      val r = MvCatalog.refreshIfStale(spark, t,
+        retention = MvCatalog.Retention(keep = 1, graceMs = 0L))
+      assert(r.map(_._2) === Seq(MvCatalog.RefreshOutcome.Merged))
+    }
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/mv_r2021")),
+      "a user table matching the refresh name pattern must never be GC'd")
+    val cur = MvCatalog.lookup(t.dir).get.mvPath
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cur)))
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/mv_r2020")),
+      "the superseded engine-written original IS reclaimed under keep=1")
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsOnly(q, cur))
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
   test("a STALE view still serves the rollup through per-branch compensation") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath,
