@@ -287,9 +287,16 @@ final case class TxCatalog(dir: String,
             catch { case _: Exception => Long.MaxValue }
           }.getOrElse(0L)
           if (claimAge > lockLeaseMs) {
+            // the re-read maps exceptions EXACTLY like the first read —
+            // an asymmetric mapping (other-exception -> None here) would
+            // make a persistently unreadable claim never compare equal,
+            // wedging the table forever instead of clearing it
             val still = try {
               Some(new String(Files.readAllBytes(claim), UTF_8))
-            } catch { case _: Exception => None }
+            } catch {
+              case _: NoSuchFileException => None
+              case _: Exception => Some("")
+            }
             if (still == claimContent) Files.deleteIfExists(claim)
             ()
           }

@@ -83,35 +83,41 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * (cheap per-query case classes over the same dir), coarsely
     * bounded at 512 tables. */
   private def cachedLog(): LogSnapshot = {
-    // the validator carries each manifest's byte SIZE next to its name:
-    // a table directory deleted and recreated at the same path with the
-    // same version count would otherwise revalidate against the dead
-    // table's parses (write-once holds within a table's life, not
-    // across reincarnations) — sizes are one stat each, no reads
-    val names: Seq[(String, Long)] =
+    // the validator is the sorted name listing PLUS the log
+    // directory's inode number: a table deleted and recreated at the
+    // same path gets a fresh inode, so the dead table's cached parses
+    // can never revalidate — even when the recreated manifests are
+    // byte-length-identical (they are: parquet part names are
+    // fixed-width UUIDs). One getAttribute total, so a cache hit stays
+    // one readdir + one stat, never O(history) syscalls. Where the
+    // attribute is unavailable the fingerprint degrades to 0 — i.e.
+    // name-set-only validation, the within-one-lifecycle contract.
+    val ino: Long =
+      try Files.getAttribute(logDir, "unix:ino").asInstanceOf[Long]
+      catch { case _: Exception => 0L }
+    val names: Seq[String] =
       if (!Files.isDirectory(logDir)) Nil
       else {
         val s = Files.list(logDir)
-        try s.iterator.asScala
-          .filter(_.getFileName.toString.matches("\\d{20}\\.txn"))
-          .map { p =>
-            val sz = try Files.size(p) catch { case _: Exception => -1L }
-            (p.getFileName.toString, sz)
-          }
-          .toSeq.sortBy(_._1)
+        try s.iterator.asScala.map(_.getFileName.toString)
+          .filter(_.matches("\\d{20}\\.txn")).toSeq.sorted
         finally s.close()
       }
     val hit = TxParquetSink.logCache.get(dir)
-    if (hit != null && hit.names == names) return hit
-    val parses = TxParquetSink.parsedLogs
-      .computeIfAbsent(dir, _ => new java.util.concurrent.ConcurrentHashMap())
+    if (hit != null && hit.ino == ino && hit.names == names) return hit
+    val parsesEntry = TxParquetSink.parsedLogs.compute(dir, (_, cur) =>
+      // a reincarnated log drops the whole memo: write-once holds
+      // within a table's life, not across lifecycles
+      if (cur != null && cur._1 == ino) cur
+      else (ino, new java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)]()))
+    val parses = parsesEntry._2
     val nameSet = names.toSet
-    parses.keySet.removeIf(n => !nameSet.contains(n)) // truncation/drift cleanup
-    def parse(n: (String, Long)): (Long, Manifest) =
+    parses.keySet.removeIf(n => !nameSet.contains(n)) // truncation cleanup
+    def parse(n: String): (Long, Manifest) =
       parses.computeIfAbsent(n, nn => {
         TxParquetSink.manifestParses.incrementAndGet()
-        (nn._1.stripSuffix(".txn").toLong, parseManifest(
-          new String(Files.readAllBytes(logDir.resolve(nn._1)), UTF_8)))
+        (nn.stripSuffix(".txn").toLong, parseManifest(
+          new String(Files.readAllBytes(logDir.resolve(nn)), UTF_8)))
       })
     val suffix = {
       val probed =
@@ -121,13 +127,13 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
             val v0 =
               new String(Files.readAllBytes(basePointer), UTF_8).trim.toLong
             val n0 = f"$v0%020d.txn"
-            if (!names.exists(_._1 == n0)) None
-            else Some(effective(names.dropWhile(_._1 < n0).map(parse)))
+            if (!nameSet.contains(n0)) None
+            else Some(effective(names.dropWhile(_ < n0).map(parse)))
           }
         } catch { case _: Exception => None } // racing truncation: fall back
       probed.getOrElse(effective(names.map(parse)))
     }
-    val snap = new LogSnapshot(names, suffix, () => names.map(parse))
+    val snap = new LogSnapshot(ino, names, suffix, () => names.map(parse))
     if (TxParquetSink.logCache.size > 512) {
       TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear()
     }
@@ -2718,7 +2724,8 @@ object TxParquetSink {
     * history parsed LAZILY — only the callers that genuinely walk
     * pre-base commits (time travel, change feeds, truncation) force
     * it. */
-  private[graft] final class LogSnapshot(val names: Seq[(String, Long)],
+  private[graft] final class LogSnapshot(val ino: Long,
+      val names: Seq[String],
       val suffix: Seq[(Long, Manifest)],
       allParse: () => Seq[(Long, Manifest)]) {
     lazy val all: Seq[(Long, Manifest)] = allParse()
@@ -2727,10 +2734,12 @@ object TxParquetSink {
   private[graft] val logCache =
     new java.util.concurrent.ConcurrentHashMap[String, LogSnapshot]()
 
-  /** Write-once per-(dir, manifest name + size) parse memo backing
-    * [[TxParquetSink.cachedLog]]. */
+  /** Write-once per-(dir lifecycle, manifest name) parse memo backing
+    * [[TxParquetSink.cachedLog]]: the log directory's inode fingerprint
+    * guards the whole per-dir map, so a reincarnated table can never
+    * reuse its predecessor's parses. */
   private[graft] val parsedLogs = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Manifest)]]()
+    String, (Long, java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)])]()
 
   /** Manifest-file parse counter — the counted-I/O hook the snapshot
     * cache's spec asserts on (N plans against an unchanged table must

@@ -991,6 +991,9 @@ object MvCatalog {
   private val writtenViews =
     new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
 
+  private def writtenFor(stem: String): List[String] =
+    Option(writtenViews.get(stem)).getOrElse(Nil)
+
   private def recordWritten(path: String): Unit = {
     writtenViews.compute(stemOf(path), (_, cur) => {
       val l = Option(cur).getOrElse(Nil)
@@ -1010,20 +1013,20 @@ object MvCatalog {
       import scala.jdk.CollectionConverters._
       defs.values().asScala.flatMap(_.map(_.mvPath)).toSet
     }
-    val written = Option(writtenViews.get(stem)).getOrElse(Nil)
-    val candidates = written
-      .filter(p => !live.contains(p))
-      .flatMap { p =>
-        val path = Paths.get(p)
-        if (!Files.isDirectory(path)) None
-        else Some((path, Files.getLastModifiedTime(path).toMillis))
-      }
+    val written = writtenFor(stem).filter(p => !live.contains(p))
+    // paths whose dirs vanished through ANY channel (this GC, an
+    // external janitor, a competing process) leave the registry — a
+    // per-commit maintenance loop must not grow the list unboundedly
+    val (candidates, vanished) = written.partition(p =>
+      Files.isDirectory(Paths.get(p)))
     val now = System.currentTimeMillis()
-    val dropped = candidates.sortBy(-_._2)
+    val dropped = candidates
+      .map(p => (p, Files.getLastModifiedTime(Paths.get(p)).toMillis))
+      .sortBy(-_._2)
       .drop(math.max(retention.keep - 1, 0))
       .filter { case (_, mtime) => now - mtime > retention.graceMs }
-    dropped.foreach { case (p, _) => deleteRecursively(p) }
-    val gone = dropped.map(_._1.toString).toSet
+    dropped.foreach { case (p, _) => deleteRecursively(Paths.get(p)) }
+    val gone = dropped.map(_._1).toSet ++ vanished
     if (gone.nonEmpty) {
       writtenViews.computeIfPresent(stem,
         (_, cur) => cur.filterNot(gone.contains))
@@ -1172,8 +1175,20 @@ object MvCatalog {
         // suffix instead
         val stem = stemOf(d.mvPath)
         val newPath0 = s"${stem}_r$v1"
-        val newPath =
-          if (newPath0 == d.mvPath) s"${d.mvPath}_x" else newPath0
+        // never land on the CURRENT view dir, and never overwrite a
+        // directory this refresher did not itself write (a user table
+        // named like a refresh output — `mv_r2021` when the base
+        // reaches version 2021 — would be clobbered by the
+        // mode-overwrite write): hop `_x` suffixes until the name is
+        // either fresh or a recorded superseded copy
+        val newPath = {
+          val known = writtenFor(stem).toSet
+          var cand = if (newPath0 == d.mvPath) s"${d.mvPath}_x" else newPath0
+          while (cand == d.mvPath ||
+            (java.nio.file.Files.exists(java.nio.file.Paths.get(cand)) &&
+              !known.contains(cand))) cand = s"${cand}_x"
+          cand
+        }
         // a RESTORE in range restated contents the change feed cannot
         // represent (base commits emit no rows) — folding across one
         // would silently diverge, so rebuild instead. Content-

@@ -336,6 +336,24 @@ class TxCatalogSpec extends SparkSpec {
     assert(c.tryAcquire("t", "tokB"), "the retry then steals normally")
   }
 
+  test("a persistently unreadable expired claim is cleared, not wedged forever") {
+    // second-review finding: asymmetric exception mapping between the
+    // two claim reads made an unreadable-but-present claim never
+    // compare equal, so it was never deleted and the table wedged. A
+    // directory at the claim path is a deterministic unreadable file.
+    val base = java.nio.file.Files.createTempDirectory("graft-catwedge").toString
+    val c = TxCatalog(base, lockLeaseMs = 100L)
+    assert(c.tryAcquire("t", "dead"))
+    Thread.sleep(150)
+    val locks = java.nio.file.Paths.get(base, "_catlog", "locks")
+    val claim = locks.resolve("t.lock.steal")
+    java.nio.file.Files.createDirectory(claim) // readAllBytes throws (not NoSuchFile)
+    assert(!c.tryAcquire("t", "tokB"), "the clearing attempt stands down")
+    assert(!java.nio.file.Files.exists(claim),
+      "the unreadable claim must be cleared, or the table wedges forever")
+    assert(c.tryAcquire("t", "tokB"), "the retry then steals normally")
+  }
+
   test("a read landing in the release gap relinks instead of classifying stale") {
     // ADVICE round-11 (medium): NoSuchFileException on the lock read
     // used to parse as age = MaxValue -> stale -> delete + relink,

@@ -1206,6 +1206,36 @@ class TxSinkSpec extends SparkSpec {
     assert(keySet(t) == Seq("P1", "P2", "P3", "P4"))
   }
 
+  test("a table deleted and recreated at the same path is never served the dead table\'s log") {
+    // second-review finding: a name(-and-even-size) validator cannot
+    // tell reincarnations apart when the recreated manifests are
+    // byte-length-identical (parquet part names are fixed-width
+    // UUIDs); the log directory inode fingerprint can.
+    val t = table()
+    t.mergeUpsert(spark, batch("P1" -> "a"), keys, order)
+    assert(keySet(t) == Seq("P1"))
+    val deadFiles = t.commits().flatMap(_._2.files)
+    // reincarnate: same path, same shape, same manifest byte sizes
+    val root = java.nio.file.Paths.get(t.dir)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally w.close()
+    }
+    rmTree(root)
+    val t2 = TxParquetSink(t.dir)
+    t2.mergeUpsert(spark, batch("P2" -> "b"), keys, order)
+    // NO manual cache clearing: the fresh lifecycle must be seen
+    assert(keySet(t2) == Seq("P2"),
+      "the reincarnated table must read its OWN data, not the dead log's")
+    assert(t2.commits().flatMap(_._2.files).toSet.intersect(deadFiles.toSet)
+      != deadFiles.toSet || deadFiles.isEmpty,
+      "sanity: the new lifecycle wrote its own files")
+  }
+
   test("log snapshot cache: repeated metadata reads against an unchanged table parse the log once") {
     // round-11 "What's missing #3": each optimization against a
     // tx-table scan re-read version/commits/restatedBetween/

@@ -456,6 +456,33 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.unregister(t.dir)
   }
 
+  test("a refresh write hops over a pattern-colliding user directory instead of overwriting it") {
+    // second-review finding: the GC whitelist protected user tables
+    // from DELETION, but refreshDef's mode-overwrite write to
+    // <stem>_r<v> could still CLOBBER one when the base version
+    // collides with the user's suffix
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvclob").toString
+    val t = TxParquetSink(s"$dir/base")
+    t.append((1 to 30).map(i => (i % 3, i.toLong)).toDF("g", "v"))
+    // the user's own table at exactly the next refresh output name
+    spark.range(7).toDF("x").write.parquet(s"$dir/mv_r1")
+    MvCatalog.registerRollup(spark, t, Seq("g"), Seq("v"), s"$dir/mv",
+      minMax = false)
+    t.append(Seq((1, 100L)).toDF("g", "v")) // base moves to v1 = 1
+    val r = MvCatalog.refreshIfStale(spark, t)
+    assert(r.map(_._2) === Seq(MvCatalog.RefreshOutcome.Merged))
+    val newDef = r.head._1
+    assert(newDef.mvPath === s"$dir/mv_r1_x",
+      s"the write must hop the foreign dir, landed ${newDef.mvPath}")
+    assert(spark.read.parquet(s"$dir/mv_r1").count() === 7L,
+      "the user's colliding table must be byte-for-byte untouched")
+    withRule {
+      val q = t.readSnapshot(spark).get.groupBy("g").agg(sum("v").as("s"))
+      assert(readsOnly(q, newDef.mvPath))
+    }
+    MvCatalog.unregister(t.dir)
+  }
+
   test("a STALE view still serves the rollup through per-branch compensation") {
     val (t, mvPath) = freshBase()
     MvCatalog.registerRollup(spark, t, Seq("g", "h"), Seq("v"), mvPath,
