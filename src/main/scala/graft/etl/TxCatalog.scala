@@ -330,6 +330,32 @@ final case class TxCatalog(dir: String,
     } finally { Files.deleteIfExists(tmp); () } // no-op if moved over p
   }
 
+  /** One lock-lease heartbeat: re-stamps `name`'s lock with a fresh
+    * timestamp IF it still carries our token (atomic content replace —
+    * the same rename primitive the steal uses, so a concurrent
+    * stealer's content re-verify sees the change and stands down).
+    * A lock that no longer carries our token is left alone: we
+    * overran our lease and lost it; the publish-time pin check turns
+    * that into a loud failure instead of a merged pin-set. */
+  private def renewLock(name: String, token: String): Unit = {
+    val p = lockPath(name)
+    val mine = try {
+      new String(Files.readAllBytes(p), UTF_8).trim
+        .split("\t", 2).lift(1).contains(token)
+    } catch { case _: Exception => false }
+    if (mine) {
+      val tmp = Files.createTempFile(locksDir, ".renew-", ".lock.tmp")
+      try {
+        Files.write(tmp,
+          s"${System.currentTimeMillis()}\t$token\n".getBytes(UTF_8))
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch { case _: Exception => () } // next beat retries
+      finally { Files.deleteIfExists(tmp); () }
+    }
+  }
+
   private[etl] def release(names: Seq[String], token: String): Unit =
     names.foreach { n =>
       val p = lockPath(n)
@@ -401,6 +427,23 @@ final case class TxCatalog(dir: String,
             s"publishes (or after its ${lockLeaseMs} ms lease expires)")
       }
     }
+    // LEASE RENEWAL HEARTBEAT — a transaction body longer than the
+    // lease must not look dead: a daemon re-stamps every held lock at
+    // a third of the lease period, so stealers only ever fire on
+    // holders whose heartbeat actually STOPPED (a crash), never on a
+    // merely slow body. Renewal is content-verified per beat, so a
+    // lock legitimately lost (the process slept past its lease) is
+    // never touched.
+    val renewStop = new java.util.concurrent.CountDownLatch(1)
+    val renewer = new Thread(() => {
+      val interval = math.max(lockLeaseMs / 3, 1L)
+      while (!renewStop.await(interval,
+        java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        held.foreach(n => renewLock(n, token))
+      }
+    }, s"txcatalog-lease-renew-$dir")
+    renewer.setDaemon(true)
+    renewer.start()
     try {
       // the authoritative pin capture, now race-free for our scope
       val p = pinsAt(version())
@@ -450,7 +493,11 @@ final case class TxCatalog(dir: String,
         ()
       }
       -1L // unreachable
-    } finally release(held.toSeq, token)
+    } finally {
+      renewStop.countDown()
+      renewer.join(1000)
+      release(held.toSeq, token)
+    }
   }
 }
 

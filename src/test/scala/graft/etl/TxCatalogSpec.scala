@@ -336,6 +336,40 @@ class TxCatalogSpec extends SparkSpec {
     assert(c.tryAcquire("t", "tokB"), "the retry then steals normally")
   }
 
+  test("a slow body outlives its lease: the renewal heartbeat keeps the lock unstealable") {
+    // ADVICE round-11: without mid-body renewal a merely-slow
+    // transaction past the lease looks dead and its lock is stolen —
+    // two live transactors on one table. The heartbeat re-stamps held
+    // locks, so stealers fire only when the heartbeat actually STOPPED.
+    val base = java.nio.file.Files.createTempDirectory("graft-catrenew").toString
+    val a = TxParquetSink(s"$base/a")
+    a.append(Seq((1, 1L)).toDF("k", "v"))
+    val cat = TxCatalog.create(s"$base/cat", Map("a" -> a))
+    val shortLease = TxCatalog(cat.dir, lockLeaseMs = 300L)
+    val rival = TxCatalog(cat.dir, lockLeaseMs = 300L)
+    val rivalResults = scala.collection.mutable.ListBuffer.empty[Boolean]
+    shortLease.transact(spark, scope = Set("a")) { t =>
+      // the body runs 4x the lease; a rival probes repeatedly
+      (1 to 4).foreach { _ =>
+        Thread.sleep(300)
+        rivalResults += (try {
+          rival.transact(spark, scope = Set("a")) { _ => () }; true
+        } catch { case _: java.util.ConcurrentModificationException => false })
+      }
+      t("a").deleteWhere(spark, "k = 1"); ()
+    }
+    assert(rivalResults.toSeq === Seq(false, false, false, false),
+      "the renewed lock must never be stolen while the body is alive")
+    assert(cat.read(spark, "a").map(_.count()).getOrElse(0L) === 0L,
+      "the slow transaction still publishes")
+    // a DEAD holder (no heartbeat) is still stolen after the lease
+    val locks = java.nio.file.Paths.get(cat.dir, "_catlog", "locks")
+    java.nio.file.Files.write(locks.resolve("a.lock"),
+      s"${System.currentTimeMillis() - 60000}\tdead\n".getBytes)
+    rival.transact(spark, scope = Set("a")) { _ => () }
+    ()
+  }
+
   test("a persistently unreadable expired claim is cleared, not wedged forever") {
     // second-review finding: asymmetric exception mapping between the
     // two claim reads made an unreadable-but-present claim never
