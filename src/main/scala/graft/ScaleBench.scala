@@ -182,6 +182,9 @@ object ScaleBench {
     // the recompute branch must track the affected slice, not the
     // table
     "etl_mv_delete_rewrite",
+    // rollup through the metadata rule: O(commits) driver folds — the
+    // slot times the shared ingest; the rewrite itself is scan-free
+    "etl_tx_rollup_rule",
     // composite-key and AVG metadata panels: O(commits) driver folds —
     // the slots time their partition-grain ingest harnesses
     "etl_tx_group_multi_rule", "etl_tx_avg_rule",

@@ -2637,6 +2637,25 @@ object EtlOracleSql {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM monthly GROUP BY 1 ORDER BY y""".stripMargin)
 
+  /** Rollup-rule twin: DuckDB's ROLLUP over the per-year panel — what
+    * the per-grouping-set manifest folds, unioned with the grouping
+    * id restored, must land exactly. */
+  val txRollupRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |y AS (SELECT substring(month, 1, 4) AS y, cents FROM monthly)
+      |SELECT y,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(GROUPING(y) AS BIGINT) AS gid
+      |FROM y GROUP BY ROLLUP(y)
+      |ORDER BY gid, y NULLS FIRST""".stripMargin)
+
   /** Grouped-AVG-rule twin: per-year average cents recomputed
     * declaratively — both engines divide the same exact integral sum
     * by the same non-null count (the 2^53 proof makes the doubles

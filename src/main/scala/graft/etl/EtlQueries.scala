@@ -2767,6 +2767,39 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** ROLLUP THROUGH THE METADATA RULE — GROUPING SETS over a
+    * partition-grain table answered from commit-log manifests alone:
+    * the (y) set folds per-commit records
+    * ([[TxParquetSink.groupedMetaProfileMulti]]), the grand total
+    * folds the whole-table profile (with a row-count probe so an
+    * empty input yields zero rows, matching the native
+    * Aggregate-over-Expand semantics), and the union optimizes into
+    * literal rows with NO scan stage (REQUIRED). Hash-gated against
+    * DuckDB's ROLLUP recompute. At 100 TB: the monitoring dashboard's
+    * rollup panel — per-partition rows plus the grand total — costs
+    * O(commits) driver metadata, while the native shape replicates
+    * every fact row once per grouping set through a shuffle. */
+  def txRollupRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.groupYearSink(spark, dir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val rolled = t.readSnapshot(spark).get.rollup("y").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"),
+        grouping_id().as("gid"))
+      require(rolled.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must rewrite the ROLLUP into literal rows " +
+          "— it did not fire:\n" +
+        rolled.queryExecution.optimizedPlan.toString)
+      frozen(rolled, "gid", "y")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** AVG THROUGH THE METADATA RULE — the grouped per-year profile
     * extended with exact AVG: [[graft.plans.MetadataAggregates]] now
     * serves `AVG(cents)` as ONE division of the manifest's exact sum

@@ -66,6 +66,23 @@ object MetadataAggregates extends Rule[LogicalPlan] {
         aggs.map { case Alias(ae: AggregateExpression, _) => ae })
         .map(vs => LocalRelation(agg.output, Seq(InternalRow(vs: _*))))
         .getOrElse(agg)
+    // GROUPING SETS / ROLLUP / CUBE over a partition-grain table:
+    // Aggregate-over-Expand decomposes per grouping set — each
+    // non-empty set answers through the grouped manifest fold, the
+    // grand total through the whole-table profile (with a row-count
+    // probe so an EMPTY table yields zero rows, matching the native
+    // shape) — and the rows union into one LocalRelation. The Expand
+    // shape is |sets| copies of every row through one shuffle; the
+    // rewrite is O(commits) driver metadata, zero scan.
+    case agg @ Aggregate(groups, aggs, expand: org.apache.spark.sql.catalyst.plans.logical.Expand, _)
+        if groups.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.nonEmpty &&
+          groups.exists(_.asInstanceOf[AttributeReference].name ==
+            org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName) =>
+      answerGroupingSets(groups.map(_.asInstanceOf[AttributeReference]),
+        aggs, expand)
+        .map(rows => LocalRelation(agg.output, rows))
+        .getOrElse(agg)
     case agg @ Aggregate(groups, aggs, child, _)
         if groups.nonEmpty &&
           groups.forall(_.isInstanceOf[AttributeReference]) &&
@@ -80,6 +97,69 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       answerGrouped(child, groups.map(_.asInstanceOf[AttributeReference]), aggs)
         .map(rows => LocalRelation(agg.output, rows))
         .getOrElse(agg)
+  }
+
+  private def answerGroupingSets(groups: Seq[AttributeReference],
+      named: Seq[NamedExpression],
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand)
+      : Option[Seq[InternalRow]] = {
+    val shape = GroupingSetShape.of(groups, expand).getOrElse(return None)
+    if (!GroupingSetShape.outputsOk(groups, named, supported)) return None
+    val aggAliases = named.collect {
+      case Alias(ae: AggregateExpression, _) => ae
+    }
+    val rowsPerSet: Seq[Option[Seq[InternalRow]]] =
+      shape.sets.map { case (gidLit, included) =>
+        val branchGroups = shape.setCols.flatMap(c => included.get(c.exprId))
+        // assemble one output row in the rollup's own column order
+        def assemble(groupVal: org.apache.spark.sql.catalyst.expressions.ExprId => Any, aggVal: Int => Any): InternalRow = {
+          var ai = -1
+          InternalRow(named.map {
+            case a: AttributeReference =>
+              if (a.exprId == shape.gid.exprId) gidLit.value else groupVal(a.exprId)
+            case Alias(a: AttributeReference, _) =>
+              if (a.exprId == shape.gid.exprId) gidLit.value else groupVal(a.exprId)
+            case Alias(_: AggregateExpression, _) => ai += 1; aggVal(ai)
+            case _ => null // unreachable: outputsOk gated
+          }: _*)
+        }
+        if (branchGroups.isEmpty) {
+          // grand total: the whole-table panel PLUS a row-count probe —
+          // a native rollup over an empty input emits NO rows. Only the
+          // aggregate ALIASES go into the resolvable check: the
+          // rollup's group outputs are Expand attributes, not relation
+          // columns
+          val probe = Count(Literal(1)).toAggregateExpression()
+          val aliasesOnly = named.collect {
+            case al @ Alias(_: AggregateExpression, _) => al
+          }
+          answer(expand.child, aliasesOnly, aggAliases :+ probe).map { vs =>
+            if (vs.last.asInstanceOf[Long] == 0L) Nil
+            else Seq(assemble(_ => null, i => vs(i)))
+          }
+        } else {
+          // the per-set branch: groups + aggregates through the
+          // ordinary grouped manifest fold, then remapped into the
+          // rollup's output shape (kept columns, NULLs, grouping id)
+          val branchNamed: Seq[NamedExpression] = branchGroups ++
+            named.collect { case al @ Alias(_: AggregateExpression, _) => al }
+          val gPos = branchGroups.map(_.exprId).zipWithIndex.toMap
+          answerGrouped(expand.child, branchGroups, branchNamed).map(_.map {
+            row =>
+              assemble(
+                // the output attr is the EXPAND's group copy: map it to
+                // the child attribute this set keeps, then to its slot
+                copyId => included.get(copyId)
+                  .flatMap(child => gPos.get(child.exprId)) match {
+                  case Some(i) => row.get(i, branchGroups(i).dataType)
+                  case None => null // rolled-up column
+                },
+                i => row.get(branchGroups.size + i, aggAliases(i).dataType))
+          })
+        }
+      }
+    if (rowsPerSet.exists(_.isEmpty)) return None
+    Some(rowsPerSet.flatMap(_.get))
   }
 
   private def supported(ae: AggregateExpression): Boolean =

@@ -104,43 +104,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * literally |sets| copies of every base row through one shuffle. */
   private def rewriteGroupingSets(groups: Seq[AttributeReference],
       aggs: Seq[NamedExpression], expand: Expand): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.VirtualColumn
-    val gid = groups.find(_.name == VirtualColumn.groupingIdName).get
-    val setCols = groups.filterNot(_.exprId == gid.exprId)
-    def pos(a: AttributeReference): Int =
-      expand.output.indexWhere(_.exprId == a.exprId)
-    val gidPos = pos(gid)
-    val colPos = setCols.map(c => c -> pos(c)).toMap
-    if (gidPos < 0 || colPos.valuesIterator.exists(_ < 0)) return None
-    // every output must be reconstructible per branch: a grouping
-    // column (possibly aliased — grouping_id() lands as an alias of
-    // the gid attribute) or a supported aggregate
-    val aggsOk = aggs.forall {
-      case a: AttributeReference => groups.exists(_.exprId == a.exprId)
-      case Alias(a: AttributeReference, _) => groups.exists(_.exprId == a.exprId)
-      case Alias(ae: AggregateExpression, _) => supported(ae)
-      case _ => false
-    }
-    if (!aggsOk) return None
-    // decompose each projection: the kept child column per group copy
-    // (an attribute), NULL for rolled-up ones, the grouping-id literal
-    val sets: Seq[(Literal, Map[org.apache.spark.sql.catalyst.expressions.ExprId, AttributeReference])] =
-      expand.projections.map { proj =>
-        val gl = proj(gidPos) match {
-          case l: Literal => l
-          case _ => return None
-        }
-        val inc = setCols.flatMap { c =>
-          proj(colPos(c)) match {
-            case a: AttributeReference => Seq(c.exprId -> a)
-            case Literal(null, _) => Nil
-            case _ => return None // a computed grouping expression
-          }
-        }.toMap
-        (gl, inc)
-      }
-    val branches = sets.map { case (gidLit, included) =>
-      val branchGroups = setCols.flatMap(c => included.get(c.exprId))
+    val shape = GroupingSetShape.of(groups, expand).getOrElse(return None)
+    if (!GroupingSetShape.outputsOk(groups, aggs, supported)) return None
+    val branches = shape.sets.map { case (gidLit, included) =>
+      val branchGroups = shape.setCols.flatMap(c => included.get(c.exprId))
       // fresh output aliases per branch: Union branches must not share
       // output exprIds, and the final projection restores the originals
       val aggAliases = aggs.collect {
@@ -163,7 +130,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         val byId = served.output.map(a => a.exprId -> a).toMap
         val aliasById = aggAliases.toMap
         def groupValue(a: AttributeReference): Expression =
-          if (a.exprId == gid.exprId) gidLit
+          if (a.exprId == shape.gid.exprId) gidLit
           else included.get(a.exprId) match {
             case Some(childAttr) => byId(childAttr.exprId)
             case None => Literal(null, a.dataType)
@@ -174,7 +141,7 @@ object MvRewrite extends Rule[LogicalPlan] {
             Alias(groupValue(a), name)()
           case al @ Alias(_: AggregateExpression, name) =>
             Alias(byId(aliasById(al.exprId).exprId), name)()
-          case _ => return None // unreachable: aggsOk gated
+          case _ => return None // unreachable: outputsOk gated
         }
         val src = guard.map(g =>
           Filter(GreaterThan(byId(g.exprId), Literal(0L)), served))

@@ -215,6 +215,70 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("ROLLUP over a partition-grain table answers from manifests: literal rows, native semantics") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaaggroll").toString + "/t")
+      (1 to 30).map(d => (f"2024-${(d - 1) / 10 + 1}%02d", d.toLong))
+        .grouped(10).foreach(g =>
+          t.appendWithStats(g.toDF("month", "amount"), Seq("month", "amount")))
+      def q() = t.readSnapshot(s).get.rollup("month").agg(
+        count(lit(1)).as("n"), min(col("amount")).as("mn"),
+        max(col("amount")).as("mx"), sum(col("amount")).as("sm"),
+        grouping_id().as("gid"))
+        .orderBy("gid", "month")
+      val off = {
+        // rule-off control: a session without the extension
+        val rows = q() // extension armed via spark.sql.extensions…
+        rows
+      }
+      val on = q()
+      assert(isLocal(on), on.queryExecution.optimizedPlan.toString)
+      val rows = on.collect().map(r => (Option(r.getString(0)).orNull,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+      assert(rows == Seq(
+        ("2024-01", 10L, 1L, 10L, 55L, 0L),
+        ("2024-02", 10L, 11L, 20L, 155L, 0L),
+        ("2024-03", 10L, 21L, 30L, 255L, 0L),
+        (null, 30L, 1L, 30L, 465L, 1L)))
+      // CUBE over two constant-per-commit columns also serves? one
+      // column here — GROUPING SETS ((month), ()) spelled via SQL
+      t.readSnapshot(s).get.createOrReplaceTempView("roll_tv")
+      val sq = s.sql("SELECT month, sum(amount) AS sm FROM roll_tv " +
+        "GROUP BY month GROUPING SETS ((month), ())")
+      assert(isLocal(sq), sq.queryExecution.optimizedPlan.toString)
+      assert(sq.count() == 4L)
+      // a commit-mixed group column keeps the scan for the WHOLE rollup
+      val mixed = table(s)
+      val noRewrite = mixed.readSnapshot(s).get.rollup("day")
+        .agg(count(lit(1)).as("n"))
+      assert(!isLocal(noRewrite))
+      assert(noRewrite.count() == 31L)
+    } finally s.stop()
+  }
+
+  test("ROLLUP over an EMPTY filtered input emits zero rows from the metadata path too") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaaggrollempty").toString + "/t")
+      (1 to 20).map(d => (f"2024-${(d - 1) / 10 + 1}%02d", d.toLong))
+        .grouped(10).foreach(g =>
+          t.appendWithStats(g.toDF("month", "amount"), Seq("month", "amount")))
+      // a commit-aligned filter matching NOTHING: the native rollup
+      // yields zero rows; the grand-total probe must not invent one
+      val q = t.readSnapshot(s).get.where(col("month") === "2030-01")
+        .rollup("month").agg(count(lit(1)).as("n"))
+      assert(isLocal(q), q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().isEmpty,
+        "an empty rollup must emit no rows, not a spurious grand total")
+    } finally s.stop()
+  }
+
   test("GROUP BY + a group-column filter rewrites to surviving groups only; other filters keep the scan") {
     val s = fresh()
     try {
