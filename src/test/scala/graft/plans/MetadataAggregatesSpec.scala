@@ -260,6 +260,49 @@ class MetadataAggregatesSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("CUBE over a composite partition grain: all four grouping sets from manifests") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaaggcube").toString + "/t")
+      // one commit per (m, h) cell, single-valued in BOTH — the
+      // composite partition-grain shape
+      for (m <- Seq("2024-01", "2024-02"); h <- Seq(1L, 2L)) {
+        val base = (m.takeRight(2).toLong * 10 + h) * 10
+        t.appendWithStats((1 to 5).map(i => (m, h, base + i))
+          .toDF("m", "h", "amount"), Seq("m", "h", "amount"))
+      }
+      def q() = t.readSnapshot(s).get.cube("m", "h").agg(
+        count(lit(1)).as("n"), sum(col("amount")).as("sm"),
+        grouping_id().as("gid"))
+        .orderBy("gid", "m", "h")
+      val on = q()
+      assert(isLocal(on), on.queryExecution.optimizedPlan.toString)
+      // the suite arms rules via spark.sql.extensions, which cannot be
+      // detached per-query — the expectation is hand-computed instead
+      val rows = on.collect().map(r => (Option(r.getString(0)).orNull,
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      def cell(m: String, h: Long) =
+        (1 to 5).map(i => (m.takeRight(2).toLong * 10 + h) * 10 + i.toLong).sum
+      val jan = cell("2024-01", 1) + cell("2024-01", 2)
+      val feb = cell("2024-02", 1) + cell("2024-02", 2)
+      val h1 = cell("2024-01", 1) + cell("2024-02", 1)
+      val h2 = cell("2024-01", 2) + cell("2024-02", 2)
+      assert(rows === Seq(
+        ("2024-01", 1L, 5L, cell("2024-01", 1), 0L),
+        ("2024-01", 2L, 5L, cell("2024-01", 2), 0L),
+        ("2024-02", 1L, 5L, cell("2024-02", 1), 0L),
+        ("2024-02", 2L, 5L, cell("2024-02", 2), 0L),
+        ("2024-01", null, 10L, jan, 1L),
+        ("2024-02", null, 10L, feb, 1L),
+        (null, 1L, 10L, h1, 2L),
+        (null, 2L, 10L, h2, 2L),
+        (null, null, 20L, jan + feb, 3L)))
+    } finally s.stop()
+  }
+
   test("ROLLUP over an EMPTY filtered input emits zero rows from the metadata path too") {
     val s = fresh()
     try {
