@@ -318,12 +318,17 @@ final case class TxCatalog(dir: String,
             case _ =>
               // one atomic rename over the stale lock: the lock file is
               // never missing mid-steal, so no fresh acquirer can link
-              // into the window
+              // into the window. The MOVE is the success signal: the
+              // claim already serialized competing stealers and the
+              // content re-verify above established the preconditions,
+              // so a post-move verification read would only ADD a
+              // failure mode — a transient read error mapping to
+              // "not acquired" would leave our published lock held by
+              // nobody (never released, wedging the table for a full
+              // lease) even though the rename atomically succeeded.
               Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
                 StandardCopyOption.ATOMIC_MOVE)
-              // belt and braces: the published lock carries OUR token
-              (try new String(Files.readAllBytes(p), UTF_8)
-              catch { case _: Exception => "" }).contains(token)
+              true
           }
         } finally { Files.deleteIfExists(claim); () }
       } finally { Files.deleteIfExists(claimTmp); () }
@@ -337,7 +342,8 @@ final case class TxCatalog(dir: String,
     * A lock that no longer carries our token is left alone: we
     * overran our lease and lost it; the publish-time pin check turns
     * that into a loud failure instead of a merged pin-set. */
-  private def renewLock(name: String, token: String): Unit = {
+  private def renewLock(name: String, token: String,
+      stopped: () => Boolean = () => false): Unit = {
     val p = lockPath(name)
     val mine = try {
       new String(Files.readAllBytes(p), UTF_8).trim
@@ -348,12 +354,36 @@ final case class TxCatalog(dir: String,
       try {
         Files.write(tmp,
           s"${System.currentTimeMillis()}\t$token\n".getBytes(UTF_8))
-        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE)
-        ()
+        // last-instant shutdown check: a beat that was in flight when
+        // the transaction finished must not re-create the lock AFTER
+        // release() deleted it (an orphan lock under a dead token
+        // would wedge the table for a full lease). transact() also
+        // joins the renewer WITHOUT a timeout before releasing, so
+        // this check is belt-and-braces for any future caller that
+        // cannot join.
+        if (!stopped()) {
+          Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
       } catch { case _: Exception => () } // next beat retries
       finally { Files.deleteIfExists(tmp); () }
     }
+  }
+
+  /** The fence body installed on every scoped sink: throws unless
+    * `name`'s lease lock still carries `token`. One small file read
+    * per data commit — the price of structurally rejecting a
+    * stolen-from holder's late publish. */
+  private def requireLockToken(name: String, token: String): Unit = {
+    val mine = try {
+      new String(Files.readAllBytes(lockPath(name)), UTF_8).trim
+        .split("\t", 2).lift(1).contains(token)
+    } catch { case _: Exception => false }
+    if (!mine) throw new IllegalStateException(
+      s"catalog $dir: lease on table '$name' no longer carries this " +
+        "transaction's token (lease overrun + steal) — data publish " +
+        "fenced off; the staged write is abandoned for vacuum")
   }
 
   private[etl] def release(names: Seq[String], token: String): Unit =
@@ -439,7 +469,8 @@ final case class TxCatalog(dir: String,
       val interval = math.max(lockLeaseMs / 3, 1L)
       while (!renewStop.await(interval,
         java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        held.foreach(n => renewLock(n, token))
+        held.foreach(n => renewLock(n, token,
+          stopped = () => renewStop.getCount == 0))
       }
     }, s"txcatalog-lease-renew-$dir")
     renewer.setDaemon(true)
@@ -454,7 +485,17 @@ final case class TxCatalog(dir: String,
         lastTxn(app) >= ver
       }
       if (alreadyCommitted) return version()
-      val sinks = scopeNames.map(n => n -> TxParquetSink(p(n)._1)).toMap
+      // FENCING TOKEN carried into every data commit: each scoped
+      // sink's manifest publish re-verifies that the table's lease
+      // lock still carries THIS transaction's token. A transactor
+      // that slept past its lease and was stolen from now fails at
+      // its own data publish (the staged dir becomes vacuum litter,
+      // no manifest appears) — a structural rejection, closing the
+      // residual lease-steal window the publish-time pin verification
+      // only catches at catalog-commit time.
+      val sinks = scopeNames.map(n =>
+        n -> TxParquetSink(p(n)._1).withFence(() =>
+          requireLockToken(n, token))).toMap
       sinks.foreach { case (n, s) =>
         val pv = p(n)._2
         if (s.version() != pv) {
@@ -495,7 +536,12 @@ final case class TxCatalog(dir: String,
       -1L // unreachable
     } finally {
       renewStop.countDown()
-      renewer.join(1000)
+      // join WITHOUT a timeout: a beat is a handful of bounded local
+      // file ops, and releasing while one is in flight could let it
+      // re-create the lock after the delete (orphan lock under a dead
+      // token = table wedged for a full lease). renewLock's own
+      // stopped() re-check before its move is the second belt.
+      renewer.join()
       release(held.toSeq, token)
     }
   }

@@ -52,6 +52,26 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   private val root: Path = Paths.get(dir)
   private val logDir: Path = root.resolve("_txlog")
 
+  /** PUBLISH FENCE — a check [[tryPublish]] runs immediately before
+    * the atomic manifest link. [[TxCatalog.transact]] installs one
+    * that verifies the table's lease lock STILL carries the
+    * transaction's own token, so a transactor that overran its lease
+    * and was stolen from has its LATE data publish rejected
+    * structurally (the fence throws) instead of only being caught by
+    * the catalog's publish-time pin verification. Deliberately NOT a
+    * case-class field: fenced sinks compare equal to unfenced ones,
+    * and ad-hoc `TxParquetSink(dir)` construction everywhere stays
+    * unfenced (a no-op fence). */
+  @transient private var publishFence: () => Unit = TxParquetSink.NoFence
+
+  /** A copy of this sink with `fence` run before every manifest
+    * publish — the catalog's fencing-token carrier. */
+  private[etl] def withFence(fence: () => Unit): TxParquetSink = {
+    val s = TxParquetSink(dir)
+    s.publishFence = fence
+    s
+  }
+
   /** Committed (version, manifest) pairs in version order. Driver-side
     * metadata only, served from the process-wide log snapshot cache
     * ([[cachedLog]]): a hit costs one directory listing and zero
@@ -83,15 +103,21 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * (cheap per-query case classes over the same dir), coarsely
     * bounded at 512 tables. */
   private def cachedLog(): LogSnapshot = {
-    // the validator is the sorted name listing PLUS the log
-    // directory's inode number: a table deleted and recreated at the
-    // same path gets a fresh inode, so the dead table's cached parses
-    // can never revalidate — even when the recreated manifests are
+    // the validator is the sorted name listing PLUS a two-part
+    // lifecycle fingerprint: the log directory's inode number AND the
+    // first manifest's last-modified time (nanosecond-granular on
+    // ext4). A table deleted and recreated at the same path gets a
+    // fresh inode — and even if the filesystem RECYCLES the inode
+    // (ext4 can), the recreated first manifest carries a later mtime
+    // (manifests are write-once, so within one lifecycle the mtime
+    // never moves) — so the dead table's cached parses can never
+    // revalidate, even when the recreated manifests are
     // byte-length-identical (they are: parquet part names are
-    // fixed-width UUIDs). One getAttribute total, so a cache hit stays
-    // one readdir + one stat, never O(history) syscalls. Where the
-    // attribute is unavailable the fingerprint degrades to 0 — i.e.
-    // name-set-only validation, the within-one-lifecycle contract.
+    // fixed-width UUIDs). One getAttribute + one stat total, so a
+    // cache hit stays one readdir + two stats, never O(history)
+    // syscalls. Where an attribute is unavailable that component
+    // degrades to 0 — i.e. weaker validation, the
+    // within-one-lifecycle contract.
     val ino: Long =
       try Files.getAttribute(logDir, "unix:ino").asInstanceOf[Long]
       catch { case _: Exception => 0L }
@@ -103,13 +129,21 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           .filter(_.matches("\\d{20}\\.txn")).toSeq.sorted
         finally s.close()
       }
+    val headMtime: Long = names.headOption.map { n =>
+      try Files.getLastModifiedTime(logDir.resolve(n)).to(
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: Exception => 0L }
+    }.getOrElse(0L)
+    val fp = (ino, headMtime)
     val hit = TxParquetSink.logCache.get(dir)
-    if (hit != null && hit.ino == ino && hit.names == names) return hit
+    if (hit != null && hit.fp == fp && hit.names == names) {
+      hit.lastAccess = System.nanoTime(); return hit
+    }
     val parsesEntry = TxParquetSink.parsedLogs.compute(dir, (_, cur) =>
       // a reincarnated log drops the whole memo: write-once holds
       // within a table's life, not across lifecycles
-      if (cur != null && cur._1 == ino) cur
-      else (ino, new java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)]()))
+      if (cur != null && cur._1 == fp) cur
+      else (fp, new java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)]()))
     val parses = parsesEntry._2
     val nameSet = names.toSet
     parses.keySet.removeIf(n => !nameSet.contains(n)) // truncation cleanup
@@ -133,9 +167,26 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         } catch { case _: Exception => None } // racing truncation: fall back
       probed.getOrElse(effective(names.map(parse)))
     }
-    val snap = new LogSnapshot(ino, names, suffix, () => names.map(parse))
-    if (TxParquetSink.logCache.size > 512) {
-      TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear()
+    val snap = new LogSnapshot(fp, names, suffix, () => names.map(parse))
+    // bound the cache by evicting the single LEAST-RECENTLY-TOUCHED
+    // other table (one O(512) scan, amortized over inserts) — a
+    // wholesale clear would make one table over the bound force every
+    // hot table in the process to re-list and re-parse its full
+    // history on next plan, and a deployment oscillating around the
+    // bound would effectively never cache. The evicted dir's parse
+    // memo goes with it; every other table's memo stays.
+    while (TxParquetSink.logCache.size > 512) {
+      import scala.jdk.CollectionConverters._
+      val coldest = TxParquetSink.logCache.entrySet().asScala
+        .filter(_.getKey != dir)
+        .minByOption(_.getValue.lastAccess).map(_.getKey)
+      coldest match {
+        case Some(k) =>
+          TxParquetSink.logCache.remove(k)
+          TxParquetSink.parsedLogs.remove(k)
+          ()
+        case None => TxParquetSink.logCache.clear() // unreachable: size>512 implies another key
+      }
     }
     TxParquetSink.logCache.put(dir, snap)
     snap
@@ -2160,6 +2211,11 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * interleaved commit at exactly `v` — which the link then loses
     * to, as intended. */
   private def tryPublish(v: Long, m: Manifest): Boolean = {
+    // fencing-token check (no-op unless a catalog transaction
+    // installed one): a holder whose lease lock was stolen must fail
+    // HERE, before its manifest becomes visible — a thrown fence
+    // leaves only an unreferenced staged dir for vacuum
+    publishFence()
     if (v <= version()) return false
     Files.createDirectories(logDir)
     val tmp = Files.createTempFile(logDir, ".stage-", ".txn.tmp")
@@ -2718,28 +2774,35 @@ object TxParquetSink {
     * guard; commits here are one batch, not a day of them). */
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
 
+  /** The shared no-op publish fence (plain sinks). */
+  private val NoFence: () => Unit = () => ()
+
   /** One table's commit log as [[TxParquetSink.cachedLog]] caches it:
     * the validating sorted `.txn` name listing, the effective suffix
     * (newest base onward) snapshot reads resolve from, and the full
     * history parsed LAZILY — only the callers that genuinely walk
     * pre-base commits (time travel, change feeds, truncation) force
     * it. */
-  private[graft] final class LogSnapshot(val ino: Long,
+  private[graft] final class LogSnapshot(val fp: (Long, Long),
       val names: Seq[String],
       val suffix: Seq[(Long, Manifest)],
       allParse: () => Seq[(Long, Manifest)]) {
     lazy val all: Seq[(Long, Manifest)] = allParse()
+    /** Eviction recency — touched on every cache hit; the bound scan
+      * in [[TxParquetSink.cachedLog]] evicts the minimum. */
+    @volatile var lastAccess: Long = System.nanoTime()
   }
 
   private[graft] val logCache =
     new java.util.concurrent.ConcurrentHashMap[String, LogSnapshot]()
 
   /** Write-once per-(dir lifecycle, manifest name) parse memo backing
-    * [[TxParquetSink.cachedLog]]: the log directory's inode fingerprint
-    * guards the whole per-dir map, so a reincarnated table can never
-    * reuse its predecessor's parses. */
+    * [[TxParquetSink.cachedLog]]: the (inode, head-manifest mtime)
+    * lifecycle fingerprint guards the whole per-dir map, so a
+    * reincarnated table can never reuse its predecessor's parses —
+    * even when the filesystem recycles the inode number. */
   private[graft] val parsedLogs = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)])]()
+    String, ((Long, Long), java.util.concurrent.ConcurrentHashMap[String, (Long, Manifest)])]()
 
   /** Manifest-file parse counter — the counted-I/O hook the snapshot
     * cache's spec asserts on (N plans against an unchanged table must

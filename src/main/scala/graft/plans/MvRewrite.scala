@@ -984,16 +984,25 @@ object MvCatalog {
     // paths whose dirs vanished through ANY channel (this GC, an
     // external janitor, a competing process) leave the registry — a
     // per-commit maintenance loop must not grow the list unboundedly
-    val (candidates, vanished) = written.partition(p =>
+    val (present, vanished) = written.partition(p =>
       Files.isDirectory(Paths.get(p)))
     val now = System.currentTimeMillis()
+    // the mtime read races the same external deleters the partition
+    // above contemplates: a candidate vanishing BETWEEN the
+    // isDirectory check and the stat is already gone, not an error —
+    // propagating would abort the whole refresh after it succeeded
+    val (candidates, vanishedDuring) = present
+      .map(p => (p, scala.util.Try(
+        Files.getLastModifiedTime(Paths.get(p)).toMillis).toOption))
+      .partition(_._2.isDefined)
     val dropped = candidates
-      .map(p => (p, Files.getLastModifiedTime(Paths.get(p)).toMillis))
+      .map { case (p, t) => (p, t.get) }
       .sortBy(-_._2)
       .drop(math.max(retention.keep - 1, 0))
       .filter { case (_, mtime) => now - mtime > retention.graceMs }
     dropped.foreach { case (p, _) => deleteRecursively(Paths.get(p)) }
-    val gone = dropped.map(_._1).toSet ++ vanished
+    val gone = dropped.map(_._1).toSet ++ vanished ++
+      vanishedDuring.map(_._1)
     if (gone.nonEmpty) {
       writtenViews.computeIfPresent(stem,
         (_, cur) => cur.filterNot(gone.contains))

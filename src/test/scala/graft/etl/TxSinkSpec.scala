@@ -1735,4 +1735,65 @@ class TxSinkSpec extends SparkSpec {
       .where(col("day") >= lo)
     assert(got.count() == 2L, "supplementary-plane row lost to pruning")
   }
+
+  test("log cache: an in-place reincarnation with identical names and inode is caught by the mtime fingerprint") {
+    // ADVICE round-12: ext4 can recycle inode numbers, so a table
+    // deleted and recreated at the same path could in principle
+    // revalidate the dead table's cached parses under a name+ino
+    // validator. The head-manifest mtime folded into the fingerprint
+    // closes it: manifests are write-once, so within one lifecycle
+    // the mtime never moves, and a recreated manifest carries a later
+    // one. Simulated here as the worst case a recycled inode could
+    // produce — same dir, same manifest NAME, different content.
+    val t = table(); val u = table()
+    t.mergeUpsert(spark, batch("P1" -> "a"), keys, order)
+    u.mergeUpsert(spark, batch("P2" -> "b"), keys, order)
+    assert(keySet(t) == Seq("P1")) // warm t's cache entry
+    val tLog = java.nio.file.Paths.get(t.dir, "_txlog", f"${0L}%020d.txn")
+    val uLog = java.nio.file.Paths.get(u.dir, "_txlog", f"${0L}%020d.txn")
+    java.nio.file.Files.write(tLog, java.nio.file.Files.readAllBytes(uLog))
+    java.nio.file.Files.setLastModifiedTime(tLog,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    // NO manual cache clearing: same dir inode, same sorted name set —
+    // only the mtime component can tell the lifecycles apart
+    assert(t.commits().flatMap(_._2.files) ==
+      u.commits().flatMap(_._2.files),
+      "the rewritten manifest must be re-parsed, not served stale")
+  }
+
+  test("log cache bound: overflow evicts one cold table, not the world") {
+    // ADVICE round-12: the previous bound check cleared BOTH maps
+    // wholesale at >512 tables — one table over the bound forced every
+    // hot table to re-list and re-parse. Now a single cold entry is
+    // evicted and every other table's memo survives. Exercised
+    // directly against the cache maps (512 real tables would dominate
+    // the suite's runtime for no extra coverage).
+    val t = table()
+    t.appendWithStats(batch("P1" -> "a"), statsCols = Seq("product_id"))
+    assert(t.version() == 0L) // warm: t is now cached and RECENT
+    val n0 = TxParquetSink.logCache.size
+    val fakes = (1 to (520 - n0)).map(i => s"/nonexistent-fake-$i")
+    fakes.foreach { d =>
+      val snap = new TxParquetSink.LogSnapshot((0L, 0L), Nil, Nil, () => Nil)
+      snap.lastAccess = i2n(d) // strictly older than any real entry
+      TxParquetSink.logCache.put(d, snap)
+    }
+    val before = TxParquetSink.manifestParses.get()
+    val t2 = table()
+    t2.appendWithStats(batch("P2" -> "b"), statsCols = Seq("product_id"))
+    assert(t2.version() == 0L) // insert over the bound: must evict, not clear
+    assert(TxParquetSink.logCache.size <= 513,
+      s"bound not enforced: ${TxParquetSink.logCache.size}")
+    assert(TxParquetSink.logCache.containsKey(t.dir),
+      "a recently-touched table must survive the eviction")
+    assert(t.version() == 0L)
+    assert(TxParquetSink.manifestParses.get() == before +
+      t2.commits().size,
+      "the hot table's parse memo must survive: only t2's commit parses")
+    fakes.foreach(TxParquetSink.logCache.remove) // drain the fodder
+  }
+
+  /** Deterministic "ancient" lastAccess for the fake eviction fodder. */
+  private def i2n(d: String): Long = Long.MinValue / 2 + d.hashCode.abs
 }
