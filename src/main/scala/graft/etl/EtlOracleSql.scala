@@ -2598,6 +2598,50 @@ object EtlOracleSql {
       |       max(month) AS max_month
       |FROM monthly""".stripMargin)
 
+  /** NDV-rule twin: the KMV estimator recomputed declaratively over
+    * the rollup — distinct md5-prefix hashes, bottom-64, exact size
+    * below capacity else `63 · 2³² / h₆₄` — what the manifest-sketch
+    * fold's literal must equal bit-for-bit. */
+  val txNdvRule: String = {
+    def h(e: String, sfx: String): String = graft.ext.ExtOracleSql.h32(e, sfx)
+    star(
+      s""", monthly AS (
+         |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+         |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+         |  FROM sales_fact GROUP BY 1, 2
+         |),
+         |hs AS (SELECT DISTINCT ${h("CAST(store_id AS VARCHAR)", "ns")} AS h FROM monthly),
+         |rs AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs),
+         |es AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |                   / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+         |              END AS ndv_store
+         |       FROM rs WHERE rn <= 64),
+         |hc AS (SELECT DISTINCT ${h("CAST(cents AS VARCHAR)", "nc")} AS h FROM monthly),
+         |rc AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hc),
+         |ec AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |                   / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+         |              END AS ndv_cents
+         |       FROM rc WHERE rn <= 64)
+         |SELECT es.ndv_store, ec.ndv_cents,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_rows
+         |FROM es, ec""".stripMargin)
+  }
+
+  /** Exact-distinct-rule twin: plain COUNT(DISTINCT year) + COUNT(*)
+    * over the rollup — the partition-grain manifest fold's literal
+    * must equal the declarative distinct count exactly. */
+  val txDistinctRule: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |)
+      |SELECT CAST(count(DISTINCT substring(month, 1, 4)) AS BIGINT) AS n_years,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM monthly""".stripMargin)
+
   /** Filtered-profile-rule twin: the commit-aligned two-year range
     * panel recomputed declaratively — the literal the Catalyst rule
     * substitutes from Full/Excluded manifest credit must land on

@@ -2736,6 +2736,69 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** NDV-FROM-SKETCHES RULE — `COUNT(DISTINCT)`'s estimator sibling
+    * through the metadata tier (the round-12 verdict's item 2):
+    * `ndv_estimate(col)` ([[graft.functions.KmvNdvAgg]], the KMV
+    * estimator as a first-class aggregate) over a governed snapshot
+    * whose commits carry per-column KMV sketches optimizes into a
+    * LITERAL by folding the manifests' sketches (union-truncate
+    * semilattice ⇒ bit-identical to the scan's own bottom-k) —
+    * REQUIRED LocalRelation, a silently non-firing rule fails the
+    * row. Hash-gated against DuckDB computing the SAME estimator
+    * declaratively (md5-prefix hash contract, `(k−1)·2³²/h_k`). At
+    * 100 TB: approximate NDV of any sketched column with zero scan
+    * stages — O(commits·k) driver metadata. */
+  def txNdvRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.sketchSinks(spark, dir)._1
+    graft.functions.KmvNdvAgg.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val panel = t.readSnapshot(spark).get.agg(
+        expr("ndv_estimate(store_id)").as("ndv_store"),
+        expr("ndv_estimate(cents)").as("ndv_cents"),
+        count(lit(1)).as("n_rows"))
+      require(panel.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must fold ndv_estimate from the manifest " +
+          "sketches — it did not fire:\n" +
+          panel.queryExecution.optimizedPlan.toString)
+      val r = panel.collect().head
+      spark.createDataFrame(java.util.List.of(r), panel.schema)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** EXACT-DISTINCT METADATA RULE — plain `COUNT(DISTINCT col)` over
+    * a PARTITION-GRAIN governed table answered from manifests alone:
+    * every commit is single-valued and null-free in `y` (min == max,
+    * nullCount 0 — the [[TxFixtures.groupYearSink]] load shape), so
+    * the table's distinct values ARE the distinct per-commit stat
+    * values and the count is EXACT — no sketch, no estimate, zero
+    * scan (REQUIRED LocalRelation). Mixed with an ordinary COUNT(*)
+    * to prove distinct and plain members answer side by side.
+    * Hash-gated against DuckDB's declarative COUNT(DISTINCT). At
+    * 100 TB: "how many partitions does this table span" is a
+    * millisecond driver fold, not a shuffle of every distinct key. */
+  def txDistinctRule(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.groupYearSink(spark, dir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MetadataAggregates
+    try {
+      val panel = t.readSnapshot(spark).get.agg(
+        countDistinct(col("y")).as("n_years"),
+        count(lit(1)).as("n_rows"))
+      require(panel.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "MetadataAggregates must answer COUNT(DISTINCT) from the " +
+          "partition-grain manifests — it did not fire:\n" +
+          panel.queryExecution.optimizedPlan.toString)
+      val r = panel.collect().head
+      spark.createDataFrame(java.util.List.of(r), panel.schema)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** GROUPED METADATA-AGGREGATE RULE — the `GROUP BY <partition col>`
     * profile answered commit-by-commit from manifests
     * ([[TxParquetSink.groupedMetaProfile]] through the Catalyst rule):

@@ -2870,7 +2870,10 @@ object TxParquetSink {
   /** Manifest sketch size: [[graft.ext.SketchOps.JoinCardK]]'s 64 —
     * ±1/√k ≈ 12 % relative error on distinct counts, the planning
     * accuracy CBOs operate at. */
-  val SketchK: Int = 64
+  // hard-linked to the ndv_estimate aggregate's default: the
+  // MetadataAggregates sketch fold only substitutes when the query's
+  // k equals the persisted k, so the two must never drift
+  val SketchK: Int = graft.functions.KmvNdvAgg.DefaultK
 
   /** Distinct-count estimate from a folded sketch — the driver-side
     * mirror of [[graft.functions.KmvSketchAgg.estimateExpr]], same

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** `kmv_sketch(h, k)` — the K-Minimum-Values distinct-count synopsis
   * (Bar-Yossef et al., RANDOM'02; the KMV/theta-sketch family): per
@@ -138,4 +138,125 @@ object KmvSketchAgg {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", builder, "scala_udf")
+}
+
+/** `ndv_estimate(col[, k])` — the KMV distinct-count ESTIMATOR as a
+  * first-class SQL aggregate: hashes `col` through the engine's
+  * cross-engine md5-prefix contract (`H(s) = int(md5(s)[0:8], 16)`,
+  * exactly [[graft.etl.TxParquetSink.appendWithStats]]'s per-commit
+  * sketch hash), keeps the k smallest distinct hashes, and evaluates
+  * `(k−1) · 2³² / h_k` (exact size below capacity) — the same math as
+  * [[KmvSketchAgg.estimateExpr]], so the value is bit-identical to a
+  * DuckDB twin AND to the commit-log manifest fold
+  * ([[graft.etl.TxParquetSink.tableSketch]]): KMV sketches are a
+  * union-truncate semilattice, so a scan's bottom-k equals the union
+  * of per-commit bottom-ks. That identity is what lets
+  * [[graft.plans.MetadataAggregates]] rewrite `ndv_estimate(col)`
+  * over a governed snapshot scan into a LITERAL from the manifests —
+  * NDV of a 100 TB table as an O(commits·k) driver fold, zero scan.
+  *
+  * Scale contract is [[KmvSketchAgg]]'s: O(k) state, map-side
+  * combinable, mergeable; the shuffle carries O(groups · k) longs
+  * where exact COUNT(DISTINCT) shuffles every distinct value. */
+case class KmvNdvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"ndv_estimate needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ndv_estimate's rewritten child must be a bigint hash, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ndv_estimate"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k || v < buf.last()) {
+      buf.add(v)
+      if (buf.size > k) buf.pollLast()
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long], b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvNdvAgg.estimate(k, buf.size, if (buf.isEmpty) 0L else buf.last())
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+    buf.forEach(v => { bb.putLong(v); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvNdvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvNdvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvNdvAgg =
+    copy(child = newChild)
+}
+
+object KmvNdvAgg {
+
+  /** Default sketch capacity — MUST stay equal to
+    * [[graft.etl.TxParquetSink.SketchK]]: the manifest-fold rewrite
+    * only substitutes when the query's k equals the persisted
+    * sketches' k. */
+  val DefaultK: Int = 64
+
+  /** THE estimator, shared by the scan aggregate's eval and the
+    * manifest-fold rewrite: exact `size` below capacity, else one
+    * multiply-then-divide over integer-exact doubles — the operation
+    * order [[KmvSketchAgg.estimateExpr]] and the DuckDB twins use,
+    * so all three agree bit-for-bit. */
+  def estimate(k: Int, size: Int, kthMin: Long): Double =
+    if (size < k) size.toDouble
+    else (k - 1).toDouble * 4294967296.0 / kthMin.toDouble
+
+  /** Builder: `ndv_estimate(col[, k])` over ANY column — wraps the
+    * input in the engine's hash contract (cast-to-string → md5
+    * prefix), the exact per-commit sketch spelling. */
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1 || args.length == 2,
+      "ndv_estimate expects (col) or (col, k)")
+    val kLit = if (args.length < 2) DefaultK else args(1) match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"ndv_estimate k must be an integer literal, got $other")
+    }
+    KmvNdvAgg(Md5Prefix32(org.apache.spark.sql.catalyst.expressions.Cast(
+      args.head, StringType)), kLit)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ndv_estimate", builder, "scala_udf")
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayDotProduct, JaroWinklerSimilarity, KmvSketchAgg, Md5Prefix32}
+import graft.functions.{ArrayDotProduct, JaroWinklerSimilarity, KmvNdvAgg, KmvSketchAgg, Md5Prefix32}
 
 /** The library's `spark.sql.extensions` entry point — the deployment
   * path for the custom tier: a cluster configured with
@@ -70,7 +70,10 @@ object GraftExtensions {
       KmvSketchAgg.builder),
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler"),
-      build2("jaro_winkler", JaroWinklerSimilarity.apply) _))
+      build2("jaro_winkler", JaroWinklerSimilarity.apply) _),
+    (FunctionIdentifier("ndv_estimate"),
+      new ExpressionInfo(classOf[KmvNdvAgg].getName, "ndv_estimate"),
+      KmvNdvAgg.builder))
 
   /** THE injected optimizer rules, in injection order. */
   val rules: Seq[Rule[LogicalPlan]] = Seq(

@@ -2,8 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+
+import graft.functions.{KmvNdvAgg, Md5Prefix32}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -163,7 +165,20 @@ object MetadataAggregates extends Rule[LogicalPlan] {
   }
 
   private def supported(ae: AggregateExpression): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+    if (ae.isDistinct)
+      // COUNT(DISTINCT col): answerable from manifests alone when the
+      // table is partition-grain in `col` (every commit single-valued,
+      // no nulls) — the [[TxParquetSink.groupedMetaProfileMulti]]
+      // machinery; [[valueOf]]'s resolver decides per sink
+      ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(_: AttributeReference)) => true
+        case _ => false
+      })
+    else ae.filter.isEmpty && (ae.aggregateFunction match {
+      // ndv_estimate(col) in its canonical hashed spelling: the KMV
+      // estimate folds from the manifests' per-commit sketches
+      // (union-truncate semilattice ⇒ identical to the scan's value)
+      case KmvNdvAgg(Md5Prefix32(Cast(_: AttributeReference, StringType, _, _)), _, _, _) => true
       case Count(Seq(l: Literal)) => l.value != null
       case Count(Seq(_: AttributeReference)) => true
       case Min(_: AttributeReference) => true
@@ -268,8 +283,21 @@ object MetadataAggregates extends Rule[LogicalPlan] {
     * `Some(null)` is a legitimate SQL answer (empty MIN/SUM), `None`
     * kills the whole rewrite. */
   private def valueOf(ae: AggregateExpression, rows: Long,
-      profile: String => Option[TxParquetSink.ColMetaProfile]): Option[Any] =
-    ae.aggregateFunction match {
+      profile: String => Option[TxParquetSink.ColMetaProfile],
+      distinct: String => Option[Long] = _ => None,
+      sketch: (String, Int) => Option[Double] = (_, _) => None): Option[Any] =
+    if (ae.isDistinct) ae.aggregateFunction match {
+      // exact COUNT(DISTINCT col) — only the partition-grain resolver
+      // (unfiltered whole-table path) answers; everywhere else the
+      // default `None` keeps the scan
+      case Count(Seq(a: AttributeReference)) =>
+        if (rows == 0L) Some(0L) else distinct(a.name).map(n => n: Any)
+      case _ => None
+    }
+    else ae.aggregateFunction match {
+      case KmvNdvAgg(Md5Prefix32(
+          Cast(a: AttributeReference, StringType, _, _)), k, _, _) =>
+        if (rows == 0L) Some(0.0d) else sketch(a.name, k).map(d => d: Any)
       case Count(Seq(_: Literal)) => Some(rows)
       case Count(Seq(a: AttributeReference)) =>
         if (rows == 0L) Some(0L)
@@ -332,12 +360,30 @@ object MetadataAggregates extends Rule[LogicalPlan] {
   private def wholeTable(sink: TxParquetSink,
       aggs: Seq[AggregateExpression]): Option[Seq[Any]] = {
     val spark = SparkSession.active
+    // exact DISTINCT resolver: partition-grain proof — every data
+    // commit single-valued and null-free in the column ⇒ the table's
+    // distinct values ARE the distinct per-commit values (each group
+    // in the fold is one value; nulls are excluded by construction,
+    // matching COUNT(DISTINCT)'s null-skip). O(commits) driver work.
+    val distinctRes: String => Option[Long] = c =>
+      sink.groupedMetaProfileMulti(Seq(c), Nil).map(_.size.toLong)
+    // KMV resolver: the manifests' per-commit sketches union-truncated
+    // ([[TxParquetSink.tableSketch]] refuses masked logs and logs with
+    // unsketched commits) through the SHARED estimator — identical to
+    // the scan aggregate's value by the semilattice property, provided
+    // the query's k equals the persisted sketches' k.
+    val sketchRes: (String, Int) => Option[Double] = (c, k) =>
+      scala.util.Try(sink.tableSketch(c)).toOption
+        .filter(_.k == k)
+        .map(km => graft.functions.KmvNdvAgg.estimate(
+          k, km.mins.size, if (km.mins.isEmpty) 0L else km.mins.last))
     for {
       rows <- sink.countFromMetadata(spark, None)
       profiles = scala.collection.mutable.Map.empty[String,
         Option[TxParquetSink.ColMetaProfile]]
       vs = aggs.map(valueOf(_, rows,
-        c => profiles.getOrElseUpdate(c, sink.columnMetaProfile(c))))
+        c => profiles.getOrElseUpdate(c, sink.columnMetaProfile(c)),
+        distinctRes, sketchRes))
       if vs.forall(_.isDefined)
     } yield vs.map(_.get)
   }

@@ -62,9 +62,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     // the injected builders construct the native expressions
-    val Seq(dot, md5, kmv, jw) = GraftExtensions.functions
+    val Seq(dot, md5, kmv, jw, ndv) = GraftExtensions.functions
     assert(dot._1.funcName == "array_dot" && md5._1.funcName == "md5_prefix32" &&
-      kmv._1.funcName == "kmv_sketch" && jw._1.funcName == "jaro_winkler")
+      kmv._1.funcName == "kmv_sketch" && jw._1.funcName == "jaro_winkler" &&
+      ndv._1.funcName == "ndv_estimate")
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1)
     assert(dot._3(Seq(lit, lit)).isInstanceOf[graft.functions.ArrayDotProduct])
     assert(md5._3(Seq(lit)).isInstanceOf[graft.functions.Md5Prefix32])
@@ -85,8 +86,8 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     val (fA, rA) = registered(new graft.GraftExtensions()(_))
     val (fB, rB) = registered(new GraftExtensions()(_))
-    assert(fA == Set("array_dot", "md5_prefix32", "kmv_sketch", "jaro_winkler"),
-      s"unexpected function set: $fA")
+    assert(fA == Set("array_dot", "md5_prefix32", "kmv_sketch", "jaro_winkler",
+      "ndv_estimate"), s"unexpected function set: $fA")
     assert(fA == fB, s"function sets diverged: $fA vs $fB")
     assert(rA == Seq(DotProductRewrite, ManifestBroadcastJoins,
       MetadataAggregates, MvRewrite).map(_.getClass.getName),

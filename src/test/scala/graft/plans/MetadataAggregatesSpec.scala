@@ -514,4 +514,58 @@ class MetadataAggregatesSpec extends AnyFunSuite {
       }
     } finally s.stop()
   }
+
+  test("COUNT(DISTINCT) answers from partition-grain manifests; ndv_estimate folds the sketches") {
+    val s = fresh()
+    try {
+      import s.implicits._
+      // partition-grain load: one commit per month, 50 distinct amounts
+      // each (200 total — past the k=64 sketch capacity, so the
+      // estimator's division branch is what must agree)
+      val t = TxParquetSink(
+        Files.createTempDirectory("metaagg-ndv").toString + "/t")
+      val months = Seq("2024-01", "2024-02", "2024-03", "2024-04")
+      months.zipWithIndex.foreach { case (m, i) =>
+        t.appendWithStats(
+          (1 to 50).map(d => (m, (i * 50 + d).toLong)).toDF("month", "amount"),
+          Seq("month", "amount"), sketchCols = Seq("amount"))
+      }
+      def snap = t.readSnapshot(s).get
+      // exact distinct over the grain column: literal, no scan
+      val dist = snap.agg(countDistinct(col("month")).as("n"),
+        count(lit(1)).as("n_rows"))
+      assert(isLocal(dist), dist.queryExecution.optimizedPlan.toString)
+      val dr = dist.collect().head
+      assert(dr.getLong(0) == 4L && dr.getLong(1) == 200L)
+      // distinct over a NON-grain column declines but stays right
+      val bad = snap.agg(countDistinct(col("amount")).as("n"))
+      assert(!isLocal(bad) && bad.collect().head.getLong(0) == 200L)
+      // ndv_estimate folds the manifest sketches into a literal ...
+      val ndv = snap.agg(expr("ndv_estimate(amount)").as("ndv"))
+      assert(isLocal(ndv), ndv.queryExecution.optimizedPlan.toString)
+      // ... that is bit-identical to the SCAN aggregate over the same
+      // rows (plain frame, no tx coverage → the rule cannot fire):
+      // the union-truncate semilattice + shared estimator contract
+      val plain = months.zipWithIndex.flatMap { case (m, i) =>
+        (1 to 50).map(d => (m, (i * 50 + d).toLong)) }.toDF("month", "amount")
+        .repartition(2) // genuinely aggregated, not constant-folded
+        .agg(expr("ndv_estimate(amount)").as("ndv"))
+      assert(ndv.collect().head.getDouble(0) == plain.collect().head.getDouble(0))
+      // a k that differs from the persisted sketches' k declines
+      val k32 = snap.agg(expr("ndv_estimate(amount, 32)").as("ndv"))
+      assert(!isLocal(k32))
+      // filters keep the scan (sketches cover the whole table only)
+      val filtered = snap.where("amount >= 51")
+        .agg(expr("ndv_estimate(amount)").as("ndv"))
+      assert(!isLocal(filtered))
+      // an UNSKETCHED column declines (month has no sketch records)
+      val unsketched = snap.agg(expr("ndv_estimate(month)").as("ndv"))
+      assert(!isLocal(unsketched))
+      // a mask forbids the fold (ghost values) — decline, right answer
+      t.deleteWhere(s, "amount = 7")
+      val masked = t.readSnapshot(s).get
+        .agg(expr("ndv_estimate(amount)").as("ndv"))
+      assert(!isLocal(masked))
+    } finally s.stop()
+  }
 }
