@@ -55,7 +55,7 @@ object MetaPlanBench {
       (1 to 20).foreach(_ => planOnce()) // JIT warm
       val t0 = System.nanoTime()
       (1 to plans).foreach { _ =>
-        if (drop) { TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear() }
+        if (drop) TxParquetSink.dropCaches()
         planOnce()
       }
       plans / ((System.nanoTime() - t0) / 1e9)
@@ -70,7 +70,7 @@ object MetaPlanBench {
       (1 to 50).foreach(_ => metaReads())
       val t0 = System.nanoTime()
       (1 to n).foreach { _ =>
-        if (drop) { TxParquetSink.logCache.clear(); TxParquetSink.parsedLogs.clear() }
+        if (drop) TxParquetSink.dropCaches()
         metaReads()
       }
       n / ((System.nanoTime() - t0) / 1e9)

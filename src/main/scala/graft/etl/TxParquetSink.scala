@@ -222,9 +222,35 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
 
   /** Snapshot read: the union of every committed data directory; None
     * before the first commit. Uncommitted staged directories are never
-    * visible here — that is the isolation guarantee. */
-  def readSnapshot(spark: SparkSession): Option[DataFrame] =
-    dataOf(spark, resolvedCommits())
+    * visible here — that is the isolation guarantee.
+    *
+    * Served from the RESOLVED-RELATION CACHE: [[MetaPlanBench]]
+    * measured the round-12 log snapshot cache at 2.17× on the
+    * metadata surface but only 1.14× end-to-end, because plan time
+    * is dominated by SCAN-RELATION construction — per-directory file
+    * listing and mergeSchema footer reads inside `spark.read.parquet`
+    * — not manifest parsing. The head snapshot's resolved DataFrame
+    * is therefore memoized per (session, table dir) and validated by
+    * the SAME (fingerprint, sorted manifest names) pair as the log
+    * cache: manifests are write-once, so an identical name set under
+    * an identical lifecycle fingerprint implies an identical file
+    * set, masks included. Pruned reads ([[readSnapshotWhere]], time
+    * travel) construct fresh — their path sets are query-specific.
+    * The cached frame is immutable plan state; callers compose
+    * filters/aggregates on top exactly as before. */
+  def readSnapshot(spark: SparkSession): Option[DataFrame] = {
+    val snap = cachedLog()
+    if (snap.suffix.isEmpty) return None
+    val key = (TxParquetSink.sessionId(spark), dir)
+    val hit = TxParquetSink.relationCache.get(key)
+    if (hit != null && hit.fp == snap.fp && hit.names == snap.names)
+      return hit.df
+    val df = dataOf(spark, snap.suffix)
+    TxParquetSink.relationCache.put(key,
+      new TxParquetSink.CachedRelation(snap.fp, snap.names, spark, df))
+    TxParquetSink.pruneRelationCache(key)
+    df
+  }
 
   /** TIME-TRAVEL read: the table exactly as of commit `asOf` — the
     * union of every data directory published at version ≤ asOf. The
@@ -307,6 +333,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         // (schema evolution) — older rows read back null-filled, the
         // Delta/Iceberg contract; dropping or retyping a column is not
         // supported (parquet would throw on read, loudly).
+        TxParquetSink.relationBuilds.incrementAndGet()
         val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         val replaced = drops.foldLeft(base) { case (df, (cols, keys)) =>
           df.where(dropPredicate(cols, keys))
@@ -2809,6 +2836,62 @@ object TxParquetSink {
     * parse the log once, not N times). */
   private[graft] val manifestParses =
     new java.util.concurrent.atomic.AtomicLong()
+
+  /** One memoized head-snapshot resolution: the validating pair plus
+    * the resolved frame (and its owning session, for stopped-session
+    * pruning — keyed by the session's UUID string deliberately, so no
+    * WeakHashMap key↔value cycle can pin sessions). */
+  private[graft] final class CachedRelation(val fp: (Long, Long),
+      val names: Seq[String], val session: SparkSession,
+      val df: Option[DataFrame])
+
+  /** Process-unique id per session, held WEAKLY (string values carry
+    * no reference back to the key, so collected sessions really do
+    * leave the map — unlike keying [[relationCache]] by the session
+    * object itself, whose cached frames would pin it forever). */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private[graft] def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+
+  /** The resolved-relation cache behind [[TxParquetSink.readSnapshot]],
+    * keyed (session id, table dir) — one live entry per table per
+    * session, revalidated per read against the current log listing. */
+  private[graft] val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), CachedRelation]()
+
+  /** Scan-relation construction counter — [[relationCache]]'s
+    * counted-work spec hook (N snapshot reads of an unchanged table
+    * must build the parquet relation once). */
+  private[graft] val relationBuilds =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bounds [[relationCache]]: entries of STOPPED sessions go first
+    * (their plans are unusable), then arbitrary other-key entries —
+    * never a wholesale clear, so one table over the bound cannot
+    * force every hot table to re-resolve. */
+  private def pruneRelationCache(current: (String, String)): Unit = {
+    if (relationCache.size <= 512) return
+    import scala.jdk.CollectionConverters._
+    relationCache.entrySet().asScala
+      .filter(e => e.getValue.session.sparkContext.isStopped)
+      .foreach(e => relationCache.remove(e.getKey))
+    while (relationCache.size > 512) {
+      relationCache.keySet().asScala.find(_ != current) match {
+        case Some(k) => relationCache.remove(k); ()
+        case None => return
+      }
+    }
+  }
+
+  /** Drops every process-wide cache (log snapshots, parse memos,
+    * resolved relations) — the cold-path switch benchmarks and
+    * corruption-simulating tests use. */
+  private[graft] def dropCaches(): Unit = {
+    logCache.clear(); parsedLogs.clear(); relationCache.clear()
+  }
 
   /** [[TxParquetSink.columnMetaProfile]]'s answer: the comparison
     * domain flag and extremes in their cast-to-string form, total rows,

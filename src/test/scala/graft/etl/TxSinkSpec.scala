@@ -1246,6 +1246,7 @@ class TxSinkSpec extends SparkSpec {
     t.appendWithStats(batch("P2" -> "b"), statsCols = Seq("product_id"))
     t.readSnapshot(spark).get.count() // warm the cache
     val before = TxParquetSink.manifestParses.get()
+    val buildsBefore = TxParquetSink.relationBuilds.get()
     (1 to 20).foreach { _ =>
       assert(t.version() == 1L)
       assert(t.commits().size == 2)
@@ -1256,6 +1257,12 @@ class TxSinkSpec extends SparkSpec {
     }
     assert(TxParquetSink.manifestParses.get() === before,
       "120 metadata reads against an unchanged log must parse nothing")
+    // the round-13 extension: the RESOLVED RELATION is memoized too —
+    // repeated snapshot reads of an unchanged table must not re-list
+    // or re-read parquet footers (relation construction dominated
+    // plan time once manifest parses were cached)
+    assert(TxParquetSink.relationBuilds.get() === buildsBefore,
+      "20 snapshot reads against an unchanged log must build nothing")
     // a new commit invalidates by NAME: only the new manifest parses
     t.append(batch("P3" -> "c"))
     t.version(); t.commits()
@@ -1263,6 +1270,11 @@ class TxSinkSpec extends SparkSpec {
     assert(afterCommit - before <= 2,
       s"a post-commit re-resolution must parse O(new commits), " +
         s"parsed ${afterCommit - before}")
+    // and the post-commit snapshot re-resolves through a FRESH relation
+    val b2 = TxParquetSink.relationBuilds.get()
+    assert(t.readSnapshot(spark).get.count() === 3L)
+    assert(TxParquetSink.relationBuilds.get() > b2,
+      "a new commit must invalidate the cached relation")
     // and a foreign (cross-process-shaped) log change is SEEN: delete
     // the newest manifest out from under the cache
     java.nio.file.Files.delete(java.nio.file.Paths.get(
