@@ -2598,6 +2598,27 @@ object EtlOracleSql {
       |       max(month) AS max_month
       |FROM monthly""".stripMargin)
 
+  /** SQL-catalog data-path twin: the first-two-years monthly totals
+    * the catalog-resolved SQL must reproduce. */
+  val txSqlCatalog: String = star(
+    """, monthly AS (
+      |  SELECT substring(CAST(time_id AS VARCHAR), 1, 7) AS month, store_id,
+      |         CAST(sum(CAST(total_revenue * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM sales_fact GROUP BY 1, 2
+      |),
+      |ys AS (SELECT DISTINCT substring(month, 1, 4) AS y FROM monthly),
+      |b AS (SELECT (SELECT y FROM ys ORDER BY y LIMIT 1) || '-01' AS lo,
+      |             (SELECT y FROM ys ORDER BY y LIMIT 1 OFFSET 1) || '-12' AS hi)
+      |SELECT month, CAST(sum(cents) AS BIGINT) AS cents,
+      |       CAST(count(*) AS BIGINT) AS n_stores
+      |FROM monthly
+      |WHERE month >= (SELECT lo FROM b) AND month <= (SELECT hi FROM b)
+      |GROUP BY month ORDER BY month""".stripMargin)
+
+  /** SQL-catalog rule-path twin: the same whole-profile panel as
+    * [[txAggRule]] — the catalog path must land on identical digits. */
+  val txSqlAggRule: String = txAggRule
+
   /** NDV-rule twin: the KMV estimator recomputed declaratively over
     * the rollup — distinct md5-prefix hashes, bottom-64, exact size
     * below capacity else `63 · 2³² / h₆₄` — what the manifest-sketch

@@ -85,6 +85,46 @@ object TxFixtures {
         .distinct().orderBy("y").collect().map(_.getString(0)).toSeq
     }
 
+  /** The SQL-CATALOG session + root of the catalog rows: a second
+    * SparkSession on the SAME SparkContext, built with the deployment
+    * configuration (GraftExtensions + the graft catalog pointed at a
+    * root that links the canonical stats sink in as `monthly`) — so
+    * the registered rows exercise EXACTLY what a configured cluster
+    * runs: pure SQL text resolved through the DataSourceV2 catalog,
+    * substituted to the sink's snapshot plan, optimizer rules firing
+    * at analysis/optimization time with no extraOptimizations
+    * arming. The outer session is restored as active/default
+    * immediately, so the rest of the run is undisturbed. */
+  def sqlCatalogSession(spark: SparkSession, dir: String): SparkSession =
+    keyed(spark, dir, "sql_catalog_session") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cat-root").toString
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(root, "monthly"),
+        java.nio.file.Paths.get(statsYearSink(spark, dir).dir))
+      val active = SparkSession.getActiveSession
+      val default = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try SparkSession.builder()
+        // withExtensions, not the spark.sql.extensions conf: the conf
+        // is STATIC (read from the SparkContext at context creation),
+        // so on the shared, already-running context of a Verify/Bench
+        // run it would be silently ignored — withExtensions injects
+        // into the builder's own extensions object regardless
+        .withExtensions(ext => graft.plans.GraftExtensions.injectAll(ext))
+        .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        .config("spark.sql.catalog.graft.root", root)
+        .config("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions", "4"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      finally {
+        default.foreach(SparkSession.setDefaultSession)
+        active.foreach(SparkSession.setActiveSession)
+      }
+    }
+
   /** The orders projection of the point-lookup family. */
   def ordersProjected(spark: SparkSession, dir: String): DataFrame =
     keyed(spark, dir, "orders_proj") {

@@ -2211,6 +2211,26 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
 
   /** Write + audit: stage the batch under a fresh uuid directory, read
     * it back, and verify the row count before it can be published. */
+  /** FULL REPLACEMENT as one BASE commit — SQL `INSERT OVERWRITE`
+    * through the catalog ([[graft.catalog.GraftTable]]), and the
+    * programmatic "reload the table" shape: stages the new contents,
+    * audits the row count, and publishes a base manifest, so the
+    * replacement is atomic (readers see old or new, never a mix),
+    * history stays time-travelable across it (the base is a commit
+    * like any other), and the pre-base prefix remains reclaimable by
+    * [[truncateHistory]]. An empty frame publishes an empty base —
+    * SQL overwrite-with-nothing truncates the table. Returns the new
+    * version. */
+  def replaceAll(spark: SparkSession, df: DataFrame): Long = {
+    val n = df.count()
+    enforceConstraints(df)
+    val staged = if (n == 0) Nil else Seq(stageAudited(spark, df, n))
+    var v = version() + 1
+    val m = Manifest(n, staged, base = true)
+    while (!tryPublish(v, m)) v = version() + 1
+    v
+  }
+
   private def stageAudited(spark: SparkSession, df: DataFrame, expected: Long): String = {
     val rel = "data/tx-" + java.util.UUID.randomUUID().toString
     val p = root.resolve(rel)

@@ -82,10 +82,18 @@ object GraftExtensions {
     MetadataAggregates,
     MvRewrite)
 
+  /** THE injected ANALYZER resolution rules: the catalog→sink
+    * substitution that serves `SELECT … FROM graft.<table>` from the
+    * transactional tier's own snapshot plan (and lets every optimizer
+    * rule above fire through pure SQL text). */
+  val resolutionRules: Seq[org.apache.spark.sql.SparkSession => Rule[LogicalPlan]] =
+    Seq(s => new GraftCatalogRelations(s))
+
   /** Folds the whole registry into `ext` — the one shared body behind
     * both entry-point classes. */
   def injectAll(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    resolutionRules.foreach(r => ext.injectResolutionRule(s => r(s)))
     rules.foreach(r => ext.injectOptimizerRule(_ => r))
   }
 }
