@@ -2555,6 +2555,57 @@ object EtlQueries {
       .orderBy("version", "op", "month", "store_id")
   }
 
+  /** STREAMED CHANGE FEED — [[txChangeFeed]]'s lifecycle consumed
+    * through the REAL `readStream` source ([[graft.streaming
+    * .GraftCdcSourceProvider]], `format("graft-cdc")`) instead of a
+    * batch `changesBetween` call: a checkpointed streaming query
+    * drains the per-year appends as its first micro-batch, then the
+    * partition restatement and predicate delete land WHILE IT RUNS
+    * and stream incrementally (offsets = commit versions, each batch
+    * = one `changesBetween` range). The collected feed hash-gates
+    * against the SAME DuckDB twin as the batch row — streamed ≡
+    * batch ≡ declaratively derived, the three-way contract. At
+    * 100 TB: any downstream consumer is now a one-liner
+    * `readStream.format("graft-cdc")`, with Spark's own offset log
+    * giving exactly-once over the O(commits-per-batch) feed. */
+  def streamCdcSource(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = TxFixtures.monthlyCents(spark, dir)
+    val t = TxFixtures.cloneOf(
+      TxFixtures.plainYearSink(spark, dir), "graft-cdcsrc")
+    val base = java.nio.file.Files.createTempDirectory("cdcsrc-ck").toString
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", t.dir).load()
+      .select(col("_version").as("version"), col("_change_type").as("op"),
+        col("month"), col("store_id"), col("cents"))
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        collected.synchronized { collected ++= rows }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // the per-year appends, as batch one
+      val lastMonth = monthly.agg(max("month")).head().getString(0)
+      val restated = monthly.where(col("month") === lit(lastMonth))
+        .withColumn("cents", (col("cents") * 2).cast("long"))
+      t.overwritePartitions(spark, restated, Seq("month"))
+      t.deleteWhere(spark, "store_id % 7 = 3")
+      q.processAllAvailable() // the restatement + delete, incrementally
+    } finally q.stop()
+    // schema from the batch twin — the stream and changesBetween
+    // share column types by construction
+    val schema = t.changesBetween(spark, -1L, t.version()).get
+      .select(col("_version").as("version"), col("_change_type").as("op"),
+        col("month"), col("store_id"), col("cents")).schema
+    spark.createDataFrame(
+      java.util.Arrays.asList(collected.toSeq: _*), schema)
+      .orderBy("version", "op", "month", "store_id")
+  }
+
   /** Probe-set rule for [[txDfpJoin]], shared with the oracle twin: a
     * deterministic ~0.1 % customer slice — the selectivity at which
     * dynamic file pruning pays (a broad dimension filter lights up
