@@ -190,6 +190,7 @@ object ScaleBench {
     "etl_tx_group_multi_rule", "etl_tx_avg_rule",
     "etl_tx_ndv_rule", "etl_tx_distinct_rule",
     "etl_tx_sql_catalog", "etl_tx_sql_agg_rule", "stream_cdc_source",
+    "etl_mv_rollup_stale_delete",
     // the per-commit streamed MV maintenance replay (each tick is
     // delta-sized + view-sized; the mid-replay compact is store-sized)
     "stream_mv_refresh",

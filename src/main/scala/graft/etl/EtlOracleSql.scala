@@ -2272,6 +2272,32 @@ object EtlOracleSql {
       |FROM o GROUP BY ROLLUP(year, o_custkey)
       |ORDER BY gid, year NULLS FIRST, o_custkey NULLS FIRST""".stripMargin
 
+  /** Composed-MV twin: DuckDB's ROLLUP over the SURVIVING rows (the
+    * delete's complement below the last year, everything in the tail
+    * year) — what the per-grouping-set branches, each served through
+    * the targeted retraction compensation, must land exactly. */
+  val mvRollupStaleDelete: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS year,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |mx AS (SELECT max(year) AS m FROM o),
+      |u AS (
+      |  SELECT * FROM o WHERE year = (SELECT m FROM mx)
+      |  UNION ALL
+      |  SELECT * FROM o
+      |  WHERE year < (SELECT m FROM mx) AND o_custkey % 7 <> 3
+      |)
+      |SELECT year, o_custkey,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(cents) AS BIGINT) AS min_cents,
+      |       CAST(max(cents) AS BIGINT) AS max_cents,
+      |       CAST(GROUPING(year, o_custkey) AS BIGINT) AS gid
+      |FROM u GROUP BY ROLLUP(year, o_custkey)
+      |ORDER BY gid, year NULLS FIRST, o_custkey NULLS FIRST""".stripMargin
+
   /** Multi-view-selection twin: the per-year panel recomputed from the
     * raw orders — the engine must land it from the coarse (year)
     * rollup chosen over the covering-but-larger customer cube. */

@@ -3345,6 +3345,50 @@ object EtlQueries {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** THE MV TIER COMPOSED — ROLLUP-through-MV (round 12) × stale-tail
+    * compensation (round 11) × retraction compensation (round 12) in
+    * ONE query, the round-12 verdict's item 8: a ROLLUP dashboard
+    * over [[TxFixtures.ordersDeleteMv]] — a base whose registered
+    * view is STALE behind a post-registration predicate DELETE (mask
+    * compacted) and an insert tail re-inserting deleted customers.
+    * [[graft.plans.MvRewrite]] must (a) decompose the
+    * Aggregate-over-Expand into one plain aggregate per grouping set
+    * — (year, o_custkey), (year), () — and (b) serve EVERY branch
+    * through the targeted affected-groups compensation: view ⊕ tail
+    * for untouched groups, a semi-joined, predicate-pruned base
+    * recompute for exactly the retracted groups. The plan gate
+    * requires all three signatures at once: NO Expand survives, every
+    * leaf reads the view or the base dir, and the semi-join +
+    * positive group-column prune shape is present. The full panel
+    * (SUM/COUNT/MIN/MAX + grouping_id) hash-gates against DuckDB's
+    * ROLLUP over the surviving rows. At 100 TB: a rollup dashboard
+    * stays MV-served through deletes and continuous ingest — the
+    * three features compose instead of each forcing the fact scan. */
+  def mvRollupStaleDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxFixtures.ordersDeleteMv(spark, dir)
+    val d = graft.plans.MvCatalog.lookup(t.dir).get
+    require(t.version() > d.baseVersion,
+      "fixture must be STALE: base committed past the registered version")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val rolled = t.readSnapshot(spark).get
+        .rollup("year", "o_custkey")
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_orders"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          grouping_id().as("gid"))
+      require(rolled.queryExecution.optimizedPlan.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }.isEmpty,
+        "the rollup must decompose per grouping set — an Expand " +
+          "survived:\n" + rolled.queryExecution.optimizedPlan.toString)
+      requireMvTargeted(rolled, d.mvPath, t, Set("year", "o_custkey"))
+      frozen(rolled, "gid", "year", "o_custkey")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** MULTI-VIEW SELECTION — two rollups registered on the same orders
     * base ([[TxFixtures.ordersMultiMv]]: the fine (year, o_custkey)
     * cube and the coarse (year) one) and a year-grain panel that BOTH
