@@ -145,9 +145,16 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(fn, name)
-    }
+    // SPARK_GRAFT_PAIRED_ONLY=1 skips the main sweep — the a/b
+    // crossover measurements at factor 10 (ScaleBench's blown-up dir)
+    // only need the paired phase, and a full 300-query sweep at sf1
+    // would burn an hour to answer a three-pair question.
+    val pairedOnly = sys.env.get("SPARK_GRAFT_PAIRED_ONLY").contains("1")
+    val results =
+      if (pairedOnly) Map.empty[String, Double]
+      else SparkEntry.queries.map { case (name, fn) =>
+        name -> timed(fn, name)
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total over successful queries only; -1 markers stay visible per-query
@@ -163,7 +170,11 @@ object Bench {
     val pairedJson =
       if (pairedRuns <= 0) "{}"
       else {
-        val names = BenchVariants.variants.keys.toSeq.sorted
+        // SPARK_GRAFT_PAIRED_NAMES narrows the pair set (comma list)
+        // for targeted crossover runs at scaled dirs
+        val names = sys.env.get("SPARK_GRAFT_PAIRED_NAMES")
+          .map(_.split(",").toSeq.filter(BenchVariants.variants.contains))
+          .getOrElse(BenchVariants.variants.keys.toSeq).sorted
         val minA = collection.mutable.Map[String, Double]()
         val minB = collection.mutable.Map[String, Double]()
         for (_ <- 1 to pairedRuns; n <- names) {

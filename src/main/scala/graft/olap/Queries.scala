@@ -636,6 +636,13 @@ object Queries {
   val AbcA = 0.80
   val AbcB = 0.95
 
+  /** [[q23AbcPareto]]'s adaptive-gate threshold: the plain global
+    * window is admitted while the product domain (part-dimension row
+    * count, one parquet metadata read) stays under 4 million rows —
+    * a few hundred MB through one window partition; above it the
+    * distributed bucketed prefix sum engages. */
+  val AbcWindowGate: Long = 4_000_000L
+
   /** Q23 (extension): ABC / Pareto analysis — products ranked by yearly
     * revenue with their cumulative share and A/B/C class, the classic
     * "which 20 % of the catalog is 80 % of revenue" report.
@@ -652,13 +659,44 @@ object Queries {
     * running/total) and the threshold compares are exact-input. The
     * DuckDB twin uses the plain window — semantics, not plans, must
     * match. */
-  def q23AbcPareto(spark: SparkSession, dir: String, buckets: Int = 0): DataFrame = {
+  def q23AbcPareto(spark: SparkSession, dir: String, buckets: Int = 0,
+      windowGate: Long = AbcWindowGate): DataFrame = {
     val b = if (buckets > 0) buckets
       else math.max(4, spark.sparkContext.defaultParallelism / 4)
     val perProduct = Star.salesFact(spark, dir)
       .groupBy("product_id")
       .agg(sum((col("total_revenue") * 100).cast("long")).as("cents"))
     val total = perProduct.agg(sum("cents").as("total_cents"))
+    // ADAPTIVE WINDOW GATE (round-13: the bucketed prefix-max's a/b
+    // crossover never arrived — 1.4× slower than the plain window even
+    // at factor 10, because the windowed frame is the PRODUCT-grain
+    // aggregate, tiny relative to the fact). The product domain is
+    // bounded by the part dimension, whose row count is one parquet
+    // metadata read; while it fits comfortably through one window
+    // partition the natural spelling wins, and only a genuinely
+    // catalog-sized domain engages the distributed prefix sum. Bucket
+    // choice never changes values (spec-pinned), so the gate is purely
+    // a plan decision.
+    val productDomain = cachedProbe(spark, s"partcount:$dir") {
+      scala.util.Try(
+        spark.read.parquet(s"$dir/part.parquet").count()).getOrElse(Long.MaxValue)
+    }
+    if (productDomain <= windowGate) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(desc("cents"), asc("product_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return perProduct
+        .withColumn("running_cents", sum("cents").over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_share",
+          col("running_cents").cast("double") / col("total_cents").cast("double"))
+        .withColumn("abc_class",
+          when(col("cum_share") <= lit(AbcA), "A")
+            .when(col("cum_share") <= lit(AbcB), "B")
+            .otherwise("C"))
+        .select("product_id", "cents", "running_cents", "cum_share", "abc_class")
+        .orderBy(desc("cents"), asc("product_id"))
+    }
     val qs = (1 until b).map(i => i.toDouble / b).mkString(",")
     val cuts = perProduct.agg(expr(s"percentile(cents, array($qs))").as("cuts"))
     val keyed = perProduct.crossJoin(broadcast(cuts))
@@ -1065,15 +1103,119 @@ object Queries {
     * data): a bot/bulk-upload order above the cap is excluded from
     * mining entirely, mirrored verbatim in the oracle twin. */
   def q29Itemsets3(spark: SparkSession, dir: String, minSupport: Int = 2,
-      k: Int = 50, maxBasket: Int = 100): DataFrame = {
+      k: Int = 50, maxBasket: Int = 100,
+      tripleGate: Long = AprioriTripleGate): DataFrame = {
     val basket = graft.etl.Star.salesFact(spark, dir)
       .select("order_id", "product_id").distinct()
-    itemsets3Candidates(basket, minSupport, maxBasket)
+    // ADAPTIVE APRIORI GATE (round-13: the measured a/b crossover
+    // never arrived — at factor 10 the always-pruned plan is 3.4×
+    // SLOWER than the direct expansion, because sane baskets make the
+    // pair-support pass and its two semi-joins pure overhead). One
+    // cheap aggregate over basket sizes computes the EXACT unpruned
+    // candidate count Σ C(n,3); only when that predicts a blow-up
+    // (a pathological basket mix) does the Apriori machinery engage.
+    // Both paths end at the same `support ≥ minSupport` filter, so
+    // the answer is path-independent (spec-pinned; pruning is
+    // lossless by the Apriori property).
+    // probe cost discipline: line-grain counts (no distinct shuffle)
+    // give an UPPER bound on basket sizes — a safe overestimate that
+    // can only engage pruning early — and the scalar memoizes per
+    // (session, dataset) like any other statistic, so repeat plans
+    // pay nothing
+    // probe grain note: line counts upper-bound item counts, and the
+    // sum is over ALL orders (no cap filter — filtering on the wrong
+    // grain could under-estimate a kept basket's expansion), so the
+    // predicted candidate count is a strict upper bound — a safe
+    // overestimate can only engage pruning early. The max line count
+    // additionally proves the basket-size guard VACUOUS when already
+    // under the cap, so the sane-data plan carries no guard shuffle
+    // at all.
+    val (triples, maxLine) = q29Probes(spark, dir)
+    val candidates =
+      if (triples > tripleGate) itemsets3Candidates(basket, minSupport, maxBasket)
+      else itemsets3Direct(basket, maxBasket,
+        guardNeeded = maxLine > maxBasket)
+    candidates
       .groupBy("p1", "p2", "p3")
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
       .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
       .limit(k)
+  }
+
+  /** Scalar probe memo behind the adaptive gates — the statistics-
+    * cache discipline (ANALYZE once, plan many): a gate probe's answer
+    * is a property of the (session, dataset), so repeat queries reuse
+    * the first run's decision instead of re-scanning. Stopped
+    * sessions' entries purge lazily, the [[graft.util.SessionCache]]
+    * lifecycle. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private def cachedProbe(spark: SparkSession, key: String)(
+      compute: => Long): Long = {
+    probeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    probeCache.computeIfAbsent((spark, key), _ => compute).longValue()
+  }
+
+  /** [[q29Itemsets3]]'s two gate scalars in ONE cached pass over the
+    * per-order line counts: the exact-upper-bound candidate sum
+    * Σ C(n,3) and the max per-order line count (which proves the
+    * basket-size guard vacuous when it is already under the cap —
+    * items per basket ≤ lines per order). */
+  private def q29Probes(spark: SparkSession, dir: String): (Long, Long) = {
+    probeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val kT = (spark, s"q29triples:$dir")
+    val kM = (spark, s"q29maxline:$dir")
+    val (t, m) = (probeCache.get(kT), probeCache.get(kM))
+    if (t != null && m != null) (t.longValue(), m.longValue())
+    else {
+      val r = graft.etl.Star.salesFact(spark, dir)
+        .groupBy("order_id")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) * (n - 2) / 6")), lit(0L))
+          .cast("long"),
+          coalesce(max(col("n")), lit(0L)).cast("long"))
+        .head()
+      probeCache.put(kT, r.getLong(0))
+      probeCache.put(kM, r.getLong(1))
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** [[q29Itemsets3]]'s adaptive-gate threshold: the direct (unpruned)
+    * expansion is admitted while the exact predicted candidate count
+    * Σ C(basket,3) stays under 2·10⁸ (a few GB through the support
+    * shuffle — bounded on one executor, trivial on a cluster); above
+    * it the Apriori pair cuts engage. */
+  val AprioriTripleGate: Long = 200_000_000L
+
+  /** The DIRECT candidate expansion — [[itemsets3Candidates]] minus
+    * the pair-support pass and its semi-joins, taken when the gate's
+    * probe proves Σ C(n,3) is bounded. Same canonical p1<p2<p3 rows,
+    * same basket-size guard; the final support filter makes the two
+    * paths answer-identical. */
+  private[olap] def itemsets3Direct(basket: DataFrame,
+      maxBasket: Int, guardNeeded: Boolean = true): DataFrame = {
+    val b = if (!guardNeeded) basket else {
+      val kept = basket.groupBy("order_id")
+        .agg(count(lit(1)).as("basket_size"))
+        .where(col("basket_size") <= maxBasket)
+        .select("order_id")
+      basket.join(kept, Seq("order_id"), "left_semi")
+    }
+    b.as("a")
+      .join(b.as("b"),
+        col("a.order_id") === col("b.order_id") &&
+          col("a.product_id") < col("b.product_id"))
+      .select(col("a.order_id").as("order_id"),
+        col("a.product_id").as("p1"), col("b.product_id").as("p2"))
+      .as("ab")
+      .join(b.as("c"),
+        col("ab.order_id") === col("c.order_id") &&
+          col("ab.p2") < col("c.product_id"))
+      .select(col("ab.order_id").as("order_id"), col("p1"), col("p2"),
+        col("c.product_id").as("p3"))
   }
 
   /** The pruned candidate-triple table behind [[q29Itemsets3]]: one row

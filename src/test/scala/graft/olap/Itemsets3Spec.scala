@@ -54,6 +54,28 @@ class Itemsets3Spec extends SparkSpec {
     // with the guards effectively off, candidates == brute-force C(b,3)
     val all = Queries.itemsets3Candidates(basket, minSupport = 1, maxBasket = 1000)
     assert(all.count() == 5 * 1 + 9880 + 220)
+
+    // the DIRECT path's candidate set IS brute-force C(b,3) under the
+    // same size guard — the gate's fast spelling
+    assert(Queries.itemsets3Direct(basket, maxBasket = 1000).count() ==
+      5 * 1 + 9880 + 220)
+    assert(Queries.itemsets3Direct(basket, maxBasket = 10).count() == 5L)
+  }
+
+  test("q29 adaptive gate: both paths answer identically; the probe predicts the blow-up") {
+    // round-13: the always-pruned plan lost 3.4x to the direct
+    // expansion at factor 10, so the pair-support pass now engages
+    // only when the exact probe sum C(n,3) predicts a blow-up. The
+    // gate must be answer-invariant: tripleGate = 0 forces the
+    // Apriori path, MaxValue forces the direct path, and both must
+    // equal the default's output row-for-row.
+    val default = Queries.q29Itemsets3(spark, sfSmoke).collect().toSeq
+    val pruned = Queries.q29Itemsets3(spark, sfSmoke, tripleGate = 0L)
+      .collect().toSeq
+    val direct = Queries.q29Itemsets3(spark, sfSmoke,
+      tripleGate = Long.MaxValue).collect().toSeq
+    assert(default == pruned, "gate changed the answer (pruned path)")
+    assert(default == direct, "gate changed the answer (direct path)")
   }
 
   test("dedup curve: 4 zero-filled rows, monotone non-increasing, base tier exact") {

@@ -133,9 +133,15 @@ class OlapPropertySpec extends SparkSpec {
           else if (r.getDouble(3) <= Queries.AbcB) "B" else "C"
         assert(r.getString(4) == cls)
       }
-      // bucket count is parallelism only — values identical for any b
-      val alt = Queries.q23AbcPareto(spark, sfSmoke, buckets = 13).collect()
-      assert(rows.toSeq == alt.toSeq, "bucket count changed ABC values")
+      // the adaptive gate is a PLAN decision only: the bucketed
+      // distributed prefix sum (windowGate = 0 forces it) answers
+      // identically to the default plain-window path, for any bucket
+      // count
+      val alt = Queries.q23AbcPareto(spark, sfSmoke, buckets = 13,
+        windowGate = 0L).collect()
+      assert(rows.toSeq == alt.toSeq, "bucketed path changed ABC values")
+      val alt2 = Queries.q23AbcPareto(spark, sfSmoke, windowGate = 0L).collect()
+      assert(rows.toSeq == alt2.toSeq, "bucket count changed ABC values")
     } finally abc.unpersist()
   }
 
