@@ -171,9 +171,18 @@ object Bench {
       if (pairedRuns <= 0) "{}"
       else {
         // SPARK_GRAFT_PAIRED_NAMES narrows the pair set (comma list)
-        // for targeted crossover runs at scaled dirs
+        // for targeted crossover runs at scaled dirs; unknown names
+        // are reported, never silently dropped (a typo'd run would
+        // otherwise read as "no pairs regressed")
         val names = sys.env.get("SPARK_GRAFT_PAIRED_NAMES")
-          .map(_.split(",").toSeq.filter(BenchVariants.variants.contains))
+          .map { raw =>
+            val asked = raw.split(",").toSeq.filter(_.nonEmpty)
+            val (known, unknown) =
+              asked.partition(BenchVariants.variants.contains)
+            unknown.foreach(n => System.err.println(
+              s"[bench] SPARK_GRAFT_PAIRED_NAMES: no variant named '$n'"))
+            known
+          }
           .getOrElse(BenchVariants.variants.keys.toSeq).sorted
         val minA = collection.mutable.Map[String, Double]()
         val minB = collection.mutable.Map[String, Double]()

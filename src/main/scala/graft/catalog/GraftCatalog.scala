@@ -83,29 +83,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def schemaFileOf(dir: Path): Path =
     dir.resolve("_txlog").resolve("_schema.ddl")
 
-  /** The table's current schema: the snapshot's own once data exists
-    * (one cached-relation probe), else the recorded CREATE TABLE DDL. */
-  private def schemaOf(sink: TxParquetSink, dir: Path,
-      asOf: Option[Long]): StructType = {
-    val spark = SparkSession.active
-    val snap = asOf match {
-      case Some(v) => sink.readVersion(spark, v)
-      case None => sink.readSnapshot(spark)
-    }
-    snap.map(_.schema).orElse {
-      val f = schemaFileOf(dir)
-      if (Files.isRegularFile(f))
-        Some(StructType.fromDDL(new String(Files.readAllBytes(f), UTF_8)))
-      else None
-    }.getOrElse(throw new IllegalStateException(
-      s"graft table at $dir has no commits and no recorded schema"))
-  }
-
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val sink = TxParquetSink(dir.toString)
-    GraftTable(fullName(ident), sink, None, schemaOf(sink, dir, None))
+    val t = GraftTable(fullName(ident), TxParquetSink(dir.toString), None,
+      schemaFileOf(dir).toString)
+    t.schema() // fail fast on an unreadable table; memoizes the
+    t          // resolution the substitution rule reuses
   }
 
   /** `VERSION AS OF <v>` time travel — the commit log IS the version
@@ -117,9 +101,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft time travel takes a commit version number, got '$version'")
     }
-    val sink = TxParquetSink(dir.toString)
-    GraftTable(s"${fullName(ident)}@v$v", sink, Some(v),
-      schemaOf(sink, dir, Some(v)))
+    val t = GraftTable(s"${fullName(ident)}@v$v",
+      TxParquetSink(dir.toString), Some(v), schemaFileOf(dir).toString)
+    t.schema()
+    t
   }
 
   private def fullName(ident: Identifier): String =
@@ -149,7 +134,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("_txlog"))
     Files.write(schemaFileOf(dir), schema.toDDL.getBytes(UTF_8))
-    GraftTable(fullName(ident), TxParquetSink(dir.toString), None, schema)
+    GraftTable(fullName(ident), TxParquetSink(dir.toString), None,
+      schemaFileOf(dir).toString)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -228,12 +214,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(f => Files.deleteIfExists(f))
-    finally walk.close()
-  }
+  private def deleteRecursively(p: Path): Unit =
+    TxParquetSink.deleteTree(p)
 }
 
 /** One governed table as a DataSourceV2 `Table`. Reads are served by
@@ -248,13 +230,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * OVERWRITE` = [[TxParquetSink.replaceAll]] (one base commit — time
   * travel across the overwrite keeps working). */
 final case class GraftTable(fullName: String, sink: TxParquetSink,
-    asOf: Option[Long], tableSchema: StructType)
+    asOf: Option[Long], schemaFile: String)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = fullName
 
+  /** THE one snapshot/version resolution per loadTable — memoized so
+    * a `VERSION AS OF` query does not build the historical relation
+    * twice (once for the schema, once for the substitution rule —
+    * review finding r13). Head reads additionally hit the sink's own
+    * resolved-relation cache. */
+  @transient lazy val resolvedFrame: Option[org.apache.spark.sql.DataFrame] = {
+    val s = SparkSession.active
+    asOf match {
+      case Some(v) => sink.readVersion(s, v)
+      case None => sink.readSnapshot(s)
+    }
+  }
+
   @deprecated("kept for the Table interface", "")
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = resolvedFrame.map(_.schema).orElse {
+    // a created-but-empty table (or one truncated by an empty
+    // overwrite, which records its DDL) resolves through the recorded
+    // CREATE TABLE schema
+    val f = java.nio.file.Paths.get(schemaFile)
+    if (Files.isRegularFile(f))
+      Some(StructType.fromDDL(new String(Files.readAllBytes(f), UTF_8)))
+    else None
+  }.getOrElse(throw new IllegalStateException(
+    s"graft table '$fullName' has no commits and no recorded schema"))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

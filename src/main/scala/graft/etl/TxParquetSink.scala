@@ -2225,6 +2225,21 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val n = df.count()
     enforceConstraints(df)
     val staged = if (n == 0) Nil else Seq(stageAudited(spark, df, n))
+    // record the incoming schema as catalog DDL (best effort): an
+    // EMPTY base has no files to read a schema from, and without this
+    // an adopted table truncated through SQL `INSERT OVERWRITE ...
+    // WHERE false` would become unreadable through the catalog
+    // (review finding r13). Written on every replace so the recorded
+    // DDL also tracks schema evolution.
+    try {
+      Files.createDirectories(logDir)
+      val tmp = Files.createTempFile(logDir, ".ddl-", ".tmp")
+      Files.write(tmp, df.schema.toDDL.getBytes(UTF_8))
+      Files.move(tmp, logDir.resolve("_schema.ddl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch { case _: Exception => () } // advisory, never fails a commit
     var v = version() + 1
     val m = Manifest(n, staged, base = true)
     while (!tryPublish(v, m)) v = version() + 1
@@ -2888,12 +2903,14 @@ object TxParquetSink {
   private[graft] val relationBuilds =
     new java.util.concurrent.atomic.AtomicLong()
 
-  /** Bounds [[relationCache]]: entries of STOPPED sessions go first
-    * (their plans are unusable), then arbitrary other-key entries —
-    * never a wholesale clear, so one table over the bound cannot
-    * force every hot table to re-resolve. */
+  /** Bounds [[relationCache]]: STOPPED sessions' entries are swept on
+    * EVERY insert (review finding r13 — waiting for the 512 bound
+    * would pin each stopped session's plan graph indefinitely in
+    * exactly the create-and-stop session patterns the catalog
+    * targets; the sweep is one scan of ≤ 512 entries on the rare
+    * insert path), then arbitrary other-key entries go if still over
+    * the bound — never a wholesale clear. */
   private def pruneRelationCache(current: (String, String)): Unit = {
-    if (relationCache.size <= 512) return
     import scala.jdk.CollectionConverters._
     relationCache.entrySet().asScala
       .filter(e => e.getValue.session.sparkContext.isStopped)
@@ -3334,7 +3351,13 @@ object TxParquetSink {
     !num || (try { BigDecimal(mn); BigDecimal(mx); true }
              catch { case _: NumberFormatException => false })
 
-  private def deleteRecursively(p: Path): Unit =
+  private def deleteRecursively(p: Path): Unit = deleteTree(p)
+
+  /** THE recursive tree delete — shared with [[graft.catalog
+    * .GraftCatalog]] and [[graft.plans.MvRewrite]]'s GC so the three
+    * call sites cannot drift (review finding r13). Depth-first via
+    * one listing snapshot; vanished entries are fine (deleteIfExists). */
+  private[graft] def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       val all = try s.iterator.asScala.toSeq finally s.close()

@@ -42,11 +42,10 @@ class GraftCatalogRelations(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
-        val snap = t.asOf match {
-          case Some(v) => t.sink.readVersion(spark, v)
-          case None => t.sink.readSnapshot(spark)
-        }
-        snap match {
+        // the table's own memoized resolution — the SAME frame
+        // loadTable's schema probe built, so a VERSION AS OF query
+        // constructs its historical relation exactly once
+        t.resolvedFrame match {
           case None => LocalRelation(r.output, Seq.empty)
           case Some(df) =>
             val sub = df.queryExecution.analyzed

@@ -177,8 +177,13 @@ object MetadataAggregates extends Rule[LogicalPlan] {
     else ae.filter.isEmpty && (ae.aggregateFunction match {
       // ndv_estimate(col) in its canonical hashed spelling: the KMV
       // estimate folds from the manifests' per-commit sketches
-      // (union-truncate semilattice ⇒ identical to the scan's value)
-      case KmvNdvAgg(Md5Prefix32(Cast(_: AttributeReference, StringType, _, _)), _, _, _) => true
+      // (union-truncate semilattice ⇒ identical to the scan's value).
+      // Matched through [[ndvColumn]]: over a STRING column the
+      // builder's identity cast is stripped by SimplifyCasts BEFORE
+      // this rule runs, so the bare-attribute spelling must match too
+      // — otherwise a string-column ndv member would silently keep
+      // the whole panel on the scan (all-or-nothing).
+      case KmvNdvAgg(Md5Prefix32(c), _, _, _) if ndvColumn(c).isDefined => true
       case Count(Seq(l: Literal)) => l.value != null
       case Count(Seq(_: AttributeReference)) => true
       case Min(_: AttributeReference) => true
@@ -199,6 +204,17 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       }
       case _ => false
     })
+
+  /** The table column under an `ndv_estimate` hash input: either the
+    * builder's canonical `Cast(col AS STRING)` or — for a column that
+    * IS a string — the bare attribute left after SimplifyCasts strips
+    * the identity cast. Both hash the same bytes as the per-commit
+    * manifest sketches (`h32(cast(col as string))`). */
+  private def ndvColumn(e: Expression): Option[AttributeReference] = e match {
+    case Cast(a: AttributeReference, StringType, _, _) => Some(a)
+    case a: AttributeReference if a.dataType == StringType => Some(a)
+    case _ => None
+  }
 
   /** Filter/pass-through-Project/SubqueryAlias walk down to the single
     * LogicalRelation, collecting filter conditions. A Project whose
@@ -295,9 +311,9 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
     else ae.aggregateFunction match {
-      case KmvNdvAgg(Md5Prefix32(
-          Cast(a: AttributeReference, StringType, _, _)), k, _, _) =>
-        if (rows == 0L) Some(0.0d) else sketch(a.name, k).map(d => d: Any)
+      case KmvNdvAgg(Md5Prefix32(c), k, _, _) if ndvColumn(c).isDefined =>
+        if (rows == 0L) Some(0.0d)
+        else sketch(ndvColumn(c).get.name, k).map(d => d: Any)
       case Count(Seq(_: Literal)) => Some(rows)
       case Count(Seq(a: AttributeReference)) =>
         if (rows == 0L) Some(0L)

@@ -990,19 +990,24 @@ object MvCatalog {
     // the mtime read races the same external deleters the partition
     // above contemplates: a candidate vanishing BETWEEN the
     // isDirectory check and the stat is already gone, not an error —
-    // propagating would abort the whole refresh after it succeeded
-    val (candidates, vanishedDuring) = present
-      .map(p => (p, scala.util.Try(
-        Files.getLastModifiedTime(Paths.get(p)).toMillis).toOption))
-      .partition(_._2.isDefined)
+    // propagating would abort the whole refresh after it succeeded.
+    // But a TRANSIENT stat failure on a dir that still exists must
+    // NOT leave the registry (review finding r13 — a dropped path is
+    // never again a deletion candidate, an unbounded disk leak): the
+    // unstat-able-but-present dir just skips this pass and retries on
+    // the next one.
+    val statted = present.map(p => (p, scala.util.Try(
+      Files.getLastModifiedTime(Paths.get(p)).toMillis).toOption))
+    val (candidates, unstatted) = statted.partition(_._2.isDefined)
+    val vanishedDuring = unstatted.map(_._1)
+      .filter(p => !Files.exists(Paths.get(p)))
     val dropped = candidates
       .map { case (p, t) => (p, t.get) }
       .sortBy(-_._2)
       .drop(math.max(retention.keep - 1, 0))
       .filter { case (_, mtime) => now - mtime > retention.graceMs }
     dropped.foreach { case (p, _) => deleteRecursively(Paths.get(p)) }
-    val gone = dropped.map(_._1).toSet ++ vanished ++
-      vanishedDuring.map(_._1)
+    val gone = dropped.map(_._1).toSet ++ vanished ++ vanishedDuring
     if (gone.nonEmpty) {
       writtenViews.computeIfPresent(stem,
         (_, cur) => cur.filterNot(gone.contains))
@@ -1010,15 +1015,8 @@ object MvCatalog {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    } finally walk.close()
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.etl.TxParquetSink.deleteTree(p)
 
   /** WRITE-PATH FRESHNESS POLICY — the
     * [[TxParquetSink.maintainIfNeeded]] pattern for the MV tier:

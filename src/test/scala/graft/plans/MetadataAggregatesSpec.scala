@@ -527,8 +527,9 @@ class MetadataAggregatesSpec extends AnyFunSuite {
       val months = Seq("2024-01", "2024-02", "2024-03", "2024-04")
       months.zipWithIndex.foreach { case (m, i) =>
         t.appendWithStats(
-          (1 to 50).map(d => (m, (i * 50 + d).toLong)).toDF("month", "amount"),
-          Seq("month", "amount"), sketchCols = Seq("amount"))
+          (1 to 50).map(d => (m, (i * 50 + d).toLong, s"tag$d"))
+            .toDF("month", "amount", "tag"),
+          Seq("month", "amount"), sketchCols = Seq("amount", "month"))
       }
       def snap = t.readSnapshot(s).get
       // exact distinct over the grain column: literal, no scan
@@ -558,8 +559,20 @@ class MetadataAggregatesSpec extends AnyFunSuite {
       val filtered = snap.where("amount >= 51")
         .agg(expr("ndv_estimate(amount)").as("ndv"))
       assert(!isLocal(filtered))
-      // an UNSKETCHED column declines (month has no sketch records)
-      val unsketched = snap.agg(expr("ndv_estimate(month)").as("ndv"))
+      // a STRING column folds too: the builder's identity cast is
+      // stripped by SimplifyCasts before the rule runs, so the
+      // bare-attribute spelling must match (review finding r13) —
+      // and its value equals the scan aggregate's
+      val ndvStr = snap.agg(expr("ndv_estimate(month)").as("ndv"))
+      assert(isLocal(ndvStr), ndvStr.queryExecution.optimizedPlan.toString)
+      val plainStr = months.zipWithIndex.flatMap { case (m, i) =>
+        (1 to 50).map(d => (m, (i * 50 + d).toLong)) }.toDF("month", "amount")
+        .repartition(2)
+        .agg(expr("ndv_estimate(month)").as("ndv"))
+      assert(ndvStr.collect().head.getDouble(0) ==
+        plainStr.collect().head.getDouble(0))
+      // an UNSKETCHED column declines (tag has no sketch records)
+      val unsketched = snap.agg(expr("ndv_estimate(tag)").as("ndv"))
       assert(!isLocal(unsketched))
       // a mask forbids the fold (ghost values) — decline, right answer
       t.deleteWhere(s, "amount = 7")
