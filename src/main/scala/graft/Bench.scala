@@ -176,7 +176,7 @@ object Bench {
         // otherwise read as "no pairs regressed")
         val names = sys.env.get("SPARK_GRAFT_PAIRED_NAMES")
           .map { raw =>
-            val asked = raw.split(",").toSeq.filter(_.nonEmpty)
+            val asked = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
             val (known, unknown) =
               asked.partition(BenchVariants.variants.contains)
             unknown.foreach(n => System.err.println(

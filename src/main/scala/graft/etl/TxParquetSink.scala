@@ -2231,15 +2231,30 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     // WHERE false` would become unreadable through the catalog
     // (review finding r13). Written on every replace so the recorded
     // DDL also tracks schema evolution.
-    try {
-      Files.createDirectories(logDir)
-      val tmp = Files.createTempFile(logDir, ".ddl-", ".tmp")
-      Files.write(tmp, df.schema.toDDL.getBytes(UTF_8))
-      Files.move(tmp, logDir.resolve("_schema.ddl"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
-    } catch { case _: Exception => () } // advisory, never fails a commit
+    locally {
+      var tmp: Path = null
+      try {
+        Files.createDirectories(logDir)
+        tmp = Files.createTempFile(logDir, ".ddl-", ".tmp")
+        Files.write(tmp, df.schema.toDDL.getBytes(UTF_8))
+        try Files.move(tmp, logDir.resolve("_schema.ddl"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // filesystems without atomic move still get the DDL
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, logDir.resolve("_schema.ddl"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+      } catch { case e: Exception => // advisory, never fails a commit —
+        // but visible: a silently missing DDL reinstates the
+        // truncated-table unreadability this record exists to prevent
+        System.err.println(
+          s"[tx] replaceAll: could not record _schema.ddl for $dir: $e")
+      } finally {
+        if (tmp != null) { Files.deleteIfExists(tmp); () } // no tmp litter
+      }
+    }
     var v = version() + 1
     val m = Manifest(n, staged, base = true)
     while (!tryPublish(v, m)) v = version() + 1

@@ -183,7 +183,7 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       // this rule runs, so the bare-attribute spelling must match too
       // — otherwise a string-column ndv member would silently keep
       // the whole panel on the scan (all-or-nothing).
-      case KmvNdvAgg(Md5Prefix32(c), _, _, _) if ndvColumn(c).isDefined => true
+      case KmvNdvAgg(Md5Prefix32(NdvColumn(_)), _, _, _) => true
       case Count(Seq(l: Literal)) => l.value != null
       case Count(Seq(_: AttributeReference)) => true
       case Min(_: AttributeReference) => true
@@ -209,11 +209,15 @@ object MetadataAggregates extends Rule[LogicalPlan] {
     * builder's canonical `Cast(col AS STRING)` or — for a column that
     * IS a string — the bare attribute left after SimplifyCasts strips
     * the identity cast. Both hash the same bytes as the per-commit
-    * manifest sketches (`h32(cast(col as string))`). */
-  private def ndvColumn(e: Expression): Option[AttributeReference] = e match {
-    case Cast(a: AttributeReference, StringType, _, _) => Some(a)
-    case a: AttributeReference if a.dataType == StringType => Some(a)
-    case _ => None
+    * manifest sketches (`h32(cast(col as string))`). An extractor so
+    * the two match sites share ONE pattern (no guard/get split to
+    * drift). */
+  private object NdvColumn {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case Cast(a: AttributeReference, StringType, _, _) => Some(a)
+      case a: AttributeReference if a.dataType == StringType => Some(a)
+      case _ => None
+    }
   }
 
   /** Filter/pass-through-Project/SubqueryAlias walk down to the single
@@ -311,9 +315,8 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
     else ae.aggregateFunction match {
-      case KmvNdvAgg(Md5Prefix32(c), k, _, _) if ndvColumn(c).isDefined =>
-        if (rows == 0L) Some(0.0d)
-        else sketch(ndvColumn(c).get.name, k).map(d => d: Any)
+      case KmvNdvAgg(Md5Prefix32(NdvColumn(a)), k, _, _) =>
+        if (rows == 0L) Some(0.0d) else sketch(a.name, k).map(d => d: Any)
       case Count(Seq(_: Literal)) => Some(rows)
       case Count(Seq(a: AttributeReference)) =>
         if (rows == 0L) Some(0L)

@@ -983,31 +983,26 @@ object MvCatalog {
     val written = writtenFor(stem).filter(p => !live.contains(p))
     // paths whose dirs vanished through ANY channel (this GC, an
     // external janitor, a competing process) leave the registry — a
-    // per-commit maintenance loop must not grow the list unboundedly
-    val (present, vanished) = written.partition(p =>
-      Files.isDirectory(Paths.get(p)))
+    // per-commit maintenance loop must not grow the list unboundedly.
+    // notExists, NOT !isDirectory / !exists: both of those also
+    // return false/true under a transient I/O error on a dir that is
+    // STILL THERE, and a registry drop is forever (the path is never
+    // again a deletion candidate — an unbounded disk leak, the r13
+    // second-pass finding). notExists is true only when the path is
+    // DEFINITELY gone; anything indeterminate stays registered and
+    // simply skips this pass.
+    val (vanished, present) = written.partition(p =>
+      Files.notExists(Paths.get(p)))
     val now = System.currentTimeMillis()
-    // the mtime read races the same external deleters the partition
-    // above contemplates: a candidate vanishing BETWEEN the
-    // isDirectory check and the stat is already gone, not an error —
-    // propagating would abort the whole refresh after it succeeded.
-    // But a TRANSIENT stat failure on a dir that still exists must
-    // NOT leave the registry (review finding r13 — a dropped path is
-    // never again a deletion candidate, an unbounded disk leak): the
-    // unstat-able-but-present dir just skips this pass and retries on
-    // the next one.
     val statted = present.map(p => (p, scala.util.Try(
       Files.getLastModifiedTime(Paths.get(p)).toMillis).toOption))
-    val (candidates, unstatted) = statted.partition(_._2.isDefined)
-    val vanishedDuring = unstatted.map(_._1)
-      .filter(p => !Files.exists(Paths.get(p)))
+    val candidates = statted.collect { case (p, Some(t)) => (p, t) }
     val dropped = candidates
-      .map { case (p, t) => (p, t.get) }
       .sortBy(-_._2)
       .drop(math.max(retention.keep - 1, 0))
       .filter { case (_, mtime) => now - mtime > retention.graceMs }
     dropped.foreach { case (p, _) => deleteRecursively(Paths.get(p)) }
-    val gone = dropped.map(_._1).toSet ++ vanished ++ vanishedDuring
+    val gone = dropped.map(_._1).toSet ++ vanished
     if (gone.nonEmpty) {
       writtenViews.computeIfPresent(stem,
         (_, cur) => cur.filterNot(gone.contains))
