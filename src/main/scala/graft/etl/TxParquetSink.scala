@@ -15,8 +15,9 @@ import scala.jdk.CollectionConverters._
   *  1. **Write**: the batch lands as parquet under a fresh
   *     `data/tx-<uuid>` directory. Staged data is invisible — readers
   *     only ever see directories referenced by the log.
-  *  2. **Audit**: the staged files are read back and row-counted against
-  *     the intended count before anything is published; a short write
+  *  2. **Audit**: the staged files' parquet footers are row-counted on
+  *     the driver against the count the write itself observed
+  *     ([[stageObserved]]) before anything is published; a short write
   *     aborts the commit instead of corrupting the table.
   *  3. **Publish**: one manifest file `_txlog/<version>.txn` appears
   *     ATOMICALLY via hard-link creation (`Files.createLink` is an
@@ -358,11 +359,14 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * race just re-publishes the same staged directory at the next
     * version. */
   def append(df: DataFrame): Unit = {
-    val spark = df.sparkSession
-    val n = df.count()
-    if (n == 0) return
-    enforceConstraints(df)
-    val staged = stageAudited(spark, df, n)
+    // ONE pass (round-13 optimization): count + constraint check fused
+    // into the staging write via observe; audit from the footers — the
+    // old count→constrain→write→re-read path ran the batch plan twice
+    // and read it back once more.
+    val cons = constraintViolationAggs()
+    val (staged, n, metrics) = stageObserved(df, cons.map(_._3))
+    if (n == 0) { deleteRecursively(root.resolve(staged)); return }
+    checkConstraintMetrics(cons, metrics, Some(staged))
     var v = version() + 1
     while (!tryPublish(v, Manifest(n, Seq(staged)))) v = version() + 1
   }
@@ -397,12 +401,12 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * call committed. */
   def appendIdempotent(df: DataFrame, appId: String,
       txnVersion: Long): Boolean = {
-    val spark = df.sparkSession
     if (txnVersion <= lastTxnVersion(appId)) return false
-    val n = df.count()
-    if (n == 0) return false
-    enforceConstraints(df)
-    val staged = stageAudited(spark, df, n)
+    // one fused staging pass — the [[append]] discipline
+    val cons = constraintViolationAggs()
+    val (staged, n, metrics) = stageObserved(df, cons.map(_._3))
+    if (n == 0) { deleteRecursively(root.resolve(staged)); return false }
+    checkConstraintMetrics(cons, metrics, Some(staged))
     val manifest = Manifest(n, Seq(staged), txn = Some((appId, txnVersion)))
     while (true) {
       // pin the target version BEFORE re-checking the mark: a twin
@@ -430,16 +434,21 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * commits from the DRIVER, before any scan task launches. */
   def appendWithStats(df: DataFrame, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, sketchCols: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.{col, min, max, explode, array, pmod, concat, lit}
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.functions.{col, explode, array, pmod, concat, lit}
     val spark = df.sparkSession
-    val n = df.count()
-    if (n == 0) return
-    enforceConstraints(df)
-    val staged = stageAudited(spark, df, n)
-    val stagedDf = spark.read.parquet(root.resolve(staged).toString)
+    // count + constraints + min/max/nulls/sums profile fused into the
+    // ONE staging write (round-13 optimization — this path used to run
+    // the batch plan twice and re-read the staged files twice more);
+    // only the bloom/KMV passes below still read the staged files, and
+    // only when those columns are requested.
+    val cons = constraintViolationAggs()
+    val (staged, n, metrics) = stageObserved(df,
+      cons.map(_._3) ++ statsAggsFor(df.schema, statsCols))
+    if (n == 0) { deleteRecursively(root.resolve(staged)); return }
+    checkConstraintMetrics(cons, metrics, Some(staged))
+    lazy val stagedDf = spark.read.parquet(root.resolve(staged).toString)
     val (stats, nullCounts, sums, sumsqs) =
-      profileStatsOf(stagedDf, n, statsCols)
+      decodeStatsMetrics(metrics(_), n, statsCols, df.schema)
     // bloom bits computed DISTRIBUTED (the batch may be huge): k hash
     // positions per row fused into the scan, one bounded distinct —
     // at most BloomM ints per column ever reach the driver
@@ -1212,17 +1221,16 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * square-sum is exact; an overflowing total nulls out and is simply
     * not recorded — the advisory posture), with the [[finiteNumeric]]
     * admission rule on the extremes. */
-  private def profileStatsOf(stagedDf: DataFrame, n: Long,
-      statsCols: Seq[String])
-      : (Map[String, ColStats], Map[String, Long], Map[String, String],
-         Map[String, String]) = {
-    import org.apache.spark.sql.functions.{col, count, max, min, sum}
+  /** The per-column stats aggregates ([[profileStatsOf]]'s pass), as
+    * named columns so they can run EITHER as a stand-alone aggregate
+    * over a staged read-back OR fused into the staging write's observe
+    * pass ([[stageObserved]]) — the optimization-round move that cut
+    * one full read per stats-recording commit. */
+  private def statsAggsFor(schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, count, max, min}
     import org.apache.spark.sql.types._
-    if (statsCols.isEmpty)
-      return (Map.empty, Map.empty, Map.empty, Map.empty)
-    val numeric = stagedDf.schema.fields
-      .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
-    val integral = stagedDf.schema.fields.map(f => f.name -> (f.dataType match {
+    val integral = schema.fields.map(f => f.name -> (f.dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     })).toMap
@@ -1230,7 +1238,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     // (a wrapped int64 sum would be recorded as truth otherwise), and
     // an overflow NULLS OUT under ANSI mode too instead of throwing —
     // stats recording is advisory and must never fail the commit
-    val aggs = statsCols.flatMap(c => Seq(
+    statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
       count(col(c)).as(s"__cnt_$c"),
@@ -1245,37 +1253,51 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           .cast("string")
        else org.apache.spark.sql.functions.lit(null).cast("string"))
         .as(s"__sumsq_$c")))
-    val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
-    val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val (mn, mx) = (r.getString(5 * i), r.getString(5 * i + 1))
+  }
+
+  /** Decode [[statsAggsFor]]'s aliases back into the manifest records,
+    * from any alias→value lookup (an agg Row or an observe metrics
+    * map). */
+  private def decodeStatsMetrics(lookup: String => Any, n: Long,
+      statsCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : (Map[String, ColStats], Map[String, Long], Map[String, String],
+         Map[String, String]) = {
+    import org.apache.spark.sql.types._
+    if (statsCols.isEmpty)
+      return (Map.empty, Map.empty, Map.empty, Map.empty)
+    val numeric = schema.fields
+      .map(f => f.name -> f.dataType.isInstanceOf[NumericType]).toMap
+    def str(k: String): String = lookup(k).asInstanceOf[String]
+    val st = statsCols.flatMap { c =>
+      val (mn, mx) = (str(s"__min_$c"), str(s"__max_$c"))
       val num = numeric.getOrElse(c, false)
       if (mn == null || mx == null || !finiteNumeric(num, mn, mx)) None
       else Some(c -> ColStats(num, mn, mx))
     }.toMap
-    val nc = statsCols.zipWithIndex.map { case (c, i) =>
-      c -> (n - r.getLong(5 * i + 2))
-    }.toMap
-    val sm = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      Option(r.getString(5 * i + 3)).map(v =>
-        c -> BigDecimal(v).toBigInt.toString)
-    }.toMap
-    val sq = statsCols.zipWithIndex.flatMap { case (c, i) =>
+    val nc = statsCols.map(c =>
+      c -> (n - lookup(s"__cnt_$c").asInstanceOf[Long])).toMap
+    val sm = statsCols.flatMap(c =>
+      Option(str(s"__sum_$c")).map(v =>
+        c -> BigDecimal(v).toBigInt.toString)).toMap
+    val sq = statsCols.flatMap(c =>
       // render as a plain integer string (decimal cast may print a
       // scale); BigDecimal normalizes "123" and "123.000" alike
-      Option(r.getString(5 * i + 4)).map(v =>
-        c -> BigDecimal(v).toBigInt.toString)
-    }.toMap
+      Option(str(s"__sumsq_$c")).map(v =>
+        c -> BigDecimal(v).toBigInt.toString)).toMap
     (st, nc, sm, sq)
   }
 
-  /** [[profileStatsOf]] over a freshly staged directory. */
-  private def profileStats(spark: SparkSession, stagedRel: String, n: Long,
+  private def profileStatsOf(stagedDf: DataFrame, n: Long,
       statsCols: Seq[String])
       : (Map[String, ColStats], Map[String, Long], Map[String, String],
-         Map[String, String]) =
-    if (statsCols.isEmpty) (Map.empty, Map.empty, Map.empty, Map.empty)
-    else profileStatsOf(
-      spark.read.parquet(root.resolve(stagedRel).toString), n, statsCols)
+         Map[String, String]) = {
+    if (statsCols.isEmpty)
+      return (Map.empty, Map.empty, Map.empty, Map.empty)
+    val aggs = statsAggsFor(stagedDf.schema, statsCols)
+    val r = stagedDf.agg(aggs.head, aggs.tail: _*).head()
+    decodeStatsMetrics(k => r.getAs[Any](k), n, statsCols, stagedDf.schema)
+  }
 
   /** METADATA-ONLY AGGREGATE — `COUNT(*)` / `MIN` / `MAX` answered from
     * the commit log alone: zero data-file reads, zero Spark jobs. At
@@ -1421,16 +1443,23 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         s"(got partitionCols=$partitionCols, keys=$keys): only then do " +
         "disjoint partition sets prove disjoint key sets")
     var snap = resolvedCommits()
-    var toAdd = Upserts.insertIfAbsent(
-        existingKeysAt(spark, snap, keys, incoming), incoming, keys, orderCols)
-      .localCheckpoint(eager = true)
-    var n = toAdd.count()
-    if (n == 0) return 0
-    enforceConstraints(toAdd)
+    val toAdd = Upserts.insertIfAbsent(
+      existingKeysAt(spark, snap, keys, incoming), incoming, keys, orderCols)
+    // ONE pass (round-13 optimization): the anti-join used to run under
+    // an eager localCheckpoint, then be counted, constraint-checked,
+    // partition-collected and staged — here it runs exactly once, inside
+    // the staging write, with count + constraints observed; the touched
+    // partition tuples come from the staged files (a footer-light read
+    // of just the partition columns, bounded by the batch).
+    val cons = constraintViolationAggs()
+    var (staged, n, metrics) = stageObserved(toAdd, cons.map(_._3))
+    if (n == 0) { deleteRecursively(root.resolve(staged)); return 0 }
+    checkConstraintMetrics(cons, metrics, Some(staged))
     val touched: Option[Set[String]] =
       if (partitionCols.isEmpty) None
-      else Some(touchedPartitions(toAdd, partitionCols).map(encodePartition))
-    var staged = stageAudited(spark, toAdd, n)
+      else Some(touchedPartitions(
+        spark.read.parquet(root.resolve(staged).toString), partitionCols)
+        .map(encodePartition))
 
     var attempts = 0
     while (true) {
@@ -1557,13 +1586,21 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       maxAttempts: Int = 20,
       statsCols: Seq[String] = Nil): Long = {
     require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
-    val n = incoming.count()
-    if (n == 0) return 0 // nothing touched, nothing replaced
-    enforceConstraints(incoming)
-    val tuples = touchedPartitions(incoming, partitionCols)
-    val staged = stageAudited(spark, incoming, n)
+    // ONE pass (round-13 optimization): count + constraints + stats
+    // profile fused into the staging write; the replaced tuple set
+    // comes from the staged files' partition columns — a pruned
+    // column read of the batch, not a second run of its plan. The old
+    // path ran the incoming plan three times (count, distinct, write)
+    // and re-read the staged files twice (audit, stats).
+    val cons = constraintViolationAggs()
+    val (staged, n, metrics) = stageObserved(incoming,
+      cons.map(_._3) ++ statsAggsFor(incoming.schema, statsCols))
+    if (n == 0) { deleteRecursively(root.resolve(staged)); return 0 }
+    checkConstraintMetrics(cons, metrics, Some(staged))
+    val tuples = touchedPartitions(
+      spark.read.parquet(root.resolve(staged).toString), partitionCols)
     val (stats, nullCounts, sums, sumsqs) =
-      profileStats(spark, staged, n, statsCols)
+      decodeStatsMetrics(metrics(_), n, statsCols, incoming.schema)
     val manifest = Manifest(n, Seq(staged),
       partitions = Some(tuples.map(encodePartition)),
       partitionCols = partitionCols,
@@ -1651,16 +1688,20 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     require(updateSet.nonEmpty || deleteCond.isDefined || insertUnmatched,
       "mergeInto with no clauses is a no-op; pass at least one")
     val srcCk = source.localCheckpoint(eager = true)
-    val dup = srcCk.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dup == 0,
+    // dup guard + source key tuples in ONE collect (round-13
+    // optimization — was two jobs): the grouped counts ARE the distinct
+    // key tuples (bounded by the batch, the replace-tuple discipline),
+    // and any count > 1 is the Delta multiple-matches error; a
+    // single-column key reuses the tuples to prune the target read
+    // through the manifest blooms
+    val srcKeyRows = srcCk.groupBy(keys.map(col): _*).count().collect()
+    require(srcKeyRows.forall(_.getLong(keys.size) == 1L),
       "mergeInto: duplicate source key tuples — a target row matched " +
         "by two source rows has no well-defined result (Delta's " +
         "multiple-matches error); de-duplicate the source first")
-    // source keys are collected anyway (the replace-tuple discipline —
-    // bounded by the batch); a single-column key reuses them to prune
-    // the target read through the manifest blooms
-    val srcKeyTuples = touchedPartitions(srcCk, keys)
+    val srcKeyTuples: Set[Seq[String]] = srcKeyRows.map(r =>
+      keys.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
     val snap = resolvedCommits()
     val target: Option[DataFrame] =
       if (keys.size == 1)
@@ -1698,9 +1739,16 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       case None => srcCk.select(tCols.map(col): _*)
         .withColumn("__del", lit(false)).limit(0)
     }
-    val nDel = touchedRows.where(col("__del")).count()
+    // classified counts + replaced key tuples in ONE collect over the
+    // checkpointed matched rows (was three jobs: two counts plus a
+    // distinct-collect); grouped by (keys, __del), bounded by the batch
+    val touchedKeyRows = touchedRows
+      .groupBy((keys.map(col) :+ col("__del")): _*).count().collect()
+    val nDel = touchedKeyRows.filter(_.getBoolean(keys.size))
+      .map(_.getLong(keys.size + 1)).sum
+    val nUpd = touchedKeyRows.filterNot(_.getBoolean(keys.size))
+      .map(_.getLong(keys.size + 1)).sum
     val updatedRows = touchedRows.where(!col("__del")).drop("__del")
-    val nUpd = updatedRows.count()
     // WHEN NOT MATCHED AND insertCond THEN INSERT — the conditional
     // insert clause (a CDC consumer must NOT resurrect an unmatched
     // delete row as an insert); the condition is source-only (`s.`),
@@ -1716,16 +1764,33 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       case (None, true) => insSrc.select(tCols.map(col): _*)
       case _ => srcCk.select(tCols.map(col): _*).limit(0)
     }
-    val nIns = inserts.count()
+    // insert count + inserted key tuples in ONE collect (was two jobs);
+    // keys are unique in `inserts` by the dup guard, but the row count
+    // is still summed from the group counts, not the group cardinality
+    val insKeyRows = inserts.groupBy(keys.map(col): _*).count().collect()
+    val nIns = insKeyRows.map(_.getLong(keys.size)).sum
     if (nDel == 0 && nUpd == 0 && nIns == 0) return MergeStats(0, 0, 0)
 
-    val replTuples = touchedPartitions(
-      touchedRows.select(keys.map(col): _*), keys)
-    val insTuples = touchedPartitions(inserts.select(keys.map(col): _*), keys)
+    val replTuples: Set[Seq[String]] = touchedKeyRows.map(r =>
+      keys.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
+    val insTuples: Set[Seq[String]] = insKeyRows.map(r =>
+      keys.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
     val incoming = updatedRows.unionByName(inserts)
     val n = nUpd + nIns
-    if (n > 0) enforceConstraints(incoming)
-    val staged = if (n == 0) Nil else Seq(stageAudited(spark, incoming, n))
+    // staging write with count audit + constraint check fused (observe)
+    val staged = if (n == 0) Nil else {
+      val cons = constraintViolationAggs()
+      val (rel, landed, m) = stageObserved(incoming, cons.map(_._3))
+      if (landed != n) {
+        deleteRecursively(root.resolve(rel))
+        throw new IllegalStateException(
+          s"stage audit failed: wrote $landed rows, expected $n ($rel)")
+      }
+      checkConstraintMetrics(cons, m, Some(rel))
+      Seq(rel)
+    }
     // an insert-only merge is a plain scoped append: no replace mask,
     // so metadata reads (statsAggregate & co.) stay servable
     val manifest = Manifest(n, staged,
@@ -1805,16 +1870,20 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         .where(coalesce(expr(predicateSql), lit(false)))
         .select(cols.map(c =>
           (if (set.contains(c)) expr(set(c)) else col(c)).as(c)): _*)
-        .localCheckpoint(eager = true)
-      val n = rewritten.count()
+      // ONE pass (round-13 optimization): the rewrite used to be
+      // checkpointed, counted, constraint-checked and then staged —
+      // four runs' worth of jobs; it now runs exactly once, inside the
+      // staging write, with the count and constraints observed
+      val cons = constraintViolationAggs()
+      val (staged, n, metrics) = stageObserved(rewritten, cons.map(_._3))
       if (n == 0) {
+        deleteRecursively(root.resolve(staged))
         // no matching row in snapshot snapV: the UPDATE serializes at
         // snapV as a no-op; later concurrent appends serialize after it
         if (version() == snapV) return 0L
         // something landed while we validated — re-read and re-check
       } else {
-        enforceConstraints(rewritten)
-        val staged = stageAudited(spark, rewritten, n)
+        checkConstraintMetrics(cons, metrics, Some(staged))
         val manifest = Manifest(n, Seq(staged), deletePred = Some(predicateSql))
         beforePublish()
         if (!Files.isDirectory(root.resolve(staged)))
@@ -2139,26 +2208,6 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     df.where(not(coalesce(expr(predicateSql), lit(true))))
   }
 
-  /** Batch-side enforcement shared by the row-introducing write paths:
-    * one fused aggregate pass counts every constraint's violations;
-    * any violation rejects the batch BEFORE staging — the commit never
-    * starts, the table is untouched. */
-  private def enforceConstraints(df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
-    val cs = constraints()
-    if (cs.isEmpty) return
-    val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
-      coalesce(sum(when(not(coalesce(expr(p), lit(true))), 1L)
-        .otherwise(0L)), lit(0L)).as(s"__c$i")
-    }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cs.zipWithIndex.foreach { case ((n, p), i) =>
-      if (r.getLong(i) != 0L)
-        throw new IllegalArgumentException(
-          s"CHECK constraint $n violated by ${r.getLong(i)} incoming rows: $p")
-    }
-  }
-
   private def existingKeysAt(
       spark: SparkSession, snap: Seq[(Long, Manifest)],
       keys: Seq[String], schemaSource: DataFrame): DataFrame =
@@ -2200,7 +2249,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     Files.createDirectories(stagedRoot)
     parts.foreach(p =>
       Files.createLink(stagedRoot.resolve(p.getFileName.toString), p))
-    val rows = spark.read.parquet(stagedRoot.toString).count()
+    // audit from the linked files' parquet footers (driver-side, zero
+    // Spark jobs — round-13 optimization): the footers are read THROUGH
+    // the hard links, proving the adopted bytes serve
+    val rows = footerRowCount(stagedRoot)
     if (!tryPublish(0L, Manifest(rows, Seq(rel)))) {
       deleteRecursively(stagedRoot)
       throw new IllegalStateException(
@@ -2209,8 +2261,6 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     rows
   }
 
-  /** Write + audit: stage the batch under a fresh uuid directory, read
-    * it back, and verify the row count before it can be published. */
   /** FULL REPLACEMENT as one BASE commit — SQL `INSERT OVERWRITE`
     * through the catalog ([[graft.catalog.GraftTable]]), and the
     * programmatic "reload the table" shape: stages the new contents,
@@ -2222,9 +2272,14 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * SQL overwrite-with-nothing truncates the table. Returns the new
     * version. */
   def replaceAll(spark: SparkSession, df: DataFrame): Long = {
-    val n = df.count()
-    enforceConstraints(df)
-    val staged = if (n == 0) Nil else Seq(stageAudited(spark, df, n))
+    // one fused staging pass — the [[append]] discipline; an empty
+    // result deletes its (empty) staged dir and publishes a bare base
+    val cons = constraintViolationAggs()
+    val (rel, n, metrics) = stageObserved(df, cons.map(_._3))
+    checkConstraintMetrics(cons, metrics, Some(rel))
+    val staged =
+      if (n == 0) { deleteRecursively(root.resolve(rel)); Nil }
+      else Seq(rel)
     // record the incoming schema as catalog DDL (best effort): an
     // EMPTY base has no files to read a schema from, and without this
     // an adopted table truncated through SQL `INSERT OVERWRITE ...
@@ -2262,17 +2317,119 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
   }
 
   private def stageAudited(spark: SparkSession, df: DataFrame, expected: Long): String = {
-    val rel = "data/tx-" + java.util.UUID.randomUUID().toString
-    val p = root.resolve(rel)
-    df.write.mode("error").parquet(p.toString)
-    val audited = spark.read.parquet(p.toString).count()
-    if (audited != expected) {
-      deleteRecursively(p)
+    val (rel, n, _) = stageObserved(df)
+    if (n != expected) {
+      deleteRecursively(root.resolve(rel))
       throw new IllegalStateException(
-        s"stage audit failed: wrote $audited rows, expected $expected ($p)")
+        s"stage audit failed: wrote $n rows, expected $expected ($rel)")
     }
     rel
   }
+
+  /** SINGLE-PASS staging (optimization round 13, guide §1.2 "per-task
+    * work" + §2.4 "remove passes outright"): the old write path ran the
+    * batch plan once to count it, once to write it, and then re-read
+    * the staged files to audit the landed count — three passes (plus
+    * one more per stats profile). This stages in ONE pass: the write
+    * job carries a [[org.apache.spark.sql.Observation]] computing the
+    * row count and any caller-supplied aggregates (constraint
+    * violations, min/max/sum stats) over exactly the rows written, and
+    * the audit reads the landed row count from the parquet FOOTERS on
+    * the driver — O(files) metadata I/O, zero Spark jobs, and still
+    * ground truth for "what is on disk" (the footers are the files'
+    * own row accounting, written by the committed tasks). Running the
+    * plan exactly once also removes the old path's window for a
+    * non-deterministic source to count one thing and write another —
+    * the audit now cross-checks the single execution against the disk.
+    * Returns (rel, rows, metrics-by-alias). Callers delete the staged
+    * dir on their own aborts. */
+  private def stageObserved(df: DataFrame,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil)
+      : (String, Long, Map[String, Any]) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val rel = "data/tx-" + java.util.UUID.randomUUID().toString
+    val p = root.resolve(rel)
+    val metrics = runObserved(df,
+      count(lit(1)).as("__n") +: extraAggs)(
+      _.write.mode("error").parquet(p.toString))
+    val n = metrics("__n").asInstanceOf[Long]
+    val landed = footerRowCount(p)
+    if (landed != n) {
+      deleteRecursively(p)
+      throw new IllegalStateException(
+        s"stage audit failed: wrote $landed rows, expected $n ($p)")
+    }
+    (rel, n, metrics)
+  }
+
+  /** Run `action` over `df` with the named aggregates observed (the
+    * CollectMetrics mechanics behind [[org.apache.spark.sql.Observation]])
+    * and return the metrics by alias. A HAND-ROLLED listener instead of
+    * `Observation` itself deliberately: Spark's Observation listener
+    * inspects every later execution in the session — including FAILED
+    * ones, whose lazily re-thrown analysis errors land in the listener
+    * bus as spurious ERROR logs under the deliberate-failure specs;
+    * this listener touches successful executions only and matches its
+    * own unique metric name. */
+  private def runObserved(df: DataFrame,
+      aggs: Seq[org.apache.spark.sql.Column])(
+      action: DataFrame => Unit): Map[String, Any] = {
+    val name = "graft-obs-" + java.util.UUID.randomUUID()
+    val listener = new StageMetricsListener(name)
+    val lm = df.sparkSession.listenerManager
+    lm.register(listener)
+    try {
+      action(df.observe(name, aggs.head, aggs.tail: _*))
+      listener.await()
+    } finally lm.unregister(listener)
+  }
+
+  /** Row count of a staged directory from the parquet footers alone —
+    * driver-side metadata reads (one footer per part file), no Spark
+    * job, no data pages touched. */
+  private def footerRowCount(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    listDir(p).filter { f =>
+      val n = f.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** CHECK-constraint enforcement as observe-fusable aggregates: one
+    * violation counter per declared constraint (FALSE violates, TRUE
+    * and NULL pass — SQL CHECK semantics), evaluated inside the
+    * staging write instead of as its own aggregate pass.
+    * [[checkConstraintMetrics]] reads the counters back and rejects a
+    * violating batch before anything publishes — the staged dir is
+    * deleted, the table untouched. */
+  private def constraintViolationAggs()
+      : Seq[(String, String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    constraints().zipWithIndex.map { case ((n, p), i) =>
+      (n, p, coalesce(sum(when(not(coalesce(expr(p), lit(true))), 1L)
+        .otherwise(0L)), lit(0L)).as(s"__cons$i"))
+    }
+  }
+
+  private def checkConstraintMetrics(
+      cons: Seq[(String, String, org.apache.spark.sql.Column)],
+      metrics: Map[String, Any], stagedRel: Option[String]): Unit =
+    cons.zipWithIndex.foreach { case ((n, p, _), i) =>
+      val bad = metrics(s"__cons$i").asInstanceOf[Long]
+      if (bad != 0L) {
+        stagedRel.foreach(rel => deleteRecursively(root.resolve(rel)))
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n violated by $bad incoming rows: $p")
+      }
+    }
 
   /** The single atomicity primitive: publish manifest `m` as version `v`
     * iff no commit at `v` exists AND `v` is beyond the current tip.
@@ -2489,15 +2646,22 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           s"compactRanged: gave up after $maxAttempts publish attempts on $dir")
       val snap = commits()
       if (snap.isEmpty) return -1L
-      val df = dataOf(spark, effective(snap)).get.localCheckpoint(true)
-      val n = df.count()
+      // single pass (round-13 optimization): no checkpoint, no
+      // up-front count — the rewrite plan runs once, inside the
+      // bucketed staging write, with the row count observed; the
+      // read-back below (needed for per-bucket stats anyway) audits
+      // what landed against it
+      val df = dataOf(spark, effective(snap)).get
       // explicit bucket count: an unsized repartitionByRange gets
       // AQE-coalesced and the bucketing evaporates (the zOrdered lesson)
       val rel = "data/tx-" + java.util.UUID.randomUUID().toString
       val stagedRoot = root.resolve(rel)
-      df.repartitionByRange(numBuckets, col(column))
-        .withColumn("__bucket", spark_partition_id())
-        .write.mode("error").partitionBy("__bucket").parquet(stagedRoot.toString)
+      val n = runObserved(
+        df.repartitionByRange(numBuckets, col(column))
+          .withColumn("__bucket", spark_partition_id()),
+        Seq(count(lit(1)).as("__n")))(
+        _.write.mode("error").partitionBy("__bucket")
+          .parquet(stagedRoot.toString))("__n").asInstanceOf[Long]
       // audit + per-bucket stats in one read-back pass (partition
       // discovery restores __bucket)
       val back = spark.read.parquet(stagedRoot.toString)
@@ -2586,8 +2750,10 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           s"compactClustered: gave up after $maxAttempts publish attempts on $dir")
       val snap = commits()
       if (snap.isEmpty) return -1L
-      val df0 = dataOf(spark, effective(snap)).get.localCheckpoint(true)
-      val n = df0.count()
+      // single pass (round-13 optimization): the curve-keyed rewrite
+      // runs once, inside the staging write, count observed — the
+      // per-segment read-back below audits what landed against it
+      val df0 = dataOf(spark, effective(snap)).get
       val keyed = curve match {
         case "hilbert" => Hilbert.withHilbert(df0, col(x), col(y), "__ck", bits)
         case "zorder" => df0.withColumn("__ck", ZOrder.zValue(col(x), col(y), bits))
@@ -2595,11 +2761,14 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       }
       val rel = "data/tx-" + java.util.UUID.randomUUID().toString
       val stagedRoot = root.resolve(rel)
-      keyed.repartitionByRange(numBuckets, col("__ck"))
-        .sortWithinPartitions("__ck")
-        .withColumn("__bucket", spark_partition_id())
-        .drop("__ck")
-        .write.mode("error").partitionBy("__bucket").parquet(stagedRoot.toString)
+      val n = runObserved(
+        keyed.repartitionByRange(numBuckets, col("__ck"))
+          .sortWithinPartitions("__ck")
+          .withColumn("__bucket", spark_partition_id())
+          .drop("__ck"),
+        Seq(count(lit(1)).as("__n")))(
+        _.write.mode("error").partitionBy("__bucket")
+          .parquet(stagedRoot.toString))("__n").asInstanceOf[Long]
       // audit + per-segment stats + exact per-segment rows in ONE
       // read-back pass (partition discovery restores __bucket)
       val back = spark.read.parquet(stagedRoot.toString)
@@ -2761,14 +2930,16 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
         s"restore: version $toVersion of $dir is not readable " +
           "(never existed, or truncated away)"))
       .localCheckpoint(eager = true)
-    val n = df.count()
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > maxAttempts)
         throw new IllegalStateException(
           s"restore: gave up after $maxAttempts publish attempts on $dir")
-      val staged = stageAudited(spark, df, n)
+      // count fused into the staging write (round-13 optimization);
+      // the eager checkpoint above still pins the historical snapshot
+      // across publish retries
+      val (staged, n, _) = stageObserved(df)
       val v = version() + 1
       if (tryPublish(v, Manifest(n, Seq(staged), base = true,
           restated = true))) {
@@ -2814,9 +2985,14 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
           s"compact: gave up after $maxAttempts publish attempts on $dir")
       val snap = commits()
       if (snap.isEmpty) return -1L
-      val df = layout(dataOf(spark, effective(snap)).get.localCheckpoint(true))
-      val n = df.count()
-      val staged = stageAudited(spark, df, n)
+      // ONE pass over the table (round-13 optimization): the rewrite
+      // used to checkpoint the snapshot, count it, write it, and read
+      // it back — four table-sized passes; the layout plan now runs
+      // exactly once inside the staging write, with the count observed
+      // and the audit served from the parquet footers. A lost publish
+      // race recomputes from the fresh snapshot exactly as before.
+      val df = layout(dataOf(spark, effective(snap)).get)
+      val (staged, n, _) = stageObserved(df)
       beforePublish()
       if (!Files.isDirectory(root.resolve(staged)))
         throw new IllegalStateException(
@@ -2850,6 +3026,36 @@ object TxParquetSink {
     * any sane stage→publish window (Delta ships 7 days for the same
     * guard; commits here are one batch, not a day of them). */
   val DefaultVacuumRetentionMs: Long = 24L * 60 * 60 * 1000
+
+  /** The listener half of [[TxParquetSink.runObserved]]: waits for the
+    * one successful execution carrying its metric name, ignores every
+    * other event (in particular FAILED executions — see runObserved's
+    * scaladoc for why Spark's own Observation listener is not used).
+    * Listener-bus delivery is asynchronous, so [[await]] blocks with a
+    * generous timeout and fails LOUDLY if the metrics never arrive —
+    * a silent default would let an unaudited commit publish. */
+  private[etl] final class StageMetricsListener(name: String)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    @volatile private var metrics: Option[Map[String, Any]] = None
+    private val latch = new java.util.concurrent.CountDownLatch(1)
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      try qe.observedMetrics.get(name).foreach { row =>
+        metrics = Some(row.getValuesMap[Any](row.schema.fieldNames.toSeq))
+        latch.countDown()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+    def await(): Map[String, Any] = {
+      if (!latch.await(300, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          s"observed staging metrics '$name' never arrived — cannot " +
+            "audit the staged write")
+      metrics.get
+    }
+  }
 
   /** The shared no-op publish fence (plain sinks). */
   private val NoFence: () => Unit = () => ()
