@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Developer micro-profiler (optimization rounds, guide §1): run a
+  * query through the noop sink with a [[SparkListener]] recording every
+  * Spark JOB — start/end wall time and the call site that launched it —
+  * then print the jobs sorted by duration. The per-query bench numbers
+  * say WHICH query is slow; this says which of its ACTIONS (counts,
+  * collects, checkpoints, staged writes) the time went to, which is the
+  * level replay-style queries (foreachBatch bodies, commit loops) must
+  * be optimized at: their cost is Σ per-action fixed overhead, not one
+  * plan's shape.
+  *
+  * Usage: runMain graft.JobProf <sfDir> <query> [minMs]
+  */
+object JobProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name = args.drop(1).headOption.getOrElse("q01_weekend")
+    val minMs = args.drop(2).headOption.map(_.toLong).getOrElse(20L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long, String)]())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobs.put(j.jobId, (j.time, site))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val (t0, site) = jobs.getOrDefault(j.jobId, (j.time, "?"))
+        done.add((j.jobId, j.time - t0, site))
+      }
+    })
+    // Driver-time sampler: the job listener accounts executor-side
+    // time; replay-style queries spend most of their wall in the DRIVER
+    // (planning, commit-log I/O, checkpoint setup). Sample the main
+    // thread every 20 ms and histogram the deepest "interesting" frame.
+    val mainThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val st = mainThread.getStackTrace
+        if (st.nonEmpty) {
+          val frames = st.iterator.map(f => s"${f.getClassName}.${f.getMethodName}")
+          val key = frames.find(f =>
+            f.startsWith("graft.") ||
+            f.contains("QueryExecution") || f.contains("Analyzer") ||
+            f.contains("Optimizer") || f.contains("DataSource") ||
+            f.contains("InMemoryFileIndex") || f.contains("ParquetFileFormat") ||
+            f.contains("FileFormatWriter") || f.contains("checkpoint") ||
+            f.contains("collect") || f.contains("DAGScheduler"))
+            .getOrElse(st.headOption.map(f =>
+              s"${f.getClassName}.${f.getMethodName}").getOrElse("?"))
+          samples.merge(key, 1, (a, b) => a + b)
+        }
+        Thread.sleep(20)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    sampling = false
+    Thread.sleep(500) // listener bus drain
+    import scala.jdk.CollectionConverters._
+    val all = done.asScala.toSeq
+    println(f"[jobprof] $name: $sec%.2f s, ${all.size} jobs, " +
+      f"sum-of-jobs ${all.map(_._2).sum / 1e3}%.2f s")
+    all.filter(_._2 >= minMs).sortBy(-_._2).take(60).foreach { case (id, ms, site) =>
+      println(f"[jobprof]   job $id%4d ${ms / 1e3}%7.2f s  $site")
+    }
+    // per-call-site rollup: replay loops launch the same site many times
+    println("[jobprof] by site:")
+    all.groupBy(_._3).map { case (s, js) =>
+      (js.map(_._2).sum, js.size, s)
+    }.toSeq.sortBy(-_._1).take(25).foreach { case (ms, n, s) =>
+      println(f"[jobprof]   ${ms / 1e3}%7.2f s  n=$n%-4d $s")
+    }
+    println("[jobprof] driver samples (20 ms each):")
+    samples.asScala.toSeq.sortBy(-_._2).take(30).foreach { case (k, n) =>
+      println(f"[jobprof]   ${n * 0.02}%7.2f s  $k")
+    }
+    spark.stop()
+  }
+}

@@ -1650,9 +1650,11 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     * merge or none of it, and time travel reads the pre-merge rows at
     * pre-merge versions.
     *
-    * Cost model at 100 TB: the join is SOURCE-DRIVEN — matched pairs
-    * via inner join, inserts via left-anti, both bounded by the source
-    * batch; unmatched target rows are never shuffled or rewritten. A
+    * Cost model at 100 TB: the join is SOURCE-DRIVEN — ONE left-outer
+    * join from the source side classifies matched (update/delete) and
+    * unmatched (insert) rows in a single pruned pass over the target,
+    * bounded by the source batch; unmatched target rows are never
+    * shuffled or rewritten. A
     * single-column key prunes the target read through the manifest
     * bloom filters ([[readSnapshotPointAny]]'s superset contract —
     * false positives only add join rows, false negatives impossible),
@@ -1679,7 +1681,7 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
       insertCond: Option[String] = None,
       beforePublish: () => Unit = () => (),
       maxAttempts: Int = 20): MergeStats = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(keys.nonEmpty, "mergeInto needs key columns")
     require(updateSet.keys.forall(c => !keys.contains(c)),
       s"mergeInto: updateSet may not rewrite key columns (got " +
@@ -1716,6 +1718,9 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     require(updateSet.keys.forall(tCols.contains),
       s"mergeInto: updateSet names unknown target columns " +
         s"(${updateSet.keys.filterNot(tCols.contains).mkString(",")})")
+    require(!tCols.contains("__graft_m") && !tCols.contains("__cls"),
+      "mergeInto: target columns __graft_m/__cls collide with the " +
+        "merge classification internals")
 
     val joinCond = keys.map(k =>
       col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -1724,60 +1729,57 @@ final case class TxParquetSink(dir: String) extends WarehouseSink {
     val updExpr =
       if (updateSet.isEmpty) lit(false)
       else coalesce(expr(updateCond.getOrElse("true")), lit(false))
-    // matched pairs, classified and projected in one source-bounded
-    // pass; the checkpoint pins the classification before any retry
-    val touchedRows: DataFrame = target match {
-      case Some(t) =>
-        t.alias("t").join(srcCk.alias("s"), joinCond)
-          .withColumn("__del", delExpr)
-          .withColumn("__upd", !delExpr && updExpr)
-          .where(col("__del") || col("__upd"))
-          .select((tCols.map(c =>
-            expr(updateSet.getOrElse(c, s"t.`$c`")).as(c)) :+
-            col("__del")): _*)
-          .localCheckpoint(eager = true)
-      case None => srcCk.select(tCols.map(col): _*)
-        .withColumn("__del", lit(false)).limit(0)
-    }
-    // classified counts + replaced key tuples in ONE collect over the
-    // checkpointed matched rows (was three jobs: two counts plus a
-    // distinct-collect); grouped by (keys, __del), bounded by the batch
-    val touchedKeyRows = touchedRows
-      .groupBy((keys.map(col) :+ col("__del")): _*).count().collect()
-    val nDel = touchedKeyRows.filter(_.getBoolean(keys.size))
-      .map(_.getLong(keys.size + 1)).sum
-    val nUpd = touchedKeyRows.filterNot(_.getBoolean(keys.size))
-      .map(_.getLong(keys.size + 1)).sum
-    val updatedRows = touchedRows.where(!col("__del")).drop("__del")
     // WHEN NOT MATCHED AND insertCond THEN INSERT — the conditional
     // insert clause (a CDC consumer must NOT resurrect an unmatched
-    // delete row as an insert); the condition is source-only (`s.`),
-    // so it filters BEFORE the anti-join — same rows, less join work;
-    // NULL keeps SQL semantics: no insert
-    val insSrc = insertCond
-      .map(c => srcCk.alias("s").where(coalesce(expr(c), lit(false))))
-      .getOrElse(srcCk)
-    val inserts: DataFrame = (target, insertUnmatched) match {
-      case (Some(t), true) =>
-        insSrc.alias("s").join(t.alias("t"), joinCond, "left_anti")
-          .select(tCols.map(col): _*).localCheckpoint(eager = true)
-      case (None, true) => insSrc.select(tCols.map(col): _*)
-      case _ => srcCk.select(tCols.map(col): _*).limit(0)
+    // delete row as an insert); source-only (`s.`), NULL = no insert
+    val insExpr =
+      if (!insertUnmatched) lit(false)
+      else insertCond.map(c => coalesce(expr(c), lit(false)))
+        .getOrElse(lit(true))
+    // ONE source-driven LEFT OUTER join classifies every source row
+    // (round-13 optimization — the matched inner join and the
+    // unmatched anti-join used to scan the pruned target TWICE and
+    // checkpoint twice): matched rows split D/U by Delta's clause
+    // order, unmatched rows become inserts; one checkpoint pins the
+    // classification, one grouped collect yields every count and
+    // replaced-key tuple the manifest needs.
+    val classified: DataFrame = target match {
+      case Some(t) =>
+        val joined = srcCk.alias("s")
+          .join(t.withColumn("__graft_m", lit(1)).alias("t"),
+            joinCond, "left_outer")
+          .withColumn("__cls",
+            when(col("t.__graft_m").isNotNull,
+              when(delExpr, "D").when(updExpr, "U"))
+            .otherwise(when(insExpr, "I")))
+          .where(col("__cls").isNotNull)
+        joined.select((tCols.map(c =>
+            when(col("__cls") === "I", col(s"s.`$c`"))
+              .when(col("__cls") === "U",
+                expr(updateSet.getOrElse(c, s"t.`$c`")))
+              .otherwise(col(s"t.`$c`")).as(c)) :+
+            col("__cls")): _*)
+          .localCheckpoint(eager = true)
+      case None =>
+        srcCk.alias("s").where(insExpr)
+          .select((tCols.map(c => col(s"s.`$c`").as(c)) :+
+            lit("I").as("__cls")): _*)
+          .localCheckpoint(eager = true)
     }
-    // insert count + inserted key tuples in ONE collect (was two jobs);
-    // keys are unique in `inserts` by the dup guard, but the row count
-    // is still summed from the group counts, not the group cardinality
-    val insKeyRows = inserts.groupBy(keys.map(col): _*).count().collect()
-    val nIns = insKeyRows.map(_.getLong(keys.size)).sum
+    // every count + tuple set from ONE collect, bounded by batch keys
+    val clsKeyRows = classified
+      .groupBy((keys.map(col) :+ col("__cls")): _*).count().collect()
+    def clsSum(c: String) = clsKeyRows
+      .filter(_.getString(keys.size) == c).map(_.getLong(keys.size + 1)).sum
+    val (nDel, nUpd, nIns) = (clsSum("D"), clsSum("U"), clsSum("I"))
     if (nDel == 0 && nUpd == 0 && nIns == 0) return MergeStats(0, 0, 0)
-
-    val replTuples: Set[Seq[String]] = touchedKeyRows.map(r =>
-      keys.indices.map(i =>
+    def tuplesOf(cs: Set[String]): Set[Seq[String]] = clsKeyRows
+      .filter(r => cs.contains(r.getString(keys.size)))
+      .map(r => keys.indices.map(i =>
         if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
-    val insTuples: Set[Seq[String]] = insKeyRows.map(r =>
-      keys.indices.map(i =>
-        if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
-    val incoming = updatedRows.unionByName(inserts)
+    val replTuples = tuplesOf(Set("D", "U"))
+    val insTuples = tuplesOf(Set("I"))
+    val incoming = classified.where(col("__cls") =!= "D").drop("__cls")
     val n = nUpd + nIns
     // staging write with count audit + constraint check fused (observe)
     val staged = if (n == 0) Nil else {
