@@ -69,6 +69,16 @@ object JobProf {
       }
     })
     sampler.setDaemon(true)
+    // Bench runs queries AFTER a setup phase that pre-builds the
+    // session-cached artifacts (star tables, dedup/ANN indexes); an
+    // untimed warm pass reproduces that state so the profiled pass
+    // measures what the bench measures (set SPARK_GRAFT_PROF_COLD=1 to
+    // profile the cold pass instead).
+    if (!sys.env.get("SPARK_GRAFT_PROF_COLD").contains("1")) {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      done.clear(); jobs.clear()
+    }
     sampler.start()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir)

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Edge bound for [[connectedComponents]]' driver short-circuit:
+    * under it the (deduplicated, counted) edge list fits the driver
+    * trivially (≤ ~50 MB of rows) and union-find solves it in
+    * milliseconds; above it the distributed star iteration runs. At
+    * 100 TB a delta/contracted graph under the bound is the COMMON
+    * case (incremental CC contracts to affected components); a hub
+    * component over it still gets the O(log d) star path. */
+  val DriverCcMaxEdges: Long = 500000L
+
   /** Large-star: for every node u, hang u's LARGER neighbors off
     * m = min(N(u) ∪ {u}). Operates on the symmetrized graph. */
   private def largeStar(edges: DataFrame): DataFrame = {
@@ -58,7 +67,8 @@ object GraphOps {
     * a heuristic — and bounded by `maxRounds` (log-scale: 30 rounds cover
     * any component a physical graph can hold). */
   def connectedComponents(
-      edges0: DataFrame, aCol: String, bCol: String, maxRounds: Int = 30): DataFrame = {
+      edges0: DataFrame, aCol: String, bCol: String, maxRounds: Int = 30,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     var edges = edges0
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
@@ -72,6 +82,45 @@ object GraphOps {
     // job per round to an iterative loop whose cost IS fixed per-round
     // overhead (both frames are small checkpointed star edge sets).
     var edgeCount = edges.count()
+    // ADAPTIVE small-graph short-circuit (round-13 optimization, the
+    // q29/q23 statistics-gate discipline): each star round costs 2–3
+    // Spark jobs of fixed overhead REGARDLESS of size, so a small edge
+    // set — the normal case for the incremental-CC delta graphs, whose
+    // contracted input is the affected components only — pays several
+    // rounds of scheduling for milliseconds of work. Under the bound
+    // (already-counted, deduplicated edges; long ids) the component
+    // minimum is computed exactly by driver union-find with min-root
+    // union; above it, or for non-long ids, the distributed star
+    // iteration below is unchanged. Answer-invariance is spec-pinned
+    // (GraphOpsSpec: forced driver path ≡ forced distributed path).
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edgeCount <= driverMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val collected = edges.collect()
+      collected.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      collected.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+      import scala.jdk.CollectionConverters._
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return nodes.asScala.iterator.map(n => (n.longValue, find(n))).toSeq
+        .toDF("node", "component")
+    }
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
       val nextCount = next.count()

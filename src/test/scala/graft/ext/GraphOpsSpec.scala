@@ -9,9 +9,23 @@ import graft.SparkSpec
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH execution paths of connectedComponents — the driver
+    * union-find short-circuit (forced via a huge edge bound) and the
+    * distributed star iteration (forced via bound 0) — asserts they
+    * agree, and returns the result. Every test in this spec therefore
+    * pins driver ≡ distributed on its graph. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val driver = GraphOps.connectedComponents(df, "a", "b",
+        driverMaxEdges = Long.MaxValue)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = GraphOps.connectedComponents(df, "a", "b",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == distributed,
+      "driver union-find short-circuit disagrees with the distributed star iteration")
+    driver
+  }
 
   test("long chain: a path of 80 nodes collapses to one component in O(log d) rounds") {
     val path = (0L until 79L).map(i => (i, i + 1))
@@ -51,6 +65,17 @@ class GraphOpsSpec extends SparkSpec {
         .flatMap { ms => val mn = ms.min.toLong; ms.map(_.toLong -> mn) }.toMap
       assert(cc(edges) == expected, s"trial $trial (n=$n, m=${edges.size})")
     }
+  }
+
+  test("under the default bound the driver short-circuit actually fires (local relation)") {
+    val out = GraphOps.connectedComponents(
+      Seq((5L, 4L), (4L, 3L), (9L, 8L)).toDF("a", "b"), "a", "b")
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    assert(out.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "expected the driver union-find path (LocalRelation) under the default bound")
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 8L -> 8L, 9L -> 8L))
   }
 
   test("self-loops and duplicate/null edges are ignored; empty graph yields empty output") {
